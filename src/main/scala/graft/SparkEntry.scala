@@ -1,13 +1,465 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.VectorOps
+import graft.ops.{Ingest, LlmOps, Relational, Temporal}
+import graft.pipeline.ZoomJobs
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every declared query (a) reads only `$sfDir/<table>.parquet`, (b) ends in
+  * a deterministic orderBy on a unique key (or is a deterministically-ordered
+  * top-k), and (c) emits only hash-stable types: strings, longs, booleans,
+  * and doubles produced by deterministic arithmetic (exact-decimal sums cast
+  * to double; sequential-fold vector math). Timestamps/dates are formatted to
+  * strings so Spark-vs-DuckDB physical timestamp representation can't skew
+  * the compare.
+  */
 object SparkEntry {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    ZoomJobs.flagship(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- §2.1/§2.2 scans, projections, filters -------------------------
+    "scan_project" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    "reindex_columns" -> ((s, dir) =>
+      Ingest.reindexTo(t(s, dir, "customer"), StructType(Seq(
+          StructField("c_custkey", LongType),
+          StructField("c_name", StringType),
+          StructField("c_mktsegment", StringType),
+          StructField("c_phone", StringType)))) // absent in source → typed null
+        .orderBy("c_custkey")),
+
+    "filter_eq" -> ((s, dir) =>
+      Relational.filterEq(t(s, dir, "events"), "event_type", "click")
+        .select("event_id", "user_id", "event_type", "value")
+        .orderBy("event_id")),
+
+    "filter_date_range" -> ((s, dir) =>
+      Relational.filterTsRange(t(s, dir, "orders"), "o_orderdate",
+          "1995-01-01 00:00:00", "1996-01-01 00:00:00")
+        .select(col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date"))
+        .orderBy("o_orderkey")),
+
+    "distinct_keys" -> ((s, dir) =>
+      Relational.distinctKeys(t(s, dir, "lineitem"), "l_orderkey")
+        .orderBy("l_orderkey")),
+
+    // ---- §2.3 joins ----------------------------------------------------
+    "anti_join_new_keys" -> ((s, dir) => {
+      val processed = Relational.filterTsRange(t(s, dir, "orders"), "o_orderdate",
+        "1995-01-01 00:00:00", "1996-01-01 00:00:00").select("o_custkey")
+      Relational.antiJoinNewKeys(t(s, dir, "customer"), processed, "c_custkey", "o_custkey")
+        .select("c_custkey").distinct().orderBy("c_custkey")
+    }),
+
+    "semi_join_active" -> ((s, dir) => {
+      val urgent = Relational.filterEq(t(s, dir, "orders"), "o_orderpriority", "1-URGENT")
+      Relational.semiJoin(t(s, dir, "customer"), urgent, "c_custkey", "o_custkey")
+        .select("c_custkey", "c_name").orderBy("c_custkey")
+    }),
+
+    "join_enrich" -> ((s, dir) => {
+      val cn = Relational.enrichWithDim(t(s, dir, "customer"), t(s, dir, "nation"),
+        col("c_nationkey") === col("n_nationkey"))
+      Relational.enrichWithDim(cn, t(s, dir, "region"),
+          col("n_regionkey") === col("r_regionkey"))
+        .select("c_custkey", "c_name", "n_name", "r_name")
+        .orderBy("c_custkey")
+    }),
+
+    "multimodal_join" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .join(t(s, dir, "embeddings"), col("doc_id") === col("vec_id"))
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("label").cast("long").as("label"))
+        .orderBy("doc_id")),
+
+    // ---- §2.7/§2.8 set ops, literals -----------------------------------
+    "union_pages" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val pages = Seq(
+        o.filter(col("o_orderkey") % 3 === 0).select("o_orderkey", "o_custkey", "o_totalprice"),
+        o.filter(col("o_orderkey") % 3 === 1).select("o_custkey", "o_totalprice", "o_orderkey"),
+        o.filter(col("o_orderkey") % 3 === 2).select("o_totalprice", "o_orderkey", "o_custkey"))
+      Relational.unionPages(pages)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    }),
+
+    "add_literal" -> ((s, dir) =>
+      Relational.addLiteral(t(s, dir, "events"), "source_system", "zoom")
+        .select("event_id", "user_id", "source_system")
+        .orderBy("event_id")),
+
+    // ---- §2.4 aggregations ---------------------------------------------
+    "count_per_group" -> ((s, dir) =>
+      Relational.countPerGroup(t(s, dir, "customer"), "c_nationkey")
+        .orderBy("c_nationkey")),
+
+    "agg_revenue_by_flag" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          Relational.decimalSum(col("l_quantity")).as("sum_qty"),
+          Relational.decimalSum(col("l_extendedprice")).as("sum_base_price"),
+          Relational.decimalSumProduct(col("l_extendedprice"), col("l_discount")).as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+        .withColumn("avg_qty", col("sum_qty") / col("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    // ---- §2.8/§2.10 temporal + incremental -----------------------------
+    "max_watermark" -> ((s, dir) =>
+      Temporal.maxWatermark(t(s, dir, "orders"), "o_orderdate")
+        .select(date_format(col("watermark"), "yyyy-MM-dd HH:mm:ss").as("max_ts"))),
+
+    "watermark_next_date" -> ((s, dir) =>
+      Temporal.maxWatermark(t(s, dir, "orders"), "o_orderdate")
+        .select(date_format(Temporal.nextLoadDate(col("watermark")), "yyyy-MM-dd").as("next_date"))),
+
+    "school_year_start" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .select(col("o_orderkey"),
+          date_format(Temporal.schoolYearStart(col("o_orderdate")), "yyyy-MM-dd").as("sy_start"))
+        .orderBy("o_orderkey")),
+
+    "parse_timestamp_tz" -> ((s, dir) =>
+      // Round-trip: format ts to ISO-8601-with-offset, parse with %z
+      // semantics (reference main.py:263-265), re-format for the compare.
+      t(s, dir, "events")
+        .select(col("event_id"),
+          date_format(
+            Temporal.parseIsoOffset(
+              concat(date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss"), lit("+00:00"))),
+            "yyyy-MM-dd HH:mm:ss").as("parsed_ts"))
+        .orderBy("event_id")),
+
+    "date_format_iso" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .select(col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date"))
+        .orderBy("o_orderkey")),
+
+    "json_extract_settings" -> ((s, dir) =>
+      Ingest.flattenJson(t(s, dir, "events"), "props",
+          Seq(("$.k", "k_val", "long"), ("$.missing", "missing_val", "string")))
+        .select("event_id", "k_val", "missing_val")
+        .orderBy("event_id")),
+
+    // ---- §2.6 sort/limit, §2.5 windows ---------------------------------
+    "topk_orders" -> ((s, dir) =>
+      Relational.topK(t(s, dir, "orders"), 10,
+          col("o_totalprice").desc, col("o_orderkey").asc)
+        .select("o_orderkey", "o_custkey", "o_totalprice")),
+
+    "window_rank" -> ((s, dir) =>
+      Relational.rankPerGroup(t(s, dir, "lineitem"),
+          Seq("l_returnflag"),
+          Seq(col("l_extendedprice").desc, col("l_orderkey").asc, col("l_linenumber").asc),
+          k = 5)
+        .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"), col("rn").cast("long").as("rn"))
+        .orderBy("l_returnflag", "rn")),
+
+    "window_running_sum" -> ((s, dir) =>
+      Relational.runningSum(t(s, dir, "orders"), "o_totalprice", "o_custkey",
+          Seq(col("o_orderdate").asc, col("o_orderkey").asc), "running_total")
+        .select("o_custkey", "o_orderkey", "running_total")
+        .orderBy("o_custkey", "o_orderkey")),
+
+    "tumbling_daily_counts" -> ((s, dir) =>
+      Temporal.tumblingCounts(t(s, dir, "events"), "ts", "1 day", "event_type")
+        .select(date_format(col("window.start"), "yyyy-MM-dd").as("day"),
+          col("event_type"), col("cnt"))
+        .orderBy("day", "event_type")),
+
+    "sessionize_gap" -> ((s, dir) =>
+      Temporal.sessionize(t(s, dir, "events"), "user_id", "ts", "event_id", gapSeconds = 1800)
+        .select(col("user_id"), col("session_id").cast("long").as("session_id"),
+          col("n_events"),
+          date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss").as("session_start"))
+        .orderBy("user_id", "session_id")),
+
+    // ---- §2.12 [north-star] LLM-data ops -------------------------------
+    "dedup_exact" -> ((s, dir) =>
+      LlmOps.dedupExactIds(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    "text_stats" -> ((s, dir) =>
+      LlmOps.textStats(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    "quality_score" -> ((s, dir) =>
+      LlmOps.qualityScore(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    "lang_id" -> ((s, dir) =>
+      LlmOps.langIdHeuristic(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    "lang_profile" -> ((s, dir) =>
+      LlmOps.langProfile(t(s, dir, "documents"), "lang", "n_chars")
+        .orderBy("lang")),
+
+    "similarity_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val qv = emb.filter(col("vec_id") === 0).select(col("embedding").as("__qv"))
+      VectorOps.bruteForceTopK(emb, "embedding", "vec_id", qv, k = 10)
+    }),
+
+    // ---- rows-only checked (not ANSI-SQL-expressible in DuckDB) --------
+    "dedup_near" -> ((s, dir) =>
+      LlmOps.nearDupPairs(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("id_a", "id_b")),
+
+    "dedup_simhash" -> ((s, dir) =>
+      LlmOps.simhash(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    "similarity_ann" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val qv = emb.filter(col("vec_id") === 0).select(col("embedding").as("__qv"))
+      VectorOps.annTopK(emb, "embedding", "vec_id", qv, k = 10, nPlanes = 8, dim = 64)
+    }),
+
+    // ---- §3 composed pipeline ------------------------------------------
+    "flagship_pipeline" -> ((s, dir) => ZoomJobs.flagship(s, dir))
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted (rows-only check): dedup_near,
+    * dedup_simhash, similarity_ann — they depend on Spark's xxhash64 /
+    * seeded hyperplanes, which DuckDB cannot reproduce.
+    */
+  def oracleSql: Map[String, String] = Map(
+
+    "scan_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+         FROM lineitem ORDER BY l_orderkey, l_linenumber""",
+
+    "reindex_columns" ->
+      """SELECT c_custkey, c_name, c_mktsegment, CAST(NULL AS VARCHAR) AS c_phone
+         FROM customer ORDER BY c_custkey""",
+
+    "filter_eq" ->
+      """SELECT event_id, user_id, event_type, value FROM events
+         WHERE event_type = 'click' ORDER BY event_id""",
+
+    "filter_date_range" ->
+      """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_date
+         FROM orders
+         WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+           AND o_orderdate <  TIMESTAMP '1996-01-01 00:00:00'
+         ORDER BY o_orderkey""",
+
+    "distinct_keys" ->
+      "SELECT DISTINCT l_orderkey FROM lineitem ORDER BY l_orderkey",
+
+    "anti_join_new_keys" ->
+      """SELECT DISTINCT c.c_custkey
+         FROM customer c
+         LEFT JOIN (SELECT o_custkey FROM orders
+                    WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+                      AND o_orderdate <  TIMESTAMP '1996-01-01 00:00:00') o
+           ON c.c_custkey = o.o_custkey
+         WHERE o.o_custkey IS NULL
+         ORDER BY c_custkey""",
+
+    "semi_join_active" ->
+      """SELECT c_custkey, c_name FROM customer c
+         WHERE EXISTS (SELECT 1 FROM orders o
+                       WHERE o.o_custkey = c.c_custkey
+                         AND o.o_orderpriority = '1-URGENT')
+         ORDER BY c_custkey""",
+
+    "join_enrich" ->
+      """SELECT c_custkey, c_name, n_name, r_name
+         FROM customer
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         ORDER BY c_custkey""",
+
+    "multimodal_join" ->
+      """SELECT doc_id, lang, n_chars, CAST(label AS BIGINT) AS label
+         FROM documents JOIN embeddings ON doc_id = vec_id
+         ORDER BY doc_id""",
+
+    "union_pages" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+         ORDER BY o_orderkey""",
+
+    "add_literal" ->
+      """SELECT event_id, user_id, 'zoom' AS source_system FROM events
+         ORDER BY event_id""",
+
+    "count_per_group" ->
+      """SELECT c_nationkey, COUNT(*) AS cnt FROM customer
+         GROUP BY c_nationkey ORDER BY c_nationkey""",
+
+    "agg_revenue_by_flag" ->
+      """SELECT l_returnflag, l_linestatus,
+            CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+            CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+            CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                     * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+            COUNT(*) AS count_order,
+            CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty
+         FROM lineitem
+         GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
+
+    "max_watermark" ->
+      "SELECT strftime(max(o_orderdate), '%Y-%m-%d %H:%M:%S') AS max_ts FROM orders",
+
+    "watermark_next_date" ->
+      """SELECT strftime(CAST(max(o_orderdate) AS DATE) + 1, '%Y-%m-%d') AS next_date
+         FROM orders""",
+
+    "school_year_start" ->
+      """SELECT o_orderkey,
+            strftime(make_date(
+              CASE WHEN month(o_orderdate) > 6 THEN year(o_orderdate)
+                   ELSE year(o_orderdate) - 1 END, 8, 1), '%Y-%m-%d') AS sy_start
+         FROM orders ORDER BY o_orderkey""",
+
+    "parse_timestamp_tz" ->
+      """SELECT event_id,
+            strftime(date_trunc('second', ts), '%Y-%m-%d %H:%M:%S') AS parsed_ts
+         FROM events ORDER BY event_id""",
+
+    "date_format_iso" ->
+      """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_date
+         FROM orders ORDER BY o_orderkey""",
+
+    "json_extract_settings" ->
+      """SELECT event_id,
+            CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+            json_extract_string(props, '$.missing') AS missing_val
+         FROM events ORDER BY event_id""",
+
+    "topk_orders" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
+
+    "window_rank" ->
+      """SELECT l_returnflag, l_orderkey, l_linenumber, rn FROM (
+           SELECT l_returnflag, l_orderkey, l_linenumber,
+                  CAST(row_number() OVER (PARTITION BY l_returnflag
+                    ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS BIGINT) AS rn
+           FROM lineitem) sub
+         WHERE rn <= 5 ORDER BY l_returnflag, rn""",
+
+    "window_running_sum" ->
+      """SELECT o_custkey, o_orderkey,
+            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+              PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
+         FROM orders ORDER BY o_custkey, o_orderkey""",
+
+    "tumbling_daily_counts" ->
+      """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
+            COUNT(*) AS cnt
+         FROM events GROUP BY 1, 2 ORDER BY day, event_type""",
+
+    "sessionize_gap" ->
+      """WITH e AS (
+           SELECT user_id, event_id, ts,
+                  CAST(floor(epoch(ts)) AS BIGINT) AS secs
+           FROM events),
+         l AS (
+           SELECT *, lag(secs) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+           FROM e),
+         f AS (
+           SELECT *, CASE WHEN prev IS NULL OR secs - prev > 1800 THEN 1 ELSE 0 END AS is_new
+           FROM l),
+         s AS (
+           SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+           FROM f)
+         SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+                COUNT(*) AS n_events,
+                strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start
+         FROM s GROUP BY user_id, session_id
+         ORDER BY user_id, session_id""",
+
+    "dedup_exact" ->
+      """SELECT MIN(doc_id) AS doc_id FROM documents
+         GROUP BY md5(lower(trim(text)))
+         ORDER BY doc_id""",
+
+    "text_stats" ->
+      """SELECT doc_id,
+            CAST(length(text) AS BIGINT) AS n_chars_calc,
+            CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+            CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS n_bpe_tokens,
+            CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS n_digits,
+            md5(lower(trim(text))) AS fp
+         FROM documents ORDER BY doc_id""",
+
+    "quality_score" ->
+      """SELECT doc_id,
+            CAST(len(regexp_extract_all(lower(text), '\b(the|a|of|and|in|to)\b')) AS DOUBLE)
+              / CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) AS stopword_ratio,
+            length(text) < 100 AS is_short
+         FROM documents ORDER BY doc_id""",
+
+    "lang_id" ->
+      """SELECT doc_id,
+            CASE WHEN en >= es AND en >= fr THEN 'en'
+                 WHEN es >= fr THEN 'es'
+                 ELSE 'fr' END AS lang_guess
+         FROM (
+           SELECT doc_id,
+                  len(regexp_extract_all(lower(text), '\b(the|and|of|to|in)\b')) AS en,
+                  len(regexp_extract_all(lower(text), '\b(el|la|de|que|y)\b')) AS es,
+                  len(regexp_extract_all(lower(text), '\b(le|la|et|les|des)\b')) AS fr
+           FROM documents) sub
+         ORDER BY doc_id""",
+
+    "lang_profile" ->
+      """SELECT lang, COUNT(*) AS n_docs,
+            CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+            CAST(CAST(SUM(n_chars) AS BIGINT) AS DOUBLE) / COUNT(*) AS avg_chars
+         FROM documents GROUP BY lang ORDER BY lang""",
+
+    "similarity_topk" ->
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         s AS (
+           SELECT vec_id,
+             list_reduce(list_transform(range(1, len(embedding)+1),
+               i -> CAST(embedding[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)), (x, y) -> x + y) AS dot,
+             list_reduce(list_transform(range(1, len(embedding)+1),
+               i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)), (x, y) -> x + y) AS na,
+             list_reduce(list_transform(range(1, len(qv)+1),
+               i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)), (x, y) -> x + y) AS nb
+           FROM embeddings, q)
+         SELECT vec_id, dot / (sqrt(na) * sqrt(nb)) AS score
+         FROM s ORDER BY score DESC, vec_id LIMIT 10""",
+
+    "flagship_pipeline" ->
+      """SELECT r_name, n_name, COUNT(*) AS new_customers
+         FROM customer
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         WHERE NOT EXISTS (SELECT 1 FROM orders o
+                           WHERE o.o_custkey = c_custkey
+                             AND o.o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+                             AND o.o_orderdate <  TIMESTAMP '1996-01-01 00:00:00')
+         GROUP BY r_name, n_name
+         ORDER BY r_name, n_name"""
+  )
 }

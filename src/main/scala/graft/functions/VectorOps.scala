@@ -1,0 +1,88 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Vector math over `array<float>` embedding columns (SURVEY.md §2.12 L3).
+  *
+  * Spark has no built-in cosine similarity; rather than a Scala UDF (an
+  * opaque black box to Catalyst, breaks whole-stage codegen), these compose
+  * built-in higher-order functions (`zip_with` + `aggregate`), which codegen
+  * and need no serialization boundary.
+  *
+  * Determinism: elements are cast to double BEFORE multiplying and the fold
+  * is sequential left-to-right, so results are bitwise-reproducible across
+  * partitionings and match any oracle that does the same (float→double is
+  * exact; IEEE double ops are deterministic given operand order).
+  */
+object VectorOps {
+
+  /** Sequential-fold dot product in double precision. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a.cast("array<double>"), b.cast("array<double>"), (x, y) => x * y),
+      lit(0.0),
+      (acc, x) => acc + x)
+
+  /** L2 norm. */
+  def l2Norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity = dot / (|a| * |b|). */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (l2Norm(a) * l2Norm(b))
+
+  /** Brute-force top-k most-similar rows to one query vector.
+    *
+    * The query vector arrives as a 1-row DataFrame (column `__qv`) and is
+    * broadcast — the embedding table itself never shuffles; the only
+    * cross-executor movement is the TakeOrderedAndProject top-k merge
+    * (per-partition heap of k, then k-way merge on the driver). That is the
+    * right plan at 100 TB: score map-side, move only k rows.
+    */
+  def bruteForceTopK(embeddings: DataFrame, embCol: String, idCol: String,
+                     queryVec: DataFrame, k: Int): DataFrame = {
+    embeddings
+      .crossJoin(broadcast(queryVec))
+      .select(col(idCol), cosine(col(embCol), col("__qv")).as("score"))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** Deterministic random-hyperplane LSH bucket id (sign-bit sketch).
+    *
+    * `planes` are fixed pseudo-random hyperplanes (seeded on the driver —
+    * tiny, shipped as literals). Bucket = packed sign bits of the dot
+    * products. Scale path for ANN: group by bucket, search only the query's
+    * bucket (and optionally neighboring buckets) instead of the full table —
+    * turns an O(N) scan into O(N / 2^bits) expected.
+    */
+  def lshBucket(embCol: Column, planes: Seq[Array[Double]]): Column = {
+    val bits = planes.zipWithIndex.map { case (p, i) =>
+      val planeCol = array(p.map(lit).toIndexedSeq: _*)
+      when(dot(embCol, planeCol) >= 0, lit(1L << i)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** Fixed hyperplanes from a seeded generator — deterministic across runs. */
+  def hyperplanes(nPlanes: Int, dim: Int, seed: Long = 42L): Seq[Array[Double]] = {
+    val rng = new scala.util.Random(seed)
+    Seq.fill(nPlanes)(Array.fill(dim)(rng.nextGaussian()))
+  }
+
+  /** ANN top-k: restrict the scan to rows sharing the query's LSH bucket,
+    * then exact-cosine rank within the bucket. Recall < 1.0 by design; the
+    * baseline-correct path is [[bruteForceTopK]].
+    */
+  def annTopK(embeddings: DataFrame, embCol: String, idCol: String,
+              queryVec: DataFrame, k: Int, nPlanes: Int, dim: Int): DataFrame = {
+    val planes = hyperplanes(nPlanes, dim)
+    val bucketed = embeddings.withColumn("__bucket", lshBucket(col(embCol), planes))
+    val q = queryVec.withColumn("__qbucket", lshBucket(col("__qv"), planes))
+    bucketed
+      .join(broadcast(q), col("__bucket") === col("__qbucket"))
+      .select(col(idCol), cosine(col(embCol), col("__qv")).as("score"))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+  }
+}

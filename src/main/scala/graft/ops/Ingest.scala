@@ -1,0 +1,40 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StructField, StructType}
+
+/** Ingest-side schema discipline (SURVEY.md §2.1, §1.3): fixed-column
+  * reindex projection, JSON flattening with null defaults. These replace the
+  * reference's inferred-per-page pandas schemas with declared StructTypes.
+  */
+object Ingest {
+
+  /** Fixed-column projection with null-fill — the reference's
+    * `users.reindex(columns=USER_COLUMNS)` (/root/reference/main.py:65,
+    * column list /root/reference/config.py:28-42): keep exactly the target
+    * schema's columns in order; absent columns become typed nulls, extra
+    * columns are dropped.
+    */
+  def reindexTo(df: DataFrame, target: StructType): DataFrame = {
+    val present = df.columns.toSet
+    df.select(target.fields.map { f: StructField =>
+      if (present(f.name)) col(f.name).cast(f.dataType).as(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }.toIndexedSeq: _*)
+  }
+
+  /** Flatten selected fields out of a JSON string column with null defaults —
+    * the reference's meeting-settings flatten (`.get(field)` → None,
+    * /root/reference/main.py:324-334). `get_json_object` is null-safe by
+    * construction: absent path or malformed JSON yields null.
+    * Paths are given as (jsonPath, outName, castTo).
+    */
+  def flattenJson(df: DataFrame, jsonCol: String,
+                  fields: Seq[(String, String, String)]): DataFrame = {
+    val extracted = fields.map { case (path, name, castTo) =>
+      get_json_object(col(jsonCol), path).cast(castTo).as(name)
+    }
+    df.select(df.columns.map(col).toIndexedSeq ++ extracted: _*)
+  }
+}

@@ -1,0 +1,187 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** LLM-training-data pipeline operators (SURVEY.md §2.12, [north-star]):
+  * exact + near deduplication (MinHash/LSH, SimHash, n-gram Jaccard), text
+  * quality/statistics, language-ID heuristic, document fingerprinting.
+  *
+  * All are shuffle-lean by construction: dedup keys are fixed-width hashes
+  * (not full documents), LSH candidate generation shuffles (band, bandHash)
+  * pairs only, and every aggregation has a map-side partial. No driver-side
+  * collect anywhere.
+  */
+object LlmOps {
+
+  /** Canonical text normalization shared by every dedup flavor. */
+  def normText(c: Column): Column = lower(trim(c))
+
+  /** Content fingerprint (md5 of normalized text) — cheap exact-dup key and
+    * a stable doc identity for lineage. 128-bit, collision-safe at 100 TB
+    * row counts for dedup purposes.
+    */
+  def fingerprint(c: Column): Column = md5(normText(c))
+
+  /** Exact dedup: one surviving doc id per normalized text (deterministic:
+    * the minimum id wins). Shuffles (hash(text), partialMinId) only.
+    */
+  def dedupExactIds(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(fingerprint(col(textCol)).as("__fp"))
+      .agg(min(col(idCol)).as(idCol))
+      .select(idCol)
+
+  /** Whitespace tokens of normalized text. */
+  def tokens(c: Column): Column = split(normText(c), "\\s+")
+
+  /** Word n-gram shingles (distinct), the unit set for Jaccard/MinHash.
+    * `slice` with a computed 1-based start keeps this inside codegen'd
+    * higher-order functions — no UDF, no explode at this stage.
+    */
+  def shingles(c: Column, n: Int): Column = {
+    val toks = tokens(c)
+    array_distinct(
+      transform(
+        sequence(lit(0), greatest(size(toks) - n, lit(0))),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+  }
+
+  /** MinHash signature: k independent min-hashes over the shingle set.
+    * Seed-mixing via xxhash64(shingle, seed) — k fixed expressions, all
+    * codegen'd, evaluated in one pass over the array.
+    */
+  def minhashSignature(shingleCol: Column, k: Int): Column =
+    array((0 until k).map { seed =>
+      array_min(transform(shingleCol, sh => xxhash64(sh, lit(seed))))
+    }: _*)
+
+  /** LSH banding: explode the signature into `bands` rows keyed by
+    * (bandIdx, hash of that band's slice). Docs sharing any band key are
+    * near-dup candidates.
+    */
+  def lshBands(df: DataFrame, idCol: String, sigCol: String,
+               bands: Int, rowsPerBand: Int): DataFrame =
+    df.select(
+        col(idCol),
+        posexplode(
+          transform(
+            sequence(lit(0), lit(bands - 1)),
+            b => xxhash64(slice(col(sigCol), b * rowsPerBand + 1, lit(rowsPerBand)), b)))
+          .as(Seq("band", "band_hash")))
+
+  /** Exact Jaccard similarity of two shingle-set columns. */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") /
+      size(array_union(a, b)).cast("double")
+
+  /** Near-duplicate pairs: MinHash → LSH banding → candidate join → exact
+    * Jaccard verification. Returns (id_a, id_b, jaccard) with id_a < id_b,
+    * jaccard >= threshold.
+    *
+    * Scale shape: the candidate join shuffles only (band, band_hash, id,
+    * shingles-of-candidates); non-candidate docs never meet. Skewed buckets
+    * (e.g. boilerplate) are the classic hazard — AQE skew-join handles
+    * moderate skew; pathological buckets should be capped upstream.
+    */
+  def nearDupPairs(df: DataFrame, idCol: String, textCol: String,
+                   shingleN: Int = 3, numHashes: Int = 16,
+                   bands: Int = 4, threshold: Double = 0.7): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val withSets = df
+      .select(col(idCol), shingles(col(textCol), shingleN).as("__sh"))
+      .filter(size(col("__sh")) > 0)
+      .withColumn("__sig", minhashSignature(col("__sh"), numHashes))
+
+    val banded = lshBands(withSets, idCol, "__sig", bands, rowsPerBand)
+
+    val a = banded.select(col(idCol).as("id_a"), col("band"), col("band_hash"))
+    val b = banded.select(col(idCol).as("id_b"), col("band").as("band_b"), col("band_hash").as("band_hash_b"))
+    val candidates = a.join(b,
+        col("band") === col("band_b") &&
+        col("band_hash") === col("band_hash_b") &&
+        col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+
+    val setsA = withSets.select(col(idCol).as("id_a"), col("__sh").as("__sh_a"))
+    val setsB = withSets.select(col(idCol).as("id_b"), col("__sh").as("__sh_b"))
+    candidates
+      .join(setsA, "id_a").join(setsB, "id_b")
+      .select(col("id_a"), col("id_b"),
+        jaccard(col("__sh_a"), col("__sh_b")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** 64-bit SimHash of the token multiset: bit i of the sketch is the sign
+    * of Σ_tokens (±1 by bit i of xxhash64(token)). Computed with one
+    * explode + 64 conditional sums (all map-side partial-aggregated);
+    * near-dups have small Hamming distance between sketches.
+    */
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val exploded = df.select(col(idCol), explode(tokens(col(textCol))).as("__tok"))
+      .withColumn("__h", xxhash64(col("__tok")))
+    val bitSums = (0 until 64).map { i =>
+      sum(when(col("__h").bitwiseAND(lit(1L << i)) =!= 0, 1).otherwise(-1)).as(s"__b$i")
+    }
+    val agg = exploded.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
+    val sketch = (0 until 64).map { i =>
+      when(col(s"__b$i") > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    agg.select(col(idCol), sketch.as("simhash"))
+  }
+
+  /** Per-document text statistics: char count, whitespace-token count,
+    * BPE-ish token count (letter runs / digit runs / single non-space
+    * symbols — a deterministic proxy for subword token budgeting), digit
+    * count, and md5 fingerprint. Pure per-row map, no shuffle.
+    */
+  def textStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    df.select(
+      col(idCol),
+      length(t).cast("long").as("n_chars_calc"),
+      regexp_count(t, lit("\\S+")).cast("long").as("n_tokens"),
+      regexp_count(t, lit("[a-z]+|[0-9]+|[^a-z0-9\\s]")).cast("long").as("n_bpe_tokens"),
+      regexp_count(t, lit("[0-9]")).cast("long").as("n_digits"),
+      fingerprint(t).as("fp"))
+  }
+
+  /** Quality heuristics: stopword ratio (fluency proxy) and a short-doc
+    * flag. Deterministic double arithmetic (int/int division in double).
+    */
+  def qualityScore(df: DataFrame, idCol: String, textCol: String,
+                   minChars: Int = 100): DataFrame = {
+    val t = col(textCol)
+    val nTokens = regexp_count(t, lit("\\S+"))
+    val nStop = regexp_count(lower(t), lit("\\b(the|a|of|and|in|to)\\b"))
+    df.select(
+      col(idCol),
+      (nStop.cast("double") / nTokens.cast("double")).as("stopword_ratio"),
+      (length(t) < minChars).as("is_short"))
+  }
+
+  /** Stopword-profile language ID: count hits against tiny per-language
+    * stopword lists, argmax with a fixed precedence (en > es > fr) on ties.
+    * An n-gram-free heuristic that stays pure-regexp (codegen'd, no UDF).
+    */
+  def langIdHeuristic(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = lower(col(textCol))
+    val en = regexp_count(t, lit("\\b(the|and|of|to|in)\\b"))
+    val es = regexp_count(t, lit("\\b(el|la|de|que|y)\\b"))
+    val fr = regexp_count(t, lit("\\b(le|la|et|les|des)\\b"))
+    df.select(
+      col(idCol),
+      when(en >= es && en >= fr, lit("en"))
+        .when(es >= fr, lit("es"))
+        .otherwise(lit("fr")).as("lang_guess"))
+  }
+
+  /** Per-language corpus profile: doc count, total chars (exact long), mean
+    * chars (double of exact ints — deterministic).
+    */
+  def langProfile(df: DataFrame, langCol: String, charsCol: String): DataFrame =
+    df.groupBy(col(langCol))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col(charsCol)).cast("long").as("total_chars"))
+      .withColumn("avg_chars", col("total_chars").cast("double") / col("n_docs"))
+}

@@ -1,0 +1,119 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational core (SURVEY.md §2.2–§2.7): projections, filters, joins,
+  * aggregations, set ops, sorts, windows. All pure `DataFrame => DataFrame`
+  * combinators over Spark built-ins — no custom expressions needed (§4).
+  *
+  * 100 TB posture: joins against small dimension tables are explicitly
+  * `broadcast()`; everything else shuffles on stable keys and lets
+  * Catalyst/AQE pick hash vs sort-merge and handle skew.
+  */
+object Relational {
+
+  /** Left anti join keyed change detection — the reference's flagship
+    * relational query (`LEFT JOIN … IS NULL` idiom, /root/reference/main.py:79-85
+    * and main.py:310-316): keys on the left with no derived rows on the right.
+    * Scale note: both sides shuffle on the key; Spark plans a hash anti join
+    * and AQE converts to broadcast when the right side turns out small.
+    */
+  def antiJoinNewKeys(left: DataFrame, right: DataFrame,
+                      leftKey: String, rightKey: String): DataFrame =
+    left.join(right, left(leftKey) === right(rightKey), "left_anti")
+
+  /** Left semi join: keep left rows that have at least one match. The
+    * complement of [[antiJoinNewKeys]] (anti ∪ semi == left, disjoint).
+    */
+  def semiJoin(left: DataFrame, right: DataFrame,
+               leftKey: String, rightKey: String): DataFrame =
+    left.join(right, left(leftKey) === right(rightKey), "left_semi")
+
+  /** Inner enrichment join against a small dimension — broadcast so the fact
+    * side never shuffles (the reference's per-key lookup loop,
+    * /root/reference/main.py:98-100, becomes a map-side join at scale).
+    */
+  def enrichWithDim(fact: DataFrame, dim: DataFrame, cond: Column): DataFrame =
+    fact.join(broadcast(dim), cond, "inner")
+
+  /** DISTINCT on a key column (reference `SELECT DISTINCT zm.uuid`,
+    * /root/reference/main.py:80). Partial aggregation happens map-side
+    * automatically, so the shuffle carries only distinct keys per partition.
+    */
+  def distinctKeys(df: DataFrame, key: String): DataFrame =
+    df.select(key).distinct()
+
+  /** Equality filter (reference `groups[groups["name"] == g]`,
+    * /root/reference/main.py:142-143). Pushed to the parquet scan by Catalyst.
+    */
+  def filterEq(df: DataFrame, column: String, value: Any): DataFrame =
+    df.filter(col(column) === lit(value))
+
+  /** Half-open timestamp range filter [lo, hi) — the reference's
+    * `from`/`to` date-bounded fetch (/root/reference/main.py:219-224)
+    * expressed as a pushdown-able predicate.
+    */
+  def filterTsRange(df: DataFrame, tsCol: String, loIncl: String, hiExcl: String): DataFrame =
+    df.filter(col(tsCol) >= to_timestamp(lit(loIncl)) && col(tsCol) < to_timestamp(lit(hiExcl)))
+
+  /** Literal column injection (reference tags rows with their parent key,
+    * /root/reference/main.py:110,165,182-183).
+    */
+  def addLiteral(df: DataFrame, name: String, value: Any): DataFrame =
+    df.withColumn(name, lit(value))
+
+  /** UNION ALL by name across "pages" (reference page accumulation,
+    * /root/reference/main.py:59-68,225-234). Tolerates per-page schema drift
+    * the way the reference's inferred frames did, but explicitly.
+    */
+  def unionPages(pages: Seq[DataFrame]): DataFrame =
+    pages.reduce(_.unionByName(_, allowMissingColumns = true))
+
+  /** groupBy().count() — the reference's running row counters
+    * (/root/reference/main.py:63,99,153) done distributed: map-side partial
+    * count, one shuffle of (key, partialCount).
+    */
+  def countPerGroup(df: DataFrame, keys: String*): DataFrame =
+    df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("cnt"))
+
+  /** Exact-decimal sum emitted as double. Summing doubles is
+    * order-dependent across partitions; casting to decimal first makes the
+    * aggregate exact and therefore deterministic under any partitioning —
+    * required for the DuckDB hash-compare and a good idea at 100 TB where
+    * partition counts (and hence fp addition order) vary run to run.
+    */
+  def decimalSum(c: Column): Column =
+    sum(c.cast("decimal(18,2)")).cast("double")
+
+  /** Same determinism trick for a product-of-columns revenue term. */
+  def decimalSumProduct(price: Column, discount: Column): Column =
+    sum(price.cast("decimal(18,2)") * (lit(1).cast("decimal(18,2)") - discount.cast("decimal(18,2)")))
+      .cast("double")
+
+  /** Top-k by ordering — planned as TakeOrderedAndProject (per-partition
+    * top-k then k-way merge on the driver; no full sort, no full shuffle).
+    */
+  def topK(df: DataFrame, k: Int, order: Column*): DataFrame =
+    df.orderBy(order: _*).limit(k)
+
+  /** Per-group top-k via row_number window; tie-broken by the caller's
+    * order columns so results are deterministic.
+    */
+  def rankPerGroup(df: DataFrame, partCols: Seq[String], order: Seq[Column],
+                   k: Int, rankCol: String = "rn"): DataFrame = {
+    val w = Window.partitionBy(partCols.map(col): _*).orderBy(order: _*)
+    df.withColumn(rankCol, row_number().over(w)).filter(col(rankCol) <= k)
+  }
+
+  /** Running total per group, exact-decimal for fp determinism (see
+    * [[decimalSum]]); frame is rows-unbounded-preceding..current.
+    */
+  def runningSum(df: DataFrame, valueCol: String, partCol: String,
+                 order: Seq[Column], outCol: String): DataFrame = {
+    val w = Window.partitionBy(col(partCol)).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn(outCol, sum(col(valueCol).cast("decimal(18,2)")).over(w).cast("double"))
+  }
+}

@@ -1,0 +1,82 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal / incremental-load semantics (SURVEY.md §2.8 F1–F4, §2.10):
+  * watermarks, school-year fallback, timestamp parsing, tumbling windows,
+  * gap sessionization. Mirrors the reference's incremental machinery
+  * (/root/reference/main.py:206-267) as declarative plans.
+  */
+object Temporal {
+
+  /** ISO-8601-with-offset timestamp parse — the reference's
+    * `strptime(s, "%Y-%m-%dT%H:%M:%S%z")` (/root/reference/main.py:263-265).
+    * Null-safe: unparseable strings yield null, not an exception.
+    */
+  def parseIsoOffset(c: Column): Column =
+    to_timestamp(c, "yyyy-MM-dd'T'HH:mm:ssXXX")
+
+  /** High-watermark: max of the load timestamp column
+    * (/root/reference/main.py:261). Catalyst prunes the scan to this one
+    * column — the reference read the whole table to compute it.
+    */
+  def maxWatermark(df: DataFrame, tsCol: String): DataFrame =
+    df.agg(max(col(tsCol)).as("watermark"))
+
+  /** Next incremental load date = watermark + 1 day
+    * (/root/reference/main.py:266).
+    */
+  def nextLoadDate(watermark: Column): Column =
+    date_add(to_date(watermark), 1)
+
+  /** School-year start: Aug 1 of the year if month > 6, else Aug 1 of the
+    * previous year (/root/reference/main.py:242-249), computed per-row on a
+    * date column rather than on driver "today" so it is deterministic
+    * (SURVEY.md §7.5.6).
+    */
+  def schoolYearStart(d: Column): Column =
+    make_date(when(month(d) > 6, year(d)).otherwise(year(d) - 1), lit(8), lit(1))
+
+  /** Watermark with fallback: max(ts)+1 day, or school-year start of
+    * `asOf` when the table is empty — the reference's three-branch
+    * get_last_meeting_date (/root/reference/main.py:251-267).
+    */
+  def nextLoadDateWithFallback(df: DataFrame, tsCol: String, asOf: Column): DataFrame =
+    df.agg(max(col(tsCol)).as("watermark"))
+      .select(coalesce(nextLoadDate(col("watermark")), schoolYearStart(asOf)).as("next_date"))
+
+  /** Tumbling event-time window aggregation — the batch analog of the
+    * reference's one-day-per-run granularity (/root/reference/main.py:219-224).
+    * Spark's `window()` buckets are epoch-aligned in session TZ (UTC), so a
+    * "1 day" bucket start equals date_trunc('day', ts).
+    */
+  def tumblingCounts(df: DataFrame, tsCol: String, width: String, extraKeys: String*): DataFrame = {
+    val keys = window(col(tsCol), width) +: extraKeys.map(col)
+    df.groupBy(keys: _*).agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Gap-based sessionization: a new session starts when the gap since the
+    * previous event (per partition key, event-time order) exceeds
+    * `gapSeconds`. Two windows over the same (key, order) partitioning —
+    * one shuffle, both windows reuse it. Output grain: one row per
+    * (partition key, session_id).
+    *
+    * Timestamps are floored to whole epoch seconds before differencing so
+    * batch (this) and any external oracle agree independent of sub-second
+    * precision.
+    */
+  def sessionize(df: DataFrame, keyCol: String, tsCol: String, tieBreak: String,
+                 gapSeconds: Long): DataFrame = {
+    val order = Seq(col(tsCol).asc, col(tieBreak).asc)
+    val w = Window.partitionBy(col(keyCol)).orderBy(order: _*)
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val secs = col(tsCol).cast("long")
+    val prev = lag(secs, 1).over(w)
+    df.withColumn("__is_new", when(prev.isNull || (secs - prev) > gapSeconds, 1).otherwise(0))
+      .withColumn("session_id", sum(col("__is_new")).over(wRun))
+      .groupBy(col(keyCol), col("session_id"))
+      .agg(count(lit(1)).as("n_events"), min(col(tsCol)).as("session_start"))
+  }
+}
