@@ -57,11 +57,18 @@ object VectorOps {
     * turns an O(N) scan into O(N / 2^bits) expected.
     */
   def lshBucket(embCol: Column, planes: Seq[Array[Double]]): Column = {
-    val bits = planes.zipWithIndex.map { case (p, i) =>
-      val planeCol = array(p.map(lit).toIndexedSeq: _*)
-      when(dot(embCol, planeCol) >= 0, lit(1L << i)).otherwise(lit(0L))
-    }
-    bits.reduce(_ + _)
+    // One 2-D array literal + a fold over plane indices. Building each
+    // plane as array(lit, lit, …) instead creates nPlanes×dim Literal nodes
+    // and makes Catalyst analysis/codegen dominate the query (~25s cold).
+    val p = typedlit(planes.map(_.toSeq))
+    val embD = embCol.cast("array<double>")
+    aggregate(
+      sequence(lit(0), lit(planes.size - 1)),
+      lit(0L),
+      (acc, j) => acc + when(
+        aggregate(zip_with(embD, element_at(p, j + 1), (x, y) => x * y),
+          lit(0.0), (s, v) => s + v) >= 0,
+        call_function("shiftleft", lit(1L), j)).otherwise(lit(0L)))
   }
 
   /** Fixed hyperplanes from a seeded generator — deterministic across runs. */

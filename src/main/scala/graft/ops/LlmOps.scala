@@ -46,14 +46,34 @@ object LlmOps {
         i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
   }
 
+  /** 64-bit hashed shingles: token-level xxhash64 first, then one hash per
+    * n-gram window over the token-hash array. Equivalent set semantics to
+    * [[shingles]] (modulo negligible 64-bit collisions) at a fraction of the
+    * cost — no per-shingle string allocation, and all downstream set ops
+    * (min-hash, intersect/union) run on longs instead of strings. This is
+    * the representation a 100 TB dedup run must use: shingle payload per
+    * doc is 8 bytes × |shingles|, not the text itself.
+    */
+  def shingleHashes(c: Column, n: Int): Column = {
+    val th = transform(tokens(c), t => xxhash64(t))
+    array_distinct(
+      transform(
+        sequence(lit(0), greatest(size(th) - n, lit(0))),
+        i => xxhash64(slice(th, i + 1, lit(n)))))
+  }
+
   /** MinHash signature: k independent min-hashes over the shingle set.
-    * Seed-mixing via xxhash64(shingle, seed) — k fixed expressions, all
-    * codegen'd, evaluated in one pass over the array.
+    * Seed-mixing via xxhash64(shingle, seed). One compact fold over the
+    * shingle array with an array<long> accumulator — O(k·|shingles|) work
+    * with an expression tree of constant size (a k-way list of separate
+    * min-expressions makes Catalyst analysis/codegen time explode).
     */
   def minhashSignature(shingleCol: Column, k: Int): Column =
-    array((0 until k).map { seed =>
-      array_min(transform(shingleCol, sh => xxhash64(sh, lit(seed))))
-    }: _*)
+    aggregate(
+      shingleCol,
+      array_repeat(lit(Long.MaxValue), k),
+      (acc, sh) => zip_with(acc, sequence(lit(0), lit(k - 1)),
+        (m, j) => least(m, xxhash64(sh, j))))
 
   /** LSH banding: explode the signature into `bands` rows keyed by
     * (bandIdx, hash of that band's slice). Docs sharing any band key are
@@ -87,10 +107,19 @@ object LlmOps {
                    shingleN: Int = 3, numHashes: Int = 16,
                    bands: Int = 4, threshold: Double = 0.7): DataFrame = {
     val rowsPerBand = numHashes / bands
+    // Persisted: this table feeds the banding scan AND both sides of the
+    // verification join — without it the shingle+signature computation (the
+    // most expensive projection in the pipeline) runs three times. At
+    // cluster scale this materialization is the "signature store" stage of
+    // a standard MinHash dedup pipeline. The repartition spreads the
+    // CPU-heavy hashing across all cores even when the source is a handful
+    // of small parquet files (one file = one task otherwise).
     val withSets = df
-      .select(col(idCol), shingles(col(textCol), shingleN).as("__sh"))
+      .repartition(df.sparkSession.sessionState.conf.numShufflePartitions, col(idCol))
+      .select(col(idCol), shingleHashes(col(textCol), shingleN).as("__sh"))
       .filter(size(col("__sh")) > 0)
       .withColumn("__sig", minhashSignature(col("__sh"), numHashes))
+      .persist()
 
     val banded = lshBands(withSets, idCol, "__sig", bands, rowsPerBand)
 
@@ -112,21 +141,28 @@ object LlmOps {
   }
 
   /** 64-bit SimHash of the token multiset: bit i of the sketch is the sign
-    * of Σ_tokens (±1 by bit i of xxhash64(token)). Computed with one
-    * explode + 64 conditional sums (all map-side partial-aggregated);
-    * near-dups have small Hamming distance between sketches.
+    * of Σ_tokens (±1 by bit i of xxhash64(token)). Near-dups have small
+    * Hamming distance between sketches.
+    *
+    * Computed per-row with two compact folds (token hashes → 64 bit-vote
+    * counters → packed long) — a pure projection with NO shuffle, and a
+    * constant-size expression tree. The naive alternative (explode + 64
+    * separate conditional sums) shuffles |tokens| rows per doc and takes
+    * Catalyst ~20s just to analyze/codegen the 64-agg plan.
     */
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val exploded = df.select(col(idCol), explode(tokens(col(textCol))).as("__tok"))
-      .withColumn("__h", xxhash64(col("__tok")))
-    val bitSums = (0 until 64).map { i =>
-      sum(when(col("__h").bitwiseAND(lit(1L << i)) =!= 0, 1).otherwise(-1)).as(s"__b$i")
-    }
-    val agg = exploded.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
-    val sketch = (0 until 64).map { i =>
-      when(col(s"__b$i") > 0, lit(1L << i)).otherwise(lit(0L))
-    }.reduce(_ + _)
-    agg.select(col(idCol), sketch.as("simhash"))
+    val hashes = transform(tokens(col(textCol)), t => xxhash64(t))
+    val bitVotes = aggregate(
+      hashes,
+      array_repeat(lit(0), 64),
+      (acc, h) => zip_with(acc, sequence(lit(0), lit(63)),
+        (c, i) => c + when(call_function("shiftright", h, i).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)))
+    val packed = aggregate(
+      zip_with(bitVotes, sequence(lit(0), lit(63)),
+        (c, i) => when(c > 0, call_function("shiftleft", lit(1L), i)).otherwise(lit(0L))),
+      lit(0L),
+      (acc, b) => acc + b)
+    df.select(col(idCol), packed.as("simhash"))
   }
 
   /** Per-document text statistics: char count, whitespace-token count,
