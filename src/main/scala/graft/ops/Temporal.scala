@@ -13,10 +13,12 @@ object Temporal {
 
   /** ISO-8601-with-offset timestamp parse — the reference's
     * `strptime(s, "%Y-%m-%dT%H:%M:%S%z")` (/root/reference/main.py:263-265).
-    * Null-safe: unparseable strings yield null, not an exception.
+    * Null-safe: unparseable strings yield null, not an exception
+    * (`try_to_timestamp`, since plain `to_timestamp` throws under ANSI
+    * mode — Spark 4 default).
     */
   def parseIsoOffset(c: Column): Column =
-    to_timestamp(c, "yyyy-MM-dd'T'HH:mm:ssXXX")
+    try_to_timestamp(c, lit("yyyy-MM-dd'T'HH:mm:ssXXX"))
 
   /** High-watermark: max of the load timestamp column
     * (/root/reference/main.py:261). Catalyst prunes the scan to this one

@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.LlmOps
+
+/** SURVEY.md §2.12 [north-star]: dedup flavors, text stats, language ID. */
+class LlmOpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "The quick brown fox jumps over the lazy dog  "), // exact dup mod norm
+    (3L, "the quick brown fox jumps over the lazy cat"),   // near dup of 1
+    (4L, "completely different words entirely unrelated text here okay"),
+    (5L, "")).toDF("doc_id", "text")
+
+  test("exact dedup keeps min id per normalized text; idempotent (L1)") {
+    val ids = LlmOps.dedupExactIds(docs, "doc_id", "text").as[Long].collect().toSet
+    assert(ids == Set(1L, 3L, 4L, 5L)) // 2 collapses into 1
+    // idempotence: dedup(dedup(x)) == dedup(x)
+    val once = docs.join(LlmOps.dedupExactIds(docs, "doc_id", "text"), "doc_id")
+    val twice = LlmOps.dedupExactIds(once, "doc_id", "text").as[Long].collect().toSet
+    assert(twice == ids)
+  }
+
+  test("near-dup pairs: finds (1,2) and (1,3)-style overlaps, not unrelated docs") {
+    val pairs = LlmOps.nearDupPairs(docs, "doc_id", "text", threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L))) // identical after normalization
+    assert(pairs.contains((1L, 3L)) || pairs.contains((2L, 3L))) // one-word change
+    assert(!pairs.exists { case (a, b) => a == 4L || b == 4L }) // unrelated
+  }
+
+  test("near-dup jaccard is symmetric-deterministic and bounded (0,1]") {
+    val out = LlmOps.nearDupPairs(docs, "doc_id", "text", threshold = 0.1)
+      .as[(Long, Long, Double)].collect()
+    out.foreach { case (a, b, j) =>
+      assert(a < b) // canonical pair ordering
+      assert(j > 0.0 && j <= 1.0)
+    }
+  }
+
+  test("simhash: identical texts same sketch; near-dups low hamming distance") {
+    val sh = LlmOps.simhash(docs, "doc_id", "text").as[(Long, Long)].collect().toMap
+    assert(sh(1L) == sh(2L)) // same normalized tokens
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(sh(1L), sh(3L)) < hamming(sh(1L), sh(4L)))
+  }
+
+  test("text stats: counts are exact on a known string") {
+    val df = Seq((1L, "ab cd3 x!")).toDF("doc_id", "text")
+    val row = LlmOps.textStats(df, "doc_id", "text").head()
+    assert(row.getAs[Long]("n_chars_calc") == 9L)
+    assert(row.getAs[Long]("n_tokens") == 3L)
+    // bpe-ish: [ab][cd][3][x][!]
+    assert(row.getAs[Long]("n_bpe_tokens") == 5L)
+    assert(row.getAs[Long]("n_digits") == 1L)
+    assert(row.getAs[String]("fp").length == 32) // md5 hex
+  }
+
+  test("empty text: stats are zero, not null/error") {
+    val df = Seq((1L, "")).toDF("doc_id", "text")
+    val row = LlmOps.textStats(df, "doc_id", "text").head()
+    assert(row.getAs[Long]("n_chars_calc") == 0L)
+    assert(row.getAs[Long]("n_tokens") == 0L)
+  }
+
+  test("language ID picks the language with most stopword hits") {
+    val df = Seq(
+      (1L, "the cat and the dog of the house"),
+      (2L, "el perro y la casa de que el gato"),
+      (3L, "le chat et les maisons des le chien")).toDF("doc_id", "text")
+    val out = LlmOps.langIdHeuristic(df, "doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    assert(out == Map(1L -> "en", 2L -> "es", 3L -> "fr"))
+  }
+
+  test("lang profile aggregates exact counts") {
+    val df = Seq(("en", 10L), ("en", 20L), ("fr", 5L)).toDF("lang", "n_chars")
+    val out = LlmOps.langProfile(df, "lang", "n_chars")
+      .select("lang", "n_docs", "total_chars", "avg_chars")
+      .as[(String, Long, Long, Double)].collect().toSet
+    assert(out == Set(("en", 2L, 30L, 15.0), ("fr", 1L, 5L, 5.0)))
+  }
+}

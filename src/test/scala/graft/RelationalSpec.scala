@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.ops.{Ingest, Relational}
+
+/** SURVEY.md §2.2-2.7 semantics: anti/semi complement, reindex null-fill,
+  * union-of-pages equivalence, distinct, counts. Property-style cases use
+  * seeded random inputs (the scalatest/scalacheck bridge artifact is not in
+  * the offline cache; plain seeded loops keep determinism).
+  */
+class RelationalSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("anti join: keys with no match; complement of semi (main.py:79-85 idiom)") {
+    val left = Seq(("a", 1), ("b", 2), ("c", 3)).toDF("k", "v")
+    val right = Seq("a", "a", "c").toDF("rk")
+    val anti = Relational.antiJoinNewKeys(left, right, "k", "rk")
+    val semi = Relational.semiJoin(left, right, "k", "rk")
+    assert(anti.select("k").as[String].collect().toSet == Set("b"))
+    assert(semi.select("k").as[String].collect().toSet == Set("a", "c"))
+  }
+
+  test("anti ∪ semi == all keys, disjoint, for random key sets (property)") {
+    val rng = new scala.util.Random(7)
+    for (_ <- 1 to 5) {
+      val l = List.fill(30)(rng.nextInt(10)).distinct
+      val r = List.fill(30)(rng.nextInt(10))
+      val left = l.toDF("k")
+      val right = r.toDF("rk")
+      val anti = Relational.antiJoinNewKeys(left, right, "k", "rk").as[Int].collect().toSet
+      val semi = Relational.semiJoin(left, right, "k", "rk").as[Int].collect().toSet
+      assert(anti.intersect(semi).isEmpty)
+      assert(anti.union(semi) == l.toSet)
+      assert(semi == l.toSet.intersect(r.toSet))
+    }
+  }
+
+  test("reindex: missing column null-filled, extra dropped, order fixed (main.py:65)") {
+    val df = Seq((1, "x", 9.9)).toDF("id", "name", "extra")
+    val target = StructType(Seq(
+      StructField("id", LongType),
+      StructField("missing", StringType),
+      StructField("name", StringType)))
+    val out = Ingest.reindexTo(df, target)
+    assert(out.columns.toSeq == Seq("id", "missing", "name"))
+    assert(out.schema("id").dataType == LongType) // cast applied
+    val row = out.head()
+    assert(row.getLong(0) == 1L && row.isNullAt(1) && row.getString(2) == "x")
+  }
+
+  test("union of pages == whole, tolerating column order and missing columns (U1)") {
+    val p1 = Seq((1, "a")).toDF("id", "s")
+    val p2 = Seq(("b", 2)).toDF("s", "id") // shuffled column order
+    val p3 = Seq(3).toDF("id") // missing column → null-filled
+    val u = Relational.unionPages(Seq(p1, p2, p3))
+    assert(u.count() == 3)
+    assert(u.select("id").as[Int].collect().sorted.toSeq == Seq(1, 2, 3))
+    assert(u.filter($"id" === 3).select("s").head().isNullAt(0))
+  }
+
+  test("union of arbitrary row pagings equals source (property)") {
+    val rng = new scala.util.Random(11)
+    for (_ <- 1 to 5) {
+      val xs = List.fill(20)(rng.nextInt(100))
+      val pageSize = 1 + rng.nextInt(10)
+      val pages = xs.grouped(pageSize).map(_.toDF("v")).toSeq
+      val u = Relational.unionPages(pages)
+      assert(u.as[Int].collect().sorted.toSeq == xs.sorted)
+    }
+  }
+
+  test("distinct keys and count per group") {
+    val df = Seq(("a", 1), ("a", 2), ("b", 3)).toDF("k", "v")
+    assert(Relational.distinctKeys(df, "k").count() == 2)
+    val counts = Relational.countPerGroup(df, "k")
+      .as[(String, Long)].collect().toMap
+    assert(counts == Map("a" -> 2L, "b" -> 1L))
+  }
+
+  test("decimal sums are exact (0.1+0.2+0.3 == 0.6, not 0.600…01)") {
+    val df = Seq(0.1, 0.2, 0.3).toDF("x")
+    val s = df.agg(Relational.decimalSum(col("x"))).head().getDouble(0)
+    assert(s == 0.6)
+  }
+
+  test("top-k is ordered and bounded") {
+    val df = Seq(5, 3, 9, 1, 7).toDF("v")
+    val got = Relational.topK(df, 3, col("v").desc).as[Int].collect().toSeq
+    assert(got == Seq(9, 7, 5))
+  }
+
+  test("rank per group keeps k rows per partition, deterministic tiebreak") {
+    val df = Seq(("a", 3, 1), ("a", 3, 2), ("a", 1, 3), ("b", 9, 4))
+      .toDF("g", "v", "id")
+    val out = Relational.rankPerGroup(df, Seq("g"),
+      Seq(col("v").desc, col("id").asc), k = 2)
+    val a = out.filter($"g" === "a").select("id").as[Int].collect().toSeq
+    assert(a == Seq(1, 2)) // ties on v broken by id
+    assert(out.filter($"g" === "b").count() == 1)
+  }
+
+  test("running sum accumulates per group in order") {
+    val df = Seq(("u1", 1, 10.0), ("u1", 2, 5.0), ("u2", 1, 7.0))
+      .toDF("u", "seq", "x")
+    val out = Relational.runningSum(df, "x", "u", Seq(col("seq").asc), "rt")
+      .select("u", "seq", "rt").as[(String, Int, Double)].collect().toSet
+    assert(out == Set(("u1", 1, 10.0), ("u1", 2, 15.0), ("u2", 1, 7.0)))
+  }
+}

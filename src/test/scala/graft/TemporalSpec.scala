@@ -1,0 +1,79 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Temporal
+
+/** SURVEY.md §2.8 F1-F4 + §2.10 incremental semantics, mirroring the
+  * reference's get_last_meeting_date branches (main.py:242-267).
+  */
+class TemporalSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("ISO-8601 offset parse honors the zone (%z semantics, main.py:263-265)") {
+    val df = Seq(
+      "2023-09-01T10:00:00-07:00", // = 17:00 UTC
+      "2023-09-01T10:00:00+00:00",
+      "not a timestamp").toDF("s")
+    val out = df.select(
+      date_format(Temporal.parseIsoOffset($"s"), "yyyy-MM-dd HH:mm:ss")).as[String]
+      .collect().toSeq
+    assert(out(0) == "2023-09-01 17:00:00") // shifted to UTC
+    assert(out(1) == "2023-09-01 10:00:00")
+    assert(out(2) == null) // null-safe, no exception
+  }
+
+  test("school-year start: Aug 1 of current year if month>6 else previous (main.py:242-249)") {
+    val df = Seq("2023-09-15", "2023-03-15", "2023-07-01", "2023-06-30").toDF("d")
+    val out = df.select(
+      date_format(Temporal.schoolYearStart(to_date($"d")), "yyyy-MM-dd")).as[String]
+      .collect().toSeq
+    assert(out == Seq("2023-08-01", "2022-08-01", "2023-08-01", "2022-08-01"))
+  }
+
+  test("watermark: max+1 day when data present (main.py:251-267 branch 1)") {
+    val df = Seq(
+      Timestamp.valueOf("2023-09-01 10:00:00"),
+      Timestamp.valueOf("2023-09-03 08:00:00")).toDF("ts")
+    val out = df.transform(d =>
+        Temporal.nextLoadDateWithFallback(d, "ts", to_date(lit("2023-10-01"))))
+      .select(date_format($"next_date", "yyyy-MM-dd")).as[String].head()
+    assert(out == "2023-09-04")
+  }
+
+  test("watermark: school-year fallback when table empty (branch 2)") {
+    val df = Seq.empty[Timestamp].toDF("ts")
+    val out = df.transform(d =>
+        Temporal.nextLoadDateWithFallback(d, "ts", to_date(lit("2023-10-01"))))
+      .select(date_format($"next_date", "yyyy-MM-dd")).as[String].head()
+    assert(out == "2023-08-01")
+  }
+
+  test("tumbling 1-day windows bucket by UTC day") {
+    val df = Seq(
+      Timestamp.valueOf("2024-01-01 00:10:00"),
+      Timestamp.valueOf("2024-01-01 23:59:59"),
+      Timestamp.valueOf("2024-01-02 00:00:00")).toDF("ts")
+    val out = Temporal.tumblingCounts(df, "ts", "1 day")
+      .select(date_format($"window.start", "yyyy-MM-dd"), $"cnt")
+      .as[(String, Long)].collect().toMap
+    assert(out == Map("2024-01-01" -> 2L, "2024-01-02" -> 1L))
+  }
+
+  test("sessionize: gap > threshold starts a new session; boundary gap does not") {
+    val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    def ts(offsetSec: Long) = new Timestamp(base + offsetSec * 1000)
+    val df = Seq(
+      (1L, 1L, ts(0)), (1L, 2L, ts(100)),     // session 1
+      (1L, 3L, ts(100 + 1800)),               // gap == 1800 → SAME session
+      (1L, 4L, ts(100 + 1800 + 1801)),        // gap > 1800 → new session
+      (2L, 5L, ts(0))                          // other user
+    ).toDF("user_id", "event_id", "ts")
+    val out = Temporal.sessionize(df, "user_id", "ts", "event_id", 1800)
+      .select($"user_id", $"session_id", $"n_events")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(out == Set((1L, 1L, 3L), (1L, 2L, 1L), (2L, 1L, 1L)))
+  }
+}
