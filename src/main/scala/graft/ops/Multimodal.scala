@@ -1,0 +1,114 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.catalyst.encoders.RowEncoder
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal columns (builder mandate, SURVEY.md §0 scope extension):
+  * image/audio/video as opaque `binary` columns with typed metadata, plus
+  * decode / feature-extract / frame-sample operators.
+  *
+  * The Spark-side plumbing — schema, batch shape, per-partition decoder
+  * lifecycle, partition-preserving execution — is real and tested. The
+  * actual media decode is STUBBED behind [[MediaDecoder]] (no image/audio
+  * codecs ship in this environment): [[StubDecoder]] produces
+  * deterministic fake features from the bytes, so every downstream stage
+  * (dedup on features, ANN over extracted embeddings, metadata filters)
+  * exercises the true code path.
+  */
+object Multimodal {
+
+  /** Typed metadata carried next to every media blob. */
+  val mediaMetaType: StructType = StructType(Seq(
+    StructField("format", StringType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("duration_ms", LongType)))
+
+  /** Canonical multimodal row layout: id + opaque bytes + typed metadata. */
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("content", BinaryType),
+    StructField("meta", mediaMetaType)))
+
+  /** Decoder boundary. One instance per partition (mirrors the
+    * per-partition-client pattern for external services, SURVEY.md §2.1 S4);
+    * implementations may hold native handles that must not cross the
+    * serialization boundary.
+    */
+  trait MediaDecoder extends Serializable {
+    /** Open per-partition resources. */
+    def open(): Unit = ()
+    /** Fixed-width feature vector for one blob. */
+    def features(content: Array[Byte], dim: Int): Array[Float]
+    /** Deterministic sample of frame offsets (ms) for a clip. */
+    def frameOffsets(durationMs: Long, everyMs: Long): Seq[Long] =
+      if (durationMs <= 0 || everyMs <= 0) Seq.empty
+      else 0L.until(durationMs).by(everyMs)
+    def close(): Unit = ()
+  }
+
+  /** Deterministic stand-in for a real codec: features are a seeded mix of
+    * the content bytes (same bytes → same vector). A production deployment
+    * swaps this for a JNI/FFI decoder with the same partition lifecycle.
+    */
+  class StubDecoder extends MediaDecoder {
+    def features(content: Array[Byte], dim: Int): Array[Float] = {
+      val out = new Array[Float](dim)
+      var h = 1125899906842597L // deterministic FNV-ish rolling hash
+      var i = 0
+      while (i < content.length) { h = 31 * h + content(i); i += 1 }
+      var j = 0
+      while (j < dim) {
+        h = h * 6364136223846793005L + 1442695040888963407L
+        out(j) = ((h >>> 40).toInt / 16777216.0f) - 0.5f
+        j += 1
+      }
+      out
+    }
+  }
+
+  /** Feature extraction over the binary column: mapPartitions with one
+    * decoder per partition, preserving the input partitioning (no shuffle —
+    * the blobs never move). Appends `features: array<float>`.
+    */
+  def extractFeatures(df: DataFrame, dim: Int,
+                      decoder: () => MediaDecoder = () => new StubDecoder): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+
+      StructField("features", ArrayType(FloatType, containsNull = false)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    val contentIdx = df.schema.fieldIndex("content")
+    df.mapPartitions { rows =>
+      val d = decoder()
+      d.open()
+      val it = rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](contentIdx)
+        val feats = if (bytes == null) null else d.features(bytes, dim)
+        Row.fromSeq(r.toSeq :+ (if (feats == null) null else feats.toSeq))
+      }
+      new Iterator[Row] {
+        def hasNext: Boolean = { val h = it.hasNext; if (!h) d.close(); h }
+        def next(): Row = it.next()
+      }
+    }(enc)
+  }
+
+  /** Frame sampling: one output row per sampled frame offset — declarative
+    * explode over a deterministic offset sequence derived from metadata
+    * (no decoder needed to *plan* frames; decode happens downstream on the
+    * sampled subset only, which is the point at 100 TB).
+    */
+  def sampleFrames(df: DataFrame, everyMs: Long): DataFrame =
+    df.withColumn("frame_ms",
+        explode(sequence(lit(0L),
+          greatest(col("meta.duration_ms") - 1, lit(0L)), lit(everyMs))))
+      .filter(col("meta.duration_ms") > 0)
+
+  /** Metadata-only filter — never touches the blob bytes; with parquet at
+    * rest this prunes row groups on the small meta columns and the binary
+    * column is not even read for dropped rows (columnar projection).
+    */
+  def filterByMeta(df: DataFrame, format: String, minWidth: Int): DataFrame =
+    df.filter(col("meta.format") === format && col("meta.width") >= minWidth)
+}

@@ -1,0 +1,72 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.streaming.StreamingOps
+
+/** Structured Streaming semantics via MemoryStream → memory sink:
+  * watermarked tumbling counts, session windows, streaming dedup.
+  */
+class StreamingSpec extends SparkTestBase {
+  import spark.implicits._
+  implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private def runToCompletion(df: org.apache.spark.sql.DataFrame, name: String,
+                              mode: String): Unit = {
+    val q = df.writeStream
+      .format("memory").queryName(name).outputMode(mode)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+  }
+
+  test("streaming tumbling counts bucket by event-time day") {
+    val input = MemoryStream[(Timestamp, String)]
+    input.addData(
+      (ts("2024-01-01 01:00:00"), "click"),
+      (ts("2024-01-01 02:00:00"), "click"),
+      (ts("2024-01-02 01:00:00"), "view"))
+    val stream = StreamingOps.tumblingCounts(
+      input.toDF().toDF("ts", "event_type"), "ts", "1 day", "1 hour", "event_type")
+    runToCompletion(
+      stream.select(date_format($"window.start", "yyyy-MM-dd").as("day"), $"event_type", $"cnt"),
+      "tumbling", "complete")
+    val got = spark.table("tumbling").as[(String, String, Long)].collect().toSet
+    assert(got == Set(("2024-01-01", "click", 2L), ("2024-01-02", "view", 1L)))
+  }
+
+  test("streaming session windows split on gap") {
+    val input = MemoryStream[(Long, Timestamp)]
+    input.addData(
+      (1L, ts("2024-01-01 00:00:00")),
+      (1L, ts("2024-01-01 00:10:00")), // within 30m gap → same session
+      (1L, ts("2024-01-01 02:00:00")), // new session
+      (2L, ts("2024-01-01 00:00:00")))
+    val stream = StreamingOps.sessionize(
+      input.toDF().toDF("user_id", "ts"), "user_id", "ts", "30 minutes", "1 hour")
+    runToCompletion(stream, "sessions", "complete")
+    val got = spark.table("sessions")
+      .select($"user_id", $"n_events").as[(Long, Long)].collect().toSeq
+      .groupBy(identity).view.mapValues(_.size).toMap
+    assert(got == Map((1L, 2L) -> 1, (1L, 1L) -> 1, (2L, 1L) -> 1))
+  }
+
+  test("streaming dedup emits each fingerprint once within the watermark") {
+    val input = MemoryStream[(Timestamp, String)]
+    input.addData(
+      (ts("2024-01-01 00:00:00"), "doc a"),
+      (ts("2024-01-01 00:00:01"), "doc a"), // dup
+      (ts("2024-01-01 00:00:02"), "doc b"))
+    val withFp = input.toDF().toDF("ts", "text")
+      .withColumn("fp", graft.ops.LlmOps.fingerprint($"text"))
+    val stream = StreamingOps.dedupWithinWatermark(withFp, "ts", "1 hour", Seq("fp"))
+    runToCompletion(stream.select($"text"), "deduped", "append")
+    val got = spark.table("deduped").as[String].collect().toSeq.sorted
+    assert(got == Seq("doc a", "doc b"))
+  }
+}
