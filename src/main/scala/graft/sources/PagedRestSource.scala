@@ -1,0 +1,125 @@
+package graft.sources
+
+import java.util
+
+import scala.collection.concurrent.TrieMap
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.sources.PagedApi.{ApiPage, PagedApiClient}
+
+/** DataSource V2 table over a paged REST API (SURVEY.md §7.4 optional
+  * source; §2.1 S1/S2): pagination happens at PLAN time on the driver (the
+  * token chain is inherently sequential, /root/reference/main.py:103-118),
+  * then each page becomes one InputPartition so parsing and all downstream
+  * work fan out across executors.
+  *
+  * Row shape is `(page INT, record STRING)` — raw payload plus provenance;
+  * typed projection is downstream `from_json`, where Catalyst prunes and
+  * codegens it. Limit pushdown (`SupportsPushDownLimit`) stops the page
+  * walk early — the analog of the reference never fetching past what it
+  * needs.
+  *
+  * Usage:
+  * {{{
+  *   PagedRestSource.register("myapi", client)
+  *   spark.read.format("graft.sources.PagedRestTableProvider")
+  *     .option("client", "myapi").option("entity", "users").load()
+  * }}}
+  */
+object PagedRestSource {
+  /** Driver-side client registry (clients hold connections; only the
+    * fetched page payloads cross to executors).
+    */
+  private val registry = TrieMap.empty[String, PagedApiClient]
+
+  def register(name: String, client: PagedApiClient): Unit = registry(name) = client
+  def client(name: String): PagedApiClient = registry(name)
+
+  val schema: StructType = StructType(Seq(
+    StructField("page", IntegerType, nullable = false),
+    StructField("record", StringType, nullable = false)))
+}
+
+class PagedRestTableProvider extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    PagedRestSource.schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new PagedRestTable(
+      properties.get("client"),
+      properties.get("entity"),
+      Option(properties.get("key")))
+}
+
+private[sources] class PagedRestTable(clientName: String, entity: String,
+                                      key: Option[String])
+    extends Table with SupportsRead {
+  override def name(): String = s"paged_rest($entity)"
+  override def schema(): StructType = PagedRestSource.schema
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new PagedRestScanBuilder(clientName, entity, key)
+}
+
+private[sources] class PagedRestScanBuilder(clientName: String, entity: String,
+                                            key: Option[String])
+    extends ScanBuilder with SupportsPushDownLimit {
+  private var limit: Option[Int] = None
+
+  override def pushLimit(l: Int): Boolean = { limit = Some(l); true }
+
+  override def build(): Scan = new Scan with Batch {
+    override def readSchema(): StructType = PagedRestSource.schema
+    override def toBatch: Batch = this
+
+    override def planInputPartitions(): Array[InputPartition] = {
+      // Sequential token walk on the driver; stops as soon as the pushed
+      // limit is covered. Payloads ship inside the partitions.
+      val client = PagedRestSource.client(clientName)
+      val parts = Array.newBuilder[InputPartition]
+      var token: Option[String] = None
+      var pageNo = 0
+      var fetched = 0
+      var done = false
+      while (!done) {
+        val page: ApiPage = PagedApi.fetchWithRetry(client, entity, key, token)
+        parts += PagedRestPartition(pageNo, page.records.toArray)
+        fetched += page.records.size
+        token = page.nextToken
+        pageNo += 1
+        done = token.isEmpty || limit.exists(fetched >= _)
+      }
+      parts.result()
+    }
+
+    override def createReaderFactory(): PartitionReaderFactory =
+      new PagedRestReaderFactory
+  }
+}
+
+private[sources] case class PagedRestPartition(pageNo: Int, records: Array[String])
+    extends InputPartition
+
+private[sources] class PagedRestReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[PagedRestPartition]
+    new PartitionReader[InternalRow] {
+      private var i = -1
+      override def next(): Boolean = { i += 1; i < p.records.length }
+      override def get(): InternalRow =
+        InternalRow(p.pageNo, UTF8String.fromString(p.records(i)))
+      override def close(): Unit = ()
+    }
+  }
+}

@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Ingest
+import graft.schemas.Schemas
+import graft.sources.PagedApi.{ApiPage, FixtureClient}
+import graft.sources.PagedRestSource
+
+/** DSv2 paged-REST source: page → partition mapping, limit pushdown,
+  * downstream typed projection.
+  */
+class PagedRestSourceSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val fixtures = Map(
+    ("users", Option.empty[String]) -> Seq(
+      ApiPage(Seq("""{"id":"u1","email":"a@x"}""", """{"id":"u2","email":"b@x"}"""), Some("1")),
+      ApiPage(Seq("""{"id":"u3","email":"c@x"}"""), Some("2")),
+      ApiPage(Seq("""{"id":"u4","email":"d@x"}"""), None)))
+
+  private def readUsers(clientName: String) = {
+    spark.read.format("graft.sources.PagedRestTableProvider")
+      .option("client", clientName).option("entity", "users").load()
+  }
+
+  test("reads all pages; one input partition per page") {
+    PagedRestSource.register("t1", new FixtureClient(fixtures))
+    val df = readUsers("t1")
+    assert(df.columns.toSeq == Seq("page", "record"))
+    assert(df.count() == 4)
+    assert(df.rdd.getNumPartitions == 3) // page = unit of parallelism
+    assert(df.select("page").distinct().count() == 3)
+  }
+
+  test("limit pushdown stops the page walk early") {
+    val client = new FixtureClient(fixtures)
+    PagedRestSource.register("t2", client)
+    val two = readUsers("t2").limit(2).collect()
+    assert(two.length == 2)
+    // planInputPartitions may run more than once (planning + execution),
+    // but with the limit pushed each walk stops after page 0 — without
+    // pushdown any single walk would fetch all 3 pages.
+    assert(client.fetchCount.get() <= 2, s"walked too far: ${client.fetchCount.get()}")
+  }
+
+  test("typed projection downstream: from_json + reindex to declared schema") {
+    PagedRestSource.register("t3", new FixtureClient(fixtures))
+    val typed = Ingest.reindexTo(
+      readUsers("t3")
+        .select(from_json($"record", Schemas.users).as("r")).select("r.*"),
+      Schemas.users)
+    assert(typed.columns.length == 13)
+    assert(typed.select("id").as[String].collect().sorted.toSeq ==
+      Seq("u1", "u2", "u3", "u4"))
+    assert(typed.select("pmi").filter($"pmi".isNotNull).count() == 0) // null-filled
+  }
+}
