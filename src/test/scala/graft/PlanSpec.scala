@@ -1,0 +1,89 @@
+package graft
+
+/** Physical-plan audits (100 TB posture, SURVEY.md §7.5.7): these assert
+  * the plan SHAPE — filters reach the parquet scan, scans are
+  * column-pruned, dimension joins broadcast, top-k avoids a global sort,
+  * aggregations have map-side partials, window top-k group-limits. A green
+  * result here means the same query at 1000 executors moves the minimum
+  * possible data.
+  */
+class PlanSpec extends SparkTestBase {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  /** Final (post-AQE) physical plan string of a declared query. */
+  private def planOf(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.collect() // drive AQE to its final plan
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("scan_project: column-pruned parquet read (only the 4 selected columns)") {
+    val p = planOf("scan_project")
+    assert(p.contains("ReadSchema"))
+    val read = p.split("ReadSchema:")(1).split("\n")(0)
+    assert(read.contains("l_orderkey") && read.contains("l_quantity"))
+    assert(!read.contains("l_shipdate") && !read.contains("l_returnflag"),
+      s"over-read: $read")
+  }
+
+  test("filter_eq: equality predicate pushed to the scan") {
+    val p = planOf("filter_eq")
+    assert(p.contains("PushedFilters") &&
+      p.replaceAll("\\s", "").contains("EqualTo(event_type,click)"), p)
+  }
+
+  test("filter_date_range: range predicates pushed to the scan") {
+    val p = planOf("filter_date_range").replaceAll("\\s", "")
+    assert(p.contains("GreaterThanOrEqual(o_orderdate") &&
+      p.contains("LessThan(o_orderdate"), p)
+  }
+
+  test("join_enrich: dimension joins are broadcast (fact side never shuffles)") {
+    val p = planOf("join_enrich")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("anti_join_new_keys: planned as a hash anti join") {
+    val p = planOf("anti_join_new_keys")
+    assert(p.contains("LeftAnti"), p)
+  }
+
+  test("topk_orders: TakeOrderedAndProject, not a global sort") {
+    val p = planOf("topk_orders")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("window_rank: rn<=k pushed into WindowGroupLimit (per-partition top-k)") {
+    val p = planOf("window_rank")
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  test("agg_revenue_by_flag: two-phase aggregation (map-side partial)") {
+    val p = planOf("agg_revenue_by_flag")
+    assert(p.split("HashAggregate").length - 1 >= 2, p)
+  }
+
+  test("count_per_group: partial aggregation before the shuffle") {
+    val p = planOf("count_per_group")
+    val firstAgg = p.indexOf("HashAggregate")
+    val exchange = p.indexOf("Exchange")
+    assert(firstAgg >= 0 && exchange >= 0, p)
+    assert(p.split("HashAggregate").length - 1 >= 2, p)
+  }
+
+  test("similarity_topk: broadcast query vector + TakeOrderedAndProject") {
+    val p = planOf("similarity_topk")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("sessionize_gap: both windows reuse one shuffle+sort (single Exchange on user_id)") {
+    val p = planOf("sessionize_gap")
+    val exchanges = p.split("Exchange hashpartitioning").length - 1
+    // one shuffle for the window partitioning, one for the final groupBy --
+    // the two window functions themselves must share
+    assert(exchanges <= 2, s"too many shuffles ($exchanges):\n$p")
+  }
+}
