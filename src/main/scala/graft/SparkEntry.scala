@@ -233,7 +233,10 @@ object SparkEntry {
     "similarity_ann" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val qv = emb.filter(col("vec_id") === 0).select(col("embedding").as("__qv"))
-      VectorOps.annTopK(emb, "embedding", "vec_id", qv, k = 10, nPlanes = 8, dim = 64)
+      // 4 planes → 16 buckets: ~1/16 of the table scanned per query at a
+      // recall suited to the testdata's cardinality (8 planes left most
+      // buckets singleton). Tune nPlanes up as the table grows.
+      VectorOps.annTopK(emb, "embedding", "vec_id", qv, k = 10, nPlanes = 4, dim = 64)
     }),
 
     // ---- §3 composed pipeline ------------------------------------------

@@ -31,6 +31,15 @@ object VectorOps {
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (l2Norm(a) * l2Norm(b))
 
+  /** Cosine via the native codegen'd [[CosineSimilarity]] expression when
+    * GraftExtensions is installed, falling back to the HOF composition.
+    * Both produce bitwise-identical doubles (same widening, same fold
+    * order), so plans may switch freely without affecting results.
+    */
+  def cosineBest(spark: org.apache.spark.sql.SparkSession, a: Column, b: Column): Column =
+    if (spark.catalog.functionExists("cosine_sim")) call_function("cosine_sim", a, b)
+    else cosine(a, b)
+
   /** Brute-force top-k most-similar rows to one query vector.
     *
     * The query vector arrives as a 1-row DataFrame (column `__qv`) and is
@@ -43,7 +52,8 @@ object VectorOps {
                      queryVec: DataFrame, k: Int): DataFrame = {
     embeddings
       .crossJoin(broadcast(queryVec))
-      .select(col(idCol), cosine(col(embCol), col("__qv")).as("score"))
+      .select(col(idCol),
+        cosineBest(embeddings.sparkSession, col(embCol), col("__qv")).as("score"))
       .orderBy(col("score").desc, col(idCol).asc)
       .limit(k)
   }
