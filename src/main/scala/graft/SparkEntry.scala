@@ -221,6 +221,16 @@ object SparkEntry {
       VectorOps.bruteForceTopK(emb, "embedding", "vec_id", qv, k = 10)
     }),
 
+    "dedup_embedding" -> ((s, dir) =>
+      VectorOps.embeddingNearDupPairs(t(s, dir, "embeddings"),
+          "vec_id", "embedding", blockCol = "label", threshold = 0.25)
+        .orderBy("id_a", "id_b")),
+
+    "dedup_jaccard" -> ((s, dir) =>
+      LlmOps.jaccardPairs(t(s, dir, "documents"),
+          "doc_id", "text", blockCol = "source", shingleN = 3, threshold = 0.5)
+        .orderBy("id_a", "id_b")),
+
     // ---- rows-only checked (not ANSI-SQL-expressible in DuckDB) --------
     "dedup_near" -> ((s, dir) =>
       LlmOps.nearDupPairs(t(s, dir, "documents"), "doc_id", "text")
@@ -452,6 +462,36 @@ object SparkEntry {
            FROM embeddings, q)
          SELECT vec_id, dot / (sqrt(na) * sqrt(nb)) AS score
          FROM s ORDER BY score DESC, vec_id LIMIT 10""",
+
+    "dedup_embedding" ->
+      """WITH s AS (
+           SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             list_reduce(list_transform(range(1, len(a.embedding)+1),
+               i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), (x, y) -> x + y) AS dot,
+             list_reduce(list_transform(range(1, len(a.embedding)+1),
+               i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)), (x, y) -> x + y) AS na,
+             list_reduce(list_transform(range(1, len(b.embedding)+1),
+               i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), (x, y) -> x + y) AS nb
+           FROM embeddings a JOIN embeddings b
+             ON a.label = b.label AND a.vec_id < b.vec_id)
+         SELECT id_a, id_b, dot / (sqrt(na) * sqrt(nb)) AS score
+         FROM s WHERE dot / (sqrt(na) * sqrt(nb)) >= 0.25
+         ORDER BY id_a, id_b""",
+
+    "dedup_jaccard" ->
+      """WITH d AS (
+           SELECT doc_id, source,
+             list_distinct(list_transform(
+               range(1, greatest(len(string_split_regex(lower(trim(text)), '\s+')) - 3, 0) + 2),
+               i -> array_to_string(list_slice(string_split_regex(lower(trim(text)), '\s+'), i, i + 2), ' '))) AS sh
+           FROM documents)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+         FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id
+         WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
+         ORDER BY id_a, id_b""",
 
     "flagship_pipeline" ->
       """SELECT r_name, n_name, COUNT(*) AS new_customers

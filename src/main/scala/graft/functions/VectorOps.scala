@@ -58,6 +58,22 @@ object VectorOps {
       .limit(k)
   }
 
+  /** Embedding-cosine near-duplicate pairs within a blocking key (SURVEY.md
+    * §2.12 dedup family): candidate pairs are generated only inside blocks
+    * (label, cluster id, LSH bucket, …), never via an unblocked cross
+    * join — the blocking column is what makes this survive 100 TB. Returns
+    * (id_a, id_b, score) with id_a < id_b and score >= threshold.
+    */
+  def embeddingNearDupPairs(df: DataFrame, idCol: String, embCol: String,
+                            blockCol: String, threshold: Double): DataFrame = {
+    val a = df.select(col(blockCol).as("__blk"), col(idCol).as("id_a"), col(embCol).as("__ea"))
+    val b = df.select(col(blockCol).as("__blk_b"), col(idCol).as("id_b"), col(embCol).as("__eb"))
+    a.join(b, col("__blk") === col("__blk_b") && col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        cosineBest(df.sparkSession, col("__ea"), col("__eb")).as("score"))
+      .filter(col("score") >= threshold)
+  }
+
   /** Deterministic random-hyperplane LSH bucket id (sign-bit sketch).
     *
     * `planes` are fixed pseudo-random hyperplanes (seeded on the driver —

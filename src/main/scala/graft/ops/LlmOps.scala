@@ -140,6 +140,55 @@ object LlmOps {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Exact n-gram Jaccard near-dup pairs within a blocking key (source,
+    * domain, length bucket, …). Unlike [[nearDupPairs]] (probabilistic
+    * candidate generation) this is exhaustive inside each block — the right
+    * tool when blocks are small and an exact answer is required. Uses
+    * STRING shingles so an external SQL oracle can reproduce it exactly.
+    */
+  def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                   blockCol: String, shingleN: Int, threshold: Double): DataFrame = {
+    // Prefix-filtered set-similarity join (PPJoin-lite):
+    //  1. sort each shingle set under one global order (lexicographic) and
+    //     index only its PREFIX of length sz - ceil(t*sz) + 1 — two sets
+    //     with jaccard >= t must collide inside their prefixes;
+    //  2. candidate pairs additionally satisfy the length filter
+    //     (t*|A| <= |B| and vice versa, since j <= min/max);
+    //  3. exact-verify candidates with a full array intersection.
+    // At t=0.5 this visits a tiny fraction of the postings a plain
+    // inverted-index join would (which itself beats the naive blocked
+    // all-pairs array-intersect join ~3x); the blocked all-pairs variant
+    // evaluates every O(block²) pair and dies first at scale.
+    val sets = df.select(col(blockCol).as("__blk"), col(idCol),
+        array_sort(shingles(col(textCol), shingleN)).as("__sh"))
+      .withColumn("__sz", size(col("__sh")))
+      .filter(col("__sz") > 0)
+      .persist()
+
+    val prefLen = (col("__sz") - ceil(col("__sz") * lit(threshold)) + 1).cast("int")
+    val prefixes = sets.select(col("__blk"), col(idCol), col("__sz"),
+      explode(slice(col("__sh"), lit(1), prefLen)).as("__shingle"))
+
+    val pa = prefixes.select(col("__blk"), col("__shingle"),
+      col(idCol).as("id_a"), col("__sz").as("__sz_a"))
+    val pb = prefixes.select(col("__blk").as("__blk_b"), col("__shingle").as("__shingle_b"),
+      col(idCol).as("id_b"), col("__sz").as("__sz_b"))
+    val candidates = pa.join(pb,
+        col("__blk") === col("__blk_b") &&
+        col("__shingle") === col("__shingle_b") &&
+        col("id_a") < col("id_b") &&
+        col("__sz_a") * threshold <= col("__sz_b") &&
+        col("__sz_b") * threshold <= col("__sz_a"))
+      .select("id_a", "id_b").distinct()
+
+    val sa = sets.select(col(idCol).as("id_a"), col("__sh").as("__sh_a"))
+    val sb = sets.select(col(idCol).as("id_b"), col("__sh").as("__sh_b"))
+    candidates
+      .join(sa, "id_a").join(sb, "id_b")
+      .select(col("id_a"), col("id_b"), jaccard(col("__sh_a"), col("__sh_b")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** 64-bit SimHash of the token multiset: bit i of the sketch is the sign
     * of Σ_tokens (±1 by bit i of xxhash64(token)). Near-dups have small
     * Hamming distance between sketches.
