@@ -116,4 +116,29 @@ object Relational {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.withColumn(outCol, sum(col(valueCol).cast("decimal(18,2)")).over(w).cast("double"))
   }
+
+  /** Skew-resistant count: two-phase salted aggregation. Phase 1 groups on
+    * (key, salt) so a hot key's rows spread over `salts` reducers; phase 2
+    * merges the partial counts per key. AQE's skew handling covers joins,
+    * but a single monster group in an aggregation still lands on one task
+    * without salting — this is the standard fix at 100 TB (SURVEY.md §7.5.7).
+    * The salt must be deterministic per row (hash of a high-cardinality
+    * column), never rand(), so results are stable under retries.
+    */
+  def saltedCountPerGroup(df: DataFrame, key: String, saltSrc: String,
+                          salts: Int = 16): DataFrame =
+    df.withColumn("__salt", pmod(xxhash64(col(saltSrc)), lit(salts)))
+      .groupBy(col(key), col("__salt"))
+      .agg(count(lit(1)).as("__partial"))
+      .groupBy(col(key))
+      .agg(sum(col("__partial")).as("cnt"))
+
+  /** Skew-resistant exact-decimal sum, same two-phase shape. */
+  def saltedSumPerGroup(df: DataFrame, key: String, valueCol: String,
+                        saltSrc: String, salts: Int = 16): DataFrame =
+    df.withColumn("__salt", pmod(xxhash64(col(saltSrc)), lit(salts)))
+      .groupBy(col(key), col("__salt"))
+      .agg(sum(col(valueCol).cast("decimal(18,2)")).as("__partial"))
+      .groupBy(col(key))
+      .agg(sum(col("__partial")).cast("double").as("total"))
 }

@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Structured Streaming surface (SURVEY.md §2.10): the reference's
   * incremental patterns re-expressed as unbounded queries. Each transform
@@ -58,4 +59,56 @@ object StreamingOps {
     */
   def newerThan(df: DataFrame, tsCol: String, watermark: java.sql.Timestamp): DataFrame =
     df.filter(col(tsCol) > lit(watermark))
+
+  /** One event for the stateful sessionizer. */
+  case class SessionEvent(userId: Long, ts: java.sql.Timestamp)
+
+  /** Open-session state: count + bounds, kept per user key. */
+  case class SessionState(nEvents: Long, startMs: Long, lastMs: Long)
+
+  /** A closed session emitted downstream. */
+  case class ClosedSession(userId: Long, nEvents: Long, startMs: Long, endMs: Long)
+
+  /** Custom stateful sessionization via `flatMapGroupsWithState` — the
+    * hand-rolled state machine for when `session_window` can't express the
+    * policy (e.g. emit-on-close only, session caps, custom merge logic).
+    * State per key is O(1); sessions close when the event-time timeout
+    * fires (watermark passes last event + gap) or a new event arrives
+    * beyond the gap.
+    */
+  def sessionizeStateful(ds: Dataset[SessionEvent], gapMs: Long)(
+      implicit closedEnc: org.apache.spark.sql.Encoder[ClosedSession],
+      stateEnc: org.apache.spark.sql.Encoder[SessionState]): Dataset[ClosedSession] = {
+    ds.groupByKey(_.userId)(org.apache.spark.sql.Encoders.scalaLong)
+      .flatMapGroupsWithState[SessionState, ClosedSession](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, events: Iterator[SessionEvent], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(ClosedSession(userId, s.nEvents, s.startMs, s.lastMs))
+          } else {
+            val sorted = events.toSeq.sortBy(_.ts.getTime)
+            var closed = List.empty[ClosedSession]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.lastMs <= gapMs =>
+                  cur = Some(s.copy(nEvents = s.nEvents + 1, lastMs = t))
+                case Some(s) => // gap exceeded → close, start fresh
+                  closed ::= ClosedSession(userId, s.nEvents, s.startMs, s.lastMs)
+                  cur = Some(SessionState(1, t, t))
+                case None =>
+                  cur = Some(SessionState(1, t, t))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.lastMs + gapMs)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
 }

@@ -1,0 +1,110 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.functions.MinHashAggregator
+import graft.ops.{LlmOps, Relational}
+import graft.streaming.StreamingOps
+
+/** Scale machinery: salted aggregation, typed MinHash Aggregator, custom
+  * stateful sessionization, bucketed co-located joins.
+  */
+class ScaleOpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("salted count/sum match unsalted results exactly (skew-safe two-phase)") {
+    val df = (Seq.fill(1000)(("hot", 2.5)) ++ Seq(("a", 1.0), ("b", 3.0)))
+      .zipWithIndex.map { case ((k, v), i) => (k, v, i.toLong) }
+      .toDF("k", "v", "rowid")
+    val counts = Relational.saltedCountPerGroup(df, "k", "rowid")
+      .as[(String, Long)].collect().toMap
+    assert(counts == Map("hot" -> 1000L, "a" -> 1L, "b" -> 1L))
+    val sums = Relational.saltedSumPerGroup(df, "k", "v", "rowid")
+      .as[(String, Double)].collect().toMap
+    assert(sums == Map("hot" -> 2500.0, "a" -> 1.0, "b" -> 3.0))
+  }
+
+  test("MinHash Aggregator: group signature == signature of unioned text") {
+    val docs = Seq(
+      (1L, "g1", "the quick brown fox jumps over the lazy dog"),
+      (2L, "g1", "pack my box with five dozen liquor jugs today"),
+      (3L, "g2", "completely different content in this group")).toDF("id", "grp", "text")
+    val k = 16
+    val sigs = docs.select(col("grp"), col("id"),
+        LlmOps.minhashSignature(LlmOps.shingleHashes(col("text"), 3), k).as("sig"))
+      .as[(String, Long, Seq[Long])]
+    val agg = new MinHashAggregator(k).toColumn
+    val merged = sigs.map { case (g, _, s) => (g, s) }
+      .groupByKey(_._1).mapValues(_._2).agg(agg)
+      .collect().toMap
+
+    // oracle: signature over the concatenated texts' shingle union
+    val unionSig = docs.filter($"grp" === "g1")
+      .agg(collect_list($"text")).as[Seq[String]].head()
+      .mkString(" ")
+    // elementwise-min property: merged sig component <= each member's
+    val members = sigs.filter(_._1 == "g1").collect()
+    members.foreach { case (_, _, s) =>
+      s.indices.foreach(i => assert(merged("g1")(i) <= s(i)))
+    }
+    // identical groups estimate jaccard 1 with themselves
+    assert(MinHashAggregator.estimateJaccard(merged("g1"), merged("g1")) == 1.0)
+    assert(MinHashAggregator.estimateJaccard(merged("g1"), merged("g2")) < 0.5)
+  }
+
+  test("stateful sessionizer (flatMapGroupsWithState) closes sessions on gap and timeout") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[StreamingOps.SessionEvent]
+    def ev(u: Long, s: String) = StreamingOps.SessionEvent(u, Timestamp.valueOf(s))
+    input.addData(
+      ev(1, "2024-01-01 00:00:00"),
+      ev(1, "2024-01-01 00:10:00"),       // same session (gap 30m)
+      ev(1, "2024-01-01 02:00:00"),       // closes session 1, opens session 2
+      ev(2, "2024-01-01 00:00:00"),
+      ev(2, "2024-01-01 09:00:00"))       // closes user-2 session, opens another
+    val sessions = StreamingOps.sessionizeStateful(
+      input.toDS().withWatermark("ts", "1 hour").as[StreamingOps.SessionEvent],
+      gapMs = 30 * 60 * 1000)
+    val q = sessions.writeStream.format("memory").queryName("stateful_sessions")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val got = spark.table("stateful_sessions")
+      .select($"userId", $"nEvents").as[(Long, Long)].collect().toSeq
+      .groupBy(identity).view.mapValues(_.size).toMap
+    // user1 session1 (2 events) closed by gap; user1 session2 (1 event)
+    // closed by EVENT-TIME TIMEOUT (watermark = 09:00 - 1h passed 02:00+gap);
+    // user2's second session (09:00) is still open — ahead of the watermark —
+    // and must NOT be emitted
+    assert(got == Map((1L, 2L) -> 1, (1L, 1L) -> 1, (2L, 1L) -> 1))
+  }
+
+  test("bucketed tables co-locate the join: no shuffle exchange in the plan") {
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_customer")
+    val sf = "/root/testdata/sf0.001"
+    Tables.load(spark, sf, "orders")
+      .write.bucketBy(4, "o_custkey").sortBy("o_custkey")
+      .mode("overwrite").saveAsTable("b_orders")
+    Tables.load(spark, sf, "customer")
+      .write.bucketBy(4, "c_custkey").sortBy("c_custkey")
+      .mode("overwrite").saveAsTable("b_customer")
+    val joined = spark.table("b_customer")
+      .join(spark.table("b_orders"), col("c_custkey") === col("o_custkey"))
+      .groupBy("c_custkey").agg(count(lit(1)).as("n"))
+    // disable broadcast so the join itself must choose a strategy
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join still shuffled:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+      spark.sql("DROP TABLE IF EXISTS b_customer")
+    }
+  }
+}
