@@ -221,6 +221,44 @@ object SparkEntry {
       VectorOps.bruteForceTopK(emb, "embedding", "vec_id", qv, k = 10)
     }),
 
+    // ---- §2.7 set ops beyond union, §2.4 grouping sets, §2.11 generator --
+    "set_intersect" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      o.filter(col("o_orderpriority") === "1-URGENT").select(col("o_custkey").as("cust"))
+        .intersect(
+          o.filter(col("o_orderdate") < to_timestamp(lit("1996-01-01 00:00:00")))
+            .select(col("o_custkey").as("cust")))
+        .orderBy("cust")
+    }),
+
+    "set_except" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      o.filter(col("o_orderpriority") === "1-URGENT").select(col("o_custkey").as("cust"))
+        .except(
+          o.filter(col("o_orderdate") < to_timestamp(lit("1996-01-01 00:00:00")))
+            .select(col("o_custkey").as("cust")))
+        .orderBy("cust")
+    }),
+
+    "rollup_revenue" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(Relational.decimalSum(col("l_quantity")).as("sum_qty"),
+          count(lit(1)).as("cnt"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+          col("sum_qty"), col("cnt"))
+        .orderBy("flag", "status")),
+
+    "explode_tokens" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(explode(LlmOps.tokens(col("text"))).as("token"))
+        .filter(col("token") =!= "")
+        .groupBy("token").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("token").asc)
+        .limit(20)),
+
     "dedup_embedding" -> ((s, dir) =>
       VectorOps.embeddingNearDupPairs(t(s, dir, "embeddings"),
           "vec_id", "embedding", blockCol = "label", threshold = 0.25)
@@ -462,6 +500,37 @@ object SparkEntry {
            FROM embeddings, q)
          SELECT vec_id, dot / (sqrt(na) * sqrt(nb)) AS score
          FROM s ORDER BY score DESC, vec_id LIMIT 10""",
+
+    "set_intersect" ->
+      """SELECT o_custkey AS cust FROM orders WHERE o_orderpriority = '1-URGENT'
+         INTERSECT
+         SELECT o_custkey AS cust FROM orders
+         WHERE o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+         ORDER BY cust""",
+
+    "set_except" ->
+      """SELECT o_custkey AS cust FROM orders WHERE o_orderpriority = '1-URGENT'
+         EXCEPT
+         SELECT o_custkey AS cust FROM orders
+         WHERE o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+         ORDER BY cust""",
+
+    "rollup_revenue" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS flag,
+            COALESCE(l_linestatus, 'ALL') AS status,
+            CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+            COUNT(*) AS cnt
+         FROM lineitem
+         GROUP BY ROLLUP (l_returnflag, l_linestatus)
+         ORDER BY flag, status""",
+
+    "explode_tokens" ->
+      """SELECT token, COUNT(*) AS cnt FROM (
+           SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+           FROM documents) u
+         WHERE token <> ''
+         GROUP BY token
+         ORDER BY cnt DESC, token LIMIT 20""",
 
     "dedup_embedding" ->
       """WITH s AS (
