@@ -221,6 +221,42 @@ object SparkEntry {
       VectorOps.bruteForceTopK(emb, "embedding", "vec_id", qv, k = 10)
     }),
 
+    "stats_by_group" -> ((s, dir) => {
+      val p = col("o_totalprice").cast("decimal(18,2)")
+      t(s, dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+          count(lit(1)).as("n"),
+          // decimal -> string -> double: DuckDB's direct decimal->double
+          // conversion double-rounds (int128 then /10^scale), while Java's
+          // is correctly rounded — the string route is correctly rounded
+          // in BOTH engines, so s/ss match bitwise.
+          sum(p).cast("string").cast("double").as("s"),
+          sum(p * p).cast("string").cast("double").as("ss"))
+        .select(col("o_orderpriority"), col("n"),
+          (col("s") / col("n")).as("avg_price"),
+          ((col("ss") - (col("s") * col("s")) / col("n")) / (col("n") - 1)).as("var_price"),
+          sqrt((col("ss") - (col("s") * col("s")) / col("n")) / (col("n") - 1)).as("stddev_price"))
+        .orderBy("o_orderpriority")
+    }),
+
+    "cube_counts" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("cnt"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+          col("cnt"))
+        .orderBy("flag", "status")),
+
+    "percentile_by_group" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(percentile(col("o_totalprice"), lit(0.5)).as("median_price"),
+          percentile(col("o_totalprice"), lit(0.9)).as("p90_price"))
+        .orderBy("o_orderpriority")),
+
     // ---- §2.7 set ops beyond union, §2.4 grouping sets, §2.11 generator --
     "set_intersect" -> ((s, dir) => {
       val o = t(s, dir, "orders")
@@ -277,6 +313,19 @@ object SparkEntry {
     "dedup_simhash" -> ((s, dir) =>
       LlmOps.simhash(t(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")),
+
+    "doc_winnow" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          size(LlmOps.winnowFingerprints(col("text"), 3, 4)).cast("long").as("n_fingerprints"))
+        .orderBy("doc_id")),
+
+    "similarity_ivf" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val qv = emb.filter(col("vec_id") === 0).select(col("embedding").as("__qv"))
+      val (assigned, cents) = VectorOps.ivfIndex(emb, "embedding", nCells = 8)
+      VectorOps.ivfTopK(assigned, cents, "embedding", "vec_id", qv, k = 10, nProbe = 2)
+    }),
 
     "similarity_ann" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -500,6 +549,33 @@ object SparkEntry {
            FROM embeddings, q)
          SELECT vec_id, dot / (sqrt(na) * sqrt(nb)) AS score
          FROM s ORDER BY score DESC, vec_id LIMIT 10""",
+
+    "stats_by_group" ->
+      """WITH a AS (
+           SELECT o_orderpriority, COUNT(*) AS n,
+             CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS s,
+             CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))
+                      * CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS ss
+           FROM orders GROUP BY o_orderpriority)
+         SELECT o_orderpriority, n,
+           s / n AS avg_price,
+           (ss - (s * s) / n) / (n - 1) AS var_price,
+           sqrt((ss - (s * s) / n) / (n - 1)) AS stddev_price
+         FROM a ORDER BY o_orderpriority""",
+
+    "cube_counts" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS flag,
+            COALESCE(l_linestatus, 'ALL') AS status,
+            COUNT(*) AS cnt
+         FROM lineitem
+         GROUP BY CUBE (l_returnflag, l_linestatus)
+         ORDER BY flag, status""",
+
+    "percentile_by_group" ->
+      """SELECT o_orderpriority,
+            quantile_cont(o_totalprice, 0.5) AS median_price,
+            quantile_cont(o_totalprice, 0.9) AS p90_price
+         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
 
     "set_intersect" ->
       """SELECT o_custkey AS cust FROM orders WHERE o_orderpriority = '1-URGENT'

@@ -214,6 +214,21 @@ object LlmOps {
     df.select(col(idCol), packed.as("simhash"))
   }
 
+  /** Winnowing fingerprints (MOSS-style): the minimum shingle hash in each
+    * sliding window of `w` consecutive shingles, deduplicated. Guarantees
+    * any shared run of >= w+shingleN-1 tokens between two documents yields
+    * at least one shared fingerprint — robust partial-overlap detection
+    * (quotes, boilerplate) at a fraction of the full shingle set's size.
+    * Pure per-row projection; output is the compact key set to index.
+    */
+  def winnowFingerprints(c: Column, shingleN: Int, w: Int): Column = {
+    val sh = shingleHashes(c, shingleN)
+    array_distinct(
+      transform(
+        sequence(lit(0), greatest(size(sh) - w, lit(0))),
+        i => array_min(slice(sh, i + 1, lit(w)))))
+  }
+
   /** Per-document text statistics: char count, whitespace-token count,
     * BPE-ish token count (letter runs / digit runs / single non-space
     * symbols — a deterministic proxy for subword token budgeting), digit

@@ -76,6 +76,20 @@ class LlmOpsSpec extends SparkTestBase {
     assert(out == Map(1L -> "en", 2L -> "es", 3L -> "fr"))
   }
 
+  test("winnowing: docs sharing a long run share a fingerprint; short overlap may not") {
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "PREFIX alpha beta gamma delta epsilon zeta eta theta iota kappa"), // shares long run
+      (3L, "totally disjoint vocabulary here with other words entirely now")).toDF("doc_id", "text")
+    val fps = df.select($"doc_id", LlmOps.winnowFingerprints($"text", 3, 4).as("fp"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(fps(1L).toSet.intersect(fps(2L).toSet).nonEmpty) // guaranteed by winnowing
+    assert(fps(1L).toSet.intersect(fps(3L).toSet).isEmpty)
+    val nShingles = df.filter($"doc_id" === 1)
+      .select(size(LlmOps.shingleHashes($"text", 3))).as[Int].head()
+    assert(fps(1L).size <= nShingles) // sketch is never larger than the full set
+  }
+
   test("lang profile aggregates exact counts") {
     val df = Seq(("en", 10L), ("en", 20L), ("fr", 5L)).toDF("lang", "n_chars")
     val out = LlmOps.langProfile(df, "lang", "n_chars")

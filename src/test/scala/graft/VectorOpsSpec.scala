@@ -45,6 +45,21 @@ class VectorOpsSpec extends SparkTestBase {
     assert(ann.toSet.subsetOf(brute.toSet))
   }
 
+  test("IVF: probed top-k is a subset of brute force and finds the query itself") {
+    val rng = new scala.util.Random(9)
+    val emb = (0L until 200L).map(i => (i, Seq.fill(8)(rng.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val qv = emb.filter($"vec_id" === 0).select($"embedding".as("__qv"))
+    val (assigned, cents) = VectorOps.ivfIndex(emb, "embedding", nCells = 4)
+    assert(assigned.select("__cell").distinct().count() <= 4)
+    val ivf = VectorOps.ivfTopK(assigned, cents, "embedding", "vec_id", qv, k = 5, nProbe = 2)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(ivf.nonEmpty && ivf.head == 0L)
+    val brute = VectorOps.bruteForceTopK(emb, "embedding", "vec_id", qv, 200)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(ivf.toSet.subsetOf(brute.toSet))
+  }
+
   test("hyperplanes are deterministic for a fixed seed") {
     val a = VectorOps.hyperplanes(4, 8)
     val b = VectorOps.hyperplanes(4, 8)
