@@ -20,6 +20,17 @@ object Bench {
       Tables.names.foreach { n =>
         Tables.load(spark, sfDir, n).limit(100).count()
       }
+      // Warm the higher-order-function interpreter paths (array folds,
+      // hashing, lambda eval) that the dedup/sketch queries lean on — the
+      // first pass through those code paths is JIT-cold and would otherwise
+      // be billed to whichever sketch query happens to run first.
+      locally {
+        import org.apache.spark.sql.functions._
+        val docs = Tables.load(spark, sfDir, "documents").limit(200)
+        docs.select(graft.ops.LlmOps.minhashSignature(
+          graft.ops.LlmOps.shingleHashes(col("text"), 3), 16)).count()
+        docs.select(graft.ops.LlmOps.shingles(col("text"), 3)).count()
+      }
     } catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()

@@ -120,7 +120,10 @@ object VectorOps {
     import org.apache.spark.ml.functions.array_to_vector
     val withVec = embeddings.withColumn("__vec", array_to_vector(col(embCol).cast("array<double>")))
     val sample = withVec.limit(sampleCap)
+    // Coarse quantization only needs rough cells — 5 Lloyd iterations, not
+    // the default 20; recall is governed by nProbe, not centroid polish.
     val model = new KMeans().setK(nCells).setSeed(seed).setFeaturesCol("__vec")
+      .setMaxIter(5)
       .fit(sample)
     val assigned = model.setPredictionCol("__cell").transform(withVec).drop("__vec")
     val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) =>
