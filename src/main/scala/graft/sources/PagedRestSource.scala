@@ -66,10 +66,21 @@ private[sources] class PagedRestTable(clientName: String, entity: String,
   override def name(): String = s"paged_rest($entity)"
   override def schema(): StructType = PagedRestSource.schema
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new PagedRestScanBuilder(clientName, entity, key)
+}
+
+/** Streaming offset = number of pages fully consumed. The reference tracks
+  * its incremental position with a DB watermark query
+  * (/root/reference/main.py:251-267); here the position is a first-class
+  * Structured Streaming offset, checkpointed and replayed by the engine —
+  * restart-safe without any hand-rolled bookkeeping.
+  */
+private[sources] case class PageOffset(page: Int)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = page.toString
 }
 
 private[sources] class PagedRestScanBuilder(clientName: String, entity: String,
@@ -82,6 +93,10 @@ private[sources] class PagedRestScanBuilder(clientName: String, entity: String,
   override def build(): Scan = new Scan with Batch {
     override def readSchema(): StructType = PagedRestSource.schema
     override def toBatch: Batch = this
+
+    override def toMicroBatchStream(checkpointLocation: String):
+        org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+      new PagedRestMicroBatchStream(clientName, entity, key)
 
     override def planInputPartitions(): Array[InputPartition] = {
       // Sequential token walk on the driver; stops as soon as the pushed
@@ -106,6 +121,47 @@ private[sources] class PagedRestScanBuilder(clientName: String, entity: String,
     override def createReaderFactory(): PartitionReaderFactory =
       new PagedRestReaderFactory
   }
+}
+
+/** Micro-batch stream over the page chain: `latestOffset` advances the
+  * driver-side page walk (buffering fetched pages), `planInputPartitions`
+  * serves the buffered `[start, end)` page range — one InputPartition per
+  * page, exactly like the batch path. Restarting from a checkpoint resumes
+  * at the committed page without refetching or duplicating.
+  */
+private[sources] class PagedRestMicroBatchStream(clientName: String, entity: String,
+                                                 key: Option[String])
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  private val buffered = scala.collection.mutable.ArrayBuffer.empty[Array[String]]
+  private var exhausted = false
+  private var nextToken: Option[String] = None
+
+  private def fetchThrough(): Unit = {
+    val client = PagedRestSource.client(clientName)
+    while (!exhausted) {
+      val page = PagedApi.fetchWithRetry(client, entity, key, nextToken)
+      buffered += page.records.toArray
+      nextToken = page.nextToken
+      exhausted = nextToken.isEmpty
+    }
+  }
+
+  override def initialOffset(): Offset = PageOffset(0)
+  override def latestOffset(): Offset = { fetchThrough(); PageOffset(buffered.size) }
+  override def deserializeOffset(json: String): Offset = PageOffset(json.toInt)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[PageOffset].page
+    val e = end.asInstanceOf[PageOffset].page
+    fetchThrough()
+    (s until e).map(p => PagedRestPartition(p, buffered(p)): InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = new PagedRestReaderFactory
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 private[sources] case class PagedRestPartition(pageNo: Int, records: Array[String])

@@ -44,6 +44,38 @@ class PagedRestSourceSpec extends SparkTestBase {
     assert(client.fetchCount.get() <= 2, s"walked too far: ${client.fetchCount.get()}")
   }
 
+  test("micro-batch stream: pages become offsets; restart resumes without duplicates") {
+    import org.apache.spark.sql.streaming.Trigger
+    val base = java.nio.file.Files.createTempDirectory("pagedstream").toString
+    val ckpt = s"$base/ckpt"
+    val out = s"$base/out"
+    PagedRestSource.register("tstream", new FixtureClient(fixtures))
+
+    def runOnce(): Unit = {
+      val q = spark.readStream.format("graft.sources.PagedRestTableProvider")
+        .option("client", "tstream").option("entity", "users").load()
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(60000)
+    }
+
+    runOnce()
+    assert(spark.read.parquet(out).count() == 4) // all 3 pages delivered
+
+    // "new data arrives": same source name now has a 4th page
+    val extended = fixtures.map { case (k, pages) =>
+      k -> (pages.dropRight(1) :+ ApiPage(pages.last.records, Some("3")) :+
+        ApiPage(Seq("""{"id":"u5","email":"e@x"}"""), None))
+    }
+    PagedRestSource.register("tstream", new FixtureClient(extended))
+    runOnce()
+    // resumed from the committed page offset: exactly one new record, no dupes
+    val all = spark.read.parquet(out).as[(Int, String)].collect().toSeq
+    assert(all.size == 5)
+    assert(all.count(_._2.contains("u5")) == 1)
+  }
+
   test("typed projection downstream: from_json + reindex to declared schema") {
     PagedRestSource.register("t3", new FixtureClient(fixtures))
     val typed = Ingest.reindexTo(
