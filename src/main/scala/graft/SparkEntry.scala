@@ -221,6 +221,18 @@ object SparkEntry {
       VectorOps.bruteForceTopK(emb, "embedding", "vec_id", qv, k = 10)
     }),
 
+    "asof_last_purchase" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      graft.ops.AsOfJoin.asOf(clicks, purchases, "user_id", "user_id", "ts", "ts")
+        .select(col("event_id"), col("user_id"),
+          date_format(col("asof.ts"), "yyyy-MM-dd HH:mm:ss").as("last_purchase_ts"))
+        .orderBy("event_id")
+    }),
+
     "stats_by_group" -> ((s, dir) => {
       val p = col("o_totalprice").cast("decimal(18,2)")
       t(s, dir, "orders")
@@ -549,6 +561,14 @@ object SparkEntry {
            FROM embeddings, q)
          SELECT vec_id, dot / (sqrt(na) * sqrt(nb)) AS score
          FROM s ORDER BY score DESC, vec_id LIMIT 10""",
+
+    "asof_last_purchase" ->
+      """WITH c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+            p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')
+         SELECT c.event_id, c.user_id,
+            strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS last_purchase_ts
+         FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts
+         ORDER BY c.event_id""",
 
     "stats_by_group" ->
       """WITH a AS (

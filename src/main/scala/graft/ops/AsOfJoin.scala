@@ -1,0 +1,54 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of join — for each left row, the most recent right row with
+  * `rightTs <= leftTs` within the same key (inclusive). Spark has no
+  * built-in; per the engine's preference order (SURVEY.md §7.4 / builder
+  * rules) this COMPOSES existing operators instead of a custom physical
+  * operator:
+  *
+  *   union both sides tagged → one window over (key; ts, side) →
+  *   `last(right payload, ignoreNulls)` carried forward → keep left rows.
+  *
+  * Scale shape: exactly ONE shuffle (the window partitioning on the key) +
+  * a per-partition sort — same cost class as a sort-merge join, with no
+  * row-multiplication ever (an inequality theta-join would explode; this
+  * streams). Ties (rightTs == leftTs) match, mirroring ASOF semantics;
+  * among equal-ts right rows the last in (ts, side) order wins.
+  */
+object AsOfJoin {
+
+  /** Returns all left columns plus `asOfCol`: a struct of the matched right
+    * row's columns (null when no right row is at-or-before the left row).
+    */
+  def asOf(left: DataFrame, right: DataFrame,
+           leftKey: String, rightKey: String,
+           leftTs: String, rightTs: String,
+           asOfCol: String = "asof"): DataFrame = {
+    val lPayload = struct(left.columns.map(left(_)).toIndexedSeq: _*)
+    val rPayload = struct(right.columns.map(right(_)).toIndexedSeq: _*)
+    val lType = left.select(lPayload).schema.head.dataType
+    val rType = right.select(rPayload).schema.head.dataType
+
+    val l = left.select(
+      left(leftKey).as("__k"), left(leftTs).as("__ts"),
+      lit(1).as("__side"), lPayload.as("__l"), lit(null).cast(rType).as("__r"))
+    val r = right.select(
+      right(rightKey).as("__k"), right(rightTs).as("__ts"),
+      lit(0).as("__side"), lit(null).cast(lType).as("__l"), rPayload.as("__r"))
+
+    // side 0 sorts before side 1 at equal ts → a right row AT the left ts
+    // is visible to it (inclusive match)
+    val w = Window.partitionBy(col("__k"))
+      .orderBy(col("__ts").asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    l.unionByName(r)
+      .withColumn("__asof", last(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(col("__l.*"), col("__asof").as(asOfCol))
+  }
+}

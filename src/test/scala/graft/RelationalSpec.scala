@@ -101,6 +101,25 @@ class RelationalSpec extends SparkTestBase {
     assert(out.filter($"g" === "b").count() == 1)
   }
 
+  test("as-of join: most recent right row at-or-before, per key; null when none") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val quotes = Seq( // key, ts, price
+      ("A", ts("2024-01-01 10:00:00"), 100.0),
+      ("A", ts("2024-01-01 10:05:00"), 101.0),
+      ("B", ts("2024-01-01 10:03:00"), 50.0)).toDF("sym", "qts", "price")
+    val trades = Seq(
+      ("A", ts("2024-01-01 10:04:00"), 1L), // matches quote@10:00
+      ("A", ts("2024-01-01 10:05:00"), 2L), // tie → matches quote@10:05 (inclusive)
+      ("B", ts("2024-01-01 10:00:00"), 3L), // before any quote → null
+      ("B", ts("2024-01-01 11:00:00"), 4L)).toDF("sym", "tts", "trade_id")
+    val out = graft.ops.AsOfJoin.asOf(trades, quotes, "sym", "sym", "tts", "qts")
+      .select($"trade_id", $"asof.price")
+      .as[(Long, Option[Double])].collect().toMap
+    assert(out == Map(
+      1L -> Some(100.0), 2L -> Some(101.0), 3L -> None, 4L -> Some(50.0)))
+  }
+
   test("running sum accumulates per group in order") {
     val df = Seq(("u1", 1, 10.0), ("u1", 2, 5.0), ("u2", 1, 7.0))
       .toDF("u", "seq", "x")
