@@ -221,6 +221,11 @@ object SparkEntry {
       VectorOps.bruteForceTopK(emb, "embedding", "vec_id", qv, k = 10)
     }),
 
+    "range_join_pairs" -> ((s, dir) =>
+      graft.ops.AsOfJoin.rangeJoinPairs(t(s, dir, "events"), "event_id", "ts",
+          bandSeconds = 30)
+        .orderBy("id_a", "id_b")),
+
     "asof_last_purchase" -> ((s, dir) => {
       val ev = t(s, dir, "events")
       val clicks = ev.filter(col("event_type") === "click")
@@ -325,6 +330,13 @@ object SparkEntry {
     "dedup_simhash" -> ((s, dir) =>
       LlmOps.simhash(t(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")),
+
+    "approx_distinct_parts" -> ((s, dir) =>
+      // rows-only: DuckDB's HLL is a different implementation; the spec
+      // asserts the estimate lands within the sketch's error bound.
+      Relational.approxDistinctPerGroup(t(s, dir, "lineitem"),
+          "l_returnflag", "l_partkey")
+        .orderBy("l_returnflag")),
 
     "doc_winnow" -> ((s, dir) =>
       t(s, dir, "documents")
@@ -561,6 +573,14 @@ object SparkEntry {
            FROM embeddings, q)
          SELECT vec_id, dot / (sqrt(na) * sqrt(nb)) AS score
          FROM s ORDER BY score DESC, vec_id LIMIT 10""",
+
+    "range_join_pairs" ->
+      """SELECT a.event_id AS id_a, b.event_id AS id_b
+         FROM events a JOIN events b
+           ON a.event_id < b.event_id
+          AND abs(CAST(floor(epoch(a.ts)) AS BIGINT)
+                - CAST(floor(epoch(b.ts)) AS BIGINT)) < 30
+         ORDER BY id_a, id_b""",
 
     "asof_last_purchase" ->
       """WITH c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),

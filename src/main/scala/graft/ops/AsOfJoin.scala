@@ -51,4 +51,28 @@ object AsOfJoin {
       .filter(col("__side") === 1)
       .select(col("__l.*"), col("__asof").as(asOfCol))
   }
+
+  /** Banded range join WITHOUT an equi key: pairs (a, b) whose timestamps
+    * differ by less than `bandSeconds`. A raw inequality theta-join has no
+    * hashable key — Spark would nested-loop it. Bucketing by
+    * floor(ts / band) and joining each left row to its own and the two
+    * neighboring buckets turns it into an EQUI join (3 candidate rows per
+    * left row instead of |right|), then the exact band predicate filters.
+    * Emits each unordered pair once (leftId < rightId).
+    */
+  def rangeJoinPairs(df: DataFrame, idCol: String, tsCol: String,
+                     bandSeconds: Long): DataFrame = {
+    val secs = col(tsCol).cast("long")
+    val bucket = (secs / bandSeconds).cast("long")
+    val a = df.select(col(idCol).as("id_a"), secs.as("__sa"),
+        explode(array(bucket - 1, bucket, bucket + 1)).as("__bucket"))
+    val b = df.select(col(idCol).as("id_b"), secs.as("__sb"),
+      bucket.as("__bucket_b"))
+    a.join(b,
+        col("__bucket") === col("__bucket_b") &&
+        col("id_a") < col("id_b") &&
+        abs(col("__sa") - col("__sb")) < bandSeconds)
+      .select("id_a", "id_b")
+      .distinct() // a pair can collide in two buckets
+  }
 }

@@ -133,6 +133,17 @@ object Relational {
       .groupBy(col(key))
       .agg(sum(col("__partial")).as("cnt"))
 
+  /** Approximate distinct count per group via DataSketches HLL — the
+    * sketch is tiny (2^lgK registers), merges commutatively (map-side
+    * partials), and is the only sane way to count distincts per group over
+    * 100 TB when exact distinct would shuffle every key. Error ~1.6%/√2^lgK.
+    */
+  def approxDistinctPerGroup(df: DataFrame, groupCol: String, countCol: String,
+                             lgK: Int = 12): DataFrame =
+    df.groupBy(col(groupCol))
+      .agg(hll_sketch_estimate(hll_sketch_agg(col(countCol), lit(lgK)))
+        .as("approx_distinct"))
+
   /** Skew-resistant exact-decimal sum, same two-phase shape. */
   def saltedSumPerGroup(df: DataFrame, key: String, valueCol: String,
                         saltSrc: String, salts: Int = 16): DataFrame =

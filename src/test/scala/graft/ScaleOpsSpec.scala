@@ -81,6 +81,18 @@ class ScaleOpsSpec extends SparkTestBase {
     assert(got == Map((1L, 2L) -> 1, (1L, 1L) -> 1, (2L, 1L) -> 1))
   }
 
+  test("HLL approx distinct lands within the sketch error bound of exact") {
+    val df = Tables.load(spark, "/root/testdata/sf0.001", "lineitem")
+    val approx = Relational.approxDistinctPerGroup(df, "l_returnflag", "l_partkey")
+      .as[(String, Long)].collect().toMap
+    val exact = df.groupBy("l_returnflag")
+      .agg(countDistinct(col("l_partkey")).as("n")).as[(String, Long)].collect().toMap
+    exact.foreach { case (k, n) =>
+      val err = math.abs(approx(k) - n).toDouble / n
+      assert(err < 0.05, s"$k: approx=${approx(k)} exact=$n err=$err")
+    }
+  }
+
   test("bucketed tables co-locate the join: no shuffle exchange in the plan") {
     spark.sql("DROP TABLE IF EXISTS b_orders")
     spark.sql("DROP TABLE IF EXISTS b_customer")
