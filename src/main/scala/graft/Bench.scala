@@ -30,6 +30,10 @@ object Bench {
         docs.select(graft.ops.LlmOps.minhashSignature(
           graft.ops.LlmOps.shingleHashes(col("text"), 3), 16)).count()
         docs.select(graft.ops.LlmOps.shingles(col("text"), 3)).count()
+        // miniature end-to-end runs of the two JIT-heaviest pipelines:
+        // same array/hash/join code paths, 1/25th of the rows
+        graft.ops.LlmOps.nearDupPairs(docs, "doc_id", "text").count()
+        graft.ops.LlmOps.jaccardPairs(docs, "doc_id", "text", "source", 3, 0.5).count()
       }
     } catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
