@@ -84,6 +84,32 @@ object SparkEntry {
         .orderBy("c_custkey")
     }),
 
+    "left_join_counts" -> ((s, dir) => {
+      // LEFT JOIN keeps customers with zero orders in range (cnt = 0):
+      // COUNT(o_orderkey) counts only matched rows, never the null row.
+      val window = Relational.filterTsRange(t(s, dir, "orders"), "o_orderdate",
+        "1995-01-01 00:00:00", "1996-01-01 00:00:00")
+      t(s, dir, "customer")
+        .join(window, col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("n_orders"))
+        .orderBy("c_custkey")
+    }),
+
+    "full_outer_keys" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val urgent = o.filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey").as("uk")).distinct()
+      val window = o.filter(col("o_orderdate") < to_timestamp(lit("1996-01-01 00:00:00")))
+        .select(col("o_custkey").as("wk")).distinct()
+      urgent.join(window, col("uk") === col("wk"), "full_outer")
+        .select(
+          coalesce(col("uk"), col("wk")).as("cust"),
+          col("uk").isNotNull.as("is_urgent"),
+          col("wk").isNotNull.as("in_window"))
+        .orderBy("cust")
+    }),
+
     "multimodal_join" -> ((s, dir) =>
       t(s, dir, "documents")
         .join(t(s, dir, "embeddings"), col("doc_id") === col("vec_id"))
@@ -416,6 +442,27 @@ object SparkEntry {
          JOIN nation ON c_nationkey = n_nationkey
          JOIN region ON n_regionkey = r_regionkey
          ORDER BY c_custkey""",
+
+    "left_join_counts" ->
+      """SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+         FROM customer
+         LEFT JOIN (SELECT o_custkey, o_orderkey FROM orders
+                    WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+                      AND o_orderdate <  TIMESTAMP '1996-01-01 00:00:00') o
+           ON c_custkey = o.o_custkey
+         GROUP BY c_custkey
+         ORDER BY c_custkey""",
+
+    "full_outer_keys" ->
+      """WITH u AS (SELECT DISTINCT o_custkey AS uk FROM orders
+                    WHERE o_orderpriority = '1-URGENT'),
+            w AS (SELECT DISTINCT o_custkey AS wk FROM orders
+                    WHERE o_orderdate < TIMESTAMP '1996-01-01 00:00:00')
+         SELECT COALESCE(uk, wk) AS cust,
+                uk IS NOT NULL AS is_urgent,
+                wk IS NOT NULL AS in_window
+         FROM u FULL OUTER JOIN w ON uk = wk
+         ORDER BY cust""",
 
     "multimodal_join" ->
       """SELECT doc_id, lang, n_chars, CAST(label AS BIGINT) AS label
