@@ -69,6 +69,46 @@ object StreamingOps {
   /** A closed session emitted downstream. */
   case class ClosedSession(userId: Long, nEvents: Long, startMs: Long, endMs: Long)
 
+  /** Per-key high-watermark tracker on the Spark 4 arbitrary-state API
+    * (`transformWithState`): keeps max event-time per key in ValueState and
+    * emits (key, watermark) ONLY when it advances — the reference's
+    * get_last_meeting_date bookkeeping (/root/reference/main.py:251-267) as
+    * incrementally-maintained streaming state instead of a table re-scan
+    * per run. Late/duplicate events produce no output at all.
+    */
+  class WatermarkTracker
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, SessionEvent, (Long, java.sql.Timestamp)] {
+    @transient private var maxTs: org.apache.spark.sql.streaming.ValueState[Long] = _
+
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+      maxTs = getHandle.getValueState[Long]("maxTs",
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: Long, rows: Iterator[SessionEvent],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[(Long, java.sql.Timestamp)] = {
+      val prev = if (maxTs.exists()) maxTs.get() else Long.MinValue
+      val mx = rows.foldLeft(prev)((acc, e) => math.max(acc, e.ts.getTime))
+      if (mx > prev) {
+        maxTs.update(mx)
+        Iterator((key, new java.sql.Timestamp(mx)))
+      } else Iterator.empty
+    }
+  }
+
+  /** Wire [[WatermarkTracker]] over a stream of [[SessionEvent]]s. */
+  def trackWatermarks(ds: Dataset[SessionEvent]): Dataset[(Long, java.sql.Timestamp)] = {
+    import org.apache.spark.sql.streaming.TimeMode
+    implicit val enc: org.apache.spark.sql.Encoder[(Long, java.sql.Timestamp)] =
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.TIMESTAMP)
+    ds.groupByKey(_.userId)(org.apache.spark.sql.Encoders.scalaLong)
+      .transformWithState(new WatermarkTracker, TimeMode.None(), OutputMode.Update())
+  }
+
   /** Custom stateful sessionization via `flatMapGroupsWithState` — the
     * hand-rolled state machine for when `session_window` can't express the
     * policy (e.g. emit-on-close only, session caps, custom merge logic).

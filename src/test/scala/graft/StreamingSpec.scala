@@ -56,6 +56,40 @@ class StreamingSpec extends SparkTestBase {
     assert(got == Map((1L, 2L) -> 1, (1L, 1L) -> 1, (2L, 1L) -> 1))
   }
 
+  test("transformWithState watermark tracker emits only advancing watermarks") {
+    // transformWithState needs multi-column-family state → RocksDB provider
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[StreamingOps.SessionEvent]
+    val tracked = StreamingOps.trackWatermarks(input.toDS())
+    val q = tracked.toDF("user_id", "watermark").writeStream
+      .format("memory").queryName("wm").outputMode("update").start()
+    try {
+      input.addData(
+        StreamingOps.SessionEvent(1, ts("2024-01-01 10:00:00")),
+        StreamingOps.SessionEvent(1, ts("2024-01-01 11:00:00")),
+        StreamingOps.SessionEvent(2, ts("2024-01-01 09:00:00")))
+      q.processAllAvailable()
+      input.addData(
+        StreamingOps.SessionEvent(1, ts("2024-01-01 10:30:00")), // late → no emit
+        StreamingOps.SessionEvent(2, ts("2024-01-01 12:00:00"))) // advances
+      q.processAllAvailable()
+      val got = spark.table("wm").as[(Long, Timestamp)].collect().toSeq
+        .groupBy(_._1).view.mapValues(_.map(_._2.toString).sorted).toMap
+      // user 1: one emission (batch-max 11:00), nothing for the late batch
+      assert(got(1L) == Seq("2024-01-01 11:00:00.0"))
+      // user 2: initial 09:00 then advanced 12:00
+      assert(got(2L) == Seq("2024-01-01 09:00:00.0", "2024-01-01 12:00:00.0"))
+    } finally {
+      q.stop()
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("streaming dedup emits each fingerprint once within the watermark") {
     val input = MemoryStream[(Timestamp, String)]
     input.addData(
