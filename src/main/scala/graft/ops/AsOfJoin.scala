@@ -41,9 +41,11 @@ object AsOfJoin {
       lit(0).as("__side"), lit(null).cast(lType).as("__l"), rPayload.as("__r"))
 
     // side 0 sorts before side 1 at equal ts → a right row AT the left ts
-    // is visible to it (inclusive match)
+    // is visible to it (inclusive match). The payload-hash tiebreak makes
+    // the winner among equal-(ts,side) right rows deterministic across
+    // partitionings — without it, `last` would pick an arbitrary one.
     val w = Window.partitionBy(col("__k"))
-      .orderBy(col("__ts").asc, col("__side").asc)
+      .orderBy(col("__ts").asc, col("__side").asc, xxhash64(col("__r")).asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     l.unionByName(r)

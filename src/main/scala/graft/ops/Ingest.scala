@@ -33,7 +33,10 @@ object Ingest {
   def flattenJson(df: DataFrame, jsonCol: String,
                   fields: Seq[(String, String, String)]): DataFrame = {
     val extracted = fields.map { case (path, name, castTo) =>
-      get_json_object(col(jsonCol), path).cast(castTo).as(name)
+      // try_cast, not cast: under ANSI mode (Spark 4 default) a plain cast
+      // THROWS on a present-but-malformed value, which would break the
+      // documented null-default contract for bad payloads.
+      get_json_object(col(jsonCol), path).try_cast(castTo).as(name)
     }
     df.select(df.columns.map(col).toIndexedSeq ++ extracted: _*)
   }

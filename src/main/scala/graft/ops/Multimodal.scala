@@ -82,14 +82,18 @@ object Multimodal {
     df.mapPartitions { rows =>
       val d = decoder()
       d.open()
-      val it = rows.map { r =>
+      // Close exactly once at task completion — fires on success, early
+      // termination (limit), AND task failure. Closing from the iterator's
+      // exhaustion path would double-close on repeated hasNext and leak
+      // the native handle whenever downstream stops consuming early.
+      var closed = false
+      def closeOnce(): Unit = if (!closed) { closed = true; d.close() }
+      Option(org.apache.spark.TaskContext.get())
+        .foreach(_.addTaskCompletionListener[Unit](_ => closeOnce()))
+      rows.map { r =>
         val bytes = r.getAs[Array[Byte]](contentIdx)
         val feats = if (bytes == null) null else d.features(bytes, dim)
         Row.fromSeq(r.toSeq :+ (if (feats == null) null else feats.toSeq))
-      }
-      new Iterator[Row] {
-        def hasNext: Boolean = { val h = it.hasNext; if (!h) d.close(); h }
-        def next(): Row = it.next()
       }
     }(enc)
   }

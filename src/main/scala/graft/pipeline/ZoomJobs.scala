@@ -52,10 +52,11 @@ object ZoomJobs {
 
   /** Next-load-date computation with school-year fallback — the complete
     * get_last_meeting_date semantics (/root/reference/main.py:242-267) as a
-    * 1-row DataFrame.
+    * 1-row DataFrame. `asOf` is an explicit parameter ("yyyy-MM-dd"), never
+    * the wall clock, per the determinism rule (SURVEY.md §7.5.6).
     */
-  def nextLoadDate(spark: SparkSession, sfDir: String): DataFrame = {
+  def nextLoadDate(spark: SparkSession, sfDir: String, asOf: String): DataFrame = {
     val orders = Tables.load(spark, sfDir, "orders")
-    Temporal.nextLoadDateWithFallback(orders, "o_orderdate", current_date())
+    Temporal.nextLoadDateWithFallback(orders, "o_orderdate", to_date(lit(asOf)))
   }
 }

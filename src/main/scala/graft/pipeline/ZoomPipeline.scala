@@ -38,8 +38,13 @@ class ZoomPipeline(spark: SparkSession, client: PagedApiClient,
 
   private def path(table: String) = s"$warehouse/$table"
 
-  def tableExists(table: String): Boolean =
-    new java.io.File(path(table)).exists()
+  def tableExists(table: String): Boolean = {
+    // Hadoop FileSystem, not java.io.File — the warehouse may be hdfs://
+    // or s3a://, where a local File.exists() is always false and would
+    // silently reset every incremental load to the fallback branch.
+    val p = new org.apache.hadoop.fs.Path(path(table))
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
 
   def table(table: String): DataFrame = spark.read.parquet(path(table))
 
@@ -72,14 +77,16 @@ class ZoomPipeline(spark: SparkSession, client: PagedApiClient,
     * Returns the loaded date, or None when caught up.
     */
   def loadMeetings(runDate: LocalDate): Option[LocalDate] = {
-    val next: LocalDate =
-      if (tableExists("meetings")) {
-        val wm = table("meetings")
-          .agg(max(Temporal.parseIsoOffset(col("start_time"))).as("watermark"))
-          .select(date_format(Temporal.nextLoadDate(col("watermark")), "yyyy-MM-dd"))
-          .as[String].head()
-        if (wm == null) schoolYearStart(runDate) else LocalDate.parse(wm)
-      } else schoolYearStart(runDate)
+    // One source of truth for max+1day-or-school-year-start: the same
+    // Temporal op the declared queries use — absent table behaves like an
+    // empty one (fallback branch).
+    val source =
+      if (tableExists("meetings"))
+        table("meetings").select(Temporal.parseIsoOffset(col("start_time")).as("__ts"))
+      else spark.emptyDataset[java.sql.Timestamp].toDF("__ts")
+    val next = LocalDate.parse(
+      Temporal.nextLoadDateWithFallback(source, "__ts", to_date(lit(runDate.toString)))
+        .select(date_format(col("next_date"), "yyyy-MM-dd")).as[String].head())
 
     if (!next.isBefore(runDate)) return None // watermark caught up
 
@@ -89,11 +96,6 @@ class ZoomPipeline(spark: SparkSession, client: PagedApiClient,
       .withColumn("run_date", lit(next.toString))
     meetings.write.mode("overwrite").partitionBy("run_date").parquet(path("meetings"))
     Some(next)
-  }
-
-  private def schoolYearStart(d: LocalDate): LocalDate = {
-    val y = if (d.getMonthValue > 6) d.getYear else d.getYear - 1
-    LocalDate.of(y, 8, 1) // main.py:242-249
   }
 
   /** Participants (§3.2 step 2): anti-join finds meetings with no
@@ -140,12 +142,12 @@ class ZoomPipeline(spark: SparkSession, client: PagedApiClient,
       val settings = spark.createDataset(page.records.toSeq)
         .select(
           lit(id).as("meeting_id"),
-          get_json_object(col("value"), "$.settings.enforce_login").cast("boolean").as("enforce_login"),
+          get_json_object(col("value"), "$.settings.enforce_login").try_cast("boolean").as("enforce_login"),
           get_json_object(col("value"), "$.settings.enforce_login_domains").as("enforce_login_domains"),
           get_json_object(col("value"), "$.settings.authentication_domains").as("authentication_domains"),
           get_json_object(col("value"), "$.settings.authentication_name").as("authentication_name"),
-          get_json_object(col("value"), "$.settings.meeting_authentication").cast("boolean").as("meeting_authentication"),
-          get_json_object(col("value"), "$.settings.waiting_room").cast("boolean").as("waiting_room"))
+          get_json_object(col("value"), "$.settings.meeting_authentication").try_cast("boolean").as("meeting_authentication"),
+          get_json_object(col("value"), "$.settings.waiting_room").try_cast("boolean").as("waiting_room"))
       settings.write.mode("overwrite").partitionBy("meeting_id").parquet(path("meeting_settings"))
     }
     ids.length

@@ -40,14 +40,22 @@ object PagedApi {
   def fetchWithRetry(client: PagedApiClient, entity: String,
                      key: Option[String], token: Option[String],
                      maxAttempts: Int = 3, baseBackoffMs: Long = 100,
+                     maxRateLimitPauses: Int = 60,
                      sleep: Long => Unit = Thread.sleep): ApiPage = {
     var attempt = 0
+    var pauses = 0
     while (true) {
       attempt += 1
       try return client.fetchPage(entity, key, token)
       catch {
         case e: RateLimitedError =>
-          sleep(e.retryAfterMs) // 429 does not consume a retry attempt
+          // 429 does not consume a retry attempt, but IS bounded — a
+          // permanently rate-limited endpoint (revoked key, exhausted
+          // quota) must fail loudly, not hang the driver forever
+          pauses += 1
+          if (pauses > maxRateLimitPauses)
+            throw new TransientApiError(s"still rate-limited after $pauses pauses")
+          sleep(e.retryAfterMs)
         case e: TransientApiError =>
           if (attempt >= maxAttempts) throw e
           sleep(baseBackoffMs << (attempt - 1))

@@ -135,7 +135,11 @@ object StreamingOps {
               val t = e.ts.getTime
               cur match {
                 case Some(s) if t - s.lastMs <= gapMs =>
-                  cur = Some(s.copy(nEvents = s.nEvents + 1, lastMs = t))
+                  // out-of-order rows above the watermark may arrive older
+                  // than the stored session — extend bounds, never regress
+                  cur = Some(s.copy(nEvents = s.nEvents + 1,
+                    startMs = math.min(s.startMs, t),
+                    lastMs = math.max(s.lastMs, t)))
                 case Some(s) => // gap exceeded → close, start fresh
                   closed ::= ClosedSession(userId, s.nEvents, s.startMs, s.lastMs)
                   cur = Some(SessionState(1, t, t))

@@ -34,6 +34,24 @@ class CosineSimilaritySpec extends SparkTestBase {
     assert(mismatches == 0)
   }
 
+  test("ragged lengths and null elements yield null in BOTH implementations") {
+    val df = Seq(
+      (1L, Seq(Some(1.0f), Some(2.0f)), Seq(Some(1.0f))),             // ragged
+      (2L, Seq(Some(1.0f), None), Seq(Some(1.0f), Some(2.0f))),       // null element
+      (3L, Seq(Some(1.0f), Some(2.0f)), Seq(Some(1.0f), Some(2.0f)))) // clean
+      .toDF("id", "a", "b")
+    val out = df.select($"id",
+        call_function("cosine_sim", $"a", $"b").as("native"),
+        VectorOps.cosine($"a", $"b").as("hof"))
+      .as[(Long, Option[Double], Option[Double])].collect()
+    out.foreach { case (id, native, hof) =>
+      assert(native == hof, s"row $id diverged: native=$native hof=$hof")
+    }
+    assert(out.find(_._1 == 1L).get._2.isEmpty)
+    assert(out.find(_._1 == 2L).get._2.isEmpty)
+    assert(out.find(_._1 == 3L).get._2.isDefined)
+  }
+
   test("null vector input yields null, not a crash") {
     val df = Seq(
       (1L, Some(Seq(1.0f, 2.0f)), Some(Seq(1.0f, 2.0f))),

@@ -22,4 +22,11 @@ class IngestSpec extends SparkTestBase {
       (2L, None, Some("y")),
       (3L, None, None)))
   }
+
+  test("flattenJson: present-but-malformed value yields null under ANSI mode, not an error") {
+    val df = Seq((1L, """{"k": "not-a-number"}""")).toDF("id", "props")
+    val out = Ingest.flattenJson(df, "props", Seq(("$.k", "k_val", "long")))
+      .select("k_val").as[Option[Long]].head()
+    assert(out.isEmpty) // try_cast semantics; plain cast would throw
+  }
 }

@@ -81,6 +81,35 @@ class ScaleOpsSpec extends SparkTestBase {
     assert(got == Map((1L, 2L) -> 1, (1L, 1L) -> 1, (2L, 1L) -> 1))
   }
 
+  test("stateful sessionizer handles out-of-order events without regressing bounds") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[StreamingOps.SessionEvent]
+    def ev(u: Long, s: String) = StreamingOps.SessionEvent(u, Timestamp.valueOf(s))
+    val sessions = StreamingOps.sessionizeStateful(
+      input.toDS().withWatermark("ts", "1 hour").as[StreamingOps.SessionEvent],
+      gapMs = 30 * 60 * 1000)
+    val q = sessions.writeStream.format("memory").queryName("ooo_sessions")
+      .outputMode("append").start()
+    try {
+      input.addData(ev(1, "2024-01-01 10:00:00"))
+      q.processAllAvailable()
+      // out-of-order but within gap and above watermark: extends backward
+      input.addData(ev(1, "2024-01-01 09:50:00"))
+      q.processAllAvailable()
+      // advance the watermark far past user 1 so its session times out
+      input.addData(ev(2, "2024-01-01 20:00:00"))
+      q.processAllAvailable()
+      val got = spark.table("ooo_sessions")
+        .select($"userId", $"nEvents", $"startMs", $"endMs")
+        .as[(Long, Long, Long, Long)].collect().filter(_._1 == 1L)
+      assert(got.length == 1)
+      val (_, n, start, end) = got.head
+      assert(n == 2)
+      assert(start == Timestamp.valueOf("2024-01-01 09:50:00").getTime)
+      assert(end == Timestamp.valueOf("2024-01-01 10:00:00").getTime) // never regressed
+    } finally q.stop()
+  }
+
   test("HLL approx distinct lands within the sketch error bound of exact") {
     val df = Tables.load(spark, "/root/testdata/sf0.001", "lineitem")
     val approx = Relational.approxDistinctPerGroup(df, "l_returnflag", "l_partkey")

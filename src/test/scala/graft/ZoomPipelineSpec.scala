@@ -117,6 +117,18 @@ class ZoomPipelineSpec extends SparkTestBase {
     assert(slept > 0) // backoff happened though maxAttempts was 1
   }
 
+  test("permanent rate limiting fails loudly instead of hanging forever") {
+    val alwaysLimited = new PagedApi.PagedApiClient {
+      def fetchPage(entity: String, key: Option[String], token: Option[String]) =
+        throw new PagedApi.RateLimitedError(1)
+    }
+    val e = intercept[PagedApi.TransientApiError] {
+      PagedApi.fetchWithRetry(alwaysLimited, "users", None, None,
+        maxRateLimitPauses = 3, sleep = _ => ())
+    }
+    assert(e.getMessage.contains("rate-limited"))
+  }
+
   test("reverse ETL isolates per-row failures (main.py:188-194)") {
     val (p, _) = freshPipeline()
     val students = Seq("ada@x.org", "bad@x.org", "eve@x.org").toDF("email")
