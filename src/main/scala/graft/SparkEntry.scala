@@ -213,6 +213,31 @@ object SparkEntry {
           col("event_type"), col("cnt"))
         .orderBy("day", "event_type")),
 
+    "pivot_daily_events" -> ((s, dir) =>
+      // explicit value list → fixed output columns, no value-discovery scan
+      t(s, dir, "events")
+        .select(date_format(col("ts"), "yyyy-MM-dd").as("day"), col("event_type"))
+        .groupBy("day")
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .count()
+        .na.fill(0L)
+        .orderBy("day")),
+
+    "multimodal_features" -> ((s, dir) => {
+      // documents' text bytes stand in for a media blob: real multimodal
+      // plumbing (binary column + per-partition decoder) on the declared
+      // surface; rows-only (the stub decoder is engine-internal).
+      val media = t(s, dir, "documents")
+        .select(col("doc_id").as("media_id"),
+          col("text").cast("binary").as("content"),
+          struct(lit("txt").as("format"), lit(0).as("width"),
+            lit(0).as("height"), lit(0L).as("duration_ms")).as("meta"))
+      graft.ops.Multimodal.extractFeatures(media, dim = 8)
+        .select(col("media_id"),
+          size(col("features")).cast("long").as("n_features"))
+        .orderBy("media_id")
+    }),
+
     "sessionize_gap" -> ((s, dir) =>
       Temporal.sessionize(t(s, dir, "events"), "user_id", "ts", "event_id", gapSeconds = 1800)
         .select(col("user_id"), col("session_id").cast("long").as("session_id"),
@@ -545,6 +570,15 @@ object SparkEntry {
       """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
             COUNT(*) AS cnt
          FROM events GROUP BY 1, 2 ORDER BY day, event_type""",
+
+    "pivot_daily_events" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS day,
+            COUNT(*) FILTER (event_type = 'click') AS click,
+            COUNT(*) FILTER (event_type = 'error') AS error,
+            COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+            COUNT(*) FILTER (event_type = 'signup') AS signup,
+            COUNT(*) FILTER (event_type = 'view') AS view
+         FROM events GROUP BY day ORDER BY day""",
 
     "sessionize_gap" ->
       """WITH e AS (
