@@ -24,16 +24,16 @@ object Bench {
       // hashing, lambda eval) that the dedup/sketch queries lean on — the
       // first pass through those code paths is JIT-cold and would otherwise
       // be billed to whichever sketch query happens to run first.
-      locally {
-        import org.apache.spark.sql.functions._
-        val docs = Tables.load(spark, sfDir, "documents").limit(200)
-        docs.select(graft.ops.LlmOps.minhashSignature(
-          graft.ops.LlmOps.shingleHashes(col("text"), 3), 16)).count()
-        docs.select(graft.ops.LlmOps.shingles(col("text"), 3)).count()
-        // miniature end-to-end runs of the two JIT-heaviest pipelines:
-        // same array/hash/join code paths, 1/25th of the rows
-        graft.ops.LlmOps.nearDupPairs(docs, "doc_id", "text").count()
-        graft.ops.LlmOps.jaccardPairs(docs, "doc_id", "text", "source", 3, 0.5).count()
+      // Run the whole slate once at the SMALLEST scale factor (untimed):
+      // compiles and JIT-warms every query's code paths generically, so the
+      // timed sf run measures data-proportional work, not whichever query
+      // happens to absorb one-time JVM/codegen warm-up first.
+      val warmDir = "/root/testdata/sf0.001"
+      if (new java.io.File(warmDir).exists() && warmDir != sfDir) {
+        SparkEntry.queries.foreach { case (_, fn) =>
+          try fn(spark, warmDir).count() catch { case _: Throwable => () }
+          spark.catalog.clearCache()
+        }
       }
     } catch { case _: Throwable => () }
     spark.catalog.clearCache() // drop warm-up caches before timing

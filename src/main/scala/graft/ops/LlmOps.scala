@@ -98,6 +98,10 @@ object LlmOps {
     * Jaccard verification. Returns (id_a, id_b, jaccard) with id_a < id_b,
     * jaccard >= threshold.
     *
+    * Caching note: the signature table is persist()ed (it feeds three plan
+    * branches); callers running many corpora in one session should
+    * `spark.catalog.clearCache()` after materializing results.
+    *
     * Scale shape: the candidate join shuffles only (band, band_hash, id,
     * shingles-of-candidates); non-candidate docs never meet. Skewed buckets
     * (e.g. boilerplate) are the classic hazard — AQE skew-join handles
