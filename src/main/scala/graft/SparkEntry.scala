@@ -207,6 +207,19 @@ object SparkEntry {
         .select("o_custkey", "o_orderkey", "running_total")
         .orderBy("o_custkey", "o_orderkey")),
 
+    "window_lag_ntile" -> ((s, dir) => {
+      val byDate = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      val byPrice = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          datediff(col("o_orderdate"), lag(col("o_orderdate"), 1).over(byDate))
+            .cast("long").as("days_since_prev"),
+          ntile(4).over(byPrice).cast("long").as("price_quartile"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
     "tumbling_daily_counts" -> ((s, dir) =>
       Temporal.tumblingCounts(t(s, dir, "events"), "ts", "1 day", "event_type")
         .select(date_format(col("window.start"), "yyyy-MM-dd").as("day"),
@@ -564,6 +577,16 @@ object SparkEntry {
             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
+         FROM orders ORDER BY o_custkey, o_orderkey""",
+
+    "window_lag_ntile" ->
+      """SELECT o_custkey, o_orderkey,
+            CAST(date_diff('day',
+              lag(o_orderdate) OVER (PARTITION BY o_custkey
+                ORDER BY o_orderdate, o_orderkey),
+              o_orderdate) AS BIGINT) AS days_since_prev,
+            CAST(ntile(4) OVER (PARTITION BY o_custkey
+              ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS price_quartile
          FROM orders ORDER BY o_custkey, o_orderkey""",
 
     "tumbling_daily_counts" ->
