@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.CosineSimilarity
+import graft.functions.{CosineSimilarity, HashedShingles}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * Catalyst expressions so they resolve by name in SQL and
@@ -18,5 +18,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[CosineSimilarity].getName, null, "cosine_sim",
         "cosine_sim(a, b) - cosine similarity of two float vectors", ""),
       (children: Seq[Expression]) => CosineSimilarity(children.head, children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("hashed_shingles"),
+      new ExpressionInfo(classOf[HashedShingles].getName, null, "hashed_shingles",
+        "hashed_shingles(text, n) - 64-bit hashes of word n-gram shingles", ""),
+      (children: Seq[Expression]) => HashedShingles(children.head, children(1))))
   }
 }

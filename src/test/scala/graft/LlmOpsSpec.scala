@@ -25,7 +25,12 @@ class LlmOpsSpec extends SparkTestBase {
   }
 
   test("near-dup pairs: finds (1,2) and (1,3)-style overlaps, not unrelated docs") {
-    val pairs = LlmOps.nearDupPairs(docs, "doc_id", "text", threshold = 0.5)
+    // 16 bands of 1 row: candidate-detection probability for jaccard 0.75
+    // is 1-(1-0.75)^16 ≈ 1-1e-10, so the assertion isn't at the mercy of
+    // which band a borderline pair hashes into (with the default 4 bands
+    // of 4, a 0.75-pair is only ~78% likely to surface as a candidate)
+    val pairs = LlmOps.nearDupPairs(docs, "doc_id", "text",
+        numHashes = 16, bands = 16, threshold = 0.5)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(pairs.contains((1L, 2L))) // identical after normalization
     assert(pairs.contains((1L, 3L)) || pairs.contains((2L, 3L))) // one-word change
