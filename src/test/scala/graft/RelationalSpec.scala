@@ -120,6 +120,20 @@ class RelationalSpec extends SparkTestBase {
       1L -> Some(100.0), 2L -> Some(101.0), 3L -> None, 4L -> Some(50.0)))
   }
 
+  test("banded range join finds exactly the within-band pairs, incl. across buckets") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val df = Seq(
+      (1L, ts("2024-01-01 00:00:10")),
+      (2L, ts("2024-01-01 00:00:40")),  // 30s from 1 — in band (<60), crosses bucket edge
+      (3L, ts("2024-01-01 00:01:35")),  // 55s from 2 — in band; 85s from 1 — out
+      (4L, ts("2024-01-01 10:00:00"))). // far from everything
+      toDF("event_id", "ts")
+    val pairs = graft.ops.AsOfJoin.rangeJoinPairs(df, "event_id", "ts", bandSeconds = 60)
+      .as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L), (2L, 3L)))
+  }
+
   test("running sum accumulates per group in order") {
     val df = Seq(("u1", 1, 10.0), ("u1", 2, 5.0), ("u2", 1, 7.0))
       .toDF("u", "seq", "x")
