@@ -238,8 +238,11 @@ object SparkEntry {
 
     "multimodal_features" -> ((s, dir) => {
       // documents' text bytes stand in for a media blob: real multimodal
-      // plumbing (binary column + per-partition decoder) on the declared
-      // surface; rows-only (the stub decoder is engine-internal).
+      // plumbing (binary column + per-partition decoder lifecycle) on the
+      // declared surface. The StubDecoder's md5-based features are
+      // recomputed bit-for-bit by the DuckDB oracle, so the decode path is
+      // hard-verified: f0 is the first feature, f_sum the sequential-fold
+      // double sum of the vector.
       val media = t(s, dir, "documents")
         .select(col("doc_id").as("media_id"),
           col("text").cast("binary").as("content"),
@@ -247,7 +250,10 @@ object SparkEntry {
             lit(0).as("height"), lit(0L).as("duration_ms")).as("meta"))
       graft.ops.Multimodal.extractFeatures(media, dim = 8)
         .select(col("media_id"),
-          size(col("features")).cast("long").as("n_features"))
+          size(col("features")).cast("long").as("n_features"),
+          element_at(col("features"), 1).cast("double").as("f0"),
+          aggregate(col("features").cast("array<double>"), lit(0.0),
+            (acc, x) => acc + x).as("f_sum"))
         .orderBy("media_id")
     }),
 
@@ -386,41 +392,59 @@ object SparkEntry {
           "doc_id", "text", blockCol = "source", shingleN = 3, threshold = 0.5)
         .orderBy("id_a", "id_b")),
 
-    // ---- rows-only checked (not ANSI-SQL-expressible in DuckDB) --------
+    // ---- portable-hash-family ops (md5-derived, DuckDB replays exactly) --
     "dedup_near" -> ((s, dir) =>
-      LlmOps.nearDupPairs(t(s, dir, "documents"), "doc_id", "text")
+      LlmOps.nearDupPairs(t(s, dir, "documents"), "doc_id", "text",
+          maxBucketSize = 10000)
         .orderBy("id_a", "id_b")),
 
     "dedup_simhash" -> ((s, dir) =>
       LlmOps.simhash(t(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")),
 
-    "approx_distinct_parts" -> ((s, dir) =>
-      // rows-only: DuckDB's HLL is a different implementation; the spec
-      // asserts the estimate lands within the sketch's error bound.
-      Relational.approxDistinctPerGroup(t(s, dir, "lineitem"),
-          "l_returnflag", "l_partkey")
-        .orderBy("l_returnflag")),
+    "approx_distinct_parts" -> ((s, dir) => {
+      // Contract-oracled: DuckDB can't replay the HLL registers, but it CAN
+      // verify the contract — the estimate must land within ±5% of the
+      // exact distinct count (lgK=12 → rsd ≈ 1.6%, so 5% is ~3σ). A broken
+      // sketch flips hll_ok to false and fails the hash compare.
+      val li = t(s, dir, "lineitem")
+      val approx = Relational.approxDistinctPerGroup(li, "l_returnflag", "l_partkey")
+      val exact = li.groupBy("l_returnflag")
+        .agg(countDistinct(col("l_partkey")).as("n_exact"))
+      approx.join(exact, "l_returnflag")
+        .select(col("l_returnflag"), col("n_exact"),
+          (abs(col("approx_distinct") - col("n_exact")) <= col("n_exact") * 0.05)
+            .as("hll_ok"))
+        .orderBy("l_returnflag")
+    }),
 
     "doc_winnow" -> ((s, dir) =>
-      t(s, dir, "documents")
-        .select(col("doc_id"),
-          size(LlmOps.winnowFingerprints(col("text"), 3, 4)).cast("long").as("n_fingerprints"))
+      LlmOps.winnowCounts(t(s, dir, "documents"), "doc_id", "text",
+          shingleN = 3, w = 4)
         .orderBy("doc_id")),
 
     "similarity_ivf" -> ((s, dir) => {
+      // Contract-oracled: k-means centroids aren't SQL-replayable, so the
+      // checked contract is recall — the IVF top-k (nProbe=2 of 8 cells)
+      // must recover >= 6 of the true brute-force top-10. A broken index,
+      // quantizer, or probe ranking flips recall_ok and fails the compare.
       val emb = t(s, dir, "embeddings")
       val qv = emb.filter(col("vec_id") === 0).select(col("embedding").as("__qv"))
       val (assigned, cents) = VectorOps.ivfIndex(emb, "embedding", nCells = 8)
-      VectorOps.ivfTopK(assigned, cents, "embedding", "vec_id", qv, k = 10, nProbe = 2)
+      val ivf = VectorOps.ivfTopK(assigned, cents, "embedding", "vec_id", qv, k = 10, nProbe = 2)
+      val brute = VectorOps.bruteForceTopK(emb, "embedding", "vec_id", qv, k = 10)
+      ivf.select("vec_id").intersect(brute.select("vec_id"))
+        .agg(count(lit(1)).as("__hits"))
+        .select(lit(10L).as("k"), (col("__hits") >= 6).as("recall_ok"))
     }),
 
     "similarity_ann" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val qv = emb.filter(col("vec_id") === 0).select(col("embedding").as("__qv"))
-      // 4 planes → 16 buckets: ~1/16 of the table scanned per query at a
-      // recall suited to the testdata's cardinality (8 planes left most
-      // buckets singleton). Tune nPlanes up as the table grows.
+      // 4 planes → 16 buckets, multi-probe scans the query bucket + its 4
+      // Hamming-1 neighbors (~5/16 of the table) for high recall. The
+      // md5-derived hyperplanes make bucketing + scoring fully
+      // DuckDB-replayable — this is a HARD oracle, not rows-only.
       VectorOps.annTopK(emb, "embedding", "vec_id", qv, k = 10, nPlanes = 4, dim = 64)
     }),
 
@@ -429,9 +453,13 @@ object SparkEntry {
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omitted (rows-only check): dedup_near,
-    * dedup_simhash, similarity_ann — they depend on Spark's xxhash64 /
-    * seeded hyperplanes, which DuckDB cannot reproduce.
+    * the same parquet tables. Every declared query has an entry: the
+    * dedup/sketch/ANN family runs on the PORTABLE md5-48 hash family
+    * (`('0x' || substr(md5(x), off, 12))::BIGINT`) that DuckDB replays
+    * digit for digit, and the two ops whose internals aren't
+    * SQL-expressible (HLL registers, k-means centroids) are
+    * CONTRACT-oracled: the query emits a boolean that the estimate/recall
+    * meets its bound, and the oracle asserts that boolean is true.
     */
   def oracleSql: Map[String, String] = Map(
 
@@ -781,6 +809,133 @@ object SparkEntry {
          WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
              / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
          ORDER BY id_a, id_b""",
+
+    // ---- portable md5-48 hash family twins -----------------------------
+
+    "dedup_near" ->
+      """WITH d AS (
+           SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(string_split_regex(lower(trim(text)), '\s+')) - 3, 0) + 2),
+               i -> array_to_string(list_slice(string_split_regex(lower(trim(text)), '\s+'), i, i + 2), ' '))) AS sh
+           FROM documents),
+         hp AS (
+           SELECT doc_id,
+             list_transform(sh, s -> ('0x' || substr(md5(s), 1, 12))::BIGINT) AS h1s,
+             list_transform(sh, s -> ('0x' || substr(md5(s), 13, 12))::BIGINT) AS h2s
+           FROM d WHERE len(sh) > 0),
+         sg AS (
+           SELECT doc_id,
+             list_distinct(h1s) AS shset,
+             list_transform(range(0, 16), j ->
+               list_min(list_transform(range(1, len(h1s) + 1), x -> h1s[x] + j * h2s[x]))) AS sig
+           FROM hp),
+         bands AS (
+           SELECT doc_id, t.b AS band,
+             md5(array_to_string(list_slice(sig, t.b * 4 + 1, t.b * 4 + 4), ',')) AS bh
+           FROM sg, range(0, 4) t(b)),
+         ok AS (
+           SELECT band, bh FROM bands GROUP BY band, bh
+           HAVING COUNT(*) BETWEEN 2 AND 10000),
+         cap AS (SELECT bands.* FROM bands JOIN ok USING (band, bh)),
+         cand AS (
+           SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+           FROM cap a JOIN cap c
+             ON a.band = c.band AND a.bh = c.bh AND a.doc_id < c.doc_id),
+         jac AS (
+           SELECT id_a, id_b,
+             CAST(len(list_intersect(x.shset, y.shset)) AS DOUBLE)
+               / len(list_distinct(list_concat(x.shset, y.shset))) AS jaccard
+           FROM cand
+           JOIN sg x ON cand.id_a = x.doc_id
+           JOIN sg y ON cand.id_b = y.doc_id)
+         SELECT id_a, id_b, jaccard FROM jac
+         WHERE jaccard >= 0.7
+         ORDER BY id_a, id_b""",
+
+    "dedup_simhash" ->
+      """WITH tok AS (
+           SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS t
+           FROM documents),
+         h AS (
+           SELECT doc_id, ('0x' || substr(md5(t), 1, 12))::BIGINT AS h FROM tok),
+         bits AS (
+           SELECT doc_id, r.b,
+             SUM(CASE WHEN ((h >> r.b) & 1) = 1 THEN 1 ELSE -1 END) AS v
+           FROM h CROSS JOIN range(0, 48) r(b)
+           GROUP BY doc_id, r.b)
+         SELECT doc_id,
+           CAST(SUM(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash
+         FROM bits GROUP BY doc_id ORDER BY doc_id""",
+
+    "doc_winnow" ->
+      """WITH t AS (
+           SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+           FROM documents),
+         s AS (
+           SELECT doc_id, list_transform(
+             range(1, greatest(len(toks) - 3, 0) + 2),
+             i -> ('0x' || substr(md5(array_to_string(list_slice(toks, i, i + 2), ' ')), 1, 12))::BIGINT) AS sh
+           FROM t),
+         m AS (
+           SELECT doc_id, list_transform(
+             range(1, greatest(len(sh) - 4, 0) + 2),
+             i -> list_min(list_slice(sh, i, i + 3))) AS mins
+           FROM s)
+         SELECT doc_id, CAST(len(list_distinct(mins)) AS BIGINT) AS n_fingerprints
+         FROM m ORDER BY doc_id""",
+
+    "approx_distinct_parts" ->
+      """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_exact, TRUE AS hll_ok
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "similarity_ivf" ->
+      "SELECT CAST(10 AS BIGINT) AS k, TRUE AS recall_ok",
+
+    "similarity_ann" ->
+      """WITH planes AS (
+           SELECT t.j, list_transform(range(0, 64), i ->
+             CAST(('0x' || substr(md5('plane:' || t.j || ':' || i), 1, 12))::BIGINT AS DOUBLE)
+               / 140737488355328.0 - 1.0) AS p
+           FROM range(0, 4) t(j)),
+         b AS (
+           SELECT e.vec_id, e.embedding,
+             (SELECT CAST(SUM(CASE WHEN list_reduce(
+                 list_transform(range(1, len(e.embedding) + 1),
+                   i -> CAST(e.embedding[i] AS DOUBLE) * p.p[i]),
+                 (x, y) -> x + y) >= 0
+               THEN (1::BIGINT << p.j) ELSE 0 END) AS BIGINT) FROM planes p) AS bucket
+           FROM embeddings e),
+         q AS (SELECT embedding AS qv, bucket AS qb FROM b WHERE vec_id = 0),
+         probes AS (
+           SELECT qb AS pb FROM q
+           UNION
+           SELECT xor(qb, 1::BIGINT << r.m) FROM q, range(0, 4) r(m)),
+         s AS (
+           SELECT b.vec_id,
+             list_reduce(list_transform(range(1, len(b.embedding) + 1),
+               i -> CAST(b.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)), (x, y) -> x + y) AS dot,
+             list_reduce(list_transform(range(1, len(b.embedding) + 1),
+               i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), (x, y) -> x + y) AS na,
+             list_reduce(list_transform(range(1, len(q.qv) + 1),
+               i -> CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)), (x, y) -> x + y) AS nb
+           FROM b JOIN q ON b.bucket IN (SELECT pb FROM probes))
+         SELECT vec_id, dot / (sqrt(na) * sqrt(nb)) AS score
+         FROM s ORDER BY score DESC, vec_id LIMIT 10""",
+
+    "multimodal_features" ->
+      """WITH f AS (
+           SELECT doc_id AS media_id,
+             list_transform(range(0, 8), j ->
+               CAST(('0x' || substr(md5(text || ':' || j), 1, 12))::BIGINT AS DOUBLE)
+                 / 140737488355328.0 - 1.0) AS fd
+           FROM documents)
+         SELECT media_id,
+           CAST(len(fd) AS BIGINT) AS n_features,
+           CAST(CAST(fd[1] AS FLOAT) AS DOUBLE) AS f0,
+           list_reduce(list_transform(fd, x -> CAST(CAST(x AS FLOAT) AS DOUBLE)),
+             (a, b) -> a + b) AS f_sum
+         FROM f ORDER BY media_id""",
 
     "flagship_pipeline" ->
       """SELECT r_name, n_name, COUNT(*) AS new_customers

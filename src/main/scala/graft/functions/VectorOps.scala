@@ -103,6 +103,29 @@ object VectorOps {
     Seq.fill(nPlanes)(Array.fill(dim)(rng.nextGaussian()))
   }
 
+  /** 48-bit integer from the first 6 bytes of md5(s) — the same portable
+    * hash family as [[graft.ops.LlmOps.md5Hash48]], computed driver-side.
+    */
+  def md5Long48(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    ((d(0) & 0xffL) << 40) | ((d(1) & 0xffL) << 32) | ((d(2) & 0xffL) << 24) |
+      ((d(3) & 0xffL) << 16) | ((d(4) & 0xffL) << 8) | (d(5) & 0xffL)
+  }
+
+  /** PORTABLE hyperplanes: component (j, i) is md5("plane:j:i") → 48-bit
+    * int → exact double in [-1, 1). Every step (int < 2^53 → double,
+    * division by 2^47, subtract 1) is exact IEEE arithmetic, so an external
+    * SQL engine rebuilding the planes from the same md5 recipe gets
+    * bitwise-identical doubles — which makes LSH bucket assignment (a sign
+    * test on a sequential-fold dot product) reproducible outside Spark.
+    * Uniform components are fine for sign-LSH (direction uniformity matters
+    * less than determinism here; recall is tuned via nPlanes/multi-probe).
+    */
+  def hyperplanesPortable(nPlanes: Int, dim: Int): Seq[Array[Double]] =
+    Seq.tabulate(nPlanes)(j => Array.tabulate(dim)(i =>
+      md5Long48(s"plane:$j:$i").toDouble / 140737488355328.0 - 1.0)) // / 2^47
+
   /** IVF (inverted-file) ANN: coarse-quantize vectors to seeded k-means
     * centroids once, then answer queries by exact-scoring only the
     * `nProbe` nearest cells. The standard alternative scale path to
@@ -114,12 +137,26 @@ object VectorOps {
     * training sample is bounded — the k-means fit happens on the driver's
     * MLlib job over a capped sample, never the full table.
     */
+  /** Deterministic bounded sample with NO single-partition funnel: rows
+    * where xxhash64(keyCol) ≡ 0 (mod step), step sized from a count so the
+    * expected sample is ~cap. A global `limit(cap)` would plan a
+    * GlobalLimit that drags every candidate row through one task — at
+    * 100 TB that single partition is the whole job's bottleneck; the
+    * hash-mod filter evaluates map-side in every partition independently.
+    */
+  def deterministicSample(df: DataFrame, keyCol: String, cap: Long): DataFrame = {
+    val n = df.count()
+    val step = math.max(1L, n / math.max(1L, cap))
+    if (step == 1L) df
+    else df.filter(pmod(xxhash64(col(keyCol)), lit(step)) === 0)
+  }
+
   def ivfIndex(embeddings: DataFrame, embCol: String,
                nCells: Int, seed: Long = 42L, sampleCap: Int = 100000): (DataFrame, DataFrame) = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val withVec = embeddings.withColumn("__vec", array_to_vector(col(embCol).cast("array<double>")))
-    val sample = withVec.limit(sampleCap)
+    val sample = deterministicSample(withVec, embCol, sampleCap)
     // Coarse quantization only needs rough cells — 5 Lloyd iterations, not
     // the default 20; recall is governed by nProbe, not centroid polish.
     val model = new KMeans().setK(nCells).setSeed(seed).setFeaturesCol("__vec")
@@ -154,18 +191,35 @@ object VectorOps {
       .limit(k)
   }
 
-  /** ANN top-k: restrict the scan to rows sharing the query's LSH bucket,
-    * then exact-cosine rank within the bucket. Recall < 1.0 by design; the
-    * baseline-correct path is [[bruteForceTopK]].
+  /** ANN top-k: restrict the scan to rows sharing the query's LSH bucket —
+    * or, with `multiProbe` (default), the query's bucket plus its nPlanes
+    * Hamming-1 neighbors (flip one sign bit each), the standard multi-probe
+    * trick that recovers most of the recall lost to near-boundary vectors
+    * for a (nPlanes+1)/2^nPlanes fraction of the table scanned — then
+    * exact-cosine rank within the probed buckets. Each row lives in exactly
+    * one bucket and probe values are distinct, so no dedup is needed.
+    * Recall < 1.0 by design; the baseline-correct path is
+    * [[bruteForceTopK]]. Hyperplanes come from [[hyperplanesPortable]], so
+    * the whole bucket assignment is reproducible by an external oracle.
     */
   def annTopK(embeddings: DataFrame, embCol: String, idCol: String,
-              queryVec: DataFrame, k: Int, nPlanes: Int, dim: Int): DataFrame = {
-    val planes = hyperplanes(nPlanes, dim)
+              queryVec: DataFrame, k: Int, nPlanes: Int, dim: Int,
+              multiProbe: Boolean = true): DataFrame = {
+    val spark = embeddings.sparkSession
+    val planes = hyperplanesPortable(nPlanes, dim)
     val bucketed = embeddings.withColumn("__bucket", lshBucket(col(embCol), planes))
     val q = queryVec.withColumn("__qbucket", lshBucket(col("__qv"), planes))
+    val probes =
+      if (!multiProbe) q
+      else q.select(col("__qv"),
+        explode(array_union(
+          array(col("__qbucket")),
+          transform(sequence(lit(0), lit(nPlanes - 1)),
+            m => col("__qbucket").bitwiseXOR(call_function("shiftleft", lit(1L), m)))))
+          .as("__qbucket"))
     bucketed
-      .join(broadcast(q), col("__bucket") === col("__qbucket"))
-      .select(col(idCol), cosine(col(embCol), col("__qv")).as("score"))
+      .join(broadcast(probes), col("__bucket") === col("__qbucket"))
+      .select(col(idCol), cosineBest(spark, col(embCol), col("__qv")).as("score"))
       .orderBy(col("score").desc, col(idCol).asc)
       .limit(k)
   }

@@ -87,9 +87,63 @@ object LlmOps {
       (acc, sh) => zip_with(acc, sequence(lit(0), lit(k - 1)),
         (m, j) => least(m, xxhash64(sh, j))))
 
+  /** 48-bit integer from 12 hex chars of `md5(c)` at 1-based hex offset
+    * `off` — the PORTABLE hash family: any ANSI-SQL engine reproduces it
+    * exactly (`('0x' || substr(md5(x), off, 12))::BIGINT`), unlike
+    * xxhash64's internal seeding. 48 bits keep every derived value
+    * (h1 + j·h2 for j < 32) below 2^53: no int64 overflow under ANSI mode
+    * and exactly representable in doubles.
+    */
+  def md5Hash48(c: Column, off: Int): Column =
+    conv(substring(md5(c), off, 12), 16, 10).cast("long")
+
+  /** Per-shingle portable hash pair (h1, h2): two independent 48-bit values
+    * cut from ONE md5 per shingle. The k-hash MinHash family is then
+    * h_j = h1 + j·h2 (Carter–Wegman style) — k hashes for the price of one
+    * digest, and a family any SQL oracle can replay digit for digit.
+    */
+  def shinglePairs(c: Column, n: Int): Column =
+    transform(transform(shingles(c, n), s => md5(s)), m =>
+      struct(
+        conv(substring(m, 1, 12), 16, 10).cast("long").as("h1"),
+        conv(substring(m, 13, 12), 16, 10).cast("long").as("h2")))
+
+  /** MinHash signature over [[shinglePairs]]: sig[j] = min over shingles of
+    * (h1 + j·h2). Same constant-size fold shape as [[minhashSignature]].
+    */
+  def minhashSignaturePortable(pairCol: Column, k: Int): Column =
+    aggregate(
+      pairCol,
+      array_repeat(lit(Long.MaxValue), k),
+      (acc, p) => zip_with(acc, sequence(lit(0), lit(k - 1)),
+        (m, j) => least(m, p.getField("h1") + j * p.getField("h2"))))
+
+  /** The full portable per-doc MinHash projection: distinct 48-bit shingle
+    * hashes (the Jaccard set) plus the k-component signature, as one struct.
+    */
+  def minhashPlan(c: Column, n: Int, k: Int): Column = {
+    val pairs = shinglePairs(c, n)
+    struct(
+      array_distinct(transform(pairs, p => p.getField("h1"))).as("sh"),
+      minhashSignaturePortable(pairs, k).as("sig"))
+  }
+
+  /** [[minhashPlan]] via the native MinHashShingles expression when
+    * GraftExtensions is installed (one tight Java pass over the text — one
+    * MessageDigest per shingle, no per-element boxing), HOF fallback
+    * otherwise. Both produce IDENTICAL values (same md5 family), so plans
+    * may switch freely without affecting results — asserted by spec.
+    */
+  def minhashPlanBest(df: DataFrame, c: Column, n: Int, k: Int): Column =
+    if (df.sparkSession.catalog.functionExists("minhash_plan"))
+      call_function("minhash_plan", c, lit(n), lit(k))
+    else minhashPlan(c, n, k)
+
   /** LSH banding: explode the signature into `bands` rows keyed by
-    * (bandIdx, hash of that band's slice). Docs sharing any band key are
-    * near-dup candidates.
+    * (bandIdx, md5 of that band's comma-joined slice). Docs sharing any
+    * band key are near-dup candidates. The band key is an md5 HEX STRING —
+    * equality-joinable, portable (both engines render int64s and md5
+    * identically), and as well-mixed as any 64-bit hash.
     */
   def lshBands(df: DataFrame, idCol: String, sigCol: String,
                bands: Int, rowsPerBand: Int): DataFrame =
@@ -98,7 +152,10 @@ object LlmOps {
         posexplode(
           transform(
             sequence(lit(0), lit(bands - 1)),
-            b => xxhash64(slice(col(sigCol), b * rowsPerBand + 1, lit(rowsPerBand)), b)))
+            b => md5(array_join(
+              transform(slice(col(sigCol), b * rowsPerBand + 1, lit(rowsPerBand)),
+                x => x.cast("string")),
+              ","))))
           .as(Seq("band", "band_hash")))
 
   /** Exact Jaccard similarity of two shingle-set columns. */
@@ -116,12 +173,22 @@ object LlmOps {
     *
     * Scale shape: the candidate join shuffles only (band, band_hash, id,
     * shingles-of-candidates); non-candidate docs never meet. Skewed buckets
-    * (e.g. boilerplate) are the classic hazard — AQE skew-join handles
-    * moderate skew; pathological buckets should be capped upstream.
+    * (boilerplate that hashes thousands of docs into one band key) are the
+    * classic hazard: `maxBucketSize` drops any band bucket larger than the
+    * cap BEFORE the self-join, bounding candidate generation at
+    * O(buckets · cap²) instead of a quadratic blowup on one hot key —
+    * standard practice (exact duplicates should be removed by
+    * [[dedupExactIds]] first, so a capped bucket loses only
+    * boilerplate-vs-boilerplate pairs). Singleton buckets are dropped in
+    * the same pass (they can't produce pairs), which eliminates most of the
+    * banding table before the join.
     */
   def nearDupPairs(df: DataFrame, idCol: String, textCol: String,
                    shingleN: Int = 3, numHashes: Int = 16,
-                   bands: Int = 4, threshold: Double = 0.7): DataFrame = {
+                   bands: Int = 4, threshold: Double = 0.7,
+                   maxBucketSize: Int = 1 << 20): DataFrame = {
+    require(numHashes % bands == 0,
+      s"bands ($bands) must divide numHashes ($numHashes): trailing signature components would be silently ignored")
     val rowsPerBand = numHashes / bands
     // Persisted: this table feeds the banding scan AND both sides of the
     // verification join — without it the shingle+signature computation (the
@@ -132,15 +199,22 @@ object LlmOps {
     // of small parquet files (one file = one task otherwise).
     val withSets = df
       .repartition(df.sparkSession.sessionState.conf.numShufflePartitions, col(idCol))
-      .select(col(idCol), shingleHashesBest(df, col(textCol), shingleN).as("__sh"))
+      .select(col(idCol), minhashPlanBest(df, col(textCol), shingleN, numHashes).as("__mh"))
+      .select(col(idCol), col("__mh.sh").as("__sh"), col("__mh.sig").as("__sig"))
       .filter(size(col("__sh")) > 0)
-      .withColumn("__sig", minhashSignature(col("__sh"), numHashes))
       .persist()
 
     val banded = lshBands(withSets, idCol, "__sig", bands, rowsPerBand)
 
-    val a = banded.select(col(idCol).as("id_a"), col("band"), col("band_hash"))
-    val b = banded.select(col(idCol).as("id_b"), col("band").as("band_b"), col("band_hash").as("band_hash_b"))
+    // Hot-bucket guard: keep only buckets with 2..maxBucketSize members.
+    val okBuckets = banded.groupBy("band", "band_hash")
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") >= 2 && col("__n") <= maxBucketSize)
+      .select("band", "band_hash")
+    val capped = banded.join(okBuckets, Seq("band", "band_hash"))
+
+    val a = capped.select(col(idCol).as("id_a"), col("band"), col("band_hash"))
+    val b = capped.select(col(idCol).as("id_b"), col("band").as("band_b"), col("band_hash").as("band_hash_b"))
     val candidates = a.join(b,
         col("band") === col("band_b") &&
         col("band_hash") === col("band_hash_b") &&
@@ -211,30 +285,46 @@ object LlmOps {
       .filter(col("jaccard") >= threshold)
   }
 
-  /** 64-bit SimHash of the token multiset: bit i of the sketch is the sign
-    * of Σ_tokens (±1 by bit i of xxhash64(token)). Near-dups have small
-    * Hamming distance between sketches.
+  /** SimHash of the token multiset: bit i of the sketch is the sign of
+    * Σ_tokens (±1 by bit i of the portable md5-48 token hash). Near-dups
+    * have small Hamming distance between sketches. 48 bits (not 64) so the
+    * per-token hash comes from the portable family an external SQL oracle
+    * replays exactly; sketch quality scales with bit count and 48 is ample
+    * for near-dup bucketing.
     *
-    * Computed per-row with two compact folds (token hashes → 64 bit-vote
+    * Computed per-row with two compact folds (token hashes → bit-vote
     * counters → packed long) — a pure projection with NO shuffle, and a
     * constant-size expression tree. The naive alternative (explode + 64
     * separate conditional sums) shuffles |tokens| rows per doc and takes
     * Catalyst ~20s just to analyze/codegen the 64-agg plan.
     */
-  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val hashes = transform(tokens(col(textCol)), t => xxhash64(t))
+  def simhash(df: DataFrame, idCol: String, textCol: String,
+              bits: Int = 48): DataFrame = {
+    require(bits >= 1 && bits <= 48, "portable md5-48 family carries 48 bits")
+    val hashes = transform(tokens(col(textCol)), t => md5Hash48(t, 1))
     val bitVotes = aggregate(
       hashes,
-      array_repeat(lit(0), 64),
-      (acc, h) => zip_with(acc, sequence(lit(0), lit(63)),
+      array_repeat(lit(0), bits),
+      (acc, h) => zip_with(acc, sequence(lit(0), lit(bits - 1)),
         (c, i) => c + when(call_function("shiftright", h, i).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)))
     val packed = aggregate(
-      zip_with(bitVotes, sequence(lit(0), lit(63)),
+      zip_with(bitVotes, sequence(lit(0), lit(bits - 1)),
         (c, i) => when(c > 0, call_function("shiftleft", lit(1L), i)).otherwise(lit(0L))),
       lit(0L),
       (acc, b) => acc + b)
     df.select(col(idCol), packed.as("simhash"))
   }
+
+  /** Portable shingle-hash SEQUENCE in document order, duplicates kept —
+    * winnowing must slide over the original shingle stream, not the
+    * deduplicated set. `tokenCol` should be a materialized token-array
+    * column (see [[winnowCounts]]) so the split isn't re-evaluated per
+    * window.
+    */
+  def shingleHashSeq(tokenCol: Column, n: Int): Column =
+    transform(
+      sequence(lit(0), greatest(size(tokenCol) - n, lit(0))),
+      i => md5Hash48(concat_ws(" ", slice(tokenCol, i + 1, lit(n))), 1))
 
   /** Winnowing fingerprints (MOSS-style): the minimum shingle hash in each
     * sliding window of `w` consecutive shingles, deduplicated. Guarantees
@@ -244,12 +334,28 @@ object LlmOps {
     * Pure per-row projection; output is the compact key set to index.
     */
   def winnowFingerprints(c: Column, shingleN: Int, w: Int): Column = {
-    val sh = shingleHashes(c, shingleN)
+    val sh = shingleHashSeq(tokens(c), shingleN)
     array_distinct(
       transform(
         sequence(lit(0), greatest(size(sh) - w, lit(0))),
         i => array_min(slice(sh, i + 1, lit(w)))))
   }
+
+  /** Per-doc winnowing fingerprint COUNT with each stage materialized as a
+    * projection (tokens → shingle seq → window minima → distinct count) so
+    * the token split and hash sequence are computed once per row, not once
+    * per sliding window. This is the form to use over a corpus.
+    */
+  def winnowCounts(df: DataFrame, idCol: String, textCol: String,
+                   shingleN: Int, w: Int): DataFrame =
+    df.select(col(idCol), tokens(col(textCol)).as("__t"))
+      .select(col(idCol), shingleHashSeq(col("__t"), shingleN).as("__shseq"))
+      .select(col(idCol),
+        transform(
+          sequence(lit(0), greatest(size(col("__shseq")) - w, lit(0))),
+          i => array_min(slice(col("__shseq"), i + 1, lit(w)))).as("__mins"))
+      .select(col(idCol),
+        size(array_distinct(col("__mins"))).cast("long").as("n_fingerprints"))
 
   /** Per-document text statistics: char count, whitespace-token count,
     * BPE-ish token count (letter runs / digit runs / single non-space

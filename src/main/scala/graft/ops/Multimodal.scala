@@ -49,20 +49,28 @@ object Multimodal {
     def close(): Unit = ()
   }
 
-  /** Deterministic stand-in for a real codec: features are a seeded mix of
-    * the content bytes (same bytes → same vector). A production deployment
-    * swaps this for a JNI/FFI decoder with the same partition lifecycle.
+  /** Deterministic stand-in for a real codec: feature j of a blob is
+    * md5(content ++ ":j") → first 48 bits → exact double in [-1, 1) →
+    * float. Same bytes → same vector, and — because the recipe is plain
+    * md5 + exact IEEE arithmetic — an external SQL oracle can recompute
+    * every feature bit for bit, which turns the stubbed decode path into a
+    * hard-verifiable one. A production deployment swaps this for a JNI/FFI
+    * decoder with the same partition lifecycle.
     */
   class StubDecoder extends MediaDecoder {
+    @transient private lazy val md = java.security.MessageDigest.getInstance("MD5")
     def features(content: Array[Byte], dim: Int): Array[Float] = {
       val out = new Array[Float](dim)
-      var h = 1125899906842597L // deterministic FNV-ish rolling hash
-      var i = 0
-      while (i < content.length) { h = 31 * h + content(i); i += 1 }
       var j = 0
       while (j < dim) {
-        h = h * 6364136223846793005L + 1442695040888963407L
-        out(j) = ((h >>> 40).toInt / 16777216.0f) - 0.5f
+        md.reset()
+        md.update(content)
+        md.update((":" + j).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        val d = md.digest()
+        val h = ((d(0) & 0xffL) << 40) | ((d(1) & 0xffL) << 32) |
+          ((d(2) & 0xffL) << 24) | ((d(3) & 0xffL) << 16) |
+          ((d(4) & 0xffL) << 8) | (d(5) & 0xffL)
+        out(j) = (h.toDouble / 140737488355328.0 - 1.0).toFloat // / 2^47
         j += 1
       }
       out
