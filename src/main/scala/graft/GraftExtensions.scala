@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CosineSimilarity, HashedShingles}
+import graft.functions.{CosineSimilarity, HashedShingles, MinHashShingles}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * Catalyst expressions so they resolve by name in SQL and
@@ -23,5 +23,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[HashedShingles].getName, null, "hashed_shingles",
         "hashed_shingles(text, n) - 64-bit hashes of word n-gram shingles", ""),
       (children: Seq[Expression]) => HashedShingles(children.head, children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("minhash_plan"),
+      new ExpressionInfo(classOf[MinHashShingles].getName, null, "minhash_plan",
+        "minhash_plan(text, n, k) - portable md5-48 shingle set + k-component MinHash signature", ""),
+      (children: Seq[Expression]) => MinHashShingles(children.head, children(1), children(2))))
   }
 }

@@ -18,8 +18,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * Hash identity differs from the HOF composition's xxhash64 chain — any
   * fixed 64-bit hash family defines the same SET semantics, and every
   * consumer (min-hash signatures, banding, jaccard counts) only needs
-  * hashes to be stable and well-mixed, so results depend only on the
-  * token content, not which family produced the bits.
+  * hashes to be stable and well-mixed, so results depend only on the token
+  * content, not which family produced the bits. What MUST agree between
+  * the paths is set CARDINALITY, which is why the tokenizer replicates
+  * `split(s, "\s+", -1)`'s empty-token behavior exactly (asserted by
+  * spec on tab/newline-edged fixtures).
   *
   * CodegenFallback: one virtual call per row; the loop itself is plain
   * JIT-compiled Java, which is where the time goes.
@@ -42,28 +45,45 @@ case class HashedShingles(left: Expression, right: Expression)
     val bytes = str.asInstanceOf[UTF8String].toLowerCase.trim.getBytes
     val n = nAny.asInstanceOf[Int]
 
-    // 1. tokenize on whitespace runs, hashing each token inline (FNV-1a
-    //    with a finalizing avalanche)
+    // 1. tokenize replicating split(s, "\s+", -1) EXACTLY — including the
+    //    empty leading/trailing tokens produced by non-space whitespace
+    //    edges (\t, \n survive trim, which strips 0x20 only) and the single
+    //    empty token of an empty string — so the native path's shingle-set
+    //    CARDINALITY always equals the HOF composition's (the families
+    //    differ, the set sizes must not). Each token is hashed inline
+    //    (FNV-1a with a finalizing avalanche); an empty token hashes the
+    //    bare basis.
     var tokenHashes = new Array[Long](16)
     var nTokens = 0
-    var i = 0
     val len = bytes.length
-    while (i <= len) {
-      // find next token [i, j)
-      while (i < len && isSpace(bytes(i))) i += 1
-      if (i < len || nTokens == 0) {
-        var j = i
-        var h = 0xcbf29ce484222325L
-        while (j < len && !isSpace(bytes(j))) {
-          h = (h ^ (bytes(j) & 0xffL)) * 0x100000001b3L
-          j += 1
+    def addTok(s: Int, e: Int): Unit = {
+      var h = 0xcbf29ce484222325L
+      var j = s
+      while (j < e) {
+        h = (h ^ (bytes(j) & 0xffL)) * 0x100000001b3L
+        j += 1
+      }
+      if (nTokens == tokenHashes.length)
+        tokenHashes = java.util.Arrays.copyOf(tokenHashes, nTokens * 2)
+      tokenHashes(nTokens) = avalanche(h)
+      nTokens += 1
+    }
+    if (len == 0) addTok(0, 0)
+    else {
+      var pos = 0
+      var done = false
+      while (!done) {
+        var t = pos
+        while (t < len && !isSpace(bytes(t))) t += 1
+        addTok(pos, t) // empty when a whitespace run starts at pos
+        if (t >= len) done = true
+        else {
+          var r = t
+          while (r < len && isSpace(bytes(r))) r += 1
+          pos = r
+          if (r >= len) { addTok(len, len); done = true } // trailing empty
         }
-        if (nTokens == tokenHashes.length)
-          tokenHashes = java.util.Arrays.copyOf(tokenHashes, nTokens * 2)
-        tokenHashes(nTokens) = avalanche(h)
-        nTokens += 1
-        i = if (j == i) j + 1 else j
-      } else i += 1
+      }
     }
 
     // 2. n-gram windows over token hashes, mixed; dedupe via LongMap
