@@ -95,6 +95,67 @@ class LlmOpsSpec extends SparkTestBase {
     assert(fps(1L).size <= nShingles) // sketch is never larger than the full set
   }
 
+  test("hot LSH buckets are capped: boilerplate flood can't go quadratic") {
+    // 100 identical boilerplate docs land in the same band buckets; two
+    // legitimately similar docs live in small buckets. With the cap above
+    // the flood everything surfaces (quadratic: C(100,2) boilerplate
+    // pairs); with the cap below it the flood's buckets are dropped before
+    // the self-join while the small-bucket pair is still found.
+    val boiler = (1L to 100L).map(i => (i, "all rights reserved contact us terms of service apply"))
+    val real = Seq(
+      (201L, "the quick brown fox jumps over the lazy dog tonight"),
+      (202L, "the quick brown fox jumps over the lazy dog today"))
+    val docs = (boiler ++ real).toDF("doc_id", "text")
+    val uncapped = LlmOps.nearDupPairs(docs, "doc_id", "text", threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(uncapped.size >= 100 * 99 / 2, s"expected the full boilerplate clique, got ${uncapped.size}")
+    assert(uncapped.contains((201L, 202L)))
+    val capped = LlmOps.nearDupPairs(docs, "doc_id", "text", threshold = 0.5,
+        maxBucketSize = 50)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(capped.contains((201L, 202L)), "small-bucket pair lost to the cap")
+    assert(!capped.exists { case (a, b) => a <= 100L && b <= 100L },
+      "hot-bucket pairs should be dropped by the cap")
+  }
+
+  test("nearDupPairs rejects bands that don't divide numHashes (ADVICE fix)") {
+    val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      LlmOps.nearDupPairs(docs, "doc_id", "text", numHashes = 16, bands = 5)
+    }
+  }
+
+  test("jaccardPairs matches a brute-force all-pairs oracle incl. edge docs") {
+    // richer fixture than the corpus exercises: several true near-dup pairs,
+    // sub-n-token docs, and whitespace-edged docs — validates the PPJoin
+    // prefix filter + length filter never drop a qualifying pair (ADVICE).
+    val docs = Seq(
+      (1L, "s", "alpha beta gamma delta epsilon zeta"),
+      (2L, "s", "alpha beta gamma delta epsilon eta"),    // near-dup of 1
+      (3L, "s", "alpha beta gamma delta epsilon zeta"),   // exact dup of 1
+      (4L, "s", "one two"),                               // sub-n tokens
+      (5L, "s", "one two"),                               // dup of 4
+      (6L, "s", "\talpha beta gamma delta epsilon zeta"), // tab edge
+      (7L, "s", "unrelated totally different content here now"),
+      (8L, "t", "alpha beta gamma delta epsilon zeta"))   // other block
+      .toDF("doc_id", "source", "text")
+    val got = LlmOps.jaccardPairs(docs, "doc_id", "text", "source", 3, 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // brute-force oracle: all same-block pairs with true shingle jaccard >= 0.5
+    val sets = docs.select($"doc_id", $"source",
+        LlmOps.shingles($"text", 3).as("sh"))
+      .as[(Long, String, Seq[String])].collect()
+    val expected = (for {
+      (a, sa, sha) <- sets; (b, sb, shb) <- sets
+      if sa == sb && a < b
+      j = sha.toSet.intersect(shb.toSet).size.toDouble / sha.toSet.union(shb.toSet).size
+      if j >= 0.5
+    } yield (a, b)).toSet
+    assert(got == expected, s"got=$got expected=$expected")
+    assert(expected.contains((1L, 2L)) && expected.contains((1L, 3L)) &&
+      expected.contains((4L, 5L)), "fixture should contain real near-dup pairs")
+  }
+
   test("lang profile aggregates exact counts") {
     val df = Seq(("en", 10L), ("en", 20L), ("fr", 5L)).toDF("lang", "n_chars")
     val out = LlmOps.langProfile(df, "lang", "n_chars")

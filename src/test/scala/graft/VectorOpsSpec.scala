@@ -65,4 +65,48 @@ class VectorOpsSpec extends SparkTestBase {
     val b = VectorOps.hyperplanes(4, 8)
     assert(a.map(_.toSeq) == b.map(_.toSeq))
   }
+
+  test("portable hyperplanes: deterministic, in [-1,1), md5-derived") {
+    val a = VectorOps.hyperplanesPortable(4, 64)
+    assert(a.map(_.toSeq) == VectorOps.hyperplanesPortable(4, 64).map(_.toSeq))
+    assert(a.flatten.forall(v => v >= -1.0 && v < 1.0))
+    // spot-check the recipe against the column-side family: md5("plane:0:0")
+    assert(a.head.head == VectorOps.md5Long48("plane:0:0").toDouble / 140737488355328.0 - 1.0)
+  }
+
+  test("multi-probe lifts ANN recall vs single-probe; both above floor") {
+    val rng = new scala.util.Random(11)
+    val emb = (0L until 300L).map(i => (i, Seq.fill(16)(rng.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val qv = emb.filter($"vec_id" === 0).select($"embedding".as("__qv"))
+    val truth = VectorOps.bruteForceTopK(emb, "embedding", "vec_id", qv, 10)
+      .select("vec_id").as[Long].collect().toSet
+    def recall(multiProbe: Boolean): Double = {
+      val got = VectorOps.annTopK(emb, "embedding", "vec_id", qv, k = 10,
+          nPlanes = 4, dim = 16, multiProbe = multiProbe)
+        .select("vec_id").as[Long].collect().toSet
+      got.intersect(truth).size / 10.0
+    }
+    val single = recall(multiProbe = false)
+    val multi = recall(multiProbe = true)
+    info(f"recall single=$single%.1f multi=$multi%.1f")
+    assert(multi >= single, s"multi-probe lost recall: $multi < $single")
+    assert(multi >= 0.5, s"multi-probe recall below floor: $multi")
+  }
+
+  test("deterministic k-means sample: no GlobalLimit funnel, bounded size") {
+    val emb = spark.range(0, 5000).select($"id",
+      transform(sequence(lit(0), lit(7)),
+        i => (pmod(xxhash64($"id", i), lit(1000)) / lit(1000.0)).cast("float")).as("embedding"))
+    val sample = VectorOps.deterministicSample(emb, "embedding", cap = 500)
+    val plan = sample.queryExecution.executedPlan.toString
+    assert(!plan.contains("GlobalLimit"),
+      s"sampling still funnels through a single-partition GlobalLimit:\n$plan")
+    val n = sample.count()
+    // hash-mod sampling: expected ~cap, binomial spread — generous bounds
+    assert(n > 250 && n < 1000, s"sample size $n outside expected band around 500")
+    // deterministic: same rows every run
+    assert(sample.select("id").exceptAll(
+      VectorOps.deterministicSample(emb, "embedding", cap = 500).select("id")).isEmpty)
+  }
 }
