@@ -1,5 +1,9 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+import graft.ops.ElapsedListener
+
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -8,9 +12,14 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC") // same plans Verify times
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Framework-side timing (QueryExecutionListener, the @elapsed analog —
+    // /root/reference/timer.py:16-28): independent per-query numbers next
+    // to the wall clock, and explicit failure capture.
+    val listener = ElapsedListener.install(spark)
     // Untimed warm-up: initialize the parquet reader, shuffle machinery and
     // whole-stage-codegen infra once, so the first timed query measures the
     // query rather than one-time session/JVM setup.
@@ -20,10 +29,6 @@ object Bench {
       Tables.names.foreach { n =>
         Tables.load(spark, sfDir, n).limit(100).count()
       }
-      // Warm the higher-order-function interpreter paths (array folds,
-      // hashing, lambda eval) that the dedup/sketch queries lean on — the
-      // first pass through those code paths is JIT-cold and would otherwise
-      // be billed to whichever sketch query happens to run first.
       // Run the whole slate once at the SMALLEST scale factor (untimed):
       // compiles and JIT-warms every query's code paths generically, so the
       // timed sf run measures data-proportional work, not whichever query
@@ -37,19 +42,30 @@ object Bench {
       }
     } catch { case _: Throwable => () }
     spark.catalog.clearCache() // drop warm-up caches before timing
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      // A failed query is recorded EXPLICITLY (never a silent fast -1 that
+      // would lower the total); its elapsed time still counts.
+      try ElapsedListener.tagged(spark, name) { fn(spark, sfDir).count() }
+      catch { case e: Throwable => errors(name) = e.toString.take(200) }
       val dt = (System.nanoTime() - t0) / 1e9
       // untimed: release any caches the query pinned (persist() in the
       // dedup pipelines) so storage memory stays bounded across the slate
       spark.catalog.clearCache()
       name -> dt
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    listener.drainTo(results.size)
+    def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    val qs = results.map { case (k, v) => jstr(k) + ":" + v }
+      .mkString("{", ",", "}")
+    val lm = listener.elapsedMs
+    val ls = results.keys.map(k => jstr(k) + ":" + lm.getOrElse(k, -1.0))
+      .mkString("{", ",", "}")
+    val es = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"listener_ms":$ls,"errors":$es,"n_errors":${errors.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

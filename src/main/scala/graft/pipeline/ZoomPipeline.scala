@@ -153,6 +153,51 @@ class ZoomPipeline(spark: SparkSession, client: PagedApiClient,
     ids.length
   }
 
+  /** Permission groups snapshot (S3 single-shot scan, main.py:125-135):
+    * one-page fetch → declared-schema reindex → atomic overwrite (the
+    * reference drops the table before inserting, main.py:129-130 — a
+    * reader in that window sees nothing; overwrite here is atomic).
+    * Returns rows loaded.
+    */
+  def loadGroups(): Long = {
+    val pages = PagedApi.fetchAllPages(client, "groups", sleep = sleep)
+    val groups = Ingest.reindexTo(pagesToDf(pages, Schemas.groups), Schemas.groups)
+    groups.write.mode("overwrite").parquet(path("groups"))
+    table("groups").count()
+  }
+
+  /** Group-id lookup (main.py:137-147): optional name filter, ids sorted
+    * for determinism (the reference inherits arbitrary DB order). Driver
+    * edge: the group list is small by construction.
+    */
+  def groupIds(groupName: Option[String] = None): Seq[String] = {
+    if (!tableExists("groups")) return Seq.empty
+    val g = table("groups")
+    groupName.fold(g)(n => g.filter(col("name") === n))
+      .select("id").orderBy("id").as[String].collect().toSeq
+  }
+
+  /** A4 first-match pick — the reference's `_get_group_ids("Students")[0]`
+    * (main.py:186), total instead of crashing on a missing group.
+    */
+  def firstGroupId(groupName: String): Option[String] =
+    groupIds(Some(groupName)).headOption
+
+  /** Group members (S4 per-key scan, main.py:149-170): page loop per group
+    * id, parent-key literal injection, one partition per group so a
+    * re-run overwrites instead of duplicating. Returns total member rows.
+    */
+  def loadGroupMembers(): Long = {
+    val ids = groupIds()
+    ids.foreach { gid =>
+      val pages = PagedApi.fetchAllPages(client, "group_members", Some(gid), sleep = sleep)
+      val members = pagesToDf(pages, Schemas.groupMembers)
+        .withColumn("group_id", lit(gid)) // F5 literal injection (main.py:165)
+      members.write.mode("overwrite").partitionBy("group_id").parquet(path("group_members"))
+    }
+    if (tableExists("group_members")) table("group_members").count() else 0L
+  }
+
   /** Reverse ETL (§3.3): per-row error isolation — one bad row must not
     * fail the batch (main.py:188-194). Returns (succeeded, failed).
     */

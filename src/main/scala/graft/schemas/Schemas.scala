@@ -45,6 +45,23 @@ object Schemas {
     StructField("join_time", StringType),
     StructField("leave_time", StringType)))
 
+  /** Permission groups snapshot (/root/reference/main.py:125-135). */
+  val groups: StructType = StructType(Seq(
+    StructField("id", StringType),
+    StructField("name", StringType),
+    StructField("total_members", IntegerType)))
+
+  /** Group members + injected parent key (/root/reference/main.py:149-170);
+    * `group_id` mirrors the reference's `members["groupId"] = group_id`
+    * literal injection (main.py:165).
+    */
+  val groupMembers: StructType = StructType(Seq(
+    StructField("id", StringType),
+    StructField("email", StringType),
+    StructField("first_name", StringType),
+    StructField("last_name", StringType),
+    StructField("type", IntegerType)))
+
   /** Fixed 7-column settings flatten (/root/reference/main.py:324-334). */
   val meetingSettings: StructType = StructType(Seq(
     StructField("meeting_id", LongType),

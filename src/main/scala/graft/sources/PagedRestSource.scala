@@ -57,11 +57,12 @@ class PagedRestTableProvider extends TableProvider {
     new PagedRestTable(
       properties.get("client"),
       properties.get("entity"),
-      Option(properties.get("key")))
+      Option(properties.get("key")),
+      Option(properties.get("maxPagesPerBatch")).map(_.toInt).getOrElse(Int.MaxValue))
 }
 
 private[sources] class PagedRestTable(clientName: String, entity: String,
-                                      key: Option[String])
+                                      key: Option[String], maxPagesPerBatch: Int)
     extends Table with SupportsRead {
   override def name(): String = s"paged_rest($entity)"
   override def schema(): StructType = PagedRestSource.schema
@@ -69,7 +70,7 @@ private[sources] class PagedRestTable(clientName: String, entity: String,
     Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new PagedRestScanBuilder(clientName, entity, key)
+    new PagedRestScanBuilder(clientName, entity, key, maxPagesPerBatch)
 }
 
 /** Streaming offset = number of pages fully consumed. The reference tracks
@@ -84,7 +85,8 @@ private[sources] case class PageOffset(page: Int)
 }
 
 private[sources] class PagedRestScanBuilder(clientName: String, entity: String,
-                                            key: Option[String])
+                                            key: Option[String],
+                                            maxPagesPerBatch: Int = Int.MaxValue)
     extends ScanBuilder with SupportsPushDownLimit {
   private var limit: Option[Int] = None
 
@@ -96,7 +98,7 @@ private[sources] class PagedRestScanBuilder(clientName: String, entity: String,
 
     override def toMicroBatchStream(checkpointLocation: String):
         org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-      new PagedRestMicroBatchStream(clientName, entity, key)
+      new PagedRestMicroBatchStream(clientName, entity, key, maxPagesPerBatch)
 
     override def planInputPartitions(): Array[InputPartition] = {
       // Sequential token walk on the driver; stops as soon as the pushed
@@ -126,21 +128,40 @@ private[sources] class PagedRestScanBuilder(clientName: String, entity: String,
 /** Micro-batch stream over the page chain: `latestOffset` advances the
   * driver-side page walk (buffering fetched pages), `planInputPartitions`
   * serves the buffered `[start, end)` page range — one InputPartition per
-  * page, exactly like the batch path. Restarting from a checkpoint resumes
-  * at the committed page without refetching or duplicating.
+  * page, exactly like the batch path.
+  *
+  * `maxPagesPerBatch` bounds how many NEW pages one trigger may fetch and
+  * buffer: an unbounded API (or a large backfill) drains over several
+  * micro-batches with driver memory bounded by one batch's pages plus any
+  * not-yet-planned tail, instead of `latestOffset` eagerly pulling the
+  * whole chain into the driver before the first batch runs.
+  *
+  * STATIC-SOURCE ASSUMPTION: page numbering must be stable for the life of
+  * one query run, including a checkpoint restart — after a restart the
+  * token chain is re-walked from page 0 and committed offsets are mapped
+  * onto the re-fetched numbering (same guarantee the reference's
+  * page-counter loop relies on, /root/reference/main.py:149-167). A source
+  * whose pagination shifts between runs needs a content-keyed offset
+  * (e.g. cursor persisted per page) instead; re-walking also means a
+  * restart re-READS earlier pages (it does not re-EMIT them — offsets
+  * below the committed point are never re-planned).
   */
 private[sources] class PagedRestMicroBatchStream(clientName: String, entity: String,
-                                                 key: Option[String])
+                                                 key: Option[String],
+                                                 maxPagesPerBatch: Int = Int.MaxValue)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
   import org.apache.spark.sql.connector.read.streaming.Offset
+
+  require(maxPagesPerBatch > 0, "maxPagesPerBatch must be positive")
 
   private val buffered = scala.collection.mutable.ArrayBuffer.empty[Array[String]]
   private var exhausted = false
   private var nextToken: Option[String] = None
 
-  private def fetchThrough(): Unit = {
+  /** Fetch until `target` pages are buffered (or the chain ends). */
+  private def fetchTo(target: Long): Unit = {
     val client = PagedRestSource.client(clientName)
-    while (!exhausted) {
+    while (!exhausted && buffered.size < target) {
       val page = PagedApi.fetchWithRetry(client, entity, key, nextToken)
       buffered += page.records.toArray
       nextToken = page.nextToken
@@ -149,13 +170,19 @@ private[sources] class PagedRestMicroBatchStream(clientName: String, entity: Str
   }
 
   override def initialOffset(): Offset = PageOffset(0)
-  override def latestOffset(): Offset = { fetchThrough(); PageOffset(buffered.size) }
+
+  override def latestOffset(): Offset = {
+    // advance by at most maxPagesPerBatch new pages per trigger
+    fetchTo(buffered.size.toLong + maxPagesPerBatch)
+    PageOffset(buffered.size)
+  }
+
   override def deserializeOffset(json: String): Offset = PageOffset(json.toInt)
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[PageOffset].page
     val e = end.asInstanceOf[PageOffset].page
-    fetchThrough()
+    fetchTo(e) // checkpoint replay: re-walk up to the replayed end offset
     (s until e).map(p => PagedRestPartition(p, buffered(p)): InputPartition).toArray
   }
 

@@ -76,6 +76,31 @@ class PagedRestSourceSpec extends SparkTestBase {
     assert(all.count(_._2.contains("u5")) == 1)
   }
 
+  test("maxPagesPerBatch bounds the per-trigger fetch: 10 pages drain over >=3 batches") {
+    import org.apache.spark.sql.streaming.Trigger
+    val tenPages = Map(
+      ("events", Option.empty[String]) -> (0 until 10).map { p =>
+        ApiPage(Seq(s"""{"id":"r$p"}"""), if (p < 9) Some((p + 1).toString) else None)
+      })
+    val base = java.nio.file.Files.createTempDirectory("pagedbounded").toString
+    PagedRestSource.register("tbounded", new FixtureClient(tenPages))
+    // continuous micro-batch mode (not AvailableNow, which snapshots ONE
+    // latestOffset as the run's end): each trigger admits <= 4 new pages
+    val q = spark.readStream.format("graft.sources.PagedRestTableProvider")
+      .option("client", "tbounded").option("entity", "events")
+      .option("maxPagesPerBatch", "4").load()
+      .writeStream.format("parquet")
+      .option("path", s"$base/out").option("checkpointLocation", s"$base/ckpt")
+      .trigger(Trigger.ProcessingTime(10)).start()
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.read.parquet(s"$base/out").count() == 10) // nothing lost
+    // offset log: one entry per micro-batch; 10 pages / 4 per batch => >= 3
+    val batches = new java.io.File(s"$base/ckpt/offsets").listFiles()
+      .count(f => f.getName.forall(_.isDigit))
+    assert(batches >= 3, s"expected >=3 bounded batches, got $batches")
+  }
+
   test("typed projection downstream: from_json + reindex to declared schema") {
     PagedRestSource.register("t3", new FixtureClient(fixtures))
     val typed = Ingest.reindexTo(

@@ -44,7 +44,21 @@ class ZoomPipelineSpec extends SparkTestBase {
     ("settings", Some("102")) -> Seq(
       ApiPage(Seq("""{"settings":{}}"""), None)),
     ("settings", Some("103")) -> Seq(
-      ApiPage(Seq("""{"settings":{"waiting_room":true}}"""), None))
+      ApiPage(Seq("""{"settings":{"waiting_room":true}}"""), None)),
+    ("groups", None) -> Seq(
+      ApiPage(Seq(
+        """{"id":"g1","name":"Students","total_members":2}""",
+        """{"id":"g2","name":"Students","total_members":1}""",
+        """{"id":"g3","name":"Staff","total_members":1}"""), None)),
+    ("group_members", Some("g1")) -> Seq(
+      ApiPage(Seq(
+        """{"id":"u1","email":"ada@x.org","first_name":"Ada","last_name":"L","type":1}"""), Some("1")),
+      ApiPage(Seq(
+        """{"id":"u2","email":"bob@x.org","first_name":"Bob","last_name":"M","type":1}"""), None)),
+    ("group_members", Some("g2")) -> Seq(
+      ApiPage(Seq(
+        """{"id":"u3","email":"eve@x.org","type":2}"""), None)),
+    ("group_members", Some("g3")) -> Seq(ApiPage(Seq.empty, None))
   )
 
   private def freshPipeline(failFirstN: Int = 0) = {
@@ -98,6 +112,41 @@ class ZoomPipelineSpec extends SparkTestBase {
     assert(p.table("meetings").count() == 3)
     assert(p.table("participants").count() == 3)
     assert(p.table("meeting_settings").count() == 3)
+  }
+
+  test("--users flow: groups snapshot, per-group members, A4 first-match pick") {
+    val (p, _) = freshPipeline()
+    // groups snapshot (S3 single-shot, main.py:125-135)
+    assert(p.loadGroups() == 3L)
+    assert(p.table("groups").count() == 3)
+
+    // per-group member pages with parent-key injection (main.py:149-170)
+    assert(p.loadGroupMembers() == 3L) // g1: 2 (two pages), g2: 1, g3: 0
+    val members = p.table("group_members")
+    assert(members.filter($"group_id" === "g1").count() == 2)
+    assert(members.filter($"group_id" === "g2").count() == 1)
+    assert(members.filter($"group_id" === "g1" && $"id" === "u2")
+      .select("email").as[String].head() == "bob@x.org")
+
+    // A4 first-match pick (_get_group_ids("Students")[0], main.py:186):
+    // two groups named Students → deterministic first by sorted id
+    assert(p.firstGroupId("Students").contains("g1"))
+    assert(p.firstGroupId("Nonexistent").isEmpty)
+    assert(p.groupIds() == Seq("g1", "g2", "g3"))
+
+    // rerun converges: same counts, no duplicates (partition overwrite)
+    assert(p.loadGroups() == 3L)
+    assert(p.loadGroupMembers() == 3L)
+    assert(p.table("group_members").count() == 3)
+
+    // reverse ETL composes with the pick, mirroring create_student_accounts
+    val students = Seq("new1@x.org", "new2@x.org").toDF("email")
+    val target = p.firstGroupId("Students").get
+    var added = List.empty[(String, String)]
+    val (ok, failed) = p.createStudentAccounts(students, row =>
+      added ::= (target, row.getAs[String]("email")))
+    assert(ok == 2 && failed == 0)
+    assert(added.toSet == Set(("g1", "new1@x.org"), ("g1", "new2@x.org")))
   }
 
   test("transient fetch failure is retried at page level; load still exact") {
