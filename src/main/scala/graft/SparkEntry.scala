@@ -448,6 +448,42 @@ object SparkEntry {
       VectorOps.annTopK(emb, "embedding", "vec_id", qv, k = 10, nPlanes = 4, dim = 64)
     }),
 
+    "dedup_clusters" -> ((s, dir) => {
+      // pairs → transitive closure → one survivor per duplicate cluster:
+      // the drop-list step a dedup pipeline actually ships.
+      val docs = t(s, dir, "documents")
+      val pairs = LlmOps.nearDupPairs(docs, "doc_id", "text", maxBucketSize = 10000)
+      graft.ops.Graph.dedupClusters(docs, pairs, "doc_id")
+        .orderBy("doc_id")
+    }),
+
+    "repetition_score" -> ((s, dir) =>
+      LlmOps.repetitionScore(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    "sample_hash" -> ((s, dir) =>
+      Relational.hashSample(t(s, dir, "documents"), "doc_id", m = 10)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")),
+
+    "tfidf_top_terms" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val toks = docs
+        .select(col("doc_id"), explode(LlmOps.tokens(col("text"))).as("token"))
+        .filter(col("token") =!= "")
+      val stats = toks.groupBy("token")
+        .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
+      val nDocs = docs.agg(count(lit(1)).as("__n"))
+      // log-free surrogate weight tf·N/df: same ranking shape as tf-idf,
+      // pure exact-int → IEEE-division arithmetic both engines reproduce
+      // bitwise (ln() last-ulp behavior is libm-specific — not hashable)
+      stats.crossJoin(broadcast(nDocs))
+        .select(col("token"), col("tf"), col("df"),
+          (col("tf").cast("double") * col("__n") / col("df")).as("score"))
+        .orderBy(col("score").desc, col("token").asc)
+        .limit(20)
+    }),
+
     // ---- §3 composed pipeline ------------------------------------------
     "flagship_pipeline" -> ((s, dir) => ZoomJobs.flagship(s, dir))
   )
@@ -936,6 +972,95 @@ object SparkEntry {
            list_reduce(list_transform(fd, x -> CAST(CAST(x AS FLOAT) AS DOUBLE)),
              (a, b) -> a + b) AS f_sum
          FROM f ORDER BY media_id""",
+
+    "dedup_clusters" ->
+      """WITH RECURSIVE d AS (
+           SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(string_split_regex(lower(trim(text)), '\s+')) - 3, 0) + 2),
+               i -> array_to_string(list_slice(string_split_regex(lower(trim(text)), '\s+'), i, i + 2), ' '))) AS sh
+           FROM documents),
+         hp AS (
+           SELECT doc_id,
+             list_transform(sh, s -> ('0x' || substr(md5(s), 1, 12))::BIGINT) AS h1s,
+             list_transform(sh, s -> ('0x' || substr(md5(s), 13, 12))::BIGINT) AS h2s
+           FROM d WHERE len(sh) > 0),
+         sg AS (
+           SELECT doc_id,
+             list_distinct(h1s) AS shset,
+             list_transform(range(0, 16), j ->
+               list_min(list_transform(range(1, len(h1s) + 1), x -> h1s[x] + j * h2s[x]))) AS sig
+           FROM hp),
+         bands AS (
+           SELECT doc_id, t.b AS band,
+             md5(array_to_string(list_slice(sig, t.b * 4 + 1, t.b * 4 + 4), ',')) AS bh
+           FROM sg, range(0, 4) t(b)),
+         ok AS (
+           SELECT band, bh FROM bands GROUP BY band, bh
+           HAVING COUNT(*) BETWEEN 2 AND 10000),
+         cap AS (SELECT bands.* FROM bands JOIN ok USING (band, bh)),
+         cand AS (
+           SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+           FROM cap a JOIN cap c
+             ON a.band = c.band AND a.bh = c.bh AND a.doc_id < c.doc_id),
+         pairs AS (
+           SELECT id_a, id_b FROM (
+             SELECT id_a, id_b,
+               CAST(len(list_intersect(x.shset, y.shset)) AS DOUBLE)
+                 / len(list_distinct(list_concat(x.shset, y.shset))) AS jaccard
+             FROM cand
+             JOIN sg x ON cand.id_a = x.doc_id
+             JOIN sg y ON cand.id_b = y.doc_id) j
+           WHERE jaccard >= 0.7),
+         sym AS (
+           SELECT id_a AS a, id_b AS b FROM pairs
+           UNION
+           SELECT id_b, id_a FROM pairs),
+         reach AS (
+           SELECT a, b FROM sym
+           UNION
+           SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+         lbl AS (
+           SELECT a AS node, LEAST(a, MIN(b)) AS cluster
+           FROM reach GROUP BY a)
+         SELECT doc.doc_id,
+           COALESCE(l.cluster, doc.doc_id) AS cluster_id,
+           doc.doc_id = COALESCE(l.cluster, doc.doc_id) AS keep
+         FROM documents doc LEFT JOIN lbl l ON doc.doc_id = l.node
+         ORDER BY doc.doc_id""",
+
+    "repetition_score" ->
+      """WITH t AS (
+           SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+           FROM documents),
+         s AS (
+           SELECT doc_id, list_transform(
+             range(1, greatest(len(toks) - 3, 0) + 2),
+             i -> ('0x' || substr(md5(array_to_string(list_slice(toks, i, i + 2), ' ')), 1, 12))::BIGINT) AS sh
+           FROM t)
+         SELECT doc_id,
+           CAST(len(sh) AS BIGINT) AS n_shingles,
+           CAST(len(list_distinct(sh)) AS BIGINT) AS n_distinct,
+           1.0 - CAST(len(list_distinct(sh)) AS DOUBLE) / CAST(len(sh) AS DOUBLE) AS repetition
+         FROM s ORDER BY doc_id""",
+
+    "sample_hash" ->
+      """SELECT doc_id, lang FROM documents
+         WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT % 10 = 0
+         ORDER BY doc_id""",
+
+    "tfidf_top_terms" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+           FROM documents),
+         t AS (
+           SELECT token, CAST(COUNT(*) AS BIGINT) AS tf,
+             CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+           FROM toks WHERE token <> '' GROUP BY token),
+         n AS (SELECT COUNT(*) AS n FROM documents)
+         SELECT token, tf, df, CAST(tf AS DOUBLE) * n.n / df AS score
+         FROM t, n
+         ORDER BY score DESC, token LIMIT 20""",
 
     "flagship_pipeline" ->
       """SELECT r_name, n_name, COUNT(*) AS new_customers

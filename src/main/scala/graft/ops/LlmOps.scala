@@ -357,6 +357,22 @@ object LlmOps {
       .select(col(idCol),
         size(array_distinct(col("__mins"))).cast("long").as("n_fingerprints"))
 
+  /** Within-document repetition: 1 - distinct/total over the n-gram shingle
+    * STREAM (duplicates kept) — the standard "repetition ratio" quality
+    * signal for LLM training data (boilerplate, keyword stuffing, decoding
+    * loops all show up as repeated n-grams). Pure per-row projection on the
+    * portable hash family; `repetition` is 0 for fully novel text.
+    */
+  def repetitionScore(df: DataFrame, idCol: String, textCol: String,
+                      shingleN: Int = 3): DataFrame =
+    df.select(col(idCol), tokens(col(textCol)).as("__t"))
+      .select(col(idCol), shingleHashSeq(col("__t"), shingleN).as("__s"))
+      .select(col(idCol),
+        size(col("__s")).cast("long").as("n_shingles"),
+        size(array_distinct(col("__s"))).cast("long").as("n_distinct"))
+      .withColumn("repetition",
+        lit(1.0) - col("n_distinct").cast("double") / col("n_shingles").cast("double"))
+
   /** Per-document text statistics: char count, whitespace-token count,
     * BPE-ish token count (letter runs / digit runs / single non-space
     * symbols — a deterministic proxy for subword token budgeting), digit

@@ -144,6 +144,17 @@ object Relational {
       .agg(hll_sketch_estimate(hll_sketch_agg(col(countCol), lit(lgK)))
         .as("approx_distinct"))
 
+  /** Deterministic 1-in-m sample keyed on the portable md5-48 hash of a
+    * key column: reproducible across runs/engines (an external SQL oracle
+    * applies the same predicate), evaluated map-side in every partition
+    * (no GlobalLimit funnel, no rand() non-determinism under retries), and
+    * stratification-preserving — within any subgroup the kept fraction
+    * converges to 1/m because the hash is independent of every attribute.
+    * This is how a 100 TB corpus takes a training-data subsample.
+    */
+  def hashSample(df: DataFrame, keyCol: String, m: Int): DataFrame =
+    df.filter(pmod(LlmOps.md5Hash48(col(keyCol).cast("string"), 1), lit(m)) === 0)
+
   /** Skew-resistant exact-decimal sum, same two-phase shape. */
   def saltedSumPerGroup(df: DataFrame, key: String, valueCol: String,
                         saltSrc: String, salts: Int = 16): DataFrame =

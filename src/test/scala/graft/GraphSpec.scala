@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Graph, LlmOps, Relational}
+
+/** Connected components (pairs → dedup clusters) + the new sampling and
+  * repetition operators.
+  */
+class GraphSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("components: chain, clique, and isolated edge each get one min label") {
+    // chain 1-2-3-4 (diameter 3: exercises multi-round propagation),
+    // clique 10-11-12, lone edge 20-21
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (11L, 12L), (10L, 12L), (20L, 21L)).toDF("src", "dst")
+    val got = Graph.connectedComponents(edges, "src", "dst")
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("components: edge direction is irrelevant (undirected semantics)") {
+    val a = Graph.connectedComponents(Seq((5L, 3L), (3L, 9L)).toDF("src", "dst"), "src", "dst")
+      .as[(Long, Long)].collect().toMap
+    val b = Graph.connectedComponents(Seq((3L, 5L), (9L, 3L)).toDF("src", "dst"), "src", "dst")
+      .as[(Long, Long)].collect().toMap
+    assert(a == b && a.values.toSet == Set(3L))
+  }
+
+  test("dedupClusters: one survivor per cluster, unpaired docs survive") {
+    val docs = Seq((1L, "x"), (2L, "x"), (3L, "x"), (7L, "y")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val out = Graph.dedupClusters(docs, pairs, "doc_id")
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(out == Set((1L, 1L, true), (2L, 1L, false), (3L, 1L, false), (7L, 7L, true)))
+  }
+
+  test("long chain beyond maxIter fails loudly instead of returning wrong labels") {
+    val chain = (1L until 40L).map(i => (i, i + 1)).toDF("src", "dst")
+    intercept[IllegalArgumentException] {
+      Graph.connectedComponents(chain, "src", "dst", maxIter = 3)
+    }
+  }
+
+  test("repetition score: looped text scores high, novel text zero") {
+    val docs = Seq(
+      (1L, "spam spam spam spam spam spam spam spam"),
+      (2L, "eight completely distinct words appear exactly once here")).toDF("doc_id", "text")
+    val got = LlmOps.repetitionScore(docs, "doc_id", "text")
+      .select("doc_id", "repetition").as[(Long, Double)].collect().toMap
+    assert(got(1L) > 0.8, s"looped text scored ${got(1L)}")
+    assert(got(2L) == 0.0)
+  }
+
+  test("hash sample: deterministic, ~1/m overall, stratification-preserving") {
+    val df = spark.range(10000).select($"id",
+      (pmod($"id", lit(4))).cast("string").as("grp"))
+    val s1 = Relational.hashSample(df, "id", 10)
+    val s2 = Relational.hashSample(df, "id", 10)
+    assert(s1.exceptAll(s2).isEmpty) // identical rows every run
+    val n = s1.count()
+    assert(n > 800 && n < 1200, s"overall rate off: $n/10000")
+    val perGroup = s1.groupBy("grp").count().as[(String, Long)].collect().toMap
+    perGroup.values.foreach(c => assert(c > 150 && c < 350, s"stratum skew: $perGroup"))
+  }
+}
