@@ -39,9 +39,17 @@ object Graph {
     var labels = sym.select(col("__s").as("node")).distinct()
       .withColumn("label", col("node"))
       .localCheckpoint()
-    var changed = 1L
+    // Convergence via the label-sum invariant: labels only ever DECREASE,
+    // so the (exact decimal — no overflow at any scale) sum strictly drops
+    // every round that changed anything and the fixed point is "sum
+    // unchanged". One cheap aggregate over the fresh checkpoint instead of
+    // a compare-join against the previous round.
+    def labelSum(df: org.apache.spark.sql.DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0)
+    var prevSum = labelSum(labels) // null iff the edge set is empty
+    var converged = prevSum == null
     var iter = 0
-    while (changed > 0 && iter < maxIter) {
+    while (!converged && iter < maxIter) {
       val nbrMin = sym
         .join(labels.select(col("node").as("__d2"), col("label").as("__dl")),
           col("__d") === col("__d2"))
@@ -52,16 +60,14 @@ object Graph {
         .select(col("node"),
           least(col("label"), coalesce(col("__nl"), col("label"))).as("label"))
         .localCheckpoint() // eager: materializes and cuts lineage
-      changed = next
-        .join(labels.select(col("node").as("__n2"), col("label").as("__l2")),
-          col("node") === col("__n2"))
-        .filter(col("label") =!= col("__l2"))
-        .count()
+      val s = labelSum(next)
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
       labels = next
       iter += 1
     }
     sym.unpersist()
-    require(changed == 0,
+    require(converged,
       s"connectedComponents did not converge in $maxIter rounds — " +
         "pathological chain graph; use star-contraction rounds instead")
     labels

@@ -44,6 +44,14 @@ class GraphSpec extends SparkTestBase {
     }
   }
 
+  test("empty edge set: every doc is its own surviving cluster") {
+    val docs = Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text")
+    val noPairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    val out = Graph.dedupClusters(docs, noPairs, "doc_id")
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(out == Set((1L, 1L, true), (2L, 2L, true)))
+  }
+
   test("repetition score: looped text scores high, novel text zero") {
     val docs = Seq(
       (1L, "spam spam spam spam spam spam spam spam"),
