@@ -425,13 +425,16 @@ object SparkEntry {
 
     "similarity_ivf" -> ((s, dir) => {
       // Contract-oracled: k-means centroids aren't SQL-replayable, so the
-      // checked contract is recall — the IVF top-k (nProbe=2 of 8 cells)
+      // checked contract is recall — the IVF top-k (nProbe=4 of 8 cells)
       // must recover >= 6 of the true brute-force top-10. A broken index,
       // quantizer, or probe ranking flips recall_ok and fails the compare.
+      // (These synthetic embeddings are near-uniform Gaussians, so true
+      // neighbors spread across cells and IVF needs a wide probe; real
+      // clustered embeddings concentrate at much smaller nProbe/nCells.)
       val emb = t(s, dir, "embeddings")
       val qv = emb.filter(col("vec_id") === 0).select(col("embedding").as("__qv"))
       val (assigned, cents) = VectorOps.ivfIndex(emb, "embedding", nCells = 8)
-      val ivf = VectorOps.ivfTopK(assigned, cents, "embedding", "vec_id", qv, k = 10, nProbe = 2)
+      val ivf = VectorOps.ivfTopK(assigned, cents, "embedding", "vec_id", qv, k = 10, nProbe = 4)
       val brute = VectorOps.bruteForceTopK(emb, "embedding", "vec_id", qv, k = 10)
       ivf.select("vec_id").intersect(brute.select("vec_id"))
         .agg(count(lit(1)).as("__hits"))
@@ -482,6 +485,33 @@ object SparkEntry {
           (col("tf").cast("double") * col("__n") / col("df")).as("score"))
         .orderBy(col("score").desc, col("token").asc)
         .limit(20)
+    }),
+
+    "contamination_check" -> ((s, dir) => {
+      // decontamination: containment of each non-benchmark doc's shingle
+      // set against the src0 "benchmark" slice (broadcast semi-join on
+      // 8-byte hashes — corpus text never shuffles)
+      val docs = t(s, dir, "documents")
+      LlmOps.contamination(
+          docs.filter(col("source") =!= "src0"), "doc_id", "text",
+          docs.filter(col("source") === "src0"), "text", shingleN = 3)
+        .orderBy("doc_id")
+    }),
+
+    "approx_quantiles" -> ((s, dir) => {
+      // Contract-oracled like the HLL sketch: DuckDB can't replay Spark's
+      // percentile_approx digest, but it CAN verify the sketch's contract —
+      // the approximate median must land within the exact p40..p60 band.
+      val o = t(s, dir, "orders")
+      val approx = o.groupBy("o_orderpriority")
+        .agg(percentile_approx(col("o_totalprice"), lit(0.5), lit(1000)).as("__ap"))
+      val exact = o.groupBy("o_orderpriority")
+        .agg(percentile(col("o_totalprice"), lit(0.4)).as("__p40"),
+          percentile(col("o_totalprice"), lit(0.6)).as("__p60"))
+      approx.join(exact, "o_orderpriority")
+        .select(col("o_orderpriority"),
+          (col("__ap") >= col("__p40") && col("__ap") <= col("__p60")).as("median_ok"))
+        .orderBy("o_orderpriority")
     }),
 
     // ---- §3 composed pipeline ------------------------------------------
@@ -1061,6 +1091,32 @@ object SparkEntry {
          SELECT token, tf, df, CAST(tf AS DOUBLE) * n.n / df AS score
          FROM t, n
          ORDER BY score DESC, token LIMIT 20""",
+
+    "contamination_check" ->
+      """WITH hs AS (
+           SELECT doc_id, source, list_transform(
+             range(1, greatest(len(string_split_regex(lower(trim(text)), '\s+')) - 3, 0) + 2),
+             i -> ('0x' || substr(md5(array_to_string(
+               list_slice(string_split_regex(lower(trim(text)), '\s+'), i, i + 2), ' ')), 1, 12))::BIGINT) AS sh
+           FROM documents),
+         b AS (
+           SELECT DISTINCT unnest(sh) AS bsh FROM hs WHERE source = 'src0'),
+         d AS (
+           SELECT doc_id, list_distinct(sh) AS sh FROM hs WHERE source <> 'src0'),
+         e AS (SELECT doc_id, unnest(sh) AS s FROM d),
+         hits AS (
+           SELECT doc_id, COUNT(*) AS n_hit
+           FROM e JOIN b ON e.s = b.bsh GROUP BY doc_id)
+         SELECT d.doc_id,
+           CAST(len(d.sh) AS BIGINT) AS n_shingles,
+           CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_contaminated,
+           CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / len(d.sh) AS containment
+         FROM d LEFT JOIN hits h ON d.doc_id = h.doc_id
+         ORDER BY d.doc_id""",
+
+    "approx_quantiles" ->
+      """SELECT o_orderpriority, TRUE AS median_ok
+         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
 
     "flagship_pipeline" ->
       """SELECT r_name, n_name, COUNT(*) AS new_customers

@@ -373,6 +373,41 @@ object LlmOps {
       .withColumn("repetition",
         lit(1.0) - col("n_distinct").cast("double") / col("n_shingles").cast("double"))
 
+  /** Benchmark contamination check (decontamination): for every corpus
+    * document, the fraction of its distinct n-gram shingles that appear
+    * anywhere in a benchmark set — the standard train/eval-overlap signal
+    * (docs above a containment threshold get dropped before training).
+    *
+    * Scale shape: the benchmark side collapses to a DISTINCT shingle-hash
+    * set (8 bytes per unique n-gram — a benchmark suite is tiny next to a
+    * 100 TB corpus), and the corpus side explodes to (doc, shingle) rows
+    * that hit it with a broadcast-able semi-join keyed on the hash; the
+    * corpus text itself never shuffles. Portable hash family throughout,
+    * so an external SQL oracle replays the exact counts.
+    */
+  def contamination(docs: DataFrame, idCol: String, textCol: String,
+                    benchmark: DataFrame, benchTextCol: String,
+                    shingleN: Int): DataFrame = {
+    val benchSet = benchmark
+      .select(explode(shingleHashSeq(tokens(col(benchTextCol)), shingleN)).as("__bsh"))
+      .distinct()
+    val docSets = docs
+      .select(col(idCol), tokens(col(textCol)).as("__t"))
+      .select(col(idCol),
+        array_distinct(shingleHashSeq(col("__t"), shingleN)).as("__sh"))
+    val hits = docSets
+      .select(col(idCol), explode(col("__sh")).as("__s"))
+      .join(benchSet, col("__s") === col("__bsh"), "left_semi")
+      .groupBy(idCol).agg(count(lit(1)).as("__hit"))
+    docSets
+      .join(hits, Seq(idCol), "left")
+      .select(col(idCol),
+        size(col("__sh")).cast("long").as("n_shingles"),
+        coalesce(col("__hit"), lit(0L)).as("n_contaminated"))
+      .withColumn("containment",
+        col("n_contaminated").cast("double") / col("n_shingles"))
+  }
+
   /** Per-document text statistics: char count, whitespace-token count,
     * BPE-ish token count (letter runs / digit runs / single non-space
     * symbols — a deterministic proxy for subword token budgeting), digit

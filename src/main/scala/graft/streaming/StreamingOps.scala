@@ -52,6 +52,25 @@ object StreamingOps {
     df.withWatermark(tsCol, delay)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Stream-stream interval join: match left rows to right rows on an
+    * equi-key within an event-time band — e.g. clicks joined to the
+    * purchases that follow within `bandRight` (attribution), the streaming
+    * analog of the batch range/as-of joins (ops/AsOfJoin). Both sides need
+    * watermarks and the join condition needs BOTH a key equality and a
+    * time bound: that's what lets the engine expire buffered state — an
+    * unbounded stream-stream join would hold every row forever.
+    * `leftTs`/`rightTs` must be distinct column names.
+    */
+  def intervalJoin(left: DataFrame, leftTs: String, leftDelay: String,
+                   right: DataFrame, rightTs: String, rightDelay: String,
+                   keyCond: Column, bandLeft: String, bandRight: String): DataFrame = {
+    val l = left.withWatermark(leftTs, leftDelay)
+    val r = right.withWatermark(rightTs, rightDelay)
+    l.join(r, keyCond &&
+      col(rightTs) >= col(leftTs) - expr(s"INTERVAL $bandLeft") &&
+      col(rightTs) <= col(leftTs) + expr(s"INTERVAL $bandRight"))
+  }
+
   /** High-watermark incremental filter for a micro-batch source: keep rows
     * strictly newer than the given watermark (the reference's
     * `from=watermark+1day` fetch bound, /root/reference/main.py:219-224,

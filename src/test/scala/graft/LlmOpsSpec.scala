@@ -156,6 +156,20 @@ class LlmOpsSpec extends SparkTestBase {
       expected.contains((4L, 5L)), "fixture should contain real near-dup pairs")
   }
 
+  test("contamination: full overlap 1.0, disjoint 0.0, partial in between") {
+    val bench = Seq((100L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),          // exact benchmark doc
+      (2L, "totally unrelated words here with nothing shared"),
+      (3L, "alpha beta gamma delta unshared tail portion now")) // shares a prefix run
+      .toDF("doc_id", "text")
+    val got = LlmOps.contamination(corpus, "doc_id", "text", bench, "text", 3)
+      .select("doc_id", "containment").as[(Long, Double)].collect().toMap
+    assert(got(1L) == 1.0)
+    assert(got(2L) == 0.0)
+    assert(got(3L) > 0.0 && got(3L) < 1.0, s"partial overlap scored ${got(3L)}")
+  }
+
   test("lang profile aggregates exact counts") {
     val df = Seq(("en", 10L), ("en", 20L), ("fr", 5L)).toDF("lang", "n_chars")
     val out = LlmOps.langProfile(df, "lang", "n_chars")

@@ -86,4 +86,40 @@ class PlanSpec extends SparkTestBase {
     // the two window functions themselves must share
     assert(exchanges <= 2, s"too many shuffles ($exchanges):\n$p")
   }
+
+  test("sample_hash: pure map-side filter — no hash shuffle (only the output sort)") {
+    val p = planOf("sample_hash")
+    // the declared query's deterministic orderBy adds a rangepartitioning
+    // exchange at the verify edge; the SAMPLING must add none of its own
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"sampling should never hash-shuffle:\n$p")
+    assert(p.contains("Filter"), p)
+  }
+
+  test("tfidf_top_terms: partial aggregation, broadcast corpus count, top-k merge") {
+    val p = planOf("tfidf_top_terms")
+    assert(p.contains("partial_count") || p.contains("partial"),
+      s"no map-side partial aggregation:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"corpus-count join should broadcast the 1-row side:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-20 should merge per-partition heaps, not globally sort:\n$p")
+  }
+
+  test("contamination_check: benchmark side broadcast, corpus text never shuffles") {
+    val p = planOf("contamination_check")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      s"benchmark shingle set should broadcast into a semi join:\n$p")
+    // the only hash shuffles allowed: benchmark-distinct, per-doc hit
+    // count, and the final doc-level join — never (doc, full text) rows
+    assert(!p.contains("Exchange hashpartitioning(__s"),
+      s"exploded corpus shingles must not shuffle (semi join should be map-side):\n$p")
+  }
+
+  test("similarity_ann multi-probe: probe list broadcasts; table never shuffles") {
+    val p = planOf("similarity_ann")
+    assert(p.contains("BroadcastHashJoin"), s"probes should broadcast:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("SortMergeJoin"), s"embedding table must not shuffle:\n$p")
+  }
 }

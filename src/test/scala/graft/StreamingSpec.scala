@@ -40,6 +40,26 @@ class StreamingSpec extends SparkTestBase {
     assert(got == Set(("2024-01-01", "click", 2L), ("2024-01-02", "view", 1L)))
   }
 
+  test("stream-stream interval join: clicks attribute to purchases within the band") {
+    val clicks = MemoryStream[(Long, Long, Timestamp)] // (click_id, user, ts)
+    val buys = MemoryStream[(Long, Long, Timestamp)]   // (buy_id, user, ts)
+    clicks.addData(
+      (1L, 7L, ts("2024-01-01 10:00:00")),
+      (2L, 7L, ts("2024-01-01 12:00:00")),  // no purchase within 30m
+      (3L, 8L, ts("2024-01-01 10:05:00")))  // other user
+    buys.addData(
+      (100L, 7L, ts("2024-01-01 10:20:00")), // 20m after click 1 → match
+      (101L, 8L, ts("2024-01-01 11:00:00"))) // 55m after click 3 → outside band
+    val joined = StreamingOps.intervalJoin(
+      clicks.toDF().toDF("click_id", "user_l", "click_ts"), "click_ts", "1 hour",
+      buys.toDF().toDF("buy_id", "user_r", "buy_ts"), "buy_ts", "1 hour",
+      col("user_l") === col("user_r"),
+      bandLeft = "0 seconds", bandRight = "30 minutes")
+    runToCompletion(joined.select("click_id", "buy_id"), "attributed", "append")
+    val got = spark.table("attributed").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 100L)))
+  }
+
   test("streaming session windows split on gap") {
     val input = MemoryStream[(Long, Timestamp)]
     input.addData(
