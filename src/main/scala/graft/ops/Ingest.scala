@@ -24,6 +24,33 @@ object Ingest {
     }.toIndexedSeq: _*)
   }
 
+  /** Read JSON-lines with a DECLARED schema and corrupt-record capture:
+    * schema inference is banned at scale (it is a full extra pass over
+    * 100 TB and it drifts run to run); PERMISSIVE mode + a corrupt-record
+    * column quarantines bad lines as data instead of failing the job or
+    * silently dropping them — the caller splits on
+    * `_corrupt_record IS NULL` and routes the rest to a dead-letter sink.
+    */
+  def readJsonLines(spark: org.apache.spark.sql.SparkSession, path: String,
+                    schema: StructType): DataFrame =
+    spark.read
+      .schema(schema.add(StructField("_corrupt_record", org.apache.spark.sql.types.StringType)))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(path)
+
+  /** CSV with declared schema, header, and the same corrupt-record
+    * quarantine contract as [[readJsonLines]].
+    */
+  def readCsv(spark: org.apache.spark.sql.SparkSession, path: String,
+              schema: StructType): DataFrame =
+    spark.read
+      .schema(schema.add(StructField("_corrupt_record", org.apache.spark.sql.types.StringType)))
+      .option("header", "true")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .csv(path)
+
   /** Flatten selected fields out of a JSON string column with null defaults —
     * the reference's meeting-settings flatten (`.get(field)` → None,
     * /root/reference/main.py:324-334). `get_json_object` is null-safe by
