@@ -514,6 +514,47 @@ object SparkEntry {
         .orderBy("o_orderpriority")
     }),
 
+    "pack_sequences" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val withTokens = docs.select(col("doc_id"), col("lang"),
+        regexp_count(col("text"), lit("\\S+")).cast("long").as("n_tokens"))
+      LlmOps.packSequences(withTokens, "doc_id", "n_tokens", "lang", budget = 1000)
+        .select("doc_id", "lang", "n_tokens", "pack_id")
+        .orderBy("doc_id")
+    }),
+
+    "curation_pipeline" -> ((s, dir) => {
+      // The LLM-data flagship: the full corpus-curation DAG a training run
+      // ships — length floor → repetition ceiling → exact dedup → near-dup
+      // cluster survivors → decontamination vs the benchmark slice — each
+      // stage one of the verified operators, composed.
+      val docs = t(s, dir, "documents")
+      val corpus = docs.filter(col("source") =!= "src0")
+      val bench = docs.filter(col("source") === "src0")
+      val longEnough = corpus.filter(length(col("text")) >= 100)
+      val lowRep = longEnough.join(
+        LlmOps.repetitionScore(longEnough, "doc_id", "text")
+          .filter(col("repetition") < 0.2).select("doc_id"),
+        "doc_id")
+      // Stage outputs persist: each survivor set feeds several downstream
+      // branches (pair generation, cluster join, contamination, final
+      // projection) — without caching the full text-processing lineage
+      // re-runs per branch. This is how a production curation DAG
+      // checkpoints between stages.
+      val afterExact = lowRep.join(
+        LlmOps.dedupExactIds(lowRep, "doc_id", "text"), "doc_id").persist()
+      val pairs = LlmOps.nearDupPairs(afterExact, "doc_id", "text", maxBucketSize = 10000)
+      val afterNear = afterExact.join(
+        graft.ops.Graph.dedupClusters(afterExact, pairs, "doc_id")
+          .filter(col("keep")).select("doc_id"),
+        "doc_id").persist()
+      val clean = afterNear.join(
+        LlmOps.contamination(afterNear, "doc_id", "text", bench, "text", 3)
+          .filter(col("containment") < 0.5).select("doc_id"),
+        "doc_id")
+      clean.select("doc_id", "lang", "n_chars").orderBy("doc_id")
+    }),
+
     // ---- §3 composed pipeline ------------------------------------------
     "flagship_pipeline" -> ((s, dir) => ZoomJobs.flagship(s, dir))
   )
@@ -1117,6 +1158,111 @@ object SparkEntry {
     "approx_quantiles" ->
       """SELECT o_orderpriority, TRUE AS median_ok
          FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
+    "pack_sequences" ->
+      """WITH t AS (
+           SELECT doc_id, lang,
+             CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
+           FROM documents),
+         c AS (
+           SELECT *, SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           FROM t)
+         SELECT doc_id, lang, n_tokens,
+           CAST((cum - n_tokens) // 1000 AS BIGINT) AS pack_id
+         FROM c ORDER BY doc_id""",
+
+    "curation_pipeline" ->
+      """WITH RECURSIVE
+         toks AS (
+           SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS tk
+           FROM documents),
+         shs AS (
+           SELECT doc_id, list_transform(
+             range(1, greatest(len(tk) - 3, 0) + 2),
+             i -> array_to_string(list_slice(tk, i, i + 2), ' ')) AS shseq
+           FROM toks),
+         rep AS (
+           SELECT doc_id,
+             1.0 - CAST(len(list_distinct(list_transform(shseq,
+               s -> ('0x' || substr(md5(s), 1, 12))::BIGINT))) AS DOUBLE)
+               / len(shseq) AS repetition
+           FROM shs),
+         s1 AS (
+           SELECT d.doc_id, d.lang, d.n_chars, d.text
+           FROM documents d JOIN rep USING (doc_id)
+           WHERE d.source <> 'src0' AND length(d.text) >= 100
+             AND rep.repetition < 0.2),
+         ex AS (
+           SELECT MIN(doc_id) AS doc_id FROM s1
+           GROUP BY md5(lower(trim(text)))),
+         s2 AS (SELECT s1.* FROM s1 JOIN ex USING (doc_id)),
+         d2 AS (
+           SELECT s2.doc_id, list_distinct(shs.shseq) AS sh
+           FROM s2 JOIN shs USING (doc_id)),
+         hp AS (
+           SELECT doc_id,
+             list_transform(sh, s -> ('0x' || substr(md5(s), 1, 12))::BIGINT) AS h1s,
+             list_transform(sh, s -> ('0x' || substr(md5(s), 13, 12))::BIGINT) AS h2s
+           FROM d2 WHERE len(sh) > 0),
+         sg AS (
+           SELECT doc_id,
+             list_distinct(h1s) AS shset,
+             list_transform(range(0, 16), j ->
+               list_min(list_transform(range(1, len(h1s) + 1), x -> h1s[x] + j * h2s[x]))) AS sig
+           FROM hp),
+         bands AS (
+           SELECT doc_id, t.b AS band,
+             md5(array_to_string(list_slice(sig, t.b * 4 + 1, t.b * 4 + 4), ',')) AS bh
+           FROM sg, range(0, 4) t(b)),
+         ok AS (
+           SELECT band, bh FROM bands GROUP BY band, bh
+           HAVING COUNT(*) BETWEEN 2 AND 10000),
+         cap AS (SELECT bands.* FROM bands JOIN ok USING (band, bh)),
+         cand AS (
+           SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+           FROM cap a JOIN cap c
+             ON a.band = c.band AND a.bh = c.bh AND a.doc_id < c.doc_id),
+         pairs AS (
+           SELECT id_a, id_b FROM (
+             SELECT id_a, id_b,
+               CAST(len(list_intersect(x.shset, y.shset)) AS DOUBLE)
+                 / len(list_distinct(list_concat(x.shset, y.shset))) AS jaccard
+             FROM cand
+             JOIN sg x ON cand.id_a = x.doc_id
+             JOIN sg y ON cand.id_b = y.doc_id) j
+           WHERE jaccard >= 0.7),
+         sym AS (
+           SELECT id_a AS a, id_b AS b FROM pairs
+           UNION
+           SELECT id_b, id_a FROM pairs),
+         reach AS (
+           SELECT a, b FROM sym
+           UNION
+           SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+         lbl AS (
+           SELECT a AS node, LEAST(a, MIN(b)) AS cluster
+           FROM reach GROUP BY a),
+         s3 AS (
+           SELECT s2.* FROM s2 LEFT JOIN lbl ON s2.doc_id = lbl.node
+           WHERE s2.doc_id = COALESCE(lbl.cluster, s2.doc_id)),
+         bset AS (
+           SELECT DISTINCT unnest(list_transform(shs.shseq,
+             s -> ('0x' || substr(md5(s), 1, 12))::BIGINT)) AS bsh
+           FROM shs JOIN documents d ON shs.doc_id = d.doc_id
+           WHERE d.source = 'src0'),
+         dset AS (
+           SELECT s3.doc_id, list_distinct(list_transform(shs.shseq,
+             s -> ('0x' || substr(md5(s), 1, 12))::BIGINT)) AS sh
+           FROM s3 JOIN shs ON s3.doc_id = shs.doc_id),
+         hits AS (
+           SELECT doc_id, COUNT(*) AS nh
+           FROM (SELECT doc_id, unnest(sh) AS x FROM dset) e
+           JOIN bset ON e.x = bset.bsh GROUP BY doc_id)
+         SELECT s3.doc_id, s3.lang, CAST(s3.n_chars AS BIGINT) AS n_chars
+         FROM s3 JOIN dset USING (doc_id) LEFT JOIN hits USING (doc_id)
+         WHERE CAST(COALESCE(hits.nh, 0) AS DOUBLE) / len(dset.sh) < 0.5
+         ORDER BY s3.doc_id""",
 
     "flagship_pipeline" ->
       """SELECT r_name, n_name, COUNT(*) AS new_customers

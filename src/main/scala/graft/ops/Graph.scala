@@ -77,11 +77,16 @@ object Graph {
     * components → (doc_id, cluster_id, keep) where `keep` marks the one
     * survivor (minimum id) per cluster. Docs in no pair survive trivially.
     */
-  def dedupClusters(docs: DataFrame, pairs: DataFrame, idCol: String): DataFrame =
+  def dedupClusters(docs: DataFrame, pairs: DataFrame, idCol: String): DataFrame = {
+    // Materialize the (tiny) pair set once: `sym` unions two projections of
+    // it and every closure round re-reads it — without this the whole
+    // MinHash pair pipeline upstream would be re-derived per branch.
+    val edges = pairs.select("id_a", "id_b").localCheckpoint()
     docs.select(col(idCol))
-      .join(connectedComponents(pairs, "id_a", "id_b"),
+      .join(connectedComponents(edges, "id_a", "id_b"),
         col(idCol) === col("node"), "left")
       .select(col(idCol),
         coalesce(col("label"), col(idCol)).as("cluster_id"))
       .withColumn("keep", col(idCol) === col("cluster_id"))
+  }
 }

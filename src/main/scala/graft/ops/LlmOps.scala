@@ -373,6 +373,28 @@ object LlmOps {
       .withColumn("repetition",
         lit(1.0) - col("n_distinct").cast("double") / col("n_shingles").cast("double"))
 
+  /** Contiguous sequence packing for training-batch export: docs are
+    * packed in key order into fixed token budgets — a doc starts in the
+    * pack its running token offset falls into. Deterministic (pure window
+    * arithmetic, no bin-packing heuristics with order-dependent state) and
+    * scale-safe: the window partitions by `shardCol` (language, source,
+    * date bucket …), so no global single-partition sort exists; each shard
+    * packs independently, which is how training shards are laid out
+    * anyway.
+    */
+  def packSequences(df: DataFrame, idCol: String, tokenCol: String,
+                    shardCol: String, budget: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(shardCol))
+      .orderBy(col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    df.withColumn("__cum", sum(col(tokenCol)).over(w))
+      .withColumn("pack_id",
+        floor((col("__cum") - col(tokenCol)) / lit(budget)).cast("long"))
+      .drop("__cum")
+  }
+
   /** Benchmark contamination check (decontamination): for every corpus
     * document, the fraction of its distinct n-gram shingles that appear
     * anywhere in a benchmark set — the standard train/eval-overlap signal
@@ -391,10 +413,14 @@ object LlmOps {
     val benchSet = benchmark
       .select(explode(shingleHashSeq(tokens(col(benchTextCol)), shingleN)).as("__bsh"))
       .distinct()
+    // Persisted: the per-doc shingle sets feed BOTH the hit count and the
+    // final ratio join — without it the md5 shingle projection (the
+    // dominant cost) runs twice. Same caching contract as nearDupPairs.
     val docSets = docs
       .select(col(idCol), tokens(col(textCol)).as("__t"))
       .select(col(idCol),
         array_distinct(shingleHashSeq(col("__t"), shingleN)).as("__sh"))
+      .persist()
     val hits = docSets
       .select(col(idCol), explode(col("__sh")).as("__s"))
       .join(benchSet, col("__s") === col("__bsh"), "left_semi")

@@ -62,6 +62,19 @@ class GraphSpec extends SparkTestBase {
     assert(got(2L) == 0.0)
   }
 
+  test("sequence packing: contiguous budgets per shard, monotone pack ids") {
+    val df = Seq(
+      (1L, "a", 400L), (2L, "a", 400L), (3L, "a", 400L), // 400+400 | 400
+      (4L, "a", 900L),                                   // starts at 1200 → pack 1
+      (5L, "b", 100L), (6L, "b", 100L))                  // shard b packs alone
+      .toDF("doc_id", "shard", "n_tokens")
+    val got = LlmOps.packSequences(df, "doc_id", "n_tokens", "shard", budget = 1000)
+      .select("doc_id", "pack_id").as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 1L, 5L -> 0L, 6L -> 0L))
+    // doc 3 starts at offset 800 (pack 0); doc 4 at 1200 (pack 1); shard b
+    // restarts at 0 — budgets never leak across shards
+  }
+
   test("hash sample: deterministic, ~1/m overall, stratification-preserving") {
     val df = spark.range(10000).select($"id",
       (pmod($"id", lit(4))).cast("string").as("grp"))
