@@ -178,6 +178,51 @@ class ZoomPipelineSpec extends SparkTestBase {
     assert(e.getMessage.contains("rate-limited"))
   }
 
+  test("runner: flag dispatch runs selected stage groups; notifier fires once on success") {
+    import graft.pipeline.ZoomRunner
+    val (p, _) = freshPipeline()
+    var reports = List.empty[ZoomRunner.JobReport]
+    val rec = new ZoomRunner.Notifier {
+      def notify(r: ZoomRunner.JobReport): Unit = reports ::= r
+    }
+    val flags = ZoomRunner.parseFlags(Seq("--users", "--meetings"))
+    val report = ZoomRunner.run(p, flags, LocalDate.parse("2023-08-03"), rec)
+    assert(report.success && report.errorMessage.isEmpty)
+    assert(report.stagesRun == Seq("load_users", "load_groups", "load_group_members",
+      "load_meetings", "load_participants", "load_meeting_settings"))
+    assert(reports.size == 1 && reports.head.subjectLine == "Zoom Connector - Success")
+    assert(p.table("users").count() == 3 && p.table("meetings").count() == 3)
+    // --accounts was NOT selected: no account stage ran
+    assert(!report.stagesRun.contains("create_student_accounts"))
+  }
+
+  test("runner: a failing stage still notifies exactly once, with the error") {
+    import graft.pipeline.ZoomRunner
+    val broken = new ZoomPipeline(spark,
+      new PagedApi.PagedApiClient {
+        def fetchPage(e: String, k: Option[String], t: Option[String]) =
+          throw new PagedApi.TransientApiError("api down")
+      },
+      Files.createTempDirectory("zoombroken").toString, sleep = _ => ())
+    var reports = List.empty[ZoomRunner.JobReport]
+    val rec = new ZoomRunner.Notifier {
+      def notify(r: ZoomRunner.JobReport): Unit = reports ::= r
+    }
+    val report = ZoomRunner.run(broken, ZoomRunner.JobFlags(users = true),
+      LocalDate.parse("2023-08-03"), rec)
+    assert(!report.success)
+    assert(report.errorMessage.exists(_.contains("api down")))
+    assert(reports.size == 1 && reports.head.subjectLine == "Zoom Connector - Error")
+    assert(report.bodyText.contains("encountered an error"))
+  }
+
+  test("runner: unknown flags fail loudly like argparse") {
+    import graft.pipeline.ZoomRunner
+    intercept[IllegalArgumentException] { ZoomRunner.parseFlags(Seq("--oops")) }
+    assert(ZoomRunner.parseFlags(Seq("--all")) ==
+      ZoomRunner.JobFlags(users = true, accounts = true, meetings = true))
+  }
+
   test("reverse ETL isolates per-row failures (main.py:188-194)") {
     val (p, _) = freshPipeline()
     val students = Seq("ada@x.org", "bad@x.org", "eve@x.org").toDF("email")
