@@ -37,10 +37,46 @@ class GraphSpec extends SparkTestBase {
     assert(out == Set((1L, 1L, true), (2L, 1L, false), (3L, 1L, false), (7L, 7L, true)))
   }
 
-  test("long chain beyond maxIter fails loudly instead of returning wrong labels") {
-    val chain = (1L until 40L).map(i => (i, i + 1)).toDF("src", "dst")
+  test("pointer doubling: a 200-node chain converges within O(log n) rounds") {
+    val chain = (1L until 200L).map(i => (i, i + 1)).toDF("src", "dst")
+    // diameter 199; plain propagation would need ~200 rounds — doubling
+    // needs ~log2(199)+2. maxIter 12 proves the doubling hop is active.
+    val got = Graph.connectedComponents(chain, "src", "dst", maxIter = 12)
+      .as[(Long, Long)].collect()
+    assert(got.length == 200 && got.forall(_._2 == 1L))
+  }
+
+  test("exceeding maxIter fails loudly instead of returning wrong labels") {
+    val chain = (1L until 200L).map(i => (i, i + 1)).toDF("src", "dst")
     intercept[IllegalArgumentException] {
-      Graph.connectedComponents(chain, "src", "dst", maxIter = 3)
+      Graph.connectedComponents(chain, "src", "dst", maxIter = 2)
+    }
+  }
+
+  test("property: components match a driver-side union-find on random graphs") {
+    val rng = new scala.util.Random(7)
+    for (trial <- 1 to 3) {
+      val n = 60
+      val edges = Seq.fill(50)((rng.nextInt(n).toLong, rng.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      // driver-side union-find oracle
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = { if (parent(x) != x) parent(x) = find(parent(x)); parent(x) }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val want = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        .map(v => v -> {
+          // component min among nodes that appear in edges
+          val root = find(v.toInt)
+          edges.flatMap(e => Seq(e._1, e._2)).distinct
+            .filter(u => find(u.toInt) == root).min
+        }).toMap
+      val got = Graph.connectedComponents(
+          edges.toDF("src", "dst"), "src", "dst")
+        .as[(Long, Long)].collect().toMap
+      assert(got == want, s"trial $trial diverged")
     }
   }
 
