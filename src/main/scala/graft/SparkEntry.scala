@@ -388,8 +388,11 @@ object SparkEntry {
         .orderBy("id_a", "id_b")),
 
     "dedup_jaccard" -> ((s, dir) =>
+      // lang blocks (~N/5 docs each) rather than source blocks (~5 docs):
+      // the PPJoin prefix/length filters only earn their keep — and only
+      // get oracle coverage — when blocks are big enough to need pruning
       LlmOps.jaccardPairs(t(s, dir, "documents"),
-          "doc_id", "text", blockCol = "source", shingleN = 3, threshold = 0.5)
+          "doc_id", "text", blockCol = "lang", shingleN = 3, threshold = 0.5)
         .orderBy("id_a", "id_b")),
 
     // ---- portable-hash-family ops (md5-derived, DuckDB replays exactly) --
@@ -904,7 +907,7 @@ object SparkEntry {
 
     "dedup_jaccard" ->
       """WITH d AS (
-           SELECT doc_id, source,
+           SELECT doc_id, lang,
              list_distinct(list_transform(
                range(1, greatest(len(string_split_regex(lower(trim(text)), '\s+')) - 3, 0) + 2),
                i -> array_to_string(list_slice(string_split_regex(lower(trim(text)), '\s+'), i, i + 2), ' '))) AS sh
@@ -912,7 +915,7 @@ object SparkEntry {
          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
              / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
-         FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id
+         FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id
          WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
              / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
          ORDER BY id_a, id_b""",
