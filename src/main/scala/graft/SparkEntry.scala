@@ -534,25 +534,36 @@ object SparkEntry {
       val docs = t(s, dir, "documents")
       val corpus = docs.filter(col("source") =!= "src0")
       val bench = docs.filter(col("source") === "src0")
-      val longEnough = corpus.filter(length(col("text")) >= 100)
-      val lowRep = longEnough.join(
-        LlmOps.repetitionScore(longEnough, "doc_id", "text")
-          .filter(col("repetition") < 0.2).select("doc_id"),
-        "doc_id")
-      // Stage outputs persist: each survivor set feeds several downstream
-      // branches (pair generation, cluster join, contamination, final
-      // projection) — without caching the full text-processing lineage
-      // re-runs per branch. This is how a production curation DAG
-      // checkpoints between stages.
+      // ONE shingle/signature pass (persisted) feeds repetition, near-dup
+      // candidate generation AND decontamination — the corpus text is
+      // md5-shingled exactly once. The repetition ratio derives from the
+      // window count (greatest(nTokens-n,0)+1) and the distinct-hash set
+      // size the MinHash plan already carries, so no second shingle pass.
+      val prepared = corpus.filter(length(col("text")) >= 100)
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("text"),
+          size(LlmOps.tokens(col("text"))).as("__ntok"),
+          LlmOps.minhashPlanBest(corpus, col("text"), 3, 16).as("__mh"))
+        .withColumn("__nsh", greatest(col("__ntok") - 3, lit(0)) + 1)
+        .withColumn("__rep",
+          lit(1.0) - size(col("__mh.sh")).cast("double") / col("__nsh").cast("double"))
+        .persist()
+      val lowRep = prepared.filter(col("__rep") < 0.2)
       val afterExact = lowRep.join(
         LlmOps.dedupExactIds(lowRep, "doc_id", "text"), "doc_id").persist()
-      val pairs = LlmOps.nearDupPairs(afterExact, "doc_id", "text", maxBucketSize = 10000)
+      val pairs = LlmOps.nearDupPairsFromSets(
+        afterExact.select(col("doc_id"),
+          col("__mh.sh").as("__sh"), col("__mh.sig").as("__sig")),
+        "doc_id", bands = 4, rowsPerBand = 4, threshold = 0.7, maxBucketSize = 10000)
       val afterNear = afterExact.join(
         graft.ops.Graph.dedupClusters(afterExact, pairs, "doc_id")
           .filter(col("keep")).select("doc_id"),
-        "doc_id").persist()
+        "doc_id")
+      val benchSet = bench.select(
+          explode(LlmOps.minhashPlanBest(bench, col("text"), 3, 16).getField("sh")).as("__bsh"))
+        .distinct()
       val clean = afterNear.join(
-        LlmOps.contamination(afterNear, "doc_id", "text", bench, "text", 3)
+        LlmOps.contaminationFromSets(
+            afterNear.select(col("doc_id"), col("__mh.sh").as("__sh")), "doc_id", benchSet)
           .filter(col("containment") < 0.5).select("doc_id"),
         "doc_id")
       clean.select("doc_id", "lang", "n_chars").orderBy("doc_id")

@@ -197,10 +197,22 @@ object LlmOps {
     // a standard MinHash dedup pipeline. The repartition spreads the
     // CPU-heavy hashing across all cores even when the source is a handful
     // of small parquet files (one file = one task otherwise).
-    val withSets = df
+    val sets = df
       .repartition(df.sparkSession.sessionState.conf.numShufflePartitions, col(idCol))
       .select(col(idCol), minhashPlanBest(df, col(textCol), shingleN, numHashes).as("__mh"))
       .select(col(idCol), col("__mh.sh").as("__sh"), col("__mh.sig").as("__sig"))
+    nearDupPairsFromSets(sets, idCol, bands, rowsPerBand, threshold, maxBucketSize)
+  }
+
+  /** [[nearDupPairs]] over PRECOMPUTED (id, __sh, __sig) rows — the entry
+    * point for pipelines that materialize ONE shingle/signature pass and
+    * feed several stages from it (see the curation pipeline). Same caching
+    * contract as [[nearDupPairs]].
+    */
+  def nearDupPairsFromSets(sets: DataFrame, idCol: String,
+                           bands: Int, rowsPerBand: Int,
+                           threshold: Double, maxBucketSize: Int): DataFrame = {
+    val withSets = sets
       .filter(size(col("__sh")) > 0)
       .persist()
 
@@ -413,14 +425,24 @@ object LlmOps {
     val benchSet = benchmark
       .select(explode(shingleHashSeq(tokens(col(benchTextCol)), shingleN)).as("__bsh"))
       .distinct()
-    // Persisted: the per-doc shingle sets feed BOTH the hit count and the
-    // final ratio join — without it the md5 shingle projection (the
-    // dominant cost) runs twice. Same caching contract as nearDupPairs.
     val docSets = docs
       .select(col(idCol), tokens(col(textCol)).as("__t"))
       .select(col(idCol),
         array_distinct(shingleHashSeq(col("__t"), shingleN)).as("__sh"))
-      .persist()
+    contaminationFromSets(docSets, idCol, benchSet)
+  }
+
+  /** [[contamination]] over PRECOMPUTED per-doc distinct shingle-hash sets
+    * (`idCol`, `__sh`) and a distinct benchmark hash set (`__bsh`) — for
+    * pipelines that already materialized one shingle pass (see the
+    * curation pipeline).
+    */
+  def contaminationFromSets(sets: DataFrame, idCol: String,
+                            benchSet: DataFrame): DataFrame = {
+    // Persisted: the per-doc shingle sets feed BOTH the hit count and the
+    // final ratio join — without it the shingle projection (the dominant
+    // cost) runs twice. Same caching contract as nearDupPairs.
+    val docSets = sets.persist()
     val hits = docSets
       .select(col(idCol), explode(col("__sh")).as("__s"))
       .join(benchSet, col("__s") === col("__bsh"), "left_semi")
