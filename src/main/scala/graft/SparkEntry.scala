@@ -569,6 +569,57 @@ object SparkEntry {
       clean.select("doc_id", "lang", "n_chars").orderBy("doc_id")
     }),
 
+    "pii_scrub" -> ((s, dir) => {
+      // PII redaction audit: the text is deterministically augmented with
+      // an email (doc_id) and a digit run (n_chars) so the scrub is
+      // exercised on every row — the corpus itself is digit-free word
+      // soup. Emails scrub FIRST (they contain digits), then digit runs.
+      val docs = t(s, dir, "documents")
+      val aug = docs.select(col("doc_id"),
+        concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
+          lit("@mail.example.com ref "), col("n_chars").cast("string")).as("text"))
+      LlmOps.piiScrub(aug, "doc_id", "text").orderBy("doc_id")
+    }),
+
+    "chunk_dedup" -> ((s, dir) =>
+      // passage-level exact dedup on 10-token windows: per doc, how many
+      // chunks it has and how many distinct chunks it "owns" corpus-wide
+      LlmOps.chunkDedup(t(s, dir, "documents"), "doc_id", "text", chunkTokens = 10)
+        .orderBy("doc_id")),
+
+    "source_overlap" -> ((s, dir) =>
+      // corpus-level source-vs-source shingle Jaccard matrix (20 sources
+      // → 190 pairs): the "which crawls repeat each other" diagnostic
+      LlmOps.sourceOverlap(t(s, dir, "documents"), "source", "text", shingleN = 3)
+        .orderBy("source_a", "source_b")),
+
+    "stratified_sample" -> ((s, dir) =>
+      // data-mixture reweighting: per-source deterministic keep rates via
+      // the portable hash — rerun-stable, no RNG, pure pushed-down filter
+      Relational.stratifiedSample(t(s, dir, "documents"), "doc_id", "source",
+          Map("src1" -> 80, "src2" -> 50, "src3" -> 20, "src4" -> 10))
+        .select("doc_id", "source", "lang")
+        .orderBy("doc_id")),
+
+    "scd2_history" -> ((s, dir) =>
+      // CDC compaction: event stream → SCD2 attribute-run history with
+      // validity bounds; one shuffle, windows share the (key, ts) sort
+      Temporal.scd2History(t(s, dir, "events"), "user_id", "event_type", "ts", "event_id")
+        .select(col("user_id"), col("event_type"), col("version"),
+          date_format(col("valid_from"), "yyyy-MM-dd HH:mm:ss").as("valid_from"),
+          date_format(col("valid_to"), "yyyy-MM-dd HH:mm:ss").as("valid_to"),
+          col("is_current"))
+        .orderBy("user_id", "version")),
+
+    "embedding_quantize" -> ((s, dir) => {
+      // int8 scalar-quantization calibration (per-dim corpus min/max) +
+      // the probe row's quantized codes — exact double arithmetic
+      val emb = t(s, dir, "embeddings")
+      VectorOps.scalarQuantize(emb, "embedding", "vec_id",
+          emb.filter(col("vec_id") === 0))
+        .orderBy("pos")
+    }),
+
     // ---- §3 composed pipeline ------------------------------------------
     "flagship_pipeline" -> ((s, dir) => ZoomJobs.flagship(s, dir))
   )
@@ -1288,6 +1339,107 @@ object SparkEntry {
                              AND o.o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
                              AND o.o_orderdate <  TIMESTAMP '1996-01-01 00:00:00')
          GROUP BY r_name, n_name
-         ORDER BY r_name, n_name"""
+         ORDER BY r_name, n_name""",
+
+    "pii_scrub" ->
+      """WITH a AS (
+           SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+               || '@mail.example.com ref ' || CAST(n_chars AS VARCHAR) AS text
+           FROM documents),
+         r AS (
+           SELECT doc_id, text,
+             regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS de
+           FROM a)
+         SELECT doc_id,
+           CAST(len(regexp_extract_all(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(de, '[0-9]+')) AS BIGINT) AS n_nums,
+           CAST(length(regexp_replace(de, '[0-9]+', '<NUM>', 'g')) AS BIGINT) AS redacted_len,
+           md5(regexp_replace(de, '[0-9]+', '<NUM>', 'g')) AS redacted_fp
+         FROM r ORDER BY doc_id""",
+
+    "chunk_dedup" ->
+      """WITH t AS (
+           SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS tk
+           FROM documents),
+         c AS (
+           SELECT doc_id, unnest(list_transform(range(0, (len(tk) - 1) // 10 + 1),
+             i -> array_to_string(list_slice(tk, i * 10 + 1, i * 10 + 10), ' '))) AS ch
+           FROM t),
+         f AS (SELECT doc_id, md5(ch) AS fp FROM c WHERE ch <> ''),
+         n AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks FROM f GROUP BY doc_id),
+         w AS (SELECT fp, MIN(doc_id) AS doc_id FROM f GROUP BY fp),
+         o AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_owned FROM w GROUP BY doc_id)
+         SELECT n.doc_id, n.n_chunks,
+           CAST(COALESCE(o.n_owned, 0) AS BIGINT) AS n_owned
+         FROM n LEFT JOIN o USING (doc_id) ORDER BY doc_id""",
+
+    "source_overlap" ->
+      """WITH hs AS (
+           SELECT source, list_transform(
+             range(1, greatest(len(string_split_regex(lower(trim(text)), '\s+')) - 3, 0) + 2),
+             i -> ('0x' || substr(md5(array_to_string(
+               list_slice(string_split_regex(lower(trim(text)), '\s+'), i, i + 2), ' ')), 1, 12))::BIGINT) AS sh
+           FROM documents),
+         p AS (SELECT DISTINCT source AS g, unnest(sh) AS h FROM hs),
+         sz AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n FROM p GROUP BY g),
+         inter AS (
+           SELECT a.g AS ga, b.g AS gb, CAST(COUNT(*) AS BIGINT) AS ni
+           FROM p a JOIN p b ON a.h = b.h AND a.g < b.g
+           GROUP BY a.g, b.g),
+         m AS (
+           SELECT x.g AS source_a, y.g AS source_b, x.n AS n_a, y.n AS n_b
+           FROM sz x JOIN sz y ON x.g < y.g)
+         SELECT m.source_a, m.source_b, m.n_a, m.n_b,
+           CAST(COALESCE(i.ni, 0) AS BIGINT) AS n_inter,
+           CAST(COALESCE(i.ni, 0) AS DOUBLE)
+             / (m.n_a + m.n_b - COALESCE(i.ni, 0)) AS jaccard
+         FROM m LEFT JOIN inter i ON m.source_a = i.ga AND m.source_b = i.gb
+         ORDER BY source_a, source_b""",
+
+    "stratified_sample" ->
+      """SELECT doc_id, source, lang FROM documents
+         WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT % 100 <
+           CASE source WHEN 'src1' THEN 80 WHEN 'src2' THEN 50
+                       WHEN 'src3' THEN 20 WHEN 'src4' THEN 10 ELSE 0 END
+         ORDER BY doc_id""",
+
+    "scd2_history" ->
+      """WITH c AS (
+           SELECT user_id, event_type, ts, event_id,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+           FROM events),
+         ch AS (
+           SELECT user_id, event_type, ts, event_id FROM c
+           WHERE prev IS NULL OR prev <> event_type),
+         v AS (
+           SELECT user_id, event_type,
+             CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS version,
+             ts,
+             lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_ts
+           FROM ch)
+         SELECT user_id, event_type, version,
+           strftime(date_trunc('second', ts), '%Y-%m-%d %H:%M:%S') AS valid_from,
+           strftime(date_trunc('second', next_ts), '%Y-%m-%d %H:%M:%S') AS valid_to,
+           next_ts IS NULL AS is_current
+         FROM v ORDER BY user_id, version""",
+
+    "embedding_quantize" ->
+      """WITH e AS (
+           SELECT vec_id, unnest(embedding) AS v,
+             unnest(range(len(embedding))) AS pos
+           FROM embeddings),
+         d AS (
+           SELECT pos, MIN(CAST(v AS DOUBLE)) AS dmin, MAX(CAST(v AS DOUBLE)) AS dmax
+           FROM e GROUP BY pos),
+         q AS (SELECT pos, CAST(v AS DOUBLE) AS pv FROM e WHERE vec_id = 0)
+         SELECT CAST(d.pos AS BIGINT) AS pos, d.dmin, d.dmax,
+           CAST(CASE WHEN d.dmax = d.dmin THEN 0
+                ELSE least(255, greatest(0,
+                  CAST(floor((q.pv - d.dmin) / (d.dmax - d.dmin) * 255) AS BIGINT)))
+           END AS BIGINT) AS code
+         FROM d JOIN q USING (pos) ORDER BY pos"""
   )
 }

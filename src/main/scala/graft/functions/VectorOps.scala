@@ -40,6 +40,36 @@ object VectorOps {
     if (spark.catalog.functionExists("cosine_sim")) call_function("cosine_sim", a, b)
     else cosine(a, b)
 
+  /** Int8 scalar quantization calibration + encode check — the compression
+    * step a 100 TB embedding store applies before indexing (4x smaller
+    * than float32, dot products on bytes). Returns one row per dimension:
+    * the corpus-wide (min, max) calibration range and the quantized code
+    * of the probe row's value in that dimension,
+    * `floor((v - min) / (max - min) * 255)` clamped to [0, 255].
+    *
+    * Scale shape: per-dim min/max is a posexplode + groupBy(pos) — rows
+    * shuffled = N·dim (pos, partialMin, partialMax) after map-side
+    * partial aggregation collapses each partition to ≤ dim rows; the
+    * probe side is one row, broadcast-joined. All arithmetic is exact
+    * float→double widening and IEEE ops in fixed order, so an external
+    * SQL engine replays the codes bit for bit.
+    */
+  def scalarQuantize(embeddings: DataFrame, embCol: String, idCol: String,
+                     probe: DataFrame): DataFrame = {
+    val dims = embeddings
+      .select(posexplode(col(embCol).cast("array<double>")).as(Seq("pos", "__v")))
+      .groupBy("pos")
+      .agg(min(col("__v")).as("dmin"), max(col("__v")).as("dmax"))
+    val probeDims = probe
+      .select(posexplode(col(embCol).cast("array<double>")).as(Seq("pos", "__pv")))
+    dims.join(broadcast(probeDims), "pos")
+      .select(col("pos").cast("long").as("pos"), col("dmin"), col("dmax"),
+        when(col("dmax") === col("dmin"), lit(0L)).otherwise(
+          least(lit(255L), greatest(lit(0L),
+            floor((col("__pv") - col("dmin")) / (col("dmax") - col("dmin")) * 255))))
+          .cast("long").as("code"))
+  }
+
   /** Brute-force top-k most-similar rows to one query vector.
     *
     * The query vector arrives as a 1-row DataFrame (column `__qv`) and is

@@ -511,4 +511,114 @@ object LlmOps {
         count(lit(1)).as("n_docs"),
         sum(col(charsCol)).cast("long").as("total_chars"))
       .withColumn("avg_chars", col("total_chars").cast("double") / col("n_docs"))
+
+  /** PII / noise scrubbing pass: emails → `<EMAIL>`, then digit runs →
+    * `<NUM>` (order matters — emails may contain digits). The standard
+    * pre-training redaction step. Pure per-row regexp projection
+    * (codegen'd, no UDF, no shuffle); the patterns stay inside the regex
+    * subset Java and RE2-family engines interpret identically, so an
+    * external SQL oracle replays the redacted bytes exactly. Returns
+    * per-doc redaction counts plus the md5 of the redacted text — the
+    * compact proof-of-work a 100 TB scrub ships to its audit log (the
+    * full redacted text is written by the sink, not carried through
+    * the audit aggregation).
+    */
+  def piiScrub(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val t = col(textCol)
+    val deEmail = regexp_replace(t, email, "<EMAIL>")
+    val redacted = regexp_replace(deEmail, "[0-9]+", "<NUM>")
+    df.select(
+      col(idCol),
+      regexp_count(t, lit(email)).cast("long").as("n_emails"),
+      regexp_count(deEmail, lit("[0-9]+")).cast("long").as("n_nums"),
+      length(redacted).cast("long").as("redacted_len"),
+      md5(redacted).as("redacted_fp"))
+  }
+
+  /** Sub-document (chunk-level) exact dedup: split each doc into
+    * fixed-width token chunks, fingerprint each normalized chunk, and
+    * award ownership of every distinct chunk to the minimum doc id
+    * containing it. The per-doc result (`n_chunks`, `n_owned`) is the
+    * passage-dedup signal pipelines use to strip boilerplate that
+    * whole-doc exact dedup misses (shared headers, quoted passages) —
+    * fixed token windows rather than sentence boundaries, which is how
+    * chunked training corpora are actually keyed.
+    *
+    * Scale shape: only (md5 fingerprint, doc_id) pairs shuffle — 16+8
+    * bytes per chunk regardless of chunk text length — and both
+    * aggregations have map-side partials. No all-pairs anything.
+    */
+  def chunkDedup(df: DataFrame, idCol: String, textCol: String,
+                 chunkTokens: Int): DataFrame = {
+    val toks = tokens(col(textCol))
+    val chunkArr = transform(
+      sequence(lit(0), floor((size(toks) - 1).cast("double") / chunkTokens).cast("int")),
+      i => concat_ws(" ", slice(toks, i * chunkTokens + 1, lit(chunkTokens))))
+    val chunks = df
+      .select(col(idCol), explode(chunkArr).as("__c"))
+      .filter(col("__c") =!= "")
+      .select(col(idCol), md5(col("__c")).as("__fp"))
+    val perDoc = chunks.groupBy(idCol)
+      .agg(count(lit(1)).as("n_chunks"))
+    val owned = chunks.groupBy("__fp")
+      .agg(min(col(idCol)).as(idCol))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("__owned"))
+    perDoc.join(owned, Seq(idCol), "left")
+      .select(col(idCol), col("n_chunks"),
+        coalesce(col("__owned"), lit(0L)).as("n_owned"))
+  }
+
+  /** Cross-source corpus overlap matrix: Jaccard similarity between the
+    * distinct n-gram shingle sets of every source pair — the corpus-level
+    * "how much does crawl A repeat crawl B" diagnostic that drives source
+    * weighting and dedup-order decisions.
+    *
+    * Scale shape: each source collapses to its DISTINCT (source, shingle
+    * hash) pairs before any join (map-side partial distinct), the
+    * intersection is an equi-join on the 8-byte hash, and the final
+    * matrix is |sources|² rows. The corpus text never shuffles; with S
+    * sources the candidate space is S·|distinct shingles|, never
+    * docs×docs.
+    */
+  def sourceOverlap(df: DataFrame, groupCol: String, textCol: String,
+                    shingleN: Int): DataFrame = {
+    // Persisted: the distinct (source, shingle) table feeds the size
+    // aggregation AND both sides of the intersection join — same caching
+    // contract as nearDupPairs (callers clearCache() when done).
+    val pairs = df
+      .select(col(groupCol).as("__g"),
+        explode(array_distinct(shingleHashSeq(tokens(col(textCol)), shingleN))).as("__sh"))
+      .distinct()
+      .persist()
+    val sizes = pairs.groupBy("__g").agg(count(lit(1)).as("__n"))
+    // Intersection counts WITHOUT a self-join: group each shingle's source
+    // list (≤ |sources| elements), emit its ordered pairs in-array, then
+    // count per pair. One shuffle on the 8-byte hash with a map-side
+    // partial — the self-join alternative shuffles the full posting table
+    // twice and its join output is |postings|² per hot shingle.
+    val inter = pairs
+      .groupBy("__sh").agg(collect_set(col("__g")).as("__gs"))
+      .filter(size(col("__gs")) >= 2)
+      .select(explode(flatten(transform(col("__gs"), a =>
+        filter(
+          transform(col("__gs"), b => struct(a.as("__g"), b.as("__g2"))),
+          p => p.getField("__g") < p.getField("__g2"))))).as("__p"))
+      .select(col("__p.__g").as("__g"), col("__p.__g2").as("__g2"))
+      .groupBy("__g", "__g2")
+      .agg(count(lit(1)).as("n_inter"))
+    val allPairs = sizes.select(col("__g").as("source_a"), col("__n").as("n_a"))
+      .crossJoin(sizes.select(col("__g").as("source_b"), col("__n").as("n_b")))
+      .filter(col("source_a") < col("source_b"))
+    allPairs
+      .join(inter,
+        col("source_a") === col("__g") && col("source_b") === col("__g2"), "left")
+      .select(col("source_a"), col("source_b"),
+        col("n_a"), col("n_b"),
+        coalesce(col("n_inter"), lit(0L)).as("n_inter"))
+      .withColumn("jaccard",
+        col("n_inter").cast("double") /
+          (col("n_a") + col("n_b") - col("n_inter")).cast("double"))
+  }
 }

@@ -155,6 +155,26 @@ object Relational {
   def hashSample(df: DataFrame, keyCol: String, m: Int): DataFrame =
     df.filter(pmod(LlmOps.md5Hash48(col(keyCol).cast("string"), 1), lit(m)) === 0)
 
+  /** Data-mixture sampling: per-stratum deterministic sampling rates via
+    * the portable md5-48 hash of the row key — the "mix sources to target
+    * weights" step of a training-data pipeline (e.g. crawl at 10%, books
+    * at 80%). `rates` maps stratum value → keep-permille-of-`mod`; absent
+    * strata keep nothing.
+    *
+    * Scale shape: a pure filter — no shuffle, no RNG state, rerun-stable
+    * (the same rows survive on every execution and on any cluster
+    * layout), and the scan prunes to the key + stratum columns. The rates
+    * map is a literal CASE expression, not a join: sampling 100 TB costs
+    * one codegen'd pass.
+    */
+  def stratifiedSample(df: DataFrame, keyCol: String, stratumCol: String,
+                       rates: Map[String, Int], mod: Int = 100): DataFrame = {
+    val rate = rates.foldLeft(lit(0)) { case (acc, (k, v)) =>
+      when(col(stratumCol) === lit(k), lit(v)).otherwise(acc)
+    }
+    df.filter(pmod(LlmOps.md5Hash48(col(keyCol).cast("string"), 1), lit(mod)) < rate)
+  }
+
   /** Skew-resistant exact-decimal sum, same two-phase shape. */
   def saltedSumPerGroup(df: DataFrame, key: String, valueCol: String,
                         saltSrc: String, salts: Int = 16): DataFrame =

@@ -81,4 +81,39 @@ object Temporal {
       .groupBy(col(keyCol), col("session_id"))
       .agg(count(lit(1)).as("n_events"), min(col(tsCol)).as("session_start"))
   }
+
+  /** SCD-type-2 change history: collapse an event stream to one row per
+    * (key, attribute-value run) with validity bounds — the standard
+    * dimension-versioning / CDC-compaction shape (the reference's
+    * drop-and-reload sink, /root/reference/main.py:300-307, is the
+    * degenerate "version 1 only" case of this).
+    *
+    * Per key (event-time order, `tieBreak` for determinism): keep rows
+    * where the attribute CHANGED vs the previous event, then
+    * `valid_from` = that row's ts, `valid_to` = the next change's ts
+    * (null while current), `version` = running change count. Three window
+    * functions over ONE (key, ts) partitioning — a single shuffle, and
+    * the change-point filter runs before the second window pass so the
+    * versioning windows see only change rows, not the full stream.
+    */
+  def scd2History(df: DataFrame, keyCol: String, attrCol: String,
+                  tsCol: String, tieBreak: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol).asc, col(tieBreak).asc)
+    val changed = df
+      .withColumn("__prev", lag(col(attrCol), 1).over(w))
+      .filter(col("__prev").isNull || col("__prev") =!= col(attrCol))
+    val w2 = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol).asc, col(tieBreak).asc)
+    changed
+      .withColumn("version", row_number().over(w2).cast("long"))
+      .withColumn("__next_ts", lead(col(tsCol), 1).over(w2))
+      .select(
+        col(keyCol),
+        col(attrCol),
+        col("version"),
+        col(tsCol).as("valid_from"),
+        col("__next_ts").as("valid_to"),
+        col("__next_ts").isNull.as("is_current"))
+  }
 }

@@ -177,4 +177,56 @@ class LlmOpsSpec extends SparkTestBase {
       .as[(String, Long, Long, Double)].collect().toSet
     assert(out == Set(("en", 2L, 30L, 15.0), ("fr", 1L, 5L, 5.0)))
   }
+
+  test("pii scrub redacts emails before digit runs and counts both") {
+    val df = Seq(
+      (1L, "reach me at bob42@mail.example.com or call 555 1234"),
+      (2L, "no pii here at all")).toDF("doc_id", "text")
+    val out = LlmOps.piiScrub(df, "doc_id", "text")
+      .select("doc_id", "n_emails", "n_nums")
+      .as[(Long, Long, Long)].collect()
+      .map { case (i, e, n) => i -> ((e, n)) }.toMap
+    // doc 1: one email; digits 42 are INSIDE the email (scrubbed with it),
+    // so only the two phone runs remain as digit runs
+    assert(out(1L) == ((1L, 2L)))
+    assert(out(2L) == ((0L, 0L)))
+    // redacted text carries the placeholders, not the original bytes
+    val red = LlmOps.piiScrub(df, "doc_id", "text")
+      .filter($"doc_id" === 1L).select("redacted_fp").as[String].head()
+    val expected = df.filter($"doc_id" === 1L)
+      .select(md5(lit("reach me at <EMAIL> or call <NUM> <NUM>")))
+      .as[String].head()
+    assert(red == expected)
+  }
+
+  test("chunk dedup: ownership goes to min doc id; counts cover partial tail chunks") {
+    val df = Seq(
+      (1L, "a b c d e f"),   // chunks(3): "a b c", "d e f"
+      (2L, "a b c x y z"),   // shares chunk "a b c" with doc 1
+      (3L, "a b c d e f"),   // full dup of doc 1
+      (4L, "q r s t")).toDF("doc_id", "text") // chunks: "q r s", "t"
+    val out = LlmOps.chunkDedup(df, "doc_id", "text", chunkTokens = 3)
+      .select("doc_id", "n_chunks", "n_owned")
+      .as[(Long, Long, Long)].collect()
+      .map { case (i, c, o) => i -> ((c, o)) }.toMap
+    assert(out(1L) == ((2L, 2L))) // owns both its chunks
+    assert(out(2L) == ((2L, 1L))) // "a b c" owned by doc 1
+    assert(out(3L) == ((2L, 0L))) // everything owned by doc 1
+    assert(out(4L) == ((2L, 2L))) // partial tail chunk "t" still counted
+  }
+
+  test("source overlap: jaccard matrix is exact on known shingle sets") {
+    val df = Seq(
+      ("s1", "a b c d"),   // 3-shingles: {a b c, b c d}
+      ("s2", "a b c d"),   // identical set → jaccard 1
+      ("s3", "x y z w")).toDF("source", "text") // disjoint → jaccard 0
+    val out = LlmOps.sourceOverlap(df, "source", "text", shingleN = 3)
+      .select("source_a", "source_b", "jaccard")
+      .as[(String, String, Double)].collect()
+      .map { case (a, b, j) => (a, b) -> j }.toMap
+    assert(out(("s1", "s2")) == 1.0)
+    assert(out(("s1", "s3")) == 0.0)
+    assert(out(("s2", "s3")) == 0.0)
+    spark.catalog.clearCache()
+  }
 }

@@ -141,4 +141,22 @@ class RelationalSpec extends SparkTestBase {
       .select("u", "seq", "rt").as[(String, Int, Double)].collect().toSet
     assert(out == Set(("u1", 1, 10.0), ("u1", 2, 15.0), ("u2", 1, 7.0)))
   }
+
+  test("stratified sample: deterministic, rate-proportional, absent strata drop") {
+    val df = spark.range(0, 4000)
+      .select($"id", concat(lit("s"), pmod($"id", lit(4)).cast("string")).as("src"))
+    val rates = Map("s0" -> 100, "s1" -> 50, "s2" -> 10) // s3 absent → 0
+    val out = Relational.stratifiedSample(df, "id", "src", rates)
+    val counts = out.groupBy("src").count().as[(String, Long)].collect().toMap
+    assert(counts("s0") == 1000L)                    // rate 100% keeps all
+    assert(counts("s1") > 350 && counts("s1") < 650) // ~50% of 1000
+    assert(counts("s2") > 40 && counts("s2") < 200)  // ~10% of 1000
+    assert(!counts.contains("s3"))                   // unlisted stratum → nothing
+    // rerun-stability: exactly the same rows survive
+    assert(out.select("id").exceptAll(
+      Relational.stratifiedSample(df, "id", "src", rates).select("id")).isEmpty)
+    // scale posture: a pure filter — no shuffle in the plan
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"sampling should not shuffle:\n$plan")
+  }
 }

@@ -76,4 +76,33 @@ class TemporalSpec extends SparkTestBase {
       .as[(Long, Long, Long)].collect().toSet
     assert(out == Set((1L, 1L, 3L), (1L, 2L, 1L), (2L, 1L, 1L)))
   }
+
+  test("scd2: attribute runs collapse to versioned rows with validity bounds") {
+    val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    def ts(h: Int) = new Timestamp(base + h * 3600L * 1000)
+    val df = Seq(
+      (1L, 1L, ts(0), "free"),
+      (1L, 2L, ts(1), "free"),  // same value → same run
+      (1L, 3L, ts(2), "pro"),   // change
+      (1L, 4L, ts(3), "free"),  // change back → NEW version (not merged)
+      (2L, 5L, ts(0), "pro")).toDF("user_id", "event_id", "ts", "plan")
+    val out = Temporal.scd2History(df, "user_id", "plan", "ts", "event_id")
+      .select($"user_id", $"plan", $"version", $"is_current")
+      .as[(Long, String, Long, Boolean)].collect().toSet
+    assert(out == Set(
+      (1L, "free", 1L, false),
+      (1L, "pro", 2L, false),
+      (1L, "free", 3L, true),
+      (2L, "pro", 1L, true)))
+    // validity bounds chain: version n's valid_to == version n+1's valid_from
+    val bounds = Temporal.scd2History(df, "user_id", "plan", "ts", "event_id")
+      .filter($"user_id" === 1L).orderBy("version")
+      .select($"valid_from".cast("long"), $"valid_to".cast("long"))
+      .as[(Long, Option[Long])].collect()
+    assert(bounds.sliding(2).forall {
+      case Array((_, Some(to)), (from2, _)) => to == from2
+      case _ => true
+    })
+    assert(bounds.last._2.isEmpty)
+  }
 }

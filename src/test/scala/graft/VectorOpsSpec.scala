@@ -109,4 +109,19 @@ class VectorOpsSpec extends SparkTestBase {
     assert(sample.select("id").exceptAll(
       VectorOps.deterministicSample(emb, "embedding", cap = 500).select("id")).isEmpty)
   }
+
+  test("scalar quantization: calibration range is corpus-wide, codes hit the rails") {
+    val df = Seq(
+      (0L, Array(0.0f, 10.0f, 5.0f)),   // probe
+      (1L, Array(10.0f, 0.0f, 5.0f)),
+      (2L, Array(5.0f, 5.0f, 5.0f))).toDF("vec_id", "embedding")
+    val out = VectorOps.scalarQuantize(df, "embedding", "vec_id",
+        df.filter($"vec_id" === 0))
+      .orderBy("pos")
+      .select("pos", "dmin", "dmax", "code")
+      .as[(Long, Double, Double, Long)].collect()
+    assert(out(0) == ((0L, 0.0, 10.0, 0L)))    // probe at min → code 0
+    assert(out(1) == ((1L, 0.0, 10.0, 255L)))  // probe at max → code 255
+    assert(out(2) == ((2L, 5.0, 5.0, 0L)))     // degenerate dim → 0, no div-by-zero
+  }
 }
