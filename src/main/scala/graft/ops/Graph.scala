@@ -53,21 +53,22 @@ object Graph {
     var converged = prevSum == null
     var iter = 0
     while (!converged && iter < maxIter) {
-      val nbrMin = sym
+      // ONE join + ONE aggregation per round: self-loops, real edges and
+      // pointer edges (x → label(x)) are unioned into a single relation,
+      // so min-of{own label, neighbor labels, label(label(x))} is
+      // min(label(d)) over that relation — the three separate joins the
+      // naive formulation pays (neighbor-min, doubling hop, left-join
+      // merge) collapse into one shuffle.
+      val rel = sym
+        .union(labels.select(col("node"), col("node")))   // self: label(x)
+        .union(labels.select(col("node"), col("label")))  // hop: label(label(x))
+        .toDF("__s", "__d")
+      val next = rel
         .join(labels.select(col("node").as("__d2"), col("label").as("__dl")),
           col("__d") === col("__d2"))
         .groupBy(col("__s"))
-        .agg(min(col("__dl")).as("__nl"))
-      // pointer doubling: label(label(x)) — label values are themselves
-      // node ids, so one self-join fetches the two-hop label
-      val hop = labels.select(col("node").as("__h2"), col("label").as("__hl"))
-      val next = labels
-        .join(nbrMin, labels("node") === nbrMin("__s"), "left")
-        .join(hop, labels("label") === col("__h2"), "left")
-        .select(col("node"),
-          least(col("label"),
-            coalesce(col("__nl"), col("label")),
-            coalesce(col("__hl"), col("label"))).as("label"))
+        .agg(min(col("__dl")).as("label"))
+        .select(col("__s").as("node"), col("label"))
         .localCheckpoint() // eager: materializes and cuts lineage
       val s = labelSum(next)
       converged = s.compareTo(prevSum) == 0

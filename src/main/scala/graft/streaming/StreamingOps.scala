@@ -71,6 +71,26 @@ object StreamingOps {
       col(rightTs) <= col(leftTs) + expr(s"INTERVAL $bandRight"))
   }
 
+  /** Left-outer stream-stream interval join: like [[intervalJoin]] but
+    * left rows with no match inside the band are still emitted (right side
+    * null-filled) — attribution with explicit "unconverted" rows. The
+    * null-filled outputs are produced only when the watermark passes the
+    * row's band (the engine must prove no future match can arrive before
+    * it can emit the negative), so results trail the watermark by the band
+    * width — that delay is the price of exactly-once negatives, not a bug.
+    * State stays bounded by the same watermark expiry as the inner join.
+    */
+  def intervalJoinLeftOuter(left: DataFrame, leftTs: String, leftDelay: String,
+                            right: DataFrame, rightTs: String, rightDelay: String,
+                            keyCond: Column, bandLeft: String, bandRight: String): DataFrame = {
+    val l = left.withWatermark(leftTs, leftDelay)
+    val r = right.withWatermark(rightTs, rightDelay)
+    l.join(r, keyCond &&
+      col(rightTs) >= col(leftTs) - expr(s"INTERVAL $bandLeft") &&
+      col(rightTs) <= col(leftTs) + expr(s"INTERVAL $bandRight"),
+      "leftOuter")
+  }
+
   /** High-watermark incremental filter for a micro-batch source: keep rows
     * strictly newer than the given watermark (the reference's
     * `from=watermark+1day` fetch bound, /root/reference/main.py:219-224,
@@ -115,6 +135,44 @@ object StreamingOps {
         Iterator((key, new java.sql.Timestamp(mx)))
       } else Iterator.empty
     }
+  }
+
+  /** First-sight filter with TTL-evicted state: emits a key the first time
+    * it appears, suppresses repeats while its state lives, and FORGETS the
+    * key TTL after last refresh — the bounded-memory "recently seen" cache
+    * (alert dedup, rate limiting, re-notification windows). Unlike
+    * [[dedupWithinWatermark]] (event-time bound), the bound here is
+    * processing-time TTL via the state store's native `TTLConfig`:
+    * state size is O(distinct keys per TTL window) no matter how long the
+    * stream runs — the property that keeps a 100 TB/day stream's state
+    * from growing without limit.
+    */
+  class TtlSeenFilter(ttlMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, SessionEvent, Long] {
+    @transient private var seen: org.apache.spark.sql.streaming.ValueState[Long] = _
+
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+      seen = getHandle.getValueState[Long]("seen",
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig(java.time.Duration.ofMillis(ttlMs)))
+    }
+
+    override def handleInputRows(key: Long, rows: Iterator[SessionEvent],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[Long] = {
+      rows.size // drain
+      val isNew = !seen.exists() // expired TTL state reads as absent
+      seen.update(timerValues.getCurrentProcessingTimeInMs()) // write refreshes TTL
+      if (isNew) Iterator(key) else Iterator.empty
+    }
+  }
+
+  /** Wire [[TtlSeenFilter]] over a stream of [[SessionEvent]]s. */
+  def firstSightWithTtl(ds: Dataset[SessionEvent], ttlMs: Long): Dataset[Long] = {
+    import org.apache.spark.sql.streaming.TimeMode
+    ds.groupByKey(_.userId)(org.apache.spark.sql.Encoders.scalaLong)
+      .transformWithState(new TtlSeenFilter(ttlMs), TimeMode.ProcessingTime(),
+        OutputMode.Update())(org.apache.spark.sql.Encoders.scalaLong)
   }
 
   /** Wire [[WatermarkTracker]] over a stream of [[SessionEvent]]s. */

@@ -122,4 +122,35 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("TakeOrderedAndProject"), p)
     assert(!p.contains("SortMergeJoin"), s"embedding table must not shuffle:\n$p")
   }
+
+  test("runtime bloom filter prunes the fact scan behind a selective dim filter") {
+    // At cluster scale a shuffle join against a filtered dimension should
+    // inject a bloom filter on the fact side (rows that can't match die at
+    // the scan, before the shuffle). Local test data is below the default
+    // size thresholds, so lower them to observe the injected filter.
+    import org.apache.spark.sql.functions._
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold").map(k => k -> conf.getOption(k))
+    try {
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force shuffle join
+      val li = Tables.load(spark, sf, "lineitem")
+      val o = Tables.load(spark, sf, "orders").filter(col("o_orderpriority") === "1-URGENT")
+      val joined = li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .select("l_orderkey", "l_quantity", "o_orderpriority")
+      joined.collect()
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("might_contain"),
+        s"no runtime bloom filter injected on the fact side:\n$p")
+      assert(p.contains("bloom_filter_agg"),
+        s"no bloom filter built from the filtered dimension:\n$p")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
 }

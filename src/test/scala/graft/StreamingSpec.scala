@@ -110,6 +110,73 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("left-outer interval join emits null-filled negatives after watermark expiry") {
+    val clicks = MemoryStream[(Long, Long, Timestamp)]
+    val buys = MemoryStream[(Long, Long, Timestamp)]
+    clicks.addData(
+      (1L, 7L, ts("2024-01-01 10:00:00")),  // converts
+      (2L, 7L, ts("2024-01-01 12:00:00")))  // no purchase in band → negative
+    buys.addData(
+      (100L, 7L, ts("2024-01-01 10:20:00")))
+    val joined = StreamingOps.intervalJoinLeftOuter(
+      clicks.toDF().toDF("click_id", "user_l", "click_ts"), "click_ts", "10 minutes",
+      buys.toDF().toDF("buy_id", "user_r", "buy_ts"), "buy_ts", "10 minutes",
+      col("user_l") === col("user_r"),
+      bandLeft = "0 seconds", bandRight = "30 minutes")
+    val q = joined.select($"click_id", $"buy_id").writeStream
+      .format("memory").queryName("attributed_outer").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // push both watermarks far past click 2's band so the engine can
+      // prove no match will ever arrive and release the negative
+      clicks.addData((99L, 9L, ts("2024-01-02 00:00:00")))
+      buys.addData((999L, 9L, ts("2024-01-02 00:00:00")))
+      q.processAllAvailable()
+      q.processAllAvailable() // one more cycle: outer results trail eviction
+      val got = spark.table("attributed_outer").as[(Long, Option[Long])].collect().toMap
+      assert(got(1L) == Some(100L))
+      assert(got.contains(2L) && got(2L).isEmpty, s"expected null-filled negative, got $got")
+    } finally q.stop()
+  }
+
+  test("TTL state: first sight emits, repeat suppresses, key re-emits after expiry") {
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[StreamingOps.SessionEvent]
+    val out = StreamingOps.firstSightWithTtl(input.toDS(), ttlMs = 3000)
+    val q = out.toDF("user_id").writeStream
+      .format("memory").queryName("ttl_seen").outputMode("update").start()
+    // Processing-time TTL makes the engine schedule continuous eviction
+    // micro-batches, so processAllAvailable() never sees an idle stream —
+    // poll the sink with a deadline instead.
+    def awaitCount(user: Long, n: Long): Unit = {
+      val deadline = System.currentTimeMillis() + 30000
+      def cnt = spark.table("ttl_seen").as[Long].collect().count(_ == user)
+      while (cnt < n && System.currentTimeMillis() < deadline) Thread.sleep(100)
+      assert(cnt == n, s"expected $n emissions for user $user, saw $cnt")
+    }
+    try {
+      input.addData(
+        StreamingOps.SessionEvent(1, ts("2024-01-01 10:00:00")),
+        StreamingOps.SessionEvent(2, ts("2024-01-01 10:00:00")))
+      awaitCount(1L, 1); awaitCount(2L, 1)
+      input.addData(StreamingOps.SessionEvent(1, ts("2024-01-01 10:01:00"))) // within TTL
+      Thread.sleep(1500) // batches keep firing; no re-emission may appear
+      awaitCount(1L, 1)  // still exactly one — repeat was suppressed
+      Thread.sleep(3500) // let user 1's state expire (TTL 3000ms)
+      input.addData(StreamingOps.SessionEvent(1, ts("2024-01-01 10:02:00"))) // re-emits
+      awaitCount(1L, 2)  // first sight + post-TTL re-emission
+      awaitCount(2L, 1)
+    } finally {
+      q.stop()
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("streaming dedup emits each fingerprint once within the watermark") {
     val input = MemoryStream[(Timestamp, String)]
     input.addData(
