@@ -620,6 +620,27 @@ object SparkEntry {
         .orderBy("pos")
     }),
 
+    "lm_score" -> ((s, dir) =>
+      // statistical LM fluency proxy: mean corpus frequency of each doc's
+      // bigrams — exact integer numerator, one final division (hashable)
+      LlmOps.lmScore(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    "ivm_daily_counts" -> ((s, dir) => {
+      // incremental view maintenance: history partition + delta partition
+      // aggregated independently, merged — hash-checked against the
+      // direct full recomputation (the oracle computes it directly)
+      val e = t(s, dir, "events")
+        .select(col("user_id"), date_format(col("ts"), "yyyy-MM-dd").as("day"), col("ts"))
+      val cut = "2024-01-16 00:00:00"
+      val history = e.filter(col("ts") < to_timestamp(lit(cut)))
+        .groupBy("user_id", "day").agg(count(lit(1)).cast("long").as("cnt"))
+      val delta = e.filter(col("ts") >= to_timestamp(lit(cut)))
+        .groupBy("user_id", "day").agg(count(lit(1)).cast("long").as("cnt"))
+      Relational.mergeCounts(Seq(history, delta), Seq("user_id", "day"), "cnt")
+        .orderBy("user_id", "day")
+    }),
+
     // ---- §3 composed pipeline ------------------------------------------
     "flagship_pipeline" -> ((s, dir) => ZoomJobs.flagship(s, dir))
   )
@@ -1425,6 +1446,32 @@ object SparkEntry {
            strftime(date_trunc('second', next_ts), '%Y-%m-%d %H:%M:%S') AS valid_to,
            next_ts IS NULL AS is_current
          FROM v ORDER BY user_id, version""",
+
+    "lm_score" ->
+      """WITH t AS (
+           SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS tk
+           FROM documents),
+         bg AS (
+           SELECT doc_id, unnest(list_transform(
+             range(1, greatest(len(tk) - 2, 0) + 2),
+             i -> ('0x' || substr(md5(array_to_string(
+               list_slice(tk, i, i + 1), ' ')), 1, 12))::BIGINT)) AS b
+           FROM t),
+         c AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS c FROM bg GROUP BY b),
+         n AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM c),
+         d AS (
+           SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+             CAST(SUM(c.c) AS BIGINT) AS csum
+           FROM bg JOIN c USING (b) GROUP BY doc_id)
+         SELECT doc_id, n_bigrams,
+           CAST(csum AS DOUBLE) / (n_bigrams * n.n) AS lm_score
+         FROM d, n ORDER BY doc_id""",
+
+    "ivm_daily_counts" ->
+      """SELECT user_id, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+         FROM events GROUP BY user_id, day
+         ORDER BY user_id, day""",
 
     "embedding_quantize" ->
       """WITH e AS (

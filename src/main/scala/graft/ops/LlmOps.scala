@@ -570,6 +570,43 @@ object LlmOps {
         coalesce(col("__owned"), lit(0L)).as("n_owned"))
   }
 
+  /** Statistical language-model fluency score: the mean corpus frequency
+    * of a document's bigrams — `Σ corpus_count(bg) / (n_bg_doc · N_bg)`.
+    * Formulaic/common text scores high, rare-token garbage scores low; the
+    * cheap LM-quality proxy a curation pipeline thresholds on when a real
+    * perplexity model is too expensive to run corpus-wide.
+    *
+    * Determinism: the numerator is an EXACT integer sum of counts (no
+    * float accumulation order to worry about) with ONE double division at
+    * the end — an external SQL engine replays it bit for bit (ln()-based
+    * perplexity would not hash-match across libm versions, which is why
+    * the score is a frequency mean, not a log-likelihood).
+    *
+    * Scale shape: bigram counts shuffle 8-byte hashes with map-side
+    * partials; the per-doc join is (doc, bigram-hash) against the count
+    * table — AQE broadcasts it when the vocabulary is small.
+    */
+  def lmScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // Persisted: the exploded (doc, bigram) stream feeds the count table,
+    // the corpus total AND the scoring join — one hashing pass, not three.
+    // Same caching contract as nearDupPairs (callers clearCache() after).
+    val docBg = df
+      .select(col(idCol), explode(shingleHashSeq(tokens(col(textCol)), 2)).as("__bg"))
+      .persist()
+    val counts = docBg.groupBy("__bg").agg(count(lit(1)).as("__c"))
+    // total bigram instances == the stream's row count (cheaper than
+    // re-summing the count table)
+    val total = docBg.agg(count(lit(1)).cast("long").as("__n"))
+    docBg
+      .join(counts, "__bg")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("__c")).cast("long").as("__csum"))
+      .crossJoin(broadcast(total))
+      .select(col(idCol), col("n_bigrams"),
+        (col("__csum").cast("double") / (col("n_bigrams") * col("__n")).cast("double"))
+          .as("lm_score"))
+  }
+
   /** Cross-source corpus overlap matrix: Jaccard similarity between the
     * distinct n-gram shingle sets of every source pair — the corpus-level
     * "how much does crawl A repeat crawl B" diagnostic that drives source
@@ -586,10 +623,13 @@ object LlmOps {
                     shingleN: Int): DataFrame = {
     // Persisted: the distinct (source, shingle) table feeds the size
     // aggregation AND both sides of the intersection join — same caching
-    // contract as nearDupPairs (callers clearCache() when done).
+    // contract as nearDupPairs (callers clearCache() when done). The
+    // per-doc distinct hash set comes from the native one-pass
+    // minhash_plan expression (identical md5-48 values, one MessageDigest
+    // pass per doc instead of the HOF composition's many).
     val pairs = df
       .select(col(groupCol).as("__g"),
-        explode(array_distinct(shingleHashSeq(tokens(col(textCol)), shingleN))).as("__sh"))
+        explode(minhashPlanBest(df, col(textCol), shingleN, 1).getField("sh")).as("__sh"))
       .distinct()
       .persist()
     val sizes = pairs.groupBy("__g").agg(count(lit(1)).as("__n"))

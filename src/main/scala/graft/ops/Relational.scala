@@ -175,6 +175,20 @@ object Relational {
     df.filter(pmod(LlmOps.md5Hash48(col(keyCol).cast("string"), 1), lit(mod)) < rate)
   }
 
+  /** Incremental view maintenance for additive aggregates: merge partial
+    * count tables (yesterday's materialized aggregate + today's delta)
+    * into the aggregate the full recomputation would produce — the
+    * pattern that turns an O(history) nightly job into O(delta). Works
+    * for any commutative-monoid measure (count, sum, min, max); counts
+    * here. Each partial arrives pre-aggregated, so the merge shuffles
+    * only aggregate rows, never raw events.
+    */
+  def mergeCounts(partials: Seq[DataFrame], keys: Seq[String],
+                  countCol: String): DataFrame =
+    partials.reduce(_.unionByName(_))
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col(countCol)).cast("long").as(countCol))
+
   /** Skew-resistant exact-decimal sum, same two-phase shape. */
   def saltedSumPerGroup(df: DataFrame, key: String, valueCol: String,
                         saltSrc: String, salts: Int = 16): DataFrame =

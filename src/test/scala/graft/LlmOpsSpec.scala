@@ -215,6 +215,23 @@ class LlmOpsSpec extends SparkTestBase {
     assert(out(4L) == ((2L, 2L))) // partial tail chunk "t" still counted
   }
 
+  test("lm score: common-bigram docs outscore rare-bigram docs; exact on a known corpus") {
+    val df = Seq(
+      (1L, "a b a b"),  // bigrams: ab, ba, ab
+      (2L, "a b c d"),  // bigrams: ab, bc, cd
+      (3L, "x y z w")). // bigrams: xy, yz, zw — all unique
+      toDF("doc_id", "text")
+    val out = LlmOps.lmScore(df, "doc_id", "text")
+      .select("doc_id", "n_bigrams", "lm_score")
+      .as[(Long, Long, Double)].collect()
+      .map { case (i, n, s) => i -> ((n, s)) }.toMap
+    // corpus counts: ab=3, ba=1, bc=1, cd=1, xy=1, yz=1, zw=1; N=9
+    assert(out(1L) == ((3L, (3.0 + 1.0 + 3.0) / (3 * 9))))
+    assert(out(2L) == ((3L, (3.0 + 1.0 + 1.0) / (3 * 9))))
+    assert(out(3L) == ((3L, 3.0 / (3 * 9))))
+    assert(out(1L)._2 > out(3L)._2) // repeated common bigrams score higher
+  }
+
   test("source overlap: jaccard matrix is exact on known shingle sets") {
     val df = Seq(
       ("s1", "a b c d"),   // 3-shingles: {a b c, b c d}

@@ -142,6 +142,18 @@ class RelationalSpec extends SparkTestBase {
     assert(out == Set(("u1", 1, 10.0), ("u1", 2, 15.0), ("u2", 1, 7.0)))
   }
 
+  test("merged partial counts equal the direct full aggregation (IVM invariant)") {
+    val events = Seq(
+      ("u1", "d1"), ("u1", "d1"), ("u1", "d2"),
+      ("u2", "d1"), ("u2", "d2"), ("u2", "d2")).toDF("u", "d")
+    val direct = events.groupBy("u", "d").agg(count(lit(1)).cast("long").as("cnt"))
+    // split the stream arbitrarily; a (u1,d1) group straddles the cut
+    val partials = Seq(events.limit(2), events.offset(2))
+      .map(_.groupBy("u", "d").agg(count(lit(1)).cast("long").as("cnt")))
+    val merged = Relational.mergeCounts(partials, Seq("u", "d"), "cnt")
+    assert(merged.exceptAll(direct).isEmpty && direct.exceptAll(merged).isEmpty)
+  }
+
   test("stratified sample: deterministic, rate-proportional, absent strata drop") {
     val df = spark.range(0, 4000)
       .select($"id", concat(lit("s"), pmod($"id", lit(4)).cast("string")).as("src"))
