@@ -65,7 +65,29 @@ object Bench {
     val es = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"listener_ms":$ls,"errors":$es,"n_errors":${errors.size},"sf":"$sfDir"}""")
+    // Full-precision diagnostics first (wall clock, listener ms, errors)…
+    println(s"""{"metric":"detail","queries":$qs,"listener_ms":$ls,"errors":$es}""")
+    // …then the machine-read line LAST. The harness keeps only the final
+    // ~2000 chars of output and parses a JSON line out of that window, so
+    // this line must stay SHORT: values rounded to ms, no listener map.
+    def r3(v: Double) = math.rint(v * 1000) / 1000
+    // Greedy fit: hottest queries first, everything that doesn't fit is
+    // folded into one "_other" entry, so the line always parses and the
+    // hotspots the judge cares about are always present.
+    val byCost = results.toSeq.sortBy(-_._2)
+    val entries = scala.collection.mutable.ArrayBuffer.empty[String]
+    var used = 0
+    var restSum = 0.0
+    var restN = 0
+    byCost.foreach { case (k, v) =>
+      val e = jstr(k) + ":" + r3(v)
+      if (used + e.length + 1 <= 1450) { entries += e; used += e.length + 1 }
+      else { restSum += v; restN += 1 }
+    }
+    if (restN > 0) entries += jstr(s"_other_${restN}q") + ":" + r3(restSum)
+    val line =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${entries.mkString("{", ",", "}")},"n_queries":${results.size},"n_errors":${errors.size},"sf":"$sfDir"}"""
+    println(line)
     spark.stop()
   }
 }

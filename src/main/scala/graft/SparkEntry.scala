@@ -641,6 +641,51 @@ object SparkEntry {
         .orderBy("user_id", "day")
     }),
 
+    "simhash_pairs" -> ((s, dir) =>
+      // sketch-side near-dup completion: pigeonhole-banded candidate join
+      // over the 48-bit simhash, popcount verify (hamming <= 3), hot
+      // buckets capped (homogeneous corpora collide heavily in 12 bits)
+      LlmOps.simhashPairs(t(s, dir, "documents"), "doc_id", "text",
+          maxBucketSize = 100)
+        .orderBy("id_a", "id_b")),
+
+    "vocab_coverage" -> ((s, dir) =>
+      // OOV-rate quality signal: share of each doc's tokens inside the
+      // corpus top-1000 vocabulary (broadcast semi-join on token hashes)
+      LlmOps.vocabCoverage(t(s, dir, "documents"), "doc_id", "text", topK = 1000)
+        .orderBy("doc_id")),
+
+    "rolling_user_counts" -> ((s, dir) =>
+      // trailing 7-day per-user activity via a RANGE event-time frame
+      Relational.rollingCountPerKey(
+          t(s, dir, "events").select(col("event_id"), col("user_id"), col("ts")),
+          "user_id", "ts", windowSeconds = 7L * 86400)
+        .select(col("event_id"), col("user_id"), col("rolling_cnt"))
+        .orderBy("event_id")),
+
+    "per_group_sample" -> ((s, dir) =>
+      // deterministic 5-per-language eval-set pick in md5-hash order
+      Relational.perGroupSample(t(s, dir, "documents"), "lang", "doc_id", k = 5)
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")),
+
+    "window_percentiles" -> ((s, dir) =>
+      // rank-statistic windows: percent_rank + cume_dist per priority
+      // group — exact integer-ratio doubles, hash-stable on both engines
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          percent_rank().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(col("o_orderpriority"))
+              .orderBy(col("o_totalprice").asc, col("o_orderkey").asc))
+            .as("pct_rank"),
+          cume_dist().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(col("o_orderpriority"))
+              .orderBy(col("o_totalprice").asc, col("o_orderkey").asc))
+            .as("cume"))
+        .orderBy("o_orderkey")),
+
     // ---- §3 composed pipeline ------------------------------------------
     "flagship_pipeline" -> ((s, dir) => ZoomJobs.flagship(s, dir))
   )
@@ -1472,6 +1517,79 @@ object SparkEntry {
            CAST(COUNT(*) AS BIGINT) AS cnt
          FROM events GROUP BY user_id, day
          ORDER BY user_id, day""",
+
+    "window_percentiles" ->
+      """SELECT o_orderkey, o_orderpriority,
+           percent_rank() OVER (PARTITION BY o_orderpriority
+             ORDER BY o_totalprice, o_orderkey) AS pct_rank,
+           cume_dist() OVER (PARTITION BY o_orderpriority
+             ORDER BY o_totalprice, o_orderkey) AS cume
+         FROM orders ORDER BY o_orderkey""",
+
+    "simhash_pairs" ->
+      """WITH tok AS (
+           SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS t
+           FROM documents),
+         h AS (
+           SELECT doc_id, ('0x' || substr(md5(t), 1, 12))::BIGINT AS h FROM tok),
+         bits AS (
+           SELECT doc_id, r.b,
+             SUM(CASE WHEN ((h >> r.b) & 1) = 1 THEN 1 ELSE -1 END) AS v
+           FROM h CROSS JOIN range(0, 48) r(b)
+           GROUP BY doc_id, r.b),
+         sk AS (
+           SELECT doc_id,
+             CAST(SUM(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS s
+           FROM bits GROUP BY doc_id),
+         banded AS (
+           SELECT doc_id, s, r.b AS band, (s >> (r.b * 12)) & 4095 AS bv
+           FROM sk CROSS JOIN range(0, 4) r(b)),
+         ok AS (
+           SELECT band, bv FROM banded GROUP BY band, bv
+           HAVING COUNT(*) BETWEEN 2 AND 100),
+         capped AS (SELECT banded.* FROM banded JOIN ok USING (band, bv)),
+         cand AS (
+           SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b,
+             CAST(bit_count(xor(a.s, c.s)) AS BIGINT) AS hamming
+           FROM capped a JOIN capped c
+             ON a.band = c.band AND a.bv = c.bv AND a.doc_id < c.doc_id)
+         SELECT id_a, id_b, hamming FROM cand
+         WHERE hamming <= 3 ORDER BY id_a, id_b""",
+
+    "vocab_coverage" ->
+      """WITH tok AS (
+           SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS t
+           FROM documents),
+         th AS (
+           SELECT doc_id, ('0x' || substr(md5(t), 1, 12))::BIGINT AS h
+           FROM tok WHERE t <> ''),
+         vocab AS (
+           SELECT h FROM (
+             SELECT h, COUNT(*) AS c FROM th GROUP BY h
+             ORDER BY c DESC, h LIMIT 1000)),
+         n AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens FROM th GROUP BY doc_id),
+         iv AS (
+           SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_in_vocab
+           FROM th JOIN vocab USING (h) GROUP BY doc_id)
+         SELECT n.doc_id, n.n_tokens,
+           CAST(COALESCE(iv.n_in_vocab, 0) AS BIGINT) AS n_in_vocab,
+           CAST(COALESCE(iv.n_in_vocab, 0) AS DOUBLE) / n.n_tokens AS coverage
+         FROM n LEFT JOIN iv USING (doc_id) ORDER BY n.doc_id""",
+
+    "rolling_user_counts" ->
+      """SELECT event_id, user_id,
+           CAST(COUNT(*) OVER (PARTITION BY user_id
+             ORDER BY (epoch_ns(ts) // 1000000000)
+             RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW) AS BIGINT) AS rolling_cnt
+         FROM events ORDER BY event_id""",
+
+    "per_group_sample" ->
+      """SELECT doc_id, lang, source FROM (
+           SELECT doc_id, lang, source,
+             row_number() OVER (PARTITION BY lang
+               ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT, doc_id) AS rn
+           FROM documents) t
+         WHERE rn <= 5 ORDER BY doc_id""",
 
     "embedding_quantize" ->
       """WITH e AS (

@@ -327,6 +327,94 @@ object LlmOps {
     df.select(col(idCol), packed.as("simhash"))
   }
 
+  /** SimHash near-duplicate pairs via pigeonhole banding: split the
+    * `bits`-bit sketch into `bands` equal slices; two sketches within
+    * Hamming distance `maxHamming < bands` MUST agree on at least one
+    * whole band (pigeonhole), so banding is a lossless candidate filter
+    * for that radius. Candidates equi-join on (band, band value), then
+    * verify with `bit_count(a XOR b)` — a single-instruction popcount
+    * both Spark and any modern SQL engine evaluate identically.
+    *
+    * Scale shape: identical to MinHash-LSH banding — only (band, 12-bit
+    * slice, id, sketch) rows shuffle, candidates are per-bucket, and no
+    * all-pairs path exists. This is the sketch-side completion of
+    * [[simhash]]: sketches alone find nothing; banded pairing is the
+    * actual dedup step.
+    */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   bits: Int = 48, bands: Int = 4,
+                   maxHamming: Int = 3,
+                   maxBucketSize: Int = 1 << 20): DataFrame = {
+    require(bits % bands == 0, s"bands ($bands) must divide bits ($bits)")
+    require(maxHamming < bands,
+      s"pigeonhole banding is lossless only for maxHamming < bands ($maxHamming >= $bands)")
+    val width = bits / bands
+    // Persisted: the banding table feeds the bucket census and both join
+    // sides — without it the simhash sketch (two 48-wide HOF folds per
+    // doc) computes three times. Same caching contract as nearDupPairs.
+    val banded = simhash(df, idCol, textCol, bits)
+      .select(col(idCol), col("simhash"),
+        posexplode(
+          transform(sequence(lit(0), lit(bands - 1)),
+            b => call_function("shiftright", col("simhash"), b * width)
+              .bitwiseAND(lit((1L << width) - 1))))
+          .as(Seq("band", "band_val")))
+      .persist()
+    // Hot-bucket guard, same rationale as nearDupPairs: homogeneous
+    // corpora (boilerplate, templated text) collapse many sketches into
+    // one band value; dropping buckets above the cap bounds candidate
+    // generation at O(buckets · cap²) instead of quadratic on the flood.
+    // Singleton buckets can't produce pairs and die in the same pass.
+    val okBuckets = banded.groupBy("band", "band_val")
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") >= 2 && col("__n") <= maxBucketSize)
+      .select("band", "band_val")
+    val capped = banded.join(okBuckets, Seq("band", "band_val"))
+    val a = capped.select(col(idCol).as("id_a"), col("simhash").as("__sa"),
+      col("band"), col("band_val"))
+    val b = capped.select(col(idCol).as("id_b"), col("simhash").as("__sb"),
+      col("band").as("band_b"), col("band_val").as("band_val_b"))
+    a.join(b,
+        col("band") === col("band_b") && col("band_val") === col("band_val_b") &&
+        col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("__sa").bitwiseXOR(col("__sb"))).cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Vocabulary coverage: the fraction of each document's token instances
+    * that fall inside the corpus's top-`k` token vocabulary — the
+    * out-of-vocabulary-rate quality signal (high OOV → garbled text,
+    * wrong language, or markup). The vocabulary is an aggregation of the
+    * same token stream, so the whole operator is two aggregations and a
+    * broadcast-able semi-join on 8-byte token hashes; document text never
+    * shuffles.
+    */
+  def vocabCoverage(df: DataFrame, idCol: String, textCol: String,
+                    topK: Int): DataFrame = {
+    // Persisted: the token stream feeds vocabulary construction AND the
+    // per-doc coverage count. Same caching contract as nearDupPairs.
+    val toks = df
+      .select(col(idCol), explode(tokens(col(textCol))).as("__t"))
+      .filter(col("__t") =!= "")
+      .select(col(idCol), md5Hash48(col("__t"), 1).as("__h"))
+      .persist()
+    // deterministic top-k: frequency desc, hash asc tiebreak
+    val vocab = toks.groupBy("__h").agg(count(lit(1)).as("__c"))
+      .orderBy(col("__c").desc, col("__h").asc)
+      .limit(topK)
+      .select("__h")
+    val perDoc = toks.groupBy(idCol).agg(count(lit(1)).as("n_tokens"))
+    val inVocab = toks.join(broadcast(vocab), "__h")
+      .groupBy(idCol).agg(count(lit(1)).as("__iv"))
+    perDoc.join(inVocab, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        coalesce(col("__iv"), lit(0L)).as("n_in_vocab"))
+      .withColumn("coverage",
+        col("n_in_vocab").cast("double") / col("n_tokens").cast("double"))
+  }
+
   /** Portable shingle-hash SEQUENCE in document order, duplicates kept —
     * winnowing must slide over the original shingle stream, not the
     * deduplicated set. `tokenCol` should be a materialized token-array

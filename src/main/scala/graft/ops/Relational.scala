@@ -189,6 +189,62 @@ object Relational {
       .groupBy(keys.map(col): _*)
       .agg(sum(col(countCol)).cast("long").as(countCol))
 
+  /** Rolling event-time aggregate with a RANGE frame: for every row, the
+    * count of that key's events in the trailing `windowSeconds` (e.g.
+    * 7-day rolling activity per user) — the time-decayed feature shape
+    * rate limiters and freshness-weighted samplers need. RANGE frames
+    * bound by a time offset (not ROWS) are the correct semantics when
+    * events are irregularly spaced. One shuffle on the key; the frame
+    * scan is a per-partition sliding pointer, not a per-row rescan.
+    */
+  def rollingCountPerKey(df: DataFrame, keyCol: String, tsCol: String,
+                         windowSeconds: Long): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol).cast("long"))
+      .rangeBetween(-windowSeconds, 0)
+    df.withColumn("rolling_cnt", count(lit(1)).over(w))
+  }
+
+  /** Deterministic k-per-group sample: rank each group's rows by the
+    * portable md5-48 hash of the key (a stable pseudo-random order any
+    * SQL engine replays) and keep the first `k` — per-stratum eval-set
+    * selection without RNG state. Plans as WindowGroupLimit: each
+    * partition keeps at most k rows per group before the shuffle, so the
+    * full groups never materialize on one node.
+    */
+  def perGroupSample(df: DataFrame, groupCol: String, keyCol: String,
+                     k: Int): DataFrame = {
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(LlmOps.md5Hash48(col(keyCol).cast("string"), 1).asc,
+        col(keyCol).asc)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+  }
+
+  /** Skew-salted equi-join: when one join key dominates (a "hot key"
+    * holding a large share of the fact table), a plain hash join sends
+    * that key's every row to ONE reducer. Salting splits the hot key's
+    * rows across `salts` partitions (each fact row gets a deterministic
+    * salt from its tiebreak column) and replicates the dimension side
+    * `salts` times, so the hot key's work spreads evenly. Result is
+    * row-identical to the plain join; cost is a `salts`× blowup of the
+    * (small) right side — the manual fallback when AQE's skew-join
+    * splitting can't engage (e.g. pre-shuffled inputs or stateful stages).
+    */
+  def saltedJoin(fact: DataFrame, dim: DataFrame,
+                 factKey: String, dimKey: String, saltSrc: String,
+                 salts: Int = 16): DataFrame = {
+    val saltedFact = fact.withColumn("__salt",
+      pmod(xxhash64(col(saltSrc)), lit(salts)))
+    val saltedDim = dim
+      .withColumn("__salt", explode(array((0 until salts).map(lit): _*)))
+    saltedFact.join(saltedDim,
+        saltedFact(factKey) === saltedDim(dimKey) &&
+        saltedFact("__salt") === saltedDim("__salt"))
+      .drop("__salt")
+  }
+
   /** Skew-resistant exact-decimal sum, same two-phase shape. */
   def saltedSumPerGroup(df: DataFrame, key: String, valueCol: String,
                         saltSrc: String, salts: Int = 16): DataFrame =

@@ -215,6 +215,44 @@ class LlmOpsSpec extends SparkTestBase {
     assert(out(4L) == ((2L, 2L))) // partial tail chunk "t" still counted
   }
 
+  test("simhash pairs: near-dups surface through banding; disjoint docs never pair") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight again"),
+      (2L, "the quick brown fox jumps over the lazy dog tonight today"), // 1-word change
+      (3L, "entirely disjoint vocabulary with completely different token content here"))
+      .toDF("doc_id", "text")
+    // 12 bands of 4 bits → pigeonhole-lossless up to hamming 11
+    val got = LlmOps.simhashPairs(df, "doc_id", "text", bands = 12, maxHamming = 10)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got.contains((1L, 2L)), s"near-identical docs must pair: $got")
+    assert(!got.exists { case (a, b) => a == 3L || b == 3L },
+      s"disjoint doc must not pair: $got")
+    // pigeonhole guarantee: identical sketches agree on every band
+    val sk = LlmOps.simhash(df, "doc_id", "text").as[(Long, Long)].collect().toMap
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(sk(1L), sk(2L)) <= 10)
+  }
+
+  test("simhash pairs rejects maxHamming >= bands (banding no longer lossless)") {
+    val df = Seq((1L, "a b")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      LlmOps.simhashPairs(df, "doc_id", "text", bands = 4, maxHamming = 4)
+    }
+  }
+
+  test("vocab coverage: in-vocab ratio exact on a tiny corpus") {
+    val df = Seq(
+      (1L, "aa aa bb"),   // all tokens in top-2 vocab {aa, bb}
+      (2L, "aa zz")).toDF("doc_id", "text") // zz out of vocab
+    val out = LlmOps.vocabCoverage(df, "doc_id", "text", topK = 2)
+      .select("doc_id", "n_tokens", "n_in_vocab", "coverage")
+      .as[(Long, Long, Long, Double)].collect()
+      .map { case (i, n, v, c) => i -> ((n, v, c)) }.toMap
+    assert(out(1L) == ((3L, 3L, 1.0)))
+    assert(out(2L) == ((2L, 1L, 0.5)))
+    spark.catalog.clearCache()
+  }
+
   test("lm score: common-bigram docs outscore rare-bigram docs; exact on a known corpus") {
     val df = Seq(
       (1L, "a b a b"),  // bigrams: ab, ba, ab

@@ -12,6 +12,11 @@ import graft.functions.MinHashAggregator
   */
 object MinHashProperties extends Properties("MinHash") {
 
+  // Fixed seed: the 3-SE tolerance below is a statistical bound, so a
+  // random seed makes the suite flake roughly once per few hundred runs.
+  override def overrideParameters(p: org.scalacheck.Test.Parameters): org.scalacheck.Test.Parameters =
+    p.withInitialSeed(org.scalacheck.rng.Seed(42L))
+
   private val K = 64
 
   private def hash(x: Long, seed: Int): Long = {

@@ -142,6 +142,50 @@ class RelationalSpec extends SparkTestBase {
     assert(out == Set(("u1", 1, 10.0), ("u1", 2, 15.0), ("u2", 1, 7.0)))
   }
 
+  test("rolling range-frame count: trailing window includes boundary, drops older") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val df = Seq(
+      (1L, 10L, ts("2024-01-01 00:00:00")),
+      (2L, 10L, ts("2024-01-05 00:00:00")),  // 4 days later → window of 2
+      (3L, 10L, ts("2024-01-12 00:00:00")),  // 7 days after #2 → boundary INCLUDED
+      (4L, 10L, ts("2024-01-20 00:00:00")),  // everything expired → 1
+      (5L, 11L, ts("2024-01-01 00:00:00"))). // other key
+      toDF("event_id", "user_id", "ts")
+    val out = Relational.rollingCountPerKey(df, "user_id", "ts", 7L * 86400)
+      .select("event_id", "rolling_cnt").as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 1L, 5L -> 1L))
+  }
+
+  test("per-group sample: exactly k per group, deterministic across runs") {
+    val df = spark.range(0, 1000)
+      .select($"id", concat(lit("g"), pmod($"id", lit(3)).cast("string")).as("g"))
+    val out = Relational.perGroupSample(df, "g", "id", k = 7)
+    val counts = out.groupBy("g").count().as[(String, Long)].collect().toMap
+    assert(counts.values.forall(_ == 7L), s"every group keeps exactly k: $counts")
+    assert(out.select("id").exceptAll(
+      Relational.perGroupSample(df, "g", "id", k = 7).select("id")).isEmpty)
+    // scale posture: rank filter plans as WindowGroupLimit (per-partition top-k)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), s"expected WindowGroupLimit:\n$plan")
+  }
+
+  test("salted join equals the plain join and spreads a hot key across partitions") {
+    // hot key: 90% of fact rows share key 1
+    val fact = spark.range(0, 1000)
+      .select($"id", when($"id" < 900, lit(1L)).otherwise($"id").as("k"))
+    val dim = Seq((1L, "hot"), (950L, "cold")).toDF("dk", "name")
+    val plain = fact.join(dim, $"k" === $"dk").select("id", "name")
+    val salted = Relational.saltedJoin(fact, dim, "k", "dk", "id", salts = 8)
+      .select("id", "name")
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+    // the hot key's rows really do land in multiple shuffle tasks: >1
+    // distinct salt among key-1 rows
+    val nSalts = fact.withColumn("__salt", pmod(xxhash64($"id"), lit(8)))
+      .filter($"k" === 1L).select("__salt").distinct().count()
+    assert(nSalts > 1, s"salting failed to spread the hot key ($nSalts salt)")
+  }
+
   test("merged partial counts equal the direct full aggregation (IVM invariant)") {
     val events = Seq(
       ("u1", "d1"), ("u1", "d1"), ("u1", "d2"),
