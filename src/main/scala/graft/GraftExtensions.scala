@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CosineSimilarity, HashedShingles, MinHashShingles, NearestCell}
+import graft.functions.{CosineSimilarity, HashedShingles, MinHashShingles, NearestCell, SimHash48}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * Catalyst expressions so they resolve by name in SQL and
@@ -28,6 +28,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[MinHashShingles].getName, null, "minhash_plan",
         "minhash_plan(text, n, k) - portable md5-48 shingle set + k-component MinHash signature", ""),
       (children: Seq[Expression]) => MinHashShingles(children.head, children(1), children(2))))
+    ext.injectFunction((
+      new FunctionIdentifier("simhash48"),
+      new ExpressionInfo(classOf[SimHash48].getName, null, "simhash48",
+        "simhash48(text, bits) - portable md5-48 SimHash sketch of the token multiset", ""),
+      (children: Seq[Expression]) => SimHash48(children.head, children(1))))
     ext.injectFunction((
       new FunctionIdentifier("nearest_cell"),
       new ExpressionInfo(classOf[NearestCell].getName, null, "nearest_cell",

