@@ -71,22 +71,32 @@ object Bench {
     // ~2000 chars of output and parses a JSON line out of that window, so
     // this line must stay SHORT: values rounded to ms, no listener map.
     def r3(v: Double) = math.rint(v * 1000) / 1000
+    // Failures must be visible INSIDE the tail window, not only in the
+    // detail line above (which scrolls out of it): name every failed
+    // query in the short line, message truncated hard, at most 8 shown.
+    val errShort =
+      if (errors.isEmpty) ""
+      else errors.take(8).map { case (k, v) => jstr(k) + ":" + jstr(v.take(60)) }
+        .mkString(""","errors":{""", ",", "}")
     // Greedy fit: hottest queries first, everything that doesn't fit is
     // folded into one "_other" entry, so the line always parses and the
-    // hotspots the judge cares about are always present.
+    // hotspots the judge cares about are always present. The error block
+    // spends from the same budget — the line must stay inside the window
+    // either way.
     val byCost = results.toSeq.sortBy(-_._2)
     val entries = scala.collection.mutable.ArrayBuffer.empty[String]
     var used = 0
     var restSum = 0.0
     var restN = 0
+    val queryBudget = math.max(1450 - errShort.length, 300)
     byCost.foreach { case (k, v) =>
       val e = jstr(k) + ":" + r3(v)
-      if (used + e.length + 1 <= 1450) { entries += e; used += e.length + 1 }
+      if (used + e.length + 1 <= queryBudget) { entries += e; used += e.length + 1 }
       else { restSum += v; restN += 1 }
     }
     if (restN > 0) entries += jstr(s"_other_${restN}q") + ":" + r3(restSum)
     val line =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${entries.mkString("{", ",", "}")},"n_queries":${results.size},"n_errors":${errors.size},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${entries.mkString("{", ",", "}")},"n_queries":${results.size},"n_errors":${errors.size}$errShort,"sf":"$sfDir"}"""
     println(line)
     spark.stop()
   }

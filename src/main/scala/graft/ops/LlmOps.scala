@@ -352,10 +352,16 @@ object LlmOps {
   /** SimHash near-duplicate pairs via pigeonhole banding: split the
     * `bits`-bit sketch into `bands` equal slices; two sketches within
     * Hamming distance `maxHamming < bands` MUST agree on at least one
-    * whole band (pigeonhole), so banding is a lossless candidate filter
-    * for that radius. Candidates equi-join on (band, band value), then
-    * verify with `bit_count(a XOR b)` — a single-instruction popcount
-    * both Spark and any modern SQL engine evaluate identically.
+    * whole band (pigeonhole), so banding loses no candidate pair **whose
+    * buckets all stay under `maxBucketSize`**. Buckets above the cap are
+    * dropped whole (the hot-bucket guard below), so true near-duplicates
+    * that collide ONLY inside an over-full bucket are lost — the price of
+    * bounding candidate generation on boilerplate-heavy corpora. Audit
+    * the trade with [[simhashDroppedBuckets]], which reports every dropped
+    * bucket and its size; a run where it returns no rows was lossless.
+    * Candidates equi-join on (band, band value), then verify with
+    * `bit_count(a XOR b)` — a single-instruction popcount both Spark and
+    * any modern SQL engine evaluate identically.
     *
     * Scale shape: identical to MinHash-LSH banding — only (band, 12-bit
     * slice, id, sketch) rows shuffle, candidates are per-bucket, and no
@@ -403,6 +409,31 @@ object LlmOps {
         bit_count(col("__sa").bitwiseXOR(col("__sb"))).cast("long").as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Audit twin of [[simhashPairs]]'s hot-bucket guard: every (band,
+    * band_val) bucket whose size exceeds `maxBucketSize` — i.e. every
+    * bucket the pair join silently dropped — with its row count. Empty
+    * result ⇒ the banding run was a lossless candidate filter for the
+    * pigeonhole radius; non-empty ⇒ `n_docs` per row quantifies the
+    * exposure. Same banding computation, so the census matches the run
+    * it audits exactly.
+    */
+  def simhashDroppedBuckets(df: DataFrame, idCol: String, textCol: String,
+                            bits: Int = 48, bands: Int = 4,
+                            maxBucketSize: Int = 1 << 20): DataFrame = {
+    require(bits % bands == 0, s"bands ($bands) must divide bits ($bits)")
+    val width = bits / bands
+    simhash(df, idCol, textCol, bits)
+      .select(col(idCol),
+        posexplode(
+          transform(sequence(lit(0), lit(bands - 1)),
+            b => call_function("shiftright", col("simhash"), b * width)
+              .bitwiseAND(lit((1L << width) - 1))))
+          .as(Seq("band", "band_val")))
+      .groupBy("band", "band_val")
+      .agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") > maxBucketSize)
   }
 
   /** Vocabulary coverage: the fraction of each document's token instances

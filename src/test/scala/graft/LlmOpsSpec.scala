@@ -240,6 +240,26 @@ class LlmOpsSpec extends SparkTestBase {
     }
   }
 
+  test("simhash dropped-bucket census surfaces what the hot-bucket cap loses") {
+    // 50 identical boilerplate docs collapse into ONE bucket per band;
+    // with the cap below 50 the pair join drops them all — the census
+    // must say so (4 bands → 4 dropped buckets of 50), and the capped run
+    // must produce zero pairs (the drop is real, not hypothetical).
+    val boiler = (1L to 50L).map(i => (i, "identical boilerplate text row"))
+      .toDF("doc_id", "text")
+    val census = LlmOps.simhashDroppedBuckets(boiler, "doc_id", "text",
+        maxBucketSize = 10)
+      .as[(Int, Long, Long)].collect()
+    assert(census.length == 4 && census.forall(_._3 == 50L),
+      s"expected 4 over-cap buckets of 50, got ${census.toSeq}")
+    val capped = LlmOps.simhashPairs(boiler, "doc_id", "text", maxBucketSize = 10)
+    assert(capped.count() == 0)
+    // …and an uncapped census over a heterogeneous corpus is empty
+    val mixed = (1L to 20L).map(i => (i, s"document number $i with words w${i % 7} w${i % 11}"))
+      .toDF("doc_id", "text")
+    assert(LlmOps.simhashDroppedBuckets(mixed, "doc_id", "text").isEmpty)
+  }
+
   test("vocab coverage: in-vocab ratio exact on a tiny corpus") {
     val df = Seq(
       (1L, "aa aa bb"),   // all tokens in top-2 vocab {aa, bb}

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterEach
 import org.scalatest.funsuite.AnyFunSuite
 
 /** One shared local session for all suites (forked test JVM). */
@@ -18,7 +19,16 @@ object TestSpark {
   }
 }
 
-abstract class SparkTestBase extends AnyFunSuite {
+abstract class SparkTestBase extends AnyFunSuite with BeforeAndAfterEach {
   lazy val spark: SparkSession = TestSpark.spark
   import scala.language.implicitConversions
+
+  // The session is shared across every suite; several operators persist()
+  // intermediates under a callers-clearCache contract. Dropping the cache
+  // after each test keeps one test's pinned tables from leaking into the
+  // next (ADVICE r3).
+  override protected def afterEach(): Unit = {
+    spark.catalog.clearCache()
+    super.afterEach()
+  }
 }

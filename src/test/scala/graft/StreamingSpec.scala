@@ -144,7 +144,11 @@ class StreamingSpec extends SparkTestBase {
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     val input = MemoryStream[StreamingOps.SessionEvent]
-    val out = StreamingOps.firstSightWithTtl(input.toDS(), ttlMs = 3000)
+    // TTL is deliberately wide (8s) relative to the suppression check
+    // (~2s in): with a tight TTL a loaded CI host could burn the whole
+    // window before the repeat event processed, expiring user 1's state
+    // and re-emitting — a wall-clock flake (ADVICE r3).
+    val out = StreamingOps.firstSightWithTtl(input.toDS(), ttlMs = 8000)
     val q = out.toDF("user_id").writeStream
       .format("memory").queryName("ttl_seen").outputMode("update").start()
     // Processing-time TTL makes the engine schedule continuous eviction
@@ -164,7 +168,7 @@ class StreamingSpec extends SparkTestBase {
       input.addData(StreamingOps.SessionEvent(1, ts("2024-01-01 10:01:00"))) // within TTL
       Thread.sleep(1500) // batches keep firing; no re-emission may appear
       awaitCount(1L, 1)  // still exactly one — repeat was suppressed
-      Thread.sleep(3500) // let user 1's state expire (TTL 3000ms)
+      Thread.sleep(9000) // let user 1's state expire (TTL 8000ms)
       input.addData(StreamingOps.SessionEvent(1, ts("2024-01-01 10:02:00"))) // re-emits
       awaitCount(1L, 2)  // first sight + post-TTL re-emission
       awaitCount(2L, 1)
