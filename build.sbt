@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked output must bypass sbt's logger: the harness tails stdout and
+// parses the bench's final JSON line, and the default LoggedOutput
+// strategy prefixes every line with "[info] " — which is exactly why
+// BENCH_r{1,2,3}.json all record "parsed": null. StdoutOutput writes the
+// child's stdout through verbatim, so the line starts with '{'.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
