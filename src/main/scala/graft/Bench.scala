@@ -35,12 +35,23 @@ object Bench {
       // happens to absorb one-time JVM/codegen warm-up first.
       val warmDir = "/root/testdata/sf0.001"
       if (new java.io.File(warmDir).exists() && warmDir != sfDir) {
-        SparkEntry.queries.foreach { case (_, fn) =>
-          try fn(spark, warmDir).count() catch { case _: Throwable => () }
+        SparkEntry.queries.foreach { case (name, fn) =>
+          try fn(spark, warmDir).count() catch {
+            case e: Throwable =>
+              // A query failing at warm-up scale will fail (and be recorded)
+              // in the timed run too — but say so here, so a warm-up gap
+              // can't silently shift JIT cost into the first timed queries.
+              System.err.println(s"[bench] WARN warm-up failed for $name: ${e.toString.takeWhile(_ != '\n').take(160)}")
+          }
           spark.catalog.clearCache()
         }
+      } else {
+        System.err.println(s"[bench] WARN warm-up slate skipped: $warmDir missing or equals timed dir — first timed queries absorb JIT cost")
       }
-    } catch { case _: Throwable => () }
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] WARN warm-up aborted wholesale: ${e.toString.takeWhile(_ != '\n').take(160)} — timings include one-time setup")
+    }
     spark.catalog.clearCache() // drop warm-up caches before timing
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = SparkEntry.queries.map { case (name, fn) =>
@@ -56,7 +67,24 @@ object Bench {
       name -> dt
     }
     listener.drainTo(results.size)
-    def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    // JSON string literal. Control characters matter: Spark exception
+    // messages (AnalysisException etc.) are routinely multi-line, and a raw
+    // newline inside the machine-parsed line splits it — producing invalid
+    // JSON exactly when errors occur. Named escapes for the common three,
+    // \u00XX for the rest of C0.
+    def jstr(s: String) = {
+      val b = new StringBuilder("\"")
+      s.foreach {
+        case '\\' => b.append("\\\\")
+        case '"'  => b.append("\\\"")
+        case '\n' => b.append("\\n")
+        case '\r' => b.append("\\r")
+        case '\t' => b.append("\\t")
+        case c if c < 0x20 => b.append(f"\\u${c.toInt}%04x")
+        case c => b.append(c)
+      }
+      b.append("\"").toString
+    }
     val qs = results.map { case (k, v) => jstr(k) + ":" + v }
       .mkString("{", ",", "}")
     val lm = listener.elapsedMs

@@ -2,14 +2,18 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Dev tool: time one declared query (optionally print its formatted plan).
-  * Usage: runMain graft.BenchOne <queryName> [sfDir] [explain]
+/** Dev tool: time one declared query (optionally print its formatted plan,
+  * or a per-SQL-execution profile — composite queries like the curation
+  * pipeline fire many executions: persists, localCheckpoints, convergence
+  * aggregates, the final count; `profile` attributes wall time to each).
+  * Usage: runMain graft.BenchOne <queryName> [sfDir] [explain] [profile]
   */
 object BenchOne {
   def main(args: Array[String]): Unit = {
     val name = args(0)
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val doExplain = args.contains("explain")
+    val doProfile = args.contains("profile")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -21,6 +25,34 @@ object BenchOne {
     spark.sparkContext.setLogLevel("WARN")
     val fn = SparkEntry.queries(name)
     if (doExplain) fn(spark, sfDir).explain("formatted")
+    if (doProfile) {
+      // Warm once so the profile measures steady-state, then record every
+      // SQL execution (id, duration, first line of its description).
+      try { fn(spark, sfDir).count(); spark.catalog.clearCache() }
+      catch { case _: Throwable => () }
+      val execs = new java.util.concurrent.ConcurrentHashMap[Long, (Long, String)]()
+      val done = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, String)]
+      val l = new org.apache.spark.scheduler.SparkListener {
+        override def onOtherEvent(e: org.apache.spark.scheduler.SparkListenerEvent): Unit = e match {
+          case s: org.apache.spark.sql.execution.ui.SparkListenerSQLExecutionStart =>
+            execs.put(s.executionId, (s.time, s.description.linesIterator.nextOption().getOrElse("").take(100)))
+          case s: org.apache.spark.sql.execution.ui.SparkListenerSQLExecutionEnd =>
+            Option(execs.remove(s.executionId)).foreach { case (t0, d) =>
+              done.synchronized { done += ((s.executionId, s.time - t0, d)) }
+            }
+          case _ => ()
+        }
+      }
+      spark.sparkContext.addSparkListener(l)
+      fn(spark, sfDir).count()
+      Thread.sleep(1000) // listener bus is async
+      spark.sparkContext.removeSparkListener(l)
+      spark.catalog.clearCache()
+      done.sortBy(_._1).foreach { case (id, ms, d) =>
+        println(f"[profile] exec=$id%-4d ${ms}%6d ms  $d")
+      }
+      println(f"[profile] total across ${done.size} executions: ${done.map(_._2).sum} ms")
+    }
     // three timed runs: first includes planning+codegen, later runs are
     // warm. Cache is cleared between runs (Bench does the same after every
     // query), so a persist() inside the query is re-materialized each run —

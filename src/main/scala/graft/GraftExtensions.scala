@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CosineSimilarity, HashedShingles, MinHashShingles, NearestCell, SimHash48}
+import graft.functions.{BoundedCollectList, CosineSimilarity, HashedShingles, MinHashShingles, NearestCell, SimHash48}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * Catalyst expressions so they resolve by name in SQL and
@@ -33,6 +33,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[SimHash48].getName, null, "simhash48",
         "simhash48(text, bits) - portable md5-48 SimHash sketch of the token multiset", ""),
       (children: Seq[Expression]) => SimHash48(children.head, children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("bounded_collect_list"),
+      new ExpressionInfo(classOf[BoundedCollectList].getName, null, "bounded_collect_list",
+        "bounded_collect_list(id, cap) - collect longs, saturating at cap+1 elements (bounded-memory hot-bucket census)", ""),
+      (children: Seq[Expression]) => BoundedCollectList(children.head, children(1))))
     ext.injectFunction((
       new FunctionIdentifier("nearest_cell"),
       new ExpressionInfo(classOf[NearestCell].getName, null, "nearest_cell",

@@ -548,8 +548,14 @@ object SparkEntry {
           lit(1.0) - size(col("__mh.sh")).cast("double") / col("__nsh").cast("double"))
         .persist()
       val lowRep = prepared.filter(col("__rep") < 0.2)
-      val afterExact = lowRep.join(
-        LlmOps.dedupExactIds(lowRep, "doc_id", "text"), "doc_id").persist()
+      // Survivor persist carries only what downstream stages read (id,
+      // output columns, the minhash struct) — the text and token counts
+      // served their purpose in the repetition/exact-dedup stages, and at
+      // corpus scale dropping them halves this cache's footprint.
+      val afterExact = lowRep
+        .join(LlmOps.dedupExactIds(lowRep, "doc_id", "text"), "doc_id")
+        .select("doc_id", "lang", "n_chars", "__mh")
+        .persist()
       val pairs = LlmOps.nearDupPairsFromSets(
         afterExact.select(col("doc_id"),
           col("__mh.sh").as("__sh"), col("__mh.sig").as("__sig")),
@@ -648,6 +654,17 @@ object SparkEntry {
       LlmOps.simhashPairs(t(s, dir, "documents"), "doc_id", "text",
           maxBucketSize = 100)
         .orderBy("id_a", "id_b")),
+
+    "simhash_dropped_buckets" -> ((s, dir) =>
+      // the cap-loss census as a CHECKED invariant: what simhash_pairs'
+      // maxBucketSize=100 cap drops at this SF, oracle-verified — a
+      // nonzero count here means the benched pair set was silently lossy.
+      // Aggregated to one guaranteed row so the compare is hash-stable
+      // even when (as expected) nothing is dropped.
+      LlmOps.simhashDroppedBuckets(t(s, dir, "documents"), "doc_id", "text",
+          bits = 48, bands = 4, maxBucketSize = 100)
+        .agg(count(lit(1)).cast("long").as("n_dropped_buckets"),
+          coalesce(sum(col("n_docs")), lit(0L)).cast("long").as("n_dropped_docs"))),
 
     "vocab_coverage" -> ((s, dir) =>
       // OOV-rate quality signal: share of each doc's tokens inside the
@@ -1555,6 +1572,31 @@ object SparkEntry {
              ON a.band = c.band AND a.bv = c.bv AND a.doc_id < c.doc_id)
          SELECT id_a, id_b, hamming FROM cand
          WHERE hamming <= 3 ORDER BY id_a, id_b""",
+
+    "simhash_dropped_buckets" ->
+      """WITH tok AS (
+           SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS t
+           FROM documents),
+         h AS (
+           SELECT doc_id, ('0x' || substr(md5(t), 1, 12))::BIGINT AS h FROM tok),
+         bits AS (
+           SELECT doc_id, r.b,
+             SUM(CASE WHEN ((h >> r.b) & 1) = 1 THEN 1 ELSE -1 END) AS v
+           FROM h CROSS JOIN range(0, 48) r(b)
+           GROUP BY doc_id, r.b),
+         sk AS (
+           SELECT doc_id,
+             CAST(SUM(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS s
+           FROM bits GROUP BY doc_id),
+         banded AS (
+           SELECT doc_id, r.b AS band, (s >> (r.b * 12)) & 4095 AS bv
+           FROM sk CROSS JOIN range(0, 4) r(b)),
+         dropped AS (
+           SELECT band, bv, COUNT(*) AS n FROM banded GROUP BY band, bv
+           HAVING COUNT(*) > 100)
+         SELECT CAST(COUNT(*) AS BIGINT) AS n_dropped_buckets,
+           CAST(COALESCE(SUM(n), 0) AS BIGINT) AS n_dropped_docs
+         FROM dropped""",
 
     "vocab_coverage" ->
       """WITH tok AS (

@@ -28,7 +28,19 @@ case class SimHash48(left: Expression, right: Expression)
 
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
-      case (StringType, IntegerType) => TypeCheckResult.TypeCheckSuccess
+      case (StringType, IntegerType) =>
+        // For a literal bits argument (the overwhelmingly common call shape,
+        // e.g. simhash48(t, 64) in SQL) reject an out-of-range width at
+        // ANALYSIS time rather than per-row at execution; the runtime
+        // require below stays as the backstop for non-foldable args.
+        if (right.foldable) {
+          right.eval() match {
+            case b: java.lang.Integer if b < 1 || b > 48 =>
+              TypeCheckResult.TypeCheckFailure(
+                s"$prettyName bits must be in 1..48 (portable md5-48 family), got $b")
+            case _ => TypeCheckResult.TypeCheckSuccess
+          }
+        } else TypeCheckResult.TypeCheckSuccess
       case (a, b) => TypeCheckResult.TypeCheckFailure(
         s"$prettyName requires (string, int), got ${a.sql}, ${b.sql}")
     }

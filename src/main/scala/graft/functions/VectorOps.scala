@@ -156,18 +156,21 @@ object VectorOps {
     Seq.tabulate(nPlanes)(j => Array.tabulate(dim)(i =>
       md5Long48(s"plane:$j:$i").toDouble / 140737488355328.0 - 1.0)) // / 2^47
 
-  /** Deterministic bounded sample with NO single-partition funnel: rows
-    * where xxhash64(keyCol) ≡ 0 (mod step), step sized from a count so the
-    * expected sample is ~cap. A global `limit(cap)` would plan a
-    * GlobalLimit that drags every candidate row through one task — at
-    * 100 TB that single partition is the whole job's bottleneck; the
-    * hash-mod filter evaluates map-side in every partition independently.
+  /** Deterministic bounded sample: the bottom-`cap` rows by
+    * xxhash64(keyCol) — a bottom-k sketch. Plans as TakeOrderedAndProject:
+    * every partition keeps at most `cap` rows in a bounded heap map-side
+    * and the final merge sees only cap·partitions candidates — never a
+    * single-partition GlobalLimit dragging all rows through one task.
+    * Unlike the earlier hash-mod design this needs NO prior `df.count()`
+    * pass to size a modulus (at 100 TB that pre-count was an extra
+    * all-files metadata job before sampling even started), and the sample
+    * size is exactly min(cap, |df|) rather than binomially distributed
+    * around cap. Deterministic and partitioning-independent: the hash
+    * order is derived from row content alone.
     */
   def deterministicSample(df: DataFrame, keyCol: String, cap: Long): DataFrame = {
-    val n = df.count()
-    val step = math.max(1L, n / math.max(1L, cap))
-    if (step == 1L) df
-    else df.filter(pmod(xxhash64(col(keyCol)), lit(step)) === 0)
+    require(cap > 0 && cap <= Int.MaxValue, s"cap out of range: $cap")
+    df.orderBy(xxhash64(col(keyCol)).asc).limit(cap.toInt)
   }
 
   /** Index of the nearest centroid (squared euclidean) — a constant-size
@@ -254,10 +257,10 @@ object VectorOps {
     * argmin projection, no shuffle).
     *
     * Scale shape: [[deterministicSample]] bounds the fit input with a
-    * map-side hash filter (no GlobalLimit funnel — the judge-flagged
-    * anti-pattern) and the collect moves at most `sampleCap` vectors to
-    * the driver; the k·dim fit itself is microseconds next to one pass
-    * over 100 TB. Everything downstream of the fit is a per-row
+    * bottom-k hash sketch (per-partition bounded heap; no GlobalLimit
+    * funnel, no pre-count pass) and the collect moves at most `sampleCap`
+    * vectors to the driver; the k·dim fit itself is microseconds next to
+    * one pass over 100 TB. Everything downstream of the fit is a per-row
     * projection.
     */
   def ivfIndex(embeddings: DataFrame, embCol: String,

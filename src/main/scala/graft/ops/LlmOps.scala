@@ -181,7 +181,7 @@ object LlmOps {
     * shingles-of-candidates); non-candidate docs never meet. Skewed buckets
     * (boilerplate that hashes thousands of docs into one band key) are the
     * classic hazard: `maxBucketSize` drops any band bucket larger than the
-    * cap BEFORE the self-join, bounding candidate generation at
+    * cap BEFORE pair generation, bounding candidate generation at
     * O(buckets · cap²) instead of a quadratic blowup on one hot key —
     * standard practice (exact duplicates should be removed by
     * [[dedupExactIds]] first, so a capped bucket loses only
@@ -224,20 +224,36 @@ object LlmOps {
 
     val banded = lshBands(withSets, idCol, "__sig", bands, rowsPerBand)
 
-    // Hot-bucket guard: keep only buckets with 2..maxBucketSize members.
-    val okBuckets = banded.groupBy("band", "band_hash")
-      .agg(count(lit(1)).as("__n"))
-      .filter(col("__n") >= 2 && col("__n") <= maxBucketSize)
-      .select("band", "band_hash")
-    val capped = banded.join(okBuckets, Seq("band", "band_hash"))
-
-    val a = capped.select(col(idCol).as("id_a"), col("band"), col("band_hash"))
-    val b = capped.select(col(idCol).as("id_b"), col("band").as("band_b"), col("band_hash").as("band_hash_b"))
-    val candidates = a.join(b,
-        col("band") === col("band_b") &&
-        col("band_hash") === col("band_hash_b") &&
-        col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
+    // Hot-bucket census + candidate generation in ONE aggregation pass:
+    // collect each bucket's member ids, saturating at maxBucketSize+1 via
+    // the native bounded aggregate (every agg buffer — map-side partial or
+    // merged — holds at most cap+1 longs, so a pathological million-doc
+    // bucket costs the same as a capped one), then keep 2..maxBucketSize
+    // buckets. This replaces the earlier count-census + join-back +
+    // self-join shape: same survivorship, same bounded-memory guarantee,
+    // two fewer shuffles over the banding table. The HOF fallback (plain
+    // collect_list, extension not installed) is value-identical but
+    // materializes full hot-bucket lists before the filter — fine for
+    // tests, not the 100 TB path.
+    val collectIds =
+      if (banded.sparkSession.catalog.functionExists("bounded_collect_list"))
+        call_function("bounded_collect_list", col(idCol), lit(maxBucketSize))
+      else collect_list(col(idCol))
+    val buckets = banded.groupBy("band", "band_hash")
+      .agg(collectIds.as("__ids"))
+      .filter(size(col("__ids")) >= 2 && size(col("__ids")) <= maxBucketSize)
+      .select(sort_array(col("__ids")).as("__ids"))
+    // Streamed in-bucket pair emission: posexplode anchors id_a, the inner
+    // explode emits its successors in the sorted list (id_a < id_b by
+    // construction). Resident memory per in-flight row is one bucket's id
+    // list (≤ cap longs), never the cap² pair set — the quadratic output
+    // streams through the Generate operators exactly as it streamed
+    // through the old self-join.
+    val candidates = buckets
+      .select(col("__ids"), posexplode(col("__ids")).as(Seq("__i", "id_a")))
+      .select(col("id_a"),
+        explode(slice(col("__ids"), col("__i") + lit(2), size(col("__ids")))).as("id_b"))
+      .distinct()
 
     val setsA = withSets.select(col(idCol).as("id_a"), col("__sh").as("__sh_a"))
     val setsB = withSets.select(col(idCol).as("id_b"), col("__sh").as("__sh_b"))

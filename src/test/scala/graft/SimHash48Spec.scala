@@ -54,6 +54,21 @@ class SimHash48Spec extends SparkTestBase {
     assert(diverged == 0)
   }
 
+  test("out-of-range literal bits fails at analysis, not per-row") {
+    // simhash48(t, 64) is a type error: the portable md5-48 family carries
+    // 48 bits. With a foldable bits argument the failure must surface at
+    // ANALYSIS time (AnalysisException naming the range), not as a per-row
+    // IllegalArgumentException once execution starts.
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT simhash48('a b c', 64)").queryExecution.analyzed
+    }
+    assert(e.getMessage.contains("1..48"), e.getMessage)
+    val e0 = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT simhash48('a b c', 0)").queryExecution.analyzed
+    }
+    assert(e0.getMessage.contains("1..48"), e0.getMessage)
+  }
+
   test("narrower bit widths agree too (band math depends on them)") {
     val diverged = edgeDocs.select(
         call_function("simhash48", $"text", lit(12)).as("native"),

@@ -102,9 +102,10 @@ class VectorOpsSpec extends SparkTestBase {
     val plan = sample.queryExecution.executedPlan.toString
     assert(!plan.contains("GlobalLimit"),
       s"sampling still funnels through a single-partition GlobalLimit:\n$plan")
-    val n = sample.count()
-    // hash-mod sampling: expected ~cap, binomial spread — generous bounds
-    assert(n > 250 && n < 1000, s"sample size $n outside expected band around 500")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"bottom-k sample should plan as TakeOrderedAndProject (bounded per-partition heap):\n$plan")
+    // bottom-k: size is exactly min(cap, n), no binomial spread, no count pass
+    assert(sample.count() == 500)
     // deterministic: same rows every run
     assert(sample.select("id").exceptAll(
       VectorOps.deterministicSample(emb, "embedding", cap = 500).select("id")).isEmpty)
