@@ -31,9 +31,19 @@ object Graph {
   /** Label every node of the undirected edge set with its component's
     * minimum node id. Returns (node, label); nodes absent from `edges`
     * are absent from the result (callers left-join and coalesce to self).
+    *
+    * `starContraction = true` switches to the alternating star-contraction
+    * of Kiveris et al. (SOCC'14) — see [[connectedComponentsStar]] — which
+    * SHRINKS the edge set every round instead of carrying it whole, the
+    * right trade when edge volume (not round count) dominates, and the
+    * escape hatch for adversarial long-diameter graphs where the label
+    * propagation's `maxIter` guard would fire.
     */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
-                          maxIter: Int = 25): DataFrame = {
+                          maxIter: Int = 25,
+                          starContraction: Boolean = false): DataFrame = {
+    if (starContraction)
+      return connectedComponentsStar(edges, srcCol, dstCol, math.max(maxIter, 50))
     val sym = edges.select(col(srcCol).as("__s"), col(dstCol).as("__d"))
       .union(edges.select(col(dstCol).as("__s"), col(srcCol).as("__d")))
       .distinct()
@@ -83,17 +93,102 @@ object Graph {
     labels
   }
 
+  /** Alternating star-contraction connected components (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SOCC'14).
+    *
+    * Two edge-rewriting operations alternate until the edge set is a fixed
+    * point of their composition:
+    *
+    *  - '''large-star''': per node u, link every STRICTLY LARGER neighbor
+    *    to m(u) = min(Γ(u) ∪ u) — long chains collapse toward local
+    *    minima;
+    *  - '''small-star''': orient each edge to its larger endpoint; per
+    *    node u, link u and all its (smaller) neighbors to their minimum —
+    *    multi-level trees flatten into stars.
+    *
+    * Both are an aggregation (min per node) plus a join back — no
+    * neighbor-list materialization, so a hot node costs no more memory
+    * than a cold one — and both only ever REPLACE edges with edges toward
+    * smaller ids, so the edge set monotonically contracts toward
+    * min-rooted stars: (leaf → component minimum) rows, which ARE the
+    * label rows. Unlike label propagation the working set SHRINKS every
+    * round (duplicate edges merge via distinct), and convergence needs
+    * O(log² n) rounds on adversarial graphs with no diameter dependence —
+    * the paper proves the fixed point is exactly the min-rooted star
+    * forest.
+    *
+    * Convergence detection: (count, Σ xxhash64(s,d)) of the deduped edge
+    * set — equal stats across one full large+small round ⇒ the set mapped
+    * to itself (hash-sum collision odds are negligible), i.e. fixed point.
+    */
+  def connectedComponentsStar(edges: DataFrame, srcCol: String, dstCol: String,
+                              maxIter: Int = 50): DataFrame = {
+    var e = edges.select(col(srcCol).as("__s"), col(dstCol).as("__d"))
+      .filter(col("__s") =!= col("__d"))
+      .distinct()
+      .localCheckpoint()
+
+    def stats(df: DataFrame): (Long, java.math.BigDecimal) = {
+      val r = df.agg(count(lit(1)),
+        sum(xxhash64(col("__s"), col("__d")).cast("decimal(38,0)"))).head()
+      (r.getLong(0), r.getDecimal(1))
+    }
+
+    def largeStar(df: DataFrame): DataFrame = {
+      val sym = df.union(df.select(col("__d").as("__s"), col("__s").as("__d")))
+      val m = sym.groupBy("__s").agg(min(col("__d")).as("__mn"))
+        .select(col("__s").as("__u"), least(col("__s"), col("__mn")).as("__m"))
+      sym.join(m, col("__s") === col("__u"))
+        .filter(col("__d") > col("__s"))
+        .select(col("__d").as("__s"), col("__m").as("__d"))
+        .distinct()
+    }
+
+    def smallStar(df: DataFrame): DataFrame = {
+      val oriented = df.select(greatest(col("__s"), col("__d")).as("__u"),
+        least(col("__s"), col("__d")).as("__v"))
+      val m = oriented.groupBy("__u").agg(min(col("__v")).as("__m"))
+      val uEdges = m.select(col("__u").as("__s"), col("__m").as("__d"))
+      val vEdges = oriented.join(m, "__u")
+        .filter(col("__v") =!= col("__m"))
+        .select(col("__v").as("__s"), col("__m").as("__d"))
+      uEdges.union(vEdges).distinct()
+    }
+
+    var prev: (Long, java.math.BigDecimal) = null
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      e = smallStar(largeStar(e)).localCheckpoint()
+      val s = stats(e)
+      converged = prev != null && s._1 == prev._1 &&
+        ((s._2 == null && prev._2 == null) ||
+          (s._2 != null && prev._2 != null && s._2.compareTo(prev._2) == 0))
+      prev = s
+      iter += 1
+    }
+    require(converged,
+      s"connectedComponentsStar did not converge in $maxIter rounds")
+    // Fixed point = min-rooted stars: every non-root node appears exactly
+    // once as __s pointing at its component minimum; roots self-label.
+    val roots = e.select(col("__d").as("node")).distinct()
+      .withColumn("label", col("node"))
+    e.select(col("__s").as("node"), col("__d").as("label")).union(roots)
+  }
+
   /** Full dedup clustering over a document table: near-dup pairs →
     * components → (doc_id, cluster_id, keep) where `keep` marks the one
     * survivor (minimum id) per cluster. Docs in no pair survive trivially.
     */
-  def dedupClusters(docs: DataFrame, pairs: DataFrame, idCol: String): DataFrame = {
+  def dedupClusters(docs: DataFrame, pairs: DataFrame, idCol: String,
+                    starContraction: Boolean = false): DataFrame = {
     // Materialize the (tiny) pair set once: `sym` unions two projections of
     // it and every closure round re-reads it — without this the whole
     // MinHash pair pipeline upstream would be re-derived per branch.
     val edges = pairs.select("id_a", "id_b").localCheckpoint()
     docs.select(col(idCol))
-      .join(connectedComponents(edges, "id_a", "id_b"),
+      .join(connectedComponents(edges, "id_a", "id_b",
+          starContraction = starContraction),
         col(idCol) === col("node"), "left")
       .select(col(idCol),
         coalesce(col("label"), col(idCol)).as("cluster_id"))

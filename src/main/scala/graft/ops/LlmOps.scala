@@ -393,9 +393,9 @@ object LlmOps {
     require(maxHamming < bands,
       s"pigeonhole banding is lossless only for maxHamming < bands ($maxHamming >= $bands)")
     val width = bits / bands
-    // Persisted: the banding table feeds the bucket census and both join
-    // sides — without it the simhash sketch (two 48-wide HOF folds per
-    // doc) computes three times. Same caching contract as nearDupPairs.
+    // No persist needed: the banding table now has exactly ONE consumer
+    // (the bucket aggregation below), so the sketch computes once by
+    // construction.
     val banded = simhash(df, idCol, textCol, bits)
       .select(col(idCol), col("simhash"),
         posexplode(
@@ -403,26 +403,36 @@ object LlmOps {
             b => call_function("shiftright", col("simhash"), b * width)
               .bitwiseAND(lit((1L << width) - 1))))
           .as(Seq("band", "band_val")))
-      .persist()
-    // Hot-bucket guard, same rationale as nearDupPairs: homogeneous
-    // corpora (boilerplate, templated text) collapse many sketches into
-    // one band value; dropping buckets above the cap bounds candidate
-    // generation at O(buckets · cap²) instead of quadratic on the flood.
-    // Singleton buckets can't produce pairs and die in the same pass.
-    val okBuckets = banded.groupBy("band", "band_val")
-      .agg(count(lit(1)).as("__n"))
-      .filter(col("__n") >= 2 && col("__n") <= maxBucketSize)
-      .select("band", "band_val")
-    val capped = banded.join(okBuckets, Seq("band", "band_val"))
-    val a = capped.select(col(idCol).as("id_a"), col("simhash").as("__sa"),
-      col("band"), col("band_val"))
-    val b = capped.select(col(idCol).as("id_b"), col("simhash").as("__sb"),
-      col("band").as("band_b"), col("band_val").as("band_val_b"))
-    a.join(b,
-        col("band") === col("band_b") && col("band_val") === col("band_val_b") &&
-        col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        bit_count(col("__sa").bitwiseXOR(col("__sb"))).cast("long").as("hamming"))
+    // Hot-bucket census + candidate generation in ONE aggregation pass
+    // (same shape as nearDupPairsFromSets): collect each bucket's ids AND
+    // sketches as two saturating lists. The two lists are index-ALIGNED —
+    // both aggregates consume the same rows in the same order, partial
+    // buffers merge in the same sequence — so zipping them reunites each
+    // id with its sketch without the join-backs the old self-join shape
+    // paid. Buckets above the cap saturate at cap+1 (bounded memory, see
+    // BoundedCollectList) and drop with the singletons; the cap bounds
+    // candidate generation at O(buckets · cap²) when homogeneous corpora
+    // (boilerplate, templated text) collapse many sketches onto one band
+    // value.
+    def collectLongs(c: Column) =
+      if (df.sparkSession.catalog.functionExists("bounded_collect_list"))
+        call_function("bounded_collect_list", c, lit(maxBucketSize))
+      else collect_list(c)
+    val buckets = banded.groupBy("band", "band_val")
+      .agg(collectLongs(col(idCol)).as("__ids"),
+        collectLongs(col("simhash")).as("__sks"))
+      .filter(size(col("__ids")) >= 2 && size(col("__ids")) <= maxBucketSize)
+      // struct sort is lexicographic on field order: (id, sketch) sorts by
+      // id, which gives id_a < id_b for free in the pair emission below
+      .select(sort_array(arrays_zip(col("__ids"), col("__sks"))).as("__z"))
+    // Streamed in-bucket pair emission, resident memory ≤ one bucket's
+    // zipped list — the pair set streams through the Generate operators.
+    buckets
+      .select(col("__z"), posexplode(col("__z")).as(Seq("__i", "__a")))
+      .select(col("__a.__ids").as("id_a"), col("__a.__sks").as("__sa"),
+        explode(slice(col("__z"), col("__i") + lit(2), size(col("__z")))).as("__b"))
+      .select(col("id_a"), col("__b.__ids").as("id_b"),
+        bit_count(col("__sa").bitwiseXOR(col("__b.__sks"))).cast("long").as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }

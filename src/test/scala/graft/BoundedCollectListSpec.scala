@@ -48,6 +48,24 @@ class BoundedCollectListSpec extends SparkTestBase {
     assert(n == 51)
   }
 
+  test("two bounded lists in one aggregation are index-aligned (zip contract)") {
+    // simhashPairs zips bounded_collect_list(id) with
+    // bounded_collect_list(sketch) from the SAME groupBy and relies on
+    // element i of both arrays coming from the same input row. Encode the
+    // dependency (y = 3x + 1) and check it survives a multi-partition
+    // shuffle with saturation in play.
+    val df = spark.range(0, 20000).repartition(16)
+      .select((col("id") % 5).as("g"), col("id").as("x"),
+        (col("id") * 3 + 1).as("y"))
+    val misaligned = df.groupBy("g")
+      .agg(call_function("bounded_collect_list", col("x"), lit(1000)).as("xs"),
+        call_function("bounded_collect_list", col("y"), lit(1000)).as("ys"))
+      .select(explode(arrays_zip(col("xs"), col("ys"))).as("p"))
+      .filter(col("p.ys") =!= col("p.xs") * 3 + 1)
+      .count()
+    assert(misaligned == 0)
+  }
+
   test("out-of-range cap fails at analysis time") {
     val e = intercept[org.apache.spark.sql.AnalysisException] {
       spark.sql("SELECT bounded_collect_list(x, 0) FROM VALUES (1L) AS t(x)")

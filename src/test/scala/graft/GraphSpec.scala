@@ -80,6 +80,38 @@ class GraphSpec extends SparkTestBase {
     }
   }
 
+  test("star contraction: labels match pointer doubling on chain+clique+random") {
+    val fixed = Seq((1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (11L, 12L), (10L, 12L), (20L, 21L)).toDF("src", "dst")
+    val a = Graph.connectedComponents(fixed, "src", "dst").as[(Long, Long)].collect().toMap
+    val b = Graph.connectedComponents(fixed, "src", "dst", starContraction = true)
+      .as[(Long, Long)].collect().toMap
+    assert(a == b)
+    val rng = new scala.util.Random(11)
+    for (trial <- 1 to 3) {
+      val edges = Seq.fill(60)((rng.nextInt(50).toLong, rng.nextInt(50).toLong))
+        .filter { case (x, y) => x != y }.toDF("src", "dst")
+      val dbl = Graph.connectedComponents(edges, "src", "dst").as[(Long, Long)].collect().toMap
+      val star = Graph.connectedComponents(edges, "src", "dst", starContraction = true)
+        .as[(Long, Long)].collect().toMap
+      assert(dbl == star, s"trial $trial diverged")
+    }
+  }
+
+  test("star contraction: a million-node chain converges (adversarial diameter)") {
+    // Diameter 10^6 - 1: plain propagation needs ~10^6 rounds; pointer
+    // doubling needs ~20 (fine, but each round carries the full label set
+    // and the maxIter guard is the only defence). Star contraction SHRINKS
+    // the edge set per round and converges with no diameter dependence —
+    // this is the documented escape hatch, now exercised.
+    val n = 1000000L
+    val chain = spark.range(1, n).select(col("id").as("src"), (col("id") + 1).as("dst"))
+    val labels = Graph.connectedComponents(chain, "src", "dst", starContraction = true)
+    val agg = labels.agg(count(lit(1)), countDistinct(col("label")), min(col("label")))
+      .as[(Long, Long, Long)].head()
+    assert(agg == ((n, 1L, 1L)), s"expected $n nodes, one component rooted at 1, got $agg")
+  }
+
   test("empty edge set: every doc is its own surviving cluster") {
     val docs = Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text")
     val noPairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
