@@ -401,6 +401,27 @@ object SparkEntry {
           maxBucketSize = 10000)
         .orderBy("id_a", "id_b")),
 
+    "minhash_estimate" -> ((s, dir) =>
+      // signature-space Jaccard estimation next to the exact value for
+      // every LSH candidate — the calibration query that justifies
+      // skipping the exact-verify join at corpus scale (est is k
+      // components per doc regardless of document length)
+      LlmOps.minhashEstimatePairs(t(s, dir, "documents"), "doc_id", "text",
+          maxBucketSize = 10000)
+        .orderBy("id_a", "id_b")),
+
+    "incremental_dedup" -> ((s, dir) => {
+      // nightly-ingest shape: dedup ONE new batch (source src1) against
+      // the already-ingested corpus + itself in O(batch + base
+      // fingerprints) — base text never moves, no full-corpus re-dedup
+      val docs = t(s, dir, "documents")
+      LlmOps.incrementalDedup(
+          docs.filter(col("source") =!= "src1"),
+          docs.filter(col("source") === "src1"),
+          "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     "dedup_simhash" -> ((s, dir) =>
       LlmOps.simhash(t(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")),
@@ -1107,6 +1128,61 @@ object SparkEntry {
          SELECT id_a, id_b, jaccard FROM jac
          WHERE jaccard >= 0.7
          ORDER BY id_a, id_b""",
+
+    "minhash_estimate" ->
+      """WITH d AS (
+           SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(string_split_regex(lower(trim(text)), '\s+')) - 3, 0) + 2),
+               i -> array_to_string(list_slice(string_split_regex(lower(trim(text)), '\s+'), i, i + 2), ' '))) AS sh
+           FROM documents),
+         hp AS (
+           SELECT doc_id,
+             list_transform(sh, s -> ('0x' || substr(md5(s), 1, 12))::BIGINT) AS h1s,
+             list_transform(sh, s -> ('0x' || substr(md5(s), 13, 12))::BIGINT) AS h2s
+           FROM d WHERE len(sh) > 0),
+         sg AS (
+           SELECT doc_id,
+             list_distinct(h1s) AS shset,
+             list_transform(range(0, 16), j ->
+               list_min(list_transform(range(1, len(h1s) + 1), x -> h1s[x] + j * h2s[x]))) AS sig
+           FROM hp),
+         bands AS (
+           SELECT doc_id, t.b AS band,
+             md5(array_to_string(list_slice(sig, t.b * 4 + 1, t.b * 4 + 4), ',')) AS bh
+           FROM sg, range(0, 4) t(b)),
+         ok AS (
+           SELECT band, bh FROM bands GROUP BY band, bh
+           HAVING COUNT(*) BETWEEN 2 AND 10000),
+         cap AS (SELECT bands.* FROM bands JOIN ok USING (band, bh)),
+         cand AS (
+           SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+           FROM cap a JOIN cap c
+             ON a.band = c.band AND a.bh = c.bh AND a.doc_id < c.doc_id)
+         SELECT id_a, id_b,
+           CAST(len(list_intersect(x.shset, y.shset)) AS DOUBLE)
+             / len(list_distinct(list_concat(x.shset, y.shset))) AS jaccard,
+           CAST(len(list_filter(range(0, 16), j -> x.sig[j + 1] = y.sig[j + 1])) AS DOUBLE) / 16 AS est
+         FROM cand
+         JOIN sg x ON cand.id_a = x.doc_id
+         JOIN sg y ON cand.id_b = y.doc_id
+         ORDER BY id_a, id_b""",
+
+    "incremental_dedup" ->
+      """WITH base AS (
+           SELECT DISTINCT md5(lower(trim(text))) AS fp, TRUE AS in_base
+           FROM documents WHERE source <> 'src1'),
+         batch AS (
+           SELECT doc_id, md5(lower(trim(text))) AS fp
+           FROM documents WHERE source = 'src1'),
+         m AS (
+           SELECT batch.doc_id,
+             COALESCE(in_base, FALSE) AS dup_of_base,
+             batch.doc_id <> MIN(batch.doc_id) OVER (PARTITION BY batch.fp) AS dup_in_batch
+           FROM batch LEFT JOIN base USING (fp))
+         SELECT doc_id, dup_of_base, dup_in_batch,
+           (NOT dup_of_base AND NOT dup_in_batch) AS keep
+         FROM m ORDER BY doc_id""",
 
     "dedup_simhash" ->
       """WITH tok AS (

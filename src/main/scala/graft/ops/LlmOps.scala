@@ -31,6 +31,41 @@ object LlmOps {
       .agg(min(col(idCol)).as(idCol))
       .select(idCol)
 
+  /** Incremental ingestion dedup: classify a NEW batch of documents
+    * against an already-ingested base corpus plus itself — the shape every
+    * continuously-fed training corpus runs nightly, where re-deduping the
+    * full corpus (O(corpus)) per batch is exactly what must NOT happen.
+    * Returns one row per batch doc:
+    *
+    *  - `dup_of_base`  — the normalized-text fingerprint already exists in
+    *    the base corpus;
+    *  - `dup_in_batch` — another batch doc with the same fingerprint has a
+    *    smaller id (first occurrence wins, mirroring [[dedupExactIds]]);
+    *  - `keep` — neither.
+    *
+    * Scale shape: the base collapses to DISTINCT 16-byte fingerprints
+    * before the join — base text never moves, and the work is
+    * O(batch + distinct base fingerprints), not O(corpus). The base-side
+    * probe is a left semi join marker (fingerprint equality), the
+    * batch-side check one window min over the batch's own (tiny) shuffle.
+    * In production the distinct-fingerprint table would be the persisted
+    * incremental state (it is exactly what [[dedupExactIds]] emits keyed
+    * by fingerprint).
+    */
+  def incrementalDedup(base: DataFrame, batch: DataFrame,
+                       idCol: String, textCol: String): DataFrame = {
+    val baseFps = base.select(fingerprint(col(textCol)).as("__fp")).distinct()
+      .withColumn("__in_base", lit(true))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("__fp")
+    batch.select(col(idCol), fingerprint(col(textCol)).as("__fp"))
+      .join(baseFps, Seq("__fp"), "left")
+      .withColumn("__min_id", min(col(idCol)).over(w))
+      .select(col(idCol),
+        coalesce(col("__in_base"), lit(false)).as("dup_of_base"),
+        (col(idCol) =!= col("__min_id")).as("dup_in_batch"))
+      .withColumn("keep", !col("dup_of_base") && !col("dup_in_batch"))
+  }
+
   /** Whitespace tokens of normalized text. */
   def tokens(c: Column): Column = split(normText(c), "\\s+")
 
@@ -222,38 +257,7 @@ object LlmOps {
       .filter(size(col("__sh")) > 0)
       .persist()
 
-    val banded = lshBands(withSets, idCol, "__sig", bands, rowsPerBand)
-
-    // Hot-bucket census + candidate generation in ONE aggregation pass:
-    // collect each bucket's member ids, saturating at maxBucketSize+1 via
-    // the native bounded aggregate (every agg buffer — map-side partial or
-    // merged — holds at most cap+1 longs, so a pathological million-doc
-    // bucket costs the same as a capped one), then keep 2..maxBucketSize
-    // buckets. This replaces the earlier count-census + join-back +
-    // self-join shape: same survivorship, same bounded-memory guarantee,
-    // two fewer shuffles over the banding table. The HOF fallback (plain
-    // collect_list, extension not installed) is value-identical but
-    // materializes full hot-bucket lists before the filter — fine for
-    // tests, not the 100 TB path.
-    val collectIds =
-      if (banded.sparkSession.catalog.functionExists("bounded_collect_list"))
-        call_function("bounded_collect_list", col(idCol), lit(maxBucketSize))
-      else collect_list(col(idCol))
-    val buckets = banded.groupBy("band", "band_hash")
-      .agg(collectIds.as("__ids"))
-      .filter(size(col("__ids")) >= 2 && size(col("__ids")) <= maxBucketSize)
-      .select(sort_array(col("__ids")).as("__ids"))
-    // Streamed in-bucket pair emission: posexplode anchors id_a, the inner
-    // explode emits its successors in the sorted list (id_a < id_b by
-    // construction). Resident memory per in-flight row is one bucket's id
-    // list (≤ cap longs), never the cap² pair set — the quadratic output
-    // streams through the Generate operators exactly as it streamed
-    // through the old self-join.
-    val candidates = buckets
-      .select(col("__ids"), posexplode(col("__ids")).as(Seq("__i", "id_a")))
-      .select(col("id_a"),
-        explode(slice(col("__ids"), col("__i") + lit(2), size(col("__ids")))).as("id_b"))
-      .distinct()
+    val candidates = lshCandidatePairs(withSets, idCol, bands, rowsPerBand, maxBucketSize)
 
     val setsA = withSets.select(col(idCol).as("id_a"), col("__sh").as("__sh_a"))
     val setsB = withSets.select(col(idCol).as("id_b"), col("__sh").as("__sh_b"))
@@ -262,6 +266,84 @@ object LlmOps {
       .select(col("id_a"), col("id_b"),
         jaccard(col("__sh_a"), col("__sh_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+  }
+
+  /** LSH candidate pairs (id_a < id_b) from a (id, __sig) table.
+    *
+    * Hot-bucket census + candidate generation in ONE aggregation pass:
+    * collect each band bucket's member ids, saturating at maxBucketSize+1
+    * via the native bounded aggregate (every agg buffer — map-side partial
+    * or merged — holds at most cap+1 longs, so a pathological million-doc
+    * bucket costs the same as a capped one), then keep 2..maxBucketSize
+    * buckets. This replaces the earlier count-census + join-back +
+    * self-join shape: same survivorship, same bounded-memory guarantee,
+    * two fewer shuffles over the banding table. The HOF fallback (plain
+    * collect_list, extension not installed) is value-identical but
+    * materializes full hot-bucket lists before the filter — fine for
+    * tests, not the 100 TB path.
+    *
+    * Pair emission is STREAMED: posexplode anchors id_a, the inner explode
+    * emits its successors in the sorted list (id_a < id_b by
+    * construction). Resident memory per in-flight row is one bucket's id
+    * list (≤ cap longs), never the cap² pair set — the quadratic output
+    * streams through the Generate operators exactly as it streamed
+    * through the old self-join.
+    */
+  private[graft] def lshCandidatePairs(withSets: DataFrame, idCol: String,
+                                       bands: Int, rowsPerBand: Int,
+                                       maxBucketSize: Int): DataFrame = {
+    val banded = lshBands(withSets, idCol, "__sig", bands, rowsPerBand)
+    val collectIds =
+      if (banded.sparkSession.catalog.functionExists("bounded_collect_list"))
+        call_function("bounded_collect_list", col(idCol), lit(maxBucketSize))
+      else collect_list(col(idCol))
+    val buckets = banded.groupBy("band", "band_hash")
+      .agg(collectIds.as("__ids"))
+      .filter(size(col("__ids")) >= 2 && size(col("__ids")) <= maxBucketSize)
+      .select(sort_array(col("__ids")).as("__ids"))
+    buckets
+      .select(col("__ids"), posexplode(col("__ids")).as(Seq("__i", "id_a")))
+      .select(col("id_a"),
+        explode(slice(col("__ids"), col("__i") + lit(2), size(col("__ids")))).as("id_b"))
+      .distinct()
+  }
+
+  /** Signature-space similarity estimation over LSH candidates: for each
+    * candidate pair, the MinHash ESTIMATE of Jaccard — the fraction of
+    * equal signature components, E[est] = J(a,b) by the MinHash property —
+    * next to the exact set Jaccard for calibration. At corpus scale this
+    * estimator is what lets a pipeline SKIP the exact verify join (the
+    * shingle sets, the widest payload in the pipeline, never shuffle for
+    * pairs the estimate already rules out); this operator is the
+    * calibration query that justifies that cut: est is k·16 bytes per doc
+    * regardless of document length, and |est − jaccard| concentrates at
+    * O(1/√k). est = n/k is an exact dyadic double, so an external SQL
+    * oracle reproduces it bitwise.
+    */
+  def minhashEstimatePairs(df: DataFrame, idCol: String, textCol: String,
+                           shingleN: Int = 3, numHashes: Int = 16,
+                           bands: Int = 4,
+                           maxBucketSize: Int = 1 << 20): DataFrame = {
+    require(numHashes % bands == 0,
+      s"bands ($bands) must divide numHashes ($numHashes)")
+    val rowsPerBand = numHashes / bands
+    val withSets = df
+      .repartition(df.sparkSession.sessionState.conf.numShufflePartitions, col(idCol))
+      .select(col(idCol), minhashPlanBest(df, col(textCol), shingleN, numHashes).as("__mh"))
+      .select(col(idCol), col("__mh.sh").as("__sh"), col("__mh.sig").as("__sig"))
+      .filter(size(col("__sh")) > 0)
+      .persist()
+    val candidates = lshCandidatePairs(withSets, idCol, bands, rowsPerBand, maxBucketSize)
+    val a = withSets.select(col(idCol).as("id_a"),
+      col("__sh").as("__sh_a"), col("__sig").as("__sig_a"))
+    val b = withSets.select(col(idCol).as("id_b"),
+      col("__sh").as("__sh_b"), col("__sig").as("__sig_b"))
+    candidates
+      .join(a, "id_a").join(b, "id_b")
+      .select(col("id_a"), col("id_b"),
+        jaccard(col("__sh_a"), col("__sh_b")).as("jaccard"),
+        (size(filter(zip_with(col("__sig_a"), col("__sig_b"), (x, y) => x === y),
+          m => m)).cast("double") / numHashes).as("est"))
   }
 
   /** Exact n-gram Jaccard near-dup pairs within a blocking key (source,

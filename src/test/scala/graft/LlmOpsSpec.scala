@@ -46,6 +46,42 @@ class LlmOpsSpec extends SparkTestBase {
     }
   }
 
+  test("minhash estimate: exact dups estimate 1.0; est bounded and dyadic") {
+    val out = LlmOps.minhashEstimatePairs(docs, "doc_id", "text",
+        numHashes = 16, bands = 16)
+      .as[(Long, Long, Double, Double)].collect()
+    val m = out.map { case (a, b, j, e) => (a, b) -> (j, e) }.toMap
+    // docs 1 and 2 are identical after normalization: identical shingle
+    // sets ⇒ identical signatures ⇒ both the exact and estimated jaccard
+    // are exactly 1.0
+    assert(m((1L, 2L)) == ((1.0, 1.0)))
+    out.foreach { case (a, b, _, e) =>
+      assert(a < b)
+      assert(e >= 0.0 && e <= 1.0)
+      // est = matches/16: an exact dyadic double (the oracle replays it bitwise)
+      assert(e * 16 == math.rint(e * 16), s"est $e is not n/16")
+    }
+  }
+
+  test("incremental dedup: base dups, in-batch dups and fresh docs classified") {
+    val base = Seq((1L, "alpha beta gamma"), (2L, "delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, " Alpha Beta Gamma "),    // normalizes (lower+trim) into base doc 1 → dup_of_base
+      (11L, "eta theta iota"),        // fresh, first occurrence → keep
+      (12L, "eta theta iota"),        // same fp as 11, larger id → dup_in_batch
+      (13L, "kappa lambda mu"))       // fresh → keep
+      .toDF("doc_id", "text")
+    val got = LlmOps.incrementalDedup(base, batch, "doc_id", "text")
+      .as[(Long, Boolean, Boolean, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got == Map(
+      10L -> ((true, false, false)),
+      11L -> ((false, false, true)),
+      12L -> ((false, true, false)),
+      13L -> ((false, false, true))))
+  }
+
   test("simhash: identical texts same sketch; near-dups low hamming distance") {
     val sh = LlmOps.simhash(docs, "doc_id", "text").as[(Long, Long)].collect().toMap
     assert(sh(1L) == sh(2L)) // same normalized tokens
