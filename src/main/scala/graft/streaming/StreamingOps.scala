@@ -232,4 +232,54 @@ object StreamingOps {
           }
       }
   }
+
+  /** Exactly-once `foreachBatch` parquet sink via commit markers.
+    *
+    * Structured Streaming's `foreachBatch` contract is at-least-once: after
+    * a failure the engine REPLAYS the last batch with the same `batchId`.
+    * Idempotence must come from the sink, and this is the standard recipe:
+    *
+    *  1. each batch writes to its own `batch=<id>` directory with
+    *     `mode("overwrite")` — a retry of a HALF-written batch replaces the
+    *     partial output instead of duplicating it;
+    *  2. an empty `_COMMITTED` marker is created only after the write
+    *     returns — a replay of a COMMITTED batch sees the marker and
+    *     becomes a no-op;
+    *  3. readers go through [[readCommittedBatches]], which lists only
+    *     marked directories — a crash between write and marker is invisible
+    *     downstream and heals on replay.
+    *
+    * Use: `stream.writeStream.foreachBatch(StreamingOps.idempotentBatchSink(path) _)`.
+    */
+  def idempotentBatchSink(basePath: String)(batch: DataFrame, batchId: Long): Unit = {
+    val hc = batch.sparkSession.sparkContext.hadoopConfiguration
+    val dir = new org.apache.hadoop.fs.Path(s"$basePath/batch=$batchId")
+    val fs = dir.getFileSystem(hc)
+    val marker = new org.apache.hadoop.fs.Path(dir, "_COMMITTED")
+    if (!fs.exists(marker)) {
+      batch.write.mode("overwrite").parquet(dir.toString)
+      fs.create(marker, true).close()
+    }
+  }
+
+  /** Union of all COMMITTED batch outputs under `basePath` (see
+    * [[idempotentBatchSink]]); uncommitted (crashed mid-write) directories
+    * are excluded. Listing cost is one driver-side directory scan of batch
+    * dirs — O(batches), not O(files).
+    */
+  def readCommittedBatches(spark: org.apache.spark.sql.SparkSession,
+                           basePath: String): DataFrame = {
+    val hc = spark.sparkContext.hadoopConfiguration
+    val base = new org.apache.hadoop.fs.Path(basePath)
+    val fs = base.getFileSystem(hc)
+    val committed =
+      if (!fs.exists(base)) Array.empty[String]
+      else fs.listStatus(base)
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+        .filter(s => fs.exists(new org.apache.hadoop.fs.Path(s.getPath, "_COMMITTED")))
+        .map(_.getPath.toString)
+    if (committed.isEmpty)
+      throw new IllegalStateException(s"no committed batches under $basePath")
+    spark.read.parquet(committed.toIndexedSeq: _*)
+  }
 }

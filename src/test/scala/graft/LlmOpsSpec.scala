@@ -46,6 +46,27 @@ class LlmOpsSpec extends SparkTestBase {
     }
   }
 
+  test("jaccard contract: distinct-set inputs (ADVICE r4 — |A|+|B|-|A∩B| needs them)") {
+    // LlmOps.jaccard computes the union size as |A|+|B|-|A∩B|, which is
+    // exact ONLY for distinct arrays (the documented contract; every
+    // in-repo caller passes array_distinct/set outputs). This spec pins
+    // the contract: on distinct sets it equals the classic
+    // intersect/union formula bit for bit, and on a NON-distinct input it
+    // visibly diverges — a future caller passing raw token arrays fails
+    // here first instead of shipping plausible-but-wrong similarities.
+    val df = Seq(
+      (Array(1L, 2L, 3L), Array(2L, 3L, 4L)),       // distinct: j = 2/4
+      (Array(1L, 1L, 2L), Array(1L, 2L, 2L)))       // NON-distinct
+      .toDF("a", "b")
+    val classic = size(array_intersect($"a", $"b")).cast("double") /
+      size(array_union($"a", $"b")).cast("double")
+    val rows = df.select(LlmOps.jaccard($"a", $"b").as("fast"), classic.as("classic"))
+      .as[(Double, Double)].collect()
+    assert(rows(0)._1 == rows(0)._2 && rows(0)._1 == 0.5)
+    assert(rows(1)._1 != rows(1)._2,
+      "non-distinct input should diverge from the set formula — contract no longer observable")
+  }
+
   test("minhash estimate: exact dups estimate 1.0; est bounded and dyadic") {
     val out = LlmOps.minhashEstimatePairs(docs, "doc_id", "text",
         numHashes = 16, bands = 16)

@@ -194,4 +194,34 @@ class StreamingSpec extends SparkTestBase {
     val got = spark.table("deduped").as[String].collect().toSeq.sorted
     assert(got == Seq("doc a", "doc b"))
   }
+
+  test("idempotent batch sink: replays are no-ops, partial batches invisible") {
+    val base = java.nio.file.Files.createTempDirectory("graft_sink").toString
+    val sink = StreamingOps.idempotentBatchSink(base) _
+    sink(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), 0L)
+    // REPLAY of committed batch 0 with different (corrupt) data: the
+    // commit marker makes it a no-op — original rows must survive.
+    sink(Seq((99L, "corrupt")).toDF("id", "v"), 0L)
+    sink(Seq((3L, "c")).toDF("id", "v"), 1L)
+    // crash simulation: batch dir written but no _COMMITTED marker
+    Seq((4L, "d")).toDF("id", "v")
+      .write.mode("overwrite").parquet(s"$base/batch=2")
+    val got = StreamingOps.readCommittedBatches(spark, base)
+      .select("id", "v").as[(Long, String)].collect().toSet
+    assert(got == Set((1L, "a"), (2L, "b"), (3L, "c")),
+      s"expected replay ignored and uncommitted batch 2 invisible, got $got")
+  }
+
+  test("idempotent batch sink: end-to-end behind foreachBatch") {
+    val base = java.nio.file.Files.createTempDirectory("graft_sink_e2e").toString
+    val input = MemoryStream[(Long, String)]
+    input.addData((10L, "x"), (11L, "y"))
+    val q = input.toDF().toDF("id", "v").writeStream
+      .foreachBatch(StreamingOps.idempotentBatchSink(base) _)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val got = StreamingOps.readCommittedBatches(spark, base)
+      .select("id", "v").as[(Long, String)].collect().toSet
+    assert(got == Set((10L, "x"), (11L, "y")))
+  }
 }
