@@ -14,10 +14,21 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, sfDir: String, table: String): DataFrame = {
-    if (table == "events") loadEvents(spark, sfDir) else
-      spark.read.parquet(s"$sfDir/$table.parquet")
-  }
+  // Relation-metadata cache, the role a catalog/metastore plays for real
+  // tables: `spark.read.parquet` re-lists the directory and re-reads the
+  // footer schema on EVERY call, and the slate calls load() a couple of
+  // times per query over immutable inputs. Caching the DataFrame handle
+  // (the analyzed relation — NOT the data; no persist here) removes that
+  // repeated driver-side metadata work. Keyed by session identity so a
+  // handle never leaks across sessions.
+  private val relations =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+
+  def load(spark: SparkSession, sfDir: String, table: String): DataFrame =
+    relations.computeIfAbsent((spark, sfDir, table), { _ =>
+      if (table == "events") loadEvents(spark, sfDir)
+      else spark.read.parquet(s"$sfDir/$table.parquet")
+    })
 
   /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
     * reader rejects ([PARQUET_TYPE_ILLEGAL]). Read it as raw nanos via the

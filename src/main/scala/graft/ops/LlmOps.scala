@@ -381,17 +381,30 @@ object LlmOps {
     val prefixes = sets.select(col("__blk"), col(idCol), col("__sz"),
       explode(slice(col("__sh"), lit(1), prefLen)).as("__shingle"))
 
-    val pa = prefixes.select(col("__blk"), col("__shingle"),
-      col(idCol).as("id_a"), col("__sz").as("__sz_a"))
-    val pb = prefixes.select(col("__blk").as("__blk_b"), col("__shingle").as("__shingle_b"),
-      col(idCol).as("id_b"), col("__sz").as("__sz_b"))
-    val candidates = pa.join(pb,
-        col("__blk") === col("__blk_b") &&
-        col("__shingle") === col("__shingle_b") &&
-        col("id_a") < col("id_b") &&
-        col("__sz_a") * threshold <= col("__sz_b") &&
-        col("__sz_b") * threshold <= col("__sz_a"))
-      .select("id_a", "id_b").distinct()
+    // Candidate generation from posting lists in ONE aggregation (the
+    // aligned-collect shape shared with the LSH paths): per (block,
+    // prefix-shingle) posting, ids and set sizes ride as two index-aligned
+    // lists, zipped and sorted by id so the streamed pair emission gets
+    // id_a < id_b for free and the PPJoin length filter
+    // (t·|A| ≤ |B| ∧ t·|B| ≤ |A|) applies inline — replacing the
+    // posting-table self-join (a second full shuffle of the exploded
+    // prefixes plus the join) with a groupBy over the same rows. No cap
+    // here: PPJoin is exact, so a posting must emit ALL its pairs; a hot
+    // posting buffers its (id, sz) list in the aggregation — the same
+    // order of resident state the sort-merge join buffered for an equal
+    // key, with the quadratic pair OUTPUT streaming in both shapes.
+    val postings = prefixes.groupBy("__blk", "__shingle")
+      .agg(collect_list(col(idCol)).as("__ids"), collect_list(col("__sz")).as("__szs"))
+      .filter(size(col("__ids")) >= 2)
+      .select(sort_array(arrays_zip(col("__ids"), col("__szs"))).as("__z"))
+    val candidates = postings
+      .select(col("__z"), posexplode(col("__z")).as(Seq("__i", "__a")))
+      .select(col("__a.__ids").as("id_a"), col("__a.__szs").as("__sz_a"),
+        explode(slice(col("__z"), col("__i") + lit(2), size(col("__z")))).as("__b"))
+      .filter(col("__sz_a") * threshold <= col("__b.__szs") &&
+        col("__b.__szs") * threshold <= col("__sz_a"))
+      .select(col("id_a"), col("__b.__ids").as("id_b"))
+      .distinct()
 
     val sa = sets.select(col(idCol).as("id_a"), col("__sh").as("__sh_a"))
     val sb = sets.select(col(idCol).as("id_b"), col("__sh").as("__sh_b"))

@@ -153,4 +153,25 @@ class PlanSpec extends SparkTestBase {
       case (k, None) => conf.unset(k)
     }
   }
+
+  test("dedup_near: bounded-census candidate generation — one aggregation, no census join") {
+    val p = planOf("dedup_near")
+    assert(p.contains("bounded_collect_list"),
+      s"native saturating aggregate not engaged in candidate generation:\n$p")
+    // the old shape's census join-back + banding self-join are gone: the
+    // only joins left are the two shingle-set verify joins. Count inside
+    // the FINAL plan only — AdaptiveSparkPlan's toString appends the
+    // initial plan too, which would double-count.
+    val finalPlan = p.split("== Initial Plan ==").head
+    val joins = "(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)".r
+      .findAllIn(finalPlan).size
+    assert(joins <= 2, s"expected only the 2 verify joins, found $joins:\n$finalPlan")
+  }
+
+  test("simhash_pairs: zipped bounded census — NO verify join at all") {
+    val p = planOf("simhash_pairs")
+    assert(p.contains("bounded_collect_list"), s"native aggregate not engaged:\n$p")
+    assert(!p.contains("Join"),
+      s"sketches ride the bucket lists; there should be zero joins:\n$p")
+  }
 }
