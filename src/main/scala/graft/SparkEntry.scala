@@ -693,6 +693,41 @@ object SparkEntry {
       LlmOps.vocabCoverage(t(s, dir, "documents"), "doc_id", "text", topK = 1000)
         .orderBy("doc_id")),
 
+    "ngram_dup_rate" -> ((s, dir) =>
+      // substring-level dedup signal: fraction of each doc's distinct
+      // 3-gram shingles shared with any other doc — one hash-keyed window
+      // pass, no posting-list join, corpus text never shuffles
+      LlmOps.ngramDupRate(t(s, dir, "documents"), "doc_id", "text", shingleN = 3)
+        .orderBy("doc_id")),
+
+    "filter_funnel" -> ((s, dir) =>
+      // curation-funnel audit: per-source survivors of length floor →
+      // repetition ceiling → alpha-ratio floor, cumulative, in ONE pass
+      // (conditional aggregation; only (source, 4 counters) shuffle)
+      LlmOps.filterFunnel(t(s, dir, "documents"), "source", "text",
+          minChars = 150, maxRepetition = 0.01, minAlphaRatio = 0.82)
+        .orderBy("source")),
+
+    "mixture_plan" -> ((s, dir) => {
+      // training-mixture planning: per-source token shares + the
+      // deterministic downsample-to-smallest rates that equalize sources
+      val docs = t(s, dir, "documents")
+      val withTokens = docs.select(col("source"),
+        regexp_count(col("text"), lit("\\S+")).cast("long").as("__n"))
+      LlmOps.mixturePlan(withTokens, "source", "__n")
+        .orderBy("source")
+    }),
+
+    "token_len_histogram" -> ((s, dir) => {
+      // sequence-length distribution for packing-budget sizing: per-lang
+      // doc counts in fixed power-of-two token buckets
+      val docs = t(s, dir, "documents")
+      val withTokens = docs.select(col("lang"),
+        regexp_count(col("text"), lit("\\S+")).cast("long").as("__n"))
+      LlmOps.tokenLengthHistogram(withTokens, "lang", "__n")
+        .orderBy("lang", "len_bucket")
+    }),
+
     "rolling_user_counts" -> ((s, dir) =>
       // trailing 7-day per-user activity via a RANGE event-time frame
       Relational.rollingCountPerKey(
@@ -1693,6 +1728,77 @@ object SparkEntry {
            CAST(COALESCE(iv.n_in_vocab, 0) AS BIGINT) AS n_in_vocab,
            CAST(COALESCE(iv.n_in_vocab, 0) AS DOUBLE) / n.n_tokens AS coverage
          FROM n LEFT JOIN iv USING (doc_id) ORDER BY n.doc_id""",
+
+    "ngram_dup_rate" ->
+      """WITH t AS (
+           SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+           FROM documents),
+         s AS (
+           SELECT doc_id, list_distinct(list_transform(
+             range(1, greatest(len(toks) - 3, 0) + 2),
+             i -> ('0x' || substr(md5(array_to_string(list_slice(toks, i, i + 2), ' ')), 1, 12))::BIGINT)) AS sh
+           FROM t),
+         e AS (SELECT doc_id, unnest(sh) AS h FROM s),
+         d AS (SELECT doc_id, COUNT(*) OVER (PARTITION BY h) AS df FROM e)
+         SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct,
+           CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+           CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS dup_rate
+         FROM d GROUP BY doc_id ORDER BY doc_id""",
+
+    "filter_funnel" ->
+      """WITH t AS (
+           SELECT source, text, string_split_regex(lower(trim(text)), '\s+') AS toks
+           FROM documents),
+         s AS (
+           SELECT source,
+             length(text) AS len,
+             CAST(len(regexp_extract_all(text, '[a-z]')) AS DOUBLE) / length(text) AS alpha,
+             list_transform(range(1, greatest(len(toks) - 3, 0) + 2),
+               i -> md5(array_to_string(list_slice(toks, i, i + 2), ' '))) AS sh
+           FROM t),
+         f AS (
+           SELECT source,
+             len >= 150 AS len_ok,
+             len >= 150 AND
+               1.0 - CAST(len(list_distinct(sh)) AS DOUBLE) / len(sh) <= 0.01 AS rep_ok,
+             len >= 150 AND
+               1.0 - CAST(len(list_distinct(sh)) AS DOUBLE) / len(sh) <= 0.01 AND
+               alpha >= 0.82 AS pass_ok
+           FROM s)
+         SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_total,
+           CAST(SUM(CASE WHEN len_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_len_ok,
+           CAST(SUM(CASE WHEN rep_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_rep_ok,
+           CAST(SUM(CASE WHEN pass_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+         FROM f GROUP BY source ORDER BY source""",
+
+    "mixture_plan" ->
+      """WITH t AS (
+           SELECT source,
+             CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n
+           FROM documents),
+         b AS (
+           SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n) AS BIGINT) AS n_tokens
+           FROM t GROUP BY source),
+         g AS (SELECT MIN(n_tokens) AS mn, SUM(n_tokens) AS tot FROM b)
+         SELECT source, n_docs, n_tokens,
+           CAST(n_tokens AS DOUBLE) / tot AS share,
+           CAST(mn AS DOUBLE) / n_tokens AS sample_rate
+         FROM b, g ORDER BY source""",
+
+    "token_len_histogram" ->
+      """WITH t AS (
+           SELECT lang,
+             CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n
+           FROM documents)
+         SELECT lang,
+           CASE WHEN n < 16 THEN '0000-0015' WHEN n < 32 THEN '0016-0031'
+                WHEN n < 64 THEN '0032-0063' WHEN n < 128 THEN '0064-0127'
+                WHEN n < 256 THEN '0128-0255' ELSE '0256+' END AS len_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+         FROM t GROUP BY 1, 2 ORDER BY lang, len_bucket""",
 
     "rolling_user_counts" ->
       """SELECT event_id, user_id,

@@ -930,4 +930,109 @@ object LlmOps {
         col("n_inter").cast("double") /
           (col("n_a") + col("n_b") - col("n_inter")).cast("double"))
   }
+
+  /** Cross-document duplicated-span rate: for each document, the fraction
+    * of its DISTINCT n-gram shingles that occur in at least one other
+    * document — the per-doc signal behind substring-level dedup decisions
+    * (a doc that is 90% shared n-grams is boilerplate or a near-copy even
+    * when no single whole-doc pair crosses a Jaccard threshold).
+    *
+    * Scale shape: one shuffle of 16-byte (doc, shingle-hash) rows keyed on
+    * the hash computes each shingle's document frequency as a whole-
+    * partition window aggregate (no join back, no posting-list
+    * materialization), then one 8-byte groupBy on the doc id folds the
+    * flags. The corpus text never shuffles.
+    */
+  def ngramDupRate(df: DataFrame, idCol: String, textCol: String,
+                   shingleN: Int = 3): DataFrame = {
+    // distinct shingle-hash set via the native one-pass minhash_plan
+    // expression when registered (k=1: the signature side is unused),
+    // HOF fallback otherwise — bitwise-identical either way
+    val sh = df
+      .select(col(idCol),
+        explode(minhashPlanBest(df, col(textCol), shingleN, 1)
+          .getField("sh")).as("__h"))
+    // per-doc sets are distinct, so count(*) per hash == document frequency
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("__h"))
+    sh.withColumn("__df", count(lit(1)).over(w))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_distinct"),
+        sum(when(col("__df") >= 2, 1L).otherwise(0L)).as("n_shared"))
+      .withColumn("dup_rate",
+        col("n_shared").cast("double") / col("n_distinct").cast("double"))
+  }
+
+  /** Curation-funnel audit: per-group survivor counts through the standard
+    * quality-filter cascade (length floor → within-doc repetition ceiling →
+    * alphabetic-ratio floor), each stage cumulative on the previous. This
+    * is the observability table a corpus-curation run publishes so a
+    * threshold change's cost is visible BEFORE committing a 100 TB pass.
+    *
+    * Scale shape: every flag is a per-row codegen'd projection over one
+    * read of the text; only (group key, three bounded counters) shuffle,
+    * with map-side partials. No second pass, no join.
+    */
+  def filterFunnel(df: DataFrame, groupCol: String, textCol: String,
+                   minChars: Int, maxRepetition: Double, minAlphaRatio: Double,
+                   shingleN: Int = 3): DataFrame = {
+    val scored = df
+      .select(col(groupCol), col(textCol).as("__x"),
+        tokens(col(textCol)).as("__t"))
+      .select(col(groupCol),
+        length(col("__x")).as("__len"),
+        (regexp_count(col("__x"), lit("[a-z]")).cast("double") /
+          length(col("__x")).cast("double")).as("__alpha"),
+        shingleHashSeq(col("__t"), shingleN).as("__s"))
+      .select(col(groupCol), col("__len"), col("__alpha"),
+        (lit(1.0) - size(array_distinct(col("__s"))).cast("double") /
+          size(col("__s")).cast("double")).as("__rep"))
+    val lenOk = col("__len") >= minChars
+    val repOk = lenOk && col("__rep") <= maxRepetition
+    val alphaOk = repOk && col("__alpha") >= minAlphaRatio
+    scored.groupBy(groupCol)
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(lenOk, 1L).otherwise(0L)).as("n_len_ok"),
+        sum(when(repOk, 1L).otherwise(0L)).as("n_rep_ok"),
+        sum(when(alphaOk, 1L).otherwise(0L)).as("n_pass"))
+  }
+
+  /** Equal-share mixture plan: per-source doc/token counts, the source's
+    * share of the corpus, and the deterministic sampling rate that
+    * downsamples every source to the smallest source's token count — the
+    * "don't let one crawl dominate the mixture" plan table a training-data
+    * assembly job computes before emitting sampled shards (the rates feed
+    * [[graft.ops.Relational.hashSample]]-style hash-mod filters).
+    *
+    * Scale shape: one groupBy on the source key with map-side partial sums
+    * (rows are (key, long) pairs), then a broadcast of the 2-value global
+    * aggregate. Nothing else moves.
+    */
+  def mixturePlan(df: DataFrame, groupCol: String, weightCol: String): DataFrame = {
+    val byGroup = df.groupBy(groupCol)
+      .agg(count(lit(1)).as("n_docs"), sum(col(weightCol)).as("n_tokens"))
+    val globals = byGroup.agg(min(col("n_tokens")).as("__min"),
+      sum(col("n_tokens")).as("__total"))
+    byGroup.crossJoin(broadcast(globals))
+      .select(col(groupCol), col("n_docs"), col("n_tokens"),
+        (col("n_tokens").cast("double") / col("__total").cast("double")).as("share"),
+        (col("__min").cast("double") / col("n_tokens").cast("double")).as("sample_rate"))
+  }
+
+  /** Sequence-length histogram: per-group counts of docs whose token count
+    * falls in fixed power-of-two buckets — the distribution table that
+    * sizes [[packSequences]] budgets and flags truncation loss before a
+    * packing run. Fixed CASE boundaries (not log()) so an external SQL
+    * oracle replays the bucketing exactly; one groupBy of (key, bucket)
+    * with map-side partials.
+    */
+  def tokenLengthHistogram(df: DataFrame, groupCol: String,
+                           tokenCol: String): DataFrame = {
+    val n = col(tokenCol)
+    val bucket = when(n < 16, "0000-0015").when(n < 32, "0016-0031")
+      .when(n < 64, "0032-0063").when(n < 128, "0064-0127")
+      .when(n < 256, "0128-0255").otherwise("0256+")
+    df.select(col(groupCol), bucket.as("len_bucket"))
+      .groupBy(groupCol, "len_bucket")
+      .agg(count(lit(1)).as("n_docs"))
+  }
 }

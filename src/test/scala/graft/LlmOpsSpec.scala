@@ -361,4 +361,75 @@ class LlmOpsSpec extends SparkTestBase {
     assert(out(("s2", "s3")) == 0.0)
     spark.catalog.clearCache()
   }
+
+  test("ngram dup rate: shared shingles counted once per doc, unique docs rate 0") {
+    val df = Seq(
+      (1L, "a b c d"),   // 3-shingles: {abc, bcd}
+      (2L, "a b c d"),   // identical → both shingles shared
+      (3L, "a b c e"),   // shares {abc} with 1/2, owns {bce}
+      (4L, "p q r s")).toDF("doc_id", "text") // fully unique
+    val out = LlmOps.ngramDupRate(df, "doc_id", "text", shingleN = 3)
+      .select("doc_id", "n_distinct", "n_shared", "dup_rate")
+      .as[(Long, Long, Long, Double)].collect()
+      .map { case (id, n, s, r) => id -> ((n, s, r)) }.toMap
+    assert(out(1L) == ((2L, 2L, 1.0)))
+    assert(out(2L) == ((2L, 2L, 1.0)))
+    assert(out(3L) == ((2L, 1L, 0.5)))
+    assert(out(4L) == ((2L, 0L, 0.0)))
+  }
+
+  test("filter funnel: stages are cumulative and counts are exact") {
+    val letters = ('a' to 'z').map(_.toString)
+    val long = (for (a <- letters; b <- letters) yield a + b)
+      .take(60).mkString(" ")              // 60 distinct 2-letter tokens, len 179
+    val repetitive = Seq.fill(40)("spam").mkString(" ") // len 199, repetition ~1
+    val digity = long + " " + Seq.fill(12)("9876543210").mkString(" ")
+    val df = Seq(
+      ("s1", long),                        // passes everything
+      ("s1", repetitive),                  // len ok, repetition kills it
+      ("s1", "short"),                     // length floor kills it
+      ("s2", digity)                       // digits push alpha ratio below 0.5
+    ).toDF("source", "text")
+    val out = LlmOps.filterFunnel(df, "source", "text",
+        minChars = 150, maxRepetition = 0.2, minAlphaRatio = 0.5)
+      .select("source", "n_total", "n_len_ok", "n_rep_ok", "n_pass")
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map { case (s, a, b, c, d) => s -> ((a, b, c, d)) }.toMap
+    assert(out("s1") == ((3L, 2L, 1L, 1L)))
+    assert(out("s2") == ((1L, 1L, 1L, 0L)))
+    // cumulative invariant: each stage <= the previous
+    out.values.foreach { case (t, l, r, p) =>
+      assert(t >= l && l >= r && r >= p)
+    }
+  }
+
+  test("mixture plan: rates equalize token contributions to the smallest source") {
+    val df = Seq(
+      ("s1", 100L), ("s1", 100L),  // 200 tokens
+      ("s2", 50L),                 // 50 tokens (smallest)
+      ("s3", 100L)).toDF("source", "n")
+    val out = LlmOps.mixturePlan(df, "source", "n")
+      .select("source", "n_docs", "n_tokens", "share", "sample_rate")
+      .as[(String, Long, Long, Double, Double)].collect()
+      .map { case (s, d, t, sh, r) => s -> ((d, t, sh, r)) }.toMap
+    assert(out("s1") == ((2L, 200L, 200.0 / 350.0, 0.25)))
+    assert(out("s2") == ((1L, 50L, 50.0 / 350.0, 1.0)))   // limiting source
+    assert(out("s3") == ((1L, 100L, 100.0 / 350.0, 0.5)))
+    // every source contributes rate * tokens == min tokens
+    out.values.foreach { case (_, t, _, r) => assert(r * t == 50.0) }
+  }
+
+  test("token length histogram: fixed power-of-two buckets, exact counts") {
+    val df = Seq(
+      ("en", 10L), ("en", 15L),    // 0000-0015
+      ("en", 16L),                 // 0016-0031
+      ("de", 100L),                // 0064-0127
+      ("de", 300L)).toDF("lang", "n")
+    val out = LlmOps.tokenLengthHistogram(df, "lang", "n")
+      .select("lang", "len_bucket", "n_docs")
+      .as[(String, String, Long)].collect().toSet
+    assert(out == Set(
+      ("en", "0000-0015", 2L), ("en", "0016-0031", 1L),
+      ("de", "0064-0127", 1L), ("de", "0256+", 1L)))
+  }
 }
