@@ -387,6 +387,15 @@ object SparkEntry {
           "vec_id", "embedding", blockCol = "label", threshold = 0.25)
         .orderBy("id_a", "id_b")),
 
+    "dedup_semantic" -> ((s, dir) =>
+      // SemDeDup-shape semantic dedup: content-derived clusters (portable
+      // sign-LSH, 16 buckets), within-cluster cosine prune, min-id
+      // survivor — the keep/drop table a curation run joins against.
+      // Fully hard-oracled: planes, buckets, cosines and flags all replay.
+      VectorOps.semanticDedup(t(s, dir, "embeddings"), "vec_id", "embedding",
+          nPlanes = 4, dim = 64, threshold = 0.25)
+        .orderBy("vec_id")),
+
     "dedup_jaccard" -> ((s, dir) =>
       // lang blocks (~N/5 docs each) rather than source blocks (~5 docs):
       // the PPJoin prefix/length filters only earn their keep — and only
@@ -1105,6 +1114,34 @@ object SparkEntry {
          SELECT id_a, id_b, dot / (sqrt(na) * sqrt(nb)) AS score
          FROM s WHERE dot / (sqrt(na) * sqrt(nb)) >= 0.25
          ORDER BY id_a, id_b""",
+
+    "dedup_semantic" ->
+      """WITH planes AS (
+           SELECT t.j, list_transform(range(0, 64), i ->
+             CAST(('0x' || substr(md5('plane:' || t.j || ':' || i), 1, 12))::BIGINT AS DOUBLE)
+               / 140737488355328.0 - 1.0) AS p
+           FROM range(0, 4) t(j)),
+         b AS (
+           SELECT e.vec_id, e.embedding,
+             (SELECT CAST(SUM(CASE WHEN list_reduce(
+                 list_transform(range(1, len(e.embedding) + 1),
+                   i -> CAST(e.embedding[i] AS DOUBLE) * p.p[i]),
+                 (x, y) -> x + y) >= 0
+               THEN (1::BIGINT << p.j) ELSE 0 END) AS BIGINT) FROM planes p) AS cluster
+           FROM embeddings e),
+         pairs AS (
+           SELECT y.vec_id AS id_b,
+             list_reduce(list_transform(range(1, len(x.embedding) + 1),
+               i -> CAST(x.embedding[i] AS DOUBLE) * CAST(y.embedding[i] AS DOUBLE)), (u, v) -> u + v)
+             / (sqrt(list_reduce(list_transform(range(1, len(x.embedding) + 1),
+                 i -> CAST(x.embedding[i] AS DOUBLE) * CAST(x.embedding[i] AS DOUBLE)), (u, v) -> u + v))
+               * sqrt(list_reduce(list_transform(range(1, len(y.embedding) + 1),
+                 i -> CAST(y.embedding[i] AS DOUBLE) * CAST(y.embedding[i] AS DOUBLE)), (u, v) -> u + v))) AS score
+           FROM b x JOIN b y ON x.cluster = y.cluster AND x.vec_id < y.vec_id),
+         dropped AS (SELECT DISTINCT id_b FROM pairs WHERE score >= 0.25)
+         SELECT b.vec_id, b.cluster, (d.id_b IS NULL) AS keep
+         FROM b LEFT JOIN dropped d ON b.vec_id = d.id_b
+         ORDER BY b.vec_id""",
 
     "dedup_jaccard" ->
       """WITH d AS (

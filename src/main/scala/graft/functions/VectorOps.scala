@@ -156,6 +156,36 @@ object VectorOps {
     Seq.tabulate(nPlanes)(j => Array.tabulate(dim)(i =>
       md5Long48(s"plane:$j:$i").toDouble / 140737488355328.0 - 1.0)) // / 2^47
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023 shape):
+    * cluster embeddings by content (portable sign-LSH buckets — the
+    * cheap, deterministic stand-in for the paper's k-means step), compute
+    * cosine similarity only WITHIN a cluster, and drop every vector that
+    * has a lower-id cluster-mate above the threshold. Emits the full
+    * keep/drop decision table (one row per input vector) — the artifact a
+    * curation run joins against to filter the corpus.
+    *
+    * Deterministic end-to-end: md5-derived hyperplanes, exact IEEE
+    * arithmetic, min-id survivor rule — an external SQL engine replays
+    * every keep flag bitwise. Scale shape: the within-cluster self-join
+    * is quadratic only in cluster size, which nPlanes controls
+    * (E[size] = N / 2^nPlanes); embeddings shuffle once keyed on the
+    * bucket, and the drop set is a distinct id list joined back
+    * broadcast-style. Same blocked-pairs core as [[embeddingNearDupPairs]].
+    */
+  def semanticDedup(df: DataFrame, idCol: String, embCol: String,
+                    nPlanes: Int, dim: Int, threshold: Double): DataFrame = {
+    val planes = hyperplanesPortable(nPlanes, dim)
+    val withB = df.select(col(idCol), col(embCol),
+      lshBucket(col(embCol), planes).as("cluster"))
+    val dropped = embeddingNearDupPairs(withB, idCol, embCol, "cluster", threshold)
+      .select(col("id_b").as(idCol)).distinct()
+      .withColumn("__drop", lit(true))
+    withB
+      .join(dropped, Seq(idCol), "left")
+      .select(col(idCol), col("cluster"),
+        not(coalesce(col("__drop"), lit(false))).as("keep"))
+  }
+
   /** Deterministic bounded sample: the bottom-`cap` rows by
     * xxhash64(keyCol) — a bottom-k sketch. Plans as TakeOrderedAndProject:
     * every partition keeps at most `cap` rows in a bounded heap map-side

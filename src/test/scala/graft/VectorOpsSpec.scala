@@ -125,4 +125,18 @@ class VectorOpsSpec extends SparkTestBase {
     assert(out(1) == ((1L, 0.0, 10.0, 255L)))  // probe at max → code 255
     assert(out(2) == ((2L, 5.0, 5.0, 0L)))     // degenerate dim → 0, no div-by-zero
   }
+
+  test("semantic dedup: identical cluster-mates drop to min id, dissimilar keep") {
+    val df = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Array(1.0f, 0.0f, 0.0f, 0.0f)),  // identical to 1 → same bucket, cos 1
+      (3L, Array(0.0f, 1.0f, 0.0f, 0.0f))   // orthogonal → cos 0 to both
+    ).toDF("vec_id", "embedding")
+    val out = VectorOps.semanticDedup(df, "vec_id", "embedding",
+        nPlanes = 3, dim = 4, threshold = 0.9)
+      .select("vec_id", "keep").as[(Long, Boolean)].collect().toMap
+    assert(out == Map(1L -> true, 2L -> false, 3L -> true))
+    // decision table covers every input row exactly once
+    assert(VectorOps.semanticDedup(df, "vec_id", "embedding", 3, 4, 0.9).count() == 3)
+  }
 }
