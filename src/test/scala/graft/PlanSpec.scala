@@ -174,4 +174,36 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("Join"),
       s"sketches ride the bucket lists; there should be zero joins:\n$p")
   }
+
+  test("ngram_dup_rate: native shingles, one window pass, no posting join") {
+    val p = planOf("ngram_dup_rate")
+    assert(p.contains("minhash_plan"),
+      s"native shingle expression not engaged:\n$p")
+    val finalPlan = p.split("== Initial Plan ==").head
+    assert(!finalPlan.contains("Join"),
+      s"document frequency should come from a window, not a join-back:\n$finalPlan")
+    // scan reads only (doc_id, text)
+    val read = p.split("ReadSchema:")(1).split("\n")(0)
+    assert(!read.contains("source") && !read.contains("n_chars"), s"over-read: $read")
+  }
+
+  test("filter_funnel: one text pass — single aggregation, zero joins, pruned scan") {
+    val p = planOf("filter_funnel")
+    val finalPlan = p.split("== Initial Plan ==").head
+    assert(!finalPlan.contains("Join"), s"funnel must not join:\n$finalPlan")
+    // conditional aggregation: partial + final HashAggregate pair only
+    assert("HashAggregate".r.findAllIn(finalPlan).size == 2,
+      s"expected exactly partial+final aggregation:\n$finalPlan")
+    val read = p.split("ReadSchema:")(1).split("\n")(0)
+    assert(read.contains("source") && read.contains("text") &&
+      !read.contains("doc_id"), s"over-read: $read")
+  }
+
+  test("dedup_semantic: bucket-keyed pair join only — no cross join, no broadcast of the table") {
+    val p = planOf("dedup_semantic")
+    val finalPlan = p.split("== Initial Plan ==").head
+    assert(!finalPlan.contains("CartesianProduct") &&
+      !finalPlan.contains("BroadcastNestedLoopJoin"),
+      s"within-cluster pairs must come from an equi-join on the bucket:\n$finalPlan")
+  }
 }
