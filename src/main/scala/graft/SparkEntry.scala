@@ -709,6 +709,13 @@ object SparkEntry {
       LlmOps.ngramDupRate(t(s, dir, "documents"), "doc_id", "text", shingleN = 3)
         .orderBy("doc_id")),
 
+    "dup_span_stats" -> ((s, dir) =>
+      // positional complement of ngram_dup_rate: per-doc count of
+      // corpus-duplicated n-gram OCCURRENCES and the longest consecutive
+      // duplicated run — the span a substring-level dedup would cut
+      LlmOps.dupSpanStats(t(s, dir, "documents"), "doc_id", "text", shingleN = 3)
+        .orderBy("doc_id")),
+
     "filter_funnel" -> ((s, dir) =>
       // curation-funnel audit: per-source survivors of length floor →
       // repetition ceiling → alpha-ratio floor, cumulative, in ONE pass
@@ -1782,6 +1789,34 @@ object SparkEntry {
            CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
            CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS dup_rate
          FROM d GROUP BY doc_id ORDER BY doc_id""",
+
+    "dup_span_stats" ->
+      """WITH t AS (
+           SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+           FROM documents),
+         s AS (
+           SELECT doc_id, list_transform(
+             range(1, greatest(len(toks) - 3, 0) + 2),
+             i -> ('0x' || substr(md5(array_to_string(list_slice(toks, i, i + 2), ' ')), 1, 12))::BIGINT) AS sh
+           FROM t),
+         e AS (
+           SELECT doc_id, unnest(range(len(sh))) AS pos, unnest(sh) AS h
+           FROM s),
+         d AS (
+           SELECT doc_id, pos, COUNT(*) OVER (PARTITION BY h) AS cnt FROM e),
+         f AS (
+           SELECT doc_id, pos,
+             pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+           FROM d WHERE cnt >= 2),
+         r AS (SELECT doc_id, grp, COUNT(*) AS runlen FROM f GROUP BY doc_id, grp),
+         a AS (
+           SELECT doc_id, CAST(SUM(runlen) AS BIGINT) AS n_dup_shingles,
+             CAST(MAX(runlen) AS BIGINT) AS longest_dup_run
+           FROM r GROUP BY doc_id)
+         SELECT doc.doc_id,
+           COALESCE(a.n_dup_shingles, 0) AS n_dup_shingles,
+           COALESCE(a.longest_dup_run, 0) AS longest_dup_run
+         FROM documents doc LEFT JOIN a USING (doc_id) ORDER BY doc.doc_id""",
 
     "filter_funnel" ->
       """WITH t AS (

@@ -962,6 +962,46 @@ object LlmOps {
         col("n_shared").cast("double") / col("n_distinct").cast("double"))
   }
 
+  /** Positional duplicated-span statistics (the substring-dedup signal of
+    * Lee et al. 2021 at n-gram granularity): for each document, how many
+    * of its n-gram occurrences are duplicated ANYWHERE in the corpus
+    * (including within the same document), and the longest consecutive
+    * run of duplicated n-grams — the span a substring-level dedup pass
+    * would actually cut. Complements [[ngramDupRate]] (which is set-based
+    * and position-blind): a doc with one long cloned paragraph and a doc
+    * with scattered common trigrams can have the same dup_rate but very
+    * different longest runs.
+    *
+    * Scale shape: one shuffle of (doc, pos, hash) rows keyed on the hash
+    * for the occurrence census (window aggregate, no posting join), one
+    * (doc)-keyed window for run grouping via the pos − row_number trick,
+    * then a keyed left join back to the id list. All counters exact ints.
+    */
+  def dupSpanStats(df: DataFrame, idCol: String, textCol: String,
+                   shingleN: Int = 3): DataFrame = {
+    val sh = df
+      .select(col(idCol), tokens(col(textCol)).as("__t"))
+      .select(col(idCol),
+        posexplode(shingleHashSeq(col("__t"), shingleN)).as(Seq("__pos", "__h")))
+    val wh = org.apache.spark.sql.expressions.Window.partitionBy(col("__h"))
+    val wd = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("__pos"))
+    val runs = sh
+      .withColumn("__cnt", count(lit(1)).over(wh))
+      .filter(col("__cnt") >= 2)
+      .withColumn("__grp", col("__pos") - row_number().over(wd))
+      .groupBy(col(idCol), col("__grp"))
+      .agg(count(lit(1)).as("__runlen"))
+      .groupBy(idCol)
+      .agg(sum(col("__runlen")).as("n_dup_shingles"),
+        max(col("__runlen")).as("longest_dup_run"))
+    df.select(col(idCol))
+      .join(runs, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_dup_shingles"), lit(0L)).as("n_dup_shingles"),
+        coalesce(col("longest_dup_run"), lit(0L)).as("longest_dup_run"))
+  }
+
   /** Curation-funnel audit: per-group survivor counts through the standard
     * quality-filter cascade (length floor → within-doc repetition ceiling →
     * alphabetic-ratio floor), each stage cumulative on the previous. This

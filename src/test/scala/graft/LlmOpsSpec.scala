@@ -378,6 +378,25 @@ class LlmOpsSpec extends SparkTestBase {
     assert(out(4L) == ((2L, 0L, 0.0)))
   }
 
+  test("dup span stats: occurrence-level dups, runs, self-repetition, clean docs") {
+    val df = Seq(
+      (1L, "a b c d e"),               // shingles [abc, bcd, cde]
+      (2L, "a b c d e"),               // identical → run of 3
+      (3L, "x y z a b c w"),           // only abc duplicated → run of 1
+      (4L, "p q r s"),                 // fully unique → zeros
+      (5L, "m n o m n o m n o")        // self-repetition: all 7 shingles dup
+    ).toDF("doc_id", "text")
+    val out = LlmOps.dupSpanStats(df, "doc_id", "text", shingleN = 3)
+      .select("doc_id", "n_dup_shingles", "longest_dup_run")
+      .as[(Long, Long, Long)].collect()
+      .map { case (id, n, r) => id -> ((n, r)) }.toMap
+    assert(out(1L) == ((3L, 3L)))
+    assert(out(2L) == ((3L, 3L)))
+    assert(out(3L) == ((1L, 1L)))
+    assert(out(4L) == ((0L, 0L)))
+    assert(out(5L) == ((7L, 7L)))
+  }
+
   test("filter funnel: stages are cumulative and counts are exact") {
     val letters = ('a' to 'z').map(_.toString)
     val long = (for (a <- letters; b <- letters) yield a + b)
