@@ -734,6 +734,12 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    "fertility_by_lang" -> ((s, dir) =>
+      // per-language tokenizer-fertility (subword proxy per whitespace
+      // token): the cost multiplier token-weighted mixture plans need
+      LlmOps.fertilityByGroup(t(s, dir, "documents"), "lang", "text")
+        .orderBy("lang")),
+
     "token_len_histogram" -> ((s, dir) => {
       // sequence-length distribution for packing-budget sizing: per-lang
       // doc counts in fixed power-of-two token buckets
@@ -1859,6 +1865,19 @@ object SparkEntry {
            CAST(n_tokens AS DOUBLE) / tot AS share,
            CAST(mn AS DOUBLE) / n_tokens AS sample_rate
          FROM b, g ORDER BY source""",
+
+    "fertility_by_lang" ->
+      """WITH t AS (
+           SELECT lang,
+             CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS ws,
+             CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS bpe
+           FROM documents)
+         SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(ws) AS BIGINT) AS n_ws_tokens,
+           CAST(SUM(bpe) AS BIGINT) AS n_bpe_tokens,
+           CAST(SUM(bpe) AS DOUBLE) / CAST(SUM(ws) AS DOUBLE) AS fertility
+         FROM t GROUP BY lang ORDER BY lang""",
 
     "token_len_histogram" ->
       """WITH t AS (

@@ -1058,6 +1058,27 @@ object LlmOps {
         (col("__min").cast("double") / col("n_tokens").cast("double")).as("sample_rate"))
   }
 
+  /** Tokenizer fertility by group (language, source, …): subword-proxy
+    * tokens per whitespace token, aggregated over the group's corpus.
+    * Fertility is the standard per-language cost multiplier for token
+    * budgeting — a language whose text explodes into 2× the subwords per
+    * word consumes 2× the training budget per document, and mixture plans
+    * (see [[mixturePlan]]) should weigh tokens, not documents, using it.
+    *
+    * Exact integer sums (map-side partials) with one final division; only
+    * (group key, two counters) shuffle.
+    */
+  def fertilityByGroup(df: DataFrame, groupCol: String, textCol: String): DataFrame =
+    df.select(col(groupCol),
+        regexp_count(col(textCol), lit("\\S+")).cast("long").as("__ws"),
+        regexp_count(col(textCol), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]")).cast("long").as("__bpe"))
+      .groupBy(groupCol)
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__ws")).as("n_ws_tokens"),
+        sum(col("__bpe")).as("n_bpe_tokens"))
+      .withColumn("fertility",
+        col("n_bpe_tokens").cast("double") / col("n_ws_tokens").cast("double"))
+
   /** Sequence-length histogram: per-group counts of docs whose token count
     * falls in fixed power-of-two buckets — the distribution table that
     * sizes [[packSequences]] budgets and flags truncation loss before a

@@ -438,6 +438,20 @@ class LlmOpsSpec extends SparkTestBase {
     out.values.foreach { case (_, t, _, r) => assert(r * t == 50.0) }
   }
 
+  test("fertility by group: exact token sums, ratio = bpe/ws") {
+    val df = Seq(
+      ("en", "hello world"),       // ws 2, bpe 2
+      ("en", "don't stop"),        // ws 2, bpe: don + ' + t + stop = 4
+      ("de", "a1b2")               // ws 1, bpe: a,1,b,2 = 4
+    ).toDF("lang", "text")
+    val out = LlmOps.fertilityByGroup(df, "lang", "text")
+      .select("lang", "n_docs", "n_ws_tokens", "n_bpe_tokens", "fertility")
+      .as[(String, Long, Long, Long, Double)].collect()
+      .map { case (l, d, w, b, f) => l -> ((d, w, b, f)) }.toMap
+    assert(out("en") == ((2L, 4L, 6L, 1.5)))
+    assert(out("de") == ((1L, 1L, 4L, 4.0)))
+  }
+
   test("token length histogram: fixed power-of-two buckets, exact counts") {
     val df = Seq(
       ("en", 10L), ("en", 15L),    // 0000-0015
