@@ -438,6 +438,53 @@ class LlmOpsSpec extends SparkTestBase {
     out.values.foreach { case (_, t, _, r) => assert(r * t == 50.0) }
   }
 
+  test("dup span stats + ngram dup rate match a brute-force driver oracle on random docs") {
+    // small vocab → dense shingle collisions, lengths 0..12 → sub-n and
+    // empty-text edges; seeded so failures reproduce
+    val rng = new scala.util.Random(7)
+    val vocab = Vector("a", "b", "c", "d", "e", "f", "g", "h")
+    val docs = (1L to 30L).map { id =>
+      val len = rng.nextInt(13)
+      (id, Seq.fill(len)(vocab(rng.nextInt(vocab.size))).mkString(" "))
+    }
+    val df = docs.toDF("doc_id", "text")
+    def shinglesOf(text: String): Vector[String] = {
+      val toks = text.toLowerCase.trim.split("\\s+").toVector
+      (0 to math.max(toks.size - 3, 0)).map(i => toks.slice(i, i + 3).mkString(" ")).toVector
+    }
+    val all = docs.map { case (id, t) => id -> shinglesOf(t) }.toMap
+    val occ = all.values.flatten.groupBy(identity).map { case (k, v) => k -> v.size }
+    val docFreq = all.values.map(_.toSet).toSeq.flatten
+      .groupBy(identity).map { case (k, v) => k -> v.size }
+
+    val gotSpan = LlmOps.dupSpanStats(df, "doc_id", "text", shingleN = 3)
+      .select("doc_id", "n_dup_shingles", "longest_dup_run")
+      .as[(Long, Long, Long)].collect()
+      .map { case (id, n, r) => id -> ((n, r)) }.toMap
+    all.foreach { case (id, sh) =>
+      val dupPos = sh.zipWithIndex.collect { case (s, i) if occ(s) >= 2 => i }
+      val runLens = dupPos.foldLeft(Vector.empty[(Int, Int)]) { (acc, p) =>
+        acc.lastOption match {
+          case Some((start, end)) if end == p - 1 => acc.init :+ ((start, p))
+          case _ => acc :+ ((p, p))
+        }
+      }.map { case (s, e) => (e - s + 1).toLong }
+      assert(gotSpan(id) == ((dupPos.size.toLong, runLens.maxOption.getOrElse(0L))),
+        s"doc $id: got ${gotSpan(id)}, shingles $sh")
+    }
+
+    val gotRate = LlmOps.ngramDupRate(df, "doc_id", "text", shingleN = 3)
+      .select("doc_id", "n_distinct", "n_shared")
+      .as[(Long, Long, Long)].collect()
+      .map { case (id, n, s) => id -> ((n, s)) }.toMap
+    all.foreach { case (id, sh) =>
+      val set = sh.toSet
+      val shared = set.count(s => docFreq(s) >= 2)
+      assert(gotRate(id) == ((set.size.toLong, shared.toLong)),
+        s"doc $id: got ${gotRate(id)}, set $set")
+    }
+  }
+
   test("fertility by group: exact token sums, ratio = bpe/ws") {
     val df = Seq(
       ("en", "hello world"),       // ws 2, bpe 2
