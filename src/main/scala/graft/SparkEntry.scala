@@ -637,6 +637,18 @@ object SparkEntry {
         .select("doc_id", "source", "lang")
         .orderBy("doc_id")),
 
+    "zorder_layout" -> ((s, dir) => {
+      // storage-layout audit (Delta/Iceberg OPTIMIZE ZORDER analog):
+      // events quantized on (user_id, day), Morton-interleaved, bucketed
+      // by the z-prefix — per-bucket dimension bounds exhibit the
+      // bounded-rectangle property that makes scans on EITHER column
+      // prune most buckets
+      val e = t(s, dir, "events").select(col("user_id"),
+        datediff(to_date(col("ts")), to_date(lit("2024-01-01"))).cast("long").as("day"))
+      Relational.zorderLayout(e, "user_id", "day", dimBits = 8, prefixBits = 3)
+        .orderBy("zbucket")
+    }),
+
     "scd2_history" -> ((s, dir) =>
       // CDC compaction: event stream → SCD2 attribute-run history with
       // validity bounds; one shuffle, windows share the (key, ts) sort
@@ -1865,6 +1877,30 @@ object SparkEntry {
            CAST(n_tokens AS DOUBLE) / tot AS share,
            CAST(mn AS DOUBLE) / n_tokens AS sample_rate
          FROM b, g ORDER BY source""",
+
+    "zorder_layout" ->
+      """WITH e AS (
+           SELECT user_id,
+             datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day
+           FROM events),
+         m AS (
+           SELECT MIN(user_id) AS amin, MAX(user_id) AS amax,
+                  MIN(day) AS bmin, MAX(day) AS bmax FROM e),
+         q AS (
+           SELECT
+             CAST(floor(CAST(user_id - amin AS DOUBLE) * 256 / (amax - amin + 1)) AS BIGINT) AS aq,
+             CAST(floor(CAST(day - bmin AS DOUBLE) * 256 / (bmax - bmin + 1)) AS BIGINT) AS bq
+           FROM e, m),
+         z AS (
+           SELECT aq, bq,
+             (list_reduce(list_transform(range(0, 8), i ->
+               (((aq >> i) & 1) << (2 * i)) | (((bq >> i) & 1) << (2 * i + 1))),
+               (x, y) -> x | y) >> 10) AS zbucket
+           FROM q)
+         SELECT zbucket, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           MIN(aq) AS aq_min, MAX(aq) AS aq_max,
+           MIN(bq) AS bq_min, MAX(bq) AS bq_max
+         FROM z GROUP BY zbucket ORDER BY zbucket""",
 
     "fertility_by_lang" ->
       """WITH t AS (

@@ -253,4 +253,54 @@ object Relational {
       .agg(sum(col(valueCol).cast("decimal(18,2)")).as("__partial"))
       .groupBy(col(key))
       .agg(sum(col("__partial")).cast("double").as("total"))
+
+  /** Z-order (Morton) interleave of two non-negative dimension values:
+    * bit i of `a` lands at position 2i, bit i of `b` at 2i+1. Rows sorted
+    * or bucketed by this key are clustered in BOTH dimensions at once —
+    * the layout trick behind Delta/Iceberg `OPTIMIZE ZORDER BY`: a scan
+    * filtering on either column prunes most z-range file chunks, where a
+    * single-column sort only helps that one column. Static expression
+    * tree (2·bits bitwise terms), codegen-friendly, exact integers.
+    */
+  def zorderValue(a: Column, b: Column, bitsPerDim: Int): Column =
+    (0 until bitsPerDim).foldLeft(lit(0L)) { (acc, i) =>
+      acc
+        .bitwiseOR(shiftleft(shiftright(a.cast("long"), i).bitwiseAND(lit(1L)), 2 * i))
+        .bitwiseOR(shiftleft(shiftright(b.cast("long"), i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }
+
+  /** Layout audit for z-order clustering: quantize two dimensions to
+    * `dimBits` bits against their corpus min/max, interleave, and bucket
+    * rows by the top `prefixBits` of each dimension (the z-value's high
+    * bits). Emits per-bucket row counts and per-dimension min/max — which
+    * exhibit the bounded-rectangle property (each bucket spans at most
+    * 2^(dimBits−prefixBits) quantized values in EACH dimension), i.e. the
+    * file-skipping guarantee a z-ordered write gives both predicates.
+    *
+    * Scale shape: one broadcast 4-value global min/max, one groupBy on the
+    * bucket id with map-side partials. The quantization divisions are
+    * exact IEEE (numerators bounded far below 2^53), so an external SQL
+    * engine replays every bucket id and bound bitwise.
+    */
+  def zorderLayout(df: DataFrame, aCol: String, bCol: String,
+                   dimBits: Int = 8, prefixBits: Int = 3): DataFrame = {
+    require(dimBits > 0 && dimBits <= 16 && prefixBits > 0 && prefixBits <= dimBits)
+    val scale = 1 << dimBits
+    val mm = df.agg(
+      min(col(aCol)).cast("long").as("__amin"), max(col(aCol)).cast("long").as("__amax"),
+      min(col(bCol)).cast("long").as("__bmin"), max(col(bCol)).cast("long").as("__bmax"))
+    val q = df.crossJoin(broadcast(mm))
+      .select(
+        floor((col(aCol).cast("long") - col("__amin")).cast("double") * scale /
+          (col("__amax") - col("__amin") + 1).cast("double")).cast("long").as("__aq"),
+        floor((col(bCol).cast("long") - col("__bmin")).cast("double") * scale /
+          (col("__bmax") - col("__bmin") + 1).cast("double")).cast("long").as("__bq"))
+    q.select(col("__aq"), col("__bq"),
+        shiftright(zorderValue(col("__aq"), col("__bq"), dimBits),
+          2 * (dimBits - prefixBits)).as("zbucket"))
+      .groupBy("zbucket")
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("__aq")).as("aq_min"), max(col("__aq")).as("aq_max"),
+        min(col("__bq")).as("bq_min"), max(col("__bq")).as("bq_max"))
+  }
 }

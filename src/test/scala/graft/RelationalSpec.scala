@@ -215,4 +215,30 @@ class RelationalSpec extends SparkTestBase {
     val plan = out.queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"sampling should not shuffle:\n$plan")
   }
+
+  test("zorder value: exact Morton interleave of both dimensions' bits") {
+    val df = Seq((5L, 3L), (0L, 0L), (7L, 0L), (0L, 7L)).toDF("a", "b")
+    val out = df.select(Relational.zorderValue($"a", $"b", 3).as("z"))
+      .as[Long].collect().toSeq
+    // interleave(101, 011) = 011011 = 27; a-bits at even, b-bits at odd pos
+    assert(out == Seq(27L, 0L, 21L, 42L))
+  }
+
+  test("zorder layout: buckets are bounded rectangles in BOTH dimensions") {
+    // full 16x16 grid, 4-bit quantization, 2-bit prefix: every bucket must
+    // span at most 2^(4-2) = 4 quantized values per dimension, and the 16
+    // buckets must tile the grid
+    val grid = for (a <- 0 until 16; b <- 0 until 16) yield (a.toLong, b.toLong)
+    val df = grid.toDF("a", "b")
+    val out = Relational.zorderLayout(df, "a", "b", dimBits = 4, prefixBits = 2)
+      .select("zbucket", "n_rows", "aq_min", "aq_max", "bq_min", "bq_max")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(out.length == 16)
+    assert(out.map(_._2).sum == 256)
+    out.foreach { case (zb, n, amin, amax, bmin, bmax) =>
+      assert(n == 16L, s"bucket $zb should hold a 4x4 tile")
+      assert(amax - amin <= 3 && bmax - bmin <= 3,
+        s"bucket $zb spans ($amin..$amax, $bmin..$bmax) — not a bounded rectangle")
+    }
+  }
 }
