@@ -422,6 +422,34 @@ class LlmOpsSpec extends SparkTestBase {
     }
   }
 
+  test("filter funnel: survivor counts are monotone in every threshold") {
+    // seeded random corpus; for each stage, a STRICTER threshold can only
+    // shrink (never grow) every group's cumulative survivor counts
+    val rng = new scala.util.Random(11)
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff")
+    val docs = (1 to 40).map { i =>
+      val len = 5 + rng.nextInt(60)
+      ("s" + (i % 3), Seq.fill(len)(vocab(rng.nextInt(vocab.size))).mkString(" "))
+    }
+    val df = docs.toDF("source", "text")
+    def funnel(minChars: Int, maxRep: Double, minAlpha: Double): Map[String, (Long, Long, Long)] =
+      LlmOps.filterFunnel(df, "source", "text", minChars, maxRep, minAlpha)
+        .select("source", "n_len_ok", "n_rep_ok", "n_pass")
+        .as[(String, Long, Long, Long)].collect()
+        .map { case (s, a, b, c) => s -> ((a, b, c)) }.toMap
+    val base = funnel(minChars = 60, maxRep = 0.5, minAlpha = 0.3)
+    val stricterLen = funnel(minChars = 120, maxRep = 0.5, minAlpha = 0.3)
+    val stricterRep = funnel(minChars = 60, maxRep = 0.1, minAlpha = 0.3)
+    val stricterAlpha = funnel(minChars = 60, maxRep = 0.5, minAlpha = 0.7)
+    base.keys.foreach { s =>
+      assert(stricterLen(s)._1 <= base(s)._1 && stricterLen(s)._2 <= base(s)._2 &&
+        stricterLen(s)._3 <= base(s)._3, s"len tightening grew counts for $s")
+      assert(stricterRep(s)._2 <= base(s)._2 && stricterRep(s)._3 <= base(s)._3,
+        s"repetition tightening grew counts for $s")
+      assert(stricterAlpha(s)._3 <= base(s)._3, s"alpha tightening grew counts for $s")
+    }
+  }
+
   test("mixture plan: rates equalize token contributions to the smallest source") {
     val df = Seq(
       ("s1", 100L), ("s1", 100L),  // 200 tokens
