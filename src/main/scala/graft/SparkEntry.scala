@@ -28,6 +28,58 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     ZoomJobs.flagship(spark, "/root/testdata/sf0.001")
 
+  /** The LLM-data flagship curation DAG a training run ships — length
+    * floor → repetition ceiling → exact dedup → near-dup cluster
+    * survivors → decontamination vs the benchmark slice — each stage one
+    * of the verified operators, composed. Shared by `curation_pipeline`
+    * (the survivor table) and `export_manifest` (the packed-shard plan
+    * over it).
+    *
+    * ONE shingle/signature pass (persisted) feeds repetition, near-dup
+    * candidate generation AND decontamination — the corpus text is
+    * md5-shingled exactly once. The repetition ratio derives from the
+    * window count (greatest(nTokens-n,0)+1) and the distinct-hash set
+    * size the MinHash plan already carries, so no second shingle pass.
+    */
+  private def curationSurvivors(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val corpus = docs.filter(col("source") =!= "src0")
+    val bench = docs.filter(col("source") === "src0")
+    val prepared = corpus.filter(length(col("text")) >= 100)
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("text"),
+        size(LlmOps.tokens(col("text"))).as("__ntok"),
+        LlmOps.minhashPlanBest(corpus, col("text"), 3, 16).as("__mh"))
+      .withColumn("__nsh", greatest(col("__ntok") - 3, lit(0)) + 1)
+      .withColumn("__rep",
+        lit(1.0) - size(col("__mh.sh")).cast("double") / col("__nsh").cast("double"))
+      .persist()
+    val lowRep = prepared.filter(col("__rep") < 0.2)
+    // Survivor persist carries only what downstream stages read (id,
+    // output columns, the minhash struct) — the text and token counts
+    // served their purpose in the repetition/exact-dedup stages, and at
+    // corpus scale dropping them halves this cache's footprint.
+    val afterExact = lowRep
+      .join(LlmOps.dedupExactIds(lowRep, "doc_id", "text"), "doc_id")
+      .select("doc_id", "lang", "n_chars", "__mh")
+      .persist()
+    val pairs = LlmOps.nearDupPairsFromSets(
+      afterExact.select(col("doc_id"),
+        col("__mh.sh").as("__sh"), col("__mh.sig").as("__sig")),
+      "doc_id", bands = 4, rowsPerBand = 4, threshold = 0.7, maxBucketSize = 10000)
+    val afterNear = afterExact.join(
+      graft.ops.Graph.dedupClusters(afterExact, pairs, "doc_id")
+        .filter(col("keep")).select("doc_id"),
+      "doc_id")
+    val benchSet = bench.select(
+        explode(LlmOps.minhashPlanBest(bench, col("text"), 3, 16).getField("sh")).as("__bsh"))
+      .distinct()
+    afterNear.join(
+      LlmOps.contaminationFromSets(
+          afterNear.select(col("doc_id"), col("__mh.sh").as("__sh")), "doc_id", benchSet)
+        .filter(col("containment") < 0.5).select("doc_id"),
+      "doc_id")
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -556,53 +608,26 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
-    "curation_pipeline" -> ((s, dir) => {
-      // The LLM-data flagship: the full corpus-curation DAG a training run
-      // ships — length floor → repetition ceiling → exact dedup → near-dup
-      // cluster survivors → decontamination vs the benchmark slice — each
-      // stage one of the verified operators, composed.
-      val docs = t(s, dir, "documents")
-      val corpus = docs.filter(col("source") =!= "src0")
-      val bench = docs.filter(col("source") === "src0")
-      // ONE shingle/signature pass (persisted) feeds repetition, near-dup
-      // candidate generation AND decontamination — the corpus text is
-      // md5-shingled exactly once. The repetition ratio derives from the
-      // window count (greatest(nTokens-n,0)+1) and the distinct-hash set
-      // size the MinHash plan already carries, so no second shingle pass.
-      val prepared = corpus.filter(length(col("text")) >= 100)
-        .select(col("doc_id"), col("lang"), col("n_chars"), col("text"),
-          size(LlmOps.tokens(col("text"))).as("__ntok"),
-          LlmOps.minhashPlanBest(corpus, col("text"), 3, 16).as("__mh"))
-        .withColumn("__nsh", greatest(col("__ntok") - 3, lit(0)) + 1)
-        .withColumn("__rep",
-          lit(1.0) - size(col("__mh.sh")).cast("double") / col("__nsh").cast("double"))
-        .persist()
-      val lowRep = prepared.filter(col("__rep") < 0.2)
-      // Survivor persist carries only what downstream stages read (id,
-      // output columns, the minhash struct) — the text and token counts
-      // served their purpose in the repetition/exact-dedup stages, and at
-      // corpus scale dropping them halves this cache's footprint.
-      val afterExact = lowRep
-        .join(LlmOps.dedupExactIds(lowRep, "doc_id", "text"), "doc_id")
-        .select("doc_id", "lang", "n_chars", "__mh")
-        .persist()
-      val pairs = LlmOps.nearDupPairsFromSets(
-        afterExact.select(col("doc_id"),
-          col("__mh.sh").as("__sh"), col("__mh.sig").as("__sig")),
-        "doc_id", bands = 4, rowsPerBand = 4, threshold = 0.7, maxBucketSize = 10000)
-      val afterNear = afterExact.join(
-        graft.ops.Graph.dedupClusters(afterExact, pairs, "doc_id")
-          .filter(col("keep")).select("doc_id"),
+    "curation_pipeline" -> ((s, dir) =>
+      curationSurvivors(s, dir).select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")),
+
+    "export_manifest" -> ((s, dir) => {
+      // The artifact the curation flow actually ships: survivors packed
+      // into per-language token-budget shards (packSequences), manifested
+      // as per-shard doc/token counts — what a training job reads to plan
+      // its input files. Token counts are recomputed only for the
+      // survivor subset (a keyed join + projection, not a second corpus
+      // pass).
+      val survivors = curationSurvivors(s, dir).select("doc_id", "lang")
+      val withTok = survivors.join(
+        t(s, dir, "documents").select(col("doc_id"),
+          size(LlmOps.tokens(col("text"))).cast("long").as("n_tokens")),
         "doc_id")
-      val benchSet = bench.select(
-          explode(LlmOps.minhashPlanBest(bench, col("text"), 3, 16).getField("sh")).as("__bsh"))
-        .distinct()
-      val clean = afterNear.join(
-        LlmOps.contaminationFromSets(
-            afterNear.select(col("doc_id"), col("__mh.sh").as("__sh")), "doc_id", benchSet)
-          .filter(col("containment") < 0.5).select("doc_id"),
-        "doc_id")
-      clean.select("doc_id", "lang", "n_chars").orderBy("doc_id")
+      LlmOps.packSequences(withTok, "doc_id", "n_tokens", "lang", budget = 1000)
+        .groupBy("lang", "pack_id")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+        .orderBy("lang", "pack_id")
     }),
 
     "pii_scrub" -> ((s, dir) => {
@@ -1584,6 +1609,112 @@ object SparkEntry {
          FROM s3 JOIN dset USING (doc_id) LEFT JOIN hits USING (doc_id)
          WHERE CAST(COALESCE(hits.nh, 0) AS DOUBLE) / len(dset.sh) < 0.5
          ORDER BY s3.doc_id""",
+
+    // same curation twin, manifested: survivors packed into per-language
+    // token-budget shards, per-shard doc/token counts
+    "export_manifest" ->
+      """WITH RECURSIVE
+         toks AS (
+           SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS tk
+           FROM documents),
+         shs AS (
+           SELECT doc_id, list_transform(
+             range(1, greatest(len(tk) - 3, 0) + 2),
+             i -> array_to_string(list_slice(tk, i, i + 2), ' ')) AS shseq
+           FROM toks),
+         rep AS (
+           SELECT doc_id,
+             1.0 - CAST(len(list_distinct(list_transform(shseq,
+               s -> ('0x' || substr(md5(s), 1, 12))::BIGINT))) AS DOUBLE)
+               / len(shseq) AS repetition
+           FROM shs),
+         s1 AS (
+           SELECT d.doc_id, d.lang, d.n_chars, d.text
+           FROM documents d JOIN rep USING (doc_id)
+           WHERE d.source <> 'src0' AND length(d.text) >= 100
+             AND rep.repetition < 0.2),
+         ex AS (
+           SELECT MIN(doc_id) AS doc_id FROM s1
+           GROUP BY md5(lower(trim(text)))),
+         s2 AS (SELECT s1.* FROM s1 JOIN ex USING (doc_id)),
+         d2 AS (
+           SELECT s2.doc_id, list_distinct(shs.shseq) AS sh
+           FROM s2 JOIN shs USING (doc_id)),
+         hp AS (
+           SELECT doc_id,
+             list_transform(sh, s -> ('0x' || substr(md5(s), 1, 12))::BIGINT) AS h1s,
+             list_transform(sh, s -> ('0x' || substr(md5(s), 13, 12))::BIGINT) AS h2s
+           FROM d2 WHERE len(sh) > 0),
+         sg AS (
+           SELECT doc_id,
+             list_distinct(h1s) AS shset,
+             list_transform(range(0, 16), j ->
+               list_min(list_transform(range(1, len(h1s) + 1), x -> h1s[x] + j * h2s[x]))) AS sig
+           FROM hp),
+         bands AS (
+           SELECT doc_id, t.b AS band,
+             md5(array_to_string(list_slice(sig, t.b * 4 + 1, t.b * 4 + 4), ',')) AS bh
+           FROM sg, range(0, 4) t(b)),
+         ok AS (
+           SELECT band, bh FROM bands GROUP BY band, bh
+           HAVING COUNT(*) BETWEEN 2 AND 10000),
+         cap AS (SELECT bands.* FROM bands JOIN ok USING (band, bh)),
+         cand AS (
+           SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+           FROM cap a JOIN cap c
+             ON a.band = c.band AND a.bh = c.bh AND a.doc_id < c.doc_id),
+         pairs AS (
+           SELECT id_a, id_b FROM (
+             SELECT id_a, id_b,
+               CAST(len(list_intersect(x.shset, y.shset)) AS DOUBLE)
+                 / len(list_distinct(list_concat(x.shset, y.shset))) AS jaccard
+             FROM cand
+             JOIN sg x ON cand.id_a = x.doc_id
+             JOIN sg y ON cand.id_b = y.doc_id) j
+           WHERE jaccard >= 0.7),
+         sym AS (
+           SELECT id_a AS a, id_b AS b FROM pairs
+           UNION
+           SELECT id_b, id_a FROM pairs),
+         reach AS (
+           SELECT a, b FROM sym
+           UNION
+           SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+         lbl AS (
+           SELECT a AS node, LEAST(a, MIN(b)) AS cluster
+           FROM reach GROUP BY a),
+         s3 AS (
+           SELECT s2.* FROM s2 LEFT JOIN lbl ON s2.doc_id = lbl.node
+           WHERE s2.doc_id = COALESCE(lbl.cluster, s2.doc_id)),
+         bset AS (
+           SELECT DISTINCT unnest(list_transform(shs.shseq,
+             s -> ('0x' || substr(md5(s), 1, 12))::BIGINT)) AS bsh
+           FROM shs JOIN documents d ON shs.doc_id = d.doc_id
+           WHERE d.source = 'src0'),
+         dset AS (
+           SELECT s3.doc_id, list_distinct(list_transform(shs.shseq,
+             s -> ('0x' || substr(md5(s), 1, 12))::BIGINT)) AS sh
+           FROM s3 JOIN shs ON s3.doc_id = shs.doc_id),
+         hits AS (
+           SELECT doc_id, COUNT(*) AS nh
+           FROM (SELECT doc_id, unnest(sh) AS x FROM dset) e
+           JOIN bset ON e.x = bset.bsh GROUP BY doc_id),
+         surv AS (
+           SELECT s3.doc_id, s3.lang
+           FROM s3 JOIN dset USING (doc_id) LEFT JOIN hits USING (doc_id)
+           WHERE CAST(COALESCE(hits.nh, 0) AS DOUBLE) / len(dset.sh) < 0.5),
+         st AS (
+           SELECT surv.doc_id, surv.lang, CAST(len(toks.tk) AS BIGINT) AS ntok
+           FROM surv JOIN toks USING (doc_id)),
+         cum AS (
+           SELECT *, SUM(ntok) OVER (PARTITION BY lang ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+           FROM st)
+         SELECT lang,
+           CAST(floor(CAST(c - ntok AS DOUBLE) / 1000) AS BIGINT) AS pack_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(ntok) AS BIGINT) AS n_tokens
+         FROM cum GROUP BY lang, pack_id ORDER BY lang, pack_id""",
 
     "flagship_pipeline" ->
       """SELECT r_name, n_name, COUNT(*) AS new_customers
