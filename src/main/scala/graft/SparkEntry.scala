@@ -583,6 +583,19 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "contamination_bloom" -> ((s, dir) => {
+      // sketch-side decontamination: benchmark → broadcast bit-position
+      // set (k=3, 2^18 bits), membership = semi-join + count-equals-k.
+      // Exact hits ride alongside, so the false-positive rate is measured
+      // and the no-false-negative invariant (bloom_ok) is checked per doc.
+      val docs = t(s, dir, "documents")
+      LlmOps.contaminationBloom(
+          docs.filter(col("source") =!= "src0"), "doc_id", "text",
+          docs.filter(col("source") === "src0"), "text",
+          shingleN = 3, bits = 1 << 18, k = 3)
+        .orderBy("doc_id")
+    }),
+
     "approx_quantiles" -> ((s, dir) => {
       // Contract-oracled like the HLL sketch: DuckDB can't replay Spark's
       // percentile_approx digest, but it CAN verify the sketch's contract —
@@ -1341,6 +1354,45 @@ object SparkEntry {
     "approx_distinct_parts" ->
       """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_exact, TRUE AS hll_ok
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "contamination_bloom" ->
+      """WITH t AS (
+           SELECT doc_id, source, string_split_regex(lower(trim(text)), '\s+') AS toks
+           FROM documents),
+         sh AS (
+           SELECT doc_id, source, list_distinct(list_transform(
+             range(1, greatest(len(toks) - 3, 0) + 2),
+             i -> md5(array_to_string(list_slice(toks, i, i + 2), ' ')))) AS ms
+           FROM t),
+         p AS (
+           SELECT doc_id, source,
+             ('0x' || substr(m, 1, 12))::BIGINT AS h1,
+             ('0x' || substr(m, 13, 12))::BIGINT AS h2
+           FROM (SELECT doc_id, source, unnest(ms) AS m FROM sh)),
+         bb AS (
+           SELECT DISTINCT (h1 + j.j * h2) % 262144 AS bit
+           FROM p, range(0, 3) j(j) WHERE source = 'src0'),
+         be AS (SELECT DISTINCT h1 FROM p WHERE source = 'src0'),
+         c AS (SELECT * FROM p WHERE source <> 'src0'),
+         sizes AS (
+           SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles
+           FROM c GROUP BY doc_id),
+         ex AS (
+           SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS ne FROM c
+           WHERE h1 IN (SELECT h1 FROM be) GROUP BY doc_id),
+         bl AS (
+           SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nb FROM (
+             SELECT c.doc_id, c.h1, c.h2
+             FROM c, range(0, 3) j(j)
+             WHERE (c.h1 + j.j * c.h2) % 262144 IN (SELECT bit FROM bb)
+             GROUP BY c.doc_id, c.h1, c.h2 HAVING COUNT(*) = 3) q
+           GROUP BY doc_id)
+         SELECT s.doc_id, s.n_shingles,
+           COALESCE(ex.ne, 0) AS n_exact,
+           COALESCE(bl.nb, 0) AS n_bloom,
+           COALESCE(bl.nb, 0) >= COALESCE(ex.ne, 0) AS bloom_ok
+         FROM sizes s LEFT JOIN ex USING (doc_id) LEFT JOIN bl USING (doc_id)
+         ORDER BY doc_id""",
 
     "similarity_ivf" ->
       "SELECT CAST(10 AS BIGINT) AS k, TRUE AS recall_ok",

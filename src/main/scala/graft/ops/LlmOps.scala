@@ -719,6 +719,64 @@ object LlmOps {
         col("n_contaminated").cast("double") / col("n_shingles"))
   }
 
+  /** Bloom-filter decontamination — the sketch-side variant of
+    * [[contamination]] a 100 TB pass actually ships: the benchmark
+    * collapses to a SET OF BIT POSITIONS (k Carter-Wegman positions per
+    * distinct shingle, h1 + j·h2 mod `bits` — the same portable md5-48
+    * pair family MinHash uses), a few MB broadcast everywhere, and each
+    * corpus shingle is "contaminated" iff ALL k of its positions are
+    * set. No UDF and no driver-side filter object: membership is a
+    * broadcast semi-join on the bit position plus a count-equals-k fold,
+    * so the whole sketch — hashes, bits, verdicts — replays bitwise in an
+    * external SQL engine (a HARD oracle where real bloom libraries would
+    * force a weaker contract check).
+    *
+    * Emits exact and bloom hit counts side by side with the structural
+    * no-false-negative invariant (`bloom_ok`): a true member's bits are
+    * all set by construction, so n_bloom >= n_exact always — while the
+    * overcount measures the actual false-positive rate at this
+    * (bits, k, |benchmark|) operating point instead of assuming the
+    * textbook bound.
+    */
+  def contaminationBloom(docs: DataFrame, idCol: String, textCol: String,
+                         benchmark: DataFrame, benchTextCol: String,
+                         shingleN: Int, bits: Int = 1 << 18, k: Int = 3): DataFrame = {
+    require(k >= 1 && bits > 0)
+    val benchPairs = benchmark
+      .select(explode(array_distinct(shinglePairs(col(benchTextCol), shingleN))).as("__p"))
+    val benchBits = benchPairs
+      .select(explode(transform(sequence(lit(0), lit(k - 1)),
+        j => pmod(col("__p.h1") + j * col("__p.h2"), lit(bits.toLong)))).as("__bit"))
+      .distinct()
+    val benchExact = benchPairs.select(col("__p.h1").as("__bh1")).distinct()
+    // Persisted: the per-doc distinct shingle pairs feed the size count,
+    // the exact probe AND the bloom probe. Same caching contract as
+    // nearDupPairs (callers clearCache() when done).
+    val docSh = docs
+      .select(col(idCol), explode(array_distinct(shinglePairs(col(textCol), shingleN))).as("__p"))
+      .select(col(idCol), col("__p.h1").as("__h1"), col("__p.h2").as("__h2"))
+      .persist()
+    val sizes = docSh.groupBy(idCol).agg(count(lit(1)).as("n_shingles"))
+    val exact = docSh
+      .join(benchExact, col("__h1") === col("__bh1"), "left_semi")
+      .groupBy(idCol).agg(count(lit(1)).as("__ne"))
+    val bloom = docSh
+      .select(col(idCol), col("__h1"), col("__h2"),
+        explode(transform(sequence(lit(0), lit(k - 1)),
+          j => pmod(col("__h1") + j * col("__h2"), lit(bits.toLong)))).as("__bit"))
+      .join(benchBits, Seq("__bit"), "left_semi")
+      .groupBy(col(idCol), col("__h1"), col("__h2")).agg(count(lit(1)).as("__nb"))
+      .filter(col("__nb") === k)
+      .groupBy(idCol).agg(count(lit(1)).as("__nbl"))
+    sizes
+      .join(exact, Seq(idCol), "left")
+      .join(bloom, Seq(idCol), "left")
+      .select(col(idCol), col("n_shingles"),
+        coalesce(col("__ne"), lit(0L)).as("n_exact"),
+        coalesce(col("__nbl"), lit(0L)).as("n_bloom"))
+      .withColumn("bloom_ok", col("n_bloom") >= col("n_exact"))
+  }
+
   /** Per-document text statistics: char count, whitespace-token count,
     * BPE-ish token count (letter runs / digit runs / single non-space
     * symbols — a deterministic proxy for subword token budgeting), digit

@@ -227,6 +227,33 @@ class LlmOpsSpec extends SparkTestBase {
     assert(got(3L) > 0.0 && got(3L) < 1.0, s"partial overlap scored ${got(3L)}")
   }
 
+  test("bloom contamination: no false negatives; exact hits bounded by bloom hits") {
+    val bench = Seq((100L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta"),     // full overlap: every shingle exact-hits
+      (2L, "alpha beta gamma nine ten"),  // partial: shares "alpha beta gamma"
+      (3L, "uu vv ww xx yy zz")           // disjoint: n_exact 0
+    ).toDF("doc_id", "text")
+    val out = LlmOps.contaminationBloom(corpus, "doc_id", "text",
+        bench, "text", shingleN = 3, bits = 1 << 18, k = 3)
+      .select("doc_id", "n_shingles", "n_exact", "n_bloom", "bloom_ok")
+      .as[(Long, Long, Long, Long, Boolean)].collect()
+      .map { case (id, n, e, b, ok) => id -> ((n, e, b, ok)) }.toMap
+    // doc 1: both 3-shingles of the 4-token bench doc
+    assert(out(1L)._2 == 2L)
+    // doc 2: exactly "alpha beta gamma"
+    assert(out(2L)._2 == 1L)
+    assert(out(3L)._2 == 0L)
+    // structural invariant: a true member's bits are all set
+    out.values.foreach { case (n, e, b, ok) =>
+      assert(ok && b >= e && b <= n)
+    }
+    // at 2^18 bits with ~2 benchmark shingles, false positives are
+    // essentially impossible: bloom == exact on this fixture
+    out.values.foreach { case (_, e, b, _) => assert(b == e) }
+    spark.catalog.clearCache()
+  }
+
   test("lang profile aggregates exact counts") {
     val df = Seq(("en", 10L), ("en", 20L), ("fr", 5L)).toDF("lang", "n_chars")
     val out = LlmOps.langProfile(df, "lang", "n_chars")
