@@ -675,6 +675,25 @@ object SparkEntry {
         .select("doc_id", "source", "lang")
         .orderBy("doc_id")),
 
+    "event_funnel" -> ((s, dir) =>
+      // ordered-event conversion: earliest view -> first click strictly
+      // after it -> first purchase strictly after that, per user; failed
+      // stages are null and propagate
+      Temporal.eventFunnel(t(s, dir, "events"), "user_id", "event_type", "ts",
+          Seq("view", "click", "purchase"))
+        .select(col("user_id"), col("stage_reached"),
+          date_format(col("t1"), "yyyy-MM-dd HH:mm:ss").as("t1"),
+          date_format(col("t2"), "yyyy-MM-dd HH:mm:ss").as("t2"),
+          date_format(col("t3"), "yyyy-MM-dd HH:mm:ss").as("t3"))
+        .orderBy("user_id")),
+
+    "retention_cohorts" -> ((s, dir) =>
+      // weekly retention matrix: users bucketed by first-activity week,
+      // counted in each later week they appear
+      Temporal.retentionCohorts(t(s, dir, "events"), "user_id", "ts",
+          epochDate = "2024-01-01")
+        .orderBy("cohort_week", "week_offset")),
+
     "zorder_layout" -> ((s, dir) => {
       // storage-layout audit (Delta/Iceberg OPTIMIZE ZORDER analog):
       // events quantized on (user_id, day), Morton-interleaved, bucketed
@@ -2060,6 +2079,45 @@ object SparkEntry {
            CAST(n_tokens AS DOUBLE) / tot AS share,
            CAST(mn AS DOUBLE) / n_tokens AS sample_rate
          FROM b, g ORDER BY source""",
+
+    "event_funnel" ->
+      """WITH f1 AS (
+           SELECT user_id, MIN(ts) AS t1 FROM events
+           WHERE event_type = 'view' GROUP BY user_id),
+         f2 AS (
+           SELECT f1.user_id, f1.t1,
+             MIN(CASE WHEN e.ts > f1.t1 THEN e.ts END) AS t2
+           FROM f1 LEFT JOIN events e
+             ON e.user_id = f1.user_id AND e.event_type = 'click'
+           GROUP BY f1.user_id, f1.t1),
+         f3 AS (
+           SELECT f2.user_id, f2.t1, f2.t2,
+             MIN(CASE WHEN e.ts > f2.t2 THEN e.ts END) AS t3
+           FROM f2 LEFT JOIN events e
+             ON e.user_id = f2.user_id AND e.event_type = 'purchase'
+           GROUP BY f2.user_id, f2.t1, f2.t2)
+         SELECT user_id,
+           CAST(CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END
+              + CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END
+              + CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS stage_reached,
+           strftime(date_trunc('second', t1), '%Y-%m-%d %H:%M:%S') AS t1,
+           strftime(date_trunc('second', t2), '%Y-%m-%d %H:%M:%S') AS t2,
+           strftime(date_trunc('second', t3), '%Y-%m-%d %H:%M:%S') AS t3
+         FROM f3 ORDER BY user_id""",
+
+    "retention_cohorts" ->
+      """WITH a AS (
+           SELECT DISTINCT user_id,
+             CAST(floor(CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS DOUBLE) / 7) AS BIGINT) AS week
+           FROM events),
+         c AS (
+           SELECT user_id, week,
+             MIN(week) OVER (PARTITION BY user_id) AS cohort_week
+           FROM a)
+         SELECT cohort_week, week - cohort_week AS week_offset,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+         FROM c GROUP BY cohort_week, week - cohort_week
+         ORDER BY cohort_week, week_offset""",
 
     "zorder_layout" ->
       """WITH e AS (

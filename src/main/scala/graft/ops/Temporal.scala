@@ -116,4 +116,63 @@ object Temporal {
         col("__next_ts").as("valid_to"),
         col("__next_ts").isNull.as("is_current"))
   }
+
+  /** Ordered-event funnel: per key, the earliest time each stage was
+    * reached, where stage i+1 only counts STRICTLY AFTER stage i's time —
+    * the conversion analysis (view → click → purchase) every event
+    * warehouse ships. A failed stage yields null, which propagates
+    * through the remaining stages (`ts > null` is never true), so
+    * `stage_reached` = number of non-null times.
+    *
+    * Shape: one min-aggregate per stage plus a left join per stage, all
+    * keyed on `keyCol` — the shuffles co-partition and AQE collapses the
+    * small per-stage aggregates to broadcasts. Rows never fan out: each
+    * stage's join feeds an immediate re-aggregation. (A sorted
+    * collect+fold alternative would be one shuffle, but its tie-break on
+    * equal timestamps is engine-specific — the join cascade's strict `>`
+    * is exactly replayable outside Spark.)
+    */
+  def eventFunnel(df: DataFrame, keyCol: String, typeCol: String,
+                  tsCol: String, stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty)
+    val base = df.select(col(keyCol), col(typeCol), col(tsCol))
+    val first = base.filter(col(typeCol) === stages.head)
+      .groupBy(keyCol).agg(min(col(tsCol)).as("t1"))
+    stages.tail.zipWithIndex.foldLeft(first) { case (acc, (st, i)) =>
+      val prev = s"t${i + 1}"
+      val cur = s"t${i + 2}"
+      val carried = (1 to i + 1).map(j => col(s"t$j"))
+      acc.join(
+          base.filter(col(typeCol) === st)
+            .select(col(keyCol), col(tsCol).as("__ts")),
+          Seq(keyCol), "left")
+        .groupBy((col(keyCol) +: carried): _*)
+        .agg(min(when(col("__ts") > col(prev), col("__ts"))).as(cur))
+    }.withColumn("stage_reached",
+      (1 to stages.size).map(j => when(col(s"t$j").isNotNull, 1).otherwise(0))
+        .reduce(_ + _).cast("long"))
+  }
+
+  /** Weekly retention cohorts: users bucketed by their FIRST-activity
+    * week (the cohort), counted as retained in every subsequent week they
+    * appear — the (cohort_week, week_offset) → distinct-user matrix
+    * behind every retention curve.
+    *
+    * Shape: distinct (key, week) pairs first (map-side partial distinct —
+    * raw events collapse before any window), then a min-over-key window
+    * on that small table, then one count-distinct aggregation. Weeks are
+    * epoch-floored 7-day buckets (date-arithmetic exact on both engines).
+    */
+  def retentionCohorts(df: DataFrame, keyCol: String, tsCol: String,
+                       epochDate: String): DataFrame = {
+    val week = floor(datediff(to_date(col(tsCol)), to_date(lit(epochDate)))
+      .cast("double") / 7).cast("long")
+    val active = df.select(col(keyCol), week.as("__week")).distinct()
+    val w = Window.partitionBy(col(keyCol))
+    active
+      .withColumn("cohort_week", min(col("__week")).over(w))
+      .withColumn("week_offset", col("__week") - col("cohort_week"))
+      .groupBy("cohort_week", "week_offset")
+      .agg(countDistinct(col(keyCol)).as("n_users"))
+  }
 }

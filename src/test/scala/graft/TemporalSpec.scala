@@ -105,4 +105,56 @@ class TemporalSpec extends SparkTestBase {
     })
     assert(bounds.last._2.isEmpty)
   }
+
+  test("event funnel: stages advance only strictly forward in time") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val events = Seq(
+      // user 1: full ordered conversion
+      (1L, "view", ts("2024-01-01 10:00:00")),
+      (1L, "click", ts("2024-01-01 11:00:00")),
+      (1L, "purchase", ts("2024-01-01 12:00:00")),
+      // user 2: click BEFORE the first view → stage stops at 1
+      (2L, "click", ts("2024-01-01 09:00:00")),
+      (2L, "view", ts("2024-01-01 10:00:00")),
+      // user 3: view + click, purchase before click → stage 2
+      (3L, "view", ts("2024-01-01 08:00:00")),
+      (3L, "purchase", ts("2024-01-01 08:30:00")),
+      (3L, "click", ts("2024-01-01 09:00:00")),
+      // user 4: never views → excluded from the funnel
+      (4L, "purchase", ts("2024-01-01 10:00:00")),
+      // user 1 noise: a second, later view must not move t1
+      (1L, "view", ts("2024-01-01 23:00:00"))
+    ).toDF("user_id", "event_type", "ts")
+    val out = Temporal.eventFunnel(events, "user_id", "event_type", "ts",
+        Seq("view", "click", "purchase"))
+      .select("user_id", "stage_reached")
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 3L, 2L -> 1L, 3L -> 2L))
+    // t1 is the FIRST view even with later views present
+    val t1 = Temporal.eventFunnel(events, "user_id", "event_type", "ts",
+        Seq("view", "click", "purchase"))
+      .filter($"user_id" === 1L).select("t1")
+      .as[java.sql.Timestamp].head()
+    assert(t1 == ts("2024-01-01 10:00:00"))
+  }
+
+  test("retention cohorts: first week defines the cohort, offsets count distinct users") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val events = Seq(
+      (1L, ts("2024-01-01 10:00:00")),  // week 0 cohort
+      (1L, ts("2024-01-09 10:00:00")),  // week 1 → offset 1
+      (1L, ts("2024-01-10 10:00:00")),  // same week, no double count
+      (2L, ts("2024-01-02 10:00:00")),  // week 0 cohort, never returns
+      (3L, ts("2024-01-08 10:00:00")),  // week 1 cohort
+      (3L, ts("2024-01-22 10:00:00"))   // week 3 → offset 2
+    ).toDF("user_id", "ts")
+    val out = Temporal.retentionCohorts(events, "user_id", "ts", "2024-01-01")
+      .select("cohort_week", "week_offset", "n_users")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(out == Set(
+      (0L, 0L, 2L),   // users 1, 2 start in week 0
+      (0L, 1L, 1L),   // only user 1 returns in week 1
+      (1L, 0L, 1L),   // user 3 starts in week 1
+      (1L, 2L, 1L)))  // user 3 returns two weeks later
+  }
 }
