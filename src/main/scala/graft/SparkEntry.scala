@@ -1378,21 +1378,16 @@ object SparkEntry {
       """WITH t AS (
            SELECT doc_id, source, string_split_regex(lower(trim(text)), '\s+') AS toks
            FROM documents),
-         sh AS (
-           SELECT doc_id, source, list_distinct(list_transform(
-             range(1, greatest(len(toks) - 3, 0) + 2),
-             i -> md5(array_to_string(list_slice(toks, i, i + 2), ' ')))) AS ms
-           FROM t),
          p AS (
-           SELECT doc_id, source,
-             ('0x' || substr(m, 1, 12))::BIGINT AS h1,
-             ('0x' || substr(m, 13, 12))::BIGINT AS h2
-           FROM (SELECT doc_id, source, unnest(ms) AS m FROM sh)),
-         bb AS (
-           SELECT DISTINCT (h1 + j.j * h2) % 262144 AS bit
-           FROM p, range(0, 3) j(j) WHERE source = 'src0'),
+           SELECT doc_id, source, unnest(list_distinct(list_transform(
+             range(1, greatest(len(toks) - 3, 0) + 2),
+             i -> ('0x' || substr(md5(array_to_string(list_slice(toks, i, i + 2), ' ')), 1, 12))::BIGINT))) AS h1
+           FROM t),
          be AS (SELECT DISTINCT h1 FROM p WHERE source = 'src0'),
-         c AS (SELECT * FROM p WHERE source <> 'src0'),
+         bb AS (
+           SELECT DISTINCT ((2 * j.j + 3) * h1 + j.j) % 262144 AS bit
+           FROM be, range(0, 3) j(j)),
+         c AS (SELECT doc_id, h1 FROM p WHERE source <> 'src0'),
          sizes AS (
            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles
            FROM c GROUP BY doc_id),
@@ -1401,10 +1396,10 @@ object SparkEntry {
            WHERE h1 IN (SELECT h1 FROM be) GROUP BY doc_id),
          bl AS (
            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nb FROM (
-             SELECT c.doc_id, c.h1, c.h2
+             SELECT c.doc_id, c.h1
              FROM c, range(0, 3) j(j)
-             WHERE (c.h1 + j.j * c.h2) % 262144 IN (SELECT bit FROM bb)
-             GROUP BY c.doc_id, c.h1, c.h2 HAVING COUNT(*) = 3) q
+             WHERE ((2 * j.j + 3) * c.h1 + j.j) % 262144 IN (SELECT bit FROM bb)
+             GROUP BY c.doc_id, c.h1 HAVING COUNT(*) = 3) q
            GROUP BY doc_id)
          SELECT s.doc_id, s.n_shingles,
            COALESCE(ex.ne, 0) AS n_exact,

@@ -721,15 +721,14 @@ object LlmOps {
 
   /** Bloom-filter decontamination — the sketch-side variant of
     * [[contamination]] a 100 TB pass actually ships: the benchmark
-    * collapses to a SET OF BIT POSITIONS (k Carter-Wegman positions per
-    * distinct shingle, h1 + j·h2 mod `bits` — the same portable md5-48
-    * pair family MinHash uses), a few MB broadcast everywhere, and each
-    * corpus shingle is "contaminated" iff ALL k of its positions are
-    * set. No UDF and no driver-side filter object: membership is a
-    * broadcast semi-join on the bit position plus a count-equals-k fold,
-    * so the whole sketch — hashes, bits, verdicts — replays bitwise in an
-    * external SQL engine (a HARD oracle where real bloom libraries would
-    * force a weaker contract check).
+    * collapses to a SET OF BIT POSITIONS (k affine positions per distinct
+    * md5-48 shingle hash, ((2j+3)·h + j) mod `bits`), a few MB broadcast
+    * everywhere, and each corpus shingle is "contaminated" iff ALL k of
+    * its positions are set. No UDF and no driver-side filter object:
+    * membership is a broadcast semi-join on the bit position plus a
+    * count-equals-k fold, so the whole sketch — hashes, bits, verdicts —
+    * replays bitwise in an external SQL engine (a HARD oracle where real
+    * bloom libraries would force a weaker contract check).
     *
     * Emits exact and bloom hit counts side by side with the structural
     * no-false-negative invariant (`bloom_ok`): a true member's bits are
@@ -742,30 +741,40 @@ object LlmOps {
                          benchmark: DataFrame, benchTextCol: String,
                          shingleN: Int, bits: Int = 1 << 18, k: Int = 3): DataFrame = {
     require(k >= 1 && bits > 0)
-    val benchPairs = benchmark
-      .select(explode(array_distinct(shinglePairs(col(benchTextCol), shingleN))).as("__p"))
-    val benchBits = benchPairs
-      .select(explode(transform(sequence(lit(0), lit(k - 1)),
-        j => pmod(col("__p.h1") + j * col("__p.h2"), lit(bits.toLong)))).as("__bit"))
+    // k affine positions from the single 48-bit shingle hash:
+    // pos_j = ((2j+3)·h + j) mod bits. Coefficients stay tiny so the
+    // products are < 2^63 on both engines (Spark wraps silently on long
+    // overflow, external engines raise — staying in range sidesteps the
+    // divergence entirely), and deriving from h alone lets the native
+    // one-pass minhash_plan expression supply the shingle sets (the
+    // two-hash Carter-Wegman variant would force the ~5x slower HOF
+    // md5-pair path).
+    def positions(h: Column): Column =
+      transform(sequence(lit(0), lit(k - 1)),
+        j => pmod((lit(2) * j + lit(3)) * h + j, lit(bits.toLong)))
+    val benchSh = benchmark
+      .select(explode(minhashPlanBest(benchmark, col(benchTextCol), shingleN, 1)
+        .getField("sh")).as("__bh1"))
       .distinct()
-    val benchExact = benchPairs.select(col("__p.h1").as("__bh1")).distinct()
-    // Persisted: the per-doc distinct shingle pairs feed the size count,
+    val benchBits = benchSh
+      .select(explode(positions(col("__bh1"))).as("__bit"))
+      .distinct()
+    // Persisted: the per-doc distinct shingle hashes feed the size count,
     // the exact probe AND the bloom probe. Same caching contract as
     // nearDupPairs (callers clearCache() when done).
     val docSh = docs
-      .select(col(idCol), explode(array_distinct(shinglePairs(col(textCol), shingleN))).as("__p"))
-      .select(col(idCol), col("__p.h1").as("__h1"), col("__p.h2").as("__h2"))
+      .select(col(idCol),
+        explode(minhashPlanBest(docs, col(textCol), shingleN, 1)
+          .getField("sh")).as("__h1"))
       .persist()
     val sizes = docSh.groupBy(idCol).agg(count(lit(1)).as("n_shingles"))
     val exact = docSh
-      .join(benchExact, col("__h1") === col("__bh1"), "left_semi")
+      .join(benchSh, col("__h1") === col("__bh1"), "left_semi")
       .groupBy(idCol).agg(count(lit(1)).as("__ne"))
     val bloom = docSh
-      .select(col(idCol), col("__h1"), col("__h2"),
-        explode(transform(sequence(lit(0), lit(k - 1)),
-          j => pmod(col("__h1") + j * col("__h2"), lit(bits.toLong)))).as("__bit"))
+      .select(col(idCol), col("__h1"), explode(positions(col("__h1"))).as("__bit"))
       .join(benchBits, Seq("__bit"), "left_semi")
-      .groupBy(col(idCol), col("__h1"), col("__h2")).agg(count(lit(1)).as("__nb"))
+      .groupBy(col(idCol), col("__h1")).agg(count(lit(1)).as("__nb"))
       .filter(col("__nb") === k)
       .groupBy(idCol).agg(count(lit(1)).as("__nbl"))
     sizes

@@ -233,6 +233,48 @@ object StreamingOps {
       }
   }
 
+  case class TypedEvent(userId: Long, eventType: String, ts: java.sql.Timestamp)
+  case class FunnelState(stage: Int, lastMs: Long)
+  case class FunnelProgress(userId: Long, stage: Int, atMs: Long)
+
+  /** Streaming counterpart of [[graft.ops.Temporal.eventFunnel]]: per-key
+    * conversion stages tracked as keyed state, a progress row emitted each
+    * time a key advances. Stage i+1 counts only strictly after stage i's
+    * event time (same contract as the batch operator); within a
+    * micro-batch rows are sorted by (ts, type) so batch boundaries don't
+    * change the result of an in-order feed.
+    *
+    * State is O(1) per key — a stage counter and one timestamp — so a
+    * stream of any length holds |active keys| × 2 longs, and emitted rows
+    * are deltas (stage advances), not per-event. No timeout: a funnel has
+    * no natural expiry; compose with [[TtlSeenFilter]]-style TTL state if
+    * abandoned keys must be evicted.
+    */
+  def funnelStateful(ds: Dataset[TypedEvent], stages: Seq[String])(
+      implicit progEnc: org.apache.spark.sql.Encoder[FunnelProgress],
+      stateEnc: org.apache.spark.sql.Encoder[FunnelState]): Dataset[FunnelProgress] = {
+    require(stages.nonEmpty)
+    ds.groupByKey(_.userId)(org.apache.spark.sql.Encoders.scalaLong)
+      .flatMapGroupsWithState[FunnelState, FunnelProgress](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (userId: Long, events: Iterator[TypedEvent], state: GroupState[FunnelState]) =>
+          val sorted = events.toSeq.sortBy(e => (e.ts.getTime, e.eventType))
+          var s = state.getOption.getOrElse(FunnelState(0, Long.MinValue))
+          var out = List.empty[FunnelProgress]
+          sorted.foreach { e =>
+            val advance = s.stage < stages.size &&
+              e.eventType == stages(s.stage) &&
+              (s.stage == 0 || e.ts.getTime > s.lastMs)
+            if (advance) {
+              s = FunnelState(s.stage + 1, e.ts.getTime)
+              out ::= FunnelProgress(userId, s.stage, e.ts.getTime)
+            }
+          }
+          state.update(s)
+          out.reverseIterator
+      }
+  }
+
   /** Exactly-once `foreachBatch` parquet sink via commit markers.
     *
     * Structured Streaming's `foreachBatch` contract is at-least-once: after

@@ -224,4 +224,50 @@ class StreamingSpec extends SparkTestBase {
       .select("id", "v").as[(Long, String)].collect().toSet
     assert(got == Set((10L, "x"), (11L, "y")))
   }
+
+  test("streaming funnel: stages advance across micro-batches, matching batch semantics") {
+    import StreamingOps.TypedEvent
+    val input = MemoryStream[TypedEvent]
+    val q = StreamingOps.funnelStateful(input.toDS(), Seq("view", "click", "purchase"))
+      .writeStream.format("memory").queryName("funnel_out")
+      .outputMode("append").start()
+    try {
+      // batch 1: user 1 views; user 2 clicks BEFORE ever viewing (no-op)
+      input.addData(
+        TypedEvent(1L, "view", ts("2024-01-01 10:00:00")),
+        TypedEvent(2L, "click", ts("2024-01-01 09:00:00")))
+      q.processAllAvailable()
+      // batch 2: user 1 clicks (advances); user 2 finally views (stage 1)
+      input.addData(
+        TypedEvent(1L, "click", ts("2024-01-01 11:00:00")),
+        TypedEvent(2L, "view", ts("2024-01-01 10:00:00")))
+      q.processAllAvailable()
+      // batch 3: user 1 purchases → full conversion; an out-of-order
+      // second view for user 1 must NOT regress or re-emit stage 1
+      input.addData(
+        TypedEvent(1L, "purchase", ts("2024-01-01 12:00:00")),
+        TypedEvent(1L, "view", ts("2024-01-01 10:30:00")))
+      q.processAllAvailable()
+      val finalStage = spark.table("funnel_out")
+        .groupBy("userId").agg(max($"stage").as("s"))
+        .as[(Long, Int)].collect().toMap
+      assert(finalStage == Map(1L -> 3, 2L -> 1))
+      // deltas only: user 1 emitted exactly stages 1, 2, 3 once each
+      val u1 = spark.table("funnel_out").filter($"userId" === 1L)
+        .select("stage").as[Int].collect().sorted.toSeq
+      assert(u1 == Seq(1, 2, 3))
+      // matches the batch operator on the same (in-order) event set
+      val batch = graft.ops.Temporal.eventFunnel(
+        Seq(
+          (1L, "view", ts("2024-01-01 10:00:00")),
+          (1L, "click", ts("2024-01-01 11:00:00")),
+          (1L, "purchase", ts("2024-01-01 12:00:00")),
+          (1L, "view", ts("2024-01-01 10:30:00")),
+          (2L, "click", ts("2024-01-01 09:00:00")),
+          (2L, "view", ts("2024-01-01 10:00:00"))).toDF("user_id", "event_type", "ts"),
+        "user_id", "event_type", "ts", Seq("view", "click", "purchase"))
+        .select("user_id", "stage_reached").as[(Long, Long)].collect().toMap
+      assert(batch == Map(1L -> 3L, 2L -> 1L))
+    } finally q.stop()
+  }
 }
