@@ -471,6 +471,18 @@ object SparkEntry {
           maxBucketSize = 10000)
         .orderBy("id_a", "id_b")),
 
+    "incremental_near_dup" -> ((s, dir) => {
+      // nightly-ingest NEAR-dup: batch (src1) vs corpus signature store +
+      // itself — band join with broadcastable batch side, base text never
+      // moves, verification only on band collisions
+      val docs = t(s, dir, "documents")
+      LlmOps.incrementalNearDup(
+          docs.filter(col("source") =!= "src1"),
+          docs.filter(col("source") === "src1"),
+          "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     "incremental_dedup" -> ((s, dir) => {
       // nightly-ingest shape: dedup ONE new batch (source src1) against
       // the already-ingested corpus + itself in O(batch + base
@@ -1321,6 +1333,61 @@ object SparkEntry {
          JOIN sg x ON cand.id_a = x.doc_id
          JOIN sg y ON cand.id_b = y.doc_id
          ORDER BY id_a, id_b""",
+
+    "incremental_near_dup" ->
+      """WITH d AS (
+           SELECT doc_id, source,
+             list_distinct(list_transform(
+               range(1, greatest(len(string_split_regex(lower(trim(text)), '\s+')) - 3, 0) + 2),
+               i -> array_to_string(list_slice(string_split_regex(lower(trim(text)), '\s+'), i, i + 2), ' '))) AS sh
+           FROM documents),
+         hp AS (
+           SELECT doc_id, source,
+             list_transform(sh, s -> ('0x' || substr(md5(s), 1, 12))::BIGINT) AS h1s,
+             list_transform(sh, s -> ('0x' || substr(md5(s), 13, 12))::BIGINT) AS h2s
+           FROM d WHERE len(sh) > 0),
+         sg AS (
+           SELECT doc_id, source,
+             list_distinct(h1s) AS shset,
+             list_transform(range(0, 16), j ->
+               list_min(list_transform(range(1, len(h1s) + 1), x -> h1s[x] + j * h2s[x]))) AS sig
+           FROM hp),
+         bands AS (
+           SELECT doc_id, source, t.b AS band,
+             md5(array_to_string(list_slice(sig, t.b * 4 + 1, t.b * 4 + 4), ',')) AS bh
+           FROM sg, range(0, 4) t(b)),
+         cb AS (
+           SELECT DISTINCT a.doc_id AS bid, b.doc_id AS base_id
+           FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh
+           WHERE a.source = 'src1' AND b.source <> 'src1'),
+         vb AS (
+           SELECT DISTINCT bid FROM (
+             SELECT cb.bid,
+               CAST(len(list_intersect(x.shset, y.shset)) AS DOUBLE)
+                 / len(list_distinct(list_concat(x.shset, y.shset))) AS j
+             FROM cb JOIN sg x ON cb.bid = x.doc_id JOIN sg y ON cb.base_id = y.doc_id) q
+           WHERE j >= 0.7),
+         okb AS (
+           SELECT band, bh FROM bands WHERE source = 'src1'
+           GROUP BY band, bh HAVING COUNT(*) BETWEEN 2 AND 10000),
+         ci AS (
+           SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+           FROM bands a JOIN okb USING (band, bh)
+           JOIN bands c ON a.band = c.band AND a.bh = c.bh
+           WHERE a.source = 'src1' AND c.source = 'src1' AND a.doc_id < c.doc_id),
+         vi AS (
+           SELECT DISTINCT id_b FROM (
+             SELECT ci.id_b,
+               CAST(len(list_intersect(x.shset, y.shset)) AS DOUBLE)
+                 / len(list_distinct(list_concat(x.shset, y.shset))) AS j
+             FROM ci JOIN sg x ON ci.id_a = x.doc_id JOIN sg y ON ci.id_b = y.doc_id) q
+           WHERE j >= 0.7)
+         SELECT doc.doc_id,
+           doc.doc_id IN (SELECT bid FROM vb) AS near_dup_of_base,
+           doc.doc_id IN (SELECT id_b FROM vi) AS near_dup_in_batch,
+           NOT (doc.doc_id IN (SELECT bid FROM vb))
+             AND NOT (doc.doc_id IN (SELECT id_b FROM vi)) AS keep
+         FROM documents doc WHERE doc.source = 'src1' ORDER BY doc.doc_id""",
 
     "incremental_dedup" ->
       """WITH base AS (

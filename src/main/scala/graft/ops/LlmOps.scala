@@ -66,6 +66,58 @@ object LlmOps {
       .withColumn("keep", !col("dup_of_base") && !col("dup_in_batch"))
   }
 
+  /** Incremental NEAR-dup: dedup one new batch against the already-
+    * ingested corpus and itself — the nightly-ingest shape of MinHash-LSH
+    * dedup, as [[incrementalDedup]] is for exact dedup. A batch doc is
+    * flagged `near_dup_of_base` when an LSH band collision with a base
+    * doc verifies at `threshold` Jaccard, `near_dup_in_batch` when a
+    * LOWER-id batch doc does.
+    *
+    * Scale shape: at corpus scale the base side of the band join is the
+    * PRE-COMPUTED signature store (here derived in-query — same values,
+    * the native one-pass minhash_plan expression); base TEXT never moves,
+    * only its (band, band-hash, id) rows and the shingle-hash sets of the
+    * few band-colliding candidates. The batch side is a nightly
+    * increment — small enough that AQE broadcasts it through the band
+    * join, making the whole pass O(batch + collisions), not
+    * O(corpus).
+    */
+  def incrementalNearDup(base: DataFrame, batch: DataFrame,
+                         idCol: String, textCol: String,
+                         shingleN: Int = 3, numHashes: Int = 16,
+                         bands: Int = 4, rowsPerBand: Int = 4,
+                         threshold: Double = 0.7): DataFrame = {
+    require(bands * rowsPerBand == numHashes,
+      s"bands ($bands) x rowsPerBand ($rowsPerBand) must equal numHashes ($numHashes)")
+    def planOf(df: DataFrame) = df
+      .select(col(idCol), minhashPlanBest(df, col(textCol), shingleN, numHashes).as("__mh"))
+      .select(col(idCol), col("__mh.sh").as("__sh"), col("__mh.sig").as("__sig"))
+    val basePlan = planOf(base).persist()
+    val batchPlan = planOf(batch).persist()
+    val baseBands = lshBands(basePlan, idCol, "__sig", bands, rowsPerBand)
+      .select(col(idCol).as("__base_id"), col("band"), col("band_hash"))
+    val batchBands = lshBands(batchPlan, idCol, "__sig", bands, rowsPerBand)
+    val cand = batchBands.join(baseBands, Seq("band", "band_hash"))
+      .select(col(idCol), col("__base_id")).distinct()
+    val dupOfBase = cand
+      .join(batchPlan.select(col(idCol), col("__sh").as("__sha")), idCol)
+      .join(basePlan.select(col(idCol).as("__base_id"), col("__sh").as("__shb")), "__base_id")
+      .filter(jaccard(col("__sha"), col("__shb")) >= threshold)
+      .select(col(idCol)).distinct()
+      .withColumn("__dupbase", lit(true))
+    val dupInBatch = nearDupPairsFromSets(batchPlan, idCol,
+        bands, rowsPerBand, threshold, maxBucketSize = 10000)
+      .select(col("id_b").as(idCol)).distinct()
+      .withColumn("__dupbatch", lit(true))
+    batchPlan.select(col(idCol))
+      .join(dupOfBase, Seq(idCol), "left")
+      .join(dupInBatch, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("__dupbase"), lit(false)).as("near_dup_of_base"),
+        coalesce(col("__dupbatch"), lit(false)).as("near_dup_in_batch"))
+      .withColumn("keep", !col("near_dup_of_base") && !col("near_dup_in_batch"))
+  }
+
   /** Whitespace tokens of normalized text. */
   def tokens(c: Column): Column = split(normText(c), "\\s+")
 

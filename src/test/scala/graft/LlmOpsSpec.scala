@@ -103,6 +103,30 @@ class LlmOpsSpec extends SparkTestBase {
       13L -> ((false, false, true))))
   }
 
+  test("incremental near-dup: base collisions, in-batch collisions, fresh docs") {
+    val base = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "some other base document with distinct content here")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog"),  // exact dup of base 1
+      (11L, "the quick brown fox jumps over the lazy cat"),  // near dup of base 1
+      (12L, "completely different words entirely unrelated text here okay"),
+      (13L, "the quick brown fox jumps over the lazy dog")   // dup of base AND of 10
+    ).toDF("doc_id", "text")
+    // 16 bands of 1 row: candidate probability ~1 at jaccard 0.75 (same
+    // reasoning as the nearDupPairs spec — 4x4 banding would be ~78%)
+    val out = LlmOps.incrementalNearDup(base, batch, "doc_id", "text",
+        numHashes = 16, bands = 16, rowsPerBand = 1, threshold = 0.5)
+      .select("doc_id", "near_dup_of_base", "near_dup_in_batch", "keep")
+      .as[(Long, Boolean, Boolean, Boolean)].collect()
+      .map { case (id, a, b, k) => id -> ((a, b, k)) }.toMap
+    assert(out(10L) == ((true, false, false)))
+    assert(out(11L) == ((true, true, false)))   // near dup of base 1 AND batch-mate 10
+    assert(out(12L) == ((false, false, true)))
+    assert(out(13L) == ((true, true, false)))   // dup of base and of batch-mate 10
+    spark.catalog.clearCache()
+  }
+
   test("simhash: identical texts same sketch; near-dups low hamming distance") {
     val sh = LlmOps.simhash(docs, "doc_id", "text").as[(Long, Long)].collect().toMap
     assert(sh(1L) == sh(2L)) // same normalized tokens
