@@ -224,6 +224,28 @@ class RelationalSpec extends SparkTestBase {
     assert(out == Seq(27L, 0L, 21L, 42L))
   }
 
+  test("zorder value matches a driver-side interleave model on random inputs") {
+    val rng = new scala.util.Random(13)
+    val pts = Seq.fill(200)((rng.nextInt(1 << 16).toLong, rng.nextInt(1 << 16).toLong))
+    def model(a: Long, b: Long): Long =
+      (0 until 16).foldLeft(0L) { (acc, i) =>
+        acc | (((a >> i) & 1L) << (2 * i)) | (((b >> i) & 1L) << (2 * i + 1))
+      }
+    val got = pts.toDF("a", "b")
+      .select($"a", $"b", Relational.zorderValue($"a", $"b", 16).as("z"))
+      .as[(Long, Long, Long)].collect()
+    got.foreach { case (a, b, z) =>
+      assert(z == model(a, b), s"interleave($a, $b)")
+    }
+    // monotone prefix property: equal high bits of z imply close a AND b
+    got.foreach { case (a, b, z) =>
+      val (a2, b2, z2) = got.head
+      if (z >> 8 == z2 >> 8) {
+        assert(math.abs(a - a2) < (1 << 13) && math.abs(b - b2) < (1 << 13))
+      }
+    }
+  }
+
   test("zorder layout: buckets are bounded rectangles in BOTH dimensions") {
     // full 16x16 grid, 4-bit quantization, 2-bit prefix: every bucket must
     // span at most 2^(4-2) = 4 quantized values per dimension, and the 16
