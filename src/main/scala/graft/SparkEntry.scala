@@ -831,6 +831,17 @@ object SparkEntry {
         .orderBy("lang", "len_bucket")
     }),
 
+    "mixture_plan_temp" -> ((s, dir) => {
+      // temperature-scaled (alpha=0.5) mixture: sampled share ~ sqrt of
+      // the natural share — the multilingual-mixture standard between
+      // natural proportions and equal shares
+      val docs = t(s, dir, "documents")
+      val withTokens = docs.select(col("source"),
+        regexp_count(col("text"), lit("\\S+")).cast("long").as("__n"))
+      LlmOps.mixturePlanTemperature(withTokens, "source", "__n")
+        .orderBy("source")
+    }),
+
     "rolling_user_counts" -> ((s, dir) =>
       // trailing 7-day per-user activity via a RANGE event-time frame
       Relational.rollingCountPerKey(
@@ -2217,6 +2228,22 @@ object SparkEntry {
            CAST(SUM(bpe) AS BIGINT) AS n_bpe_tokens,
            CAST(SUM(bpe) AS DOUBLE) / CAST(SUM(ws) AS DOUBLE) AS fertility
          FROM t GROUP BY lang ORDER BY lang""",
+
+    "mixture_plan_temp" ->
+      """WITH t AS (
+           SELECT source,
+             CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n
+           FROM documents),
+         b AS (
+           SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n) AS BIGINT) AS n_tokens
+           FROM t GROUP BY source),
+         g AS (SELECT MIN(n_tokens) AS mn FROM b)
+         SELECT source, n_docs, n_tokens,
+           sqrt(CAST(mn AS DOUBLE) / CAST(n_tokens AS DOUBLE)) AS sample_rate,
+           sqrt(CAST(mn AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+             * CAST(n_tokens AS DOUBLE) AS sampled_tokens
+         FROM b, g ORDER BY source""",
 
     "token_len_histogram" ->
       """WITH t AS (

@@ -1198,6 +1198,33 @@ object LlmOps {
       .withColumn("fertility",
         col("n_bpe_tokens").cast("double") / col("n_ws_tokens").cast("double"))
 
+  /** Temperature-scaled mixture plan (α = 0.5): per-source sampling rates
+    * making the sampled token share proportional to tokens^α — the
+    * standard compromise between natural proportions (α = 1, big crawls
+    * dominate) and equal shares (α = 0, tiny sources oversampled), used
+    * for multilingual/multi-source training mixtures. rate_s =
+    * sqrt(min_tokens / tokens_s): the smallest source keeps rate 1, every
+    * larger source is downsampled by the square root of its size ratio,
+    * so sampled_tokens_s = sqrt(min · tokens_s) ∝ tokens^0.5.
+    *
+    * α is FIXED at 0.5 because sqrt is a correctly-rounded IEEE primitive
+    * both engines compute bitwise-identically; a general tokens^α goes
+    * through libm pow, whose last-ulp behavior is platform-specific and
+    * would break the hash oracle. Same one-groupBy + broadcast-global
+    * shape as [[mixturePlan]].
+    */
+  def mixturePlanTemperature(df: DataFrame, groupCol: String,
+                             weightCol: String): DataFrame = {
+    val byGroup = df.groupBy(groupCol)
+      .agg(count(lit(1)).as("n_docs"), sum(col(weightCol)).as("n_tokens"))
+    val globals = byGroup.agg(min(col("n_tokens")).as("__min"))
+    byGroup.crossJoin(broadcast(globals))
+      .select(col(groupCol), col("n_docs"), col("n_tokens"),
+        sqrt(col("__min").cast("double") / col("n_tokens").cast("double")).as("sample_rate"),
+        (sqrt(col("__min").cast("double") / col("n_tokens").cast("double")) *
+          col("n_tokens").cast("double")).as("sampled_tokens"))
+  }
+
   /** Sequence-length histogram: per-group counts of docs whose token count
     * falls in fixed power-of-two buckets — the distribution table that
     * sizes [[packSequences]] budgets and flags truncation loss before a

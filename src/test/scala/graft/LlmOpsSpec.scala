@@ -578,6 +578,23 @@ class LlmOpsSpec extends SparkTestBase {
     assert(out("de") == ((1L, 1L, 4L, 4.0)))
   }
 
+  test("mixture temperature: sampled share proportional to sqrt(natural share)") {
+    val df = Seq(
+      ("s1", 400L),                 // 4x the smallest → rate 1/2
+      ("s2", 100L),                 // smallest → rate 1
+      ("s3", 900L)).toDF("source", "n") // 9x → rate 1/3
+    val out = LlmOps.mixturePlanTemperature(df, "source", "n")
+      .select("source", "sample_rate", "sampled_tokens")
+      .as[(String, Double, Double)].collect()
+      .map { case (s, r, t) => s -> ((r, t)) }.toMap
+    assert(out("s1") == ((0.5, 200.0)))
+    assert(out("s2") == ((1.0, 100.0)))
+    assert(math.abs(out("s3")._1 - 1.0 / 3.0) < 1e-15)
+    assert(math.abs(out("s3")._2 - 300.0) < 1e-12)
+    // sampled tokens grow with size but sublinearly (the point of alpha<1)
+    assert(out("s3")._2 > out("s1")._2 && out("s1")._2 > out("s2")._2)
+  }
+
   test("token length histogram: fixed power-of-two buckets, exact counts") {
     val df = Seq(
       ("en", 10L), ("en", 15L),    // 0000-0015
