@@ -206,4 +206,49 @@ class PlanSpec extends SparkTestBase {
       !finalPlan.contains("BroadcastNestedLoopJoin"),
       s"within-cluster pairs must come from an equi-join on the bucket:\n$finalPlan")
   }
+
+  test("contamination_bloom: native shingles, no cross join, membership via semi joins") {
+    val p = planOf("contamination_bloom")
+    assert(p.contains("minhash_plan"),
+      s"native shingle expression not engaged:\n$p")
+    val finalPlan = p.split("== Initial Plan ==").head
+    assert(!finalPlan.contains("CartesianProduct") &&
+      !finalPlan.contains("BroadcastNestedLoopJoin"),
+      s"bloom membership must be keyed semi joins:\n$finalPlan")
+    assert(finalPlan.contains("LeftSemi"),
+      s"expected semi-join membership probes:\n$finalPlan")
+  }
+
+  test("incremental_near_dup: native shingles + bounded census; no cross join") {
+    val p = planOf("incremental_near_dup")
+    assert(p.contains("minhash_plan"), s"native shingle expression not engaged:\n$p")
+    assert(p.contains("bounded_collect_list"),
+      s"in-batch candidate generation should use the bounded census:\n$p")
+    val finalPlan = p.split("== Initial Plan ==").head
+    assert(!finalPlan.contains("CartesianProduct") &&
+      !finalPlan.contains("BroadcastNestedLoopJoin"),
+      s"band collisions must come from equi-joins:\n$finalPlan")
+  }
+
+  test("retention_cohorts: events collapse to distinct pairs BEFORE the window") {
+    val p = planOf("retention_cohorts")
+    val finalPlan = p.split("== Initial Plan ==").head
+    assert(!finalPlan.contains("Join"), s"cohorts need no join:\n$finalPlan")
+    // distinct (user, week) aggregation must appear below the min-over-user
+    // window, so the window sorts the small distinct table, not raw events
+    val winIdx = finalPlan.indexOf("Window")
+    val aggBelow = finalPlan.indexOf("HashAggregate", winIdx)
+    assert(winIdx >= 0 && aggBelow > winIdx,
+      s"expected the distinct aggregate BELOW the window in the tree:\n$finalPlan")
+  }
+
+  test("zorder_layout: pruned scan; only the 4-value global broadcasts") {
+    val p = planOf("zorder_layout")
+    val read = p.split("ReadSchema:")(1).split("\n")(0)
+    assert(read.contains("user_id") && read.contains("ts") &&
+      !read.contains("props") && !read.contains("event_type"), s"over-read: $read")
+    val finalPlan = p.split("== Initial Plan ==").head
+    assert(!finalPlan.contains("CartesianProduct"),
+      s"the global min/max must broadcast, never cartesian the fact side:\n$finalPlan")
+  }
 }
