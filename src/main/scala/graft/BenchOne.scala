@@ -45,9 +45,18 @@ object BenchOne {
       }
       spark.sparkContext.addSparkListener(l)
       fn(spark, sfDir).count()
-      Thread.sleep(1000) // listener bus is async
+      // The listener bus is async; a fixed sleep can cut off the trailing
+      // (typically largest) execution's End event under load. Poll until
+      // every Start has seen its End, bounded at 15 s, and say so if the
+      // drain was incomplete — an under-reported profile must not look
+      // complete.
+      val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
+      while (!execs.isEmpty && System.nanoTime() < deadline) Thread.sleep(100)
       spark.sparkContext.removeSparkListener(l)
       spark.catalog.clearCache()
+      if (!execs.isEmpty)
+        println(s"[profile] WARN ${execs.size} execution(s) never delivered " +
+          "their end event within 15s — totals below UNDER-report")
       done.sortBy(_._1).foreach { case (id, ms, d) =>
         println(f"[profile] exec=$id%-4d ${ms}%6d ms  $d")
       }

@@ -1367,9 +1367,14 @@ object SparkEntry {
            SELECT doc_id, source, t.b AS band,
              md5(array_to_string(list_slice(sig, t.b * 4 + 1, t.b * 4 + 4), ',')) AS bh
            FROM sg, range(0, 4) t(b)),
+         okbase AS (
+           SELECT band, bh FROM bands WHERE source <> 'src1'
+           GROUP BY band, bh HAVING COUNT(*) <= 10000),
          cb AS (
            SELECT DISTINCT a.doc_id AS bid, b.doc_id AS base_id
-           FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh
+           FROM bands a
+           JOIN bands b ON a.band = b.band AND a.bh = b.bh
+           JOIN okbase ON b.band = okbase.band AND b.bh = okbase.bh
            WHERE a.source = 'src1' AND b.source <> 'src1'),
          vb AS (
            SELECT DISTINCT bid FROM (

@@ -175,8 +175,14 @@ object VectorOps {
   def semanticDedup(df: DataFrame, idCol: String, embCol: String,
                     nPlanes: Int, dim: Int, threshold: Double): DataFrame = {
     val planes = hyperplanesPortable(nPlanes, dim)
+    // Persisted: the bucketed projection feeds BOTH sides of the
+    // within-cluster pair join AND the final decision-table join — without
+    // it the nPlanes x dim hyperplane fold (the expensive projection here)
+    // recomputes three times. Same caching contract as nearDupPairs
+    // (callers clearCache() when done).
     val withB = df.select(col(idCol), col(embCol),
       lshBucket(col(embCol), planes).as("cluster"))
+      .persist()
     val dropped = embeddingNearDupPairs(withB, idCol, embCol, "cluster", threshold)
       .select(col("id_b").as(idCol)).distinct()
       .withColumn("__drop", lit(true))

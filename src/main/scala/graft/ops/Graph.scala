@@ -123,6 +123,14 @@ object Graph {
     */
   def connectedComponentsStar(edges: DataFrame, srcCol: String, dstCol: String,
                               maxIter: Int = 50): DataFrame = {
+    // Node universe BEFORE dropping self-loops: a node appearing only in
+    // (x, x) edges must still come back labeled with itself — the same
+    // contract the label-propagation mode honors (both modes of
+    // connectedComponents must return identical row sets).
+    val allNodes = edges.select(col(srcCol).as("node"))
+      .union(edges.select(col(dstCol).as("node")))
+      .distinct()
+      .localCheckpoint()
     var e = edges.select(col(srcCol).as("__s"), col(dstCol).as("__d"))
       .filter(col("__s") =!= col("__d"))
       .distinct()
@@ -170,10 +178,12 @@ object Graph {
     require(converged,
       s"connectedComponentsStar did not converge in $maxIter rounds")
     // Fixed point = min-rooted stars: every non-root node appears exactly
-    // once as __s pointing at its component minimum; roots self-label.
-    val roots = e.select(col("__d").as("node")).distinct()
-      .withColumn("label", col("node"))
-    e.select(col("__s").as("node"), col("__d").as("label")).union(roots)
+    // once as __s pointing at its component minimum; roots (and nodes that
+    // only ever appeared in self-loops) label themselves via the coalesce.
+    allNodes
+      .join(e.select(col("__s").as("node"), col("__d").as("label")),
+        Seq("node"), "left")
+      .select(col("node"), coalesce(col("label"), col("node")).as("label"))
   }
 
   /** Full dedup clustering over a document table: near-dup pairs →

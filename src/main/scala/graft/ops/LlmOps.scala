@@ -86,7 +86,8 @@ object LlmOps {
                          idCol: String, textCol: String,
                          shingleN: Int = 3, numHashes: Int = 16,
                          bands: Int = 4, rowsPerBand: Int = 4,
-                         threshold: Double = 0.7): DataFrame = {
+                         threshold: Double = 0.7,
+                         maxBucketSize: Int = 10000): DataFrame = {
     require(bands * rowsPerBand == numHashes,
       s"bands ($bands) x rowsPerBand ($rowsPerBand) must equal numHashes ($numHashes)")
     def planOf(df: DataFrame) = df
@@ -94,10 +95,22 @@ object LlmOps {
       .select(col(idCol), col("__mh.sh").as("__sh"), col("__mh.sig").as("__sig"))
     val basePlan = planOf(base).persist()
     val batchPlan = planOf(batch).persist()
+    // Hot-band guard on the base side: a band key shared by > cap base
+    // docs (boilerplate templates, empty docs — every one has the same
+    // single-shingle signature) would multiply EVERY colliding batch doc
+    // by that bucket's size before verification. Same silent-cap contract
+    // as nearDupPairsFromSets' census; the per-(band, key) count is an
+    // 8-byte-keyed aggregate with map-side partials.
     val baseBands = lshBands(basePlan, idCol, "__sig", bands, rowsPerBand)
       .select(col(idCol).as("__base_id"), col("band"), col("band_hash"))
+    val okBands = baseBands.groupBy("band", "band_hash")
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") <= maxBucketSize)
+      .select("band", "band_hash")
     val batchBands = lshBands(batchPlan, idCol, "__sig", bands, rowsPerBand)
-    val cand = batchBands.join(baseBands, Seq("band", "band_hash"))
+    val cand = batchBands
+      .join(baseBands.join(okBands, Seq("band", "band_hash"), "left_semi"),
+        Seq("band", "band_hash"))
       .select(col(idCol), col("__base_id")).distinct()
     val dupOfBase = cand
       .join(batchPlan.select(col(idCol), col("__sh").as("__sha")), idCol)
@@ -106,7 +119,7 @@ object LlmOps {
       .select(col(idCol)).distinct()
       .withColumn("__dupbase", lit(true))
     val dupInBatch = nearDupPairsFromSets(batchPlan, idCol,
-        bands, rowsPerBand, threshold, maxBucketSize = 10000)
+        bands, rowsPerBand, threshold, maxBucketSize)
       .select(col("id_b").as(idCol)).distinct()
       .withColumn("__dupbatch", lit(true))
     batchPlan.select(col(idCol))
@@ -345,8 +358,15 @@ object LlmOps {
                                        bands: Int, rowsPerBand: Int,
                                        maxBucketSize: Int): DataFrame = {
     val banded = lshBands(withSets, idCol, "__sig", bands, rowsPerBand)
+    // The native saturating aggregate is bigint-only; for non-long id
+    // columns fall back to plain collect_list (unbounded buffers, same
+    // SURVIVORSHIP: the size <= cap filter below drops the same buckets
+    // the saturating path drops) rather than failing analysis on a type
+    // the extension-free path accepts.
+    val idIsLong = withSets.schema(idCol).dataType ==
+      org.apache.spark.sql.types.LongType
     val collectIds =
-      if (banded.sparkSession.catalog.functionExists("bounded_collect_list"))
+      if (idIsLong && banded.sparkSession.catalog.functionExists("bounded_collect_list"))
         call_function("bounded_collect_list", col(idCol), lit(maxBucketSize))
       else collect_list(col(idCol))
     val buckets = banded.groupBy("band", "band_hash")
@@ -561,8 +581,14 @@ object LlmOps {
     // candidate generation at O(buckets · cap²) when homogeneous corpora
     // (boilerplate, templated text) collapse many sketches onto one band
     // value.
+    // Native path is bigint-only AND the two collected lists must saturate
+    // identically to stay index-aligned — so a non-long id column forces
+    // BOTH collects onto plain collect_list (same survivorship via the
+    // size filter below; unbounded buffers are the price of exotic ids).
+    val idIsLong = banded.schema(idCol).dataType ==
+      org.apache.spark.sql.types.LongType
     def collectLongs(c: Column) =
-      if (df.sparkSession.catalog.functionExists("bounded_collect_list"))
+      if (idIsLong && df.sparkSession.catalog.functionExists("bounded_collect_list"))
         call_function("bounded_collect_list", c, lit(maxBucketSize))
       else collect_list(c)
     val buckets = banded.groupBy("band", "band_val")
@@ -1218,11 +1244,11 @@ object LlmOps {
     val byGroup = df.groupBy(groupCol)
       .agg(count(lit(1)).as("n_docs"), sum(col(weightCol)).as("n_tokens"))
     val globals = byGroup.agg(min(col("n_tokens")).as("__min"))
+    val rate = sqrt(col("__min").cast("double") / col("n_tokens").cast("double"))
     byGroup.crossJoin(broadcast(globals))
       .select(col(groupCol), col("n_docs"), col("n_tokens"),
-        sqrt(col("__min").cast("double") / col("n_tokens").cast("double")).as("sample_rate"),
-        (sqrt(col("__min").cast("double") / col("n_tokens").cast("double")) *
-          col("n_tokens").cast("double")).as("sampled_tokens"))
+        rate.as("sample_rate"),
+        (rate * col("n_tokens").cast("double")).as("sampled_tokens"))
   }
 
   /** Sequence-length histogram: per-group counts of docs whose token count

@@ -89,13 +89,24 @@ class GraphSpec extends SparkTestBase {
     assert(a == b)
     val rng = new scala.util.Random(11)
     for (trial <- 1 to 3) {
+      // self-loops left IN: both modes must label a (x, x)-only node x
       val edges = Seq.fill(60)((rng.nextInt(50).toLong, rng.nextInt(50).toLong))
-        .filter { case (x, y) => x != y }.toDF("src", "dst")
+        .toDF("src", "dst")
       val dbl = Graph.connectedComponents(edges, "src", "dst").as[(Long, Long)].collect().toMap
       val star = Graph.connectedComponents(edges, "src", "dst", starContraction = true)
         .as[(Long, Long)].collect().toMap
       assert(dbl == star, s"trial $trial diverged")
     }
+  }
+
+  test("star contraction: a node appearing only in self-loops is labeled itself") {
+    val edges = Seq((5L, 5L), (1L, 2L)).toDF("src", "dst")
+    val dbl = Graph.connectedComponents(edges, "src", "dst")
+      .as[(Long, Long)].collect().toMap
+    val star = Graph.connectedComponents(edges, "src", "dst", starContraction = true)
+      .as[(Long, Long)].collect().toMap
+    assert(star == Map(5L -> 5L, 1L -> 1L, 2L -> 1L))
+    assert(dbl == star)
   }
 
   test("star contraction: a million-node chain converges (adversarial diameter)") {

@@ -37,6 +37,21 @@ class LlmOpsSpec extends SparkTestBase {
     assert(!pairs.exists { case (a, b) => a == 4L || b == 4L }) // unrelated
   }
 
+  test("near-dup pairs accept non-bigint id columns (native census gates on type)") {
+    // the native bounded_collect_list aggregate is bigint-only; a string
+    // id must transparently ride the collect_list fallback with the same
+    // pair results, not fail analysis when GraftExtensions is installed
+    val sdocs = docs.select(concat(lit("d"), $"doc_id").as("doc_id"), $"text")
+    val pairs = LlmOps.nearDupPairs(sdocs, "doc_id", "text",
+        numHashes = 16, bands = 16, threshold = 0.5)
+      .select("id_a", "id_b").as[(String, String)].collect().toSet
+    assert(pairs.contains(("d1", "d2")))
+    val sp = LlmOps.simhashPairs(sdocs, "doc_id", "text")
+      .select("id_a", "id_b").as[(String, String)].collect()
+    assert(sp.forall { case (a, b) => a < b })   // emission still ordered
+    spark.catalog.clearCache()
+  }
+
   test("near-dup jaccard is symmetric-deterministic and bounded (0,1]") {
     val out = LlmOps.nearDupPairs(docs, "doc_id", "text", threshold = 0.1)
       .as[(Long, Long, Double)].collect()
