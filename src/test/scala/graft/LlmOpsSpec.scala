@@ -15,6 +15,22 @@ class LlmOpsSpec extends SparkTestBase {
     (4L, "completely different words entirely unrelated text here okay"),
     (5L, "")).toDF("doc_id", "text")
 
+  test("round-5 operators are total on empty input: zero rows, no crash") {
+    val emptyDocs = docs.filter(lit(false))
+    assert(LlmOps.ngramDupRate(emptyDocs, "doc_id", "text").count() == 0)
+    assert(LlmOps.dupSpanStats(emptyDocs, "doc_id", "text").count() == 0)
+    assert(LlmOps.filterFunnel(emptyDocs, "doc_id", "text", 100, 0.2, 0.5).count() == 0)
+    assert(LlmOps.fertilityByGroup(emptyDocs, "doc_id", "text").count() == 0)
+    val emptyW = Seq.empty[(String, Long)].toDF("g", "n")
+    assert(LlmOps.mixturePlan(emptyW, "g", "n").count() == 0)
+    assert(LlmOps.mixturePlanTemperature(emptyW, "g", "n").count() == 0)
+    assert(LlmOps.tokenLengthHistogram(emptyW, "g", "n").count() == 0)
+    assert(LlmOps.contaminationBloom(emptyDocs, "doc_id", "text",
+      emptyDocs, "text", shingleN = 3).count() == 0)
+    assert(LlmOps.incrementalNearDup(emptyDocs, emptyDocs, "doc_id", "text").count() == 0)
+    spark.catalog.clearCache()
+  }
+
   test("exact dedup keeps min id per normalized text; idempotent (L1)") {
     val ids = LlmOps.dedupExactIds(docs, "doc_id", "text").as[Long].collect().toSet
     assert(ids == Set(1L, 3L, 4L, 5L)) // 2 collapses into 1
