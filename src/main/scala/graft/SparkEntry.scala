@@ -732,7 +732,7 @@ object SparkEntry {
       // int8 scalar-quantization calibration (per-dim corpus min/max) +
       // the probe row's quantized codes — exact double arithmetic
       val emb = t(s, dir, "embeddings")
-      VectorOps.scalarQuantize(emb, "embedding", "vec_id",
+      VectorOps.scalarQuantize(emb, "embedding",
           emb.filter(col("vec_id") === 0))
         .orderBy("pos")
     }),
@@ -1128,7 +1128,9 @@ object SparkEntry {
              list_reduce(list_transform(range(1, len(qv)+1),
                i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)), (x, y) -> x + y) AS nb
            FROM embeddings, q)
-         SELECT vec_id, dot / (sqrt(na) * sqrt(nb)) AS score
+         SELECT vec_id,
+           CASE WHEN na = 0 OR nb = 0 THEN 0.0
+                ELSE dot / (sqrt(na) * sqrt(nb)) END AS score
          FROM s ORDER BY score DESC, vec_id LIMIT 10""",
 
     "range_join_pairs" ->
@@ -1216,8 +1218,11 @@ object SparkEntry {
                i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), (x, y) -> x + y) AS nb
            FROM embeddings a JOIN embeddings b
              ON a.label = b.label AND a.vec_id < b.vec_id)
-         SELECT id_a, id_b, dot / (sqrt(na) * sqrt(nb)) AS score
-         FROM s WHERE dot / (sqrt(na) * sqrt(nb)) >= 0.25
+         SELECT id_a, id_b,
+           CASE WHEN na = 0 OR nb = 0 THEN 0.0
+                ELSE dot / (sqrt(na) * sqrt(nb)) END AS score
+         FROM s WHERE na <> 0 AND nb <> 0
+           AND dot / (sqrt(na) * sqrt(nb)) >= 0.25
          ORDER BY id_a, id_b""",
 
     "dedup_semantic" ->
@@ -1234,15 +1239,20 @@ object SparkEntry {
                  (x, y) -> x + y) >= 0
                THEN (1::BIGINT << p.j) ELSE 0 END) AS BIGINT) FROM planes p) AS cluster
            FROM embeddings e),
-         pairs AS (
+         pr AS (
            SELECT y.vec_id AS id_b,
              list_reduce(list_transform(range(1, len(x.embedding) + 1),
-               i -> CAST(x.embedding[i] AS DOUBLE) * CAST(y.embedding[i] AS DOUBLE)), (u, v) -> u + v)
-             / (sqrt(list_reduce(list_transform(range(1, len(x.embedding) + 1),
-                 i -> CAST(x.embedding[i] AS DOUBLE) * CAST(x.embedding[i] AS DOUBLE)), (u, v) -> u + v))
-               * sqrt(list_reduce(list_transform(range(1, len(y.embedding) + 1),
-                 i -> CAST(y.embedding[i] AS DOUBLE) * CAST(y.embedding[i] AS DOUBLE)), (u, v) -> u + v))) AS score
+               i -> CAST(x.embedding[i] AS DOUBLE) * CAST(y.embedding[i] AS DOUBLE)), (u, v) -> u + v) AS dot,
+             list_reduce(list_transform(range(1, len(x.embedding) + 1),
+               i -> CAST(x.embedding[i] AS DOUBLE) * CAST(x.embedding[i] AS DOUBLE)), (u, v) -> u + v) AS na,
+             list_reduce(list_transform(range(1, len(y.embedding) + 1),
+               i -> CAST(y.embedding[i] AS DOUBLE) * CAST(y.embedding[i] AS DOUBLE)), (u, v) -> u + v) AS nb
            FROM b x JOIN b y ON x.cluster = y.cluster AND x.vec_id < y.vec_id),
+         pairs AS (
+           SELECT id_b,
+             CASE WHEN na = 0 OR nb = 0 THEN 0.0
+                  ELSE dot / (sqrt(na) * sqrt(nb)) END AS score
+           FROM pr),
          dropped AS (SELECT DISTINCT id_b FROM pairs WHERE score >= 0.25)
          SELECT b.vec_id, b.cluster, (d.id_b IS NULL) AS keep
          FROM b LEFT JOIN dropped d ON b.vec_id = d.id_b
@@ -1522,7 +1532,9 @@ object SparkEntry {
              list_reduce(list_transform(range(1, len(q.qv) + 1),
                i -> CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)), (x, y) -> x + y) AS nb
            FROM b JOIN q ON b.bucket IN (SELECT pb FROM probes))
-         SELECT vec_id, dot / (sqrt(na) * sqrt(nb)) AS score
+         SELECT vec_id,
+           CASE WHEN na = 0 OR nb = 0 THEN 0.0
+                ELSE dot / (sqrt(na) * sqrt(nb)) END AS score
          FROM s ORDER BY score DESC, vec_id LIMIT 10""",
 
     "multimodal_features" ->
@@ -1945,11 +1957,12 @@ object SparkEntry {
     "scd2_history" ->
       """WITH c AS (
            SELECT user_id, event_type, ts, event_id,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
              lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
            FROM events),
          ch AS (
            SELECT user_id, event_type, ts, event_id FROM c
-           WHERE prev IS NULL OR prev <> event_type),
+           WHERE rn = 1 OR prev IS DISTINCT FROM event_type),
          v AS (
            SELECT user_id, event_type,
              CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS version,

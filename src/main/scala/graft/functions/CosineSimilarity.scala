@@ -61,6 +61,12 @@ case class CosineSimilarity(left: Expression, right: Expression)
       nb += yi * yi
       i += 1
     }
+    // Zero-norm guard: 0/0 would be NaN, and Spark sorts NaN ABOVE every
+    // number — a zero (missing/failed) embedding would rank #1 in every
+    // top-k and read as a near-dup of everything in its block. Cosine to
+    // the zero vector is defined here as 0 (no similarity). Mirrored in
+    // doGenCode, VectorOps.cosine and every oracle twin.
+    if (na == 0.0 || nb == 0.0) return 0.0
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
@@ -87,7 +93,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
          |    $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
          |  }
          |  if (!${ev.isNull}) {
-         |    ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |    ${ev.value} = ($na == 0.0 || $nb == 0.0) ? 0.0
+         |      : $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
          |  }
          |}
        """.stripMargin

@@ -27,9 +27,19 @@ object VectorOps {
   /** L2 norm. */
   def l2Norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** Cosine similarity = dot / (|a| * |b|). */
-  def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (l2Norm(a) * l2Norm(b))
+  /** Cosine similarity = dot / (|a| * |b|), defined as 0 for a zero-norm
+    * side. Without the guard 0/0 yields NaN, and Spark sorts NaN ABOVE
+    * every number — a zero (missing/failed) embedding would rank #1 in
+    * every top-k and read as a near-dup of everything in its block,
+    * silently dropping its whole cluster in a dedup run. Mirrored in the
+    * native [[CosineSimilarity]] expression and every oracle twin.
+    */
+  def cosine(a: Column, b: Column): Column = {
+    val na = dot(a, a)
+    val nb = dot(b, b)
+    when(na === 0.0 || nb === 0.0, lit(0.0))
+      .otherwise(dot(a, b) / (sqrt(na) * sqrt(nb)))
+  }
 
   /** Cosine via the native codegen'd [[CosineSimilarity]] expression when
     * GraftExtensions is installed, falling back to the HOF composition.
@@ -54,7 +64,7 @@ object VectorOps {
     * float→double widening and IEEE ops in fixed order, so an external
     * SQL engine replays the codes bit for bit.
     */
-  def scalarQuantize(embeddings: DataFrame, embCol: String, idCol: String,
+  def scalarQuantize(embeddings: DataFrame, embCol: String,
                      probe: DataFrame): DataFrame = {
     val dims = embeddings
       .select(posexplode(col(embCol).cast("array<double>")).as(Seq("pos", "__v")))
@@ -201,8 +211,11 @@ object VectorOps {
     * pass to size a modulus (at 100 TB that pre-count was an extra
     * all-files metadata job before sampling even started), and the sample
     * size is exactly min(cap, |df|) rather than binomially distributed
-    * around cap. Deterministic and partitioning-independent: the hash
-    * order is derived from row content alone.
+    * around cap. Deterministic and partitioning-independent PROVIDED
+    * `keyCol` values are distinct: rows sharing a key value tie in the
+    * hash order, and which of them crosses the cap boundary is then
+    * layout-dependent — pass a unique key (or accept that duplicates
+    * near the boundary may swap, which is harmless for k-means seeding).
     */
   def deterministicSample(df: DataFrame, keyCol: String, cap: Long): DataFrame = {
     require(cap > 0 && cap <= Int.MaxValue, s"cap out of range: $cap")
@@ -302,7 +315,9 @@ object VectorOps {
   def ivfIndex(embeddings: DataFrame, embCol: String,
                nCells: Int, seed: Long = 42L, sampleCap: Int = 4096,
                iters: Int = 10): (DataFrame, DataFrame) = {
-    val vecs = embeddings.select(col(embCol).cast("array<double>").as("__v"))
+    val vecs = embeddings
+      .filter(col(embCol).isNotNull) // a null embedding would NPE the fit
+      .select(col(embCol).cast("array<double>").as("__v"))
     val subset = deterministicSample(vecs, "__v", sampleCap)
       .collect().map(_.getSeq[Double](0).toArray)
     require(subset.nonEmpty, "ivfIndex: empty embedding table")

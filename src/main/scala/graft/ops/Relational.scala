@@ -68,8 +68,13 @@ object Relational {
     * /root/reference/main.py:59-68,225-234). Tolerates per-page schema drift
     * the way the reference's inferred frames did, but explicitly.
     */
-  def unionPages(pages: Seq[DataFrame]): DataFrame =
+  def unionPages(pages: Seq[DataFrame]): DataFrame = {
+    // loud contract instead of scala's bare "empty.reduce" error — an
+    // empty fetch day is a caller decision (skip, or pass a typed empty)
+    require(pages.nonEmpty, "unionPages: no pages — an empty fetch must be " +
+      "handled by the caller (skip the load or pass an empty typed frame)")
     pages.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
 
   /** groupBy().count() — the reference's running row counters
     * (/root/reference/main.py:63,99,153) done distributed: map-side partial
@@ -184,10 +189,12 @@ object Relational {
     * only aggregate rows, never raw events.
     */
   def mergeCounts(partials: Seq[DataFrame], keys: Seq[String],
-                  countCol: String): DataFrame =
+                  countCol: String): DataFrame = {
+    require(partials.nonEmpty, "mergeCounts: no partial tables to merge")
     partials.reduce(_.unionByName(_))
       .groupBy(keys.map(col): _*)
       .agg(sum(col(countCol)).cast("long").as(countCol))
+  }
 
   /** Rolling event-time aggregate with a RANGE frame: for every row, the
     * count of that key's events in the trailing `windowSeconds` (e.g.
@@ -211,6 +218,11 @@ object Relational {
     * selection without RNG state. Plans as WindowGroupLimit: each
     * partition keeps at most k rows per group before the shuffle, so the
     * full groups never materialize on one node.
+    *
+    * Determinism CONTRACT: `keyCol` must be unique within each group (a
+    * row id). Rows sharing a key value get identical sort keys, and which
+    * of them lands inside the k cut is then partition-order-dependent —
+    * the hash order can only be as unique as the key it hashes.
     */
   def perGroupSample(df: DataFrame, groupCol: String, keyCol: String,
                      k: Int): DataFrame = {

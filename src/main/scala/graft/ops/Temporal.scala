@@ -15,10 +15,15 @@ object Temporal {
     * `strptime(s, "%Y-%m-%dT%H:%M:%S%z")` (/root/reference/main.py:263-265).
     * Null-safe: unparseable strings yield null, not an exception
     * (`try_to_timestamp`, since plain `to_timestamp` throws under ANSI
-    * mode — Spark 4 default).
+    * mode — Spark 4 default). Python's %z accepts BOTH offset spellings —
+    * colon (+01:00 / Z, pattern XXX) and colon-less (+0100, pattern XX) —
+    * so this tries both; a single XXX would silently null every RFC-822
+    * style offset and under-read the incremental load.
     */
   def parseIsoOffset(c: Column): Column =
-    try_to_timestamp(c, lit("yyyy-MM-dd'T'HH:mm:ssXXX"))
+    coalesce(
+      try_to_timestamp(c, lit("yyyy-MM-dd'T'HH:mm:ssXXX")),
+      try_to_timestamp(c, lit("yyyy-MM-dd'T'HH:mm:ssXX")))
 
   /** High-watermark: max of the load timestamp column
     * (/root/reference/main.py:261). Catalyst prunes the scan to this one
@@ -100,9 +105,16 @@ object Temporal {
                   tsCol: String, tieBreak: String): DataFrame = {
     val w = Window.partitionBy(col(keyCol))
       .orderBy(col(tsCol).asc, col(tieBreak).asc)
+    // Null-safe change detection: `prev =!= attr` is null (row dropped)
+    // when the attribute transitions TO null, and `prev IS NULL` cannot
+    // distinguish "first event" from "previous attribute was null" — so
+    // first-ness comes from row_number and the comparison uses <=>. A
+    // null attribute value is a legitimate SCD2 version.
     val changed = df
+      .withColumn("__rn", row_number().over(w))
       .withColumn("__prev", lag(col(attrCol), 1).over(w))
-      .filter(col("__prev").isNull || col("__prev") =!= col(attrCol))
+      .filter(col("__rn") === 1 || !(col("__prev") <=> col(attrCol)))
+      .drop("__rn")
     val w2 = Window.partitionBy(col(keyCol))
       .orderBy(col(tsCol).asc, col(tieBreak).asc)
     changed
@@ -173,6 +185,10 @@ object Temporal {
       .withColumn("cohort_week", min(col("__week")).over(w))
       .withColumn("week_offset", col("__week") - col("cohort_week"))
       .groupBy("cohort_week", "week_offset")
-      .agg(countDistinct(col(keyCol)).as("n_users"))
+      // keys are unique per (cohort_week, week_offset) by construction
+      // (active is distinct on (key, week) and the group is a function of
+      // that pair), so a plain count equals count-distinct without the
+      // extra distinct aggregation pass
+      .agg(count(lit(1)).as("n_users"))
   }
 }

@@ -193,10 +193,16 @@ object StreamingOps {
     * fires (watermark passes last event + gap) or a new event arrives
     * beyond the gap.
     */
-  def sessionizeStateful(ds: Dataset[SessionEvent], gapMs: Long)(
+  def sessionizeStateful(ds: Dataset[SessionEvent], gapMs: Long,
+                         watermarkDelay: Option[String] = None)(
       implicit closedEnc: org.apache.spark.sql.Encoder[ClosedSession],
       stateEnc: org.apache.spark.sql.Encoder[SessionState]): Dataset[ClosedSession] = {
-    ds.groupByKey(_.userId)(org.apache.spark.sql.Encoders.scalaLong)
+    // EventTimeTimeout REQUIRES a watermark on the input: pass
+    // watermarkDelay to apply it here, or watermark upstream (as the
+    // specs do) — without either, the streaming query fails at start with
+    // 'Watermark must be specified'.
+    val src = watermarkDelay.fold(ds)(d => ds.withWatermark("ts", d))
+    src.groupByKey(_.userId)(org.apache.spark.sql.Encoders.scalaLong)
       .flatMapGroupsWithState[SessionState, ClosedSession](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         (userId: Long, events: Iterator[SessionEvent], state: GroupState[SessionState]) =>
@@ -270,7 +276,11 @@ object StreamingOps {
               out ::= FunnelProgress(userId, s.stage, e.ts.getTime)
             }
           }
-          state.update(s)
+          // Only write state for keys that actually entered the funnel:
+          // most keys in a typical stream never match stage 0, and an
+          // unconditional update would grow the store with |all keys ever
+          // seen| instead of |funnel entrants|.
+          if (out.nonEmpty || state.exists) state.update(s)
           out.reverseIterator
       }
   }

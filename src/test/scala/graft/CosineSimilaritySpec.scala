@@ -34,6 +34,24 @@ class CosineSimilaritySpec extends SparkTestBase {
     assert(mismatches == 0)
   }
 
+  test("zero-norm vectors score 0 (not NaN) in BOTH implementations") {
+    // NaN would sort ABOVE every real score in Spark, putting missing
+    // embeddings first in every top-k and flagging them as near-dups of
+    // everything — the guard defines cosine-to-zero as 0, both paths
+    val df = Seq(
+      (1L, Seq(0.0f, 0.0f), Seq(1.0f, 2.0f)),   // zero left
+      (2L, Seq(1.0f, 2.0f), Seq(0.0f, 0.0f)),   // zero right
+      (3L, Seq(0.0f, 0.0f), Seq(0.0f, 0.0f)))   // both zero
+      .toDF("id", "a", "b")
+    val out = df.select($"id",
+        call_function("cosine_sim", $"a", $"b").as("native"),
+        VectorOps.cosine($"a", $"b").as("hof"))
+      .as[(Long, Double, Double)].collect()
+    out.foreach { case (id, n, h) =>
+      assert(n == 0.0 && h == 0.0, s"row $id: native=$n hof=$h")
+    }
+  }
+
   test("ragged lengths and null elements yield null in BOTH implementations") {
     val df = Seq(
       (1L, Seq(Some(1.0f), Some(2.0f)), Seq(Some(1.0f))),             // ragged

@@ -116,7 +116,7 @@ class VectorOpsSpec extends SparkTestBase {
       (0L, Array(0.0f, 10.0f, 5.0f)),   // probe
       (1L, Array(10.0f, 0.0f, 5.0f)),
       (2L, Array(5.0f, 5.0f, 5.0f))).toDF("vec_id", "embedding")
-    val out = VectorOps.scalarQuantize(df, "embedding", "vec_id",
+    val out = VectorOps.scalarQuantize(df, "embedding",
         df.filter($"vec_id" === 0))
       .orderBy("pos")
       .select("pos", "dmin", "dmax", "code")
