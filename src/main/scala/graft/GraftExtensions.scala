@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{BoundedCollectList, CosineSimilarity, HashedShingles, MinHashShingles, NearestCell, SimHash48}
+import graft.functions.{BoundedCollectList, CosineSimilarity, HashedShingles, MinHashShingles, NearestCell, ShingleSeq, SimHash48}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * Catalyst expressions so they resolve by name in SQL and
@@ -28,6 +28,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[MinHashShingles].getName, null, "minhash_plan",
         "minhash_plan(text, n, k) - portable md5-48 shingle set + k-component MinHash signature", ""),
       (children: Seq[Expression]) => MinHashShingles(children.head, children(1), children(2))))
+    ext.injectFunction((
+      new FunctionIdentifier("shingle_seq"),
+      new ExpressionInfo(classOf[ShingleSeq].getName, null, "shingle_seq",
+        "shingle_seq(text, n) - positional md5-48 shingle-hash sequence, duplicates kept", ""),
+      (children: Seq[Expression]) => ShingleSeq(children.head, children(1))))
     ext.injectFunction((
       new FunctionIdentifier("simhash48"),
       new ExpressionInfo(classOf[SimHash48].getName, null, "simhash48",

@@ -678,6 +678,19 @@ object LlmOps {
       sequence(lit(0), greatest(size(tokenCol) - n, lit(0))),
       i => md5Hash48(concat_ws(" ", slice(tokenCol, i + 1, lit(n))), 1))
 
+  /** [[shingleHashSeq]] over raw TEXT via the native ShingleSeq expression
+    * when GraftExtensions is installed (one MessageDigest pass per doc; the
+    * HOF path re-runs an interpreted concat/md5/conv tree per window), HOF
+    * `shingleHashSeq(tokens(c), n)` fallback otherwise. Both produce
+    * IDENTICAL values (same md5-48 family, same positional non-distinct
+    * stream) — asserted bitwise by ShingleSeqSpec — so plans may switch
+    * freely without affecting results.
+    */
+  def shingleSeqBest(df: DataFrame, c: Column, n: Int): Column =
+    if (df.sparkSession.catalog.functionExists("shingle_seq"))
+      call_function("shingle_seq", c, lit(n))
+    else shingleHashSeq(tokens(c), n)
+
   /** Winnowing fingerprints (MOSS-style): the minimum shingle hash in each
     * sliding window of `w` consecutive shingles, deduplicated. Guarantees
     * any shared run of >= w+shingleN-1 tokens between two documents yields
@@ -700,8 +713,7 @@ object LlmOps {
     */
   def winnowCounts(df: DataFrame, idCol: String, textCol: String,
                    shingleN: Int, w: Int): DataFrame =
-    df.select(col(idCol), tokens(col(textCol)).as("__t"))
-      .select(col(idCol), shingleHashSeq(col("__t"), shingleN).as("__shseq"))
+    df.select(col(idCol), shingleSeqBest(df, col(textCol), shingleN).as("__shseq"))
       .select(col(idCol),
         transform(
           sequence(lit(0), greatest(size(col("__shseq")) - w, lit(0))),
@@ -717,8 +729,7 @@ object LlmOps {
     */
   def repetitionScore(df: DataFrame, idCol: String, textCol: String,
                       shingleN: Int = 3): DataFrame =
-    df.select(col(idCol), tokens(col(textCol)).as("__t"))
-      .select(col(idCol), shingleHashSeq(col("__t"), shingleN).as("__s"))
+    df.select(col(idCol), shingleSeqBest(df, col(textCol), shingleN).as("__s"))
       .select(col(idCol),
         size(col("__s")).cast("long").as("n_shingles"),
         size(array_distinct(col("__s"))).cast("long").as("n_distinct"))
@@ -762,14 +773,18 @@ object LlmOps {
   def contamination(docs: DataFrame, idCol: String, textCol: String,
                     benchmark: DataFrame, benchTextCol: String,
                     shingleN: Int): DataFrame = {
+    // Both shingle sides ride the native one-pass minhash_plan expression
+    // (k=1, signature unused) — bitwise the same md5-48 values the HOF
+    // shingleHashSeq path produced, one MessageDigest pass per doc instead
+    // of four nested interpreted HOFs; `sh` is already distinct, so no
+    // array_distinct stage. HOF fallback when the extension isn't loaded.
     val benchSet = benchmark
-      .select(tokens(col(benchTextCol)).as("__t"))
-      .select(explode(shingleHashSeq(col("__t"), shingleN)).as("__bsh"))
+      .select(explode(minhashPlanBest(benchmark, col(benchTextCol), shingleN, 1)
+        .getField("sh")).as("__bsh"))
       .distinct()
     val docSets = docs
-      .select(col(idCol), tokens(col(textCol)).as("__t"))
       .select(col(idCol),
-        array_distinct(shingleHashSeq(col("__t"), shingleN)).as("__sh"))
+        minhashPlanBest(docs, col(textCol), shingleN, 1).getField("sh").as("__sh"))
     contaminationFromSets(docSets, idCol, benchSet)
   }
 
@@ -998,14 +1013,11 @@ object LlmOps {
     // Persisted: the exploded (doc, bigram) stream feeds the count table,
     // the corpus total AND the scoring join — one hashing pass, not three.
     // Same caching contract as nearDupPairs (callers clearCache() after).
-    // Tokens are materialized in their own projection BEFORE the shingle
-    // lambda: a HOF lambda re-evaluates any expression it captures per
-    // element, so inlining `tokens(text)` would re-run the regex split
-    // once per bigram — O(tokens × bigrams) per doc (measured 5× slower
-    // on the sf0.1 corpus).
+    // Bigram hashes come from the native positional shingle_seq expression
+    // (one MessageDigest pass per doc; HOF fallback with pre-materialized
+    // tokens when the extension isn't loaded — identical values).
     val docBg = df
-      .select(col(idCol), tokens(col(textCol)).as("__t"))
-      .select(col(idCol), explode(shingleHashSeq(col("__t"), 2)).as("__bg"))
+      .select(col(idCol), explode(shingleSeqBest(df, col(textCol), 2)).as("__bg"))
       .persist()
     val counts = docBg.groupBy("__bg").agg(count(lit(1)).as("__c"))
     // total bigram instances == the stream's row count (cheaper than
@@ -1125,9 +1137,8 @@ object LlmOps {
   def dupSpanStats(df: DataFrame, idCol: String, textCol: String,
                    shingleN: Int = 3): DataFrame = {
     val sh = df
-      .select(col(idCol), tokens(col(textCol)).as("__t"))
       .select(col(idCol),
-        posexplode(shingleHashSeq(col("__t"), shingleN)).as(Seq("__pos", "__h")))
+        posexplode(shingleSeqBest(df, col(textCol), shingleN)).as(Seq("__pos", "__h")))
     val wh = org.apache.spark.sql.expressions.Window.partitionBy(col("__h"))
     val wd = org.apache.spark.sql.expressions.Window
       .partitionBy(col(idCol)).orderBy(col("__pos"))
@@ -1161,13 +1172,12 @@ object LlmOps {
                    minChars: Int, maxRepetition: Double, minAlphaRatio: Double,
                    shingleN: Int = 3): DataFrame = {
     val scored = df
-      .select(col(groupCol), col(textCol).as("__x"),
-        tokens(col(textCol)).as("__t"))
+      .select(col(groupCol), col(textCol).as("__x"))
       .select(col(groupCol),
         length(col("__x")).as("__len"),
         (regexp_count(col("__x"), lit("[a-z]")).cast("double") /
           length(col("__x")).cast("double")).as("__alpha"),
-        shingleHashSeq(col("__t"), shingleN).as("__s"))
+        shingleSeqBest(df, col("__x"), shingleN).as("__s"))
       .select(col(groupCol), col("__len"), col("__alpha"),
         (lit(1.0) - size(array_distinct(col("__s"))).cast("double") /
           size(col("__s")).cast("double")).as("__rep"))
