@@ -49,9 +49,16 @@ object BenchOne {
       // (typically largest) execution's End event under load. Poll until
       // every Start has seen its End, bounded at 15 s, and say so if the
       // drain was incomplete — an under-reported profile must not look
-      // complete.
+      // complete. "Empty" must be observed TWICE with a grace gap: a Start
+      // event can still be queued on the bus when count() returns, so a
+      // single empty observation can race ahead of it and silently drop
+      // that execution from the totals.
       val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
-      while (!execs.isEmpty && System.nanoTime() < deadline) Thread.sleep(100)
+      var stableEmpty = 0
+      while (stableEmpty < 2 && System.nanoTime() < deadline) {
+        if (execs.isEmpty) { stableEmpty += 1; Thread.sleep(300) }
+        else { stableEmpty = 0; Thread.sleep(100) }
+      }
       spark.sparkContext.removeSparkListener(l)
       spark.catalog.clearCache()
       if (!execs.isEmpty)

@@ -20,24 +20,24 @@ object Tables {
   // times per query over immutable inputs (the harness testdata is
   // read-only by contract, so the captured file listing cannot go stale).
   // Caching the DataFrame handle (the analyzed relation — NOT the data; no
-  // persist here) removes that repeated driver-side metadata work. Outer
-  // map is WEAKLY keyed by session identity, so a stopped session's
-  // relations are GC-eligible with it instead of pinning SparkSession +
-  // analyzed plans for the JVM's lifetime (test suites and repeated tool
-  // mains create many sessions per JVM).
+  // persist here) removes that repeated driver-side metadata work.
+  // Eviction is EXPLICIT, not weak-reference based: the cached DataFrames
+  // strongly reference their own SparkSession (Dataset → QueryExecution →
+  // session), so a WeakHashMap keyed by session could never reclaim an
+  // entry — the value pins the key (the WeakHashMap javadoc's classic
+  // self-referencing-value trap). Instead every load() drops entries whose
+  // SparkContext is stopped, so stopped sessions + analyzed plans are
+  // freed on the next cache touch (test suites and repeated tool mains
+  // create many sessions per JVM).
   private val relations =
-    new java.util.WeakHashMap[SparkSession,
+    new java.util.concurrent.ConcurrentHashMap[SparkSession,
       java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]]()
 
   def load(spark: SparkSession, sfDir: String, table: String): DataFrame = {
-    val perSession = relations.synchronized {
-      var m = relations.get(spark)
-      if (m == null) {
-        m = new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
-        relations.put(spark, m)
-      }
-      m
-    }
+    val it = relations.keySet().iterator()
+    while (it.hasNext) if (it.next().sparkContext.isStopped) it.remove()
+    val perSession = relations.computeIfAbsent(spark,
+      _ => new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]())
     perSession.computeIfAbsent((sfDir, table), { _ =>
       if (table == "events") loadEvents(spark, sfDir)
       else spark.read.parquet(s"$sfDir/$table.parquet")

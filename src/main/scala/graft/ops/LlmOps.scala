@@ -1207,10 +1207,18 @@ object LlmOps {
       .agg(count(lit(1)).as("n_docs"), sum(col(weightCol)).as("n_tokens"))
     val globals = byGroup.agg(min(col("n_tokens")).as("__min"),
       sum(col("n_tokens")).as("__total"))
+    // Zero-sum guards: a group of all-zero weights yields null share/rate
+    // instead of NaN/Infinity — the same answer DuckDB's x/0 → NULL gives,
+    // so the oracle twin agrees even on degenerate groups (empty-input
+    // totality standard).
     byGroup.crossJoin(broadcast(globals))
       .select(col(groupCol), col("n_docs"), col("n_tokens"),
-        (col("n_tokens").cast("double") / col("__total").cast("double")).as("share"),
-        (col("__min").cast("double") / col("n_tokens").cast("double")).as("sample_rate"))
+        when(col("__total") === 0, lit(null))
+          .otherwise(col("n_tokens").cast("double") / col("__total").cast("double"))
+          .as("share"),
+        when(col("n_tokens") === 0, lit(null))
+          .otherwise(col("__min").cast("double") / col("n_tokens").cast("double"))
+          .as("sample_rate"))
   }
 
   /** Tokenizer fertility by group (language, source, …): subword-proxy
@@ -1232,7 +1240,10 @@ object LlmOps {
         sum(col("__ws")).as("n_ws_tokens"),
         sum(col("__bpe")).as("n_bpe_tokens"))
       .withColumn("fertility",
-        col("n_bpe_tokens").cast("double") / col("n_ws_tokens").cast("double"))
+        // null (not NaN/Inf) when a group has zero whitespace tokens —
+        // matches DuckDB's x/0 → NULL so the oracle twin agrees
+        when(col("n_ws_tokens") === 0, lit(null))
+          .otherwise(col("n_bpe_tokens").cast("double") / col("n_ws_tokens").cast("double")))
 
   /** Temperature-scaled mixture plan (α = 0.5): per-source sampling rates
     * making the sampled token share proportional to tokens^α — the
@@ -1254,7 +1265,9 @@ object LlmOps {
     val byGroup = df.groupBy(groupCol)
       .agg(count(lit(1)).as("n_docs"), sum(col(weightCol)).as("n_tokens"))
     val globals = byGroup.agg(min(col("n_tokens")).as("__min"))
-    val rate = sqrt(col("__min").cast("double") / col("n_tokens").cast("double"))
+    // zero-token guard as in mixturePlan: null rate, matching DuckDB x/0
+    val rate = when(col("n_tokens") === 0, lit(null))
+      .otherwise(sqrt(col("__min").cast("double") / col("n_tokens").cast("double")))
     byGroup.crossJoin(broadcast(globals))
       .select(col(groupCol), col("n_docs"), col("n_tokens"),
         rate.as("sample_rate"),

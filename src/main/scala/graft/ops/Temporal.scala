@@ -132,9 +132,13 @@ object Temporal {
   /** Ordered-event funnel: per key, the earliest time each stage was
     * reached, where stage i+1 only counts STRICTLY AFTER stage i's time —
     * the conversion analysis (view → click → purchase) every event
-    * warehouse ships. A failed stage yields null, which propagates
+    * warehouse ships. A failed LATER stage yields null, which propagates
     * through the remaining stages (`ts > null` is never true), so
-    * `stage_reached` = number of non-null times.
+    * `stage_reached` = number of non-null times. The output universe is
+    * keys that reached stage 1: a key with NO stage-1 event emits no row
+    * at all (there is no stage_reached=0 row) — funnel-conversion
+    * denominators wanting all keys should left-join this back to the
+    * distinct key set.
     *
     * Shape: one min-aggregate per stage plus a left join per stage, all
     * keyed on `keyCol` — the shuffles co-partition and AQE collapses the

@@ -31,6 +31,30 @@ class LlmOpsSpec extends SparkTestBase {
     spark.catalog.clearCache()
   }
 
+  test("zero-weight groups yield null (not NaN/Inf) rates — ADVICE totality fix") {
+    // a source whose docs all have zero tokens: share/sample_rate/fertility
+    // must be null like DuckDB's x/0, never NaN or Infinity
+    val w = Seq(("a", 10L), ("a", 20L), ("z", 0L), ("z", 0L)).toDF("g", "n")
+    val mp = LlmOps.mixturePlan(w, "g", "n")
+      .filter($"g" === "z").select("share", "sample_rate")
+      .as[(Option[Double], Option[Double])].head()
+    assert(mp._1.contains(0.0) && mp._2.isEmpty) // share 0/30 = 0; rate min/0 = null
+    val mpt = LlmOps.mixturePlanTemperature(w, "g", "n")
+      .filter($"g" === "z").select("sample_rate", "sampled_tokens")
+      .as[(Option[Double], Option[Double])].head()
+    assert(mpt._1.isEmpty && mpt._2.isEmpty)
+    // all-zero corpus: share itself divides by a zero total
+    val allZero = Seq(("z", 0L)).toDF("g", "n")
+    val mz = LlmOps.mixturePlan(allZero, "g", "n")
+      .select("share", "sample_rate").as[(Option[Double], Option[Double])].head()
+    assert(mz._1.isEmpty && mz._2.isEmpty)
+    val fert = LlmOps.fertilityByGroup(
+        Seq((1L, ""), (2L, "")).toDF("doc_id", "text").withColumn("g", lit("z")),
+        "g", "text")
+      .select("fertility").as[Option[Double]].head()
+    assert(fert.isEmpty)
+  }
+
   test("exact dedup keeps min id per normalized text; idempotent (L1)") {
     val ids = LlmOps.dedupExactIds(docs, "doc_id", "text").as[Long].collect().toSet
     assert(ids == Set(1L, 3L, 4L, 5L)) // 2 collapses into 1
