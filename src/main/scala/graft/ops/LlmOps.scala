@@ -53,12 +53,31 @@ object LlmOps {
     * by fingerprint).
     */
   def incrementalDedup(base: DataFrame, batch: DataFrame,
-                       idCol: String, textCol: String): DataFrame = {
-    val baseFps = base.select(fingerprint(col(textCol)).as("__fp")).distinct()
+                       idCol: String, textCol: String): DataFrame =
+    incrementalDedupFromState(
+      fingerprintStore(base, textCol), batch, idCol, textCol)
+
+  /** The persisted incremental state for [[incrementalDedup]]: the base
+    * corpus's DISTINCT normalized-text fingerprints (`fp`, 16 bytes each).
+    * Write it with [[Sink]], re-read it next run, and probe with
+    * [[incrementalDedupFromState]] — the nightly flow that never rescans
+    * base text. Parity with the in-query derivation is spec-checked
+    * (IncrementalStateSpec).
+    */
+  def fingerprintStore(base: DataFrame, textCol: String): DataFrame =
+    base.select(fingerprint(col(textCol)).as("fp")).distinct()
+
+  /** [[incrementalDedup]] against a PRE-COMPUTED fingerprint store
+    * (`fp` column, as [[fingerprintStore]] emits — e.g. re-read from the
+    * previous run's Sink output) instead of deriving it from base text.
+    */
+  def incrementalDedupFromState(baseFps: DataFrame, batch: DataFrame,
+                                idCol: String, textCol: String): DataFrame = {
+    val marked = baseFps.select(col("fp").as("__fp")).distinct()
       .withColumn("__in_base", lit(true))
     val w = org.apache.spark.sql.expressions.Window.partitionBy("__fp")
     batch.select(col(idCol), fingerprint(col(textCol)).as("__fp"))
-      .join(baseFps, Seq("__fp"), "left")
+      .join(marked, Seq("__fp"), "left")
       .withColumn("__min_id", min(col(idCol)).over(w))
       .select(col(idCol),
         coalesce(col("__in_base"), lit(false)).as("dup_of_base"),
@@ -87,14 +106,47 @@ object LlmOps {
                          shingleN: Int = 3, numHashes: Int = 16,
                          bands: Int = 4, rowsPerBand: Int = 4,
                          threshold: Double = 0.7,
-                         maxBucketSize: Int = 10000): DataFrame = {
+                         maxBucketSize: Int = 10000): DataFrame =
+    incrementalNearDupFromState(
+      signatureStore(base, idCol, textCol, shingleN, numHashes),
+      batch, idCol, textCol, shingleN, numHashes, bands, rowsPerBand,
+      threshold, maxBucketSize)
+
+  /** The persisted incremental state for [[incrementalNearDup]]: one row
+    * per base doc with its distinct shingle-hash set (`sh`) and
+    * `numHashes`-component MinHash signature (`sig`) — the signature
+    * store a nightly ingest writes via [[Sink]] and probes on every
+    * subsequent batch without touching base text. Parity between probing
+    * this stored state and the in-query derivation is spec-checked
+    * (IncrementalStateSpec).
+    */
+  def signatureStore(base: DataFrame, idCol: String, textCol: String,
+                     shingleN: Int = 3, numHashes: Int = 16): DataFrame =
+    base.select(col(idCol), minhashPlanBest(base, col(textCol), shingleN, numHashes).as("__mh"))
+      .select(col(idCol), col("__mh.sh").as("sh"), col("__mh.sig").as("sig"))
+
+  /** [[incrementalNearDup]] against a PRE-COMPUTED signature store
+    * (`idCol`, `sh`, `sig` — as [[signatureStore]] emits, e.g. re-read
+    * from the previous run's Sink output). `sig` must carry exactly
+    * `numHashes` components (it does when the store was built with the
+    * same `shingleN`/`numHashes`); the bands × rowsPerBand contract is
+    * unchanged.
+    */
+  def incrementalNearDupFromState(baseState: DataFrame, batch: DataFrame,
+                                  idCol: String, textCol: String,
+                                  shingleN: Int = 3, numHashes: Int = 16,
+                                  bands: Int = 4, rowsPerBand: Int = 4,
+                                  threshold: Double = 0.7,
+                                  maxBucketSize: Int = 10000): DataFrame = {
     require(bands * rowsPerBand == numHashes,
       s"bands ($bands) x rowsPerBand ($rowsPerBand) must equal numHashes ($numHashes)")
-    def planOf(df: DataFrame) = df
-      .select(col(idCol), minhashPlanBest(df, col(textCol), shingleN, numHashes).as("__mh"))
+    val basePlan = baseState
+      .select(col(idCol), col("sh").as("__sh"), col("sig").as("__sig"))
+      .persist()
+    val batchPlan = batch
+      .select(col(idCol), minhashPlanBest(batch, col(textCol), shingleN, numHashes).as("__mh"))
       .select(col(idCol), col("__mh.sh").as("__sh"), col("__mh.sig").as("__sig"))
-    val basePlan = planOf(base).persist()
-    val batchPlan = planOf(batch).persist()
+      .persist()
     // Hot-band guard on the base side: a band key shared by > cap base
     // docs (boilerplate templates, empty docs — every one has the same
     // single-shingle signature) would multiply EVERY colliding batch doc

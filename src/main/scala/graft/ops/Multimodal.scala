@@ -77,6 +77,85 @@ object Multimodal {
     }
   }
 
+  /** Real public-format header decoder: PNG / JPEG (JFIF) / GIF
+    * (format, width, height) from the leading bytes, per their published
+    * specs — no codec library needed, so this is the one decode stage
+    * that runs REAL logic in this environment (the pixel decode stays
+    * stubbed). Pure function of the blob; one instance per partition like
+    * every [[MediaDecoder]].
+    *
+    *  - PNG: 8-byte signature `89 50 4E 47 0D 0A 1A 0A`, IHDR chunk type
+    *    at bytes [12,16), width/height as big-endian int32 at fixed
+    *    offsets 16 and 20 (the IHDR layout is mandatory-first per the
+    *    PNG spec).
+    *  - JPEG: `FF D8` SOI, then a marker SCAN (APP0/COM/… segments carry
+    *    a big-endian length) until a start-of-frame marker (C0–CF minus
+    *    C4/C8/CC); height/width are big-endian uint16 at SOF+5 / SOF+7.
+    *  - GIF: `GIF87a`/`GIF89a`, width/height as LITTLE-endian uint16 at
+    *    offsets 6 and 8.
+    *
+    * Anything else → ("unknown", -1, -1): total on arbitrary bytes, never
+    * throws (truncated headers fall through to unknown).
+    */
+  object ImageHeaders extends Serializable {
+    private val pngSig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+    private def be32(b: Array[Byte], o: Int): Int =
+      ((b(o) & 0xff) << 24) | ((b(o + 1) & 0xff) << 16) |
+        ((b(o + 2) & 0xff) << 8) | (b(o + 3) & 0xff)
+    private def be16(b: Array[Byte], o: Int): Int =
+      ((b(o) & 0xff) << 8) | (b(o + 1) & 0xff)
+    private def le16(b: Array[Byte], o: Int): Int =
+      (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+
+    def parse(b: Array[Byte]): (String, Int, Int) = {
+      if (b == null) ("unknown", -1, -1)
+      else if (b.length >= 24 && b.startsWith(pngSig) &&
+        b(12) == 'I' && b(13) == 'H' && b(14) == 'D' && b(15) == 'R')
+        ("png", be32(b, 16), be32(b, 20))
+      else if (b.length >= 4 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8) {
+        var pos = 2
+        while (pos + 8 < b.length && (b(pos) & 0xff) == 0xff) {
+          val marker = b(pos + 1) & 0xff
+          val isSof = marker >= 0xc0 && marker <= 0xcf &&
+            marker != 0xc4 && marker != 0xc8 && marker != 0xcc
+          if (isSof) return ("jpeg", be16(b, pos + 7), be16(b, pos + 5))
+          // standalone markers (RST0-7, EOI) carry no length field
+          if (marker == 0xd9 || (marker >= 0xd0 && marker <= 0xd7)) pos += 2
+          else pos += 2 + be16(b, pos + 2)
+        }
+        ("unknown", -1, -1)
+      }
+      else if (b.length >= 10 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' &&
+        b(3) == '8' && (b(4) == '7' || b(4) == '9') && b(5) == 'a')
+        ("gif", le16(b, 6), le16(b, 8))
+      else ("unknown", -1, -1)
+    }
+  }
+
+  /** Header-metadata decode over the binary column: appends
+    * `fmt: string, width: long, height: long` parsed from the blob's
+    * leading bytes by [[ImageHeaders]]. Same partition-preserving
+    * mapPartitions shape as [[extractFeatures]] — the blobs never move,
+    * and only their first dozens of bytes are touched (with parquet at
+    * rest and lazy binary materialization this is a metadata-speed pass
+    * even at 100 TB).
+    */
+  def decodeImageMeta(df: DataFrame): DataFrame = {
+    val outSchema = StructType(df.schema.fields ++ Seq(
+      StructField("fmt", StringType),
+      StructField("width", LongType),
+      StructField("height", LongType)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    val contentIdx = df.schema.fieldIndex("content")
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val (f, w, h) = ImageHeaders.parse(r.getAs[Array[Byte]](contentIdx))
+        Row.fromSeq(r.toSeq ++ Seq(f, w.toLong, h.toLong))
+      }
+    }(enc)
+  }
+
   /** Feature extraction over the binary column: mapPartitions with one
     * decoder per partition, preserving the input partitioning (no shuffle —
     * the blobs never move). Appends `features: array<float>`.
