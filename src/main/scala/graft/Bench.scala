@@ -20,6 +20,10 @@ object Bench {
     // /root/reference/timer.py:16-28): independent per-query numbers next
     // to the wall clock, and explicit failure capture.
     val listener = ElapsedListener.install(spark)
+    // Wall time of the warm sf0.001 slate pass (below): a machine-load
+    // indicator recorded in the artifact, so driver-contention rounds can
+    // be normalized without a separate rerun (REGRESSIONS.md noise bounds).
+    var warmSlateSec = -1.0
     // Untimed warm-up: initialize the parquet reader, shuffle machinery and
     // whole-stage-codegen infra once, so the first timed query measures the
     // query rather than one-time session/JVM setup.
@@ -35,6 +39,7 @@ object Bench {
       // happens to absorb one-time JVM/codegen warm-up first.
       val warmDir = "/root/testdata/sf0.001"
       if (new java.io.File(warmDir).exists() && warmDir != sfDir) {
+        val w0 = System.nanoTime()
         SparkEntry.queries.foreach { case (name, fn) =>
           try fn(spark, warmDir).count() catch {
             case e: Throwable =>
@@ -45,6 +50,7 @@ object Bench {
           }
           spark.catalog.clearCache()
         }
+        warmSlateSec = (System.nanoTime() - w0) / 1e9
       } else {
         System.err.println(s"[bench] WARN warm-up slate skipped: $warmDir missing or equals timed dir — first timed queries absorb JIT cost")
       }
@@ -94,7 +100,7 @@ object Bench {
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     // Full-precision diagnostics first (wall clock, listener ms, errors)…
-    println(s"""{"metric":"detail","queries":$qs,"listener_ms":$ls,"errors":$es}""")
+    println(s"""{"metric":"detail","queries":$qs,"listener_ms":$ls,"errors":$es,"warm_slate_sec":$warmSlateSec}""")
     // …then the machine-read line LAST. The harness keeps only the final
     // ~2000 chars of output and parses a JSON line out of that window, so
     // this line must stay SHORT: values rounded to ms, no listener map.
@@ -124,7 +130,7 @@ object Bench {
     }
     if (restN > 0) entries += jstr(s"_other_${restN}q") + ":" + r3(restSum)
     val line =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${entries.mkString("{", ",", "}")},"n_queries":${results.size},"n_errors":${errors.size}$errShort,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${entries.mkString("{", ",", "}")},"n_queries":${results.size},"n_errors":${errors.size}$errShort,"warm_slate_sec":${r3(warmSlateSec)},"sf":"$sfDir"}"""
     println(line)
     spark.stop()
   }

@@ -251,4 +251,25 @@ class PlanSpec extends SparkTestBase {
     assert(!finalPlan.contains("CartesianProduct"),
       s"the global min/max must broadcast, never cartesian the fact side:\n$finalPlan")
   }
+
+  test("dup_span_stats: both windows partition on high-cardinality keys (skew audit)") {
+    // the occurrence census must partition on the shingle-hash column and
+    // the run grouping on the doc id — a window that falls into a single
+    // partition would serialize the whole corpus through one task at 100×
+    val p = planOf("dup_span_stats")
+    assert("hashpartitioning\\(__h#\\d+".r.findFirstIn(p).isDefined,
+      s"document-frequency window must hash-partition on __h:\n$p")
+    assert("hashpartitioning\\(doc_id#\\d+".r.findFirstIn(p).isDefined,
+      s"run-grouping window must hash-partition on doc_id:\n$p")
+    assert(!p.split("== Initial Plan ==").head.contains("Exchange SinglePartition"),
+      s"no window may collapse to a single partition:\n$p")
+  }
+
+  test("ngram_dup_rate: document-frequency window partitions on the hash column (skew audit)") {
+    val p = planOf("ngram_dup_rate")
+    assert("hashpartitioning\\(__h#\\d+".r.findFirstIn(p).isDefined,
+      s"document-frequency window must hash-partition on __h:\n$p")
+    assert(!p.split("== Initial Plan ==").head.contains("Exchange SinglePartition"),
+      s"no window may collapse to a single partition:\n$p")
+  }
 }
