@@ -639,6 +639,14 @@ object SparkEntry {
         .limit(20)
     }),
 
+    "cms_term_counts" -> ((s, dir) =>
+      // deliberately small width (64) at test scale so counter collisions
+      // occur and the min-fold + no-underestimate invariant are exercised;
+      // the DuckDB twin replays the whole grid (hard sketch oracle)
+      LlmOps.cmsTermCounts(t(s, dir, "documents"), "text",
+          depth = 4, width = 64, topK = 20)
+        .orderBy(col("n_true").desc, col("term_hash").asc)),
+
     "contamination_check" -> ((s, dir) => {
       // decontamination: containment of each non-benchmark doc's shingle
       // set against the src0 "benchmark" slice (broadcast semi-join on
@@ -1743,6 +1751,29 @@ object SparkEntry {
          SELECT token, tf, df, CAST(tf AS DOUBLE) * n.n / df AS score
          FROM t, n
          ORDER BY score DESC, token LIMIT 20""",
+
+    // full count-min-sketch replay: grid build, per-term probes, min-fold
+    "cms_term_counts" ->
+      """WITH tok AS (
+           SELECT ('0x' || substr(md5(t), 1, 12))::BIGINT AS h
+           FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS t
+                 FROM documents)
+           WHERE t <> ''),
+         rows_ AS (SELECT unnest([0, 1, 2, 3]) AS j),
+         sketch AS (
+           SELECT j, ((2 * j + 3) * h + j) % 64 AS p, COUNT(*) AS c
+           FROM tok CROSS JOIN rows_ GROUP BY 1, 2),
+         truth AS (
+           SELECT h, COUNT(*) AS n_true FROM tok GROUP BY h
+           ORDER BY n_true DESC, h ASC LIMIT 20),
+         est AS (
+           SELECT t.h, t.n_true, MIN(s.c) AS n_est
+           FROM truth t CROSS JOIN rows_ g
+           JOIN sketch s ON s.j = g.j AND s.p = ((2 * g.j + 3) * t.h + g.j) % 64
+           GROUP BY t.h, t.n_true)
+         SELECT h AS term_hash, CAST(n_true AS BIGINT) AS n_true,
+           CAST(n_est AS BIGINT) AS n_est, n_est >= n_true AS no_underestimate
+         FROM est ORDER BY n_true DESC, term_hash ASC""",
 
     "contamination_check" ->
       """WITH hs AS (

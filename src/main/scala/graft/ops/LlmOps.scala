@@ -687,6 +687,60 @@ object LlmOps {
       .filter(col("n_docs") > maxBucketSize)
   }
 
+  /** Count-min-sketch term counts — the third sketch in the family next
+    * to HLL (`approx_distinct_parts`) and bloom (`contamination_bloom`):
+    * a fixed (depth × width) counter grid answering "how often does term
+    * X occur" in O(depth·width) memory regardless of vocabulary size, the
+    * structure a 100 TB pass uses for heavy-hitter screening when the
+    * exact per-term groupBy's key space is unbounded (URLs, n-grams).
+    *
+    * Fully RELATIONAL sketch, same design as the bloom variant: row j's
+    * counter for hash h sits at ((2j+3)·h + j) mod width — the affine
+    * position family keeps every product < 2^53 and replays digit for
+    * digit in an external SQL engine, so the whole sketch (grid, probes,
+    * min-fold, overcounts) is HARD-oracled rather than contract-checked.
+    * Emits, for the top-k exact terms, the true count next to the sketch
+    * estimate and the structural invariant `no_underestimate`
+    * (CMS never undercounts: every probed cell contains the term's own
+    * count plus nonnegative collision mass). Run with a deliberately
+    * small width at test scale so collisions actually occur and the
+    * min-fold is exercised; production widths are 2^20+.
+    *
+    * Scale shape: the grid build is ONE groupBy of (row, position) pairs
+    * — at most depth·width cells survive, with map-side partials doing
+    * almost all the folding; the probe side is topK·depth rows joined
+    * against the (broadcastable) grid. Document text never shuffles.
+    */
+  def cmsTermCounts(df: DataFrame, textCol: String,
+                    depth: Int = 4, width: Int = 64,
+                    topK: Int = 20): DataFrame = {
+    require(depth >= 1 && width > 0)
+    // Persisted: the token-hash stream feeds the grid AND the exact
+    // top-k truth. Same caching contract as nearDupPairs.
+    val toks = df
+      .select(explode(tokens(col(textCol))).as("__t"))
+      .filter(col("__t") =!= "")
+      .select(md5Hash48(col("__t"), 1).as("__h"))
+      .persist()
+    def positions(h: Column): Column =
+      transform(sequence(lit(0), lit(depth - 1)),
+        j => pmod((j * 2 + lit(3)) * h + j, lit(width.toLong)))
+    val sketch = toks
+      .select(posexplode(positions(col("__h"))).as(Seq("__j", "__p")))
+      .groupBy("__j", "__p").agg(count(lit(1)).as("__c"))
+    val truth = toks.groupBy("__h").agg(count(lit(1)).as("n_true"))
+      .orderBy(col("n_true").desc, col("__h").asc)
+      .limit(topK)
+    truth
+      .select(col("__h"), col("n_true"),
+        posexplode(positions(col("__h"))).as(Seq("__j", "__p")))
+      .join(sketch, Seq("__j", "__p"))
+      .groupBy("__h", "n_true")
+      .agg(min(col("__c")).as("n_est"))
+      .select(col("__h").as("term_hash"), col("n_true"), col("n_est"),
+        (col("n_est") >= col("n_true")).as("no_underestimate"))
+  }
+
   /** Vocabulary coverage: the fraction of each document's token instances
     * that fall inside the corpus's top-`k` token vocabulary — the
     * out-of-vocabulary-rate quality signal (high OOV → garbled text,

@@ -303,6 +303,83 @@ object StreamingOps {
     *
     * Use: `stream.writeStream.foreachBatch(StreamingOps.idempotentBatchSink(path) _)`.
     */
+  /** One (doc, band) row of a streaming LSH feed. */
+  case class DocBand(docId: Long, band: Int, bandHash: String)
+  /** A band collision delta: `docId` hit a bucket owned by `ownerId`. */
+  case class BandCollision(docId: Long, band: Int, ownerId: Long)
+
+  /** Per-band-bucket min-id ownership tracker — the streaming analog of
+    * [[graft.ops.LlmOps.incrementalNearDup]]'s candidate generation: state
+    * is ONE long (the owning doc id) per distinct band key, and each
+    * incoming doc that lands in an already-owned bucket emits a
+    * [[BandCollision]] delta. Per-doc folding (any collision → candidate)
+    * happens downstream over the delta stream, exactly as funnelStateful's
+    * deltas do.
+    *
+    * Contract: ownership is MIN doc id (the batch survivor rule). On an
+    * id-ascending feed the emitted candidates equal the batch LSH
+    * candidate set (spec-checked); a LOWER id arriving after a higher one
+    * takes ownership but cannot retract the earlier doc's keep decision —
+    * the inherent first-sight semantics of streaming dedup (same caveat
+    * as dropDuplicatesWithinWatermark). Emitted collisions are never
+    * false: every one is a genuine shared band.
+    */
+  class BandOwnerTracker
+      extends org.apache.spark.sql.streaming.StatefulProcessor[String, DocBand, BandCollision] {
+    @transient private var owner: org.apache.spark.sql.streaming.ValueState[Long] = _
+
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+      owner = getHandle.getValueState[Long]("owner",
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: String, rows: Iterator[DocBand],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[BandCollision] = {
+      // id order within the batch: batch boundaries never reorder decisions
+      val sorted = rows.toSeq.sortBy(_.docId)
+      val out = scala.collection.mutable.ArrayBuffer.empty[BandCollision]
+      var cur = if (owner.exists()) Some(owner.get()) else None
+      sorted.foreach { r =>
+        cur match {
+          case None => cur = Some(r.docId)
+          case Some(o) if r.docId > o => out += BandCollision(r.docId, r.band, o)
+          case Some(o) if r.docId < o => cur = Some(r.docId)
+          case _ => () // same doc appearing twice in one bucket: no self-pair
+        }
+      }
+      cur.foreach(owner.update)
+      out.iterator
+    }
+  }
+
+  /** Wire [[BandOwnerTracker]] over a streaming (id, text) DataFrame: the
+    * MinHash signature and LSH banding are STATELESS projections (the same
+    * portable md5-48 family as the batch ops), so the only keyed state in
+    * the query is the one-long-per-bucket ownership map.
+    */
+  def nearDupCandidatesStream(docs: DataFrame, idCol: String, textCol: String,
+                              shingleN: Int = 3, numHashes: Int = 16,
+                              bands: Int = 4, rowsPerBand: Int = 4): Dataset[BandCollision] = {
+    require(bands * rowsPerBand == numHashes,
+      s"bands ($bands) x rowsPerBand ($rowsPerBand) must equal numHashes ($numHashes)")
+    import org.apache.spark.sql.streaming.TimeMode
+    implicit val dbEnc: org.apache.spark.sql.Encoder[DocBand] =
+      org.apache.spark.sql.Encoders.product[DocBand]
+    implicit val bcEnc: org.apache.spark.sql.Encoder[BandCollision] =
+      org.apache.spark.sql.Encoders.product[BandCollision]
+    val sig = docs.select(col(idCol).as("docId"),
+      graft.ops.LlmOps.minhashPlanBest(docs, col(textCol), shingleN, numHashes)
+        .getField("sig").as("__sig"))
+    graft.ops.LlmOps.lshBands(sig, "docId", "__sig", bands, rowsPerBand)
+      .select(col("docId"), col("band").cast("int").as("band"),
+        col("band_hash").as("bandHash"))
+      .as[DocBand]
+      .groupByKey(r => r.band + ":" + r.bandHash)(org.apache.spark.sql.Encoders.STRING)
+      .transformWithState(new BandOwnerTracker, TimeMode.None(), OutputMode.Update())
+  }
+
   def idempotentBatchSink(basePath: String)(batch: DataFrame, batchId: Long): Unit = {
     val hc = batch.sparkSession.sparkContext.hadoopConfiguration
     val dir = new org.apache.hadoop.fs.Path(s"$basePath/batch=$batchId")

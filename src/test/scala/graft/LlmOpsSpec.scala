@@ -31,6 +31,21 @@ class LlmOpsSpec extends SparkTestBase {
     spark.catalog.clearCache()
   }
 
+  test("cms term counts: exact truth, never underestimates, overcount bounded by mass") {
+    // a=4, b=3, c=2, d=e=f=1 across both docs; width 4 / depth 2 forces
+    // counter collisions so the min-fold and invariant are exercised
+    val df = Seq((1L, "a a a b b c"), (2L, "a b c d e f")).toDF("doc_id", "text")
+    val out = LlmOps.cmsTermCounts(df, "text", depth = 2, width = 4, topK = 10)
+      .as[(Long, Long, Long, Boolean)].collect()
+    assert(out.length == 6)
+    assert(out.map(_._2).sorted.reverse.toSeq == Seq(4L, 3L, 2L, 1L, 1L, 1L))
+    assert(out.forall(_._4), s"CMS underestimated: ${out.mkString(",")}")
+    assert(out.forall(r => r._3 >= r._2))
+    // any single cell holds at most the whole stream's mass
+    assert(out.forall(r => r._3 <= 12))
+    spark.catalog.clearCache()
+  }
+
   test("zero-weight groups yield null (not NaN/Inf) rates — ADVICE totality fix") {
     // a source whose docs all have zero tokens: share/sample_rate/fertility
     // must be null like DuckDB's x/0, never NaN or Infinity

@@ -110,6 +110,54 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("streaming near-dup candidates == batch LSH candidates on an id-ordered feed") {
+    // transformWithState needs multi-column-family state → RocksDB provider
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog  "), // exact dup of 1
+      (3L, "the quick brown fox jumps over the lazy cat"),   // near dup of 1
+      (4L, "completely different words entirely unrelated text here okay"),
+      (5L, "the quick brown fox jumps over the lazy dog"))   // dup again, later batch
+    val input = MemoryStream[(Long, String)]
+    val stream = StreamingOps.nearDupCandidatesStream(
+      input.toDF().toDF("doc_id", "text"), "doc_id", "text")
+    val q = stream.toDF().writeStream
+      .format("memory").queryName("near_dup_stream").outputMode("update").start()
+    try {
+      input.addData(docs.take(3): _*) // batch 1: ids 1..3
+      q.processAllAvailable()
+      input.addData(docs.drop(3): _*) // batch 2: ids 4..5 — state crosses batches
+      q.processAllAvailable()
+      val streamed = spark.table("near_dup_stream")
+        .select("docId").as[Long].collect().toSet
+      // batch replica of the candidate rule: a doc is a candidate iff it
+      // shares any LSH band with a SMALLER doc id — computed independently
+      // from the same batch banding projection
+      val batchDf = docs.toDF("doc_id", "text")
+      val sig = batchDf.select($"doc_id",
+        graft.ops.LlmOps.minhashPlanBest(batchDf, $"text", 3, 16).getField("sig").as("__sig"))
+      val bandRows = graft.ops.LlmOps.lshBands(sig, "doc_id", "__sig", 4, 4)
+        .select($"doc_id", $"band", $"band_hash").as[(Long, Int, String)].collect()
+      val expected = bandRows.groupBy(r => (r._2, r._3)).values
+        .flatMap { bucket =>
+          val minId = bucket.map(_._1).min
+          bucket.map(_._1).filter(_ > minId)
+        }.toSet
+      assert(streamed == expected, s"streamed=$streamed expected=$expected")
+      assert(Set(2L, 3L, 5L).subsetOf(streamed)) // the engineered dups surface
+      assert(!streamed.contains(4L)) // the unrelated doc never collides
+    } finally {
+      q.stop()
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("left-outer interval join emits null-filled negatives after watermark expiry") {
     val clicks = MemoryStream[(Long, Long, Timestamp)]
     val buys = MemoryStream[(Long, Long, Timestamp)]
