@@ -800,6 +800,17 @@ object SparkEntry {
         .orderBy("pos")
     }),
 
+    "embedding_outliers" -> ((s, dir) =>
+      // semantic outliers: squared distance to the label centroid in
+      // quantized int space — exact int64 score (order-independent sums),
+      // one final int→double divide, so the DuckDB twin replays the hash
+      VectorOps.quantizedOutliers(t(s, dir, "embeddings"),
+          "embedding", "label", "vec_id")
+        .select(col("vec_id"), col("label").cast("long").as("label"),
+          col("score_num"), col("n_group"), col("outlier_score"))
+        .orderBy(col("outlier_score").desc, col("vec_id").asc)
+        .limit(20)),
+
     "lm_score" -> ((s, dir) =>
       // statistical LM fluency proxy: mean corpus frequency of each doc's
       // bigrams — exact integer numerator, one final division (hashable)
@@ -2439,6 +2450,35 @@ object SparkEntry {
                 ELSE least(255, greatest(0,
                   CAST(floor((q.pv - d.dmin) / (d.dmax - d.dmin) * 255) AS BIGINT)))
            END AS BIGINT) AS code
-         FROM d JOIN q USING (pos) ORDER BY pos"""
+         FROM d JOIN q USING (pos) ORDER BY pos""",
+
+    // full integer replay of the quantized-centroid outlier score
+    "embedding_outliers" ->
+      """WITH e AS (
+           SELECT vec_id, label, unnest(embedding) AS v,
+             unnest(range(len(embedding))) AS pos
+           FROM embeddings),
+         d AS (
+           SELECT pos, MIN(CAST(v AS DOUBLE)) AS dmin, MAX(CAST(v AS DOUBLE)) AS dmax
+           FROM e GROUP BY pos),
+         c AS (
+           SELECT vec_id, label, e.pos,
+             CASE WHEN d.dmax = d.dmin THEN 0
+                  ELSE least(255, greatest(0,
+                    CAST(floor((CAST(v AS DOUBLE) - d.dmin) / (d.dmax - d.dmin) * 255) AS BIGINT)))
+             END AS q
+           FROM e JOIN d USING (pos)),
+         g AS (
+           SELECT label, pos, CAST(SUM(q) AS BIGINT) AS s, COUNT(*) AS n
+           FROM c GROUP BY 1, 2),
+         sc AS (
+           SELECT c.vec_id, c.label, g.n,
+             CAST(SUM((g.n * c.q - g.s) * (g.n * c.q - g.s)) AS BIGINT) AS score_num
+           FROM c JOIN g ON c.label = g.label AND c.pos = g.pos
+           GROUP BY 1, 2, 3)
+         SELECT vec_id, CAST(label AS BIGINT) AS label, score_num,
+           CAST(n AS BIGINT) AS n_group,
+           CAST(score_num AS DOUBLE) / CAST(n * n AS DOUBLE) AS outlier_score
+         FROM sc ORDER BY outlier_score DESC, vec_id LIMIT 20"""
   )
 }

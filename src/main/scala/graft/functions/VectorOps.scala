@@ -80,6 +80,53 @@ object VectorOps {
           .cast("long").as("code"))
   }
 
+  /** Semantic outlier scores in QUANTIZED integer space: each vector's
+    * squared euclidean distance to its group's centroid, computed entirely
+    * in exact int64 arithmetic so the score hash-replays in any SQL engine
+    * — the embedding-space quality signal (mislabeled/garbled docs sit far
+    * from their cluster) that float centroid math cannot oracle (per-dim
+    * float SUM is accumulation-order-dependent across partitions).
+    *
+    * Recipe: int8-quantize every dimension with the corpus min/max grid
+    * ([[scalarQuantize]]'s exact formula), then per (group, dim) integer
+    * sums, then per vector `score_num = Σ_d (n·q_d − Σq)²` — the squared
+    * distance to the mean scaled by n² to STAY integral (no division
+    * until one final exact-int → double divide for the normalized score).
+    * Overflow headroom: n·q ≤ n·255 and the square ×dims must stay under
+    * 2^63 — safe to n ≈ 6·10^8 rows per group at 64 dims.
+    *
+    * Scale shape: one posexplode pass (persisted — it feeds the grid, the
+    * group sums AND the scoring join), a 64-row broadcast min/max grid, a
+    * (group × dim)-row broadcast sum table; only (id, group, pos, q)
+    * integer rows ever shuffle, the embeddings themselves move once.
+    */
+  def quantizedOutliers(embeddings: DataFrame, embCol: String,
+                        groupCol: String, idCol: String): DataFrame = {
+    val expl = embeddings
+      .select(col(idCol), col(groupCol),
+        posexplode(col(embCol).cast("array<double>")).as(Seq("pos", "__v")))
+      .persist()
+    val dims = expl.groupBy("pos")
+      .agg(min(col("__v")).as("dmin"), max(col("__v")).as("dmax"))
+    val codes = expl.join(broadcast(dims), "pos")
+      .select(col(idCol), col(groupCol), col("pos"),
+        when(col("dmax") === col("dmin"), lit(0L)).otherwise(
+          least(lit(255L), greatest(lit(0L),
+            floor((col("__v") - col("dmin")) / (col("dmax") - col("dmin")) * 255))))
+          .cast("long").as("__q"))
+    val groupSums = codes.groupBy(col(groupCol), col("pos"))
+      .agg(sum(col("__q")).as("__s"), count(lit(1)).as("__n"))
+    val diff = col("__n") * col("__q") - col("__s")
+    codes.join(broadcast(groupSums), Seq(groupCol, "pos"))
+      .select(col(idCol), col(groupCol), (diff * diff).as("__d2"), col("__n"))
+      .groupBy(col(idCol), col(groupCol), col("__n"))
+      .agg(sum(col("__d2")).as("score_num"))
+      .select(col(idCol), col(groupCol),
+        col("score_num"), col("__n").as("n_group"),
+        (col("score_num").cast("double") /
+          (col("__n") * col("__n")).cast("double")).as("outlier_score"))
+  }
+
   /** Brute-force top-k most-similar rows to one query vector.
     *
     * The query vector arrives as a 1-row DataFrame (column `__qv`) and is

@@ -139,4 +139,29 @@ class VectorOpsSpec extends SparkTestBase {
     // decision table covers every input row exactly once
     assert(VectorOps.semanticDedup(df, "vec_id", "embedding", 3, 4, 0.9).count() == 3)
   }
+
+  test("quantized outliers: the far vector tops its group; clones tie at the bottom") {
+    // group "a": three near-identical vectors + one far vector; group "b":
+    // two identical vectors (score 0 — they ARE their centroid)
+    val df = Seq(
+      (1L, "a", Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, "a", Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (3L, "a", Array(1.0f, 0.1f, 0.0f, 0.0f)),
+      (4L, "a", Array(-1.0f, 1.0f, 1.0f, 1.0f)), // the outlier
+      (5L, "b", Array(0.5f, 0.5f, 0.5f, 0.5f)),
+      (6L, "b", Array(0.5f, 0.5f, 0.5f, 0.5f)))
+      .toDF("vec_id", "label", "embedding")
+    val out = VectorOps.quantizedOutliers(df, "embedding", "label", "vec_id")
+      .select("vec_id", "score_num", "n_group", "outlier_score")
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(out.size == 6)
+    // identical vectors get identical scores; the far vector dominates
+    assert(out(1L)._2 == out(2L)._2)
+    assert(out(4L)._4 > out(1L)._4 && out(4L)._4 > out(3L)._4)
+    // a group of identical vectors sits exactly on its centroid
+    assert(out(5L)._2 == 0L && out(6L)._2 == 0L)
+    // normalized score = score_num / n², exact division
+    assert(out(4L)._4 == out(4L)._2.toDouble / (out(4L)._3 * out(4L)._3))
+    spark.catalog.clearCache()
+  }
 }
