@@ -612,6 +612,16 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "dedup_quality_survivor" -> ((s, dir) => {
+      // same clusters as dedup_clusters, but the survivor is the LONGEST
+      // doc per cluster (tie: min id) — the keep-the-best-variant rule a
+      // production curation run ships instead of keep-the-first
+      val docs = t(s, dir, "documents")
+      val pairs = LlmOps.nearDupPairs(docs, "doc_id", "text", maxBucketSize = 10000)
+      graft.ops.Graph.dedupClustersBy(docs, pairs, "doc_id", "n_chars")
+        .orderBy("doc_id")
+    }),
+
     "repetition_score" -> ((s, dir) =>
       LlmOps.repetitionScore(t(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")),
@@ -1729,6 +1739,67 @@ object SparkEntry {
            doc.doc_id = COALESCE(l.cluster, doc.doc_id) AS keep
          FROM documents doc LEFT JOIN lbl l ON doc.doc_id = l.node
          ORDER BY doc.doc_id""",
+
+    // same transitive closure as dedup_clusters; survivor = argmax(n_chars)
+    // per cluster, ties to the smaller id
+    "dedup_quality_survivor" ->
+      """WITH RECURSIVE d AS (
+           SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(string_split_regex(lower(trim(text)), '\s+')) - 3, 0) + 2),
+               i -> array_to_string(list_slice(string_split_regex(lower(trim(text)), '\s+'), i, i + 2), ' '))) AS sh
+           FROM documents),
+         hp AS (
+           SELECT doc_id,
+             list_transform(sh, s -> ('0x' || substr(md5(s), 1, 12))::BIGINT) AS h1s,
+             list_transform(sh, s -> ('0x' || substr(md5(s), 13, 12))::BIGINT) AS h2s
+           FROM d WHERE len(sh) > 0),
+         sg AS (
+           SELECT doc_id,
+             list_distinct(h1s) AS shset,
+             list_transform(range(0, 16), j ->
+               list_min(list_transform(range(1, len(h1s) + 1), x -> h1s[x] + j * h2s[x]))) AS sig
+           FROM hp),
+         bands AS (
+           SELECT doc_id, t.b AS band,
+             md5(array_to_string(list_slice(sig, t.b * 4 + 1, t.b * 4 + 4), ',')) AS bh
+           FROM sg, range(0, 4) t(b)),
+         ok AS (
+           SELECT band, bh FROM bands GROUP BY band, bh
+           HAVING COUNT(*) BETWEEN 2 AND 10000),
+         cap AS (SELECT bands.* FROM bands JOIN ok USING (band, bh)),
+         cand AS (
+           SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+           FROM cap a JOIN cap c
+             ON a.band = c.band AND a.bh = c.bh AND a.doc_id < c.doc_id),
+         pairs AS (
+           SELECT id_a, id_b FROM (
+             SELECT id_a, id_b,
+               CAST(len(list_intersect(x.shset, y.shset)) AS DOUBLE)
+                 / len(list_distinct(list_concat(x.shset, y.shset))) AS jaccard
+             FROM cand
+             JOIN sg x ON cand.id_a = x.doc_id
+             JOIN sg y ON cand.id_b = y.doc_id) j
+           WHERE jaccard >= 0.7),
+         sym AS (
+           SELECT id_a AS a, id_b AS b FROM pairs
+           UNION
+           SELECT id_b, id_a FROM pairs),
+         reach AS (
+           SELECT a, b FROM sym
+           UNION
+           SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+         lbl AS (
+           SELECT a AS node, LEAST(a, MIN(b)) AS cluster
+           FROM reach GROUP BY a),
+         base AS (
+           SELECT doc.doc_id, doc.n_chars,
+             COALESCE(l.cluster, doc.doc_id) AS cluster_id
+           FROM documents doc LEFT JOIN lbl l ON doc.doc_id = l.node)
+         SELECT doc_id, cluster_id,
+           row_number() OVER (PARTITION BY cluster_id
+                              ORDER BY n_chars DESC, doc_id ASC) = 1 AS keep
+         FROM base ORDER BY doc_id""",
 
     "repetition_score" ->
       """WITH t AS (

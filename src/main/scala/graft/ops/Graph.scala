@@ -204,4 +204,34 @@ object Graph {
         coalesce(col("label"), col(idCol)).as("cluster_id"))
       .withColumn("keep", col(idCol) === col("cluster_id"))
   }
+
+  /** [[dedupClusters]] with a QUALITY survivor rule: the kept doc per
+    * duplicate cluster is the one maximizing `scoreCol` (ties broken by
+    * minimum id) instead of the minimum id — what production curation
+    * actually ships, where near-dup groups keep the longest / highest-
+    * quality variant rather than whichever crawled first. Deterministic:
+    * the (score desc, id asc) order is total.
+    *
+    * Scale shape: identical to [[dedupClusters]] (the closure dominates)
+    * plus one row_number window partitioned by cluster_id — cluster ids
+    * are high-cardinality (most clusters are singletons), so the window
+    * never funnels into few partitions.
+    */
+  def dedupClustersBy(docs: DataFrame, pairs: DataFrame, idCol: String,
+                      scoreCol: String,
+                      starContraction: Boolean = false): DataFrame = {
+    val edges = pairs.select("id_a", "id_b").localCheckpoint()
+    val labeled = docs.select(col(idCol), col(scoreCol))
+      .join(connectedComponents(edges, "id_a", "id_b",
+          starContraction = starContraction),
+        col(idCol) === col("node"), "left")
+      .select(col(idCol), col(scoreCol),
+        coalesce(col("label"), col(idCol)).as("cluster_id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster_id"))
+      .orderBy(col(scoreCol).desc, col(idCol).asc)
+    labeled
+      .withColumn("keep", row_number().over(w) === 1)
+      .select(col(idCol), col("cluster_id"), col("keep"))
+  }
 }

@@ -37,6 +37,19 @@ class GraphSpec extends SparkTestBase {
     assert(out == Set((1L, 1L, true), (2L, 1L, false), (3L, 1L, false), (7L, 7L, true)))
   }
 
+  test("dedupClustersBy: highest-score doc survives per cluster, ties to min id") {
+    val docs = Seq((1L, 50L), (2L, 90L), (3L, 90L), (7L, 10L))
+      .toDF("doc_id", "n_chars")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val out = Graph.dedupClustersBy(docs, pairs, "doc_id", "n_chars")
+      .as[(Long, Long, Boolean)].collect().toSet
+    // cluster {1,2,3}: 2 and 3 tie on score 90, 2 wins on id; 7 unpaired
+    assert(out == Set((1L, 1L, false), (2L, 1L, true), (3L, 1L, false), (7L, 7L, true)))
+    // exactly one survivor per cluster, always
+    val perCluster = out.groupBy(_._2).view.mapValues(_.count(_._3)).toMap
+    assert(perCluster.values.forall(_ == 1))
+  }
+
   test("pointer doubling: a 200-node chain converges within O(log n) rounds") {
     val chain = (1L until 200L).map(i => (i, i + 1)).toDF("src", "dst")
     // diameter 199; plain propagation would need ~200 rounds — doubling
