@@ -44,6 +44,17 @@ object Tables {
     })
   }
 
+  /** Register every harness table as a temp view so the engine's FULL
+    * surface is reachable through plain `spark.sql(...)` — the way the
+    * reference's users issue queries (its two embedded SQL statements,
+    * /root/reference/main.py:80-84 and main.py:311-315, run against
+    * warehouse tables by name). Schema qualifiers (`custom.`) map to the
+    * bare view name; SqlSurfaceSpec runs the reference's statements
+    * verbatim-modulo-qualifier and checks parity with the DataFrame ops.
+    */
+  def registerViews(spark: SparkSession, sfDir: String): Unit =
+    names.foreach(n => load(spark, sfDir, n).createOrReplaceTempView(n))
+
   /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
     * reader rejects ([PARQUET_TYPE_ILLEGAL]). Read it as raw nanos via the
     * legacy conf and convert to a microsecond TimestampType column
