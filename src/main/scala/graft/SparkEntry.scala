@@ -612,6 +612,28 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "star_join_revenue" -> ((s, dir) => {
+      // classic warehouse star join (TPC-H Q5 shape): fact lineitem⋈orders
+      // with four dimension hops (customer, supplier, nation, region) and
+      // an exact-decimal revenue rollup per nation. The dimensions
+      // broadcast (plan-audited); only the two fact tables shuffle.
+      val li = t(s, dir, "lineitem")
+      li.join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(t(s, dir, "supplier"),
+          col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .join(t(s, dir, "nation"), col("s_nationkey") === col("n_nationkey"))
+        .join(t(s, dir, "region"), col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === "ASIA" &&
+          col("o_orderdate") >= lit("1996-01-01") &&
+          col("o_orderdate") < lit("1998-01-01"))
+        .groupBy("n_name")
+        .agg(Relational.decimalSumProduct(
+          col("l_extendedprice"), col("l_discount")).as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name").asc)
+    }),
+
     "dedup_quality_survivor" -> ((s, dir) => {
       // same clusters as dedup_clusters, but the survivor is the LONGEST
       // doc per cluster (tie: min id) — the keep-the-best-variant rule a
@@ -1739,6 +1761,20 @@ object SparkEntry {
            doc.doc_id = COALESCE(l.cluster, doc.doc_id) AS keep
          FROM documents doc LEFT JOIN lbl l ON doc.doc_id = l.node
          ORDER BY doc.doc_id""",
+
+    "star_join_revenue" ->
+      """SELECT n_name,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         JOIN nation ON s_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         WHERE r_name = 'ASIA'
+           AND o_orderdate >= '1996-01-01' AND o_orderdate < '1998-01-01'
+         GROUP BY n_name ORDER BY revenue DESC, n_name""",
 
     // same transitive closure as dedup_clusters; survivor = argmax(n_chars)
     // per cluster, ties to the smaller id

@@ -252,6 +252,18 @@ class PlanSpec extends SparkTestBase {
       s"the global min/max must broadcast, never cartesian the fact side:\n$finalPlan")
   }
 
+  test("star_join_revenue: dimension hops broadcast, no cartesian, partial agg") {
+    val p = planOf("star_join_revenue")
+    val finalPlan = p.split("== Initial Plan ==").head
+    // the four dimension joins must broadcast (nation/region are tiny,
+    // customer/supplier well under threshold at audit scale); a plan that
+    // shuffles a dimension for every fact row is wrong at any scale
+    assert(finalPlan.split("BroadcastHashJoin").length - 1 >= 3, finalPlan)
+    assert(!finalPlan.contains("CartesianProduct"), finalPlan)
+    // revenue rollup has a map-side partial before the exchange
+    assert(finalPlan.split("HashAggregate").length - 1 >= 2, finalPlan)
+  }
+
   test("dup_span_stats: both windows partition on high-cardinality keys (skew audit)") {
     // the occurrence census must partition on the shingle-hash column and
     // the run grouping on the doc id — a window that falls into a single
