@@ -612,6 +612,23 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "snapshot_diff" -> ((s, dir) => {
+      // CDC table compare between two deterministic snapshots of orders:
+      // keys only in new are added, only in old removed, value-fingerprint
+      // mismatches changed. The oracle twin derives the statuses from the
+      // modular construction at VALUE level — so it independently checks
+      // the fingerprint equality logic, not just replays it.
+      val o = t(s, dir, "orders")
+      val prev = o.filter(col("o_orderkey") % 7 =!= 0)
+      val next = o.filter(col("o_orderkey") % 5 =!= 0)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 3 === 0, col("o_totalprice") + 1)
+            .otherwise(col("o_totalprice")))
+      Temporal.snapshotDiff(prev, next, "o_orderkey",
+          Seq("o_custkey", "o_orderstatus", "o_totalprice"))
+        .orderBy("o_orderkey")
+    }),
+
     "star_join_revenue" -> ((s, dir) => {
       // classic warehouse star join (TPC-H Q5 shape): fact lineitem⋈orders
       // with four dimension hops (customer, supplier, nation, region) and
@@ -1761,6 +1778,27 @@ object SparkEntry {
            doc.doc_id = COALESCE(l.cluster, doc.doc_id) AS keep
          FROM documents doc LEFT JOIN lbl l ON doc.doc_id = l.node
          ORDER BY doc.doc_id""",
+
+    // value-level re-derivation of the diff statuses (NOT an md5 replay):
+    // catches fingerprint bugs, not just reproduces them
+    "snapshot_diff" ->
+      """WITH oldt AS (
+           SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+           FROM orders WHERE o_orderkey % 7 <> 0),
+         newt AS (
+           SELECT o_orderkey, o_custkey, o_orderstatus,
+             CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 1
+                  ELSE o_totalprice END AS o_totalprice
+           FROM orders WHERE o_orderkey % 5 <> 0)
+         SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+           CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                WHEN n.o_orderkey IS NULL THEN 'removed'
+                WHEN o.o_custkey = n.o_custkey
+                 AND o.o_orderstatus = n.o_orderstatus
+                 AND o.o_totalprice = n.o_totalprice THEN 'unchanged'
+                ELSE 'changed' END AS status
+         FROM oldt o FULL OUTER JOIN newt n ON o.o_orderkey = n.o_orderkey
+         ORDER BY o_orderkey""",
 
     "star_join_revenue" ->
       """SELECT n_name,

@@ -129,6 +129,39 @@ object Temporal {
         col("__next_ts").isNull.as("is_current"))
   }
 
+  /** Snapshot diff (CDC table compare): classify every key across two
+    * snapshots of the same table as `added` (new only), `removed` (old
+    * only), `changed` (both, value fingerprint differs) or `unchanged` —
+    * the audit a pipeline runs before trusting an incremental load, and
+    * the change feed a downstream IVM/SCD2 consumer ingests when the
+    * source can't emit one itself.
+    *
+    * Value identity is an md5-of-md5s fingerprint (the portable family —
+    * an external SQL engine replays it): each value column hashes
+    * individually first (nulls tagged), then the hex digests join with
+    * '|' and hash again. Per-column hashing makes the composition
+    * collision-safe by construction — hex digests cannot contain the
+    * separator, so no value content can shift a column boundary — and
+    * arbitrarily wide rows compare as 16 bytes.
+    *
+    * Scale shape: ONE full-outer hash join on the key; each side shuffles
+    * (key, 16-byte fingerprint) only — row payloads never move. At 100 TB
+    * this is the minimum possible data motion for an exact diff.
+    */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame,
+                   keyCol: String, valueCols: Seq[String]): DataFrame = {
+    def fp(df: DataFrame) = md5(concat_ws("|",
+      valueCols.map(c => md5(coalesce(col(c).cast("string"), lit("<null>")))): _*))
+    val o = oldDf.select(col(keyCol).as("__k"), fp(oldDf).as("__fp_old"))
+    val n = newDf.select(col(keyCol).as("__k"), fp(newDf).as("__fp_new"))
+    o.join(n, Seq("__k"), "full_outer")
+      .select(col("__k").as(keyCol),
+        when(col("__fp_old").isNull, "added")
+          .when(col("__fp_new").isNull, "removed")
+          .when(col("__fp_old") === col("__fp_new"), "unchanged")
+          .otherwise("changed").as("status"))
+  }
+
   /** Ordered-event funnel: per key, the earliest time each stage was
     * reached, where stage i+1 only counts STRICTLY AFTER stage i's time —
     * the conversion analysis (view → click → purchase) every event

@@ -157,4 +157,32 @@ class TemporalSpec extends SparkTestBase {
       (1L, 0L, 1L),   // user 3 starts in week 1
       (1L, 2L, 1L)))  // user 3 returns two weeks later
   }
+
+  test("snapshotDiff: added/removed/changed/unchanged incl. null transitions") {
+    val old = Seq(
+      (1L, Some("a")), (2L, Some("b")), (3L, Some("c")),
+      (5L, None: Option[String]), (6L, Some("x")), (7L, None: Option[String]))
+      .toDF("k", "v")
+    val nw = Seq(
+      (1L, Some("a")),                // unchanged
+      (2L, Some("B")),                // changed
+      // 3 removed
+      (4L, Some("d")),                // added
+      (5L, Some("x")),                // null -> value: changed
+      (6L, None: Option[String]),     // value -> null: changed
+      (7L, None: Option[String]))     // null -> null: unchanged
+      .toDF("k", "v")
+    val out = graft.ops.Temporal.snapshotDiff(old, nw, "k", Seq("v"))
+      .as[(Long, String)].collect().toMap
+    assert(out == Map(
+      1L -> "unchanged", 2L -> "changed", 3L -> "removed", 4L -> "added",
+      5L -> "changed", 6L -> "changed", 7L -> "unchanged"))
+    // column-boundary safety of the md5-of-md5s fingerprint: a separator
+    // inside a value cannot shift the boundary — ("a|b","c") != ("a","b|c")
+    val l = Seq((1L, "a|b", "c")).toDF("k", "x", "y")
+    val r = Seq((1L, "a", "b|c")).toDF("k", "x", "y")
+    val d = graft.ops.Temporal.snapshotDiff(l, r, "k", Seq("x", "y"))
+      .as[(Long, String)].collect().toMap
+    assert(d == Map(1L -> "changed"))
+  }
 }
