@@ -55,6 +55,54 @@ object SparkEntry {
     docs.select(col("doc_id").as("media_id"), unhex(hx).as("content"))
   }
 
+  /** Little-endian hex of an int column (n bytes): byte-swapped lpad hex —
+    * the RIFF/WAV encoding both engines replay with string ops.
+    */
+  private def leHex(c: Column, nBytes: Int): Column = {
+    val padded = lpad(hex(c), nBytes * 2, "0")
+    concat((nBytes - 1 to 0 by -1).map(i => substring(padded, i * 2 + 1, 2)): _*)
+  }
+
+  /** Deterministic WAV fixtures (audio leg of the header-decode family):
+    * a real RIFF/WAVE chunk list — fmt, a junk LIST/INFO chunk the scanner
+    * must skip, then data — with channels / sample rate / data size
+    * derived from doc columns. All numerics little-endian per the spec.
+    */
+  private def synthAudio(docs: DataFrame): DataFrame = {
+    val channels = (pmod(col("doc_id"), lit(2)) + 1).cast("int")       // 1..2
+    val rate = ((pmod(col("doc_id"), lit(3)) + 1) * 8000).cast("int")  // 8/16/24 kHz
+    val blockAlign = channels * 2
+    val byteRate = rate * blockAlign
+    val dataSize = ((pmod(col("n_chars"), lit(100)) + 1) * blockAlign).cast("int")
+    val hx = concat(
+      lit("52494646"), leHex(dataSize + 48, 4), lit("57415645"), // RIFF size WAVE
+      lit("666D7420"), leHex(lit(16), 4),                        // 'fmt ' 16
+      leHex(lit(1), 2), leHex(channels, 2), leHex(rate, 4),
+      leHex(byteRate, 4), leHex(blockAlign, 2), leHex(lit(16), 2),
+      lit("4C495354"), leHex(lit(4), 4), lit("494E464F"),        // junk LIST/INFO
+      lit("64617461"), leHex(dataSize, 4))                       // 'data' size
+    docs.select(col("doc_id").as("media_id"), unhex(hx).as("content"))
+  }
+
+  /** Deterministic MP4 (ISO-BMFF) fixtures (video leg): ftyp, a junk
+    * `free` box the walker must skip, then moov>mvhd (version 0) with
+    * timescale/duration from doc columns. All numerics big-endian.
+    */
+  private def synthVideo(docs: DataFrame): DataFrame = {
+    val ts = ((pmod(col("doc_id"), lit(2)) + 1) * 600).cast("int")     // 600/1200
+    val dur = ((pmod(col("n_chars"), lit(1000)) + 1) *
+      (pmod(col("doc_id"), lit(5)) + 1)).cast("int")
+    def be4(c: Column) = lpad(hex(c), 8, "0")
+    val mvhdTail = "00010000" + "0100" + "0" * 20 + "0" * 72 + "0" * 48 + "00000002"
+    val hx = concat(
+      lit("0000001066747970" + "69736F6D" + "00000000"),   // ftyp isom
+      lit("0000000866726565"),                             // junk 'free' box
+      lit("000000746D6F6F76"),                             // moov (116)
+      lit("0000006C6D766864" + "00000000" + "00000000" + "00000000"), // mvhd v0
+      be4(ts), be4(dur), lit(mvhdTail))
+    docs.select(col("doc_id").as("media_id"), unhex(hx).as("content"))
+  }
+
   /** The LLM-data flagship curation DAG a training run ships — length
     * floor → repetition ceiling → exact dedup → near-dup cluster
     * survivors → decontamination vs the benchmark slice — each stage one
@@ -349,6 +397,23 @@ object SparkEntry {
         .select(col("media_id"), col("fmt"), col("width"), col("height"))
         .orderBy("media_id")
     }),
+
+    "audio_meta_decode" -> ((s, dir) =>
+      // real RIFF/WAVE chunk-scan decode over synthesized-but-valid WAV
+      // headers (a junk LIST chunk sits between fmt and data); the DuckDB
+      // twin re-derives channels/rate/duration from the construction at
+      // value level — independent of the byte path entirely
+      graft.ops.Multimodal.decodeAudioMeta(synthAudio(t(s, dir, "documents")))
+        .select(col("media_id"), col("fmt"), col("channels"),
+          col("sample_rate"), col("duration_ms"))
+        .orderBy("media_id")),
+
+    "video_meta_decode" -> ((s, dir) =>
+      // real ISO-BMFF box walk (ftyp → skip free → moov → mvhd v0) over
+      // synthesized-but-valid MP4 headers; value-level DuckDB twin
+      graft.ops.Multimodal.decodeVideoMeta(synthVideo(t(s, dir, "documents")))
+        .select(col("media_id"), col("fmt"), col("timescale"), col("duration_ms"))
+        .orderBy("media_id")),
 
     "image_meta_filter" -> ((s, dir) => {
       // metadata-only filter over the decoded headers: filterByMeta never
@@ -1722,6 +1787,24 @@ object SparkEntry {
          FROM documents
          WHERE doc_id % 3 = 0 AND n_chars % 300 + 16 >= 166
          ORDER BY media_id""",
+
+    // value-level re-derivation of the WAV construction: the Spark side
+    // parses the bytes, the oracle never touches them
+    "audio_meta_decode" ->
+      """SELECT doc_id AS media_id, 'wav' AS fmt,
+           CAST(doc_id % 2 + 1 AS BIGINT) AS channels,
+           CAST((doc_id % 3 + 1) * 8000 AS BIGINT) AS sample_rate,
+           CAST(((n_chars % 100 + 1) * (doc_id % 2 + 1) * 2 * 1000)
+                // ((doc_id % 3 + 1) * 8000 * (doc_id % 2 + 1) * 2) AS BIGINT)
+             AS duration_ms
+         FROM documents ORDER BY media_id""",
+
+    "video_meta_decode" ->
+      """SELECT doc_id AS media_id, 'mp4' AS fmt,
+           CAST((doc_id % 2 + 1) * 600 AS BIGINT) AS timescale,
+           CAST(((n_chars % 1000 + 1) * (doc_id % 5 + 1) * 1000)
+                // ((doc_id % 2 + 1) * 600) AS BIGINT) AS duration_ms
+         FROM documents ORDER BY media_id""",
 
     "dedup_clusters" ->
       """WITH RECURSIVE d AS (

@@ -133,6 +133,130 @@ object Multimodal {
     }
   }
 
+  /** Real WAV (RIFF/WAVE) header decoder — the audio leg of L5's real
+    * decode surface: channels / sample rate / duration parsed from the
+    * chunk list per the RIFF spec (all little-endian). A proper chunk
+    * SCAN, not fixed offsets: `fmt ` and `data` may sit after other
+    * chunks (LIST/INFO) and in any order. Total on arbitrary bytes.
+    */
+  object AudioHeaders extends Serializable {
+    private def le16(b: Array[Byte], o: Int): Int =
+      (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+    private def le32(b: Array[Byte], o: Int): Long =
+      (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
+        ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+    private def tag(b: Array[Byte], o: Int): String =
+      new String(b, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+    /** (format, channels, sample_rate, duration_ms); unknowns are -1. */
+    def parse(b: Array[Byte]): (String, Int, Long, Long) = {
+      if (b == null || b.length < 12 || tag(b, 0) != "RIFF" || tag(b, 8) != "WAVE")
+        return ("unknown", -1, -1L, -1L)
+      var channels = -1
+      var sampleRate = -1L
+      var byteRate = -1L
+      var dataSize = -1L
+      var pos = 12
+      while (pos + 8 <= b.length) {
+        val id = tag(b, pos)
+        val sz = le32(b, pos + 4)
+        if (id == "fmt " && pos + 8 + 16 <= b.length) {
+          channels = le16(b, pos + 10)
+          sampleRate = le32(b, pos + 12)
+          byteRate = le32(b, pos + 16)
+        } else if (id == "data") dataSize = sz
+        pos += 8 + sz.toInt + (sz.toInt & 1) // chunks are word-aligned
+      }
+      if (channels < 0) ("unknown", -1, -1L, -1L)
+      else ("wav", channels, sampleRate,
+        if (byteRate > 0 && dataSize >= 0) dataSize * 1000L / byteRate else -1L)
+    }
+  }
+
+  /** Real MP4 (ISO-BMFF) header decoder — the video leg: a box WALK to
+    * `moov`/`mvhd` (big-endian), reading the movie timescale and duration
+    * for both mvhd version 0 (32-bit) and version 1 (64-bit). Total on
+    * arbitrary bytes.
+    */
+  object VideoHeaders extends Serializable {
+    private def be32(b: Array[Byte], o: Int): Long =
+      ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+        ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+    private def be64(b: Array[Byte], o: Int): Long =
+      (be32(b, o) << 32) | be32(b, o + 4)
+    private def tag(b: Array[Byte], o: Int): String =
+      new String(b, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+    /** (format, timescale, duration_ms); unknowns are -1. */
+    def parse(b: Array[Byte]): (String, Long, Long) = {
+      if (b == null || b.length < 12 || tag(b, 4) != "ftyp")
+        return ("unknown", -1L, -1L)
+      var pos = 0
+      while (pos + 8 <= b.length) {
+        val sz = be32(b, pos)
+        if (sz < 8) return ("unknown", -1L, -1L)
+        if (tag(b, pos + 4) == "moov") {
+          // walk the moov children for mvhd
+          var p = pos + 8
+          val end = math.min(pos + sz, b.length.toLong).toInt
+          while (p + 8 <= end) {
+            val csz = be32(b, p)
+            if (csz < 8) return ("unknown", -1L, -1L)
+            if (tag(b, p + 4) == "mvhd" && p + 32 <= end) {
+              val version = b(p + 8) & 0xff
+              val (ts, dur) =
+                if (version == 1 && p + 40 <= end)
+                  (be32(b, p + 28), be64(b, p + 32))
+                else (be32(b, p + 20), be32(b, p + 24))
+              return ("mp4", ts, if (ts > 0) dur * 1000L / ts else -1L)
+            }
+            p += csz.toInt
+          }
+          return ("unknown", -1L, -1L)
+        }
+        pos += sz.toInt
+      }
+      ("unknown", -1L, -1L)
+    }
+  }
+
+  /** [[ImageHeaders]]-style decode for audio blobs: appends
+    * `fmt, channels, sample_rate, duration_ms`. Partition-preserving.
+    */
+  def decodeAudioMeta(df: DataFrame): DataFrame = {
+    val outSchema = StructType(df.schema.fields ++ Seq(
+      StructField("fmt", StringType),
+      StructField("channels", LongType),
+      StructField("sample_rate", LongType),
+      StructField("duration_ms", LongType)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    val contentIdx = df.schema.fieldIndex("content")
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val (f, c, sr, d) = AudioHeaders.parse(r.getAs[Array[Byte]](contentIdx))
+        Row.fromSeq(r.toSeq ++ Seq(f, c.toLong, sr, d))
+      }
+    }(enc)
+  }
+
+  /** [[ImageHeaders]]-style decode for video blobs: appends
+    * `fmt, timescale, duration_ms`. Partition-preserving.
+    */
+  def decodeVideoMeta(df: DataFrame): DataFrame = {
+    val outSchema = StructType(df.schema.fields ++ Seq(
+      StructField("fmt", StringType),
+      StructField("timescale", LongType),
+      StructField("duration_ms", LongType)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    val contentIdx = df.schema.fieldIndex("content")
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val (f, ts, d) = VideoHeaders.parse(r.getAs[Array[Byte]](contentIdx))
+        Row.fromSeq(r.toSeq ++ Seq(f, ts, d))
+      }
+    }(enc)
+  }
+
   /** Header-metadata decode over the binary column: appends
     * `fmt: string, width: long, height: long` parsed from the blob's
     * leading bytes by [[ImageHeaders]]. Same partition-preserving

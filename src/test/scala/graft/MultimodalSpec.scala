@@ -83,6 +83,53 @@ class MultimodalSpec extends SparkTestBase {
     assert(Multimodal.ImageHeaders.parse(hx("FFD8FFE0")) == (("unknown", -1, -1)))
   }
 
+  test("AudioHeaders parses real WAV chunk lists; total on garbage") {
+    // canonical 44-byte mono 8kHz 16-bit PCM header, 4 data bytes:
+    // byteRate 16000, dataSize 4 → duration 0 ms
+    val wav = hx("52494646" + "28000000" + "57415645" +
+      "666D7420" + "10000000" + "0100" + "0100" + "401F0000" + "803E0000" + "0200" + "1000" +
+      "64617461" + "04000000" + "AABBCCDD")
+    assert(Multimodal.AudioHeaders.parse(wav) == (("wav", 1, 8000L, 0L)))
+    // stereo 16kHz with a LIST chunk BEFORE fmt — scan order independence;
+    // dataSize 64000 = exactly 1 s at byteRate 64000
+    val wav2 = hx("52494646" + "00000000" + "57415645" +
+      "4C495354" + "04000000" + "494E464F" +
+      "666D7420" + "10000000" + "0100" + "0200" + "803E0000" + "00FA0000" + "0400" + "1000" +
+      "64617461" + "00FA0000")
+    assert(Multimodal.AudioHeaders.parse(wav2) == (("wav", 2, 16000L, 1000L)))
+    assert(Multimodal.AudioHeaders.parse(hx("DEADBEEF")) == (("unknown", -1, -1L, -1L)))
+    assert(Multimodal.AudioHeaders.parse(null) == (("unknown", -1, -1L, -1L)))
+    // RIFF but not WAVE (an AVI) → unknown
+    assert(Multimodal.AudioHeaders.parse(
+      hx("52494646" + "00000000" + "41564920")) == (("unknown", -1, -1L, -1L)))
+  }
+
+  test("VideoHeaders walks ISO-BMFF boxes to mvhd; v0 and v1; total on garbage") {
+    def mvhdV0(ts: Long, dur: Long): String = {
+      val tail = "00010000" + "0100" + "0" * 20 + "0" * 72 + "0" * 48 + "00000002"
+      f"0000006C6D766864" + "00000000" + "00000000" + "00000000" +
+        f"$ts%08X" + f"$dur%08X" + tail
+    }
+    // ftyp + free + moov>mvhd v0: timescale 600, duration 1200 units → 2000 ms
+    val mp4 = hx("0000001066747970" + "69736F6D" + "00000000" +
+      "0000000866726565" + "000000746D6F6F76" + mvhdV0(600, 1200))
+    assert(Multimodal.VideoHeaders.parse(mp4) == (("mp4", 600L, 2000L)))
+    // mvhd VERSION 1: 64-bit times; box = 8 + 112 = 120, moov = 128
+    val v1 = "000000786D766864" + "01000000" +
+      "0000000000000000" + "0000000000000000" +  // ctime/mtime 64-bit
+      "000003E8" +                                // timescale 1000
+      "0000000000002710" +                        // duration 10000 → 10000 ms
+      "00010000" + "0100" + "0" * 20 + "0" * 72 + "0" * 48 + "00000002"
+    val mp4v1 = hx("0000001066747970" + "69736F6D" + "00000000" +
+      "000000806D6F6F76" + v1)
+    assert(Multimodal.VideoHeaders.parse(mp4v1) == (("mp4", 1000L, 10000L)))
+    assert(Multimodal.VideoHeaders.parse(hx("DEADBEEFDEADBEEF")) == (("unknown", -1L, -1L)))
+    assert(Multimodal.VideoHeaders.parse(null) == (("unknown", -1L, -1L)))
+    // truncated after ftyp → unknown, no throw
+    assert(Multimodal.VideoHeaders.parse(
+      hx("0000001066747970" + "69736F6D" + "00000000")) == (("unknown", -1L, -1L)))
+  }
+
   test("decodeImageMeta: distributed decode, partition-preserving, null-safe") {
     import org.apache.spark.sql.types._
     val schema = StructType(Seq(
