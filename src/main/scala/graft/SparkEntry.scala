@@ -931,6 +931,12 @@ object SparkEntry {
       LlmOps.lmScore(t(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")),
 
+    "perplexity_buckets" -> ((s, dir) =>
+      // CCNet head/middle/tail: ntile(3) over lm_score per language, then
+      // the (lang, bucket) doc/bigram-mass table a mixture plan consumes
+      LlmOps.perplexityBuckets(t(s, dir, "documents"), "doc_id", "lang", "text")
+        .orderBy("lang", "bucket")),
+
     "ivm_daily_counts" -> ((s, dir) => {
       // incremental view maintenance: history partition + delta partition
       // aggregated independently, merged — hash-checked against the
@@ -2368,6 +2374,36 @@ object SparkEntry {
          SELECT doc_id, n_bigrams,
            CAST(csum AS DOUBLE) / (n_bigrams * n.n) AS lm_score
          FROM d, n ORDER BY doc_id""",
+
+    // lm_score CTE + per-language ntile + bucket mass rollup
+    "perplexity_buckets" ->
+      """WITH t AS (
+           SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS tk
+           FROM documents),
+         bg AS (
+           SELECT doc_id, unnest(list_transform(
+             range(1, greatest(len(tk) - 2, 0) + 2),
+             i -> ('0x' || substr(md5(array_to_string(
+               list_slice(tk, i, i + 1), ' ')), 1, 12))::BIGINT)) AS b
+           FROM t),
+         c AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS c FROM bg GROUP BY b),
+         n AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM c),
+         d AS (
+           SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+             CAST(SUM(c.c) AS BIGINT) AS csum
+           FROM bg JOIN c USING (b) GROUP BY doc_id),
+         scored AS (
+           SELECT doc.doc_id, doc.lang, d.n_bigrams,
+             CAST(csum AS DOUBLE) / (d.n_bigrams * n.n) AS lm_score
+           FROM documents doc JOIN d ON doc.doc_id = d.doc_id, n),
+         tiled AS (
+           SELECT lang, n_bigrams,
+             CAST(ntile(3) OVER (PARTITION BY lang
+               ORDER BY lm_score DESC, doc_id ASC) AS BIGINT) AS bucket
+           FROM scored)
+         SELECT lang, bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_bigrams) AS BIGINT) AS n_bigrams
+         FROM tiled GROUP BY lang, bucket ORDER BY lang, bucket""",
 
     "ivm_daily_counts" ->
       """SELECT user_id, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,

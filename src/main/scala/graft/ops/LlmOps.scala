@@ -1139,6 +1139,34 @@ object LlmOps {
           .as("lm_score"))
   }
 
+  /** CCNet-style perplexity bucketing: rank every document within its
+    * group (language) by LM fluency score and cut the ranking into
+    * `nBuckets` equal tiles — the head/middle/tail split CCNet
+    * (Wenzek et al. 2020) uses to keep the fluent head of each language
+    * and drop or downweight the tail. Emits the per-(group, bucket)
+    * doc/bigram-mass table a mixture plan consumes.
+    *
+    * Deterministic: the tile order is (lm_score desc, id asc) — a total
+    * order — and ntile's equal-split semantics are identical in external
+    * SQL engines. Scale shape: [[lmScore]]'s aggregations plus ONE
+    * ntile window partitioned by the group key (bounded fan-in per
+    * language at any corpus size — a language's ranking is exactly the
+    * per-language state any percentile split needs), then a tiny
+    * (group × bucket) aggregate.
+    */
+  def perplexityBuckets(df: DataFrame, idCol: String, groupCol: String,
+                        textCol: String, nBuckets: Int = 3): DataFrame = {
+    val scored = lmScore(df, idCol, textCol)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(col("lm_score").desc, col(idCol).asc)
+    df.select(col(idCol), col(groupCol))
+      .join(scored, idCol)
+      .withColumn("bucket", ntile(nBuckets).over(w).cast("long"))
+      .groupBy(groupCol, "bucket")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_bigrams")).as("n_bigrams"))
+  }
+
   /** Cross-source corpus overlap matrix: Jaccard similarity between the
     * distinct n-gram shingle sets of every source pair — the corpus-level
     * "how much does crawl A repeat crawl B" diagnostic that drives source

@@ -31,6 +31,23 @@ class LlmOpsSpec extends SparkTestBase {
     spark.catalog.clearCache()
   }
 
+  test("perplexity buckets: equal tiles per group, doc mass preserved") {
+    val df = Seq(
+      (1L, "en", "the the the the the"),   // repeated common bigrams → high score
+      (2L, "en", "the the the quick fox"),
+      (3L, "en", "quick brown fox jumps"),
+      (4L, "en", "alpha beta gamma delta"),
+      (5L, "en", "epsilon zeta eta theta"),
+      (6L, "en", "unique wording here indeed"))
+      .toDF("doc_id", "lang", "text")
+    val out = LlmOps.perplexityBuckets(df, "doc_id", "lang", "text")
+      .as[(String, Long, Long, Long)].collect()
+    assert(out.map(_._3).sum == 6)                  // every doc bucketed once
+    assert(out.map(_._2).toSet == Set(1L, 2L, 3L))  // three tiles present
+    assert(out.forall(_._3 == 2))                   // 6 docs / 3 tiles = 2 each
+    spark.catalog.clearCache()
+  }
+
   test("cms term counts: exact truth, never underestimates, overcount bounded by mass") {
     // a=4, b=3, c=2, d=e=f=1 across both docs; width 4 / depth 2 forces
     // counter collisions so the min-fold and invariant are exercised
