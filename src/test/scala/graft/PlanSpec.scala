@@ -264,6 +264,32 @@ class PlanSpec extends SparkTestBase {
     assert(finalPlan.split("HashAggregate").length - 1 >= 2, finalPlan)
   }
 
+  test("snapshot_diff: pruned scans — the diff moves fingerprints, not rows") {
+    val p = planOf("snapshot_diff")
+    // every scan must read only the key + diffed value columns; the wide
+    // row (o_comment, dates, priority) stays on disk
+    p.split("ReadSchema:").drop(1).map(_.split("\n")(0)).foreach { read =>
+      assert(read.contains("o_orderkey"), read)
+      assert(!read.contains("o_comment") && !read.contains("o_orderdate") &&
+        !read.contains("o_orderpriority"), s"over-read: $read")
+    }
+    assert(!p.split("== Initial Plan ==").head.contains("CartesianProduct"), p)
+  }
+
+  test("cms_term_counts: grid and truth both aggregate with map-side partials") {
+    val p = planOf("cms_term_counts")
+    val finalPlan = p.split("== Initial Plan ==").head
+    assert(finalPlan.split("HashAggregate").length - 1 >= 4, finalPlan)
+    assert(!finalPlan.contains("CartesianProduct"), finalPlan)
+  }
+
+  test("embedding_outliers: grid and group sums broadcast; no cartesian") {
+    val p = planOf("embedding_outliers")
+    val finalPlan = p.split("== Initial Plan ==").head
+    assert(finalPlan.contains("BroadcastHashJoin"), finalPlan)
+    assert(!finalPlan.contains("CartesianProduct"), finalPlan)
+  }
+
   test("dup_span_stats: both windows partition on high-cardinality keys (skew audit)") {
     // the occurrence census must partition on the shingle-hash column and
     // the run grouping on the doc id — a window that falls into a single
