@@ -716,6 +716,97 @@ object SparkEntry {
         .orderBy(col("revenue").desc, col("n_name").asc)
     }),
 
+    "pagerank_topk" -> ((s, dir) => {
+      // node importance over the customer↔supplier trade graph (distinct
+      // edges from orders⋈lineitem, suppliers offset into their own id
+      // space, symmetrized so no dangling mass): 3 integer-exact PageRank
+      // rounds, top-20 hubs via TakeOrderedAndProject
+      val trade = t(s, dir, "orders")
+        .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("src"),
+          (col("l_suppkey") + lit(1000000L)).as("dst"))
+        .distinct()
+      val edges = trade.union(
+        trade.select(col("dst").as("src"), col("src").as("dst")))
+      graft.ops.Graph.pageRank(edges, "src", "dst", iterations = 3)
+        .orderBy(col("pr").desc, col("node").asc)
+        .limit(20)
+    }),
+
+    "event_paths" -> ((s, dir) =>
+      // most common 3-step user journeys: one window pass (two leads over
+      // a (ts, event_id)-total order), trigram count, deterministic top-10
+      Temporal.topEventPaths(t(s, dir, "events"), "user_id", "ts",
+        "event_id", "event_type", k = 10)),
+
+    "grouping_sets_revenue" -> ((s, dir) =>
+      // irregular grouping-set collection {(flag,status),(flag),(status)} —
+      // expressible as neither rollup nor cube; one Expand + one aggregate
+      Relational.groupingSetsAgg(t(s, dir, "lineitem"),
+          Seq(Seq("l_returnflag", "l_linestatus"), Seq("l_returnflag"),
+            Seq("l_linestatus")),
+          Seq("l_returnflag", "l_linestatus"),
+          Relational.decimalSum(col("l_quantity")).as("sum_qty"),
+          count(lit(1)).as("cnt"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+          col("sum_qty"), col("cnt"))
+        .orderBy("flag", "status")),
+
+    "iqr_outliers" -> ((s, dir) =>
+      // per-language Tukey-fence length outliers: exact quartiles (tiny
+      // per-group aggregate) broadcast back onto the corpus scan
+      LlmOps.iqrOutliers(t(s, dir, "documents"), "lang", "doc_id", "n_chars")
+        .orderBy("doc_id")),
+
+    "value_histogram" -> ((s, dir) =>
+      // equi-width profile of order totals with data-derived bounds: one
+      // broadcast 2-value global, one bucket-id groupBy, audit edges from
+      // the same arithmetic the bucketing used
+      Relational.equiWidthHistogram(
+          t(s, dir, "orders").select(col("o_totalprice")), "o_totalprice",
+          buckets = 20)
+        .orderBy("bucket")),
+
+    "mixture_apply" -> ((s, dir) => {
+      // the sampling step that EXECUTES mixture_plan: per-source rates
+      // derived from the data in the same job, broadcast, then a pure
+      // hash-threshold filter — the corpus itself never shuffles
+      val withTokens = t(s, dir, "documents").select(col("doc_id"),
+        col("source"), regexp_count(col("text"), lit("\\S+")).cast("long").as("__n"))
+      LlmOps.mixtureApply(withTokens, "source", "doc_id", "__n")
+        .orderBy("doc_id")
+    }),
+
+    "bpe_pair_counts" -> ((s, dir) =>
+      // tokenizer-training statistic: the first BPE merge step's top
+      // adjacent char-pair counts inside whitespace tokens
+      LlmOps.bpePairCounts(t(s, dir, "documents"), "text", k = 20)),
+
+    "union_by_name" -> ((s, dir) => {
+      // schema-evolution union: two ingest batches with drifted schemas
+      // align by NAME with null fill — positional union would silently
+      // put source values in the lang column
+      val docs = t(s, dir, "documents")
+      val batchA = docs.filter(col("lang") === "en")
+        .select("doc_id", "lang", "n_chars")
+      val batchB = docs.filter(col("lang") =!= "en")
+        .select("doc_id", "source", "n_chars")
+      Relational.unionByNameLoose(Seq(batchA, batchB)).orderBy("doc_id")
+    }),
+
+    "salted_join_counts" -> ((s, dir) => {
+      // skew-proof shuffle join: events' hot user keys spread over 16
+      // salted reducers against a 16×-replicated dim; rows identical to
+      // the plain join (the oracle IS the plain join), plan audited
+      val ev = t(s, dir, "events").select(col("user_id"), col("event_id"))
+      val cust = t(s, dir, "customer").select(col("c_custkey"), col("c_nationkey"))
+      Relational.saltedJoin(ev, cust, "user_id", "c_custkey", "event_id",
+          salts = 16)
+        .groupBy("c_nationkey").agg(count(lit(1)).as("cnt"))
+        .orderBy("c_nationkey")
+    }),
+
     "dedup_quality_survivor" -> ((s, dir) => {
       // same clusters as dedup_clusters, but the survivor is the LONGEST
       // doc per cluster (tie: min id) — the keep-the-best-variant rule a
@@ -1902,6 +1993,128 @@ object SparkEntry {
          WHERE r_name = 'ASIA'
            AND o_orderdate >= '1996-01-01' AND o_orderdate < '1998-01-01'
          GROUP BY n_name ORDER BY revenue DESC, n_name""",
+
+    // integer-exact PageRank unrolled: p0 → p1 → p2 → p3 chained CTEs
+    // replay Graph.pageRank's div/floor arithmetic digit-for-digit
+    "pagerank_topk" ->
+      """WITH e0 AS (
+           SELECT DISTINCT o_custkey AS src, l_suppkey + 1000000 AS dst
+           FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+         deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS outdeg
+                 FROM e GROUP BY 1),
+         n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+         p0 AS (SELECT n.node, COALESCE(d.outdeg, 0) AS outdeg,
+                  CAST(1000000000 AS BIGINT) AS pr
+                FROM n LEFT JOIN deg d USING (node)),
+         p1 AS (SELECT p.node, p.outdeg,
+                  CAST(150000000 + (85 * COALESCE(m.mass, 0)) // 100 AS BIGINT) AS pr
+                FROM p0 p LEFT JOIN (
+                  SELECT e.dst AS node, CAST(SUM(q.pr // q.outdeg) AS BIGINT) AS mass
+                  FROM p0 q JOIN e ON q.node = e.src
+                  WHERE q.outdeg > 0 GROUP BY e.dst) m USING (node)),
+         p2 AS (SELECT p.node, p.outdeg,
+                  CAST(150000000 + (85 * COALESCE(m.mass, 0)) // 100 AS BIGINT) AS pr
+                FROM p1 p LEFT JOIN (
+                  SELECT e.dst AS node, CAST(SUM(q.pr // q.outdeg) AS BIGINT) AS mass
+                  FROM p1 q JOIN e ON q.node = e.src
+                  WHERE q.outdeg > 0 GROUP BY e.dst) m USING (node)),
+         p3 AS (SELECT p.node, p.outdeg,
+                  CAST(150000000 + (85 * COALESCE(m.mass, 0)) // 100 AS BIGINT) AS pr
+                FROM p2 p LEFT JOIN (
+                  SELECT e.dst AS node, CAST(SUM(q.pr // q.outdeg) AS BIGINT) AS mass
+                  FROM p2 q JOIN e ON q.node = e.src
+                  WHERE q.outdeg > 0 GROUP BY e.dst) m USING (node))
+         SELECT node, pr FROM p3 ORDER BY pr DESC, node LIMIT 20""",
+
+    "event_paths" ->
+      """WITH p AS (
+           SELECT event_type AS step1,
+             LEAD(event_type, 1) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id) AS step2,
+             LEAD(event_type, 2) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id) AS step3
+           FROM events)
+         SELECT step1, step2, step3, CAST(COUNT(*) AS BIGINT) AS n_paths
+         FROM p WHERE step2 IS NOT NULL AND step3 IS NOT NULL
+         GROUP BY step1, step2, step3
+         ORDER BY n_paths DESC, step1, step2, step3 LIMIT 10""",
+
+    "grouping_sets_revenue" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS flag,
+            COALESCE(l_linestatus, 'ALL') AS status,
+            CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+            COUNT(*) AS cnt
+         FROM lineitem
+         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                 (l_returnflag), (l_linestatus))
+         ORDER BY flag, status""",
+
+    "iqr_outliers" ->
+      """WITH f AS (
+           SELECT lang, quantile_cont(n_chars, 0.25) AS q1,
+                  quantile_cont(n_chars, 0.75) AS q3
+           FROM documents GROUP BY lang)
+         SELECT doc_id, d.lang, n_chars,
+           (n_chars < q1 - 1.5 * (q3 - q1)
+              OR n_chars > q3 + 1.5 * (q3 - q1)) AS is_outlier
+         FROM documents d JOIN f USING (lang) ORDER BY doc_id""",
+
+    "value_histogram" ->
+      """WITH mm AS (SELECT CAST(MIN(o_totalprice) AS DOUBLE) AS vmin,
+                            CAST(MAX(o_totalprice) AS DOUBLE) AS vmax
+                     FROM orders),
+         b AS (
+           SELECT CASE WHEN vmax = vmin THEN 0
+                  ELSE LEAST(CAST(FLOOR((o_totalprice - vmin) * 20
+                                        / (vmax - vmin)) AS BIGINT), 19)
+                  END AS bucket, vmin, vmax
+           FROM orders, mm)
+         SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           MIN(vmin + bucket * (vmax - vmin) / 20) AS lo_edge,
+           MIN(vmin + (bucket + 1) * (vmax - vmin) / 20) AS hi_edge
+         FROM b GROUP BY bucket ORDER BY bucket""",
+
+    // replays mixturePlan's rate table then the hash-threshold keep rule;
+    // DuckDB x/0 → NULL matches the zero-weight guard (rows drop)
+    "mixture_apply" ->
+      """WITH t AS (
+           SELECT doc_id, source,
+             CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n
+           FROM documents),
+         b AS (SELECT source, CAST(SUM(n) AS BIGINT) AS n_tokens
+               FROM t GROUP BY source),
+         g AS (SELECT MIN(n_tokens) AS mn FROM b),
+         r AS (SELECT source, CAST(mn AS DOUBLE) / n_tokens AS rate FROM b, g)
+         SELECT doc_id, t.source FROM t JOIN r USING (source)
+         WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT
+               / 281474976710656.0 < rate
+         ORDER BY doc_id""",
+
+    "bpe_pair_counts" ->
+      """WITH tok AS (
+           SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS tk
+           FROM documents),
+         p AS (
+           SELECT unnest(list_transform(range(1, len(tk)),
+             i -> substr(tk, i, 2))) AS pair
+           FROM tok WHERE len(tk) >= 2)
+         SELECT pair, CAST(COUNT(*) AS BIGINT) AS cnt
+         FROM p GROUP BY pair ORDER BY cnt DESC, pair LIMIT 20""",
+
+    "union_by_name" ->
+      """SELECT doc_id, lang, n_chars, CAST(NULL AS VARCHAR) AS source
+         FROM documents WHERE lang = 'en'
+         UNION ALL
+         SELECT doc_id, CAST(NULL AS VARCHAR) AS lang, n_chars, source
+         FROM documents WHERE lang <> 'en'
+         ORDER BY doc_id""",
+
+    // the oracle IS the plain join: salting must be output-invisible
+    "salted_join_counts" ->
+      """SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS cnt
+         FROM events JOIN customer ON user_id = c_custkey
+         GROUP BY c_nationkey ORDER BY c_nationkey""",
 
     // same transitive closure as dedup_clusters; survivor = argmax(n_chars)
     // per cluster, ties to the smaller id

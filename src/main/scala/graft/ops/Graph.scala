@@ -205,6 +205,69 @@ object Graph {
       .withColumn("keep", col(idCol) === col("cluster_id"))
   }
 
+  /** Fixed-iteration PageRank in INTEGER arithmetic — node importance over
+    * a directed edge set (here: the customer↔supplier interaction graph a
+    * curation pipeline uses to weight sources by connectivity).
+    *
+    * Why integers: float PageRank sums contributions in partition order,
+    * so two runs (or two engines) disagree in the low bits and no external
+    * oracle can hash-match it. Scaling ranks by `scale` and using integer
+    * division (`div`, floor for the all-positive values here) makes every
+    * iteration a pure function of the edge set — longs sum associatively —
+    * so an external SQL engine replays the run digit-for-digit:
+    *
+    *   pr_0(v)     = scale
+    *   pr_{k+1}(v) = (15*scale) div 100
+    *               + (85 * Σ_{u→v} (pr_k(u) div outdeg(u))) div 100
+    *
+    * Dangling nodes (outdeg 0) contribute nothing — the standard
+    * leaked-mass simplification; node universe = all edge endpoints.
+    *
+    * Scale shape: per iteration ONE join (ranks ⋈ edges on src — the edge
+    * side is persisted pre-partitioned on src so its exchange is reused
+    * across rounds; the rank side is one row per NODE, orders of magnitude
+    * smaller than the edges, and AQE broadcasts it when it fits) + ONE
+    * map-side-partial sum on dst. Rank state never exceeds one (node,
+    * outdeg, pr) row per node; `localCheckpoint` cuts the growing lineage
+    * exactly like [[connectedComponents]]. Overflow headroom: 85 · Σ pr
+    * ≤ 85 · N · scale, so scale=1e9 is safe to ~1e8 nodes per component.
+    */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+               iterations: Int = 3, scale: Long = 1000000000L): DataFrame = {
+    require(iterations >= 1 && scale >= 100L, "need >=1 iteration, scale >= 100")
+    val e = edges.select(col(srcCol).cast("long").as("__src"),
+        col(dstCol).cast("long").as("__dst"))
+      .distinct()
+      .repartition(col("__src"))
+      .persist()
+    val nodes = e.select(col("__src").as("node"))
+      .union(e.select(col("__dst").as("node")))
+      .distinct()
+    val outdeg = e.groupBy(col("__src")).agg(count(lit(1)).as("outdeg"))
+      .select(col("__src").as("node"), col("outdeg"))
+    var pr = nodes.join(outdeg, Seq("node"), "left")
+      .select(col("node"), coalesce(col("outdeg"), lit(0L)).as("outdeg"),
+        lit(scale).as("pr"))
+      .localCheckpoint()
+    val teleport = (15L * scale) / 100L
+    for (_ <- 1 to iterations) {
+      val contrib = pr.filter(col("outdeg") > 0)
+        .select(col("node").as("__psrc"), expr("pr div outdeg").as("__c"))
+        .join(e, col("__psrc") === col("__src"))
+        .groupBy(col("__dst"))
+        .agg(sum(col("__c")).as("__in_mass"))
+        .select(col("__dst").as("node"), col("__in_mass"))
+      pr = pr.select(col("node"), col("outdeg"))
+        .join(contrib, Seq("node"), "left")
+        .select(col("node"), col("outdeg"),
+          (lit(teleport) +
+            expr("(85 * coalesce(__in_mass, 0L)) div 100")).as("pr"))
+        .localCheckpoint()
+    }
+    e.unpersist()
+    pr.select(col("node"), col("pr"))
+  }
+
   /** [[dedupClusters]] with a QUALITY survivor rule: the kept doc per
     * duplicate cluster is the one maximizing `scoreCol` (ties broken by
     * minimum id) instead of the minimum id — what production curation

@@ -1425,4 +1425,87 @@ object LlmOps {
       .groupBy(groupCol, "len_bucket")
       .agg(count(lit(1)).as("n_docs"))
   }
+
+  /** Tukey-fence outlier flag per group: a doc is an outlier when its
+    * value leaves [q1 − 1.5·IQR, q3 + 1.5·IQR] of its group's exact
+    * quartiles — the standard distribution-based length/quality filter a
+    * curation pipeline runs before threshold filters, catching per-
+    * language tails a single global cutoff misses.
+    *
+    * Determinism: exact linear-interpolated percentiles (the same
+    * `percentile` ↔ `quantile_cont` equivalence `percentile_by_group`
+    * oracles) and fence arithmetic in IEEE double — value comparisons
+    * replay exactly in an external engine.
+    *
+    * Scale shape: the per-group quartiles are a tiny aggregate (one row
+    * per group) broadcast back onto the scan — the exact `percentile`
+    * aggregate holds a per-group value buffer, fine for bounded groups
+    * (languages); unbounded group cardinality would swap in the
+    * approx_quantiles sketch path. No shuffle of the data side beyond the
+    * group key.
+    */
+  /** EXECUTES a [[mixturePlan]]: keeps each row iff its portable hash
+    * fraction falls below its group's data-derived downsample-to-smallest
+    * rate — the sampling step that turns the plan table into an actual
+    * balanced corpus. Complements `stratified_sample`, whose rates are
+    * caller-supplied literals: here the rates come from the data itself in
+    * the same job, so plan and execution can never drift.
+    *
+    * Determinism: keep ⇔ md5-48(id)/2^48 < rate. The hash is < 2^48 so
+    * its double is exact, and the per-group rate is one exact division —
+    * an external engine replays every keep/drop decision. Rows of a
+    * zero-weight group have a null rate and are dropped (null compare),
+    * matching SQL three-valued logic on both engines.
+    *
+    * Scale shape: one groupBy for the plan (rows collapse to (group,
+    * long) partials), a broadcast of the tiny rate table, then a pure
+    * map-side filter — the corpus itself never shuffles.
+    */
+  def mixtureApply(df: DataFrame, groupCol: String, idCol: String,
+                   weightCol: String): DataFrame = {
+    val plan = mixturePlan(df.select(col(groupCol), col(weightCol)),
+        groupCol, weightCol)
+      .select(col(groupCol), col("sample_rate"))
+    df.select(col(idCol), col(groupCol))
+      .join(broadcast(plan), Seq(groupCol))
+      .filter(md5Hash48(col(idCol).cast("string"), 1).cast("double") /
+        lit(281474976710656.0) < col("sample_rate"))
+      .select(col(idCol), col(groupCol))
+  }
+
+  /** Most frequent adjacent character pairs inside whitespace tokens —
+    * the statistic the FIRST merge step of byte-pair-encoding training
+    * computes (the highest-count pair becomes the first merge rule).
+    * Running it over a corpus sample is how a tokenizer-training pipeline
+    * sizes its alphabet and checks corpus fit before the expensive
+    * iterative merge loop.
+    *
+    * Shape: tokens explode once, pairs are a per-token array transform
+    * (substr windows — no self-join), and the count groupBy ships 2-char
+    * keys with map-side partials; top-k via TakeOrderedAndProject.
+    */
+  def bpePairCounts(df: DataFrame, textCol: String, k: Int = 20): DataFrame =
+    df.select(explode(tokens(col(textCol))).as("__tok"))
+      .filter(length(col("__tok")) >= 2)
+      .select(explode(transform(
+        sequence(lit(1), length(col("__tok")) - 1),
+        i => col("__tok").substr(i, lit(2)))).as("pair"))
+      .groupBy("pair")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair"))
+      .limit(k)
+
+  def iqrOutliers(df: DataFrame, groupCol: String, idCol: String,
+                  valueCol: String, k: Double = 1.5): DataFrame = {
+    val fences = df.groupBy(groupCol)
+      .agg(percentile(col(valueCol), lit(0.25)).as("__q1"),
+        percentile(col(valueCol), lit(0.75)).as("__q3"))
+    df.select(col(idCol), col(groupCol), col(valueCol))
+      .join(broadcast(fences), Seq(groupCol))
+      .select(col(idCol), col(groupCol), col(valueCol),
+        (col(valueCol).cast("double") <
+            col("__q1") - lit(k) * (col("__q3") - col("__q1")) ||
+          col(valueCol).cast("double") >
+            col("__q3") + lit(k) * (col("__q3") - col("__q1"))).as("is_outlier"))
+  }
 }

@@ -249,8 +249,13 @@ object Relational {
                  salts: Int = 16): DataFrame = {
     val saltedFact = fact.withColumn("__salt",
       pmod(xxhash64(col(saltSrc)), lit(salts)))
+    // shuffle_hash pins the shuffled path: a broadcast would make the
+    // salt a no-op (and at the scale salting matters, the dim side
+    // exceeds broadcast thresholds anyway) — the plan audit asserts the
+    // join really partitions on (key, salt)
     val saltedDim = dim
       .withColumn("__salt", explode(array((0 until salts).map(lit): _*)))
+      .hint("shuffle_hash")
     saltedFact.join(saltedDim,
         saltedFact(factKey) === saltedDim(dimKey) &&
         saltedFact("__salt") === saltedDim("__salt"))
@@ -314,5 +319,66 @@ object Relational {
       .agg(count(lit(1)).as("n_rows"),
         min(col("__aq")).as("aq_min"), max(col("__aq")).as("aq_max"),
         min(col("__bq")).as("bq_min"), max(col("__bq")).as("bq_max"))
+  }
+
+  /** Schema-evolution union: column alignment by NAME with absent columns
+    * null-filled — how an ingest job unions batches whose schemas drifted
+    * (a field added, another dropped) without positional-union silent
+    * corruption. Output schema = the union of all input schemas, in
+    * first-appearance order.
+    */
+  def unionByNameLoose(dfs: Seq[DataFrame]): DataFrame = {
+    require(dfs.nonEmpty)
+    dfs.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
+  /** Arbitrary GROUPING SETS aggregation — the general form that rollup
+    * and cube are special cases of, for when the report wants exactly the
+    * (a,b), (a), () levels and not cube's (b) level. Spark expands the
+    * sets with a single Expand node feeding one aggregation, so each
+    * input row is scanned once regardless of how many sets it lands in —
+    * the same one-pass shape rollup gets.
+    */
+  def groupingSetsAgg(df: DataFrame, sets: Seq[Seq[String]],
+                      groupCols: Seq[String], aggs: Column*): DataFrame =
+    df.groupingSets(sets.map(_.map(col)), groupCols.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+
+  /** Equi-width histogram with DATA-DERIVED bounds: `buckets` equal-width
+    * bins over [min, max], the last bin right-closed (the max lands in
+    * bucket buckets-1, not a phantom overflow bin). Complements the
+    * fixed-edge `token_len_histogram`: here the layout derives from the
+    * data itself — the shape a profiler wants before it knows the range.
+    *
+    * Determinism: bucket = floor((x−min)·buckets/(max−min)) clamped, all
+    * in IEEE double with the multiply BEFORE the divide — an external SQL
+    * engine running the same expression reproduces every bucket id
+    * bitwise, which is why the audit bounds (lo/hi edges) are emitted
+    * from the same arithmetic rather than recomputed.
+    *
+    * Scale shape: one 2-value global aggregate broadcast to the scan (the
+    * same broadcast-global pattern as [[zorderLayout]]), then one groupBy
+    * on the bucket id with map-side partials — two passes over the data,
+    * the minimum for data-derived bounds, and no shuffle wider than
+    * `buckets` rows.
+    */
+  def equiWidthHistogram(df: DataFrame, valueCol: String,
+                         buckets: Int = 20): DataFrame = {
+    require(buckets > 0)
+    val mm = df.agg(min(col(valueCol)).cast("double").as("__vmin"),
+      max(col(valueCol)).cast("double").as("__vmax"))
+    df.crossJoin(broadcast(mm))
+      .select(col("__vmin"), col("__vmax"),
+        when(col("__vmax") === col("__vmin"), lit(0L))
+          .otherwise(least(
+            floor((col(valueCol).cast("double") - col("__vmin")) * buckets /
+              (col("__vmax") - col("__vmin"))).cast("long"),
+            lit(buckets - 1L))).as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("__vmin") + col("bucket") * (col("__vmax") - col("__vmin")) / buckets)
+          .as("lo_edge"),
+        min(col("__vmin") + (col("bucket") + 1) * (col("__vmax") - col("__vmin")) / buckets)
+          .as("hi_edge"))
   }
 }

@@ -228,4 +228,31 @@ object Temporal {
       // extra distinct aggregation pass
       .agg(count(lit(1)).as("n_users"))
   }
+
+  /** Top-k most frequent length-3 event-type sequences (consecutive per
+    * key in event-time order) — the "common user journeys" mining every
+    * product-analytics store ships, and for LLM-agent logs the
+    * action-trigram distribution that feeds trajectory curation.
+    *
+    * Order within a key is (ts, tieCol): the tie column makes the
+    * sequence a total order, so results are deterministic and an external
+    * engine replays them exactly. Shape: one window pass partitioned by
+    * `keyCol` (high-cardinality — users — so no single-partition funnel;
+    * two `lead`s share one frame), then a count aggregation on the
+    * trigram whose map-side partials collapse the per-user fan-in, then
+    * TakeOrderedAndProject for the top-k (per-partition heaps, no global
+    * sort).
+    */
+  def topEventPaths(df: DataFrame, keyCol: String, tsCol: String,
+                    tieCol: String, typeCol: String, k: Int = 10): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(tieCol))
+    df.select(col(keyCol), col(typeCol).as("step1"),
+        lead(col(typeCol), 1).over(w).as("step2"),
+        lead(col(typeCol), 2).over(w).as("step3"))
+      .filter(col("step2").isNotNull && col("step3").isNotNull)
+      .groupBy("step1", "step2", "step3")
+      .agg(count(lit(1)).as("n_paths"))
+      .orderBy(col("n_paths").desc, col("step1"), col("step2"), col("step3"))
+      .limit(k)
+  }
 }

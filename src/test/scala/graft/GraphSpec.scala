@@ -178,4 +178,35 @@ class GraphSpec extends SparkTestBase {
     val perGroup = s1.groupBy("grp").count().as[(String, Long)].collect().toMap
     perGroup.values.foreach(c => assert(c > 150 && c < 350, s"stratum skew: $perGroup"))
   }
+
+  test("pageRank: one round of the integer recurrence, hand-computed") {
+    // star 1→{2,3}: node 1 splits its mass, sinks keep only teleport
+    val edges = Seq((1L, 2L), (1L, 3L)).toDF("src", "dst")
+    val pr = Graph.pageRank(edges, "src", "dst", iterations = 1)
+      .as[(Long, Long)].collect().toMap
+    // pr(1) = 15% of scale (no in-edges); pr(2)=pr(3) = teleport +
+    // (85 * (1e9 div 2)) div 100 = 150e6 + 425e6
+    assert(pr == Map(1L -> 150000000L, 2L -> 575000000L, 3L -> 575000000L))
+  }
+
+  test("pageRank: regular graph is a fixed point at full scale") {
+    // 3-cycle: every node has outdeg 1 and indegree 1, so each round maps
+    // scale → teleport + 85% scale = scale; uniform rank survives any
+    // number of iterations — the mass-conservation invariant
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val pr = Graph.pageRank(edges, "src", "dst", iterations = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(pr == Map(1L -> 1000000000L, 2L -> 1000000000L, 3L -> 1000000000L))
+  }
+
+  test("pageRank: duplicate edges collapse; hub outranks leaves") {
+    // leaves 2,3,4 all point at hub 1 (edge 2→1 duplicated — must count
+    // once in outdeg); hub points back at 2 only
+    val edges = Seq((2L, 1L), (2L, 1L), (3L, 1L), (4L, 1L), (1L, 2L))
+      .toDF("src", "dst")
+    val pr = Graph.pageRank(edges, "src", "dst", iterations = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(pr(1L) > pr(2L) && pr(2L) > pr(3L), s"unexpected ranking: $pr")
+    assert(pr(3L) == pr(4L)) // symmetric leaves tie exactly in integer math
+  }
 }

@@ -695,4 +695,42 @@ class LlmOpsSpec extends SparkTestBase {
       ("en", "0000-0015", 2L), ("en", "0016-0031", 1L),
       ("de", "0064-0127", 1L), ("de", "0256+", 1L)))
   }
+
+  test("mixtureApply: smallest source keeps everything; rates hold; reruns identical") {
+    // source a: 100 docs × 10 tokens = 1000 (smallest → rate 1.0, all kept)
+    // source b: 400 docs × 10 tokens = 4000 (rate 0.25)
+    val df = ((1L to 100L).map(i => (i, "a", 10L)) ++
+      (101L to 500L).map(i => (i, "b", 10L))).toDF("id", "src", "w")
+    val kept = LlmOps.mixtureApply(df, "src", "id", "w")
+      .as[(Long, String)].collect().toSet
+    assert(kept.filter(_._2 == "a").size == 100) // rate 1.0 → every doc
+    val bKept = kept.count(_._2 == "b")
+    assert(bKept > 60 && bKept < 140, s"rate 0.25 of 400 docs way off: $bKept")
+    val again = LlmOps.mixtureApply(df, "src", "id", "w")
+      .as[(Long, String)].collect().toSet
+    assert(kept == again) // hash-derived: no RNG, rerun-stable
+  }
+
+  test("bpePairCounts: adjacent in-token pairs, 1-char tokens ignored") {
+    val df = Seq("ab ab x abc").toDF("text")
+    val got = LlmOps.bpePairCounts(df, "text", k = 10)
+      .as[(String, Long)].collect().toSeq
+    // "ab"×2 from the two ab tokens + 1 from abc; "bc"×1 from abc; "x" none
+    assert(got == Seq(("ab", 3L), ("bc", 1L)))
+  }
+
+  test("iqrOutliers: Tukey fences flag the far tail, per group") {
+    // group en: 1..100 plus 1000 → q1=v[25]=26, q3=v[75]=76 (linear
+    // interpolation at integer positions), iqr=50, fences [-49, 151]:
+    // only 1000 is outside. group de: tight cluster, no outliers.
+    val en = (1L to 100L) :+ 1000L
+    val df = (en.map(v => ("en", v)) ++ Seq(("de", 50L), ("de", 51L), ("de", 52L)))
+      .zipWithIndex.map { case ((g, v), i) => (i.toLong, g, v) }
+      .toDF("id", "grp", "v")
+    val got = LlmOps.iqrOutliers(df, "grp", "id", "v")
+      .select("v", "grp", "is_outlier").as[(Long, String, Boolean)].collect()
+    assert(got.count(_._3) == 1)
+    assert(got.filter(_._3).head._1 == 1000L)
+    assert(got.filter(_._2 == "de").forall(!_._3))
+  }
 }

@@ -310,4 +310,61 @@ class PlanSpec extends SparkTestBase {
     assert(!p.split("== Initial Plan ==").head.contains("Exchange SinglePartition"),
       s"no window may collapse to a single partition:\n$p")
   }
+
+  test("pagerank_topk: top-k heap, no cartesian, rank side broadcast-or-shuffle only") {
+    val p = planOf("pagerank_topk")
+    val finalPlan = p.split("== Initial Plan ==").head
+    assert(finalPlan.contains("TakeOrderedAndProject"), finalPlan)
+    assert(!finalPlan.contains("CartesianProduct"), finalPlan)
+  }
+
+  test("event_paths: window partitions on user_id; trigram count is map-side partial") {
+    val p = planOf("event_paths")
+    val finalPlan = p.split("== Initial Plan ==").head
+    assert("hashpartitioning\\(user_id#\\d+".r.findFirstIn(p).isDefined,
+      s"journey window must hash-partition on user_id:\n$p")
+    assert(finalPlan.contains("TakeOrderedAndProject"), finalPlan)
+    assert(!finalPlan.contains("Exchange SinglePartition"), finalPlan)
+  }
+
+  test("grouping_sets_revenue: one Expand feeding one aggregation pass") {
+    val p = planOf("grouping_sets_revenue")
+    val finalPlan = p.split("== Initial Plan ==").head
+    assert(finalPlan.split("\\bExpand\\b").length - 1 == 1,
+      s"grouping sets must expand once, not per-set:\n$finalPlan")
+    assert(finalPlan.contains("HashAggregate"), finalPlan)
+  }
+
+  test("value_histogram: 2-value global broadcasts; bucket agg has partials") {
+    val p = planOf("value_histogram")
+    val finalPlan = p.split("== Initial Plan ==").head
+    assert(finalPlan.contains("BroadcastNestedLoopJoin") ||
+      finalPlan.contains("BroadcastExchange"), finalPlan)
+    assert(finalPlan.split("HashAggregate").length - 1 >= 2, finalPlan)
+    assert(!finalPlan.contains("CartesianProduct"), finalPlan)
+  }
+
+  test("iqr_outliers: per-group fences broadcast back onto the corpus scan") {
+    val p = planOf("iqr_outliers")
+    val finalPlan = p.split("== Initial Plan ==").head
+    assert(finalPlan.contains("BroadcastHashJoin"), finalPlan)
+    assert(!finalPlan.contains("SortMergeJoin"), finalPlan)
+  }
+
+  test("salted_join_counts: the join really partitions on (key, salt)") {
+    val p = planOf("salted_join_counts")
+    assert("hashpartitioning\\((user_id|c_custkey)#\\d+[^)]*__salt".r
+      .findFirstIn(p).isDefined,
+      s"salted join must shuffle on (key, __salt):\n$p")
+    assert(!p.split("== Initial Plan ==").head.contains("BroadcastHashJoin"),
+      s"a broadcast join would make the salt a no-op:\n$p")
+  }
+
+  test("mixture_apply: rate table broadcasts; corpus side never shuffles") {
+    val p = planOf("mixture_apply")
+    val finalPlan = p.split("== Initial Plan ==").head
+    assert(finalPlan.contains("BroadcastHashJoin"), finalPlan)
+    assert(!finalPlan.contains("SortMergeJoin") &&
+      !finalPlan.contains("CartesianProduct"), finalPlan)
+  }
 }

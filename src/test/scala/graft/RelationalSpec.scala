@@ -263,4 +263,46 @@ class RelationalSpec extends SparkTestBase {
         s"bucket $zb spans ($amin..$amax, $bmin..$bmax) — not a bounded rectangle")
     }
   }
+
+  test("groupingSetsAgg: exactly the requested levels, no () level") {
+    val df = Seq(("a", "x", 1L), ("a", "y", 2L), ("b", "x", 4L))
+      .toDF("g1", "g2", "v")
+    val got = Relational.groupingSetsAgg(df,
+        Seq(Seq("g1", "g2"), Seq("g1"), Seq("g2")), Seq("g1", "g2"),
+        sum($"v").as("s"))
+      .select(coalesce($"g1", lit("*")), coalesce($"g2", lit("*")), $"s")
+      .as[(String, String, Long)].collect().toSet
+    assert(got == Set(
+      ("a", "x", 1L), ("a", "y", 2L), ("b", "x", 4L), // (g1, g2)
+      ("a", "*", 3L), ("b", "*", 4L),                 // (g1)
+      ("*", "x", 5L), ("*", "y", 2L)))                // (g2) — and no ("*","*")
+  }
+
+  test("equiWidthHistogram: uniform ints fill every bucket; max is clamped in") {
+    val df = spark.range(100).select($"id".as("v")) // 0..99, width 9.9
+    val got = Relational.equiWidthHistogram(df, "v", buckets = 10)
+      .select("bucket", "n_rows", "lo_edge", "hi_edge")
+      .as[(Long, Long, Double, Double)].collect().sortBy(_._1)
+    assert(got.map(_._1).toSeq == (0L to 9L))
+    assert(got.forall(_._2 == 10L), s"uneven buckets: ${got.toSeq}")
+    assert(got.head._3 == 0.0 && got.last._4 == 99.0) // edges span [min, max]
+    // adjacent buckets share an edge — no gaps, no overlap
+    got.sliding(2).foreach { case Array(a, b) => assert(a._4 == b._3) }
+  }
+
+  test("unionByNameLoose: drifted schemas align by name, absent columns null") {
+    val a = Seq((1L, "en", 10L)).toDF("id", "lang", "n")
+    val b = Seq((2L, "web", 20L)).toDF("id", "src", "n")
+    val got = Relational.unionByNameLoose(Seq(a, b))
+      .select("id", "lang", "n", "src")
+      .as[(Long, Option[String], Long, Option[String])].collect().toSet
+    assert(got == Set((1L, Some("en"), 10L, None), (2L, None, 20L, Some("web"))))
+  }
+
+  test("equiWidthHistogram: constant column degenerates to one bucket") {
+    val df = Seq(7.5, 7.5, 7.5).toDF("v")
+    val got = Relational.equiWidthHistogram(df, "v", buckets = 20)
+      .as[(Long, Long, Double, Double)].collect().toSeq
+    assert(got == Seq((0L, 3L, 7.5, 7.5)))
+  }
 }

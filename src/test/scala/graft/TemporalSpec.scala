@@ -185,4 +185,35 @@ class TemporalSpec extends SparkTestBase {
       .as[(Long, String)].collect().toMap
     assert(d == Map(1L -> "changed"))
   }
+
+  test("topEventPaths: trigram counts respect per-key event-time order") {
+    def ev(id: Long, u: Long, t: String, ty: String) =
+      (id, u, Timestamp.valueOf(t), ty)
+    val df = Seq(
+      // user 1: A B C D → ABC, BCD
+      ev(1, 1, "2024-01-01 10:00:00", "A"), ev(2, 1, "2024-01-01 10:01:00", "B"),
+      ev(3, 1, "2024-01-01 10:02:00", "C"), ev(4, 1, "2024-01-01 10:03:00", "D"),
+      // user 2: A B C → ABC (second vote)
+      ev(5, 2, "2024-01-01 11:00:00", "A"), ev(6, 2, "2024-01-01 11:01:00", "B"),
+      ev(7, 2, "2024-01-01 11:02:00", "C"),
+      // user 3: equal timestamps — event_id breaks the tie: X Y Z, not Y X Z
+      ev(8, 3, "2024-01-01 12:00:00", "X"), ev(9, 3, "2024-01-01 12:00:00", "Y"),
+      ev(10, 3, "2024-01-01 12:00:00", "Z"))
+      .toDF("event_id", "user_id", "ts", "event_type")
+    val got = graft.ops.Temporal
+      .topEventPaths(df, "user_id", "ts", "event_id", "event_type", k = 10)
+      .as[(String, String, String, Long)].collect().toSeq
+    assert(got.head == ("A", "B", "C", 2L)) // most frequent path first
+    assert(got.toSet == Set(("A", "B", "C", 2L), ("B", "C", "D", 1L),
+      ("X", "Y", "Z", 1L)))
+  }
+
+  test("topEventPaths: a key with fewer than 3 events contributes nothing") {
+    val df = Seq(
+      (1L, 1L, Timestamp.valueOf("2024-01-01 10:00:00"), "A"),
+      (2L, 1L, Timestamp.valueOf("2024-01-01 10:01:00"), "B"))
+      .toDF("event_id", "user_id", "ts", "event_type")
+    assert(graft.ops.Temporal
+      .topEventPaths(df, "user_id", "ts", "event_id", "event_type").isEmpty)
+  }
 }
