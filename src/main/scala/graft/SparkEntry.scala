@@ -347,6 +347,25 @@ object SparkEntry {
         .orderBy("o_custkey", "o_orderkey")
     }),
 
+    "window_dist_funcs" -> ((s, dir) => {
+      // distribution window functions: percent_rank/cume_dist over a unique
+      // (price, key) total order — rank arithmetic is exact-int division,
+      // bitwise-replayable
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          percent_rank().over(w).as("pct_rank"),
+          cume_dist().over(w).as("cume"))
+        .orderBy("o_orderkey")
+    }),
+
+    "gap_fill_daily" -> ((s, dir) =>
+      // densification: per-user daily spine between first and last
+      // activity, silent days filled with 0
+      Temporal.gapFillDaily(t(s, dir, "events"), "user_id", "ts")
+        .orderBy("user_id", "day")),
+
     "tumbling_daily_counts" -> ((s, dir) =>
       Temporal.tumblingCounts(t(s, dir, "events"), "ts", "1 day", "event_type")
         .select(date_format(col("window.start"), "yyyy-MM-dd").as("day"),
@@ -767,6 +786,12 @@ object SparkEntry {
           t(s, dir, "orders").select(col("o_totalprice")), "o_totalprice",
           buckets = 20)
         .orderBy("bucket")),
+
+    "heavy_hitters" -> ((s, dir) =>
+      // frequent-terms sketch contract: exact heavy hitters (>N/33 of all
+      // tokens) each checked against the native Misra-Gries summary's
+      // no-false-negative and bounded-under-count theorems
+      LlmOps.heavyHitters(t(s, dir, "documents"), "text", k = 32)),
 
     "mixture_apply" -> ((s, dir) => {
       // the sampling step that EXECUTES mixture_plan: per-source rates
@@ -1326,6 +1351,29 @@ object SparkEntry {
             CAST(ntile(4) OVER (PARTITION BY o_custkey
               ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS price_quartile
          FROM orders ORDER BY o_custkey, o_orderkey""",
+
+    "window_dist_funcs" ->
+      """SELECT o_orderkey, o_orderpriority,
+            percent_rank() OVER (PARTITION BY o_orderpriority
+              ORDER BY o_totalprice, o_orderkey) AS pct_rank,
+            cume_dist() OVER (PARTITION BY o_orderpriority
+              ORDER BY o_totalprice, o_orderkey) AS cume
+         FROM orders ORDER BY o_orderkey""",
+
+    "gap_fill_daily" ->
+      """WITH daily AS (
+           SELECT user_id, CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS cnt
+           FROM events GROUP BY 1, 2),
+         spine AS (
+           SELECT user_id,
+             CAST(unnest(generate_series(CAST(lo AS TIMESTAMP),
+               CAST(hi AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS d
+           FROM (SELECT user_id, MIN(d) AS lo, MAX(d) AS hi
+                 FROM daily GROUP BY 1))
+         SELECT s.user_id, strftime(s.d, '%Y-%m-%d') AS day,
+           COALESCE(dl.cnt, 0) AS cnt
+         FROM spine s LEFT JOIN daily dl ON s.user_id = dl.user_id AND s.d = dl.d
+         ORDER BY s.user_id, day""",
 
     "tumbling_daily_counts" ->
       """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
@@ -2074,6 +2122,18 @@ object SparkEntry {
            MIN(vmin + bucket * (vmax - vmin) / 20) AS lo_edge,
            MIN(vmin + (bucket + 1) * (vmax - vmin) / 20) AS hi_edge
          FROM b GROUP BY bucket ORDER BY bucket""",
+
+    // contract twin: DuckDB computes the exact heavy hitters and asserts
+    // the sketch booleans as literal true — any MG violation hash-fails
+    "heavy_hitters" ->
+      """WITH toks AS (
+           SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+           FROM documents),
+         n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM toks),
+         ex AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt
+                FROM toks GROUP BY term)
+         SELECT term, cnt, true AS in_sketch, true AS bound_ok
+         FROM ex, n WHERE cnt * 33 > n ORDER BY cnt DESC, term""",
 
     // replays mixturePlan's rate table then the hash-threshold keep rule;
     // DuckDB x/0 → NULL matches the zero-weight guard (rows drop)

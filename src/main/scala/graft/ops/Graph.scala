@@ -235,19 +235,26 @@ object Graph {
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
                iterations: Int = 3, scale: Long = 1000000000L): DataFrame = {
     require(iterations >= 1 && scale >= 100L, "need >=1 iteration, scale >= 100")
+    // persist AFTER the dedup shuffle: every iteration re-reads the edge
+    // set as cached (src, dst) longs. No extra repartition — the rank
+    // side is one row per node (orders of magnitude smaller), so AQE
+    // broadcasts it and the edge blocks never move again; the distinct's
+    // own hash partitioning is already a fine layout for the agg on dst.
     val e = edges.select(col(srcCol).cast("long").as("__src"),
         col(dstCol).cast("long").as("__dst"))
       .distinct()
-      .repartition(col("__src"))
       .persist()
-    val nodes = e.select(col("__src").as("node"))
-      .union(e.select(col("__dst").as("node")))
-      .distinct()
-    val outdeg = e.groupBy(col("__src")).agg(count(lit(1)).as("outdeg"))
-      .select(col("__src").as("node"), col("outdeg"))
-    var pr = nodes.join(outdeg, Seq("node"), "left")
-      .select(col("node"), coalesce(col("outdeg"), lit(0L)).as("outdeg"),
-        lit(scale).as("pr"))
+    // node universe + out-degrees in ONE aggregation: each edge emits
+    // (src, 1) and (dst, 0), so sum(c) per node is the out-degree and
+    // dst-only (dangling) nodes appear with outdeg 0 — replacing the
+    // naive distinct-nodes + degree-agg + left-join (three shuffles)
+    // with a single explode + groupBy.
+    var pr = e.select(explode(array(
+        struct(col("__src").as("n"), lit(1L).as("c")),
+        struct(col("__dst").as("n"), lit(0L).as("c")))).as("x"))
+      .groupBy(col("x.n").as("node"))
+      .agg(sum(col("x.c")).as("outdeg"))
+      .select(col("node"), col("outdeg"), lit(scale).as("pr"))
       .localCheckpoint()
     val teleport = (15L * scale) / 100L
     for (_ <- 1 to iterations) {

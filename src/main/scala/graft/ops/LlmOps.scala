@@ -1426,6 +1426,37 @@ object LlmOps {
       .agg(count(lit(1)).as("n_docs"))
   }
 
+  /** Corpus heavy hitters via the native k-counter Misra–Gries aggregate,
+    * emitted as a CONTRACT: the deterministic output rows are the EXACT
+    * heavy hitters (true count > N/(k+1), computed alongside), and each
+    * carries two booleans the MG theorems guarantee — membership in the
+    * sketch (no false negatives above the threshold) and the under-count
+    * bound est ≤ true ≤ est + N/(k+1) — so a broken sketch (bad merge,
+    * wrong decrement) flips a hash-checked value. The raw summary is
+    * deliberately NOT emitted: its below-threshold contents are
+    * partition-order-dependent.
+    *
+    * Scale shape: the sketch side is one O(k)-memory aggregation buffer
+    * per partition merging to a single map — the 100 TB path when only
+    * over-threshold items matter. The exact side (needed here for the
+    * contract, and the honest cost of verification) is a word-count
+    * groupBy with map-side partials.
+    */
+  def heavyHitters(df: DataFrame, textCol: String, k: Int = 32): DataFrame = {
+    val terms = df.select(explode(tokens(col(textCol))).as("term"))
+    val sketch = terms.agg(expr(s"misra_gries(term, $k)").as("__sk"),
+      count(lit(1)).as("__n"))
+    terms.groupBy("term").agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(sketch))
+      .filter(col("cnt") * (k + 1) > col("__n"))
+      .select(col("term"), col("cnt"),
+        element_at(col("__sk"), col("term")).isNotNull.as("in_sketch"),
+        (element_at(col("__sk"), col("term")) <= col("cnt") &&
+          (col("cnt") - element_at(col("__sk"), col("term"))) * (k + 1) <= col("__n"))
+          .as("bound_ok"))
+      .orderBy(col("cnt").desc, col("term"))
+  }
+
   /** Tukey-fence outlier flag per group: a doc is an outlier when its
     * value leaves [q1 − 1.5·IQR, q3 + 1.5·IQR] of its group's exact
     * quartiles — the standard distribution-based length/quality filter a

@@ -229,6 +229,29 @@ object Temporal {
       .agg(count(lit(1)).as("n_users"))
   }
 
+  /** Time-series gap filling: a per-key daily date spine from first to
+    * last activity, left-joined back so silent days appear with cnt 0 —
+    * the densification step every downstream window/forecast op needs
+    * (a rolling mean over sparse days silently skips the zeros
+    * otherwise).
+    *
+    * Scale shape: raw events collapse to (key, day) counts first
+    * (map-side partials), the spine explodes one array per key (span
+    * length ≤ days in range — bounded fan-out, no cross join against a
+    * global calendar), and the fill join co-partitions on (key, day).
+    */
+  def gapFillDaily(df: DataFrame, keyCol: String, tsCol: String): DataFrame = {
+    val daily = df.select(col(keyCol), to_date(col(tsCol)).as("__day"))
+      .groupBy(col(keyCol), col("__day"))
+      .agg(count(lit(1)).as("cnt"))
+    val spine = daily.groupBy(keyCol)
+      .agg(min(col("__day")).as("__lo"), max(col("__day")).as("__hi"))
+      .select(col(keyCol), explode(sequence(col("__lo"), col("__hi"))).as("__day"))
+    spine.join(daily, Seq(keyCol, "__day"), "left")
+      .select(col(keyCol), date_format(col("__day"), "yyyy-MM-dd").as("day"),
+        coalesce(col("cnt"), lit(0L)).as("cnt"))
+  }
+
   /** Top-k most frequent length-3 event-type sequences (consecutive per
     * key in event-time order) — the "common user journeys" mining every
     * product-analytics store ships, and for LLM-agent logs the

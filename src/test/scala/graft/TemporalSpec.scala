@@ -208,6 +208,21 @@ class TemporalSpec extends SparkTestBase {
       ("X", "Y", "Z", 1L)))
   }
 
+  test("gapFillDaily: silent days appear with cnt 0; spans are per-key") {
+    val df = Seq(
+      (1L, Timestamp.valueOf("2024-01-01 10:00:00")),
+      (1L, Timestamp.valueOf("2024-01-01 11:00:00")),
+      (1L, Timestamp.valueOf("2024-01-04 09:00:00")), // gap: Jan 2, 3
+      (2L, Timestamp.valueOf("2024-02-10 00:00:00"))) // different span entirely
+      .toDF("user_id", "ts")
+    val got = graft.ops.Temporal.gapFillDaily(df, "user_id", "ts")
+      .as[(Long, String, Long)].collect().toSet
+    assert(got == Set(
+      (1L, "2024-01-01", 2L), (1L, "2024-01-02", 0L),
+      (1L, "2024-01-03", 0L), (1L, "2024-01-04", 1L),
+      (2L, "2024-02-10", 1L)))
+  }
+
   test("topEventPaths: a key with fewer than 3 events contributes nothing") {
     val df = Seq(
       (1L, 1L, Timestamp.valueOf("2024-01-01 10:00:00"), "A"),
