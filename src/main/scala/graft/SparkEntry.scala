@@ -482,6 +482,16 @@ object SparkEntry {
       VectorOps.bruteForceTopK(emb, "embedding", "vec_id", qv, k = 10)
     }),
 
+    "knn_classify" -> ((s, dir) => {
+      // embedding-space eval pass: queries (vec_id < 10) take the modal
+      // label of their 5 cosine-nearest corpus neighbors; per-query top-k
+      // plans as WindowGroupLimit (audited), votes are <= Q*k rows
+      val emb = t(s, dir, "embeddings")
+      VectorOps.knnClassify(emb.filter(col("vec_id") >= 10),
+          emb.filter(col("vec_id") < 10), "vec_id", "embedding", "label", k = 5)
+        .orderBy("query_id")
+    }),
+
     "range_join_pairs" -> ((s, dir) =>
       graft.ops.AsOfJoin.rangeJoinPairs(t(s, dir, "events"), "event_id", "ts",
           bandSeconds = 30)
@@ -1465,6 +1475,41 @@ object SparkEntry {
            CASE WHEN na = 0 OR nb = 0 THEN 0.0
                 ELSE dot / (sqrt(na) * sqrt(nb)) END AS score
          FROM s ORDER BY score DESC, vec_id LIMIT 10""",
+
+    // same double-fold cosine as similarity_topk; rank + vote windows
+    // with the identical (score desc, id) / (votes desc, label) tie-breaks
+    "knn_classify" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+                    FROM embeddings WHERE vec_id < 10),
+         c AS (SELECT * FROM embeddings WHERE vec_id >= 10),
+         s AS (
+           SELECT q.query_id, c.label, c.vec_id,
+             list_reduce(list_transform(range(1, len(c.embedding)+1),
+               i -> CAST(c.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)), (x, y) -> x + y) AS dot,
+             list_reduce(list_transform(range(1, len(c.embedding)+1),
+               i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)), (x, y) -> x + y) AS na,
+             list_reduce(list_transform(range(1, len(q.qv)+1),
+               i -> CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)), (x, y) -> x + y) AS nb
+           FROM c, q),
+         sc AS (
+           SELECT query_id, label, vec_id,
+             CASE WHEN na = 0 OR nb = 0 THEN 0.0
+                  ELSE dot / (sqrt(na) * sqrt(nb)) END AS score
+           FROM s),
+         r AS (
+           SELECT query_id, label,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY score DESC, vec_id) AS rn
+           FROM sc),
+         v AS (
+           SELECT query_id, label, CAST(COUNT(*) AS BIGINT) AS votes
+           FROM r WHERE rn <= 5 GROUP BY query_id, label)
+         SELECT query_id, label AS pred_label, votes FROM (
+           SELECT query_id, label, votes,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY votes DESC, label) AS r2
+           FROM v)
+         WHERE r2 = 1 ORDER BY query_id""",
 
     "range_join_pairs" ->
       """SELECT a.event_id AS id_a, b.event_id AS id_b

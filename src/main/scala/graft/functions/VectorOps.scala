@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Vector math over `array<float>` embedding columns (SURVEY.md §2.12 L3).
@@ -143,6 +144,40 @@ object VectorOps {
         cosineBest(embeddings.sparkSession, col(embCol), col("__qv")).as("score"))
       .orderBy(col("score").desc, col(idCol).asc)
       .limit(k)
+  }
+
+  /** k-NN majority-vote classification: each query vector takes the
+    * modal label of its k cosine-nearest corpus neighbors (vote ties →
+    * smaller label; neighbor-rank ties → smaller id) — the standard
+    * embedding-space eval/labeling pass (is the index good enough that
+    * neighbors share labels?) run before trusting ANN for retrieval.
+    *
+    * Scale shape: queries broadcast (small by construction), scoring is
+    * map-side over the corpus scan, and the per-query top-k plans as
+    * WindowGroupLimit (plan-audited): each input partition keeps only k
+    * candidates per query BEFORE the shuffle, so the rank exchange moves
+    * ≤ k·partitions tuples of (query, score, label, id) — never the
+    * scored corpus. The vote aggregation is ≤ Q·k rows.
+    */
+  def knnClassify(corpus: DataFrame, queries: DataFrame, idCol: String,
+                  embCol: String, labelCol: String, k: Int = 5): DataFrame = {
+    val spark = corpus.sparkSession
+    val q = queries.select(col(idCol).as("query_id"), col(embCol).as("__qv"))
+    val byScore = Window.partitionBy(col("query_id"))
+      .orderBy(col("__score").desc, col("__nid").asc)
+    val byVotes = Window.partitionBy(col("query_id"))
+      .orderBy(col("__votes").desc, col(labelCol).asc)
+    corpus.crossJoin(broadcast(q))
+      .select(col("query_id"), col(labelCol), col(idCol).as("__nid"),
+        cosineBest(spark, col(embCol), col("__qv")).as("__score"))
+      .withColumn("__rn", row_number().over(byScore))
+      .filter(col("__rn") <= k)
+      .groupBy(col("query_id"), col(labelCol))
+      .agg(count(lit(1)).as("__votes"))
+      .withColumn("__r2", row_number().over(byVotes))
+      .filter(col("__r2") === 1)
+      .select(col("query_id"), col(labelCol).as("pred_label"),
+        col("__votes").as("votes"))
   }
 
   /** Embedding-cosine near-duplicate pairs within a blocking key (SURVEY.md

@@ -243,6 +243,58 @@ object StreamingOps {
   case class FunnelState(stage: Int, lastMs: Long)
   case class FunnelProgress(userId: Long, stage: Int, atMs: Long)
 
+  case class PathState(prev1: String, prev2: String)
+  case class Trigram(userId: Long, step1: String, step2: String, step3: String)
+
+  /** Streaming counterpart of [[graft.ops.Temporal.topEventPaths]]'
+    * trigram extraction: keyed state holds only the last TWO event types
+    * per key (O(1) state — two strings), and each arriving event completes
+    * and emits one trigram. Trigrams spanning micro-batch boundaries are
+    * exactly the ones a per-batch window could never see — the state
+    * carries the tail of the previous batch, so the emitted multiset
+    * equals the batch operator's window pass over the same feed
+    * (batch-parity spec). Downstream, a watermarked count over the
+    * emitted trigrams gives the live journey distribution.
+    *
+    * Within a micro-batch rows sort by (ts, type) so batch boundaries
+    * don't change the result of an in-order feed; like the batch
+    * operator, the order must be a total one for exact parity (feed a
+    * unique tiebreak inside `eventType` ties if the source has them).
+    */
+  class PathTrigramTracker
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, TypedEvent, Trigram] {
+    @transient private var last2: org.apache.spark.sql.streaming.ValueState[PathState] = _
+
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+      last2 = getHandle.getValueState[PathState]("last2",
+        org.apache.spark.sql.Encoders.product[PathState],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: Long, rows: Iterator[TypedEvent],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[Trigram] = {
+      val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.eventType))
+      var st = if (last2.exists()) last2.get() else PathState(null, null)
+      val out = scala.collection.mutable.ArrayBuffer.empty[Trigram]
+      sorted.foreach { e =>
+        if (st.prev1 != null && st.prev2 != null)
+          out += Trigram(key, st.prev1, st.prev2, e.eventType)
+        st = PathState(st.prev2, e.eventType)
+      }
+      last2.update(st)
+      out.iterator
+    }
+  }
+
+  /** Wire [[PathTrigramTracker]] over a stream of [[TypedEvent]]s. */
+  def eventPathsStream(ds: Dataset[TypedEvent])(
+      implicit enc: org.apache.spark.sql.Encoder[Trigram]): Dataset[Trigram] = {
+    import org.apache.spark.sql.streaming.TimeMode
+    ds.groupByKey(_.userId)(org.apache.spark.sql.Encoders.scalaLong)
+      .transformWithState(new PathTrigramTracker, TimeMode.None(), OutputMode.Append())
+  }
+
   /** Streaming counterpart of [[graft.ops.Temporal.eventFunnel]]: per-key
     * conversion stages tracked as keyed state, a progress row emitted each
     * time a key advances. Stage i+1 counts only strictly after stage i's

@@ -360,6 +360,15 @@ class PlanSpec extends SparkTestBase {
       s"a broadcast join would make the salt a no-op:\n$p")
   }
 
+  test("knn_classify: per-query top-k group-limits before the shuffle") {
+    val p = planOf("knn_classify")
+    val finalPlan = p.split("== Initial Plan ==").head
+    assert(finalPlan.contains("WindowGroupLimit"),
+      s"rank<=k must plan as WindowGroupLimit (partial top-k per partition):\n$finalPlan")
+    assert(finalPlan.contains("BroadcastNestedLoopJoin") ||
+      finalPlan.contains("BroadcastExchange"), finalPlan)
+  }
+
   test("mixture_apply: rate table broadcasts; corpus side never shuffles") {
     val p = planOf("mixture_apply")
     val finalPlan = p.split("== Initial Plan ==").head

@@ -318,4 +318,51 @@ class StreamingSpec extends SparkTestBase {
       assert(batch == Map(1L -> 3L, 2L -> 1L))
     } finally q.stop()
   }
+
+  test("streaming event paths: trigrams across batch boundaries match the batch window") {
+    import StreamingOps.TypedEvent
+    val events = Seq(
+      TypedEvent(1L, "A", ts("2024-01-01 10:00:00")),
+      TypedEvent(1L, "B", ts("2024-01-01 10:01:00")),
+      TypedEvent(1L, "C", ts("2024-01-01 10:02:00")),
+      TypedEvent(1L, "D", ts("2024-01-01 10:03:00")),
+      TypedEvent(2L, "A", ts("2024-01-01 11:00:00")),
+      TypedEvent(2L, "B", ts("2024-01-01 11:01:00")),
+      TypedEvent(2L, "C", ts("2024-01-01 11:02:00")))
+    // transformWithState needs multi-column-family state → RocksDB provider
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[TypedEvent]
+    val q = StreamingOps.eventPathsStream(input.toDS())
+      .writeStream.format("memory").queryName("paths_out")
+      .outputMode("append").start()
+    try {
+      // split MID-trigram: user 1's (B,C,D) and user 2's (A,B,C) need
+      // state carried across the boundary — a per-batch window would
+      // never see them
+      input.addData(events.take(3): _*)
+      q.processAllAvailable()
+      input.addData(events.drop(3): _*)
+      q.processAllAvailable()
+      val got = spark.table("paths_out")
+        .groupBy("step1", "step2", "step3").count()
+        .as[(String, String, String, Long)].collect().toSet
+      // batch operator over the same feed (k large = no top-k cut)
+      val batch = graft.ops.Temporal.topEventPaths(
+          events.map(e => (e.userId, e.ts, e.eventType))
+            .toDF("user_id", "ts", "event_type")
+            .withColumn("event_id", lit(0L)),
+          "user_id", "ts", "event_id", "event_type", k = 100)
+        .as[(String, String, String, Long)].collect().toSet
+      assert(got == batch, s"stream $got != batch $batch")
+      assert(got == Set(("A", "B", "C", 2L), ("B", "C", "D", 1L)))
+    } finally {
+      q.stop()
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }

@@ -164,4 +164,26 @@ class VectorOpsSpec extends SparkTestBase {
     assert(out(4L)._4 == out(4L)._2.toDouble / (out(4L)._3 * out(4L)._3))
     spark.catalog.clearCache()
   }
+
+  test("knnClassify: modal neighbor label wins; vote ties go to smaller label") {
+    // corpus: three label-0 vectors near (1,0), two label-1 near (0,1)
+    val corpus = Seq(
+      (10L, 0, Seq(1.0f, 0.0f)), (11L, 0, Seq(0.9f, 0.1f)),
+      (12L, 0, Seq(0.8f, 0.0f)),
+      (20L, 1, Seq(0.0f, 1.0f)), (21L, 1, Seq(0.1f, 0.9f)))
+      .toDF("vec_id", "label", "embedding")
+    val queries = Seq((1L, 0, Seq(1.0f, 0.05f)), (2L, 0, Seq(0.05f, 1.0f)))
+      .toDF("vec_id", "label", "embedding")
+    val got = VectorOps.knnClassify(corpus, queries, "vec_id", "embedding",
+        "label", k = 3)
+      .as[(Long, Int, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got(1L) == (0, 3L)) // all three nearest are label 0
+    assert(got(2L)._1 == 1)    // the two label-1 vectors dominate its top-3
+    // k=4 over a 2-2 split: equal votes -> smaller label
+    val tie = VectorOps.knnClassify(
+        corpus.filter($"vec_id" =!= 12L), queries.limit(1),
+        "vec_id", "embedding", "label", k = 4)
+      .as[(Long, Int, Long)].collect().head
+    assert(tie._2 == 0 && tie._3 == 2L)
+  }
 }
