@@ -1031,6 +1031,22 @@ object SparkEntry {
           col("is_current"))
         .orderBy("user_id", "version")),
 
+    "scd2_lookup" -> ((s, dir) => {
+      // point-in-time enrichment: every event looks up the SCD2 version
+      // (built from the same stream) containing its own timestamp — the
+      // self-consistency closure of scd2_history: each row lands in the
+      // version it created or lives inside
+      val ev = t(s, dir, "events")
+      val dim = Temporal.scd2History(ev, "user_id", "event_type", "ts", "event_id")
+        .select(col("user_id").as("d_user"), col("event_type").as("dim_type"),
+          col("version"), col("valid_from"), col("valid_to"))
+      Temporal.scd2Lookup(
+          ev.select(col("event_id"), col("user_id"), col("ts")), dim,
+          "user_id", "d_user", "ts")
+        .select(col("event_id"), col("user_id"), col("dim_type"), col("version"))
+        .orderBy("event_id", "version")
+    }),
+
     "embedding_quantize" -> ((s, dir) => {
       // int8 scalar-quantization calibration (per-dim corpus min/max) +
       // the probe row's quantized codes — exact double arithmetic
@@ -2651,6 +2667,29 @@ object SparkEntry {
            CASE source WHEN 'src1' THEN 80 WHEN 'src2' THEN 50
                        WHEN 'src3' THEN 20 WHEN 'src4' THEN 10 ELSE 0 END
          ORDER BY doc_id""",
+
+    // same version CTE chain as scd2_history, then the point-in-time
+    // interval join [valid_from, valid_to) with open-ended current rows
+    "scd2_lookup" ->
+      """WITH c AS (
+           SELECT user_id, event_type, ts, event_id,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+           FROM events),
+         ch AS (
+           SELECT user_id, event_type, ts, event_id FROM c
+           WHERE rn = 1 OR prev IS DISTINCT FROM event_type),
+         v AS (
+           SELECT user_id AS d_user, event_type AS dim_type,
+             CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS version,
+             ts AS valid_from,
+             lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+           FROM ch)
+         SELECT e.event_id, e.user_id, v.dim_type, v.version
+         FROM events e LEFT JOIN v
+           ON e.user_id = v.d_user AND e.ts >= v.valid_from
+          AND (v.valid_to IS NULL OR e.ts < v.valid_to)
+         ORDER BY e.event_id, v.version""",
 
     "scd2_history" ->
       """WITH c AS (

@@ -229,6 +229,28 @@ object Temporal {
       .agg(count(lit(1)).as("n_users"))
   }
 
+  /** Point-in-time lookup against an SCD2 dimension (the consumer side of
+    * [[scd2History]]): each fact row joins the dimension version whose
+    * [valid_from, valid_to) interval contains its timestamp — open-ended
+    * current versions match everything from valid_from on. This is how a
+    * fact table enriches against a SLOWLY CHANGING attribute as-of the
+    * fact's own time instead of leaking today's value into history.
+    *
+    * Shape: an equi-join on the key carries the interval predicate as a
+    * residual filter — versions per key are bounded by the key's change
+    * count, so the join fans out to at most that many candidates before
+    * the residual prunes to (at most) one. One co-partitioned shuffle;
+    * never a cross join. Caller renames clashing columns.
+    */
+  def scd2Lookup(facts: DataFrame, dim: DataFrame, factKey: String,
+                 dimKey: String, tsCol: String,
+                 fromCol: String = "valid_from",
+                 toCol: String = "valid_to"): DataFrame =
+    facts.join(dim,
+      col(factKey) === col(dimKey) && col(tsCol) >= col(fromCol) &&
+        (col(toCol).isNull || col(tsCol) < col(toCol)),
+      "left")
+
   /** Time-series gap filling: a per-key daily date spine from first to
     * last activity, left-joined back so silent days appear with cnt 0 —
     * the densification step every downstream window/forecast op needs

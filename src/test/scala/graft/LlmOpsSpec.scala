@@ -31,6 +31,40 @@ class LlmOpsSpec extends SparkTestBase {
     spark.catalog.clearCache()
   }
 
+  test("round-6 operators are total on empty input: zero rows, no crash") {
+    val emptyDocs = docs.filter(lit(false))
+    assert(LlmOps.bpePairCounts(emptyDocs, "text").count() == 0)
+    assert(LlmOps.heavyHitters(emptyDocs, "text").count() == 0)
+    val emptyIdW = Seq.empty[(Long, String, Long)].toDF("id", "g", "n")
+    assert(LlmOps.mixtureApply(emptyIdW, "g", "id", "n").count() == 0)
+    assert(LlmOps.iqrOutliers(emptyIdW, "g", "id", "n").count() == 0)
+    val emptyEdges = Seq.empty[(Long, Long)].toDF("src", "dst")
+    assert(graft.ops.Graph.pageRank(emptyEdges, "src", "dst").count() == 0)
+    val emptyEv = Seq.empty[(Long, Long, java.sql.Timestamp, String)]
+      .toDF("event_id", "user_id", "ts", "event_type")
+    assert(graft.ops.Temporal.topEventPaths(emptyEv, "user_id", "ts",
+      "event_id", "event_type").count() == 0)
+    assert(graft.ops.Temporal.gapFillDaily(emptyEv, "user_id", "ts").count() == 0)
+    assert(graft.ops.Temporal.scd2Lookup(
+      emptyEv.select($"event_id", $"user_id", $"ts"),
+      emptyEv.select($"user_id".as("d_user"), $"event_type".as("dim_type"),
+        $"ts".as("valid_from"), $"ts".as("valid_to")),
+      "user_id", "d_user", "ts").count() == 0)
+    assert(graft.ops.Relational.equiWidthHistogram(
+      emptyIdW.select($"n".as("v")), "v").count() == 0)
+    assert(graft.ops.Relational.groupingSetsAgg(emptyIdW,
+      Seq(Seq("g"), Seq()), Seq("g"), sum($"n").as("s")).count() == 0)
+    // ^ Spark plans grouping sets as Expand + grouped aggregation, so an
+    //   empty input yields zero rows for EVERY set — including (), where
+    //   ANSI SQL (and DuckDB) would emit one global row. The declared
+    //   grouping_sets_revenue query uses only non-empty sets, so the
+    //   oracle twin cannot hit this divergence.
+    val emptyVec = Seq.empty[(Long, Int, Seq[Float])].toDF("vec_id", "label", "embedding")
+    assert(graft.functions.VectorOps.knnClassify(
+      emptyVec, emptyVec, "vec_id", "embedding", "label").count() == 0)
+    spark.catalog.clearCache()
+  }
+
   test("perplexity buckets: equal tiles per group, doc mass preserved") {
     val df = Seq(
       (1L, "en", "the the the the the"),   // repeated common bigrams → high score

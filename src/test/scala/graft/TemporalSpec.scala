@@ -208,6 +208,30 @@ class TemporalSpec extends SparkTestBase {
       ("X", "Y", "Z", 1L)))
   }
 
+  test("scd2Lookup: facts land in the version containing their timestamp") {
+    // key 1: A@10:00 -> B@12:00; lookups before/inside/after the boundary
+    val dimSrc = Seq(
+      (1L, 1L, Timestamp.valueOf("2024-01-01 10:00:00"), "A"),
+      (2L, 1L, Timestamp.valueOf("2024-01-01 12:00:00"), "B"))
+      .toDF("event_id", "user_id", "ts", "event_type")
+    val dim = graft.ops.Temporal
+      .scd2History(dimSrc, "user_id", "event_type", "ts", "event_id")
+      .select($"user_id".as("d_user"), $"event_type".as("dim_type"),
+        $"version", $"valid_from", $"valid_to")
+    val facts = Seq(
+      (10L, 1L, Timestamp.valueOf("2024-01-01 11:59:59")), // inside v1
+      (11L, 1L, Timestamp.valueOf("2024-01-01 12:00:00")), // boundary -> v2
+      (12L, 1L, Timestamp.valueOf("2024-01-01 09:00:00")), // before v1 -> no match
+      (13L, 2L, Timestamp.valueOf("2024-01-01 11:00:00"))) // unknown key
+      .toDF("event_id", "user_id", "ts")
+    val got = graft.ops.Temporal
+      .scd2Lookup(facts, dim, "user_id", "d_user", "ts")
+      .select("event_id", "dim_type").as[(Long, Option[String])]
+      .collect().toMap
+    assert(got == Map(10L -> Some("A"), 11L -> Some("B"),
+      12L -> None, 13L -> None))
+  }
+
   test("gapFillDaily: silent days appear with cnt 0; spans are per-key") {
     val df = Seq(
       (1L, Timestamp.valueOf("2024-01-01 10:00:00")),
