@@ -797,6 +797,30 @@ object SparkEntry {
           buckets = 20)
         .orderBy("bucket")),
 
+    "text_normalize" -> ((s, dir) =>
+      // canonicalization pass upstream of every hash-keyed dedup stage:
+      // control chars -> space, whitespace collapsed, trimmed, lowered
+      LlmOps.normalizeText(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    "dist_drift" -> ((s, dir) => {
+      // snapshot drift monitor: event-type mass before vs after the cut;
+      // sum(drift_term)/2 = total variation distance. Divisions once per
+      // side then subtract — no log, no float accumulation order
+      val e = t(s, dir, "events")
+      val cut = to_timestamp(lit("2024-01-16 00:00:00"))
+      LlmOps.distributionDrift(
+          e.filter(col("ts") < cut), e.filter(col("ts") >= cut), "event_type")
+        .orderBy("event_type")
+    }),
+
+    "near_dup_eval" -> ((s, dir) =>
+      // banding-parameter calibration: recall of the production LSH
+      // candidate path against exact same-block Jaccard ground truth,
+      // one signature pass feeding both sides
+      LlmOps.nearDupEval(t(s, dir, "documents"), "doc_id", "text", "lang",
+        maxBucketSize = 10000)),
+
     "heavy_hitters" -> ((s, dir) =>
       // frequent-terms sketch contract: exact heavy hitters (>N/33 of all
       // tokens) each checked against the native Misra-Gries summary's
@@ -2183,6 +2207,87 @@ object SparkEntry {
            MIN(vmin + bucket * (vmax - vmin) / 20) AS lo_edge,
            MIN(vmin + (bucket + 1) * (vmax - vmin) / 20) AS hi_edge
          FROM b GROUP BY bucket ORDER BY bucket""",
+
+    "text_normalize" ->
+      """WITH n AS (
+           SELECT doc_id, text,
+             trim(regexp_replace(regexp_replace(lower(text),
+               '[\x00-\x1f\x7f]', ' ', 'g'), '\s+', ' ', 'g')) AS norm_text
+           FROM documents)
+         SELECT doc_id, norm_text,
+           (norm_text IS DISTINCT FROM text) AS changed
+         FROM n ORDER BY doc_id""",
+
+    "dist_drift" ->
+      """WITH a AS (
+           SELECT event_type, CAST(COUNT(*) AS BIGINT) AS cnt_a FROM events
+           WHERE ts < TIMESTAMP '2024-01-16 00:00:00' GROUP BY 1),
+         b AS (
+           SELECT event_type, CAST(COUNT(*) AS BIGINT) AS cnt_b FROM events
+           WHERE ts >= TIMESTAMP '2024-01-16 00:00:00' GROUP BY 1),
+         ta AS (SELECT CAST(COUNT(*) AS BIGINT) AS ta FROM events
+                WHERE ts < TIMESTAMP '2024-01-16 00:00:00'),
+         tb AS (SELECT CAST(COUNT(*) AS BIGINT) AS tb FROM events
+                WHERE ts >= TIMESTAMP '2024-01-16 00:00:00'),
+         j AS (
+           SELECT COALESCE(a.event_type, b.event_type) AS event_type,
+             COALESCE(cnt_a, 0) AS cnt_a, COALESCE(cnt_b, 0) AS cnt_b
+           FROM a FULL OUTER JOIN b ON a.event_type = b.event_type)
+         SELECT event_type, cnt_a, cnt_b,
+           CAST(cnt_a AS DOUBLE) / ta AS p_a,
+           CAST(cnt_b AS DOUBLE) / tb AS p_b,
+           abs(CAST(cnt_a AS DOUBLE) / ta - CAST(cnt_b AS DOUBLE) / tb) AS drift_term
+         FROM j, ta, tb ORDER BY event_type""",
+
+    // same shingle/signature/banding CTEs as dedup_near; truth = exact
+    // same-lang Jaccard >= 0.7 on the identical md5-48 sets
+    "near_dup_eval" ->
+      """WITH d AS (
+           SELECT doc_id, lang,
+             list_distinct(list_transform(
+               range(1, greatest(len(string_split_regex(lower(trim(text)), '\s+')) - 3, 0) + 2),
+               i -> array_to_string(list_slice(string_split_regex(lower(trim(text)), '\s+'), i, i + 2), ' '))) AS sh
+           FROM documents),
+         hp AS (
+           SELECT doc_id, lang,
+             list_transform(sh, s -> ('0x' || substr(md5(s), 1, 12))::BIGINT) AS h1s,
+             list_transform(sh, s -> ('0x' || substr(md5(s), 13, 12))::BIGINT) AS h2s
+           FROM d WHERE len(sh) > 0),
+         sg AS (
+           SELECT doc_id, lang,
+             list_distinct(h1s) AS shset,
+             list_transform(range(0, 16), j ->
+               list_min(list_transform(range(1, len(h1s) + 1), x -> h1s[x] + j * h2s[x]))) AS sig
+           FROM hp),
+         truth AS (
+           SELECT x.doc_id AS id_a, y.doc_id AS id_b
+           FROM sg x JOIN sg y ON x.lang = y.lang AND x.doc_id < y.doc_id
+           WHERE CAST(len(list_intersect(x.shset, y.shset)) AS DOUBLE)
+                 / len(list_distinct(list_concat(x.shset, y.shset))) >= 0.7),
+         bands AS (
+           SELECT doc_id, t.b AS band,
+             md5(array_to_string(list_slice(sig, t.b * 4 + 1, t.b * 4 + 4), ',')) AS bh
+           FROM sg, range(0, 4) t(b)),
+         ok AS (
+           SELECT band, bh FROM bands GROUP BY band, bh
+           HAVING COUNT(*) BETWEEN 2 AND 10000),
+         cap AS (SELECT bands.* FROM bands JOIN ok USING (band, bh)),
+         cand AS (
+           SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+           FROM cap a JOIN cap c
+             ON a.band = c.band AND a.bh = c.bh AND a.doc_id < c.doc_id),
+         candb AS (
+           SELECT cand.id_a, cand.id_b FROM cand
+           JOIN sg x ON cand.id_a = x.doc_id
+           JOIN sg y ON cand.id_b = y.doc_id
+           WHERE x.lang = y.lang),
+         hit AS (SELECT id_a, id_b FROM truth INTERSECT SELECT id_a, id_b FROM candb)
+         SELECT
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS n_truth,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM candb) AS n_candidates,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM hit) AS n_hit,
+           CAST((SELECT COUNT(*) FROM hit) AS DOUBLE)
+             / (SELECT COUNT(*) FROM truth) AS recall""",
 
     // contract twin: DuckDB computes the exact heavy hitters and asserts
     // the sketch booleans as literal true — any MG violation hash-fails

@@ -1426,6 +1426,57 @@ object LlmOps {
       .agg(count(lit(1)).as("n_docs"))
   }
 
+  /** LSH banding RECALL eval against exact ground truth, within blocks —
+    * the calibration query that answers "how many true near-dup pairs do
+    * my (bands × rows) parameters actually surface?" before a full corpus
+    * run trusts them. Truth = exact set-Jaccard ≥ threshold over all
+    * same-block pairs of the SAME md5-48 shingle sets the banding uses
+    * (one family, no cross-family skew); candidates = the production
+    * [[lshCandidatePairs]] path restricted to the same block universe.
+    * Output is ONE row: (n_truth, n_candidates, n_hit, recall).
+    *
+    * Scale shape: this is a SAMPLE-block eval by design — the blocked
+    * all-pairs truth join is O(block²) and priced accordingly (that's
+    * what ground truth costs; production runs it on a few blocks, not
+    * the corpus). The candidate side is the same banded path production
+    * uses. ONE signature pass feeds both sides (persisted).
+    */
+  def nearDupEval(df: DataFrame, idCol: String, textCol: String,
+                  blockCol: String, shingleN: Int = 3, numHashes: Int = 16,
+                  bands: Int = 4, threshold: Double = 0.7,
+                  maxBucketSize: Int = 1 << 20): DataFrame = {
+    require(numHashes % bands == 0)
+    val sets = df
+      .repartition(df.sparkSession.sessionState.conf.numShufflePartitions, col(idCol))
+      .select(col(blockCol).as("__blk"), col(idCol),
+        minhashPlanBest(df, col(textCol), shingleN, numHashes).as("__mh"))
+      .select(col("__blk"), col(idCol),
+        col("__mh.sh").as("__sh"), col("__mh.sig").as("__sig"))
+      .filter(size(col("__sh")) > 0)
+      .persist()
+    val a = sets.select(col("__blk"), col(idCol).as("id_a"), col("__sh").as("__sha"))
+    val b = sets.select(col("__blk").as("__blkb"), col(idCol).as("id_b"),
+      col("__sh").as("__shb"))
+    val truth = a.join(b,
+        col("__blk") === col("__blkb") && col("id_a") < col("id_b"))
+      .filter(jaccard(col("__sha"), col("__shb")) >= threshold)
+      .select("id_a", "id_b")
+    val blkOf = sets.select(col(idCol), col("__blk"))
+    val candB = lshCandidatePairs(sets, idCol, bands, numHashes / bands, maxBucketSize)
+      .join(blkOf.select(col(idCol).as("id_a"), col("__blk").as("__ba")), "id_a")
+      .join(blkOf.select(col(idCol).as("id_b"), col("__blk").as("__bb")), "id_b")
+      .filter(col("__ba") === col("__bb"))
+      .select("id_a", "id_b")
+    val nT = truth.agg(count(lit(1)).as("n_truth"))
+    val nC = candB.agg(count(lit(1)).as("n_candidates"))
+    val nH = truth.join(candB, Seq("id_a", "id_b"))
+      .agg(count(lit(1)).as("n_hit"))
+    nT.crossJoin(nC).crossJoin(nH)
+      .select(col("n_truth"), col("n_candidates"), col("n_hit"),
+        // 0/0 -> null on both engines (no truth pairs = recall undefined)
+        (col("n_hit").cast("double") / col("n_truth")).as("recall"))
+  }
+
   /** Corpus heavy hitters via the native k-counter Misra–Gries aggregate,
     * emitted as a CONTRACT: the deterministic output rows are the EXACT
     * heavy hitters (true count > N/(k+1), computed alongside), and each
@@ -1455,6 +1506,52 @@ object LlmOps {
           (col("cnt") - element_at(col("__sk"), col("term"))) * (k + 1) <= col("__n"))
           .as("bound_ok"))
       .orderBy(col("cnt").desc, col("term"))
+  }
+
+  /** Canonical text normalization — the pass every hash-keyed dedup and
+    * fingerprint stage assumes upstream: control chars → spaces, runs of
+    * whitespace collapsed, edges trimmed, lowercased. Emits the
+    * normalized text plus a `changed` flag (the audit count of rows the
+    * pass actually touched). Pure codegen'd regexp projections: no
+    * shuffle, scan-speed at any scale; patterns are POSIX-class-portable
+    * so an external SQL engine replays byte-identical output.
+    */
+  def normalizeText(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val norm = trim(regexp_replace(
+      regexp_replace(lower(col(textCol)), "[\\x00-\\x1f\\x7f]", " "),
+      "\\s+", " "))
+    df.select(col(idCol), norm.as("norm_text"),
+      (!(norm <=> col(textCol))).as("changed"))
+  }
+
+  /** Distribution drift between two cohorts of the same categorical
+    * column: per-category counts and probability masses, plus the total-
+    * variation term |p_a − p_b| — the drift monitor a training-data
+    * pipeline runs when a new crawl snapshot lands (sum(drift_term)/2 =
+    * total variation distance). Masses divide ONCE per side (cnt/total,
+    * correctly-rounded IEEE on both engines) and subtract — no log, no
+    * order-dependent float accumulation, so every value hash-compares,
+    * and nothing overflows at any corpus size.
+    *
+    * Shape: two count aggregations (map-side partials), a full-outer join
+    * on the category (absent categories count 0), two broadcast 1-row
+    * totals. Nothing else moves.
+    */
+  def distributionDrift(dfA: DataFrame, dfB: DataFrame,
+                        catCol: String): DataFrame = {
+    val ca = dfA.groupBy(col(catCol)).agg(count(lit(1)).as("cnt_a"))
+    val cb = dfB.groupBy(col(catCol)).agg(count(lit(1)).as("cnt_b"))
+    val ta = dfA.agg(count(lit(1)).as("__ta"))
+    val tb = dfB.agg(count(lit(1)).as("__tb"))
+    ca.join(cb, Seq(catCol), "full_outer")
+      .select(col(catCol), coalesce(col("cnt_a"), lit(0L)).as("cnt_a"),
+        coalesce(col("cnt_b"), lit(0L)).as("cnt_b"))
+      .crossJoin(broadcast(ta)).crossJoin(broadcast(tb))
+      .select(col(catCol), col("cnt_a"), col("cnt_b"),
+        (col("cnt_a").cast("double") / col("__ta")).as("p_a"),
+        (col("cnt_b").cast("double") / col("__tb")).as("p_b"),
+        abs(col("cnt_a").cast("double") / col("__ta") -
+          col("cnt_b").cast("double") / col("__tb")).as("drift_term"))
   }
 
   /** Tukey-fence outlier flag per group: a doc is an outlier when its

@@ -753,6 +753,46 @@ class LlmOpsSpec extends SparkTestBase {
     assert(got == Seq(("ab", 3L), ("bc", 1L)))
   }
 
+  test("normalizeText: control chars, case, and whitespace runs canonicalize") {
+    val df = Seq(
+      (1L, "Hello\tWorld twice  "),
+      (2L, "already clean"),
+      (3L, "")).toDF("doc_id", "text")
+    val got = LlmOps.normalizeText(df, "doc_id", "text")
+      .as[(Long, String, Boolean)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, "hello world twice", true),
+      (2L, "already clean", false),
+      (3L, "", false)))
+  }
+
+  test("distributionDrift: absent categories count 0; terms sum to 2*TVD") {
+    val a = Seq("x", "x", "x", "y").toDF("c")   // p: x=.75 y=.25 z=0
+    val b = Seq("x", "y", "y", "z").toDF("c")   // q: x=.25 y=.5  z=.25
+    val got = LlmOps.distributionDrift(a, b, "c")
+      .select("c", "cnt_a", "cnt_b", "drift_term")
+      .as[(String, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got("z")._2 == 0L && got("z")._3 == 1L)
+    assert(got("x")._4 == 0.5 && got("y")._4 == 0.25 && got("z")._4 == 0.25)
+    assert(got.values.map(_._4).sum == 1.0) // TVD = 0.5
+  }
+
+  test("nearDupEval: exact dups are always recalled; counts are consistent") {
+    val df = Seq(
+      (1L, "en", "the quick brown fox jumps over the lazy dog today"),
+      (2L, "en", "the quick brown fox jumps over the lazy dog today"), // exact dup
+      (3L, "en", "completely different content with other words here entirely"),
+      (4L, "de", "der schnelle braune fuchs springt heute"))
+      .toDF("doc_id", "lang", "text")
+    val got = LlmOps.nearDupEval(df, "doc_id", "text", "lang")
+      .as[(Long, Long, Long, Option[Double])].collect().head
+    // identical docs have identical signatures -> every band collides
+    assert(got._1 >= 1L && got._3 == got._1, s"exact dup not recalled: $got")
+    assert(got._4.contains(1.0))
+    assert(got._3 <= got._2) // hits are a subset of candidates
+    spark.catalog.clearCache()
+  }
+
   test("iqrOutliers: Tukey fences flag the far tail, per group") {
     // group en: 1..100 plus 1000 → q1=v[25]=26, q3=v[75]=76 (linear
     // interpolation at integer positions), iqr=50, fences [-49, 151]:
