@@ -347,6 +347,37 @@ object SparkEntry {
         .orderBy("o_custkey", "o_orderkey")
     }),
 
+    "window_first_last" -> ((s, dir) => {
+      // frame-sensitive value windows: first/last/nth over an explicit
+      // unbounded frame (default RANGE..CURRENT ROW would make last_value
+      // see only its own prefix — the classic window-frame trap)
+      val ord = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      val full = ord.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          first(col("o_orderkey")).over(full).as("first_key"),
+          last(col("o_orderkey")).over(full).as("last_key"),
+          nth_value(col("o_orderkey"), 2).over(full).as("second_key"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
+    "user_profile" -> ((s, dir) =>
+      // feature-store profile row per user: activity counts, the sorted
+      // distinct event-type vocabulary as a csv string (deterministic,
+      // hash-stable), and the activity span
+      t(s, dir, "events")
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          concat_ws(",", sort_array(collect_set(col("event_type")))).as("event_types"),
+          date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("first_seen"),
+          date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss").as("last_seen"),
+          // floor-to-cents BEFORE the sum: floor is exact IEEE (unlike a
+          // decimal cast, whose tie-rounding on raw doubles is engine-
+          // specific), and long addition is associative
+          sum(floor(col("value") * 100).cast("long")).as("total_cents"))
+        .orderBy("user_id")),
+
     "window_dist_funcs" -> ((s, dir) => {
       // distribution window functions: percent_rank/cume_dist over a unique
       // (price, key) total order — rank arithmetic is exact-int division,
@@ -1401,6 +1432,24 @@ object SparkEntry {
             CAST(ntile(4) OVER (PARTITION BY o_custkey
               ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS price_quartile
          FROM orders ORDER BY o_custkey, o_orderkey""",
+
+    "window_first_last" ->
+      """SELECT o_custkey, o_orderkey,
+            first_value(o_orderkey) OVER w AS first_key,
+            last_value(o_orderkey) OVER w AS last_key,
+            nth_value(o_orderkey, 2) OVER w AS second_key
+         FROM orders
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+         ORDER BY o_custkey, o_orderkey""",
+
+    "user_profile" ->
+      """SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+            array_to_string(list_sort(list(DISTINCT event_type)), ',') AS event_types,
+            strftime(date_trunc('second', MIN(ts)), '%Y-%m-%d %H:%M:%S') AS first_seen,
+            strftime(date_trunc('second', MAX(ts)), '%Y-%m-%d %H:%M:%S') AS last_seen,
+            CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
+         FROM events GROUP BY user_id ORDER BY user_id""",
 
     "window_dist_funcs" ->
       """SELECT o_orderkey, o_orderpriority,

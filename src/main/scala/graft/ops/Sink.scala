@@ -42,4 +42,25 @@ object Sink {
       .mode("overwrite")
       .parquet(path)
   }
+
+  /** JSONL (newline-delimited JSON) export — the interchange format LLM
+    * training-data consumers actually ingest (one document object per
+    * line, gzip per shard). `shardCol` drives both the directory layout
+    * (partition pruning for consumers that read a subset) and the shard
+    * boundaries [[graft.ops.LlmOps.packSequences]] planned; `maxRecords
+    * PerFile` caps shard size so a downstream loader never sees a
+    * multi-GB line file. Same atomic-overwrite discipline as the parquet
+    * sinks.
+    */
+  def writeJsonl(df: DataFrame, path: String, shardCol: String,
+                 maxRecordsPerFile: Long = 1000000L,
+                 compress: Boolean = true): Unit = {
+    val w = df.repartition(col(shardCol))
+      .sortWithinPartitions(col(shardCol))
+      .write
+      .partitionBy(shardCol)
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .mode("overwrite")
+    (if (compress) w.option("compression", "gzip") else w).json(path)
+  }
 }

@@ -39,6 +39,27 @@ class SinkSpec extends SparkTestBase {
     assert(misordered.count() == 0)
   }
 
+  test("jsonl export: sharded dirs, gzip files, round-trips through a json reader") {
+    val out = Files.createTempDirectory("sinkjsonl").toString + "/export"
+    val docs = Seq(
+      (1L, "shard0", "hello \"world\""), // quote forces JSON escaping
+      (2L, "shard0", "zweite zeile"),
+      (3L, "shard1", "other shard"))
+      .toDF("doc_id", "shard", "text")
+    Sink.writeJsonl(docs, out, "shard")
+    // layout: one directory per shard, files gzip-compressed
+    val dirs = new java.io.File(out).listFiles().filter(_.isDirectory).map(_.getName).toSet
+    assert(dirs == Set("shard=shard0", "shard=shard1"))
+    val gz = new java.io.File(out + "/shard=shard0").listFiles()
+      .filter(_.getName.endsWith(".json.gz"))
+    assert(gz.nonEmpty, "shard files must be gzip jsonl")
+    // round trip: schema and values survive, including escaped quotes
+    val back = spark.read.json(out).select("doc_id", "shard", "text")
+      .as[(Long, String, String)].collect().toSet
+    assert(back == Set((1L, "shard0", "hello \"world\""),
+      (2L, "shard0", "zweite zeile"), (3L, "shard1", "other shard")))
+  }
+
   test("dynamic partition overwrite rewrites only the written partition") {
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     val out = Files.createTempDirectory("sinkdyn").toString + "/t"
