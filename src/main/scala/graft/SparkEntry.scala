@@ -847,10 +847,15 @@ object SparkEntry {
 
     "near_dup_eval" -> ((s, dir) =>
       // banding-parameter calibration: recall of the production LSH
-      // candidate path against exact same-block Jaccard ground truth,
-      // one signature pass feeding both sides
-      LlmOps.nearDupEval(t(s, dir, "documents"), "doc_id", "text", "lang",
-        maxBucketSize = 10000)),
+      // candidate path against exact same-block Jaccard ground truth.
+      // The eval universe is a deterministic 1-in-2 hash sample — ground
+      // truth is O(block²) BY DESIGN, so the op's own contract is to run
+      // it on a sample, and the declared query practices that (the
+      // sampled block² cost stays bounded as the corpus grows only if
+      // the sample is capped; 1-in-2 keeps sf0.01 truth pairs non-empty)
+      LlmOps.nearDupEval(
+        Relational.hashSample(t(s, dir, "documents"), "doc_id", m = 2),
+        "doc_id", "text", "lang", maxBucketSize = 10000)),
 
     "heavy_hitters" -> ((s, dir) =>
       // frequent-terms sketch contract: exact heavy hitters (>N/33 of all
@@ -2291,12 +2296,15 @@ object SparkEntry {
     // same shingle/signature/banding CTEs as dedup_near; truth = exact
     // same-lang Jaccard >= 0.7 on the identical md5-48 sets
     "near_dup_eval" ->
-      """WITH d AS (
+      """WITH docs2 AS (
+           SELECT * FROM documents
+           WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT % 2 = 0),
+         d AS (
            SELECT doc_id, lang,
              list_distinct(list_transform(
                range(1, greatest(len(string_split_regex(lower(trim(text)), '\s+')) - 3, 0) + 2),
                i -> array_to_string(list_slice(string_split_regex(lower(trim(text)), '\s+'), i, i + 2), ' '))) AS sh
-           FROM documents),
+           FROM docs2),
          hp AS (
            SELECT doc_id, lang,
              list_transform(sh, s -> ('0x' || substr(md5(s), 1, 12))::BIGINT) AS h1s,
@@ -2311,6 +2319,8 @@ object SparkEntry {
          truth AS (
            SELECT x.doc_id AS id_a, y.doc_id AS id_b
            FROM sg x JOIN sg y ON x.lang = y.lang AND x.doc_id < y.doc_id
+            AND len(x.shset) * 0.7 <= len(y.shset)
+            AND len(y.shset) * 0.7 <= len(x.shset)
            WHERE CAST(len(list_intersect(x.shset, y.shset)) AS DOUBLE)
                  / len(list_distinct(list_concat(x.shset, y.shset))) >= 0.7),
          bands AS (

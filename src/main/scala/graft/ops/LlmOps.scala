@@ -1454,11 +1454,29 @@ object LlmOps {
         col("__mh.sh").as("__sh"), col("__mh.sig").as("__sig"))
       .filter(size(col("__sh")) > 0)
       .persist()
-    val a = sets.select(col("__blk"), col(idCol).as("id_a"), col("__sh").as("__sha"))
+    // Block keys are LOW-cardinality (that's what makes them blocks), so
+    // a join keyed on the block alone concentrates each block's O(block²)
+    // intersection work in ONE task. The sub-bucket grid spreads it: the
+    // left side replicates across `grid` virtual cells, the right side
+    // hashes into one, and the equi-key (block, cell) fans the same pair
+    // set over block×grid reducers. Replication cost is grid× the tiny
+    // (id, set) rows — nothing against the pairwise work it parallelizes.
+    val grid = 8
+    val a = sets.select(col("__blk"), col(idCol).as("id_a"),
+        col("__sh").as("__sha"), size(col("__sh")).as("__sza"))
+      .withColumn("__cell", explode(array((0 until grid).map(i => lit(i.toLong)): _*)))
     val b = sets.select(col("__blk").as("__blkb"), col(idCol).as("id_b"),
-      col("__sh").as("__shb"))
+        col("__sh").as("__shb"), size(col("__sh")).as("__szb"))
+      .withColumn("__cellb", pmod(xxhash64(col("id_b")), lit(grid)))
+    // Length filter INSIDE the join predicate (lossless for the
+    // threshold: J(A,B) >= t forces t·|A| <= |B| and t·|B| <= |A|), so
+    // surviving pairs are pruned before the expensive intersection —
+    // the PPJoin prefix-filter's cheap half, applied to ground truth.
     val truth = a.join(b,
-        col("__blk") === col("__blkb") && col("id_a") < col("id_b"))
+        col("__blk") === col("__blkb") && col("__cell") === col("__cellb") &&
+          col("id_a") < col("id_b") &&
+          col("__sza") * threshold <= col("__szb") &&
+          col("__szb") * threshold <= col("__sza"))
       .filter(jaccard(col("__sha"), col("__shb")) >= threshold)
       .select("id_a", "id_b")
     val blkOf = sets.select(col(idCol), col("__blk"))
