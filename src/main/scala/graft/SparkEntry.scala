@@ -828,6 +828,14 @@ object SparkEntry {
           buckets = 20)
         .orderBy("bucket")),
 
+    "fuzzy_pairs" -> ((s, dir) =>
+      // record linkage over the part-name vocabulary: same-noun blocks,
+      // edit distance <= 3 — quadratic work bounded by the DISTINCT
+      // vocabulary, never the row count
+      LlmOps.fuzzyPairs(t(s, dir, "part"), "p_name",
+          split(col("p_name"), " ").getItem(1), maxDist = 3)
+        .orderBy("name_a", "name_b")),
+
     "text_normalize" -> ((s, dir) =>
       // canonicalization pass upstream of every hash-keyed dedup stage:
       // control chars -> space, whitespace collapsed, trimmed, lowered
@@ -2261,6 +2269,16 @@ object SparkEntry {
            MIN(vmin + bucket * (vmax - vmin) / 20) AS lo_edge,
            MIN(vmin + (bucket + 1) * (vmax - vmin) / 20) AS hi_edge
          FROM b GROUP BY bucket ORDER BY bucket""",
+
+    "fuzzy_pairs" ->
+      """WITH names AS (
+           SELECT DISTINCT p_name AS nm, split_part(p_name, ' ', 2) AS blk
+           FROM part)
+         SELECT a.nm AS name_a, b.nm AS name_b,
+           CAST(levenshtein(a.nm, b.nm) AS INTEGER) AS dist
+         FROM names a JOIN names b ON a.blk = b.blk AND a.nm < b.nm
+         WHERE levenshtein(a.nm, b.nm) <= 3
+         ORDER BY name_a, name_b""",
 
     "text_normalize" ->
       """WITH n AS (

@@ -223,10 +223,10 @@ object Graph {
     * Dangling nodes (outdeg 0) contribute nothing — the standard
     * leaked-mass simplification; node universe = all edge endpoints.
     *
-    * Scale shape: per iteration ONE join (ranks ⋈ edges on src — the edge
-    * side is persisted pre-partitioned on src so its exchange is reused
-    * across rounds; the rank side is one row per NODE, orders of magnitude
-    * smaller than the edges, and AQE broadcasts it when it fits) + ONE
+    * Scale shape: per iteration ONE join (ranks ⋈ edges on src — the
+    * deduped edge set is persisted once and its cached blocks never move
+    * again; the rank side is one row per NODE, orders of magnitude
+    * smaller than the edges, so AQE broadcasts it when it fits) + ONE
     * map-side-partial sum on dst. Rank state never exceeds one (node,
     * outdeg, pr) row per node; `localCheckpoint` cuts the growing lineage
     * exactly like [[connectedComponents]]. Overflow headroom: 85 · Σ pr

@@ -1526,6 +1526,26 @@ object LlmOps {
       .orderBy(col("cnt").desc, col("term"))
   }
 
+  /** Blocked fuzzy string matching (record linkage): pairs of DISTINCT
+    * values whose edit distance is within `maxDist`, generated only
+    * inside caller-chosen blocks — the "same entity, different spelling"
+    * join dedup pipelines run on names/titles where shingle Jaccard is
+    * too coarse. Distinct-first matters: the quadratic work is over the
+    * value VOCABULARY (small), never the row count; attach matches back
+    * to rows with an equi-join afterwards. Levenshtein with unit costs is
+    * an exact integer, so every pair and distance replays externally.
+    */
+  def fuzzyPairs(df: DataFrame, nameCol: String, blockCol: Column,
+                 maxDist: Int): DataFrame = {
+    val names = df.select(col(nameCol).as("__nm"), blockCol.as("__blk")).distinct()
+    val a = names.select(col("__nm").as("name_a"), col("__blk"))
+    val b = names.select(col("__nm").as("name_b"), col("__blk").as("__blkb"))
+    a.join(b, col("__blk") === col("__blkb") && col("name_a") < col("name_b"))
+      .select(col("name_a"), col("name_b"),
+        levenshtein(col("name_a"), col("name_b")).as("dist"))
+      .filter(col("dist") <= maxDist)
+  }
+
   /** Canonical text normalization — the pass every hash-keyed dedup and
     * fingerprint stage assumes upstream: control chars → spaces, runs of
     * whitespace collapsed, edges trimmed, lowercased. Emits the

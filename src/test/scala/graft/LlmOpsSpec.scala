@@ -753,6 +753,16 @@ class LlmOpsSpec extends SparkTestBase {
     assert(got == Seq(("ab", 3L), ("bc", 1L)))
   }
 
+  test("fuzzyPairs: blocked edit-distance pairs over the distinct vocabulary") {
+    val df = Seq("red bolt", "ted bolt", "red bolt", "blue bolt", "red ring")
+      .toDF("nm") // duplicate "red bolt" must not duplicate pairs
+    val got = LlmOps.fuzzyPairs(df, "nm", split(col("nm"), " ").getItem(1), 2)
+      .as[(String, String, Int)].collect().toSet
+    // same-noun block: red/ted distance 1; blue↔red distance 3 excluded;
+    // cross-block (ring vs bolt) never compared
+    assert(got == Set(("red bolt", "ted bolt", 1)))
+  }
+
   test("normalizeText: control chars, case, and whitespace runs canonicalize") {
     val df = Seq(
       (1L, "Hello\tWorld twice  "),
