@@ -13,6 +13,9 @@ import graft.functions.{BoundedCollectList, CosineSimilarity, HashedShingles, Mi
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // optimizer rule: implied-length prune ahead of levenshtein filters
+    // (see graft.plans.LevenshteinLengthPrune — result-preserving)
+    ext.injectOptimizerRule(_ => graft.plans.LevenshteinLengthPrune)
     ext.injectFunction((
       new FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, null, "cosine_sim",
