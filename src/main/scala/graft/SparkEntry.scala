@@ -819,6 +819,20 @@ object SparkEntry {
       LlmOps.iqrOutliers(t(s, dir, "documents"), "lang", "doc_id", "n_chars")
         .orderBy("doc_id")),
 
+    "quantile_bins" -> ((s, dir) =>
+      // equi-depth profile: 10 near-equal-count bins over a (price, key)
+      // total order — bin boundaries are exact order statistics
+      Relational.quantileBins(t(s, dir, "orders"), "o_totalprice",
+          "o_orderkey", bins = 10)
+        .orderBy("bin")),
+
+    "zscore_normalize" -> ((s, dir) =>
+      // per-language feature scaling from exact decimal moments; the
+      // degenerate-variance guard yields null, never NaN
+      Relational.zscoreNormalize(t(s, dir, "documents"), "lang", "doc_id",
+          "n_chars")
+        .orderBy("doc_id")),
+
     "value_histogram" -> ((s, dir) =>
       // equi-width profile of order totals with data-derived bounds: one
       // broadcast 2-value global, one bucket-id groupBy, audit edges from
@@ -2254,6 +2268,29 @@ object SparkEntry {
            (n_chars < q1 - 1.5 * (q3 - q1)
               OR n_chars > q3 + 1.5 * (q3 - q1)) AS is_outlier
          FROM documents d JOIN f USING (lang) ORDER BY doc_id""",
+
+    "quantile_bins" ->
+      """WITH b AS (
+           SELECT o_totalprice,
+             CAST(ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS bin
+           FROM orders)
+         SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
+         FROM b GROUP BY bin ORDER BY bin""",
+
+    // mirrors the Spark expression sequence exactly: exact decimal sums
+    // cast to double, mean = sx/n, var = sx2/n - mean*mean, z via sqrt
+    "zscore_normalize" ->
+      """WITH m AS (
+           SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(CAST(SUM(CAST(n_chars AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS DOUBLE) AS sx,
+             CAST(CAST(SUM(CAST(n_chars AS DECIMAL(18,0)) * CAST(n_chars AS DECIMAL(18,0))) AS DECIMAL(38,0)) AS DOUBLE) AS sx2
+           FROM documents GROUP BY lang)
+         SELECT doc_id, d.lang, n_chars,
+           CASE WHEN (sx2 / n - (sx / n) * (sx / n)) <= 0 THEN NULL
+                ELSE (CAST(n_chars AS DOUBLE) - sx / n)
+                     / sqrt(sx2 / n - (sx / n) * (sx / n)) END AS zscore
+         FROM documents d JOIN m USING (lang) ORDER BY doc_id""",
 
     "value_histogram" ->
       """WITH mm AS (SELECT CAST(MIN(o_totalprice) AS DOUBLE) AS vmin,

@@ -332,6 +332,56 @@ object Relational {
     dfs.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
+  /** Equi-DEPTH histogram: `bins` buckets of (near-)equal row count via
+    * ntile over a unique total order, each reporting its row count and
+    * value range — the complement of [[equiWidthHistogram]] (equal-width
+    * bins starve on skewed data; equal-depth bins ARE the skew profile,
+    * and their boundaries are exact order statistics). The tiebreak
+    * column makes the order total, so bin assignment — including which
+    * bin gets the +1 remainder rows — is deterministic and replayable.
+    *
+    * Scale shape: ntile is one window over a single global sort — the
+    * honest cost of exact order statistics (the approx path for when
+    * that's too much is `approx_quantiles`). The per-bin rollup is a
+    * `bins`-row aggregate with map-side partials.
+    */
+  def quantileBins(df: DataFrame, valueCol: String, tieCol: String,
+                   bins: Int = 10): DataFrame = {
+    require(bins > 0)
+    val w = Window.orderBy(col(valueCol).asc, col(tieCol).asc)
+    df.select(col(valueCol), ntile(bins).over(w).cast("long").as("bin"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_rows"),
+        min(col(valueCol)).as("lo"), max(col(valueCol)).as("hi"))
+  }
+
+  /** Per-group z-score feature scaling from EXACT moments: mean and
+    * population variance derive from decimal sums of x and x² (exact
+    * under any partitioning), then one fixed sequence of IEEE ops per
+    * row — so the scaled values hash-compare across engines, unlike a
+    * naive double `stddev_pop` whose accumulation order floats.
+    * Degenerate groups (variance 0, e.g. a single row) yield null, not
+    * NaN. Shape: one tiny per-group aggregate broadcast onto the scan.
+    */
+  def zscoreNormalize(df: DataFrame, groupCol: String, idCol: String,
+                      valueCol: String): DataFrame = {
+    val moments = df.groupBy(groupCol)
+      .agg(count(lit(1)).as("__n"),
+        sum(col(valueCol).cast("decimal(38,0)")).cast("double").as("__sx"),
+        // square in decimal space — a long*long square can overflow
+        // BEFORE a post-hoc cast would see it
+        sum(col(valueCol).cast("decimal(18,0)") * col(valueCol).cast("decimal(18,0)"))
+          .cast("double").as("__sx2"))
+    val mean = col("__sx") / col("__n")
+    val variance = col("__sx2") / col("__n") - mean * mean
+    df.select(col(idCol), col(groupCol), col(valueCol))
+      .join(broadcast(moments), Seq(groupCol))
+      .select(col(idCol), col(groupCol), col(valueCol),
+        when(variance <= 0, lit(null))
+          .otherwise((col(valueCol).cast("double") - mean) / sqrt(variance))
+          .as("zscore"))
+  }
+
   /** Arbitrary GROUPING SETS aggregation — the general form that rollup
     * and cube are special cases of, for when the report wants exactly the
     * (a,b), (a), () levels and not cube's (b) level. Spark expands the

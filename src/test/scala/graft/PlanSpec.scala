@@ -369,6 +369,30 @@ class PlanSpec extends SparkTestBase {
       finalPlan.contains("BroadcastExchange"), finalPlan)
   }
 
+  test("scd2_lookup: key equi-join with interval residual — no cartesian") {
+    val p = planOf("scd2_lookup")
+    val finalPlan = p.split("== Initial Plan ==").head
+    assert(!finalPlan.contains("CartesianProduct") &&
+      !finalPlan.contains("BroadcastNestedLoopJoin"),
+      s"interval predicate must ride the key equi-join as a residual:\n$finalPlan")
+  }
+
+  test("fuzzy_pairs: injected rule's length prune reaches the join; vocab distinct first") {
+    val p = planOf("fuzzy_pairs")
+    assert(p.contains("abs("),
+      s"LevenshteinLengthPrune conjunct missing from the physical plan:\n$p")
+    val finalPlan = p.split("== Initial Plan ==").head
+    assert(finalPlan.contains("HashAggregate"),
+      s"pair generation must run over the DISTINCT vocabulary:\n$finalPlan")
+  }
+
+  test("zscore_normalize / iqr-style: moment table broadcasts onto the scan") {
+    val p = planOf("zscore_normalize")
+    val finalPlan = p.split("== Initial Plan ==").head
+    assert(finalPlan.contains("BroadcastHashJoin"), finalPlan)
+    assert(!finalPlan.contains("SortMergeJoin"), finalPlan)
+  }
+
   test("mixture_apply: rate table broadcasts; corpus side never shuffles") {
     val p = planOf("mixture_apply")
     val finalPlan = p.split("== Initial Plan ==").head

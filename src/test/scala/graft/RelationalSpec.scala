@@ -299,6 +299,31 @@ class RelationalSpec extends SparkTestBase {
     assert(got == Set((1L, Some("en"), 10L, None), (2L, None, 20L, Some("web"))))
   }
 
+  test("quantileBins: near-equal depths, ordered disjoint ranges") {
+    val df = spark.range(100).select($"id".as("v"), $"id".as("k"))
+    val got = Relational.quantileBins(df, "v", "k", bins = 8)
+      .orderBy("bin").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got.map(_._1) == (1L to 8L))
+    // 100 = 8*12 + 4: first four bins get the remainder row
+    assert(got.map(_._2) == Seq(13L, 13L, 13L, 13L, 12L, 12L, 12L, 12L))
+    got.sliding(2).foreach { case Seq(a, b) => assert(a._4 < b._3) }
+    assert(got.head._3 == 0L && got.last._4 == 99L)
+  }
+
+  test("zscoreNormalize: exact moments; constant groups yield null") {
+    val df = Seq(
+      (1L, "a", 10L), (2L, "a", 20L), (3L, "a", 30L), // mean 20, var 200/3
+      (4L, "b", 7L), (5L, "b", 7L))                   // constant -> null
+      .toDF("id", "g", "v")
+    val got = Relational.zscoreNormalize(df, "g", "id", "v")
+      .select("id", "zscore").as[(Long, Option[Double])].collect().toMap
+    assert(got(4L).isEmpty && got(5L).isEmpty)
+    val std = math.sqrt(200.0 / 3.0)
+    assert(math.abs(got(1L).get - (-10.0 / std)) < 1e-12)
+    assert(got(2L).get == 0.0)
+    assert(math.abs(got(3L).get - 10.0 / std) < 1e-12)
+  }
+
   test("equiWidthHistogram: constant column degenerates to one bucket") {
     val df = Seq(7.5, 7.5, 7.5).toDF("v")
     val got = Relational.equiWidthHistogram(df, "v", buckets = 20)
