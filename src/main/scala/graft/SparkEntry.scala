@@ -819,6 +819,30 @@ object SparkEntry {
       LlmOps.iqrOutliers(t(s, dir, "documents"), "lang", "doc_id", "n_chars")
         .orderBy("doc_id")),
 
+    "ref_integrity" -> ((s, dir) => {
+      // the post-load data contract: orphaned FKs (corruption) and
+      // childless dimension rows (coverage) for three relationships
+      val o = t(s, dir, "orders"); val c = t(s, dir, "customer")
+      Relational.refIntegrity(t(s, dir, "lineitem"), "l_orderkey",
+          o, "o_orderkey", "lineitem->orders")
+        .union(Relational.refIntegrity(o, "o_custkey",
+          c, "c_custkey", "orders->customer"))
+        .union(Relational.refIntegrity(t(s, dir, "events"), "user_id",
+          c, "c_custkey", "events->customer"))
+        .orderBy("relationship")
+    }),
+
+    "props_json_stats" -> ((s, dir) =>
+      // per-type stats over the JSON props payload: exact integer sum of
+      // the extracted field, one final division for the mean
+      t(s, dir, "events")
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("__k"))
+        .groupBy("event_type")
+        .agg(count(col("__k")).as("n"), sum(col("__k")).as("k_sum"),
+          (sum(col("__k")).cast("double") / count(col("__k"))).as("k_mean"))
+        .orderBy("event_type")),
+
     "quantile_bins" -> ((s, dir) =>
       // equi-depth profile: 10 near-equal-count bins over a (price, key)
       // total order — bin boundaries are exact order statistics
@@ -2268,6 +2292,43 @@ object SparkEntry {
            (n_chars < q1 - 1.5 * (q3 - q1)
               OR n_chars > q3 + 1.5 * (q3 - q1)) AS is_outlier
          FROM documents d JOIN f USING (lang) ORDER BY doc_id""",
+
+    "ref_integrity" ->
+      """WITH rel AS (
+           SELECT 'lineitem->orders' AS relationship,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem) AS n_child,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem l
+               WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) AS n_orphan_child,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM orders) AS n_parent,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM orders o
+               WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)) AS n_childless_parent
+           UNION ALL
+           SELECT 'orders->customer',
+             (SELECT COUNT(*) FROM orders),
+             (SELECT COUNT(*) FROM orders o
+               WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)),
+             (SELECT COUNT(*) FROM customer),
+             (SELECT COUNT(*) FROM customer c
+               WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey))
+           UNION ALL
+           SELECT 'events->customer',
+             (SELECT COUNT(*) FROM events),
+             (SELECT COUNT(*) FROM events e
+               WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = e.user_id)),
+             (SELECT COUNT(*) FROM customer),
+             (SELECT COUNT(*) FROM customer c
+               WHERE NOT EXISTS (SELECT 1 FROM events e WHERE e.user_id = c.c_custkey)))
+         SELECT * FROM rel ORDER BY relationship""",
+
+    "props_json_stats" ->
+      """WITH x AS (
+           SELECT event_type,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+           FROM events)
+         SELECT event_type, CAST(COUNT(k) AS BIGINT) AS n,
+           CAST(SUM(k) AS BIGINT) AS k_sum,
+           CAST(SUM(k) AS DOUBLE) / COUNT(k) AS k_mean
+         FROM x GROUP BY event_type ORDER BY event_type""",
 
     "quantile_bins" ->
       """WITH b AS (

@@ -382,6 +382,33 @@ object Relational {
           .as("zscore"))
   }
 
+  /** Referential-integrity audit for one declared relationship: orphaned
+    * children (FK with no parent — broken ingest) and childless parents
+    * (dimension rows no fact references — coverage, not corruption, but
+    * the number a data contract watches). One row out:
+    * (relationship, n_child, n_orphan_child, n_parent, n_childless_parent).
+    *
+    * Shape: two anti-joins (hash, null-aware not needed — keys are
+    * non-null FKs) that shuffle only the key columns, plus two counts.
+    * This is the warehouse data-quality gate run after every load; union
+    * the rows of several relationships into one audit table.
+    */
+  def refIntegrity(children: DataFrame, childKey: String,
+                   parents: DataFrame, parentKey: String,
+                   name: String): DataFrame = {
+    val c = children.select(col(childKey).as("__ck"))
+    val p = parents.select(col(parentKey).as("__pk"))
+    val nChild = c.agg(count(lit(1)).as("n_child"))
+    val nOrphan = c.join(p, col("__ck") === col("__pk"), "left_anti")
+      .agg(count(lit(1)).as("n_orphan_child"))
+    val nParent = p.agg(count(lit(1)).as("n_parent"))
+    val nChildless = p.join(c, col("__pk") === col("__ck"), "left_anti")
+      .agg(count(lit(1)).as("n_childless_parent"))
+    nChild.crossJoin(nOrphan).crossJoin(nParent).crossJoin(nChildless)
+      .select(lit(name).as("relationship"), col("n_child"),
+        col("n_orphan_child"), col("n_parent"), col("n_childless_parent"))
+  }
+
   /** Arbitrary GROUPING SETS aggregation — the general form that rollup
     * and cube are special cases of, for when the report wants exactly the
     * (a,b), (a), () levels and not cube's (b) level. Spark expands the

@@ -299,6 +299,15 @@ class RelationalSpec extends SparkTestBase {
     assert(got == Set((1L, Some("en"), 10L, None), (2L, None, 20L, Some("web"))))
   }
 
+  test("refIntegrity: detects orphaned children and childless parents") {
+    val children = Seq((1L, "a"), (2L, "a"), (99L, "b")).toDF("fk", "x")
+    val parents = Seq((1L, "p"), (2L, "q"), (3L, "r")).toDF("pk", "y")
+    val got = Relational.refIntegrity(children, "fk", parents, "pk", "t")
+      .as[(String, Long, Long, Long, Long)].collect().head
+    // fk=99 is orphaned; parent 3 has no children
+    assert(got == ("t", 3L, 1L, 3L, 1L))
+  }
+
   test("quantileBins: near-equal depths, ordered disjoint ranges") {
     val df = spark.range(100).select($"id".as("v"), $"id".as("k"))
     val got = Relational.quantileBins(df, "v", "k", bins = 8)
