@@ -148,4 +148,38 @@ class ScaleOpsSpec extends SparkTestBase {
       spark.sql("DROP TABLE IF EXISTS b_customer")
     }
   }
+
+  test("AQE splits a skewed join partition at runtime (OptimizeSkewedJoin)") {
+    // one hot key holding 95% of the left side: without skew handling its
+    // entire partition lands on ONE reducer — the thing that kills a
+    // 100 TB join. With thresholds scaled to the fixture, AQE's runtime
+    // re-plan must mark the SMJ as skew-handled (isSkew=true), proving
+    // the salted-join fallback is only needed where AQE CAN'T see
+    // (pre-shuffled inputs, stateful stages — see Relational.saltedJoin).
+    val restore = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.0")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8KB")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+    try {
+      val left = spark.range(200000).select(
+        when($"id" < 190000, lit(7L)).otherwise($"id").as("k"), $"id".as("v"))
+      val right = spark.range(2000).select($"id".as("k"), $"id".as("w"))
+      val joined = left.join(right, "k")
+      // collect() drives THIS df's queryExecution to its final adaptive
+      // plan (count() would re-plan on a fresh AdaptiveSparkPlan copy)
+      assert(joined.collect().length == 190000) // hot-key rows all match k=7
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("isSkew=true") || plan.contains("skew=true"),
+        s"AQE did not mark the join skew-handled:\n$plan")
+    } finally restore.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }
