@@ -28,6 +28,32 @@ object StreamingOps {
       .agg(count(lit(1)).as("cnt"))
   }
 
+  /** Live distribution-drift feed: windowed per-category counts joined
+    * (STREAM-STATIC, broadcast) against a static reference distribution —
+    * the streaming face of [[graft.ops.LlmOps.distributionDrift]],
+    * watching a feed drift away from the corpus it was planned against.
+    * Emits (window, category, cnt, p_ref); the per-window share and
+    * |p − p_ref| terms are one stateless projection downstream (chained
+    * streaming aggregations are unsupported, so the window total — and
+    * therefore the share — belongs to the consumer, typically the same
+    * foreachBatch that alerts on it; the spec computes it there).
+    *
+    * The reference side is a plain DataFrame: stream-static joins need no
+    * watermark on the static side and re-resolve it per micro-batch, so a
+    * slowly-refreshed reference table (e.g. re-read daily) just works.
+    */
+  def driftAgainstReference(df: DataFrame, tsCol: String, catCol: String,
+                            width: String, delay: String,
+                            ref: DataFrame, refCatCol: String,
+                            refShareCol: String): DataFrame = {
+    val counts = tumblingCounts(df, tsCol, width, delay, catCol)
+    counts
+      .join(broadcast(ref.select(col(refCatCol).as(catCol),
+        col(refShareCol).as("p_ref"))), Seq(catCol), "left")
+      .select(col("window"), col(catCol), col("cnt"),
+        coalesce(col("p_ref"), lit(0.0)).as("p_ref"))
+  }
+
   /** Gap sessionization with `session_window` — the engine's streaming
     * sessionizer. State per (key, open session), closed by the watermark.
     * Batch Temporal.sessionize is the oracle-checkable equivalent.

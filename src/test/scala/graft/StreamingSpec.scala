@@ -319,6 +319,32 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("stream-static drift feed: reference broadcast joins windowed counts") {
+    val input = MemoryStream[(Timestamp, String)]
+    input.addData(
+      (ts("2024-01-01 01:00:00"), "click"), (ts("2024-01-01 02:00:00"), "click"),
+      (ts("2024-01-01 03:00:00"), "view"),
+      (ts("2024-01-01 04:00:00"), "scroll")) // absent from the reference
+    val ref = Seq(("click", 0.5), ("view", 0.5)).toDF("cat", "share")
+    val stream = StreamingOps.driftAgainstReference(
+      input.toDF().toDF("ts", "event_type"), "ts", "event_type",
+      "1 day", "1 hour", ref, "cat", "share")
+    runToCompletion(
+      stream.select(date_format($"window.start", "yyyy-MM-dd").as("day"),
+        $"event_type", $"cnt", $"p_ref"),
+      "drift_out", "complete")
+    val rows = spark.table("drift_out")
+      .as[(String, String, Long, Double)].collect().toSet
+    assert(rows == Set(
+      ("2024-01-01", "click", 2L, 0.5),
+      ("2024-01-01", "view", 1L, 0.5),
+      ("2024-01-01", "scroll", 1L, 0.0))) // unseen category -> p_ref 0
+    // consumer-side drift terms (the documented contract): share - p_ref
+    val total = rows.toSeq.map(_._3).sum.toDouble
+    val drift = rows.map(r => r._2 -> math.abs(r._3 / total - r._4)).toMap
+    assert(math.abs(drift("scroll") - 0.25) < 1e-12)
+  }
+
   test("streaming event paths: trigrams across batch boundaries match the batch window") {
     import StreamingOps.TypedEvent
     val events = Seq(
