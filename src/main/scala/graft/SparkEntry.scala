@@ -819,6 +819,18 @@ object SparkEntry {
       LlmOps.iqrOutliers(t(s, dir, "documents"), "lang", "doc_id", "n_chars")
         .orderBy("doc_id")),
 
+    "dataset_split" -> ((s, dir) =>
+      // reproducible train/val/test + CV fold from one portable hash —
+      // no RNG, no shuffle, stable under any cluster layout
+      LlmOps.datasetSplit(t(s, dir, "documents"), "doc_id")
+        .orderBy("doc_id")),
+
+    "mad_by_group" -> ((s, dir) =>
+      // robust scale per language: median + median-absolute-deviation of
+      // doc length (two exact percentile passes, broadcast between)
+      Relational.madByGroup(t(s, dir, "documents"), "lang", "n_chars")
+        .orderBy("lang")),
+
     "ref_integrity" -> ((s, dir) => {
       // the post-load data contract: orphaned FKs (corruption) and
       // childless dimension rows (coverage) for three relationships
@@ -2292,6 +2304,25 @@ object SparkEntry {
            (n_chars < q1 - 1.5 * (q3 - q1)
               OR n_chars > q3 + 1.5 * (q3 - q1)) AS is_outlier
          FROM documents d JOIN f USING (lang) ORDER BY doc_id""",
+
+    "dataset_split" ->
+      """SELECT doc_id,
+           CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT
+                     / 281474976710656.0 < 0.8 THEN 'train'
+                WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT
+                     / 281474976710656.0 < 0.9 THEN 'val'
+                ELSE 'test' END AS split,
+           ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 13, 12))::BIGINT % 5 AS cv_fold
+         FROM documents ORDER BY doc_id""",
+
+    "mad_by_group" ->
+      """WITH med AS (
+           SELECT lang, quantile_cont(n_chars, 0.5) AS median
+           FROM documents GROUP BY lang)
+         SELECT d.lang, median,
+           quantile_cont(abs(CAST(n_chars AS DOUBLE) - median), 0.5) AS mad
+         FROM documents d JOIN med USING (lang)
+         GROUP BY d.lang, median ORDER BY d.lang""",
 
     "ref_integrity" ->
       """WITH rel AS (

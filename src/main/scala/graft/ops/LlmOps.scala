@@ -1546,6 +1546,29 @@ object LlmOps {
       .filter(col("dist") <= maxDist)
   }
 
+  /** Deterministic train/val/test assignment + cross-validation fold from
+    * ONE portable hash per row: frac = md5-48(id)/2^48 thresholds the
+    * split (exactly the [[mixtureApply]] keep rule), and an independent
+    * second 48-bit cut of the same digest numbers the fold — so the
+    * split is reproducible across runs, engines and cluster layouts,
+    * stable under re-partitioning, and stratification-free by
+    * construction (hash independent of every attribute). No RNG, no
+    * shuffle: a pure map-side projection any 100 TB scan absorbs.
+    */
+  def datasetSplit(df: DataFrame, idCol: String,
+                   trainFrac: Double = 0.8, valFrac: Double = 0.1,
+                   folds: Int = 5): DataFrame = {
+    require(trainFrac > 0 && valFrac >= 0 && trainFrac + valFrac < 1 && folds > 0)
+    val frac = md5Hash48(col(idCol).cast("string"), 1).cast("double") /
+      lit(281474976710656.0)
+    df.select(col(idCol),
+      when(frac < trainFrac, "train")
+        .when(frac < trainFrac + valFrac, "val")
+        .otherwise("test").as("split"),
+      pmod(md5Hash48(col(idCol).cast("string"), 13), lit(folds.toLong))
+        .as("cv_fold"))
+  }
+
   /** Canonical text normalization — the pass every hash-keyed dedup and
     * fingerprint stage assumes upstream: control chars → spaces, runs of
     * whitespace collapsed, edges trimmed, lowercased. Emits the

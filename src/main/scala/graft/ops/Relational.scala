@@ -409,6 +409,26 @@ object Relational {
         col("n_orphan_child"), col("n_parent"), col("n_childless_parent"))
   }
 
+  /** Median absolute deviation per group — the robust scale statistic
+    * (immune to the outliers that inflate a stddev) quality monitors
+    * prefer for fence-setting on heavy-tailed metrics. Two exact
+    * percentile passes: the per-group median (tiny aggregate, broadcast
+    * back), then the median of |x − median|. Same exact-interpolation
+    * determinism as `percentile_by_group`; same bounded-group caveat as
+    * [[graft.ops.LlmOps.iqrOutliers]] (exact percentiles buffer per
+    * group — unbounded group cardinality swaps in the sketch path).
+    */
+  def madByGroup(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val med = df.groupBy(groupCol)
+      .agg(percentile(col(valueCol), lit(0.5)).as("median"))
+    df.select(col(groupCol), col(valueCol))
+      .join(broadcast(med), Seq(groupCol))
+      .groupBy(groupCol, "median")
+      .agg(percentile(abs(col(valueCol).cast("double") - col("median")), lit(0.5))
+        .as("mad"))
+      .select(col(groupCol), col("median"), col("mad"))
+  }
+
   /** Arbitrary GROUPING SETS aggregation — the general form that rollup
     * and cube are special cases of, for when the report wants exactly the
     * (a,b), (a), () levels and not cube's (b) level. Spark expands the

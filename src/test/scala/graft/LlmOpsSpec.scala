@@ -753,6 +753,23 @@ class LlmOpsSpec extends SparkTestBase {
     assert(got == Seq(("ab", 3L), ("bc", 1L)))
   }
 
+  test("datasetSplit: reproducible, exhaustive, fractions hold, folds in range") {
+    val df = spark.range(10000).select($"id")
+    val s1 = LlmOps.datasetSplit(df, "id").as[(Long, String, Long)].collect()
+    val s2 = LlmOps.datasetSplit(df.repartition(7), "id")
+      .as[(Long, String, Long)].collect()
+    assert(s1.toSet == s2.toSet) // layout-independent
+    assert(s1.length == 10000)   // every row assigned exactly once
+    val bySplit = s1.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(bySplit("train") > 7700 && bySplit("train") < 8300, s"$bySplit")
+    assert(bySplit("val") > 800 && bySplit("val") < 1200, s"$bySplit")
+    assert(bySplit("test") > 800 && bySplit("test") < 1200, s"$bySplit")
+    assert(s1.map(_._3).toSet == Set(0L, 1L, 2L, 3L, 4L))
+    // fold and split derive from independent hash cuts: every fold
+    // appears inside every split (no accidental correlation)
+    assert(s1.groupBy(_._2).forall(_._2.map(_._3).toSet.size == 5))
+  }
+
   test("fuzzyPairs: blocked edit-distance pairs over the distinct vocabulary") {
     val df = Seq("red bolt", "ted bolt", "red bolt", "blue bolt", "red ring")
       .toDF("nm") // duplicate "red bolt" must not duplicate pairs

@@ -299,6 +299,16 @@ class RelationalSpec extends SparkTestBase {
     assert(got == Set((1L, Some("en"), 10L, None), (2L, None, 20L, Some("web"))))
   }
 
+  test("madByGroup: robust to the outlier that wrecks a stddev") {
+    val df = ((1L to 9L).map(v => ("a", v)) :+ ("a", 1000L)).toDF("g", "v")
+    val got = Relational.madByGroup(df, "g", "v")
+      .as[(String, Double, Double)].collect().head
+    // 10 sorted values 1..9,1000: median = (5+6)/2 = 5.5
+    assert(got._2 == 5.5)
+    // |x - 5.5| sorted: .5 .5 1.5 1.5 2.5 2.5 3.5 3.5 4.5 994.5 -> median 2.5
+    assert(got._3 == 2.5) // the outlier moved MAD not at all
+  }
+
   test("refIntegrity: detects orphaned children and childless parents") {
     val children = Seq((1L, "a"), (2L, "a"), (99L, "b")).toDF("fk", "x")
     val parents = Seq((1L, "p"), (2L, "q"), (3L, "r")).toDF("pk", "y")
