@@ -855,6 +855,39 @@ object SparkEntry {
           (sum(col("__k")).cast("double") / count(col("__k"))).as("k_mean"))
         .orderBy("event_type")),
 
+    "heatmap_counts" -> ((s, dir) => {
+      // 2D profile: order month × global price decile — the BI heatmap;
+      // same broadcast-global bucketing arithmetic as value_histogram
+      val o = t(s, dir, "orders")
+      val mm = o.agg(min(col("o_totalprice")).cast("double").as("__vmin"),
+        max(col("o_totalprice")).cast("double").as("__vmax"))
+      o.crossJoin(broadcast(mm))
+        .select(date_format(col("o_orderdate"), "yyyy-MM").as("month"),
+          least(floor((col("o_totalprice") - col("__vmin")) * 10 /
+            (col("__vmax") - col("__vmin"))).cast("long"), lit(9L)).as("price_decile"))
+        .groupBy("month", "price_decile")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("month", "price_decile")
+    }),
+
+    "wow_change" -> ((s, dir) => {
+      // period-over-period report: weekly event volume with lag and an
+      // exact-int delta; pct_change is one final division
+      val week = floor(datediff(to_date(col("ts")), to_date(lit("2024-01-01")))
+        .cast("double") / 7).cast("long")
+      val weekly = t(s, dir, "events")
+        .select(week.as("week"))
+        .groupBy("week").agg(count(lit(1)).as("cnt"))
+      val w = Window.orderBy(col("week"))
+      weekly
+        .select(col("week"), col("cnt"),
+          lag(col("cnt"), 1).over(w).as("prev_cnt"))
+        .select(col("week"), col("cnt"), col("prev_cnt"),
+          ((col("cnt") - col("prev_cnt")).cast("double") / col("prev_cnt"))
+            .as("pct_change"))
+        .orderBy("week")
+    }),
+
     "quantile_bins" -> ((s, dir) =>
       // equi-depth profile: 10 near-equal-count bins over a (price, key)
       // total order — bin boundaries are exact order statistics
@@ -2360,6 +2393,31 @@ object SparkEntry {
            CAST(SUM(k) AS BIGINT) AS k_sum,
            CAST(SUM(k) AS DOUBLE) / COUNT(k) AS k_mean
          FROM x GROUP BY event_type ORDER BY event_type""",
+
+    "heatmap_counts" ->
+      """WITH mm AS (SELECT CAST(MIN(o_totalprice) AS DOUBLE) AS vmin,
+                            CAST(MAX(o_totalprice) AS DOUBLE) AS vmax
+                     FROM orders)
+         SELECT strftime(o_orderdate, '%Y-%m') AS month,
+           LEAST(CAST(FLOOR((o_totalprice - vmin) * 10 / (vmax - vmin)) AS BIGINT),
+                 9) AS price_decile,
+           CAST(COUNT(*) AS BIGINT) AS n
+         FROM orders, mm
+         GROUP BY month, price_decile ORDER BY month, price_decile""",
+
+    "wow_change" ->
+      """WITH wk AS (
+           SELECT CAST(FLOOR(CAST(date_diff('day', DATE '2024-01-01',
+                    CAST(ts AS DATE)) AS DOUBLE) / 7) AS BIGINT) AS week
+           FROM events),
+         weekly AS (
+           SELECT week, CAST(COUNT(*) AS BIGINT) AS cnt FROM wk GROUP BY week),
+         lagged AS (
+           SELECT week, cnt, lag(cnt) OVER (ORDER BY week) AS prev_cnt
+           FROM weekly)
+         SELECT week, cnt, prev_cnt,
+           CAST(cnt - prev_cnt AS DOUBLE) / prev_cnt AS pct_change
+         FROM lagged ORDER BY week""",
 
     "quantile_bins" ->
       """WITH b AS (
