@@ -393,6 +393,29 @@ class PlanSpec extends SparkTestBase {
     assert(!finalPlan.contains("SortMergeJoin"), finalPlan)
   }
 
+  test("gap_fill_daily: spine and fill co-partition — no cartesian, no nested loop") {
+    val p = planOf("gap_fill_daily")
+    val finalPlan = p.split("== Initial Plan ==").head
+    assert(!finalPlan.contains("CartesianProduct") &&
+      !finalPlan.contains("BroadcastNestedLoopJoin"), finalPlan)
+  }
+
+  test("heavy_hitters: one-row sketch broadcast; exact side keeps partials") {
+    val p = planOf("heavy_hitters")
+    val finalPlan = p.split("== Initial Plan ==").head
+    assert(finalPlan.contains("BroadcastNestedLoopJoin") ||
+      finalPlan.contains("BroadcastExchange"), finalPlan)
+    assert(finalPlan.split("HashAggregate").length - 1 >= 2, finalPlan)
+  }
+
+  test("dataset_split: pure map-side assignment — no join, no aggregation exchange") {
+    val p = planOf("dataset_split")
+    val finalPlan = p.split("== Initial Plan ==").head
+    assert(!finalPlan.contains("Join"), finalPlan)
+    assert(!finalPlan.contains("hashpartitioning"),
+      s"split assignment must not shuffle (only the output sort may):\n$finalPlan")
+  }
+
   test("mixture_apply: rate table broadcasts; corpus side never shuffles") {
     val p = planOf("mixture_apply")
     val finalPlan = p.split("== Initial Plan ==").head
