@@ -819,6 +819,36 @@ object SparkEntry {
       LlmOps.iqrOutliers(t(s, dir, "documents"), "lang", "doc_id", "n_chars")
         .orderBy("doc_id")),
 
+    "split_balance" -> ((s, dir) => {
+      // stratification audit: each split's language share vs the corpus
+      // share — the hash split claims attribute independence; this query
+      // MEASURES it (|share - corpus_share| per cell)
+      val withSplit = LlmOps.datasetSplit(t(s, dir, "documents"), "doc_id")
+        .join(t(s, dir, "documents").select("doc_id", "lang"), "doc_id")
+      val bySplit = withSplit.groupBy("split", "lang").agg(count(lit(1)).as("n"))
+      val splitTot = withSplit.groupBy("split").agg(count(lit(1)).as("__st"))
+      val corpus = t(s, dir, "documents").groupBy("lang")
+        .agg(count(lit(1)).as("__cn"))
+      val corpusTot = t(s, dir, "documents").agg(count(lit(1)).as("__ct"))
+      bySplit.join(broadcast(splitTot), "split")
+        .join(broadcast(corpus), "lang")
+        .crossJoin(broadcast(corpusTot))
+        .select(col("split"), col("lang"), col("n"),
+          (col("n").cast("double") / col("__st")).as("share"),
+          abs(col("n").cast("double") / col("__st") -
+            col("__cn").cast("double") / col("__ct")).as("share_drift"))
+        .orderBy("split", "lang")
+    }),
+
+    "split_leakage" -> ((s, dir) =>
+      // train/test leakage: near-dup pairs straddling splits — each row
+      // is a test doc whose near-copy the model would train on. The raw
+      // corpus is split WITHOUT dedup first, so leakage rows exist here
+      // by construction; a production pipeline asserts this empty
+      LlmOps.splitLeakage(t(s, dir, "documents"), "doc_id", "text",
+          maxBucketSize = 10000)
+        .orderBy("id_a", "id_b")),
+
     "dataset_split" -> ((s, dir) =>
       // reproducible train/val/test + CV fold from one portable hash —
       // no RNG, no shuffle, stable under any cluster layout
@@ -2337,6 +2367,80 @@ object SparkEntry {
            (n_chars < q1 - 1.5 * (q3 - q1)
               OR n_chars > q3 + 1.5 * (q3 - q1)) AS is_outlier
          FROM documents d JOIN f USING (lang) ORDER BY doc_id""",
+
+    "split_balance" ->
+      """WITH sp AS (
+           SELECT doc_id, lang,
+             CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT
+                       / 281474976710656.0 < 0.8 THEN 'train'
+                  WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT
+                       / 281474976710656.0 < 0.9 THEN 'val'
+                  ELSE 'test' END AS split
+           FROM documents),
+         bys AS (SELECT split, lang, CAST(COUNT(*) AS BIGINT) AS n
+                 FROM sp GROUP BY split, lang),
+         st AS (SELECT split, CAST(COUNT(*) AS BIGINT) AS stt FROM sp GROUP BY split),
+         co AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS cn FROM documents GROUP BY lang),
+         ct AS (SELECT CAST(COUNT(*) AS BIGINT) AS ctt FROM documents)
+         SELECT split, bys.lang, n,
+           CAST(n AS DOUBLE) / stt AS share,
+           abs(CAST(n AS DOUBLE) / stt - CAST(cn AS DOUBLE) / ctt) AS share_drift
+         FROM bys JOIN st USING (split) JOIN co ON bys.lang = co.lang, ct
+         ORDER BY split, bys.lang""",
+
+    // same banded pair chain as dedup_near + the dataset_split CASE;
+    // leakage = threshold pairs whose endpoints land in different splits
+    "split_leakage" ->
+      """WITH d AS (
+           SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(string_split_regex(lower(trim(text)), '\s+')) - 3, 0) + 2),
+               i -> array_to_string(list_slice(string_split_regex(lower(trim(text)), '\s+'), i, i + 2), ' '))) AS sh
+           FROM documents),
+         hp AS (
+           SELECT doc_id,
+             list_transform(sh, s -> ('0x' || substr(md5(s), 1, 12))::BIGINT) AS h1s,
+             list_transform(sh, s -> ('0x' || substr(md5(s), 13, 12))::BIGINT) AS h2s
+           FROM d WHERE len(sh) > 0),
+         sg AS (
+           SELECT doc_id,
+             list_distinct(h1s) AS shset,
+             list_transform(range(0, 16), j ->
+               list_min(list_transform(range(1, len(h1s) + 1), x -> h1s[x] + j * h2s[x]))) AS sig
+           FROM hp),
+         bands AS (
+           SELECT doc_id, t.b AS band,
+             md5(array_to_string(list_slice(sig, t.b * 4 + 1, t.b * 4 + 4), ',')) AS bh
+           FROM sg, range(0, 4) t(b)),
+         ok AS (
+           SELECT band, bh FROM bands GROUP BY band, bh
+           HAVING COUNT(*) BETWEEN 2 AND 10000),
+         cap AS (SELECT bands.* FROM bands JOIN ok USING (band, bh)),
+         cand AS (
+           SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+           FROM cap a JOIN cap c
+             ON a.band = c.band AND a.bh = c.bh AND a.doc_id < c.doc_id),
+         jac AS (
+           SELECT id_a, id_b,
+             CAST(len(list_intersect(x.shset, y.shset)) AS DOUBLE)
+               / len(list_distinct(list_concat(x.shset, y.shset))) AS jaccard
+           FROM cand
+           JOIN sg x ON cand.id_a = x.doc_id
+           JOIN sg y ON cand.id_b = y.doc_id),
+         sp AS (
+           SELECT doc_id,
+             CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT
+                       / 281474976710656.0 < 0.8 THEN 'train'
+                  WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT
+                       / 281474976710656.0 < 0.9 THEN 'val'
+                  ELSE 'test' END AS split
+           FROM documents)
+         SELECT jac.id_a, jac.id_b, a.split AS split_a, b.split AS split_b
+         FROM jac
+         JOIN sp a ON jac.id_a = a.doc_id
+         JOIN sp b ON jac.id_b = b.doc_id
+         WHERE jac.jaccard >= 0.7 AND a.split <> b.split
+         ORDER BY id_a, id_b""",
 
     "dataset_split" ->
       """SELECT doc_id,

@@ -1569,6 +1569,34 @@ object LlmOps {
         .as("cv_fold"))
   }
 
+  /** Train/test near-duplicate LEAKAGE audit: near-dup pairs (the same
+    * banded MinHash-LSH path production dedup uses) whose endpoints fall
+    * in DIFFERENT splits of [[datasetSplit]] — each one is a test
+    * document whose near-copy the model trains on, silently inflating
+    * eval. Run after splitting, before shipping shards; a clean corpus
+    * (dedup BEFORE split) returns zero rows, which is exactly the
+    * invariant this query lets a pipeline assert.
+    *
+    * Scale shape: pair generation is the bounded banded path; the split
+    * map is a pure hash projection joined once per endpoint (AQE
+    * broadcasts the pair side — candidate pairs are orders of magnitude
+    * fewer than docs).
+    */
+  def splitLeakage(df: DataFrame, idCol: String, textCol: String,
+                   trainFrac: Double = 0.8, valFrac: Double = 0.1,
+                   threshold: Double = 0.7,
+                   maxBucketSize: Int = 1 << 20): DataFrame = {
+    val pairs = nearDupPairs(df, idCol, textCol, threshold = threshold,
+      maxBucketSize = maxBucketSize)
+    val splits = datasetSplit(df, idCol, trainFrac, valFrac)
+      .select(col(idCol), col("split"))
+    pairs.select(col("id_a"), col("id_b"))
+      .join(splits.select(col(idCol).as("id_a"), col("split").as("split_a")), "id_a")
+      .join(splits.select(col(idCol).as("id_b"), col("split").as("split_b")), "id_b")
+      .filter(col("split_a") =!= col("split_b"))
+      .select(col("id_a"), col("id_b"), col("split_a"), col("split_b"))
+  }
+
   /** Canonical text normalization — the pass every hash-keyed dedup and
     * fingerprint stage assumes upstream: control chars → spaces, runs of
     * whitespace collapsed, edges trimmed, lowercased. Emits the
