@@ -199,6 +199,33 @@ class GraphSpec extends SparkTestBase {
     assert(pr == Map(1L -> 1000000000L, 2L -> 1000000000L, 3L -> 1000000000L))
   }
 
+  test("property: pageRank matches a driver-side integer reference on random graphs") {
+    val rnd = new scala.util.Random(7)
+    (1 to 5).foreach { trial =>
+      val n = 3 + rnd.nextInt(15)
+      val edges = Seq.fill(5 + rnd.nextInt(40))(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      if (edges.nonEmpty) {
+        val iters = 1 + rnd.nextInt(4)
+        val got = Graph.pageRank(edges.toDF("src", "dst"), "src", "dst", iters)
+          .as[(Long, Long)].collect().toMap
+        // reference: the same recurrence in plain Scala Long arithmetic
+        val dedup = edges.distinct
+        val nodes = dedup.flatMap(e => Seq(e._1, e._2)).distinct
+        val outdeg = dedup.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+        val scale = 1000000000L
+        var pr = nodes.map(_ -> scale).toMap
+        (1 to iters).foreach { _ =>
+          val in = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+          dedup.foreach { case (u, v) => in(v) += pr(u) / outdeg(u) }
+          pr = nodes.map(x => x -> ((15L * scale) / 100L + (85L * in(x)) / 100L)).toMap
+        }
+        assert(got == pr, s"trial $trial (n=$n, iters=$iters): $got != $pr")
+      }
+    }
+  }
+
   test("pageRank: duplicate edges collapse; hub outranks leaves") {
     // leaves 2,3,4 all point at hub 1 (edge 2→1 duplicated — must count
     // once in outdeg); hub points back at 2 only

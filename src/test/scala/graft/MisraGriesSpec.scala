@@ -59,6 +59,19 @@ class MisraGriesSpec extends SparkTestBase {
     }
   }
 
+  test("serialize/deserialize round-trips any buffer, including unicode keys") {
+    import graft.functions.MisraGries
+    import org.apache.spark.sql.catalyst.expressions.{BoundReference, Literal}
+    import org.apache.spark.sql.types.{IntegerType, StringType}
+    val agg = MisraGries(BoundReference(0, StringType, nullable = true),
+      Literal(4, IntegerType))
+    val buf = scala.collection.mutable.HashMap(
+      "plain" -> 3L, "ünïcødé → ✓" -> 7L, "" -> 1L)
+    assert(agg.deserialize(agg.serialize(buf)) == buf)
+    val empty = scala.collection.mutable.HashMap.empty[String, Long]
+    assert(agg.deserialize(agg.serialize(empty)).isEmpty)
+  }
+
   test("nulls are skipped, not counted") {
     val df = Seq(Some("a"), None, Some("a"), None).toDF("term")
     val sk = df.agg(expr("misra_gries(term, 4)")).as[Map[String, Long]].head()
