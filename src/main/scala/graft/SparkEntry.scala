@@ -523,6 +523,17 @@ object SparkEntry {
         .orderBy("query_id")
     }),
 
+    "hard_negatives" -> ((s, dir) => {
+      // contrastive-training data prep: for each anchor (vec_id < 8), the
+      // 3 cosine-nearest OTHER-label corpus vectors — label filter applied
+      // before scoring, per-query top-k plans as WindowGroupLimit (audited)
+      val emb = t(s, dir, "embeddings")
+      VectorOps.hardNegatives(emb.filter(col("vec_id") >= 8),
+          emb.filter(col("vec_id") < 8), "vec_id", "embedding", "label", k = 3)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    }),
+
     "range_join_pairs" -> ((s, dir) =>
       graft.ops.AsOfJoin.rangeJoinPairs(t(s, dir, "events"), "event_id", "ts",
           bandSeconds = 30)
@@ -1725,6 +1736,32 @@ object SparkEntry {
                ORDER BY votes DESC, label) AS r2
            FROM v)
          WHERE r2 = 1 ORDER BY query_id""",
+
+    "hard_negatives" ->
+      """WITH q AS (SELECT vec_id AS query_id, label AS qlab, embedding AS qv
+                    FROM embeddings WHERE vec_id < 8),
+         c AS (SELECT * FROM embeddings WHERE vec_id >= 8),
+         s AS (
+           SELECT q.query_id, c.vec_id AS neg_id, c.label AS neg_label,
+             list_reduce(list_transform(range(1, len(c.embedding)+1),
+               i -> CAST(c.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)), (x, y) -> x + y) AS dot,
+             list_reduce(list_transform(range(1, len(c.embedding)+1),
+               i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)), (x, y) -> x + y) AS na,
+             list_reduce(list_transform(range(1, len(q.qv)+1),
+               i -> CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)), (x, y) -> x + y) AS nb
+           FROM c, q WHERE c.label <> q.qlab),
+         sc AS (
+           SELECT query_id, neg_id, neg_label,
+             CASE WHEN na = 0 OR nb = 0 THEN 0.0
+                  ELSE dot / (sqrt(na) * sqrt(nb)) END AS score
+           FROM s),
+         r AS (
+           SELECT query_id, neg_id, neg_label, score,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY score DESC, neg_id) AS rn
+           FROM sc)
+         SELECT query_id, CAST(rn AS BIGINT) AS rank, neg_id, neg_label, score
+         FROM r WHERE rn <= 3 ORDER BY query_id, rank""",
 
     "range_join_pairs" ->
       """SELECT a.event_id AS id_a, b.event_id AS id_b

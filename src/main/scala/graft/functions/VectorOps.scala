@@ -180,6 +180,38 @@ object VectorOps {
         col("__votes").as("votes"))
   }
 
+  /** Hard-negative mining for contrastive training: for each query vector,
+    * the k cosine-nearest corpus vectors with a DIFFERENT label — the
+    * "confusable but wrong" examples a retrieval/embedding trainer pairs
+    * against each anchor (the standard in-batch-negatives upgrade). Rank
+    * ties break to the smaller neighbor id. Emits
+    * (query_id, rank, neg_id, neg_label, score).
+    *
+    * Scale shape: identical to [[knnClassify]] — queries broadcast (small
+    * by construction: anchors are a sampled subset), scoring is map-side
+    * over the corpus scan with the label filter applied BEFORE scoring,
+    * and the per-query top-k plans as WindowGroupLimit (plan-audited), so
+    * the rank exchange moves ≤ k·partitions candidates per query — the
+    * scored corpus never shuffles.
+    */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, idCol: String,
+                    embCol: String, labelCol: String, k: Int = 3): DataFrame = {
+    val spark = corpus.sparkSession
+    val q = queries.select(col(idCol).as("query_id"),
+      col(labelCol).as("__qlab"), col(embCol).as("__qv"))
+    val byScore = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neg_id").asc)
+    corpus.crossJoin(broadcast(q))
+      .filter(col(labelCol) =!= col("__qlab"))
+      .select(col("query_id"), col(idCol).as("neg_id"),
+        col(labelCol).as("neg_label"),
+        cosineBest(spark, col(embCol), col("__qv")).as("score"))
+      .withColumn("rank", row_number().over(byScore))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neg_id"),
+        col("neg_label"), col("score"))
+  }
+
   /** Embedding-cosine near-duplicate pairs within a blocking key (SURVEY.md
     * §2.12 dedup family): candidate pairs are generated only inside blocks
     * (label, cluster id, LSH bucket, …), never via an unblocked cross

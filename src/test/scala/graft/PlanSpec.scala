@@ -369,6 +369,16 @@ class PlanSpec extends SparkTestBase {
       finalPlan.contains("BroadcastExchange"), finalPlan)
   }
 
+  test("hard_negatives: label filter pre-scoring, top-k group-limits before the shuffle") {
+    val p = planOf("hard_negatives")
+    val finalPlan = p.split("== Initial Plan ==").head
+    assert(finalPlan.contains("WindowGroupLimit"),
+      s"rank<=k must plan as WindowGroupLimit (partial top-k per partition):\n$finalPlan")
+    assert(finalPlan.contains("BroadcastNestedLoopJoin") ||
+      finalPlan.contains("BroadcastExchange"),
+      s"anchors must broadcast — the corpus never shuffles for scoring:\n$finalPlan")
+  }
+
   test("scd2_lookup: key equi-join with interval residual — no cartesian") {
     val p = planOf("scd2_lookup")
     val finalPlan = p.split("== Initial Plan ==").head

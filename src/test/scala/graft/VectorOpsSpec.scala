@@ -186,4 +186,28 @@ class VectorOpsSpec extends SparkTestBase {
       .as[(Long, Int, Long)].collect().head
     assert(tie._2 == 0 && tie._3 == 2L)
   }
+
+  test("hardNegatives: nearest other-label vectors, own label excluded, rank ties to smaller id") {
+    val corpus = Seq(
+      (10L, 0, Seq(1.0f, 0.0f)),  // same label as query 1 — must be excluded
+      (11L, 1, Seq(0.9f, 0.1f)),  // nearest wrong-label
+      (12L, 1, Seq(0.8f, 0.2f)),
+      (13L, 2, Seq(0.0f, 1.0f)))  // far wrong-label
+      .toDF("vec_id", "label", "embedding")
+    val queries = Seq((1L, 0, Seq(1.0f, 0.0f))).toDF("vec_id", "label", "embedding")
+    val got = VectorOps.hardNegatives(corpus, queries, "vec_id", "embedding",
+        "label", k = 2)
+      .as[(Long, Int, Long, Int, Double)].collect().sortBy(_._2)
+    assert(got.map(_._3).toSeq == Seq(11L, 12L))     // own-label 10 excluded
+    assert(got.map(_._2).toSeq == Seq(1, 2))          // dense ranks
+    assert(got(0)._5 > got(1)._5)                     // scores descend
+    // identical scores: rank tie breaks to the smaller neighbor id
+    val dup = Seq(
+      (20L, 1, Seq(1.0f, 0.0f)), (21L, 1, Seq(1.0f, 0.0f)))
+      .toDF("vec_id", "label", "embedding")
+    val tied = VectorOps.hardNegatives(dup, queries, "vec_id", "embedding",
+        "label", k = 2)
+      .as[(Long, Int, Long, Int, Double)].collect().sortBy(_._2)
+    assert(tied.map(r => (r._2, r._3)).toSeq == Seq((1, 20L), (2, 21L)))
+  }
 }
