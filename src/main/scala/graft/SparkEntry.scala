@@ -534,6 +534,23 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    "bm25_topk" -> ((s, dir) => {
+      // lexical retrieval for RAG / hard-negative mining: BM25 top-5 docs
+      // per query over a 3-query workload; query terms broadcast and prune
+      // the postings before any join, per-query top-k plans as
+      // WindowGroupLimit
+      import s.implicits._
+      val q = Seq(
+        ("q1", "spark"), ("q1", "join"), ("q1", "fast"),
+        ("q2", "table"), ("q2", "scan"), ("q2", "window"),
+        ("q3", "dup"), ("q3", "vector"), ("q3", "merge"))
+        .toDF("query_id", "term")
+      val out = LlmOps.bm25TopK(t(s, dir, "documents"), "doc_id", "text",
+          q, k = 5)
+        .orderBy("query_id", "rank")
+      out
+    }),
+
     "range_join_pairs" -> ((s, dir) =>
       graft.ops.AsOfJoin.rangeJoinPairs(t(s, dir, "events"), "event_id", "ts",
           bandSeconds = 30)
@@ -1762,6 +1779,52 @@ object SparkEntry {
            FROM sc)
          SELECT query_id, CAST(rn AS BIGINT) AS rank, neg_id, neg_label, score
          FROM r WHERE rn <= 3 ORDER BY query_id, rank""",
+
+    // BM25 replay: postings -> doc length / corpus globals -> query-term
+    // prune -> df -> per-term contribution -> ascending-term sequential
+    // fold (list_reduce over list(.. ORDER BY term) = Spark's sort_array
+    // + aggregate fold; 0.0 + x == x bitwise for the positive contribs).
+    // Constants 1.25/0.75/0.25/2.25/0.5 are exact binary fractions and the
+    // surrogate idf is log-free, so scores hash bitwise.
+    "bm25_topk" ->
+      """WITH q(query_id, term) AS (VALUES
+           ('q1', 'spark'), ('q1', 'join'), ('q1', 'fast'),
+           ('q2', 'table'), ('q2', 'scan'), ('q2', 'window'),
+           ('q3', 'dup'), ('q3', 'vector'), ('q3', 'merge')),
+         tf AS (
+           SELECT doc_id, token AS term, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM (SELECT doc_id,
+                   unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+                 FROM documents)
+           WHERE token <> '' GROUP BY doc_id, token),
+         dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl
+                FROM tf GROUP BY doc_id),
+         g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                      CAST(SUM(dl) AS BIGINT) AS tot FROM dl),
+         tfq AS (SELECT tf.* FROM tf
+                 JOIN (SELECT DISTINCT term FROM q) qt USING (term)),
+         dfq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+                 FROM tfq GROUP BY term),
+         contrib AS (
+           SELECT tfq.term, tfq.doc_id,
+             ((CAST(g.n AS DOUBLE) - CAST(dfq.df AS DOUBLE) + 0.5)
+               / (CAST(dfq.df AS DOUBLE) + 0.5))
+             * ((CAST(tfq.tf AS DOUBLE) * 2.25)
+               / (CAST(tfq.tf AS DOUBLE)
+                  + 1.25 * (0.25 + 0.75 * (CAST(dl.dl AS DOUBLE)
+                      / (CAST(g.tot AS DOUBLE) / CAST(g.n AS DOUBLE)))))) AS c
+           FROM tfq JOIN dl USING (doc_id) JOIN dfq USING (term)
+           CROSS JOIN g),
+         scored AS (
+           SELECT q.query_id, contrib.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_terms,
+             list_reduce(list(c ORDER BY contrib.term), (x, y) -> x + y) AS score
+           FROM contrib JOIN q USING (term)
+           GROUP BY q.query_id, contrib.doc_id)
+         SELECT query_id, CAST(rn AS BIGINT) AS rank, doc_id, n_terms, score
+         FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY score DESC, doc_id) AS rn FROM scored)
+         WHERE rn <= 5 ORDER BY query_id, rank""",
 
     "range_join_pairs" ->
       """SELECT a.event_id AS id_a, b.event_id AS id_b

@@ -773,6 +773,84 @@ object LlmOps {
         col("n_in_vocab").cast("double") / col("n_tokens").cast("double"))
   }
 
+  /** BM25 top-k retrieval: score every document against a small query
+    * workload `queries(query_id, term)` and keep the k best per query —
+    * the lexical-retrieval half of a RAG / hard-negative-mining stack
+    * (the dense half is [[graft.functions.VectorOps.hardNegatives]]).
+    *
+    * Scoring is Robertson/Okapi BM25 with a log-free surrogate idf
+    * `(N - df + 0.5) / (df + 0.5)` — the same monotone ranking as
+    * `ln(1 + …)` without libm's last-ulp variance (the repo's tf-idf
+    * precedent), so scores hash bitwise against an external SQL twin.
+    * Default `k1 = 1.25`, `b = 0.75` are exact binary fractions for the
+    * same reason. Per-(query, doc) scores sum term contributions in
+    * ascending-term order via a sequential fold — associativity is
+    * pinned, so IEEE addition reproduces exactly.
+    *
+    * Scale shape (the classic index-build + probe):
+    *  - ONE tokenize/explode pass builds the (doc, term, tf) postings —
+    *    persisted because doc length, df, and scoring all read it
+    *    (callers `clearCache()` after, the [[nearDupPairs]] contract);
+    *    only (id, 8-byte-ish term, count) rows shuffle, never text.
+    *  - The query term list broadcasts and prunes the postings BEFORE
+    *    the doc-length join — the corpus-wide postings never flow into
+    *    scoring, only rows for query terms do.
+    *  - df comes from the pruned postings (distinct by construction);
+    *    it and the one-row corpus globals broadcast onto the scoring.
+    *  - Per-query top-k is row_number ≤ k over (score desc, id asc) —
+    *    plans as WindowGroupLimit, so each partition forwards at most k
+    *    candidates per query to the final rank exchange.
+    *
+    * N and avgdl are over token-bearing documents (an empty doc can
+    * never match, and this keeps both derivable from the postings
+    * without a second corpus pass).
+    */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+               queries: DataFrame, k: Int = 5,
+               k1: Double = 1.25, b: Double = 0.75): DataFrame = {
+    val tf = docs
+      .select(col(idCol), explode(tokens(col(textCol))).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .persist()
+    val dl = tf.groupBy(col(idCol)).agg(sum(col("tf")).cast("long").as("dl"))
+    val globals = dl.agg(count(lit(1)).as("__n"),
+      sum(col("dl")).cast("long").as("__tot"))
+    val qt = queries.select(col("term")).distinct()
+    val tfq = tf.join(broadcast(qt), Seq("term"))
+    val dfq = tfq.groupBy(col("term")).agg(count(lit(1)).as("df"))
+
+    val nD = col("__n").cast("double")
+    val dfD = col("df").cast("double")
+    val tfD = col("tf").cast("double")
+    val avgdl = col("__tot").cast("double") / nD
+    val idf = (nD - dfD + lit(0.5)) / (dfD + lit(0.5))
+    val den = tfD + lit(k1) * (lit(1 - b) + lit(b) * (col("dl").cast("double") / avgdl))
+    val contrib = idf * ((tfD * lit(k1 + 1)) / den)
+
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col(idCol).asc)
+    tfq
+      .join(dl, Seq(idCol))
+      .join(broadcast(dfq), Seq("term"))
+      .crossJoin(broadcast(globals))
+      .select(col("term"), col(idCol), contrib.as("__contrib"))
+      .join(broadcast(queries), Seq("term"))
+      .groupBy(col("query_id"), col(idCol))
+      .agg(sort_array(collect_list(struct(col("term"), col("__contrib"))))
+        .as("__cs"))
+      .select(col("query_id"), col(idCol),
+        size(col("__cs")).cast("long").as("n_terms"),
+        aggregate(col("__cs"), lit(0.0),
+          (acc, x) => acc + x.getField("__contrib")).as("score"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col(idCol), col("n_terms"),
+        col("score"))
+  }
+
   /** Portable shingle-hash SEQUENCE in document order, duplicates kept —
     * winnowing must slide over the original shingle stream, not the
     * deduplicated set. `tokenCol` should be a materialized token-array

@@ -859,4 +859,57 @@ class LlmOpsSpec extends SparkTestBase {
     assert(got.filter(_._3).head._1 == 1000L)
     assert(got.filter(_._2 == "de").forall(!_._3))
   }
+
+  test("bm25TopK: bitwise-exact vs a driver reference; empty inputs total") {
+    val corpusRows = Seq(
+      (1L, "apple banana apple"),
+      (2L, "apple cherry"),
+      (3L, "banana banana banana durian"),
+      (4L, "cherry durian apple banana"),
+      (5L, ""))
+    val corpus = corpusRows.toDF("doc_id", "text")
+    val queries = Seq(("qa", "apple"), ("qb", "banana"), ("qb", "durian"))
+      .toDF("query_id", "term")
+    val got = LlmOps.bm25TopK(corpus, "doc_id", "text", queries, k = 3)
+      .select("query_id", "rank", "doc_id", "n_terms", "score")
+      .as[(String, Long, Long, Long, Double)].collect()
+      .sortBy(r => (r._1, r._2)).toSeq
+    spark.catalog.clearCache()
+
+    // driver reference: identical arithmetic, identical ascending-term fold
+    val toks = corpusRows.map { case (id, t) =>
+      id -> t.toLowerCase.trim.split("\\s+").toVector.filter(_.nonEmpty)
+    }.toMap
+    val tf = toks.toSeq.flatMap { case (id, ts) =>
+      ts.groupBy(identity).map { case (w, v) => (id, w, v.size.toLong) } }
+    val dl = tf.groupBy(_._1).map { case (id, rs) => id -> rs.map(_._3).sum }
+    val n = dl.size.toLong
+    val avgdl = dl.values.sum.toDouble / n.toDouble
+    val qterms = Set("apple", "banana", "durian")
+    val tfq = tf.filter(r => qterms(r._2))
+    val dfm = tfq.groupBy(_._2).map { case (w, rs) => w -> rs.size.toLong }
+    def contrib(w: String, id: Long, tfv: Long): Double = {
+      val idf = (n.toDouble - dfm(w).toDouble + 0.5) / (dfm(w).toDouble + 0.5)
+      val den = tfv.toDouble + 1.25 * (0.25 + 0.75 * (dl(id).toDouble / avgdl))
+      idf * ((tfv.toDouble * 2.25) / den)
+    }
+    val qs = Map("qa" -> Set("apple"), "qb" -> Set("banana", "durian"))
+    val want = qs.toSeq.flatMap { case (q, ts) =>
+      val perDoc = tfq.filter(r => ts(r._2)).groupBy(_._1).map {
+        case (id, rs) =>
+          val sorted = rs.sortBy(_._2)
+          (id, sorted.size.toLong,
+            sorted.foldLeft(0.0)((a, r) => a + contrib(r._2, id, r._3)))
+      }.toSeq
+      perDoc.sortBy { case (id, _, s) => (-s, id) }.take(3).zipWithIndex
+        .map { case ((id, nt, s), i) => (q, (i + 1).toLong, id, nt, s) }
+    }.sortBy(r => (r._1, r._2))
+    assert(got == want, s"got $got\nwant $want")
+
+    assert(LlmOps.bm25TopK(corpus.filter(lit(false)), "doc_id", "text",
+      queries).count() == 0)
+    assert(LlmOps.bm25TopK(corpus, "doc_id", "text",
+      queries.filter(lit(false))).count() == 0)
+    spark.catalog.clearCache()
+  }
 }

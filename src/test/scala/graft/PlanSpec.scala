@@ -379,6 +379,18 @@ class PlanSpec extends SparkTestBase {
       s"anchors must broadcast — the corpus never shuffles for scoring:\n$finalPlan")
   }
 
+  test("bm25_topk: query terms broadcast-prune the postings, top-k group-limits") {
+    val p = planOf("bm25_topk")
+    val finalPlan = p.split("== Initial Plan ==").head
+    assert(finalPlan.contains("WindowGroupLimit"),
+      s"rank<=k must plan as WindowGroupLimit (partial top-k per partition):\n$finalPlan")
+    assert(finalPlan.contains("BroadcastHashJoin"),
+      s"query-term prune / df / globals must broadcast onto the postings:\n$finalPlan")
+    assert(!finalPlan.contains("CartesianProduct"),
+      s"the one-row globals crossJoin must broadcast, never cartesian:\n$finalPlan")
+    spark.catalog.clearCache()
+  }
+
   test("scd2_lookup: key equi-join with interval residual — no cartesian") {
     val p = planOf("scd2_lookup")
     val finalPlan = p.split("== Initial Plan ==").head
