@@ -551,6 +551,14 @@ object SparkEntry {
       out
     }),
 
+    "pmi_pairs" -> ((s, dir) =>
+      // collocation mining for vocab/tokenizer work: top-20 co-occurring
+      // term pairs (df>=3 vocab, alphabetically-first-32 terms per doc)
+      // with PMI lift; pair emission is in-array, never a per-doc
+      // self-join
+      LlmOps.pmiPairs(t(s, dir, "documents"), "doc_id", "text",
+        minDf = 3, perDocCap = 32, k = 20)),
+
     "range_join_pairs" -> ((s, dir) =>
       graft.ops.AsOfJoin.rangeJoinPairs(t(s, dir, "events"), "event_id", "ts",
           bandSeconds = 30)
@@ -1825,6 +1833,41 @@ object SparkEntry {
          FROM (SELECT *, row_number() OVER (PARTITION BY query_id
                  ORDER BY score DESC, doc_id) AS rn FROM scored)
          WHERE rn <= 5 ORDER BY query_id, rank""",
+
+    // PMI collocations replay: distinct (doc, term) presence -> uncapped
+    // df -> df>=3 vocab prune -> per-doc sorted list capped to first 32
+    // ([1:32] = Spark's slice(sort_array(..), 1, 32)) -> in-doc ordered
+    // pairs -> count -> lift over exact BIGINT->DOUBLE casts (one multiply
+    // per side of a single division, IEEE-deterministic both engines).
+    "pmi_pairs" ->
+      """WITH dt AS (
+           SELECT DISTINCT doc_id, token AS term
+           FROM (SELECT doc_id,
+                   unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+                 FROM documents)
+           WHERE token <> ''),
+         vocab AS (
+           SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+           FROM dt GROUP BY term HAVING COUNT(*) >= 3),
+         nd AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n FROM dt),
+         tv AS (
+           SELECT doc_id, unnest(terms) AS term
+           FROM (SELECT doc_id, (list_sort(list(term)))[1:32] AS terms
+                 FROM dt JOIN vocab USING (term) GROUP BY doc_id)),
+         pc AS (
+           SELECT x.term AS term_a, y.term AS term_b,
+                  CAST(COUNT(*) AS BIGINT) AS n_pair
+           FROM tv x JOIN tv y
+             ON x.doc_id = y.doc_id AND x.term < y.term
+           GROUP BY 1, 2)
+         SELECT term_a, term_b, n_pair, va.df AS df_a, vb.df AS df_b,
+           (CAST(n_pair AS DOUBLE) * CAST(nd.n AS DOUBLE))
+             / (CAST(va.df AS DOUBLE) * CAST(vb.df AS DOUBLE)) AS lift
+         FROM pc
+         JOIN vocab va ON pc.term_a = va.term
+         JOIN vocab vb ON pc.term_b = vb.term
+         CROSS JOIN nd
+         ORDER BY n_pair DESC, term_a, term_b LIMIT 20""",
 
     "range_join_pairs" ->
       """SELECT a.event_id AS id_a, b.event_id AS id_b

@@ -851,6 +851,73 @@ object LlmOps {
         col("score"))
   }
 
+  /** Top-k co-occurring term pairs with a PMI-style lift score —
+    * collocation mining for vocabulary / tokenizer construction (which
+    * word pairs travel together far more often than chance predicts).
+    *
+    * Semantics: presence-based co-occurrence over DISTINCT terms per
+    * document. The universe is bounded twice, and both bounds are part
+    * of the operator's contract (the oracle twin replicates them):
+    *  - vocabulary prune: only terms with document frequency ≥ `minDf`
+    *    participate (rare-term pairs are noise AND the O(v²) pair space
+    *    must not grow with the corpus tail);
+    *  - per-doc cap: each document contributes ordered pairs from its
+    *    alphabetically-first `perDocCap` vocab terms — a deterministic
+    *    O(cap²) per-row bound, so a pathological million-term document
+    *    cannot explode the pair stage.
+    * `lift = (n_pair · N) / (df_a · df_b)` (> 1 ⇔ positive PMI) uses
+    * one multiply each side of a single division over exact BIGINT
+    * casts — IEEE-deterministic, so it hashes bitwise against the SQL
+    * twin; df marginals are the UNCAPPED document frequencies. Ranking
+    * is by pair count (stable against rare-pair lift noise) with the
+    * lexicographic pair as tiebreak.
+    *
+    * Scale shape: the (doc, term) presence rows come from one
+    * tokenize/array_distinct/explode pass (no shuffle until the df agg,
+    * which moves only term+count with map-side partials); the vocab
+    * prune broadcasts; pair emission is in-array on the capped sorted
+    * term array (sourceOverlap's pattern — never a per-doc self-join);
+    * the final top-k is a global orderBy+limit → TakeOrderedAndProject,
+    * so each partition forwards k rows. The presence table is persisted
+    * (feeds df, N, and the pair stage — callers `clearCache()` after,
+    * the [[nearDupPairs]] contract).
+    */
+  def pmiPairs(docs: DataFrame, idCol: String, textCol: String,
+               minDf: Int = 3, perDocCap: Int = 32, k: Int = 20): DataFrame = {
+    val dt = docs
+      .select(col(idCol), explode(array_distinct(tokens(col(textCol)))).as("term"))
+      .filter(col("term") =!= "")
+      .persist()
+    val df = dt.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val vocab = df.filter(col("df") >= minDf)
+    val nDocs = dt.select(col(idCol)).distinct()
+      .agg(count(lit(1)).as("__n"))
+    val arrs = dt
+      .join(broadcast(vocab.select(col("term"))), Seq("term"))
+      .groupBy(col(idCol))
+      .agg(slice(sort_array(collect_list(col("term"))), 1, perDocCap).as("__ts"))
+      .filter(size(col("__ts")) >= 2)
+    val pairCounts = arrs
+      .select(explode(flatten(transform(col("__ts"), a =>
+        filter(
+          transform(col("__ts"), b => struct(a.as("a"), b.as("b"))),
+          p => p.getField("a") < p.getField("b"))))).as("__p"))
+      .groupBy(col("__p.a").as("term_a"), col("__p.b").as("term_b"))
+      .agg(count(lit(1)).as("n_pair"))
+    pairCounts
+      .join(broadcast(vocab.select(col("term").as("term_a"), col("df").as("df_a"))),
+        Seq("term_a"))
+      .join(broadcast(vocab.select(col("term").as("term_b"), col("df").as("df_b"))),
+        Seq("term_b"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("term_a"), col("term_b"), col("n_pair"),
+        col("df_a"), col("df_b"),
+        ((col("n_pair").cast("double") * col("__n").cast("double"))
+          / (col("df_a").cast("double") * col("df_b").cast("double"))).as("lift"))
+      .orderBy(col("n_pair").desc, col("term_a").asc, col("term_b").asc)
+      .limit(k)
+  }
+
   /** Portable shingle-hash SEQUENCE in document order, duplicates kept —
     * winnowing must slide over the original shingle stream, not the
     * deduplicated set. `tokenCol` should be a materialized token-array

@@ -912,4 +912,47 @@ class LlmOpsSpec extends SparkTestBase {
       queries.filter(lit(false))).count() == 0)
     spark.catalog.clearCache()
   }
+
+  test("pmiPairs: hand-computed lifts; minDf prune; per-doc cap; totality") {
+    val corpus = Seq(
+      (1L, "a b c e"), // e has df=1 -> pruned by minDf=2
+      (2L, "a b d"),
+      (3L, "a c d"),
+      (4L, "b c"),
+      (5L, "a b")).toDF("doc_id", "text")
+
+    // uncapped: df a=4 b=4 c=3 d=2, N=5; pairs (a,b):3 (a,c):2 (a,d):2
+    // (b,c):2 (b,d):1 (c,d):1; lift = n_pair*N / (df_a*df_b)
+    val got = LlmOps.pmiPairs(corpus, "doc_id", "text",
+        minDf = 2, perDocCap = 32, k = 20)
+      .as[(String, String, Long, Long, Long, Double)].collect().toSeq
+    spark.catalog.clearCache()
+    def lift(np: Long, da: Long, db: Long): Double =
+      (np.toDouble * 5.0) / (da.toDouble * db.toDouble)
+    val want = Seq(
+      ("a", "b", 3L, 4L, 4L, lift(3, 4, 4)),
+      ("a", "c", 2L, 4L, 3L, lift(2, 4, 3)),
+      ("a", "d", 2L, 4L, 2L, lift(2, 4, 2)),
+      ("b", "c", 2L, 4L, 3L, lift(2, 4, 3)),
+      ("b", "d", 1L, 4L, 2L, lift(1, 4, 2)),
+      ("c", "d", 1L, 3L, 2L, lift(1, 3, 2)))
+    assert(got == want, s"got $got\nwant $want")
+
+    // cap=2: each doc contributes only its alphabetically-first 2 vocab
+    // terms -> d1/d2/d5 emit (a,b), d3 (a,c), d4 (b,c)
+    val capped = LlmOps.pmiPairs(corpus, "doc_id", "text",
+        minDf = 2, perDocCap = 2, k = 20)
+      .as[(String, String, Long, Long, Long, Double)].collect().toSeq
+    spark.catalog.clearCache()
+    assert(capped == Seq(
+      ("a", "b", 3L, 4L, 4L, lift(3, 4, 4)),
+      ("a", "c", 1L, 4L, 3L, lift(1, 4, 3)),
+      ("b", "c", 1L, 4L, 3L, lift(1, 4, 3))), s"capped $capped")
+
+    assert(LlmOps.pmiPairs(corpus.filter(lit(false)), "doc_id", "text")
+      .count() == 0)
+    // single doc: every term df=1 < minDf -> empty, not an error
+    assert(LlmOps.pmiPairs(corpus.limit(1), "doc_id", "text").count() == 0)
+    spark.catalog.clearCache()
+  }
 }

@@ -391,6 +391,20 @@ class PlanSpec extends SparkTestBase {
     spark.catalog.clearCache()
   }
 
+  test("pmi_pairs: broadcast vocab prune, in-array pairs, global top-k") {
+    val p = planOf("pmi_pairs")
+    val finalPlan = p.split("== Initial Plan ==").head
+    assert(finalPlan.contains("TakeOrderedAndProject"),
+      s"global top-k must plan as TakeOrderedAndProject (k rows per partition):\n$finalPlan")
+    assert(finalPlan.contains("BroadcastHashJoin"),
+      s"vocab prune / df marginals must broadcast onto the pair counts:\n$finalPlan")
+    assert(!finalPlan.contains("CartesianProduct"),
+      s"the one-row N crossJoin must broadcast, never cartesian:\n$finalPlan")
+    assert(!finalPlan.toLowerCase.contains("sortmergejoin"),
+      s"no per-doc self-join — pair emission must be in-array:\n$finalPlan")
+    spark.catalog.clearCache()
+  }
+
   test("scd2_lookup: key equi-join with interval residual — no cartesian") {
     val p = planOf("scd2_lookup")
     val finalPlan = p.split("== Initial Plan ==").head
