@@ -1636,8 +1636,12 @@ object LlmOps {
       .agg(count(lit(1)).as("n_hit"))
     nT.crossJoin(nC).crossJoin(nH)
       .select(col("n_truth"), col("n_candidates"), col("n_hit"),
-        // 0/0 -> null on both engines (no truth pairs = recall undefined)
-        (col("n_hit").cast("double") / col("n_truth")).as("recall"))
+        // empty truth sample => recall undefined: emit null explicitly
+        // rather than dividing, so ANSI mode can't turn 0/0 into a
+        // DIVIDE_BY_ZERO crash (DuckDB's x/0 -> null would then be an
+        // oracle value mismatch, which is the failure mode we want)
+        when(col("n_truth") === 0, lit(null).cast("double"))
+          .otherwise(col("n_hit").cast("double") / col("n_truth")).as("recall"))
   }
 
   /** Corpus heavy hitters via the native k-counter Misra–Gries aggregate,
@@ -1664,9 +1668,13 @@ object LlmOps {
       .crossJoin(broadcast(sketch))
       .filter(col("cnt") * (k + 1) > col("__n"))
       .select(col("term"), col("cnt"),
-        element_at(col("__sk"), col("term")).isNotNull.as("in_sketch"),
-        (element_at(col("__sk"), col("term")) <= col("cnt") &&
-          (col("cnt") - element_at(col("__sk"), col("term"))) * (k + 1) <= col("__n"))
+        // try_element_at, not element_at: under ANSI mode a missing key
+        // would THROW, crashing the query on exactly the broken-sketch
+        // condition in_sketch exists to flag — the contract violation
+        // must surface as a hash-checked false, not an exception
+        try_element_at(col("__sk"), col("term")).isNotNull.as("in_sketch"),
+        (try_element_at(col("__sk"), col("term")) <= col("cnt") &&
+          (col("cnt") - try_element_at(col("__sk"), col("term"))) * (k + 1) <= col("__n"))
           .as("bound_ok"))
       .orderBy(col("cnt").desc, col("term"))
   }
@@ -1777,35 +1785,21 @@ object LlmOps {
     val cb = dfB.groupBy(col(catCol)).agg(count(lit(1)).as("cnt_b"))
     val ta = dfA.agg(count(lit(1)).as("__ta"))
     val tb = dfB.agg(count(lit(1)).as("__tb"))
+    // an EMPTY cohort makes its mass undefined: emit null explicitly so
+    // ANSI mode can't crash the monitor with DIVIDE_BY_ZERO on exactly
+    // the degenerate snapshot it exists to catch
+    val pA = when(col("__ta") === 0, lit(null).cast("double"))
+      .otherwise(col("cnt_a").cast("double") / col("__ta"))
+    val pB = when(col("__tb") === 0, lit(null).cast("double"))
+      .otherwise(col("cnt_b").cast("double") / col("__tb"))
     ca.join(cb, Seq(catCol), "full_outer")
       .select(col(catCol), coalesce(col("cnt_a"), lit(0L)).as("cnt_a"),
         coalesce(col("cnt_b"), lit(0L)).as("cnt_b"))
       .crossJoin(broadcast(ta)).crossJoin(broadcast(tb))
       .select(col(catCol), col("cnt_a"), col("cnt_b"),
-        (col("cnt_a").cast("double") / col("__ta")).as("p_a"),
-        (col("cnt_b").cast("double") / col("__tb")).as("p_b"),
-        abs(col("cnt_a").cast("double") / col("__ta") -
-          col("cnt_b").cast("double") / col("__tb")).as("drift_term"))
+        pA.as("p_a"), pB.as("p_b"), abs(pA - pB).as("drift_term"))
   }
 
-  /** Tukey-fence outlier flag per group: a doc is an outlier when its
-    * value leaves [q1 − 1.5·IQR, q3 + 1.5·IQR] of its group's exact
-    * quartiles — the standard distribution-based length/quality filter a
-    * curation pipeline runs before threshold filters, catching per-
-    * language tails a single global cutoff misses.
-    *
-    * Determinism: exact linear-interpolated percentiles (the same
-    * `percentile` ↔ `quantile_cont` equivalence `percentile_by_group`
-    * oracles) and fence arithmetic in IEEE double — value comparisons
-    * replay exactly in an external engine.
-    *
-    * Scale shape: the per-group quartiles are a tiny aggregate (one row
-    * per group) broadcast back onto the scan — the exact `percentile`
-    * aggregate holds a per-group value buffer, fine for bounded groups
-    * (languages); unbounded group cardinality would swap in the
-    * approx_quantiles sketch path. No shuffle of the data side beyond the
-    * group key.
-    */
   /** EXECUTES a [[mixturePlan]]: keeps each row iff its portable hash
     * fraction falls below its group's data-derived downsample-to-smallest
     * rate — the sampling step that turns the plan table into an actual
@@ -1857,6 +1851,24 @@ object LlmOps {
       .orderBy(col("cnt").desc, col("pair"))
       .limit(k)
 
+  /** Tukey-fence outlier flag per group: a doc is an outlier when its
+    * value leaves [q1 − 1.5·IQR, q3 + 1.5·IQR] of its group's exact
+    * quartiles — the standard distribution-based length/quality filter a
+    * curation pipeline runs before threshold filters, catching per-
+    * language tails a single global cutoff misses.
+    *
+    * Determinism: exact linear-interpolated percentiles (the same
+    * `percentile` ↔ `quantile_cont` equivalence `percentile_by_group`
+    * oracles) and fence arithmetic in IEEE double — value comparisons
+    * replay exactly in an external engine.
+    *
+    * Scale shape: the per-group quartiles are a tiny aggregate (one row
+    * per group) broadcast back onto the scan — the exact `percentile`
+    * aggregate holds a per-group value buffer, fine for bounded groups
+    * (languages); unbounded group cardinality would swap in the
+    * approx_quantiles sketch path. No shuffle of the data side beyond the
+    * group key.
+    */
   def iqrOutliers(df: DataFrame, groupCol: String, idCol: String,
                   valueCol: String, k: Double = 1.5): DataFrame = {
     val fences = df.groupBy(groupCol)

@@ -357,9 +357,11 @@ object Relational {
 
   /** Per-group z-score feature scaling from EXACT moments: mean and
     * population variance derive from decimal sums of x and x² (exact
-    * under any partitioning), then one fixed sequence of IEEE ops per
-    * row — so the scaled values hash-compare across engines, unlike a
-    * naive double `stddev_pop` whose accumulation order floats.
+    * under any partitioning for values with ≤6 fractional digits; finer
+    * inputs are rounded to 6 dp in the moment sums only), then one fixed
+    * sequence of IEEE ops per row — so the scaled values hash-compare
+    * across engines, unlike a naive double `stddev_pop` whose
+    * accumulation order floats.
     * Degenerate groups (variance 0, e.g. a single row) yield null, not
     * NaN. Shape: one tiny per-group aggregate broadcast onto the scan.
     */
@@ -367,10 +369,11 @@ object Relational {
                       valueCol: String): DataFrame = {
     val moments = df.groupBy(groupCol)
       .agg(count(lit(1)).as("__n"),
-        sum(col(valueCol).cast("decimal(38,0)")).cast("double").as("__sx"),
+        sum(col(valueCol).cast("decimal(38,6)")).cast("double").as("__sx"),
         // square in decimal space — a long*long square can overflow
-        // BEFORE a post-hoc cast would see it
-        sum(col(valueCol).cast("decimal(18,0)") * col(valueCol).cast("decimal(18,0)"))
+        // BEFORE a post-hoc cast would see it; (18,6)×(18,6) → (37,12)
+        // stays inside decimal(38)'s precision
+        sum(col(valueCol).cast("decimal(18,6)") * col(valueCol).cast("decimal(18,6)"))
           .cast("double").as("__sx2"))
     val mean = col("__sx") / col("__n")
     val variance = col("__sx2") / col("__n") - mean * mean

@@ -1,6 +1,9 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import java.nio.charset.StandardCharsets
+
+import org.apache.hadoop.fs.{CreateFlag, FileContext, FileSystem, Options, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.col
 
 /** Parquet sink discipline (SURVEY.md §2.1 S7/S8 upgraded for scale).
@@ -15,11 +18,118 @@ import org.apache.spark.sql.functions.col
   */
 object Sink {
 
-  /** Atomic snapshot replacement — no reader ever observes the missing or
-    * partial table the reference's drop-then-load window exposes.
+  /** Atomic snapshot replacement via a versioned-directory pointer commit
+    * — closing the reference's drop-then-load window
+    * (/root/reference/main.py:44-46: `DELETE FROM` then reload) for real.
+    * A bare `mode("overwrite").parquet(path)` does NOT close it: Spark
+    * deletes the directory before writing, so a concurrent reader hits
+    * exactly the missing/partial table the reference exposes.
+    *
+    * Layout (a minimal table-format commit, the same shape Delta/Iceberg
+    * use):
+    * {{{
+    *   path/v-<uuid>/   immutable parquet snapshots, written mode("error")
+    *   path/_current    one-line pointer file naming the live version
+    * }}}
+    * Commit = write the new snapshot dir fully, then REPLACE `_current`
+    * with an atomic file rename (POSIX `rename(2)` locally, HDFS's native
+    * overwrite-rename on HDFS; object stores need a real table format and
+    * are out of scope). [[readSnapshot]] resolves the pointer, so a reader sees
+    * the old table until the instant of the rename and the new one after —
+    * never neither, never a mix.
+    *
+    * MVCC retention: after commit, snapshot dirs other than the new one
+    * and the `retain` most-recently-superseded ones are deleted. A reader
+    * that resolved `_current` keeps a consistent view while at least
+    * `retain` further commits land mid-read (immutable dirs are never
+    * rewritten, only eventually deleted); raise `retain` if readers can
+    * straddle more commits — the standard staleness/space trade every
+    * table format exposes (cf. Delta VACUUM retention).
+    *
+    * Crash-safety: a writer dying before the rename leaves an orphan
+    * `v-*` dir and a stale tmp pointer; `_current` still names the old
+    * complete snapshot, and the next successful commit GCs the orphans.
     */
-  def overwriteSnapshot(df: DataFrame, path: String): Unit =
-    df.write.mode("overwrite").parquet(path)
+  def overwriteSnapshot(df: DataFrame, path: String, retain: Int = 1): Unit = {
+    val conf = df.sparkSession.sessionState.newHadoopConf()
+    val root = new Path(path)
+    val fs = root.getFileSystem(conf)
+    val version = "v-" + java.util.UUID.randomUUID().toString.replace("-", "")
+    df.write.mode("error").parquet(new Path(root, version).toString)
+
+    // Pointer staged through FileContext (raw fs — no checksum shadow
+    // files), then swapped in with a genuinely atomic replace. CAREFUL:
+    // FileContext.rename(OVERWRITE) is only atomic where the
+    // AbstractFileSystem implements it natively (HDFS does); Hadoop's
+    // default local implementation is delete-then-rename, which re-opens
+    // the very missing-table window this sink exists to close — so local
+    // paths take POSIX rename(2) via NIO instead.
+    val tmp = new Path(root, s"_current.tmp-$version")
+    val dst = new Path(root, "_current")
+    val fc = FileContext.getFileContext(root.toUri, conf)
+    val out = fc.create(tmp,
+      java.util.EnumSet.of(CreateFlag.CREATE, CreateFlag.OVERWRITE))
+    try out.write(version.getBytes(StandardCharsets.UTF_8)) finally out.close()
+    if (fs.getScheme == "file") {
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(fs.makeQualified(tmp).toUri.getPath),
+        java.nio.file.Paths.get(fs.makeQualified(dst).toUri.getPath),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    } else {
+      fc.rename(tmp, dst, Options.Rename.OVERWRITE)
+    }
+
+    // GC superseded snapshots beyond the retention window (newest-first by
+    // modification time; the just-committed version is always kept)
+    val stale = fs.listStatus(root)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("v-"))
+      .filterNot(_.getPath.getName == version)
+      .sortBy(-_.getModificationTime)
+      .drop(retain)
+    stale.foreach(s => fs.delete(s.getPath, true))
+    // stale tmp pointers from crashed writers
+    fs.listStatus(root)
+      .filter(s => s.isFile && s.getPath.getName.startsWith("_current.tmp-"))
+      .foreach(s => fs.delete(s.getPath, false))
+  }
+
+  /** Resolve a [[overwriteSnapshot]] table to its live version. One
+    * bounded retry absorbs the benign race where the pointer advances and
+    * GC claims the resolved dir between resolution and plan construction
+    * (possible only when >`retain` commits land inside that microsecond
+    * window).
+    */
+  def readSnapshot(spark: SparkSession, path: String): DataFrame = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    def attempt(retriesLeft: Int): DataFrame = {
+      val v = currentVersion(fs, root).getOrElse(
+        throw new java.io.FileNotFoundException(s"no committed snapshot at $path"))
+      try {
+        val df = spark.read.parquet(new Path(root, v).toString)
+        df.schema // force resolution so a vanished dir surfaces here
+        df
+      } catch {
+        case e: org.apache.spark.sql.AnalysisException if retriesLeft > 0 &&
+            !fs.exists(new Path(root, v)) => attempt(retriesLeft - 1)
+      }
+    }
+    attempt(3)
+  }
+
+  private def currentVersion(fs: FileSystem, root: Path): Option[String] = {
+    val ptr = new Path(root, "_current")
+    if (!fs.exists(ptr)) None
+    else {
+      val in = fs.open(ptr)
+      try {
+        val buf = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 4096, false)
+        Some(new String(buf.toByteArray, StandardCharsets.UTF_8).trim)
+      } finally in.close()
+    }
+  }
 
   /** Partitioned, clustered write: one shuffle to co-locate partition
     * values, an in-partition sort for row-group pruning on `sortCols`, and

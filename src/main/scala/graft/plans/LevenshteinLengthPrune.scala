@@ -52,6 +52,8 @@ object LevenshteinLengthPrune extends Rule[LogicalPlan] {
           if !alreadyPruned(conjuncts, l, r, k) => pruneOf(l, r, k)
       case LessThan(Levenshtein(l, r, None), k @ Literal(_, _))
           if !alreadyPruned(conjuncts, l, r, k) => pruneOf(l, r, k)
+      case GreaterThan(k @ Literal(_, _), Levenshtein(l, r, None))
+          if !alreadyPruned(conjuncts, l, r, k) => pruneOf(l, r, k)
     }.distinct
     if (extra.isEmpty) None
     else Some((extra ++ conjuncts).reduceLeft(And))

@@ -38,7 +38,7 @@ class IncrementalStateSpec extends SparkTestBase {
   test("exact: probe of Sink-persisted fingerprint store == in-query derivation") {
     val dir = Files.createTempDirectory("fpstore").toString + "/state"
     Sink.overwriteSnapshot(LlmOps.fingerprintStore(base, "text"), dir)
-    val stored = spark.read.parquet(dir)
+    val stored = Sink.readSnapshot(spark, dir)
     assert(stored.columns.toSeq == Seq("fp"))
 
     val direct = sorted(LlmOps.incrementalDedup(base, batch, "doc_id", "text"))
@@ -57,7 +57,7 @@ class IncrementalStateSpec extends SparkTestBase {
     val dir = Files.createTempDirectory("sigstore").toString + "/state"
     Sink.overwriteSnapshot(
       LlmOps.signatureStore(base, "doc_id", "text", shingleN = 3, numHashes = 16), dir)
-    val stored = spark.read.parquet(dir)
+    val stored = Sink.readSnapshot(spark, dir)
     assert(stored.columns.toSet == Set("doc_id", "sh", "sig"))
 
     val direct = sorted(LlmOps.incrementalNearDup(base, batch, "doc_id", "text"))
@@ -83,7 +83,7 @@ class IncrementalStateSpec extends SparkTestBase {
     val dir = Files.createTempDirectory("sigstore2").toString + "/state"
     val grown = base.union(batch)
     Sink.overwriteSnapshot(LlmOps.signatureStore(grown, "doc_id", "text"), dir)
-    val stored = spark.read.parquet(dir)
+    val stored = Sink.readSnapshot(spark, dir)
     val again = LlmOps.incrementalNearDupFromState(stored, batch, "doc_id", "text")
     assert(again.filter($"keep").count() == 0)
     assert(again.filter(!$"near_dup_of_base").count() == 0)

@@ -70,4 +70,60 @@ class SinkSpec extends SparkTestBase {
     val back = spark.read.parquet(out).as[(Int, String)].collect().toSet
     assert(back == Set((99, "a"), (2, "b")))
   }
+
+  test("overwriteSnapshot: pointer commit, version layout, retention GC") {
+    val out = Files.createTempDirectory("snap").toString + "/t"
+    Sink.overwriteSnapshot(Seq(1, 2, 3).toDF("v"), out)
+    assert(Sink.readSnapshot(spark, out).as[Int].collect().toSet == Set(1, 2, 3))
+    Sink.overwriteSnapshot(Seq(4, 5).toDF("v"), out)
+    assert(Sink.readSnapshot(spark, out).as[Int].collect().toSet == Set(4, 5))
+    // layout: _current pointer + retained snapshot dirs (new + 1 previous)
+    val names = new java.io.File(out).listFiles().map(_.getName)
+    assert(names.contains("_current"))
+    assert(names.count(_.startsWith("v-")) == 2, "retain=1 keeps new + previous")
+    // third commit GCs the first version
+    Sink.overwriteSnapshot(Seq(6).toDF("v"), out)
+    val after = new java.io.File(out).listFiles().map(_.getName)
+    assert(after.count(_.startsWith("v-")) == 2)
+    assert(Sink.readSnapshot(spark, out).as[Int].collect().toSet == Set(6))
+  }
+
+  test("overwriteSnapshot: a concurrent reader never observes a missing or partial table") {
+    // the exact drop-then-load window the reference exposes
+    // (/root/reference/main.py:44-46): readers hammer the table while the
+    // writer replaces it repeatedly; every read must return one COMPLETE
+    // committed snapshot — correct count and a sum consistent with that
+    // same snapshot, never an empty/partial directory, never an exception
+    val out = Files.createTempDirectory("snapconc").toString + "/t"
+    // snapshot i = i copies of value i => (count, sum) uniquely identifies
+    // a complete snapshot; a torn read breaks the count->sum relation
+    def snapshot(i: Int) = Seq.fill(i)(i).toDF("v")
+    Sink.overwriteSnapshot(snapshot(1), out)
+
+    @volatile var failure: Option[String] = None
+    @volatile var stop = false
+    val reader = new Thread(() => {
+      while (!stop && failure.isEmpty) {
+        try {
+          val rows = Sink.readSnapshot(spark, out)
+            .agg(count($"v").as("n"), sum($"v").as("s"))
+            .as[(Long, Option[Long])].collect()(0)
+          val (n, s) = rows
+          if (n == 0 || s != Some(n * n))
+            failure = Some(s"torn read: count=$n sum=$s")
+        } catch {
+          case e: Throwable => failure = Some(s"reader threw: $e")
+        }
+      }
+    })
+    reader.start()
+    try {
+      (2 to 8).foreach { i =>
+        Sink.overwriteSnapshot(snapshot(i), out)
+        if (failure.nonEmpty) fail(failure.get)
+      }
+    } finally { stop = true; reader.join(30000) }
+    assert(failure.isEmpty, failure.getOrElse(""))
+    assert(Sink.readSnapshot(spark, out).count() == 8)
+  }
 }
