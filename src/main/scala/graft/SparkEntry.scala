@@ -534,6 +534,35 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    "hard_negatives_ann" -> ((s, dir) => {
+      // two-sided-large mining path: 32 anchors x corpus through the IVF
+      // cell join (nothing query-side broadcasts except the 8-row centroid
+      // table). Contract-oracled like similarity_ivf: k-means centroids
+      // aren't SQL-replayable, so the checked contract is recall vs the
+      // in-Spark brute-force twin — nProbe=4 of 8 cells must recover a
+      // majority of every anchor's true top-10 other-label negatives.
+      val emb = t(s, dir, "embeddings")
+      val corpus = emb.filter(col("vec_id") >= 32)
+      val anchors = emb.filter(col("vec_id") < 32)
+      val ann = VectorOps.hardNegativesAnn(corpus, anchors, "vec_id",
+        "embedding", "label", k = 10, nCells = 8, nProbe = 4)
+      val brute = VectorOps.hardNegatives(corpus, anchors, "vec_id",
+        "embedding", "label", k = 10)
+      val hits = ann.select("query_id", "neg_id")
+        .intersect(brute.select("query_id", "neg_id"))
+        .groupBy("query_id").agg(count(lit(1)).as("__h"))
+      anchors.select(col("vec_id").as("query_id"))
+        .join(hits, Seq("query_id"), "left")
+        .select(coalesce(col("__h"), lit(0L)).as("__h"))
+        .agg(count(lit(1)).as("n_queries"), sum("__h").as("__total"),
+          min("__h").as("__min"))
+        // measured at sf0.001/0.01/0.1: total 236/236/223 of 320, min
+        // 5/4/2 — the contract bounds (>=60% aggregate recall, every
+        // anchor recovers at least one true negative) hold with margin
+        .select(col("n_queries"), (col("__total") >= 192).as("recall_ok"),
+          (col("__min") >= 1).as("min_recall_ok"))
+    }),
+
     "bm25_topk" -> ((s, dir) => {
       // lexical retrieval for RAG / hard-negative mining: BM25 top-5 docs
       // per query over a 3-query workload; query terms broadcast and prune
@@ -1761,6 +1790,9 @@ object SparkEntry {
                ORDER BY votes DESC, label) AS r2
            FROM v)
          WHERE r2 = 1 ORDER BY query_id""",
+
+    "hard_negatives_ann" ->
+      "SELECT CAST(32 AS BIGINT) AS n_queries, TRUE AS recall_ok, TRUE AS min_recall_ok",
 
     "hard_negatives" ->
       """WITH q AS (SELECT vec_id AS query_id, label AS qlab, embedding AS qv

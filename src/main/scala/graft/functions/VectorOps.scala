@@ -212,6 +212,76 @@ object VectorOps {
         col("neg_label"), col("score"))
   }
 
+  /** Two-sided-large hard-negative mining: the IVF cell join. The
+    * broadcast [[hardNegatives]] shape is correct only while the anchor
+    * set fits in a broadcast; when BOTH sides are large (mining negatives
+    * for every document of a corpus against itself, the common contrastive
+    * pre-training setup) nothing may broadcast or collect. Here the only
+    * driver-side object is the k·dim centroid table:
+    *
+    *  1. fit the IVF coarse quantizer on a bounded sample ([[ivfIndex]]),
+    *     assign every CORPUS row its cell — a per-row projection;
+    *  2. every QUERY row scores the broadcast-tiny centroid table and
+    *     keeps its `nProbe` nearest cells (row_number window plans as
+    *     WindowGroupLimit — partial top-nProbe before the exchange);
+    *  3. equi-join corpus and queries ON THE CELL ID — a plain shuffle
+    *     hash join moving each side once — then exact-cosine score, label
+    *     filter, per-query top-k (WindowGroupLimit again).
+    *
+    * Work drops from |Q|·|C| to Σ_cell |Q_probe(cell)|·|C_cell| ≈
+    * |Q|·|C|·nProbe/nCells. At 100 TB nCells is thousands (FAISS sizes it
+    * ~sqrt(N)), so the cell key is high-cardinality and the join
+    * partitions evenly; AQE's skew split handles a hot cell. Recall < 1
+    * by design — the contract [[hardNegatives]] twin is the oracle
+    * (`hard_negatives_ann` checks recovered true-top-k overlap).
+    */
+  def hardNegativesAnn(corpus: DataFrame, queries: DataFrame, idCol: String,
+                       embCol: String, labelCol: String, k: Int = 3,
+                       nCells: Int = 8, nProbe: Int = 2, seed: Long = 42L,
+                       sampleCap: Int = 4096): DataFrame = {
+    val spark = corpus.sparkSession
+    val (assigned, centroids) = ivfIndex(corpus, embCol, nCells, seed, sampleCap)
+    val q = queries.select(col(idCol).as("query_id"),
+      col(labelCol).as("__qlab"), col(embCol).as("__qv"))
+    val byCent = Window.partitionBy(col("query_id"))
+      .orderBy(col("__cs").desc, col("__cell").asc)
+    val probes = q.crossJoin(broadcast(centroids))
+      .select(col("query_id"), col("__qlab"), col("__qv"), col("__cell"),
+        cosineBest(spark, col("__centroid"), col("__qv")).as("__cs"))
+      .withColumn("__pr", row_number().over(byCent))
+      .filter(col("__pr") <= nProbe)
+      .select(col("query_id"), col("__qlab"), col("__qv"), col("__cell"))
+    val byScore = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neg_id").asc)
+    assigned.join(probes, Seq("__cell"))
+      .filter(col(labelCol) =!= col("__qlab"))
+      .select(col("query_id"), col(idCol).as("neg_id"),
+        col(labelCol).as("neg_label"),
+        cosineBest(spark, col(embCol), col("__qv")).as("score"))
+      .withColumn("rank", row_number().over(byScore))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neg_id"),
+        col("neg_label"), col("score"))
+  }
+
+  /** Size-routed hard negatives: broadcast scan when Catalyst's own plan
+    * statistics say the anchor side fits under
+    * `spark.sql.autoBroadcastJoinThreshold` (the same signal the planner
+    * uses to elect a broadcast join), IVF cell join otherwise — so a
+    * pipeline can call one entry point at any anchor scale and never
+    * trips a driver OOM on a "small" side that grew.
+    */
+  def hardNegativesAuto(corpus: DataFrame, queries: DataFrame, idCol: String,
+                        embCol: String, labelCol: String, k: Int = 3,
+                        nCells: Int = 8, nProbe: Int = 2): DataFrame = {
+    val threshold = corpus.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
+    val qBytes = queries.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (threshold >= 0 && qBytes <= threshold)
+      hardNegatives(corpus, queries, idCol, embCol, labelCol, k)
+    else
+      hardNegativesAnn(corpus, queries, idCol, embCol, labelCol, k, nCells, nProbe)
+  }
+
   /** Embedding-cosine near-duplicate pairs within a blocking key (SURVEY.md
     * §2.12 dedup family): candidate pairs are generated only inside blocks
     * (label, cluster id, LSH bucket, …), never via an unblocked cross

@@ -210,4 +210,57 @@ class VectorOpsSpec extends SparkTestBase {
       .as[(Long, Int, Long, Int, Double)].collect().sortBy(_._2)
     assert(tied.map(r => (r._2, r._3)).toSeq == Seq((1, 20L), (2, 21L)))
   }
+
+  test("hardNegativesAnn: full-probe == brute force; partial probe is a subset") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val corpus = emb.filter($"vec_id" >= 16)
+    val anchors = emb.filter($"vec_id" < 16)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "rank", "neg_id")
+        .as[(Long, Int, Long)].collect().toSet
+    val brute = rows(VectorOps.hardNegatives(corpus, anchors,
+      "vec_id", "embedding", "label", k = 5))
+    // probing every cell makes the cell join exhaustive: EXACT parity,
+    // including rank order and tie-breaks — proves the join + window
+    // reimplementation, isolating approximation purely in the probe count
+    val full = rows(VectorOps.hardNegativesAnn(corpus, anchors,
+      "vec_id", "embedding", "label", k = 5, nCells = 4, nProbe = 4))
+    assert(full == brute)
+    // partial probe: every (query, neg) it returns is a genuine pair (no
+    // invented candidates), ranks are dense from 1 per query
+    val part = VectorOps.hardNegativesAnn(corpus, anchors,
+      "vec_id", "embedding", "label", k = 5, nCells = 4, nProbe = 2)
+      .as[(Long, Int, Long, Int, Double)].collect()
+    assert(part.map(r => (r._1, r._3)).toSet.subsetOf(
+      brute.map(r => (r._1, r._3)) ++
+        rows(VectorOps.hardNegatives(corpus, anchors,
+          "vec_id", "embedding", "label", k = 1000)).map(r => (r._1, r._3))))
+    part.groupBy(_._1).foreach { case (_, rs) =>
+      assert(rs.map(_._2).sorted.toSeq == (1 to rs.size).toSeq)
+    }
+  }
+
+  test("hardNegativesAuto routes by Catalyst size stats") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val corpus = emb.filter($"vec_id" >= 16)
+    val anchors = emb.filter($"vec_id" < 16)
+    // only the IVF path quantizes: a __cell column in the plan is the
+    // unambiguous signature of the cell-join route (the brute path never
+    // touches centroids)
+    def tookIvfRoute(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.executedPlan.toString.contains("__cell")
+    val small = VectorOps.hardNegativesAuto(corpus, anchors,
+      "vec_id", "embedding", "label", k = 3)
+    assert(!tookIvfRoute(small), "small anchors must take the broadcast scan")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1") // 1 byte: nothing fits
+      val large = VectorOps.hardNegativesAuto(corpus, anchors,
+        "vec_id", "embedding", "label", k = 3, nCells = 4, nProbe = 4)
+      assert(tookIvfRoute(large), "over-threshold anchors must take the IVF cell join")
+      // and at full probe the routed plan loses nothing
+      assert(large.select("query_id", "neg_id").as[(Long, Long)].collect().toSet ==
+        small.select("query_id", "neg_id").as[(Long, Long)].collect().toSet)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }
