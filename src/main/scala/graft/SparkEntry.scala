@@ -1064,6 +1064,14 @@ object SparkEntry {
       // adjacent char-pair counts inside whitespace tokens
       LlmOps.bpePairCounts(t(s, dir, "documents"), "text", k = 20)),
 
+    "bpe_learn" -> ((s, dir) =>
+      // the actual tokenizer-training loop: 4 iterative merge steps over
+      // the distinct-token vocabulary (one pair-count job + 1-row argmax
+      // per step, localCheckpoint lineage truncation). HARD oracle: the
+      // DuckDB twin unrolls the 4 steps as CTEs and must reproduce every
+      // (step, pair, cnt) exactly
+      LlmOps.bpeLearn(t(s, dir, "documents"), "text", steps = 4)),
+
     "union_by_name" -> ((s, dir) => {
       // schema-evolution union: two ingest batches with drifted schemas
       // align by NAME with null fill — positional union would silently
@@ -2870,6 +2878,52 @@ object SparkEntry {
            FROM tok WHERE len(tk) >= 2)
          SELECT pair, CAST(COUNT(*) AS BIGINT) AS cnt
          FROM p GROUP BY pair ORDER BY cnt DESC, pair LIMIT 20""",
+
+    // the 4-step merge loop unrolled: v_k = vocab after k merges, p_k =
+    // pair counts over v_{k-1}, b_k = the argmax merge. chr(31) is the
+    // doubled U+001F symbol delimiter; replace() scans left-to-right
+    // non-overlapping in both engines, so greedy merge application
+    // replays exactly.
+    "bpe_learn" ->
+      """WITH tok AS (
+           SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS tk
+           FROM documents),
+         v0 AS (
+           SELECT regexp_replace(tk, '(.)', chr(31) || '\1' || chr(31), 'g') AS sym,
+                  COUNT(*) AS freq
+           FROM tok WHERE len(tk) > 0 GROUP BY 1),
+         s1 AS (SELECT freq, string_split(trim(sym, chr(31)), chr(31) || chr(31)) AS syms FROM v0),
+         i1 AS (SELECT freq, syms, unnest(range(1, len(syms))) AS i FROM s1 WHERE len(syms) >= 2),
+         p1 AS (SELECT syms[i] AS l, syms[i + 1] AS r, SUM(freq) AS cnt FROM i1 GROUP BY 1, 2),
+         b1 AS (SELECT l, r, cnt FROM p1 ORDER BY cnt DESC, l, r LIMIT 1),
+         v1 AS (SELECT replace(sym, chr(31) || b.l || chr(31) || chr(31) || b.r || chr(31),
+                               chr(31) || b.l || b.r || chr(31)) AS sym, freq
+                FROM v0, b1 b),
+         s2 AS (SELECT freq, string_split(trim(sym, chr(31)), chr(31) || chr(31)) AS syms FROM v1),
+         i2 AS (SELECT freq, syms, unnest(range(1, len(syms))) AS i FROM s2 WHERE len(syms) >= 2),
+         p2 AS (SELECT syms[i] AS l, syms[i + 1] AS r, SUM(freq) AS cnt FROM i2 GROUP BY 1, 2),
+         b2 AS (SELECT l, r, cnt FROM p2 ORDER BY cnt DESC, l, r LIMIT 1),
+         v2 AS (SELECT replace(sym, chr(31) || b.l || chr(31) || chr(31) || b.r || chr(31),
+                               chr(31) || b.l || b.r || chr(31)) AS sym, freq
+                FROM v1, b2 b),
+         s3 AS (SELECT freq, string_split(trim(sym, chr(31)), chr(31) || chr(31)) AS syms FROM v2),
+         i3 AS (SELECT freq, syms, unnest(range(1, len(syms))) AS i FROM s3 WHERE len(syms) >= 2),
+         p3 AS (SELECT syms[i] AS l, syms[i + 1] AS r, SUM(freq) AS cnt FROM i3 GROUP BY 1, 2),
+         b3 AS (SELECT l, r, cnt FROM p3 ORDER BY cnt DESC, l, r LIMIT 1),
+         v3 AS (SELECT replace(sym, chr(31) || b.l || chr(31) || chr(31) || b.r || chr(31),
+                               chr(31) || b.l || b.r || chr(31)) AS sym, freq
+                FROM v2, b3 b),
+         s4 AS (SELECT freq, string_split(trim(sym, chr(31)), chr(31) || chr(31)) AS syms FROM v3),
+         i4 AS (SELECT freq, syms, unnest(range(1, len(syms))) AS i FROM s4 WHERE len(syms) >= 2),
+         p4 AS (SELECT syms[i] AS l, syms[i + 1] AS r, SUM(freq) AS cnt FROM i4 GROUP BY 1, 2),
+         b4 AS (SELECT l, r, cnt FROM p4 ORDER BY cnt DESC, l, r LIMIT 1)
+         SELECT * FROM (
+           SELECT CAST(1 AS BIGINT) AS step, l AS left_sym, r AS right_sym,
+                  CAST(cnt AS BIGINT) AS cnt FROM b1
+           UNION ALL SELECT 2, l, r, CAST(cnt AS BIGINT) FROM b2
+           UNION ALL SELECT 3, l, r, CAST(cnt AS BIGINT) FROM b3
+           UNION ALL SELECT 4, l, r, CAST(cnt AS BIGINT) FROM b4)
+         ORDER BY step""",
 
     "union_by_name" ->
       """SELECT doc_id, lang, n_chars, CAST(NULL AS VARCHAR) AS source

@@ -1851,6 +1851,75 @@ object LlmOps {
       .orderBy(col("cnt").desc, col("pair"))
       .limit(k)
 
+  /** Iterative byte-pair-encoding LEARNER: the k-step merge loop
+    * [[bpePairCounts]] is the first step of — each iteration counts
+    * adjacent symbol pairs across the corpus, merges the most frequent
+    * (ties: count desc, then left/right symbol asc), and rewrites the
+    * vocabulary, emitting the learned merge table
+    * (step, left_sym, right_sym, cnt) a tokenizer trainer ships.
+    *
+    * Spark-first shape (the pageRank pattern: one job per iteration with
+    * driver-side control flow):
+    *  - the corpus collapses ONCE to the distinct-token frequency
+    *    vocabulary — classic BPE trains on the word-freq dict, so at
+    *    100 TB the loop runs over |vocab| rows, not |corpus|;
+    *  - each iteration is one pair-count aggregation (map-side partials
+    *    over the vocab) + a 1-row argmax collect — the only driver data
+    *    is the winning pair, the legitimate iterative-job control edge;
+    *  - merge application is a pure projection, and `localCheckpoint`
+    *    truncates the per-iteration lineage so step k doesn't replay
+    *    steps 1..k-1.
+    *
+    * Exact replay: each token's symbol state is a string with DOUBLED
+    * U+001F delimiters (shown as mid-dots: `·h··e··l··l·` for "hell"), so one literal
+    * `replace` of `·l··r·` with `·lr·` applies the merge greedily
+    * left-to-right with correct handling of runs (`aaaa` + merge (a,a)
+    * → [aa,aa]) — identical non-overlapping scan semantics in Spark and
+    * DuckDB, making the whole learner hash-oracle-able, not contract-only.
+    */
+  def bpeLearn(df: DataFrame, textCol: String, steps: Int = 4): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val U = "\u001f"
+    def pairCounts(vocab: DataFrame): DataFrame = {
+      val syms = split(
+        regexp_replace(col("__sym"), "^" + U + "|" + U + "$", ""), U + U)
+      vocab.select(col("__freq"), syms.as("__syms"))
+        .filter(size(col("__syms")) >= 2)
+        .select(col("__freq"), explode(zip_with(
+          slice(col("__syms"), lit(1), size(col("__syms")) - 1),
+          slice(col("__syms"), lit(2), size(col("__syms")) - 1),
+          (l, r) => struct(l.as("l"), r.as("r")))).as("__p"))
+        .groupBy(col("__p.l").as("left_sym"), col("__p.r").as("right_sym"))
+        .agg(sum("__freq").as("cnt"))
+    }
+    var vocab = df.select(explode(tokens(col(textCol))).as("__tok"))
+      .filter(length(col("__tok")) > 0)
+      .groupBy("__tok").agg(count(lit(1)).as("__freq"))
+      .select(regexp_replace(col("__tok"), "(.)", U + "$1" + U).as("__sym"),
+        col("__freq"))
+      .localCheckpoint(true)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    var step = 1
+    var exhausted = false
+    while (step <= steps && !exhausted) {
+      val top = pairCounts(vocab)
+        .orderBy(col("cnt").desc, col("left_sym").asc, col("right_sym").asc)
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true // every token is one symbol
+      else {
+        val l = top(0).getString(0); val r = top(0).getString(1)
+        merges += ((step.toLong, l, r, top(0).getLong(2)))
+        vocab = vocab.select(
+          replace(col("__sym"), lit(U + l + U + U + r + U), lit(U + l + r + U))
+            .as("__sym"), col("__freq"))
+          .localCheckpoint(true)
+        step += 1
+      }
+    }
+    merges.toSeq.toDF("step", "left_sym", "right_sym", "cnt").orderBy("step")
+  }
+
   /** Tukey-fence outlier flag per group: a doc is an outlier when its
     * value leaves [q1 − 1.5·IQR, q3 + 1.5·IQR] of its group's exact
     * quartiles — the standard distribution-based length/quality filter a

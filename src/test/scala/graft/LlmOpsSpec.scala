@@ -753,6 +753,31 @@ class LlmOpsSpec extends SparkTestBase {
     assert(got == Seq(("ab", 3L), ("bc", 1L)))
   }
 
+  test("bpeLearn: k-step merges with greedy run semantics and count-desc/pair-asc ties") {
+    // corpus: "abab" x3, "aaaa" x2 — step 1 counts (a,b)=6 within the
+    // three abab tokens (a-b, b-a, a-b each => ab 6? enumerate: abab has
+    // pairs ab, ba, ab) => ab 2 per token ×3 = 6, ba 3, aa 3×2=6 from the
+    // two aaaa tokens. Tie ab=6 vs aa=6 breaks to 'aa' < 'ab' on left/right
+    // asc? left a == a, right a < b => (a,a) wins.
+    val df = Seq("abab abab abab aaaa aaaa").toDF("text")
+    val got = LlmOps.bpeLearn(df, "text", steps = 2)
+      .as[(Long, String, String, Long)].collect().toSeq
+    assert(got.head == ((1L, "a", "a", 6L)))
+    // greedy left-to-right: aaaa -> [aa, aa] (NOT [aa, a, a]), so step 2
+    // sees (aa,aa)=2 from the aaaa tokens and ab/ba from abab unchanged:
+    // ab 6, ba 3 => (a,b) wins step 2 with 6
+    assert(got(1) == ((2L, "a", "b", 6L)))
+  }
+
+  test("bpeLearn: stops early when every token is a single symbol") {
+    val df = Seq("ab ab").toDF("text")
+    val got = LlmOps.bpeLearn(df, "text", steps = 5)
+      .as[(Long, String, String, Long)].collect().toSeq
+    // step 1 merges (a,b) 2x; after that every token is one symbol "ab"
+    // and the loop exhausts at step 2 with only one merge emitted
+    assert(got == Seq((1L, "a", "b", 2L)))
+  }
+
   test("datasetSplit: reproducible, exhaustive, fractions hold, folds in range") {
     val df = spark.range(10000).select($"id")
     val s1 = LlmOps.datasetSplit(df, "id").as[(Long, String, Long)].collect()
