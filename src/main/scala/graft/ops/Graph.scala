@@ -93,6 +93,54 @@ object Graph {
     labels
   }
 
+  /** The edge-volume promotion trigger behind [[connectedComponentsAuto]],
+    * exposed for direct spec coverage. Label propagation re-carries the
+    * FULL symmetric edge set every round (its per-round relation is
+    * ~2|E| + 2|N| rows) and wins on the shallow near-clique graphs dedup
+    * actually produces (2-3 rounds); star contraction pays more rounds
+    * but monotonically SHRINKS the edge set, winning once per-round edge
+    * volume dominates — i.e. when average degree 2|E|/|N| clears
+    * `starEdgeFactor`. Degree, not raw |E|: a billion-node graph of tiny
+    * components is label-propagation territory at any absolute edge
+    * count, while a dense co-occurrence graph promotes at any size.
+    */
+  def chooseStarContraction(nNodes: Long, nEdges: Long,
+                            starEdgeFactor: Double = 8.0): Boolean =
+    nNodes > 0 && 2.0 * nEdges / nNodes >= starEdgeFactor
+
+  /** [[connectedComponents]] with the mode picked by the documented
+    * edge-volume heuristic: one cheap pre-pass counts distinct undirected
+    * edges and nodes (amortized against the O(rounds·|E|) closure), then
+    * [[chooseStarContraction]] routes. Callers that know their graph
+    * shape pass the explicit flag; pipelines over arbitrary pair sets use
+    * this.
+    */
+  def connectedComponentsAuto(edges: DataFrame, srcCol: String, dstCol: String,
+                              maxIter: Int = 25,
+                              starEdgeFactor: Double = 8.0): DataFrame = {
+    val und = edges.select(
+        least(col(srcCol), col(dstCol)).as("__a"),
+        greatest(col(srcCol), col(dstCol)).as("__b"))
+      .distinct()
+    val nEdges = und.count()
+    val nNodes = und.select(col("__a").as("__n"))
+      .union(und.select(col("__b").as("__n"))).distinct().count()
+    connectedComponents(edges, srcCol, dstCol, maxIter,
+      starContraction = chooseStarContraction(nNodes, nEdges, starEdgeFactor))
+  }
+
+  /** Mode routing for the dedup entry points: an explicit caller choice
+    * wins; `None` takes the [[connectedComponentsAuto]] edge-volume
+    * heuristic.
+    */
+  private def closure(edges: DataFrame,
+                      starContraction: Option[Boolean]): DataFrame =
+    starContraction match {
+      case Some(mode) =>
+        connectedComponents(edges, "id_a", "id_b", starContraction = mode)
+      case None => connectedComponentsAuto(edges, "id_a", "id_b")
+    }
+
   /** Alternating star-contraction connected components (Kiveris et al.,
     * "Connected Components in MapReduce and Beyond", SOCC'14).
     *
@@ -191,14 +239,13 @@ object Graph {
     * survivor (minimum id) per cluster. Docs in no pair survive trivially.
     */
   def dedupClusters(docs: DataFrame, pairs: DataFrame, idCol: String,
-                    starContraction: Boolean = false): DataFrame = {
+                    starContraction: Option[Boolean] = None): DataFrame = {
     // Materialize the (tiny) pair set once: `sym` unions two projections of
     // it and every closure round re-reads it — without this the whole
     // MinHash pair pipeline upstream would be re-derived per branch.
     val edges = pairs.select("id_a", "id_b").localCheckpoint()
     docs.select(col(idCol))
-      .join(connectedComponents(edges, "id_a", "id_b",
-          starContraction = starContraction),
+      .join(closure(edges, starContraction),
         col(idCol) === col("node"), "left")
       .select(col(idCol),
         coalesce(col("label"), col(idCol)).as("cluster_id"))
@@ -289,11 +336,10 @@ object Graph {
     */
   def dedupClustersBy(docs: DataFrame, pairs: DataFrame, idCol: String,
                       scoreCol: String,
-                      starContraction: Boolean = false): DataFrame = {
+                      starContraction: Option[Boolean] = None): DataFrame = {
     val edges = pairs.select("id_a", "id_b").localCheckpoint()
     val labeled = docs.select(col(idCol), col(scoreCol))
-      .join(connectedComponents(edges, "id_a", "id_b",
-          starContraction = starContraction),
+      .join(closure(edges, starContraction),
         col(idCol) === col("node"), "left")
       .select(col(idCol), col(scoreCol),
         coalesce(col("label"), col(idCol)).as("cluster_id"))

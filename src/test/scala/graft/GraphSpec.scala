@@ -136,6 +136,47 @@ class GraphSpec extends SparkTestBase {
     assert(agg == ((n, 1L, 1L)), s"expected $n nodes, one component rooted at 1, got $agg")
   }
 
+  test("promotion trigger: average degree 2|E|/|N| against the factor") {
+    // dedup near-clique shape: modest degree stays on label propagation
+    assert(!Graph.chooseStarContraction(nNodes = 1000, nEdges = 1500))
+    // dense co-occurrence shape: degree 2*40000/1000 = 80 promotes
+    assert(Graph.chooseStarContraction(nNodes = 1000, nEdges = 40000))
+    // exactly at the factor promotes (>=), size-independent either way
+    assert(Graph.chooseStarContraction(nNodes = 4, nEdges = 16))
+    assert(!Graph.chooseStarContraction(nNodes = 4, nEdges = 15))
+    assert(!Graph.chooseStarContraction(nNodes = 0, nEdges = 0))
+  }
+
+  test("auto closure: adversarial 2000-node chain and a dense block both label correctly") {
+    // chain: avg degree ~2 keeps label propagation (pointer doubling
+    // handles the diameter in O(log n) rounds) — auto must complete and
+    // match the explicit star run
+    val chain = spark.range(1, 2000)
+      .select(col("id").as("src"), (col("id") + 1).as("dst"))
+    val auto = Graph.connectedComponentsAuto(chain, "src", "dst")
+      .agg(count(lit(1)), countDistinct(col("label")), min(col("label")))
+      .as[(Long, Long, Long)].head()
+    assert(auto == ((2000L, 1L, 1L)))
+    // dense block: 40 nodes fully meshed (avg degree 39 >= 8) routes to
+    // star contraction; labels still the component minimum everywhere
+    val mesh = (0L until 40L).flatMap(a => (a + 1 until 40L).map(b => (a, b)))
+      .toDF("src", "dst")
+    val got = Graph.connectedComponentsAuto(mesh, "src", "dst")
+      .as[(Long, Long)].collect()
+    assert(got.length == 40 && got.forall(_._2 == 0L))
+  }
+
+  test("dedupClusters default (auto) routes and matches both explicit modes") {
+    val docs = (1L to 12L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (10L, 11L)).toDF("id_a", "id_b")
+    def rows(sc: Option[Boolean]) =
+      Graph.dedupClusters(docs, pairs, "doc_id", starContraction = sc)
+        .as[(Long, Long, Boolean)].collect().toSet
+    val auto = rows(None)
+    assert(auto == rows(Some(false)) && auto == rows(Some(true)))
+    assert(auto.count(_._3) == 12 - 4) // non-survivors 2,3,6,11 dropped
+  }
+
   test("empty edge set: every doc is its own surviving cluster") {
     val docs = Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text")
     val noPairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
