@@ -459,4 +459,25 @@ class PlanSpec extends SparkTestBase {
     assert(!finalPlan.contains("SortMergeJoin") &&
       !finalPlan.contains("CartesianProduct"), finalPlan)
   }
+
+  test("hard_negatives_ann: cell join is a shuffle equi-join when nothing may broadcast") {
+    // the two-sided-large contract: with the broadcast threshold off,
+    // corpus and probes must still meet on an EQUI-join over the cell id
+    // (shuffle join), and per-query top-k must group-limit before the
+    // rank exchange. The only nested-loop allowed is the centroid-table
+    // cross join (8 literal rows by construction).
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val p = planOf("hard_negatives_ann")
+      val finalPlan = p.split("== Initial Plan ==").head
+      assert(finalPlan.contains("SortMergeJoin") ||
+        finalPlan.contains("ShuffledHashJoin"),
+        s"cell join must survive without broadcast:\n$finalPlan")
+      assert(finalPlan.contains("WindowGroupLimit"), finalPlan)
+      // centroid cross joins: broadcast-tiny BuildRight/BuildLeft only
+      val bnlj = finalPlan.split("BroadcastNestedLoopJoin").length - 1
+      assert(bnlj <= 4, s"unexpected nested-loop volume ($bnlj):\n$finalPlan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }
