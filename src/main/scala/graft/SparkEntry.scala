@@ -534,6 +534,32 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    "knn_classify_ann" -> ((s, dir) => {
+      // two-sided-large labeling pass: 32 queries classified through the
+      // IVF cell join. Agreement contract vs the brute knnClassify twin:
+      // with nProbe=6 of 8 cells the modal-label vote must agree on >=70%
+      // of queries. nProbe is wide because these synthetic embeddings are
+      // near-uniform Gaussians over 10 labels: modal votes are won by 1-2
+      // ballots, so vote stability needs most true neighbors present —
+      // real clustered embeddings agree at much smaller nProbe
+      val emb = t(s, dir, "embeddings")
+      val corpus = emb.filter(col("vec_id") >= 32)
+      val anchors = emb.filter(col("vec_id") < 32)
+      val ann = VectorOps.knnClassifyAnn(corpus, anchors, "vec_id",
+        "embedding", "label", k = 5, nCells = 8, nProbe = 6)
+      val brute = VectorOps.knnClassify(corpus, anchors, "vec_id",
+        "embedding", "label", k = 5)
+      val agree = ann.select(col("query_id"), col("pred_label").as("__pa"))
+        .join(brute.select(col("query_id"), col("pred_label").as("__pb")),
+          Seq("query_id"))
+        .agg(count(lit(1)).as("n_queries"),
+          sum(when(col("__pa") === col("__pb"), 1L).otherwise(0L)).as("__same"))
+      // measured __same at sf0.001/0.01/0.1: 28/27/27 of 32 — the 70%
+      // bound holds with ~5-query margin at every SF
+      agree.select(col("n_queries"), (col("__same") * 10 >= col("n_queries") * 7)
+        .as("agreement_ok"))
+    }),
+
     "hard_negatives_ann" -> ((s, dir) => {
       // two-sided-large mining path: 32 anchors x corpus through the IVF
       // cell join (nothing query-side broadcasts except the 8-row centroid
@@ -1063,6 +1089,13 @@ object SparkEntry {
       // tokenizer-training statistic: the first BPE merge step's top
       // adjacent char-pair counts inside whitespace tokens
       LlmOps.bpePairCounts(t(s, dir, "documents"), "text", k = 20)),
+
+    "bpe_apply" -> ((s, dir) =>
+      // tokenize with the learned merges: the post-merge symbol
+      // vocabulary's top-20, weighted by corpus occurrence — the working
+      // vocabulary a trainer inspects for merge quality. Hash-exact twin
+      // extends the bpe_learn CTE chain with one split+count
+      LlmOps.bpeApply(t(s, dir, "documents"), "text", steps = 4, k = 20)),
 
     "bpe_learn" -> ((s, dir) =>
       // the actual tokenizer-training loop: 4 iterative merge steps over
@@ -1801,6 +1834,9 @@ object SparkEntry {
 
     "hard_negatives_ann" ->
       "SELECT CAST(32 AS BIGINT) AS n_queries, TRUE AS recall_ok, TRUE AS min_recall_ok",
+
+    "knn_classify_ann" ->
+      "SELECT CAST(32 AS BIGINT) AS n_queries, TRUE AS agreement_ok",
 
     "hard_negatives" ->
       """WITH q AS (SELECT vec_id AS query_id, label AS qlab, embedding AS qv
@@ -2884,6 +2920,47 @@ object SparkEntry {
     // doubled U+001F symbol delimiter; replace() scans left-to-right
     // non-overlapping in both engines, so greedy merge application
     // replays exactly.
+    "bpe_apply" ->
+      """WITH tok AS (
+           SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS tk
+           FROM documents),
+         v0 AS (
+           SELECT regexp_replace(tk, '(.)', chr(31) || '\1' || chr(31), 'g') AS sym,
+                  COUNT(*) AS freq
+           FROM tok WHERE len(tk) > 0 GROUP BY 1),
+         s1 AS (SELECT freq, string_split(trim(sym, chr(31)), chr(31) || chr(31)) AS syms FROM v0),
+         i1 AS (SELECT freq, syms, unnest(range(1, len(syms))) AS i FROM s1 WHERE len(syms) >= 2),
+         p1 AS (SELECT syms[i] AS l, syms[i + 1] AS r, SUM(freq) AS cnt FROM i1 GROUP BY 1, 2),
+         b1 AS (SELECT l, r, cnt FROM p1 ORDER BY cnt DESC, l, r LIMIT 1),
+         v1 AS (SELECT replace(sym, chr(31) || b.l || chr(31) || chr(31) || b.r || chr(31),
+                               chr(31) || b.l || b.r || chr(31)) AS sym, freq
+                FROM v0, b1 b),
+         s2 AS (SELECT freq, string_split(trim(sym, chr(31)), chr(31) || chr(31)) AS syms FROM v1),
+         i2 AS (SELECT freq, syms, unnest(range(1, len(syms))) AS i FROM s2 WHERE len(syms) >= 2),
+         p2 AS (SELECT syms[i] AS l, syms[i + 1] AS r, SUM(freq) AS cnt FROM i2 GROUP BY 1, 2),
+         b2 AS (SELECT l, r, cnt FROM p2 ORDER BY cnt DESC, l, r LIMIT 1),
+         v2 AS (SELECT replace(sym, chr(31) || b.l || chr(31) || chr(31) || b.r || chr(31),
+                               chr(31) || b.l || b.r || chr(31)) AS sym, freq
+                FROM v1, b2 b),
+         s3 AS (SELECT freq, string_split(trim(sym, chr(31)), chr(31) || chr(31)) AS syms FROM v2),
+         i3 AS (SELECT freq, syms, unnest(range(1, len(syms))) AS i FROM s3 WHERE len(syms) >= 2),
+         p3 AS (SELECT syms[i] AS l, syms[i + 1] AS r, SUM(freq) AS cnt FROM i3 GROUP BY 1, 2),
+         b3 AS (SELECT l, r, cnt FROM p3 ORDER BY cnt DESC, l, r LIMIT 1),
+         v3 AS (SELECT replace(sym, chr(31) || b.l || chr(31) || chr(31) || b.r || chr(31),
+                               chr(31) || b.l || b.r || chr(31)) AS sym, freq
+                FROM v2, b3 b),
+         s4 AS (SELECT freq, string_split(trim(sym, chr(31)), chr(31) || chr(31)) AS syms FROM v3),
+         i4 AS (SELECT freq, syms, unnest(range(1, len(syms))) AS i FROM s4 WHERE len(syms) >= 2),
+         p4 AS (SELECT syms[i] AS l, syms[i + 1] AS r, SUM(freq) AS cnt FROM i4 GROUP BY 1, 2),
+         b4 AS (SELECT l, r, cnt FROM p4 ORDER BY cnt DESC, l, r LIMIT 1),
+         v4 AS (SELECT replace(sym, chr(31) || b.l || chr(31) || chr(31) || b.r || chr(31),
+                               chr(31) || b.l || b.r || chr(31)) AS sym, freq
+                FROM v3, b4 b),
+         sy AS (SELECT freq, unnest(string_split(trim(sym, chr(31)), chr(31) || chr(31))) AS symbol
+                FROM v4)
+         SELECT symbol, CAST(SUM(freq) AS BIGINT) AS cnt
+         FROM sy GROUP BY symbol ORDER BY cnt DESC, symbol LIMIT 20""",
+
     "bpe_learn" ->
       """WITH tok AS (
            SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS tk

@@ -264,6 +264,48 @@ object VectorOps {
         col("neg_label"), col("score"))
   }
 
+  /** Two-sided-large k-NN classification via the same IVF cell join as
+    * [[hardNegativesAnn]]: corpus rows carry their quantizer cell, each
+    * query probes its `nProbe` nearest cells (WindowGroupLimit over the
+    * broadcast-tiny centroid table), candidates meet on a shuffle
+    * equi-join over the cell id, and the vote is the modal label of the
+    * k nearest candidates (ties: votes desc, then label asc — the
+    * [[knnClassify]] contract). Use when the query set outgrows a
+    * broadcast; recall<1 by probe design, so the declared-query oracle is
+    * an agreement contract against the brute twin.
+    */
+  def knnClassifyAnn(corpus: DataFrame, queries: DataFrame, idCol: String,
+                     embCol: String, labelCol: String, k: Int = 5,
+                     nCells: Int = 8, nProbe: Int = 2, seed: Long = 42L,
+                     sampleCap: Int = 4096): DataFrame = {
+    val spark = corpus.sparkSession
+    val (assigned, centroids) = ivfIndex(corpus, embCol, nCells, seed, sampleCap)
+    val q = queries.select(col(idCol).as("query_id"), col(embCol).as("__qv"))
+    val byCent = Window.partitionBy(col("query_id"))
+      .orderBy(col("__cs").desc, col("__cell").asc)
+    val probes = q.crossJoin(broadcast(centroids))
+      .select(col("query_id"), col("__qv"), col("__cell"),
+        cosineBest(spark, col("__centroid"), col("__qv")).as("__cs"))
+      .withColumn("__pr", row_number().over(byCent))
+      .filter(col("__pr") <= nProbe)
+      .select(col("query_id"), col("__qv"), col("__cell"))
+    val byScore = Window.partitionBy(col("query_id"))
+      .orderBy(col("__score").desc, col("__nid").asc)
+    val byVotes = Window.partitionBy(col("query_id"))
+      .orderBy(col("__votes").desc, col(labelCol).asc)
+    assigned.join(probes, Seq("__cell"))
+      .select(col("query_id"), col(labelCol), col(idCol).as("__nid"),
+        cosineBest(spark, col(embCol), col("__qv")).as("__score"))
+      .withColumn("__rn", row_number().over(byScore))
+      .filter(col("__rn") <= k)
+      .groupBy(col("query_id"), col(labelCol))
+      .agg(count(lit(1)).as("__votes"))
+      .withColumn("__r2", row_number().over(byVotes))
+      .filter(col("__r2") === 1)
+      .select(col("query_id"), col(labelCol).as("pred_label"),
+        col("__votes").as("votes"))
+  }
+
   /** Size-routed hard negatives: broadcast scan when Catalyst's own plan
     * statistics say the anchor side fits under
     * `spark.sql.autoBroadcastJoinThreshold` (the same signal the planner

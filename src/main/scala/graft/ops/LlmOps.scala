@@ -1880,6 +1880,16 @@ object LlmOps {
   def bpeLearn(df: DataFrame, textCol: String, steps: Int = 4): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    bpeTrain(df, textCol, steps)._2
+      .toDF("step", "left_sym", "right_sym", "cnt").orderBy("step")
+  }
+
+  /** The BPE loop shared by [[bpeLearn]] (emits the merge table) and
+    * [[bpeApply]] (emits the post-merge symbol vocabulary): returns the
+    * final delimited vocabulary and the collected merges.
+    */
+  private def bpeTrain(df: DataFrame, textCol: String, steps: Int)
+      : (DataFrame, Seq[(Long, String, String, Long)]) = {
     val U = "\u001f"
     def pairCounts(vocab: DataFrame): DataFrame = {
       val syms = split(
@@ -1917,7 +1927,33 @@ object LlmOps {
         step += 1
       }
     }
-    merges.toSeq.toDF("step", "left_sym", "right_sym", "cnt").orderBy("step")
+    (vocab, merges.toSeq)
+  }
+
+  /** TOKENIZES with the learned merges: runs the same k-step loop, then
+    * explodes the post-merge vocabulary into its symbols and counts total
+    * corpus occurrences (token frequency × in-token multiplicity) — the
+    * resulting symbol table IS the tokenizer's working vocabulary, and
+    * its top slice is what a trainer inspects to sanity-check merge
+    * quality (are the learned units morpheme-like or noise?). Top-k by
+    * (cnt desc, symbol asc); hash-exact: counts are exact longs over the
+    * same replayable merge states the [[bpeLearn]] oracle unrolls.
+    *
+    * Scale shape: everything [[bpeLearn]] pays plus one explode+groupBy
+    * over the vocabulary — corpus text is touched once (the initial
+    * word-count), never re-scanned per step.
+    */
+  def bpeApply(df: DataFrame, textCol: String, steps: Int = 4,
+               k: Int = 20): DataFrame = {
+    val U = "\u001f"
+    val (vocab, _) = bpeTrain(df, textCol, steps)
+    val syms = split(
+      regexp_replace(col("__sym"), "^" + U + "|" + U + "$", ""), U + U)
+    vocab.select(col("__freq"), explode(syms).as("symbol"))
+      .groupBy("symbol")
+      .agg(sum("__freq").as("cnt"))
+      .orderBy(col("cnt").desc, col("symbol").asc)
+      .limit(k)
   }
 
   /** Tukey-fence outlier flag per group: a doc is an outlier when its

@@ -769,6 +769,15 @@ class LlmOpsSpec extends SparkTestBase {
     assert(got(1) == ((2L, "a", "b", 6L)))
   }
 
+  test("bpeApply: post-merge symbol vocabulary with corpus-weighted counts") {
+    // merges (see bpeLearn spec): step1 (a,a), step2 (a,b). Final states:
+    // abab -> [ab, ab] (freq 3), aaaa -> [aa, aa] (freq 2)
+    val df = Seq("abab abab abab aaaa aaaa").toDF("text")
+    val got = LlmOps.bpeApply(df, "text", steps = 2, k = 10)
+      .as[(String, Long)].collect().toSeq
+    assert(got == Seq(("ab", 6L), ("aa", 4L)))
+  }
+
   test("bpeLearn: stops early when every token is a single symbol") {
     val df = Seq("ab ab").toDF("text")
     val got = LlmOps.bpeLearn(df, "text", steps = 5)

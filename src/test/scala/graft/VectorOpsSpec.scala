@@ -240,6 +240,27 @@ class VectorOpsSpec extends SparkTestBase {
     }
   }
 
+  test("knnClassifyAnn: full probe == brute classification; votes and tie-breaks intact") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val corpus = emb.filter($"vec_id" >= 16)
+    val anchors = emb.filter($"vec_id" < 16)
+    val brute = VectorOps.knnClassify(corpus, anchors,
+      "vec_id", "embedding", "label", k = 5)
+      .as[(Long, Int, Long)].collect().toSet
+    // probing all cells makes the cell join exhaustive: predictions AND
+    // vote counts must match the broadcast path exactly
+    val full = VectorOps.knnClassifyAnn(corpus, anchors,
+      "vec_id", "embedding", "label", k = 5, nCells = 4, nProbe = 4)
+      .as[(Long, Int, Long)].collect().toSet
+    assert(full == brute)
+    // partial probe: one prediction per query, votes within [1, k]
+    val part = VectorOps.knnClassifyAnn(corpus, anchors,
+      "vec_id", "embedding", "label", k = 5, nCells = 4, nProbe = 2)
+      .as[(Long, Int, Long)].collect()
+    assert(part.map(_._1).distinct.length == part.length)
+    assert(part.forall(r => r._3 >= 1 && r._3 <= 5))
+  }
+
   test("hardNegativesAuto routes by Catalyst size stats") {
     val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val corpus = emb.filter($"vec_id" >= 16)
