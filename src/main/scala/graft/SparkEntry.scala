@@ -1117,6 +1117,31 @@ object SparkEntry {
       Relational.unionByNameLoose(Seq(batchA, batchB)).orderBy("doc_id")
     }),
 
+    "bloom_join" -> ((s, dir) => {
+      // shuffle-reduction audit: orders joined to one nation's customers
+      // through the relational bloom prefilter. Census is fully
+      // md5-replayable: n_pass (bloom survivors), n_match (true semi
+      // join), false_pass = their gap (bounded by the bloom rate), and
+      // the joined-row count + exact floored revenue prove the final join
+      // equals the plain one (no false negatives by construction)
+      val orders = t(s, dir, "orders")
+      val dim = t(s, dir, "customer").filter(col("c_nationkey") === 5)
+      val bits = Relational.bloomBits(dim, "c_custkey")
+      val nFact = orders.agg(count(lit(1)).as("n_fact"))
+      val nPass = Relational.bloomPass(orders, "o_custkey", bits)
+        .agg(count(lit(1)).as("n_pass"))
+      val nMatch = orders.join(dim, col("o_custkey") === col("c_custkey"),
+        "left_semi").agg(count(lit(1)).as("n_match"))
+      val joined = Relational.bloomPrefilterJoin(orders, dim,
+          "o_custkey", "c_custkey")
+        .agg(count(lit(1)).as("n_joined"),
+          sum(floor(col("o_totalprice")).cast("long")).as("rev_floor"))
+      nFact.crossJoin(nPass).crossJoin(nMatch).crossJoin(joined)
+        .select(col("n_fact"), col("n_pass"), col("n_match"),
+          (col("n_pass") - col("n_match")).as("false_pass"),
+          col("n_joined"), col("rev_floor"))
+    }),
+
     "salted_join_counts" -> ((s, dir) => {
       // skew-proof shuffle join: events' hot user keys spread over 16
       // salted reducers against a 16×-replicated dim; rows identical to
@@ -3011,6 +3036,29 @@ object SparkEntry {
          ORDER BY doc_id""",
 
     // the oracle IS the plain join: salting must be output-invisible
+    "bloom_join" ->
+      """WITH dim AS (SELECT c_custkey FROM customer WHERE c_nationkey = 5),
+         bits AS (
+           SELECT DISTINCT ('0x' || substr(md5('bloom:' || t.j || ':' ||
+             CAST(c_custkey AS VARCHAR)), 1, 12))::BIGINT % 4096 AS pos
+           FROM dim, range(0, 2) t(j)),
+         pass AS (
+           SELECT * FROM orders
+           WHERE (('0x' || substr(md5('bloom:0:' || CAST(o_custkey AS VARCHAR)), 1, 12))::BIGINT % 4096)
+                   IN (SELECT pos FROM bits)
+             AND (('0x' || substr(md5('bloom:1:' || CAST(o_custkey AS VARCHAR)), 1, 12))::BIGINT % 4096)
+                   IN (SELECT pos FROM bits)),
+         mtch AS (SELECT * FROM orders WHERE o_custkey IN (SELECT c_custkey FROM dim)),
+         joined AS (SELECT o_totalprice FROM pass JOIN dim ON o_custkey = c_custkey)
+         SELECT
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders) AS n_fact,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM pass) AS n_pass,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM mtch) AS n_match,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM pass) -
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM mtch) AS false_pass,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM joined) AS n_joined,
+           (SELECT CAST(SUM(FLOOR(o_totalprice)) AS BIGINT) FROM joined) AS rev_floor""",
+
     "salted_join_counts" ->
       """SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS cnt
          FROM events JOIN customer ON user_id = c_custkey

@@ -481,4 +481,54 @@ object Relational {
         min(col("__vmin") + (col("bucket") + 1) * (col("__vmax") - col("__vmin")) / buckets)
           .as("hi_edge"))
   }
+
+  /** Distinct bloom bit positions of a dimension's keys: `hashes`
+    * independent portable md5-48 positions per key, modulo `mBits`. The
+    * whole set is ≤ mBits rows — broadcast-sized by construction at any
+    * dimension cardinality.
+    */
+  def bloomBits(dim: DataFrame, dimKey: String,
+                mBits: Int = 4096, hashes: Int = 2): DataFrame = {
+    val positions = array((0 until hashes).map(j =>
+      pmod(graft.ops.LlmOps.md5Hash48(
+        concat(lit(s"bloom:$j:"), col(dimKey).cast("string")), 1), lit(mBits))): _*)
+    dim.select(explode(positions).as("__pos")).distinct()
+  }
+
+  /** Keep only fact rows whose key passes every bloom probe — `hashes`
+    * broadcast LEFT SEMI joins, all map-side: no fact row moves. No false
+    * negatives (every true match passes); false passes are bounded by the
+    * standard bloom rate (~(s/mBits)^hashes for s set bits).
+    */
+  def bloomPass(fact: DataFrame, factKey: String, bits: DataFrame,
+                mBits: Int = 4096, hashes: Int = 2): DataFrame =
+    (0 until hashes).foldLeft(fact) { (df, j) =>
+      val pos = pmod(graft.ops.LlmOps.md5Hash48(
+        concat(lit(s"bloom:$j:"), col(factKey).cast("string")), 1), lit(mBits))
+      df.join(broadcast(bits.select(col("__pos").as(s"__p$j"))),
+        pos === col(s"__p$j"), "left_semi")
+    }
+
+  /** Bloom-prefiltered fact⋈dim equi-join — the explicit, engine-portable
+    * form of the runtime-bloom shuffle reduction (Spark's own
+    * `runtime.bloomFilter` injects this adaptively; here it is an operator
+    * a pipeline can apply deliberately and an external oracle can REPLAY,
+    * because the positions are the portable md5-48 family).
+    *
+    * Why it matters at 100 TB: a selective dimension (one nation's
+    * customers, one day's keys) matches a tiny fraction of the fact
+    * table, but a plain shuffle join still exchanges EVERY fact row. The
+    * bloom pass drops non-matching rows MAP-SIDE, before the exchange, so
+    * shuffle bytes fall by the non-match fraction (minus the bloom's
+    * false-pass rate); correctness is untouched — no false negatives, and
+    * the join itself re-checks every surviving row. The bits table is
+    * ≤ mBits rows regardless of dimension size.
+    */
+  def bloomPrefilterJoin(fact: DataFrame, dim: DataFrame,
+                         factKey: String, dimKey: String,
+                         mBits: Int = 4096, hashes: Int = 2): DataFrame = {
+    val bits = bloomBits(dim, dimKey, mBits, hashes).localCheckpoint(true)
+    bloomPass(fact, factKey, bits, mBits, hashes)
+      .join(dim, col(factKey) === col(dimKey))
+  }
 }

@@ -460,6 +460,17 @@ class PlanSpec extends SparkTestBase {
       !finalPlan.contains("CartesianProduct"), finalPlan)
   }
 
+  test("bloom_join: prefilter semi-joins broadcast (map-side) — fact rows drop before any exchange") {
+    val p = planOf("bloom_join")
+    val finalPlan = p.split("== Initial Plan ==").head
+    // both bloom probes must be broadcast left-semi (no shuffle to
+    // evaluate the filter), so the only exchanged fact rows are survivors
+    val semiBroadcasts = finalPlan.linesIterator.count(l =>
+      l.contains("BroadcastHashJoin") && l.contains("LeftSemi"))
+    assert(semiBroadcasts >= 2,
+      s"bloom probes must be broadcast semi-joins ($semiBroadcasts):\n$finalPlan")
+  }
+
   test("hard_negatives_ann: cell join is a shuffle equi-join when nothing may broadcast") {
     // the two-sided-large contract: with the broadcast threshold off,
     // corpus and probes must still meet on an EQUI-join over the cell id

@@ -349,4 +349,32 @@ class RelationalSpec extends SparkTestBase {
       .as[(Long, Long, Double, Double)].collect().toSeq
     assert(got == Seq((0L, 3L, 7.5, 7.5)))
   }
+
+  test("bloomPrefilterJoin == plain join (no false negatives at any mBits)") {
+    val fact = (1L to 500L).map(k => (k, k % 37)).toDF("fid", "fkey")
+    val dim = Seq((3L, "a"), (11L, "b"), (36L, "c")).toDF("dkey", "dval")
+    val plain = fact.join(dim, $"fkey" === $"dkey")
+      .select("fid", "dval").as[(Long, String)].collect().toSet
+    // generous and ADVERSARIALLY TINY filters: even mBits=2 (everything
+    // collides) must lose nothing — false negatives are impossible, the
+    // final join re-checks every survivor
+    for (m <- Seq(2, 64, 4096)) {
+      val got = Relational.bloomPrefilterJoin(fact, dim, "fkey", "dkey",
+        mBits = m).select("fid", "dval").as[(Long, String)].collect().toSet
+      assert(got == plain, s"mBits=$m diverged")
+    }
+  }
+
+  test("bloomPass: survivors superset matches, tiny filter forces false passes") {
+    val fact = (1L to 1000L).toDF("fkey")
+    val dim = Seq(5L, 500L).toDF("dkey")
+    val bits = Relational.bloomBits(dim, "dkey", mBits = 16, hashes = 2)
+    val pass = Relational.bloomPass(fact, "fkey", bits, mBits = 16, hashes = 2)
+      .as[Long].collect().toSet
+    assert(pass.contains(5L) && pass.contains(500L), "true keys must pass")
+    // 2 keys set <=4 of 16 bits; ~1000*(4/16)^2 ~ 62 expected false
+    // passes — the census the declared query exposes must be non-trivial
+    assert(pass.size > 2, "tiny filter should admit false passes")
+    assert(pass.size < 500, "but still prune most of the fact side")
+  }
 }
