@@ -1090,6 +1090,14 @@ object SparkEntry {
       // adjacent char-pair counts inside whitespace tokens
       LlmOps.bpePairCounts(t(s, dir, "documents"), "text", k = 20)),
 
+    "chunk_windows" -> ((s, dir) =>
+      // RAG chunking with overlap: 40-token windows, stride 20; boundary
+      // arithmetic is integer-exact, fingerprints are md5 — every row
+      // hash-replays in the oracle
+      LlmOps.chunkWindows(t(s, dir, "documents"), "doc_id", "text",
+          window = 40, stride = 20)
+        .orderBy("doc_id", "chunk_id")),
+
     "bpe_apply" -> ((s, dir) =>
       // tokenize with the learned merges: the post-merge symbol
       // vocabulary's top-20, weighted by corpus occurrence — the working
@@ -2945,6 +2953,20 @@ object SparkEntry {
     // doubled U+001F symbol delimiter; replace() scans left-to-right
     // non-overlapping in both engines, so greedy merge application
     // replays exactly.
+    "chunk_windows" ->
+      """WITH t2 AS (
+           SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+           FROM documents WHERE trim(text) <> ''),
+         t3 AS (SELECT doc_id, toks, len(toks) AS n FROM t2),
+         st AS (
+           SELECT doc_id, toks, n,
+             unnest(range(0, 1 + (greatest(n - 40, 0) + 19) // 20)) AS c
+           FROM t3)
+         SELECT doc_id, c AS chunk_id, c * 20 AS start_tok,
+           CAST(len(toks[c * 20 + 1 : least(c * 20 + 40, n)]) AS BIGINT) AS n_toks,
+           md5(array_to_string(toks[c * 20 + 1 : least(c * 20 + 40, n)], ' ')) AS chunk_fp
+         FROM st ORDER BY doc_id, chunk_id""",
+
     "bpe_apply" ->
       """WITH tok AS (
            SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS tk

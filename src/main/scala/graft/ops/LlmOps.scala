@@ -1244,6 +1244,41 @@ object LlmOps {
         coalesce(col("__owned"), lit(0L)).as("n_owned"))
   }
 
+  /** RAG / training-data chunker: overlapping fixed-width token windows
+    * with full provenance — (doc_id, chunk_id, start_tok, n_toks,
+    * chunk_fp). `stride < window` overlaps consecutive chunks (the
+    * standard retrieval-context recipe so no answer span straddles a
+    * boundary unseen); the final window is allowed short rather than
+    * dropping tail tokens. Chunk count = 1 + ⌈max(0, n−window)/stride⌉,
+    * computed in integer arithmetic so an external engine replays every
+    * boundary; the fingerprint keys chunk-level dedup/contamination
+    * downstream ([[chunkDedup]] semantics at these exact boundaries).
+    *
+    * Scale shape: pure per-row explode — no shuffle at all; output rows
+    * carry a 16-byte fingerprint, not the chunk text, so the exchange to
+    * any downstream groupBy stays fingerprint-sized.
+    */
+  def chunkWindows(df: DataFrame, idCol: String, textCol: String,
+                   window: Int = 40, stride: Int = 20): DataFrame = {
+    require(window >= 1 && stride >= 1, "window and stride must be positive")
+    val toks = tokens(col(textCol))
+    val n = size(col("__toks")).cast("long")
+    val nChunks = lit(1L) +
+      floor((greatest(n - window, lit(0L)).cast("double") + (stride - 1)) / stride)
+        .cast("long")
+    df.filter(trim(col(textCol)) =!= "")
+      .select(col(idCol), toks.as("__toks"))
+      .select(col(idCol), col("__toks"),
+        explode(sequence(lit(0L), nChunks - 1)).as("chunk_id"))
+      .select(col(idCol), col("chunk_id"),
+        (col("chunk_id") * stride).as("start_tok"),
+        slice(col("__toks"), (col("chunk_id") * stride + 1).cast("int"),
+          lit(window)).as("__w"))
+      .select(col(idCol), col("chunk_id"), col("start_tok"),
+        size(col("__w")).cast("long").as("n_toks"),
+        md5(concat_ws(" ", col("__w"))).as("chunk_fp"))
+  }
+
   /** Statistical language-model fluency score: the mean corpus frequency
     * of a document's bigrams — `Σ corpus_count(bg) / (n_bg_doc · N_bg)`.
     * Formulaic/common text scores high, rare-token garbage scores low; the

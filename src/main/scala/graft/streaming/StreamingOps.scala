@@ -432,6 +432,27 @@ object StreamingOps {
     }
   }
 
+  /** Streaming corpus heavy hitters: the native `misra_gries` k-counter
+    * aggregate as an UNBOUNDED streaming aggregation (complete mode) —
+    * O(k) state total regardless of stream length or vocabulary, the
+    * sketch's whole point at stream scale (an exact streaming word count
+    * would grow state with the vocabulary). Emits the terms whose sketch
+    * estimate already clears the N/(k+1) threshold; since MG never
+    * over-counts (est ≤ true), every emitted term is a TRUE heavy hitter
+    * — the stream never false-alarms. Borderline hitters whose estimate
+    * was decremented below threshold can lag until more mass arrives;
+    * that one-sidedness is the documented MG trade and what the spec
+    * checks against the batch exact side.
+    */
+  def heavyHittersStream(docs: DataFrame, textCol: String, k: Int = 32): DataFrame = {
+    val sk = docs
+      .select(explode(graft.ops.LlmOps.tokens(col(textCol))).as("term"))
+      .agg(expr(s"misra_gries(term, $k)").as("__sk"), count(lit(1)).as("__n"))
+    sk.select(col("__n"), explode(col("__sk")).as(Seq("term", "est")))
+      .filter(col("est") * (k + 1) > col("__n"))
+      .select(col("term"), col("est"), col("__n").as("n_total"))
+  }
+
   /** Wire [[BandOwnerTracker]] over a streaming (id, text) DataFrame: the
     * MinHash signature and LSH banding are STATELESS projections (the same
     * portable md5-48 family as the batch ops), so the only keyed state in

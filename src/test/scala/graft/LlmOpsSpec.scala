@@ -769,6 +769,23 @@ class LlmOpsSpec extends SparkTestBase {
     assert(got(1) == ((2L, "a", "b", 6L)))
   }
 
+  test("chunkWindows: overlap boundaries, short tail kept, provenance exact") {
+    val doc50 = (1 to 50).map(i => s"t$i").mkString(" ")
+    val df = Seq((1L, doc50), (2L, "a b c"), (3L, "   ")).toDF("doc_id", "text")
+    val got = LlmOps.chunkWindows(df, "doc_id", "text", window = 40, stride = 20)
+      .as[(Long, Long, Long, Long, String)].collect().sortBy(r => (r._1, r._2))
+    // doc 1 (50 toks): chunks at 0 (40 toks) and 20 (30-tok tail);
+    // doc 2: one short chunk; whitespace doc 3 emits nothing
+    assert(got.map(r => (r._1, r._2, r._3, r._4)).toSeq == Seq(
+      (1L, 0L, 0L, 40L), (1L, 1L, 20L, 30L), (2L, 0L, 0L, 3L)))
+    // identical windows fingerprint identically across docs (the chunk
+    // dedup/contamination key)
+    val twin = Seq((7L, "a b c")).toDF("doc_id", "text")
+    val fpTwin = LlmOps.chunkWindows(twin, "doc_id", "text", 40, 20)
+      .as[(Long, Long, Long, Long, String)].collect()(0)._5
+    assert(fpTwin == got.last._5)
+  }
+
   test("bpeApply: post-merge symbol vocabulary with corpus-weighted counts") {
     // merges (see bpeLearn spec): step1 (a,a), step2 (a,b). Final states:
     // abab -> [ab, ab] (freq 3), aaaa -> [aa, aa] (freq 2)

@@ -391,4 +391,31 @@ class StreamingSpec extends SparkTestBase {
       }
     }
   }
+
+  test("streaming heavy hitters: MG sketch in complete mode — no false alarms, dominant term surfaces") {
+    val input = MemoryStream[String]
+    // 60 'spark' + 40 unique singletons: spark's true count 60 >> N/(k+1)
+    input.addData(Seq.fill(60)("spark word") ++ (1 to 40).map(i => s"uniq$i"): _*)
+    val hh = StreamingOps.heavyHittersStream(input.toDF().toDF("text"), "text", k = 4)
+    runToCompletion(hh, "stream_hh", "complete")
+    val got = spark.table("stream_hh").as[(String, Long, Long)].collect()
+    // exact truth from the batch side of the same data
+    val truth = Map("spark" -> 60L, "word" -> 60L) // others are singletons
+    val n = 160L // 60*2 + 40 tokens
+    assert(got.forall(_._3 == n))
+    got.foreach { case (term, est, _) =>
+      val exact = truth.getOrElse(term, 1L)
+      // one-sided MG guarantees: emitted => TRUE heavy hitter; est <= true
+      assert(exact * (4 + 1) > n, s"false alarm: $term")
+      assert(est <= exact, s"over-count: $term est=$est exact=$exact")
+    }
+    assert(got.map(_._1).toSet == Set("spark", "word"))
+    // incremental: a second micro-batch shifts mass; complete mode re-emits
+    input.addData(Seq.fill(100)("flink joins"): _*)
+    runToCompletion(hh, "stream_hh2", "complete")
+    val got2 = spark.table("stream_hh2").as[(String, Long, Long)].collect()
+    assert(got2.forall(_._3 == 360L))
+    assert(got2.map(_._1).toSet.subsetOf(Set("spark", "word", "flink", "joins")))
+    assert(got2.map(_._1).toSet.intersect(Set("flink", "joins")).nonEmpty)
+  }
 }
