@@ -1090,6 +1090,19 @@ object SparkEntry {
       // adjacent char-pair counts inside whitespace tokens
       LlmOps.bpePairCounts(t(s, dir, "documents"), "text", k = 20)),
 
+    "chunk_contamination" -> ((s, dir) => {
+      // passage-granular decontamination: non-src0 docs sharing an
+      // aligned 16-token chunk fingerprint with the src0 "benchmark"
+      // slice (2 docs / 12 chunk hits at sf0.01 — planted by the corpus's
+      // cross-source dup structure)
+      val docs = t(s, dir, "documents")
+      LlmOps.chunkContamination(
+          docs.filter(col("source") =!= "src0"),
+          docs.filter(col("source") === "src0"),
+          "doc_id", "text", window = 16, stride = 8)
+        .orderBy("doc_id")
+    }),
+
     "chunk_windows" -> ((s, dir) =>
       // RAG chunking with overlap: 40-token windows, stride 20; boundary
       // arithmetic is integer-exact, fingerprints are md5 — every row
@@ -2953,6 +2966,30 @@ object SparkEntry {
     // doubled U+001F symbol delimiter; replace() scans left-to-right
     // non-overlapping in both engines, so greedy merge application
     // replays exactly.
+    "chunk_contamination" ->
+      """WITH t2 AS (
+           SELECT doc_id, source, string_split_regex(lower(trim(text)), '\s+') AS toks
+           FROM documents WHERE trim(text) <> ''),
+         t3 AS (SELECT doc_id, source, toks, len(toks) AS n FROM t2),
+         st AS (
+           SELECT doc_id, source, toks, n,
+             unnest(range(0, 1 + (greatest(n - 16, 0) + 7) // 8)) AS c
+           FROM t3),
+         ch AS (
+           SELECT doc_id, source,
+             md5(array_to_string(toks[c * 8 + 1 : least(c * 8 + 16, n)], ' ')) AS fp
+           FROM st),
+         bf AS (SELECT DISTINCT fp FROM ch WHERE source = 'src0'),
+         corpus AS (SELECT doc_id, fp FROM ch WHERE source <> 'src0'),
+         hits AS (
+           SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hit FROM corpus
+           WHERE fp IN (SELECT fp FROM bf) GROUP BY doc_id)
+         SELECT c.doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           COALESCE(ANY_VALUE(h.n_hit), 0) AS n_hit,
+           COALESCE(ANY_VALUE(h.n_hit), 0) > 0 AS contaminated
+         FROM corpus c LEFT JOIN hits h ON c.doc_id = h.doc_id
+         GROUP BY c.doc_id ORDER BY c.doc_id""",
+
     "chunk_windows" ->
       """WITH t2 AS (
            SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks

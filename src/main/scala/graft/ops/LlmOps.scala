@@ -1279,6 +1279,32 @@ object LlmOps {
         md5(concat_ws(" ", col("__w"))).as("chunk_fp"))
   }
 
+  /** Chunk-level benchmark contamination: flags training docs that share
+    * an ALIGNED [[chunkWindows]] fingerprint with the benchmark set — the
+    * passage-granular decontamination pass run where whole-doc
+    * ([[contamination]]) checks miss a benchmark question pasted into a
+    * larger page. Per doc: (n_chunks, n_hit, contaminated).
+    *
+    * Scale shape: benchmark sets are tiny next to the corpus, so the
+    * distinct benchmark fingerprints broadcast and the flagging join is a
+    * map-side LEFT SEMI over 16-byte fingerprints — corpus text never
+    * shuffles; the per-doc rollups have map-side partials.
+    */
+  def chunkContamination(corpus: DataFrame, bench: DataFrame, idCol: String,
+                         textCol: String, window: Int = 16,
+                         stride: Int = 8): DataFrame = {
+    val c = chunkWindows(corpus, idCol, textCol, window, stride)
+    val b = chunkWindows(bench, idCol, textCol, window, stride)
+      .select(col("chunk_fp").as("__bfp")).distinct()
+    val hits = c.join(broadcast(b), col("chunk_fp") === col("__bfp"), "left_semi")
+      .groupBy(idCol).agg(count(lit(1)).as("__h"))
+    c.groupBy(idCol).agg(count(lit(1)).as("n_chunks"))
+      .join(hits, Seq(idCol), "left")
+      .select(col(idCol), col("n_chunks"),
+        coalesce(col("__h"), lit(0L)).as("n_hit"),
+        (coalesce(col("__h"), lit(0L)) > 0).as("contaminated"))
+  }
+
   /** Statistical language-model fluency score: the mean corpus frequency
     * of a document's bigrams — `Σ corpus_count(bg) / (n_bg_doc · N_bg)`.
     * Formulaic/common text scores high, rare-token garbage scores low; the

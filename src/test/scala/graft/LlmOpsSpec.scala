@@ -786,6 +786,26 @@ class LlmOpsSpec extends SparkTestBase {
     assert(fpTwin == got.last._5)
   }
 
+  test("chunkContamination: planted aligned passage flags; clean and shifted docs don't") {
+    val passage = (1 to 16).map(i => s"q$i").mkString(" ")
+    val bench = Seq((100L, passage)).toDF("doc_id", "text")
+    val corpus = Seq(
+      // benchmark passage pasted at an ALIGNED stride-8 offset (8 filler
+      // tokens), so one 16-token window reproduces it exactly
+      (1L, (1 to 8).map(i => s"f$i").mkString(" ") + " " + passage),
+      (2L, (1 to 24).map(i => s"c$i").mkString(" ")), // clean
+      // same passage but at a NON-aligned offset (3 fillers): alignment
+      // matters — chunk-level contamination is a one-sided signal
+      (3L, (1 to 3).map(i => s"g$i").mkString(" ") + " " + passage))
+      .toDF("doc_id", "text")
+    val got = LlmOps.chunkContamination(corpus, bench, "doc_id", "text",
+        window = 16, stride = 8)
+      .as[(Long, Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(got.map(r => (r._1, r._4)).toSeq ==
+      Seq((1L, true), (2L, false), (3L, false)))
+    assert(got(0)._3 >= 1)
+  }
+
   test("bpeApply: post-merge symbol vocabulary with corpus-weighted counts") {
     // merges (see bpeLearn spec): step1 (a,a), step2 (a,b). Final states:
     // abab -> [ab, ab] (freq 3), aaaa -> [aa, aa] (freq 2)
