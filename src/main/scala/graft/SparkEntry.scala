@@ -1090,6 +1090,21 @@ object SparkEntry {
       // adjacent char-pair counts inside whitespace tokens
       LlmOps.bpePairCounts(t(s, dir, "documents"), "text", k = 20)),
 
+    "unpivot_metrics" -> ((s, dir) => {
+      // wide→long reshape (the melt half of the pivot pair): three metric
+      // columns become (key, metric, value) rows — the §2 relational
+      // surface's unpivot, a pure per-row Expand with no shuffle beyond
+      // the output sort. Values pass through untouched: hash-exact
+      val li = t(s, dir, "lineitem").filter(col("l_orderkey") < 1000)
+      li.select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+          col("l_quantity"), col("l_discount"), col("l_tax"))
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_discount"), col("l_tax")),
+          "metric", "value")
+        .orderBy("l_orderkey", "l_linenumber", "metric")
+    }),
+
     "chunk_contamination" -> ((s, dir) => {
       // passage-granular decontamination: non-src0 docs sharing an
       // aligned 16-token chunk fingerprint with the src0 "benchmark"
@@ -2966,6 +2981,19 @@ object SparkEntry {
     // doubled U+001F symbol delimiter; replace() scans left-to-right
     // non-overlapping in both engines, so greedy merge application
     // replays exactly.
+    "unpivot_metrics" ->
+      """WITH base AS (
+           SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+                  l_quantity, l_discount, l_tax
+           FROM lineitem WHERE l_orderkey < 1000)
+         SELECT l_orderkey, l_linenumber, metric, value FROM (
+           SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS value FROM base
+           UNION ALL
+           SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM base
+           UNION ALL
+           SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM base)
+         ORDER BY l_orderkey, l_linenumber, metric""",
+
     "chunk_contamination" ->
       """WITH t2 AS (
            SELECT doc_id, source, string_split_regex(lower(trim(text)), '\s+') AS toks

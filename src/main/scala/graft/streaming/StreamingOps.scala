@@ -432,6 +432,22 @@ object StreamingOps {
     }
   }
 
+  /** Live chunk-level decontamination feed: each incoming doc is chunked
+    * ([[graft.ops.LlmOps.chunkWindows]] — a stateless projection), its
+    * fingerprints checked against the STATIC benchmark fingerprint set
+    * (stream-static broadcast LEFT SEMI, re-resolved per micro-batch so a
+    * refreshed benchmark table just works), and every contaminated chunk
+    * emits one quarantine row (doc_id, chunk_id, start_tok, chunk_fp) in
+    * append mode. Fully stateless — no watermark, no state store; the
+    * ingest-time face of the batch `chunk_contamination` audit.
+    */
+  def chunkContaminationStream(docs: DataFrame, idCol: String, textCol: String,
+                               benchFps: DataFrame, fpCol: String,
+                               window: Int = 16, stride: Int = 8): DataFrame =
+    graft.ops.LlmOps.chunkWindows(docs, idCol, textCol, window, stride)
+      .join(broadcast(benchFps.select(col(fpCol).as("__bfp"))),
+        col("chunk_fp") === col("__bfp"), "left_semi")
+
   /** Streaming corpus heavy hitters: the native `misra_gries` k-counter
     * aggregate as an UNBOUNDED streaming aggregation (complete mode) —
     * O(k) state total regardless of stream length or vocabulary, the

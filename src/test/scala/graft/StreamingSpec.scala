@@ -6,6 +6,7 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
+import graft.ops.LlmOps
 import graft.streaming.StreamingOps
 
 /** Structured Streaming semantics via MemoryStream → memory sink:
@@ -390,6 +391,26 @@ class StreamingSpec extends SparkTestBase {
         case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
       }
     }
+  }
+
+  test("streaming chunk contamination: planted passage quarantined, clean docs pass silently") {
+    val passage = (1 to 16).map(i => s"q$i").mkString(" ")
+    val benchFps = LlmOps.chunkWindows(
+      Seq((100L, passage)).toDF("doc_id", "text"), "doc_id", "text", 16, 8)
+      .select("chunk_fp")
+    val input = MemoryStream[(Long, String)]
+    input.addData(
+      (1L, (1 to 8).map(i => s"f$i").mkString(" ") + " " + passage), // aligned plant
+      (2L, (1 to 24).map(i => s"c$i").mkString(" ")))                // clean
+    val stream = StreamingOps.chunkContaminationStream(
+      input.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      benchFps, "chunk_fp", window = 16, stride = 8)
+    runToCompletion(stream, "quarantine", "append")
+    val got = spark.table("quarantine")
+      .select("doc_id", "chunk_id", "start_tok")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got.nonEmpty && got.forall(_._1 == 1L))
+    assert(got.exists(_._3 == 8L)) // the aligned window at token 8
   }
 
   test("streaming heavy hitters: MG sketch in complete mode — no false alarms, dominant term surfaces") {
