@@ -984,8 +984,12 @@ object LlmOps {
       .select(col(idCol),
         size(col("__s")).cast("long").as("n_shingles"),
         size(array_distinct(col("__s"))).cast("long").as("n_distinct"))
+      // a doc too short to shingle has UNDEFINED repetition: emit null
+      // explicitly so ANSI mode can't crash the scan with DIVIDE_BY_ZERO
       .withColumn("repetition",
-        lit(1.0) - col("n_distinct").cast("double") / col("n_shingles").cast("double"))
+        when(col("n_shingles") === 0, lit(null).cast("double"))
+          .otherwise(lit(1.0) -
+            col("n_distinct").cast("double") / col("n_shingles").cast("double")))
 
   /** Contiguous sequence packing for training-batch export: docs are
     * packed in key order into fixed token budgets — a doc starts in the
@@ -1059,8 +1063,10 @@ object LlmOps {
       .select(col(idCol),
         size(col("__sh")).cast("long").as("n_shingles"),
         coalesce(col("__hit"), lit(0L)).as("n_contaminated"))
+      // zero-shingle docs have undefined containment: null, not a crash
       .withColumn("containment",
-        col("n_contaminated").cast("double") / col("n_shingles"))
+        when(col("n_shingles") === 0, lit(null).cast("double"))
+          .otherwise(col("n_contaminated").cast("double") / col("n_shingles")))
   }
 
   /** Bloom-filter decontamination — the sketch-side variant of

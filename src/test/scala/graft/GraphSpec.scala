@@ -193,6 +193,14 @@ class GraphSpec extends SparkTestBase {
       .select("doc_id", "repetition").as[(Long, Double)].collect().toMap
     assert(got(1L) > 0.8, s"looped text scored ${got(1L)}")
     assert(got(2L) == 0.0)
+    // a doc shorter than the shingle width collapses to one catch-all
+    // shingle (n_shingles >= 1 always), so short docs score 0.0 — and the
+    // op's zero-denominator guard means even an empty shingle column
+    // could never ANSI-crash the scan
+    val short = LlmOps.repetitionScore(
+      Seq((3L, "ab")).toDF("doc_id", "text"), "doc_id", "text")
+      .select("doc_id", "repetition").as[(Long, Option[Double])].collect()
+    assert(short.toSeq == Seq((3L, Some(0.0))))
   }
 
   test("sequence packing: contiguous budgets per shard, monotone pack ids") {

@@ -370,6 +370,13 @@ class LlmOpsSpec extends SparkTestBase {
     assert(got(1L) == 1.0)
     assert(got(2L) == 0.0)
     assert(got(3L) > 0.0 && got(3L) < 1.0, s"partial overlap scored ${got(3L)}")
+    // a short doc collapses to one catch-all shingle (n_shingles >= 1),
+    // so containment is a defined 0.0; the op's zero-denominator guard
+    // additionally makes an empty shingle column impossible to ANSI-crash
+    val short = LlmOps.contamination(
+      Seq((9L, "ab")).toDF("doc_id", "text"), "doc_id", "text", bench, "text", 3)
+      .select("doc_id", "containment").as[(Long, Option[Double])].collect()
+    assert(short.toSeq == Seq((9L, Some(0.0))))
   }
 
   test("bloom contamination: no false negatives; exact hits bounded by bloom hits") {
@@ -813,6 +820,49 @@ class LlmOpsSpec extends SparkTestBase {
     val got = LlmOps.bpeApply(df, "text", steps = 2, k = 10)
       .as[(String, Long)].collect().toSeq
     assert(got == Seq(("ab", 6L), ("aa", 4L)))
+  }
+
+  test("property: bpeLearn matches a driver-side classic BPE on random corpora") {
+    // reference implementation: word-freq dict, greedy left-to-right
+    // merge application, (count desc, pair asc) tie-break — the textbook
+    // algorithm, written independently of the Spark formulation
+    def refBpe(tokens: Seq[String], steps: Int): Seq[(Long, String, String, Long)] = {
+      var vocab: Map[Vector[String], Long] = tokens.groupBy(identity)
+        .map { case (t, g) => (t.map(_.toString).toVector, g.size.toLong) }
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+      for (step <- 1 to steps) {
+        val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+        for ((syms, f) <- vocab; i <- 0 until syms.length - 1)
+          counts((syms(i), syms(i + 1))) =
+            counts.getOrElse((syms(i), syms(i + 1)), 0L) + f
+        if (counts.nonEmpty) {
+          val ((l, r), c) = counts.toSeq
+            .sortBy { case ((a, b), n) => (-n, a, b) }.head
+          out += ((step.toLong, l, r, c))
+          vocab = vocab.map { case (syms, f) =>
+            val b = Vector.newBuilder[String]; var i = 0
+            while (i < syms.length) {
+              if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+                b += (l + r); i += 2
+              } else { b += syms(i); i += 1 }
+            }
+            (b.result(), f)
+          }
+        }
+      }
+      out.toSeq
+    }
+    val rng = new scala.util.Random(13)
+    for (trial <- 1 to 3) {
+      // 3-letter alphabet, lengths 2-6: dense pair collisions, repeated
+      // runs (aaa...), constant tie-breaking pressure
+      val words = Seq.fill(30)(
+        Seq.fill(2 + rng.nextInt(5))(('a' + rng.nextInt(3)).toChar).mkString)
+      val got = LlmOps.bpeLearn(Seq(words.mkString(" ")).toDF("text"),
+          "text", steps = 4)
+        .as[(Long, String, String, Long)].collect().toSeq
+      assert(got == refBpe(words, 4), s"trial $trial diverged: $got")
+    }
   }
 
   test("bpeLearn: stops early when every token is a single symbol") {
