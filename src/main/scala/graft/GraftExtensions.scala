@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{BoundedCollectList, CosineSimilarity, HashedShingles, MinHashShingles, MisraGries, NearestCell, ShingleSeq, SimHash48}
+import graft.functions.{BoundedCollectList, CosineSimilarity, HashedShingles, MinHashShingles, MisraGries, NearestCell, NfcNormalize, ShingleSeq, SimHash48}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * Catalyst expressions so they resolve by name in SQL and
@@ -51,6 +51,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[MisraGries].getName, null, "misra_gries",
         "misra_gries(item, k) - k-counter Misra-Gries heavy-hitters summary (map item -> under-estimated count)", ""),
       (children: Seq[Expression]) => MisraGries(children.head, children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, null, "nfc_normalize",
+        "nfc_normalize(text) - Unicode NFC canonicalization (TR-15), upstream of hash-keyed dedup", ""),
+      (children: Seq[Expression]) => NfcNormalize(children.head)))
     ext.injectFunction((
       new FunctionIdentifier("nearest_cell"),
       new ExpressionInfo(classOf[NearestCell].getName, null, "nearest_cell",

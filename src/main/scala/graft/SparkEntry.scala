@@ -403,6 +403,15 @@ object SparkEntry {
           col("event_type"), col("cnt"))
         .orderBy("day", "event_type")),
 
+    "sliding_window_counts" -> ((s, dir) =>
+      // hopping-window actives: 2-day windows advancing 1 day — each event
+      // counted in both covering windows; map-side partial agg absorbs the
+      // 2x row expansion before the single shuffle
+      Temporal.slidingCounts(t(s, dir, "events"), "ts", "2 days", "1 day", "event_type")
+        .select(date_format(col("window.start"), "yyyy-MM-dd").as("win_start"),
+          col("event_type"), col("cnt"))
+        .orderBy("win_start", "event_type")),
+
     "pivot_daily_events" -> ((s, dir) =>
       // explicit value list → fixed output columns, no value-discovery scan
       t(s, dir, "events")
@@ -628,6 +637,23 @@ object SparkEntry {
       graft.ops.AsOfJoin.asOf(clicks, purchases, "user_id", "user_id", "ts", "ts")
         .select(col("event_id"), col("user_id"),
           date_format(col("asof.ts"), "yyyy-MM-dd HH:mm:ss").as("last_purchase_ts"))
+        .orderBy("event_id")
+    }),
+
+    "asof_next_purchase" -> ((s, dir) => {
+      // forward as-of with a horizon: for each click, the FIRST purchase by
+      // the same user at-or-after it within 2 days (attribution window) —
+      // same one-shuffle union+window shape as asof_last_purchase, sort
+      // reversed, tolerance nulls matches beyond the horizon
+      val ev = t(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      graft.ops.AsOfJoin.asOfForward(clicks, purchases, "user_id", "user_id",
+          "ts", "ts", toleranceSeconds = 2L * 24 * 3600)
+        .select(col("event_id"), col("user_id"),
+          date_format(col("asof.ts"), "yyyy-MM-dd HH:mm:ss").as("next_purchase_ts"))
         .orderBy("event_id")
     }),
 
@@ -1031,6 +1057,23 @@ object SparkEntry {
           t(s, dir, "orders").select(col("o_totalprice")), "o_totalprice",
           buckets = 20)
         .orderBy("bucket")),
+
+    "unicode_nfc" -> ((s, dir) => {
+      // composed (U+00E9) vs decomposed (U+0065 U+0301) spellings of the
+      // same text hash apart until NFC canonicalization — the native
+      // nfc_normalize expression (codegen'd; input returned uncopied when
+      // already normalized) makes them bytewise equal, which is the
+      // precondition for every hash-keyed dedup stage upstream
+      val composed = concat(col("p_name"), lit(" caf\u00e9"))
+      val decomposed = concat(col("p_name"), lit(" cafe\u0301"))
+      t(s, dir, "part").select(col("p_partkey"),
+          (composed === decomposed).as("eq_raw"),
+          length(composed).cast("long").as("len_composed"),
+          length(decomposed).cast("long").as("len_decomposed"),
+          call_function("nfc_normalize", decomposed).as("nfc_text"),
+          (call_function("nfc_normalize", decomposed) === composed).as("eq_nfc"))
+        .orderBy("p_partkey")
+    }),
 
     "fuzzy_pairs" -> ((s, dir) =>
       // record linkage over the part-name vocabulary: same-noun blocks,
@@ -1442,6 +1485,40 @@ object SparkEntry {
         .orderBy("user_id", "day")
     }),
 
+    "ivm_join_counts" -> ((s, dir) => {
+      // incremental maintenance of a JOIN view (extends ivm_daily_counts'
+      // single-table IVM to the two-table algebra): V = |O ⋈ L| per
+      // custkey. With each side split at the cut into (old, Δ),
+      //   ΔV = Δo ⋈ (l_old + Δl)  ∪  o_old ⋈ Δl
+      // — two joins each with one DELTA side (the O(|Δ|) maintenance
+      // shape; at scale V_old is a stored artifact and only these two
+      // delta joins run). The oracle recomputes the full join and checks
+      // old + delta = total per key.
+      val cut = to_timestamp(lit("1998-01-01 00:00:00"))
+      val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderdate"))
+      val l = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_shipdate"))
+      val oOld = o.filter(col("o_orderdate") < cut)
+      val oDelta = o.filter(col("o_orderdate") >= cut)
+      val lDelta = l.filter(col("l_shipdate") >= cut)
+      def cnts(df: DataFrame) = df.groupBy("o_custkey")
+        .agg(count(lit(1)).cast("long").as("cnt"))
+      val vOld = cnts(oOld.join(l.filter(col("l_shipdate") < cut),
+        col("o_orderkey") === col("l_orderkey")))
+      val vDelta = Relational.mergeCounts(Seq(
+          cnts(oDelta.join(l, col("o_orderkey") === col("l_orderkey"))),
+          cnts(oOld.join(lDelta, col("o_orderkey") === col("l_orderkey")))),
+        Seq("o_custkey"), "cnt")
+      vOld.select(col("o_custkey"), col("cnt").as("cnt_old"))
+        .join(vDelta.select(col("o_custkey"), col("cnt").as("cnt_delta")),
+          Seq("o_custkey"), "full_outer")
+        .select(col("o_custkey"),
+          coalesce(col("cnt_old"), lit(0L)).as("cnt_old"),
+          coalesce(col("cnt_delta"), lit(0L)).as("cnt_delta"))
+        .withColumn("cnt", col("cnt_old") + col("cnt_delta"))
+        .orderBy("o_custkey")
+    }),
+
     "simhash_pairs" -> ((s, dir) =>
       // sketch-side near-dup completion: pigeonhole-banded candidate join
       // over the 48-bit simhash, popcount verify (hamming <= 3), hot
@@ -1772,6 +1849,15 @@ object SparkEntry {
             COUNT(*) AS cnt
          FROM events GROUP BY 1, 2 ORDER BY day, event_type""",
 
+    "sliding_window_counts" ->
+      """WITH w AS (
+           SELECT date_trunc('day', ts) AS ws, event_type FROM events
+           UNION ALL
+           SELECT date_trunc('day', ts) - INTERVAL 1 DAY, event_type FROM events)
+         SELECT strftime(ws, '%Y-%m-%d') AS win_start, event_type,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+         FROM w GROUP BY 1, 2 ORDER BY win_start, event_type""",
+
     "pivot_daily_events" ->
       """SELECT strftime(ts, '%Y-%m-%d') AS day,
             COUNT(*) FILTER (event_type = 'click') AS click,
@@ -2020,6 +2106,16 @@ object SparkEntry {
          SELECT c.event_id, c.user_id,
             strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS last_purchase_ts
          FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts
+         ORDER BY c.event_id""",
+
+    "asof_next_purchase" ->
+      """SELECT c.event_id, c.user_id,
+           strftime((SELECT min(p.ts) FROM events p
+                     WHERE p.event_type = 'purchase' AND p.user_id = c.user_id
+                       AND p.ts >= c.ts
+                       AND p.ts <= c.ts + INTERVAL 2 DAY),
+                    '%Y-%m-%d %H:%M:%S') AS next_purchase_ts
+         FROM events c WHERE c.event_type = 'click'
          ORDER BY c.event_id""",
 
     "stats_by_group" ->
@@ -2851,6 +2947,20 @@ object SparkEntry {
          WHERE levenshtein(a.nm, b.nm) <= 3
          ORDER BY name_a, name_b""",
 
+    "unicode_nfc" ->
+      """WITH v AS (
+           SELECT p_partkey,
+             p_name || ' caf' || chr(233) AS composed,
+             p_name || ' cafe' || chr(769) AS decomposed
+           FROM part)
+         SELECT p_partkey,
+           (composed = decomposed) AS eq_raw,
+           CAST(length(composed) AS BIGINT) AS len_composed,
+           CAST(length(decomposed) AS BIGINT) AS len_decomposed,
+           nfc_normalize(decomposed) AS nfc_text,
+           (nfc_normalize(decomposed) = composed) AS eq_nfc
+         FROM v ORDER BY p_partkey""",
+
     "text_normalize" ->
       """WITH n AS (
            SELECT doc_id, text,
@@ -3681,6 +3791,16 @@ object SparkEntry {
            CAST(COUNT(*) AS BIGINT) AS cnt
          FROM events GROUP BY user_id, day
          ORDER BY user_id, day""",
+
+    "ivm_join_counts" ->
+      """SELECT o_custkey,
+           CAST(COUNT(*) FILTER (o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+             AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00') AS BIGINT) AS cnt_old,
+           CAST(COUNT(*) FILTER (o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+             OR l_shipdate >= TIMESTAMP '1998-01-01 00:00:00') AS BIGINT) AS cnt_delta,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+         FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         GROUP BY o_custkey ORDER BY o_custkey""",
 
     "window_percentiles" ->
       """SELECT o_orderkey, o_orderpriority,

@@ -54,6 +54,53 @@ object AsOfJoin {
       .select(col("__l.*"), col("__asof").as(asOfCol))
   }
 
+  /** Forward as-of join with tolerance — for each left row, the EARLIEST
+    * right row with `leftTs <= rightTs <= leftTs + toleranceSeconds` in the
+    * same key (both bounds inclusive; pandas merge_asof
+    * direction='forward'). Same one-shuffle union+window composition as
+    * [[asOf]], with the sort order REVERSED (ts desc) so the carried
+    * `last(right, ignoreNulls)` is the nearest at-or-after right row; the
+    * tolerance then nulls out matches beyond the horizon — a post-window
+    * projection, no extra pass. Sub-second timestamps compare at full
+    * precision (whole-second flooring would mis-order events inside the
+    * same second); the tolerance is evaluated in whole seconds on the
+    * exact values.
+    */
+  def asOfForward(left: DataFrame, right: DataFrame,
+                  leftKey: String, rightKey: String,
+                  leftTs: String, rightTs: String,
+                  toleranceSeconds: Long,
+                  asOfCol: String = "asof"): DataFrame = {
+    val lPayload = struct(left.columns.map(left(_)).toIndexedSeq: _*)
+    val rPayload = struct(right.columns.map(right(_)).toIndexedSeq: _*)
+    val lType = left.select(lPayload).schema.head.dataType
+    val rType = right.select(rPayload).schema.head.dataType
+
+    val l = left.select(
+      left(leftKey).as("__k"), left(leftTs).as("__ts"),
+      lit(1).as("__side"), lPayload.as("__l"), lit(null).cast(rType).as("__r"))
+    val r = right.select(
+      right(rightKey).as("__k"), right(rightTs).as("__ts"),
+      lit(0).as("__side"), lit(null).cast(lType).as("__l"), rPayload.as("__r"))
+
+    // Descending ts: rows later in the frame are EARLIER in event time, so
+    // the carried last(right) is the minimum right ts >= left ts. side 0
+    // still sorts before side 1 at equal ts (inclusive match); among
+    // equal-ts right rows the hash tiebreak keeps the winner deterministic.
+    val w = Window.partitionBy(col("__k"))
+      .orderBy(col("__ts").desc, col("__side").asc, xxhash64(col("__r")).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val withinTol =
+      col(s"__asof.$rightTs").cast("double") - col("__ts").cast("double") <=
+        lit(toleranceSeconds).cast("double")
+    l.unionByName(r)
+      .withColumn("__asof", last(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(col("__l.*"),
+        when(col("__asof").isNotNull && withinTol, col("__asof")).as(asOfCol))
+  }
+
   /** Banded range join WITHOUT an equi key: pairs (a, b) whose timestamps
     * differ by less than `bandSeconds`. A raw inequality theta-join has no
     * hashable key — Spark would nested-loop it. Bucketing by

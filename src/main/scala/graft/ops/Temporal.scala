@@ -64,6 +64,23 @@ object Temporal {
     df.groupBy(keys: _*).agg(count(lit(1)).as("cnt"))
   }
 
+  /** Sliding (hopping) event-time window aggregation — each event lands in
+    * width/slide overlapping windows (`window(ts, width, slide)`), the shape
+    * behind trailing-N-day actives and moving totals. Same epoch-aligned
+    * start semantics as [[tumblingCounts]]: for width=2d slide=1d an event
+    * belongs to the windows starting at trunc_day(ts) and trunc_day(ts)-1d.
+    * Scale shape: Spark expands each row into its covering windows BEFORE
+    * the hash aggregate, so map-side partial aggregation absorbs the
+    * width/slide row multiplication — one shuffle, no self-join or range
+    * join (the naive spine⋈events rewrite shuffles the fact table per
+    * window instead).
+    */
+  def slidingCounts(df: DataFrame, tsCol: String, width: String, slide: String,
+                    extraKeys: String*): DataFrame = {
+    val keys = window(col(tsCol), width, slide) +: extraKeys.map(col)
+    df.groupBy(keys: _*).agg(count(lit(1)).as("cnt"))
+  }
+
   /** Gap-based sessionization: a new session starts when the gap since the
     * previous event (per partition key, event-time order) exceeds
     * `gapSeconds`. Two windows over the same (key, order) partitioning —
