@@ -1447,6 +1447,16 @@ object SparkEntry {
         .orderBy("pos")
     }),
 
+    "kmeans_assign" -> ((s, dir) =>
+      // distributed full-data Lloyd k-means (the complement of the
+      // IVF sample-fit path): quantize → k lowest-id seeds → 2 exact
+      // integer assign/update rounds → final assignment + exact squared
+      // distance; the oracle unrolls both rounds as CTEs and replays
+      // every floor-division centroid digit-for-digit
+      VectorOps.kmeansAssign(t(s, dir, "embeddings"), "vec_id", "embedding",
+          k = 4, iters = 2)
+        .orderBy("vec_id")),
+
     "embedding_outliers" -> ((s, dir) =>
       // semantic outliers: squared distance to the label centroid in
       // quantized int space — exact int64 score (order-independent sums),
@@ -1484,6 +1494,16 @@ object SparkEntry {
       Relational.mergeCounts(Seq(history, delta), Seq("user_id", "day"), "cnt")
         .orderBy("user_id", "day")
     }),
+
+    "skyline_orders" -> ((s, dir) =>
+      // multi-objective Pareto frontier: orders no other order beats on
+      // BOTH price and recency (one strict) — sort+window rewrite of the
+      // quadratic NOT-EXISTS definition, local skylines per bucket then a
+      // global pass over survivors only
+      Relational.skyline2D(t(s, dir, "orders"), "o_totalprice", "o_orderdate")
+        .select(col("o_orderkey"), col("o_totalprice"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"))
+        .orderBy("o_orderkey")),
 
     "ivm_join_counts" -> ((s, dir) => {
       // incremental maintenance of a JOIN view (extends ivm_daily_counts'
@@ -3792,6 +3812,19 @@ object SparkEntry {
          FROM events GROUP BY user_id, day
          ORDER BY user_id, day""",
 
+    "skyline_orders" ->
+      """WITH pts AS (
+           SELECT DISTINCT o_totalprice AS x, o_orderdate AS y FROM orders),
+         sky AS (
+           SELECT x, y FROM pts a
+           WHERE NOT EXISTS (
+             SELECT 1 FROM pts b
+             WHERE b.x >= a.x AND b.y >= a.y AND (b.x > a.x OR b.y > a.y)))
+         SELECT o.o_orderkey, o.o_totalprice,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS order_date
+         FROM orders o JOIN sky s ON o.o_totalprice = s.x AND o.o_orderdate = s.y
+         ORDER BY o.o_orderkey""",
+
     "ivm_join_counts" ->
       """SELECT o_custkey,
            CAST(COUNT(*) FILTER (o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
@@ -4108,6 +4141,59 @@ object SparkEntry {
          FROM d JOIN q USING (pos) ORDER BY pos""",
 
     // full integer replay of the quantized-centroid outlier score
+    "kmeans_assign" ->
+      """WITH q AS (
+           SELECT vec_id, list_transform(embedding,
+             x -> CAST(floor(CAST(x AS DOUBLE) * 1024) AS BIGINT)) AS qv
+           FROM embeddings),
+         dims AS (
+           SELECT vec_id, r.i AS d, qv[r.i] AS v
+           FROM q CROSS JOIN range(1, 65) r(i)),
+         c0 AS (
+           SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT) - 1 AS c, qv
+           FROM q ORDER BY vec_id LIMIT 4),
+         cd0 AS (SELECT c, r.i AS d, qv[r.i] AS v
+                 FROM c0 CROSS JOIN range(1, 65) r(i)),
+         a0 AS (
+           SELECT t.vec_id, g.c, SUM((t.v - g.v) * (t.v - g.v)) AS dist2
+           FROM dims t JOIN cd0 g USING (d) GROUP BY t.vec_id, g.c),
+         b0 AS (
+           SELECT vec_id, c FROM (
+             SELECT vec_id, c,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dist2, c) AS rn
+             FROM a0) WHERE rn = 1),
+         cd1 AS (
+           SELECT g.c, g.d, COALESCE(u.m, g.v) AS v
+           FROM cd0 g LEFT JOIN (
+             SELECT b0.c, t.d,
+               CAST(floor(CAST(SUM(t.v) AS DOUBLE) / COUNT(*)) AS BIGINT) AS m
+             FROM dims t JOIN b0 USING (vec_id) GROUP BY b0.c, t.d) u
+           ON g.c = u.c AND g.d = u.d),
+         a1 AS (
+           SELECT t.vec_id, g.c, SUM((t.v - g.v) * (t.v - g.v)) AS dist2
+           FROM dims t JOIN cd1 g USING (d) GROUP BY t.vec_id, g.c),
+         b1 AS (
+           SELECT vec_id, c FROM (
+             SELECT vec_id, c,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dist2, c) AS rn
+             FROM a1) WHERE rn = 1),
+         cd2 AS (
+           SELECT g.c, g.d, COALESCE(u.m, g.v) AS v
+           FROM cd1 g LEFT JOIN (
+             SELECT b1.c, t.d,
+               CAST(floor(CAST(SUM(t.v) AS DOUBLE) / COUNT(*)) AS BIGINT) AS m
+             FROM dims t JOIN b1 USING (vec_id) GROUP BY b1.c, t.d) u
+           ON g.c = u.c AND g.d = u.d),
+         a2 AS (
+           SELECT t.vec_id, g.c, SUM((t.v - g.v) * (t.v - g.v)) AS dist2
+           FROM dims t JOIN cd2 g USING (d) GROUP BY t.vec_id, g.c)
+         SELECT vec_id, CAST(c AS BIGINT) AS cluster, CAST(dist2 AS BIGINT) AS dist2
+         FROM (
+           SELECT vec_id, c, dist2,
+             row_number() OVER (PARTITION BY vec_id ORDER BY dist2, c) AS rn
+           FROM a2) WHERE rn = 1
+         ORDER BY vec_id""",
+
     "embedding_outliers" ->
       """WITH e AS (
            SELECT vec_id, label, unnest(embedding) AS v,

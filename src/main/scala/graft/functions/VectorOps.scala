@@ -560,6 +560,90 @@ object VectorOps {
     (assigned, centroids)
   }
 
+  /** Nearest-centroid index over QUANTIZED (long) vectors — same dispatch
+    * as the double-centroid variant: native `nearest_cell` when
+    * registered, HOF argmin fold otherwise, both first-occurrence on ties.
+    * All arithmetic stays exact: long diffs squared and summed fit a
+    * double losslessly at any realistic scale·dim.
+    */
+  private def nearestCellLong(spark: org.apache.spark.sql.SparkSession,
+                              v: Column, cents: Seq[Seq[Long]]): Column = {
+    val c = typedlit(cents)
+    if (spark.catalog.functionExists("nearest_cell")) call_function("nearest_cell", v, c)
+    else {
+      val dists = transform(sequence(lit(0), lit(cents.size - 1)), j =>
+        aggregate(
+          zip_with(v, element_at(c, j + 1), (x, y) => (x - y) * (x - y)),
+          lit(0L), (s, e) => s + e))
+      (array_position(dists, array_min(dists)) - 1).cast("int")
+    }
+  }
+
+  /** Distributed Lloyd k-means in integer space — the FULL-DATA training
+    * loop ([[ivfIndex]] is the other recipe: fit on a bounded sample,
+    * assign distributed; this one runs every assign AND update step as a
+    * Spark job over the whole table, the shape you need when the corpus
+    * doesn't sample well).
+    *
+    * Exactness contract: vectors are quantized once to
+    * floor(x·scale) longs (float·2^k scaling is lossless in doubles, floor
+    * exact), distances are integer sums, and the centroid update is
+    * floor(sum/count) — every step replayable digit-for-digit by an
+    * external SQL engine unrolling the loop as CTEs, which is what makes a
+    * DISTRIBUTED iterative clusterer hash-oracleable at all. The integer
+    * centroid grid shifts each centroid by < 1 quantum from the real mean
+    * — noise at the scale k-means operates, worth it for the exactness.
+    *
+    * Init: the k lowest-id vectors (deterministic, replayable). Empty
+    * clusters keep their previous centroid. Per iteration: one
+    * nearest-centroid projection (centroids ship as a literal — no join,
+    * no shuffle) + one (cluster, dim)-grain aggregate whose k·dim result
+    * is the ONLY thing collected — centroid state is driver-resident by
+    * construction in every distributed k-means (same boundedness argument
+    * as [[ivfIndex]]'s fit sample). `iters` update rounds, then a final
+    * assignment against the converged centroids.
+    *
+    * Output: (idCol, cluster long, dist2 long) — dist2 the exact squared
+    * quantized distance to the final centroid.
+    */
+  def kmeansAssign(df: DataFrame, idCol: String, vecCol: String,
+                   k: Int, iters: Int, scale: Int = 1024): DataFrame = {
+    require(k > 0, s"kmeansAssign: k must be positive, got $k")
+    require(iters >= 0, s"kmeansAssign: iters must be >= 0, got $iters")
+    val spark = df.sparkSession
+    val q = transform(col(vecCol), x => floor(x.cast("double") * scale).cast("long"))
+    // persisted: read by every assign/update round and the final
+    // projection; unpersisting before the caller's action would silently
+    // recompute the scan, so the cache is left to executor LRU like the
+    // other multi-consumer persists in this engine
+    val qdf = df.select(col(idCol).as("__id"), q.as("__q")).persist()
+    var cents: Array[Array[Long]] = qdf.orderBy(col("__id")).limit(k)
+      .collect().map(_.getSeq[Long](1).toArray)
+    require(cents.nonEmpty, "kmeansAssign: empty input")
+    for (_ <- 1 to iters) {
+      val centSeq = cents.map(_.toIndexedSeq).toIndexedSeq
+      val updates = qdf
+        .select(nearestCellLong(spark, col("__q"), centSeq).as("__c"),
+          posexplode(col("__q")).as(Seq("__d", "__v")))
+        .groupBy("__c", "__d")
+        .agg(floor(sum(col("__v")).cast("double") / count(lit(1)))
+          .cast("long").as("__m"))
+        .collect()
+      val next = cents.map(_.clone())
+      updates.foreach(r => next(r.getInt(0))(r.getInt(1)) = r.getLong(2))
+      cents = next
+    }
+    val centSeq = cents.map(_.toIndexedSeq).toIndexedSeq
+    val cLit = typedlit(centSeq)
+    val cluster = nearestCellLong(spark, col("__q"), centSeq)
+    qdf.select(col("__id"), cluster.as("__cl"), col("__q"))
+      .select(col("__id").as(idCol), col("__cl").cast("long").as("cluster"),
+        aggregate(
+          zip_with(col("__q"), element_at(cLit, col("__cl") + 1),
+            (x, y) => (x - y) * (x - y)),
+          lit(0L), (s, e) => s + e).as("dist2"))
+  }
+
   /** IVF query: score the query against the centroids (tiny, collected),
     * pick the nProbe nearest cells, exact-cosine only within them.
     */

@@ -286,6 +286,43 @@ object Relational {
         .bitwiseOR(shiftleft(shiftright(b.cast("long"), i).bitwiseAND(lit(1L)), 2 * i + 1))
     }
 
+  /** 2D skyline (Pareto frontier, maximize both dimensions): rows whose
+    * (x, y) no other row dominates — b dominates a iff b.x >= a.x and
+    * b.y >= a.y with at least one strict. The multi-objective filter a
+    * curation pass runs when two quality signals should BOTH be as high
+    * as possible and no scalar mixing weight is defensible.
+    *
+    * Spark-first shape instead of the quadratic NOT-EXISTS definition:
+    * at the distinct-point grain, sort by (x desc, y desc) and keep a
+    * point iff its y strictly exceeds the running max y over all
+    * STRICTLY-PRECEDING points (those have greater x, or equal x with
+    * greater y — exactly the dominators) — O(n log n). Distributed in
+    * two rounds: per-bucket local skylines via one partitioned window
+    * (the global skyline is a subset of every partition-local skyline),
+    * then one global window over ONLY the local survivors — the
+    * single-partition pass runs on the union of local skylines (for
+    * anti-correlated worst cases still the frontier scale, not the
+    * corpus scale), never the raw table. A final semi join carries every
+    * original row sitting ON a frontier point (duplicates inclusive).
+    */
+  def skyline2D(df: DataFrame, xCol: String, yCol: String,
+                nBuckets: Int = 64): DataFrame = {
+    require(nBuckets > 0, s"skyline2D: nBuckets must be positive, got $nBuckets")
+    val pts = df.select(col(xCol).as("__x"), col(yCol).as("__y")).distinct()
+      .withColumn("__b", pmod(xxhash64(col("__x"), col("__y")), lit(nBuckets)))
+    def keep(w: org.apache.spark.sql.expressions.WindowSpec)(d: DataFrame) = {
+      val pm = max(col("__y")).over(w.orderBy(col("__x").desc, col("__y").desc)
+        .rowsBetween(Window.unboundedPreceding, -1))
+      d.withColumn("__pm", pm)
+        .filter(col("__pm").isNull || col("__y") > col("__pm"))
+        .drop("__pm")
+    }
+    val local = keep(Window.partitionBy(col("__b")))(pts)
+    val global = keep(Window.partitionBy())(local.select("__x", "__y"))
+    df.join(broadcast(global),
+      df(xCol) === col("__x") && df(yCol) === col("__y"), "left_semi")
+  }
+
   /** Layout audit for z-order clustering: quantize two dimensions to
     * `dimBits` bits against their corpus min/max, interleave, and bucket
     * rows by the top `prefixBits` of each dimension (the z-value's high

@@ -28,6 +28,22 @@ object StreamingOps {
       .agg(count(lit(1)).as("cnt"))
   }
 
+  /** Sliding (hopping) windowed counts with a watermark — the streaming
+    * face of [[graft.ops.Temporal.slidingCounts]]: each event lands in
+    * width/slide overlapping windows, state per still-open window is one
+    * count row, and the watermark closes windows whose END has passed
+    * (event-time + delay), exactly as for tumbling windows — overlap
+    * multiplies the OPEN-window count by width/slide, not the state per
+    * window.
+    */
+  def slidingCounts(df: DataFrame, tsCol: String, width: String, slide: String,
+                    delay: String, extraKeys: String*): DataFrame = {
+    val keys = window(col(tsCol), width, slide) +: extraKeys.map(col)
+    df.withWatermark(tsCol, delay)
+      .groupBy(keys: _*)
+      .agg(count(lit(1)).as("cnt"))
+  }
+
   /** Live distribution-drift feed: windowed per-category counts joined
     * (STREAM-STATIC, broadcast) against a static reference distribution —
     * the streaming face of [[graft.ops.LlmOps.distributionDrift]],

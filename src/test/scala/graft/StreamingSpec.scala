@@ -41,6 +41,30 @@ class StreamingSpec extends SparkTestBase {
     assert(got == Set(("2024-01-01", "click", 2L), ("2024-01-02", "view", 1L)))
   }
 
+  test("streaming sliding counts match the batch operator (hopping parity)") {
+    val rows = Seq(
+      (ts("2024-01-01 06:00:00"), "click"),
+      (ts("2024-01-02 06:00:00"), "click"),
+      (ts("2024-01-02 07:00:00"), "view"))
+    val input = MemoryStream[(Timestamp, String)]
+    input.addData(rows: _*)
+    val stream = StreamingOps.slidingCounts(
+      input.toDF().toDF("ts", "event_type"), "ts", "2 days", "1 day", "1 hour",
+      "event_type")
+    runToCompletion(
+      stream.select(date_format($"window.start", "yyyy-MM-dd").as("ws"),
+        $"event_type", $"cnt"),
+      "sliding", "complete")
+    val got = spark.table("sliding").as[(String, String, Long)].collect().toSet
+    val batch = graft.ops.Temporal.slidingCounts(
+        rows.toDF("ts", "event_type"), "ts", "2 days", "1 day", "event_type")
+      .select(date_format($"window.start", "yyyy-MM-dd").as("ws"),
+        $"event_type", $"cnt")
+      .as[(String, String, Long)].collect().toSet
+    assert(got == batch)
+    assert(got.nonEmpty)
+  }
+
   test("stream-stream interval join: clicks attribute to purchases within the band") {
     val clicks = MemoryStream[(Long, Long, Timestamp)] // (click_id, user, ts)
     val buys = MemoryStream[(Long, Long, Timestamp)]   // (buy_id, user, ts)
