@@ -1495,6 +1495,35 @@ object SparkEntry {
         .orderBy("user_id", "day")
     }),
 
+    "merge_upsert" -> ((s, dir) => {
+      // lakehouse MERGE: a delta derived from post-cut orders upserts the
+      // customer snapshot — updates (new balance), deletes (every 17th
+      // key), inserts (key-shifted synthetic rows) — one anti join +
+      // union, base never shuffles
+      val cut = to_timestamp(lit("1999-01-01 00:00:00"))
+      val delta = t(s, dir, "orders").filter(col("o_orderdate") >= cut)
+        .groupBy(col("o_custkey"))
+        .agg(Relational.decimalSum(col("o_totalprice")).cast("string")
+          .cast("double").as("__bal"))
+      def asRow(keyCol: Column, del: Column) = Seq(
+        keyCol.as("c_custkey"),
+        concat(lit("upd-"), keyCol).as("c_name"),
+        pmod(keyCol, lit(25)).cast("int").as("c_nationkey"),
+        col("__bal").as("c_acctbal"),
+        lit("UPDATED").as("c_mktsegment"),
+        del.as("__delete"))
+      val upd = delta.select(asRow(col("o_custkey"),
+        pmod(col("o_custkey"), lit(17)) === 0): _*)
+      val ins = delta.filter(pmod(col("o_custkey"), lit(7)) === 0)
+        .select(asRow(col("o_custkey") + 10000000L, lit(false)): _*)
+      Relational.mergeUpsert(t(s, dir, "customer"),
+          upd.unionByName(ins), "c_custkey", "__delete")
+        .select(col("c_custkey"), col("c_name"),
+          col("c_nationkey").cast("long").as("c_nationkey"),
+          col("c_acctbal"), col("c_mktsegment"))
+        .orderBy("c_custkey")
+    }),
+
     "skyline_orders" -> ((s, dir) =>
       // multi-objective Pareto frontier: orders no other order beats on
       // BOTH price and recency (one strict) — sort+window rewrite of the
@@ -3811,6 +3840,35 @@ object SparkEntry {
            CAST(COUNT(*) AS BIGINT) AS cnt
          FROM events GROUP BY user_id, day
          ORDER BY user_id, day""",
+
+    "merge_upsert" ->
+      """WITH delta AS (
+           SELECT o_custkey AS k,
+             CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR)
+               AS DOUBLE) AS bal
+           FROM orders
+           WHERE o_orderdate >= TIMESTAMP '1999-01-01 00:00:00'
+           GROUP BY o_custkey),
+         upd AS (
+           SELECT k AS c_custkey, 'upd-' || k AS c_name,
+             CAST(k % 25 AS INT) AS c_nationkey, bal AS c_acctbal,
+             'UPDATED' AS c_mktsegment, (k % 17 = 0) AS del
+           FROM delta),
+         ins AS (
+           SELECT k + 10000000 AS c_custkey, 'upd-' || (k + 10000000) AS c_name,
+             CAST((k + 10000000) % 25 AS INT) AS c_nationkey, bal AS c_acctbal,
+             'UPDATED' AS c_mktsegment, false AS del
+           FROM delta WHERE k % 7 = 0),
+         allupd AS (SELECT * FROM upd UNION ALL SELECT * FROM ins)
+         SELECT c.c_custkey, c.c_name, CAST(c.c_nationkey AS BIGINT) AS c_nationkey,
+           c.c_acctbal, c.c_mktsegment
+         FROM customer c
+         WHERE NOT EXISTS (SELECT 1 FROM allupd u WHERE u.c_custkey = c.c_custkey)
+         UNION ALL
+         SELECT c_custkey, c_name, CAST(c_nationkey AS BIGINT) AS c_nationkey,
+           c_acctbal, c_mktsegment
+         FROM allupd WHERE NOT del
+         ORDER BY c_custkey""",
 
     "skyline_orders" ->
       """WITH pts AS (

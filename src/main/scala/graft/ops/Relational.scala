@@ -286,6 +286,26 @@ object Relational {
         .bitwiseOR(shiftleft(shiftright(b.cast("long"), i).bitwiseAND(lit(1L)), 2 * i + 1))
     }
 
+  /** Lakehouse MERGE (SCD1 upsert): apply a full-row delta table to a
+    * snapshot — `WHEN MATCHED AND delete THEN DELETE / WHEN MATCHED THEN
+    * UPDATE ALL / WHEN NOT MATCHED AND NOT delete THEN INSERT` — the
+    * table-maintenance half of the CDC family ([[graft.ops.Temporal]]'s
+    * SCD2 keeps history; this produces the current snapshot). Updates
+    * carry complete rows (schema = base + the delete flag) and MUST be
+    * unique per key — the MERGE precondition every lakehouse engine also
+    * enforces (a multiply-matched key makes the result order-dependent).
+    *
+    * Shape: ONE left-anti join on the key (delta side broadcast-able in
+    * the overwhelmingly common small-delta case) + a union — the base
+    * table never shuffles and is read once; compare a naive full-outer
+    * formulation, which shuffles both sides on the key.
+    */
+  def mergeUpsert(base: DataFrame, updates: DataFrame, key: String,
+                  deleteCol: String): DataFrame = {
+    val untouched = base.join(updates.select(key), Seq(key), "left_anti")
+    untouched.unionByName(updates.filter(!col(deleteCol)).drop(deleteCol))
+  }
+
   /** 2D skyline (Pareto frontier, maximize both dimensions): rows whose
     * (x, y) no other row dominates — b dominates a iff b.x >= a.x and
     * b.y >= a.y with at least one strict. The multi-objective filter a

@@ -127,4 +127,44 @@ class Round7OpsSpec extends SparkTestBase {
     val got = Relational.skyline2D(df, "x", "y").select("id").as[Long].collect().toSet
     assert(got == (1 to 20).map(_.toLong).toSet)
   }
+
+  test("mergeUpsert: update, delete, insert, and untouched branches") {
+    val base = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("k", "name", "bal")
+    val updates = Seq(
+      (2L, "b2", 25.0, false), // matched update: full-row replace
+      (3L, "c", 0.0, true),    // matched delete
+      (9L, "new", 99.0, false),// not-matched insert
+      (8L, "gone", 0.0, true)  // not-matched delete: no-op
+    ).toDF("k", "name", "bal", "__delete")
+    val out = Relational.mergeUpsert(base, updates, "k", "__delete")
+      .as[(Long, String, Double)].collect().toSet
+    assert(out == Set((1L, "a", 10.0), (2L, "b2", 25.0), (9L, "new", 99.0)))
+  }
+
+  test("plan audits: new round-7 queries keep their 100TB shapes") {
+    def planOf(name: String): String = {
+      val df = SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")
+      df.collect()
+      df.queryExecution.executedPlan.toString
+    }
+    // sliding window: the 2x window expansion happens BEFORE the single
+    // exchange — exactly one shuffle (plus the orderBy's range exchange),
+    // with a map-side partial aggregate
+    val sliding = planOf("sliding_window_counts")
+    assert(sliding.split("HashAggregate").length - 1 >= 2, sliding)
+    // merge upsert: the anti join broadcasts the delta key side — the
+    // base snapshot never shuffles on the key
+    val merge = planOf("merge_upsert")
+    assert(merge.contains("BroadcastHashJoin") && merge.contains("LeftAnti"), merge)
+    // skyline: the final frontier semi join broadcasts the (tiny) global
+    // skyline; the raw table is never exchanged for it
+    val sky = planOf("skyline_orders")
+    assert(sky.contains("BroadcastHashJoin") && sky.contains("LeftSemi"), sky)
+    // forward as-of: ONE exchange on the key feeds the window (union of
+    // both sides) — no row-multiplying join node anywhere
+    val asof = planOf("asof_next_purchase")
+    assert(!asof.contains("SortMergeJoin") && !asof.contains("NestedLoop"), asof)
+    assert(asof.contains("RunningWindowFunction") || asof.contains("Window"), asof)
+  }
 }
