@@ -1495,6 +1495,23 @@ object SparkEntry {
         .orderBy("user_id", "day")
     }),
 
+    "profile_columns" -> ((s, dir) =>
+      // data-quality gate on a fresh drop: per-column rows/nulls/exact
+      // distinct/native-typed min-max in ONE aggregate (the multi-distinct
+      // Expand keeps it a single pass with map-side partials)
+      Relational.profileColumns(t(s, dir, "orders"),
+          Seq("o_orderkey", "o_totalprice", "o_orderpriority"))
+        .orderBy("col_name")),
+
+    "sliding_distinct_users" -> ((s, dir) =>
+      // trailing-2-day active users per daily hop: hopping windows + exact
+      // count-distinct (two-level agg, both with partials)
+      Temporal.slidingDistinct(t(s, dir, "events"), "ts", "2 days", "1 day",
+          "user_id")
+        .select(date_format(col("window.start"), "yyyy-MM-dd").as("win_start"),
+          col("n_distinct").cast("long").as("n_users"))
+        .orderBy("win_start")),
+
     "merge_upsert" -> ((s, dir) => {
       // lakehouse MERGE: a delta derived from post-cut orders upserts the
       // customer snapshot — updates (new balance), deletes (every 17th
@@ -3840,6 +3857,36 @@ object SparkEntry {
            CAST(COUNT(*) AS BIGINT) AS cnt
          FROM events GROUP BY user_id, day
          ORDER BY user_id, day""",
+
+    "profile_columns" ->
+      """SELECT 'o_orderkey' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) - COUNT(o_orderkey) AS BIGINT) AS n_null,
+           CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+           CAST(MIN(o_orderkey) AS VARCHAR) AS min_value,
+           CAST(MAX(o_orderkey) AS VARCHAR) AS max_value
+         FROM orders
+         UNION ALL
+         SELECT 'o_totalprice', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) - COUNT(o_totalprice) AS BIGINT),
+           CAST(COUNT(DISTINCT o_totalprice) AS BIGINT),
+           CAST(MIN(o_totalprice) AS VARCHAR), CAST(MAX(o_totalprice) AS VARCHAR)
+         FROM orders
+         UNION ALL
+         SELECT 'o_orderpriority', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) - COUNT(o_orderpriority) AS BIGINT),
+           CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT),
+           CAST(MIN(o_orderpriority) AS VARCHAR), CAST(MAX(o_orderpriority) AS VARCHAR)
+         FROM orders
+         ORDER BY col_name""",
+
+    "sliding_distinct_users" ->
+      """WITH w AS (
+           SELECT date_trunc('day', ts) AS ws, user_id FROM events
+           UNION ALL
+           SELECT date_trunc('day', ts) - INTERVAL 1 DAY, user_id FROM events)
+         SELECT strftime(ws, '%Y-%m-%d') AS win_start,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+         FROM w GROUP BY 1 ORDER BY win_start""",
 
     "merge_upsert" ->
       """WITH delta AS (

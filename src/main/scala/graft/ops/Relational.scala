@@ -286,6 +286,39 @@ object Relational {
         .bitwiseOR(shiftleft(shiftright(b.cast("long"), i).bitwiseAND(lit(1L)), 2 * i + 1))
     }
 
+  /** One-pass column profiler (the Deequ/describe data-quality pass a
+    * pipeline runs before trusting a new drop): per column — row count,
+    * null count, exact distinct count, min/max rendered to strings on the
+    * NATIVE type (so numeric min/max is numeric, not lexicographic).
+    *
+    * Scale shape: ONE aggregate over the table. The multiple exact
+    * count-distincts plan as a single Expand (×|cols| row multiplication)
+    * feeding one partial+final aggregate pair — map-side partials absorb
+    * the expansion exactly like the sliding-window overlap; the result is
+    * one row, exploded driver-free into the per-column report. At
+    * cardinalities where exact distinct hurts, swap
+    * approx_count_distinct in — the exact form is the oracle-able one.
+    */
+  def profileColumns(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profileColumns: no columns given")
+    val aggs = cols.flatMap { c =>
+      Seq(
+        count(col(c)).as(s"__cnt_$c"),
+        countDistinct(col(c)).as(s"__nd_$c"),
+        min(col(c)).cast("string").as(s"__min_$c"),
+        max(col(c)).cast("string").as(s"__max_$c"))
+    }
+    val row = df.agg(count(lit(1)).as("__n"), aggs: _*)
+    val structs = array(cols.map(c => struct(
+      lit(c).as("col_name"),
+      col("__n").as("n_rows"),
+      (col("__n") - col(s"__cnt_$c")).as("n_null"),
+      col(s"__nd_$c").as("n_distinct"),
+      col(s"__min_$c").as("min_value"),
+      col(s"__max_$c").as("max_value"))): _*)
+    row.select(explode(structs).as("__p")).select(col("__p.*"))
+  }
+
   /** Lakehouse MERGE (SCD1 upsert): apply a full-row delta table to a
     * snapshot — `WHEN MATCHED AND delete THEN DELETE / WHEN MATCHED THEN
     * UPDATE ALL / WHEN NOT MATCHED AND NOT delete THEN INSERT` — the

@@ -81,6 +81,20 @@ object Temporal {
     df.groupBy(keys: _*).agg(count(lit(1)).as("cnt"))
   }
 
+  /** Sliding-window DISTINCT cardinality (trailing-N-day active users per
+    * hop): same epoch-aligned hopping windows as [[slidingCounts]] with an
+    * exact count-distinct — planned as two aggregation levels (dedup on
+    * (window, keys, value), then count), both with map-side partials.
+    * Swap in approx_count_distinct at cardinalities where the exact
+    * dedup's shuffle dominates; the exact form is the oracle-able one.
+    */
+  def slidingDistinct(df: DataFrame, tsCol: String, width: String, slide: String,
+                      distinctCol: String, extraKeys: String*): DataFrame = {
+    val keys = window(col(tsCol), width, slide) +: extraKeys.map(col)
+    df.groupBy(keys: _*)
+      .agg(countDistinct(col(distinctCol)).as(s"n_distinct"))
+  }
+
   /** Gap-based sessionization: a new session starts when the gap since the
     * previous event (per partition key, event-time order) exceeds
     * `gapSeconds`. Two windows over the same (key, order) partitioning —

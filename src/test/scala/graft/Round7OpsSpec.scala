@@ -142,6 +142,33 @@ class Round7OpsSpec extends SparkTestBase {
     assert(out == Set((1L, "a", 10.0), (2L, "b2", 25.0), (9L, "new", 99.0)))
   }
 
+  test("profileColumns: nulls, exact distincts, native-typed min/max") {
+    val df = Seq(
+      (Some(1L), Some(10.5), Some("b")),
+      (Some(2L), None, Some("a")),
+      (Some(2L), Some(2.0), None)).toDF("k", "v", "s")
+    val got = Relational.profileColumns(df, Seq("k", "v", "s"))
+      .as[(String, Long, Long, Long, String, String)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("k") == ("k", 3L, 0L, 2L, "1", "2"))
+    // numeric min/max, not lexicographic: 2.0 < 10.5
+    assert(got("v") == ("v", 3L, 1L, 2L, "2.0", "10.5"))
+    assert(got("s") == ("s", 3L, 1L, 2L, "a", "b"))
+  }
+
+  test("slidingDistinct: a user active on both days counts once per window") {
+    val df = Seq(
+      (ts("2024-01-01 06:00:00"), 7L),
+      (ts("2024-01-02 06:00:00"), 7L), // same user next day
+      (ts("2024-01-02 07:00:00"), 8L)).toDF("ts", "user_id")
+    val got = Temporal.slidingDistinct(df, "ts", "2 days", "1 day", "user_id")
+      .select(date_format($"window.start", "yyyy-MM-dd"), $"n_distinct")
+      .as[(String, Long)].collect().toMap
+    // window starting Jan-1 covers both days: user 7 once + user 8 → 2
+    assert(got == Map(
+      "2023-12-31" -> 1L, "2024-01-01" -> 2L, "2024-01-02" -> 2L))
+  }
+
   test("plan audits: new round-7 queries keep their 100TB shapes") {
     def planOf(name: String): String = {
       val df = SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")
