@@ -92,7 +92,8 @@ object AsOfJoin {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     val withinTol =
-      col(s"__asof.$rightTs").cast("double") - col("__ts").cast("double") <=
+      Ts.epochSecondsExact(col(s"__asof.$rightTs")) -
+        Ts.epochSecondsExact(col("__ts")) <=
         lit(toleranceSeconds).cast("double")
     l.unionByName(r)
       .withColumn("__asof", last(col("__r"), ignoreNulls = true).over(w))
@@ -111,7 +112,7 @@ object AsOfJoin {
     */
   def rangeJoinPairs(df: DataFrame, idCol: String, tsCol: String,
                      bandSeconds: Long): DataFrame = {
-    val secs = col(tsCol).cast("long")
+    val secs = Ts.epochSeconds(col(tsCol))
     val bucket = (secs / bandSeconds).cast("long")
     val a = df.select(col(idCol).as("id_a"), secs.as("__sa"),
         explode(array(bucket - 1, bucket, bucket + 1)).as("__bucket"))

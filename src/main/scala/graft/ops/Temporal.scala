@@ -110,7 +110,7 @@ object Temporal {
     val order = Seq(col(tsCol).asc, col(tieBreak).asc)
     val w = Window.partitionBy(col(keyCol)).orderBy(order: _*)
     val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val secs = col(tsCol).cast("long")
+    val secs = Ts.epochSeconds(col(tsCol))
     val prev = lag(secs, 1).over(w)
     df.withColumn("__is_new", when(prev.isNull || (secs - prev) > gapSeconds, 1).otherwise(0))
       .withColumn("session_id", sum(col("__is_new")).over(wRun))

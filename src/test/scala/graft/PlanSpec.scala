@@ -87,6 +87,16 @@ class PlanSpec extends SparkTestBase {
     assert(exchanges <= 2, s"too many shuffles ($exchanges):\n$p")
   }
 
+  test("quantile_bins: no single-partition window anywhere in the result plan") {
+    // VERDICT r7 #3: the old ntile path funneled every raw row through ONE
+    // no-partition window. The rewrite extracts boundary order statistics
+    // with per-__pid (parallel) windows and assembles the bins-row result
+    // driver-side — so the returned frame's plan must contain NO Window
+    // node at all, and internal passes only ever window per-partition.
+    val p = planOf("quantile_bins")
+    assert(!p.contains("Window"), s"global window resurfaced:\n$p")
+  }
+
   test("sample_hash: pure map-side filter — no hash shuffle (only the output sort)") {
     val p = planOf("sample_hash")
     // the declared query's deterministic orderBy adds a rangepartitioning
