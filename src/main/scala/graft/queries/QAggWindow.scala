@@ -1,0 +1,758 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.VectorOps
+import graft.ops.{Ingest, LlmOps, Relational, Temporal}
+import graft.pipeline.ZoomJobs
+import graft.QShared._
+
+/** AggWindow slice of the declared query slate — split from the former 4.3k-line
+  * SparkEntry.scala (VERDICT r7 #7); bodies moved verbatim, composition in
+  * [[SparkEntry]] keeps the driver contract identical. */
+private[graft] object QAggWindow {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- §2.4 aggregations ---------------------------------------------
+    "count_per_group" -> ((s, dir) =>
+      Relational.countPerGroup(t(s, dir, "customer"), "c_nationkey")
+        .orderBy("c_nationkey")),
+
+    "agg_revenue_by_flag" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          Relational.decimalSum(col("l_quantity")).as("sum_qty"),
+          Relational.decimalSum(col("l_extendedprice")).as("sum_base_price"),
+          Relational.decimalSumProduct(col("l_extendedprice"), col("l_discount")).as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+        .withColumn("avg_qty", col("sum_qty") / col("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    // ---- §2.8/§2.10 temporal + incremental -----------------------------,
+
+    // ---- §2.6 sort/limit, §2.5 windows ---------------------------------
+    "topk_orders" -> ((s, dir) =>
+      Relational.topK(t(s, dir, "orders"), 10,
+          col("o_totalprice").desc, col("o_orderkey").asc)
+        .select("o_orderkey", "o_custkey", "o_totalprice")),
+
+    "window_rank" -> ((s, dir) =>
+      Relational.rankPerGroup(t(s, dir, "lineitem"),
+          Seq("l_returnflag"),
+          Seq(col("l_extendedprice").desc, col("l_orderkey").asc, col("l_linenumber").asc),
+          k = 5)
+        .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"), col("rn").cast("long").as("rn"))
+        .orderBy("l_returnflag", "rn")),
+
+    "window_running_sum" -> ((s, dir) =>
+      Relational.runningSum(t(s, dir, "orders"), "o_totalprice", "o_custkey",
+          Seq(col("o_orderdate").asc, col("o_orderkey").asc), "running_total")
+        .select("o_custkey", "o_orderkey", "running_total")
+        .orderBy("o_custkey", "o_orderkey")),
+
+    "window_lag_ntile" -> ((s, dir) => {
+      val byDate = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      val byPrice = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          datediff(col("o_orderdate"), lag(col("o_orderdate"), 1).over(byDate))
+            .cast("long").as("days_since_prev"),
+          ntile(4).over(byPrice).cast("long").as("price_quartile"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
+    "window_first_last" -> ((s, dir) => {
+      // frame-sensitive value windows: first/last/nth over an explicit
+      // unbounded frame (default RANGE..CURRENT ROW would make last_value
+      // see only its own prefix — the classic window-frame trap)
+      val ord = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      val full = ord.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          first(col("o_orderkey")).over(full).as("first_key"),
+          last(col("o_orderkey")).over(full).as("last_key"),
+          nth_value(col("o_orderkey"), 2).over(full).as("second_key"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
+    "user_profile" -> ((s, dir) =>
+      // feature-store profile row per user: activity counts, the sorted
+      // distinct event-type vocabulary as a csv string (deterministic,
+      // hash-stable), and the activity span
+      t(s, dir, "events")
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          concat_ws(",", sort_array(collect_set(col("event_type")))).as("event_types"),
+          date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("first_seen"),
+          date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss").as("last_seen"),
+          // floor-to-cents BEFORE the sum: floor is exact IEEE (unlike a
+          // decimal cast, whose tie-rounding on raw doubles is engine-
+          // specific), and long addition is associative
+          sum(floor(col("value") * 100).cast("long")).as("total_cents"))
+        .orderBy("user_id")),
+
+    "window_dist_funcs" -> ((s, dir) => {
+      // distribution window functions: percent_rank/cume_dist over a unique
+      // (price, key) total order — rank arithmetic is exact-int division,
+      // bitwise-replayable
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          percent_rank().over(w).as("pct_rank"),
+          cume_dist().over(w).as("cume"))
+        .orderBy("o_orderkey")
+    }),
+
+    "stats_by_group" -> ((s, dir) => {
+      val p = col("o_totalprice").cast("decimal(18,2)")
+      t(s, dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+          count(lit(1)).as("n"),
+          // decimal -> string -> double: DuckDB's direct decimal->double
+          // conversion double-rounds (int128 then /10^scale), while Java's
+          // is correctly rounded — the string route is correctly rounded
+          // in BOTH engines, so s/ss match bitwise.
+          sum(p).cast("string").cast("double").as("s"),
+          sum(p * p).cast("string").cast("double").as("ss"))
+        .select(col("o_orderpriority"), col("n"),
+          (col("s") / col("n")).as("avg_price"),
+          ((col("ss") - (col("s") * col("s")) / col("n")) / (col("n") - 1)).as("var_price"),
+          sqrt((col("ss") - (col("s") * col("s")) / col("n")) / (col("n") - 1)).as("stddev_price"))
+        .orderBy("o_orderpriority")
+    }),
+
+    "cube_counts" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("cnt"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+          col("cnt"))
+        .orderBy("flag", "status")),
+
+    "percentile_by_group" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(percentile(col("o_totalprice"), lit(0.5)).as("median_price"),
+          percentile(col("o_totalprice"), lit(0.9)).as("p90_price"))
+        .orderBy("o_orderpriority")),
+
+    // ---- §2.7 set ops beyond union, §2.4 grouping sets, §2.11 generator --,
+
+    "rollup_revenue" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(Relational.decimalSum(col("l_quantity")).as("sum_qty"),
+          count(lit(1)).as("cnt"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+          col("sum_qty"), col("cnt"))
+        .orderBy("flag", "status")),
+
+    "grouping_sets_revenue" -> ((s, dir) =>
+      // irregular grouping-set collection {(flag,status),(flag),(status)} —
+      // expressible as neither rollup nor cube; one Expand + one aggregate
+      Relational.groupingSetsAgg(t(s, dir, "lineitem"),
+          Seq(Seq("l_returnflag", "l_linestatus"), Seq("l_returnflag"),
+            Seq("l_linestatus")),
+          Seq("l_returnflag", "l_linestatus"),
+          Relational.decimalSum(col("l_quantity")).as("sum_qty"),
+          count(lit(1)).as("cnt"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+          col("sum_qty"), col("cnt"))
+        .orderBy("flag", "status")),
+
+    "pivot_daily_events" -> ((s, dir) =>
+      // explicit value list → fixed output columns, no value-discovery scan
+      t(s, dir, "events")
+        .select(date_format(col("ts"), "yyyy-MM-dd").as("day"), col("event_type"))
+        .groupBy("day")
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .count()
+        .na.fill(0L)
+        .orderBy("day")),
+
+    "unpivot_metrics" -> ((s, dir) => {
+      // wide→long reshape (the melt half of the pivot pair): three metric
+      // columns become (key, metric, value) rows — the §2 relational
+      // surface's unpivot, a pure per-row Expand with no shuffle beyond
+      // the output sort. Values pass through untouched: hash-exact
+      val li = t(s, dir, "lineitem").filter(col("l_orderkey") < 1000)
+      li.select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+          col("l_quantity"), col("l_discount"), col("l_tax"))
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_discount"), col("l_tax")),
+          "metric", "value")
+        .orderBy("l_orderkey", "l_linenumber", "metric")
+    }),
+
+    "heatmap_counts" -> ((s, dir) => {
+      // 2D profile: order month × global price decile — the BI heatmap;
+      // same broadcast-global bucketing arithmetic as value_histogram
+      val o = t(s, dir, "orders")
+      val mm = o.agg(min(col("o_totalprice")).cast("double").as("__vmin"),
+        max(col("o_totalprice")).cast("double").as("__vmax"))
+      o.crossJoin(broadcast(mm))
+        .select(date_format(col("o_orderdate"), "yyyy-MM").as("month"),
+          least(floor((col("o_totalprice") - col("__vmin")) * 10 /
+            (col("__vmax") - col("__vmin"))).cast("long"), lit(9L)).as("price_decile"))
+        .groupBy("month", "price_decile")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("month", "price_decile")
+    }),
+
+    "props_json_stats" -> ((s, dir) =>
+      // per-type stats over the JSON props payload: exact integer sum of
+      // the extracted field, one final division for the mean
+      t(s, dir, "events")
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("__k"))
+        .groupBy("event_type")
+        .agg(count(col("__k")).as("n"), sum(col("__k")).as("k_sum"),
+          (sum(col("__k")).cast("double") / count(col("__k"))).as("k_mean"))
+        .orderBy("event_type")),
+
+    "wow_change" -> ((s, dir) => {
+      // period-over-period report: weekly event volume with lag and an
+      // exact-int delta; pct_change is one final division
+      val week = floor(datediff(to_date(col("ts")), to_date(lit("2024-01-01")))
+        .cast("double") / 7).cast("long")
+      val weekly = t(s, dir, "events")
+        .select(week.as("week"))
+        .groupBy("week").agg(count(lit(1)).as("cnt"))
+      val w = Window.orderBy(col("week"))
+      weekly
+        .select(col("week"), col("cnt"),
+          lag(col("cnt"), 1).over(w).as("prev_cnt"))
+        .select(col("week"), col("cnt"), col("prev_cnt"),
+          ((col("cnt") - col("prev_cnt")).cast("double") / col("prev_cnt"))
+            .as("pct_change"))
+        .orderBy("week")
+    }),
+
+    "quantile_bins" -> ((s, dir) =>
+      // equi-depth profile: 10 near-equal-count bins over a (price, key)
+      // total order — bin boundaries are exact order statistics
+      Relational.quantileBins(t(s, dir, "orders"), "o_totalprice",
+          "o_orderkey", bins = 10)
+        .orderBy("bin")),
+
+    "zscore_normalize" -> ((s, dir) =>
+      // per-language feature scaling from exact decimal moments; the
+      // degenerate-variance guard yields null, never NaN
+      Relational.zscoreNormalize(t(s, dir, "documents"), "lang", "doc_id",
+          "n_chars")
+        .orderBy("doc_id")),
+
+    "value_histogram" -> ((s, dir) =>
+      // equi-width profile of order totals with data-derived bounds: one
+      // broadcast 2-value global, one bucket-id groupBy, audit edges from
+      // the same arithmetic the bucketing used
+      Relational.equiWidthHistogram(
+          t(s, dir, "orders").select(col("o_totalprice")), "o_totalprice",
+          buckets = 20)
+        .orderBy("bucket")),
+
+    "mad_by_group" -> ((s, dir) =>
+      // robust scale per language: median + median-absolute-deviation of
+      // doc length (two exact percentile passes, broadcast between)
+      Relational.madByGroup(t(s, dir, "documents"), "lang", "n_chars")
+        .orderBy("lang")),
+
+    "iqr_outliers" -> ((s, dir) =>
+      // per-language Tukey-fence length outliers: exact quartiles (tiny
+      // per-group aggregate) broadcast back onto the corpus scan
+      LlmOps.iqrOutliers(t(s, dir, "documents"), "lang", "doc_id", "n_chars")
+        .orderBy("doc_id")),
+
+    "approx_quantiles" -> ((s, dir) => {
+      // Contract-oracled like the HLL sketch: DuckDB can't replay Spark's
+      // percentile_approx digest, but it CAN verify the sketch's contract —
+      // the approximate median must land within the exact p40..p60 band.
+      val o = t(s, dir, "orders")
+      val approx = o.groupBy("o_orderpriority")
+        .agg(percentile_approx(col("o_totalprice"), lit(0.5), lit(1000)).as("__ap"))
+      val exact = o.groupBy("o_orderpriority")
+        .agg(percentile(col("o_totalprice"), lit(0.4)).as("__p40"),
+          percentile(col("o_totalprice"), lit(0.6)).as("__p60"))
+      approx.join(exact, "o_orderpriority")
+        .select(col("o_orderpriority"),
+          (col("__ap") >= col("__p40") && col("__ap") <= col("__p60")).as("median_ok"))
+        .orderBy("o_orderpriority")
+    }),
+
+    "approx_distinct_parts" -> ((s, dir) => {
+      // Contract-oracled: DuckDB can't replay the HLL registers, but it CAN
+      // verify the contract — the estimate must land within ±5% of the
+      // exact distinct count (lgK=12 → rsd ≈ 1.6%, so 5% is ~3σ). A broken
+      // sketch flips hll_ok to false and fails the hash compare.
+      val li = t(s, dir, "lineitem")
+      val approx = Relational.approxDistinctPerGroup(li, "l_returnflag", "l_partkey")
+      val exact = li.groupBy("l_returnflag")
+        .agg(countDistinct(col("l_partkey")).as("n_exact"))
+      approx.join(exact, "l_returnflag")
+        .select(col("l_returnflag"), col("n_exact"),
+          (abs(col("approx_distinct") - col("n_exact")) <= col("n_exact") * 0.05)
+            .as("hll_ok"))
+        .orderBy("l_returnflag")
+    }),
+
+    "sample_hash" -> ((s, dir) =>
+      Relational.hashSample(t(s, dir, "documents"), "doc_id", m = 10)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")),
+
+    "per_group_sample" -> ((s, dir) =>
+      // deterministic 5-per-language eval-set pick in md5-hash order
+      Relational.perGroupSample(t(s, dir, "documents"), "lang", "doc_id", k = 5)
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")),
+
+    "stratified_sample" -> ((s, dir) =>
+      // data-mixture reweighting: per-source deterministic keep rates via
+      // the portable hash — rerun-stable, no RNG, pure pushed-down filter
+      Relational.stratifiedSample(t(s, dir, "documents"), "doc_id", "source",
+          Map("src1" -> 80, "src2" -> 50, "src3" -> 20, "src4" -> 10))
+        .select("doc_id", "source", "lang")
+        .orderBy("doc_id")),
+
+    "window_percentiles" -> ((s, dir) =>
+      // rank-statistic windows: percent_rank + cume_dist per priority
+      // group — exact integer-ratio doubles, hash-stable on both engines
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          percent_rank().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(col("o_orderpriority"))
+              .orderBy(col("o_totalprice").asc, col("o_orderkey").asc))
+            .as("pct_rank"),
+          cume_dist().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(col("o_orderpriority"))
+              .orderBy(col("o_totalprice").asc, col("o_orderkey").asc))
+            .as("cume"))
+        .orderBy("o_orderkey")),
+
+    // ---- §3 composed pipeline ------------------------------------------,
+
+    "dist_drift" -> ((s, dir) => {
+      // snapshot drift monitor: event-type mass before vs after the cut;
+      // sum(drift_term)/2 = total variation distance. Divisions once per
+      // side then subtract — no log, no float accumulation order
+      val e = t(s, dir, "events")
+      val cut = to_timestamp(lit("2024-01-16 00:00:00"))
+      LlmOps.distributionDrift(
+          e.filter(col("ts") < cut), e.filter(col("ts") >= cut), "event_type")
+        .orderBy("event_type")
+    }),
+
+    "skyline_orders" -> ((s, dir) =>
+      // multi-objective Pareto frontier: orders no other order beats on
+      // BOTH price and recency (one strict) — sort+window rewrite of the
+      // quadratic NOT-EXISTS definition, local skylines per bucket then a
+      // global pass over survivors only
+      Relational.skyline2D(t(s, dir, "orders"), "o_totalprice", "o_orderdate")
+        .select(col("o_orderkey"), col("o_totalprice"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"))
+        .orderBy("o_orderkey")),
+
+    "profile_columns" -> ((s, dir) =>
+      // data-quality gate on a fresh drop: per-column rows/nulls/exact
+      // distinct/native-typed min-max in ONE aggregate (the multi-distinct
+      // Expand keeps it a single pass with map-side partials)
+      Relational.profileColumns(t(s, dir, "orders"),
+          Seq("o_orderkey", "o_totalprice", "o_orderpriority"))
+        .orderBy("col_name")),
+
+    "zorder_layout" -> ((s, dir) => {
+      // storage-layout audit (Delta/Iceberg OPTIMIZE ZORDER analog):
+      // events quantized on (user_id, day), Morton-interleaved, bucketed
+      // by the z-prefix — per-bucket dimension bounds exhibit the
+      // bounded-rectangle property that makes scans on EITHER column
+      // prune most buckets
+      val e = t(s, dir, "events").select(col("user_id"),
+        datediff(to_date(col("ts")), to_date(lit("2024-01-01"))).cast("long").as("day"))
+      Relational.zorderLayout(e, "user_id", "day", dimBits = 8, prefixBits = 3)
+        .orderBy("zbucket")
+    }),
+
+  )
+
+  val oracle: Map[String, String] = Map(
+
+    "count_per_group" ->
+      """SELECT c_nationkey, COUNT(*) AS cnt FROM customer
+         GROUP BY c_nationkey ORDER BY c_nationkey""",
+
+    "agg_revenue_by_flag" ->
+      """SELECT l_returnflag, l_linestatus,
+            CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+            CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+            CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                     * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+            COUNT(*) AS count_order,
+            CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty
+         FROM lineitem
+         GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
+
+    "topk_orders" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
+
+    "window_rank" ->
+      """SELECT l_returnflag, l_orderkey, l_linenumber, rn FROM (
+           SELECT l_returnflag, l_orderkey, l_linenumber,
+                  CAST(row_number() OVER (PARTITION BY l_returnflag
+                    ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS BIGINT) AS rn
+           FROM lineitem) sub
+         WHERE rn <= 5 ORDER BY l_returnflag, rn""",
+
+    "window_running_sum" ->
+      """SELECT o_custkey, o_orderkey,
+            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+              PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
+         FROM orders ORDER BY o_custkey, o_orderkey""",
+
+    "window_lag_ntile" ->
+      """SELECT o_custkey, o_orderkey,
+            CAST(date_diff('day',
+              lag(o_orderdate) OVER (PARTITION BY o_custkey
+                ORDER BY o_orderdate, o_orderkey),
+              o_orderdate) AS BIGINT) AS days_since_prev,
+            CAST(ntile(4) OVER (PARTITION BY o_custkey
+              ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS price_quartile
+         FROM orders ORDER BY o_custkey, o_orderkey""",
+
+    "window_first_last" ->
+      """SELECT o_custkey, o_orderkey,
+            first_value(o_orderkey) OVER w AS first_key,
+            last_value(o_orderkey) OVER w AS last_key,
+            nth_value(o_orderkey, 2) OVER w AS second_key
+         FROM orders
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+         ORDER BY o_custkey, o_orderkey""",
+
+    "user_profile" ->
+      """SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+            array_to_string(list_sort(list(DISTINCT event_type)), ',') AS event_types,
+            strftime(date_trunc('second', MIN(ts)), '%Y-%m-%d %H:%M:%S') AS first_seen,
+            strftime(date_trunc('second', MAX(ts)), '%Y-%m-%d %H:%M:%S') AS last_seen,
+            CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
+         FROM events GROUP BY user_id ORDER BY user_id""",
+
+    "window_dist_funcs" ->
+      """SELECT o_orderkey, o_orderpriority,
+            percent_rank() OVER (PARTITION BY o_orderpriority
+              ORDER BY o_totalprice, o_orderkey) AS pct_rank,
+            cume_dist() OVER (PARTITION BY o_orderpriority
+              ORDER BY o_totalprice, o_orderkey) AS cume
+         FROM orders ORDER BY o_orderkey""",
+
+    "stats_by_group" ->
+      """WITH a AS (
+           SELECT o_orderpriority, COUNT(*) AS n,
+             CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS s,
+             CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))
+                      * CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS ss
+           FROM orders GROUP BY o_orderpriority)
+         SELECT o_orderpriority, n,
+           s / n AS avg_price,
+           (ss - (s * s) / n) / (n - 1) AS var_price,
+           sqrt((ss - (s * s) / n) / (n - 1)) AS stddev_price
+         FROM a ORDER BY o_orderpriority""",
+
+    "cube_counts" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS flag,
+            COALESCE(l_linestatus, 'ALL') AS status,
+            COUNT(*) AS cnt
+         FROM lineitem
+         GROUP BY CUBE (l_returnflag, l_linestatus)
+         ORDER BY flag, status""",
+
+    "percentile_by_group" ->
+      """SELECT o_orderpriority,
+            quantile_cont(o_totalprice, 0.5) AS median_price,
+            quantile_cont(o_totalprice, 0.9) AS p90_price
+         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
+    "rollup_revenue" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS flag,
+            COALESCE(l_linestatus, 'ALL') AS status,
+            CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+            COUNT(*) AS cnt
+         FROM lineitem
+         GROUP BY ROLLUP (l_returnflag, l_linestatus)
+         ORDER BY flag, status""",
+
+    "grouping_sets_revenue" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS flag,
+            COALESCE(l_linestatus, 'ALL') AS status,
+            CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+            COUNT(*) AS cnt
+         FROM lineitem
+         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                 (l_returnflag), (l_linestatus))
+         ORDER BY flag, status""",
+
+    "pivot_daily_events" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS day,
+            COUNT(*) FILTER (event_type = 'click') AS click,
+            COUNT(*) FILTER (event_type = 'error') AS error,
+            COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+            COUNT(*) FILTER (event_type = 'signup') AS signup,
+            COUNT(*) FILTER (event_type = 'view') AS view
+         FROM events GROUP BY day ORDER BY day""",
+
+    // the 4-step merge loop unrolled: v_k = vocab after k merges, p_k =
+    // pair counts over v_{k-1}, b_k = the argmax merge. chr(31) is the
+    // doubled U+001F symbol delimiter; replace() scans left-to-right
+    // non-overlapping in both engines, so greedy merge application
+    // replays exactly.
+    "unpivot_metrics" ->
+      """WITH base AS (
+           SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+                  l_quantity, l_discount, l_tax
+           FROM lineitem WHERE l_orderkey < 1000)
+         SELECT l_orderkey, l_linenumber, metric, value FROM (
+           SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS value FROM base
+           UNION ALL
+           SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM base
+           UNION ALL
+           SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM base)
+         ORDER BY l_orderkey, l_linenumber, metric""",
+
+    "heatmap_counts" ->
+      """WITH mm AS (SELECT CAST(MIN(o_totalprice) AS DOUBLE) AS vmin,
+                            CAST(MAX(o_totalprice) AS DOUBLE) AS vmax
+                     FROM orders)
+         SELECT strftime(o_orderdate, '%Y-%m') AS month,
+           LEAST(CAST(FLOOR((o_totalprice - vmin) * 10 / (vmax - vmin)) AS BIGINT),
+                 9) AS price_decile,
+           CAST(COUNT(*) AS BIGINT) AS n
+         FROM orders, mm
+         GROUP BY month, price_decile ORDER BY month, price_decile""",
+
+    "props_json_stats" ->
+      """WITH x AS (
+           SELECT event_type,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+           FROM events)
+         SELECT event_type, CAST(COUNT(k) AS BIGINT) AS n,
+           CAST(SUM(k) AS BIGINT) AS k_sum,
+           CAST(SUM(k) AS DOUBLE) / COUNT(k) AS k_mean
+         FROM x GROUP BY event_type ORDER BY event_type""",
+
+    "wow_change" ->
+      """WITH wk AS (
+           SELECT CAST(FLOOR(CAST(date_diff('day', DATE '2024-01-01',
+                    CAST(ts AS DATE)) AS DOUBLE) / 7) AS BIGINT) AS week
+           FROM events),
+         weekly AS (
+           SELECT week, CAST(COUNT(*) AS BIGINT) AS cnt FROM wk GROUP BY week),
+         lagged AS (
+           SELECT week, cnt, lag(cnt) OVER (ORDER BY week) AS prev_cnt
+           FROM weekly)
+         SELECT week, cnt, prev_cnt,
+           CAST(cnt - prev_cnt AS DOUBLE) / prev_cnt AS pct_change
+         FROM lagged ORDER BY week""",
+
+    "quantile_bins" ->
+      """WITH b AS (
+           SELECT o_totalprice,
+             CAST(ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS bin
+           FROM orders)
+         SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
+         FROM b GROUP BY bin ORDER BY bin""",
+
+    // mirrors the Spark expression sequence exactly: exact decimal sums
+    // cast to double, mean = sx/n, var = sx2/n - mean*mean, z via sqrt,
+
+    // mirrors the Spark expression sequence exactly: exact decimal sums
+    // cast to double, mean = sx/n, var = sx2/n - mean*mean, z via sqrt
+    "zscore_normalize" ->
+      """WITH m AS (
+           SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(CAST(SUM(CAST(n_chars AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS DOUBLE) AS sx,
+             CAST(CAST(SUM(CAST(n_chars AS DECIMAL(18,0)) * CAST(n_chars AS DECIMAL(18,0))) AS DECIMAL(38,0)) AS DOUBLE) AS sx2
+           FROM documents GROUP BY lang)
+         SELECT doc_id, d.lang, n_chars,
+           CASE WHEN (sx2 / n - (sx / n) * (sx / n)) <= 0 THEN NULL
+                ELSE (CAST(n_chars AS DOUBLE) - sx / n)
+                     / sqrt(sx2 / n - (sx / n) * (sx / n)) END AS zscore
+         FROM documents d JOIN m USING (lang) ORDER BY doc_id""",
+
+    "value_histogram" ->
+      """WITH mm AS (SELECT CAST(MIN(o_totalprice) AS DOUBLE) AS vmin,
+                            CAST(MAX(o_totalprice) AS DOUBLE) AS vmax
+                     FROM orders),
+         b AS (
+           SELECT CASE WHEN vmax = vmin THEN 0
+                  ELSE LEAST(CAST(FLOOR((o_totalprice - vmin) * 20
+                                        / (vmax - vmin)) AS BIGINT), 19)
+                  END AS bucket, vmin, vmax
+           FROM orders, mm)
+         SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           MIN(vmin + bucket * (vmax - vmin) / 20) AS lo_edge,
+           MIN(vmin + (bucket + 1) * (vmax - vmin) / 20) AS hi_edge
+         FROM b GROUP BY bucket ORDER BY bucket""",
+
+    "mad_by_group" ->
+      """WITH med AS (
+           SELECT lang, quantile_cont(n_chars, 0.5) AS median
+           FROM documents GROUP BY lang)
+         SELECT d.lang, median,
+           quantile_cont(abs(CAST(n_chars AS DOUBLE) - median), 0.5) AS mad
+         FROM documents d JOIN med USING (lang)
+         GROUP BY d.lang, median ORDER BY d.lang""",
+
+    "iqr_outliers" ->
+      """WITH f AS (
+           SELECT lang, quantile_cont(n_chars, 0.25) AS q1,
+                  quantile_cont(n_chars, 0.75) AS q3
+           FROM documents GROUP BY lang)
+         SELECT doc_id, d.lang, n_chars,
+           (n_chars < q1 - 1.5 * (q3 - q1)
+              OR n_chars > q3 + 1.5 * (q3 - q1)) AS is_outlier
+         FROM documents d JOIN f USING (lang) ORDER BY doc_id""",
+
+    "approx_quantiles" ->
+      """SELECT o_orderpriority, TRUE AS median_ok
+         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
+    "approx_distinct_parts" ->
+      """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_exact, TRUE AS hll_ok
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "sample_hash" ->
+      """SELECT doc_id, lang FROM documents
+         WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT % 10 = 0
+         ORDER BY doc_id""",
+
+    "per_group_sample" ->
+      """SELECT doc_id, lang, source FROM (
+           SELECT doc_id, lang, source,
+             row_number() OVER (PARTITION BY lang
+               ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT, doc_id) AS rn
+           FROM documents) t
+         WHERE rn <= 5 ORDER BY doc_id""",
+
+    "stratified_sample" ->
+      """SELECT doc_id, source, lang FROM documents
+         WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT % 100 <
+           CASE source WHEN 'src1' THEN 80 WHEN 'src2' THEN 50
+                       WHEN 'src3' THEN 20 WHEN 'src4' THEN 10 ELSE 0 END
+         ORDER BY doc_id""",
+
+    // same version CTE chain as scd2_history, then the point-in-time
+    // interval join [valid_from, valid_to) with open-ended current rows,
+
+    "window_percentiles" ->
+      """SELECT o_orderkey, o_orderpriority,
+           percent_rank() OVER (PARTITION BY o_orderpriority
+             ORDER BY o_totalprice, o_orderkey) AS pct_rank,
+           cume_dist() OVER (PARTITION BY o_orderpriority
+             ORDER BY o_totalprice, o_orderkey) AS cume
+         FROM orders ORDER BY o_orderkey""",
+
+    "dist_drift" ->
+      """WITH a AS (
+           SELECT event_type, CAST(COUNT(*) AS BIGINT) AS cnt_a FROM events
+           WHERE ts < TIMESTAMP '2024-01-16 00:00:00' GROUP BY 1),
+         b AS (
+           SELECT event_type, CAST(COUNT(*) AS BIGINT) AS cnt_b FROM events
+           WHERE ts >= TIMESTAMP '2024-01-16 00:00:00' GROUP BY 1),
+         ta AS (SELECT CAST(COUNT(*) AS BIGINT) AS ta FROM events
+                WHERE ts < TIMESTAMP '2024-01-16 00:00:00'),
+         tb AS (SELECT CAST(COUNT(*) AS BIGINT) AS tb FROM events
+                WHERE ts >= TIMESTAMP '2024-01-16 00:00:00'),
+         j AS (
+           SELECT COALESCE(a.event_type, b.event_type) AS event_type,
+             COALESCE(cnt_a, 0) AS cnt_a, COALESCE(cnt_b, 0) AS cnt_b
+           FROM a FULL OUTER JOIN b ON a.event_type = b.event_type)
+         SELECT event_type, cnt_a, cnt_b,
+           CAST(cnt_a AS DOUBLE) / ta AS p_a,
+           CAST(cnt_b AS DOUBLE) / tb AS p_b,
+           abs(CAST(cnt_a AS DOUBLE) / ta - CAST(cnt_b AS DOUBLE) / tb) AS drift_term
+         FROM j, ta, tb ORDER BY event_type""",
+
+    // same shingle/signature/banding CTEs as dedup_near; truth = exact
+    // same-lang Jaccard >= 0.7 on the identical md5-48 sets,
+
+    "skyline_orders" ->
+      """WITH pts AS (
+           SELECT DISTINCT o_totalprice AS x, o_orderdate AS y FROM orders),
+         sky AS (
+           SELECT x, y FROM pts a
+           WHERE NOT EXISTS (
+             SELECT 1 FROM pts b
+             WHERE b.x >= a.x AND b.y >= a.y AND (b.x > a.x OR b.y > a.y)))
+         SELECT o.o_orderkey, o.o_totalprice,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS order_date
+         FROM orders o JOIN sky s ON o.o_totalprice = s.x AND o.o_orderdate = s.y
+         ORDER BY o.o_orderkey""",
+
+    "profile_columns" ->
+      """SELECT 'o_orderkey' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) - COUNT(o_orderkey) AS BIGINT) AS n_null,
+           CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+           CAST(MIN(o_orderkey) AS VARCHAR) AS min_value,
+           CAST(MAX(o_orderkey) AS VARCHAR) AS max_value
+         FROM orders
+         UNION ALL
+         SELECT 'o_totalprice', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) - COUNT(o_totalprice) AS BIGINT),
+           CAST(COUNT(DISTINCT o_totalprice) AS BIGINT),
+           CAST(MIN(o_totalprice) AS VARCHAR), CAST(MAX(o_totalprice) AS VARCHAR)
+         FROM orders
+         UNION ALL
+         SELECT 'o_orderpriority', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) - COUNT(o_orderpriority) AS BIGINT),
+           CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT),
+           CAST(MIN(o_orderpriority) AS VARCHAR), CAST(MAX(o_orderpriority) AS VARCHAR)
+         FROM orders
+         ORDER BY col_name""",
+
+    "zorder_layout" ->
+      """WITH e AS (
+           SELECT user_id,
+             datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day
+           FROM events),
+         m AS (
+           SELECT MIN(user_id) AS amin, MAX(user_id) AS amax,
+                  MIN(day) AS bmin, MAX(day) AS bmax FROM e),
+         q AS (
+           SELECT
+             CAST(floor(CAST(user_id - amin AS DOUBLE) * 256 / (amax - amin + 1)) AS BIGINT) AS aq,
+             CAST(floor(CAST(day - bmin AS DOUBLE) * 256 / (bmax - bmin + 1)) AS BIGINT) AS bq
+           FROM e, m),
+         z AS (
+           SELECT aq, bq,
+             (list_reduce(list_transform(range(0, 8), i ->
+               (((aq >> i) & 1) << (2 * i)) | (((bq >> i) & 1) << (2 * i + 1))),
+               (x, y) -> x | y) >> 10) AS zbucket
+           FROM q)
+         SELECT zbucket, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           MIN(aq) AS aq_min, MAX(aq) AS aq_max,
+           MIN(bq) AS bq_min, MAX(bq) AS bq_max
+         FROM z GROUP BY zbucket ORDER BY zbucket""",
+
+  )
+}

@@ -1,0 +1,566 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.VectorOps
+import graft.ops.{Ingest, LlmOps, Relational, Temporal}
+import graft.pipeline.ZoomJobs
+import graft.QShared._
+
+/** ScanJoin slice of the declared query slate — split from the former 4.3k-line
+  * SparkEntry.scala (VERDICT r7 #7); bodies moved verbatim, composition in
+  * [[SparkEntry]] keeps the driver contract identical. */
+private[graft] object QScanJoin {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- §2.1/§2.2 scans, projections, filters -------------------------
+    "scan_project" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    "reindex_columns" -> ((s, dir) =>
+      Ingest.reindexTo(t(s, dir, "customer"), StructType(Seq(
+          StructField("c_custkey", LongType),
+          StructField("c_name", StringType),
+          StructField("c_mktsegment", StringType),
+          StructField("c_phone", StringType)))) // absent in source → typed null
+        .orderBy("c_custkey")),
+
+    "filter_eq" -> ((s, dir) =>
+      Relational.filterEq(t(s, dir, "events"), "event_type", "click")
+        .select("event_id", "user_id", "event_type", "value")
+        .orderBy("event_id")),
+
+    "filter_date_range" -> ((s, dir) =>
+      Relational.filterTsRange(t(s, dir, "orders"), "o_orderdate",
+          "1995-01-01 00:00:00", "1996-01-01 00:00:00")
+        .select(col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date"))
+        .orderBy("o_orderkey")),
+
+    "distinct_keys" -> ((s, dir) =>
+      Relational.distinctKeys(t(s, dir, "lineitem"), "l_orderkey")
+        .orderBy("l_orderkey")),
+
+    // ---- §2.3 joins ----------------------------------------------------,
+
+    // ---- §2.3 joins ----------------------------------------------------
+    "anti_join_new_keys" -> ((s, dir) => {
+      val processed = Relational.filterTsRange(t(s, dir, "orders"), "o_orderdate",
+        "1995-01-01 00:00:00", "1996-01-01 00:00:00").select("o_custkey")
+      Relational.antiJoinNewKeys(t(s, dir, "customer"), processed, "c_custkey", "o_custkey")
+        .select("c_custkey").distinct().orderBy("c_custkey")
+    }),
+
+    "semi_join_active" -> ((s, dir) => {
+      val urgent = Relational.filterEq(t(s, dir, "orders"), "o_orderpriority", "1-URGENT")
+      Relational.semiJoin(t(s, dir, "customer"), urgent, "c_custkey", "o_custkey")
+        .select("c_custkey", "c_name").orderBy("c_custkey")
+    }),
+
+    "join_enrich" -> ((s, dir) => {
+      val cn = Relational.enrichWithDim(t(s, dir, "customer"), t(s, dir, "nation"),
+        col("c_nationkey") === col("n_nationkey"))
+      Relational.enrichWithDim(cn, t(s, dir, "region"),
+          col("n_regionkey") === col("r_regionkey"))
+        .select("c_custkey", "c_name", "n_name", "r_name")
+        .orderBy("c_custkey")
+    }),
+
+    "left_join_counts" -> ((s, dir) => {
+      // LEFT JOIN keeps customers with zero orders in range (cnt = 0):
+      // COUNT(o_orderkey) counts only matched rows, never the null row.
+      val window = Relational.filterTsRange(t(s, dir, "orders"), "o_orderdate",
+        "1995-01-01 00:00:00", "1996-01-01 00:00:00")
+      t(s, dir, "customer")
+        .join(window, col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("n_orders"))
+        .orderBy("c_custkey")
+    }),
+
+    "full_outer_keys" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val urgent = o.filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey").as("uk")).distinct()
+      val window = o.filter(col("o_orderdate") < to_timestamp(lit("1996-01-01 00:00:00")))
+        .select(col("o_custkey").as("wk")).distinct()
+      urgent.join(window, col("uk") === col("wk"), "full_outer")
+        .select(
+          coalesce(col("uk"), col("wk")).as("cust"),
+          col("uk").isNotNull.as("is_urgent"),
+          col("wk").isNotNull.as("in_window"))
+        .orderBy("cust")
+    }),
+
+    // ---- §2.7/§2.8 set ops, literals -----------------------------------
+    "union_pages" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val pages = Seq(
+        o.filter(col("o_orderkey") % 3 === 0).select("o_orderkey", "o_custkey", "o_totalprice"),
+        o.filter(col("o_orderkey") % 3 === 1).select("o_custkey", "o_totalprice", "o_orderkey"),
+        o.filter(col("o_orderkey") % 3 === 2).select("o_totalprice", "o_orderkey", "o_custkey"))
+      Relational.unionPages(pages)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    }),
+
+    "add_literal" -> ((s, dir) =>
+      Relational.addLiteral(t(s, dir, "events"), "source_system", "zoom")
+        .select("event_id", "user_id", "source_system")
+        .orderBy("event_id")),
+
+    // ---- §2.4 aggregations ---------------------------------------------,
+
+    "union_by_name" -> ((s, dir) => {
+      // schema-evolution union: two ingest batches with drifted schemas
+      // align by NAME with null fill — positional union would silently
+      // put source values in the lang column
+      val docs = t(s, dir, "documents")
+      val batchA = docs.filter(col("lang") === "en")
+        .select("doc_id", "lang", "n_chars")
+      val batchB = docs.filter(col("lang") =!= "en")
+        .select("doc_id", "source", "n_chars")
+      Relational.unionByNameLoose(Seq(batchA, batchB)).orderBy("doc_id")
+    }),
+
+    "bloom_join" -> ((s, dir) => {
+      // shuffle-reduction audit: orders joined to one nation's customers
+      // through the relational bloom prefilter. Census is fully
+      // md5-replayable: n_pass (bloom survivors), n_match (true semi
+      // join), false_pass = their gap (bounded by the bloom rate), and
+      // the joined-row count + exact floored revenue prove the final join
+      // equals the plain one (no false negatives by construction)
+      val orders = t(s, dir, "orders")
+      val dim = t(s, dir, "customer").filter(col("c_nationkey") === 5)
+      val bits = Relational.bloomBits(dim, "c_custkey")
+      val nFact = orders.agg(count(lit(1)).as("n_fact"))
+      val nPass = Relational.bloomPass(orders, "o_custkey", bits)
+        .agg(count(lit(1)).as("n_pass"))
+      val nMatch = orders.join(dim, col("o_custkey") === col("c_custkey"),
+        "left_semi").agg(count(lit(1)).as("n_match"))
+      val joined = Relational.bloomPrefilterJoin(orders, dim,
+          "o_custkey", "c_custkey")
+        .agg(count(lit(1)).as("n_joined"),
+          sum(floor(col("o_totalprice")).cast("long")).as("rev_floor"))
+      nFact.crossJoin(nPass).crossJoin(nMatch).crossJoin(joined)
+        .select(col("n_fact"), col("n_pass"), col("n_match"),
+          (col("n_pass") - col("n_match")).as("false_pass"),
+          col("n_joined"), col("rev_floor"))
+    }),
+
+    "salted_join_counts" -> ((s, dir) => {
+      // skew-proof shuffle join: events' hot user keys spread over 16
+      // salted reducers against a 16×-replicated dim; rows identical to
+      // the plain join (the oracle IS the plain join), plan audited
+      val ev = t(s, dir, "events").select(col("user_id"), col("event_id"))
+      val cust = t(s, dir, "customer").select(col("c_custkey"), col("c_nationkey"))
+      Relational.saltedJoin(ev, cust, "user_id", "c_custkey", "event_id",
+          salts = 16)
+        .groupBy("c_nationkey").agg(count(lit(1)).as("cnt"))
+        .orderBy("c_nationkey")
+    }),
+
+    // ---- §2.7 set ops beyond union, §2.4 grouping sets, §2.11 generator --
+    "set_intersect" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      o.filter(col("o_orderpriority") === "1-URGENT").select(col("o_custkey").as("cust"))
+        .intersect(
+          o.filter(col("o_orderdate") < to_timestamp(lit("1996-01-01 00:00:00")))
+            .select(col("o_custkey").as("cust")))
+        .orderBy("cust")
+    }),
+
+    "set_except" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      o.filter(col("o_orderpriority") === "1-URGENT").select(col("o_custkey").as("cust"))
+        .except(
+          o.filter(col("o_orderdate") < to_timestamp(lit("1996-01-01 00:00:00")))
+            .select(col("o_custkey").as("cust")))
+        .orderBy("cust")
+    }),
+
+    "range_join_pairs" -> ((s, dir) =>
+      graft.ops.AsOfJoin.rangeJoinPairs(t(s, dir, "events"), "event_id", "ts",
+          bandSeconds = 30)
+        .orderBy("id_a", "id_b")),
+
+    "asof_last_purchase" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      graft.ops.AsOfJoin.asOf(clicks, purchases, "user_id", "user_id", "ts", "ts")
+        .select(col("event_id"), col("user_id"),
+          date_format(col("asof.ts"), "yyyy-MM-dd HH:mm:ss").as("last_purchase_ts"))
+        .orderBy("event_id")
+    }),
+
+    "asof_next_purchase" -> ((s, dir) => {
+      // forward as-of with a horizon: for each click, the FIRST purchase by
+      // the same user at-or-after it within 2 days (attribution window) —
+      // same one-shuffle union+window shape as asof_last_purchase, sort
+      // reversed, tolerance nulls matches beyond the horizon
+      val ev = t(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      graft.ops.AsOfJoin.asOfForward(clicks, purchases, "user_id", "user_id",
+          "ts", "ts", toleranceSeconds = 2L * 24 * 3600)
+        .select(col("event_id"), col("user_id"),
+          date_format(col("asof.ts"), "yyyy-MM-dd HH:mm:ss").as("next_purchase_ts"))
+        .orderBy("event_id")
+    }),
+
+    "merge_upsert" -> ((s, dir) => {
+      // lakehouse MERGE: a delta derived from post-cut orders upserts the
+      // customer snapshot — updates (new balance), deletes (every 17th
+      // key), inserts (key-shifted synthetic rows) — one anti join +
+      // union, base never shuffles
+      val cut = to_timestamp(lit("1999-01-01 00:00:00"))
+      val delta = t(s, dir, "orders").filter(col("o_orderdate") >= cut)
+        .groupBy(col("o_custkey"))
+        .agg(Relational.decimalSum(col("o_totalprice")).cast("string")
+          .cast("double").as("__bal"))
+      def asRow(keyCol: Column, del: Column) = Seq(
+        keyCol.as("c_custkey"),
+        concat(lit("upd-"), keyCol).as("c_name"),
+        pmod(keyCol, lit(25)).cast("int").as("c_nationkey"),
+        col("__bal").as("c_acctbal"),
+        lit("UPDATED").as("c_mktsegment"),
+        del.as("__delete"))
+      val upd = delta.select(asRow(col("o_custkey"),
+        pmod(col("o_custkey"), lit(17)) === 0): _*)
+      val ins = delta.filter(pmod(col("o_custkey"), lit(7)) === 0)
+        .select(asRow(col("o_custkey") + 10000000L, lit(false)): _*)
+      Relational.mergeUpsert(t(s, dir, "customer"),
+          upd.unionByName(ins), "c_custkey", "__delete")
+        .select(col("c_custkey"), col("c_name"),
+          col("c_nationkey").cast("long").as("c_nationkey"),
+          col("c_acctbal"), col("c_mktsegment"))
+        .orderBy("c_custkey")
+    }),
+
+    "ref_integrity" -> ((s, dir) => {
+      // the post-load data contract: orphaned FKs (corruption) and
+      // childless dimension rows (coverage) for three relationships
+      val o = t(s, dir, "orders"); val c = t(s, dir, "customer")
+      Relational.refIntegrity(t(s, dir, "lineitem"), "l_orderkey",
+          o, "o_orderkey", "lineitem->orders")
+        .union(Relational.refIntegrity(o, "o_custkey",
+          c, "c_custkey", "orders->customer"))
+        .union(Relational.refIntegrity(t(s, dir, "events"), "user_id",
+          c, "c_custkey", "events->customer"))
+        .orderBy("relationship")
+    }),
+
+    "star_join_revenue" -> ((s, dir) => {
+      // classic warehouse star join (TPC-H Q5 shape): fact lineitem⋈orders
+      // with four dimension hops (customer, supplier, nation, region) and
+      // an exact-decimal revenue rollup per nation. The dimensions
+      // broadcast (plan-audited); only the two fact tables shuffle.
+      val li = t(s, dir, "lineitem")
+      li.join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(t(s, dir, "supplier"),
+          col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .join(t(s, dir, "nation"), col("s_nationkey") === col("n_nationkey"))
+        .join(t(s, dir, "region"), col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === "ASIA" &&
+          col("o_orderdate") >= lit("1996-01-01") &&
+          col("o_orderdate") < lit("1998-01-01"))
+        .groupBy("n_name")
+        .agg(Relational.decimalSumProduct(
+          col("l_extendedprice"), col("l_discount")).as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name").asc)
+    }),
+
+    "json_extract_settings" -> ((s, dir) =>
+      Ingest.flattenJson(t(s, dir, "events"), "props",
+          Seq(("$.k", "k_val", "long"), ("$.missing", "missing_val", "string")))
+        .select("event_id", "k_val", "missing_val")
+        .orderBy("event_id")),
+
+    // ---- §2.6 sort/limit, §2.5 windows ---------------------------------,
+
+    "explode_tokens" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(explode(LlmOps.tokens(col("text"))).as("token"))
+        .filter(col("token") =!= "")
+        .groupBy("token").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("token").asc)
+        .limit(20)),
+
+    // ---- §3 composed pipeline ------------------------------------------
+    "flagship_pipeline" -> ((s, dir) => ZoomJobs.flagship(s, dir)),
+
+  )
+
+  val oracle: Map[String, String] = Map(
+
+    "scan_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+         FROM lineitem ORDER BY l_orderkey, l_linenumber""",
+
+    "reindex_columns" ->
+      """SELECT c_custkey, c_name, c_mktsegment, CAST(NULL AS VARCHAR) AS c_phone
+         FROM customer ORDER BY c_custkey""",
+
+    "filter_eq" ->
+      """SELECT event_id, user_id, event_type, value FROM events
+         WHERE event_type = 'click' ORDER BY event_id""",
+
+    "filter_date_range" ->
+      """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_date
+         FROM orders
+         WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+           AND o_orderdate <  TIMESTAMP '1996-01-01 00:00:00'
+         ORDER BY o_orderkey""",
+
+    "distinct_keys" ->
+      "SELECT DISTINCT l_orderkey FROM lineitem ORDER BY l_orderkey",
+
+    "anti_join_new_keys" ->
+      """SELECT DISTINCT c.c_custkey
+         FROM customer c
+         LEFT JOIN (SELECT o_custkey FROM orders
+                    WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+                      AND o_orderdate <  TIMESTAMP '1996-01-01 00:00:00') o
+           ON c.c_custkey = o.o_custkey
+         WHERE o.o_custkey IS NULL
+         ORDER BY c_custkey""",
+
+    "semi_join_active" ->
+      """SELECT c_custkey, c_name FROM customer c
+         WHERE EXISTS (SELECT 1 FROM orders o
+                       WHERE o.o_custkey = c.c_custkey
+                         AND o.o_orderpriority = '1-URGENT')
+         ORDER BY c_custkey""",
+
+    "join_enrich" ->
+      """SELECT c_custkey, c_name, n_name, r_name
+         FROM customer
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         ORDER BY c_custkey""",
+
+    "left_join_counts" ->
+      """SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+         FROM customer
+         LEFT JOIN (SELECT o_custkey, o_orderkey FROM orders
+                    WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+                      AND o_orderdate <  TIMESTAMP '1996-01-01 00:00:00') o
+           ON c_custkey = o.o_custkey
+         GROUP BY c_custkey
+         ORDER BY c_custkey""",
+
+    "full_outer_keys" ->
+      """WITH u AS (SELECT DISTINCT o_custkey AS uk FROM orders
+                    WHERE o_orderpriority = '1-URGENT'),
+            w AS (SELECT DISTINCT o_custkey AS wk FROM orders
+                    WHERE o_orderdate < TIMESTAMP '1996-01-01 00:00:00')
+         SELECT COALESCE(uk, wk) AS cust,
+                uk IS NOT NULL AS is_urgent,
+                wk IS NOT NULL AS in_window
+         FROM u FULL OUTER JOIN w ON uk = wk
+         ORDER BY cust""",
+
+    "union_pages" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+         ORDER BY o_orderkey""",
+
+    "add_literal" ->
+      """SELECT event_id, user_id, 'zoom' AS source_system FROM events
+         ORDER BY event_id""",
+
+    "union_by_name" ->
+      """SELECT doc_id, lang, n_chars, CAST(NULL AS VARCHAR) AS source
+         FROM documents WHERE lang = 'en'
+         UNION ALL
+         SELECT doc_id, CAST(NULL AS VARCHAR) AS lang, n_chars, source
+         FROM documents WHERE lang <> 'en'
+         ORDER BY doc_id""",
+
+    // the oracle IS the plain join: salting must be output-invisible,
+
+    // the oracle IS the plain join: salting must be output-invisible
+    "bloom_join" ->
+      """WITH dim AS (SELECT c_custkey FROM customer WHERE c_nationkey = 5),
+         bits AS (
+           SELECT DISTINCT ('0x' || substr(md5('bloom:' || t.j || ':' ||
+             CAST(c_custkey AS VARCHAR)), 1, 12))::BIGINT % 4096 AS pos
+           FROM dim, range(0, 2) t(j)),
+         pass AS (
+           SELECT * FROM orders
+           WHERE (('0x' || substr(md5('bloom:0:' || CAST(o_custkey AS VARCHAR)), 1, 12))::BIGINT % 4096)
+                   IN (SELECT pos FROM bits)
+             AND (('0x' || substr(md5('bloom:1:' || CAST(o_custkey AS VARCHAR)), 1, 12))::BIGINT % 4096)
+                   IN (SELECT pos FROM bits)),
+         mtch AS (SELECT * FROM orders WHERE o_custkey IN (SELECT c_custkey FROM dim)),
+         joined AS (SELECT o_totalprice FROM pass JOIN dim ON o_custkey = c_custkey)
+         SELECT
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders) AS n_fact,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM pass) AS n_pass,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM mtch) AS n_match,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM pass) -
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM mtch) AS false_pass,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM joined) AS n_joined,
+           (SELECT CAST(SUM(FLOOR(o_totalprice)) AS BIGINT) FROM joined) AS rev_floor""",
+
+    "salted_join_counts" ->
+      """SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS cnt
+         FROM events JOIN customer ON user_id = c_custkey
+         GROUP BY c_nationkey ORDER BY c_nationkey""",
+
+    // same transitive closure as dedup_clusters; survivor = argmax(n_chars)
+    // per cluster, ties to the smaller id,
+
+    "set_intersect" ->
+      """SELECT o_custkey AS cust FROM orders WHERE o_orderpriority = '1-URGENT'
+         INTERSECT
+         SELECT o_custkey AS cust FROM orders
+         WHERE o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+         ORDER BY cust""",
+
+    "set_except" ->
+      """SELECT o_custkey AS cust FROM orders WHERE o_orderpriority = '1-URGENT'
+         EXCEPT
+         SELECT o_custkey AS cust FROM orders
+         WHERE o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+         ORDER BY cust""",
+
+    "range_join_pairs" ->
+      """SELECT a.event_id AS id_a, b.event_id AS id_b
+         FROM events a JOIN events b
+           ON a.event_id < b.event_id
+          AND abs(CAST(floor(epoch(a.ts)) AS BIGINT)
+                - CAST(floor(epoch(b.ts)) AS BIGINT)) < 30
+         ORDER BY id_a, id_b""",
+
+    "asof_last_purchase" ->
+      """WITH c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+            p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')
+         SELECT c.event_id, c.user_id,
+            strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS last_purchase_ts
+         FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts
+         ORDER BY c.event_id""",
+
+    "asof_next_purchase" ->
+      """SELECT c.event_id, c.user_id,
+           strftime((SELECT min(p.ts) FROM events p
+                     WHERE p.event_type = 'purchase' AND p.user_id = c.user_id
+                       AND p.ts >= c.ts
+                       AND p.ts <= c.ts + INTERVAL 2 DAY),
+                    '%Y-%m-%d %H:%M:%S') AS next_purchase_ts
+         FROM events c WHERE c.event_type = 'click'
+         ORDER BY c.event_id""",
+
+    "merge_upsert" ->
+      """WITH delta AS (
+           SELECT o_custkey AS k,
+             CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR)
+               AS DOUBLE) AS bal
+           FROM orders
+           WHERE o_orderdate >= TIMESTAMP '1999-01-01 00:00:00'
+           GROUP BY o_custkey),
+         upd AS (
+           SELECT k AS c_custkey, 'upd-' || k AS c_name,
+             CAST(k % 25 AS INT) AS c_nationkey, bal AS c_acctbal,
+             'UPDATED' AS c_mktsegment, (k % 17 = 0) AS del
+           FROM delta),
+         ins AS (
+           SELECT k + 10000000 AS c_custkey, 'upd-' || (k + 10000000) AS c_name,
+             CAST((k + 10000000) % 25 AS INT) AS c_nationkey, bal AS c_acctbal,
+             'UPDATED' AS c_mktsegment, false AS del
+           FROM delta WHERE k % 7 = 0),
+         allupd AS (SELECT * FROM upd UNION ALL SELECT * FROM ins)
+         SELECT c.c_custkey, c.c_name, CAST(c.c_nationkey AS BIGINT) AS c_nationkey,
+           c.c_acctbal, c.c_mktsegment
+         FROM customer c
+         WHERE NOT EXISTS (SELECT 1 FROM allupd u WHERE u.c_custkey = c.c_custkey)
+         UNION ALL
+         SELECT c_custkey, c_name, CAST(c_nationkey AS BIGINT) AS c_nationkey,
+           c_acctbal, c_mktsegment
+         FROM allupd WHERE NOT del
+         ORDER BY c_custkey""",
+
+    "ref_integrity" ->
+      """WITH rel AS (
+           SELECT 'lineitem->orders' AS relationship,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem) AS n_child,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem l
+               WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) AS n_orphan_child,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM orders) AS n_parent,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM orders o
+               WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)) AS n_childless_parent
+           UNION ALL
+           SELECT 'orders->customer',
+             (SELECT COUNT(*) FROM orders),
+             (SELECT COUNT(*) FROM orders o
+               WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)),
+             (SELECT COUNT(*) FROM customer),
+             (SELECT COUNT(*) FROM customer c
+               WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey))
+           UNION ALL
+           SELECT 'events->customer',
+             (SELECT COUNT(*) FROM events),
+             (SELECT COUNT(*) FROM events e
+               WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = e.user_id)),
+             (SELECT COUNT(*) FROM customer),
+             (SELECT COUNT(*) FROM customer c
+               WHERE NOT EXISTS (SELECT 1 FROM events e WHERE e.user_id = c.c_custkey)))
+         SELECT * FROM rel ORDER BY relationship""",
+
+    "star_join_revenue" ->
+      """SELECT n_name,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         JOIN nation ON s_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         WHERE r_name = 'ASIA'
+           AND o_orderdate >= '1996-01-01' AND o_orderdate < '1998-01-01'
+         GROUP BY n_name ORDER BY revenue DESC, n_name""",
+
+    // integer-exact PageRank unrolled: p0 → p1 → p2 → p3 chained CTEs
+    // replay Graph.pageRank's div/floor arithmetic digit-for-digit,
+
+    "json_extract_settings" ->
+      """SELECT event_id,
+            CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+            json_extract_string(props, '$.missing') AS missing_val
+         FROM events ORDER BY event_id""",
+
+    "explode_tokens" ->
+      """SELECT token, COUNT(*) AS cnt FROM (
+           SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+           FROM documents) u
+         WHERE token <> ''
+         GROUP BY token
+         ORDER BY cnt DESC, token LIMIT 20""",
+
+    "flagship_pipeline" ->
+      """SELECT r_name, n_name, COUNT(*) AS new_customers
+         FROM customer
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         WHERE NOT EXISTS (SELECT 1 FROM orders o
+                           WHERE o.o_custkey = c_custkey
+                             AND o.o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+                             AND o.o_orderdate <  TIMESTAMP '1996-01-01 00:00:00')
+         GROUP BY r_name, n_name
+         ORDER BY r_name, n_name""",
+
+  )
+}

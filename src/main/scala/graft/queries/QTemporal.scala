@@ -1,0 +1,443 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.VectorOps
+import graft.ops.{Ingest, LlmOps, Relational, Temporal}
+import graft.pipeline.ZoomJobs
+import graft.QShared._
+
+/** Temporal slice of the declared query slate — split from the former 4.3k-line
+  * SparkEntry.scala (VERDICT r7 #7); bodies moved verbatim, composition in
+  * [[SparkEntry]] keeps the driver contract identical. */
+private[graft] object QTemporal {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- §2.8/§2.10 temporal + incremental -----------------------------
+    "max_watermark" -> ((s, dir) =>
+      Temporal.maxWatermark(t(s, dir, "orders"), "o_orderdate")
+        .select(date_format(col("watermark"), "yyyy-MM-dd HH:mm:ss").as("max_ts"))),
+
+    "watermark_next_date" -> ((s, dir) =>
+      Temporal.maxWatermark(t(s, dir, "orders"), "o_orderdate")
+        .select(date_format(Temporal.nextLoadDate(col("watermark")), "yyyy-MM-dd").as("next_date"))),
+
+    "school_year_start" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .select(col("o_orderkey"),
+          date_format(Temporal.schoolYearStart(col("o_orderdate")), "yyyy-MM-dd").as("sy_start"))
+        .orderBy("o_orderkey")),
+
+    "parse_timestamp_tz" -> ((s, dir) =>
+      // Round-trip: format ts to ISO-8601-with-offset, parse with %z
+      // semantics (reference main.py:263-265), re-format for the compare.
+      t(s, dir, "events")
+        .select(col("event_id"),
+          date_format(
+            Temporal.parseIsoOffset(
+              concat(date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss"), lit("+00:00"))),
+            "yyyy-MM-dd HH:mm:ss").as("parsed_ts"))
+        .orderBy("event_id")),
+
+    "date_format_iso" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .select(col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date"))
+        .orderBy("o_orderkey")),
+
+    "gap_fill_daily" -> ((s, dir) =>
+      // densification: per-user daily spine between first and last
+      // activity, silent days filled with 0
+      Temporal.gapFillDaily(t(s, dir, "events"), "user_id", "ts")
+        .orderBy("user_id", "day")),
+
+    "tumbling_daily_counts" -> ((s, dir) =>
+      Temporal.tumblingCounts(t(s, dir, "events"), "ts", "1 day", "event_type")
+        .select(date_format(col("window.start"), "yyyy-MM-dd").as("day"),
+          col("event_type"), col("cnt"))
+        .orderBy("day", "event_type")),
+
+    "sliding_window_counts" -> ((s, dir) =>
+      // hopping-window actives: 2-day windows advancing 1 day — each event
+      // counted in both covering windows; map-side partial agg absorbs the
+      // 2x row expansion before the single shuffle
+      Temporal.slidingCounts(t(s, dir, "events"), "ts", "2 days", "1 day", "event_type")
+        .select(date_format(col("window.start"), "yyyy-MM-dd").as("win_start"),
+          col("event_type"), col("cnt"))
+        .orderBy("win_start", "event_type")),
+
+    "sessionize_gap" -> ((s, dir) =>
+      Temporal.sessionize(t(s, dir, "events"), "user_id", "ts", "event_id", gapSeconds = 1800)
+        .select(col("user_id"), col("session_id").cast("long").as("session_id"),
+          col("n_events"),
+          date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss").as("session_start"))
+        .orderBy("user_id", "session_id")),
+
+    // ---- §2.12 [north-star] LLM-data ops -------------------------------,
+
+    "event_funnel" -> ((s, dir) =>
+      // ordered-event conversion: earliest view -> first click strictly
+      // after it -> first purchase strictly after that, per user; failed
+      // stages are null and propagate
+      Temporal.eventFunnel(t(s, dir, "events"), "user_id", "event_type", "ts",
+          Seq("view", "click", "purchase"))
+        .select(col("user_id"), col("stage_reached"),
+          date_format(col("t1"), "yyyy-MM-dd HH:mm:ss").as("t1"),
+          date_format(col("t2"), "yyyy-MM-dd HH:mm:ss").as("t2"),
+          date_format(col("t3"), "yyyy-MM-dd HH:mm:ss").as("t3"))
+        .orderBy("user_id")),
+
+    "retention_cohorts" -> ((s, dir) =>
+      // weekly retention matrix: users bucketed by first-activity week,
+      // counted in each later week they appear
+      Temporal.retentionCohorts(t(s, dir, "events"), "user_id", "ts",
+          epochDate = "2024-01-01")
+        .orderBy("cohort_week", "week_offset")),
+
+    "scd2_history" -> ((s, dir) =>
+      // CDC compaction: event stream → SCD2 attribute-run history with
+      // validity bounds; one shuffle, windows share the (key, ts) sort
+      Temporal.scd2History(t(s, dir, "events"), "user_id", "event_type", "ts", "event_id")
+        .select(col("user_id"), col("event_type"), col("version"),
+          date_format(col("valid_from"), "yyyy-MM-dd HH:mm:ss").as("valid_from"),
+          date_format(col("valid_to"), "yyyy-MM-dd HH:mm:ss").as("valid_to"),
+          col("is_current"))
+        .orderBy("user_id", "version")),
+
+    "scd2_lookup" -> ((s, dir) => {
+      // point-in-time enrichment: every event looks up the SCD2 version
+      // (built from the same stream) containing its own timestamp — the
+      // self-consistency closure of scd2_history: each row lands in the
+      // version it created or lives inside
+      val ev = t(s, dir, "events")
+      val dim = Temporal.scd2History(ev, "user_id", "event_type", "ts", "event_id")
+        .select(col("user_id").as("d_user"), col("event_type").as("dim_type"),
+          col("version"), col("valid_from"), col("valid_to"))
+      Temporal.scd2Lookup(
+          ev.select(col("event_id"), col("user_id"), col("ts")), dim,
+          "user_id", "d_user", "ts")
+        .select(col("event_id"), col("user_id"), col("dim_type"), col("version"))
+        .orderBy("event_id", "version")
+    }),
+
+    "snapshot_diff" -> ((s, dir) => {
+      // CDC table compare between two deterministic snapshots of orders:
+      // keys only in new are added, only in old removed, value-fingerprint
+      // mismatches changed. The oracle twin derives the statuses from the
+      // modular construction at VALUE level — so it independently checks
+      // the fingerprint equality logic, not just replays it.
+      val o = t(s, dir, "orders")
+      val prev = o.filter(col("o_orderkey") % 7 =!= 0)
+      val next = o.filter(col("o_orderkey") % 5 =!= 0)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 3 === 0, col("o_totalprice") + 1)
+            .otherwise(col("o_totalprice")))
+      Temporal.snapshotDiff(prev, next, "o_orderkey",
+          Seq("o_custkey", "o_orderstatus", "o_totalprice"))
+        .orderBy("o_orderkey")
+    }),
+
+    "ivm_daily_counts" -> ((s, dir) => {
+      // incremental view maintenance: history partition + delta partition
+      // aggregated independently, merged — hash-checked against the
+      // direct full recomputation (the oracle computes it directly)
+      val e = t(s, dir, "events")
+        .select(col("user_id"), date_format(col("ts"), "yyyy-MM-dd").as("day"), col("ts"))
+      val cut = "2024-01-16 00:00:00"
+      val history = e.filter(col("ts") < to_timestamp(lit(cut)))
+        .groupBy("user_id", "day").agg(count(lit(1)).cast("long").as("cnt"))
+      val delta = e.filter(col("ts") >= to_timestamp(lit(cut)))
+        .groupBy("user_id", "day").agg(count(lit(1)).cast("long").as("cnt"))
+      Relational.mergeCounts(Seq(history, delta), Seq("user_id", "day"), "cnt")
+        .orderBy("user_id", "day")
+    }),
+
+    "ivm_join_counts" -> ((s, dir) => {
+      // incremental maintenance of a JOIN view (extends ivm_daily_counts'
+      // single-table IVM to the two-table algebra): V = |O ⋈ L| per
+      // custkey. With each side split at the cut into (old, Δ),
+      //   ΔV = Δo ⋈ (l_old + Δl)  ∪  o_old ⋈ Δl
+      // — two joins each with one DELTA side (the O(|Δ|) maintenance
+      // shape; at scale V_old is a stored artifact and only these two
+      // delta joins run). The oracle recomputes the full join and checks
+      // old + delta = total per key.
+      val cut = to_timestamp(lit("1998-01-01 00:00:00"))
+      val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderdate"))
+      val l = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_shipdate"))
+      val oOld = o.filter(col("o_orderdate") < cut)
+      val oDelta = o.filter(col("o_orderdate") >= cut)
+      val lDelta = l.filter(col("l_shipdate") >= cut)
+      def cnts(df: DataFrame) = df.groupBy("o_custkey")
+        .agg(count(lit(1)).cast("long").as("cnt"))
+      val vOld = cnts(oOld.join(l.filter(col("l_shipdate") < cut),
+        col("o_orderkey") === col("l_orderkey")))
+      val vDelta = Relational.mergeCounts(Seq(
+          cnts(oDelta.join(l, col("o_orderkey") === col("l_orderkey"))),
+          cnts(oOld.join(lDelta, col("o_orderkey") === col("l_orderkey")))),
+        Seq("o_custkey"), "cnt")
+      vOld.select(col("o_custkey"), col("cnt").as("cnt_old"))
+        .join(vDelta.select(col("o_custkey"), col("cnt").as("cnt_delta")),
+          Seq("o_custkey"), "full_outer")
+        .select(col("o_custkey"),
+          coalesce(col("cnt_old"), lit(0L)).as("cnt_old"),
+          coalesce(col("cnt_delta"), lit(0L)).as("cnt_delta"))
+        .withColumn("cnt", col("cnt_old") + col("cnt_delta"))
+        .orderBy("o_custkey")
+    }),
+
+    "sliding_distinct_users" -> ((s, dir) =>
+      // trailing-2-day active users per daily hop: hopping windows + exact
+      // count-distinct (two-level agg, both with partials)
+      Temporal.slidingDistinct(t(s, dir, "events"), "ts", "2 days", "1 day",
+          "user_id")
+        .select(date_format(col("window.start"), "yyyy-MM-dd").as("win_start"),
+          col("n_distinct").cast("long").as("n_users"))
+        .orderBy("win_start")),
+
+    "rolling_user_counts" -> ((s, dir) =>
+      // trailing 7-day per-user activity via a RANGE event-time frame
+      Relational.rollingCountPerKey(
+          t(s, dir, "events").select(col("event_id"), col("user_id"), col("ts")),
+          "user_id", "ts", windowSeconds = 7L * 86400)
+        .select(col("event_id"), col("user_id"), col("rolling_cnt"))
+        .orderBy("event_id")),
+
+    "event_paths" -> ((s, dir) =>
+      // most common 3-step user journeys: one window pass (two leads over
+      // a (ts, event_id)-total order), trigram count, deterministic top-10
+      Temporal.topEventPaths(t(s, dir, "events"), "user_id", "ts",
+        "event_id", "event_type", k = 10)),
+
+  )
+
+  val oracle: Map[String, String] = Map(
+
+    "max_watermark" ->
+      "SELECT strftime(max(o_orderdate), '%Y-%m-%d %H:%M:%S') AS max_ts FROM orders",
+
+    "watermark_next_date" ->
+      """SELECT strftime(CAST(max(o_orderdate) AS DATE) + 1, '%Y-%m-%d') AS next_date
+         FROM orders""",
+
+    "school_year_start" ->
+      """SELECT o_orderkey,
+            strftime(make_date(
+              CASE WHEN month(o_orderdate) > 6 THEN year(o_orderdate)
+                   ELSE year(o_orderdate) - 1 END, 8, 1), '%Y-%m-%d') AS sy_start
+         FROM orders ORDER BY o_orderkey""",
+
+    "parse_timestamp_tz" ->
+      """SELECT event_id,
+            strftime(date_trunc('second', ts), '%Y-%m-%d %H:%M:%S') AS parsed_ts
+         FROM events ORDER BY event_id""",
+
+    "date_format_iso" ->
+      """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_date
+         FROM orders ORDER BY o_orderkey""",
+
+    "gap_fill_daily" ->
+      """WITH daily AS (
+           SELECT user_id, CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS cnt
+           FROM events GROUP BY 1, 2),
+         spine AS (
+           SELECT user_id,
+             CAST(unnest(generate_series(CAST(lo AS TIMESTAMP),
+               CAST(hi AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS d
+           FROM (SELECT user_id, MIN(d) AS lo, MAX(d) AS hi
+                 FROM daily GROUP BY 1))
+         SELECT s.user_id, strftime(s.d, '%Y-%m-%d') AS day,
+           COALESCE(dl.cnt, 0) AS cnt
+         FROM spine s LEFT JOIN daily dl ON s.user_id = dl.user_id AND s.d = dl.d
+         ORDER BY s.user_id, day""",
+
+    "tumbling_daily_counts" ->
+      """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
+            COUNT(*) AS cnt
+         FROM events GROUP BY 1, 2 ORDER BY day, event_type""",
+
+    "sliding_window_counts" ->
+      """WITH w AS (
+           SELECT date_trunc('day', ts) AS ws, event_type FROM events
+           UNION ALL
+           SELECT date_trunc('day', ts) - INTERVAL 1 DAY, event_type FROM events)
+         SELECT strftime(ws, '%Y-%m-%d') AS win_start, event_type,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+         FROM w GROUP BY 1, 2 ORDER BY win_start, event_type""",
+
+    "sessionize_gap" ->
+      """WITH e AS (
+           SELECT user_id, event_id, ts,
+                  CAST(floor(epoch(ts)) AS BIGINT) AS secs
+           FROM events),
+         l AS (
+           SELECT *, lag(secs) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+           FROM e),
+         f AS (
+           SELECT *, CASE WHEN prev IS NULL OR secs - prev > 1800 THEN 1 ELSE 0 END AS is_new
+           FROM l),
+         s AS (
+           SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+           FROM f)
+         SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+                COUNT(*) AS n_events,
+                strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start
+         FROM s GROUP BY user_id, session_id
+         ORDER BY user_id, session_id""",
+
+    "event_funnel" ->
+      """WITH f1 AS (
+           SELECT user_id, MIN(ts) AS t1 FROM events
+           WHERE event_type = 'view' GROUP BY user_id),
+         f2 AS (
+           SELECT f1.user_id, f1.t1,
+             MIN(CASE WHEN e.ts > f1.t1 THEN e.ts END) AS t2
+           FROM f1 LEFT JOIN events e
+             ON e.user_id = f1.user_id AND e.event_type = 'click'
+           GROUP BY f1.user_id, f1.t1),
+         f3 AS (
+           SELECT f2.user_id, f2.t1, f2.t2,
+             MIN(CASE WHEN e.ts > f2.t2 THEN e.ts END) AS t3
+           FROM f2 LEFT JOIN events e
+             ON e.user_id = f2.user_id AND e.event_type = 'purchase'
+           GROUP BY f2.user_id, f2.t1, f2.t2)
+         SELECT user_id,
+           CAST(CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END
+              + CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END
+              + CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS stage_reached,
+           strftime(date_trunc('second', t1), '%Y-%m-%d %H:%M:%S') AS t1,
+           strftime(date_trunc('second', t2), '%Y-%m-%d %H:%M:%S') AS t2,
+           strftime(date_trunc('second', t3), '%Y-%m-%d %H:%M:%S') AS t3
+         FROM f3 ORDER BY user_id""",
+
+    "retention_cohorts" ->
+      """WITH a AS (
+           SELECT DISTINCT user_id,
+             CAST(floor(CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS DOUBLE) / 7) AS BIGINT) AS week
+           FROM events),
+         c AS (
+           SELECT user_id, week,
+             MIN(week) OVER (PARTITION BY user_id) AS cohort_week
+           FROM a)
+         SELECT cohort_week, week - cohort_week AS week_offset,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+         FROM c GROUP BY cohort_week, week - cohort_week
+         ORDER BY cohort_week, week_offset""",
+
+    "scd2_history" ->
+      """WITH c AS (
+           SELECT user_id, event_type, ts, event_id,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+           FROM events),
+         ch AS (
+           SELECT user_id, event_type, ts, event_id FROM c
+           WHERE rn = 1 OR prev IS DISTINCT FROM event_type),
+         v AS (
+           SELECT user_id, event_type,
+             CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS version,
+             ts,
+             lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_ts
+           FROM ch)
+         SELECT user_id, event_type, version,
+           strftime(date_trunc('second', ts), '%Y-%m-%d %H:%M:%S') AS valid_from,
+           strftime(date_trunc('second', next_ts), '%Y-%m-%d %H:%M:%S') AS valid_to,
+           next_ts IS NULL AS is_current
+         FROM v ORDER BY user_id, version""",
+
+    // same version CTE chain as scd2_history, then the point-in-time
+    // interval join [valid_from, valid_to) with open-ended current rows
+    "scd2_lookup" ->
+      """WITH c AS (
+           SELECT user_id, event_type, ts, event_id,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+           FROM events),
+         ch AS (
+           SELECT user_id, event_type, ts, event_id FROM c
+           WHERE rn = 1 OR prev IS DISTINCT FROM event_type),
+         v AS (
+           SELECT user_id AS d_user, event_type AS dim_type,
+             CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS version,
+             ts AS valid_from,
+             lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+           FROM ch)
+         SELECT e.event_id, e.user_id, v.dim_type, v.version
+         FROM events e LEFT JOIN v
+           ON e.user_id = v.d_user AND e.ts >= v.valid_from
+          AND (v.valid_to IS NULL OR e.ts < v.valid_to)
+         ORDER BY e.event_id, v.version""",
+
+    // value-level re-derivation of the diff statuses (NOT an md5 replay):
+    // catches fingerprint bugs, not just reproduces them
+    "snapshot_diff" ->
+      """WITH oldt AS (
+           SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+           FROM orders WHERE o_orderkey % 7 <> 0),
+         newt AS (
+           SELECT o_orderkey, o_custkey, o_orderstatus,
+             CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 1
+                  ELSE o_totalprice END AS o_totalprice
+           FROM orders WHERE o_orderkey % 5 <> 0)
+         SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+           CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                WHEN n.o_orderkey IS NULL THEN 'removed'
+                WHEN o.o_custkey = n.o_custkey
+                 AND o.o_orderstatus = n.o_orderstatus
+                 AND o.o_totalprice = n.o_totalprice THEN 'unchanged'
+                ELSE 'changed' END AS status
+         FROM oldt o FULL OUTER JOIN newt n ON o.o_orderkey = n.o_orderkey
+         ORDER BY o_orderkey""",
+
+    "ivm_daily_counts" ->
+      """SELECT user_id, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+         FROM events GROUP BY user_id, day
+         ORDER BY user_id, day""",
+
+    "ivm_join_counts" ->
+      """SELECT o_custkey,
+           CAST(COUNT(*) FILTER (o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+             AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00') AS BIGINT) AS cnt_old,
+           CAST(COUNT(*) FILTER (o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+             OR l_shipdate >= TIMESTAMP '1998-01-01 00:00:00') AS BIGINT) AS cnt_delta,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+         FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         GROUP BY o_custkey ORDER BY o_custkey""",
+
+    "sliding_distinct_users" ->
+      """WITH w AS (
+           SELECT date_trunc('day', ts) AS ws, user_id FROM events
+           UNION ALL
+           SELECT date_trunc('day', ts) - INTERVAL 1 DAY, user_id FROM events)
+         SELECT strftime(ws, '%Y-%m-%d') AS win_start,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+         FROM w GROUP BY 1 ORDER BY win_start""",
+
+    "rolling_user_counts" ->
+      """SELECT event_id, user_id,
+           CAST(COUNT(*) OVER (PARTITION BY user_id
+             ORDER BY (epoch_ns(ts) // 1000000000)
+             RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW) AS BIGINT) AS rolling_cnt
+         FROM events ORDER BY event_id""",
+
+    "event_paths" ->
+      """WITH p AS (
+           SELECT event_type AS step1,
+             LEAD(event_type, 1) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id) AS step2,
+             LEAD(event_type, 2) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id) AS step3
+           FROM events)
+         SELECT step1, step2, step3, CAST(COUNT(*) AS BIGINT) AS n_paths
+         FROM p WHERE step2 IS NOT NULL AND step3 IS NOT NULL
+         GROUP BY step1, step2, step3
+         ORDER BY n_paths DESC, step1, step2, step3 LIMIT 10""",
+
+  )
+}

@@ -1,0 +1,1240 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.VectorOps
+import graft.ops.{Ingest, LlmOps, Relational, Temporal}
+import graft.pipeline.ZoomJobs
+import graft.QShared._
+
+/** TextCuration slice of the declared query slate — split from the former 4.3k-line
+  * SparkEntry.scala (VERDICT r7 #7); bodies moved verbatim, composition in
+  * [[SparkEntry]] keeps the driver contract identical. */
+private[graft] object QTextCuration {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "text_stats" -> ((s, dir) =>
+      LlmOps.textStats(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    "quality_score" -> ((s, dir) =>
+      LlmOps.qualityScore(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    "lang_id" -> ((s, dir) =>
+      LlmOps.langIdHeuristic(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    "lang_profile" -> ((s, dir) =>
+      LlmOps.langProfile(t(s, dir, "documents"), "lang", "n_chars")
+        .orderBy("lang")),
+
+    "bm25_topk" -> ((s, dir) => {
+      // lexical retrieval for RAG / hard-negative mining: BM25 top-5 docs
+      // per query over a 3-query workload; query terms broadcast and prune
+      // the postings before any join, per-query top-k plans as
+      // WindowGroupLimit
+      import s.implicits._
+      val q = Seq(
+        ("q1", "spark"), ("q1", "join"), ("q1", "fast"),
+        ("q2", "table"), ("q2", "scan"), ("q2", "window"),
+        ("q3", "dup"), ("q3", "vector"), ("q3", "merge"))
+        .toDF("query_id", "term")
+      val out = LlmOps.bm25TopK(t(s, dir, "documents"), "doc_id", "text",
+          q, k = 5)
+        .orderBy("query_id", "rank")
+      out
+    }),
+
+    "pmi_pairs" -> ((s, dir) =>
+      // collocation mining for vocab/tokenizer work: top-20 co-occurring
+      // term pairs (df>=3 vocab, alphabetically-first-32 terms per doc)
+      // with PMI lift; pair emission is in-array, never a per-doc
+      // self-join
+      LlmOps.pmiPairs(t(s, dir, "documents"), "doc_id", "text",
+        minDf = 3, perDocCap = 32, k = 20)),
+
+    "tfidf_top_terms" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val toks = docs
+        .select(col("doc_id"), explode(LlmOps.tokens(col("text"))).as("token"))
+        .filter(col("token") =!= "")
+      val stats = toks.groupBy("token")
+        .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
+      val nDocs = docs.agg(count(lit(1)).as("__n"))
+      // log-free surrogate weight tf·N/df: same ranking shape as tf-idf,
+      // pure exact-int → IEEE-division arithmetic both engines reproduce
+      // bitwise (ln() last-ulp behavior is libm-specific — not hashable)
+      stats.crossJoin(broadcast(nDocs))
+        .select(col("token"), col("tf"), col("df"),
+          (col("tf").cast("double") * col("__n") / col("df")).as("score"))
+        .orderBy(col("score").desc, col("token").asc)
+        .limit(20)
+    }),
+
+    "cms_term_counts" -> ((s, dir) =>
+      // deliberately small width (64) at test scale so counter collisions
+      // occur and the min-fold + no-underestimate invariant are exercised;
+      // the DuckDB twin replays the whole grid (hard sketch oracle)
+      LlmOps.cmsTermCounts(t(s, dir, "documents"), "text",
+          depth = 4, width = 64, topK = 20)
+        .orderBy(col("n_true").desc, col("term_hash").asc)),
+
+    "contamination_check" -> ((s, dir) => {
+      // decontamination: containment of each non-benchmark doc's shingle
+      // set against the src0 "benchmark" slice (broadcast semi-join on
+      // 8-byte hashes — corpus text never shuffles)
+      val docs = t(s, dir, "documents")
+      LlmOps.contamination(
+          docs.filter(col("source") =!= "src0"), "doc_id", "text",
+          docs.filter(col("source") === "src0"), "text", shingleN = 3)
+        .orderBy("doc_id")
+    }),
+
+    "contamination_bloom" -> ((s, dir) => {
+      // sketch-side decontamination: benchmark → broadcast bit-position
+      // set (k=3, 2^18 bits), membership = semi-join + count-equals-k.
+      // Exact hits ride alongside, so the false-positive rate is measured
+      // and the no-false-negative invariant (bloom_ok) is checked per doc.
+      val docs = t(s, dir, "documents")
+      LlmOps.contaminationBloom(
+          docs.filter(col("source") =!= "src0"), "doc_id", "text",
+          docs.filter(col("source") === "src0"), "text",
+          shingleN = 3, bits = 1 << 18, k = 3)
+        .orderBy("doc_id")
+    }),
+
+    "chunk_contamination" -> ((s, dir) => {
+      // passage-granular decontamination: non-src0 docs sharing an
+      // aligned 16-token chunk fingerprint with the src0 "benchmark"
+      // slice (2 docs / 12 chunk hits at sf0.01 — planted by the corpus's
+      // cross-source dup structure)
+      val docs = t(s, dir, "documents")
+      LlmOps.chunkContamination(
+          docs.filter(col("source") =!= "src0"),
+          docs.filter(col("source") === "src0"),
+          "doc_id", "text", window = 16, stride = 8)
+        .orderBy("doc_id")
+    }),
+
+    "chunk_windows" -> ((s, dir) =>
+      // RAG chunking with overlap: 40-token windows, stride 20; boundary
+      // arithmetic is integer-exact, fingerprints are md5 — every row
+      // hash-replays in the oracle
+      LlmOps.chunkWindows(t(s, dir, "documents"), "doc_id", "text",
+          window = 40, stride = 20)
+        .orderBy("doc_id", "chunk_id")),
+
+    "bpe_pair_counts" -> ((s, dir) =>
+      // tokenizer-training statistic: the first BPE merge step's top
+      // adjacent char-pair counts inside whitespace tokens
+      LlmOps.bpePairCounts(t(s, dir, "documents"), "text", k = 20)),
+
+    "bpe_apply" -> ((s, dir) =>
+      // tokenize with the learned merges: the post-merge symbol
+      // vocabulary's top-20, weighted by corpus occurrence — the working
+      // vocabulary a trainer inspects for merge quality. Hash-exact twin
+      // extends the bpe_learn CTE chain with one split+count
+      LlmOps.bpeApply(t(s, dir, "documents"), "text", steps = 4, k = 20)),
+
+    "bpe_learn" -> ((s, dir) =>
+      // the actual tokenizer-training loop: 4 iterative merge steps over
+      // the distinct-token vocabulary (one pair-count job + 1-row argmax
+      // per step, localCheckpoint lineage truncation). HARD oracle: the
+      // DuckDB twin unrolls the 4 steps as CTEs and must reproduce every
+      // (step, pair, cnt) exactly
+      LlmOps.bpeLearn(t(s, dir, "documents"), "text", steps = 4)),
+
+    "heavy_hitters" -> ((s, dir) =>
+      // frequent-terms sketch contract: exact heavy hitters (>N/33 of all
+      // tokens) each checked against the native Misra-Gries summary's
+      // no-false-negative and bounded-under-count theorems
+      LlmOps.heavyHitters(t(s, dir, "documents"), "text", k = 32)),
+
+    "mixture_apply" -> ((s, dir) => {
+      // the sampling step that EXECUTES mixture_plan: per-source rates
+      // derived from the data in the same job, broadcast, then a pure
+      // hash-threshold filter — the corpus itself never shuffles
+      val withTokens = t(s, dir, "documents").select(col("doc_id"),
+        col("source"), regexp_count(col("text"), lit("\\S+")).cast("long").as("__n"))
+      LlmOps.mixtureApply(withTokens, "source", "doc_id", "__n")
+        .orderBy("doc_id")
+    }),
+
+    "mixture_plan" -> ((s, dir) => {
+      // training-mixture planning: per-source token shares + the
+      // deterministic downsample-to-smallest rates that equalize sources
+      val docs = t(s, dir, "documents")
+      val withTokens = docs.select(col("source"),
+        regexp_count(col("text"), lit("\\S+")).cast("long").as("__n"))
+      LlmOps.mixturePlan(withTokens, "source", "__n")
+        .orderBy("source")
+    }),
+
+    "mixture_plan_temp" -> ((s, dir) => {
+      // temperature-scaled (alpha=0.5) mixture: sampled share ~ sqrt of
+      // the natural share — the multilingual-mixture standard between
+      // natural proportions and equal shares
+      val docs = t(s, dir, "documents")
+      val withTokens = docs.select(col("source"),
+        regexp_count(col("text"), lit("\\S+")).cast("long").as("__n"))
+      LlmOps.mixturePlanTemperature(withTokens, "source", "__n")
+        .orderBy("source")
+    }),
+
+    "unicode_nfc" -> ((s, dir) => {
+      // composed (U+00E9) vs decomposed (U+0065 U+0301) spellings of the
+      // same text hash apart until NFC canonicalization — the native
+      // nfc_normalize expression (codegen'd; input returned uncopied when
+      // already normalized) makes them bytewise equal, which is the
+      // precondition for every hash-keyed dedup stage upstream
+      val composed = concat(col("p_name"), lit(" caf\u00e9"))
+      val decomposed = concat(col("p_name"), lit(" cafe\u0301"))
+      t(s, dir, "part").select(col("p_partkey"),
+          (composed === decomposed).as("eq_raw"),
+          length(composed).cast("long").as("len_composed"),
+          length(decomposed).cast("long").as("len_decomposed"),
+          call_function("nfc_normalize", decomposed).as("nfc_text"),
+          (call_function("nfc_normalize", decomposed) === composed).as("eq_nfc"))
+        .orderBy("p_partkey")
+    }),
+
+    "text_normalize" -> ((s, dir) =>
+      // canonicalization pass upstream of every hash-keyed dedup stage:
+      // control chars -> space, whitespace collapsed, trimmed, lowered
+      LlmOps.normalizeText(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    "repetition_score" -> ((s, dir) =>
+      LlmOps.repetitionScore(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    "pii_scrub" -> ((s, dir) => {
+      // PII redaction audit: the text is deterministically augmented with
+      // an email (doc_id) and a digit run (n_chars) so the scrub is
+      // exercised on every row — the corpus itself is digit-free word
+      // soup. Emails scrub FIRST (they contain digits), then digit runs.
+      val docs = t(s, dir, "documents")
+      val aug = docs.select(col("doc_id"),
+        concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
+          lit("@mail.example.com ref "), col("n_chars").cast("string")).as("text"))
+      LlmOps.piiScrub(aug, "doc_id", "text").orderBy("doc_id")
+    }),
+
+    "pack_sequences" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val withTokens = docs.select(col("doc_id"), col("lang"),
+        regexp_count(col("text"), lit("\\S+")).cast("long").as("n_tokens"))
+      LlmOps.packSequences(withTokens, "doc_id", "n_tokens", "lang", budget = 1000)
+        .select("doc_id", "lang", "n_tokens", "pack_id")
+        .orderBy("doc_id")
+    }),
+
+    "curation_pipeline" -> ((s, dir) =>
+      curationSurvivors(s, dir).select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")),
+
+    "export_manifest" -> ((s, dir) => {
+      // The artifact the curation flow actually ships: survivors packed
+      // into per-language token-budget shards (packSequences), manifested
+      // as per-shard doc/token counts — what a training job reads to plan
+      // its input files. Token counts are recomputed only for the
+      // survivor subset (a keyed join + projection, not a second corpus
+      // pass).
+      val survivors = curationSurvivors(s, dir).select("doc_id", "lang")
+      val withTok = survivors.join(
+        t(s, dir, "documents").select(col("doc_id"),
+          size(LlmOps.tokens(col("text"))).cast("long").as("n_tokens")),
+        "doc_id")
+      LlmOps.packSequences(withTok, "doc_id", "n_tokens", "lang", budget = 1000)
+        .groupBy("lang", "pack_id")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+        .orderBy("lang", "pack_id")
+    }),
+
+    "vocab_coverage" -> ((s, dir) =>
+      // OOV-rate quality signal: share of each doc's tokens inside the
+      // corpus top-1000 vocabulary (broadcast semi-join on token hashes)
+      LlmOps.vocabCoverage(t(s, dir, "documents"), "doc_id", "text", topK = 1000)
+        .orderBy("doc_id")),
+
+    "filter_funnel" -> ((s, dir) =>
+      // curation-funnel audit: per-source survivors of length floor →
+      // repetition ceiling → alpha-ratio floor, cumulative, in ONE pass
+      // (conditional aggregation; only (source, 4 counters) shuffle)
+      LlmOps.filterFunnel(t(s, dir, "documents"), "source", "text",
+          minChars = 150, maxRepetition = 0.01, minAlphaRatio = 0.82)
+        .orderBy("source")),
+
+    "fertility_by_lang" -> ((s, dir) =>
+      // per-language tokenizer-fertility (subword proxy per whitespace
+      // token): the cost multiplier token-weighted mixture plans need
+      LlmOps.fertilityByGroup(t(s, dir, "documents"), "lang", "text")
+        .orderBy("lang")),
+
+    "token_len_histogram" -> ((s, dir) => {
+      // sequence-length distribution for packing-budget sizing: per-lang
+      // doc counts in fixed power-of-two token buckets
+      val docs = t(s, dir, "documents")
+      val withTokens = docs.select(col("lang"),
+        regexp_count(col("text"), lit("\\S+")).cast("long").as("__n"))
+      LlmOps.tokenLengthHistogram(withTokens, "lang", "__n")
+        .orderBy("lang", "len_bucket")
+    }),
+
+    "lm_score" -> ((s, dir) =>
+      // statistical LM fluency proxy: mean corpus frequency of each doc's
+      // bigrams — exact integer numerator, one final division (hashable)
+      LlmOps.lmScore(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    "perplexity_buckets" -> ((s, dir) =>
+      // CCNet head/middle/tail: ntile(3) over lm_score per language, then
+      // the (lang, bucket) doc/bigram-mass table a mixture plan consumes
+      LlmOps.perplexityBuckets(t(s, dir, "documents"), "doc_id", "lang", "text")
+        .orderBy("lang", "bucket")),
+
+    "dataset_split" -> ((s, dir) =>
+      // reproducible train/val/test + CV fold from one portable hash —
+      // no RNG, no shuffle, stable under any cluster layout
+      LlmOps.datasetSplit(t(s, dir, "documents"), "doc_id")
+        .orderBy("doc_id")),
+
+    "split_balance" -> ((s, dir) => {
+      // stratification audit: each split's language share vs the corpus
+      // share — the hash split claims attribute independence; this query
+      // MEASURES it (|share - corpus_share| per cell)
+      val withSplit = LlmOps.datasetSplit(t(s, dir, "documents"), "doc_id")
+        .join(t(s, dir, "documents").select("doc_id", "lang"), "doc_id")
+      val bySplit = withSplit.groupBy("split", "lang").agg(count(lit(1)).as("n"))
+      val splitTot = withSplit.groupBy("split").agg(count(lit(1)).as("__st"))
+      val corpus = t(s, dir, "documents").groupBy("lang")
+        .agg(count(lit(1)).as("__cn"))
+      val corpusTot = t(s, dir, "documents").agg(count(lit(1)).as("__ct"))
+      bySplit.join(broadcast(splitTot), "split")
+        .join(broadcast(corpus), "lang")
+        .crossJoin(broadcast(corpusTot))
+        .select(col("split"), col("lang"), col("n"),
+          (col("n").cast("double") / col("__st")).as("share"),
+          abs(col("n").cast("double") / col("__st") -
+            col("__cn").cast("double") / col("__ct")).as("share_drift"))
+        .orderBy("split", "lang")
+    }),
+
+    "split_leakage" -> ((s, dir) =>
+      // train/test leakage: near-dup pairs straddling splits — each row
+      // is a test doc whose near-copy the model would train on. The raw
+      // corpus is split WITHOUT dedup first, so leakage rows exist here
+      // by construction; a production pipeline asserts this empty
+      LlmOps.splitLeakage(t(s, dir, "documents"), "doc_id", "text",
+          maxBucketSize = 10000)
+        .orderBy("id_a", "id_b")),
+
+  )
+
+  val oracle: Map[String, String] = Map(
+
+    "text_stats" ->
+      """SELECT doc_id,
+            CAST(length(text) AS BIGINT) AS n_chars_calc,
+            CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+            CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS n_bpe_tokens,
+            CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS n_digits,
+            md5(lower(trim(text))) AS fp
+         FROM documents ORDER BY doc_id""",
+
+    "quality_score" ->
+      """SELECT doc_id,
+            CAST(len(regexp_extract_all(lower(text), '\b(the|a|of|and|in|to)\b')) AS DOUBLE)
+              / CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) AS stopword_ratio,
+            length(text) < 100 AS is_short
+         FROM documents ORDER BY doc_id""",
+
+    "lang_id" ->
+      """SELECT doc_id,
+            CASE WHEN en >= es AND en >= fr THEN 'en'
+                 WHEN es >= fr THEN 'es'
+                 ELSE 'fr' END AS lang_guess
+         FROM (
+           SELECT doc_id,
+                  len(regexp_extract_all(lower(text), '\b(the|and|of|to|in)\b')) AS en,
+                  len(regexp_extract_all(lower(text), '\b(el|la|de|que|y)\b')) AS es,
+                  len(regexp_extract_all(lower(text), '\b(le|la|et|les|des)\b')) AS fr
+           FROM documents) sub
+         ORDER BY doc_id""",
+
+    "lang_profile" ->
+      """SELECT lang, COUNT(*) AS n_docs,
+            CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+            CAST(CAST(SUM(n_chars) AS BIGINT) AS DOUBLE) / COUNT(*) AS avg_chars
+         FROM documents GROUP BY lang ORDER BY lang""",
+
+    // BM25 replay: postings -> doc length / corpus globals -> query-term
+    // prune -> df -> per-term contribution -> ascending-term sequential
+    // fold (list_reduce over list(.. ORDER BY term) = Spark's sort_array
+    // + aggregate fold; 0.0 + x == x bitwise for the positive contribs).
+    // Constants 1.25/0.75/0.25/2.25/0.5 are exact binary fractions and the
+    // surrogate idf is log-free, so scores hash bitwise.
+    "bm25_topk" ->
+      """WITH q(query_id, term) AS (VALUES
+           ('q1', 'spark'), ('q1', 'join'), ('q1', 'fast'),
+           ('q2', 'table'), ('q2', 'scan'), ('q2', 'window'),
+           ('q3', 'dup'), ('q3', 'vector'), ('q3', 'merge')),
+         tf AS (
+           SELECT doc_id, token AS term, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM (SELECT doc_id,
+                   unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+                 FROM documents)
+           WHERE token <> '' GROUP BY doc_id, token),
+         dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl
+                FROM tf GROUP BY doc_id),
+         g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                      CAST(SUM(dl) AS BIGINT) AS tot FROM dl),
+         tfq AS (SELECT tf.* FROM tf
+                 JOIN (SELECT DISTINCT term FROM q) qt USING (term)),
+         dfq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+                 FROM tfq GROUP BY term),
+         contrib AS (
+           SELECT tfq.term, tfq.doc_id,
+             ((CAST(g.n AS DOUBLE) - CAST(dfq.df AS DOUBLE) + 0.5)
+               / (CAST(dfq.df AS DOUBLE) + 0.5))
+             * ((CAST(tfq.tf AS DOUBLE) * 2.25)
+               / (CAST(tfq.tf AS DOUBLE)
+                  + 1.25 * (0.25 + 0.75 * (CAST(dl.dl AS DOUBLE)
+                      / (CAST(g.tot AS DOUBLE) / CAST(g.n AS DOUBLE)))))) AS c
+           FROM tfq JOIN dl USING (doc_id) JOIN dfq USING (term)
+           CROSS JOIN g),
+         scored AS (
+           SELECT q.query_id, contrib.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_terms,
+             list_reduce(list(c ORDER BY contrib.term), (x, y) -> x + y) AS score
+           FROM contrib JOIN q USING (term)
+           GROUP BY q.query_id, contrib.doc_id)
+         SELECT query_id, CAST(rn AS BIGINT) AS rank, doc_id, n_terms, score
+         FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY score DESC, doc_id) AS rn FROM scored)
+         WHERE rn <= 5 ORDER BY query_id, rank""",
+
+    // PMI collocations replay: distinct (doc, term) presence -> uncapped
+    // df -> df>=3 vocab prune -> per-doc sorted list capped to first 32
+    // ([1:32] = Spark's slice(sort_array(..), 1, 32)) -> in-doc ordered
+    // pairs -> count -> lift over exact BIGINT->DOUBLE casts (one multiply
+    // per side of a single division, IEEE-deterministic both engines).,
+
+    // PMI collocations replay: distinct (doc, term) presence -> uncapped
+    // df -> df>=3 vocab prune -> per-doc sorted list capped to first 32
+    // ([1:32] = Spark's slice(sort_array(..), 1, 32)) -> in-doc ordered
+    // pairs -> count -> lift over exact BIGINT->DOUBLE casts (one multiply
+    // per side of a single division, IEEE-deterministic both engines).
+    "pmi_pairs" ->
+      """WITH dt AS (
+           SELECT DISTINCT doc_id, token AS term
+           FROM (SELECT doc_id,
+                   unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+                 FROM documents)
+           WHERE token <> ''),
+         vocab AS (
+           SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+           FROM dt GROUP BY term HAVING COUNT(*) >= 3),
+         nd AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n FROM dt),
+         tv AS (
+           SELECT doc_id, unnest(terms) AS term
+           FROM (SELECT doc_id, (list_sort(list(term)))[1:32] AS terms
+                 FROM dt JOIN vocab USING (term) GROUP BY doc_id)),
+         pc AS (
+           SELECT x.term AS term_a, y.term AS term_b,
+                  CAST(COUNT(*) AS BIGINT) AS n_pair
+           FROM tv x JOIN tv y
+             ON x.doc_id = y.doc_id AND x.term < y.term
+           GROUP BY 1, 2)
+         SELECT term_a, term_b, n_pair, va.df AS df_a, vb.df AS df_b,
+           (CAST(n_pair AS DOUBLE) * CAST(nd.n AS DOUBLE))
+             / (CAST(va.df AS DOUBLE) * CAST(vb.df AS DOUBLE)) AS lift
+         FROM pc
+         JOIN vocab va ON pc.term_a = va.term
+         JOIN vocab vb ON pc.term_b = vb.term
+         CROSS JOIN nd
+         ORDER BY n_pair DESC, term_a, term_b LIMIT 20""",
+
+    "tfidf_top_terms" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+           FROM documents),
+         t AS (
+           SELECT token, CAST(COUNT(*) AS BIGINT) AS tf,
+             CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+           FROM toks WHERE token <> '' GROUP BY token),
+         n AS (SELECT COUNT(*) AS n FROM documents)
+         SELECT token, tf, df, CAST(tf AS DOUBLE) * n.n / df AS score
+         FROM t, n
+         ORDER BY score DESC, token LIMIT 20""",
+
+    // full count-min-sketch replay: grid build, per-term probes, min-fold,
+
+    // full count-min-sketch replay: grid build, per-term probes, min-fold
+    "cms_term_counts" ->
+      """WITH tok AS (
+           SELECT ('0x' || substr(md5(t), 1, 12))::BIGINT AS h
+           FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS t
+                 FROM documents)
+           WHERE t <> ''),
+         rows_ AS (SELECT unnest([0, 1, 2, 3]) AS j),
+         sketch AS (
+           SELECT j, ((2 * j + 3) * h + j) % 64 AS p, COUNT(*) AS c
+           FROM tok CROSS JOIN rows_ GROUP BY 1, 2),
+         truth AS (
+           SELECT h, COUNT(*) AS n_true FROM tok GROUP BY h
+           ORDER BY n_true DESC, h ASC LIMIT 20),
+         est AS (
+           SELECT t.h, t.n_true, MIN(s.c) AS n_est
+           FROM truth t CROSS JOIN rows_ g
+           JOIN sketch s ON s.j = g.j AND s.p = ((2 * g.j + 3) * t.h + g.j) % 64
+           GROUP BY t.h, t.n_true)
+         SELECT h AS term_hash, CAST(n_true AS BIGINT) AS n_true,
+           CAST(n_est AS BIGINT) AS n_est, n_est >= n_true AS no_underestimate
+         FROM est ORDER BY n_true DESC, term_hash ASC""",
+
+    "contamination_check" ->
+      """WITH hs AS (
+           SELECT doc_id, source, list_transform(
+             range(1, greatest(len(string_split_regex(lower(trim(text)), '\s+')) - 3, 0) + 2),
+             i -> ('0x' || substr(md5(array_to_string(
+               list_slice(string_split_regex(lower(trim(text)), '\s+'), i, i + 2), ' ')), 1, 12))::BIGINT) AS sh
+           FROM documents),
+         b AS (
+           SELECT DISTINCT unnest(sh) AS bsh FROM hs WHERE source = 'src0'),
+         d AS (
+           SELECT doc_id, list_distinct(sh) AS sh FROM hs WHERE source <> 'src0'),
+         e AS (SELECT doc_id, unnest(sh) AS s FROM d),
+         hits AS (
+           SELECT doc_id, COUNT(*) AS n_hit
+           FROM e JOIN b ON e.s = b.bsh GROUP BY doc_id)
+         SELECT d.doc_id,
+           CAST(len(d.sh) AS BIGINT) AS n_shingles,
+           CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_contaminated,
+           CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / len(d.sh) AS containment
+         FROM d LEFT JOIN hits h ON d.doc_id = h.doc_id
+         ORDER BY d.doc_id""",
+
+    "contamination_bloom" ->
+      """WITH t AS (
+           SELECT doc_id, source, string_split_regex(lower(trim(text)), '\s+') AS toks
+           FROM documents),
+         p AS (
+           SELECT doc_id, source, unnest(list_distinct(list_transform(
+             range(1, greatest(len(toks) - 3, 0) + 2),
+             i -> ('0x' || substr(md5(array_to_string(list_slice(toks, i, i + 2), ' ')), 1, 12))::BIGINT))) AS h1
+           FROM t),
+         be AS (SELECT DISTINCT h1 FROM p WHERE source = 'src0'),
+         bb AS (
+           SELECT DISTINCT ((2 * j.j + 3) * h1 + j.j) % 262144 AS bit
+           FROM be, range(0, 3) j(j)),
+         c AS (SELECT doc_id, h1 FROM p WHERE source <> 'src0'),
+         sizes AS (
+           SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles
+           FROM c GROUP BY doc_id),
+         ex AS (
+           SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS ne FROM c
+           WHERE h1 IN (SELECT h1 FROM be) GROUP BY doc_id),
+         bl AS (
+           SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nb FROM (
+             SELECT c.doc_id, c.h1
+             FROM c, range(0, 3) j(j)
+             WHERE ((2 * j.j + 3) * c.h1 + j.j) % 262144 IN (SELECT bit FROM bb)
+             GROUP BY c.doc_id, c.h1 HAVING COUNT(*) = 3) q
+           GROUP BY doc_id)
+         SELECT s.doc_id, s.n_shingles,
+           COALESCE(ex.ne, 0) AS n_exact,
+           COALESCE(bl.nb, 0) AS n_bloom,
+           COALESCE(bl.nb, 0) >= COALESCE(ex.ne, 0) AS bloom_ok
+         FROM sizes s LEFT JOIN ex USING (doc_id) LEFT JOIN bl USING (doc_id)
+         ORDER BY doc_id""",
+
+    "chunk_contamination" ->
+      """WITH t2 AS (
+           SELECT doc_id, source, string_split_regex(lower(trim(text)), '\s+') AS toks
+           FROM documents WHERE trim(text) <> ''),
+         t3 AS (SELECT doc_id, source, toks, len(toks) AS n FROM t2),
+         st AS (
+           SELECT doc_id, source, toks, n,
+             unnest(range(0, 1 + (greatest(n - 16, 0) + 7) // 8)) AS c
+           FROM t3),
+         ch AS (
+           SELECT doc_id, source,
+             md5(array_to_string(toks[c * 8 + 1 : least(c * 8 + 16, n)], ' ')) AS fp
+           FROM st),
+         bf AS (SELECT DISTINCT fp FROM ch WHERE source = 'src0'),
+         corpus AS (SELECT doc_id, fp FROM ch WHERE source <> 'src0'),
+         hits AS (
+           SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hit FROM corpus
+           WHERE fp IN (SELECT fp FROM bf) GROUP BY doc_id)
+         SELECT c.doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           COALESCE(ANY_VALUE(h.n_hit), 0) AS n_hit,
+           COALESCE(ANY_VALUE(h.n_hit), 0) > 0 AS contaminated
+         FROM corpus c LEFT JOIN hits h ON c.doc_id = h.doc_id
+         GROUP BY c.doc_id ORDER BY c.doc_id""",
+
+    "chunk_windows" ->
+      """WITH t2 AS (
+           SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+           FROM documents WHERE trim(text) <> ''),
+         t3 AS (SELECT doc_id, toks, len(toks) AS n FROM t2),
+         st AS (
+           SELECT doc_id, toks, n,
+             unnest(range(0, 1 + (greatest(n - 40, 0) + 19) // 20)) AS c
+           FROM t3)
+         SELECT doc_id, c AS chunk_id, c * 20 AS start_tok,
+           CAST(len(toks[c * 20 + 1 : least(c * 20 + 40, n)]) AS BIGINT) AS n_toks,
+           md5(array_to_string(toks[c * 20 + 1 : least(c * 20 + 40, n)], ' ')) AS chunk_fp
+         FROM st ORDER BY doc_id, chunk_id""",
+
+    "bpe_pair_counts" ->
+      """WITH tok AS (
+           SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS tk
+           FROM documents),
+         p AS (
+           SELECT unnest(list_transform(range(1, len(tk)),
+             i -> substr(tk, i, 2))) AS pair
+           FROM tok WHERE len(tk) >= 2)
+         SELECT pair, CAST(COUNT(*) AS BIGINT) AS cnt
+         FROM p GROUP BY pair ORDER BY cnt DESC, pair LIMIT 20""",
+
+    // the 4-step merge loop unrolled: v_k = vocab after k merges, p_k =
+    // pair counts over v_{k-1}, b_k = the argmax merge. chr(31) is the
+    // doubled U+001F symbol delimiter; replace() scans left-to-right
+    // non-overlapping in both engines, so greedy merge application
+    // replays exactly.,
+
+    "bpe_apply" ->
+      """WITH tok AS (
+           SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS tk
+           FROM documents),
+         v0 AS (
+           SELECT regexp_replace(tk, '(.)', chr(31) || '\1' || chr(31), 'g') AS sym,
+                  COUNT(*) AS freq
+           FROM tok WHERE len(tk) > 0 GROUP BY 1),
+         s1 AS (SELECT freq, string_split(trim(sym, chr(31)), chr(31) || chr(31)) AS syms FROM v0),
+         i1 AS (SELECT freq, syms, unnest(range(1, len(syms))) AS i FROM s1 WHERE len(syms) >= 2),
+         p1 AS (SELECT syms[i] AS l, syms[i + 1] AS r, SUM(freq) AS cnt FROM i1 GROUP BY 1, 2),
+         b1 AS (SELECT l, r, cnt FROM p1 ORDER BY cnt DESC, l, r LIMIT 1),
+         v1 AS (SELECT replace(sym, chr(31) || b.l || chr(31) || chr(31) || b.r || chr(31),
+                               chr(31) || b.l || b.r || chr(31)) AS sym, freq
+                FROM v0, b1 b),
+         s2 AS (SELECT freq, string_split(trim(sym, chr(31)), chr(31) || chr(31)) AS syms FROM v1),
+         i2 AS (SELECT freq, syms, unnest(range(1, len(syms))) AS i FROM s2 WHERE len(syms) >= 2),
+         p2 AS (SELECT syms[i] AS l, syms[i + 1] AS r, SUM(freq) AS cnt FROM i2 GROUP BY 1, 2),
+         b2 AS (SELECT l, r, cnt FROM p2 ORDER BY cnt DESC, l, r LIMIT 1),
+         v2 AS (SELECT replace(sym, chr(31) || b.l || chr(31) || chr(31) || b.r || chr(31),
+                               chr(31) || b.l || b.r || chr(31)) AS sym, freq
+                FROM v1, b2 b),
+         s3 AS (SELECT freq, string_split(trim(sym, chr(31)), chr(31) || chr(31)) AS syms FROM v2),
+         i3 AS (SELECT freq, syms, unnest(range(1, len(syms))) AS i FROM s3 WHERE len(syms) >= 2),
+         p3 AS (SELECT syms[i] AS l, syms[i + 1] AS r, SUM(freq) AS cnt FROM i3 GROUP BY 1, 2),
+         b3 AS (SELECT l, r, cnt FROM p3 ORDER BY cnt DESC, l, r LIMIT 1),
+         v3 AS (SELECT replace(sym, chr(31) || b.l || chr(31) || chr(31) || b.r || chr(31),
+                               chr(31) || b.l || b.r || chr(31)) AS sym, freq
+                FROM v2, b3 b),
+         s4 AS (SELECT freq, string_split(trim(sym, chr(31)), chr(31) || chr(31)) AS syms FROM v3),
+         i4 AS (SELECT freq, syms, unnest(range(1, len(syms))) AS i FROM s4 WHERE len(syms) >= 2),
+         p4 AS (SELECT syms[i] AS l, syms[i + 1] AS r, SUM(freq) AS cnt FROM i4 GROUP BY 1, 2),
+         b4 AS (SELECT l, r, cnt FROM p4 ORDER BY cnt DESC, l, r LIMIT 1),
+         v4 AS (SELECT replace(sym, chr(31) || b.l || chr(31) || chr(31) || b.r || chr(31),
+                               chr(31) || b.l || b.r || chr(31)) AS sym, freq
+                FROM v3, b4 b),
+         sy AS (SELECT freq, unnest(string_split(trim(sym, chr(31)), chr(31) || chr(31))) AS symbol
+                FROM v4)
+         SELECT symbol, CAST(SUM(freq) AS BIGINT) AS cnt
+         FROM sy GROUP BY symbol ORDER BY cnt DESC, symbol LIMIT 20""",
+
+    "bpe_learn" ->
+      """WITH tok AS (
+           SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS tk
+           FROM documents),
+         v0 AS (
+           SELECT regexp_replace(tk, '(.)', chr(31) || '\1' || chr(31), 'g') AS sym,
+                  COUNT(*) AS freq
+           FROM tok WHERE len(tk) > 0 GROUP BY 1),
+         s1 AS (SELECT freq, string_split(trim(sym, chr(31)), chr(31) || chr(31)) AS syms FROM v0),
+         i1 AS (SELECT freq, syms, unnest(range(1, len(syms))) AS i FROM s1 WHERE len(syms) >= 2),
+         p1 AS (SELECT syms[i] AS l, syms[i + 1] AS r, SUM(freq) AS cnt FROM i1 GROUP BY 1, 2),
+         b1 AS (SELECT l, r, cnt FROM p1 ORDER BY cnt DESC, l, r LIMIT 1),
+         v1 AS (SELECT replace(sym, chr(31) || b.l || chr(31) || chr(31) || b.r || chr(31),
+                               chr(31) || b.l || b.r || chr(31)) AS sym, freq
+                FROM v0, b1 b),
+         s2 AS (SELECT freq, string_split(trim(sym, chr(31)), chr(31) || chr(31)) AS syms FROM v1),
+         i2 AS (SELECT freq, syms, unnest(range(1, len(syms))) AS i FROM s2 WHERE len(syms) >= 2),
+         p2 AS (SELECT syms[i] AS l, syms[i + 1] AS r, SUM(freq) AS cnt FROM i2 GROUP BY 1, 2),
+         b2 AS (SELECT l, r, cnt FROM p2 ORDER BY cnt DESC, l, r LIMIT 1),
+         v2 AS (SELECT replace(sym, chr(31) || b.l || chr(31) || chr(31) || b.r || chr(31),
+                               chr(31) || b.l || b.r || chr(31)) AS sym, freq
+                FROM v1, b2 b),
+         s3 AS (SELECT freq, string_split(trim(sym, chr(31)), chr(31) || chr(31)) AS syms FROM v2),
+         i3 AS (SELECT freq, syms, unnest(range(1, len(syms))) AS i FROM s3 WHERE len(syms) >= 2),
+         p3 AS (SELECT syms[i] AS l, syms[i + 1] AS r, SUM(freq) AS cnt FROM i3 GROUP BY 1, 2),
+         b3 AS (SELECT l, r, cnt FROM p3 ORDER BY cnt DESC, l, r LIMIT 1),
+         v3 AS (SELECT replace(sym, chr(31) || b.l || chr(31) || chr(31) || b.r || chr(31),
+                               chr(31) || b.l || b.r || chr(31)) AS sym, freq
+                FROM v2, b3 b),
+         s4 AS (SELECT freq, string_split(trim(sym, chr(31)), chr(31) || chr(31)) AS syms FROM v3),
+         i4 AS (SELECT freq, syms, unnest(range(1, len(syms))) AS i FROM s4 WHERE len(syms) >= 2),
+         p4 AS (SELECT syms[i] AS l, syms[i + 1] AS r, SUM(freq) AS cnt FROM i4 GROUP BY 1, 2),
+         b4 AS (SELECT l, r, cnt FROM p4 ORDER BY cnt DESC, l, r LIMIT 1)
+         SELECT * FROM (
+           SELECT CAST(1 AS BIGINT) AS step, l AS left_sym, r AS right_sym,
+                  CAST(cnt AS BIGINT) AS cnt FROM b1
+           UNION ALL SELECT 2, l, r, CAST(cnt AS BIGINT) FROM b2
+           UNION ALL SELECT 3, l, r, CAST(cnt AS BIGINT) FROM b3
+           UNION ALL SELECT 4, l, r, CAST(cnt AS BIGINT) FROM b4)
+         ORDER BY step""",
+
+    // contract twin: DuckDB computes the exact heavy hitters and asserts
+    // the sketch booleans as literal true — any MG violation hash-fails
+    "heavy_hitters" ->
+      """WITH toks AS (
+           SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+           FROM documents),
+         n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM toks),
+         ex AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt
+                FROM toks GROUP BY term)
+         SELECT term, cnt, true AS in_sketch, true AS bound_ok
+         FROM ex, n WHERE cnt * 33 > n ORDER BY cnt DESC, term""",
+
+    // replays mixturePlan's rate table then the hash-threshold keep rule;
+    // DuckDB x/0 → NULL matches the zero-weight guard (rows drop),
+
+    // replays mixturePlan's rate table then the hash-threshold keep rule;
+    // DuckDB x/0 → NULL matches the zero-weight guard (rows drop)
+    "mixture_apply" ->
+      """WITH t AS (
+           SELECT doc_id, source,
+             CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n
+           FROM documents),
+         b AS (SELECT source, CAST(SUM(n) AS BIGINT) AS n_tokens
+               FROM t GROUP BY source),
+         g AS (SELECT MIN(n_tokens) AS mn FROM b),
+         r AS (SELECT source, CAST(mn AS DOUBLE) / n_tokens AS rate FROM b, g)
+         SELECT doc_id, t.source FROM t JOIN r USING (source)
+         WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT
+               / 281474976710656.0 < rate
+         ORDER BY doc_id""",
+
+    "mixture_plan" ->
+      """WITH t AS (
+           SELECT source,
+             CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n
+           FROM documents),
+         b AS (
+           SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n) AS BIGINT) AS n_tokens
+           FROM t GROUP BY source),
+         g AS (SELECT MIN(n_tokens) AS mn, SUM(n_tokens) AS tot FROM b)
+         SELECT source, n_docs, n_tokens,
+           CAST(n_tokens AS DOUBLE) / tot AS share,
+           CAST(mn AS DOUBLE) / n_tokens AS sample_rate
+         FROM b, g ORDER BY source""",
+
+    "mixture_plan_temp" ->
+      """WITH t AS (
+           SELECT source,
+             CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n
+           FROM documents),
+         b AS (
+           SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n) AS BIGINT) AS n_tokens
+           FROM t GROUP BY source),
+         g AS (SELECT MIN(n_tokens) AS mn FROM b)
+         SELECT source, n_docs, n_tokens,
+           sqrt(CAST(mn AS DOUBLE) / CAST(n_tokens AS DOUBLE)) AS sample_rate,
+           sqrt(CAST(mn AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+             * CAST(n_tokens AS DOUBLE) AS sampled_tokens
+         FROM b, g ORDER BY source""",
+
+    "unicode_nfc" ->
+      """WITH v AS (
+           SELECT p_partkey,
+             p_name || ' caf' || chr(233) AS composed,
+             p_name || ' cafe' || chr(769) AS decomposed
+           FROM part)
+         SELECT p_partkey,
+           (composed = decomposed) AS eq_raw,
+           CAST(length(composed) AS BIGINT) AS len_composed,
+           CAST(length(decomposed) AS BIGINT) AS len_decomposed,
+           nfc_normalize(decomposed) AS nfc_text,
+           (nfc_normalize(decomposed) = composed) AS eq_nfc
+         FROM v ORDER BY p_partkey""",
+
+    "text_normalize" ->
+      """WITH n AS (
+           SELECT doc_id, text,
+             trim(regexp_replace(regexp_replace(lower(text),
+               '[\x00-\x1f\x7f]', ' ', 'g'), '\s+', ' ', 'g')) AS norm_text
+           FROM documents)
+         SELECT doc_id, norm_text,
+           (norm_text IS DISTINCT FROM text) AS changed
+         FROM n ORDER BY doc_id""",
+
+    "repetition_score" ->
+      """WITH t AS (
+           SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+           FROM documents),
+         s AS (
+           SELECT doc_id, list_transform(
+             range(1, greatest(len(toks) - 3, 0) + 2),
+             i -> ('0x' || substr(md5(array_to_string(list_slice(toks, i, i + 2), ' ')), 1, 12))::BIGINT) AS sh
+           FROM t)
+         SELECT doc_id,
+           CAST(len(sh) AS BIGINT) AS n_shingles,
+           CAST(len(list_distinct(sh)) AS BIGINT) AS n_distinct,
+           1.0 - CAST(len(list_distinct(sh)) AS DOUBLE) / CAST(len(sh) AS DOUBLE) AS repetition
+         FROM s ORDER BY doc_id""",
+
+    "pii_scrub" ->
+      """WITH a AS (
+           SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+               || '@mail.example.com ref ' || CAST(n_chars AS VARCHAR) AS text
+           FROM documents),
+         r AS (
+           SELECT doc_id, text,
+             regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS de
+           FROM a)
+         SELECT doc_id,
+           CAST(len(regexp_extract_all(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(de, '[0-9]+')) AS BIGINT) AS n_nums,
+           CAST(length(regexp_replace(de, '[0-9]+', '<NUM>', 'g')) AS BIGINT) AS redacted_len,
+           md5(regexp_replace(de, '[0-9]+', '<NUM>', 'g')) AS redacted_fp
+         FROM r ORDER BY doc_id""",
+
+    "pack_sequences" ->
+      """WITH t AS (
+           SELECT doc_id, lang,
+             CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
+           FROM documents),
+         c AS (
+           SELECT *, SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           FROM t)
+         SELECT doc_id, lang, n_tokens,
+           CAST((cum - n_tokens) // 1000 AS BIGINT) AS pack_id
+         FROM c ORDER BY doc_id""",
+
+    "curation_pipeline" ->
+      """WITH RECURSIVE
+         toks AS (
+           SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS tk
+           FROM documents),
+         shs AS (
+           SELECT doc_id, list_transform(
+             range(1, greatest(len(tk) - 3, 0) + 2),
+             i -> array_to_string(list_slice(tk, i, i + 2), ' ')) AS shseq
+           FROM toks),
+         rep AS (
+           SELECT doc_id,
+             1.0 - CAST(len(list_distinct(list_transform(shseq,
+               s -> ('0x' || substr(md5(s), 1, 12))::BIGINT))) AS DOUBLE)
+               / len(shseq) AS repetition
+           FROM shs),
+         s1 AS (
+           SELECT d.doc_id, d.lang, d.n_chars, d.text
+           FROM documents d JOIN rep USING (doc_id)
+           WHERE d.source <> 'src0' AND length(d.text) >= 100
+             AND rep.repetition < 0.2),
+         ex AS (
+           SELECT MIN(doc_id) AS doc_id FROM s1
+           GROUP BY md5(lower(trim(text)))),
+         s2 AS (SELECT s1.* FROM s1 JOIN ex USING (doc_id)),
+         d2 AS (
+           SELECT s2.doc_id, list_distinct(shs.shseq) AS sh
+           FROM s2 JOIN shs USING (doc_id)),
+         hp AS (
+           SELECT doc_id,
+             list_transform(sh, s -> ('0x' || substr(md5(s), 1, 12))::BIGINT) AS h1s,
+             list_transform(sh, s -> ('0x' || substr(md5(s), 13, 12))::BIGINT) AS h2s
+           FROM d2 WHERE len(sh) > 0),
+         sg AS (
+           SELECT doc_id,
+             list_distinct(h1s) AS shset,
+             list_transform(range(0, 16), j ->
+               list_min(list_transform(range(1, len(h1s) + 1), x -> h1s[x] + j * h2s[x]))) AS sig
+           FROM hp),
+         bands AS (
+           SELECT doc_id, t.b AS band,
+             md5(array_to_string(list_slice(sig, t.b * 4 + 1, t.b * 4 + 4), ',')) AS bh
+           FROM sg, range(0, 4) t(b)),
+         ok AS (
+           SELECT band, bh FROM bands GROUP BY band, bh
+           HAVING COUNT(*) BETWEEN 2 AND 10000),
+         cap AS (SELECT bands.* FROM bands JOIN ok USING (band, bh)),
+         cand AS (
+           SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+           FROM cap a JOIN cap c
+             ON a.band = c.band AND a.bh = c.bh AND a.doc_id < c.doc_id),
+         pairs AS (
+           SELECT id_a, id_b FROM (
+             SELECT id_a, id_b,
+               CAST(len(list_intersect(x.shset, y.shset)) AS DOUBLE)
+                 / len(list_distinct(list_concat(x.shset, y.shset))) AS jaccard
+             FROM cand
+             JOIN sg x ON cand.id_a = x.doc_id
+             JOIN sg y ON cand.id_b = y.doc_id) j
+           WHERE jaccard >= 0.7),
+         sym AS (
+           SELECT id_a AS a, id_b AS b FROM pairs
+           UNION
+           SELECT id_b, id_a FROM pairs),
+         reach AS (
+           SELECT a, b FROM sym
+           UNION
+           SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+         lbl AS (
+           SELECT a AS node, LEAST(a, MIN(b)) AS cluster
+           FROM reach GROUP BY a),
+         s3 AS (
+           SELECT s2.* FROM s2 LEFT JOIN lbl ON s2.doc_id = lbl.node
+           WHERE s2.doc_id = COALESCE(lbl.cluster, s2.doc_id)),
+         bset AS (
+           SELECT DISTINCT unnest(list_transform(shs.shseq,
+             s -> ('0x' || substr(md5(s), 1, 12))::BIGINT)) AS bsh
+           FROM shs JOIN documents d ON shs.doc_id = d.doc_id
+           WHERE d.source = 'src0'),
+         dset AS (
+           SELECT s3.doc_id, list_distinct(list_transform(shs.shseq,
+             s -> ('0x' || substr(md5(s), 1, 12))::BIGINT)) AS sh
+           FROM s3 JOIN shs ON s3.doc_id = shs.doc_id),
+         hits AS (
+           SELECT doc_id, COUNT(*) AS nh
+           FROM (SELECT doc_id, unnest(sh) AS x FROM dset) e
+           JOIN bset ON e.x = bset.bsh GROUP BY doc_id)
+         SELECT s3.doc_id, s3.lang, CAST(s3.n_chars AS BIGINT) AS n_chars
+         FROM s3 JOIN dset USING (doc_id) LEFT JOIN hits USING (doc_id)
+         WHERE CAST(COALESCE(hits.nh, 0) AS DOUBLE) / len(dset.sh) < 0.5
+         ORDER BY s3.doc_id""",
+
+    // same curation twin, manifested: survivors packed into per-language
+    // token-budget shards, per-shard doc/token counts,
+
+    // same curation twin, manifested: survivors packed into per-language
+    // token-budget shards, per-shard doc/token counts
+    "export_manifest" ->
+      """WITH RECURSIVE
+         toks AS (
+           SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS tk
+           FROM documents),
+         shs AS (
+           SELECT doc_id, list_transform(
+             range(1, greatest(len(tk) - 3, 0) + 2),
+             i -> array_to_string(list_slice(tk, i, i + 2), ' ')) AS shseq
+           FROM toks),
+         rep AS (
+           SELECT doc_id,
+             1.0 - CAST(len(list_distinct(list_transform(shseq,
+               s -> ('0x' || substr(md5(s), 1, 12))::BIGINT))) AS DOUBLE)
+               / len(shseq) AS repetition
+           FROM shs),
+         s1 AS (
+           SELECT d.doc_id, d.lang, d.n_chars, d.text
+           FROM documents d JOIN rep USING (doc_id)
+           WHERE d.source <> 'src0' AND length(d.text) >= 100
+             AND rep.repetition < 0.2),
+         ex AS (
+           SELECT MIN(doc_id) AS doc_id FROM s1
+           GROUP BY md5(lower(trim(text)))),
+         s2 AS (SELECT s1.* FROM s1 JOIN ex USING (doc_id)),
+         d2 AS (
+           SELECT s2.doc_id, list_distinct(shs.shseq) AS sh
+           FROM s2 JOIN shs USING (doc_id)),
+         hp AS (
+           SELECT doc_id,
+             list_transform(sh, s -> ('0x' || substr(md5(s), 1, 12))::BIGINT) AS h1s,
+             list_transform(sh, s -> ('0x' || substr(md5(s), 13, 12))::BIGINT) AS h2s
+           FROM d2 WHERE len(sh) > 0),
+         sg AS (
+           SELECT doc_id,
+             list_distinct(h1s) AS shset,
+             list_transform(range(0, 16), j ->
+               list_min(list_transform(range(1, len(h1s) + 1), x -> h1s[x] + j * h2s[x]))) AS sig
+           FROM hp),
+         bands AS (
+           SELECT doc_id, t.b AS band,
+             md5(array_to_string(list_slice(sig, t.b * 4 + 1, t.b * 4 + 4), ',')) AS bh
+           FROM sg, range(0, 4) t(b)),
+         ok AS (
+           SELECT band, bh FROM bands GROUP BY band, bh
+           HAVING COUNT(*) BETWEEN 2 AND 10000),
+         cap AS (SELECT bands.* FROM bands JOIN ok USING (band, bh)),
+         cand AS (
+           SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+           FROM cap a JOIN cap c
+             ON a.band = c.band AND a.bh = c.bh AND a.doc_id < c.doc_id),
+         pairs AS (
+           SELECT id_a, id_b FROM (
+             SELECT id_a, id_b,
+               CAST(len(list_intersect(x.shset, y.shset)) AS DOUBLE)
+                 / len(list_distinct(list_concat(x.shset, y.shset))) AS jaccard
+             FROM cand
+             JOIN sg x ON cand.id_a = x.doc_id
+             JOIN sg y ON cand.id_b = y.doc_id) j
+           WHERE jaccard >= 0.7),
+         sym AS (
+           SELECT id_a AS a, id_b AS b FROM pairs
+           UNION
+           SELECT id_b, id_a FROM pairs),
+         reach AS (
+           SELECT a, b FROM sym
+           UNION
+           SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+         lbl AS (
+           SELECT a AS node, LEAST(a, MIN(b)) AS cluster
+           FROM reach GROUP BY a),
+         s3 AS (
+           SELECT s2.* FROM s2 LEFT JOIN lbl ON s2.doc_id = lbl.node
+           WHERE s2.doc_id = COALESCE(lbl.cluster, s2.doc_id)),
+         bset AS (
+           SELECT DISTINCT unnest(list_transform(shs.shseq,
+             s -> ('0x' || substr(md5(s), 1, 12))::BIGINT)) AS bsh
+           FROM shs JOIN documents d ON shs.doc_id = d.doc_id
+           WHERE d.source = 'src0'),
+         dset AS (
+           SELECT s3.doc_id, list_distinct(list_transform(shs.shseq,
+             s -> ('0x' || substr(md5(s), 1, 12))::BIGINT)) AS sh
+           FROM s3 JOIN shs ON s3.doc_id = shs.doc_id),
+         hits AS (
+           SELECT doc_id, COUNT(*) AS nh
+           FROM (SELECT doc_id, unnest(sh) AS x FROM dset) e
+           JOIN bset ON e.x = bset.bsh GROUP BY doc_id),
+         surv AS (
+           SELECT s3.doc_id, s3.lang
+           FROM s3 JOIN dset USING (doc_id) LEFT JOIN hits USING (doc_id)
+           WHERE CAST(COALESCE(hits.nh, 0) AS DOUBLE) / len(dset.sh) < 0.5),
+         st AS (
+           SELECT surv.doc_id, surv.lang, CAST(len(toks.tk) AS BIGINT) AS ntok
+           FROM surv JOIN toks USING (doc_id)),
+         cum AS (
+           SELECT *, SUM(ntok) OVER (PARTITION BY lang ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+           FROM st)
+         SELECT lang,
+           CAST(floor(CAST(c - ntok AS DOUBLE) / 1000) AS BIGINT) AS pack_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(ntok) AS BIGINT) AS n_tokens
+         FROM cum GROUP BY lang, pack_id ORDER BY lang, pack_id""",
+
+    "vocab_coverage" ->
+      """WITH tok AS (
+           SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS t
+           FROM documents),
+         th AS (
+           SELECT doc_id, ('0x' || substr(md5(t), 1, 12))::BIGINT AS h
+           FROM tok WHERE t <> ''),
+         vocab AS (
+           SELECT h FROM (
+             SELECT h, COUNT(*) AS c FROM th GROUP BY h
+             ORDER BY c DESC, h LIMIT 1000)),
+         n AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens FROM th GROUP BY doc_id),
+         iv AS (
+           SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_in_vocab
+           FROM th JOIN vocab USING (h) GROUP BY doc_id)
+         SELECT n.doc_id, n.n_tokens,
+           CAST(COALESCE(iv.n_in_vocab, 0) AS BIGINT) AS n_in_vocab,
+           CAST(COALESCE(iv.n_in_vocab, 0) AS DOUBLE) / n.n_tokens AS coverage
+         FROM n LEFT JOIN iv USING (doc_id) ORDER BY n.doc_id""",
+
+    "filter_funnel" ->
+      """WITH t AS (
+           SELECT source, text, string_split_regex(lower(trim(text)), '\s+') AS toks
+           FROM documents),
+         s AS (
+           SELECT source,
+             length(text) AS len,
+             CAST(len(regexp_extract_all(text, '[a-z]')) AS DOUBLE) / length(text) AS alpha,
+             list_transform(range(1, greatest(len(toks) - 3, 0) + 2),
+               i -> md5(array_to_string(list_slice(toks, i, i + 2), ' '))) AS sh
+           FROM t),
+         f AS (
+           SELECT source,
+             len >= 150 AS len_ok,
+             len >= 150 AND
+               1.0 - CAST(len(list_distinct(sh)) AS DOUBLE) / len(sh) <= 0.01 AS rep_ok,
+             len >= 150 AND
+               1.0 - CAST(len(list_distinct(sh)) AS DOUBLE) / len(sh) <= 0.01 AND
+               alpha >= 0.82 AS pass_ok
+           FROM s)
+         SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_total,
+           CAST(SUM(CASE WHEN len_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_len_ok,
+           CAST(SUM(CASE WHEN rep_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_rep_ok,
+           CAST(SUM(CASE WHEN pass_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+         FROM f GROUP BY source ORDER BY source""",
+
+    "fertility_by_lang" ->
+      """WITH t AS (
+           SELECT lang,
+             CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS ws,
+             CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS bpe
+           FROM documents)
+         SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(ws) AS BIGINT) AS n_ws_tokens,
+           CAST(SUM(bpe) AS BIGINT) AS n_bpe_tokens,
+           CAST(SUM(bpe) AS DOUBLE) / CAST(SUM(ws) AS DOUBLE) AS fertility
+         FROM t GROUP BY lang ORDER BY lang""",
+
+    "token_len_histogram" ->
+      """WITH t AS (
+           SELECT lang,
+             CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n
+           FROM documents)
+         SELECT lang,
+           CASE WHEN n < 16 THEN '0000-0015' WHEN n < 32 THEN '0016-0031'
+                WHEN n < 64 THEN '0032-0063' WHEN n < 128 THEN '0064-0127'
+                WHEN n < 256 THEN '0128-0255' ELSE '0256+' END AS len_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+         FROM t GROUP BY 1, 2 ORDER BY lang, len_bucket""",
+
+    "lm_score" ->
+      """WITH t AS (
+           SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS tk
+           FROM documents),
+         bg AS (
+           SELECT doc_id, unnest(list_transform(
+             range(1, greatest(len(tk) - 2, 0) + 2),
+             i -> ('0x' || substr(md5(array_to_string(
+               list_slice(tk, i, i + 1), ' ')), 1, 12))::BIGINT)) AS b
+           FROM t),
+         c AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS c FROM bg GROUP BY b),
+         n AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM c),
+         d AS (
+           SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+             CAST(SUM(c.c) AS BIGINT) AS csum
+           FROM bg JOIN c USING (b) GROUP BY doc_id)
+         SELECT doc_id, n_bigrams,
+           CAST(csum AS DOUBLE) / (n_bigrams * n.n) AS lm_score
+         FROM d, n ORDER BY doc_id""",
+
+    // lm_score CTE + per-language ntile + bucket mass rollup,
+
+    // lm_score CTE + per-language ntile + bucket mass rollup
+    "perplexity_buckets" ->
+      """WITH t AS (
+           SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS tk
+           FROM documents),
+         bg AS (
+           SELECT doc_id, unnest(list_transform(
+             range(1, greatest(len(tk) - 2, 0) + 2),
+             i -> ('0x' || substr(md5(array_to_string(
+               list_slice(tk, i, i + 1), ' ')), 1, 12))::BIGINT)) AS b
+           FROM t),
+         c AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS c FROM bg GROUP BY b),
+         n AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM c),
+         d AS (
+           SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+             CAST(SUM(c.c) AS BIGINT) AS csum
+           FROM bg JOIN c USING (b) GROUP BY doc_id),
+         scored AS (
+           SELECT doc.doc_id, doc.lang, d.n_bigrams,
+             CAST(csum AS DOUBLE) / (d.n_bigrams * n.n) AS lm_score
+           FROM documents doc JOIN d ON doc.doc_id = d.doc_id, n),
+         tiled AS (
+           SELECT lang, n_bigrams,
+             CAST(ntile(3) OVER (PARTITION BY lang
+               ORDER BY lm_score DESC, doc_id ASC) AS BIGINT) AS bucket
+           FROM scored)
+         SELECT lang, bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_bigrams) AS BIGINT) AS n_bigrams
+         FROM tiled GROUP BY lang, bucket ORDER BY lang, bucket""",
+
+    "dataset_split" ->
+      """SELECT doc_id,
+           CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT
+                     / 281474976710656.0 < 0.8 THEN 'train'
+                WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT
+                     / 281474976710656.0 < 0.9 THEN 'val'
+                ELSE 'test' END AS split,
+           ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 13, 12))::BIGINT % 5 AS cv_fold
+         FROM documents ORDER BY doc_id""",
+
+    "split_balance" ->
+      """WITH sp AS (
+           SELECT doc_id, lang,
+             CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT
+                       / 281474976710656.0 < 0.8 THEN 'train'
+                  WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT
+                       / 281474976710656.0 < 0.9 THEN 'val'
+                  ELSE 'test' END AS split
+           FROM documents),
+         bys AS (SELECT split, lang, CAST(COUNT(*) AS BIGINT) AS n
+                 FROM sp GROUP BY split, lang),
+         st AS (SELECT split, CAST(COUNT(*) AS BIGINT) AS stt FROM sp GROUP BY split),
+         co AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS cn FROM documents GROUP BY lang),
+         ct AS (SELECT CAST(COUNT(*) AS BIGINT) AS ctt FROM documents)
+         SELECT split, bys.lang, n,
+           CAST(n AS DOUBLE) / stt AS share,
+           abs(CAST(n AS DOUBLE) / stt - CAST(cn AS DOUBLE) / ctt) AS share_drift
+         FROM bys JOIN st USING (split) JOIN co ON bys.lang = co.lang, ct
+         ORDER BY split, bys.lang""",
+
+    // same banded pair chain as dedup_near + the dataset_split CASE;
+    // leakage = threshold pairs whose endpoints land in different splits,
+
+    // same banded pair chain as dedup_near + the dataset_split CASE;
+    // leakage = threshold pairs whose endpoints land in different splits
+    "split_leakage" ->
+      """WITH d AS (
+           SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(string_split_regex(lower(trim(text)), '\s+')) - 3, 0) + 2),
+               i -> array_to_string(list_slice(string_split_regex(lower(trim(text)), '\s+'), i, i + 2), ' '))) AS sh
+           FROM documents),
+         hp AS (
+           SELECT doc_id,
+             list_transform(sh, s -> ('0x' || substr(md5(s), 1, 12))::BIGINT) AS h1s,
+             list_transform(sh, s -> ('0x' || substr(md5(s), 13, 12))::BIGINT) AS h2s
+           FROM d WHERE len(sh) > 0),
+         sg AS (
+           SELECT doc_id,
+             list_distinct(h1s) AS shset,
+             list_transform(range(0, 16), j ->
+               list_min(list_transform(range(1, len(h1s) + 1), x -> h1s[x] + j * h2s[x]))) AS sig
+           FROM hp),
+         bands AS (
+           SELECT doc_id, t.b AS band,
+             md5(array_to_string(list_slice(sig, t.b * 4 + 1, t.b * 4 + 4), ',')) AS bh
+           FROM sg, range(0, 4) t(b)),
+         ok AS (
+           SELECT band, bh FROM bands GROUP BY band, bh
+           HAVING COUNT(*) BETWEEN 2 AND 10000),
+         cap AS (SELECT bands.* FROM bands JOIN ok USING (band, bh)),
+         cand AS (
+           SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+           FROM cap a JOIN cap c
+             ON a.band = c.band AND a.bh = c.bh AND a.doc_id < c.doc_id),
+         jac AS (
+           SELECT id_a, id_b,
+             CAST(len(list_intersect(x.shset, y.shset)) AS DOUBLE)
+               / len(list_distinct(list_concat(x.shset, y.shset))) AS jaccard
+           FROM cand
+           JOIN sg x ON cand.id_a = x.doc_id
+           JOIN sg y ON cand.id_b = y.doc_id),
+         sp AS (
+           SELECT doc_id,
+             CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT
+                       / 281474976710656.0 < 0.8 THEN 'train'
+                  WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT
+                       / 281474976710656.0 < 0.9 THEN 'val'
+                  ELSE 'test' END AS split
+           FROM documents)
+         SELECT jac.id_a, jac.id_b, a.split AS split_a, b.split AS split_b
+         FROM jac
+         JOIN sp a ON jac.id_a = a.doc_id
+         JOIN sp b ON jac.id_b = b.doc_id
+         WHERE jac.jaccard >= 0.7 AND a.split <> b.split
+         ORDER BY id_a, id_b""",
+
+  )
+}

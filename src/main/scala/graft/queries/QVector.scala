@@ -1,0 +1,462 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.VectorOps
+import graft.ops.{Ingest, LlmOps, Relational, Temporal}
+import graft.pipeline.ZoomJobs
+import graft.QShared._
+
+/** Vector slice of the declared query slate — split from the former 4.3k-line
+  * SparkEntry.scala (VERDICT r7 #7); bodies moved verbatim, composition in
+  * [[SparkEntry]] keeps the driver contract identical. */
+private[graft] object QVector {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "similarity_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val qv = emb.filter(col("vec_id") === 0).select(col("embedding").as("__qv"))
+      VectorOps.bruteForceTopK(emb, "embedding", "vec_id", qv, k = 10)
+    }),
+
+    "knn_classify" -> ((s, dir) => {
+      // embedding-space eval pass: queries (vec_id < 10) take the modal
+      // label of their 5 cosine-nearest corpus neighbors; per-query top-k
+      // plans as WindowGroupLimit (audited), votes are <= Q*k rows
+      val emb = t(s, dir, "embeddings")
+      VectorOps.knnClassify(emb.filter(col("vec_id") >= 10),
+          emb.filter(col("vec_id") < 10), "vec_id", "embedding", "label", k = 5)
+        .orderBy("query_id")
+    }),
+
+    "hard_negatives" -> ((s, dir) => {
+      // contrastive-training data prep: for each anchor (vec_id < 8), the
+      // 3 cosine-nearest OTHER-label corpus vectors — label filter applied
+      // before scoring, per-query top-k plans as WindowGroupLimit (audited)
+      val emb = t(s, dir, "embeddings")
+      VectorOps.hardNegatives(emb.filter(col("vec_id") >= 8),
+          emb.filter(col("vec_id") < 8), "vec_id", "embedding", "label", k = 3)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    }),
+
+    "knn_classify_ann" -> ((s, dir) => {
+      // two-sided-large labeling pass: 32 queries classified through the
+      // IVF cell join. Agreement contract vs the brute knnClassify twin:
+      // with nProbe=6 of 8 cells the modal-label vote must agree on >=70%
+      // of queries. nProbe is wide because these synthetic embeddings are
+      // near-uniform Gaussians over 10 labels: modal votes are won by 1-2
+      // ballots, so vote stability needs most true neighbors present —
+      // real clustered embeddings agree at much smaller nProbe
+      val emb = t(s, dir, "embeddings")
+      val corpus = emb.filter(col("vec_id") >= 32)
+      val anchors = emb.filter(col("vec_id") < 32)
+      val ann = VectorOps.knnClassifyAnn(corpus, anchors, "vec_id",
+        "embedding", "label", k = 5, nCells = 8, nProbe = 6)
+      val brute = VectorOps.knnClassify(corpus, anchors, "vec_id",
+        "embedding", "label", k = 5)
+      val agree = ann.select(col("query_id"), col("pred_label").as("__pa"))
+        .join(brute.select(col("query_id"), col("pred_label").as("__pb")),
+          Seq("query_id"))
+        .agg(count(lit(1)).as("n_queries"),
+          sum(when(col("__pa") === col("__pb"), 1L).otherwise(0L)).as("__same"))
+      // measured __same at sf0.001/0.01/0.1: 28/27/27 of 32 — the 70%
+      // bound holds with ~5-query margin at every SF
+      agree.select(col("n_queries"), (col("__same") * 10 >= col("n_queries") * 7)
+        .as("agreement_ok"))
+    }),
+
+    "hard_negatives_ann" -> ((s, dir) => {
+      // two-sided-large mining path: 32 anchors x corpus through the IVF
+      // cell join (nothing query-side broadcasts except the 8-row centroid
+      // table). Contract-oracled like similarity_ivf: k-means centroids
+      // aren't SQL-replayable, so the checked contract is recall vs the
+      // in-Spark brute-force twin — nProbe=4 of 8 cells must recover a
+      // majority of every anchor's true top-10 other-label negatives.
+      val emb = t(s, dir, "embeddings")
+      val corpus = emb.filter(col("vec_id") >= 32)
+      val anchors = emb.filter(col("vec_id") < 32)
+      val ann = VectorOps.hardNegativesAnn(corpus, anchors, "vec_id",
+        "embedding", "label", k = 10, nCells = 8, nProbe = 4)
+      val brute = VectorOps.hardNegatives(corpus, anchors, "vec_id",
+        "embedding", "label", k = 10)
+      val hits = ann.select("query_id", "neg_id")
+        .intersect(brute.select("query_id", "neg_id"))
+        .groupBy("query_id").agg(count(lit(1)).as("__h"))
+      anchors.select(col("vec_id").as("query_id"))
+        .join(hits, Seq("query_id"), "left")
+        .select(coalesce(col("__h"), lit(0L)).as("__h"))
+        .agg(count(lit(1)).as("n_queries"), sum("__h").as("__total"),
+          min("__h").as("__min"))
+        // measured at sf0.001/0.01/0.1: total 236/236/223 of 320, min
+        // 5/4/2 — the contract bounds (>=60% aggregate recall, every
+        // anchor recovers at least one true negative) hold with margin
+        .select(col("n_queries"), (col("__total") >= 192).as("recall_ok"),
+          (col("__min") >= 1).as("min_recall_ok"))
+    }),
+
+    "similarity_ivf" -> ((s, dir) => {
+      // Contract-oracled: k-means centroids aren't SQL-replayable, so the
+      // checked contract is recall — the IVF top-k (nProbe=4 of 8 cells)
+      // must recover >= 6 of the true brute-force top-10. A broken index,
+      // quantizer, or probe ranking flips recall_ok and fails the compare.
+      // (These synthetic embeddings are near-uniform Gaussians, so true
+      // neighbors spread across cells and IVF needs a wide probe; real
+      // clustered embeddings concentrate at much smaller nProbe/nCells.)
+      val emb = t(s, dir, "embeddings")
+      val qv = emb.filter(col("vec_id") === 0).select(col("embedding").as("__qv"))
+      val (assigned, cents) = VectorOps.ivfIndex(emb, "embedding", nCells = 8)
+      val ivf = VectorOps.ivfTopK(assigned, cents, "embedding", "vec_id", qv, k = 10, nProbe = 4)
+      val brute = VectorOps.bruteForceTopK(emb, "embedding", "vec_id", qv, k = 10)
+      ivf.select("vec_id").intersect(brute.select("vec_id"))
+        .agg(count(lit(1)).as("__hits"))
+        .select(lit(10L).as("k"), (col("__hits") >= 6).as("recall_ok"))
+    }),
+
+    "similarity_ann" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val qv = emb.filter(col("vec_id") === 0).select(col("embedding").as("__qv"))
+      // 4 planes → 16 buckets, multi-probe scans the query bucket + its 4
+      // Hamming-1 neighbors (~5/16 of the table) for high recall. The
+      // md5-derived hyperplanes make bucketing + scoring fully
+      // DuckDB-replayable — this is a HARD oracle, not rows-only.
+      VectorOps.annTopK(emb, "embedding", "vec_id", qv, k = 10, nPlanes = 4, dim = 64)
+    }),
+
+    "embedding_quantize" -> ((s, dir) => {
+      // int8 scalar-quantization calibration (per-dim corpus min/max) +
+      // the probe row's quantized codes — exact double arithmetic
+      val emb = t(s, dir, "embeddings")
+      VectorOps.scalarQuantize(emb, "embedding",
+          emb.filter(col("vec_id") === 0))
+        .orderBy("pos")
+    }),
+
+    "kmeans_assign" -> ((s, dir) =>
+      // distributed full-data Lloyd k-means (the complement of the
+      // IVF sample-fit path): quantize → k lowest-id seeds → 2 exact
+      // integer assign/update rounds → final assignment + exact squared
+      // distance; the oracle unrolls both rounds as CTEs and replays
+      // every floor-division centroid digit-for-digit
+      VectorOps.kmeansAssign(t(s, dir, "embeddings"), "vec_id", "embedding",
+          k = 4, iters = 2)
+        .orderBy("vec_id")),
+
+    "embedding_outliers" -> ((s, dir) =>
+      // semantic outliers: squared distance to the label centroid in
+      // quantized int space — exact int64 score (order-independent sums),
+      // one final int→double divide, so the DuckDB twin replays the hash
+      VectorOps.quantizedOutliers(t(s, dir, "embeddings"),
+          "embedding", "label", "vec_id")
+        .select(col("vec_id"), col("label").cast("long").as("label"),
+          col("score_num"), col("n_group"), col("outlier_score"))
+        .orderBy(col("outlier_score").desc, col("vec_id").asc)
+        .limit(20)),
+
+    "pagerank_topk" -> ((s, dir) => {
+      // node importance over the customer↔supplier trade graph (distinct
+      // edges from orders⋈lineitem, suppliers offset into their own id
+      // space, symmetrized so no dangling mass): 3 integer-exact PageRank
+      // rounds, top-20 hubs via TakeOrderedAndProject
+      val trade = t(s, dir, "orders")
+        .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("src"),
+          (col("l_suppkey") + lit(1000000L)).as("dst"))
+        .distinct()
+      val edges = trade.union(
+        trade.select(col("dst").as("src"), col("src").as("dst")))
+      graft.ops.Graph.pageRank(edges, "src", "dst", iterations = 3)
+        .orderBy(col("pr").desc, col("node").asc)
+        .limit(20)
+    }),
+
+    "fuzzy_pairs" -> ((s, dir) =>
+      // record linkage over the part-name vocabulary: same-noun blocks,
+      // edit distance <= 3 — quadratic work bounded by the DISTINCT
+      // vocabulary, never the row count
+      LlmOps.fuzzyPairs(t(s, dir, "part"), "p_name",
+          split(col("p_name"), " ").getItem(1), maxDist = 3)
+        .orderBy("name_a", "name_b")),
+
+  )
+
+  val oracle: Map[String, String] = Map(
+
+    "similarity_topk" ->
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         s AS (
+           SELECT vec_id,
+             list_reduce(list_transform(range(1, len(embedding)+1),
+               i -> CAST(embedding[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)), (x, y) -> x + y) AS dot,
+             list_reduce(list_transform(range(1, len(embedding)+1),
+               i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)), (x, y) -> x + y) AS na,
+             list_reduce(list_transform(range(1, len(qv)+1),
+               i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)), (x, y) -> x + y) AS nb
+           FROM embeddings, q)
+         SELECT vec_id,
+           CASE WHEN na = 0 OR nb = 0 THEN 0.0
+                ELSE dot / (sqrt(na) * sqrt(nb)) END AS score
+         FROM s ORDER BY score DESC, vec_id LIMIT 10""",
+
+    // same double-fold cosine as similarity_topk; rank + vote windows
+    // with the identical (score desc, id) / (votes desc, label) tie-breaks,
+
+    // same double-fold cosine as similarity_topk; rank + vote windows
+    // with the identical (score desc, id) / (votes desc, label) tie-breaks
+    "knn_classify" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+                    FROM embeddings WHERE vec_id < 10),
+         c AS (SELECT * FROM embeddings WHERE vec_id >= 10),
+         s AS (
+           SELECT q.query_id, c.label, c.vec_id,
+             list_reduce(list_transform(range(1, len(c.embedding)+1),
+               i -> CAST(c.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)), (x, y) -> x + y) AS dot,
+             list_reduce(list_transform(range(1, len(c.embedding)+1),
+               i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)), (x, y) -> x + y) AS na,
+             list_reduce(list_transform(range(1, len(q.qv)+1),
+               i -> CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)), (x, y) -> x + y) AS nb
+           FROM c, q),
+         sc AS (
+           SELECT query_id, label, vec_id,
+             CASE WHEN na = 0 OR nb = 0 THEN 0.0
+                  ELSE dot / (sqrt(na) * sqrt(nb)) END AS score
+           FROM s),
+         r AS (
+           SELECT query_id, label,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY score DESC, vec_id) AS rn
+           FROM sc),
+         v AS (
+           SELECT query_id, label, CAST(COUNT(*) AS BIGINT) AS votes
+           FROM r WHERE rn <= 5 GROUP BY query_id, label)
+         SELECT query_id, label AS pred_label, votes FROM (
+           SELECT query_id, label, votes,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY votes DESC, label) AS r2
+           FROM v)
+         WHERE r2 = 1 ORDER BY query_id""",
+
+    "hard_negatives" ->
+      """WITH q AS (SELECT vec_id AS query_id, label AS qlab, embedding AS qv
+                    FROM embeddings WHERE vec_id < 8),
+         c AS (SELECT * FROM embeddings WHERE vec_id >= 8),
+         s AS (
+           SELECT q.query_id, c.vec_id AS neg_id, c.label AS neg_label,
+             list_reduce(list_transform(range(1, len(c.embedding)+1),
+               i -> CAST(c.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)), (x, y) -> x + y) AS dot,
+             list_reduce(list_transform(range(1, len(c.embedding)+1),
+               i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)), (x, y) -> x + y) AS na,
+             list_reduce(list_transform(range(1, len(q.qv)+1),
+               i -> CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)), (x, y) -> x + y) AS nb
+           FROM c, q WHERE c.label <> q.qlab),
+         sc AS (
+           SELECT query_id, neg_id, neg_label,
+             CASE WHEN na = 0 OR nb = 0 THEN 0.0
+                  ELSE dot / (sqrt(na) * sqrt(nb)) END AS score
+           FROM s),
+         r AS (
+           SELECT query_id, neg_id, neg_label, score,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY score DESC, neg_id) AS rn
+           FROM sc)
+         SELECT query_id, CAST(rn AS BIGINT) AS rank, neg_id, neg_label, score
+         FROM r WHERE rn <= 3 ORDER BY query_id, rank""",
+
+    // BM25 replay: postings -> doc length / corpus globals -> query-term
+    // prune -> df -> per-term contribution -> ascending-term sequential
+    // fold (list_reduce over list(.. ORDER BY term) = Spark's sort_array
+    // + aggregate fold; 0.0 + x == x bitwise for the positive contribs).
+    // Constants 1.25/0.75/0.25/2.25/0.5 are exact binary fractions and the
+    // surrogate idf is log-free, so scores hash bitwise.,
+
+    "knn_classify_ann" ->
+      "SELECT CAST(32 AS BIGINT) AS n_queries, TRUE AS agreement_ok",
+
+    "hard_negatives_ann" ->
+      "SELECT CAST(32 AS BIGINT) AS n_queries, TRUE AS recall_ok, TRUE AS min_recall_ok",
+
+    "similarity_ivf" ->
+      "SELECT CAST(10 AS BIGINT) AS k, TRUE AS recall_ok",
+
+    "similarity_ann" ->
+      """WITH planes AS (
+           SELECT t.j, list_transform(range(0, 64), i ->
+             CAST(('0x' || substr(md5('plane:' || t.j || ':' || i), 1, 12))::BIGINT AS DOUBLE)
+               / 140737488355328.0 - 1.0) AS p
+           FROM range(0, 4) t(j)),
+         b AS (
+           SELECT e.vec_id, e.embedding,
+             (SELECT CAST(SUM(CASE WHEN list_reduce(
+                 list_transform(range(1, len(e.embedding) + 1),
+                   i -> CAST(e.embedding[i] AS DOUBLE) * p.p[i]),
+                 (x, y) -> x + y) >= 0
+               THEN (1::BIGINT << p.j) ELSE 0 END) AS BIGINT) FROM planes p) AS bucket
+           FROM embeddings e),
+         q AS (SELECT embedding AS qv, bucket AS qb FROM b WHERE vec_id = 0),
+         probes AS (
+           SELECT qb AS pb FROM q
+           UNION
+           SELECT xor(qb, 1::BIGINT << r.m) FROM q, range(0, 4) r(m)),
+         s AS (
+           SELECT b.vec_id,
+             list_reduce(list_transform(range(1, len(b.embedding) + 1),
+               i -> CAST(b.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)), (x, y) -> x + y) AS dot,
+             list_reduce(list_transform(range(1, len(b.embedding) + 1),
+               i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), (x, y) -> x + y) AS na,
+             list_reduce(list_transform(range(1, len(q.qv) + 1),
+               i -> CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)), (x, y) -> x + y) AS nb
+           FROM b JOIN q ON b.bucket IN (SELECT pb FROM probes))
+         SELECT vec_id,
+           CASE WHEN na = 0 OR nb = 0 THEN 0.0
+                ELSE dot / (sqrt(na) * sqrt(nb)) END AS score
+         FROM s ORDER BY score DESC, vec_id LIMIT 10""",
+
+    "embedding_quantize" ->
+      """WITH e AS (
+           SELECT vec_id, unnest(embedding) AS v,
+             unnest(range(len(embedding))) AS pos
+           FROM embeddings),
+         d AS (
+           SELECT pos, MIN(CAST(v AS DOUBLE)) AS dmin, MAX(CAST(v AS DOUBLE)) AS dmax
+           FROM e GROUP BY pos),
+         q AS (SELECT pos, CAST(v AS DOUBLE) AS pv FROM e WHERE vec_id = 0)
+         SELECT CAST(d.pos AS BIGINT) AS pos, d.dmin, d.dmax,
+           CAST(CASE WHEN d.dmax = d.dmin THEN 0
+                ELSE least(255, greatest(0,
+                  CAST(floor((q.pv - d.dmin) / (d.dmax - d.dmin) * 255) AS BIGINT)))
+           END AS BIGINT) AS code
+         FROM d JOIN q USING (pos) ORDER BY pos""",
+
+    // full integer replay of the quantized-centroid outlier score,
+
+    // full integer replay of the quantized-centroid outlier score
+    "kmeans_assign" ->
+      """WITH q AS (
+           SELECT vec_id, list_transform(embedding,
+             x -> CAST(floor(CAST(x AS DOUBLE) * 1024) AS BIGINT)) AS qv
+           FROM embeddings),
+         dims AS (
+           SELECT vec_id, r.i AS d, qv[r.i] AS v
+           FROM q CROSS JOIN range(1, 65) r(i)),
+         c0 AS (
+           SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT) - 1 AS c, qv
+           FROM q ORDER BY vec_id LIMIT 4),
+         cd0 AS (SELECT c, r.i AS d, qv[r.i] AS v
+                 FROM c0 CROSS JOIN range(1, 65) r(i)),
+         a0 AS (
+           SELECT t.vec_id, g.c, SUM((t.v - g.v) * (t.v - g.v)) AS dist2
+           FROM dims t JOIN cd0 g USING (d) GROUP BY t.vec_id, g.c),
+         b0 AS (
+           SELECT vec_id, c FROM (
+             SELECT vec_id, c,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dist2, c) AS rn
+             FROM a0) WHERE rn = 1),
+         cd1 AS (
+           SELECT g.c, g.d, COALESCE(u.m, g.v) AS v
+           FROM cd0 g LEFT JOIN (
+             SELECT b0.c, t.d,
+               CAST(floor(CAST(SUM(t.v) AS DOUBLE) / COUNT(*)) AS BIGINT) AS m
+             FROM dims t JOIN b0 USING (vec_id) GROUP BY b0.c, t.d) u
+           ON g.c = u.c AND g.d = u.d),
+         a1 AS (
+           SELECT t.vec_id, g.c, SUM((t.v - g.v) * (t.v - g.v)) AS dist2
+           FROM dims t JOIN cd1 g USING (d) GROUP BY t.vec_id, g.c),
+         b1 AS (
+           SELECT vec_id, c FROM (
+             SELECT vec_id, c,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dist2, c) AS rn
+             FROM a1) WHERE rn = 1),
+         cd2 AS (
+           SELECT g.c, g.d, COALESCE(u.m, g.v) AS v
+           FROM cd1 g LEFT JOIN (
+             SELECT b1.c, t.d,
+               CAST(floor(CAST(SUM(t.v) AS DOUBLE) / COUNT(*)) AS BIGINT) AS m
+             FROM dims t JOIN b1 USING (vec_id) GROUP BY b1.c, t.d) u
+           ON g.c = u.c AND g.d = u.d),
+         a2 AS (
+           SELECT t.vec_id, g.c, SUM((t.v - g.v) * (t.v - g.v)) AS dist2
+           FROM dims t JOIN cd2 g USING (d) GROUP BY t.vec_id, g.c)
+         SELECT vec_id, CAST(c AS BIGINT) AS cluster, CAST(dist2 AS BIGINT) AS dist2
+         FROM (
+           SELECT vec_id, c, dist2,
+             row_number() OVER (PARTITION BY vec_id ORDER BY dist2, c) AS rn
+           FROM a2) WHERE rn = 1
+         ORDER BY vec_id""",
+
+    "embedding_outliers" ->
+      """WITH e AS (
+           SELECT vec_id, label, unnest(embedding) AS v,
+             unnest(range(len(embedding))) AS pos
+           FROM embeddings),
+         d AS (
+           SELECT pos, MIN(CAST(v AS DOUBLE)) AS dmin, MAX(CAST(v AS DOUBLE)) AS dmax
+           FROM e GROUP BY pos),
+         c AS (
+           SELECT vec_id, label, e.pos,
+             CASE WHEN d.dmax = d.dmin THEN 0
+                  ELSE least(255, greatest(0,
+                    CAST(floor((CAST(v AS DOUBLE) - d.dmin) / (d.dmax - d.dmin) * 255) AS BIGINT)))
+             END AS q
+           FROM e JOIN d USING (pos)),
+         g AS (
+           SELECT label, pos, CAST(SUM(q) AS BIGINT) AS s, COUNT(*) AS n
+           FROM c GROUP BY 1, 2),
+         sc AS (
+           SELECT c.vec_id, c.label, g.n,
+             CAST(SUM((g.n * c.q - g.s) * (g.n * c.q - g.s)) AS BIGINT) AS score_num
+           FROM c JOIN g ON c.label = g.label AND c.pos = g.pos
+           GROUP BY 1, 2, 3)
+         SELECT vec_id, CAST(label AS BIGINT) AS label, score_num,
+           CAST(n AS BIGINT) AS n_group,
+           CAST(score_num AS DOUBLE) / CAST(n * n AS DOUBLE) AS outlier_score
+         FROM sc ORDER BY outlier_score DESC, vec_id LIMIT 20""",
+
+    // integer-exact PageRank unrolled: p0 → p1 → p2 → p3 chained CTEs
+    // replay Graph.pageRank's div/floor arithmetic digit-for-digit
+    "pagerank_topk" ->
+      """WITH e0 AS (
+           SELECT DISTINCT o_custkey AS src, l_suppkey + 1000000 AS dst
+           FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+         deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS outdeg
+                 FROM e GROUP BY 1),
+         n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+         p0 AS (SELECT n.node, COALESCE(d.outdeg, 0) AS outdeg,
+                  CAST(1000000000 AS BIGINT) AS pr
+                FROM n LEFT JOIN deg d USING (node)),
+         p1 AS (SELECT p.node, p.outdeg,
+                  CAST(150000000 + (85 * COALESCE(m.mass, 0)) // 100 AS BIGINT) AS pr
+                FROM p0 p LEFT JOIN (
+                  SELECT e.dst AS node, CAST(SUM(q.pr // q.outdeg) AS BIGINT) AS mass
+                  FROM p0 q JOIN e ON q.node = e.src
+                  WHERE q.outdeg > 0 GROUP BY e.dst) m USING (node)),
+         p2 AS (SELECT p.node, p.outdeg,
+                  CAST(150000000 + (85 * COALESCE(m.mass, 0)) // 100 AS BIGINT) AS pr
+                FROM p1 p LEFT JOIN (
+                  SELECT e.dst AS node, CAST(SUM(q.pr // q.outdeg) AS BIGINT) AS mass
+                  FROM p1 q JOIN e ON q.node = e.src
+                  WHERE q.outdeg > 0 GROUP BY e.dst) m USING (node)),
+         p3 AS (SELECT p.node, p.outdeg,
+                  CAST(150000000 + (85 * COALESCE(m.mass, 0)) // 100 AS BIGINT) AS pr
+                FROM p2 p LEFT JOIN (
+                  SELECT e.dst AS node, CAST(SUM(q.pr // q.outdeg) AS BIGINT) AS mass
+                  FROM p2 q JOIN e ON q.node = e.src
+                  WHERE q.outdeg > 0 GROUP BY e.dst) m USING (node))
+         SELECT node, pr FROM p3 ORDER BY pr DESC, node LIMIT 20""",
+
+    "fuzzy_pairs" ->
+      """WITH names AS (
+           SELECT DISTINCT p_name AS nm, split_part(p_name, ' ', 2) AS blk
+           FROM part)
+         SELECT a.nm AS name_a, b.nm AS name_b,
+           CAST(levenshtein(a.nm, b.nm) AS INTEGER) AS dist
+         FROM names a JOIN names b ON a.blk = b.blk AND a.nm < b.nm
+         WHERE levenshtein(a.nm, b.nm) <= 3
+         ORDER BY name_a, name_b""",
+
+  )
+}
