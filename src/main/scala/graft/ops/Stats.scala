@@ -1,0 +1,145 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Distributed statistical aggregates (round 8): Pearson correlation,
+  * Gini concentration, Gini–Simpson diversity, deterministic per-group
+  * mode, and per-group top-k. Extends the reference's aggregation row
+  * (SURVEY.md §2.4, /root/reference/main.py:79-85 — the embedded GROUP BY
+  * queries) with the profiling statistics a curation pipeline reports over
+  * a corpus.
+  *
+  * Determinism contract (shared with the whole slate): every aggregate is
+  * an EXACT integer/decimal sum; floating point appears only in a fixed,
+  * final expression over those exact sums (casts, one multiply/divide
+  * chain written identically in the DuckDB twin). No float accumulation,
+  * no `ln()` (libm last-ulp differs between engines — the reason
+  * diversity is Gini–Simpson `1 − Σp²`, not Shannon entropy).
+  *
+  * Scale shape: each operator is a single hash-aggregate (one shuffle on
+  * the group key) or a group-partitioned window — never a global window,
+  * never a driver-side loop. Partial aggregation (map-side combine) applies
+  * to every sum, so the shuffle carries one row per (partition × group).
+  */
+object Stats {
+
+  /** Pearson correlation of two INTEGER-VALUED columns per group, via the
+    * sum-of-products identity:
+    *
+    *   r = (n·Σxy − Σx·Σy) / sqrt((n·Σxx − Σx²) · (n·Σyy − Σy²))
+    *
+    * One pass, one shuffle: the five sums + count are exact LONG
+    * aggregates (callers pre-scale reals to integer cents/units so the
+    * products fit — cents ≤ 1e7 and 60k rows keep Σxx under 2^63 at any
+    * tested SF; at 100 TB swap the sum dtype for DECIMAL(38,0), same
+    * plan). The formula is then evaluated in DOUBLE over the six exact
+    * numbers in a fixed operation order the oracle twin mirrors
+    * token-for-token. Groups where either variance term is zero yield
+    * null (division by zero → null in both engines via nullif).
+    */
+  def corrPearson(df: DataFrame, groupCol: String, x: Column, y: Column,
+                  outCol: String = "corr"): DataFrame = {
+    val agg = df.groupBy(col(groupCol)).agg(
+      count(lit(1)).as("n"),
+      sum(x).as("sx"), sum(y).as("sy"),
+      sum(x * x).as("sxx"), sum(y * y).as("syy"),
+      sum(x * y).as("sxy"))
+    val n = col("n").cast("double")
+    val sx = col("sx").cast("double"); val sy = col("sy").cast("double")
+    val sxx = col("sxx").cast("double"); val syy = col("syy").cast("double")
+    val sxy = col("sxy").cast("double")
+    val varX = n * sxx - sx * sx
+    val varY = n * syy - sy * sy
+    agg.select(col(groupCol), col("n"),
+      ((n * sxy - sx * sy) / nullif(sqrt(varX * varY), lit(0.0))).as(outCol))
+  }
+
+  /** Gini concentration coefficient of a non-negative integer column per
+    * group, from the rank-weighted identity over values sorted ascending:
+    *
+    *   G = (2·Σ(i·xᵢ) − (n+1)·Σx) / (n·Σx)
+    *
+    * The rank window is PARTITIONED BY the group — per-group sort, never a
+    * global single-partition window (the r7 `quantile_bins` lesson). Ties
+    * broken by `tieCol` for a total order; G is tie-order invariant
+    * because equal x contribute the same Σ(i·xᵢ) under any permutation of
+    * their ranks. Σ(i·xᵢ) is an exact LONG sum; the final expression is
+    * one double division of two exact integers.
+    */
+  def giniByGroup(df: DataFrame, groupCol: String, x: Column, tieCol: String,
+                  outCol: String = "gini"): DataFrame = {
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col("__x").asc, col(tieCol).asc)
+    val ranked = df.select(col(groupCol), x.as("__x"), col(tieCol))
+      .withColumn("__i", row_number().over(w))
+    ranked.groupBy(col(groupCol)).agg(
+        count(lit(1)).as("n"),
+        sum(col("__x")).as("sum_x"),
+        sum(col("__i") * col("__x")).as("sum_ix"))
+      .select(col(groupCol), col("n"), col("sum_x"),
+        ((lit(2.0) * col("sum_ix").cast("double")
+          - (col("n") + lit(1)).cast("double") * col("sum_x").cast("double"))
+          / nullif(col("n").cast("double") * col("sum_x").cast("double"),
+                   lit(0.0))).as(outCol))
+  }
+
+  /** Gini–Simpson diversity `1 − Σpᵢ²` of a categorical column per group —
+    * the log-free diversity index (Shannon entropy needs `ln`, whose
+    * last-ulp behavior is libm-specific and therefore not hashable across
+    * engines). Computed as exact integers to the last step:
+    *
+    *   D = (N² − Σcᵢ²) / N²
+    *
+    * Two cascaded hash-aggregates (category counts, then per-group roll-up
+    * — the second shuffle's input is one row per live category, already
+    * tiny). Both sums map-side combine; no row ever carries text past the
+    * first aggregate.
+    */
+  def simpsonDiversity(df: DataFrame, groupCol: String, catCol: String,
+                       outCol: String = "diversity"): DataFrame =
+    df.groupBy(col(groupCol), col(catCol))
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_categories"),
+        sum(col("__c")).as("n_rows"),
+        sum(col("__c") * col("__c")).as("__sum_c2"))
+      .select(col(groupCol), col("n_categories"), col("n_rows"),
+        ((col("n_rows") * col("n_rows") - col("__sum_c2")).cast("double")
+          / (col("n_rows") * col("n_rows")).cast("double")).as(outCol))
+
+  /** Deterministic mode: the most frequent value of `valCol` per group,
+    * ties broken by the value's natural ascending order (so the answer is
+    * a pure function of the multiset — reruns and engine choice cannot
+    * flip it). Count-aggregate first (shuffle on (group, value)), then a
+    * rank window over the per-group CATEGORY counts — the window input is
+    * one row per live category, not one per raw row, so the sort is over
+    * the small aggregated relation. Spark rewrites the rn=1 filter to
+    * WindowGroupLimit (per-partition bounded top-1 before the shuffle).
+    */
+  def modePerGroup(df: DataFrame, groupCol: String, valCol: String): DataFrame = {
+    val counts = df.groupBy(col(groupCol), col(valCol))
+      .agg(count(lit(1)).as("n_occurrences"))
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col("n_occurrences").desc, col(valCol).asc)
+    counts.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col(groupCol), col(valCol).as("mode_value"), col("n_occurrences"))
+  }
+
+  /** Top-k rows per group by an explicit order. The `row_number ≤ k`
+    * filter is the shape Spark's InferWindowGroupLimit rewrites to a
+    * WindowGroupLimit: each map task keeps a bounded k-row heap PER GROUP
+    * before the shuffle, so the exchange carries ≤ k·groups·partitions
+    * rows instead of the full table — the distributed-top-k shape that
+    * holds at 100 TB (audited in Round8OpsSpec).
+    */
+  def topKPerGroup(df: DataFrame, groupCol: String, order: Seq[Column],
+                   k: Int): DataFrame = {
+    val w = Window.partitionBy(col(groupCol)).orderBy(order: _*)
+    df.withColumn("rank_in_group", row_number().over(w))
+      .filter(col("rank_in_group") <= k)
+  }
+}

@@ -331,4 +331,100 @@ object Temporal {
       .orderBy(col("n_paths").desc, col("step1"), col("step2"), col("step3"))
       .limit(k)
   }
+
+  /** First-order Markov transition matrix over per-key event sequences:
+    * for each ordered (from_type → to_type) pair, the transition count and
+    * the row-stochastic probability n / Σn(from_type). Generalizes
+    * [[topEventPaths]] from path enumeration to the transition-probability
+    * model a sessionized clickstream or curriculum pipeline reports.
+    *
+    * Scale shape: ONE key-partitioned lead window (per-key sort, shuffle
+    * on the key), then a hash-aggregate over (from, to) whose input
+    * cardinality is |types|² at most after partial aggregation. The
+    * per-from total comes from a second tiny aggregate broadcast-joined
+    * back — not a window over the raw rows. Probability is one double
+    * division of two exact longs (slate determinism contract).
+    */
+  def transitionMatrix(df: DataFrame, keyCol: String, tsCol: String,
+                       tieCol: String, typeCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(tieCol))
+    val pairs = df
+      .select(col(keyCol), col(typeCol).as("from_type"),
+        lead(col(typeCol), 1).over(w).as("to_type"))
+      .filter(col("to_type").isNotNull)
+      .groupBy("from_type", "to_type")
+      .agg(count(lit(1)).as("n_transitions"))
+    val totals = pairs.groupBy("from_type")
+      .agg(sum("n_transitions").as("__total"))
+    pairs.join(broadcast(totals), "from_type")
+      .select(col("from_type"), col("to_type"), col("n_transitions"),
+        (col("n_transitions").cast("double") / col("__total").cast("double"))
+          .as("p_transition"))
+  }
+
+  /** Time-weighted average of an integer-scaled value per key: each
+    * observation holds until the next one, weighted by its holding time in
+    * whole seconds (the standard piecewise-constant/LOCF integral;
+    * Borodin & El-Yaniv-style time-weighted portfolio semantics). The last
+    * observation per key has no successor and contributes no weight.
+    *
+    * `valueCents` must be an exact integer column (callers pre-scale) so
+    * Σ(value·Δt) is an exact LONG sum — cents ≤ 1e7 × Δt ≤ 1e6 s × 1e3
+    * rows/key stays under 2^63. One key-partitioned lead window (same
+    * shuffle the sessionizer uses) then one hash-aggregate; the average is
+    * a fixed double expression over two exact sums.
+    */
+  def timeWeightedAvg(df: DataFrame, keyCol: String, tsCol: String,
+                      tieCol: String, valueCents: Column): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(tieCol))
+    val sec = Ts.epochSeconds(col(tsCol))
+    df.select(col(keyCol), valueCents.as("__cents"), sec.as("__sec"),
+        lead(sec, 1).over(w).as("__next_sec"))
+      .filter(col("__next_sec").isNotNull)
+      .select(col(keyCol), col("__cents"),
+        (col("__next_sec") - col("__sec")).as("__dt"))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("__dt")).as("total_seconds"),
+        sum(col("__cents") * col("__dt")).as("__weighted"))
+      .select(col(keyCol), col("n_spans"), col("total_seconds"),
+        (col("__weighted").cast("double")
+          / nullif(col("total_seconds").cast("double"), lit(0.0))
+          / lit(100.0)).as("twa_value"))
+  }
+
+  /** Merge overlapping fixed-duration intervals per key (interval union /
+    * "islands and gaps"): each event opens [ts, ts+durSeconds); touching
+    * or overlapping intervals coalesce into islands; reports per-key
+    * island count and total covered seconds. The set-union semantics a
+    * crawler politeness ledger or GPU-occupancy roll-up needs — NOT
+    * expressible as a plain groupBy because coverage deduplicates overlap.
+    *
+    * Scale shape: two windows over the SAME key-partitioned, ts-sorted
+    * ordering (one shuffle, sort reused — audited): (1) running max of
+    * prior interval-ends marks island starts (`ts > max(end) so far`),
+    * (2) a running sum of start flags numbers the islands. Then one
+    * hash-aggregate per (key, island) and one per key. All arithmetic on
+    * exact epoch-second longs; no floats anywhere.
+    */
+  def intervalMerge(df: DataFrame, keyCol: String, tsCol: String,
+                    tieCol: String, durSeconds: Long): DataFrame = {
+    val ord = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(tieCol))
+    val prior = ord.rowsBetween(Window.unboundedPreceding, -1)
+    val sec = Ts.epochSeconds(col(tsCol))
+    val withIslands = df
+      .select(col(keyCol), col(tsCol), col(tieCol), sec.as("__s"),
+        (sec + lit(durSeconds)).as("__e"))
+      .withColumn("__new_island",
+        when(col("__s") > coalesce(max(col("__e")).over(prior), lit(Long.MinValue)),
+          lit(1L)).otherwise(lit(0L)))
+      .withColumn("__island",
+        sum(col("__new_island")).over(ord.rowsBetween(Window.unboundedPreceding, 0)))
+    withIslands
+      .groupBy(col(keyCol), col("__island"))
+      .agg(min(col("__s")).as("__lo"), max(col("__e")).as("__hi"))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_islands"),
+        sum(col("__hi") - col("__lo")).as("covered_seconds"))
+  }
 }

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.functions.VectorOps
-import graft.ops.{Ingest, LlmOps, Relational, Temporal}
+import graft.ops.{Ingest, LlmOps, Relational, Stats, Temporal}
 import graft.pipeline.ZoomJobs
 import graft.QShared._
 
@@ -390,6 +390,45 @@ private[graft] object QAggWindow {
         .orderBy("zbucket")
     }),
 
+    // ---- round-8 statistical profile family (ops/Stats.scala) ----------
+    "corr_value_hour" -> ((s, dir) =>
+      // Pearson correlation of value-cents vs hour-of-day per event type:
+      // single-pass sum-of-products identity over exact longs, fixed
+      // double formula at the end
+      Stats.corrPearson(t(s, dir, "events"), "event_type",
+          floor(col("value") * 100).cast("long"), hour(col("ts")).cast("long"),
+          outCol = "corr_xy")
+        .orderBy("event_type")),
+
+    "gini_orders" -> ((s, dir) =>
+      // revenue concentration per order priority: rank-weighted Gini over
+      // price cents; per-group window, exact Σ(i·x), one double division
+      Stats.giniByGroup(t(s, dir, "orders"), "o_orderpriority",
+          floor(col("o_totalprice") * 100).cast("long"), "o_orderkey")
+        .orderBy("o_orderpriority")),
+
+    "simpson_diversity" -> ((s, dir) =>
+      // log-free corpus diversity: Gini–Simpson 1 − Σp² of the language
+      // mix per source — two cascaded count-aggregates, integers to the
+      // last division
+      Stats.simpsonDiversity(t(s, dir, "documents"), "source", "lang")
+        .orderBy("source")),
+
+    "mode_event_type" -> ((s, dir) =>
+      // deterministic per-user modal event type (ties → lexicographically
+      // first): category-count aggregate then a WindowGroupLimit top-1
+      Stats.modePerGroup(t(s, dir, "events"), "user_id", "event_type")
+        .orderBy("user_id")),
+
+    "topk_per_group" -> ((s, dir) =>
+      // 3 highest-value orders per priority: the rn≤k shape Spark rewrites
+      // to WindowGroupLimit (bounded per-group heap before the shuffle)
+      Stats.topKPerGroup(t(s, dir, "orders"), "o_orderpriority",
+          Seq(col("o_totalprice").desc, col("o_orderkey").asc), k = 3)
+        .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"),
+          col("rank_in_group").cast("long").as("rank_in_group"))
+        .orderBy("o_orderpriority", "rank_in_group")),
+
   )
 
   val oracle: Map[String, String] = Map(
@@ -753,6 +792,85 @@ private[graft] object QAggWindow {
            MIN(aq) AS aq_min, MAX(aq) AS aq_max,
            MIN(bq) AS bq_min, MAX(bq) AS bq_max
          FROM z GROUP BY zbucket ORDER BY zbucket""",
+
+    "corr_value_hour" ->
+      """WITH b AS (
+           SELECT event_type,
+             CAST(FLOOR(value * 100) AS BIGINT) AS x,
+             CAST(hour(ts) AS BIGINT) AS y
+           FROM events),
+         a AS (
+           SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x*x) AS BIGINT) AS sxx, CAST(SUM(y*y) AS BIGINT) AS syy,
+             CAST(SUM(x*y) AS BIGINT) AS sxy
+           FROM b GROUP BY 1)
+         SELECT event_type, n,
+           (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+           / NULLIF(SQRT(
+               (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+             * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                  - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 0.0) AS corr_xy
+         FROM a ORDER BY event_type""",
+
+    "gini_orders" ->
+      """WITH b AS (
+           SELECT o_orderpriority,
+             CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS x, o_orderkey
+           FROM orders),
+         r AS (
+           SELECT o_orderpriority, x,
+             CAST(ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+               ORDER BY x, o_orderkey) AS BIGINT) AS i
+           FROM b),
+         a AS (
+           SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sum_x,
+             CAST(SUM(i * x) AS BIGINT) AS sum_ix
+           FROM r GROUP BY 1)
+         SELECT o_orderpriority, n, sum_x,
+           (2.0 * CAST(sum_ix AS DOUBLE)
+              - CAST(n + 1 AS DOUBLE) * CAST(sum_x AS DOUBLE))
+           / NULLIF(CAST(n AS DOUBLE) * CAST(sum_x AS DOUBLE), 0.0) AS gini
+         FROM a ORDER BY o_orderpriority""",
+
+    "simpson_diversity" ->
+      """WITH c AS (
+           SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS cnt
+           FROM documents GROUP BY 1, 2),
+         a AS (
+           SELECT source, CAST(COUNT(*) AS BIGINT) AS n_categories,
+             CAST(SUM(cnt) AS BIGINT) AS n_rows,
+             CAST(SUM(cnt*cnt) AS BIGINT) AS sum_c2
+           FROM c GROUP BY 1)
+         SELECT source, n_categories, n_rows,
+           CAST(n_rows * n_rows - sum_c2 AS DOUBLE)
+             / CAST(n_rows * n_rows AS DOUBLE) AS diversity
+         FROM a ORDER BY source""",
+
+    "mode_event_type" ->
+      """WITH c AS (
+           SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+           FROM events GROUP BY 1, 2),
+         r AS (
+           SELECT user_id, event_type AS mode_value, n_occurrences,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+               ORDER BY n_occurrences DESC, event_type) AS rn
+           FROM c)
+         SELECT user_id, mode_value, n_occurrences
+         FROM r WHERE rn = 1 ORDER BY user_id""",
+
+    "topk_per_group" ->
+      """WITH r AS (
+           SELECT o_orderpriority, o_orderkey, o_totalprice,
+             CAST(ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+               ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rank_in_group
+           FROM orders)
+         SELECT o_orderpriority, o_orderkey, o_totalprice, rank_in_group
+         FROM r WHERE rank_in_group <= 3
+         ORDER BY o_orderpriority, rank_in_group""",
 
   )
 }

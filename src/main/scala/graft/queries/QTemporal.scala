@@ -213,6 +213,28 @@ private[graft] object QTemporal {
       Temporal.topEventPaths(t(s, dir, "events"), "user_id", "ts",
         "event_id", "event_type", k = 10)),
 
+    "markov_transitions" -> ((s, dir) =>
+      // first-order transition matrix over per-user event sequences:
+      // one lead window + |types|² aggregate; probability is one double
+      // division of two exact longs
+      Temporal.transitionMatrix(t(s, dir, "events"), "user_id", "ts",
+          "event_id", "event_type")
+        .orderBy("from_type", "to_type")),
+
+    "time_weighted_value" -> ((s, dir) =>
+      // LOCF time-weighted average value per user: each reading holds
+      // until the next; Σ(cents·Δt)/Σ(Δt)/100 over exact longs
+      Temporal.timeWeightedAvg(t(s, dir, "events"), "user_id", "ts",
+          "event_id", floor(col("value") * 100).cast("long"))
+        .orderBy("user_id")),
+
+    "interval_coverage" -> ((s, dir) =>
+      // union of per-event 10-minute activity intervals: islands-and-gaps
+      // merge, per-user island count + deduplicated covered seconds
+      Temporal.intervalMerge(t(s, dir, "events"), "user_id", "ts",
+          "event_id", durSeconds = 600L)
+        .orderBy("user_id")),
+
   )
 
   val oracle: Map[String, String] = Map(
@@ -438,6 +460,65 @@ private[graft] object QTemporal {
          FROM p WHERE step2 IS NOT NULL AND step3 IS NOT NULL
          GROUP BY step1, step2, step3
          ORDER BY n_paths DESC, step1, step2, step3 LIMIT 10""",
+
+    "markov_transitions" ->
+      """WITH p AS (
+           SELECT event_type AS from_type,
+             LEAD(event_type) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+           FROM events),
+         c AS (
+           SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n_transitions
+           FROM p WHERE to_type IS NOT NULL GROUP BY 1, 2),
+         tot AS (SELECT from_type, CAST(SUM(n_transitions) AS BIGINT) AS total
+                 FROM c GROUP BY 1)
+         SELECT c.from_type, c.to_type, c.n_transitions,
+           CAST(c.n_transitions AS DOUBLE) / CAST(tot.total AS DOUBLE)
+             AS p_transition
+         FROM c JOIN tot USING (from_type)
+         ORDER BY from_type, to_type""",
+
+    "time_weighted_value" ->
+      """WITH e AS (
+           SELECT user_id, CAST(FLOOR(value * 100) AS BIGINT) AS cents,
+             (epoch_ns(ts) // 1000000000) AS sec,
+             LEAD(epoch_ns(ts) // 1000000000) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id) AS next_sec
+           FROM events),
+         s AS (
+           SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+             CAST(SUM(next_sec - sec) AS BIGINT) AS total_seconds,
+             CAST(SUM(cents * (next_sec - sec)) AS BIGINT) AS weighted
+           FROM e WHERE next_sec IS NOT NULL GROUP BY 1)
+         SELECT user_id, n_spans, total_seconds,
+           CAST(weighted AS DOUBLE)
+             / NULLIF(CAST(total_seconds AS DOUBLE), 0.0) / 100.0 AS twa_value
+         FROM s ORDER BY user_id""",
+
+    "interval_coverage" ->
+      """WITH iv AS (
+           SELECT user_id, ts, event_id,
+             (epoch_ns(ts) // 1000000000) AS s0,
+             (epoch_ns(ts) // 1000000000) + 600 AS e0
+           FROM events),
+         fl AS (
+           SELECT user_id, ts, event_id, s0, e0,
+             CASE WHEN s0 > COALESCE(MAX(e0) OVER
+                 (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               -9223372036854775807) THEN 1 ELSE 0 END AS ni
+           FROM iv),
+         isl AS (
+           SELECT user_id, s0, e0,
+             SUM(ni) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+           FROM fl),
+         g AS (
+           SELECT user_id, island, MIN(s0) AS lo, MAX(e0) AS hi
+           FROM isl GROUP BY 1, 2)
+         SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_islands,
+           CAST(SUM(hi - lo) AS BIGINT) AS covered_seconds
+         FROM g GROUP BY 1 ORDER BY user_id""",
 
   )
 }

@@ -1,0 +1,164 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Stats, Temporal}
+
+/** Round-8 statistical/temporal family: Pearson correlation, Gini
+  * concentration, Gini–Simpson diversity, deterministic mode, per-group
+  * top-k, Markov transitions, time-weighted average, interval merge —
+  * value checks on hand-computable fixtures plus the 100 TB plan audits
+  * (partitioned windows only, WindowGroupLimit on the top-k shapes, one
+  * sort reused across the interval-merge windows).
+  */
+class Round8OpsSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  test("corrPearson: exact ±1 on linear data, null on zero variance") {
+    val df = Seq(
+      ("up", 1L, 10L), ("up", 2L, 20L), ("up", 3L, 30L),
+      ("down", 1L, 30L), ("down", 2L, 20L), ("down", 3L, 10L),
+      ("flat", 1L, 5L), ("flat", 2L, 5L), ("flat", 3L, 5L))
+      .toDF("g", "x", "y")
+    val out = Stats.corrPearson(df, "g", col("x"), col("y"), "r")
+      .collect().map(r => r.getString(0) -> Option(r.get(2))).toMap
+    assert(out("up").contains(1.0))
+    assert(out("down").contains(-1.0))
+    assert(out("flat").isEmpty) // zero y-variance → null, not NaN/crash
+  }
+
+  test("giniByGroup: 0 for equal values; 3/4 for one-holder extreme") {
+    val df = Seq(
+      ("eq", 5L, 1L), ("eq", 5L, 2L), ("eq", 5L, 3L),
+      ("skew", 0L, 1L), ("skew", 0L, 2L), ("skew", 0L, 3L), ("skew", 1L, 4L))
+      .toDF("g", "x", "k")
+    val out = Stats.giniByGroup(df, "g", col("x"), "k")
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(out("eq") == 0.0)
+    // sorted 0,0,0,1: G = (2·Σi·x − (n+1)·Σx)/(n·Σx) = (8−5)/4
+    assert(out("skew") == 0.75)
+  }
+
+  test("simpsonDiversity: 0 for one category, 1−1/k for uniform k") {
+    val df = Seq(
+      ("mono", "a"), ("mono", "a"), ("mono", "a"),
+      ("uni", "a"), ("uni", "b"), ("uni", "c"), ("uni", "d"))
+      .toDF("g", "c")
+    val out = Stats.simpsonDiversity(df, "g", "c")
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(out("mono") == 0.0)
+    assert(out("uni") == 0.75)
+  }
+
+  test("modePerGroup: max count wins; count ties break to smallest value") {
+    val df = Seq(
+      (1L, "b"), (1L, "b"), (1L, "a"),
+      (2L, "z"), (2L, "a")) // tie → "a"
+      .toDF("k", "v")
+    val out = Stats.modePerGroup(df, "k", "v")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(out(1L) == ("b", 2L))
+    assert(out(2L) == ("a", 1L))
+  }
+
+  test("topKPerGroup: bounded per group, ranked by the given order") {
+    val df = Seq(("p", 30L, 1L), ("p", 20L, 2L), ("p", 10L, 3L),
+      ("q", 5L, 4L)).toDF("g", "v", "k")
+    val out = Stats.topKPerGroup(df, "g", Seq(col("v").desc, col("k").asc), 2)
+      .select("g", "v", "rank_in_group").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    assert(out == Set(("p", 30L, 1), ("p", 20L, 2), ("q", 5L, 1)))
+  }
+
+  test("transitionMatrix: per-from probabilities are n/total and sum to 1") {
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    val df = Seq(
+      (1L, ts("2024-01-01 00:00:00"), "a"),
+      (1L, ts("2024-01-01 00:01:00"), "b"),
+      (1L, ts("2024-01-01 00:02:00"), "a"),
+      (1L, ts("2024-01-01 00:03:00"), "c"),
+      (2L, ts("2024-01-01 00:00:00"), "a"),
+      (2L, ts("2024-01-01 00:01:00"), "b"))
+      .toDF("uid", "ts", "et").withColumn("eid", col("uid"))
+    val rows = Temporal.transitionMatrix(df, "uid", "ts", "eid", "et").collect()
+    val m = rows.map(r => (r.getString(0), r.getString(1)) ->
+      (r.getLong(2), r.getDouble(3))).toMap
+    // from "a": a→b twice, a→c once
+    assert(m(("a", "b")) == ((2L, 2.0 / 3.0)))
+    assert(m(("a", "c")) == ((1L, 1.0 / 3.0)))
+    assert(m(("b", "a")) == ((1L, 1.0)))
+    val byFrom = rows.groupBy(_.getString(0))
+      .map { case (_, rs) => rs.map(_.getDouble(3)).sum }
+    byFrom.foreach(p => assert(math.abs(p - 1.0) < 1e-12))
+  }
+
+  test("timeWeightedAvg: LOCF integral; last reading carries no weight") {
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    val df = Seq(
+      // 10 cents held 10 s, 30 cents held 30 s → (100+900)/40/100 = 0.25
+      (1L, ts("2024-01-01 00:00:00"), 10L, 1L),
+      (1L, ts("2024-01-01 00:00:10"), 30L, 2L),
+      (1L, ts("2024-01-01 00:00:40"), 999L, 3L)) // no successor → dropped
+      .toDF("uid", "ts", "cents", "eid")
+    val r = Temporal.timeWeightedAvg(df, "uid", "ts", "eid", col("cents"))
+      .collect().head
+    assert(r.getLong(1) == 2L)    // n_spans
+    assert(r.getLong(2) == 40L)   // total_seconds
+    assert(r.getDouble(3) == 0.25)
+  }
+
+  test("intervalMerge: overlaps coalesce, gaps split, coverage dedups") {
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    val df = Seq(
+      // [0,600) ∪ [300,900) → one island of 900 s; [3600,4200) separate
+      (1L, ts("2024-01-01 00:00:00"), 1L),
+      (1L, ts("2024-01-01 00:05:00"), 2L),
+      (1L, ts("2024-01-01 01:00:00"), 3L),
+      // exactly-touching [0,600) + [600,1200): closed-open → one island
+      (2L, ts("2024-01-01 00:00:00"), 4L),
+      (2L, ts("2024-01-01 00:10:00"), 5L))
+      .toDF("uid", "ts", "eid")
+    val out = Temporal.intervalMerge(df, "uid", "ts", "eid", 600L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(1L) == ((2L, 1500L)))
+    assert(out(2L) == ((1L, 1200L)))
+  }
+
+  test("plan audits: round-8 queries keep their 100TB shapes") {
+    def planOf(name: String): String = {
+      val df = SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")
+      df.collect()
+      df.queryExecution.executedPlan.toString
+    }
+    // top-k per group must run as a bounded per-partition group limit —
+    // the shuffle carries ≤ k rows per (group × map partition)
+    val topk = planOf("topk_per_group")
+    assert(topk.contains("WindowGroupLimit"), topk)
+    // mode: rn=1 over aggregated category counts gets the same rewrite
+    val mode = planOf("mode_event_type")
+    assert(mode.contains("WindowGroupLimit"), mode)
+    // no round-8 plan may fall back to a global single-partition window
+    // (the r7 quantile_bins scale-killer): every Window node partitions
+    for (q <- Seq("corr_value_hour", "gini_orders", "simpson_diversity",
+        "mode_event_type", "topk_per_group", "markov_transitions",
+        "time_weighted_value", "interval_coverage")) {
+      val p = planOf(q)
+      val globalWindow = p.linesIterator.exists(l =>
+        l.contains("Window") && l.contains("windowspecdefinition()") )
+      assert(!globalWindow, s"$q has a no-partition window:\n$p")
+    }
+    // interval merge: both windows share ONE (key, ts, tie) sort order —
+    // exactly one hash-partitioning exchange before the final aggregates
+    val im = planOf("interval_coverage")
+    val exchanges = im.linesIterator.count(_.trim.startsWith("Exchange"))
+    assert(exchanges <= 2, s"interval_coverage shuffles too much:\n$im")
+    // markov: the per-from totals join must broadcast (|types|² rows)
+    val mk = planOf("markov_transitions")
+    assert(mk.contains("BroadcastHashJoin"), mk)
+    // corr: one shuffle total — a single hash-aggregate pair, no window
+    val cr = planOf("corr_value_hour")
+    assert(!cr.contains("Window"), cr)
+  }
+}
