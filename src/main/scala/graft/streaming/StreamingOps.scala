@@ -511,6 +511,105 @@ object StreamingOps {
       .transformWithState(new BandOwnerTracker, TimeMode.None(), OutputMode.Update())
   }
 
+  case class TransitionPair(userId: Long, fromType: String, toType: String)
+  case class LastType(lastType: String)
+
+  /** Streaming counterpart of [[graft.ops.Temporal.transitionMatrix]]'s
+    * pair extraction: keyed state holds only the LAST event type per key
+    * (one string — O(1) state), and each arriving event completes and
+    * emits one (from → to) transition. Pairs spanning micro-batch
+    * boundaries are carried by the state, so the emitted multiset equals
+    * the batch lead-window pass over the same feed (batch-parity spec).
+    * A watermarked groupBy count over the emitted pairs is the live
+    * transition matrix numerator; the per-from normalization stays a
+    * downstream aggregate exactly as in the batch operator.
+    */
+  class TransitionTracker
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, TypedEvent, TransitionPair] {
+    @transient private var last: org.apache.spark.sql.streaming.ValueState[LastType] = _
+
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+      last = getHandle.getValueState[LastType]("last",
+        org.apache.spark.sql.Encoders.product[LastType],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: Long, rows: Iterator[TypedEvent],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[TransitionPair] = {
+      val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.eventType))
+      var prev = if (last.exists()) last.get().lastType else null
+      val out = scala.collection.mutable.ArrayBuffer.empty[TransitionPair]
+      sorted.foreach { e =>
+        if (prev != null) out += TransitionPair(key, prev, e.eventType)
+        prev = e.eventType
+      }
+      if (prev != null) last.update(LastType(prev))
+      out.iterator
+    }
+  }
+
+  /** Wire [[TransitionTracker]] over a stream of [[TypedEvent]]s. */
+  def transitionStream(ds: Dataset[TypedEvent])(
+      implicit enc: org.apache.spark.sql.Encoder[TransitionPair]): Dataset[TransitionPair] = {
+    import org.apache.spark.sql.streaming.TimeMode
+    ds.groupByKey(_.userId)(org.apache.spark.sql.Encoders.scalaLong)
+      .transformWithState(new TransitionTracker, TimeMode.None(), OutputMode.Append())
+  }
+
+  case class ClosedIsland(userId: Long, startSec: Long, endSec: Long)
+  case class OpenIsland(startSec: Long, endSec: Long)
+
+  /** Streaming counterpart of [[graft.ops.Temporal.intervalMerge]]: keyed
+    * state holds the ONE currently-open island `[start, end)` per key
+    * (two longs — O(1) state). Each event opens `[s, s+durSec)`; an event
+    * with `s > end` CLOSES the open island (emitting it, append mode) and
+    * starts a new one; otherwise it extends `end = max(end, s+durSec)`.
+    * Assumes the per-key feed arrives in event-time order across batches
+    * (within a batch rows are sorted; a late event belongs in front of a
+    * closed island and would need watermark-delayed emission — compose
+    * with a watermark upstream for that). The emitted multiset equals the
+    * batch operator's islands MINUS the still-open last island per key —
+    * exactly the suffix a stream cannot know is finished (batch-parity
+    * spec checks both halves of that equality).
+    */
+  class IntervalMergeTracker(durSec: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, SessionEvent, ClosedIsland] {
+    @transient private var open: org.apache.spark.sql.streaming.ValueState[OpenIsland] = _
+
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+      open = getHandle.getValueState[OpenIsland]("open",
+        org.apache.spark.sql.Encoders.product[OpenIsland],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: Long, rows: Iterator[SessionEvent],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[ClosedIsland] = {
+      val sorted = rows.toSeq.sortBy(_.ts.getTime)
+      val out = scala.collection.mutable.ArrayBuffer.empty[ClosedIsland]
+      var cur = if (open.exists()) open.get() else null
+      sorted.foreach { e =>
+        val s = e.ts.getTime / 1000L
+        if (cur == null) cur = OpenIsland(s, s + durSec)
+        else if (s > cur.endSec) {
+          out += ClosedIsland(key, cur.startSec, cur.endSec)
+          cur = OpenIsland(s, s + durSec)
+        } else cur = OpenIsland(cur.startSec, math.max(cur.endSec, s + durSec))
+      }
+      if (cur != null) open.update(cur)
+      out.iterator
+    }
+  }
+
+  /** Wire [[IntervalMergeTracker]] over a stream of [[SessionEvent]]s. */
+  def intervalMergeStream(ds: Dataset[SessionEvent], durSec: Long)(
+      implicit enc: org.apache.spark.sql.Encoder[ClosedIsland]): Dataset[ClosedIsland] = {
+    import org.apache.spark.sql.streaming.TimeMode
+    ds.groupByKey(_.userId)(org.apache.spark.sql.Encoders.scalaLong)
+      .transformWithState(new IntervalMergeTracker(durSec), TimeMode.None(), OutputMode.Append())
+  }
+
   def idempotentBatchSink(basePath: String)(batch: DataFrame, batchId: Long): Unit = {
     val hc = batch.sparkSession.sparkContext.hadoopConfiguration
     val dir = new org.apache.hadoop.fs.Path(s"$basePath/batch=$batchId")

@@ -417,6 +417,92 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("streaming transitions: pairs across batch boundaries match the batch lead window") {
+    import StreamingOps.TypedEvent
+    val events = Seq(
+      TypedEvent(1L, "A", ts("2024-01-01 10:00:00")),
+      TypedEvent(1L, "B", ts("2024-01-01 10:01:00")),
+      TypedEvent(1L, "A", ts("2024-01-01 10:02:00")),
+      TypedEvent(2L, "C", ts("2024-01-01 11:00:00")),
+      TypedEvent(2L, "A", ts("2024-01-01 11:01:00")))
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[TypedEvent]
+    val q = StreamingOps.transitionStream(input.toDS())
+      .writeStream.format("memory").queryName("trans_out")
+      .outputMode("append").start()
+    try {
+      // split MID-pair: user 1's (B→A) and user 2's (C→A) cross the
+      // boundary and exist only because state carries the last type
+      input.addData(events.take(2): _*)
+      q.processAllAvailable()
+      input.addData(events.drop(2): _*)
+      q.processAllAvailable()
+      val got = spark.table("trans_out")
+        .groupBy("fromType", "toType").count()
+        .as[(String, String, Long)].collect().toSet
+      val batch = graft.ops.Temporal.transitionMatrix(
+          events.map(e => (e.userId, e.ts, e.eventType))
+            .toDF("user_id", "ts", "event_type")
+            .withColumn("event_id", lit(0L)),
+          "user_id", "ts", "event_id", "event_type")
+        .select("from_type", "to_type", "n_transitions")
+        .as[(String, String, Long)].collect().toSet
+      assert(got == batch, s"stream $got != batch $batch")
+      assert(got == Set(("A", "B", 1L), ("B", "A", 1L), ("C", "A", 1L)))
+    } finally {
+      q.stop()
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
+  test("streaming interval merge: closed islands match batch minus the open suffix") {
+    import StreamingOps.SessionEvent
+    val events = Seq(
+      SessionEvent(1L, ts("2024-01-01 00:00:00")), // island A: [0, 600)
+      SessionEvent(1L, ts("2024-01-01 00:05:00")), //   extends A to [0, 900)
+      SessionEvent(1L, ts("2024-01-01 01:00:00")), // closes A, opens B (stays open)
+      SessionEvent(2L, ts("2024-01-01 00:00:00"))) // user 2: one open island
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[SessionEvent]
+    val q = StreamingOps.intervalMergeStream(input.toDS(), durSec = 600L)
+      .writeStream.format("memory").queryName("islands_out")
+      .outputMode("append").start()
+    try {
+      // split so island A's extension arrives in a later batch than its
+      // opening — state must carry the open island across the boundary
+      input.addData(events.take(1): _*)
+      q.processAllAvailable()
+      input.addData(events.drop(1): _*)
+      q.processAllAvailable()
+      val got = spark.table("islands_out")
+        .as[StreamingOps.ClosedIsland].collect().toSet
+      // only user 1's first island ever closes; both open suffixes stay
+      // in state — exactly the batch islands minus the per-key last one
+      val base = ts("2024-01-01 00:00:00").getTime / 1000L
+      assert(got == Set(StreamingOps.ClosedIsland(1L, base, base + 900L)))
+      // batch twin sees 2 islands for user 1, 1 for user 2: closed set ⊂ batch
+      val batch = graft.ops.Temporal.intervalMerge(
+          events.map(e => (e.userId, e.ts)).toDF("user_id", "ts")
+            .withColumn("event_id", lit(0L)),
+          "user_id", "ts", "event_id", 600L)
+        .as[(Long, Long, Long)].collect().map { case (k, n, c) => k -> n }.toMap
+      assert(batch == Map(1L -> 2L, 2L -> 1L))
+    } finally {
+      q.stop()
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("streaming chunk contamination: planted passage quarantined, clean docs pass silently") {
     val passage = (1 to 16).map(i => s"q$i").mkString(" ")
     val benchFps = LlmOps.chunkWindows(
