@@ -149,6 +149,22 @@ object Relational {
       .agg(hll_sketch_estimate(hll_sketch_agg(col(countCol), lit(lgK)))
         .as("approx_distinct"))
 
+  /** MERGEABLE-sketch distinct count: build one HLL sketch per group, then
+    * union the group sketches into a global estimate — the two-level shape
+    * that makes sketches matter at 100 TB: per-partition/per-day sketches
+    * are tiny (2^lgK registers), persistable, and re-mergeable, so a
+    * year's distinct-user count is a union over 365 stored sketches, not a
+    * rescan of a year of raw data. The union is register-wise max —
+    * order-insensitive, hence deterministic. Returns one row:
+    * (n_groups, union_estimate).
+    */
+  def hllUnionEstimate(df: DataFrame, groupCol: String, countCol: String,
+                       lgK: Int = 12): DataFrame =
+    df.groupBy(col(groupCol))
+      .agg(hll_sketch_agg(col(countCol), lit(lgK)).as("__sk"))
+      .agg(count(lit(1)).as("n_groups"),
+        hll_sketch_estimate(hll_union_agg(col("__sk"))).as("union_estimate"))
+
   /** Deterministic 1-in-m sample keyed on the portable md5-48 hash of a
     * key column: reproducible across runs/engines (an external SQL oracle
     * applies the same predicate), evaluated map-side in every partition

@@ -129,6 +129,22 @@ object Stats {
       .select(col(groupCol), col(valCol).as("mode_value"), col("n_occurrences"))
   }
 
+  /** k-anonymity audit over a quasi-identifier column set (Sweeney 2002):
+    * every combination of the quasi columns with fewer than k carriers is
+    * a re-identification risk a training-data release must suppress or
+    * generalize. One hash-aggregate on the quasi tuple (map-side combined;
+    * the output is one row per LIVE combination, bounded by the attribute
+    * domain product, not the corpus). The release decision is the
+    * downstream join: `at_risk` rows get suppressed/generalized, the rest
+    * pass — this operator is the audit table that drives it.
+    */
+  def kAnonymityAudit(df: DataFrame, quasiCols: Seq[String], k: Int): DataFrame = {
+    require(quasiCols.nonEmpty && k > 0)
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"))
+      .withColumn("at_risk", col("n_rows") < k)
+  }
+
   /** Top-k rows per group by an explicit order. The `row_number ≤ k`
     * filter is the shape Spark's InferWindowGroupLimit rewrites to a
     * WindowGroupLimit: each map task keeps a bounded k-row heap PER GROUP

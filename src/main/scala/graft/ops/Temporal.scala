@@ -393,6 +393,25 @@ object Temporal {
           / lit(100.0)).as("twa_value"))
   }
 
+  /** Conversion lag: per key, the whole seconds between the FIRST
+    * occurrence of `fromType` and the FIRST occurrence of `toType`. Keys
+    * missing either endpoint, or whose first `toType` precedes the first
+    * `fromType` (converted before exposure — not attributable to this
+    * edge), are excluded. ONE conditional-min hash-aggregate — no window,
+    * no join, no per-event state; epoch math on NTZ-safe exact longs.
+    * Feeds the funnel-latency percentiles a growth dashboard plots.
+    */
+  def conversionLag(df: DataFrame, keyCol: String, tsCol: String,
+                    typeCol: String, fromType: String, toType: String): DataFrame = {
+    val sec = Ts.epochSeconds(col(tsCol))
+    df.groupBy(col(keyCol))
+      .agg(min(when(col(typeCol) === fromType, sec)).as("__t0"),
+        min(when(col(typeCol) === toType, sec)).as("__t1"))
+      .filter(col("__t0").isNotNull && col("__t1").isNotNull &&
+        col("__t1") >= col("__t0"))
+      .select(col(keyCol), (col("__t1") - col("__t0")).as("lag_seconds"))
+  }
+
   /** Merge overlapping fixed-duration intervals per key (interval union /
     * "islands and gaps"): each event opens [ts, ts+durSeconds); touching
     * or overlapping intervals coalesce into islands; reports per-key

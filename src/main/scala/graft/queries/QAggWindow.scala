@@ -429,6 +429,26 @@ private[graft] object QAggWindow {
           col("rank_in_group").cast("long").as("rank_in_group"))
         .orderBy("o_orderpriority", "rank_in_group")),
 
+    "k_anonymity" -> ((s, dir) =>
+      // re-identification audit on the (nation, segment) quasi-identifier:
+      // combos carried by < 10 customers are release risks
+      Stats.kAnonymityAudit(t(s, dir, "customer"),
+          Seq("c_nationkey", "c_mktsegment"), k = 10)
+        .orderBy("c_nationkey", "c_mktsegment")),
+
+    "hll_union_estimate" -> ((s, dir) => {
+      // mergeable-sketch distinct users: one HLL per event type, unioned —
+      // contract-oracled like approx_distinct_parts (DuckDB verifies the
+      // ±5% envelope vs exact, not the registers)
+      val e = t(s, dir, "events")
+      val est = Relational.hllUnionEstimate(e, "event_type", "user_id")
+      val exact = e.agg(countDistinct(col("user_id")).as("n_exact"))
+      est.crossJoin(exact)
+        .select(col("n_groups"), col("n_exact"),
+          (abs(col("union_estimate") - col("n_exact").cast("double"))
+            <= col("n_exact").cast("double") * 0.05).as("union_ok"))
+    }),
+
   )
 
   val oracle: Map[String, String] = Map(
@@ -871,6 +891,17 @@ private[graft] object QAggWindow {
          SELECT o_orderpriority, o_orderkey, o_totalprice, rank_in_group
          FROM r WHERE rank_in_group <= 3
          ORDER BY o_orderpriority, rank_in_group""",
+
+    "k_anonymity" ->
+      """SELECT c_nationkey, c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           COUNT(*) < 10 AS at_risk
+         FROM customer GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "hll_union_estimate" ->
+      """SELECT CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_groups,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact,
+           TRUE AS union_ok
+         FROM events""",
 
   )
 }

@@ -235,6 +235,13 @@ private[graft] object QTemporal {
           "event_id", durSeconds = 600L)
         .orderBy("user_id")),
 
+    "conversion_lag" -> ((s, dir) =>
+      // funnel latency: seconds from first view to first purchase per
+      // user — one conditional-min aggregate, no window, no join
+      Temporal.conversionLag(t(s, dir, "events"), "user_id", "ts",
+          "event_type", "view", "purchase")
+        .orderBy("user_id")),
+
   )
 
   val oracle: Map[String, String] = Map(
@@ -519,6 +526,19 @@ private[graft] object QTemporal {
          SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_islands,
            CAST(SUM(hi - lo) AS BIGINT) AS covered_seconds
          FROM g GROUP BY 1 ORDER BY user_id""",
+
+    "conversion_lag" ->
+      """WITH a AS (
+           SELECT user_id,
+             MIN(CASE WHEN event_type = 'view'
+                 THEN epoch_ns(ts) // 1000000000 END) AS t0,
+             MIN(CASE WHEN event_type = 'purchase'
+                 THEN epoch_ns(ts) // 1000000000 END) AS t1
+           FROM events GROUP BY 1)
+         SELECT user_id, CAST(t1 - t0 AS BIGINT) AS lag_seconds
+         FROM a
+         WHERE t0 IS NOT NULL AND t1 IS NOT NULL AND t1 >= t0
+         ORDER BY user_id""",
 
   )
 }

@@ -126,6 +126,39 @@ class Round8OpsSpec extends SparkTestBase {
     assert(out(2L) == ((1L, 1200L)))
   }
 
+  test("kAnonymityAudit: combos below k flagged, others pass") {
+    val df = Seq(("US", "A"), ("US", "A"), ("US", "A"), ("DE", "B"))
+      .toDF("country", "seg")
+    val out = Stats.kAnonymityAudit(df, Seq("country", "seg"), k = 2)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getBoolean(3))).toMap
+    assert(out(("US", "A")) == ((3L, false)))
+    assert(out(("DE", "B")) == ((1L, true)))
+  }
+
+  test("hllUnionEstimate: union of group sketches covers the global set") {
+    val df = (1 to 500).map(i => (s"g${i % 4}", i.toLong)).toDF("g", "v")
+    val r = graft.ops.Relational.hllUnionEstimate(df, "g", "v").collect().head
+    assert(r.getLong(0) == 4L)
+    // all 500 values distinct; lgK=12 → rsd 1.6%, 5% is ~3σ
+    assert(math.abs(r.getLong(1) - 500.0) <= 25.0)
+  }
+
+  test("conversionLag: first-to-first seconds; pre-exposure converts drop") {
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    val df = Seq(
+      (1L, ts("2024-01-01 00:00:00"), "view"),
+      (1L, ts("2024-01-01 00:01:40"), "purchase"), // 100 s
+      (1L, ts("2024-01-01 00:05:00"), "purchase"), // later — ignored
+      (2L, ts("2024-01-01 00:00:00"), "purchase"), // converts BEFORE any view
+      (2L, ts("2024-01-01 00:01:00"), "view"),
+      (3L, ts("2024-01-01 00:00:00"), "view"))     // never converts
+      .toDF("uid", "ts", "et")
+    val out = Temporal.conversionLag(df, "uid", "ts", "et", "view", "purchase")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 100L))
+  }
+
   test("plan audits: round-8 queries keep their 100TB shapes") {
     def planOf(name: String): String = {
       val df = SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")
