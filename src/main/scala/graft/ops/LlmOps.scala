@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** LLM-training-data pipeline operators (SURVEY.md §2.12, [north-star]):
@@ -1284,6 +1285,63 @@ object LlmOps {
         size(col("__w")).cast("long").as("n_toks"),
         md5(concat_ws(" ", col("__w"))).as("chunk_fp"))
   }
+
+  /** Content-defined chunking (the LBFS/FastCDC boundary rule —
+    * Muthitacharoen et al. SOSP'01, re-expressed relationally): a chunk
+    * boundary falls AFTER every token whose portable md5-48 hash is
+    * ≡ 0 (mod targetTokens). Boundaries depend only on LOCAL content, so
+    * an insertion or deletion re-chunks ONLY the chunk it lands in —
+    * where [[chunkWindows]]' fixed offsets shift every downstream chunk
+    * and lose all alignment. Expected chunk length is targetTokens (the
+    * boundary test is a 1-in-targetTokens Bernoulli on a uniform hash).
+    * This is the variable-size dedup primitive for corpus snapshots that
+    * drift by small edits (recrawls, wiki revisions).
+    *
+    * Output: (id, chunk_idx, n_tokens, chunk_fp) — fingerprints are md5
+    * over the space-joined token run, replayable digit-for-digit by an
+    * external SQL engine (same family as every dedup op here).
+    *
+    * Scale shape: posexplode to token rows, ONE per-doc window (shuffle
+    * on the doc id — docs are the natural partition key; no global
+    * window), then a hash-aggregate whose per-group payload is rebuilt
+    * via sort_array(collect_list(struct(pos, tok))) — deterministic
+    * order without a second sort pass. Token rows never join anything;
+    * the output relation is chunk-sized, not token-sized.
+    */
+  def cdcChunks(df: DataFrame, idCol: String, textCol: String,
+                targetTokens: Int = 32): DataFrame = {
+    require(targetTokens >= 2, "expected chunk length must be at least 2")
+    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    df.filter(trim(col(textCol)) =!= "")
+      .select(col(idCol), posexplode(tokens(col(textCol))).as(Seq("pos", "tok")))
+      .withColumn("__b",
+        when(pmod(md5Hash48(col("tok"), 1), lit(targetTokens.toLong)) === 0, 1L)
+          .otherwise(0L))
+      .withColumn("chunk_idx",
+        coalesce(sum(col("__b"))
+          .over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .groupBy(col(idCol), col("chunk_idx"))
+      .agg(count(lit(1)).as("n_tokens"),
+        md5(array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+            s => s.getField("tok")), " ")).as("chunk_fp"))
+  }
+
+  /** Corpus-level duplication census over [[cdcChunks]]: how much of the
+    * corpus is REDUNDANT at variable-chunk granularity. One row:
+    * (n_chunks, n_distinct, n_sharing_docs-weighted dup_rate =
+    * (occurrences − distinct)/occurrences — the fraction of chunk
+    * occurrences a chunk-store would NOT store again). Exact integers,
+    * one final division.
+    */
+  def cdcDedupStats(df: DataFrame, idCol: String, textCol: String,
+                    targetTokens: Int = 32): DataFrame =
+    cdcChunks(df, idCol, textCol, targetTokens)
+      .agg(count(lit(1)).as("n_chunks"),
+        countDistinct(col("chunk_fp")).as("n_distinct"))
+      .select(col("n_chunks"), col("n_distinct"),
+        ((col("n_chunks") - col("n_distinct")).cast("double")
+          / col("n_chunks").cast("double")).as("dup_rate"))
 
   /** Chunk-level benchmark contamination: flags training docs that share
     * an ALIGNED [[chunkWindows]] fingerprint with the benchmark set — the

@@ -129,6 +129,19 @@ private[graft] object QTextCuration {
           window = 40, stride = 20)
         .orderBy("doc_id", "chunk_id")),
 
+    "cdc_chunks" -> ((s, dir) =>
+      // content-defined chunking: boundaries where the md5-48 token hash
+      // ≡ 0 (mod 32) — insertion-stable variable chunks, fp hash-replayed
+      LlmOps.cdcChunks(t(s, dir, "documents"), "doc_id", "text",
+          targetTokens = 32)
+        .orderBy("doc_id", "chunk_idx")),
+
+    "cdc_dedup_stats" -> ((s, dir) =>
+      // chunk-store redundancy census over the CDC chunking: the
+      // fraction of chunk occurrences a dedup store would not re-store
+      LlmOps.cdcDedupStats(t(s, dir, "documents"), "doc_id", "text",
+          targetTokens = 32)),
+
     "bpe_pair_counts" -> ((s, dir) =>
       // tokenizer-training statistic: the first BPE merge step's top
       // adjacent char-pair counts inside whitespace tokens
@@ -591,6 +604,58 @@ private[graft] object QTextCuration {
            CAST(len(toks[c * 20 + 1 : least(c * 20 + 40, n)]) AS BIGINT) AS n_toks,
            md5(array_to_string(toks[c * 20 + 1 : least(c * 20 + 40, n)], ' ')) AS chunk_fp
          FROM st ORDER BY doc_id, chunk_id""",
+
+    "cdc_chunks" ->
+      """WITH t2 AS (
+           SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+           FROM documents WHERE trim(text) <> ''),
+         p AS (
+           SELECT doc_id, toks[pos] AS tok, pos
+           FROM (SELECT doc_id, toks,
+                   unnest(range(1, len(toks) + 1)) AS pos FROM t2)),
+         f AS (
+           SELECT doc_id, pos, tok,
+             CASE WHEN ('0x' || substr(md5(tok), 1, 12))::BIGINT % 32 = 0
+               THEN 1 ELSE 0 END AS b
+           FROM p),
+         c AS (
+           SELECT doc_id, pos, tok,
+             COALESCE(SUM(b) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_idx
+           FROM f)
+         SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_fp
+         FROM c GROUP BY doc_id, chunk_idx
+         ORDER BY doc_id, chunk_idx""",
+
+    "cdc_dedup_stats" ->
+      """WITH t2 AS (
+           SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+           FROM documents WHERE trim(text) <> ''),
+         p AS (
+           SELECT doc_id, toks[pos] AS tok, pos
+           FROM (SELECT doc_id, toks,
+                   unnest(range(1, len(toks) + 1)) AS pos FROM t2)),
+         f AS (
+           SELECT doc_id, pos, tok,
+             CASE WHEN ('0x' || substr(md5(tok), 1, 12))::BIGINT % 32 = 0
+               THEN 1 ELSE 0 END AS b
+           FROM p),
+         c AS (
+           SELECT doc_id, pos, tok,
+             COALESCE(SUM(b) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_idx
+           FROM f),
+         g AS (
+           SELECT doc_id, chunk_idx,
+             md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_fp
+           FROM c GROUP BY doc_id, chunk_idx)
+         SELECT CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(COUNT(DISTINCT chunk_fp) AS BIGINT) AS n_distinct,
+           CAST(COUNT(*) - COUNT(DISTINCT chunk_fp) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS dup_rate
+         FROM g""",
 
     "bpe_pair_counts" ->
       """WITH tok AS (

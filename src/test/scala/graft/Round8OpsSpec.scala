@@ -159,6 +159,31 @@ class Round8OpsSpec extends SparkTestBase {
     assert(out == Map(1L -> 100L))
   }
 
+  test("cdcChunks: chunks partition the token stream; insertions stay local") {
+    import graft.ops.LlmOps
+    // deterministic 240-token doc (no RNG — varied enough for boundaries)
+    val toks = (0 until 240).map(i => s"w${i * 7919 % 997}")
+    val doc = toks.mkString(" ")
+    val edited = (toks.take(120) ++ Seq("inserted") ++ toks.drop(120)).mkString(" ")
+    val base = LlmOps.cdcChunks(Seq((1L, doc)).toDF("doc_id", "text"), "doc_id", "text", 16)
+      .collect()
+    // chunks partition the stream: token counts sum to the doc length
+    assert(base.map(_.getLong(2)).sum == 240L)
+    // chunk_idx is dense from 0
+    assert(base.map(_.getLong(1)).sorted.toSeq == (0L until base.length).toSeq)
+    val editedChunks = LlmOps.cdcChunks(
+      Seq((1L, edited)).toDF("doc_id", "text"), "doc_id", "text", 16).collect()
+    val a = base.map(_.getString(3)).toSeq.groupBy(identity).view.mapValues(_.size).toMap
+    val b = editedChunks.map(_.getString(3)).toSeq.groupBy(identity).view.mapValues(_.size).toMap
+    // content-defined boundaries: the insertion rewrites ONLY the chunk it
+    // lands in — every other fingerprint survives (the property fixed
+    // windows lose: chunkWindows would shift every chunk after token 120)
+    val unchanged = a.keySet.intersect(b.keySet)
+      .toSeq.map(k => math.min(a(k), b(k))).sum
+    assert(unchanged >= base.length - 2,
+      s"only $unchanged of ${base.length} chunks survived a 1-token insertion")
+  }
+
   test("plan audits: round-8 queries keep their 100TB shapes") {
     def planOf(name: String): String = {
       val df = SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")
