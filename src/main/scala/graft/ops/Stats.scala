@@ -145,6 +145,41 @@ object Stats {
       .withColumn("at_risk", col("n_rows") < k)
   }
 
+  /** Hash-armed A/B comparison with Welch's t statistic, computed to the
+    * slate's determinism contract: unit assignment is the portable md5-48
+    * hash of the unit key mod 2 (no RNG — the same reproducible split
+    * `dataset_split` uses), and per-(group, arm) n/Σx/Σx² are EXACT LONG
+    * sums folded in ONE conditional hash-aggregate. Means, sample
+    * variances, and t are then a fixed double expression over the six
+    * exact numbers (spelled identically in the oracle twin). Degenerate
+    * arms (n ≤ 1 or zero pooled standard error) yield null t.
+    *
+    * Scale: one shuffle on the group key, map-side partials; the unit
+    * hash is evaluated scan-side. This is the experimentation readout a
+    * metrics pipeline batches nightly.
+    */
+  def abTestStats(df: DataFrame, groupCol: String, unitCol: String,
+                  x: Column): DataFrame = {
+    val arm = pmod(LlmOps.md5Hash48(col(unitCol).cast("string"), 1), lit(2L))
+    val inA = (arm === 0).cast("long")
+    val inB = (arm === 1).cast("long")
+    val agg = df.groupBy(col(groupCol)).agg(
+      sum(inA).as("n_a"), sum(inA * x).as("sx_a"), sum(inA * x * x).as("sxx_a"),
+      sum(inB).as("n_b"), sum(inB * x).as("sx_b"), sum(inB * x * x).as("sxx_b"))
+    def d(c: String) = col(c).cast("double")
+    val meanA = d("sx_a") / d("n_a")
+    val meanB = d("sx_b") / d("n_b")
+    val varA = (d("sxx_a") - d("sx_a") * d("sx_a") / d("n_a")) /
+      (col("n_a") - 1).cast("double")
+    val varB = (d("sxx_b") - d("sx_b") * d("sx_b") / d("n_b")) /
+      (col("n_b") - 1).cast("double")
+    agg.select(col(groupCol), col("n_a"), col("n_b"),
+      meanA.as("mean_a"), meanB.as("mean_b"),
+      when(col("n_a") > 1 && col("n_b") > 1,
+        (meanA - meanB) / nullif(sqrt(varA / d("n_a") + varB / d("n_b")), lit(0.0)))
+        .as("t_stat"))
+  }
+
   /** Top-k rows per group by an explicit order. The `row_number ≤ k`
     * filter is the shape Spark's InferWindowGroupLimit rewrites to a
     * WindowGroupLimit: each map task keeps a bounded k-row heap PER GROUP

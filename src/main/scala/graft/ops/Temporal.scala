@@ -393,6 +393,75 @@ object Temporal {
           / lit(100.0)).as("twa_value"))
   }
 
+  /** Deterministic exponentially-weighted moving average per key, α as an
+    * EXACT-BINARY rational (default 1/8): fold acc·(1−α) + v·α over the
+    * (ts, tie)-ordered observation sequence. Floating-point EWMA is
+    * inherently a sequential recurrence — the ONE aggregation shape where
+    * accumulation order is semantic, not incidental — so this materializes
+    * the per-key sequence with `array_sort(collect_list(struct(...)))` and
+    * folds it with the `aggregate` HOF: the fold order is the sorted
+    * order on every engine, making the result bitwise-reproducible (the
+    * slate's sequential-fold clause; an external engine replays it with
+    * an ordered-list fold). α must be exact in binary (1/8, 1/4, 3/8 …)
+    * so the two multipliers are exact doubles.
+    *
+    * Scale: state per key is its OWN event list (the recurrence needs
+    * every term) — bounded by per-key cardinality, never by the corpus;
+    * one shuffle, map-side partial collect. For keys with millions of
+    * events, window the input first (EWMA-of-daily-EWMA); this operator
+    * is the exact-series primitive.
+    */
+  def ewmaPerKey(df: DataFrame, keyCol: String, tsCol: String,
+                 tieCol: String, valueCents: Column,
+                 alpha: Double = 0.125): DataFrame = {
+    require(alpha > 0 && alpha < 1 && (alpha * 256.0) == math.rint(alpha * 256.0),
+      "alpha must be an exact binary rational with denominator <= 256 (e.g. 0.125)")
+    val sec = Ts.epochSecondsExact(col(tsCol)) // full-precision sort key
+    df.select(col(keyCol),
+        struct(sec.as("s"), col(tieCol).as("t"),
+          valueCents.cast("double").as("v")).as("__e"))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_events"),
+        array_sort(collect_list(col("__e"))).as("__arr"))
+      .select(col(keyCol), col("n_events"),
+        transform(col("__arr"), e => e.getField("v")).as("__vs"))
+      .select(col(keyCol), col("n_events"),
+        aggregate(
+          slice(col("__vs"), lit(2), greatest(size(col("__vs")) - 1, lit(0))),
+          element_at(col("__vs"), 1),
+          (acc, v) => acc * lit(1.0 - alpha) + v * lit(alpha)).as("ewma"))
+  }
+
+  /** Per-key session statistics over the SAME gap rule as [[sessionize]]:
+    * session count, total events, total in-session seconds (last−first
+    * per session — exact longs), and mean session seconds (one double
+    * division). The roll-up a retention dashboard reads; one (key, ts)
+    * shuffle shared by the lag flag and both aggregates.
+    */
+  def sessionStats(df: DataFrame, keyCol: String, tsCol: String,
+                   tieBreak: String, gapSeconds: Long): DataFrame = {
+    val order = Seq(col(tsCol).asc, col(tieBreak).asc)
+    val w = Window.partitionBy(col(keyCol)).orderBy(order: _*)
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val secs = Ts.epochSeconds(col(tsCol))
+    val prev = lag(secs, 1).over(w)
+    df.withColumn("__s", secs)
+      .withColumn("__is_new",
+        when(prev.isNull || (secs - prev) > gapSeconds, 1L).otherwise(0L))
+      .withColumn("__session", sum(col("__is_new")).over(wRun))
+      .groupBy(col(keyCol), col("__session"))
+      .agg(count(lit(1)).as("__n"),
+        (max(col("__s")) - min(col("__s"))).as("__dur"))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(col("__n")).as("n_events"),
+        sum(col("__dur")).as("total_session_seconds"))
+      .select(col(keyCol), col("n_sessions"), col("n_events"),
+        col("total_session_seconds"),
+        (col("total_session_seconds").cast("double")
+          / col("n_sessions").cast("double")).as("mean_session_seconds"))
+  }
+
   /** Conversion lag: per key, the whole seconds between the FIRST
     * occurrence of `fromType` and the FIRST occurrence of `toType`. Keys
     * missing either endpoint, or whose first `toType` precedes the first

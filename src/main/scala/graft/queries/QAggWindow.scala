@@ -436,6 +436,13 @@ private[graft] object QAggWindow {
           Seq("c_nationkey", "c_mktsegment"), k = 10)
         .orderBy("c_nationkey", "c_mktsegment")),
 
+    "ab_test_stats" -> ((s, dir) =>
+      // hash-armed A/B readout with Welch's t: reproducible md5 split,
+      // exact conditional sums, fixed double formula (null-safe)
+      Stats.abTestStats(t(s, dir, "events"), "event_type", "user_id",
+          floor(col("value") * 100).cast("long"))
+        .orderBy("event_type")),
+
     "hll_union_estimate" -> ((s, dir) => {
       // mergeable-sketch distinct users: one HLL per event type, unioned —
       // contract-oracled like approx_distinct_parts (DuckDB verifies the
@@ -896,6 +903,38 @@ private[graft] object QAggWindow {
       """SELECT c_nationkey, c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_rows,
            COUNT(*) < 10 AS at_risk
          FROM customer GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "ab_test_stats" ->
+      """WITH b AS (
+           SELECT event_type,
+             CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12))::BIGINT
+               % 2 = 0 THEN 1 ELSE 0 END AS in_a,
+             CAST(FLOOR(value * 100) AS BIGINT) AS x
+           FROM events),
+         a AS (
+           SELECT event_type,
+             CAST(SUM(in_a) AS BIGINT) AS n_a,
+             CAST(SUM(in_a * x) AS BIGINT) AS sx_a,
+             CAST(SUM(in_a * x * x) AS BIGINT) AS sxx_a,
+             CAST(SUM(1 - in_a) AS BIGINT) AS n_b,
+             CAST(SUM((1 - in_a) * x) AS BIGINT) AS sx_b,
+             CAST(SUM((1 - in_a) * x * x) AS BIGINT) AS sxx_b
+           FROM b GROUP BY 1)
+         SELECT event_type, n_a, n_b,
+           CAST(sx_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS mean_a,
+           CAST(sx_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS mean_b,
+           CASE WHEN n_a > 1 AND n_b > 1 THEN
+             (CAST(sx_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+                - CAST(sx_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+             / NULLIF(SQRT(
+                 ((CAST(sxx_a AS DOUBLE) - CAST(sx_a AS DOUBLE) * CAST(sx_a AS DOUBLE)
+                     / CAST(n_a AS DOUBLE)) / CAST(n_a - 1 AS DOUBLE))
+                   / CAST(n_a AS DOUBLE)
+               + ((CAST(sxx_b AS DOUBLE) - CAST(sx_b AS DOUBLE) * CAST(sx_b AS DOUBLE)
+                     / CAST(n_b AS DOUBLE)) / CAST(n_b - 1 AS DOUBLE))
+                   / CAST(n_b AS DOUBLE)), 0.0)
+           END AS t_stat
+         FROM a ORDER BY event_type""",
 
     "hll_union_estimate" ->
       """SELECT CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_groups,

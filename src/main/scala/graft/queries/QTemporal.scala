@@ -242,6 +242,20 @@ private[graft] object QTemporal {
           "event_type", "view", "purchase")
         .orderBy("user_id")),
 
+    "ewma_value" -> ((s, dir) =>
+      // exact-binary α=1/8 EWMA per user: ordered-list sequential fold —
+      // the one aggregate where accumulation order is semantic
+      Temporal.ewmaPerKey(t(s, dir, "events"), "user_id", "ts", "event_id",
+          floor(col("value") * 100).cast("long"), alpha = 0.125)
+        .orderBy("user_id")),
+
+    "session_stats" -> ((s, dir) =>
+      // retention roll-up over the 30-min-gap sessionization: session
+      // count, events, exact in-session seconds, one-division mean
+      Temporal.sessionStats(t(s, dir, "events"), "user_id", "ts",
+          "event_id", gapSeconds = 1800)
+        .orderBy("user_id")),
+
   )
 
   val oracle: Map[String, String] = Map(
@@ -539,6 +553,41 @@ private[graft] object QTemporal {
          FROM a
          WHERE t0 IS NOT NULL AND t1 IS NOT NULL AND t1 >= t0
          ORDER BY user_id""",
+
+    "ewma_value" ->
+      """WITH l AS (
+           SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+             list(CAST(CAST(FLOOR(value * 100) AS BIGINT) AS DOUBLE)
+               ORDER BY ts, event_id) AS vs
+           FROM events GROUP BY 1)
+         SELECT user_id, n_events,
+           list_reduce(vs, (acc, v) -> acc * 0.875 + v * 0.125) AS ewma
+         FROM l ORDER BY user_id""",
+
+    "session_stats" ->
+      """WITH e AS (
+           SELECT user_id, event_id, ts,
+                  CAST(floor(epoch(ts)) AS BIGINT) AS secs
+           FROM events),
+         l AS (
+           SELECT *, lag(secs) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+           FROM e),
+         f AS (
+           SELECT *, CASE WHEN prev IS NULL OR secs - prev > 1800 THEN 1 ELSE 0 END AS is_new
+           FROM l),
+         s AS (
+           SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+           FROM f),
+         g AS (
+           SELECT user_id, session_id, CAST(COUNT(*) AS BIGINT) AS n,
+             MAX(secs) - MIN(secs) AS dur
+           FROM s GROUP BY user_id, session_id)
+         SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(n) AS BIGINT) AS n_events,
+           CAST(SUM(dur) AS BIGINT) AS total_session_seconds,
+           CAST(SUM(dur) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_session_seconds
+         FROM g GROUP BY user_id ORDER BY user_id""",
 
   )
 }

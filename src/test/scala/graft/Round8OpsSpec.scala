@@ -159,6 +159,57 @@ class Round8OpsSpec extends SparkTestBase {
     assert(out == Map(1L -> 100L))
   }
 
+  test("ewmaPerKey: exact-binary fold in event order; single reading passes through") {
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    val df = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 100L, 1L),
+      (1L, ts("2024-01-01 00:01:00"), 200L, 2L),
+      (1L, ts("2024-01-01 00:02:00"), 300L, 3L),
+      (2L, ts("2024-01-01 00:00:00"), 40L, 4L))
+      .toDF("uid", "ts", "cents", "eid")
+    val out = Temporal.ewmaPerKey(df, "uid", "ts", "eid", col("cents"), alpha = 0.125)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // ((100·0.875 + 200·0.125)·0.875 + 300·0.125) — exact binary, bitwise
+    val expect = (100.0 * 0.875 + 200.0 * 0.125) * 0.875 + 300.0 * 0.125
+    assert(out(1L) == expect)
+    assert(out(2L) == 40.0)
+    intercept[IllegalArgumentException] {
+      Temporal.ewmaPerKey(df, "uid", "ts", "eid", col("cents"), alpha = 0.1)
+    }
+  }
+
+  test("sessionStats: gap rule matches sessionize; durations are exact spans") {
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    val df = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 1L), // session 1: 2 events, 300 s
+      (1L, ts("2024-01-01 00:05:00"), 2L),
+      (1L, ts("2024-01-01 02:00:00"), 3L), // session 2: 1 event, 0 s
+      (2L, ts("2024-01-01 00:00:00"), 4L))
+      .toDF("uid", "ts", "eid")
+    val out = Temporal.sessionStats(df, "uid", "ts", "eid", gapSeconds = 1800)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(out(1L) == ((2L, 3L, 300L, 150.0)))
+    assert(out(2L) == ((1L, 1L, 0L, 0.0)))
+  }
+
+  test("abTestStats: hash arms are deterministic; t sign tracks the mean gap") {
+    // two groups: one with a real arm gap, one symmetric
+    val units = (1 to 400).map(_.toLong)
+    val df = units.flatMap { u =>
+      Seq(("shift", u, u % 7 + 10), ("flat", u, u % 5))
+    }.toDF("g", "uid", "x")
+    val out = Stats.abTestStats(df, "g", "uid", col("x"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.get(5))).toMap
+    val (nA, nB, _) = out("shift")
+    assert(nA + nB == 400L && nA > 100L && nB > 100L) // hash split ≈ even
+    // determinism: rerun yields the identical split and t
+    val again = Stats.abTestStats(df, "g", "uid", col("x"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.get(5))).toMap
+    assert(again == out)
+  }
+
   test("cdcChunks: chunks partition the token stream; insertions stay local") {
     import graft.ops.LlmOps
     // deterministic 240-token doc (no RNG — varied enough for boundaries)
