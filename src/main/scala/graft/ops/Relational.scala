@@ -165,6 +165,27 @@ object Relational {
       .agg(count(lit(1)).as("n_groups"),
         hll_sketch_estimate(hll_union_agg(col("__sk"))).as("union_estimate"))
 
+  /** Sketch-space set intersection: |A∩B| ≈ est(A) + est(B) − est(A∪B)
+    * (inclusion–exclusion over HLL estimates; Dasgupta et al. / the
+    * standard HLL set-algebra caveat: no native intersect, error grows
+    * as the intersection shrinks relative to the union — callers treat
+    * small-overlap readings as upper-noise). Each side is ONE sketch
+    * (2^lgK registers) built in one pass, so two 100 TB key sets compare
+    * in sketch space without either ever shuffling — the audience-overlap
+    * / join-cardinality-estimation primitive.
+    */
+  def hllIntersectEstimate(dfA: DataFrame, dfB: DataFrame, keyCol: String,
+                           lgK: Int = 12): DataFrame = {
+    val ska = dfA.agg(hll_sketch_agg(col(keyCol), lit(lgK)).as("__ska"))
+    val skb = dfB.agg(hll_sketch_agg(col(keyCol), lit(lgK)).as("__skb"))
+    ska.crossJoin(skb).select(
+      hll_sketch_estimate(col("__ska")).as("est_a"),
+      hll_sketch_estimate(col("__skb")).as("est_b"),
+      (hll_sketch_estimate(col("__ska")) + hll_sketch_estimate(col("__skb"))
+        - hll_sketch_estimate(hll_union(col("__ska"), col("__skb"))))
+        .as("est_intersect"))
+  }
+
   /** Deterministic 1-in-m sample keyed on the portable md5-48 hash of a
     * key column: reproducible across runs/engines (an external SQL oracle
     * applies the same predicate), evaluated map-side in every partition

