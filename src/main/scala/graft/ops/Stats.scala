@@ -169,6 +169,52 @@ object Stats {
           .as("clipped"))
   }
 
+  /** RFM (recency / frequency / monetary) customer segmentation — the
+    * classic direct-marketing scoring (Hughes 1994), composed scale-safe:
+    * per-customer aggregates first (one shuffle on the customer key),
+    * then the six quartile fences from ONE `percentile` aggregate over
+    * the (already customer-sized) relation, broadcast back, scores by
+    * comparison. Exact-binary 0.25/0.75 positions keep the interpolation
+    * hash-replayable. No global window, no per-row rank — a 10⁹-customer
+    * RFM runs as two aggregates and a broadcast.
+    *
+    * Scores are 1–3 per dimension (3 best: recent, frequent, high-spend;
+    * recency inverts — LOWER days since last order is better);
+    * `segment` is the concatenated "RFM" code ("333" = champions).
+    */
+  def rfmSegments(orders: DataFrame, custCol: String, dateCol: String,
+                  amountCents: Column): DataFrame = {
+    val asof = orders.agg(max(to_date(col(dateCol))).as("__asof"))
+    val per = orders.groupBy(col(custCol))
+      .agg(max(to_date(col(dateCol))).as("__last"),
+        count(lit(1)).as("frequency"),
+        sum(amountCents).as("monetary_cents"))
+      .crossJoin(broadcast(asof))
+      .select(col(custCol),
+        datediff(col("__asof"), col("__last")).cast("long").as("recency_days"),
+        col("frequency"), col("monetary_cents"))
+    val fences = per.agg(
+      percentile(col("recency_days"), lit(0.25)).as("__r25"),
+      percentile(col("recency_days"), lit(0.75)).as("__r75"),
+      percentile(col("frequency"), lit(0.25)).as("__f25"),
+      percentile(col("frequency"), lit(0.75)).as("__f75"),
+      percentile(col("monetary_cents"), lit(0.25)).as("__m25"),
+      percentile(col("monetary_cents"), lit(0.75)).as("__m75"))
+    def asc(v: Column, lo: Column, hi: Column) =
+      when(v.cast("double") <= lo, 1L).when(v.cast("double") <= hi, 2L).otherwise(3L)
+    def desc(v: Column, lo: Column, hi: Column) =
+      when(v.cast("double") <= lo, 3L).when(v.cast("double") <= hi, 2L).otherwise(1L)
+    per.crossJoin(broadcast(fences))
+      .select(col(custCol), col("recency_days"), col("frequency"),
+        col("monetary_cents"),
+        desc(col("recency_days"), col("__r25"), col("__r75")).as("r_score"),
+        asc(col("frequency"), col("__f25"), col("__f75")).as("f_score"),
+        asc(col("monetary_cents"), col("__m25"), col("__m75")).as("m_score"))
+      .withColumn("segment",
+        concat(col("r_score").cast("string"), col("f_score").cast("string"),
+          col("m_score").cast("string")))
+  }
+
   /** Hash-armed A/B comparison with Welch's t statistic, computed to the
     * slate's determinism contract: unit assignment is the portable md5-48
     * hash of the unit key mod 2 (no RNG — the same reproducible split

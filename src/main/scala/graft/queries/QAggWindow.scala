@@ -436,6 +436,14 @@ private[graft] object QAggWindow {
           Seq("c_nationkey", "c_mktsegment"), k = 10)
         .orderBy("c_nationkey", "c_mktsegment")),
 
+    "rfm_segments" -> ((s, dir) =>
+      // direct-marketing RFM scoring: per-customer aggregates, quartile
+      // fences broadcast, 1-3 scores by comparison — two aggregates and
+      // a broadcast at any customer count
+      Stats.rfmSegments(t(s, dir, "orders"), "o_custkey", "o_orderdate",
+          floor(col("o_totalprice") * 100).cast("long"))
+        .orderBy("o_custkey")),
+
     "winsorize_prices" -> ((s, dir) =>
       // robust tail clip to the per-priority [p05, p95] band; bounds
       // broadcast, raw relation never shuffles
@@ -933,6 +941,45 @@ private[graft] object QAggWindow {
       """SELECT c_nationkey, c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_rows,
            COUNT(*) < 10 AS at_risk
          FROM customer GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "rfm_segments" ->
+      """WITH per AS (
+           SELECT o_custkey,
+             CAST(date_diff('day', MAX(CAST(o_orderdate AS DATE)),
+               (SELECT MAX(CAST(o_orderdate AS DATE)) FROM orders)) AS BIGINT)
+               AS recency_days,
+             CAST(COUNT(*) AS BIGINT) AS frequency,
+             CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS monetary_cents
+           FROM orders GROUP BY 1),
+         f AS (
+           SELECT quantile_cont(recency_days, 0.25) AS r25,
+             quantile_cont(recency_days, 0.75) AS r75,
+             quantile_cont(frequency, 0.25) AS f25,
+             quantile_cont(frequency, 0.75) AS f75,
+             quantile_cont(monetary_cents, 0.25) AS m25,
+             quantile_cont(monetary_cents, 0.75) AS m75
+           FROM per)
+         SELECT o_custkey, recency_days, frequency, monetary_cents,
+           CAST(CASE WHEN CAST(recency_days AS DOUBLE) <= r25 THEN 3
+                WHEN CAST(recency_days AS DOUBLE) <= r75 THEN 2
+                ELSE 1 END AS BIGINT) AS r_score,
+           CAST(CASE WHEN CAST(frequency AS DOUBLE) <= f25 THEN 1
+                WHEN CAST(frequency AS DOUBLE) <= f75 THEN 2
+                ELSE 3 END AS BIGINT) AS f_score,
+           CAST(CASE WHEN CAST(monetary_cents AS DOUBLE) <= m25 THEN 1
+                WHEN CAST(monetary_cents AS DOUBLE) <= m75 THEN 2
+                ELSE 3 END AS BIGINT) AS m_score,
+           (CASE WHEN CAST(recency_days AS DOUBLE) <= r25 THEN 3
+                WHEN CAST(recency_days AS DOUBLE) <= r75 THEN 2
+                ELSE 1 END)::VARCHAR ||
+           (CASE WHEN CAST(frequency AS DOUBLE) <= f25 THEN 1
+                WHEN CAST(frequency AS DOUBLE) <= f75 THEN 2
+                ELSE 3 END)::VARCHAR ||
+           (CASE WHEN CAST(monetary_cents AS DOUBLE) <= m25 THEN 1
+                WHEN CAST(monetary_cents AS DOUBLE) <= m75 THEN 2
+                ELSE 3 END)::VARCHAR AS segment
+         FROM per, f ORDER BY o_custkey""",
 
     "winsorize_prices" ->
       """WITH q AS (

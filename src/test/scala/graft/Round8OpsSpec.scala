@@ -270,6 +270,57 @@ class Round8OpsSpec extends SparkTestBase {
       s"only $unchanged of ${base.length} chunks survived a 1-token insertion")
   }
 
+  test("randomized: intervalMerge equals brute-force interval union (seeded)") {
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 5) {
+      val dur = 60L + rnd.nextInt(240)
+      val rows = (1 to 80).map { i =>
+        val uid = 1L + rnd.nextInt(4)
+        val sec = rnd.nextInt(4000).toLong
+        (uid, new java.sql.Timestamp(sec * 1000L), i.toLong, sec)
+      }
+      val got = Temporal.intervalMerge(
+          rows.map(r => (r._1, r._2, r._3)).toDF("uid", "ts", "eid"),
+          "uid", "ts", "eid", dur)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      // brute force: sort starts, sweep-merge [s, s+dur)
+      val expect = rows.groupBy(_._1).map { case (uid, rs) =>
+        val ivs = rs.map(_._4).sorted.map(s => (s, s + dur))
+        val merged = ivs.foldLeft(List.empty[(Long, Long)]) {
+          case (Nil, iv) => List(iv)
+          case ((lo, hi) :: rest, (s, e)) =>
+            if (s > hi) (s, e) :: (lo, hi) :: rest
+            else (lo, math.max(hi, e)) :: rest
+        }
+        uid -> ((merged.size.toLong, merged.map(iv => iv._2 - iv._1).sum))
+      }
+      assert(got == expect, s"dur=$dur")
+    }
+  }
+
+  test("randomized: gini is invariant to tie-key order; transitions row-stochastic") {
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 3) {
+      // duplicate-heavy values with two different tie-key layouts
+      val vals = (1 to 60).map(_ => rnd.nextInt(5).toLong)
+      val a = vals.zipWithIndex.map { case (v, i) => ("g", v, i.toLong) }
+      val b = vals.zipWithIndex.map { case (v, i) => ("g", v, (1000 - i).toLong) }
+      val ga = Stats.giniByGroup(a.toDF("g", "x", "k"), "g", col("x"), "k")
+        .collect().head.getDouble(3)
+      val gb = Stats.giniByGroup(b.toDF("g", "x", "k"), "g", col("x"), "k")
+        .collect().head.getDouble(3)
+      assert(ga == gb, "gini must be a pure function of the value multiset")
+    }
+    val seq = (1 to 120).map { i =>
+      (1L + i % 3, new java.sql.Timestamp(i * 1000L), s"t${rnd.nextInt(4)}", i.toLong)
+    }
+    val rows = Temporal.transitionMatrix(
+      seq.toDF("uid", "ts", "et", "eid"), "uid", "ts", "eid", "et").collect()
+    rows.groupBy(_.getString(0)).foreach { case (_, rs) =>
+      assert(math.abs(rs.map(_.getDouble(3)).sum - 1.0) < 1e-9)
+    }
+  }
+
   test("plan audits: round-8 queries keep their 100TB shapes") {
     def planOf(name: String): String = {
       val df = SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")
