@@ -114,4 +114,23 @@ class TsNtzSpec extends SparkTestBase {
     assert(Temporal.scd2Lookup(events, dim, "user_id", "d_user", "ts")
       .count() >= 7L)
   }
+
+  test("round-8 ts-consuming operators run over NTZ ts") {
+    // every round-8 operator touching the ts column must stay legal on
+    // the NTZ physical type (same guard contract as the r7 family above)
+    assert(Temporal.transitionMatrix(events, "user_id", "ts", "event_id",
+      "event_type").count() >= 2L)
+    assert(Temporal.timeWeightedAvg(events, "user_id", "ts", "event_id",
+      lit(100L)).count() >= 2L)
+    assert(Temporal.intervalMerge(events, "user_id", "ts", "event_id",
+      600L).count() == 3L)
+    assert(Temporal.conversionLag(events, "user_id", "ts", "event_type",
+      "view", "purchase").count() == 2L)
+    assert(Temporal.ewmaPerKey(events, "user_id", "ts", "event_id",
+      lit(100L)).count() == 3L)
+    assert(Temporal.sessionStats(events, "user_id", "ts", "event_id",
+      300L).count() == 3L)
+    assert(Temporal.cusumChangepoint(events, "event_type", "ts")
+      .count() == 3L)
+  }
 }
