@@ -468,6 +468,20 @@ private[graft] object QAggWindow {
             <= col("n_exact").cast("double") * 0.05).as("intersect_ok"))
     }),
 
+    "volume_anomaly_days" -> ((s, dir) => {
+      // monitoring twin of cusum_changepoint: per-type daily volumes
+      // z-scored against the series moments (exact decimal sums, broadcast
+      // back); |z| ≥ 2 flags the outlier days without dropping the series
+      val daily = t(s, dir, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("cnt"))
+      Relational.zscoreNormalize(daily, "event_type", "day", "cnt")
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("event_type"), col("cnt"), col("zscore"),
+          coalesce(abs(col("zscore")) >= 2.0, lit(false)).as("is_anomaly"))
+        .orderBy("event_type", "day")
+    }),
+
     "cusum_changepoint" -> ((s, dir) =>
       // level-shift scan over per-type daily volumes: integer-exact
       // n-scaled CUSUM, argmax day per series (ties -> earliest)
@@ -998,6 +1012,28 @@ private[graft] object QAggWindow {
          b AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
          SELECT CAST(COUNT(*) AS BIGINT) AS n_exact, TRUE AS intersect_ok
          FROM a JOIN b USING (user_id)""",
+
+    "volume_anomaly_days" ->
+      """WITH d AS (
+           SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+           FROM events GROUP BY 1, 2),
+         m AS (
+           SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(CAST(SUM(CAST(cnt AS DECIMAL(38,6))) AS DECIMAL(38,6)) AS DOUBLE) AS sx,
+             CAST(CAST(SUM(CAST(cnt AS DECIMAL(18,6)) * CAST(cnt AS DECIMAL(18,6)))
+               AS DECIMAL(38,12)) AS DOUBLE) AS sx2
+           FROM d GROUP BY 1)
+         SELECT strftime(d.day, '%Y-%m-%d') AS day, d.event_type, d.cnt,
+           CASE WHEN (sx2 / n - (sx / n) * (sx / n)) <= 0 THEN NULL
+                ELSE (CAST(cnt AS DOUBLE) - sx / n)
+                     / sqrt(sx2 / n - (sx / n) * (sx / n)) END AS zscore,
+           COALESCE(abs(CASE WHEN (sx2 / n - (sx / n) * (sx / n)) <= 0 THEN NULL
+                ELSE (CAST(cnt AS DOUBLE) - sx / n)
+                     / sqrt(sx2 / n - (sx / n) * (sx / n)) END) >= 2.0, FALSE)
+             AS is_anomaly
+         FROM d JOIN m USING (event_type)
+         ORDER BY event_type, day""",
 
     "cusum_changepoint" ->
       """WITH d AS (
