@@ -468,6 +468,18 @@ private[graft] object QAggWindow {
             <= col("n_exact").cast("double") * 0.05).as("intersect_ok"))
     }),
 
+    "percentile_trend" -> ((s, dir) =>
+      // weekly order-value distribution trend (p50/p90 + volume): the BI
+      // drift view — exact percentile per bounded weekly group, one
+      // aggregate, no window
+      t(s, dir, "orders")
+        .groupBy(date_format(date_trunc("week", col("o_orderdate")), "yyyy-MM-dd")
+          .as("week_start"))
+        .agg(count(lit(1)).as("n_orders"),
+          percentile(col("o_totalprice"), lit(0.5)).as("p50_price"),
+          percentile(col("o_totalprice"), lit(0.9)).as("p90_price"))
+        .orderBy("week_start")),
+
     "volume_anomaly_days" -> ((s, dir) => {
       // monitoring twin of cusum_changepoint: per-type daily volumes
       // z-scored against the series moments (exact decimal sums, broadcast
@@ -1012,6 +1024,14 @@ private[graft] object QAggWindow {
          b AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
          SELECT CAST(COUNT(*) AS BIGINT) AS n_exact, TRUE AS intersect_ok
          FROM a JOIN b USING (user_id)""",
+
+    "percentile_trend" ->
+      """SELECT strftime(date_trunc('week', CAST(o_orderdate AS DATE)), '%Y-%m-%d')
+             AS week_start,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           quantile_cont(o_totalprice, 0.5) AS p50_price,
+           quantile_cont(o_totalprice, 0.9) AS p90_price
+         FROM orders GROUP BY 1 ORDER BY week_start""",
 
     "volume_anomaly_days" ->
       """WITH d AS (
