@@ -1341,7 +1341,7 @@ object LlmOps {
         countDistinct(col("chunk_fp")).as("n_distinct"))
       .select(col("n_chunks"), col("n_distinct"),
         ((col("n_chunks") - col("n_distinct")).cast("double")
-          / col("n_chunks").cast("double")).as("dup_rate"))
+          / nullif(col("n_chunks").cast("double"), lit(0.0))).as("dup_rate"))
 
   /** Chunk-level benchmark contamination: flags training docs that share
     * an ALIGNED [[chunkWindows]] fingerprint with the benchmark set — the

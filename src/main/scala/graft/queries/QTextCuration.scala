@@ -654,7 +654,7 @@ private[graft] object QTextCuration {
          SELECT CAST(COUNT(*) AS BIGINT) AS n_chunks,
            CAST(COUNT(DISTINCT chunk_fp) AS BIGINT) AS n_distinct,
            CAST(COUNT(*) - COUNT(DISTINCT chunk_fp) AS DOUBLE)
-             / CAST(COUNT(*) AS DOUBLE) AS dup_rate
+             / NULLIF(CAST(COUNT(*) AS DOUBLE), 0.0) AS dup_rate
          FROM g""",
 
     "bpe_pair_counts" ->

@@ -321,6 +321,40 @@ class Round8OpsSpec extends SparkTestBase {
     }
   }
 
+  test("round-8 totality: every operator is total on empty input") {
+    val eEvents = Seq.empty[(Long, java.sql.Timestamp, String, Long)]
+      .toDF("uid", "ts", "et", "eid")
+    val eVals = Seq.empty[(String, Long, Long)].toDF("g", "x", "k")
+    val eDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Stats.corrPearson(eVals, "g", col("x"), col("k")).count() == 0)
+    assert(Stats.giniByGroup(eVals, "g", col("x"), "k").count() == 0)
+    assert(Stats.simpsonDiversity(eVals, "g", "x").count() == 0)
+    assert(Stats.modePerGroup(eVals, "g", "x").count() == 0)
+    assert(Stats.topKPerGroup(eVals, "g", Seq(col("x").desc), 3).count() == 0)
+    assert(Stats.kAnonymityAudit(eVals, Seq("g", "x"), 5).count() == 0)
+    assert(Stats.winsorize(eVals, "g", "k", "x").count() == 0)
+    assert(Stats.abTestStats(eVals, "g", "k", col("x")).count() == 0)
+    assert(Stats.rfmSegments(
+      Seq.empty[(Long, java.sql.Timestamp, Double)]
+        .toDF("o_custkey", "o_orderdate", "o_totalprice"),
+      "o_custkey", "o_orderdate", lit(0L)).count() == 0)
+    assert(Temporal.transitionMatrix(eEvents, "uid", "ts", "eid", "et").count() == 0)
+    assert(Temporal.timeWeightedAvg(eEvents, "uid", "ts", "eid", lit(1L)).count() == 0)
+    assert(Temporal.intervalMerge(eEvents, "uid", "ts", "eid", 600L).count() == 0)
+    assert(Temporal.conversionLag(eEvents, "uid", "ts", "et", "a", "b").count() == 0)
+    assert(Temporal.ewmaPerKey(eEvents, "uid", "ts", "eid", lit(1L)).count() == 0)
+    assert(Temporal.sessionStats(eEvents, "uid", "ts", "eid", 300L).count() == 0)
+    assert(Temporal.cusumChangepoint(eEvents, "et", "ts").count() == 0)
+    assert(graft.ops.LlmOps.cdcChunks(eDocs, "doc_id", "text").count() == 0)
+    // cdcDedupStats aggregates an empty relation → one row, null-safe rate
+    val s = graft.ops.LlmOps.cdcDedupStats(eDocs, "doc_id", "text").collect().head
+    assert(s.getLong(0) == 0L && s.isNullAt(2))
+    // hll union: the global roll-up is total too — one row, zero groups,
+    // null estimate (no sketch to union)
+    val h = graft.ops.Relational.hllUnionEstimate(eVals, "g", "x").collect().head
+    assert(h.getLong(0) == 0L && (h.isNullAt(1) || h.getLong(1) == 0L))
+  }
+
   test("plan audits: round-8 queries keep their 100TB shapes") {
     def planOf(name: String): String = {
       val df = SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")
