@@ -721,4 +721,24 @@ object Relational {
     bloomPass(fact, factKey, bits, mBits, hashes)
       .join(dim, col(factKey) === col(dimKey))
   }
+
+  /** Rolling EXACT median of an integer-valued column over the last
+    * `frameRows` rows per key — the robust denoiser a monitoring feed
+    * applies where a rolling mean would chase spikes. Spark's exact
+    * `percentile` aggregate runs as a WINDOW function over a
+    * per-key ROWS frame: the frame is ≤ frameRows values, so the
+    * per-row buffer is O(frameRows) — bounded, partition-local, no
+    * global sort. Median interpolation on integer-VALUED doubles is
+    * exact binary arithmetic ((lo + (hi−lo)·0.5 at a .5 position) —
+    * both halves representable), so DuckDB's `median(...) OVER` twin
+    * hash-matches bit for bit.
+    */
+  def rollingMedian(df: DataFrame, keyCol: String, tsCol: String,
+                    tieCol: String, x: Column, frameRows: Int): DataFrame = {
+    require(frameRows >= 1)
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col(tieCol))
+      .rowsBetween(-(frameRows - 1), 0)
+    df.withColumn("rolling_median", percentile(x, lit(0.5)).over(w))
+  }
 }

@@ -250,6 +250,85 @@ object Stats {
         .as("t_stat"))
   }
 
+  /** Per-group ordinary-least-squares trend line — slope, intercept and
+    * r² of integer-valued (x, y) points via the closed-form normal
+    * equations over six exact sums:
+    *
+    *   slope = (n·Σxy − Σx·Σy) / (n·Σxx − (Σx)²)
+    *   r²    = (n·Σxy − Σx·Σy)² / ((n·Σxx − (Σx)²)·(n·Σyy − (Σy)²))
+    *
+    * ONE hash-aggregate (map-side combined) computes every sum; the
+    * formula is a fixed double expression over those exact numbers,
+    * spelled identically in the oracle twin. Σxy and Σyy accumulate in
+    * DECIMAL(38,0) (per-row products stay in LONG range by the caller's
+    * pre-scaling contract; the running sums do not — cents² × rows
+    * crosses 2^63 already at sf0.01). The DuckDB twin gets the same
+    * exactness for free (BIGINT sums widen to HUGEINT); both engines
+    * then round the identical integer to the identical double. Groups
+    * with zero x-variance (or < 2 points) yield null slope.
+    *
+    * This is the trend readout a metrics pipeline fits per segment —
+    * "is revenue growing, and how fast" — without MLlib: at 100 TB it
+    * is one shuffle of six numbers per group.
+    */
+  def olsTrend(df: DataFrame, groupCol: String, x: Column, y: Column): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val agg = df.groupBy(col(groupCol)).agg(
+      count(lit(1)).as("n"),
+      sum(x).as("__sx"), sum(y).as("__sy"),
+      sum(x * x).as("__sxx"),
+      sum((x * y).cast(dec)).as("__sxy"),
+      sum((y * y).cast(dec)).as("__syy"))
+    def d(c: String) = col(c).cast("double")
+    val n = d("n")
+    val num = n * d("__sxy") - d("__sx") * d("__sy")
+    val varX = n * d("__sxx") - d("__sx") * d("__sx")
+    val varY = n * d("__syy") - d("__sy") * d("__sy")
+    val slope = num / nullif(varX, lit(0.0))
+    agg.select(col(groupCol), col("n"),
+      slope.as("slope"),
+      ((d("__sy") - slope * d("__sx")) / n).as("intercept"),
+      ((num * num) / nullif(varX * varY, lit(0.0))).as("r2"))
+  }
+
+  /** Benford first-significant-digit audit — the classic fraud /
+    * data-quality screen (Benford 1938, Nigrini 1996): natural
+    * multiplicative data puts digit d first with probability
+    * log₁₀(1+1/d); fabricated or truncated feeds don't. The leading
+    * digit comes from the DIGIT STRING of the exact integer amount
+    * (cents as LONG → string), never from float formatting — long
+    * rendering is engine-portable where double rendering is not. One
+    * hash-aggregate over 9 live digit groups + a broadcast of the
+    * 1-row total; expected shares are double LITERALS (both engines
+    * parse the same decimal literal to the same double — no log10()
+    * at query time, per the slate's no-libm determinism contract).
+    * Emits the per-digit Pearson χ² term (c − N·e)²/(N·e); Σ over the
+    * 9 rows is the audit statistic.
+    */
+  def benfordDigits(df: DataFrame, amount: Column): DataFrame = {
+    // log10(1+1/d) to 17 significant digits, d = 1..9
+    val expected = Seq(
+      0.3010299956639812, 0.17609125905568124, 0.12493873660829992,
+      0.09691001300805642, 0.07918124604762482, 0.06694678963061322,
+      0.05799194697768673, 0.05115252244738129, 0.04575749056067514)
+    val digit = substring(col("__amt").cast("string"), 1, 1).cast("long")
+    val counts = df.select(amount.as("__amt"))
+      .filter(col("__amt") > 0)
+      .groupBy(digit.as("digit"))
+      .agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum(col("n")).as("__total"))
+    val e = expected.zipWithIndex.foldLeft(lit(null).cast("double")) {
+      case (acc, (p, i)) => when(col("digit") === (i + 1), lit(p)).otherwise(acc)
+    }
+    counts.crossJoin(broadcast(total))
+      .select(col("digit"), col("n"),
+        (col("n").cast("double") / col("__total").cast("double")).as("share"),
+        e.as("expected_share"),
+        (((col("n").cast("double") - col("__total").cast("double") * e)
+          * (col("n").cast("double") - col("__total").cast("double") * e))
+          / (col("__total").cast("double") * e)).as("chi2_term"))
+  }
+
   /** Top-k rows per group by an explicit order. The `row_number ≤ k`
     * filter is the shape Spark's InferWindowGroupLimit rewrites to a
     * WindowGroupLimit: each map task keeps a bounded k-row heap PER GROUP

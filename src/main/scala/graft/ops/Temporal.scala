@@ -551,4 +551,102 @@ object Temporal {
       .agg(count(lit(1)).as("n_islands"),
         sum(col("__hi") - col("__lo")).as("covered_seconds"))
   }
+
+  /** Day-of-week seasonality profile of an event stream — the weekly
+    * load-shape table a capacity planner or anomaly detector normalizes
+    * against. Two cascaded hash-aggregates: raw rows → (epoch-day, count)
+    * — the only shuffle that sees data volume — then 7 dow groups.
+    * Day-of-week is computed ARITHMETICALLY from the epoch day
+    * ((d+4) mod 7, 0 = Sunday; 1970-01-01 was a Thursday) so both
+    * engines agree without relying on their dow() conventions (Spark
+    * counts Sunday=1, DuckDB Sunday=0 — the classic off-by-one).
+    * `seasonality` is the dow's events-per-observed-day over the global
+    * events-per-day, a fixed double expression over exact longs; 1.0 =
+    * flat week.
+    */
+  def dowSeasonality(df: DataFrame, tsCol: String): DataFrame = {
+    val daily = df
+      .groupBy(datediff(to_date(col(tsCol)), lit("1970-01-01").cast("date"))
+        .cast("long").as("__d"))
+      .agg(count(lit(1)).as("__c"))
+    val byDow = daily
+      .groupBy(pmod(col("__d") + 4, lit(7L)).as("dow"))
+      .agg(count(lit(1)).as("n_days"), sum(col("__c")).as("n_events"))
+    val tot = byDow.agg(sum(col("n_days")).as("__td"),
+      sum(col("n_events")).as("__te"))
+    val perDay = col("n_events").cast("double") / col("n_days").cast("double")
+    byDow.crossJoin(broadcast(tot))
+      .select(col("dow"), col("n_days"), col("n_events"),
+        perDay.as("events_per_day"),
+        (perDay / (col("__te").cast("double") / col("__td").cast("double")))
+          .as("seasonality"))
+  }
+
+  /** Autocorrelation function of the daily event-count series at lags
+    * 1..maxLag — the seasonality/periodicity probe (a weekly cycle shows
+    * as a peak at lag 7). Estimator: the PEARSON correlation between the
+    * series and its k-shifted self over the (day, day+k) pairs that
+    * exist, via the six-exact-sums identity `Stats.corrPearson` uses —
+    * integer daily counts in, one fixed double expression out.
+    *
+    * Scale shape: the raw stream collapses to ≤ one row per day in the
+    * first aggregate; everything after (lag explode, self-join on
+    * day-index, per-lag roll-up) runs on the bounded daily series —
+    * days × maxLag rows, independent of corpus size. The self-join is a
+    * broadcast at any realistic calendar span.
+    */
+  def acfDailyCounts(df: DataFrame, tsCol: String, maxLag: Int): DataFrame = {
+    require(maxLag >= 1)
+    val daily = df
+      .groupBy(datediff(to_date(col(tsCol)), lit("1970-01-01").cast("date"))
+        .cast("long").as("__d"))
+      .agg(count(lit(1)).as("__c"))
+    val lags = (1 to maxLag).map(_.toLong)
+    val pairs = daily
+      .select(col("__d"), col("__c").as("__x"),
+        explode(array(lags.map(lit): _*)).as("lag_k"))
+      .join(daily.select(col("__d").as("__d2"), col("__c").as("__y")),
+        col("__d2") === col("__d") + col("lag_k"))
+    val agg = pairs.groupBy(col("lag_k")).agg(
+      count(lit(1)).as("n_pairs"),
+      sum(col("__x")).as("__sx"), sum(col("__y")).as("__sy"),
+      sum(col("__x") * col("__x")).as("__sxx"),
+      sum(col("__y") * col("__y")).as("__syy"),
+      sum(col("__x") * col("__y")).as("__sxy"))
+    def d(c: String) = col(c).cast("double")
+    val n = d("n_pairs")
+    val varX = n * d("__sxx") - d("__sx") * d("__sx")
+    val varY = n * d("__syy") - d("__sy") * d("__sy")
+    agg.select(col("lag_k"), col("n_pairs"),
+      ((n * d("__sxy") - d("__sx") * d("__sy"))
+        / nullif(sqrt(varX * varY), lit(0.0))).as("acf"))
+  }
+
+  /** Per-key inter-arrival statistics — the event-cadence profile
+    * (mean/max gap, burstiness) that feeds staleness alerting and bot
+    * detection. Gaps are exact LONG second differences from one lag
+    * window in (ts, tie) order; n/Σg/Σg² roll up exactly and the final
+    * mean and POPULATION standard deviation are fixed double expressions
+    * (sqrt of exact-integer variance — IEEE-correctly-rounded, hashable).
+    * One sort per key partition, one aggregate; keys with < 2 events
+    * drop (no gap exists).
+    */
+  def interarrivalStats(df: DataFrame, keyCol: String, tsCol: String,
+                        tieCol: String): DataFrame = {
+    val ord = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(tieCol))
+    val sec = Ts.epochSeconds(col(tsCol))
+    val gaps = df
+      .select(col(keyCol), (sec - lag(sec, 1).over(ord)).as("__g"))
+      .filter(col("__g").isNotNull)
+    val agg = gaps.groupBy(col(keyCol)).agg(
+      count(lit(1)).as("n_gaps"),
+      sum(col("__g")).as("__sg"),
+      sum(col("__g") * col("__g")).as("__sgg"),
+      max(col("__g")).as("max_gap_s"))
+    def d(c: String) = col(c).cast("double")
+    val n = d("n_gaps")
+    agg.select(col(keyCol), col("n_gaps"), col("max_gap_s"),
+      (d("__sg") / n).as("mean_gap_s"),
+      (sqrt(n * d("__sgg") - d("__sg") * d("__sg")) / n).as("sd_gap_s"))
+  }
 }

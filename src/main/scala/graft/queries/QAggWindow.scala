@@ -520,6 +520,24 @@ private[graft] object QAggWindow {
             <= col("n_exact").cast("double") * 0.05).as("union_ok"))
     }),
 
+    "ols_trend" -> ((s, dir) =>
+      // per-priority revenue trend: closed-form OLS over six exact sums —
+      // one shuffle of six numbers per group at any scale
+      Stats.olsTrend(
+          t(s, dir, "orders").select(col("o_orderpriority"),
+            datediff(to_date(col("o_orderdate")), lit("1970-01-01").cast("date"))
+              .cast("long").as("__x"),
+            floor(col("o_totalprice") * 100).cast("long").as("__y")),
+          "o_orderpriority", col("__x"), col("__y"))
+        .orderBy("o_orderpriority")),
+
+    "benford_digits" -> ((s, dir) =>
+      // first-digit fraud/quality screen vs Benford expectation; leading
+      // digit from the exact integer cents string, χ² terms per digit
+      Stats.benfordDigits(t(s, dir, "orders"),
+          floor(col("o_totalprice") * 100).cast("long"))
+        .orderBy("digit")),
+
   )
 
   val oracle: Map[String, String] = Map(
@@ -1117,6 +1135,71 @@ private[graft] object QAggWindow {
            CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact,
            TRUE AS union_ok
          FROM events""",
+
+    "ols_trend" ->
+      """WITH pts AS (
+           SELECT o_orderpriority,
+             CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS x,
+             CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS y
+           FROM orders),
+         s AS (
+           SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(x) AS sx, SUM(y) AS sy, SUM(x*x) AS sxx,
+             SUM(x*y) AS sxy, SUM(y*y) AS syy
+           FROM pts GROUP BY 1)
+         SELECT o_orderpriority, n,
+           (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / NULLIF(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0.0) AS slope,
+           (CAST(sy AS DOUBLE)
+              - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / NULLIF(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0.0))
+                * CAST(sx AS DOUBLE))
+             / CAST(n AS DOUBLE) AS intercept,
+           ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+            * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)))
+             / NULLIF((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                      * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                         - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)), 0.0) AS r2
+         FROM s ORDER BY o_orderpriority""",
+
+    "benford_digits" ->
+      """WITH amts AS (
+           SELECT CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS amt
+           FROM orders
+           WHERE CAST(FLOOR(o_totalprice * 100) AS BIGINT) > 0),
+         c AS (
+           SELECT CAST(substr(CAST(amt AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+                  CAST(COUNT(*) AS BIGINT) AS n
+           FROM amts GROUP BY 1),
+         t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM c),
+         e AS (
+           SELECT digit, n, total,
+             CAST(CASE digit
+               WHEN 1 THEN '0.3010299956639812'
+               WHEN 2 THEN '0.17609125905568124'
+               WHEN 3 THEN '0.12493873660829992'
+               WHEN 4 THEN '0.09691001300805642'
+               WHEN 5 THEN '0.07918124604762482'
+               WHEN 6 THEN '0.06694678963061322'
+               WHEN 7 THEN '0.05799194697768673'
+               WHEN 8 THEN '0.05115252244738129'
+               WHEN 9 THEN '0.04575749056067514'
+             END AS DOUBLE) AS ex
+           FROM c, t)
+         SELECT digit, n,
+           CAST(n AS DOUBLE) / CAST(total AS DOUBLE) AS share,
+           ex AS expected_share,
+           ((CAST(n AS DOUBLE) - CAST(total AS DOUBLE) * ex)
+            * (CAST(n AS DOUBLE) - CAST(total AS DOUBLE) * ex))
+             / (CAST(total AS DOUBLE) * ex) AS chi2_term
+         FROM e ORDER BY digit""",
 
   )
 }

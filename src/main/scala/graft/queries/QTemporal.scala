@@ -256,6 +256,33 @@ private[graft] object QTemporal {
           "event_id", gapSeconds = 1800)
         .orderBy("user_id")),
 
+    "dow_seasonality" -> ((s, dir) =>
+      // weekly load shape: events-per-observed-day per day-of-week over
+      // the global rate — arithmetic dow from the epoch day, engine-neutral
+      Temporal.dowSeasonality(t(s, dir, "events"), "ts")
+        .orderBy("dow")),
+
+    "acf_daily" -> ((s, dir) =>
+      // autocorrelation of the daily count series at lags 1..7: the
+      // periodicity probe; all joins run on the bounded daily series
+      Temporal.acfDailyCounts(t(s, dir, "events"), "ts", maxLag = 7)
+        .orderBy("lag_k")),
+
+    "interarrival_stats" -> ((s, dir) =>
+      // per-user cadence profile: exact integer gaps from one lag pass,
+      // mean/max/population-sd from exact sums
+      Temporal.interarrivalStats(t(s, dir, "events"), "user_id", "ts",
+          "event_id")
+        .orderBy("user_id")),
+
+    "rolling_median_value" -> ((s, dir) =>
+      // 7-row rolling exact median of value-cents per user: bounded
+      // O(frame) window buffer, interpolation exact on integer doubles
+      Relational.rollingMedian(t(s, dir, "events"), "user_id", "ts",
+          "event_id", floor(col("value") * 100).cast("long"), frameRows = 7)
+        .select("user_id", "event_id", "rolling_median")
+        .orderBy("user_id", "event_id")),
+
   )
 
   val oracle: Map[String, String] = Map(
@@ -588,6 +615,76 @@ private[graft] object QTemporal {
            CAST(SUM(dur) AS BIGINT) AS total_session_seconds,
            CAST(SUM(dur) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_session_seconds
          FROM g GROUP BY user_id ORDER BY user_id""",
+
+    "dow_seasonality" ->
+      """WITH daily AS (
+           SELECT CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS d,
+                  CAST(COUNT(*) AS BIGINT) AS c
+           FROM events GROUP BY 1),
+         byd AS (
+           SELECT (d + 4) % 7 AS dow, CAST(COUNT(*) AS BIGINT) AS n_days,
+                  CAST(SUM(c) AS BIGINT) AS n_events
+           FROM daily GROUP BY 1),
+         tot AS (SELECT CAST(SUM(n_days) AS BIGINT) AS td,
+                        CAST(SUM(n_events) AS BIGINT) AS te FROM byd)
+         SELECT dow, n_days, n_events,
+           CAST(n_events AS DOUBLE) / CAST(n_days AS DOUBLE) AS events_per_day,
+           (CAST(n_events AS DOUBLE) / CAST(n_days AS DOUBLE))
+             / (CAST(te AS DOUBLE) / CAST(td AS DOUBLE)) AS seasonality
+         FROM byd, tot ORDER BY dow""",
+
+    "acf_daily" ->
+      """WITH daily AS (
+           SELECT CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS d,
+                  CAST(COUNT(*) AS BIGINT) AS c
+           FROM events GROUP BY 1),
+         lags AS (SELECT CAST(unnest(generate_series(1, 7)) AS BIGINT) AS lag_k),
+         pairs AS (
+           SELECT l.lag_k AS lag_k, a.c AS x, b.c AS y
+           FROM daily a CROSS JOIN lags l
+           JOIN daily b ON b.d = a.d + l.lag_k),
+         agg AS (
+           SELECT lag_k, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             SUM(x) AS sx, SUM(y) AS sy, SUM(x*x) AS sxx,
+             SUM(y*y) AS syy, SUM(x*y) AS sxy
+           FROM pairs GROUP BY lag_k)
+         SELECT lag_k, n_pairs,
+           (CAST(n_pairs AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+           / NULLIF(SQRT(
+               (CAST(n_pairs AS DOUBLE) * CAST(sxx AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+               * (CAST(n_pairs AS DOUBLE) * CAST(syy AS DOUBLE)
+                  - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 0.0) AS acf
+         FROM agg ORDER BY lag_k""",
+
+    "interarrival_stats" ->
+      """WITH e AS (
+           SELECT user_id, event_id, ts,
+                  CAST(floor(epoch(ts)) AS BIGINT) AS secs
+           FROM events),
+         g AS (
+           SELECT user_id,
+             secs - lag(secs) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+           FROM e),
+         a AS (
+           SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+             SUM(gap) AS sg, SUM(gap*gap) AS sgg,
+             CAST(MAX(gap) AS BIGINT) AS max_gap_s
+           FROM g WHERE gap IS NOT NULL GROUP BY 1)
+         SELECT user_id, n_gaps, max_gap_s,
+           CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE) AS mean_gap_s,
+           SQRT(CAST(n_gaps AS DOUBLE) * CAST(sgg AS DOUBLE)
+                - CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE))
+             / CAST(n_gaps AS DOUBLE) AS sd_gap_s
+         FROM a ORDER BY user_id""",
+
+    "rolling_median_value" ->
+      """SELECT user_id, event_id,
+           median(CAST(CAST(FLOOR(value * 100) AS BIGINT) AS DOUBLE)) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS rolling_median
+         FROM events ORDER BY user_id, event_id""",
 
   )
 }

@@ -133,4 +133,13 @@ class TsNtzSpec extends SparkTestBase {
     assert(Temporal.cusumChangepoint(events, "event_type", "ts")
       .count() == 3L)
   }
+
+  test("round-8b ts-consuming operators run over NTZ ts") {
+    assert(Temporal.dowSeasonality(events, "ts").count() >= 1L)
+    assert(Temporal.acfDailyCounts(events, "ts", 2).count() >= 0L)
+    assert(Temporal.interarrivalStats(events, "user_id", "ts", "event_id")
+      .count() >= 1L)
+    assert(graft.ops.Relational.rollingMedian(events, "user_id", "ts",
+      "event_id", lit(1L), 3).count() >= 1L)
+  }
 }
