@@ -1,0 +1,64 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Association / co-occurrence mining (round 8): market-basket pair rules
+  * with support and lift. Extends the reference's GROUP-BY analytics row
+  * (SURVEY.md §2.4) with the co-occurrence readout a recommender or
+  * curriculum-mixing pipeline derives from transaction-shaped data.
+  *
+  * Scale shape: the only quadratic step is the WITHIN-basket self-join,
+  * whose cost is Σ sizeᵦ² — bounded by the `maxBasketSize` guard (outlier
+  * mega-baskets are excluded, a documented census decision, instead of
+  * silently detonating the shuffle; Savasere VLDB'95 partitioned apriori
+  * makes the same cut). Item frequencies join back by broadcast — the
+  * item dimension is vocabulary-sized, not corpus-sized.
+  */
+object Assoc {
+
+  /** Frequent item PAIRS with support / confidence / lift:
+    *
+    *   support(a,b) = c(a,b)/N          lift(a,b) = N·c(a,b)/(c(a)·c(b))
+    *
+    * over DISTINCT (basket, item) presence (multiplicity inside one
+    * basket does not re-count — the standard basket model). `a < b`
+    * canonicalizes each unordered pair to one row. All counts are exact
+    * longs; support/lift are one fixed double expression over them.
+    * Pairs below `minPairCount` prune BEFORE the frequency joins, so
+    * rule-table size — not candidate volume — drives the tail stages.
+    */
+  def basketPairs(df: DataFrame, basketCol: String, itemCol: String,
+                  minPairCount: Long = 2L,
+                  maxBasketSize: Int = 1000): DataFrame = {
+    val present = df.select(col(basketCol).as("__b"), col(itemCol).as("__i"))
+      .distinct()
+    val sized = present
+      .withColumn("__sz", count(lit(1))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy(col("__b"))))
+      .filter(col("__sz") <= maxBasketSize)
+      .select(col("__b"), col("__i"))
+    val kept = sized.localCheckpoint(eager = true)
+    val nBaskets = kept.agg(countDistinct(col("__b")).as("__n"))
+    val itemCounts = kept.groupBy(col("__i")).agg(count(lit(1)).as("__ci"))
+    val pairs = kept.as("l")
+      .join(kept.as("r"), col("l.__b") === col("r.__b")
+        && col("l.__i") < col("r.__i"))
+      .groupBy(col("l.__i").as("item_a"), col("r.__i").as("item_b"))
+      .agg(count(lit(1)).as("n_pair"))
+      .filter(col("n_pair") >= minPairCount)
+    pairs
+      .join(broadcast(itemCounts).withColumnRenamed("__i", "item_a")
+        .withColumnRenamed("__ci", "__ca"), Seq("item_a"))
+      .join(broadcast(itemCounts).withColumnRenamed("__i", "item_b")
+        .withColumnRenamed("__ci", "__cb"), Seq("item_b"))
+      .crossJoin(broadcast(nBaskets))
+      .select(col("item_a"), col("item_b"), col("n_pair"),
+        col("__ca").as("n_a"), col("__cb").as("n_b"),
+        (col("n_pair").cast("double") / col("__n").cast("double"))
+          .as("support"),
+        ((col("__n").cast("double") * col("n_pair").cast("double"))
+          / (col("__ca").cast("double") * col("__cb").cast("double")))
+          .as("lift"))
+  }
+}

@@ -182,6 +182,33 @@ private[graft] object QVector {
           split(col("p_name"), " ").getItem(1), maxDist = 3)
         .orderBy("name_a", "name_b")),
 
+    "basket_brand_pairs" -> ((s, dir) =>
+      // market-basket rules over brands co-purchased in one order:
+      // within-basket self-join (bounded by basket size), broadcast
+      // frequency joins, exact counts → support/lift
+      graft.ops.Assoc.basketPairs(
+          t(s, dir, "lineitem")
+            .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+            .select(col("l_orderkey").as("basket"), col("p_brand").as("item")),
+          "basket", "item", minPairCount = 5L)
+        .orderBy("item_a", "item_b")),
+
+    "triangle_suppliers" -> ((s, dir) => {
+      // supplier co-fulfillment graph (≥4 shared orders): exact triangle
+      // census via degree-ordered orientation — wedge work is bounded by
+      // out-degree², not hub degree²
+      val pres = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("o"), col("l_suppkey").as("sk"))
+        .distinct()
+      val edges = pres.as("l")
+        .join(pres.as("r"), col("l.o") === col("r.o")
+          && col("l.sk") < col("r.sk"))
+        .groupBy(col("l.sk").as("a"), col("r.sk").as("b"))
+        .agg(count(lit(1)).as("n_co"))
+        .filter(col("n_co") >= 4)
+      graft.ops.Graph.triangleStats(edges, "a", "b")
+    }),
+
   )
 
   val oracle: Map[String, String] = Map(
@@ -457,6 +484,54 @@ private[graft] object QVector {
          FROM names a JOIN names b ON a.blk = b.blk AND a.nm < b.nm
          WHERE levenshtein(a.nm, b.nm) <= 3
          ORDER BY name_a, name_b""",
+
+    "basket_brand_pairs" ->
+      """WITH pres AS (
+           SELECT DISTINCT l_orderkey AS b, p_brand AS i
+           FROM lineitem JOIN part ON l_partkey = p_partkey),
+         sized AS (
+           SELECT b, i FROM (
+             SELECT b, i, COUNT(*) OVER (PARTITION BY b) AS sz FROM pres)
+           WHERE sz <= 1000),
+         n AS (SELECT CAST(COUNT(DISTINCT b) AS BIGINT) AS nb FROM sized),
+         ic AS (SELECT i, CAST(COUNT(*) AS BIGINT) AS ci FROM sized GROUP BY 1),
+         p AS (
+           SELECT l.i AS item_a, r.i AS item_b, CAST(COUNT(*) AS BIGINT) AS n_pair
+           FROM sized l JOIN sized r ON l.b = r.b AND l.i < r.i
+           GROUP BY 1, 2 HAVING COUNT(*) >= 5)
+         SELECT item_a, item_b, n_pair, ca.ci AS n_a, cb.ci AS n_b,
+           CAST(n_pair AS DOUBLE) / CAST(nb AS DOUBLE) AS support,
+           (CAST(nb AS DOUBLE) * CAST(n_pair AS DOUBLE))
+             / (CAST(ca.ci AS DOUBLE) * CAST(cb.ci AS DOUBLE)) AS lift
+         FROM p JOIN ic ca ON p.item_a = ca.i
+                JOIN ic cb ON p.item_b = cb.i, n
+         ORDER BY item_a, item_b""",
+
+    "triangle_suppliers" ->
+      """WITH pres AS (
+           SELECT DISTINCT l_orderkey AS o, l_suppkey AS sk FROM lineitem),
+         e AS (
+           SELECT l.sk AS a, r.sk AS b
+           FROM pres l JOIN pres r ON l.o = r.o AND l.sk < r.sk
+           GROUP BY 1, 2 HAVING COUNT(*) >= 4),
+         deg AS (
+           SELECT v, CAST(COUNT(*) AS BIGINT) AS d
+           FROM (SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e)
+           GROUP BY 1),
+         tri AS (
+           SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+           FROM e e1
+           JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+           JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b),
+         ds AS (
+           SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+             CAST(SUM(d) / 2 AS BIGINT) AS n_edges,
+             CAST(SUM(d * (d - 1)) AS BIGINT) AS p2x2
+           FROM deg)
+         SELECT n_nodes, n_edges, n_triangles,
+           6.0 * CAST(n_triangles AS DOUBLE)
+             / NULLIF(CAST(p2x2 AS DOUBLE), 0.0) AS transitivity
+         FROM ds, tri""",
 
   )
 }

@@ -107,6 +107,56 @@ class Round8StatsSpec extends SparkTestBase {
     assert(out(3L) == 20.0) // frame {10,20,30} → exact element
   }
 
+  test("basketPairs: distinct presence, canonical pairs, exact lift") {
+    val df = Seq(
+      ("b1", "x"), ("b1", "x"), ("b1", "y"), ("b1", "z"), // dup x collapses
+      ("b2", "x"), ("b2", "y"),
+      ("b3", "x"), ("b3", "y"),
+      ("b4", "z"))
+      .toDF("b", "i")
+    val out = graft.ops.Assoc.basketPairs(df, "b", "i", minPairCount = 2L)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(5), r.getDouble(6))).toMap
+    // only (x,y) survives the min-count prune: 3 of 4 baskets
+    assert(out.keySet == Set(("x", "y")))
+    val (n, support, lift) = out(("x", "y"))
+    assert(n == 3L && support == 0.75)
+    assert(lift == 4.0 * 3.0 / (3.0 * 3.0)) // N·c_ab/(c_a·c_b)
+  }
+
+  test("basketPairs: mega-baskets beyond the cap are excluded whole") {
+    val whale = (1 to 4).map(i => ("w", s"i$i"))
+    val ok = Seq(("a", "i1"), ("a", "i2"), ("b", "i1"), ("b", "i2"))
+    val out = graft.ops.Assoc.basketPairs((whale ++ ok).toDF("b", "i"),
+      "b", "i", minPairCount = 2L, maxBasketSize = 3)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // the whale contributes no pairs and no frequency mass
+    assert(out == Map(("i1", "i2") -> 2L))
+  }
+
+  test("triangleStats: square+diagonal → 2 triangles, transitivity 3/4") {
+    // duplicates, reversals, and a self-loop must all collapse first
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 4L), (4L, 1L),
+      (1L, 3L), (3L, 3L))
+      .toDF("s", "d")
+    val r = graft.ops.Graph.triangleStats(edges, "s", "d").collect().head
+    assert(r.getLong(0) == 4L)   // nodes
+    assert(r.getLong(1) == 5L)   // edges
+    assert(r.getLong(2) == 2L)   // {1,2,3}, {1,3,4}
+    assert(r.getDouble(3) == 0.75)
+  }
+
+  test("triangleStats: complete K5 counts C(5,3); triangle-free gives 0") {
+    val k5 = for { a <- 1L to 5L; b <- (a + 1) to 5L } yield (a, b)
+    val r5 = graft.ops.Graph.triangleStats(k5.toDF("s", "d"), "s", "d")
+      .collect().head
+    assert(r5.getLong(2) == 10L && r5.getDouble(3) == 1.0)
+    val star = (2L to 6L).map(i => (1L, i)) // star graph: no triangles
+    val rs = graft.ops.Graph.triangleStats(star.toDF("s", "d"), "s", "d")
+      .collect().head
+    assert(rs.getLong(2) == 0L && rs.getDouble(3) == 0.0)
+  }
+
   test("round-8b totality: every operator is total on empty input") {
     val eVals = Seq.empty[(String, Long, Long)].toDF("g", "x", "y")
     val eEvents = Seq.empty[(Long, java.sql.Timestamp, Long)]
@@ -119,6 +169,12 @@ class Round8StatsSpec extends SparkTestBase {
     assert(Temporal.interarrivalStats(eEvents, "uid", "ts", "eid").count() == 0)
     assert(Relational.rollingMedian(eEvents, "uid", "ts", "eid", col("eid"), 7)
       .count() == 0)
+    val eBasket = Seq.empty[(String, String)].toDF("b", "i")
+    assert(graft.ops.Assoc.basketPairs(eBasket, "b", "i").count() == 0)
+    val eEdges = Seq.empty[(Long, Long)].toDF("s", "d")
+    // empty graph: one roll-up row, zero triangles, null transitivity
+    val tr = graft.ops.Graph.triangleStats(eEdges, "s", "d").collect().head
+    assert(tr.getLong(2) == 0L && tr.isNullAt(3))
   }
 
   test("plan audits: round-8b queries keep their 100TB shapes") {
@@ -134,9 +190,14 @@ class Round8StatsSpec extends SparkTestBase {
     // of the aggregated relation
     assert(planOf("benford_digits").contains("BroadcastNestedLoopJoin")
       || planOf("benford_digits").contains("BroadcastHashJoin"))
+    // basket mining: frequency joins broadcast — the pair table is the
+    // only shuffled relation after the within-basket join
+    assert(planOf("basket_brand_pairs").contains("BroadcastHashJoin"))
+    // triangle census: aggregate/join shape only, no window anywhere
+    assert(!planOf("triangle_suppliers").contains("Window"))
     // every window in the windowed shapes partitions (no global sort —
     // the r7 quantile_bins scale-killer)
-    for (q <- Seq("interarrival_stats", "rolling_median_value")) {
+    for (q <- Seq("interarrival_stats", "rolling_median_value", "basket_brand_pairs")) {
       val p = planOf(q)
       val globalWindow = p.linesIterator.exists(l =>
         l.contains("Window") && l.contains("windowspecdefinition()"))
