@@ -2112,4 +2112,94 @@ object LlmOps {
           col(valueCol).cast("double") >
             col("__q3") + lit(k) * (col("__q3") - col("__q1"))).as("is_outlier"))
   }
+
+  /** Deterministic MLM masking plan (BERT-style, Devlin NAACL'19 §3.1):
+    * which token positions of each document get masked, decided by the
+    * PORTABLE hash md5-48(doc_id ':' position) mod 100 < ratePct — no
+    * RNG, so the plan is reproducible across runs, engines, and epochs
+    * (vary an epoch salt in the key for fresh masks). Emits the per-doc
+    * plan row: token count, mask count, realized rate, and the sorted
+    * position list as csv (hash-stable). One explode + one hash-aggregate;
+    * the mask decision is evaluated scan-side so only (doc, position)
+    * survive to the shuffle.
+    */
+  def mlmMaskPlan(df: DataFrame, idCol: String, textCol: String,
+                  ratePct: Int = 15): DataFrame = {
+    require(ratePct >= 0 && ratePct <= 100)
+    val toks = df.select(col(idCol),
+        posexplode(tokens(col(textCol))).as(Seq("__pos", "__tok")))
+      .withColumn("__masked",
+        pmod(md5Hash48(concat(col(idCol).cast("string"), lit(":"),
+          col("__pos").cast("string")), 1), lit(100L)) < ratePct)
+    toks.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("__masked").cast("long")).as("n_masked"),
+        concat_ws(",",
+          sort_array(collect_list(when(col("__masked"), col("__pos").cast("long")))))
+          .as("masked_positions"))
+      .withColumn("mask_rate",
+        col("n_masked").cast("double") / col("n_tokens").cast("double"))
+  }
+
+  /** Curriculum interleave order: rank documents inside each source by a
+    * quality key, then assign the GLOBAL training slot arithmetically —
+    * slot = (rank−1)·n_sources + source_index — so the best of every
+    * source front-loads and sources round-robin. The classic curriculum /
+    * mixture ordering WITHOUT a global sort: the only windows are the
+    * per-source rank (partitioned) and a source-index rank over the
+    * DISTINCT-source relation (≤ |sources| rows) — nothing funnels the
+    * corpus into one partition (the r7 quantile_bins lesson). Writers
+    * consume the slot column with a plain partitioned sort.
+    */
+  def curriculumOrder(df: DataFrame, idCol: String, srcCol: String,
+                      quality: Column): DataFrame = {
+    val srcIdx = df.select(col(srcCol)).distinct()
+      .withColumn("__si", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col(srcCol))))
+    val nSrc = srcIdx.agg(count(lit(1)).as("__ns"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(srcCol)).orderBy(col("__q").desc, col(idCol).asc)
+    df.select(col(idCol), col(srcCol), quality.as("__q"))
+      .withColumn("rank_in_source", row_number().over(w).cast("long"))
+      .join(broadcast(srcIdx), Seq(srcCol))
+      .crossJoin(broadcast(nSrc))
+      .select(col(idCol), col(srcCol), col("rank_in_source"),
+        ((col("rank_in_source") - 1) * col("__ns") + col("__si") - 1)
+          .cast("long").as("slot"))
+  }
+
+  /** Cross-lingual n-gram contamination matrix: for every language pair,
+    * how many DISTINCT token-n-gram fingerprints they share — the signal
+    * that flags translation artifacts, boilerplate leaking across locales,
+    * or mislabeled languages before training-mixture math trusts the lang
+    * column. Fingerprints are the portable md5-48 shingle family (the
+    * dedup_jaccard machinery), deduplicated to (lang, fp) grain first, so
+    * the pair join meets on fp with ≤ |langs| rows per fingerprint — never
+    * a document cross join. Jaccard = shared / (a + b − shared), exact
+    * integers to one final division.
+    */
+  def crossLangOverlap(df: DataFrame, langCol: String, textCol: String,
+                       shingleN: Int = 3): DataFrame = {
+    val fps = df.select(col(langCol).as("__lang"),
+        explode(shingles(col(textCol), shingleN)).as("__sh"))
+      .select(col("__lang"), md5Hash48(col("__sh"), 1).as("__h"))
+      .distinct()
+      .localCheckpoint(eager = true)
+    val perLang = fps.groupBy(col("__lang")).agg(count(lit(1)).as("__c"))
+    val shared = fps.as("a")
+      .join(fps.as("b"), col("a.__h") === col("b.__h")
+        && col("a.__lang") < col("b.__lang"))
+      .groupBy(col("a.__lang").as("lang_a"), col("b.__lang").as("lang_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    shared
+      .join(broadcast(perLang).withColumnRenamed("__lang", "lang_a")
+        .withColumnRenamed("__c", "__ca"), Seq("lang_a"))
+      .join(broadcast(perLang).withColumnRenamed("__lang", "lang_b")
+        .withColumnRenamed("__c", "__cb"), Seq("lang_b"))
+      .select(col("lang_a"), col("lang_b"), col("n_shared"),
+        col("__ca").as("n_a"), col("__cb").as("n_b"),
+        (col("n_shared").cast("double")
+          / (col("__ca") + col("__cb") - col("n_shared")).cast("double"))
+          .as("jaccard"))
+  }
 }

@@ -347,6 +347,29 @@ private[graft] object QTextCuration {
           maxBucketSize = 10000)
         .orderBy("id_a", "id_b")),
 
+    "mlm_mask_plan" -> ((s, dir) =>
+      // reproducible BERT-style 15% masking plan: portable hash of
+      // (doc_id, position) decides each mask — no RNG, epoch-salt ready
+      LlmOps.mlmMaskPlan(t(s, dir, "documents"), "doc_id", "text",
+          ratePct = 15)
+        .select("doc_id", "n_tokens", "n_masked", "masked_positions",
+          "mask_rate")
+        .orderBy("doc_id")),
+
+    "curriculum_order" -> ((s, dir) =>
+      // curriculum interleave: per-source quality rank, global slot by
+      // ARITHMETIC (rank−1)·n_sources + src_idx — no global sort/window
+      LlmOps.curriculumOrder(t(s, dir, "documents"), "doc_id", "source",
+          col("n_chars"))
+        .orderBy("slot")),
+
+    "cross_lang_overlap" -> ((s, dir) =>
+      // cross-lingual 3-gram contamination matrix over the portable
+      // fingerprint family: (lang, fp) grain join, never doc×doc
+      LlmOps.crossLangOverlap(t(s, dir, "documents"), "lang", "text",
+          shingleN = 3)
+        .orderBy("lang_a", "lang_b")),
+
   )
 
   val oracle: Map[String, String] = Map(
@@ -1300,6 +1323,63 @@ private[graft] object QTextCuration {
          JOIN sp b ON jac.id_b = b.doc_id
          WHERE jac.jaccard >= 0.7 AND a.split <> b.split
          ORDER BY id_a, id_b""",
+
+    "mlm_mask_plan" ->
+      """WITH t AS (
+           SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+           FROM documents),
+         e AS (SELECT doc_id, unnest(range(len(toks))) AS pos FROM t),
+         m AS (
+           SELECT doc_id, pos,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':'
+               || CAST(pos AS VARCHAR)), 1, 12))::BIGINT % 100 < 15 AS masked
+           FROM e)
+         SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN masked THEN 1 ELSE 0 END) AS BIGINT) AS n_masked,
+           COALESCE(array_to_string(list_sort(list(pos) FILTER (WHERE masked)), ','), '')
+             AS masked_positions,
+           CAST(SUM(CASE WHEN masked THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS mask_rate
+         FROM m GROUP BY doc_id ORDER BY doc_id""",
+
+    "curriculum_order" ->
+      """WITH si AS (
+           SELECT source,
+             CAST(row_number() OVER (ORDER BY source) AS BIGINT) AS sidx
+           FROM (SELECT DISTINCT source FROM documents)),
+         ns AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM si),
+         r AS (
+           SELECT doc_id, source,
+             CAST(row_number() OVER (PARTITION BY source
+               ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rank_in_source
+           FROM documents)
+         SELECT r.doc_id, r.source, r.rank_in_source,
+           CAST((r.rank_in_source - 1) * ns.n + si.sidx - 1 AS BIGINT) AS slot
+         FROM r JOIN si USING (source), ns
+         ORDER BY slot""",
+
+    "cross_lang_overlap" ->
+      """WITH t AS (
+           SELECT lang, string_split_regex(lower(trim(text)), '\s+') AS toks
+           FROM documents),
+         s AS (
+           SELECT lang, list_distinct(list_transform(
+             range(1, greatest(len(toks) - 3, 0) + 2),
+             i -> ('0x' || substr(md5(array_to_string(list_slice(toks, i, i + 2), ' ')), 1, 12))::BIGINT)) AS sh
+           FROM t),
+         f AS (SELECT DISTINCT lang, unnest(sh) AS h FROM s),
+         pl AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS c FROM f GROUP BY 1),
+         sh2 AS (
+           SELECT a.lang AS lang_a, b.lang AS lang_b,
+             CAST(COUNT(*) AS BIGINT) AS n_shared
+           FROM f a JOIN f b ON a.h = b.h AND a.lang < b.lang
+           GROUP BY 1, 2)
+         SELECT lang_a, lang_b, n_shared, ca.c AS n_a, cb.c AS n_b,
+           CAST(n_shared AS DOUBLE)
+             / CAST(ca.c + cb.c - n_shared AS DOUBLE) AS jaccard
+         FROM sh2 JOIN pl ca ON sh2.lang_a = ca.lang
+                  JOIN pl cb ON sh2.lang_b = cb.lang
+         ORDER BY lang_a, lang_b""",
 
   )
 }

@@ -157,6 +157,49 @@ class Round8StatsSpec extends SparkTestBase {
     assert(rs.getLong(2) == 0L && rs.getDouble(3) == 0.0)
   }
 
+  test("mlmMaskPlan: hash-deterministic, rate-bounded, 0/100 edges exact") {
+    import graft.ops.LlmOps
+    val docs = Seq((1L, "a b c d e f g h"), (2L, "x")).toDF("doc_id", "text")
+    val a = LlmOps.mlmMaskPlan(docs, "doc_id", "text", 15).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    val b = LlmOps.mlmMaskPlan(docs, "doc_id", "text", 15).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(a == b) // reruns replay the identical plan — no RNG anywhere
+    assert(a(1L)._1 == 8L && a(2L)._1 == 1L)
+    val none = LlmOps.mlmMaskPlan(docs, "doc_id", "text", 0).collect()
+    assert(none.forall(r => r.getLong(2) == 0L && r.getString(3) == ""))
+    val all = LlmOps.mlmMaskPlan(docs, "doc_id", "text", 100)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(all(1L) == "0,1,2,3,4,5,6,7") // sorted positions, csv
+  }
+
+  test("curriculumOrder: per-source rank, arithmetic interleave slots") {
+    import graft.ops.LlmOps
+    val docs = Seq(
+      (1L, "s1", 100L), (2L, "s1", 50L), (3L, "s2", 999L), (4L, "s2", 1L))
+      .toDF("doc_id", "source", "q")
+    val out = LlmOps.curriculumOrder(docs, "doc_id", "source", col("q"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    // best of each source first: slots 0,1 then ranks 2 at slots 2,3
+    assert(out(1L) == ((1L, 0L)) && out(3L) == ((1L, 1L)))
+    assert(out(2L) == ((2L, 2L)) && out(4L) == ((2L, 3L)))
+    assert(out.values.map(_._2).toSet.size == 4) // slots are unique
+  }
+
+  test("crossLangOverlap: identical corpora → jaccard 1; disjoint → no row") {
+    import graft.ops.LlmOps
+    val docs = Seq(
+      ("en", "the quick brown fox jumps"),
+      ("de", "the quick brown fox jumps"), // verbatim leak across langs
+      ("fr", "totalement autre contenu ici present"))
+      .toDF("lang", "text")
+    val out = LlmOps.crossLangOverlap(docs, "lang", "text", 3)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(5))).toMap
+    assert(out(("de", "en"))._2 == 1.0)
+    assert(!out.contains(("en", "fr")) && !out.contains(("de", "fr")))
+  }
+
   test("round-8b totality: every operator is total on empty input") {
     val eVals = Seq.empty[(String, Long, Long)].toDF("g", "x", "y")
     val eEvents = Seq.empty[(Long, java.sql.Timestamp, Long)]
@@ -171,6 +214,11 @@ class Round8StatsSpec extends SparkTestBase {
       .count() == 0)
     val eBasket = Seq.empty[(String, String)].toDF("b", "i")
     assert(graft.ops.Assoc.basketPairs(eBasket, "b", "i").count() == 0)
+    val eDocs = Seq.empty[(Long, String, String)].toDF("doc_id", "source", "text")
+    assert(graft.ops.LlmOps.mlmMaskPlan(eDocs, "doc_id", "text").count() == 0)
+    assert(graft.ops.LlmOps.curriculumOrder(eDocs, "doc_id", "source",
+      length(col("text"))).count() == 0)
+    assert(graft.ops.LlmOps.crossLangOverlap(eDocs, "source", "text").count() == 0)
     val eEdges = Seq.empty[(Long, Long)].toDF("s", "d")
     // empty graph: one roll-up row, zero triangles, null transitivity
     val tr = graft.ops.Graph.triangleStats(eEdges, "s", "d").collect().head
@@ -193,6 +241,16 @@ class Round8StatsSpec extends SparkTestBase {
     // basket mining: frequency joins broadcast — the pair table is the
     // only shuffled relation after the within-basket join
     assert(planOf("basket_brand_pairs").contains("BroadcastHashJoin"))
+    // curriculum: source index + n_sources come back as broadcasts; the
+    // only corpus-sized window is the per-source (partitioned) rank
+    assert(planOf("curriculum_order").contains("BroadcastHashJoin"))
+    // mask plan / overlap matrix: no global window anywhere
+    for (q <- Seq("mlm_mask_plan", "cross_lang_overlap")) {
+      val p = planOf(q)
+      val globalWindow = p.linesIterator.exists(l =>
+        l.contains("Window") && l.contains("windowspecdefinition()"))
+      assert(!globalWindow, s"$q has a no-partition window:\n$p")
+    }
     // triangle census: aggregate/join shape only, no window anywhere
     assert(!planOf("triangle_suppliers").contains("Window"))
     // every window in the windowed shapes partitions (no global sort —
