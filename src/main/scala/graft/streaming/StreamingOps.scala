@@ -641,4 +641,111 @@ object StreamingOps {
       throw new IllegalStateException(s"no committed batches under $basePath")
     spark.read.parquet(committed.toIndexedSeq: _*)
   }
+
+  /** One valued reading of a keyed stream (cents keeps the math integer-
+    * exact, the slate's determinism contract). */
+  case class ValuedEvent(userId: Long, eventId: Long,
+                         ts: java.sql.Timestamp, cents: Long)
+  /** A rolling-median emission for one arriving event. */
+  case class MedianRow(userId: Long, eventId: Long, rollingMedian: Double)
+  /** A cadence-anomaly delta: the gap since this key's previous event
+    * exceeded the threshold. */
+  case class GapAlert(userId: Long, eventId: Long, gapSeconds: Long)
+
+  /** Bounded trailing frame held as keyed state (product-encoded). */
+  case class MedianFrame(values: Seq[Long])
+
+  private class RollingMedianTracker(frameRows: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, ValuedEvent, MedianRow] {
+    @transient private var frame: org.apache.spark.sql.streaming.ValueState[MedianFrame] = _
+
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+      frame = getHandle.getValueState[MedianFrame]("frame",
+        org.apache.spark.sql.Encoders.product[MedianFrame],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: Long, rows: Iterator[ValuedEvent],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[MedianRow] = {
+      val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.eventId))
+      var buf: Seq[Long] = if (frame.exists()) frame.get().values else Nil
+      val out = scala.collection.mutable.ArrayBuffer.empty[MedianRow]
+      sorted.foreach { e =>
+        buf = (buf :+ e.cents).takeRight(frameRows)
+        val s = buf.sorted.toIndexedSeq
+        val n = s.length
+        // Spark `percentile(x, 0.5)` interpolation, replayed exactly:
+        // position (n−1)/2; fractional → lo + (hi−lo)·0.5 (exact binary
+        // on integer-valued doubles — the batch operator's contract)
+        val lo = s((n - 1) / 2).toDouble
+        val hi = s(n / 2).toDouble
+        out += MedianRow(key, e.eventId, lo + (hi - lo) * 0.5)
+      }
+      frame.update(MedianFrame(buf))
+      out.iterator
+    }
+  }
+
+  /** Streaming counterpart of [[graft.ops.Relational.rollingMedian]]:
+    * keyed state holds only the last `frameRows` values (O(frame) longs
+    * per key — the same bound the batch window's frame buffer has), and
+    * each arriving event emits its trailing-median row. On an in-order
+    * feed the emitted rows equal the batch operator's output exactly
+    * (batch-parity spec), including the interpolation arithmetic.
+    */
+  def rollingMedianStream(ds: Dataset[ValuedEvent], frameRows: Int)(
+      implicit enc: org.apache.spark.sql.Encoder[MedianRow]): Dataset[MedianRow] = {
+    import org.apache.spark.sql.streaming.TimeMode
+    ds.groupByKey(_.userId)(org.apache.spark.sql.Encoders.scalaLong)
+      .transformWithState(new RollingMedianTracker(frameRows),
+        TimeMode.None(), OutputMode.Append())
+  }
+
+  private class GapAlertTracker(thresholdSeconds: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, ValuedEvent, GapAlert] {
+    @transient private var lastMs: org.apache.spark.sql.streaming.ValueState[Long] = _
+
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+      lastMs = getHandle.getValueState[Long]("lastMs",
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: Long, rows: Iterator[ValuedEvent],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[GapAlert] = {
+      val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.eventId))
+      var prev = if (lastMs.exists()) Some(lastMs.get()) else None
+      val out = scala.collection.mutable.ArrayBuffer.empty[GapAlert]
+      sorted.foreach { e =>
+        // whole-second flooring on both sides — the batch operator's
+        // epochSeconds contract, so parity is exact
+        prev.foreach { p =>
+          val gap = e.ts.getTime / 1000L - p / 1000L
+          if (gap > thresholdSeconds) out += GapAlert(key, e.eventId, gap)
+        }
+        prev = Some(e.ts.getTime)
+      }
+      prev.foreach(lastMs.update)
+      out.iterator
+    }
+  }
+
+  /** Streaming cadence-anomaly alert — the delta form of
+    * [[graft.ops.Temporal.interarrivalStats]]' gap extraction: state is
+    * ONE timestamp per key, and each event whose gap since the key's
+    * previous event exceeds `thresholdSeconds` emits an alert row the
+    * moment it arrives (a batch job would surface it a schedule later —
+    * this is the staleness/bot signal as a live feed). Alerts across
+    * micro-batch boundaries are exactly the ones per-batch lag could
+    * never see; parity vs the batch lag window is spec-checked.
+    */
+  def gapAlertStream(ds: Dataset[ValuedEvent], thresholdSeconds: Long)(
+      implicit enc: org.apache.spark.sql.Encoder[GapAlert]): Dataset[GapAlert] = {
+    import org.apache.spark.sql.streaming.TimeMode
+    ds.groupByKey(_.userId)(org.apache.spark.sql.Encoders.scalaLong)
+      .transformWithState(new GapAlertTracker(thresholdSeconds),
+        TimeMode.None(), OutputMode.Append())
+  }
 }

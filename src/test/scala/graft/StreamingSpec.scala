@@ -549,4 +549,89 @@ class StreamingSpec extends SparkTestBase {
     assert(got2.map(_._1).toSet.subsetOf(Set("spark", "word", "flink", "joins")))
     assert(got2.map(_._1).toSet.intersect(Set("flink", "joins")).nonEmpty)
   }
+
+  test("streaming rolling median: frames across batch boundaries match batch") {
+    import StreamingOps.ValuedEvent
+    val events = Seq(
+      ValuedEvent(1L, 1L, ts("2024-01-01 00:00:00"), 10L),
+      ValuedEvent(1L, 2L, ts("2024-01-01 00:01:00"), 30L),
+      ValuedEvent(1L, 3L, ts("2024-01-01 00:02:00"), 20L),
+      ValuedEvent(1L, 4L, ts("2024-01-01 00:03:00"), 50L),
+      ValuedEvent(2L, 5L, ts("2024-01-01 00:00:00"), 7L))
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[ValuedEvent]
+    val q = StreamingOps.rollingMedianStream(input.toDS(), frameRows = 3)
+      .writeStream.format("memory").queryName("median_out")
+      .outputMode("append").start()
+    try {
+      // split MID-frame: event 3's frame {10,30,20} spans the boundary —
+      // only carried state can produce its median
+      input.addData(events.take(2): _*)
+      q.processAllAvailable()
+      input.addData(events.drop(2): _*)
+      q.processAllAvailable()
+      val got = spark.table("median_out")
+        .as[StreamingOps.MedianRow].collect()
+        .map(m => m.eventId -> m.rollingMedian).toMap
+      val batch = graft.ops.Relational.rollingMedian(
+          events.map(e => (e.userId, e.ts, e.eventId, e.cents))
+            .toDF("user_id", "ts", "event_id", "cents"),
+          "user_id", "ts", "event_id", col("cents"), 3)
+        .select("event_id", "rolling_median")
+        .as[(Long, Double)].collect().toMap
+      assert(got == batch, s"stream $got != batch $batch")
+      assert(got(3L) == 20.0 && got(4L) == 30.0) // frame {30,20,50} → 30
+      assert(got(2L) == 20.0) // even frame {10,30} → midpoint
+    } finally {
+      q.stop()
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
+  test("streaming gap alerts: cross-batch gaps fire; parity with batch lag") {
+    import StreamingOps.ValuedEvent
+    val events = Seq(
+      ValuedEvent(1L, 1L, ts("2024-01-01 00:00:00"), 0L),
+      ValuedEvent(1L, 2L, ts("2024-01-01 00:00:30"), 0L), // gap 30 — quiet
+      ValuedEvent(1L, 3L, ts("2024-01-01 01:00:00"), 0L), // gap 3570 — alert
+      ValuedEvent(2L, 4L, ts("2024-01-01 00:00:00"), 0L)) // first sight — quiet
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[ValuedEvent]
+    val q = StreamingOps.gapAlertStream(input.toDS(), thresholdSeconds = 600L)
+      .writeStream.format("memory").queryName("gap_out")
+      .outputMode("append").start()
+    try {
+      // the alerting gap spans the batch boundary — state carries last ts
+      input.addData(events.take(2): _*)
+      q.processAllAvailable()
+      input.addData(events.drop(2): _*)
+      q.processAllAvailable()
+      val got = spark.table("gap_out").as[StreamingOps.GapAlert].collect().toSet
+      assert(got == Set(StreamingOps.GapAlert(1L, 3L, 3570L)))
+      // batch twin: the same gaps via the lag window
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val batch = events.map(e => (e.userId, e.ts, e.eventId))
+        .toDF("user_id", "ts", "event_id")
+        .withColumn("gap", graft.ops.Ts.epochSeconds(col("ts"))
+          - lag(graft.ops.Ts.epochSeconds(col("ts")), 1).over(w))
+        .filter(col("gap") > 600L)
+        .select("user_id", "event_id", "gap")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(batch == got.map(a => (a.userId, a.eventId, a.gapSeconds)))
+    } finally {
+      q.stop()
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }
