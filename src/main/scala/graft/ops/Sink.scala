@@ -38,23 +38,29 @@ object Sink {
     * the old table until the instant of the rename and the new one after —
     * never neither, never a mix.
     *
-    * MVCC retention: after commit, snapshot dirs other than the new one
-    * and the `retain` most-recently-superseded ones are deleted. A reader
-    * that resolved `_current` keeps a consistent view while at least
-    * `retain` further commits land mid-read (immutable dirs are never
-    * rewritten, only eventually deleted); raise `retain` if readers can
-    * straddle more commits — the standard staleness/space trade every
-    * table format exposes (cf. Delta VACUUM retention).
+    * MVCC retention: after commit, a superseded snapshot dir is deleted
+    * only when BOTH hold — it is beyond the `retain` most-recently-
+    * superseded versions AND at least `minAgeMs` has elapsed since it was
+    * superseded (each commit drops a `_superseded-<version>` marker whose
+    * mtime records that instant). Count-based retention alone is not safe:
+    * a burst of commits can outrun a reader whose scan pinned an old
+    * version at plan time, yanking its files mid-query. The time floor is
+    * exactly Delta's VACUUM retention / Iceberg's `expire_snapshots`
+    * contract — set `minAgeMs` above the longest query a reader runs
+    * against the table (default 10 min; pass 0 to reclaim space eagerly
+    * when no concurrent readers exist).
     *
     * Crash-safety: a writer dying before the rename leaves an orphan
     * `v-*` dir and a stale tmp pointer; `_current` still names the old
     * complete snapshot, and the next successful commit GCs the orphans.
     */
-  def overwriteSnapshot(df: DataFrame, path: String, retain: Int = 1): Unit = {
+  def overwriteSnapshot(df: DataFrame, path: String, retain: Int = 1,
+                        minAgeMs: Long = 600000L): Unit = {
     val conf = df.sparkSession.sessionState.newHadoopConf()
     val root = new Path(path)
     val fs = root.getFileSystem(conf)
     val version = "v-" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val previous = if (fs.exists(root)) currentVersion(fs, root) else None
     df.write.mode("error").parquet(new Path(root, version).toString)
 
     // Pointer staged through FileContext (raw fs — no checksum shadow
@@ -80,14 +86,37 @@ object Sink {
       fc.rename(tmp, dst, Options.Rename.OVERWRITE)
     }
 
-    // GC superseded snapshots beyond the retention window (newest-first by
-    // modification time; the just-committed version is always kept)
+    // Stamp the supersession instant of the version this commit displaced:
+    // an empty marker file whose mtime says "readers could have pinned this
+    // dir until now". Snapshot-dir mtime can't serve — it records creation,
+    // and a version that was live for hours would look instantly stale.
+    previous.filterNot(_ == version).foreach { old =>
+      val m = fc.create(new Path(root, s"_superseded-$old"),
+        java.util.EnumSet.of(CreateFlag.CREATE, CreateFlag.OVERWRITE))
+      m.close()
+    }
+
+    // GC superseded snapshots beyond BOTH retention gates: keep the
+    // `retain` most recently superseded, and never delete one superseded
+    // (or, for orphans of crashed writers, created) less than minAgeMs ago
+    // — a concurrent reader's scan may still hold file handles into it.
+    val now = System.currentTimeMillis()
+    def supersededAt(s: org.apache.hadoop.fs.FileStatus): Long = {
+      val marker = new Path(root, s"_superseded-${s.getPath.getName}")
+      if (fs.exists(marker)) fs.getFileStatus(marker).getModificationTime
+      else s.getModificationTime
+    }
     val stale = fs.listStatus(root)
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("v-"))
       .filterNot(_.getPath.getName == version)
-      .sortBy(-_.getModificationTime)
+      .map(s => (s, supersededAt(s)))
+      .sortBy(-_._2)
       .drop(retain)
-    stale.foreach(s => fs.delete(s.getPath, true))
+      .filter { case (_, at) => now - at >= minAgeMs }
+    stale.foreach { case (s, _) =>
+      fs.delete(s.getPath, true)
+      fs.delete(new Path(root, s"_superseded-${s.getPath.getName}"), false)
+    }
     // stale tmp pointers from crashed writers
     fs.listStatus(root)
       .filter(s => s.isFile && s.getPath.getName.startsWith("_current.tmp-"))

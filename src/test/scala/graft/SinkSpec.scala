@@ -81,8 +81,10 @@ class SinkSpec extends SparkTestBase {
     val names = new java.io.File(out).listFiles().map(_.getName)
     assert(names.contains("_current"))
     assert(names.count(_.startsWith("v-")) == 2, "retain=1 keeps new + previous")
-    // third commit GCs the first version
-    Sink.overwriteSnapshot(Seq(6).toDF("v"), out)
+    // third commit GCs the first version (minAgeMs=0: eager reclamation —
+    // no concurrent readers in this test; the default 10-min grace is the
+    // concurrent-reader guarantee exercised by the next test)
+    Sink.overwriteSnapshot(Seq(6).toDF("v"), out, retain = 1, minAgeMs = 0L)
     val after = new java.io.File(out).listFiles().map(_.getName)
     assert(after.count(_.startsWith("v-")) == 2)
     assert(Sink.readSnapshot(spark, out).as[Int].collect().toSet == Set(6))
