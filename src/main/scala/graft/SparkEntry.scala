@@ -31,7 +31,8 @@ object SparkEntry {
     QDedup.queries ++
     QVector.queries ++
     QTextCuration.queries ++
-    QMultimodal.queries
+    QMultimodal.queries ++
+    QScale.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Every declared query has an entry: the
@@ -49,5 +50,6 @@ object SparkEntry {
     QDedup.oracle ++
     QVector.oracle ++
     QTextCuration.oracle ++
-    QMultimodal.oracle
+    QMultimodal.oracle ++
+    QScale.oracle
 }

@@ -1,0 +1,173 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Pre-flight scale diagnostics — the queries a 100 TB run executes BEFORE
+  * the expensive job, to choose its physical strategy (salting factors,
+  * shuffle partition counts, join order) from data rather than folklore.
+  * The reference pipeline hard-codes these choices (it runs at Zoom-roster
+  * scale, /root/reference/main.py:38-334); at cluster scale they must be
+  * measured, and each measurement must itself be a scale-safe query.
+  *
+  * Common discipline: every diagnostic aggregates the raw relation exactly
+  * once on its natural key, then does all distribution math on the
+  * aggregated (and usually histogram-of-histogram) relation, which is
+  * orders of magnitude smaller than the input — per-key counts collapse to
+  * count-of-counts before any ordering happens, so nothing here ever sorts
+  * or windows raw rows globally (the r7 quantile_bins lesson).
+  */
+object Scale {
+
+  /** Key-skew profile of `keyCol`: one row with the count distribution's
+    * exact order statistics (p50/p90/p99 over PER-KEY counts), the hot-key
+    * share, and the coefficient of variation — the numbers that decide
+    * whether a shuffle on this key needs salting or AQE skew handling.
+    *
+    * Exact percentiles WITHOUT a global sort of the per-key counts: the
+    * per-key count relation (|keys| rows) collapses to a count-of-counts
+    * histogram first — group "how many keys occur exactly c times". Its
+    * cardinality is bounded by the number of DISTINCT multiplicities,
+    * ≤ O(√n_rows) for any distribution (Σ distinct c ≥ 1+2+…+k), so the
+    * cumulative window runs over at most a few thousand rows at ANY scale
+    * and the unpartitioned window is safe by construction. The q-quantile
+    * is the smallest c whose cumulative key-frequency reaches ⌈q·n_keys⌉ —
+    * pure integer arithmetic, bit-identical in any engine. The two doubles
+    * (top1_share, cv) derive from exact integer moments in one final
+    * expression.
+    */
+  def keySkewStats(df: DataFrame, keyCol: String): DataFrame = {
+    val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("__c"))
+    val hist = counts.groupBy(col("__c")).agg(count(lit(1)).as("__f"))
+    // histogram is tiny (≤ distinct multiplicities): cumulative + totals
+    val w = Window.orderBy(col("__c"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist.withColumn("__cum", sum(col("__f")).over(w))
+    // ⌈q·n⌉ as exact integers: ceil(n·num/den) = (n·num + den − 1) div den.
+    // floor(double)/cast is exact here — operands stay far below 2^53.
+    def pick(q: (Int, Int)): Column =
+      min(when(col("__cum") >=
+        floor((col("__nk") * q._1 + (q._2 - 1)) / q._2).cast("long"),
+        col("__c")))
+    cum
+      .withColumn("__nk", sum(col("__f")).over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .agg(
+        sum(col("__c") * col("__f")).as("n_rows"),
+        sum(col("__f")).as("n_keys"),
+        max(col("__c")).as("max_count"),
+        pick((1, 2)).as("p50_count"),
+        pick((9, 10)).as("p90_count"),
+        pick((99, 100)).as("p99_count"),
+        sum(col("__c") * col("__c") * col("__f")).as("__sum_c2"))
+      .select(col("n_rows"), col("n_keys"), col("max_count"),
+        col("p50_count"), col("p90_count"), col("p99_count"),
+        (col("max_count").cast("double") / col("n_rows").cast("double"))
+          .as("top1_share"),
+        (sqrt((col("n_keys") * col("__sum_c2") - col("n_rows") * col("n_rows"))
+          .cast("double")) / col("n_rows").cast("double")).as("cv"))
+  }
+
+  /** Salting plan: the keys whose row count exceeds `targetRows` (the rows
+    * one reduce task should own), each with its integer salt factor
+    * ⌈count / target⌉. Feeding this table into a salted join/aggregate
+    * (see `salted_join_counts`) splits exactly the hot keys and leaves the
+    * long tail un-salted — the selective alternative to salting every key.
+    * One map-side-combined count aggregate; the output is only the hot
+    * keys, small enough to broadcast into the salting expression.
+    */
+  def saltPlan(df: DataFrame, keyCol: String, targetRows: Long): DataFrame =
+    df.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_rows"))
+      .filter(col("n_rows") > targetRows)
+      .select(col(keyCol), col("n_rows"),
+        floor((col("n_rows") + (targetRows - 1)) / targetRows).cast("long")
+          .as("salt_factor"))
+      .orderBy(col("n_rows").desc, col(keyCol).asc)
+
+  /** Join-explosion forecast for `left ⋈ right` on `keyCol`: per matching
+    * key the exact output cardinality n_left·n_right, top-`k` worst keys.
+    * This is the pre-join planning query that catches a runaway
+    * many-to-many BEFORE it materializes 10¹² rows: both sides aggregate
+    * to per-key counts first (map-side combine, |keys|-sized relations),
+    * the counts equi-join — never the raw rows — and the global top-k is
+    * a TakeOrderedAndProject (per-partition heads, no full sort).
+    */
+  def joinExplosion(left: DataFrame, right: DataFrame, keyCol: String,
+                    k: Int): DataFrame = {
+    val lc = left.groupBy(col(keyCol)).agg(count(lit(1)).as("n_left"))
+    val rc = right.groupBy(col(keyCol)).agg(count(lit(1)).as("n_right"))
+    lc.join(rc, keyCol)
+      .select(col(keyCol), col("n_left"), col("n_right"),
+        (col("n_left") * col("n_right")).as("out_rows"))
+      .orderBy(col("out_rows").desc, col(keyCol).asc)
+      .limit(k)
+  }
+
+  /** Hill-number diversity profile of `catCol`'s distribution per
+    * `groupCol` — the "effective number of categories" at three orders:
+    * q=0 richness (count of live categories), q=2 the inverse Simpson
+    * concentration n²/Σc² (the perplexity-like effective count dominated
+    * by common categories), and q=∞ n/max_c (the inverse of the top
+    * category's share). A uniform k-mix scores k at every order; a
+    * one-category group scores 1 — the bot/boilerplate flag a mixture
+    * balancer thresholds on.
+    *
+    * Shannon entropy (q=1) is deliberately ABSENT: it needs `log`, whose
+    * last-ulp behavior is libm-specific and therefore not hash-comparable
+    * across engines (the repo's float discipline); the q=0/2/∞ profile
+    * brackets it from both sides with pure exact-integer → one-division
+    * arithmetic. Two cascaded hash-aggregates, both map-side combining;
+    * nothing past the first touches raw rows.
+    */
+  def hillDiversityProfile(df: DataFrame, groupCol: String,
+                           catCol: String): DataFrame =
+    df.groupBy(col(groupCol), col(catCol))
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_categories"),
+        sum(col("__c")).as("n_rows"),
+        sum(col("__c") * col("__c")).as("__sum_c2"),
+        max(col("__c")).as("__max_c"))
+      .select(col(groupCol), col("n_categories"), col("n_rows"),
+        ((col("n_rows") * col("n_rows")).cast("double")
+          / col("__sum_c2").cast("double")).as("effective_categories"),
+        (col("n_rows").cast("double") / col("__max_c").cast("double"))
+          .as("inv_top_share"))
+
+  /** Corpus novelty curve: ingest batches in `idCol` order (batch =
+    * ⌊id / batchSize⌋), and per batch the distinct-token count, how many
+    * of those tokens appear for the FIRST time, the running novel total,
+    * and the novelty rate. The saturation signal that tells a crawl
+    * pipeline when additional data stops adding vocabulary — the cheap
+    * proxy for "keep crawling this source?".
+    *
+    * Two shuffles on the token, both over the DISTINCT (batch, token)
+    * relation (exploded duplicates combine map-side in the distinct):
+    * first-batch-per-token is a min-aggregate, per-batch distinct counts a
+    * count-aggregate; everything after operates on |batches| rows.
+    */
+  def tokenNoveltyCurve(docs: DataFrame, idCol: String, textCol: String,
+                        batchSize: Long): DataFrame = {
+    val bt = docs
+      .select(floor(col(idCol) / batchSize).cast("long").as("batch"),
+        explode(LlmOps.tokens(col(textCol))).as("token"))
+      .filter(col("token") =!= "")
+      .distinct()
+    val perBatch = bt.groupBy(col("batch"))
+      .agg(count(lit(1)).as("distinct_tokens"))
+    val novel = bt.groupBy(col("token"))
+      .agg(min(col("batch")).as("batch"))
+      .groupBy(col("batch"))
+      .agg(count(lit(1)).as("novel_tokens"))
+    val w = Window.orderBy(col("batch"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perBatch.join(novel, Seq("batch"), "left")
+      .select(col("batch"), col("distinct_tokens"),
+        coalesce(col("novel_tokens"), lit(0L)).as("novel_tokens"))
+      .withColumn("cum_novel_tokens", sum(col("novel_tokens")).over(w))
+      .withColumn("novelty_rate",
+        col("novel_tokens").cast("double") / col("distinct_tokens").cast("double"))
+  }
+}

@@ -1,0 +1,133 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.Scale
+import graft.QShared._
+
+/** Pre-flight scale-diagnostics registry (graft.ops.Scale): the queries a
+  * 100 TB run executes before its expensive jobs to pick salting factors,
+  * catch join explosions, and decide when a crawl stops adding vocabulary.
+  * All distribution math happens on post-aggregate (histogram-sized)
+  * relations — see the Scale scaladoc for the shape argument.
+  */
+private[graft] object QScale {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "key_skew_stats" -> ((s, dir) =>
+      // exact count-distribution order statistics WITHOUT sorting per-key
+      // counts: count-of-counts histogram (≤ O(√n) rows), integer ⌈q·n⌉
+      // thresholds, doubles only from exact integer moments
+      Scale.keySkewStats(t(s, dir, "events"), "user_id")),
+
+    "salt_plan" -> ((s, dir) =>
+      // hot keys above the per-task row target with their ⌈count/target⌉
+      // salt factors — the broadcastable input to a selective salted join
+      Scale.saltPlan(t(s, dir, "events"), "user_id", targetRows = 64L)),
+
+    "join_explosion" -> ((s, dir) =>
+      // worst 15 keys of the lineitem self-join by exact output
+      // cardinality: per-key counts join (never raw rows), global top-k
+      // via TakeOrderedAndProject
+      Scale.joinExplosion(t(s, dir, "lineitem"), t(s, dir, "lineitem"),
+        "l_partkey", k = 15)),
+
+    "diversity_profile" -> ((s, dir) =>
+      // per-user Hill-number diversity of the event-type mix at orders
+      // 0/2/∞ — log-free effective category counts bracketing Shannon
+      // entropy, exact ints to the final divisions
+      Scale.hillDiversityProfile(t(s, dir, "events"), "user_id", "event_type")
+        .orderBy("user_id")),
+
+    "novelty_curve" -> ((s, dir) =>
+      // vocabulary saturation per ingest batch of 50 docs: distinct vs
+      // first-seen tokens, cumulative, and the keep-crawling rate signal
+      Scale.tokenNoveltyCurve(t(s, dir, "documents"), "doc_id", "text",
+          batchSize = 50L)
+        .orderBy("batch"))
+  )
+
+  val oracle: Map[String, String] = Map(
+
+    "key_skew_stats" ->
+      """WITH c AS (
+           SELECT user_id, CAST(COUNT(*) AS BIGINT) AS c
+           FROM events GROUP BY 1),
+         h AS (
+           SELECT c, CAST(COUNT(*) AS BIGINT) AS f FROM c GROUP BY 1),
+         cum AS (
+           SELECT c, f, SUM(f) OVER (ORDER BY c) AS cum,
+             SUM(f) OVER () AS nk
+           FROM h)
+         SELECT
+           CAST((SELECT SUM(c * f) FROM h) AS BIGINT) AS n_rows,
+           CAST((SELECT SUM(f) FROM h) AS BIGINT) AS n_keys,
+           CAST((SELECT MAX(c) FROM h) AS BIGINT) AS max_count,
+           CAST((SELECT MIN(c) FROM cum
+              WHERE cum >= CAST(FLOOR((nk * 1 + 1) / 2) AS BIGINT)) AS BIGINT) AS p50_count,
+           CAST((SELECT MIN(c) FROM cum
+              WHERE cum >= CAST(FLOOR((nk * 9 + 9) / 10) AS BIGINT)) AS BIGINT) AS p90_count,
+           CAST((SELECT MIN(c) FROM cum
+              WHERE cum >= CAST(FLOOR((nk * 99 + 99) / 100) AS BIGINT)) AS BIGINT) AS p99_count,
+           CAST((SELECT MAX(c) FROM h) AS DOUBLE)
+             / CAST((SELECT SUM(c * f) FROM h) AS DOUBLE) AS top1_share,
+           SQRT(CAST((SELECT SUM(f) FROM h) * (SELECT SUM(c * c * f) FROM h)
+                 - (SELECT SUM(c * f) FROM h) * (SELECT SUM(c * f) FROM h)
+               AS DOUBLE))
+             / CAST((SELECT SUM(c * f) FROM h) AS DOUBLE) AS cv""",
+
+    "salt_plan" ->
+      """SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(FLOOR((COUNT(*) + 63) / 64) AS BIGINT) AS salt_factor
+         FROM events GROUP BY 1 HAVING COUNT(*) > 64
+         ORDER BY n_rows DESC, user_id ASC""",
+
+    "join_explosion" ->
+      """WITH lc AS (
+           SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n_left
+           FROM lineitem GROUP BY 1),
+         rc AS (
+           SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n_right
+           FROM lineitem GROUP BY 1)
+         SELECT lc.l_partkey, n_left, n_right,
+           CAST(n_left * n_right AS BIGINT) AS out_rows
+         FROM lc JOIN rc ON lc.l_partkey = rc.l_partkey
+         ORDER BY out_rows DESC, lc.l_partkey ASC LIMIT 15""",
+
+    "diversity_profile" ->
+      """WITH c AS (
+           SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS c
+           FROM events GROUP BY 1, 2)
+         SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_categories,
+           CAST(SUM(c) AS BIGINT) AS n_rows,
+           CAST(SUM(c) * SUM(c) AS DOUBLE) / CAST(SUM(c * c) AS DOUBLE)
+             AS effective_categories,
+           CAST(SUM(c) AS DOUBLE) / CAST(MAX(c) AS DOUBLE) AS inv_top_share
+         FROM c GROUP BY user_id ORDER BY user_id""",
+
+    "novelty_curve" ->
+      """WITH bt0 AS (
+           SELECT CAST(FLOOR(doc_id / 50) AS BIGINT) AS batch,
+             unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+           FROM documents),
+         bt2 AS (SELECT DISTINCT batch, token FROM bt0 WHERE token <> ''),
+         per AS (
+           SELECT batch, CAST(COUNT(*) AS BIGINT) AS distinct_tokens
+           FROM bt2 GROUP BY 1),
+         fb AS (
+           SELECT token, MIN(batch) AS batch FROM bt2 GROUP BY 1),
+         nv AS (
+           SELECT batch, CAST(COUNT(*) AS BIGINT) AS novel_tokens
+           FROM fb GROUP BY 1)
+         SELECT per.batch, distinct_tokens,
+           CAST(COALESCE(novel_tokens, 0) AS BIGINT) AS novel_tokens,
+           CAST(SUM(COALESCE(novel_tokens, 0))
+             OVER (ORDER BY per.batch) AS BIGINT) AS cum_novel_tokens,
+           CAST(COALESCE(novel_tokens, 0) AS DOUBLE)
+             / CAST(distinct_tokens AS DOUBLE) AS novelty_rate
+         FROM per LEFT JOIN nv ON per.batch = nv.batch
+         ORDER BY per.batch"""
+  )
+}

@@ -1,0 +1,119 @@
+package graft
+
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, ObjectHashAggregateExec, SortAggregateExec}
+import org.apache.spark.sql.execution.window.WindowExec
+import org.apache.spark.sql.functions._
+
+import graft.ops.Scale
+
+/** Pre-flight scale diagnostics (graft.ops.Scale): hand-computable fixture
+  * values, empty-input totality, and the plan discipline that makes the
+  * diagnostics themselves scale-safe — any unpartitioned window must sit
+  * strictly ABOVE an aggregate (histogram-sized input), never over raw
+  * rows.
+  */
+class ScaleDiagnosticsSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private def keyed(counts: (String, Int)*): org.apache.spark.sql.DataFrame =
+    counts.flatMap { case (k, n) => Seq.fill(n)(k) }.toDF("k")
+
+  test("keySkewStats: exact order statistics from the count-of-counts histogram") {
+    val df = keyed("a" -> 1, "b" -> 2, "c" -> 3, "d" -> 94)
+    val r = Scale.keySkewStats(df, "k").collect().head
+    assert(r.getLong(0) == 100L) // n_rows
+    assert(r.getLong(1) == 4L)   // n_keys
+    assert(r.getLong(2) == 94L)  // max_count
+    // sorted per-key counts [1,2,3,94]: ⌈.5·4⌉=2nd → 2, ⌈.9·4⌉=4th → 94
+    assert(r.getLong(3) == 2L)   // p50
+    assert(r.getLong(4) == 94L)  // p90
+    assert(r.getLong(5) == 94L)  // p99
+    assert(r.getDouble(6) == 0.94) // top1_share
+    // cv = √(n_keys·Σc² − n_rows²)/n_rows with Σc² = 1+4+9+8836
+    assert(r.getDouble(7) == math.sqrt(4.0 * 8850 - 10000) / 100.0)
+  }
+
+  test("keySkewStats: uniform distribution → all percentiles equal, cv 0") {
+    val r = Scale.keySkewStats(keyed("a" -> 5, "b" -> 5, "c" -> 5), "k")
+      .collect().head
+    assert(r.getLong(3) == 5L && r.getLong(4) == 5L && r.getLong(5) == 5L)
+    assert(r.getDouble(7) == 0.0)
+  }
+
+  test("saltPlan: only keys above target, ceil salt factors, hottest first") {
+    val out = Scale.saltPlan(keyed("hot" -> 100, "warm" -> 10, "cold" -> 3),
+        "k", targetRows = 8L)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(out == Seq(("hot", 100L, 13L), ("warm", 10L, 2L)))
+  }
+
+  test("joinExplosion: exact per-key output cardinality, matched keys only") {
+    val l = keyed("a" -> 2, "b" -> 1)
+    val r = keyed("a" -> 3, "c" -> 5)
+    val out = Scale.joinExplosion(l, r, "k", k = 5)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(("a", 2L, 3L, 6L)))
+  }
+
+  test("hillDiversityProfile: uniform mix scores k; single category scores 1") {
+    val df = Seq(("u1", "x"), ("u1", "y"), ("u1", "y"), ("u1", "z"),
+      ("u2", "only")).toDF("g", "c")
+    val out = Scale.hillDiversityProfile(df, "g", "c")
+      .orderBy("g").as[(String, Long, Long, Double, Double)].collect()
+    // u1 counts [1,2,1]: n=4, eff = 16/6, inv_top = 4/2
+    assert(out(0) == (("u1", 3L, 4L, 16.0 / 6.0, 2.0)))
+    assert(out(1) == (("u2", 1L, 1L, 1.0, 1.0)))
+  }
+
+  test("tokenNoveltyCurve: first-seen attribution, cumulative, rate") {
+    val docs = Seq((0L, "x y"), (50L, "y z"), (100L, "z"))
+      .toDF("doc_id", "text")
+    val out = Scale.tokenNoveltyCurve(docs, "doc_id", "text", 50L)
+      .orderBy("batch").as[(Long, Long, Long, Long, Double)].collect().toSeq
+    assert(out == Seq((0L, 2L, 2L, 2L, 1.0), (1L, 2L, 1L, 3L, 0.5),
+      (2L, 1L, 0L, 3L, 0.0)))
+  }
+
+  test("scale diagnostics: total on empty input") {
+    val e = Seq.empty[String].toDF("k")
+    assert(Scale.keySkewStats(e, "k").count() == 1) // one all-null stats row
+    assert(Scale.saltPlan(e, "k", 8L).count() == 0)
+    assert(Scale.joinExplosion(e, e, "k", 5).count() == 0)
+    assert(Scale.hillDiversityProfile(e, "k", "k").count() == 0)
+    val eDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Scale.tokenNoveltyCurve(eDocs, "doc_id", "text", 50L).count() == 0)
+  }
+
+  test("plan audits: unpartitioned windows only ever above aggregates") {
+    def executed(name: String): SparkPlan = {
+      val df = SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")
+      df.collect()
+      df.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+    }
+    def hasAggregateBelow(p: SparkPlan): Boolean = p.collectFirst {
+      case _: HashAggregateExec => true
+      case _: ObjectHashAggregateExec => true
+      case _: SortAggregateExec => true
+    }.isDefined
+    for (q <- Seq("key_skew_stats", "salt_plan", "join_explosion",
+        "diversity_profile", "novelty_curve")) {
+      val bad = executed(q).collect {
+        case w: WindowExec if w.partitionSpec.isEmpty &&
+            !w.children.forall(hasAggregateBelow) => w
+      }
+      assert(bad.isEmpty,
+        s"$q windows raw rows without a partition spec: ${bad.headOption}")
+    }
+    // the explosion forecast's top-k is a bounded TakeOrderedAndProject,
+    // never a global sort of the per-key relation
+    val explPlan = executed("join_explosion").toString
+    assert(explPlan.contains("TakeOrderedAndProject"),
+      s"join_explosion lost its bounded top-k:\n$explPlan")
+  }
+}
