@@ -8,14 +8,31 @@ import org.apache.spark.sql.functions._
   * (SURVEY.md §2.4) with the co-occurrence readout a recommender or
   * curriculum-mixing pipeline derives from transaction-shaped data.
   *
-  * Scale shape: the only quadratic step is the WITHIN-basket self-join,
-  * whose cost is Σ sizeᵦ² — bounded by the `maxBasketSize` guard (outlier
-  * mega-baskets are excluded, a documented census decision, instead of
-  * silently detonating the shuffle; Savasere VLDB'95 partitioned apriori
-  * makes the same cut). Item frequencies join back by broadcast — the
-  * item dimension is vocabulary-sized, not corpus-sized.
+  * Scale shape: the only quadratic step is the WITHIN-basket pair
+  * expansion, whose cost is Σ sizeᵦ² — bounded by the `maxBasketSize`
+  * guard (outlier mega-baskets are excluded, a documented census
+  * decision, instead of silently detonating the shuffle; Savasere
+  * VLDB'95 partitioned apriori makes the same cut). The expansion is
+  * IN-ROW over each basket's sorted item array ([[pairStructs]]) — a
+  * codegen'd higher-order function, not a basket self-join, so pair
+  * generation costs zero shuffles and the per-task memory is the capped
+  * basket array. Item frequencies join back by broadcast — the item
+  * dimension is vocabulary-sized, not corpus-sized.
   */
 object Assoc {
+
+  /** All ordered-canonical pairs (a, b) with a before b from a SORTED
+    * array, as an array of structs — the in-row replacement for the
+    * classic pair-generation self-join. Stays entirely inside codegen'd
+    * higher-order functions; output size is C(n,2) structs for an n-item
+    * array, so callers must bound n (basket caps, per-order line limits,
+    * |languages|) — the same Σ n² budget the join shape had, minus its
+    * shuffle.
+    */
+  def pairStructs(arr: Column): Column =
+    flatten(transform(arr, (x, i) =>
+      transform(slice(arr, i + lit(2), size(arr)),
+        y => struct(x.as("a"), y.as("b")))))
 
   /** Frequent item PAIRS with support / confidence / lift:
     *
@@ -38,13 +55,18 @@ object Assoc {
         .over(org.apache.spark.sql.expressions.Window.partitionBy(col("__b"))))
       .filter(col("__sz") <= maxBasketSize)
       .select(col("__b"), col("__i"))
-    val kept = sized.localCheckpoint(eager = true)
-    val nBaskets = kept.agg(countDistinct(col("__b")).as("__n"))
-    val itemCounts = kept.groupBy(col("__i")).agg(count(lit(1)).as("__ci"))
-    val pairs = kept.as("l")
-      .join(kept.as("r"), col("l.__b") === col("r.__b")
-        && col("l.__i") < col("r.__i"))
-      .groupBy(col("l.__i").as("item_a"), col("r.__i").as("item_b"))
+    // one array row per basket (input already partitioned by __b from the
+    // size window — no extra exchange); sorted so pairStructs canonicalizes
+    val kept = sized.groupBy(col("__b"))
+      .agg(sort_array(collect_list(col("__i"))).as("__items"))
+      .localCheckpoint(eager = true)
+    val nBaskets = kept.agg(count(lit(1)).as("__n"))
+    val itemCounts = kept
+      .select(explode(col("__items")).as("__i"))
+      .groupBy(col("__i")).agg(count(lit(1)).as("__ci"))
+    val pairs = kept
+      .select(explode(pairStructs(col("__items"))).as("__p"))
+      .groupBy(col("__p.a").as("item_a"), col("__p.b").as("item_b"))
       .agg(count(lit(1)).as("n_pair"))
       .filter(col("n_pair") >= minPairCount)
     pairs

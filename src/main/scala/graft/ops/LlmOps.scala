@@ -2173,23 +2173,31 @@ object LlmOps {
     * that flags translation artifacts, boilerplate leaking across locales,
     * or mislabeled languages before training-mixture math trusts the lang
     * column. Fingerprints are the portable md5-48 shingle family (the
-    * dedup_jaccard machinery), deduplicated to (lang, fp) grain first, so
-    * the pair join meets on fp with ≤ |langs| rows per fingerprint — never
-    * a document cross join. Jaccard = shared / (a + b − shared), exact
-    * integers to one final division.
+    * dedup_jaccard machinery), grouped to per-fingerprint LANGUAGE SETS
+    * (bounded by |langs|, merged map-side) so pair counting is an in-row
+    * [[Assoc.pairStructs]] expansion — never a fingerprint self-join, let
+    * alone a document cross join. Jaccard = shared / (a + b − shared),
+    * exact integers to one final division.
     */
   def crossLangOverlap(df: DataFrame, langCol: String, textCol: String,
                        shingleN: Int = 3): DataFrame = {
-    val fps = df.select(col(langCol).as("__lang"),
+    // ONE corpus-scale shuffle: group by fingerprint collecting the set
+    // of languages it appears in — collect_set partials merge map-side
+    // and the buffer is bounded by |languages|, so the hot path never
+    // self-joins the fingerprint relation. Everything downstream operates
+    // on the per-fingerprint language sets (≤ |langs| elements each).
+    val byFp = df.select(col(langCol).as("__lang"),
         explode(shingles(col(textCol), shingleN)).as("__sh"))
       .select(col("__lang"), md5Hash48(col("__sh"), 1).as("__h"))
-      .distinct()
+      .groupBy(col("__h"))
+      .agg(sort_array(collect_set(col("__lang"))).as("__ls"))
       .localCheckpoint(eager = true)
-    val perLang = fps.groupBy(col("__lang")).agg(count(lit(1)).as("__c"))
-    val shared = fps.as("a")
-      .join(fps.as("b"), col("a.__h") === col("b.__h")
-        && col("a.__lang") < col("b.__lang"))
-      .groupBy(col("a.__lang").as("lang_a"), col("b.__lang").as("lang_b"))
+    val perLang = byFp.select(explode(col("__ls")).as("__lang"))
+      .groupBy(col("__lang")).agg(count(lit(1)).as("__c"))
+    val shared = byFp
+      .filter(size(col("__ls")) >= 2)
+      .select(explode(Assoc.pairStructs(col("__ls"))).as("__p"))
+      .groupBy(col("__p.a").as("lang_a"), col("__p.b").as("lang_b"))
       .agg(count(lit(1)).as("n_shared"))
     shared
       .join(broadcast(perLang).withColumnRenamed("__lang", "lang_a")

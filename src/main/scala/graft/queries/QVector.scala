@@ -197,13 +197,14 @@ private[graft] object QVector {
       // supplier co-fulfillment graph (≥4 shared orders): exact triangle
       // census via degree-ordered orientation — wedge work is bounded by
       // out-degree², not hub degree²
-      val pres = t(s, dir, "lineitem")
-        .select(col("l_orderkey").as("o"), col("l_suppkey").as("sk"))
-        .distinct()
-      val edges = pres.as("l")
-        .join(pres.as("r"), col("l.o") === col("r.o")
-          && col("l.sk") < col("r.sk"))
-        .groupBy(col("l.sk").as("a"), col("r.sk").as("b"))
+      // one shuffle to per-order supplier sets (collect_set dedupes and
+      // merges map-side; set size is bounded by the order's line count),
+      // then in-row pair expansion — no presence self-join
+      val edges = t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(sort_array(collect_set(col("l_suppkey"))).as("sks"))
+        .select(explode(graft.ops.Assoc.pairStructs(col("sks"))).as("__p"))
+        .groupBy(col("__p.a").as("a"), col("__p.b").as("b"))
         .agg(count(lit(1)).as("n_co"))
         .filter(col("n_co") >= 4)
       graft.ops.Graph.triangleStats(edges, "a", "b")
