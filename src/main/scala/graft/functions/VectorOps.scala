@@ -644,6 +644,95 @@ object VectorOps {
           lit(0L), (s, e) => s + e).as("dist2"))
   }
 
+  /** Product quantization (Jégou et al., "Product Quantization for
+    * Nearest Neighbor Search", TPAMI 2011): split each vector into `m`
+    * contiguous subvectors and k-means each subspace independently; a
+    * vector's code is its m per-subspace centroid ids — m·log₂(k) bits
+    * instead of dim·32, the memory step that makes billion-vector ANN
+    * fit RAM at all. Same exactness contract as [[kmeansAssign]]:
+    * quantize to floor(x·scale) longs, integer distances, floor(sum/cnt)
+    * centroid updates, k lowest-id seeds — every digit replayable by an
+    * unrolled-CTE SQL twin.
+    *
+    * One Spark job per training round covers ALL m subspaces: each row
+    * emits (subspace, nearest-code, dim, value) tuples and one
+    * (s, c, d)-grain aggregate collects the m·k·subdim centroid grid —
+    * driver-resident by the same boundedness argument as kmeansAssign's.
+    * Codebooks ship back as a literal (no join); assignment is pure
+    * map-side projection. Output: one row per vector — id, code_0..m-1,
+    * and the exact total squared quantization error.
+    */
+  /** Shared PQ training loop: quantized (__id, __q) relation → per-subspace
+    * integer centroid grid after `iters` Lloyd rounds (k lowest-id seeds,
+    * floor-division updates — the kmeansAssign exactness contract, one
+    * Spark job per round covering ALL m subspaces).
+    */
+  private def pqTrain(qdf: DataFrame, m: Int, k: Int, iters: Int,
+                      sub: Int): Array[Array[Array[Long]]] = {
+    val spark = qdf.sparkSession
+    def sliceS(s: Int) = slice(col("__q"), s * sub + 1, sub)
+    val seedRows = qdf.orderBy(col("__id")).limit(k)
+      .collect().map(_.getSeq[Long](1).toArray)
+    require(seedRows.nonEmpty, "pqTrain: empty input")
+    var cents: Array[Array[Array[Long]]] = Array.tabulate(m)(s =>
+      seedRows.map(v => v.slice(s * sub, (s + 1) * sub)))
+    for (_ <- 1 to iters) {
+      // per row and subspace: (s, nearest code, subvector) — one explode,
+      // one aggregate, one m·k·sub-row collect
+      val perSub = array((0 until m).map { s =>
+        struct(lit(s).as("s"),
+          nearestCellLong(spark, sliceS(s),
+            cents(s).map(_.toIndexedSeq).toIndexedSeq).as("c"),
+          sliceS(s).as("qs"))
+      }: _*)
+      val updates = qdf
+        .select(explode(perSub).as("e"))
+        .select(col("e.s").as("__s"), col("e.c").as("__c"),
+          posexplode(col("e.qs")).as(Seq("__d", "__v")))
+        .groupBy("__s", "__c", "__d")
+        .agg(floor(sum(col("__v")).cast("double") / count(lit(1)))
+          .cast("long").as("__m"))
+        .collect()
+      val next = cents.map(_.map(_.clone()))
+      updates.foreach(r => next(r.getInt(0))(r.getInt(1))(r.getInt(2)) = r.getLong(3))
+      cents = next
+    }
+    cents
+  }
+
+  private def quantized(df: DataFrame, idCol: String, vecCol: String,
+                        scale: Int): DataFrame = {
+    val q = transform(col(vecCol), x => floor(x.cast("double") * scale).cast("long"))
+    df.select(col(idCol).as("__id"), q.as("__q"))
+  }
+
+  def pqCodes(df: DataFrame, idCol: String, vecCol: String,
+              m: Int, k: Int, iters: Int, scale: Int = 1024): DataFrame = {
+    require(m > 0 && k > 0 && iters >= 0, s"pqCodes: bad params m=$m k=$k iters=$iters")
+    val spark = df.sparkSession
+    val qdf = quantized(df, idCol, vecCol, scale).persist()
+    val dim = qdf.select(size(col("__q"))).head().getInt(0)
+    require(dim % m == 0, s"pqCodes: dim $dim not divisible by m=$m")
+    val sub = dim / m
+    def sliceS(s: Int) = slice(col("__q"), s * sub + 1, sub)
+    val cents = pqTrain(qdf, m, k, iters, sub)
+    val codeCols = (0 until m).map { s =>
+      nearestCellLong(spark, sliceS(s),
+        cents(s).map(_.toIndexedSeq).toIndexedSeq).cast("long").as(s"code_$s")
+    }
+    val distCols = (0 until m).map { s =>
+      val cLit = typedlit(cents(s).map(_.toIndexedSeq).toIndexedSeq)
+      aggregate(
+        zip_with(sliceS(s), element_at(cLit, col(s"code_$s").cast("int") + 1),
+          (x, y) => (x - y) * (x - y)),
+        lit(0L), (acc, e) => acc + e)
+    }
+    qdf.select((col("__id") +: codeCols) :+ col("__q"): _*)
+      .withColumn("dist2", distCols.reduce(_ + _))
+      .drop("__q")
+      .withColumnRenamed("__id", idCol)
+  }
+
   /** IVF query: score the query against the centroids (tiny, collected),
     * pick the nProbe nearest cells, exact-cosine only within them.
     */

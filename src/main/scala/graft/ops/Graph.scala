@@ -409,4 +409,50 @@ object Graph {
         (lit(6.0) * col("n_triangles").cast("double")
           / nullif(col("__paths2x2").cast("double"), lit(0.0))).as("transitivity"))
   }
+
+  /** Fixed-round k-core peeling probe: run exactly `rounds` rounds of
+    * "drop every node with degree < k (and its edges)" over the undirected
+    * edge set, then report each surviving node with its post-peel degree.
+    * After enough rounds this converges to the classical k-core
+    * (Seidman 1983 — the standard cohesion screen for engagement graphs
+    * and the densest-region pre-filter before expensive clique/community
+    * work); a FIXED round count keeps the operator a deterministic,
+    * oracle-replayable query while still exposing the cascade — each round
+    * is one observable peeling wave, which is itself the diagnostic (how
+    * fast the graph sheds its periphery).
+    *
+    * Scale posture: per round, one map-side-combined degree aggregate over
+    * the live edge set and two semi-joins back on the endpoint keys — no
+    * per-node adjacency state, no global ordering anywhere; the edge set
+    * only SHRINKS. `localCheckpoint` per round cuts the growing lineage
+    * like the CC/PageRank loops above. The true-fixpoint variant is this
+    * loop with a convergence count check; `rounds` is the bounded probe
+    * the slate can hash-verify.
+    */
+  def kCorePeel(edges: DataFrame, srcCol: String, dstCol: String,
+                k: Int, rounds: Int): DataFrame = {
+    require(k > 0, s"kCorePeel: k must be positive, got $k")
+    require(rounds >= 1, s"kCorePeel: rounds must be >= 1, got $rounds")
+    val undirected = edges
+      .select(col(srcCol).as("a"), col(dstCol).as("b"))
+      .distinct()
+    var sym = undirected
+      .select(col("a").as("v"), col("b").as("w"))
+      .union(undirected.select(col("b").as("v"), col("a").as("w")))
+      .localCheckpoint(eager = true)
+    for (_ <- 1 to rounds) {
+      val alive = sym.groupBy(col("v"))
+        .agg(count(lit(1)).as("__d"))
+        .filter(col("__d") >= k)
+        .select(col("v"))
+      sym = sym
+        .join(alive, Seq("v"), "left_semi")
+        .join(alive.select(col("v").as("w")), Seq("w"), "left_semi")
+        .select(col("v"), col("w"))
+        .localCheckpoint(eager = true)
+    }
+    sym.groupBy(col("v"))
+      .agg(count(lit(1)).cast("long").as("degree"))
+      .select(col("v").as("node"), col("degree"))
+  }
 }

@@ -2210,4 +2210,73 @@ object LlmOps {
           / (col("__ca") + col("__cb") - col("n_shared")).cast("double"))
           .as("jaccard"))
   }
+
+  /** RAKE-style keyword scoring (Rose et al., "Automatic Keyword
+    * Extraction from Individual Documents", 2010) at corpus scale:
+    * candidate phrases are the maximal stopword-free token runs, and each
+    * word accumulates freq (phrase occurrences containing it) and deg
+    * (Σ over those phrases of |phrase| − 1 — its within-phrase
+    * co-occurrence count). RAKE ranks words by deg/freq: words that
+    * appear mostly inside LONG multi-word phrases outrank equally common
+    * words that stand alone — a content-term signal with zero model state.
+    *
+    * Implementation is pure codegen string ops (no UDF): stopwords become
+    * run delimiters via one regexp_replace, runs split in-row, words
+    * explode into ONE (word)-grain hash-aggregate of two exact longs.
+    * The score is a single int/int IEEE divide (engine-portable), ties
+    * broken by exact (deg, freq, word) ordering; top-k is a
+    * TakeOrderedAndProject. At 100 TB this is a scan + one map-side
+    * combined aggregate over the vocabulary — the same shape as a word
+    * count.
+    */
+  def rakeKeywords(df: DataFrame, textCol: String, k: Int): DataFrame = {
+    // the qualityScore/langId stopword family, applied as delimiters
+    val stop = "\\b(the|a|an|of|and|or|in|to|is|are|was|for|on|with|as|at|by|it|this|that)\\b"
+    val runs = split(
+      regexp_replace(normText(col(textCol)), stop, "|"), "\\|")
+    df.select(explode(runs).as("__run"))
+      .select(trim(col("__run")).as("__run"))
+      .filter(col("__run") =!= "")
+      .select(split(col("__run"), "\\s+").as("__ws"))
+      .select(size(col("__ws")).as("__len"), explode(col("__ws")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("word"))
+      .agg(count(lit(1)).cast("long").as("freq"),
+        sum(col("__len") - 1).cast("long").as("deg"))
+      .withColumn("score", col("deg").cast("double") / col("freq").cast("double"))
+      .orderBy(col("deg").desc, col("freq").desc, col("word").asc)
+      .limit(k)
+  }
+
+  /** Quality-proportional importance resampling audit: every doc gets a
+    * keep-probability q‰ = ⌊1000·alpha_chars/chars⌋ (the integer per-mille
+    * alpha ratio — a stand-in for any integer quality score) and is kept
+    * iff md5₄₈(id) mod 1000 < q — deterministic weighted Bernoulli
+    * thinning, no RNG, layout-stable (the dataset_split discipline
+    * applied to SCORE-proportional sampling instead of uniform). Emits
+    * the per-language audit: docs, kept, the exact expected keep count
+    * (Σq/1000 as two longs) and the realized rate — the drift check that
+    * validates the thinning before a training run trusts it.
+    *
+    * One scan → one hash-aggregate; at 100 TB the audit output is
+    * |languages| rows and the kept set is reproducible by any engine
+    * replaying the hash.
+    */
+  def qualityResample(df: DataFrame, idCol: String, textCol: String,
+                      langCol: String): DataFrame = {
+    val t = normText(col(textCol))
+    val q = floor(lit(1000) * regexp_count(t, lit("[a-z]"))
+      / greatest(length(t), lit(1))).cast("long")
+    val kept = (pmod(md5Hash48(col(idCol).cast("string"), 1), lit(1000L)) < q)
+      .cast("long")
+    df.select(col(langCol).as("lang"), q.as("__q"), kept.as("__k"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(col("__k")).cast("long").as("n_kept"),
+        sum(col("__q")).cast("long").as("sum_q_milli"))
+      .withColumn("expected_kept",
+        col("sum_q_milli").cast("double") / 1000.0)
+      .withColumn("keep_rate",
+        col("n_kept").cast("double") / col("n_docs").cast("double"))
+  }
 }

@@ -170,4 +170,68 @@ object Scale {
       .withColumn("novelty_rate",
         col("novel_tokens").cast("double") / col("distinct_tokens").cast("double"))
   }
+
+  /** Weighted sample WITHOUT replacement via priority sampling
+    * (Duffield–Lund–Thorup, JACM 2007): each row gets priority
+    * w / u for a uniform u ∈ (0,1], and the k highest priorities form the
+    * sample. One pass, no global sort: the top-k is a
+    * TakeOrderedAndProject (per-partition bounded heaps merged on the
+    * driver), so the cost at 100 TB is a scan plus k rows per partition.
+    *
+    * Engine-portable determinism: u is hash-derived —
+    * u = (md5₄₈(id)+1)/2⁴⁸ — and the priority is computed as ONE IEEE-754
+    * division of two exactly-representable integers
+    * (w·2⁴⁸ would overflow, so priority = w / u = w·(2⁴⁸/(h+1)) is
+    * evaluated as w_double / u_double with u_double = (h+1)/2⁴⁸ — two
+    * exact conversions, one correctly-rounded divide, one
+    * correctly-rounded multiply: the same bits in any IEEE engine, unlike
+    * the pow/log form of Efraimidis–Spirakis which leans on libm).
+    * Ties broken by id for a fully deterministic sample set AND order.
+    */
+  def prioritySample(df: DataFrame, idCol: String, weightCol: Column,
+                     k: Int): DataFrame = {
+    val h = LlmOps.md5Hash48(col(idCol).cast("string"), 1)
+    val u = (h + 1).cast("double") / lit(281474976710656.0) // 2^48
+    val pri = weightCol.cast("double") / u
+    df.select(col(idCol), weightCol.cast("long").as("weight"),
+        pri.as("priority"))
+      .orderBy(col("priority").desc, col(idCol).asc)
+      .limit(k)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("priority").desc,
+          col(idCol).asc)).cast("long"))
+  }
+
+  /** Small-file compaction plan: given a file-metadata relation (one row
+    * per file with an ordering key and a size), assign files to target
+    * bins by cumulative quota — bin = ⌊(running_size − size) / target⌋ —
+    * and emit per-bin packing stats. This is the nightly job a 100 TB
+    * lakehouse runs against its CATALOG (a metadata-sized relation, not
+    * the data): the only window runs over |files| rows ordered by the
+    * layout key, never over raw data, and the output (one row per output
+    * bin) is what the rewrite job's task list broadcasts from.
+    *
+    * Quota packing is deliberately chosen over first-fit-decreasing: it
+    * preserves the input's sort-key adjacency (compacted files stay
+    * range-clusterable, the zorder_layout concern) and is expressible as
+    * pure integer window arithmetic any engine replays exactly. A file
+    * larger than `target` gets a bin of its own and is flagged oversized
+    * (it can't be split by a copying compactor).
+    */
+  def compactionPlan(files: DataFrame, orderCol: String, sizeCol: String,
+                     target: Long): DataFrame = {
+    val w = Window.orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    files
+      .withColumn("__cum", sum(col(sizeCol)).over(w))
+      .withColumn("bin",
+        floor((col("__cum") - col(sizeCol)) / target).cast("long"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_files"),
+        sum(col(sizeCol)).cast("long").as("total_size"),
+        min(col(orderCol)).as("first_key"),
+        max(col(orderCol)).as("last_key"),
+        max((col(sizeCol) > target).cast("long")).as("has_oversized"))
+      .withColumn("has_oversized", col("has_oversized") === 1L)
+  }
 }

@@ -46,7 +46,30 @@ private[graft] object QScale {
       // first-seen tokens, cumulative, and the keep-crawling rate signal
       Scale.tokenNoveltyCurve(t(s, dir, "documents"), "doc_id", "text",
           batchSize = 50L)
-        .orderBy("batch"))
+        .orderBy("batch")),
+
+    "priority_sample" -> ((s, dir) =>
+      // weighted sample w/o replacement (Duffield–Lund–Thorup priority
+      // sampling): hash-uniform u, priority = weight/u, top-50 via
+      // TakeOrderedAndProject — one scan, no global sort; the double is
+      // one exact-int IEEE divide so the DuckDB twin replays it bitwise
+      Scale.prioritySample(t(s, dir, "orders"), "o_orderkey",
+          floor(col("o_totalprice")).cast("long") + 1, k = 50)
+        .orderBy("rank")),
+
+    "compaction_plan" -> ((s, dir) => {
+      // small-file compaction planning over the (day × event_type) file
+      // catalog: cumulative-quota packing keyed on layout order — the
+      // window runs over |files| metadata rows, never raw data
+      val files = t(s, dir, "events")
+        .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"),
+          col("event_type"))
+        .agg(count(lit(1)).as("size_rows"))
+        .select(concat_ws("|", col("day"), col("event_type")).as("file_key"),
+          col("size_rows"))
+      Scale.compactionPlan(files, "file_key", "size_rows", target = 2000L)
+        .orderBy("bin")
+    })
   )
 
   val oracle: Map[String, String] = Map(
@@ -128,6 +151,48 @@ private[graft] object QScale {
            CAST(COALESCE(novel_tokens, 0) AS DOUBLE)
              / CAST(distinct_tokens AS DOUBLE) AS novelty_rate
          FROM per LEFT JOIN nv ON per.batch = nv.batch
-         ORDER BY per.batch"""
+         ORDER BY per.batch""",
+
+    // priority = weight / hash-uniform: (h+1)/2^48 is an exact power-of-2
+    // scaling, the final divide is one correctly-rounded IEEE op on exact
+    // operands — bit-identical across engines (the repo's float rule)
+    "priority_sample" ->
+      """WITH w AS (
+           SELECT o_orderkey,
+             CAST(floor(o_totalprice) AS BIGINT) + 1 AS weight
+           FROM orders),
+         p AS (
+           SELECT o_orderkey, weight,
+             CAST(weight AS DOUBLE) /
+               (CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 12))::BIGINT
+                  + 1 AS DOUBLE) / 281474976710656.0) AS priority
+           FROM w),
+         topk AS (
+           SELECT o_orderkey, weight, priority
+           FROM p ORDER BY priority DESC, o_orderkey LIMIT 50)
+         SELECT o_orderkey, weight, priority,
+           CAST(row_number() OVER (ORDER BY priority DESC, o_orderkey)
+             AS BIGINT) AS rank
+         FROM topk ORDER BY rank""",
+
+    // cumulative-quota packing replay: same integer window arithmetic —
+    // bin = floor((running − size) / target) over the file catalog
+    "compaction_plan" ->
+      """WITH f AS (
+           SELECT strftime(ts, '%Y-%m-%d') || '|' || event_type AS file_key,
+             CAST(COUNT(*) AS BIGINT) AS size_rows
+           FROM events GROUP BY 1),
+         packed AS (
+           SELECT file_key, size_rows,
+             CAST(floor((SUM(size_rows) OVER (ORDER BY file_key
+                 ROWS UNBOUNDED PRECEDING) - size_rows) / 2000.0)
+               AS BIGINT) AS bin
+           FROM f)
+         SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_files,
+           CAST(SUM(size_rows) AS BIGINT) AS total_size,
+           MIN(file_key) AS first_key, MAX(file_key) AS last_key,
+           MAX(CASE WHEN size_rows > 2000 THEN 1 ELSE 0 END) = 1
+             AS has_oversized
+         FROM packed GROUP BY bin ORDER BY bin"""
   )
 }

@@ -193,6 +193,30 @@ private[graft] object QVector {
           "basket", "item", minPairCount = 5L)
         .orderBy("item_a", "item_b")),
 
+    "kcore_peel" -> ((s, dir) => {
+      // cohesion screen over the customer↔part purchase graph (distinct
+      // edges from orders⋈lineitem, parts offset into their own id
+      // space): 3 fixed peeling rounds at k=25 — each round one
+      // map-side-combined degree aggregate + two endpoint semi-joins,
+      // the edge set only shrinks
+      val e = t(s, dir, "orders")
+        .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("src"),
+          (col("l_partkey") + lit(1000000L)).as("dst"))
+        .distinct()
+      graft.ops.Graph.kCorePeel(e, "src", "dst", k = 25, rounds = 3)
+        .orderBy("node")
+    }),
+
+    "pq_codes" -> ((s, dir) =>
+      // product quantization (Jégou TPAMI'11): 4 subspaces × 16 dims,
+      // k=4 integer-exact centroids each, 1 Lloyd round — codebooks are
+      // driver-resident literals, assignment pure map-side; the oracle
+      // unrolls the round digit-for-digit like kmeans_assign
+      VectorOps.pqCodes(t(s, dir, "embeddings"), "vec_id", "embedding",
+          m = 4, k = 4, iters = 1)
+        .orderBy("vec_id")),
+
     "triangle_suppliers" -> ((s, dir) => {
       // supplier co-fulfillment graph (≥4 shared orders): exact triangle
       // census via degree-ordered orientation — wedge work is bounded by
@@ -475,6 +499,81 @@ private[graft] object QVector {
                   FROM p2 q JOIN e ON q.node = e.src
                   WHERE q.outdeg > 0 GROUP BY e.dst) m USING (node))
          SELECT node, pr FROM p3 ORDER BY pr DESC, node LIMIT 20""",
+
+    // three unrolled peel waves: degrees → survivors → surviving edges,
+    // then the post-peel degree report
+    "kcore_peel" ->
+      """WITH e0 AS (
+           SELECT DISTINCT o_custkey AS a, l_partkey + 1000000 AS b
+           FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         s0 AS (SELECT a AS v, b AS w FROM e0
+                UNION ALL SELECT b, a FROM e0),
+         d1 AS (SELECT v, COUNT(*) AS c FROM s0 GROUP BY 1),
+         a1 AS (SELECT v FROM d1 WHERE c >= 25),
+         s1 AS (SELECT s.v, s.w FROM s0 s
+                JOIN a1 x ON s.v = x.v JOIN a1 y ON s.w = y.v),
+         d2 AS (SELECT v, COUNT(*) AS c FROM s1 GROUP BY 1),
+         a2 AS (SELECT v FROM d2 WHERE c >= 25),
+         s2 AS (SELECT s.v, s.w FROM s1 s
+                JOIN a2 x ON s.v = x.v JOIN a2 y ON s.w = y.v),
+         d3 AS (SELECT v, COUNT(*) AS c FROM s2 GROUP BY 1),
+         a3 AS (SELECT v FROM d3 WHERE c >= 25),
+         s3 AS (SELECT s.v, s.w FROM s2 s
+                JOIN a3 x ON s.v = x.v JOIN a3 y ON s.w = y.v)
+         SELECT v AS node, CAST(COUNT(*) AS BIGINT) AS degree
+         FROM s3 GROUP BY 1 ORDER BY node""",
+
+    // product-quantization replay: per-(vec, subspace) nearest seed,
+    // floor-division centroid update, final per-subspace code + summed
+    // exact error — kmeans_assign's CTE structure with a subspace column
+    "pq_codes" ->
+      """WITH q AS (
+           SELECT vec_id, list_transform(embedding,
+             x -> CAST(floor(CAST(x AS DOUBLE) * 1024) AS BIGINT)) AS qv
+           FROM embeddings),
+         dims AS (
+           SELECT vec_id, CAST((r.i - 1) // 16 AS INTEGER) AS s,
+             r.i AS d, qv[r.i] AS v
+           FROM q CROSS JOIN range(1, 65) r(i)),
+         c0 AS (
+           SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT) - 1 AS c, qv
+           FROM q ORDER BY vec_id LIMIT 4),
+         cd0 AS (
+           SELECT c, CAST((r.i - 1) // 16 AS INTEGER) AS s, r.i AS d, qv[r.i] AS v
+           FROM c0 CROSS JOIN range(1, 65) r(i)),
+         a0 AS (
+           SELECT t.vec_id, t.s, g.c, SUM((t.v - g.v) * (t.v - g.v)) AS dist2
+           FROM dims t JOIN cd0 g ON t.s = g.s AND t.d = g.d
+           GROUP BY 1, 2, 3),
+         b0 AS (
+           SELECT vec_id, s, c FROM (
+             SELECT vec_id, s, c,
+               row_number() OVER (PARTITION BY vec_id, s ORDER BY dist2, c) AS rn
+             FROM a0) WHERE rn = 1),
+         cd1 AS (
+           SELECT g.c, g.s, g.d, COALESCE(u.m, g.v) AS v
+           FROM cd0 g LEFT JOIN (
+             SELECT b0.s, b0.c, t.d,
+               CAST(floor(CAST(SUM(t.v) AS DOUBLE) / COUNT(*)) AS BIGINT) AS m
+             FROM dims t JOIN b0 ON t.vec_id = b0.vec_id AND t.s = b0.s
+             GROUP BY 1, 2, 3) u
+           ON g.c = u.c AND g.s = u.s AND g.d = u.d),
+         a1 AS (
+           SELECT t.vec_id, t.s, g.c, SUM((t.v - g.v) * (t.v - g.v)) AS dist2
+           FROM dims t JOIN cd1 g ON t.s = g.s AND t.d = g.d
+           GROUP BY 1, 2, 3),
+         b1 AS (
+           SELECT vec_id, s, c, dist2 FROM (
+             SELECT vec_id, s, c, dist2,
+               row_number() OVER (PARTITION BY vec_id, s ORDER BY dist2, c) AS rn
+             FROM a1) WHERE rn = 1)
+         SELECT vec_id,
+           CAST(MAX(CASE WHEN s = 0 THEN c END) AS BIGINT) AS code_0,
+           CAST(MAX(CASE WHEN s = 1 THEN c END) AS BIGINT) AS code_1,
+           CAST(MAX(CASE WHEN s = 2 THEN c END) AS BIGINT) AS code_2,
+           CAST(MAX(CASE WHEN s = 3 THEN c END) AS BIGINT) AS code_3,
+           CAST(SUM(dist2) AS BIGINT) AS dist2
+         FROM b1 GROUP BY vec_id ORDER BY vec_id""",
 
     "fuzzy_pairs" ->
       """WITH names AS (
