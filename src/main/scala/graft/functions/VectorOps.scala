@@ -733,6 +733,66 @@ object VectorOps {
       .withColumnRenamed("__id", idCol)
   }
 
+  /** PQ asymmetric-distance search (ADC, Jégou TPAMI'11 §IV): train
+    * codebooks on the corpus, reduce every corpus vector to its m
+    * subspace codes, and score queries against CODES ONLY — per query and
+    * subspace, the distance to each of the k centroids forms a k-entry
+    * lookup table, and a vector's ADC distance is the sum of its m table
+    * hits. This is the shape that makes billion-vector search tractable:
+    * the scored relation is m longs per doc (not dim floats), the lookup
+    * side is |queries|·m·k rows (broadcast), and the final top-k per
+    * query is a WindowGroupLimit bounded heap — no full sort, no
+    * raw-vector shuffle anywhere past code assignment.
+    *
+    * All-integer arithmetic end to end (quantized subvectors, exact
+    * squared distances, exact sums) — the oracle replays the whole
+    * pipeline, codebook training included, digit for digit.
+    */
+  def pqSearch(corpus: DataFrame, idCol: String, vecCol: String,
+               queries: DataFrame, qIdCol: String, qVecCol: String,
+               m: Int, k: Int, iters: Int, topK: Int,
+               scale: Int = 1024): DataFrame = {
+    val spark = corpus.sparkSession
+    val qdf = quantized(corpus, idCol, vecCol, scale).persist()
+    val dim = qdf.select(size(col("__q"))).head().getInt(0)
+    require(dim % m == 0, s"pqSearch: dim $dim not divisible by m=$m")
+    val sub = dim / m
+    def sliceS(s: Int) = slice(col("__q"), s * sub + 1, sub)
+    val cents = pqTrain(qdf, m, k, iters, sub)
+    // corpus → melted (id, s, code) rows: m longs per doc
+    val codeStructs = array((0 until m).map { s =>
+      struct(lit(s).as("s"),
+        nearestCellLong(spark, sliceS(s),
+          cents(s).map(_.toIndexedSeq).toIndexedSeq).cast("long").as("code"))
+    }: _*)
+    val codes = qdf.select(col("__id"), explode(codeStructs).as("__e"))
+      .select(col("__id"), col("__e.s").as("__s"), col("__e.code").as("__c"))
+    // queries → (qid, s, c, exact squared distance to centroid c of s)
+    val qq = quantized(queries, qIdCol, qVecCol, scale)
+    def qSliceS(s: Int) = slice(col("__q"), s * sub + 1, sub)
+    val tableStructs = array((for (s <- 0 until m; c <- 0 until k) yield {
+      val cLit = typedlit(cents(s)(c).toIndexedSeq)
+      struct(lit(s).as("s"), lit(c.toLong).as("c"),
+        aggregate(zip_with(qSliceS(s), cLit, (x, y) => (x - y) * (x - y)),
+          lit(0L), (acc, e) => acc + e).as("d"))
+    }): _*)
+    val lut = qq.select(col("__id").as("__qid"),
+        explode(tableStructs).as("__t"))
+      .select(col("__qid"), col("__t.s").as("__s"), col("__t.c").as("__c"),
+        col("__t.d").as("__d"))
+    require(qIdCol != idCol,
+      s"pqSearch: query id column must differ from corpus id column ($idCol)")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(qIdCol))
+      .orderBy(col("adc_dist2").asc, col(idCol).asc)
+    codes.join(broadcast(lut), Seq("__s", "__c"))
+      .groupBy(col("__qid"), col("__id"))
+      .agg(sum(col("__d")).cast("long").as("adc_dist2"))
+      .select(col("__qid").as(qIdCol), col("__id").as(idCol), col("adc_dist2"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topK)
+  }
+
   /** IVF query: score the query against the centroids (tiny, collected),
     * pick the nProbe nearest cells, exact-cosine only within them.
     */

@@ -21,6 +21,20 @@ private[graft] object QTextCuration {
       LlmOps.textStats(t(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")),
 
+    "rake_keywords" -> ((s, dir) =>
+      // RAKE keyword scoring: stopword-delimited phrase runs → one
+      // (word)-grain aggregate of exact (freq, deg) longs; top-25 by
+      // integer order via TakeOrderedAndProject — a word count's shape
+      LlmOps.rakeKeywords(t(s, dir, "documents"), "text", k = 25)),
+
+    "quality_resample" -> ((s, dir) =>
+      // score-proportional deterministic thinning audit: keep iff
+      // md5-48(id) mod 1000 < per-mille alpha ratio; per-lang realized
+      // vs expected keep rates in ONE aggregate
+      LlmOps.qualityResample(t(s, dir, "documents"), "doc_id", "text",
+          "lang")
+        .orderBy("lang")),
+
     "quality_score" -> ((s, dir) =>
       LlmOps.qualityScore(t(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")),
@@ -382,6 +396,47 @@ private[graft] object QTextCuration {
             CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS n_digits,
             md5(lower(trim(text))) AS fp
          FROM documents ORDER BY doc_id""",
+
+    // stopword runs via one global regexp_replace, per-word exact
+    // (freq, deg) longs, one divide, integer-ordered top-k
+    "rake_keywords" ->
+      """WITH runs AS (
+           SELECT trim(r) AS run
+           FROM documents,
+             unnest(regexp_split_to_array(
+               regexp_replace(lower(trim(text)),
+                 '\b(the|a|an|of|and|or|in|to|is|are|was|for|on|with|as|at|by|it|this|that)\b',
+                 '|', 'g'), '\|')) AS u(r)
+           WHERE trim(r) <> ''),
+         words AS (
+           SELECT len(regexp_extract_all(run, '\S+')) AS wlen, w.word
+           FROM runs, unnest(regexp_extract_all(run, '\S+')) AS w(word)
+           WHERE w.word <> ''),
+         agg AS (
+           SELECT word, CAST(COUNT(*) AS BIGINT) AS freq,
+             CAST(SUM(wlen - 1) AS BIGINT) AS deg
+           FROM words GROUP BY 1)
+         SELECT word, freq, deg,
+           CAST(deg AS DOUBLE) / CAST(freq AS DOUBLE) AS score
+         FROM agg ORDER BY deg DESC, freq DESC, word LIMIT 25""",
+
+    // hash-thinning replay: q = floor(1000·alpha/len), kept = h mod 1000 < q
+    "quality_resample" ->
+      """WITH d AS (
+           SELECT lang,
+             CAST(floor(1000 * len(regexp_extract_all(lower(trim(text)), '[a-z]'))
+               / greatest(length(lower(trim(text))), 1)) AS BIGINT) AS q,
+             CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT % 1000
+               < CAST(floor(1000 * len(regexp_extract_all(lower(trim(text)), '[a-z]'))
+                   / greatest(length(lower(trim(text))), 1)) AS BIGINT)
+               THEN 1 ELSE 0 END AS k
+           FROM documents)
+         SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(k) AS BIGINT) AS n_kept,
+           CAST(SUM(q) AS BIGINT) AS sum_q_milli,
+           CAST(SUM(q) AS DOUBLE) / 1000.0 AS expected_kept,
+           CAST(SUM(k) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS keep_rate
+         FROM d GROUP BY lang ORDER BY lang""",
 
     "quality_score" ->
       """SELECT doc_id,

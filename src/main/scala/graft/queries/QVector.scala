@@ -217,6 +217,18 @@ private[graft] object QVector {
           m = 4, k = 4, iters = 1)
         .orderBy("vec_id")),
 
+    "pq_search" -> ((s, dir) => {
+      // ADC search over the PQ codes: corpus reduced to 4 longs/doc,
+      // per-query distance tables broadcast, top-5 per query via a
+      // WindowGroupLimit bounded heap — integer-exact end to end
+      val emb = t(s, dir, "embeddings")
+      VectorOps.pqSearch(emb, "vec_id", "embedding",
+          emb.filter(col("vec_id") < 3)
+            .select(col("vec_id").as("qid"), col("embedding")),
+          "qid", "embedding", m = 4, k = 4, iters = 1, topK = 5)
+        .orderBy("qid", "rank")
+    }),
+
     "triangle_suppliers" -> ((s, dir) => {
       // supplier co-fulfillment graph (≥4 shared orders): exact triangle
       // census via degree-ordered orientation — wedge work is bounded by
@@ -574,6 +586,67 @@ private[graft] object QVector {
            CAST(MAX(CASE WHEN s = 3 THEN c END) AS BIGINT) AS code_3,
            CAST(SUM(dist2) AS BIGINT) AS dist2
          FROM b1 GROUP BY vec_id ORDER BY vec_id""",
+
+    // full ADC replay: pq_codes' training CTEs + per-query lookup tables
+    // + summed table hits + per-query rank
+    "pq_search" ->
+      """WITH q AS (
+           SELECT vec_id, list_transform(embedding,
+             x -> CAST(floor(CAST(x AS DOUBLE) * 1024) AS BIGINT)) AS qv
+           FROM embeddings),
+         dims AS (
+           SELECT vec_id, CAST((r.i - 1) // 16 AS INTEGER) AS s,
+             r.i AS d, qv[r.i] AS v
+           FROM q CROSS JOIN range(1, 65) r(i)),
+         c0 AS (
+           SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT) - 1 AS c, qv
+           FROM q ORDER BY vec_id LIMIT 4),
+         cd0 AS (
+           SELECT c, CAST((r.i - 1) // 16 AS INTEGER) AS s, r.i AS d, qv[r.i] AS v
+           FROM c0 CROSS JOIN range(1, 65) r(i)),
+         a0 AS (
+           SELECT t.vec_id, t.s, g.c, SUM((t.v - g.v) * (t.v - g.v)) AS dist2
+           FROM dims t JOIN cd0 g ON t.s = g.s AND t.d = g.d
+           GROUP BY 1, 2, 3),
+         b0 AS (
+           SELECT vec_id, s, c FROM (
+             SELECT vec_id, s, c,
+               row_number() OVER (PARTITION BY vec_id, s ORDER BY dist2, c) AS rn
+             FROM a0) WHERE rn = 1),
+         cd1 AS (
+           SELECT g.c, g.s, g.d, COALESCE(u.m, g.v) AS v
+           FROM cd0 g LEFT JOIN (
+             SELECT b0.s, b0.c, t.d,
+               CAST(floor(CAST(SUM(t.v) AS DOUBLE) / COUNT(*)) AS BIGINT) AS m
+             FROM dims t JOIN b0 ON t.vec_id = b0.vec_id AND t.s = b0.s
+             GROUP BY 1, 2, 3) u
+           ON g.c = u.c AND g.s = u.s AND g.d = u.d),
+         a1 AS (
+           SELECT t.vec_id, t.s, g.c, SUM((t.v - g.v) * (t.v - g.v)) AS dist2
+           FROM dims t JOIN cd1 g ON t.s = g.s AND t.d = g.d
+           GROUP BY 1, 2, 3),
+         codes AS (
+           SELECT vec_id, s, c FROM (
+             SELECT vec_id, s, c,
+               row_number() OVER (PARTITION BY vec_id, s ORDER BY dist2, c) AS rn
+             FROM a1) WHERE rn = 1),
+         lut AS (
+           SELECT t.vec_id AS qid, t.s, g.c,
+             SUM((t.v - g.v) * (t.v - g.v)) AS d
+           FROM dims t JOIN cd1 g ON t.s = g.s AND t.d = g.d
+           WHERE t.vec_id < 3 GROUP BY 1, 2, 3),
+         adc AS (
+           SELECT l.qid, codes.vec_id, CAST(SUM(l.d) AS BIGINT) AS adc_dist2
+           FROM codes JOIN lut l ON codes.s = l.s AND codes.c = l.c
+           GROUP BY 1, 2)
+         SELECT qid, vec_id, adc_dist2,
+           CAST(rn AS BIGINT) AS rank
+         FROM (
+           SELECT qid, vec_id, adc_dist2,
+             row_number() OVER (PARTITION BY qid
+               ORDER BY adc_dist2, vec_id) AS rn
+           FROM adc) WHERE rn <= 5
+         ORDER BY qid, rank""",
 
     "fuzzy_pairs" ->
       """WITH names AS (

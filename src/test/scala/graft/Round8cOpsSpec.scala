@@ -113,6 +113,73 @@ class Round8cOpsSpec extends SparkTestBase {
       (4L, 1L, 1L, 4L)))
   }
 
+  test("pqSearch: self-query ranks the query's own vector first") {
+    // distinct well-separated corpus vectors: ADC distance of a vector to
+    // itself equals its quantization error, strictly below other docs'
+    val vs = Seq(
+      (1L, Array(0f, 0f, 100f, 100f)),
+      (2L, Array(50f, 50f, 0f, 0f)),
+      (3L, Array(100f, 100f, 50f, 50f)),
+      (4L, Array(0f, 100f, 0f, 100f))).toDF("id", "v")
+    val out = VectorOps.pqSearch(vs, "id", "v",
+        vs.filter(col("id") === 1L).select(col("id").as("qid"), col("v")),
+        "qid", "v", m = 2, k = 4, iters = 1, topK = 4, scale = 1)
+      .orderBy("rank").collect()
+    assert(out.length == 4)
+    assert(out.head.getLong(1) == 1L) // nearest doc to query 1 is doc 1
+    // k = corpus size → every vector is its own centroid → zero ADC error
+    assert(out.head.getLong(2) == 0L)
+    val dists = out.map(_.getLong(2)).toSeq
+    assert(dists == dists.sorted)
+  }
+
+  test("pqSearch: rejects identical query/corpus id column names") {
+    val vs = Seq((1L, Array(0f, 0f))).toDF("id", "v")
+    intercept[IllegalArgumentException] {
+      VectorOps.pqSearch(vs, "id", "v", vs, "id", "v",
+        m = 1, k = 1, iters = 0, topK = 1)
+    }
+  }
+
+  // ---- rakeKeywords ---------------------------------------------------
+
+  test("rakeKeywords: multi-word phrase words outscore isolated words") {
+    // "deep neural network" appears as a 3-word run twice; "cat" alone 3×
+    val docs = Seq(
+      "the deep neural network of the cat",
+      "a deep neural network and the cat",
+      "it is the cat").toDF("text")
+    val out = graft.ops.LlmOps.rakeKeywords(docs, "text", k = 10)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    // deep/neural/network: freq 2, deg 2·(3−1)=4, score 2.0
+    assert(out("deep") == ((2L, 4L, 2.0)))
+    assert(out("neural") == ((2L, 4L, 2.0)))
+    assert(out("network") == ((2L, 4L, 2.0)))
+    // cat: 3 single-word runs → freq 3, deg 0, score 0
+    assert(out("cat") == ((3L, 0L, 0.0)))
+  }
+
+  test("rakeKeywords: stopword-only text yields no keywords") {
+    val docs = Seq("the and of to", "a the it").toDF("text")
+    assert(graft.ops.LlmOps.rakeKeywords(docs, "text", 5).count() == 0L)
+  }
+
+  // ---- qualityResample ------------------------------------------------
+
+  test("qualityResample: all-alpha docs keep everything, empty docs nothing") {
+    val docs = Seq(
+      (1L, "abcdef", "en"), (2L, "ghijkl", "en"),   // q = 1000 → always kept
+      (3L, "123456", "fr"), (4L, "!!!???", "fr"))   // q = 0 → never kept
+      .toDF("doc_id", "text", "lang")
+    val out = graft.ops.LlmOps.qualityResample(docs, "doc_id", "text", "lang")
+      .orderBy("lang").collect()
+    val en = out(0); val fr = out(1)
+    assert(en.getLong(1) == 2L && en.getLong(2) == 2L) // n_docs, n_kept
+    assert(en.getDouble(4) == 2.0)                     // expected_kept
+    assert(fr.getLong(1) == 2L && fr.getLong(2) == 0L)
+    assert(fr.getDouble(4) == 0.0)
+  }
+
   test("pqCodes: one Lloyd round moves centroids to subspace means") {
     // 6 points forming two tight groups per subspace; after 1 round the
     // total quantization error must not exceed the seed-only error
