@@ -433,25 +433,36 @@ object Graph {
                 k: Int, rounds: Int): DataFrame = {
     require(k > 0, s"kCorePeel: k must be positive, got $k")
     require(rounds >= 1, s"kCorePeel: rounds must be >= 1, got $rounds")
-    val undirected = edges
+    // Unlike the CC/PageRank loops there is NO per-round action here (the
+    // round count is fixed, no convergence check), so the whole peel is
+    // ONE lazy plan executed once — eager checkpoints would force `rounds`
+    // extra materializations for nothing. Lazy persists instead: each
+    // round's live HALF-edge set (|E| rows, not the 2|E| symmetrized
+    // form — degrees come from exploding both endpoints map-side) is
+    // computed once and served from cache to its two consumers (the next
+    // degree aggregate and the next filter join). The alive set is an
+    // aggregate output orders of magnitude under the edge count, so AQE
+    // turns both endpoint semi-joins into broadcasts at any scale where
+    // the node set fits an executor — and into shuffle joins when it
+    // doesn't, which is exactly the fallback you want at 100 TB.
+    var e = edges
       .select(col(srcCol).as("a"), col(dstCol).as("b"))
       .distinct()
-    var sym = undirected
-      .select(col("a").as("v"), col("b").as("w"))
-      .union(undirected.select(col("b").as("v"), col("a").as("w")))
-      .localCheckpoint(eager = true)
+      .persist()
     for (_ <- 1 to rounds) {
-      val alive = sym.groupBy(col("v"))
+      val alive = e
+        .select(explode(array(col("a"), col("b"))).as("v"))
+        .groupBy(col("v"))
         .agg(count(lit(1)).as("__d"))
         .filter(col("__d") >= k)
         .select(col("v"))
-      sym = sym
-        .join(alive, Seq("v"), "left_semi")
-        .join(alive.select(col("v").as("w")), Seq("w"), "left_semi")
-        .select(col("v"), col("w"))
-        .localCheckpoint(eager = true)
+      e = e
+        .join(alive.select(col("v").as("a")), Seq("a"), "left_semi")
+        .join(alive.select(col("v").as("b")), Seq("b"), "left_semi")
+        .persist()
     }
-    sym.groupBy(col("v"))
+    e.select(explode(array(col("a"), col("b"))).as("v"))
+      .groupBy(col("v"))
       .agg(count(lit(1)).cast("long").as("degree"))
       .select(col("v").as("node"), col("degree"))
   }

@@ -501,4 +501,47 @@ class PlanSpec extends SparkTestBase {
       assert(bnlj <= 4, s"unexpected nested-loop volume ($bnlj):\n$finalPlan")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("priority_sample: top-k heap, no global sort of the weighted relation") {
+    // the sample must come from TakeOrderedAndProject (per-partition
+    // bounded heaps); the only full sort allowed is the 50-row output edge
+    val p = planOf("priority_sample")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"weighted sampling must not shuffle:\n$p")
+  }
+
+  test("compaction_plan: the packing window runs above the catalog aggregate") {
+    // file catalog = one hash-aggregate of events; the quota window must
+    // sit above that aggregate (metadata-sized input), never on raw rows
+    val p = planOf("compaction_plan")
+    val winIdx = p.indexOf("Window")
+    val aggIdx = p.indexOf("HashAggregate")
+    assert(winIdx >= 0 && aggIdx >= 0, p)
+    // bottom-up plan string: the aggregate prints BELOW the window —
+    // assert the window consumes aggregated (size_rows) input, not events
+    val winLine = p.split("\n").find(_.contains("Window")).get
+    assert(winLine.contains("size_rows"), s"window input not aggregated:\n$p")
+  }
+
+  test("pq_search: codes join broadcast lookup; per-query top-k group-limited") {
+    val p = planOf("pq_search")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"ADC lookup table should broadcast:\n$p")
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("rake_keywords: word-count shape — partial agg + top-k, no extra shuffle") {
+    val p = planOf("rake_keywords")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("partial_count") || p.contains("Partial"),
+      s"word aggregate must map-side combine:\n$p")
+  }
+
+  test("kcore_peel: degree aggregates map-side combine; no window anywhere") {
+    val p = planOf("kcore_peel")
+    assert(!p.contains("Window"), s"peeling must not sort/window:\n$p")
+    assert(p.contains("HashAggregate"), p)
+  }
 }
