@@ -2248,6 +2248,33 @@ object LlmOps {
       .limit(k)
   }
 
+  /** Hashing-trick feature-space load census (Weinberger et al., "Feature
+    * Hashing for Large Scale Multitask Learning", ICML 2009): tokens hash
+    * into `nBuckets` fixed feature slots, and this reports each slot's
+    * occupancy — total token mass, how many DISTINCT tokens collided into
+    * it, and how many docs touch it. The audit a hashed-features pipeline
+    * runs before committing to a bucket count: heavy collision skew ⇒
+    * widen the space.
+    *
+    * One explode + one (bucket)-grain aggregate; output is nBuckets rows
+    * at ANY corpus size — the shuffle carries per-partition partials of a
+    * fixed-width relation, and distinct-token collision counting rides
+    * the same aggregate as an exact count_distinct (Expand, still
+    * bucket-keyed, never a global relation).
+    */
+  def featureHashLoad(df: DataFrame, idCol: String, textCol: String,
+                      nBuckets: Int): DataFrame =
+    df.select(col(idCol).as("__id"),
+        explode(tokens(col(textCol))).as("__tok"))
+      .filter(col("__tok") =!= "")
+      .select(col("__id"),
+        col("__tok"), pmod(md5Hash48(col("__tok"), 1), lit(nBuckets.toLong))
+          .as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).cast("long").as("n_tokens"),
+        countDistinct(col("__tok")).cast("long").as("n_distinct_tokens"),
+        countDistinct(col("__id")).cast("long").as("n_docs"))
+
   /** Quality-proportional importance resampling audit: every doc gets a
     * keep-probability q‰ = ⌊1000·alpha_chars/chars⌋ (the integer per-mille
     * alpha ratio — a stand-in for any integer quality score) and is kept

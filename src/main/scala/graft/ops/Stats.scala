@@ -342,4 +342,65 @@ object Stats {
     df.withColumn("rank_in_group", row_number().over(w))
       .filter(col("rank_in_group") <= k)
   }
+
+  /** Cohort lifetime value: entities bucketed by their FIRST-activity
+    * month, revenue accumulated by cohort age — the matrix a subscription
+    * / marketplace business reads to compare acquisition vintages
+    * (retention_cohorts' value-weighted sibling: that one counts heads,
+    * this one sums money).
+    *
+    * Plan: one (entity, month)-grain pre-aggregate (map-side combined),
+    * one min-aggregate for the cohort assignment, an equi-join of the two
+    * |entities|-sized relations, then a (cohort, age) aggregate whose
+    * output is bounded by months² — the cumulative window runs over THAT,
+    * never raw orders. All money stays exact floor-cents longs; the only
+    * doubles are final divisions.
+    */
+  def cohortLtv(df: DataFrame, entityCol: String, dateCol: String,
+                valueCol: String, epochYear: Int): DataFrame = {
+    val m = ((year(col(dateCol)) - epochYear) * 12
+      + month(col(dateCol)) - 1).cast("long")
+    val cents = floor(col(valueCol) * 100).cast("long")
+    val perMonth = df
+      .select(col(entityCol).as("__e"), m.as("__m"), cents.as("__c"))
+      .groupBy(col("__e"), col("__m"))
+      .agg(sum(col("__c")).as("__v"))
+    val cohorts = perMonth.groupBy(col("__e"))
+      .agg(min(col("__m")).as("cohort_month"))
+    val w = Window.partitionBy(col("cohort_month")).orderBy(col("age_months"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perMonth.join(cohorts, Seq("__e"))
+      .groupBy(col("cohort_month"), (col("__m") - col("cohort_month")).as("age_months"))
+      .agg(count(lit(1)).cast("long").as("n_active"),
+        sum(col("__v")).cast("long").as("revenue_cents"))
+      .withColumn("cum_revenue_cents",
+        sum(col("revenue_cents")).over(w).cast("long"))
+  }
+
+  /** Leave-one-out target encoding (the Kaggle-folklore categorical
+    * encoder, done the only way that avoids target leakage): each row's
+    * category is encoded as the mean target of all OTHER rows in the
+    * category — (Σ_cat − y_row)/(n_cat − 1) — so a row never sees its own
+    * label. Singleton categories encode null (no peers to average).
+    *
+    * Exactness: targets are floor-cents longs, the category aggregate is
+    * two exact sums, the encoding is ONE integer-operand IEEE divide per
+    * row. The |categories|-sized aggregate broadcasts back onto the fact
+    * relation — the raw rows never shuffle (plan-audited), which is the
+    * property that lets this run over a 100 TB training table as a pure
+    * map-side projection.
+    */
+  def targetEncodeLoo(df: DataFrame, idCol: String, catCol: String,
+                      targetCol: Column): DataFrame = {
+    val base = df.select(col(idCol), col(catCol),
+      targetCol.cast("long").as("target"))
+    val agg = base.groupBy(col(catCol))
+      .agg(count(lit(1)).as("__n"), sum(col("target")).as("__sum"))
+    base.join(broadcast(agg), Seq(catCol))
+      .select(col(idCol), col(catCol), col("target"),
+        when(col("__n") > 1,
+          (col("__sum") - col("target")).cast("double")
+            / (col("__n") - 1).cast("double"))
+          .otherwise(lit(null).cast("double")).as("loo_mean"))
+  }
 }

@@ -41,6 +41,14 @@ private[graft] object QAggWindow {
           col("o_totalprice").desc, col("o_orderkey").asc)
         .select("o_orderkey", "o_custkey", "o_totalprice")),
 
+    "target_encode_loo" -> ((s, dir) =>
+      // leakage-free categorical encoding: each order's priority encoded
+      // as the mean floor-cents price of all OTHER orders in the
+      // category — category aggregate broadcasts, raw rows never shuffle
+      graft.ops.Stats.targetEncodeLoo(t(s, dir, "orders"), "o_orderkey",
+          "o_orderpriority", floor(col("o_totalprice") * 100))
+        .orderBy("o_orderkey")),
+
     "window_rank" -> ((s, dir) =>
       Relational.rankPerGroup(t(s, dir, "lineitem"),
           Seq("l_returnflag"),
@@ -561,6 +569,22 @@ private[graft] object QAggWindow {
     "topk_orders" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
          ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
+
+    // LOO encoding replay: (Σ_cat − self)/(n_cat − 1), singletons null
+    "target_encode_loo" ->
+      """WITH b AS (
+           SELECT o_orderkey, o_orderpriority,
+             CAST(floor(o_totalprice * 100) AS BIGINT) AS target
+           FROM orders),
+         a AS (
+           SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(target) AS BIGINT) AS s
+           FROM b GROUP BY 1)
+         SELECT b.o_orderkey, b.o_orderpriority, b.target,
+           CASE WHEN a.n > 1 THEN CAST(a.s - b.target AS DOUBLE)
+                  / CAST(a.n - 1 AS DOUBLE)
+           END AS loo_mean
+         FROM b JOIN a USING (o_orderpriority) ORDER BY o_orderkey""",
 
     "window_rank" ->
       """SELECT l_returnflag, l_orderkey, l_linenumber, rn FROM (

@@ -98,6 +98,15 @@ private[graft] object QTemporal {
           epochDate = "2024-01-01")
         .orderBy("cohort_week", "week_offset")),
 
+    "cohort_ltv" -> ((s, dir) =>
+      // acquisition-vintage value matrix: customers bucketed by first
+      // order month, exact floor-cents revenue by cohort age + running
+      // LTV — the cumulative window runs over the months²-bounded
+      // (cohort, age) aggregate, never raw orders
+      graft.ops.Stats.cohortLtv(t(s, dir, "orders"), "o_custkey",
+          "o_orderdate", "o_totalprice", epochYear = 1995)
+        .orderBy("cohort_month", "age_months")),
+
     "scd2_history" -> ((s, dir) =>
       // CDC compaction: event stream → SCD2 attribute-run history with
       // validity bounds; one shuffle, windows share the (key, ts) sort
@@ -384,6 +393,26 @@ private[graft] object QTemporal {
            strftime(date_trunc('second', t2), '%Y-%m-%d %H:%M:%S') AS t2,
            strftime(date_trunc('second', t3), '%Y-%m-%d %H:%M:%S') AS t3
          FROM f3 ORDER BY user_id""",
+
+    // cohort assignment + value matrix + running LTV, all exact longs
+    "cohort_ltv" ->
+      """WITH pm AS (
+           SELECT o_custkey AS e,
+             (CAST(year(o_orderdate) AS BIGINT) - 1995) * 12
+               + CAST(month(o_orderdate) AS BIGINT) - 1 AS m,
+             CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS v
+           FROM orders GROUP BY 1, 2),
+         co AS (SELECT e, MIN(m) AS cohort_month FROM pm GROUP BY 1),
+         ca AS (
+           SELECT cohort_month, m - cohort_month AS age_months,
+             CAST(COUNT(*) AS BIGINT) AS n_active,
+             CAST(SUM(v) AS BIGINT) AS revenue_cents
+           FROM pm JOIN co USING (e) GROUP BY 1, 2)
+         SELECT cohort_month, age_months, n_active, revenue_cents,
+           CAST(SUM(revenue_cents) OVER (PARTITION BY cohort_month
+             ORDER BY age_months ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS cum_revenue_cents
+         FROM ca ORDER BY cohort_month, age_months""",
 
     "retention_cohorts" ->
       """WITH a AS (

@@ -27,6 +27,14 @@ private[graft] object QTextCuration {
       // integer order via TakeOrderedAndProject — a word count's shape
       LlmOps.rakeKeywords(t(s, dir, "documents"), "text", k = 25)),
 
+    "feature_hash_load" -> ((s, dir) =>
+      // hashing-trick slot census (Weinberger ICML'09): 64 fixed feature
+      // buckets — total token mass, distinct-token collisions, doc reach;
+      // one explode + one bucket-grain aggregate, 64 rows at any scale
+      LlmOps.featureHashLoad(t(s, dir, "documents"), "doc_id", "text",
+          nBuckets = 64)
+        .orderBy("bucket")),
+
     "quality_resample" -> ((s, dir) =>
       // score-proportional deterministic thinning audit: keep iff
       // md5-48(id) mod 1000 < per-mille alpha ratio; per-lang realized
@@ -419,6 +427,22 @@ private[graft] object QTextCuration {
          SELECT word, freq, deg,
            CAST(deg AS DOUBLE) / CAST(freq AS DOUBLE) AS score
          FROM agg ORDER BY deg DESC, freq DESC, word LIMIT 25""",
+
+    // slot census replay on the portable md5-48 token hash
+    "feature_hash_load" ->
+      """WITH tok AS (
+           SELECT doc_id, t.tok
+           FROM documents,
+             unnest(regexp_extract_all(lower(trim(text)), '\S+')) AS t(tok)
+           WHERE t.tok <> ''),
+         b AS (
+           SELECT doc_id, tok,
+             ('0x' || substr(md5(tok), 1, 12))::BIGINT % 64 AS bucket
+           FROM tok)
+         SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_distinct_tokens,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+         FROM b GROUP BY 1 ORDER BY bucket""",
 
     // hash-thinning replay: q = floor(1000·alpha/len), kept = h mod 1000 < q
     "quality_resample" ->

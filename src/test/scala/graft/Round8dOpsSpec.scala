@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{LlmOps, Stats}
+
+/** Round-8d batch 3: cohort LTV, leave-one-out target encoding, feature-
+  * hash load census. Hand-computable fixtures + the leakage/exactness
+  * properties that define each operator.
+  */
+class Round8dOpsSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  test("cohortLtv: vintages accumulate exact cents by age") {
+    val orders = Seq(
+      // customer 1: first active month 0, spends in months 0 and 2
+      (1L, "1995-01-10 00:00:00", 10.00),
+      (1L, "1995-03-05 00:00:00", 5.50),
+      // customer 2: same cohort, single month
+      (2L, "1995-01-20 00:00:00", 2.25),
+      // customer 3: cohort month 1
+      (3L, "1995-02-01 00:00:00", 1.00))
+      .toDF("c", "d", "v")
+      .select(col("c"), col("d").cast("timestamp").as("d"), col("v"))
+    val out = Stats.cohortLtv(orders, "c", "d", "v", epochYear = 1995)
+      .orderBy("cohort_month", "age_months")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      // cohort 0, age 0: custs 1+2 → 1000 + 225 cents
+      (0L, 0L, 2L, 1225L, 1225L),
+      // cohort 0, age 2: cust 1 → 550, cumulative 1775
+      (0L, 2L, 1L, 550L, 1775L),
+      (1L, 0L, 1L, 100L, 100L)))
+  }
+
+  test("targetEncodeLoo: a row never sees its own target; singletons are null") {
+    val df = Seq(
+      (1L, "a", 10L), (2L, "a", 20L), (3L, "a", 30L),
+      (4L, "b", 7L))
+      .toDF("id", "cat", "t")
+    val out = Stats.targetEncodeLoo(df, "id", "cat", col("t"))
+      .orderBy("id").collect()
+    // id 1: (20+30)/2 = 25; id 2: (10+30)/2 = 20; id 3: (10+20)/2 = 15
+    assert(out(0).getDouble(3) == 25.0)
+    assert(out(1).getDouble(3) == 20.0)
+    assert(out(2).getDouble(3) == 15.0)
+    assert(out(3).isNullAt(3)) // singleton category b
+  }
+
+  test("targetEncodeLoo: encoding excludes leakage — mean of peers, not of all") {
+    val df = Seq((1L, "x", 0L), (2L, "x", 100L)).toDF("id", "cat", "t")
+    val out = Stats.targetEncodeLoo(df, "id", "cat", col("t"))
+      .orderBy("id").collect()
+    assert(out(0).getDouble(3) == 100.0) // peer's value, not the 50.0 overall mean
+    assert(out(1).getDouble(3) == 0.0)
+  }
+
+  test("featureHashLoad: bucket census counts mass, collisions and reach") {
+    val docs = Seq((1L, "alpha beta alpha"), (2L, "beta gamma"))
+      .toDF("doc_id", "text")
+    val out = LlmOps.featureHashLoad(docs, "doc_id", "text", nBuckets = 4)
+      .orderBy("bucket").collect()
+    // totals across buckets must equal token mass / vocabulary / doc touches
+    assert(out.map(_.getLong(1)).sum == 5L)           // 5 token occurrences
+    assert(out.map(_.getLong(2)).sum >= 3L)           // ≥ vocabulary (collisions split)
+    assert(out.forall(r => r.getLong(3) <= 2L))       // ≤ 2 docs reach any bucket
+    // buckets are the portable md5-48 hash mod 4 — replay one token
+    val b = spark.range(1).select(
+      pmod(LlmOps.md5Hash48(lit("alpha"), 1), lit(4L))).head().getLong(0)
+    val alphaRow = out.find(_.getLong(0) == b).get
+    assert(alphaRow.getLong(1) >= 2L) // both alpha occurrences land there
+  }
+
+  test("featureHashLoad: output width is nBuckets-bounded at any corpus size") {
+    val docs = (1L to 200L).map(i => (i, s"tok$i word$i more$i"))
+      .toDF("doc_id", "text")
+    assert(LlmOps.featureHashLoad(docs, "doc_id", "text", 8).count() <= 8L)
+  }
+}
