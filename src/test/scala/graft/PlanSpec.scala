@@ -544,4 +544,27 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("Window"), s"peeling must not sort/window:\n$p")
     assert(p.contains("HashAggregate"), p)
   }
+
+  test("target_encode_loo: category aggregate broadcasts; facts never hash-shuffle") {
+    val p = planOf("target_encode_loo")
+    assert(p.contains("BroadcastHashJoin"), s"LOO join must broadcast:\n$p")
+    // the only exchanges allowed: the aggregate's own partial→final and
+    // the broadcast + the deterministic output sort — never a
+    // hashpartitioning of the fact relation on the category key
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"fact relation must not shuffle for the join:\n$p")
+  }
+
+  test("cohort_ltv: cumulative window sits above the (cohort, age) aggregate") {
+    val p = planOf("cohort_ltv")
+    val winLine = p.split("\n").find(_.contains("Window")).getOrElse("")
+    assert(winLine.contains("revenue_cents"),
+      s"LTV window must consume the aggregated matrix, not raw orders:\n$p")
+  }
+
+  test("feature_hash_load: one bucket-grain aggregate, output nBuckets-bounded") {
+    val p = planOf("feature_hash_load")
+    assert(p.contains("HashAggregate") || p.contains("ObjectHashAggregate"), p)
+    assert(!p.contains("Window"), s"census must not window:\n$p")
+  }
 }
