@@ -289,6 +289,66 @@ private[graft] object QScanJoin {
         .select("event_id", "k_val", "missing_val")
         .orderBy("event_id")),
 
+    "blocking_suppliers" -> ((s, dir) => {
+      // TPC-H Q21 shape re-expressed Spark-first: in multi-supplier
+      // orders, the supplier who UNIQUELY shipped last "blocked" the
+      // order — EXISTS(another supplier) AND NOT EXISTS(another supplier
+      // also at the max) as two per-order aggregates joined back, never
+      // correlated subqueries; top-20 blockers via TakeOrderedAndProject
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+      val perOrder = li.groupBy(col("l_orderkey"))
+        .agg(max(col("l_shipdate")).as("__maxship"),
+          countDistinct(col("l_suppkey")).as("__nsupp"))
+      val last = li.join(perOrder, Seq("l_orderkey"))
+        .filter(col("l_shipdate") === col("__maxship") && col("__nsupp") >= 2)
+      val uniqueLast = last.groupBy(col("l_orderkey"))
+        .agg(countDistinct(col("l_suppkey")).as("__natmax"))
+        .filter(col("__natmax") === 1)
+      last.join(uniqueLast, Seq("l_orderkey"), "left_semi")
+        .select(col("l_orderkey"), col("l_suppkey")).distinct()
+        .groupBy(col("l_suppkey"))
+        .agg(count(lit(1)).cast("long").as("n_blocked_orders"))
+        .orderBy(col("n_blocked_orders").desc, col("l_suppkey").asc)
+        .limit(20)
+    }),
+
+    "supplier_share" -> ((s, dir) => {
+      // TPC-H Q11 shape: suppliers whose exact-cents revenue exceeds
+      // 1.05× the AVERAGE supplier share (scale-free cutoff) — the 1-row
+      // global aggregate broadcasts (scalar-subquery-free), and the
+      // threshold compare stays INTEGER (cents·n_supp·20 > total·21),
+      // floats only in the reported share
+      val li = t(s, dir, "lineitem")
+      val perSupp = li.groupBy(col("l_suppkey"))
+        .agg(sum(floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100)
+          .cast("long")).as("revenue_cents"))
+      val total = perSupp.agg(sum(col("revenue_cents")).as("__total"),
+        count(lit(1)).as("__nsupp"))
+      perSupp.crossJoin(broadcast(total))
+        .filter(col("revenue_cents") * col("__nsupp") * 20 > col("__total") * 21)
+        .select(col("l_suppkey"), col("revenue_cents"),
+          (col("revenue_cents").cast("double")
+            / col("__total").cast("double")).as("share"))
+        .orderBy(col("revenue_cents").desc, col("l_suppkey").asc)
+    }),
+
+    "late_orders_by_priority" -> ((s, dir) => {
+      // TPC-H Q4 shape: orders where EXISTS a lineitem shipped > 30 days
+      // after the order date, counted per priority — a left-semi join of
+      // the order relation against the late-line set (key-only), one agg
+      val o = t(s, dir, "orders")
+      val late = t(s, dir, "lineitem")
+        .join(o.select(col("o_orderkey").as("__ok"), col("o_orderdate")),
+          col("l_orderkey") === col("__ok"))
+        .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 30 DAYS"))
+        .select(col("l_orderkey"))
+      o.join(late, col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).cast("long").as("n_late_orders"))
+        .orderBy("o_orderpriority")
+    }),
+
     // ---- §2.6 sort/limit, §2.5 windows ---------------------------------,
 
     "explode_tokens" -> ((s, dir) =>
@@ -518,6 +578,52 @@ private[graft] object QScanJoin {
              (SELECT COUNT(*) FROM customer c
                WHERE NOT EXISTS (SELECT 1 FROM events e WHERE e.user_id = c.c_custkey)))
          SELECT * FROM rel ORDER BY relationship""",
+
+    // unique-last-shipper replay: two per-order aggregates, semi join, top-k
+    "blocking_suppliers" ->
+      """WITH li AS (
+           SELECT l_orderkey, l_suppkey, l_shipdate FROM lineitem),
+         po AS (
+           SELECT l_orderkey, MAX(l_shipdate) AS maxship,
+             COUNT(DISTINCT l_suppkey) AS nsupp
+           FROM li GROUP BY 1),
+         last AS (
+           SELECT li.l_orderkey, li.l_suppkey
+           FROM li JOIN po USING (l_orderkey)
+           WHERE li.l_shipdate = po.maxship AND po.nsupp >= 2),
+         uniq AS (
+           SELECT l_orderkey FROM last
+           GROUP BY 1 HAVING COUNT(DISTINCT l_suppkey) = 1),
+         blocked AS (
+           SELECT DISTINCT l.l_orderkey, l.l_suppkey
+           FROM last l JOIN uniq USING (l_orderkey))
+         SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS n_blocked_orders
+         FROM blocked GROUP BY 1
+         ORDER BY n_blocked_orders DESC, l_suppkey LIMIT 20""",
+
+    // integer-threshold share replay: cents·n_supp·20 > total·21
+    "supplier_share" ->
+      """WITH ps AS (
+           SELECT l_suppkey,
+             CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 100)
+               AS BIGINT)) AS BIGINT) AS revenue_cents
+           FROM lineitem GROUP BY 1),
+         tot AS (SELECT CAST(SUM(revenue_cents) AS BIGINT) AS t,
+                   CAST(COUNT(*) AS BIGINT) AS ns FROM ps)
+         SELECT l_suppkey, revenue_cents,
+           CAST(revenue_cents AS DOUBLE) / CAST(t AS DOUBLE) AS share
+         FROM ps, tot
+         WHERE revenue_cents * ns * 20 > t * 21
+         ORDER BY revenue_cents DESC, l_suppkey""",
+
+    "late_orders_by_priority" ->
+      """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_late_orders
+         FROM orders o
+         WHERE EXISTS (
+           SELECT 1 FROM lineitem l
+           WHERE l.l_orderkey = o.o_orderkey
+             AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
+         GROUP BY 1 ORDER BY o_orderpriority""",
 
     "star_join_revenue" ->
       """SELECT n_name,

@@ -567,4 +567,22 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("HashAggregate") || p.contains("ObjectHashAggregate"), p)
     assert(!p.contains("Window"), s"census must not window:\n$p")
   }
+
+  test("blocking_suppliers: per-order aggregates + semi join, top-k heap") {
+    val p = planOf("blocking_suppliers")
+    assert(p.contains("LeftSemi"), s"unique-last filter must be a semi join:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("supplier_share: global total broadcasts — no per-row shuffle for the threshold") {
+    val p = planOf("supplier_share")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"1-row total must broadcast:\n$p")
+  }
+
+  test("late_orders_by_priority: EXISTS shape is a left-semi join") {
+    val p = planOf("late_orders_by_priority")
+    assert(p.contains("LeftSemi"), s"EXISTS must plan as semi join:\n$p")
+  }
 }
