@@ -649,4 +649,67 @@ object Temporal {
       (d("__sg") / n).as("mean_gap_s"),
       (sqrt(n * d("__sgg") - d("__sg") * d("__sg")) / n).as("sd_gap_s"))
   }
+
+  /** Gap-based event throttling (debounce's order-free cousin): within
+    * each (key, kind) stream, suppress an event when the PREVIOUS event of
+    * the same kind lies within `minGapSeconds` — the duplicate-click /
+    * retry-burst filter every ingestion layer runs before events hit
+    * billing or metrics. Defined against the previous RAW event (one lag,
+    * closed-form, deterministic) rather than the previous KEPT one —
+    * chained debounce is an inherently sequential recurrence; this form is
+    * the one that stays a single window pass at any scale.
+    *
+    * One key-partitioned window over (ts, tie) — no self-join, no global
+    * sort; emits both kept and suppressed with the gap, so the caller can
+    * audit the suppression rate before trusting it.
+    */
+  def throttleEvents(df: DataFrame, keyCol: String, kindCol: String,
+                     tsCol: String, tieBreak: String,
+                     minGapSeconds: Long): DataFrame = {
+    val w = Window.partitionBy(col(keyCol), col(kindCol))
+      .orderBy(col(tsCol).asc, col(tieBreak).asc)
+    val sec = Ts.epochSeconds(col(tsCol))
+    df.withColumn("__gap", sec - lag(sec, 1).over(w))
+      .select(col(keyCol), col(kindCol), col(tieBreak),
+        col("__gap").cast("long").as("gap_seconds"),
+        (col("__gap").isNotNull && col("__gap") < minGapSeconds)
+          .as("suppressed"))
+  }
+
+  /** Last-touch conversion attribution: each conversion event is credited
+    * to the most recent NON-conversion event of the same key that
+    * precedes it within `windowSeconds` — the marketing-attribution
+    * baseline (and the template for first-touch / linear variants).
+    *
+    * Same-table as-of semantics WITHOUT a self-join: one key-partitioned
+    * window ordered by (ts, tie) carries the last touch's kind and time
+    * forward via `last(_, ignoreNulls = true)`, so conversions read their
+    * attribution from the running state — a single sort-based window pass
+    * where the naive formulation is a range self-join. The window
+    * constraint then filters stale touches.
+    */
+  def lastTouchAttribution(df: DataFrame, keyCol: String, kindCol: String,
+                           tsCol: String, tieBreak: String,
+                           conversionKind: String,
+                           windowSeconds: Long): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol).asc, col(tieBreak).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
+    val sec = Ts.epochSeconds(col(tsCol))
+    val isTouch = col(kindCol) =!= conversionKind
+    val touched = df
+      .withColumn("__sec", sec)
+      .withColumn("__lt_kind",
+        last(when(isTouch, col(kindCol)), ignoreNulls = true).over(w))
+      .withColumn("__lt_sec",
+        last(when(isTouch, col("__sec")), ignoreNulls = true).over(w))
+    touched.filter(col(kindCol) === conversionKind)
+      .select(col(keyCol), col(tieBreak),
+        when(col("__lt_sec").isNotNull
+            && col("__sec") - col("__lt_sec") <= windowSeconds,
+          col("__lt_kind")).as("attributed_to"),
+        when(col("__lt_sec").isNotNull
+            && col("__sec") - col("__lt_sec") <= windowSeconds,
+          (col("__sec") - col("__lt_sec")).cast("long")).as("touch_lag_seconds"))
+  }
 }

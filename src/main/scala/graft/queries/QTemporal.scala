@@ -98,6 +98,24 @@ private[graft] object QTemporal {
           epochDate = "2024-01-01")
         .orderBy("cohort_week", "week_offset")),
 
+    "throttle_events" -> ((s, dir) =>
+      // retry-burst / duplicate-click suppression: per (user, type),
+      // flag events within 600 s of the previous same-kind event — ONE
+      // key-partitioned lag window, no self-join; suppression audit rides
+      // along as the gap column
+      Temporal.throttleEvents(t(s, dir, "events"), "user_id", "event_type",
+          "ts", "event_id", minGapSeconds = 600)
+        .orderBy("event_id")),
+
+    "attribution_last_touch" -> ((s, dir) =>
+      // marketing attribution baseline: each purchase credited to the
+      // last non-purchase touch within 24 h — same-table as-of WITHOUT a
+      // self-join (running last(_, ignoreNulls) over one sorted window)
+      Temporal.lastTouchAttribution(t(s, dir, "events"), "user_id",
+          "event_type", "ts", "event_id",
+          conversionKind = "purchase", windowSeconds = 86400)
+        .orderBy("event_id")),
+
     "cohort_ltv" -> ((s, dir) =>
       // acquisition-vintage value matrix: customers bucketed by first
       // order month, exact floor-cents revenue by cohort age + running
@@ -393,6 +411,41 @@ private[graft] object QTemporal {
            strftime(date_trunc('second', t2), '%Y-%m-%d %H:%M:%S') AS t2,
            strftime(date_trunc('second', t3), '%Y-%m-%d %H:%M:%S') AS t3
          FROM f3 ORDER BY user_id""",
+
+    // one lag window per (user, kind), integer-second gaps
+    "throttle_events" ->
+      """WITH x AS (
+           SELECT user_id, event_type, event_id,
+             (epoch_ns(ts) // 1000000000)
+               - lag(epoch_ns(ts) // 1000000000) OVER (
+                   PARTITION BY user_id, event_type
+                   ORDER BY ts, event_id) AS gap
+           FROM events)
+         SELECT user_id, event_type, event_id,
+           CAST(gap AS BIGINT) AS gap_seconds,
+           (gap IS NOT NULL AND gap < 600) AS suppressed
+         FROM x ORDER BY event_id""",
+
+    // running last-touch state via IGNORE NULLS over the preceding frame
+    "attribution_last_touch" ->
+      """WITH x AS (
+           SELECT user_id, event_id, event_type,
+             (epoch_ns(ts) // 1000000000) AS sec,
+             last_value(CASE WHEN event_type <> 'purchase'
+                 THEN event_type END IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lt_kind,
+             last_value(CASE WHEN event_type <> 'purchase'
+                 THEN (epoch_ns(ts) // 1000000000) END IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lt_sec
+           FROM events)
+         SELECT user_id, event_id,
+           CASE WHEN lt_sec IS NOT NULL AND sec - lt_sec <= 86400
+             THEN lt_kind END AS attributed_to,
+           CASE WHEN lt_sec IS NOT NULL AND sec - lt_sec <= 86400
+             THEN CAST(sec - lt_sec AS BIGINT) END AS touch_lag_seconds
+         FROM x WHERE event_type = 'purchase' ORDER BY event_id""",
 
     // cohort assignment + value matrix + running LTV, all exact longs
     "cohort_ltv" ->

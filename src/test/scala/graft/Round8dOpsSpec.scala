@@ -56,6 +56,55 @@ class Round8dOpsSpec extends SparkTestBase {
     assert(out(1).getDouble(3) == 0.0)
   }
 
+  test("throttleEvents: flags only same-kind events inside the gap; first is free") {
+    val ev = Seq(
+      (1L, 10L, "click", "2024-01-01 00:00:00"),
+      (1L, 11L, "click", "2024-01-01 00:05:00"),  // 300 s → suppressed
+      (1L, 12L, "click", "2024-01-01 00:20:00"),  // 900 s → kept
+      (1L, 13L, "view", "2024-01-01 00:05:30"),   // other kind, first → kept
+      (2L, 14L, "click", "2024-01-01 00:05:10"))  // other user, first → kept
+      .toDF("u", "id", "k", "ts")
+      .select(col("u"), col("id"), col("k"), col("ts").cast("timestamp").as("ts"))
+    val out = graft.ops.Temporal.throttleEvents(ev, "u", "k", "ts", "id",
+        minGapSeconds = 600)
+      .orderBy("id").collect()
+    assert(out.map(_.getBoolean(4)).toSeq ==
+      Seq(false, true, false, false, false))
+    assert(out(1).getLong(3) == 300L && out(2).getLong(3) == 900L)
+    assert(out(0).isNullAt(3)) // no previous event → null gap
+  }
+
+  test("lastTouchAttribution: most recent in-window touch wins; stale/none → null") {
+    val ev = Seq(
+      (1L, 1L, "view", "2024-01-01 00:00:00"),
+      (1L, 2L, "click", "2024-01-01 01:00:00"),
+      (1L, 3L, "purchase", "2024-01-01 01:30:00"),  // ← click, 1800 s
+      (1L, 4L, "purchase", "2024-01-03 12:00:00"),  // last touch > 24 h → null
+      (2L, 5L, "purchase", "2024-01-01 00:30:00"))  // no touch at all → null
+      .toDF("u", "id", "k", "ts")
+      .select(col("u"), col("id"), col("k"), col("ts").cast("timestamp").as("ts"))
+    val out = graft.ops.Temporal.lastTouchAttribution(ev, "u", "k", "ts", "id",
+        conversionKind = "purchase", windowSeconds = 86400)
+      .orderBy("id").collect()
+    assert(out.length == 3)
+    assert(out(0).getString(2) == "click" && out(0).getLong(3) == 1800L)
+    assert(out(1).isNullAt(2) && out(1).isNullAt(3))
+    assert(out(2).isNullAt(2))
+  }
+
+  test("lastTouchAttribution: a purchase between touches is not a touch") {
+    val ev = Seq(
+      (1L, 1L, "view", "2024-01-01 00:00:00"),
+      (1L, 2L, "purchase", "2024-01-01 00:10:00"),  // ← view
+      (1L, 3L, "purchase", "2024-01-01 00:20:00"))  // still ← view (not p2)
+      .toDF("u", "id", "k", "ts")
+      .select(col("u"), col("id"), col("k"), col("ts").cast("timestamp").as("ts"))
+    val out = graft.ops.Temporal.lastTouchAttribution(ev, "u", "k", "ts", "id",
+        conversionKind = "purchase", windowSeconds = 86400)
+      .orderBy("id").collect()
+    assert(out.map(_.getString(2)).toSeq == Seq("view", "view"))
+  }
+
   test("featureHashLoad: bucket census counts mass, collisions and reach") {
     val docs = Seq((1L, "alpha beta alpha"), (2L, "beta gamma"))
       .toDF("doc_id", "text")
