@@ -337,6 +337,108 @@ object StreamingOps {
       .transformWithState(new PathTrigramTracker, TimeMode.None(), OutputMode.Append())
   }
 
+  case class ThrottleDecision(userId: Long, eventType: String, atMs: Long,
+                              gapSeconds: Long, suppressed: Boolean)
+
+  /** Streaming counterpart of [[graft.ops.Temporal.throttleEvents]] — the
+    * op whose NATURAL home is a stream: suppress-at-ingest beats
+    * suppress-in-batch because the duplicate burst never reaches storage.
+    * Keyed state per (user, kind) is ONE long (the previous raw event's
+    * epoch second); each arriving event reads it, emits its keep/suppress
+    * decision (gapSeconds −1 where batch emits null — encoder-friendly),
+    * and advances it. Same previous-RAW-event contract as the batch
+    * operator, so the emitted decisions match the batch lag window over
+    * the same feed (batch-parity spec, state across micro-batch splits).
+    */
+  class ThrottleTracker(minGapSeconds: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[(Long, String), TypedEvent, ThrottleDecision] {
+    @transient private var lastSec: org.apache.spark.sql.streaming.ValueState[Long] = _
+
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+      lastSec = getHandle.getValueState[Long]("lastSec",
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: (Long, String), rows: Iterator[TypedEvent],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[ThrottleDecision] = {
+      val sorted = rows.toSeq.sortBy(_.ts.getTime)
+      var prev = if (lastSec.exists()) Some(lastSec.get()) else None
+      val out = sorted.map { e =>
+        val sec = e.ts.getTime / 1000
+        val gap = prev.map(sec - _)
+        prev = Some(sec)
+        ThrottleDecision(key._1, key._2, e.ts.getTime,
+          gap.getOrElse(-1L), gap.exists(_ < minGapSeconds))
+      }
+      prev.foreach(lastSec.update)
+      out.iterator
+    }
+  }
+
+  /** Wire [[ThrottleTracker]] over a [[TypedEvent]] stream. */
+  def throttleStream(ds: Dataset[TypedEvent], minGapSeconds: Long)(
+      implicit enc: org.apache.spark.sql.Encoder[ThrottleDecision]): Dataset[ThrottleDecision] = {
+    import org.apache.spark.sql.streaming.TimeMode
+    ds.groupByKey(e => (e.userId, e.eventType))(
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.STRING))
+      .transformWithState(new ThrottleTracker(minGapSeconds),
+        TimeMode.None(), OutputMode.Append())
+  }
+
+  case class TouchState(kind: String, sec: Long)
+  case class Attribution(userId: Long, atMs: Long, attributedTo: String,
+                         lagSeconds: Long)
+
+  /** Streaming counterpart of [[graft.ops.Temporal.lastTouchAttribution]]:
+    * per-user state is the last non-conversion touch (kind + epoch
+    * second — O(1)); each conversion reads it, applies the attribution
+    * window, and emits its credit row immediately — the real-time revenue
+    * dashboard the batch operator backfills. attributedTo null / lag −1
+    * where the touch is absent or stale, exactly the batch nulls.
+    */
+  class LastTouchTracker(conversionKind: String, windowSeconds: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, TypedEvent, Attribution] {
+    @transient private var touch: org.apache.spark.sql.streaming.ValueState[TouchState] = _
+
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+      touch = getHandle.getValueState[TouchState]("touch",
+        org.apache.spark.sql.Encoders.product[TouchState],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: Long, rows: Iterator[TypedEvent],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[Attribution] = {
+      val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.eventType))
+      val out = scala.collection.mutable.ArrayBuffer.empty[Attribution]
+      sorted.foreach { e =>
+        val sec = e.ts.getTime / 1000
+        if (e.eventType == conversionKind) {
+          val st = if (touch.exists()) Some(touch.get()) else None
+          val inWindow = st.filter(t => sec - t.sec <= windowSeconds)
+          out += Attribution(key, e.ts.getTime,
+            inWindow.map(_.kind).orNull,
+            inWindow.map(t => sec - t.sec).getOrElse(-1L))
+        } else touch.update(TouchState(e.eventType, sec))
+      }
+      out.iterator
+    }
+  }
+
+  /** Wire [[LastTouchTracker]] over a [[TypedEvent]] stream. */
+  def lastTouchStream(ds: Dataset[TypedEvent], conversionKind: String,
+                      windowSeconds: Long)(
+      implicit enc: org.apache.spark.sql.Encoder[Attribution]): Dataset[Attribution] = {
+    import org.apache.spark.sql.streaming.TimeMode
+    ds.groupByKey(_.userId)(org.apache.spark.sql.Encoders.scalaLong)
+      .transformWithState(new LastTouchTracker(conversionKind, windowSeconds),
+        TimeMode.None(), OutputMode.Append())
+  }
+
   /** Streaming counterpart of [[graft.ops.Temporal.eventFunnel]]: per-key
     * conversion stages tracked as keyed state, a progress row emitted each
     * time a key advances. Stage i+1 counts only strictly after stage i's

@@ -634,4 +634,90 @@ class StreamingSpec extends SparkTestBase {
       }
     }
   }
+
+  test("streaming throttle matches the batch lag window across a batch split") {
+    import StreamingOps.TypedEvent
+    val events = Seq(
+      TypedEvent(1L, "click", ts("2024-01-01 10:00:00")),
+      TypedEvent(1L, "click", ts("2024-01-01 10:05:00")),  // 300 s → suppressed
+      TypedEvent(1L, "view", ts("2024-01-01 10:06:00")),   // first view → kept
+      TypedEvent(1L, "click", ts("2024-01-01 10:20:00")),  // 900 s → kept
+      TypedEvent(2L, "click", ts("2024-01-01 10:05:30")))  // other user → kept
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[TypedEvent]
+    val q = StreamingOps.throttleStream(input.toDS(), minGapSeconds = 600)
+      .writeStream.format("memory").queryName("throttle_out")
+      .outputMode("append").start()
+    try {
+      // split INSIDE user 1's click gap: the second click's suppression
+      // decision needs the first click's second carried in state
+      input.addData(events.take(1): _*)
+      q.processAllAvailable()
+      input.addData(events.drop(1): _*)
+      q.processAllAvailable()
+      val got = spark.table("throttle_out")
+        .as[StreamingOps.ThrottleDecision].collect()
+        .map(d => (d.userId, d.eventType, d.atMs, d.gapSeconds, d.suppressed)).toSet
+      val batch = graft.ops.Temporal.throttleEvents(
+          events.toDF().withColumn("id", col("ts").cast("long")),
+          "userId", "eventType", "ts", "id", minGapSeconds = 600)
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2) * 1000,
+          if (r.isNullAt(3)) -1L else r.getLong(3), r.getBoolean(4))).toSet
+      assert(got == batch, s"stream $got != batch $batch")
+      assert(got.count(_._5) == 1) // exactly the 300 s click suppressed
+    } finally {
+      q.stop()
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
+  test("streaming last-touch attribution matches batch across a batch split") {
+    import StreamingOps.TypedEvent
+    val events = Seq(
+      TypedEvent(1L, "view", ts("2024-01-01 00:00:00")),
+      TypedEvent(1L, "click", ts("2024-01-01 01:00:00")),
+      TypedEvent(1L, "purchase", ts("2024-01-01 01:30:00")), // ← click 1800 s
+      TypedEvent(1L, "purchase", ts("2024-01-03 12:00:00")), // stale → null
+      TypedEvent(2L, "purchase", ts("2024-01-01 00:30:00"))) // no touch → null
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[TypedEvent]
+    val q = StreamingOps.lastTouchStream(input.toDS(), "purchase", 86400L)
+      .writeStream.format("memory").queryName("attr_out")
+      .outputMode("append").start()
+    try {
+      // split between the touches and the conversions: attribution state
+      // must survive the boundary
+      input.addData(events.take(2): _*)
+      q.processAllAvailable()
+      input.addData(events.drop(2): _*)
+      q.processAllAvailable()
+      val got = spark.table("attr_out")
+        .as[StreamingOps.Attribution].collect()
+        .map(a => (a.userId, a.atMs, Option(a.attributedTo), a.lagSeconds)).toSet
+      val batch = graft.ops.Temporal.lastTouchAttribution(
+          events.toDF().withColumn("id", col("ts").cast("long")),
+          "userId", "eventType", "ts", "id",
+          conversionKind = "purchase", windowSeconds = 86400)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1) * 1000,
+          Option(if (r.isNullAt(2)) null else r.getString(2)),
+          if (r.isNullAt(3)) -1L else r.getLong(3))).toSet
+      assert(got == batch, s"stream $got != batch $batch")
+      assert(got.exists(t => t._3.contains("click") && t._4 == 1800L))
+    } finally {
+      q.stop()
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }
