@@ -2248,6 +2248,41 @@ object LlmOps {
       .limit(k)
   }
 
+  /** One-row dataset card: the corpus-level summary a training-data
+    * release ships next to the data (datasheets-for-datasets practice,
+    * Gebru et al. CACM 2021) — doc/language/source counts, exact size
+    * moments, the exact-duplicate rate from md5 fingerprints, and the
+    * short-doc share, in ONE aggregate pass. The language list rides
+    * along as a sorted csv (collect_set bounded by the language domain).
+    *
+    * Scale: a single map-side-combined aggregate over the corpus; every
+    * derived double is one division of exact longs.
+    */
+  def datasetCard(df: DataFrame, idCol: String, textCol: String,
+                  langCol: String, sourceCol: String,
+                  shortChars: Int = 100): DataFrame = {
+    val len = length(col(textCol))
+    df.agg(
+        count(lit(1)).cast("long").as("n_docs"),
+        countDistinct(col(langCol)).cast("long").as("n_langs"),
+        countDistinct(col(sourceCol)).cast("long").as("n_sources"),
+        sum(len).cast("long").as("total_chars"),
+        countDistinct(fingerprint(col(textCol))).cast("long").as("__nfp"),
+        sum((len < shortChars).cast("long")).cast("long").as("n_short"),
+        concat_ws(",", sort_array(collect_set(col(langCol)))).as("langs_csv"))
+      .select(col("n_docs"), col("n_langs"), col("n_sources"),
+        col("total_chars"),
+        (col("total_chars").cast("double") / col("n_docs").cast("double"))
+          .as("mean_chars"),
+        (col("n_docs") - col("__nfp")).as("n_exact_dups"),
+        ((col("n_docs") - col("__nfp")).cast("double")
+          / col("n_docs").cast("double")).as("dup_rate"),
+        col("n_short"),
+        (col("n_short").cast("double") / col("n_docs").cast("double"))
+          .as("short_rate"),
+        col("langs_csv"))
+  }
+
   /** Hashing-trick feature-space load census (Weinberger et al., "Feature
     * Hashing for Large Scale Multitask Learning", ICML 2009): tokens hash
     * into `nBuckets` fixed feature slots, and this reports each slot's

@@ -650,6 +650,26 @@ object Temporal {
       (sqrt(n * d("__sgg") - d("__sg") * d("__sg")) / n).as("sd_gap_s"))
   }
 
+  /** Inactivity churn screen: every key's recency measured against the
+    * CORPUS max event time (not wall clock — deterministic and
+    * backfill-stable), flagged churned past `thresholdDays`. One per-key
+    * aggregate plus a broadcast 1-row global max; the shape of every
+    * "lapsed users" audience export. Day arithmetic via datediff on
+    * dates — no numeric ts casts (NTZ-safe).
+    */
+  def inactivityChurn(df: DataFrame, keyCol: String, tsCol: String,
+                      thresholdDays: Int): DataFrame = {
+    val perKey = df.groupBy(col(keyCol))
+      .agg(max(col(tsCol)).as("__last"), count(lit(1)).cast("long").as("n_events"))
+    val globalMax = df.agg(max(col(tsCol)).as("__gmax"))
+    perKey.crossJoin(broadcast(globalMax))
+      .select(col(keyCol), col("n_events"),
+        date_format(col("__last"), "yyyy-MM-dd").as("last_seen"),
+        datediff(to_date(col("__gmax")), to_date(col("__last")))
+          .cast("long").as("days_inactive"))
+      .withColumn("churned", col("days_inactive") >= thresholdDays)
+  }
+
   /** Gap-based event throttling (debounce's order-free cousin): within
     * each (key, kind) stream, suppress an event when the PREVIOUS event of
     * the same kind lies within `minGapSeconds` — the duplicate-click /

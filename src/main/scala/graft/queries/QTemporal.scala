@@ -98,6 +98,34 @@ private[graft] object QTemporal {
           epochDate = "2024-01-01")
         .orderBy("cohort_week", "week_offset")),
 
+    "inactivity_churn" -> ((s, dir) =>
+      // lapsed-user audience: recency vs the CORPUS max event time
+      // (deterministic, backfill-stable), churn flag past 7 days — one
+      // per-key aggregate + a broadcast 1-row global max
+      Temporal.inactivityChurn(t(s, dir, "events"), "user_id", "ts",
+          thresholdDays = 7)
+        .orderBy("user_id")),
+
+    "ivm_topk" -> ((s, dir) => {
+      // IVM beyond counts: the top-k view maintained from STORED per-type
+      // partials (history + delta aggregated independently, merged,
+      // re-ranked) — the oracle recomputes directly from raw rows, so a
+      // pass proves merge-then-rank ≡ full recompute
+      val e = t(s, dir, "events")
+      val cut = "2024-01-16 00:00:00"
+      val hist = e.filter(col("ts") < to_timestamp(lit(cut)))
+        .groupBy("event_type").agg(count(lit(1)).cast("long").as("cnt"))
+      val delta = e.filter(col("ts") >= to_timestamp(lit(cut)))
+        .groupBy("event_type").agg(count(lit(1)).cast("long").as("cnt"))
+      hist.unionByName(delta)
+        .groupBy("event_type").agg(sum(col("cnt")).cast("long").as("cnt"))
+        .orderBy(col("cnt").desc, col("event_type").asc)
+        .limit(3)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("cnt").desc, col("event_type").asc)).cast("long"))
+        .orderBy("rank")
+    }),
+
     "throttle_events" -> ((s, dir) =>
       // retry-burst / duplicate-click suppression: per (user, type),
       // flag events within 600 s of the previous same-kind event — ONE
@@ -411,6 +439,28 @@ private[graft] object QTemporal {
            strftime(date_trunc('second', t2), '%Y-%m-%d %H:%M:%S') AS t2,
            strftime(date_trunc('second', t3), '%Y-%m-%d %H:%M:%S') AS t3
          FROM f3 ORDER BY user_id""",
+
+    "inactivity_churn" ->
+      """WITH g AS (SELECT MAX(ts) AS gmax FROM events),
+         pk AS (
+           SELECT user_id, MAX(ts) AS last_ts,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+           FROM events GROUP BY 1)
+         SELECT user_id, n_events,
+           strftime(last_ts, '%Y-%m-%d') AS last_seen,
+           CAST(datediff('day', CAST(last_ts AS DATE), CAST(gmax AS DATE))
+             AS BIGINT) AS days_inactive,
+           datediff('day', CAST(last_ts AS DATE), CAST(gmax AS DATE)) >= 7
+             AS churned
+         FROM pk, g ORDER BY user_id""",
+
+    // direct full recompute — a pass proves merge-then-rank ≡ recompute
+    "ivm_topk" ->
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS cnt,
+           CAST(row_number() OVER (ORDER BY COUNT(*) DESC, event_type)
+             AS BIGINT) AS rank
+         FROM events GROUP BY event_type
+         ORDER BY rank LIMIT 3""",
 
     // one lag window per (user, kind), integer-second gaps
     "throttle_events" ->

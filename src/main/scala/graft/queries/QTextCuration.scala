@@ -27,6 +27,13 @@ private[graft] object QTextCuration {
       // integer order via TakeOrderedAndProject — a word count's shape
       LlmOps.rakeKeywords(t(s, dir, "documents"), "text", k = 25)),
 
+    "dataset_card" -> ((s, dir) =>
+      // one-row corpus release card (datasheets practice, Gebru CACM'21):
+      // counts, exact size moments, md5 exact-dup rate, short-doc share,
+      // sorted language list — ONE aggregate pass
+      LlmOps.datasetCard(t(s, dir, "documents"), "doc_id", "text",
+          "lang", "source")),
+
     "feature_hash_load" -> ((s, dir) =>
       // hashing-trick slot census (Weinberger ICML'09): 64 fixed feature
       // buckets — total token mass, distinct-token collisions, doc reach;
@@ -427,6 +434,24 @@ private[graft] object QTextCuration {
          SELECT word, freq, deg,
            CAST(deg AS DOUBLE) / CAST(freq AS DOUBLE) AS score
          FROM agg ORDER BY deg DESC, freq DESC, word LIMIT 25""",
+
+    "dataset_card" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+           CAST(SUM(length(text)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+             AS mean_chars,
+           CAST(COUNT(*) - COUNT(DISTINCT md5(lower(trim(text)))) AS BIGINT)
+             AS n_exact_dups,
+           CAST(COUNT(*) - COUNT(DISTINCT md5(lower(trim(text)))) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS dup_rate,
+           CAST(SUM(CASE WHEN length(text) < 100 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_short,
+           CAST(SUM(CASE WHEN length(text) < 100 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS short_rate,
+           array_to_string(list_sort(list(DISTINCT lang)), ',') AS langs_csv
+         FROM documents""",
 
     // slot census replay on the portable md5-48 token hash
     "feature_hash_load" ->

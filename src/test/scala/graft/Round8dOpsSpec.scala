@@ -56,6 +56,37 @@ class Round8dOpsSpec extends SparkTestBase {
     assert(out(1).getDouble(3) == 0.0)
   }
 
+  test("inactivityChurn: recency against corpus max, not wall clock") {
+    val ev = Seq(
+      (1L, "2024-01-01 10:00:00"), (1L, "2024-01-10 10:00:00"),
+      (2L, "2024-01-02 09:00:00"),
+      (3L, "2024-01-10 23:00:00"))
+      .toDF("u", "ts")
+      .select(col("u"), col("ts").cast("timestamp").as("ts"))
+    val out = graft.ops.Temporal.inactivityChurn(ev, "u", "ts", thresholdDays = 7)
+      .orderBy("u").collect()
+    // corpus max = 2024-01-10 → user 1: 0 days, user 2: 8 days (churned),
+    // user 3: 0 days
+    assert(out(0).getLong(3) == 0L && !out(0).getBoolean(4))
+    assert(out(1).getLong(3) == 8L && out(1).getBoolean(4))
+    assert(out(2).getLong(3) == 0L && !out(2).getBoolean(4))
+    assert(out(0).getLong(1) == 2L) // n_events rides along
+  }
+
+  test("datasetCard: exact-dup rate and short share from one pass") {
+    val docs = Seq(
+      (1L, "Hello World", "en", "web"),
+      (2L, "hello world", "en", "web"),    // same fingerprint as doc 1
+      (3L, "x" * 200, "fr", "books"))
+      .toDF("doc_id", "text", "lang", "source")
+    val r = graft.ops.LlmOps.datasetCard(docs, "doc_id", "text", "lang",
+      "source").head()
+    assert(r.getLong(0) == 3L && r.getLong(1) == 2L && r.getLong(2) == 2L)
+    assert(r.getLong(5) == 1L)               // one exact dup (case-folded)
+    assert(r.getLong(7) == 2L)               // two docs under 100 chars
+    assert(r.getString(9) == "en,fr")
+  }
+
   test("throttleEvents: flags only same-kind events inside the gap; first is free") {
     val ev = Seq(
       (1L, 10L, "click", "2024-01-01 00:00:00"),
