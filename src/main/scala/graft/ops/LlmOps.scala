@@ -2248,6 +2248,57 @@ object LlmOps {
       .limit(k)
   }
 
+  /** ASYMMETRIC containment pairs: C(A→B) = |A∩B| / |A| — the measure
+    * that catches a short document quoted wholesale inside a long one,
+    * which Jaccard structurally cannot (the union term drowns it: a
+    * 50-shingle doc fully contained in a 5000-shingle doc has C = 1.0
+    * but J ≈ 0.01). The containment-vs-resemblance distinction is
+    * Broder's original framing ("On the resemblance and containment of
+    * documents", SEQUENCES 1997); in training-data terms this is the
+    * quote / excerpt / subset-document detector that survives where
+    * near-dup thresholds pass.
+    *
+    * Candidate generation: the SAME prefix-filter algebra as
+    * [[jaccardPairs]] applies on the contained side only — if none of
+    * A's first |A| − ⌈t·|A|⌉ + 1 sorted shingles hit B, then
+    * |A∩B| < t·|A| — but the probed side must index ALL its shingles
+    * (containment has no symmetric length bound: anything can contain a
+    * small doc). So A-prefixes join the full inverted index — one
+    * shuffle each, both map-side combined — then candidates
+    * exact-verify by hashed-set intersection. Hot postings are the
+    * documented risk (the join_explosion diagnostic is the pre-flight
+    * for exactly this); the block column bounds them.
+    */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+                       blockCol: String, shingleN: Int,
+                       threshold: Double): DataFrame = {
+    val sets = df.select(col(blockCol).as("__blk"), col(idCol),
+        array_sort(shingleHashesBest(df, col(textCol), shingleN)).as("__sh"))
+      .withColumn("__sz", size(col("__sh")))
+      .filter(col("__sz") > 0)
+      .persist()
+    val prefLen = (col("__sz") - ceil(col("__sz") * lit(threshold)) + 1).cast("int")
+    val aPref = sets.select(col("__blk"), col(idCol).as("id_a"),
+      explode(slice(col("__sh"), lit(1), prefLen)).as("__shingle"))
+    val full = sets.select(col("__blk"), col(idCol).as("id_b"),
+      explode(col("__sh")).as("__shingle"))
+    val candidates = aPref.join(full, Seq("__blk", "__shingle"))
+      .filter(col("id_a") =!= col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    val sa = sets.select(col(idCol).as("id_a"), col("__sh").as("__sh_a"),
+      col("__sz").as("__sz_a"))
+    val sb = sets.select(col(idCol).as("id_b"), col("__sh").as("__sh_b"))
+    candidates
+      .join(sa, "id_a").join(sb, "id_b")
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("__sh_a"), col("__sh_b"))).cast("long")
+          .as("n_common"),
+        (size(array_intersect(col("__sh_a"), col("__sh_b"))).cast("double")
+          / col("__sz_a").cast("double")).as("containment"))
+      .filter(col("containment") >= threshold)
+  }
+
   /** One-row dataset card: the corpus-level summary a training-data
     * release ships next to the data (datasheets-for-datasets practice,
     * Gebru et al. CACM 2021) — doc/language/source counts, exact size

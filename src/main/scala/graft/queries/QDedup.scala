@@ -44,6 +44,14 @@ private[graft] object QDedup {
           "doc_id", "text", blockCol = "lang", shingleN = 3, threshold = 0.5)
         .orderBy("id_a", "id_b")),
 
+    "dedup_containment" -> ((s, dir) =>
+      // Broder-1997 containment (|A∩B|/|A|): the quote/excerpt detector
+      // Jaccard structurally misses — prefix filter on the contained
+      // side only, full inverted index on the container side
+      LlmOps.containmentPairs(t(s, dir, "documents"),
+          "doc_id", "text", blockCol = "lang", shingleN = 3, threshold = 0.9)
+        .orderBy("id_a", "id_b")),
+
     // ---- portable-hash-family ops (md5-derived, DuckDB replays exactly) --,
 
     // ---- portable-hash-family ops (md5-derived, DuckDB replays exactly) --
@@ -243,6 +251,24 @@ private[graft] object QDedup {
          FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id
          WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
              / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
+         ORDER BY id_a, id_b""",
+
+    // asymmetric twin: intersections over |A| only, both directions kept
+    "dedup_containment" ->
+      """WITH d AS (
+           SELECT doc_id, lang,
+             list_distinct(list_transform(
+               range(1, greatest(len(string_split_regex(lower(trim(text)), '\s+')) - 3, 0) + 2),
+               i -> array_to_string(list_slice(string_split_regex(lower(trim(text)), '\s+'), i, i + 2), ' '))) AS sh
+           FROM documents)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS n_common,
+           CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / len(a.sh) AS containment
+         FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id <> b.doc_id
+         WHERE len(a.sh) > 0 AND len(b.sh) > 0
+           AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / len(a.sh) >= 0.9
          ORDER BY id_a, id_b""",
 
     // ---- portable md5-48 hash family twins -----------------------------,

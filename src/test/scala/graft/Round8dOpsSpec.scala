@@ -56,6 +56,27 @@ class Round8dOpsSpec extends SparkTestBase {
     assert(out(1).getDouble(3) == 0.0)
   }
 
+  test("containmentPairs: a quoted doc is caught at C=1.0 where Jaccard misses it") {
+    val quote = "the quick brown fox jumps over the lazy sleeping dog tonight"
+    val host = ("alpha beta gamma delta " * 30) + quote + (" omega sigma tau rho" * 30)
+    val docs = Seq(
+      (1L, quote, "en"),
+      (2L, host, "en"),
+      (3L, "completely different content about maritime law", "en"))
+      .toDF("doc_id", "text", "lang")
+    val out = graft.ops.LlmOps.containmentPairs(docs, "doc_id", "text",
+        "lang", shingleN = 3, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    // doc 1 fully contained in doc 2; reverse direction far below 0.9
+    assert(out.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 1.0), out.toSeq)
+    assert(!out.exists(p => p._1 == 2L && p._2 == 1L))
+    assert(!out.exists(p => p._1 == 3L || p._2 == 3L))
+    // and the Jaccard path at 0.5 would NOT have flagged the pair
+    val j = graft.ops.LlmOps.jaccardPairs(docs, "doc_id", "text",
+      "lang", shingleN = 3, threshold = 0.5).count()
+    assert(j == 0L)
+  }
+
   test("inactivityChurn: recency against corpus max, not wall clock") {
     val ev = Seq(
       (1L, "2024-01-01 10:00:00"), (1L, "2024-01-10 10:00:00"),
