@@ -650,6 +650,81 @@ object Temporal {
       (sqrt(n * d("__sgg") - d("__sg") * d("__sg")) / n).as("sd_gap_s"))
   }
 
+  /** Daily peak concurrency by interval stabbing: each key's presence is
+    * a [ts, ts + holdSeconds) interval clipped to its start day; +1/−1
+    * boundary events sort per day and a running sum's maximum is the
+    * day's peak simultaneous count — capacity planning's first question.
+    * Closed-open semantics: at an equal second the −1 applies before the
+    * +1 (orderBy delta asc), so back-to-back intervals never double
+    * count.
+    *
+    * The window partitions by DAY over boundary rows (2 per event) — at
+    * any scale each partition holds one day's boundaries, and the final
+    * per-day max is a plain aggregate. Clipping to the start day keeps
+    * the replay exact without cross-midnight carry state; the unclipped
+    * variant adds a per-day carry-in aggregate, same shapes.
+    */
+  def peakConcurrencyDaily(df: DataFrame, tsCol: String,
+                           holdSeconds: Long): DataFrame = {
+    val sec = Ts.epochSeconds(col(tsCol))
+    val day = date_format(col(tsCol), "yyyy-MM-dd")
+    // end clipped to 1s past the last second of the start day
+    val dayEnd = (floor(sec / 86400) + 1) * 86400
+    val endSec = least(sec + holdSeconds, dayEnd)
+    val bounds = df
+      .select(day.as("day"), sec.as("__s"), endSec.as("__e"))
+      .select(col("day"), explode(array(
+        struct(col("__s").as("at"), lit(1).as("delta")),
+        struct(col("__e").as("at"), lit(-1).as("delta")))).as("__b"))
+      .select(col("day"), col("__b.at").as("at"), col("__b.delta").as("delta"))
+    val w = Window.partitionBy(col("day"))
+      .orderBy(col("at").asc, col("delta").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bounds
+      .withColumn("__run", sum(col("delta")).over(w))
+      .groupBy(col("day"))
+      .agg(max(col("__run")).cast("long").as("peak_concurrent"),
+        (sum((col("delta") === 1).cast("long"))).cast("long").as("n_intervals"))
+  }
+
+  /** STL-lite additive decomposition of a daily count series, in the
+    * n-scaled integer form that stays engine-exact (the cusum trick):
+    * trend is a centered 7-day rolling SUM (no division until the end),
+    * the de-trended residual is the integer 7·cnt − sum7, day-of-week
+    * seasonality is the exact-ratio mean of that integer per dow, and
+    * the reported components divide once each at the edge. Days without
+    * a full centered window report null trend/residual (honest edges,
+    * not zero-padded).
+    *
+    * All windows run over the |days|-bounded daily aggregate; dow comes
+    * from arithmetic on the epoch day (engine-neutral, no locale).
+    */
+  def stlDecomposeDaily(df: DataFrame, tsCol: String): DataFrame = {
+    val daily = df
+      .groupBy(date_format(col(tsCol), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).cast("long").as("cnt"))
+      .withColumn("__epochday",
+        datediff(to_date(col("day")), to_date(lit("1970-01-01"))).cast("long"))
+    val w7 = Window.orderBy(col("day")).rowsBetween(-3, 3)
+    val withTrend = daily
+      .withColumn("__sum7",
+        when(count(lit(1)).over(w7) === 7, sum(col("cnt")).over(w7)))
+      .withColumn("__resid7", lit(7) * col("cnt") - col("__sum7"))
+      .withColumn("dow", pmod(col("__epochday") + 4, lit(7)))
+    val seasonal = withTrend
+      .filter(col("__resid7").isNotNull)
+      .groupBy(col("dow"))
+      .agg(sum(col("__resid7")).as("__ssum"), count(lit(1)).as("__sn"))
+    withTrend.join(broadcast(seasonal), Seq("dow"), "left")
+      .select(col("day"), col("cnt"), col("dow"),
+        (col("__sum7").cast("double") / 7.0).as("trend"),
+        (col("__ssum").cast("double") / (col("__sn") * 7).cast("double"))
+          .as("seasonal"),
+        (col("__resid7").cast("double") / 7.0
+          - col("__ssum").cast("double") / (col("__sn") * 7).cast("double"))
+          .as("residual"))
+  }
+
   /** Inactivity churn screen: every key's recency measured against the
     * CORPUS max event time (not wall clock — deterministic and
     * backfill-stable), flagged churned past `thresholdDays`. One per-key

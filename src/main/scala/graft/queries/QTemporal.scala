@@ -98,6 +98,21 @@ private[graft] object QTemporal {
           epochDate = "2024-01-01")
         .orderBy("cohort_week", "week_offset")),
 
+    "peak_concurrency_daily" -> ((s, dir) =>
+      // capacity planning: peak simultaneous 10-minute presences per day
+      // via +1/−1 interval stabbing — the running-sum window partitions
+      // by day over boundary rows, never a global sort
+      Temporal.peakConcurrencyDaily(t(s, dir, "events"), "ts",
+          holdSeconds = 600)
+        .orderBy("day")),
+
+    "stl_decompose_daily" -> ((s, dir) =>
+      // STL-lite trend/seasonal/residual of the daily volume series in
+      // n-scaled integer form (7·cnt − sum7) — exact longs until one
+      // edge division per component; honest null edges
+      Temporal.stlDecomposeDaily(t(s, dir, "events"), "ts")
+        .orderBy("day")),
+
     "inactivity_churn" -> ((s, dir) =>
       // lapsed-user audience: recency vs the CORPUS max event time
       // (deterministic, backfill-stable), churn flag past 7 days — one
@@ -439,6 +454,56 @@ private[graft] object QTemporal {
            strftime(date_trunc('second', t2), '%Y-%m-%d %H:%M:%S') AS t2,
            strftime(date_trunc('second', t3), '%Y-%m-%d %H:%M:%S') AS t3
          FROM f3 ORDER BY user_id""",
+
+    // +1/−1 stabbing replay: −1 before +1 at equal seconds (closed-open)
+    "peak_concurrency_daily" ->
+      """WITH b AS (
+           SELECT strftime(ts, '%Y-%m-%d') AS day,
+             (epoch_ns(ts) // 1000000000) AS at, 1 AS delta
+           FROM events
+           UNION ALL
+           SELECT strftime(ts, '%Y-%m-%d') AS day,
+             least((epoch_ns(ts) // 1000000000) + 600,
+               ((epoch_ns(ts) // 1000000000) // 86400 + 1) * 86400) AS at,
+             -1 AS delta
+           FROM events),
+         r AS (
+           SELECT day, delta,
+             SUM(delta) OVER (PARTITION BY day ORDER BY at, delta
+               ROWS UNBOUNDED PRECEDING) AS run
+           FROM b)
+         SELECT day, CAST(MAX(run) AS BIGINT) AS peak_concurrent,
+           CAST(SUM(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_intervals
+         FROM r GROUP BY day ORDER BY day""",
+
+    // n-scaled integer decomposition: 7·cnt − sum7 exact, one divide each
+    "stl_decompose_daily" ->
+      """WITH d AS (
+           SELECT strftime(ts, '%Y-%m-%d') AS day,
+             CAST(COUNT(*) AS BIGINT) AS cnt,
+             CAST(datediff('day', DATE '1970-01-01',
+               CAST(MIN(ts) AS DATE)) AS BIGINT) AS epochday
+           FROM events GROUP BY 1),
+         t AS (
+           SELECT day, cnt, (epochday + 4) % 7 AS dow,
+             CASE WHEN COUNT(*) OVER w = 7
+               THEN SUM(cnt) OVER w END AS sum7
+           FROM d
+           WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+         t2 AS (
+           SELECT day, cnt, dow, sum7, 7 * cnt - sum7 AS resid7 FROM t),
+         s AS (
+           SELECT dow, CAST(SUM(resid7) AS BIGINT) AS ssum,
+             CAST(COUNT(*) AS BIGINT) AS sn
+           FROM t2 WHERE resid7 IS NOT NULL GROUP BY 1)
+         SELECT t2.day, t2.cnt, t2.dow,
+           CAST(sum7 AS DOUBLE) / 7.0 AS trend,
+           CAST(ssum AS DOUBLE) / CAST(sn * 7 AS DOUBLE) AS seasonal,
+           CAST(resid7 AS DOUBLE) / 7.0
+             - CAST(ssum AS DOUBLE) / CAST(sn * 7 AS DOUBLE) AS residual
+         FROM t2 LEFT JOIN s USING (dow)
+         ORDER BY day""",
 
     "inactivity_churn" ->
       """WITH g AS (SELECT MAX(ts) AS gmax FROM events),

@@ -56,6 +56,35 @@ class Round8dOpsSpec extends SparkTestBase {
     assert(out(1).getDouble(3) == 0.0)
   }
 
+  test("peakConcurrencyDaily: overlap counts, closed-open boundaries don't") {
+    val ev = Seq(
+      "2024-01-01 10:00:00",  // [10:00, 10:10)
+      "2024-01-01 10:05:00",  // overlaps → 2 concurrent
+      "2024-01-01 10:10:00",  // starts exactly at first's end → NOT 3
+      "2024-01-02 08:00:00")  // separate day, peak 1
+      .toDF("ts").select(col("ts").cast("timestamp").as("ts"))
+    val out = graft.ops.Temporal.peakConcurrencyDaily(ev, "ts", 600)
+      .orderBy("day").as[(String, Long, Long)].collect().toSeq
+    assert(out == Seq(("2024-01-01", 2L, 3L), ("2024-01-02", 1L, 1L)))
+  }
+
+  test("stlDecomposeDaily: edges are null, interior decomposes additively") {
+    val ev = (1 to 14).flatMap { d =>
+      val day = f"2024-01-$d%02d 12:00:00"
+      Seq.fill(10 + (d % 7))(day)  // weekly pattern, period 7
+    }.toDF("ts").select(col("ts").cast("timestamp").as("ts"))
+    val out = graft.ops.Temporal.stlDecomposeDaily(ev, "ts")
+      .orderBy("day").collect()
+    // first and last 3 days lack a centered 7-window → null trend
+    assert(out.take(3).forall(_.isNullAt(3)))
+    assert(out.takeRight(3).forall(_.isNullAt(3)))
+    // interior rows: cnt == trend + seasonal + residual (additive identity)
+    out.drop(3).dropRight(3).foreach { r =>
+      val recomposed = r.getDouble(3) + r.getDouble(4) + r.getDouble(5)
+      assert(math.abs(recomposed - r.getLong(1)) < 1e-9, r.toString)
+    }
+  }
+
   test("containmentPairs: a quoted doc is caught at C=1.0 where Jaccard misses it") {
     val quote = "the quick brown fox jumps over the lazy sleeping dog tonight"
     val host = ("alpha beta gamma delta " * 30) + quote + (" omega sigma tau rho" * 30)
