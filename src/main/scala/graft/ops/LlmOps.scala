@@ -2248,6 +2248,38 @@ object LlmOps {
       .limit(k)
   }
 
+  /** Per-group distinctive terms (the label/cluster "topic" readout): for
+    * each group, the top-k tokens by within-group frequency among tokens
+    * that appear in at most `maxGroupDf` groups — the group-df cap is the
+    * stop-list: corpus-wide terms (df = all groups) can't surface, so
+    * what remains characterizes the group. Ordering is pure-integer
+    * (tf desc, token asc) — no idf float anywhere, deterministic in any
+    * engine.
+    *
+    * Two token-grain aggregates ((group, token) tf and token group-df,
+    * both map-side combined) joined on the token, then a WindowGroupLimit
+    * top-k per group — vocabulary-sized relations throughout.
+    */
+  def groupTopTerms(df: DataFrame, groupCol: String, textCol: String,
+                    maxGroupDf: Int, k: Int): DataFrame = {
+    val tok = df.select(col(groupCol).as("grp"),
+        explode(tokens(col(textCol))).as("token"))
+      .filter(col("token") =!= "")
+    val tf = tok.groupBy(col("grp"), col("token"))
+      .agg(count(lit(1)).cast("long").as("tf"))
+    val gdf = tf.groupBy(col("token"))
+      .agg(count(lit(1)).cast("long").as("group_df"))
+      .filter(col("group_df") <= maxGroupDf)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("grp"))
+      .orderBy(col("tf").desc, col("token").asc)
+    tf.join(gdf, "token")
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("grp"), col("rank"), col("token"), col("tf"),
+        col("group_df"))
+  }
+
   /** ASYMMETRIC containment pairs: C(A→B) = |A∩B| / |A| — the measure
     * that catches a short document quoted wholesale inside a long one,
     * which Jaccard structurally cannot (the union term drowns it: a

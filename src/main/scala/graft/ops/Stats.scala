@@ -343,6 +343,65 @@ object Stats {
       .filter(col("rank_in_group") <= k)
   }
 
+  /** Sample-ratio-mismatch check (the experimentation guardrail that
+    * catches broken assignment before anyone reads the metrics): arms
+    * come from the same deterministic md5-48 hash as [[abTestStats]], the
+    * observed split is tested against 50/50 with the 2-cell chi-square,
+    * which collapses to (a−b)²/n — ONE division of exact longs. The flag
+    * compares in INTEGER space ((a−b)²·100 > 384·n ⟺ χ² > 3.84, the 95%
+    * critical value) so the verdict itself never touches a float.
+    */
+  def abSrmCheck(df: DataFrame, groupCol: String, unitCol: String): DataFrame = {
+    val arm = pmod(LlmOps.md5Hash48(col(unitCol).cast("string"), 1), lit(2L))
+    df.select(col(groupCol), arm.as("__arm"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum((col("__arm") === 0L).cast("long")).cast("long").as("n_a"),
+        sum((col("__arm") === 1L).cast("long")).cast("long").as("n_b"))
+      .select(col(groupCol), col("n"), col("n_a"), col("n_b"),
+        (((col("n_a") - col("n_b")) * (col("n_a") - col("n_b"))).cast("double")
+          / col("n").cast("double")).as("chi2"),
+        ((col("n_a") - col("n_b")) * (col("n_a") - col("n_b")) * 100
+          > col("n") * 384).as("srm_flag"))
+  }
+
+  /** CUPED variance reduction (Deng et al., "Improving the Sensitivity of
+    * Online Controlled Experiments by Utilizing Pre-Experiment Data",
+    * WSDM 2013): θ = cov(X,Y)/var(X) over per-unit (pre-period X,
+    * post-period Y) metric pairs, and the adjusted metric
+    * Y − θ(X − mean X) has variance var(Y) − cov²/var(X). Reports θ, both
+    * variances and the achieved reduction share — the pre-flight that
+    * says whether running CUPED is worth it for this metric.
+    *
+    * Two aggregates: per-unit conditional floor-cents sums (map-side
+    * combined), then ONE 1-row moment aggregate (n, Σx, Σy, Σxx, Σxy as
+    * exact longs); every reported double is a fixed formula over those.
+    */
+  def cupedAdjust(df: DataFrame, unitCol: String, tsCol: String,
+                  valueCol: String, cutTs: String): DataFrame = {
+    val cents = floor(col(valueCol) * 100).cast("long")
+    val isPre = col(tsCol) < to_timestamp(lit(cutTs))
+    val perUnit = df.groupBy(col(unitCol))
+      .agg(sum(when(isPre, cents).otherwise(0L)).as("__x"),
+        sum(when(!isPre, cents).otherwise(0L)).as("__y"))
+    val m = perUnit.agg(
+      count(lit(1)).cast("long").as("n"),
+      sum(col("__x")).as("sx"), sum(col("__y")).as("sy"),
+      sum(col("__x") * col("__x")).as("sxx"),
+      sum(col("__x") * col("__y")).as("sxy"),
+      sum(col("__y") * col("__y")).as("syy"))
+    def d(c: String) = col(c).cast("double")
+    val n = d("n")
+    val varX = (n * d("sxx") - d("sx") * d("sx")) / (n * n)
+    val varY = (n * d("syy") - d("sy") * d("sy")) / (n * n)
+    val covXY = (n * d("sxy") - d("sx") * d("sy")) / (n * n)
+    val theta = covXY / nullif(varX, lit(0.0))
+    val varCuped = varY - covXY * covXY / nullif(varX, lit(0.0))
+    m.select(col("n"), theta.as("theta"), varY.as("var_y"),
+      varCuped.as("var_cuped"),
+      (lit(1.0) - varCuped / nullif(varY, lit(0.0))).as("variance_reduction"))
+  }
+
   /** Cohort lifetime value: entities bucketed by their FIRST-activity
     * month, revenue accumulated by cohort age — the matrix a subscription
     * / marketplace business reads to compare acquisition vintages

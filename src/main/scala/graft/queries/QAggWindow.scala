@@ -508,6 +508,21 @@ private[graft] object QAggWindow {
       Temporal.cusumChangepoint(t(s, dir, "events"), "event_type", "ts")
         .orderBy("event_type")),
 
+    "ab_srm_check" -> ((s, dir) =>
+      // experiment guardrail: the 2-cell chi-square collapses to
+      // (a−b)²/n; the flag compares in INTEGER space (·100 > 384·n ⟺
+      // χ² > 3.84) so the verdict never touches a float
+      graft.ops.Stats.abSrmCheck(t(s, dir, "events"), "event_type",
+          "user_id")
+        .orderBy("event_type")),
+
+    "cuped_adjust" -> ((s, dir) =>
+      // CUPED pre-flight (Deng WSDM'13): θ = cov/var over per-user
+      // (pre, post) floor-cents pairs, achieved variance-reduction share
+      // — per-unit conditional sums then ONE 1-row moment aggregate
+      graft.ops.Stats.cupedAdjust(t(s, dir, "events"), "user_id", "ts",
+          "value", cutTs = "2024-01-16 00:00:00")),
+
     "ab_test_stats" -> ((s, dir) =>
       // hash-armed A/B readout with Welch's t: reproducible md5 split,
       // exact conditional sums, fixed double formula (null-safe)
@@ -1121,6 +1136,67 @@ private[graft] object QAggWindow {
            n AS n_days, abs(cusum) AS max_abs_scaled,
            CAST(abs(cusum) AS DOUBLE) / CAST(n AS DOUBLE) AS max_abs_cusum
          FROM r WHERE rn = 1 ORDER BY event_type""",
+
+    // (a−b)²/n chi-square, integer-space flag
+    "ab_srm_check" ->
+      """WITH b AS (
+           SELECT event_type,
+             CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12))::BIGINT
+               % 2 = 0 THEN 1 ELSE 0 END AS in_a
+           FROM events),
+         a AS (
+           SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(in_a) AS BIGINT) AS n_a,
+             CAST(SUM(1 - in_a) AS BIGINT) AS n_b
+           FROM b GROUP BY 1)
+         SELECT event_type, n, n_a, n_b,
+           CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE) / CAST(n AS DOUBLE)
+             AS chi2,
+           (n_a - n_b) * (n_a - n_b) * 100 > n * 384 AS srm_flag
+         FROM a ORDER BY event_type""",
+
+    // θ = cov/var over exact per-unit (pre, post) cents moments
+    "cuped_adjust" ->
+      """WITH pu AS (
+           SELECT user_id,
+             CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+               THEN CAST(floor(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS x,
+             CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00'
+               THEN CAST(floor(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS y
+           FROM events GROUP BY 1),
+         m AS (
+           SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(y * y) AS BIGINT) AS syy
+           FROM pu)
+         SELECT n,
+           ((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             / (CAST(n AS DOUBLE) * n))
+             / nullif((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                 / (CAST(n AS DOUBLE) * n), 0.0) AS theta,
+           (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)
+             / (CAST(n AS DOUBLE) * n) AS var_y,
+           (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)
+             / (CAST(n AS DOUBLE) * n)
+             - ((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                 / (CAST(n AS DOUBLE) * n))
+               * ((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                 / (CAST(n AS DOUBLE) * n))
+               / nullif((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                   / (CAST(n AS DOUBLE) * n), 0.0) AS var_cuped,
+           1.0 - ((CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)
+                   / (CAST(n AS DOUBLE) * n)
+                 - ((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                     / (CAST(n AS DOUBLE) * n))
+                   * ((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                     / (CAST(n AS DOUBLE) * n))
+                   / nullif((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                       / (CAST(n AS DOUBLE) * n), 0.0))
+             / nullif((CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)
+                 / (CAST(n AS DOUBLE) * n), 0.0) AS variance_reduction
+         FROM m""",
 
     "ab_test_stats" ->
       """WITH b AS (

@@ -23,6 +23,20 @@ private[graft] object QMultimodal {
         .select(col("doc_id"), col("lang"), col("n_chars"), col("label").cast("long").as("label"))
         .orderBy("doc_id")),
 
+    "cluster_topics" -> ((s, dir) =>
+      // cluster/topic readout across modalities: embedding labels join
+      // their documents' text, top-3 tokens per label by pure-integer
+      // (tf, token) order. The harness corpus draws every doc from ONE
+      // 31-token vocabulary (every token's group-df = all 10 labels), so
+      // the operator's distinctiveness cap is set to the group count
+      // here — on a real corpus the cap IS the stop-list
+      LlmOps.groupTopTerms(
+          t(s, dir, "documents")
+            .join(t(s, dir, "embeddings"), col("doc_id") === col("vec_id"))
+            .select(col("label").cast("long").as("label"), col("text")),
+          "label", "text", maxGroupDf = 10, k = 3)
+        .orderBy("grp", "rank")),
+
     // ---- §2.7/§2.8 set ops, literals -----------------------------------,
 
     "multimodal_features" -> ((s, dir) => {
@@ -99,6 +113,27 @@ private[graft] object QMultimodal {
       """SELECT doc_id, lang, n_chars, CAST(label AS BIGINT) AS label
          FROM documents JOIN embeddings ON doc_id = vec_id
          ORDER BY doc_id""",
+
+    // tf and group-df aggregates over the joined corpus, integer top-k
+    "cluster_topics" ->
+      """WITH tok AS (
+           SELECT CAST(e.label AS BIGINT) AS grp, t.token
+           FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id,
+             unnest(string_split_regex(lower(trim(d.text)), '\s+')) AS t(token)
+           WHERE t.token <> ''),
+         tf AS (
+           SELECT grp, token, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM tok GROUP BY 1, 2),
+         gdf AS (
+           SELECT token, CAST(COUNT(*) AS BIGINT) AS group_df
+           FROM tf GROUP BY 1 HAVING COUNT(*) <= 10)
+         SELECT grp, CAST(rn AS BIGINT) AS rank, token, tf, group_df
+         FROM (
+           SELECT tf.grp, tf.token, tf.tf, gdf.group_df,
+             row_number() OVER (PARTITION BY tf.grp
+               ORDER BY tf.tf DESC, tf.token) AS rn
+           FROM tf JOIN gdf USING (token))
+         WHERE rn <= 3 ORDER BY grp, rank""",
 
     "multimodal_features" ->
       """WITH f AS (

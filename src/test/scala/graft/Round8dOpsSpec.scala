@@ -56,6 +56,46 @@ class Round8dOpsSpec extends SparkTestBase {
     assert(out(1).getDouble(3) == 0.0)
   }
 
+  test("groupTopTerms: the group-df cap suppresses corpus-wide terms") {
+    val docs = Seq(
+      (0L, "common apple apple apple"),
+      (1L, "common banana banana"),
+      (2L, "common cherry"))
+      .toDF("grp", "text")
+    val out = graft.ops.LlmOps.groupTopTerms(docs, "grp", "text",
+        maxGroupDf = 1, k = 2)
+      .orderBy("grp", "rank").collect()
+    // "common" is in all 3 groups → capped out; each group keeps its own term
+    assert(out.map(_.getString(2)).toSeq == Seq("apple", "banana", "cherry"))
+    assert(out(0).getLong(3) == 3L) // apple tf
+  }
+
+  test("abSrmCheck: a forced one-sided assignment trips the integer flag") {
+    // all units hash to whatever arm they hash to; a degenerate unit set
+    // (one unit repeated) is 100% one arm → chi2 = n, flagged for n >= 4
+    val df = Seq.fill(100)((("g"), 7L)).toDF("g", "u")
+    val r = graft.ops.Stats.abSrmCheck(df, "g", "u").head()
+    assert(r.getLong(1) == 100L)
+    assert(r.getLong(2) + r.getLong(3) == 100L)
+    assert(r.getLong(2) == 0L || r.getLong(3) == 0L)
+    assert(r.getDouble(4) == 100.0 && r.getBoolean(5))
+  }
+
+  test("cupedAdjust: perfectly correlated pre/post gives ~100% reduction") {
+    // y = 2x exactly → cov²/varX = varY → var_cuped 0, reduction 1.0
+    val rows = (1 to 50).flatMap { u =>
+      Seq((u.toLong, "2024-01-10 00:00:00", u * 1.0),
+        (u.toLong, "2024-01-20 00:00:00", u * 2.0))
+    }.toDF("user_id", "ts", "value")
+      .select(col("user_id"), col("ts").cast("timestamp").as("ts"), col("value"))
+    val r = graft.ops.Stats.cupedAdjust(rows, "user_id", "ts", "value",
+      cutTs = "2024-01-16 00:00:00").head()
+    assert(r.getLong(0) == 50L)
+    assert(math.abs(r.getDouble(1) - 2.0) < 1e-9)       // theta = 2
+    assert(math.abs(r.getDouble(3)) < 1e-6)             // var_cuped ≈ 0
+    assert(math.abs(r.getDouble(4) - 1.0) < 1e-9)       // full reduction
+  }
+
   test("peakConcurrencyDaily: overlap counts, closed-open boundaries don't") {
     val ev = Seq(
       "2024-01-01 10:00:00",  // [10:00, 10:10)
