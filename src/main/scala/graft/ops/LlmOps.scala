@@ -2248,6 +2248,69 @@ object LlmOps {
       .limit(k)
   }
 
+  /** MDM-style golden-record survivorship: duplicate groups (same
+    * `canonicalKey` — an exact fingerprint, a token-set hash, or any
+    * blocking/match key; ≥2 members) merge FIELD-WISE — each
+    * attribute independently takes its within-group mode (deterministic
+    * ties: count desc, value asc), where [[dedupQualitySurvivor]]-style
+    * whole-row picks would discard a minority row's better attribute.
+    * The classic example: three copies of one article, two tagged the
+    * right language and one mislabeled — the golden record keeps the
+    * majority language even if the mislabeled copy wins on quality.
+    *
+    * Shapes: one fingerprint aggregate for the group skeleton, one
+    * (fp, field-value) aggregate + group-partitioned rank window PER
+    * FIELD (relations bounded by groups × field domain), broadcast-free
+    * equi-joins back on the 16-byte fp.
+    */
+  def goldenRecordMerge(df: DataFrame, idCol: String, canonicalKey: Column,
+                        langCol: String, sourceCol: String,
+                        charsCol: String): DataFrame = {
+    val base = df.select(canonicalKey.as("fp"), col(idCol),
+      col(langCol).as("__lang"), col(sourceCol).as("__source"),
+      col(charsCol).as("__chars"))
+    val skeleton = base.groupBy(col("fp"))
+      .agg(count(lit(1)).cast("long").as("n_members"),
+        min(col(idCol)).as("survivor_id"),
+        max(col("__chars")).cast("long").as("max_chars"))
+      .filter(col("n_members") >= 2)
+    def fieldMode(c: String, out: String): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("fp"))
+        .orderBy(col("__cnt").desc, col(c).asc)
+      base.groupBy(col("fp"), col(c))
+        .agg(count(lit(1)).as("__cnt"))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("fp"), col(c).as(out))
+    }
+    skeleton
+      .join(fieldMode("__lang", "golden_lang"), "fp")
+      .join(fieldMode("__source", "golden_source"), "fp")
+      .select(col("fp"), col("n_members"), col("survivor_id"),
+        col("golden_lang"), col("golden_source"), col("max_chars"))
+  }
+
+  /** Language-ID evaluation: confusion counts of [[langIdHeuristic]]'s
+    * guess against the ground-truth label, with per-truth recall share —
+    * the accuracy readout that decides whether the cheap heuristic is
+    * good enough before a pipeline trusts it for routing. One aggregate
+    * over (truth, guess); the share is count over a truth-partitioned
+    * window sum of exact longs, one divide.
+    */
+  def langIdConfusion(df: DataFrame, idCol: String, textCol: String,
+                      langCol: String): DataFrame = {
+    val guessed = langIdHeuristic(df, idCol, textCol)
+      .withColumnRenamed(idCol, "__gid")
+    val joined = df.select(col(idCol), col(langCol).as("lang_true"))
+      .join(guessed, col(idCol) === col("__gid"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("lang_true"))
+    joined.groupBy(col("lang_true"), col("lang_guess"))
+      .agg(count(lit(1)).cast("long").as("n"))
+      .withColumn("share_of_truth",
+        col("n").cast("double") / sum(col("n")).over(w).cast("double"))
+  }
+
   /** Per-group distinctive terms (the label/cluster "topic" readout): for
     * each group, the top-k tokens by within-group frequency among tokens
     * that appear in at most `maxGroupDf` groups — the group-df cap is the

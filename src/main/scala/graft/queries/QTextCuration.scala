@@ -27,6 +27,25 @@ private[graft] object QTextCuration {
       // integer order via TakeOrderedAndProject — a word count's shape
       LlmOps.rakeKeywords(t(s, dir, "documents"), "text", k = 25)),
 
+    "golden_record_merge" -> ((s, dir) =>
+      // MDM survivorship: bag-of-words duplicate groups (token-SET
+      // fingerprint — permutations/repetitions of one vocabulary slice
+      // canonicalize together) merge FIELD-WISE (per-field mode,
+      // deterministic ties) — the minority row's better attribute
+      // survives where whole-row picks discard it
+      LlmOps.goldenRecordMerge(t(s, dir, "documents"), "doc_id",
+          md5(concat_ws(" ",
+            array_sort(array_distinct(LlmOps.tokens(col("text")))))),
+          "lang", "source", "n_chars")
+        .orderBy("fp")),
+
+    "lang_id_confusion" -> ((s, dir) =>
+      // heuristic-vs-truth confusion matrix + per-truth recall share —
+      // the eval that gates routing on the cheap lang-ID
+      LlmOps.langIdConfusion(t(s, dir, "documents"), "doc_id", "text",
+          "lang")
+        .orderBy("lang_true", "lang_guess")),
+
     "dataset_card" -> ((s, dir) =>
       // one-row corpus release card (datasheets practice, Gebru CACM'21):
       // counts, exact size moments, md5 exact-dup rate, short-doc share,
@@ -434,6 +453,58 @@ private[graft] object QTextCuration {
          SELECT word, freq, deg,
            CAST(deg AS DOUBLE) / CAST(freq AS DOUBLE) AS score
          FROM agg ORDER BY deg DESC, freq DESC, word LIMIT 25""",
+
+    // per-field mode replay with (count desc, value asc) ties
+    "golden_record_merge" ->
+      """WITH base AS (
+           SELECT md5(array_to_string(list_sort(list_distinct(
+               string_split_regex(lower(trim(text)), '\s+'))), ' ')) AS fp,
+             doc_id, lang, source, n_chars
+           FROM documents),
+         sk AS (
+           SELECT fp, CAST(COUNT(*) AS BIGINT) AS n_members,
+             MIN(doc_id) AS survivor_id,
+             CAST(MAX(n_chars) AS BIGINT) AS max_chars
+           FROM base GROUP BY 1 HAVING COUNT(*) >= 2),
+         lm AS (
+           SELECT fp, lang AS golden_lang FROM (
+             SELECT fp, lang,
+               row_number() OVER (PARTITION BY fp
+                 ORDER BY COUNT(*) DESC, lang) AS rn
+             FROM base GROUP BY fp, lang) WHERE rn = 1),
+         sm AS (
+           SELECT fp, source AS golden_source FROM (
+             SELECT fp, source,
+               row_number() OVER (PARTITION BY fp
+                 ORDER BY COUNT(*) DESC, source) AS rn
+             FROM base GROUP BY fp, source) WHERE rn = 1)
+         SELECT sk.fp, n_members, survivor_id, golden_lang, golden_source,
+           max_chars
+         FROM sk JOIN lm ON sk.fp = lm.fp JOIN sm ON sk.fp = sm.fp
+         ORDER BY sk.fp""",
+
+    "lang_id_confusion" ->
+      """WITH g AS (
+           SELECT doc_id, lang AS lang_true,
+             CASE
+               WHEN len(regexp_extract_all(lower(text), '\b(the|and|of|to|in)\b'))
+                   >= len(regexp_extract_all(lower(text), '\b(el|la|de|que|y)\b'))
+                 AND len(regexp_extract_all(lower(text), '\b(the|and|of|to|in)\b'))
+                   >= len(regexp_extract_all(lower(text), '\b(le|la|et|les|des)\b'))
+                 THEN 'en'
+               WHEN len(regexp_extract_all(lower(text), '\b(el|la|de|que|y)\b'))
+                   >= len(regexp_extract_all(lower(text), '\b(le|la|et|les|des)\b'))
+                 THEN 'es'
+               ELSE 'fr'
+             END AS lang_guess
+           FROM documents),
+         c AS (
+           SELECT lang_true, lang_guess, CAST(COUNT(*) AS BIGINT) AS n
+           FROM g GROUP BY 1, 2)
+         SELECT lang_true, lang_guess, n,
+           CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY lang_true)
+             AS DOUBLE) AS share_of_truth
+         FROM c ORDER BY lang_true, lang_guess""",
 
     "dataset_card" ->
       """SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,

@@ -56,6 +56,39 @@ class Round8dOpsSpec extends SparkTestBase {
     assert(out(1).getDouble(3) == 0.0)
   }
 
+  test("goldenRecordMerge: field-wise modes beat whole-row survivor picks") {
+    val docs = Seq(
+      // one duplicate group: majority lang en, majority source web —
+      // but NO single row has both majority values
+      (1L, "same text here", "en", "books", 100L),
+      (2L, "same text here", "fr", "web", 90L),
+      (3L, "same text here", "en", "web", 80L),
+      (4L, "unique snowflake row", "de", "web", 50L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = graft.ops.LlmOps.goldenRecordMerge(docs, "doc_id",
+        md5(lower(trim(col("text")))), "lang", "source", "n_chars")
+      .collect()
+    assert(out.length == 1) // singleton group excluded
+    val r = out.head
+    assert(r.getLong(1) == 3L && r.getLong(2) == 1L) // n_members, survivor
+    assert(r.getString(3) == "en" && r.getString(4) == "web")
+    assert(r.getLong(5) == 100L)
+  }
+
+  test("langIdConfusion: shares sum to 1 per truth class") {
+    val docs = Seq(
+      (1L, "the cat and the dog", "en"),
+      (2L, "el gato y la casa de que", "es"),
+      (3L, "weird text zzz", "es"))
+      .toDF("doc_id", "text", "lang")
+    val out = graft.ops.LlmOps.langIdConfusion(docs, "doc_id", "text", "lang")
+    val byTruth = out.groupBy("lang_true")
+      .agg(sum("share_of_truth").as("s")).collect()
+    byTruth.foreach(r => assert(math.abs(r.getDouble(1) - 1.0) < 1e-9))
+    val en = out.filter(col("lang_true") === "en").head()
+    assert(en.getString(1) == "en" && en.getLong(2) == 1L)
+  }
+
   test("groupTopTerms: the group-df cap suppresses corpus-wide terms") {
     val docs = Seq(
       (0L, "common apple apple apple"),
