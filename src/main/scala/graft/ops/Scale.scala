@@ -202,6 +202,58 @@ object Scale {
           col(idCol).asc)).cast("long"))
   }
 
+  /** Stratified weighted sampling: [[prioritySample]]'s priority order
+    * (w/u, one exact-int IEEE divide) applied PER STRATUM — the top-k
+    * priorities within each group form that group's sample, so every
+    * stratum is represented no matter how skewed the corpus mix
+    * (mixture-aware data selection's sampling primitive). The rank
+    * window partitions by stratum and Spark rewrites rank≤k into
+    * WindowGroupLimit — per-partition bounded heaps, never a stratum
+    * sort.
+    */
+  def stratifiedPrioritySample(df: DataFrame, stratumCol: String,
+                               idCol: String, weightCol: Column,
+                               k: Int): DataFrame = {
+    val h = LlmOps.md5Hash48(col(idCol).cast("string"), 1)
+    val u = (h + 1).cast("double") / lit(281474976710656.0) // 2^48
+    val pri = weightCol.cast("double") / u
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(col("priority").desc, col(idCol).asc)
+    df.select(col(stratumCol), col(idCol),
+        weightCol.cast("long").as("weight"), pri.as("priority"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
+  /** Trending terms between two corpus batches: lift =
+    * (tf_new·total_old) / ((tf_old+1)·total_new) — numerator and
+    * denominator are EXACT long products and the ratio is ONE
+    * correctly-rounded IEEE divide, so the ordering is bit-identical in
+    * any engine (the repo's float rule); the +1 smoothing keeps
+    * brand-new terms finite and ranked hottest. One (term)-grain
+    * aggregate + a broadcast 1-row total; top-k via
+    * TakeOrderedAndProject. The crawl-monitoring signal for "what is
+    * this week's data suddenly full of?".
+    */
+  def trendingTerms(docs: DataFrame, textCol: String, isNew: Column,
+                    k: Int, minNewCount: Long = 2L): DataFrame = {
+    val tok = docs.select(isNew.as("__new"),
+        explode(LlmOps.tokens(col(textCol))).as("token"))
+      .filter(col("token") =!= "")
+    val tf = tok.groupBy(col("token"))
+      .agg(sum(col("__new").cast("long")).as("tf_new"),
+        sum((!col("__new")).cast("long")).as("tf_old"))
+    val totals = tf.agg(sum(col("tf_new")).as("__tn"),
+      sum(col("tf_old")).as("__to"))
+    tf.crossJoin(broadcast(totals))
+      .filter(col("tf_new") >= minNewCount)
+      .select(col("token"), col("tf_new"), col("tf_old"),
+        ((col("tf_new") * col("__to")).cast("double")
+          / ((col("tf_old") + 1) * col("__tn")).cast("double")).as("lift"))
+      .orderBy(col("lift").desc, col("token").asc)
+      .limit(k)
+  }
+
   /** Small-file compaction plan: given a file-metadata relation (one row
     * per file with an ordering key and a size), assign files to target
     * bins by cumulative quota — bin = ⌊(running_size − size) / target⌋ —

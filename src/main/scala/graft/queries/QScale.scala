@@ -57,6 +57,20 @@ private[graft] object QScale {
           floor(col("o_totalprice")).cast("long") + 1, k = 50)
         .orderBy("rank")),
 
+    "stratified_priority_sample" -> ((s, dir) =>
+      // per-language weighted sample: every stratum keeps its own top-5
+      // priorities (w = n_chars) — WindowGroupLimit bounded heaps, no
+      // stratum ever sorts
+      Scale.stratifiedPrioritySample(t(s, dir, "documents"), "lang",
+          "doc_id", col("n_chars") + 1, k = 5)
+        .orderBy("lang", "rank")),
+
+    "trending_terms" -> ((s, dir) =>
+      // crawl-batch trend screen: newest half of the corpus vs the rest,
+      // lift as ONE exact-long-product divide (+1 smoothing), top-15
+      Scale.trendingTerms(t(s, dir, "documents"), "text",
+          col("doc_id") % 2 === 0, k = 15)),
+
     "compaction_plan" -> ((s, dir) => {
       // small-file compaction planning over the (day × event_type) file
       // catalog: cumulative-quota packing keyed on layout order — the
@@ -152,6 +166,44 @@ private[graft] object QScale {
              / CAST(distinct_tokens AS DOUBLE) AS novelty_rate
          FROM per LEFT JOIN nv ON per.batch = nv.batch
          ORDER BY per.batch""",
+
+    "stratified_priority_sample" ->
+      """WITH p AS (
+           SELECT lang, doc_id, CAST(n_chars + 1 AS BIGINT) AS weight,
+             CAST(n_chars + 1 AS DOUBLE) /
+               (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT
+                  + 1 AS DOUBLE) / 281474976710656.0) AS priority
+           FROM documents)
+         SELECT lang, doc_id, weight, priority, CAST(rn AS BIGINT) AS rank
+         FROM (
+           SELECT lang, doc_id, weight, priority,
+             row_number() OVER (PARTITION BY lang
+               ORDER BY priority DESC, doc_id) AS rn
+           FROM p)
+         WHERE rn <= 5 ORDER BY lang, rank""",
+
+    // lift = exact long products, one divide, +1 smoothing
+    "trending_terms" ->
+      """WITH tok AS (
+           SELECT (doc_id % 2 = 0) AS isnew, t.token
+           FROM documents,
+             unnest(string_split_regex(lower(trim(text)), '\s+')) AS t(token)
+           WHERE t.token <> ''),
+         tf AS (
+           SELECT token,
+             CAST(SUM(CASE WHEN isnew THEN 1 ELSE 0 END) AS BIGINT) AS tf_new,
+             CAST(SUM(CASE WHEN isnew THEN 0 ELSE 1 END) AS BIGINT) AS tf_old
+           FROM tok GROUP BY 1),
+         tot AS (
+           SELECT CAST(SUM(tf_new) AS BIGINT) AS tn,
+             CAST(SUM(tf_old) AS BIGINT) AS toc
+           FROM tf)
+         SELECT token, tf_new, tf_old,
+           CAST(tf_new * toc AS DOUBLE)
+             / CAST((tf_old + 1) * tn AS DOUBLE) AS lift
+         FROM tf, tot
+         WHERE tf_new >= 2
+         ORDER BY lift DESC, token LIMIT 15""",
 
     // priority = weight / hash-uniform: (h+1)/2^48 is an exact power-of-2
     // scaling, the final divide is one correctly-rounded IEEE op on exact

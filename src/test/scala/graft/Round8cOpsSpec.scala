@@ -43,6 +43,31 @@ class Round8cOpsSpec extends SparkTestBase {
     assert(picked == (1L to 10L).toSet)
   }
 
+  test("stratifiedPrioritySample: every stratum keeps exactly its own top-k") {
+    val df = (1L to 100L).map(i => (if (i <= 50) "a" else "b", i, 10L))
+      .toDF("s", "id", "w")
+    val out = Scale.stratifiedPrioritySample(df, "s", "id", col("w"), k = 3)
+      .collect()
+    assert(out.count(_.getString(0) == "a") == 3)
+    assert(out.count(_.getString(0) == "b") == 3)
+    assert(out.forall(r => r.getLong(4) >= 1 && r.getLong(4) <= 3))
+  }
+
+  test("trendingTerms: a term exclusive to the new batch ranks hottest") {
+    val docs = Seq(
+      (true, "viral viral meme spreads"),
+      (true, "meme viral everywhere now"),
+      (false, "calm ordinary words here"),
+      (false, "more calm ordinary text"))
+      .toDF("isnew", "text")
+    val out = Scale.trendingTerms(docs, "text", col("isnew"), k = 3)
+      .collect()
+    assert(out.head.getString(0) == "viral") // tf_new 3, tf_old 0
+    assert(out.head.getLong(1) == 3L && out.head.getLong(2) == 0L)
+    val lifts = out.map(_.getDouble(3)).toSeq
+    assert(lifts == lifts.sorted.reverse)
+  }
+
   // ---- compactionPlan ------------------------------------------------
 
   test("compactionPlan: quota packing preserves order and flags oversized files") {
