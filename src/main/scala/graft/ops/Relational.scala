@@ -741,4 +741,60 @@ object Relational {
       .rowsBetween(-(frameRows - 1), 0)
     df.withColumn("rolling_median", percentile(x, lit(0.5)).over(w))
   }
+
+  /** Rule-based data-contract runner: every rule is a (name, predicate)
+    * pair and the WHOLE contract evaluates in ONE aggregate pass — each
+    * rule's violation count is a conditional sum, the tiny post-aggregate
+    * row explodes back into one row per rule with the violation rate and
+    * a pass flag. This is the post-load gate a 100 TB ingest runs before
+    * publishing a partition: one scan regardless of rule count, and the
+    * output is |rules| rows. Null semantics: a NULL predicate is a
+    * violation (the row failed to PROVE the contract), which is what you
+    * want from a gate.
+    */
+  def contractViolations(df: DataFrame,
+                         rules: Seq[(String, Column)]): DataFrame = {
+    require(rules.nonEmpty, "contractViolations: at least one rule")
+    val aggs = count(lit(1)).cast("long").as("__total") +:
+      rules.map { case (n, pred) =>
+        sum((!coalesce(pred, lit(false))).cast("long")).as(s"__v_$n")
+      }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val arr = array(rules.map { case (n, _) =>
+      struct(lit(n).as("rule"), col(s"__v_$n").as("nv"))
+    }: _*)
+    one.select(col("__total"), explode(arr).as("__r"))
+      .select(col("__r.rule").as("rule"),
+        col("__r.nv").cast("long").as("n_violations"),
+        col("__total").as("n_rows"),
+        (col("__r.nv").cast("double") / col("__total").cast("double"))
+          .as("violation_rate"),
+        (col("__r.nv") === 0).as("passed"))
+  }
+
+  /** Delta-encoding storage audit: per partition, how many bits would the
+    * sort-ordered DELTAS of `sortCol` need vs the raw values — the
+    * layout-planning diagnostic behind "sort this column before writing
+    * and the encoder does the rest". Bit widths come from
+    * length(bin(x)) — the base-2 digit count as a STRING length, pure
+    * integer, no libm log2 (the repo's float rule). One lag window per
+    * partition, one aggregate; |partitions| output rows.
+    */
+  def deltaEncodingAudit(df: DataFrame, partCol: String,
+                         sortCol: String): DataFrame = {
+    val w = Window.partitionBy(col(partCol)).orderBy(col(sortCol).asc)
+    val delta = col(sortCol) - lag(col(sortCol), 1).over(w)
+    df.select(col(partCol), col(sortCol))
+      .withColumn("__d", abs(delta))
+      .groupBy(col(partCol))
+      .agg(count(lit(1)).cast("long").as("n_rows"),
+        max(col(sortCol)).cast("long").as("__maxraw"),
+        coalesce(max(col("__d")), lit(0L)).cast("long").as("__maxd"))
+      .select(col(partCol), col("n_rows"),
+        length(bin(col("__maxraw"))).cast("long").as("raw_bits"),
+        length(bin(col("__maxd"))).cast("long").as("delta_bits"))
+      .withColumn("bits_saved_ratio",
+        lit(1.0) - col("delta_bits").cast("double")
+          / col("raw_bits").cast("double"))
+  }
 }

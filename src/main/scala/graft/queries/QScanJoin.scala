@@ -289,6 +289,28 @@ private[graft] object QScanJoin {
         .select("event_id", "k_val", "missing_val")
         .orderBy("event_id")),
 
+    "contract_violations" -> ((s, dir) =>
+      // post-load publish gate: the whole contract in ONE aggregate pass
+      // — |rules| output rows, null predicate counts as violation
+      Relational.contractViolations(t(s, dir, "orders"), Seq(
+          ("orderkey_not_null", col("o_orderkey").isNotNull),
+          ("positive_price", col("o_totalprice") > 0),
+          ("known_priority", col("o_orderpriority").isin(
+            "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")),
+          ("date_in_range", col("o_orderdate") >= to_timestamp(lit("1990-01-01 00:00:00"))
+            && col("o_orderdate") < to_timestamp(lit("2010-01-01 00:00:00")))))
+        .orderBy("rule")),
+
+    "delta_encoding_audit" -> ((s, dir) =>
+      // layout planning: per-day bit width of sorted event_id deltas vs
+      // raw values — integer bin()-length bit math, no libm
+      Relational.deltaEncodingAudit(
+          t(s, dir, "events")
+            .select(date_format(col("ts"), "yyyy-MM-dd").as("day"),
+              col("event_id")),
+          "day", "event_id")
+        .orderBy("day")),
+
     "blocking_suppliers" -> ((s, dir) => {
       // TPC-H Q21 shape re-expressed Spark-first: in multi-supplier
       // orders, the supplier who UNIQUELY shipped last "blocked" the
@@ -578,6 +600,51 @@ private[graft] object QScanJoin {
              (SELECT COUNT(*) FROM customer c
                WHERE NOT EXISTS (SELECT 1 FROM events e WHERE e.user_id = c.c_custkey)))
          SELECT * FROM rel ORDER BY relationship""",
+
+    "contract_violations" ->
+      """WITH m AS (
+           SELECT CAST(COUNT(*) AS BIGINT) AS total,
+             CAST(SUM(CASE WHEN NOT COALESCE(o_orderkey IS NOT NULL, false)
+               THEN 1 ELSE 0 END) AS BIGINT) AS v1,
+             CAST(SUM(CASE WHEN NOT COALESCE(o_totalprice > 0, false)
+               THEN 1 ELSE 0 END) AS BIGINT) AS v2,
+             CAST(SUM(CASE WHEN NOT COALESCE(o_orderpriority IN
+               ('1-URGENT', '2-HIGH', '3-MEDIUM', '4-NOT SPECIFIED', '5-LOW'),
+               false) THEN 1 ELSE 0 END) AS BIGINT) AS v3,
+             CAST(SUM(CASE WHEN NOT COALESCE(
+               o_orderdate >= TIMESTAMP '1990-01-01 00:00:00'
+               AND o_orderdate < TIMESTAMP '2010-01-01 00:00:00', false)
+               THEN 1 ELSE 0 END) AS BIGINT) AS v4
+           FROM orders),
+         r AS (
+           SELECT 'orderkey_not_null' AS rule, v1 AS nv, total FROM m
+           UNION ALL SELECT 'positive_price', v2, total FROM m
+           UNION ALL SELECT 'known_priority', v3, total FROM m
+           UNION ALL SELECT 'date_in_range', v4, total FROM m)
+         SELECT rule, nv AS n_violations, total AS n_rows,
+           CAST(nv AS DOUBLE) / CAST(total AS DOUBLE) AS violation_rate,
+           nv = 0 AS passed
+         FROM r ORDER BY rule""",
+
+    // bin()-length bit widths of per-day sorted deltas vs raw
+    "delta_encoding_audit" ->
+      """WITH b AS (
+           SELECT strftime(ts, '%Y-%m-%d') AS day, event_id,
+             abs(event_id - lag(event_id) OVER (
+               PARTITION BY strftime(ts, '%Y-%m-%d')
+               ORDER BY event_id)) AS d
+           FROM events),
+         a AS (
+           SELECT day, CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(MAX(event_id) AS BIGINT) AS maxraw,
+             CAST(COALESCE(MAX(d), 0) AS BIGINT) AS maxd
+           FROM b GROUP BY 1)
+         SELECT day, n_rows,
+           CAST(length(bin(maxraw)) AS BIGINT) AS raw_bits,
+           CAST(length(bin(maxd)) AS BIGINT) AS delta_bits,
+           1.0 - CAST(length(bin(maxd)) AS DOUBLE)
+             / CAST(length(bin(maxraw)) AS DOUBLE) AS bits_saved_ratio
+         FROM a ORDER BY day""",
 
     // unique-last-shipper replay: two per-order aggregates, semi join, top-k
     "blocking_suppliers" ->

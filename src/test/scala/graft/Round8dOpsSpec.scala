@@ -56,6 +56,33 @@ class Round8dOpsSpec extends SparkTestBase {
     assert(out(1).getDouble(3) == 0.0)
   }
 
+  test("contractViolations: one pass, null predicate counts as violation") {
+    val df = Seq(
+      (Some(1L), 10.0), (Some(2L), -5.0), (None, 3.0))
+      .toDF("id", "price")
+    val out = graft.ops.Relational.contractViolations(df, Seq(
+        ("id_not_null", col("id").isNotNull),
+        ("positive_price", col("price") > 0),
+        ("id_range", col("id") < 100L)))  // null id → null predicate → violation
+      .orderBy("rule").collect()
+    val byRule = out.map(r => r.getString(0) ->
+      (r.getLong(1), r.getBoolean(4))).toMap
+    assert(byRule("id_not_null") == ((1L, false)))
+    assert(byRule("positive_price") == ((1L, false)))
+    assert(byRule("id_range") == ((1L, false))) // the null-id row
+    assert(out.forall(_.getLong(2) == 3L))
+  }
+
+  test("deltaEncodingAudit: clustered ids need far fewer delta bits") {
+    val df = Seq.tabulate(100)(i => ("d1", 1000000L + i)) // consecutive ids
+      .toDF("day", "id")
+    val r = graft.ops.Relational.deltaEncodingAudit(df, "day", "id").head()
+    assert(r.getLong(1) == 100L)
+    assert(r.getLong(2) == 20L) // bin(1000099) has 20 digits
+    assert(r.getLong(3) == 1L)  // max delta 1 → 1 bit
+    assert(r.getDouble(4) == 1.0 - 1.0 / 20.0)
+  }
+
   test("goldenRecordMerge: field-wise modes beat whole-row survivor picks") {
     val docs = Seq(
       // one duplicate group: majority lang en, majority source web —
