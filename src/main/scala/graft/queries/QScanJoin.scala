@@ -317,18 +317,21 @@ private[graft] object QScanJoin {
       // order — EXISTS(another supplier) AND NOT EXISTS(another supplier
       // also at the max) as two per-order aggregates joined back, never
       // correlated subqueries; top-20 blockers via TakeOrderedAndProject
-      val li = t(s, dir, "lineitem")
-        .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
-      val perOrder = li.groupBy(col("l_orderkey"))
-        .agg(max(col("l_shipdate")).as("__maxship"),
-          countDistinct(col("l_suppkey")).as("__nsupp"))
-      val last = li.join(perOrder, Seq("l_orderkey"))
-        .filter(col("l_shipdate") === col("__maxship") && col("__nsupp") >= 2)
+      // collapse to the (order, supplier) grain FIRST: per-supplier max
+      // shipdate per order — then every later step is a plain count, no
+      // countDistinct Expand anywhere and the raw lineitems shuffle once
+      val os = t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"), col("l_suppkey"))
+        .agg(max(col("l_shipdate")).as("__sship"))
+      val perOrder = os.groupBy(col("l_orderkey"))
+        .agg(max(col("__sship")).as("__maxship"),
+          count(lit(1)).as("__nsupp"))
+      val last = os.join(perOrder, Seq("l_orderkey"))
+        .filter(col("__sship") === col("__maxship") && col("__nsupp") >= 2)
       val uniqueLast = last.groupBy(col("l_orderkey"))
-        .agg(countDistinct(col("l_suppkey")).as("__natmax"))
+        .agg(count(lit(1)).as("__natmax"))
         .filter(col("__natmax") === 1)
       last.join(uniqueLast, Seq("l_orderkey"), "left_semi")
-        .select(col("l_orderkey"), col("l_suppkey")).distinct()
         .groupBy(col("l_suppkey"))
         .agg(count(lit(1)).cast("long").as("n_blocked_orders"))
         .orderBy(col("n_blocked_orders").desc, col("l_suppkey").asc)
