@@ -402,6 +402,38 @@ object Stats {
       (lit(1.0) - varCuped / nullif(varY, lit(0.0))).as("variance_reduction"))
   }
 
+  /** Subsampling confidence interval (the deterministic cousin of the
+    * bootstrap — Politis & Romano's subsampling, Ann. Stat. 1994): B
+    * half-rate replicates drawn by HASH membership (row r is in replicate
+    * b iff md5₄₈(r‖b) is even — no RNG, reproducible, layout-stable),
+    * each replicate's mean from exact conditional cents sums, and the CI
+    * read off the replicate means' exact order statistics. ONE aggregate
+    * pass computes all B replicates (B conditional sum/count pairs); the
+    * percentile runs over B values post-aggregate.
+    */
+  def subsampleCi(df: DataFrame, idCol: String, valueCol: String,
+                  b: Int = 20): DataFrame = {
+    require(b >= 2, s"subsampleCi: need >= 2 replicates, got $b")
+    val cents = floor(col(valueCol) * 100).cast("long")
+    val aggs = (0 until b).flatMap { i =>
+      val in = pmod(LlmOps.md5Hash48(
+        concat(col(idCol).cast("string"), lit(s"|$i")), 1), lit(2L)) === 0L
+      Seq(sum(when(in, cents).otherwise(0L)).as(s"__s$i"),
+        sum(when(in, 1L).otherwise(0L)).as(s"__n$i"))
+    } ++ Seq(sum(cents).as("__st"), count(lit(1)).as("__nt"))
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val means = array((0 until b).map(i =>
+      col(s"__s$i").cast("double") / col(s"__n$i").cast("double")): _*)
+    // trimmed-range interval: drop the extreme replicate on each side —
+    // ranks 2 and B−1 of the sorted replicate means (inner 90% at B=20)
+    one.select(
+      (col("__st").cast("double") / col("__nt").cast("double"))
+        .as("mean_cents"),
+      col("__nt").cast("long").as("n_rows"),
+      element_at(array_sort(means), 2).as("ci_lo"),
+      element_at(array_sort(means), b - 1).as("ci_hi"))
+  }
+
   /** Cohort lifetime value: entities bucketed by their FIRST-activity
     * month, revenue accumulated by cohort age — the matrix a subscription
     * / marketplace business reads to compare acquisition vintages

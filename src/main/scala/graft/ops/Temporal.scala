@@ -725,6 +725,45 @@ object Temporal {
           .as("residual"))
   }
 
+  /** Time-decay multi-touch attribution — [[lastTouchAttribution]]'s
+    * fairer sibling: EVERY in-window touch preceding a conversion earns
+    * credit, halved per elapsed half-life. The decay weight is the
+    * INTEGER bit-shift 1000 >> (Δt div halfLife) — exact halving steps,
+    * no libm pow, identical in any engine — and the final per-kind credit
+    * share is one division of exact longs.
+    *
+    * The conversion×touch pairing is a per-user range self-join — output
+    * bounded by (touches × conversions) PER USER, the same per-key
+    * quadratic every multi-touch model pays; the per-user bound is the
+    * scale contract (key_skew_stats is the pre-flight for violators).
+    */
+  def timeDecayAttribution(df: DataFrame, keyCol: String, kindCol: String,
+                           tsCol: String, conversionKind: String,
+                           windowSeconds: Long,
+                           halfLifeSeconds: Long): DataFrame = {
+    val sec = Ts.epochSeconds(col(tsCol))
+    val conv = df.filter(col(kindCol) === conversionKind)
+      .select(col(keyCol).as("__k"), sec.as("__cs"))
+    val touch = df.filter(col(kindCol) =!= conversionKind)
+      .select(col(keyCol).as("__k"), col(kindCol).as("touch_kind"),
+        sec.as("__ts"))
+    val dt = col("__cs") - col("__ts")
+    // the Scala shiftright wrapper takes a literal bit count; the SQL
+    // function accepts a column — call it directly for the variable shift
+    val weight = call_function("shiftright", lit(1000L),
+      least(floor(dt / halfLifeSeconds), lit(10L)).cast("int"))
+    conv.join(touch, Seq("__k"))
+      .filter(col("__ts") < col("__cs") && dt <= windowSeconds)
+      .select(col("touch_kind"), weight.as("__w"))
+      .groupBy(col("touch_kind"))
+      .agg(count(lit(1)).cast("long").as("n_touches"),
+        sum(col("__w")).cast("long").as("credit_milli"))
+      .withColumn("credit_share",
+        col("credit_milli").cast("double")
+          / sum(col("credit_milli")).over(
+            Window.partitionBy()).cast("double"))
+  }
+
   /** Inactivity churn screen: every key's recency measured against the
     * CORPUS max event time (not wall clock — deterministic and
     * backfill-stable), flagged churned past `thresholdDays`. One per-key

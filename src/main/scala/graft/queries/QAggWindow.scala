@@ -508,6 +508,13 @@ private[graft] object QAggWindow {
       Temporal.cusumChangepoint(t(s, dir, "events"), "event_type", "ts")
         .orderBy("event_type")),
 
+    "subsample_ci" -> ((s, dir) =>
+      // deterministic subsampling CI (Politis–Romano): 20 hash-membership
+      // half-rate replicates in ONE aggregate pass, interval from the
+      // replicate means' order statistics
+      graft.ops.Stats.subsampleCi(t(s, dir, "events"), "event_id",
+          "value", b = 20)),
+
     "ab_srm_check" -> ((s, dir) =>
       // experiment guardrail: the 2-cell chi-square collapses to
       // (a−b)²/n; the flag compares in INTEGER space (·100 > 384·n ⟺
@@ -1136,6 +1143,30 @@ private[graft] object QAggWindow {
            n AS n_days, abs(cusum) AS max_abs_scaled,
            CAST(abs(cusum) AS DOUBLE) / CAST(n AS DOUBLE) AS max_abs_cusum
          FROM r WHERE rn = 1 ORDER BY event_type""",
+
+    // 20 hash-membership replicates in one pass; CI = sorted means ranks 2/19
+    "subsample_ci" ->
+      """WITH r AS (
+           SELECT b.b,
+             CAST(SUM(CASE WHEN ('0x' || substr(md5(CAST(event_id AS VARCHAR)
+                 || '|' || b.b), 1, 12))::BIGINT % 2 = 0
+               THEN CAST(floor(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS s,
+             CAST(SUM(CASE WHEN ('0x' || substr(md5(CAST(event_id AS VARCHAR)
+                 || '|' || b.b), 1, 12))::BIGINT % 2 = 0
+               THEN 1 ELSE 0 END) AS BIGINT) AS n
+           FROM events CROSS JOIN range(0, 20) b(b)
+           GROUP BY 1),
+         m AS (
+           SELECT list_sort(list(CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+             ORDER BY b)) AS means
+           FROM r),
+         t AS (
+           SELECT CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS st,
+             CAST(COUNT(*) AS BIGINT) AS nt
+           FROM events)
+         SELECT CAST(st AS DOUBLE) / CAST(nt AS DOUBLE) AS mean_cents,
+           nt AS n_rows, means[2] AS ci_lo, means[19] AS ci_hi
+         FROM t, m""",
 
     // (a−b)²/n chi-square, integer-space flag
     "ab_srm_check" ->

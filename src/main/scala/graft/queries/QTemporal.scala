@@ -150,6 +150,15 @@ private[graft] object QTemporal {
           "ts", "event_id", minGapSeconds = 600)
         .orderBy("event_id")),
 
+    "attribution_time_decay" -> ((s, dir) =>
+      // multi-touch credit: every in-window touch halves per elapsed
+      // half-life — INTEGER 1000 >> (Δt div half) weights, per-user
+      // bounded range self-join, one divide for the share
+      Temporal.timeDecayAttribution(t(s, dir, "events"), "user_id",
+          "event_type", "ts", conversionKind = "purchase",
+          windowSeconds = 86400, halfLifeSeconds = 3600)
+        .orderBy("touch_kind")),
+
     "attribution_last_touch" -> ((s, dir) =>
       // marketing attribution baseline: each purchase credited to the
       // last non-purchase touch within 24 h — same-table as-of WITHOUT a
@@ -540,6 +549,29 @@ private[graft] object QTemporal {
            CAST(gap AS BIGINT) AS gap_seconds,
            (gap IS NOT NULL AND gap < 600) AS suppressed
          FROM x ORDER BY event_id""",
+
+    // integer bit-shift decay weights over the per-user touch×conv join
+    "attribution_time_decay" ->
+      """WITH c AS (
+           SELECT user_id, (epoch_ns(ts) // 1000000000) AS cs
+           FROM events WHERE event_type = 'purchase'),
+         t AS (
+           SELECT user_id, event_type AS touch_kind,
+             (epoch_ns(ts) // 1000000000) AS tsec
+           FROM events WHERE event_type <> 'purchase'),
+         j AS (
+           SELECT t.touch_kind,
+             1000 >> CAST(least((c.cs - t.tsec) // 3600, 10) AS INTEGER) AS w
+           FROM c JOIN t ON c.user_id = t.user_id
+           WHERE t.tsec < c.cs AND c.cs - t.tsec <= 86400),
+         a AS (
+           SELECT touch_kind, CAST(COUNT(*) AS BIGINT) AS n_touches,
+             CAST(SUM(w) AS BIGINT) AS credit_milli
+           FROM j GROUP BY 1)
+         SELECT touch_kind, n_touches, credit_milli,
+           CAST(credit_milli AS DOUBLE)
+             / CAST(SUM(credit_milli) OVER () AS DOUBLE) AS credit_share
+         FROM a ORDER BY touch_kind""",
 
     // running last-touch state via IGNORE NULLS over the preceding frame
     "attribution_last_touch" ->

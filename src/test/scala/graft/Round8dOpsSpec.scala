@@ -56,6 +56,37 @@ class Round8dOpsSpec extends SparkTestBase {
     assert(out(1).getDouble(3) == 0.0)
   }
 
+  test("subsampleCi: interval brackets the mean on homogeneous data") {
+    val df = (1L to 400L).map(i => (i, 10.0 + (i % 5))).toDF("id", "v")
+    val r = graft.ops.Stats.subsampleCi(df, "id", "v", b = 20).head()
+    val mean = r.getDouble(0); val lo = r.getDouble(2); val hi = r.getDouble(3)
+    assert(r.getLong(1) == 400L)
+    assert(lo <= hi)
+    assert(lo <= mean + 50 && hi >= mean - 50) // cents scale, loose bracket
+    // deterministic: a second run returns the identical interval
+    val r2 = graft.ops.Stats.subsampleCi(df, "id", "v", b = 20).head()
+    assert(r.getDouble(2) == r2.getDouble(2) && r.getDouble(3) == r2.getDouble(3))
+  }
+
+  test("timeDecayAttribution: halving weights by elapsed half-life") {
+    val ev = Seq(
+      (1L, "view", "2024-01-01 09:00:00"),     // 2 half-lives before conv → 250
+      (1L, "click", "2024-01-01 10:30:00"),    // within 1 half-life → 1000
+      (1L, "purchase", "2024-01-01 11:00:00"),
+      (2L, "view", "2024-01-05 00:00:00"))     // no conversion → no credit
+      .toDF("u", "k", "ts")
+      .select(col("u"), col("k"), col("ts").cast("timestamp").as("ts"))
+    val out = graft.ops.Temporal.timeDecayAttribution(ev, "u", "k", "ts",
+        conversionKind = "purchase", windowSeconds = 86400,
+        halfLifeSeconds = 3600)
+      .orderBy("touch_kind").collect()
+    val byKind = out.map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(byKind("click") == 1000L)
+    assert(byKind("view") == 250L)
+    val shares = out.map(_.getDouble(3)).sum
+    assert(math.abs(shares - 1.0) < 1e-9)
+  }
+
   test("contractViolations: one pass, null predicate counts as violation") {
     val df = Seq(
       (Some(1L), 10.0), (Some(2L), -5.0), (None, 3.0))
