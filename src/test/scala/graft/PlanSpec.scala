@@ -585,4 +585,46 @@ class PlanSpec extends SparkTestBase {
     val p = planOf("late_orders_by_priority")
     assert(p.contains("LeftSemi"), s"EXISTS must plan as semi join:\n$p")
   }
+
+  test("throttle_events / attribution_last_touch: one window pass, zero joins") {
+    for (q <- Seq("throttle_events", "attribution_last_touch")) {
+      val p = planOf(q)
+      assert(p.contains("Window"), s"$q: $p")
+      assert(!p.contains("Join"), s"$q must not self-join:\n$p")
+    }
+  }
+
+  test("peak_concurrency_daily: day-partitioned stabbing, no cartesian") {
+    val p = planOf("peak_concurrency_daily")
+    assert(p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("Join"), p)
+  }
+
+  test("stl_decompose_daily: all windows sit above the daily aggregate") {
+    val p = planOf("stl_decompose_daily")
+    val winLines = p.split("\n").filter(_.contains("Window"))
+    assert(winLines.nonEmpty, p)
+    // windows consume cnt (the aggregated series), never raw event rows
+    assert(winLines.exists(_.contains("cnt")), s"window input not aggregated:\n$p")
+  }
+
+  test("subsample_ci / cuped_adjust: pure aggregate pipelines, no windows over raw rows") {
+    for (q <- Seq("subsample_ci", "cuped_adjust")) {
+      val p = planOf(q)
+      assert(p.contains("HashAggregate"), s"$q: $p")
+      assert(!p.contains("CartesianProduct"), s"$q: $p")
+    }
+  }
+
+  test("trending_terms: broadcast totals + top-k heap") {
+    val p = planOf("trending_terms")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("golden_record_merge: no countDistinct Expand; mode windows are group-partitioned") {
+    val p = planOf("golden_record_merge")
+    assert(!p.contains("Expand"), s"survivorship must not Expand:\n$p")
+    assert(p.contains("WindowGroupLimit") || p.contains("Window"), p)
+  }
 }
