@@ -402,6 +402,75 @@ object Stats {
       (lit(1.0) - varCuped / nullif(varY, lit(0.0))).as("variance_reduction"))
   }
 
+  /** Decile lift table — the campaign-targeting eval: units ranked by a
+    * pre-period score, cut into spend deciles by EXACT percentile
+    * boundaries, and each decile's post-period conversion rate compared
+    * against the overall rate (lift), cumulated from the top decile down
+    * ("mail the top 3 deciles" economics).
+    *
+    * Scale shape per the quantile_bins lesson: NO global rank window —
+    * the per-unit relation aggregates once, the 9 boundary values come
+    * from ONE `percentile` AGGREGATE over it (cross-engine interpolation
+    * parity already proven in-slate by percentile_by_group/mad_by_group),
+    * broadcast back, and deciles assign by comparison. Equal scores land
+    * in equal deciles (no tie-splitting), so decile populations can be
+    * uneven under ties — deterministic beats cosmetically-equal. All
+    * windows run over the 10-row decile aggregate.
+    */
+  def decileLift(df: DataFrame, unitCol: String, tsCol: String,
+                 valueCol: String, kindCol: String, conversionKind: String,
+                 cutTs: String): DataFrame = {
+    val isPre = col(tsCol) < to_timestamp(lit(cutTs))
+    val cents = floor(col(valueCol) * 100).cast("long")
+    val perUnit = df.groupBy(col(unitCol))
+      .agg(sum(when(isPre, cents).otherwise(0L)).as("__score"),
+        max((!isPre && col(kindCol) === conversionKind).cast("long"))
+          .as("__conv"))
+    val bounds = perUnit.agg(percentile(col("__score"),
+      typedlit((1 to 9).map(_ / 10.0))).as("__bs"))
+    val decile = (1 to 9).foldLeft(lit(1L)) { (acc, i) =>
+      acc + (col("__score") > element_at(col("__bs"), i)).cast("long")
+    }
+    val perDecile = perUnit.crossJoin(broadcast(bounds))
+      .select(decile.as("decile"), col("__conv"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).cast("long").as("n_units"),
+        sum(col("__conv")).cast("long").as("n_converted"))
+    val wDesc = Window.orderBy(col("decile").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy()
+    perDecile
+      .withColumn("conv_rate",
+        col("n_converted").cast("double") / col("n_units").cast("double"))
+      .withColumn("cum_conv_rate",
+        sum(col("n_converted")).over(wDesc).cast("double")
+          / sum(col("n_units")).over(wDesc).cast("double"))
+      .withColumn("lift_vs_overall",
+        col("conv_rate")
+          / (sum(col("n_converted")).over(wAll).cast("double")
+            / sum(col("n_units")).over(wAll).cast("double")))
+  }
+
+  /** Shuffle-partition advisor: the two numbers every job config debate
+    * needs — an exact row count and an estimated byte volume (per-row
+    * fixed footprint + variable payload length, integer arithmetic) —
+    * turned into a recommended partition count at the target partition
+    * size. ONE aggregate; the output is one row. The advisory a 100 TB
+    * submit wrapper computes before setting spark.sql.shuffle.partitions.
+    */
+  def partitionAdvisor(df: DataFrame, payloadCol: String,
+                       fixedRowBytes: Long,
+                       targetPartitionBytes: Long): DataFrame =
+    df.agg(count(lit(1)).cast("long").as("n_rows"),
+        (sum(length(col(payloadCol)).cast("long")) + count(lit(1)) * fixedRowBytes)
+          .cast("long").as("est_bytes"))
+      .select(col("n_rows"), col("est_bytes"),
+        greatest(floor((col("est_bytes") + (targetPartitionBytes - 1))
+          / targetPartitionBytes).cast("long"), lit(1L))
+          .as("recommended_partitions"))
+      .withColumn("rows_per_partition",
+        floor(col("n_rows") / col("recommended_partitions")).cast("long"))
+
   /** Subsampling confidence interval (the deterministic cousin of the
     * bootstrap — Politis & Romano's subsampling, Ann. Stat. 1994): B
     * half-rate replicates drawn by HASH membership (row r is in replicate

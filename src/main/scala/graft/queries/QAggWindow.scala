@@ -508,6 +508,21 @@ private[graft] object QAggWindow {
       Temporal.cusumChangepoint(t(s, dir, "events"), "event_type", "ts")
         .orderBy("event_type")),
 
+    "decile_lift" -> ((s, dir) =>
+      // targeting eval: pre-period spend deciles (exact percentile
+      // boundaries broadcast, bucket by comparison — NO global rank
+      // window) vs post-period conversion; cumulative from the top
+      graft.ops.Stats.decileLift(t(s, dir, "events"), "user_id", "ts",
+          "value", "event_type", conversionKind = "purchase",
+          cutTs = "2024-01-16 00:00:00")
+        .orderBy("decile")),
+
+    "partition_advisor" -> ((s, dir) =>
+      // the submit wrapper's pre-flight: exact rows + estimated bytes →
+      // recommended shuffle partitions at a 1 MB target (sf-scaled)
+      graft.ops.Stats.partitionAdvisor(t(s, dir, "events"), "props",
+          fixedRowBytes = 64L, targetPartitionBytes = 1048576L)),
+
     "subsample_ci" -> ((s, dir) =>
       // deterministic subsampling CI (Politis–Romano): 20 hash-membership
       // half-rate replicates in ONE aggregate pass, interval from the
@@ -1143,6 +1158,51 @@ private[graft] object QAggWindow {
            n AS n_days, abs(cusum) AS max_abs_scaled,
            CAST(abs(cusum) AS DOUBLE) / CAST(n AS DOUBLE) AS max_abs_cusum
          FROM r WHERE rn = 1 ORDER BY event_type""",
+
+    // exact decile boundaries + comparison bucketing + 10-row windows
+    "decile_lift" ->
+      """WITH pu AS (
+           SELECT user_id,
+             CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+               THEN CAST(floor(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS score,
+             CAST(MAX(CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00'
+               AND event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS conv
+           FROM events GROUP BY 1),
+         b AS (
+           SELECT quantile_cont(score,
+             [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS bs
+           FROM pu),
+         d AS (
+           SELECT 1 + len(list_filter(b.bs, x -> pu.score > x)) AS decile,
+             pu.conv
+           FROM pu, b),
+         pd AS (
+           SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_units,
+             CAST(SUM(conv) AS BIGINT) AS n_converted
+           FROM d GROUP BY 1)
+         SELECT CAST(decile AS BIGINT) AS decile, n_units, n_converted,
+           CAST(n_converted AS DOUBLE) / CAST(n_units AS DOUBLE) AS conv_rate,
+           CAST(SUM(n_converted) OVER (ORDER BY decile DESC
+               ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+             / CAST(SUM(n_units) OVER (ORDER BY decile DESC
+               ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS cum_conv_rate,
+           (CAST(n_converted AS DOUBLE) / CAST(n_units AS DOUBLE))
+             / (CAST(SUM(n_converted) OVER () AS DOUBLE)
+               / CAST(SUM(n_units) OVER () AS DOUBLE)) AS lift_vs_overall
+         FROM pd ORDER BY decile""",
+
+    // one-aggregate advisory: exact rows + integer byte estimate
+    "partition_advisor" ->
+      """WITH a AS (
+           SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(length(props)) + COUNT(*) * 64 AS BIGINT) AS est_bytes
+           FROM events)
+         SELECT n_rows, est_bytes,
+           greatest(CAST(floor((est_bytes + 1048575) / 1048576.0) AS BIGINT),
+             1) AS recommended_partitions,
+           CAST(floor(n_rows / greatest(CAST(floor((est_bytes + 1048575)
+               / 1048576.0) AS BIGINT), 1)) AS BIGINT) AS rows_per_partition
+         FROM a""",
 
     // 20 hash-membership replicates in one pass; CI = sorted means ranks 2/19
     "subsample_ci" ->

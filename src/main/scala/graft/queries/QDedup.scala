@@ -60,6 +60,20 @@ private[graft] object QDedup {
           maxBucketSize = 10000)
         .orderBy("id_a", "id_b")),
 
+    "near_dup_degree" -> ((s, dir) => {
+      // dedup-ops hub detector: partner-count histogram over the
+      // production banded pairs — a fat tail means boilerplate flooding
+      // the buckets; count-of-counts keeps the output histogram-sized
+      val pairs = LlmOps.nearDupPairs(t(s, dir, "documents"), "doc_id",
+        "text", maxBucketSize = 10000)
+      pairs.select(col("id_a").as("doc")).union(pairs.select(col("id_b")))
+        .groupBy(col("doc"))
+        .agg(count(lit(1)).cast("long").as("__deg"))
+        .groupBy(col("__deg").as("degree"))
+        .agg(count(lit(1)).cast("long").as("n_docs"))
+        .orderBy("degree")
+    }),
+
     "minhash_estimate" -> ((s, dir) =>
       // signature-space Jaccard estimation next to the exact value for
       // every LSH candidate — the calibration query that justifies
@@ -315,6 +329,53 @@ private[graft] object QDedup {
          SELECT id_a, id_b, jaccard FROM jac
          WHERE jaccard >= 0.7
          ORDER BY id_a, id_b""",
+
+    // the dedup_near pipeline + a count-of-counts degree census
+    "near_dup_degree" ->
+      """WITH d AS (
+           SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(string_split_regex(lower(trim(text)), '\s+')) - 3, 0) + 2),
+               i -> array_to_string(list_slice(string_split_regex(lower(trim(text)), '\s+'), i, i + 2), ' '))) AS sh
+           FROM documents),
+         hp AS (
+           SELECT doc_id,
+             list_transform(sh, s -> ('0x' || substr(md5(s), 1, 12))::BIGINT) AS h1s,
+             list_transform(sh, s -> ('0x' || substr(md5(s), 13, 12))::BIGINT) AS h2s
+           FROM d WHERE len(sh) > 0),
+         sg AS (
+           SELECT doc_id,
+             list_distinct(h1s) AS shset,
+             list_transform(range(0, 16), j ->
+               list_min(list_transform(range(1, len(h1s) + 1), x -> h1s[x] + j * h2s[x]))) AS sig
+           FROM hp),
+         bands AS (
+           SELECT doc_id, t.b AS band,
+             md5(array_to_string(list_slice(sig, t.b * 4 + 1, t.b * 4 + 4), ',')) AS bh
+           FROM sg, range(0, 4) t(b)),
+         ok AS (
+           SELECT band, bh FROM bands GROUP BY band, bh
+           HAVING COUNT(*) BETWEEN 2 AND 10000),
+         cap AS (SELECT bands.* FROM bands JOIN ok USING (band, bh)),
+         cand AS (
+           SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+           FROM cap a JOIN cap c
+             ON a.band = c.band AND a.bh = c.bh AND a.doc_id < c.doc_id),
+         jac AS (
+           SELECT id_a, id_b,
+             CAST(len(list_intersect(x.shset, y.shset)) AS DOUBLE)
+               / len(list_distinct(list_concat(x.shset, y.shset))) AS jaccard
+           FROM cand
+           JOIN sg x ON cand.id_a = x.doc_id
+           JOIN sg y ON cand.id_b = y.doc_id),
+         pairs AS (
+           SELECT id_a, id_b FROM jac WHERE jaccard >= 0.7),
+         deg AS (
+           SELECT doc, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+             SELECT id_a AS doc FROM pairs
+             UNION ALL SELECT id_b FROM pairs) GROUP BY 1)
+         SELECT deg AS degree, CAST(COUNT(*) AS BIGINT) AS n_docs
+         FROM deg GROUP BY 1 ORDER BY degree""",
 
     "minhash_estimate" ->
       """WITH d AS (

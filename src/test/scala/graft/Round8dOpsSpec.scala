@@ -56,6 +56,39 @@ class Round8dOpsSpec extends SparkTestBase {
     assert(out(1).getDouble(3) == 0.0)
   }
 
+  test("decileLift: a score-aligned conversion concentrates lift at the top") {
+    // 100 users; user u converts post-period iff u > 90 — exactly the
+    // top spenders (score = u cents)
+    val rows = (1 to 100).flatMap { u =>
+      val pre = Seq((u.toLong, "2024-01-10 00:00:00", u / 100.0, "view"))
+      val post = if (u > 90)
+        Seq((u.toLong, "2024-01-20 00:00:00", 0.0, "purchase")) else Nil
+      pre ++ post
+    }.toDF("user_id", "ts", "value", "event_type")
+      .select(col("user_id"), col("ts").cast("timestamp").as("ts"),
+        col("value"), col("event_type"))
+    val out = graft.ops.Stats.decileLift(rows, "user_id", "ts", "value",
+        "event_type", "purchase", "2024-01-16 00:00:00")
+      .orderBy("decile").collect()
+    assert(out.map(_.getLong(1)).sum == 100L)
+    val top = out.last
+    assert(top.getLong(0) == 10L && top.getLong(2) >= 9L) // conversions live at the top
+    assert(top.getDouble(5) > 5.0) // lift ≈ 10× overall
+    assert(out.head.getLong(2) == 0L)
+  }
+
+  test("partitionAdvisor: integer byte math and the floor-1 guard") {
+    val df = Seq.fill(10)("x" * 100).toDF("p") // 10 rows × (100 + 64) bytes
+    val r = graft.ops.Stats.partitionAdvisor(df, "p",
+      fixedRowBytes = 64L, targetPartitionBytes = 1000L).head()
+    assert(r.getLong(0) == 10L && r.getLong(1) == 1640L)
+    assert(r.getLong(2) == 2L) // ceil(1640/1000)
+    assert(r.getLong(3) == 5L)
+    val tiny = graft.ops.Stats.partitionAdvisor(
+      Seq("y").toDF("p"), "p", 64L, 1000000L).head()
+    assert(tiny.getLong(2) == 1L) // never recommends zero partitions
+  }
+
   test("subsampleCi: interval brackets the mean on homogeneous data") {
     val df = (1L to 400L).map(i => (i, 10.0 + (i % 5))).toDF("id", "v")
     val r = graft.ops.Stats.subsampleCi(df, "id", "v", b = 20).head()
