@@ -410,6 +410,49 @@ object Graph {
           / nullif(col("__paths2x2").cast("double"), lit(0.0))).as("transitivity"))
   }
 
+  /** Bounded k-hop reachability: breadth-first frontier expansion from a
+    * seed set, exactly `hops` waves — "which nodes can a recall/abuse/
+    * contagion signal reach in k steps". Per wave: one equi-join of the
+    * CURRENT frontier (shrinking, often broadcastable — AQE decides)
+    * against the edge list + one anti-join against the visited set; no
+    * per-node state beyond (node, first_hop). Fixed waves keep it a
+    * deterministic oracle-replayable query; the transitive closure is
+    * this loop run to fixpoint.
+    *
+    * Output: (hop, n_reached) — hop 0 is the seed census.
+    */
+  def kHopReachability(edges: DataFrame, srcCol: String, dstCol: String,
+                       seeds: DataFrame, seedCol: String,
+                       hops: Int): DataFrame = {
+    require(hops >= 1, s"kHopReachability: hops must be >= 1, got $hops")
+    val undirected = edges
+      .select(col(srcCol).as("a"), col(dstCol).as("b")).distinct()
+    val sym = undirected
+      .union(undirected.select(col("b"), col("a")))
+      .persist()
+    var visited = seeds.select(col(seedCol).as("node")).distinct()
+      .withColumn("hop", lit(0L)).persist()
+    var frontier = visited.select(col("node"))
+    for (h <- 1 to hops) {
+      val next = sym
+        .join(frontier.withColumnRenamed("node", "a"), Seq("a"))
+        .select(col("b").as("node")).distinct()
+        .join(visited.select("node"), Seq("node"), "left_anti")
+        .persist()
+      visited = visited.union(next.withColumn("hop", lit(h.toLong))).persist()
+      frontier = next
+    }
+    // left-join a 0..hops spine so an exhausted frontier reports 0, not
+    // a missing row (a reachability report with silent holes misreads)
+    val spine = edges.sparkSession.range(hops + 1)
+      .select(col("id").as("hop"))
+    spine.join(
+        visited.groupBy(col("hop"))
+          .agg(count(lit(1)).cast("long").as("__n")),
+        Seq("hop"), "left")
+      .select(col("hop"), coalesce(col("__n"), lit(0L)).as("n_reached"))
+  }
+
   /** Fixed-round k-core peeling probe: run exactly `rounds` rounds of
     * "drop every node with degree < k (and its edges)" over the undirected
     * edge set, then report each surviving node with its post-peel degree.

@@ -289,6 +289,23 @@ private[graft] object QScanJoin {
         .select("event_id", "k_val", "missing_val")
         .orderBy("event_id")),
 
+    "sql_surface_q1" -> ((s, dir) => {
+      // the engine's SQL TEXT surface inside the oracled slate: TPC-H
+      // Q1's shape issued via spark.sql over registered views — same
+      // ANSI statement both engines parse, proving a reference user can
+      // bring raw SQL, not just the DataFrame combinators
+      Tables.registerViews(s, dir)
+      s.sql("""
+        SELECT l_returnflag, l_linestatus,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base,
+          CAST(COUNT(*) AS BIGINT) AS n_rows
+        FROM lineitem
+        WHERE l_shipdate < TIMESTAMP '2000-09-01 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus""")
+    }),
+
     "contract_violations" -> ((s, dir) =>
       // post-load publish gate: the whole contract in ONE aggregate pass
       // — |rules| output rows, null predicate counts as violation
@@ -603,6 +620,17 @@ private[graft] object QScanJoin {
              (SELECT COUNT(*) FROM customer c
                WHERE NOT EXISTS (SELECT 1 FROM events e WHERE e.user_id = c.c_custkey)))
          SELECT * FROM rel ORDER BY relationship""",
+
+    // the SAME ANSI statement — the oracle IS the query text
+    "sql_surface_q1" ->
+      """SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+         FROM lineitem
+         WHERE l_shipdate < TIMESTAMP '2000-09-01 00:00:00'
+         GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
 
     "contract_violations" ->
       """WITH m AS (

@@ -193,6 +193,23 @@ private[graft] object QVector {
           "basket", "item", minPairCount = 5L)
         .orderBy("item_a", "item_b")),
 
+    "khop_reachability" -> ((s, dir) => {
+      // blast-radius probe: from nation-5 customers, how much of the
+      // trade graph is reachable in 1/2/3 hops — frontier joins + anti
+      // joins, fixed waves, (hop, count) output
+      val trade = t(s, dir, "orders")
+        .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("src"),
+          (col("l_suppkey") + lit(1000000L)).as("dst"))
+        .distinct()
+      val seeds = t(s, dir, "customer")
+        .filter(col("c_nationkey") === 5)
+        .select(col("c_custkey"))
+      graft.ops.Graph.kHopReachability(trade, "src", "dst", seeds,
+          "c_custkey", hops = 3)
+        .orderBy("hop")
+    }),
+
     "kcore_peel" -> ((s, dir) => {
       // cohesion screen over the customer↔part purchase graph (distinct
       // edges from orders⋈lineitem, parts offset into their own id
@@ -511,6 +528,35 @@ private[graft] object QVector {
                   FROM p2 q JOIN e ON q.node = e.src
                   WHERE q.outdeg > 0 GROUP BY e.dst) m USING (node))
          SELECT node, pr FROM p3 ORDER BY pr DESC, node LIMIT 20""",
+
+    // three unrolled BFS waves: frontier neighbors minus visited
+    "khop_reachability" ->
+      """WITH e0 AS (
+           SELECT DISTINCT o_custkey AS a, l_suppkey + 1000000 AS b
+           FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         s AS (SELECT a AS v, b AS w FROM e0
+               UNION SELECT b, a FROM e0),
+         v0 AS (
+           SELECT DISTINCT c_custkey AS node FROM customer
+           WHERE c_nationkey = 5),
+         f1 AS (
+           SELECT DISTINCT s.w AS node FROM s JOIN v0 ON s.v = v0.node
+           WHERE s.w NOT IN (SELECT node FROM v0)),
+         f2 AS (
+           SELECT DISTINCT s.w AS node FROM s JOIN f1 ON s.v = f1.node
+           WHERE s.w NOT IN (SELECT node FROM v0)
+             AND s.w NOT IN (SELECT node FROM f1)),
+         f3 AS (
+           SELECT DISTINCT s.w AS node FROM s JOIN f2 ON s.v = f2.node
+           WHERE s.w NOT IN (SELECT node FROM v0)
+             AND s.w NOT IN (SELECT node FROM f1)
+             AND s.w NOT IN (SELECT node FROM f2))
+         SELECT CAST(0 AS BIGINT) AS hop,
+           CAST((SELECT COUNT(*) FROM v0) AS BIGINT) AS n_reached
+         UNION ALL SELECT 1, (SELECT COUNT(*) FROM f1)
+         UNION ALL SELECT 2, (SELECT COUNT(*) FROM f2)
+         UNION ALL SELECT 3, (SELECT COUNT(*) FROM f3)
+         ORDER BY hop""",
 
     // three unrolled peel waves: degrees → survivors → surviving edges,
     // then the post-peel degree report

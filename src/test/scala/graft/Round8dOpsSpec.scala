@@ -56,6 +56,21 @@ class Round8dOpsSpec extends SparkTestBase {
     assert(out(1).getDouble(3) == 0.0)
   }
 
+  test("kHopReachability: waves expand and exhausted frontiers report zero") {
+    // path 1-2-3-4-5-6, seed {1}: hops reach 2, 3, 4 — and a 3-hop probe
+    // from seed {5} on edge 5-6 exhausts after hop 1
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L)).toDF("s", "d")
+    val out = graft.ops.Graph.kHopReachability(e, "s", "d",
+        Seq(1L).toDF("n"), "n", hops = 3)
+      .orderBy("hop").as[(Long, Long)].collect().toSeq
+    assert(out == Seq((0L, 1L), (1L, 1L), (2L, 1L), (3L, 1L)))
+    val out2 = graft.ops.Graph.kHopReachability(
+        Seq((5L, 6L)).toDF("s", "d"), "s", "d",
+        Seq(5L).toDF("n"), "n", hops = 3)
+      .orderBy("hop").as[(Long, Long)].collect().toSeq
+    assert(out2 == Seq((0L, 1L), (1L, 1L), (2L, 0L), (3L, 0L)))
+  }
+
   test("decileLift: a score-aligned conversion concentrates lift at the top") {
     // 100 users; user u converts post-period iff u > 90 — exactly the
     // top spenders (score = u cents)
