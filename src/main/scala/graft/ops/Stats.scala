@@ -402,6 +402,63 @@ object Stats {
       (lit(1.0) - varCuped / nullif(varY, lit(0.0))).as("variance_reduction"))
   }
 
+  /** Weighted median (and any weighted quantile) without expansion or a
+    * global sort: collapse to a (value → total weight) histogram first —
+    * map-side combined, bounded by the value domain — then one cumulative
+    * window over the histogram picks the smallest value whose running
+    * weight reaches ⌈q·W⌉. Pure integer arithmetic end to end (the
+    * keySkewStats discipline applied to weighted order statistics); the
+    * expanded-row formulation this replaces would shuffle Σweights rows.
+    */
+  def weightedQuantile(df: DataFrame, valueCol: String, weightCol: Column,
+                       qNum: Int, qDen: Int): DataFrame = {
+    require(qNum > 0 && qNum < qDen, s"weightedQuantile: need 0 < $qNum/$qDen < 1")
+    val hist = df.groupBy(col(valueCol).as("v"))
+      .agg(sum(weightCol.cast("long")).as("w"))
+    val wCum = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy()
+    hist
+      .withColumn("__cum", sum(col("w")).over(wCum))
+      .withColumn("__tot", sum(col("w")).over(wAll))
+      // threshold ⌈q·W⌉ in integers: (tot·qNum + qDen − 1) div qDen
+      .filter(col("__cum") * qDen >= col("__tot") * qNum)
+      .orderBy(col("v").asc)
+      .limit(1)
+      .select(col("v").as("weighted_quantile_value"),
+        col("__cum").cast("long").as("cum_weight"),
+        col("__tot").cast("long").as("total_weight"))
+  }
+
+  /** Pareto / contribution analysis: groups ranked by exact-cents
+    * revenue, cumulative share, and the 80% crossover flagged — the
+    * "which 20% of nations carry 80% of revenue" readout. The integer
+    * crossover test (cum·100 ≥ total·80 in longs) decides the flag; the
+    * reported shares divide once each. Windows run over the |groups|
+    * aggregate only.
+    */
+  def paretoAnalysis(df: DataFrame, groupCol: String,
+                     valueCol: String): DataFrame = {
+    val cents = floor(col(valueCol) * 100).cast("long")
+    val perGroup = df.groupBy(col(groupCol))
+      .agg(sum(cents).as("revenue_cents"))
+    val wCum = Window.orderBy(col("revenue_cents").desc, col(groupCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy()
+    perGroup
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("revenue_cents").desc, col(groupCol).asc))
+        .cast("long"))
+      .withColumn("__cum", sum(col("revenue_cents")).over(wCum))
+      .withColumn("__tot", sum(col("revenue_cents")).over(wAll))
+      .select(col("rank"), col(groupCol), col("revenue_cents"),
+        (col("revenue_cents").cast("double") / col("__tot").cast("double"))
+          .as("share"),
+        (col("__cum").cast("double") / col("__tot").cast("double"))
+          .as("cum_share"),
+        (col("__cum") * 100 >= col("__tot") * 80).as("reached_80pct"))
+  }
+
   /** Decile lift table — the campaign-targeting eval: units ranked by a
     * pre-period score, cut into spend deciles by EXACT percentile
     * boundaries, and each decile's post-period conversion rate compared

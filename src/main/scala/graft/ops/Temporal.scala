@@ -725,6 +725,32 @@ object Temporal {
           .as("residual"))
   }
 
+  /** Activity survival curve (Kaplan–Meier's uncensored special case):
+    * per key the activity SPAN in whole days (first→last event), then
+    * S(d) = fraction of keys whose span ≥ d for every observed d — the
+    * "how long do users stay" curve. Exact-integer shape discipline: the
+    * per-key spans collapse to a span-day histogram (≤ observed-days
+    * rows), the survival count is a REVERSE cumulative window over that
+    * histogram, and the one double is the final share divide.
+    */
+  def activitySurvival(df: DataFrame, keyCol: String,
+                       tsCol: String): DataFrame = {
+    val spans = df.groupBy(col(keyCol))
+      .agg(datediff(to_date(max(col(tsCol))), to_date(min(col(tsCol))))
+        .cast("long").as("__span"))
+    val hist = spans.groupBy(col("__span").as("span_days"))
+      .agg(count(lit(1)).as("__n"))
+    val wRev = Window.orderBy(col("span_days").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy()
+    hist
+      .withColumn("n_surviving", sum(col("__n")).over(wRev).cast("long"))
+      .withColumn("survival",
+        col("n_surviving").cast("double")
+          / sum(col("__n")).over(wAll).cast("double"))
+      .select(col("span_days"), col("n_surviving"), col("survival"))
+  }
+
   /** Time-decay multi-touch attribution — [[lastTouchAttribution]]'s
     * fairer sibling: EVERY in-window touch preceding a conversion earns
     * credit, halved per elapsed half-life. The decay weight is the

@@ -508,6 +508,26 @@ private[graft] object QAggWindow {
       Temporal.cusumChangepoint(t(s, dir, "events"), "event_type", "ts")
         .orderBy("event_type")),
 
+    "weighted_median" -> ((s, dir) =>
+      // revenue-weighted median line quantity: (value → weight) histogram
+      // + one cumulative window over it — never Σweights expanded rows
+      graft.ops.Stats.weightedQuantile(
+          t(s, dir, "lineitem")
+            .select(col("l_quantity").cast("long").as("qty"),
+              floor(col("l_extendedprice")).cast("long").as("w")),
+          "qty", col("w"), qNum = 1, qDen = 2)),
+
+    "pareto_analysis" -> ((s, dir) =>
+      // which nations carry 80% of revenue: exact-cents ranking,
+      // cumulative share, integer 80% crossover flag
+      graft.ops.Stats.paretoAnalysis(
+          t(s, dir, "orders")
+            .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+            .join(t(s, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+            .select(col("n_name"), col("o_totalprice")),
+          "n_name", "o_totalprice")
+        .orderBy("rank")),
+
     "decile_lift" -> ((s, dir) =>
       // targeting eval: pre-period spend deciles (exact percentile
       // boundaries broadcast, bucket by comparison — NO global rank
@@ -1158,6 +1178,46 @@ private[graft] object QAggWindow {
            n AS n_days, abs(cusum) AS max_abs_scaled,
            CAST(abs(cusum) AS DOUBLE) / CAST(n AS DOUBLE) AS max_abs_cusum
          FROM r WHERE rn = 1 ORDER BY event_type""",
+
+    // histogram + cumulative threshold ⌈W/2⌉ in integers
+    "weighted_median" ->
+      """WITH h AS (
+           SELECT CAST(l_quantity AS BIGINT) AS v,
+             CAST(SUM(CAST(floor(l_extendedprice) AS BIGINT)) AS BIGINT) AS w
+           FROM lineitem GROUP BY 1),
+         c AS (
+           SELECT v, w,
+             SUM(w) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum,
+             SUM(w) OVER () AS tot
+           FROM h)
+         SELECT v AS weighted_quantile_value,
+           CAST(cum AS BIGINT) AS cum_weight, CAST(tot AS BIGINT) AS total_weight
+         FROM c WHERE cum * 2 >= tot * 1
+         ORDER BY v LIMIT 1""",
+
+    // exact-cents ranking + integer 80% crossover
+    "pareto_analysis" ->
+      """WITH g AS (
+           SELECT n_name,
+             CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS revenue_cents
+           FROM orders
+           JOIN customer ON o_custkey = c_custkey
+           JOIN nation ON c_nationkey = n_nationkey
+           GROUP BY 1),
+         r AS (
+           SELECT n_name, revenue_cents,
+             CAST(row_number() OVER (ORDER BY revenue_cents DESC, n_name)
+               AS BIGINT) AS rank,
+             SUM(revenue_cents) OVER (ORDER BY revenue_cents DESC, n_name
+               ROWS UNBOUNDED PRECEDING) AS cum,
+             SUM(revenue_cents) OVER () AS tot
+           FROM g)
+         SELECT rank, n_name, revenue_cents,
+           CAST(revenue_cents AS DOUBLE) / CAST(tot AS DOUBLE) AS share,
+           CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE) AS cum_share,
+           cum * 100 >= tot * 80 AS reached_80pct
+         FROM r ORDER BY rank""",
 
     // exact decile boundaries + comparison bucketing + 10-row windows
     "decile_lift" ->

@@ -113,6 +113,12 @@ private[graft] object QTemporal {
       Temporal.stlDecomposeDaily(t(s, dir, "events"), "ts")
         .orderBy("day")),
 
+    "activity_survival" -> ((s, dir) =>
+      // how long users stay: span-day histogram → reverse cumulative
+      // survival counts, one share divide at the edge
+      Temporal.activitySurvival(t(s, dir, "events"), "user_id", "ts")
+        .orderBy("span_days")),
+
     "inactivity_churn" -> ((s, dir) =>
       // lapsed-user audience: recency vs the CORPUS max event time
       // (deterministic, backfill-stable), churn flag past 7 days — one
@@ -513,6 +519,26 @@ private[graft] object QTemporal {
              - CAST(ssum AS DOUBLE) / CAST(sn * 7 AS DOUBLE) AS residual
          FROM t2 LEFT JOIN s USING (dow)
          ORDER BY day""",
+
+    // span histogram → reverse cumulative survival
+    "activity_survival" ->
+      """WITH sp AS (
+           SELECT user_id,
+             CAST(datediff('day', CAST(MIN(ts) AS DATE),
+               CAST(MAX(ts) AS DATE)) AS BIGINT) AS span
+           FROM events GROUP BY 1),
+         h AS (
+           SELECT span AS span_days, CAST(COUNT(*) AS BIGINT) AS n
+           FROM sp GROUP BY 1),
+         c AS (
+           SELECT span_days, n,
+             SUM(n) OVER (ORDER BY span_days DESC
+               ROWS UNBOUNDED PRECEDING) AS surv,
+             SUM(n) OVER () AS tot
+           FROM h)
+         SELECT span_days, CAST(surv AS BIGINT) AS n_surviving,
+           CAST(surv AS DOUBLE) / CAST(tot AS DOUBLE) AS survival
+         FROM c ORDER BY span_days""",
 
     "inactivity_churn" ->
       """WITH g AS (SELECT MAX(ts) AS gmax FROM events),

@@ -56,6 +56,43 @@ class Round8dOpsSpec extends SparkTestBase {
     assert(out(1).getDouble(3) == 0.0)
   }
 
+  test("weightedQuantile: heavy weight drags the median to its value") {
+    // values 1..3: weights 1, 1, 10 → weighted median = 3 (cum 12 ≥ 6)
+    val df = Seq((1L, 1L), (2L, 1L), (3L, 10L)).toDF("v", "w")
+    val r = graft.ops.Stats.weightedQuantile(df, "v", col("w"), 1, 2).head()
+    assert(r.getLong(0) == 3L && r.getLong(1) == 12L && r.getLong(2) == 12L)
+    // unweighted (all 1) → median of {1,2,3} = 2
+    val u = graft.ops.Stats.weightedQuantile(
+      Seq((1L, 1L), (2L, 1L), (3L, 1L)).toDF("v", "w"), "v", col("w"), 1, 2)
+      .head()
+    assert(u.getLong(0) == 2L)
+  }
+
+  test("paretoAnalysis: crossover flags exactly from the 80% row onward") {
+    val df = Seq(("a", 80.0), ("b", 15.0), ("c", 5.0)).toDF("g", "v")
+    val out = graft.ops.Stats.paretoAnalysis(df, "g", "v")
+      .orderBy("rank").collect()
+    assert(out.map(_.getString(1)).toSeq == Seq("a", "b", "c"))
+    assert(out.map(_.getBoolean(5)).toSeq == Seq(true, true, true))
+    val df2 = Seq(("a", 50.0), ("b", 40.0), ("c", 10.0)).toDF("g", "v")
+    val out2 = graft.ops.Stats.paretoAnalysis(df2, "g", "v")
+      .orderBy("rank").collect()
+    assert(out2.map(_.getBoolean(5)).toSeq == Seq(false, true, true))
+  }
+
+  test("activitySurvival: reverse-cumulative counts, S(0) = 1") {
+    val ev = Seq(
+      (1L, "2024-01-01 00:00:00"), (1L, "2024-01-11 00:00:00"), // span 10
+      (2L, "2024-01-02 00:00:00"),                              // span 0
+      (3L, "2024-01-03 00:00:00"), (3L, "2024-01-08 00:00:00")) // span 5
+      .toDF("u", "ts").select(col("u"), col("ts").cast("timestamp").as("ts"))
+    val out = graft.ops.Temporal.activitySurvival(ev, "u", "ts")
+      .orderBy("span_days").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((0L, 3L), (5L, 2L), (10L, 1L)))
+    assert(out.head.getDouble(2) == 1.0)
+  }
+
   test("kHopReachability: waves expand and exhausted frontiers report zero") {
     // path 1-2-3-4-5-6, seed {1}: hops reach 2, 3, 4 — and a 3-hop probe
     // from seed {5} on edge 5-6 exhausts after hop 1
