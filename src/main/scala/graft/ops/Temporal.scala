@@ -725,6 +725,39 @@ object Temporal {
           .as("residual"))
   }
 
+  /** Weekly growth accounting (the startup-metrics identity: active =
+    * new + retained + resurrected; churn balances last week's actives):
+    * per active (user, week) row, classify against the user's PREVIOUS
+    * active week — first week ⇒ new, prev = week−1 ⇒ retained,
+    * prev < week−1 ⇒ resurrected — and charge week w's churn as
+    * active(w−1) − retained(w). All integer flags; the per-user lag
+    * window runs over the (user, week) DISTINCT aggregate and the churn
+    * lag over the |weeks| relation.
+    */
+  def growthAccounting(df: DataFrame, keyCol: String, tsCol: String,
+                       epochDate: String): DataFrame = {
+    val week = floor(datediff(to_date(col(tsCol)), to_date(lit(epochDate)))
+      / 7).cast("long")
+    val uw = df.select(col(keyCol).as("__u"), week.as("week")).distinct()
+    val wUser = Window.partitionBy(col("__u")).orderBy(col("week"))
+    val flagged = uw
+      .withColumn("__prev", lag(col("week"), 1).over(wUser))
+      .select(col("week"),
+        col("__prev").isNull.cast("long").as("__new"),
+        coalesce((col("__prev") === col("week") - 1).cast("long"), lit(0L))
+          .as("__ret"),
+        (col("__prev").isNotNull && col("__prev") < col("week") - 1)
+          .cast("long").as("__res"))
+    val weekly = flagged.groupBy(col("week"))
+      .agg(count(lit(1)).cast("long").as("n_active"),
+        sum(col("__new")).cast("long").as("n_new"),
+        sum(col("__ret")).cast("long").as("n_retained"),
+        sum(col("__res")).cast("long").as("n_resurrected"))
+    val wSeq = Window.orderBy(col("week"))
+    weekly.withColumn("n_churned",
+      (lag(col("n_active"), 1).over(wSeq) - col("n_retained")).cast("long"))
+  }
+
   /** Activity survival curve (Kaplan–Meier's uncensored special case):
     * per key the activity SPAN in whole days (first→last event), then
     * S(d) = fraction of keys whose span ≥ d for every observed d — the

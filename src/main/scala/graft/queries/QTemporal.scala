@@ -113,6 +113,15 @@ private[graft] object QTemporal {
       Temporal.stlDecomposeDaily(t(s, dir, "events"), "ts")
         .orderBy("day")),
 
+    "growth_accounting" -> ((s, dir) =>
+      // startup-metrics identity per week: active = new + retained +
+      // resurrected; churn charged as active(w−1) − retained(w). The
+      // churn lag pairs OBSERVED weeks (a wholly-silent week would lag
+      // across the gap — gap_fill_daily is the densifier if needed)
+      Temporal.growthAccounting(t(s, dir, "events"), "user_id", "ts",
+          epochDate = "2024-01-01")
+        .orderBy("week")),
+
     "activity_survival" -> ((s, dir) =>
       // how long users stay: span-day histogram → reverse cumulative
       // survival counts, one share divide at the edge
@@ -519,6 +528,33 @@ private[graft] object QTemporal {
              - CAST(ssum AS DOUBLE) / CAST(sn * 7 AS DOUBLE) AS residual
          FROM t2 LEFT JOIN s USING (dow)
          ORDER BY day""",
+
+    // per-user lag classification + weekly churn balance
+    "growth_accounting" ->
+      """WITH uw AS (
+           SELECT DISTINCT user_id,
+             CAST(floor(CAST(datediff('day', DATE '2024-01-01',
+               CAST(ts AS DATE)) AS DOUBLE) / 7) AS BIGINT) AS week
+           FROM events),
+         f AS (
+           SELECT week,
+             CASE WHEN lag(week) OVER (PARTITION BY user_id ORDER BY week)
+               IS NULL THEN 1 ELSE 0 END AS isnew,
+             CASE WHEN lag(week) OVER (PARTITION BY user_id ORDER BY week)
+               = week - 1 THEN 1 ELSE 0 END AS isret,
+             CASE WHEN lag(week) OVER (PARTITION BY user_id ORDER BY week)
+               < week - 1 THEN 1 ELSE 0 END AS isres
+           FROM uw),
+         w AS (
+           SELECT week, CAST(COUNT(*) AS BIGINT) AS n_active,
+             CAST(SUM(isnew) AS BIGINT) AS n_new,
+             CAST(SUM(isret) AS BIGINT) AS n_retained,
+             CAST(SUM(isres) AS BIGINT) AS n_resurrected
+           FROM f GROUP BY 1)
+         SELECT week, n_active, n_new, n_retained, n_resurrected,
+           CAST(lag(n_active) OVER (ORDER BY week) - n_retained AS BIGINT)
+             AS n_churned
+         FROM w ORDER BY week""",
 
     // span histogram → reverse cumulative survival
     "activity_survival" ->

@@ -56,6 +56,28 @@ class Round8dOpsSpec extends SparkTestBase {
     assert(out(1).getDouble(3) == 0.0)
   }
 
+  test("growthAccounting: the identity active = new + retained + resurrected") {
+    val ev = Seq(
+      (1L, "2024-01-01 00:00:00"),  // w0 new
+      (1L, "2024-01-08 00:00:00"),  // w1 retained
+      (1L, "2024-01-22 00:00:00"),  // w3 resurrected (skipped w2)
+      (2L, "2024-01-08 00:00:00"),  // w1 new, then absent → churned in w2? no w2 row
+      (3L, "2024-01-15 00:00:00"),  // w2 new
+      (3L, "2024-01-22 00:00:00"))  // w3 retained
+      .toDF("u", "ts").select(col("u"), col("ts").cast("timestamp").as("ts"))
+    val out = graft.ops.Temporal.growthAccounting(ev, "u", "ts", "2024-01-01")
+      .orderBy("week").collect()
+    // every week: active = new + retained + resurrected
+    out.foreach { r =>
+      assert(r.getLong(1) == r.getLong(2) + r.getLong(3) + r.getLong(4), r)
+    }
+    val w3 = out.find(_.getLong(0) == 3L).get
+    assert(w3.getLong(3) == 1L && w3.getLong(4) == 1L) // retained=3, resurrected=1
+    // churn balance at w2: active(w1)=2, retained(w2)=0 → churned 2
+    val w2 = out.find(_.getLong(0) == 2L).get
+    assert(w2.getLong(5) == 2L)
+  }
+
   test("weightedQuantile: heavy weight drags the median to its value") {
     // values 1..3: weights 1, 1, 10 → weighted median = 3 (cum 12 ≥ 6)
     val df = Seq((1L, 1L), (2L, 1L), (3L, 10L)).toDF("v", "w")
