@@ -2248,6 +2248,43 @@ object LlmOps {
       .limit(k)
   }
 
+  /** Vocabulary pruning curve: for each candidate min-count cutoff, the
+    * surviving vocabulary size and the token-mass coverage it retains —
+    * the two numbers a tokenizer/embedding-table budget decision needs
+    * ("cutting at count<5 keeps 99.2% of tokens with 31% of the rows").
+    * One (token)-grain count aggregate, then ALL cutoffs evaluate as
+    * conditional sums over the count-histogram-sized relation in a
+    * second aggregate — the whole curve costs one scan regardless of
+    * how many cutoffs are probed. Exact longs; one coverage divide per
+    * cutoff row.
+    */
+  def vocabPruningCurve(df: DataFrame, textCol: String,
+                        cutoffs: Seq[Long]): DataFrame = {
+    require(cutoffs.nonEmpty, "vocabPruningCurve: at least one cutoff")
+    val tf = df.select(explode(tokens(col(textCol))).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("__c"))
+    val aggs = sum(col("__c")).as("__total") +:
+      count(lit(1)).as("__vocab") +:
+      cutoffs.flatMap { k =>
+        Seq(sum(when(col("__c") >= k, 1L).otherwise(0L)).as(s"__v$k"),
+          sum(when(col("__c") >= k, col("__c")).otherwise(0L)).as(s"__m$k"))
+      }
+    val one = tf.agg(aggs.head, aggs.tail: _*)
+    val rows = array(cutoffs.map { k =>
+      struct(lit(k).as("min_count"), col(s"__v$k").as("vocab_size"),
+        col(s"__m$k").as("tokens_covered"))
+    }: _*)
+    one.select(col("__total"), col("__vocab"), explode(rows).as("__r"))
+      .select(col("__r.min_count").as("min_count"),
+        col("__r.vocab_size").cast("long").as("vocab_size"),
+        col("__vocab").cast("long").as("full_vocab"),
+        col("__r.tokens_covered").cast("long").as("tokens_covered"),
+        (col("__r.tokens_covered").cast("double")
+          / col("__total").cast("double")).as("coverage"))
+  }
+
   /** MDM-style golden-record survivorship: duplicate groups (same
     * `canonicalKey` — an exact fingerprint, a token-set hash, or any
     * blocking/match key; ≥2 members) merge FIELD-WISE — each

@@ -402,6 +402,39 @@ object Stats {
       (lit(1.0) - varCuped / nullif(varY, lit(0.0))).as("variance_reduction"))
   }
 
+  /** Mergeable-statistics audit (Chan/Golub/LeVeque pairwise moments):
+    * split the relation by a deterministic hash, compute each half's
+    * exact (n, Σ, Σ²) moments, MERGE them by addition, and prove the
+    * merged variance is bit-identical to the direct whole-relation
+    * computation — the algebraic property that makes every distributed
+    * aggregate in this engine partitioning-independent, demonstrated as
+    * a query instead of assumed. Emits both variances and the equality
+    * flag; a false here would mean map-side combine is unsound.
+    */
+  def statsMergeAudit(df: DataFrame, idCol: String,
+                      valueCol: String): DataFrame = {
+    val cents = floor(col(valueCol) * 100).cast("long")
+    val half = pmod(LlmOps.md5Hash48(col(idCol).cast("string"), 1), lit(2L))
+    val halves = df.select(half.as("__h"), cents.as("__v"))
+      .groupBy(col("__h"))
+      .agg(count(lit(1)).as("n"), sum(col("__v")).as("s"),
+        sum(col("__v") * col("__v")).as("ss"))
+    val merged = halves.agg(sum(col("n")).as("n"), sum(col("s")).as("s"),
+      sum(col("ss")).as("ss"))
+    val direct = df.select(cents.as("__v"))
+      .agg(count(lit(1)).as("n"), sum(col("__v")).as("s"),
+        sum(col("__v") * col("__v")).as("ss"))
+    def variance(n: Column, s: Column, ss: Column): Column =
+      (n.cast("double") * ss.cast("double")
+        - s.cast("double") * s.cast("double")) /
+        (n.cast("double") * n.cast("double"))
+    merged.select(col("n").cast("long").as("n_rows"),
+        variance(col("n"), col("s"), col("ss")).as("var_merged"))
+      .crossJoin(direct.select(
+        variance(col("n"), col("s"), col("ss")).as("var_direct")))
+      .withColumn("merge_exact", col("var_merged") === col("var_direct"))
+  }
+
   /** Weighted median (and any weighted quantile) without expansion or a
     * global sort: collapse to a (value → total weight) histogram first —
     * map-side combined, bounded by the value domain — then one cumulative

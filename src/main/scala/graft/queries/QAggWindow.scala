@@ -508,6 +508,13 @@ private[graft] object QAggWindow {
       Temporal.cusumChangepoint(t(s, dir, "events"), "event_type", "ts")
         .orderBy("event_type")),
 
+    "stats_merge_audit" -> ((s, dir) =>
+      // distributed-correctness demonstration: hash-half moments merged
+      // by addition equal the direct computation bit-for-bit — the
+      // algebra behind every map-side combine in this engine
+      graft.ops.Stats.statsMergeAudit(t(s, dir, "events"), "event_id",
+          "value")),
+
     "weighted_median" -> ((s, dir) =>
       // revenue-weighted median line quantity: (value → weight) histogram
       // + one cumulative window over it — never Σweights expanded rows
@@ -1178,6 +1185,36 @@ private[graft] object QAggWindow {
            n AS n_days, abs(cusum) AS max_abs_scaled,
            CAST(abs(cusum) AS DOUBLE) / CAST(n AS DOUBLE) AS max_abs_cusum
          FROM r WHERE rn = 1 ORDER BY event_type""",
+
+    // identical moment algebra both ways; the flag is exact equality
+    "stats_merge_audit" ->
+      """WITH h AS (
+           SELECT ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 12))::BIGINT
+               % 2 AS hh,
+             CAST(floor(value * 100) AS BIGINT) AS v
+           FROM events),
+         halves AS (
+           SELECT hh, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(v) AS BIGINT) AS s, CAST(SUM(v * v) AS BIGINT) AS ss
+           FROM h GROUP BY 1),
+         m AS (
+           SELECT CAST(SUM(n) AS BIGINT) AS n, CAST(SUM(s) AS BIGINT) AS s,
+             CAST(SUM(ss) AS BIGINT) AS ss
+           FROM halves),
+         d AS (
+           SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(v) AS BIGINT) AS s, CAST(SUM(v * v) AS BIGINT) AS ss
+           FROM h)
+         SELECT m.n AS n_rows,
+           (CAST(m.n AS DOUBLE) * m.ss - CAST(m.s AS DOUBLE) * m.s)
+             / (CAST(m.n AS DOUBLE) * m.n) AS var_merged,
+           (CAST(d.n AS DOUBLE) * d.ss - CAST(d.s AS DOUBLE) * d.s)
+             / (CAST(d.n AS DOUBLE) * d.n) AS var_direct,
+           (CAST(m.n AS DOUBLE) * m.ss - CAST(m.s AS DOUBLE) * m.s)
+             / (CAST(m.n AS DOUBLE) * m.n)
+             = (CAST(d.n AS DOUBLE) * d.ss - CAST(d.s AS DOUBLE) * d.s)
+             / (CAST(d.n AS DOUBLE) * d.n) AS merge_exact
+         FROM m, d""",
 
     // histogram + cumulative threshold ⌈W/2⌉ in integers
     "weighted_median" ->

@@ -27,6 +27,13 @@ private[graft] object QTextCuration {
       // integer order via TakeOrderedAndProject — a word count's shape
       LlmOps.rakeKeywords(t(s, dir, "documents"), "text", k = 25)),
 
+    "vocab_pruning_curve" -> ((s, dir) =>
+      // tokenizer-budget planning: vocab size + token coverage at each
+      // min-count cutoff — the whole curve from one scan
+      LlmOps.vocabPruningCurve(t(s, dir, "documents"), "text",
+          cutoffs = Seq(1L, 2L, 5L, 10L, 50L))
+        .orderBy("min_count")),
+
     "golden_record_merge" -> ((s, dir) =>
       // MDM survivorship: bag-of-words duplicate groups (token-SET
       // fingerprint — permutations/repetitions of one vocabulary slice
@@ -453,6 +460,30 @@ private[graft] object QTextCuration {
          SELECT word, freq, deg,
            CAST(deg AS DOUBLE) / CAST(freq AS DOUBLE) AS score
          FROM agg ORDER BY deg DESC, freq DESC, word LIMIT 25""",
+
+    // the curve from one token-count CTE + per-cutoff conditional sums
+    "vocab_pruning_curve" ->
+      """WITH tf AS (
+           SELECT t.token, CAST(COUNT(*) AS BIGINT) AS c
+           FROM documents,
+             unnest(string_split_regex(lower(trim(text)), '\s+')) AS t(token)
+           WHERE t.token <> '' GROUP BY 1),
+         tot AS (
+           SELECT CAST(SUM(c) AS BIGINT) AS total,
+             CAST(COUNT(*) AS BIGINT) AS vocab
+           FROM tf),
+         k AS (SELECT unnest([1, 2, 5, 10, 50]) AS min_count),
+         curve AS (
+           SELECT k.min_count,
+             CAST(SUM(CASE WHEN tf.c >= k.min_count THEN 1 ELSE 0 END)
+               AS BIGINT) AS vocab_size,
+             CAST(SUM(CASE WHEN tf.c >= k.min_count THEN tf.c ELSE 0 END)
+               AS BIGINT) AS tokens_covered
+           FROM tf CROSS JOIN k GROUP BY 1)
+         SELECT CAST(min_count AS BIGINT) AS min_count, vocab_size,
+           vocab AS full_vocab, tokens_covered,
+           CAST(tokens_covered AS DOUBLE) / CAST(total AS DOUBLE) AS coverage
+         FROM curve, tot ORDER BY min_count""",
 
     // per-field mode replay with (count desc, value asc) ties
     "golden_record_merge" ->

@@ -56,6 +56,26 @@ class Round8dOpsSpec extends SparkTestBase {
     assert(out(1).getDouble(3) == 0.0)
   }
 
+  test("vocabPruningCurve: monotone vocab shrink, full coverage at cutoff 1") {
+    val docs = Seq("a a a a b b c", "a b d").toDF("text")
+    val out = graft.ops.LlmOps.vocabPruningCurve(docs, "text", Seq(1L, 2L, 4L))
+      .orderBy("min_count").collect()
+    // counts: a=5, b=3, c=1, d=1 → total 10, vocab 4
+    assert(out(0).getLong(1) == 4L && out(0).getLong(3) == 10L)
+    assert(out(0).getDouble(4) == 1.0)
+    assert(out(1).getLong(1) == 2L && out(1).getLong(3) == 8L)  // a, b
+    assert(out(2).getLong(1) == 1L && out(2).getLong(3) == 5L)  // a only
+    assert(out.forall(_.getLong(2) == 4L))
+  }
+
+  test("statsMergeAudit: merged moments equal direct bit-for-bit") {
+    val df = (1L to 500L).map(i => (i, (i % 97) / 10.0)).toDF("id", "v")
+    val r = graft.ops.Stats.statsMergeAudit(df, "id", "v").head()
+    assert(r.getLong(0) == 500L)
+    assert(r.getBoolean(3), r.toString)
+    assert(r.getDouble(1) == r.getDouble(2))
+  }
+
   test("growthAccounting: the identity active = new + retained + resurrected") {
     val ev = Seq(
       (1L, "2024-01-01 00:00:00"),  // w0 new
