@@ -402,6 +402,35 @@ object Stats {
       (lit(1.0) - varCuped / nullif(varY, lit(0.0))).as("variance_reduction"))
   }
 
+  /** Mix-shift (price–volume) decomposition: each segment's
+    * period-over-period revenue change split into a VOLUME effect
+    * ((n_B − n_A)·rate_A — what changed because more/fewer units came)
+    * and a RATE effect ((rate_B − rate_A)·n_B — what changed because
+    * units got dearer/cheaper). The two effects sum to the segment's
+    * exact-cents Δrevenue algebraically; the report is the standard
+    * "why did revenue move" BI decomposition. One conditional aggregate
+    * per segment; rates are one divide each, effects fixed products of
+    * deterministic doubles.
+    */
+  def mixShiftAnalysis(df: DataFrame, segCol: String, tsCol: String,
+                       valueCol: String, cutTs: String): DataFrame = {
+    val isA = col(tsCol) < to_timestamp(lit(cutTs))
+    val cents = floor(col(valueCol) * 100).cast("long")
+    val agg = df.groupBy(col(segCol))
+      .agg(sum(when(isA, 1L).otherwise(0L)).as("n_a"),
+        sum(when(isA, cents).otherwise(0L)).as("s_a"),
+        sum(when(!isA, 1L).otherwise(0L)).as("n_b"),
+        sum(when(!isA, cents).otherwise(0L)).as("s_b"))
+    def d(c: String) = col(c).cast("double")
+    val rateA = d("s_a") / nullif(d("n_a"), lit(0.0))
+    val rateB = d("s_b") / nullif(d("n_b"), lit(0.0))
+    agg.select(col(segCol),
+      col("n_a").cast("long").as("n_a"), col("n_b").cast("long").as("n_b"),
+      (col("s_b") - col("s_a")).cast("long").as("delta_cents"),
+      ((d("n_b") - d("n_a")) * rateA).as("volume_effect"),
+      ((rateB - rateA) * d("n_b")).as("rate_effect"))
+  }
+
   /** Mergeable-statistics audit (Chan/Golub/LeVeque pairwise moments):
     * split the relation by a deterministic hash, compute each half's
     * exact (n, Σ, Σ²) moments, MERGE them by addition, and prove the

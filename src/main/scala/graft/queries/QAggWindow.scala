@@ -508,6 +508,14 @@ private[graft] object QAggWindow {
       Temporal.cusumChangepoint(t(s, dir, "events"), "event_type", "ts")
         .orderBy("event_type")),
 
+    "mix_shift_analysis" -> ((s, dir) =>
+      // why did revenue move: per-event-type period-over-period change
+      // split into volume and rate effects (exact-cents Δ, one divide
+      // per rate) across the mid-month cut
+      graft.ops.Stats.mixShiftAnalysis(t(s, dir, "events"), "event_type",
+          "ts", "value", cutTs = "2024-01-16 00:00:00")
+        .orderBy("event_type")),
+
     "stats_merge_audit" -> ((s, dir) =>
       // distributed-correctness demonstration: hash-half moments merged
       // by addition equal the direct computation bit-for-bit — the
@@ -1185,6 +1193,29 @@ private[graft] object QAggWindow {
            n AS n_days, abs(cusum) AS max_abs_scaled,
            CAST(abs(cusum) AS DOUBLE) / CAST(n AS DOUBLE) AS max_abs_cusum
          FROM r WHERE rn = 1 ORDER BY event_type""",
+
+    // conditional sums + the same fixed effect formulas
+    "mix_shift_analysis" ->
+      """WITH a AS (
+           SELECT event_type,
+             CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+               THEN CAST(floor(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS s_a,
+             CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00'
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+             CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00'
+               THEN CAST(floor(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS s_b
+           FROM events GROUP BY 1)
+         SELECT event_type, n_a, n_b,
+           CAST(s_b - s_a AS BIGINT) AS delta_cents,
+           (CAST(n_b AS DOUBLE) - CAST(n_a AS DOUBLE))
+             * (CAST(s_a AS DOUBLE) / nullif(CAST(n_a AS DOUBLE), 0.0))
+             AS volume_effect,
+           (CAST(s_b AS DOUBLE) / nullif(CAST(n_b AS DOUBLE), 0.0)
+             - CAST(s_a AS DOUBLE) / nullif(CAST(n_a AS DOUBLE), 0.0))
+             * CAST(n_b AS DOUBLE) AS rate_effect
+         FROM a ORDER BY event_type""",
 
     // identical moment algebra both ways; the flag is exact equality
     "stats_merge_audit" ->

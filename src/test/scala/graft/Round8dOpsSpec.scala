@@ -56,6 +56,23 @@ class Round8dOpsSpec extends SparkTestBase {
     assert(out(1).getDouble(3) == 0.0)
   }
 
+  test("mixShiftAnalysis: effects decompose the exact delta") {
+    // seg x: period A 2 rows @ 100c; period B 3 rows @ 200c
+    val rows = Seq(
+      ("x", "2024-01-10 00:00:00", 1.0), ("x", "2024-01-11 00:00:00", 1.0),
+      ("x", "2024-01-20 00:00:00", 2.0), ("x", "2024-01-21 00:00:00", 2.0),
+      ("x", "2024-01-22 00:00:00", 2.0))
+      .toDF("seg", "ts", "v")
+      .select(col("seg"), col("ts").cast("timestamp").as("ts"), col("v"))
+    val r = graft.ops.Stats.mixShiftAnalysis(rows, "seg", "ts", "v",
+      "2024-01-16 00:00:00").head()
+    assert(r.getLong(1) == 2L && r.getLong(2) == 3L)
+    assert(r.getLong(3) == 400L)                       // 600 − 200 cents
+    assert(r.getDouble(4) == 100.0)                    // (3−2)·100
+    assert(r.getDouble(5) == 300.0)                    // (200−100)·3
+    assert(r.getDouble(4) + r.getDouble(5) == r.getLong(3).toDouble)
+  }
+
   test("vocabPruningCurve: monotone vocab shrink, full coverage at cutoff 1") {
     val docs = Seq("a a a a b b c", "a b d").toDF("text")
     val out = graft.ops.LlmOps.vocabPruningCurve(docs, "text", Seq(1L, 2L, 4L))
