@@ -60,6 +60,24 @@ private[graft] object QDedup {
           maxBucketSize = 10000)
         .orderBy("id_a", "id_b")),
 
+    "dedup_threshold_sweep" -> ((s, dir) => {
+      // dedup-config tuning curve: surviving pair count at each candidate
+      // threshold, ALL from the one t=0.5 exact-verify pass — conditional
+      // sums, no re-run per threshold
+      val pairs = LlmOps.jaccardPairs(t(s, dir, "documents"), "doc_id",
+        "text", blockCol = "lang", shingleN = 3, threshold = 0.5)
+      val ths = Seq(0.5, 0.6, 0.7, 0.8, 0.9)
+      val aggs = ths.map(th =>
+        sum((col("jaccard") >= th).cast("long")).as(s"__n${(th * 10).toInt}"))
+      val one = pairs.agg(aggs.head, aggs.tail: _*)
+      one.select(explode(array(ths.map(th =>
+          struct(lit(th).as("threshold"),
+            col(s"__n${(th * 10).toInt}").as("np"))): _*)).as("__r"))
+        .select(col("__r.threshold").as("threshold"),
+          coalesce(col("__r.np"), lit(0L)).cast("long").as("n_pairs"))
+        .orderBy("threshold")
+    }),
+
     "near_dup_degree" -> ((s, dir) => {
       // dedup-ops hub detector: partner-count histogram over the
       // production banded pairs — a fat tail means boilerplate flooding
@@ -329,6 +347,28 @@ private[graft] object QDedup {
          SELECT id_a, id_b, jaccard FROM jac
          WHERE jaccard >= 0.7
          ORDER BY id_a, id_b""",
+
+    // the PPJoin exact-jaccard pass + per-threshold conditional counts
+    "dedup_threshold_sweep" ->
+      """WITH d AS (
+           SELECT doc_id, lang,
+             list_distinct(list_transform(
+               range(1, greatest(len(string_split_regex(lower(trim(text)), '\s+')) - 3, 0) + 2),
+               i -> array_to_string(list_slice(string_split_regex(lower(trim(text)), '\s+'), i, i + 2), ' '))) AS sh
+           FROM documents),
+         jac AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+               / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+           FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id
+           WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+               / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5),
+         th AS (SELECT unnest([0.5, 0.6, 0.7, 0.8, 0.9]) AS threshold)
+         SELECT th.threshold,
+           CAST(COALESCE(SUM(CASE WHEN jac.jaccard >= th.threshold
+             THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_pairs
+         FROM th LEFT JOIN jac ON true
+         GROUP BY 1 ORDER BY threshold""",
 
     // the dedup_near pipeline + a count-of-counts degree census
     "near_dup_degree" ->

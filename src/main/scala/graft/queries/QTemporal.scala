@@ -329,6 +329,32 @@ private[graft] object QTemporal {
           "event_id", durSeconds = 600L)
         .orderBy("user_id")),
 
+    "conversion_sla_buckets" -> ((s, dir) =>
+      // funnel-latency SLA report: converted users bucketed by
+      // first-view→first-purchase lag (≤1m / ≤1h / ≤1d / slower) — one
+      // aggregate over the per-user lags, deterministic integer edges
+      Temporal.conversionLag(t(s, dir, "events"), "user_id", "ts",
+          "event_type", "view", "purchase")
+        .select(
+          when(col("lag_seconds") <= 60, "a_1min")
+            .when(col("lag_seconds") <= 3600, "b_1hour")
+            .when(col("lag_seconds") <= 86400, "c_1day")
+            .otherwise("d_slower").as("sla_bucket"))
+        .groupBy("sla_bucket")
+        .agg(count(lit(1)).cast("long").as("n_users"))
+        .orderBy("sla_bucket")),
+
+    "order_ship_span" -> ((s, dir) =>
+      // fulfillment consolidation: days between an order's first and
+      // last line shipment — span histogram via two aggregates
+      t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(datediff(to_date(max(col("l_shipdate"))),
+          to_date(min(col("l_shipdate")))).cast("long").as("__span"))
+        .groupBy(col("__span").as("span_days"))
+        .agg(count(lit(1)).cast("long").as("n_orders"))
+        .orderBy("span_days")),
+
     "conversion_lag" -> ((s, dir) =>
       // funnel latency: seconds from first view to first purchase per
       // user — one conditional-min aggregate, no window, no join
@@ -858,6 +884,33 @@ private[graft] object QTemporal {
          SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_islands,
            CAST(SUM(hi - lo) AS BIGINT) AS covered_seconds
          FROM g GROUP BY 1 ORDER BY user_id""",
+
+    "conversion_sla_buckets" ->
+      """WITH a AS (
+           SELECT user_id,
+             MIN(CASE WHEN event_type = 'view'
+                 THEN epoch_ns(ts) // 1000000000 END) AS t0,
+             MIN(CASE WHEN event_type = 'purchase'
+                 THEN epoch_ns(ts) // 1000000000 END) AS t1
+           FROM events GROUP BY 1),
+         l AS (
+           SELECT t1 - t0 AS lag FROM a
+           WHERE t0 IS NOT NULL AND t1 IS NOT NULL AND t1 >= t0)
+         SELECT CASE WHEN lag <= 60 THEN 'a_1min'
+                     WHEN lag <= 3600 THEN 'b_1hour'
+                     WHEN lag <= 86400 THEN 'c_1day'
+                     ELSE 'd_slower' END AS sla_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+         FROM l GROUP BY 1 ORDER BY sla_bucket""",
+
+    "order_ship_span" ->
+      """WITH s AS (
+           SELECT l_orderkey,
+             CAST(datediff('day', CAST(MIN(l_shipdate) AS DATE),
+               CAST(MAX(l_shipdate) AS DATE)) AS BIGINT) AS span
+           FROM lineitem GROUP BY 1)
+         SELECT span AS span_days, CAST(COUNT(*) AS BIGINT) AS n_orders
+         FROM s GROUP BY 1 ORDER BY span_days""",
 
     "conversion_lag" ->
       """WITH a AS (

@@ -56,6 +56,19 @@ class Round8dOpsSpec extends SparkTestBase {
     assert(out(1).getDouble(3) == 0.0)
   }
 
+  test("SLA bucketing edges are inclusive (<=60 is the 1-minute bucket)") {
+    import org.apache.spark.sql.functions.{col => c}
+    val lags = Seq(60L, 61L, 3600L, 3601L, 86400L, 86401L).toDF("lag_seconds")
+    val out = lags.select(
+        when(c("lag_seconds") <= 60, "a_1min")
+          .when(c("lag_seconds") <= 3600, "b_1hour")
+          .when(c("lag_seconds") <= 86400, "c_1day")
+          .otherwise("d_slower").as("b"))
+      .as[String].collect().toSeq
+    assert(out == Seq("a_1min", "b_1hour", "b_1hour", "c_1day", "c_1day",
+      "d_slower"))
+  }
+
   test("mixShiftAnalysis: effects decompose the exact delta") {
     // seg x: period A 2 rows @ 100c; period B 3 rows @ 200c
     val rows = Seq(
