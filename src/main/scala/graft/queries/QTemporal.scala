@@ -113,6 +113,20 @@ private[graft] object QTemporal {
       Temporal.stlDecomposeDaily(t(s, dir, "events"), "ts")
         .orderBy("day")),
 
+    "cumulative_users_curve" -> ((s, dir) =>
+      // audience growth curve: first-seen-day histogram → running total
+      // of distinct users ever seen; the window runs over |days| rows
+      t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(date_format(min(col("ts")), "yyyy-MM-dd").as("first_day"))
+        .groupBy(col("first_day").as("day"))
+        .agg(count(lit(1)).cast("long").as("n_new_users"))
+        .withColumn("cum_users",
+          sum(col("n_new_users")).over(Window.orderBy(col("day"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("long"))
+        .orderBy("day")),
+
     "growth_accounting" -> ((s, dir) =>
       // startup-metrics identity per week: active = new + retained +
       // resurrected; churn charged as active(w−1) − retained(w). The
@@ -554,6 +568,18 @@ private[graft] object QTemporal {
              - CAST(ssum AS DOUBLE) / CAST(sn * 7 AS DOUBLE) AS residual
          FROM t2 LEFT JOIN s USING (dow)
          ORDER BY day""",
+
+    "cumulative_users_curve" ->
+      """WITH f AS (
+           SELECT user_id, strftime(MIN(ts), '%Y-%m-%d') AS day
+           FROM events GROUP BY 1),
+         h AS (
+           SELECT day, CAST(COUNT(*) AS BIGINT) AS n_new_users
+           FROM f GROUP BY 1)
+         SELECT day, n_new_users,
+           CAST(SUM(n_new_users) OVER (ORDER BY day
+             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users
+         FROM h ORDER BY day""",
 
     // per-user lag classification + weekly churn balance
     "growth_accounting" ->

@@ -27,6 +27,29 @@ private[graft] object QTextCuration {
       // integer order via TakeOrderedAndProject — a word count's shape
       LlmOps.rakeKeywords(t(s, dir, "documents"), "text", k = 25)),
 
+    "sample_bias_audit" -> ((s, dir) =>
+      // does the 10% hash sample keep the corpus mix? per-lang corpus
+      // share vs in-sample share + absolute drift — one conditional
+      // aggregate, the stratification check before a sample is trusted
+      t(s, dir, "documents")
+        .select(col("lang"),
+          (pmod(LlmOps.md5Hash48(col("doc_id").cast("string"), 1),
+            lit(10L)) === 0L).cast("long").as("__in"))
+        .groupBy("lang")
+        .agg(count(lit(1)).cast("long").as("n_corpus"),
+          sum(col("__in")).cast("long").as("n_sample"))
+        .withColumn("__tc", sum(col("n_corpus")).over(Window.partitionBy()))
+        .withColumn("__ts", sum(col("n_sample")).over(Window.partitionBy()))
+        .select(col("lang"), col("n_corpus"), col("n_sample"),
+          (col("n_corpus").cast("double") / col("__tc").cast("double"))
+            .as("corpus_share"),
+          (col("n_sample").cast("double") / col("__ts").cast("double"))
+            .as("sample_share"),
+          abs(col("n_sample").cast("double") / col("__ts").cast("double")
+            - col("n_corpus").cast("double") / col("__tc").cast("double"))
+            .as("share_drift"))
+        .orderBy("lang")),
+
     "vocab_pruning_curve" -> ((s, dir) =>
       // tokenizer-budget planning: vocab size + token coverage at each
       // min-count cutoff — the whole curve from one scan
@@ -460,6 +483,21 @@ private[graft] object QTextCuration {
          SELECT word, freq, deg,
            CAST(deg AS DOUBLE) / CAST(freq AS DOUBLE) AS score
          FROM agg ORDER BY deg DESC, freq DESC, word LIMIT 25""",
+
+    "sample_bias_audit" ->
+      """WITH a AS (
+           SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_corpus,
+             CAST(SUM(CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT
+               % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_sample
+           FROM documents GROUP BY 1),
+         t AS (SELECT CAST(SUM(n_corpus) AS BIGINT) AS tc,
+                 CAST(SUM(n_sample) AS BIGINT) AS ts FROM a)
+         SELECT lang, n_corpus, n_sample,
+           CAST(n_corpus AS DOUBLE) / CAST(tc AS DOUBLE) AS corpus_share,
+           CAST(n_sample AS DOUBLE) / CAST(ts AS DOUBLE) AS sample_share,
+           abs(CAST(n_sample AS DOUBLE) / CAST(ts AS DOUBLE)
+             - CAST(n_corpus AS DOUBLE) / CAST(tc AS DOUBLE)) AS share_drift
+         FROM a, t ORDER BY lang""",
 
     // the curve from one token-count CTE + per-cutoff conditional sums
     "vocab_pruning_curve" ->
