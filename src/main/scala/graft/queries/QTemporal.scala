@@ -113,6 +113,35 @@ private[graft] object QTemporal {
       Temporal.stlDecomposeDaily(t(s, dir, "events"), "ts")
         .orderBy("day")),
 
+    "dn_retention" -> ((s, dir) => {
+      // the growth KPI headline: strict day-N retention — of all users,
+      // how many were active exactly N days after their first day
+      // (N = 1, 7, 30); distinct (user, day) relation, first-day join,
+      // three conditional flags, ONE final row
+      val uw = t(s, dir, "events")
+        .select(col("user_id"),
+          datediff(to_date(col("ts")), to_date(lit("2024-01-01")))
+            .cast("long").as("__d"))
+        .distinct()
+      val first = uw.groupBy(col("user_id")).agg(min(col("__d")).as("__d0"))
+      uw.join(first, Seq("user_id"))
+        .groupBy(col("user_id"))
+        .agg(max((col("__d") === col("__d0") + 1).cast("long")).as("__r1"),
+          max((col("__d") === col("__d0") + 7).cast("long")).as("__r7"),
+          max((col("__d") === col("__d0") + 30).cast("long")).as("__r30"))
+        .agg(count(lit(1)).cast("long").as("n_users"),
+          sum(col("__r1")).cast("long").as("n_d1"),
+          sum(col("__r7")).cast("long").as("n_d7"),
+          sum(col("__r30")).cast("long").as("n_d30"))
+        .select(col("n_users"), col("n_d1"), col("n_d7"), col("n_d30"),
+          (col("n_d1").cast("double") / col("n_users").cast("double"))
+            .as("d1_rate"),
+          (col("n_d7").cast("double") / col("n_users").cast("double"))
+            .as("d7_rate"),
+          (col("n_d30").cast("double") / col("n_users").cast("double"))
+            .as("d30_rate"))
+    }),
+
     "cumulative_users_curve" -> ((s, dir) =>
       // audience growth curve: first-seen-day histogram → running total
       // of distinct users ever seen; the window runs over |days| rows
@@ -568,6 +597,28 @@ private[graft] object QTemporal {
              - CAST(ssum AS DOUBLE) / CAST(sn * 7 AS DOUBLE) AS residual
          FROM t2 LEFT JOIN s USING (dow)
          ORDER BY day""",
+
+    "dn_retention" ->
+      """WITH uw AS (
+           SELECT DISTINCT user_id,
+             CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE))
+               AS BIGINT) AS d
+           FROM events),
+         f AS (SELECT user_id, MIN(d) AS d0 FROM uw GROUP BY 1),
+         u AS (
+           SELECT uw.user_id,
+             MAX(CASE WHEN uw.d = f.d0 + 1 THEN 1 ELSE 0 END) AS r1,
+             MAX(CASE WHEN uw.d = f.d0 + 7 THEN 1 ELSE 0 END) AS r7,
+             MAX(CASE WHEN uw.d = f.d0 + 30 THEN 1 ELSE 0 END) AS r30
+           FROM uw JOIN f USING (user_id) GROUP BY 1)
+         SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(r1) AS BIGINT) AS n_d1,
+           CAST(SUM(r7) AS BIGINT) AS n_d7,
+           CAST(SUM(r30) AS BIGINT) AS n_d30,
+           CAST(SUM(r1) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS d1_rate,
+           CAST(SUM(r7) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS d7_rate,
+           CAST(SUM(r30) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS d30_rate
+         FROM u""",
 
     "cumulative_users_curve" ->
       """WITH f AS (
