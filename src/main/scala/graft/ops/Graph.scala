@@ -488,8 +488,17 @@ object Graph {
     // turns both endpoint semi-joins into broadcasts at any scale where
     // the node set fits an executor — and into shuffle joins when it
     // doesn't, which is exactly the fallback you want at 100 TB.
+    // Canonicalize to least/greatest BEFORE distinct so input carrying
+    // both orientations of one undirected edge collapses to a single
+    // half-edge (otherwise each endpoint's degree double-counts), and
+    // drop self-loops (which would add 2 to a node's degree and let it
+    // survive peels it shouldn't). kHopReachability symmetrizes for
+    // traversal; the peel needs the opposite normal form — exactly one
+    // row per undirected edge.
     var e = edges
-      .select(col(srcCol).as("a"), col(dstCol).as("b"))
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") =!= col("b"))
       .distinct()
       .persist()
     for (_ <- 1 to rounds) {

@@ -2244,7 +2244,8 @@ object LlmOps {
       .agg(count(lit(1)).cast("long").as("freq"),
         sum(col("__len") - 1).cast("long").as("deg"))
       .withColumn("score", col("deg").cast("double") / col("freq").cast("double"))
-      .orderBy(col("deg").desc, col("freq").desc, col("word").asc)
+      .orderBy(col("score").desc, col("deg").desc, col("freq").desc,
+        col("word").asc)
       .limit(k)
   }
 

@@ -256,34 +256,50 @@ object Scale {
 
   /** Small-file compaction plan: given a file-metadata relation (one row
     * per file with an ordering key and a size), assign files to target
-    * bins by cumulative quota — bin = ⌊(running_size − size) / target⌋ —
-    * and emit per-bin packing stats. This is the nightly job a 100 TB
-    * lakehouse runs against its CATALOG (a metadata-sized relation, not
-    * the data): the only window runs over |files| rows ordered by the
-    * layout key, never over raw data, and the output (one row per output
-    * bin) is what the rewrite job's task list broadcasts from.
+    * bins by cumulative quota and emit per-bin packing stats. This is
+    * the nightly job a 100 TB lakehouse runs against its CATALOG (a
+    * metadata-sized relation, not the data): every window runs over
+    * |files| rows ordered by the layout key, never over raw data, and
+    * the output (one row per output bin) is what the rewrite job's task
+    * list broadcasts from.
     *
     * Quota packing is deliberately chosen over first-fit-decreasing: it
     * preserves the input's sort-key adjacency (compacted files stay
     * range-clusterable, the zorder_layout concern) and is expressible as
     * pure integer window arithmetic any engine replays exactly. A file
-    * larger than `target` gets a bin of its own and is flagged oversized
-    * (it can't be split by a copying compactor).
+    * larger than `target` genuinely gets a bin of its own and is flagged
+    * oversized (it can't be split by a copying compactor): oversized
+    * files act as SEGMENT BREAKS — seg = 2·cumsum(oversized) − oversized
+    * gives each oversized file a unique odd segment and the small files
+    * between two oversized files a shared even one — then each segment
+    * packs by its own offset quota ⌊(running − size) / target⌋ and bins
+    * are renumbered contiguously by (segment, local bin). Naive global
+    * offset-quota binning would let an oversized file share whatever
+    * partially-filled quota its start offset lands in.
     */
   def compactionPlan(files: DataFrame, orderCol: String, sizeCol: String,
                      target: Long): DataFrame = {
-    val w = Window.orderBy(col(orderCol))
+    val wOrd = Window.orderBy(col(orderCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    files
-      .withColumn("__cum", sum(col(sizeCol)).over(w))
-      .withColumn("bin",
-        floor((col("__cum") - col(sizeCol)) / target).cast("long"))
-      .groupBy(col("bin"))
+    val seg = files
+      .withColumn("__big", (col(sizeCol) > target).cast("long"))
+      .withColumn("__seg",
+        lit(2L) * sum(col("__big")).over(wOrd) - col("__big"))
+    val wSeg = Window.partitionBy(col("__seg")).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    seg
+      .withColumn("__cum", sum(col(sizeCol)).over(wSeg))
+      .withColumn("__lb", floor((col("__cum") - col(sizeCol)) / target))
+      .groupBy(col("__seg"), col("__lb"))
       .agg(count(lit(1)).as("n_files"),
         sum(col(sizeCol)).cast("long").as("total_size"),
         min(col(orderCol)).as("first_key"),
         max(col(orderCol)).as("last_key"),
-        max((col(sizeCol) > target).cast("long")).as("has_oversized"))
-      .withColumn("has_oversized", col("has_oversized") === 1L)
+        (max(col("__big")) === 1L).as("has_oversized"))
+      .withColumn("bin",
+        (row_number().over(Window.orderBy(col("__seg"), col("__lb"))) - 1)
+          .cast("long"))
+      .select(col("bin"), col("n_files"), col("total_size"),
+        col("first_key"), col("last_key"), col("has_oversized"))
   }
 }

@@ -693,8 +693,10 @@ object Temporal {
     * the de-trended residual is the integer 7·cnt − sum7, day-of-week
     * seasonality is the exact-ratio mean of that integer per dow, and
     * the reported components divide once each at the edge. Days without
-    * a full centered window report null trend/residual (honest edges,
-    * not zero-padded).
+    * a full centered window — fewer than 7 rows, OR 7 rows that span a
+    * missing-day gap (window max−min epochday ≠ 6) — report null
+    * trend/residual (honest edges and gap neighborhoods, not
+    * zero-padded or gap-blind).
     *
     * All windows run over the |days|-bounded daily aggregate; dow comes
     * from arithmetic on the epoch day (engine-neutral, no locale).
@@ -706,9 +708,16 @@ object Temporal {
       .withColumn("__epochday",
         datediff(to_date(col("day")), to_date(lit("1970-01-01"))).cast("long"))
     val w7 = Window.orderBy(col("day")).rowsBetween(-3, 3)
+    // count==7 alone passes across missing-day gaps (7 ROWS of the
+    // aggregate need not be 7 calendar days); the span guard demands the
+    // window cover exactly contiguous days, so gap-adjacent rows report
+    // honest nulls instead of averaging non-adjacent days.
     val withTrend = daily
       .withColumn("__sum7",
-        when(count(lit(1)).over(w7) === 7, sum(col("cnt")).over(w7)))
+        when(count(lit(1)).over(w7) === 7
+          && max(col("__epochday")).over(w7)
+             - min(col("__epochday")).over(w7) === 6,
+          sum(col("cnt")).over(w7)))
       .withColumn("__resid7", lit(7) * col("cnt") - col("__sum7"))
       .withColumn("dow", pmod(col("__epochday") + 4, lit(7)))
     val seasonal = withTrend

@@ -227,24 +227,36 @@ private[graft] object QScale {
              AS BIGINT) AS rank
          FROM topk ORDER BY rank""",
 
-    // cumulative-quota packing replay: same integer window arithmetic —
-    // bin = floor((running − size) / target) over the file catalog
+    // segmented quota packing replay: oversized files are segment breaks
+    // (seg = 2·cumsum(big) − big), per-segment offset-quota local bins,
+    // contiguous renumber by (seg, local bin)
     "compaction_plan" ->
       """WITH f AS (
            SELECT strftime(ts, '%Y-%m-%d') || '|' || event_type AS file_key,
              CAST(COUNT(*) AS BIGINT) AS size_rows
            FROM events GROUP BY 1),
-         packed AS (
+         s AS (
            SELECT file_key, size_rows,
-             CAST(floor((SUM(size_rows) OVER (ORDER BY file_key
-                 ROWS UNBOUNDED PRECEDING) - size_rows) / 2000.0)
-               AS BIGINT) AS bin
-           FROM f)
-         SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_files,
-           CAST(SUM(size_rows) AS BIGINT) AS total_size,
-           MIN(file_key) AS first_key, MAX(file_key) AS last_key,
-           MAX(CASE WHEN size_rows > 2000 THEN 1 ELSE 0 END) = 1
-             AS has_oversized
-         FROM packed GROUP BY bin ORDER BY bin"""
+             CASE WHEN size_rows > 2000 THEN 1 ELSE 0 END AS big,
+             2 * SUM(CASE WHEN size_rows > 2000 THEN 1 ELSE 0 END)
+               OVER (ORDER BY file_key ROWS UNBOUNDED PRECEDING)
+               - CASE WHEN size_rows > 2000 THEN 1 ELSE 0 END AS seg
+           FROM f),
+         p AS (
+           SELECT file_key, size_rows, big, seg,
+             CAST(floor((SUM(size_rows) OVER (PARTITION BY seg
+                 ORDER BY file_key ROWS UNBOUNDED PRECEDING)
+                 - size_rows) / 2000.0) AS BIGINT) AS lb
+           FROM s),
+         b AS (
+           SELECT seg, lb, CAST(COUNT(*) AS BIGINT) AS n_files,
+             CAST(SUM(size_rows) AS BIGINT) AS total_size,
+             MIN(file_key) AS first_key, MAX(file_key) AS last_key,
+             MAX(big) = 1 AS has_oversized
+           FROM p GROUP BY 1, 2)
+         SELECT CAST(row_number() OVER (ORDER BY seg, lb) - 1 AS BIGINT)
+             AS bin,
+           n_files, total_size, first_key, last_key, has_oversized
+         FROM b ORDER BY bin"""
   )
 }

@@ -581,6 +581,7 @@ private[graft] object QTemporal {
          t AS (
            SELECT day, cnt, (epochday + 4) % 7 AS dow,
              CASE WHEN COUNT(*) OVER w = 7
+                AND MAX(epochday) OVER w - MIN(epochday) OVER w = 6
                THEN SUM(cnt) OVER w END AS sum7
            FROM d
            WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),

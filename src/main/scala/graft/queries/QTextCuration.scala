@@ -482,7 +482,8 @@ private[graft] object QTextCuration {
            FROM words GROUP BY 1)
          SELECT word, freq, deg,
            CAST(deg AS DOUBLE) / CAST(freq AS DOUBLE) AS score
-         FROM agg ORDER BY deg DESC, freq DESC, word LIMIT 25""",
+         FROM agg
+         ORDER BY score DESC, deg DESC, freq DESC, word LIMIT 25""",
 
     "sample_bias_audit" ->
       """WITH a AS (

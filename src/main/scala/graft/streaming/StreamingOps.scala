@@ -281,7 +281,14 @@ object StreamingOps {
       }
   }
 
-  case class TypedEvent(userId: Long, eventType: String, ts: java.sql.Timestamp)
+  /** A keyed, typed event. `eventId` is the unique tie-break that gives
+    * every tracker the SAME total intra-batch order as its batch
+    * counterpart's `tieBreak` column — feeds without a natural id may
+    * leave the default, accepting arbitrary (but stable, input-order)
+    * resolution of exact-timestamp ties, exactly as the batch op does
+    * when handed a non-unique tieBreak. */
+  case class TypedEvent(userId: Long, eventType: String,
+                        ts: java.sql.Timestamp, eventId: Long = 0L)
   case class FunnelState(stage: Int, lastMs: Long)
   case class FunnelProgress(userId: Long, stage: Int, atMs: Long)
 
@@ -413,7 +420,11 @@ object StreamingOps {
 
     override def handleInputRows(key: Long, rows: Iterator[TypedEvent],
         timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[Attribution] = {
-      val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.eventType))
+      // (ts, eventId) — the SAME intra-batch tie order the batch
+      // lastTouchAttribution uses (tieBreak = event_id) and the session/
+      // dwell trackers below use; sorting ties by eventType would flip a
+      // same-second touch/conversion pair and break batch parity.
+      val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.eventId))
       val out = scala.collection.mutable.ArrayBuffer.empty[Attribution]
       sorted.foreach { e =>
         val sec = e.ts.getTime / 1000

@@ -76,11 +76,26 @@ class Round8cOpsSpec extends SparkTestBase {
     val out = Scale.compactionPlan(files, "key", "sz", target = 100L)
       .orderBy("bin")
       .as[(Long, Long, Long, String, String, Boolean)].collect().toSeq
-    // cum-before: a=0,b=40,c=80,d=120,e=370 → bins 0,0,0,1,3
+    // segments: {a,b,c} (seg 0), {d} (seg 1, oversized break), {e} (seg 2)
+    // → contiguous bins 0, 1, 2
     assert(out == Seq(
       (0L, 3L, 120L, "a", "c", false),
       (1L, 1L, 250L, "d", "d", true),
-      (3L, 1L, 10L, "e", "e", false)))
+      (2L, 1L, 10L, "e", "e", false)))
+  }
+
+  test("compactionPlan: an oversized file never shares a bin with small files") {
+    // global offset-quota binning would put d (cum-before 40, bin 0) in
+    // the same bin as a — the segment break must prevent exactly that
+    val files = Seq(("a", 40L), ("d", 250L), ("e", 30L), ("f", 30L))
+      .toDF("key", "sz")
+    val out = Scale.compactionPlan(files, "key", "sz", target = 100L)
+      .orderBy("bin")
+      .as[(Long, Long, Long, String, String, Boolean)].collect().toSeq
+    assert(out == Seq(
+      (0L, 1L, 40L, "a", "a", false),
+      (1L, 1L, 250L, "d", "d", true),
+      (2L, 2L, 60L, "e", "f", false)))
   }
 
   test("compactionPlan: empty catalog → empty plan") {

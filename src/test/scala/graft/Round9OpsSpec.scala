@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-9 fixes and gap-closure: the r8 ADVICE findings (RAKE ranks by
+  * its own score column; STL's centered window refuses to straddle
+  * missing-day gaps; k-core canonicalizes the undirected edge set) plus
+  * the dn_retention fixture spec the r8 verdict flagged as missing.
+  */
+class Round9OpsSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  // ---- dn_retention (query-level fixture; VERDICT r8 item 3) ----------
+
+  test("dn_retention: strict day-N flags count exact returners") {
+    // u1 first day 0, returns d1 and d30; u2 first day 2, returns d9
+    // (NOT d7 — strict means exactly N days after first); u3 one-shot
+    val ev = Seq(
+      (1L, "2024-01-01 08:00:00"), (1L, "2024-01-02 09:00:00"),
+      (1L, "2024-01-31 10:00:00"),
+      (2L, "2024-01-03 08:00:00"), (2L, "2024-01-12 08:00:00"),
+      (3L, "2024-01-05 23:00:00"))
+      .toDF("user_id", "ts")
+      .select(col("user_id"), col("ts").cast("timestamp").as("ts"))
+    val dir = java.nio.file.Files.createTempDirectory("dnret").toString
+    ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = SparkEntry.queries("dn_retention")(spark, dir).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getLong(0) == 3L) // n_users
+    assert(r.getLong(1) == 1L) // n_d1: u1 only
+    assert(r.getLong(2) == 0L) // n_d7: u2 came back d9, not d7
+    assert(r.getLong(3) == 1L) // n_d30: u1
+    assert(math.abs(r.getDouble(4) - 1.0 / 3.0) < 1e-12)
+  }
+
+  // ---- stlDecomposeDaily: gap-day guard (ADVICE r8 item 2) ------------
+
+  test("stlDecomposeDaily: a missing-day gap nulls every straddling window") {
+    // 14 consecutive days, then a 1-day hole, then 7 more: without the
+    // span guard the 7-ROW windows around the hole would silently
+    // average non-adjacent days
+    val days = ((1 to 14) ++ (16 to 22)).map(d => f"2024-01-$d%02d 12:00:00")
+    val ev = days.flatMap(Seq.fill(5)(_)).toDF("ts")
+      .select(col("ts").cast("timestamp").as("ts"))
+    val out = graft.ops.Temporal.stlDecomposeDaily(ev, "ts")
+      .orderBy("day").collect()
+    assert(out.length == 21)
+    val trendNullDays = out.filter(_.isNullAt(3)).map(_.getString(0)).toSet
+    // null: 3 leading edges, 3 trailing edges, and EVERY window whose
+    // 7-row span crosses the jan-15 hole (days 12..14 and 16..18)
+    val expected = Set("2024-01-01", "2024-01-02", "2024-01-03",
+      "2024-01-12", "2024-01-13", "2024-01-14",
+      "2024-01-16", "2024-01-17", "2024-01-18",
+      "2024-01-20", "2024-01-21", "2024-01-22")
+    assert(trendNullDays == expected, trendNullDays.toSeq.sorted.mkString(","))
+    // interior rows on both sides of the hole still decompose additively
+    out.filter(r => !r.isNullAt(3) && !r.isNullAt(5)).foreach { r =>
+      val recomposed = r.getDouble(3) + r.getDouble(4) + r.getDouble(5)
+      assert(math.abs(recomposed - r.getLong(1)) < 1e-9, r.toString)
+    }
+  }
+
+  // ---- rakeKeywords: score IS the ranking key (ADVICE r8 item 1) ------
+
+  test("rakeKeywords: top-k orders by deg/freq score, not raw deg") {
+    // "rare" lives in one 4-word phrase (freq 1, deg 3, score 3.0);
+    // "common" floods 2-word phrases (freq 8, deg 8, score 1.0): a
+    // deg-ordered top-1 would pick "common", RAKE must pick the
+    // phrase-bound word
+    val docs = (Seq.fill(8)("common word") :+ "rare quad term phrase")
+      .toDF("text")
+    val out = graft.ops.LlmOps.rakeKeywords(docs, "text", k = 4).collect()
+    // all four phrase-bound words (score 3.0) outrank "common" (score 1.0,
+    // deg 8) — a deg-ordered top-k would have put "common" first
+    assert(out.map(_.getString(0)).toSet ==
+      Set("rare", "quad", "term", "phrase"), out.map(_.getString(0)).toSeq)
+    assert(out.forall(_.getDouble(3) == 3.0))
+    // and the emitted score column matches the ranking order
+    val scores = graft.ops.LlmOps.rakeKeywords(docs, "text", k = 6)
+      .collect().map(_.getDouble(3)).toSeq
+    assert(scores == scores.sorted.reverse)
+  }
+
+  // ---- kCorePeel: undirected normal form (ADVICE r8 item 4) -----------
+
+  test("kCorePeel: both orientations and self-loops don't inflate degree") {
+    // triangle 1-2-3 given in BOTH orientations, plus a self-loop on 4
+    // and a pendant 4-1: at k=2 the triangle survives; 4 must NOT
+    // (self-loop + pendant would fake degree 3 without canonicalization)
+    val edges = Seq(
+      (1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L), (1L, 3L), (3L, 1L),
+      (4L, 4L), (4L, 1L))
+      .toDF("src", "dst")
+    val out = graft.ops.Graph.kCorePeel(edges, "src", "dst", k = 2, rounds = 3)
+      .orderBy("node").as[(Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 2L), (2L, 2L), (3L, 2L)))
+  }
+}

@@ -680,11 +680,17 @@ class StreamingSpec extends SparkTestBase {
   test("streaming last-touch attribution matches batch across a batch split") {
     import StreamingOps.TypedEvent
     val events = Seq(
-      TypedEvent(1L, "view", ts("2024-01-01 00:00:00")),
-      TypedEvent(1L, "click", ts("2024-01-01 01:00:00")),
-      TypedEvent(1L, "purchase", ts("2024-01-01 01:30:00")), // ← click 1800 s
-      TypedEvent(1L, "purchase", ts("2024-01-03 12:00:00")), // stale → null
-      TypedEvent(2L, "purchase", ts("2024-01-01 00:30:00"))) // no touch → null
+      TypedEvent(1L, "view", ts("2024-01-01 00:00:00"), 1L),
+      TypedEvent(1L, "click", ts("2024-01-01 01:00:00"), 2L),
+      TypedEvent(1L, "purchase", ts("2024-01-01 01:30:00"), 3L), // ← click 1800 s
+      TypedEvent(1L, "purchase", ts("2024-01-03 12:00:00"), 4L), // stale → null
+      TypedEvent(2L, "purchase", ts("2024-01-01 00:30:00"), 5L), // no touch → null
+      // same-second touch→conversion pair: the (ts, eventId) tie order
+      // must attribute the conversion to the simultaneous view, exactly
+      // as batch does with tieBreak = eventId ("purchase" < "view"
+      // lexicographically, so a (ts, eventType) sort would flip it)
+      TypedEvent(3L, "view", ts("2024-01-01 02:00:00"), 6L),
+      TypedEvent(3L, "purchase", ts("2024-01-01 02:00:00"), 7L))
     val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
@@ -702,16 +708,21 @@ class StreamingSpec extends SparkTestBase {
       val got = spark.table("attr_out")
         .as[StreamingOps.Attribution].collect()
         .map(a => (a.userId, a.atMs, Option(a.attributedTo), a.lagSeconds)).toSet
+      // batch reports its tieBreak (eventId) — translate back to ms for
+      // the comparison against the stream's atMs
+      val msOf = events.map(e => e.eventId -> e.ts.getTime).toMap
       val batch = graft.ops.Temporal.lastTouchAttribution(
-          events.toDF().withColumn("id", col("ts").cast("long")),
-          "userId", "eventType", "ts", "id",
+          events.toDF(),
+          "userId", "eventType", "ts", "eventId",
           conversionKind = "purchase", windowSeconds = 86400)
         .collect()
-        .map(r => (r.getLong(0), r.getLong(1) * 1000,
+        .map(r => (r.getLong(0), msOf(r.getLong(1)),
           Option(if (r.isNullAt(2)) null else r.getString(2)),
           if (r.isNullAt(3)) -1L else r.getLong(3))).toSet
       assert(got == batch, s"stream $got != batch $batch")
       assert(got.exists(t => t._3.contains("click") && t._4 == 1800L))
+      // the same-second pair attributed, with zero lag, in BOTH engines
+      assert(got.exists(t => t._1 == 3L && t._3.contains("view") && t._4 == 0L))
     } finally {
       q.stop()
       prevProvider match {
