@@ -788,14 +788,16 @@ object LlmOps {
     * ascending-term order via a sequential fold — associativity is
     * pinned, so IEEE addition reproduces exactly.
     *
-    * Scale shape (the classic index-build + probe):
-    *  - ONE tokenize/explode pass builds the (doc, term, tf) postings —
-    *    persisted because doc length, df, and scoring all read it
-    *    (callers `clearCache()` after, the [[nearDupPairs]] contract);
-    *    only (id, 8-byte-ish term, count) rows shuffle, never text.
-    *  - The query term list broadcasts and prunes the postings BEFORE
-    *    the doc-length join — the corpus-wide postings never flow into
-    *    scoring, only rows for query terms do.
+    * Scale shape (probe-side index build — no corpus-wide postings):
+    *  - Doc length needs NO shuffle at all: dl = size(tokens) computed
+    *    row-local in the scan projection; N and avgdl are one map-side
+    *    combined aggregate over it.
+    *  - The query term list broadcasts into the explode BEFORE the
+    *    (doc, term) aggregate, so the only rows that ever shuffle are
+    *    postings FOR QUERY TERMS — the corpus-wide (doc, term, tf)
+    *    relation (the dominant cost: |corpus tokens| rows through an
+    *    exchange) is never materialized. The r8 bench attributed ~80%
+    *    of this operator's time to exactly that pre-prune shuffle.
     *  - df comes from the pruned postings (distinct by construction);
     *    it and the one-row corpus globals broadcast onto the scoring.
     *  - Per-query top-k is row_number ≤ k over (score desc, id asc) —
@@ -809,17 +811,26 @@ object LlmOps {
   def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
                queries: DataFrame, k: Int = 5,
                k1: Double = 1.25, b: Double = 0.75): DataFrame = {
-    val tf = docs
-      .select(col(idCol), explode(tokens(col(textCol))).as("term"))
-      .filter(col("term") =!= "")
-      .groupBy(col(idCol), col("term"))
-      .agg(count(lit(1)).as("tf"))
-      .persist()
-    val dl = tf.groupBy(col(idCol)).agg(sum(col("tf")).cast("long").as("dl"))
+    // dl is row-local (no explode, no shuffle): the count of non-empty
+    // tokens per doc; only token-BEARING docs define N/avgdl (an empty
+    // doc can never match), matching the postings-derived definition.
+    val dl = docs
+      .select(col(idCol),
+        regexp_count(normText(col(textCol)), lit("\\S+")).cast("long")
+          .as("dl"))
+      .filter(col("dl") > 0)
     val globals = dl.agg(count(lit(1)).as("__n"),
       sum(col("dl")).cast("long").as("__tot"))
     val qt = queries.select(col("term")).distinct()
-    val tfq = tf.join(broadcast(qt), Seq("term"))
+    // prune to query terms BEFORE the (doc, term) aggregate: the
+    // broadcast-hash semi filter runs inside the scan stage, so only
+    // query-term hits reach the exchange.
+    val tfq = docs
+      .select(col(idCol), explode(tokens(col(textCol))).as("term"))
+      .filter(col("term") =!= "")
+      .join(broadcast(qt), Seq("term"), "left_semi")
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
     val dfq = tfq.groupBy(col("term")).agg(count(lit(1)).as("df"))
 
     val nD = col("__n").cast("double")

@@ -518,10 +518,13 @@ class PlanSpec extends SparkTestBase {
     val winIdx = p.indexOf("Window")
     val aggIdx = p.indexOf("HashAggregate")
     assert(winIdx >= 0 && aggIdx >= 0, p)
-    // bottom-up plan string: the aggregate prints BELOW the window —
-    // assert the window consumes aggregated (size_rows) input, not events
-    val winLine = p.split("\n").find(_.contains("Window")).get
-    assert(winLine.contains("size_rows"), s"window input not aggregated:\n$p")
+    // bottom-up plan string: the aggregate prints BELOW the windows —
+    // the QUOTA window (running sum of size_rows) must consume aggregated
+    // input, not events; the topmost window is the |bins|-sized contiguous
+    // renumber and legitimately sees only (__seg, __lb)
+    val winLines = p.split("\n").filter(_.contains("Window"))
+    assert(winLines.exists(_.contains("size_rows")),
+      s"no window consumes the aggregated size_rows input:\n$p")
   }
 
   test("pq_search: codes join broadcast lookup; per-query top-k group-limited") {
