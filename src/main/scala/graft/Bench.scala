@@ -100,7 +100,19 @@ object Bench {
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     // Full-precision diagnostics first (wall clock, listener ms, errors)…
-    println(s"""{"metric":"detail","queries":$qs,"listener_ms":$ls,"errors":$es,"warm_slate_sec":$warmSlateSec}""")
+    val detail = s"""{"metric":"detail","queries":$qs,"listener_ms":$ls,"errors":$es,"warm_slate_sec":$warmSlateSec}"""
+    println(detail)
+    // …and persisted: the driver's BENCH artifact keeps only the short
+    // tail-window line (hottest queries + "_other"), which makes tail
+    // regressions unattributable from the artifact alone (VERDICT r8
+    // item 6). Every run therefore also writes the FULL per-query map —
+    // wall sec + listener ms for all queries — next to the round
+    // artifacts, committed with the round close.
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_DETAIL.json"), detail + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] WARN could not write BENCH_DETAIL.json: $e")
+    }
     // …then the machine-read line LAST. The harness keeps only the final
     // ~2000 chars of output and parses a JSON line out of that window, so
     // this line must stay SHORT: values rounded to ms, no listener map.

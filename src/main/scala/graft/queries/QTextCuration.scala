@@ -448,6 +448,14 @@ private[graft] object QTextCuration {
           shingleN = 3)
         .orderBy("lang_a", "lang_b")),
 
+    "cross_lang_overlap_sampled" -> ((s, dir) =>
+      // the 100×-growth-capped variant: deterministic 1/4 hash-domain
+      // sample of the fingerprint universe, filtered MAP-SIDE before the
+      // one corpus-scale shuffle; jaccard needs no rate correction
+      LlmOps.crossLangOverlapSampled(t(s, dir, "documents"), "lang", "text",
+          shingleN = 3, num = 1, den = 4)
+        .orderBy("lang_a", "lang_b")),
+
   )
 
   val oracle: Map[String, String] = Map(
@@ -1622,6 +1630,35 @@ private[graft] object QTextCuration {
          SELECT lang_a, lang_b, n_shared, ca.c AS n_a, cb.c AS n_b,
            CAST(n_shared AS DOUBLE)
              / CAST(ca.c + cb.c - n_shared AS DOUBLE) AS jaccard
+         FROM sh2 JOIN pl ca ON sh2.lang_a = ca.lang
+                  JOIN pl cb ON sh2.lang_b = cb.lang
+         ORDER BY lang_a, lang_b""",
+
+    // the exact twin filtered to the h % 4 = 0 fingerprint domain sample;
+    // estimates scale by 4, jaccard is scale-free
+    "cross_lang_overlap_sampled" ->
+      """WITH t AS (
+           SELECT lang, string_split_regex(lower(trim(text)), '\s+') AS toks
+           FROM documents),
+         s AS (
+           SELECT lang, list_distinct(list_transform(
+             range(1, greatest(len(toks) - 3, 0) + 2),
+             i -> ('0x' || substr(md5(array_to_string(list_slice(toks, i, i + 2), ' ')), 1, 12))::BIGINT)) AS sh
+           FROM t),
+         f AS (
+           SELECT DISTINCT lang, h FROM (
+             SELECT lang, unnest(sh) AS h FROM s) WHERE h % 4 < 1),
+         pl AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS c FROM f GROUP BY 1),
+         sh2 AS (
+           SELECT a.lang AS lang_a, b.lang AS lang_b,
+             CAST(COUNT(*) AS BIGINT) AS n_shared
+           FROM f a JOIN f b ON a.h = b.h AND a.lang < b.lang
+           GROUP BY 1, 2)
+         SELECT lang_a, lang_b, n_shared AS n_shared_sampled,
+           ca.c AS n_a_sampled, cb.c AS n_b_sampled,
+           CAST(n_shared AS DOUBLE) * 4.0 AS n_shared_est,
+           CAST(n_shared AS DOUBLE)
+             / CAST(ca.c + cb.c - n_shared AS DOUBLE) AS jaccard_est
          FROM sh2 JOIN pl ca ON sh2.lang_a = ca.lang
                   JOIN pl cb ON sh2.lang_b = cb.lang
          ORDER BY lang_a, lang_b""",

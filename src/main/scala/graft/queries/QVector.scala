@@ -263,6 +263,21 @@ private[graft] object QVector {
       graft.ops.Graph.triangleStats(edges, "a", "b")
     }),
 
+    "triangle_suppliers_sampled" -> ((s, dir) => {
+      // DOULION p=1/2 edge-sampled census on the same co-fulfillment
+      // graph: the wedge join (the super-linear stage) runs on half the
+      // edges; n_triangles_est scales by 2³ — the deterministic
+      // md5-48 edge sample an external twin replays exactly
+      val edges = t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(sort_array(collect_set(col("l_suppkey"))).as("sks"))
+        .select(explode(graft.ops.Assoc.pairStructs(col("sks"))).as("__p"))
+        .groupBy(col("__p.a").as("a"), col("__p.b").as("b"))
+        .agg(count(lit(1)).as("n_co"))
+        .filter(col("n_co") >= 4)
+      graft.ops.Graph.triangleStatsSampled(edges, "a", "b", num = 1, den = 2)
+    }),
+
   )
 
   val oracle: Map[String, String] = Map(
@@ -750,6 +765,36 @@ private[graft] object QVector {
          SELECT n_nodes, n_edges, n_triangles,
            6.0 * CAST(n_triangles AS DOUBLE)
              / NULLIF(CAST(p2x2 AS DOUBLE), 0.0) AS transitivity
+         FROM ds, tri""",
+
+    // the exact census replayed on the md5-48 half-edge sample; the
+    // estimate scales by (1/p)^3 = 8
+    "triangle_suppliers_sampled" ->
+      """WITH pres AS (
+           SELECT DISTINCT l_orderkey AS o, l_suppkey AS sk FROM lineitem),
+         e0 AS (
+           SELECT l.sk AS a, r.sk AS b
+           FROM pres l JOIN pres r ON l.o = r.o AND l.sk < r.sk
+           GROUP BY 1, 2 HAVING COUNT(*) >= 4),
+         e AS (
+           SELECT a, b FROM e0
+           WHERE ('0x' || substr(md5(CAST(a AS VARCHAR) || '|' || CAST(b AS VARCHAR)), 1, 12))::BIGINT % 2 < 1),
+         deg AS (
+           SELECT v, CAST(COUNT(*) AS BIGINT) AS d
+           FROM (SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e)
+           GROUP BY 1),
+         tri AS (
+           SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+           FROM e e1
+           JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+           JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b),
+         ds AS (
+           SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+             CAST(SUM(d) / 2 AS BIGINT) AS n_edges
+           FROM deg)
+         SELECT n_nodes AS n_nodes_sampled, n_edges AS n_edges_sampled,
+           n_triangles AS n_triangles_sampled,
+           CAST(n_triangles AS DOUBLE) * 8.0 AS n_triangles_est
          FROM ds, tri""",
 
   )

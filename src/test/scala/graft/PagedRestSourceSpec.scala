@@ -101,6 +101,72 @@ class PagedRestSourceSpec extends SparkTestBase {
     assert(batches >= 3, s"expected >=3 bounded batches, got $batches")
   }
 
+  // ---- day-window filter pushdown (SURVEY §4's from/to mapping) -------
+
+  private val dayFixtures = Map(
+    ("meetings", Option.empty[String], "2024-01-01") -> Seq(
+      ApiPage(Seq("""{"id":"m1"}""", """{"id":"m2"}"""), Some("1")),
+      ApiPage(Seq("""{"id":"m3"}"""), None)),
+    ("meetings", Option.empty[String], "2024-01-02") -> Seq(
+      ApiPage(Seq("""{"id":"m4"}"""), None)),
+    ("meetings", Option.empty[String], "2024-01-03") -> Seq(
+      ApiPage(Seq("""{"id":"m5"}""", """{"id":"m6"}"""), None)))
+
+  private def readMeetings(clientName: String) =
+    spark.read.format("graft.sources.PagedRestTableProvider")
+      .option("client", clientName).option("entity", "meetings")
+      .option("from", "2024-01-01").option("to", "2024-01-03").load()
+
+  test("day window: full range fetches every day's token chain") {
+    val client = new graft.sources.PagedApi.DayFixtureClient(dayFixtures)
+    PagedRestSource.register("d1", client)
+    val df = readMeetings("d1")
+    assert(df.columns.toSeq == Seq("page", "day", "record"))
+    assert(df.count() == 6)
+    assert(df.select("day").distinct().count() == 3)
+  }
+
+  test("day filter pushes down: excluded days are never fetched") {
+    val client = new graft.sources.PagedApi.DayFixtureClient(dayFixtures)
+    PagedRestSource.register("d2", client)
+    val got = readMeetings("d2").filter($"day" === "2024-01-02").collect()
+    assert(got.map(_.getString(2)).toSeq == Seq("""{"id":"m4"}"""))
+    // the server saw requests for ONE day only — 1 page, not 4
+    assert(client.daysFetched.size() == 1, s"fetched ${client.daysFetched}")
+    assert(client.fetchCount.get() <= 2, s"fetched ${client.fetchCount.get()} pages")
+  }
+
+  test("day range predicates narrow both window edges; plan shows the push") {
+    val client = new graft.sources.PagedApi.DayFixtureClient(dayFixtures)
+    PagedRestSource.register("d3", client)
+    val df = readMeetings("d3").filter($"day" >= "2024-01-02" && $"day" < "2024-01-03")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") || !plan.contains("Filter("),
+      s"day predicates should push into the scan:\n$plan")
+    assert(df.count() == 1)
+    assert(!client.daysFetched.contains("2024-01-01"), s"${client.daysFetched}")
+    assert(!client.daysFetched.contains("2024-01-03"), s"${client.daysFetched}")
+  }
+
+  test("contradictory day window fetches nothing at all") {
+    val client = new graft.sources.PagedApi.DayFixtureClient(dayFixtures)
+    PagedRestSource.register("d4", client)
+    assert(readMeetings("d4")
+      .filter($"day" > "2024-01-03" && $"day" === "2024-01-01").count() == 0)
+    assert(client.fetchCount.get() == 0, s"fetched ${client.fetchCount.get()}")
+  }
+
+  test("a non-day-ranged client under a day window fails loudly") {
+    PagedRestSource.register("d5", new FixtureClient(fixtures))
+    val e = intercept[Exception] {
+      spark.read.format("graft.sources.PagedRestTableProvider")
+        .option("client", "d5").option("entity", "users")
+        .option("from", "2024-01-01").option("to", "2024-01-02").load().count()
+    }
+    assert(e.getMessage.contains("DayRangedApiClient")
+      || Option(e.getCause).exists(_.getMessage.contains("DayRangedApiClient")), e.toString)
+  }
+
   test("typed projection downstream: from_json + reindex to declared schema") {
     PagedRestSource.register("t3", new FixtureClient(fixtures))
     val typed = Ingest.reindexTo(

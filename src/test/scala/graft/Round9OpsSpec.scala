@@ -83,6 +83,55 @@ class Round9OpsSpec extends SparkTestBase {
     assert(scores == scores.sorted.reverse)
   }
 
+  // ---- sampled estimators for the honest-linear ops (VERDICT r8 #7) ---
+
+  test("crossLangOverlapSampled: rate 1/1 reproduces the exact operator") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog", "en"),
+      (2L, "the quick brown fox sleeps all day long", "en2"),
+      (3L, "der schnelle braune fuchs springt hoch", "de"))
+      .toDF("doc_id", "text", "lang")
+    val exact = graft.ops.LlmOps.crossLangOverlap(docs, "lang", "text", 3)
+      .orderBy("lang_a", "lang_b").collect()
+    val full = graft.ops.LlmOps.crossLangOverlapSampled(docs, "lang", "text",
+        3, num = 1, den = 1)
+      .orderBy("lang_a", "lang_b").collect()
+    assert(full.map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+      == exact.map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq)
+    assert(full.map(_.getDouble(6)).toSeq == exact.map(_.getDouble(5)).toSeq)
+  }
+
+  test("crossLangOverlapSampled: sampled counts bounded by exact; deterministic") {
+    val docs = (1 to 20).map { i =>
+      (i.toLong, s"shared common phrase number ${i % 4} with tail $i words here", s"l${i % 3}")
+    }.toDF("doc_id", "text", "lang")
+    val exact = graft.ops.LlmOps.crossLangOverlap(docs, "lang", "text", 3)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val s1 = graft.ops.LlmOps.crossLangOverlapSampled(docs, "lang", "text", 3, 1, 2)
+      .orderBy("lang_a", "lang_b").collect()
+    val s2 = graft.ops.LlmOps.crossLangOverlapSampled(docs, "lang", "text", 3, 1, 2)
+      .orderBy("lang_a", "lang_b").collect()
+    assert(s1.map(_.toSeq).toSeq == s2.map(_.toSeq).toSeq) // hash sample, no RNG
+    s1.foreach { r =>
+      val key = (r.getString(0), r.getString(1))
+      assert(r.getLong(2) <= exact.getOrElse(key, 0L),
+        s"sampled shared exceeds exact for $key")
+    }
+  }
+
+  test("triangleStatsSampled: rate 1/1 matches exact; estimate scales by (den/num)^3") {
+    // K4 on 1..4 (4 triangles) plus a pendant
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L)).toDF("src", "dst")
+    val full = graft.ops.Graph.triangleStatsSampled(edges, "src", "dst", 1, 1)
+      .collect().head
+    assert(full.getLong(2) == 4L && full.getDouble(3) == 4.0)
+    val half = graft.ops.Graph.triangleStatsSampled(edges, "src", "dst", 1, 2)
+      .collect().head
+    assert(half.getDouble(3) == half.getLong(2) * 8.0)
+    assert(half.getLong(1) <= 7L) // kept edges are a subset
+  }
+
   // ---- kCorePeel: undirected normal form (ADVICE r8 item 4) -----------
 
   test("kCorePeel: both orientations and self-loops don't inflate degree") {
