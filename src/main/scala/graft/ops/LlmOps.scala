@@ -2293,6 +2293,42 @@ object LlmOps {
       .limit(k)
   }
 
+  /** Per-document sentence-level stats — the Gopher/Dolma rule family's
+    * sentence signals (Rae et al. 2021 §A1.1: mean words per sentence,
+    * fragmentary-sentence share) computed ENTIRELY in-row: sentences are
+    * the non-empty trimmed runs between [.!?]+ terminators, word counts
+    * come from a whitespace split per sentence, and every derived number
+    * is a higher-order-function fold over the in-row arrays — no explode,
+    * no shuffle, one codegen'd scan whatever the corpus size. The mean is
+    * the one exact int/int divide (engine-portable).
+    *
+    * Output per doc: n_sentences, n_words (in sentences), mean
+    * words/sentence (null for sentence-free docs), max sentence length,
+    * and the count of "fragment" sentences (< 3 words) — the quality
+    * filter's raw material.
+    */
+  def sentenceStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val sents = filter(
+      transform(split(normText(coalesce(col(textCol), lit(""))), "[.!?]+"),
+        s => trim(s)),
+      s => s =!= "")
+    val wc = transform(sents, s => size(split(s, "\\s+")))
+    df.select(col(idCol),
+        sents.as("__sents"), wc.as("__wc"))
+      .select(col(idCol),
+        size(col("__sents")).cast("long").as("n_sentences"),
+        coalesce(aggregate(col("__wc"), lit(0L), (acc, x) => acc + x), lit(0L))
+          .as("n_words"),
+        coalesce(aggregate(col("__wc"), lit(0L),
+          (acc, x) => greatest(acc, x.cast("long"))), lit(0L))
+          .as("max_sentence_words"),
+        aggregate(col("__wc"), lit(0L),
+          (acc, x) => acc + (x < 3).cast("long")).as("n_fragments"))
+      .withColumn("mean_sentence_words",
+        when(col("n_sentences") > 0,
+          col("n_words").cast("double") / col("n_sentences").cast("double")))
+  }
+
   /** Vocabulary pruning curve: for each candidate min-count cutoff, the
     * surviving vocabulary size and the token-mass coverage it retains —
     * the two numbers a tokenizer/embedding-table budget decision needs

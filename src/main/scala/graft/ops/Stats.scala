@@ -145,6 +145,62 @@ object Stats {
       .withColumn("at_risk", col("n_rows") < k)
   }
 
+  /** Distinct l-diversity audit (Machanavajjhala et al., "l-Diversity:
+    * Privacy Beyond k-Anonymity", ICDE'06): k-anonymity ([[kAnonymityAudit]])
+    * only guards group SIZE — a group of 50 rows that all share one
+    * sensitive value still discloses it. Per quasi-identifier group this
+    * reports the row count AND the count of distinct sensitive values,
+    * flagging groups with fewer than `l` distinct values. ONE hash
+    * aggregate at the quasi-group grain (count-distinct expands map-side
+    * to (quasi, sensitive) partials first — still group-grain, never a
+    * row-wise shuffle of payloads).
+    */
+  def lDiversityAudit(df: DataFrame, quasiCols: Seq[String],
+                      sensitiveCol: String, l: Int): DataFrame = {
+    require(quasiCols.nonEmpty && l > 0)
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col(sensitiveCol)).as("n_sensitive_distinct"))
+      .withColumn("at_risk", col("n_sensitive_distinct") < l)
+  }
+
+  /** Cohen's kappa (Cohen, Educ. Psychol. Meas. 1960) between two
+    * categorical labelers over the same rows — the inter-annotator
+    * agreement number every labeling/curation pipeline reports before
+    * trusting its quality raters. Chance-corrected:
+    * κ = (p_o − p_e) / (1 − p_e) with p_o the observed agreement share
+    * and p_e = Σ_c margA_c·margB_c / N². The repo's exact-integer shape:
+    * κ ≡ (N·agree − Σ margA·margB) / (N² − Σ margA·margB) — numerator
+    * and denominator are exact longs (safe for N ≲ 3·10⁹ per 64-bit
+    * product; the marginals relation is |label-domain|-sized), so the
+    * ONLY double is the final divide and an external SQL twin reproduces
+    * it bit for bit. Two aggregates: one row-grain conditional count
+    * (N, agree), one label-grain marginal count, combined via a
+    * broadcast of the two one-row/|labels|-row results.
+    */
+  def cohensKappa(df: DataFrame, labelA: Column, labelB: Column): DataFrame = {
+    val base = df.select(labelA.as("__a"), labelB.as("__b"))
+    val tot = base.agg(count(lit(1)).as("n"),
+      sum((col("__a") === col("__b")).cast("long")).as("n_agree"))
+    val margins = base
+      .select(explode(array(
+        struct(lit("a").as("__r"), col("__a").as("__lab")),
+        struct(lit("b").as("__r"), col("__b").as("__lab")))).as("__e"))
+      .groupBy(col("__e.__lab").as("__lab"))
+      .agg(sum((col("__e.__r") === "a").cast("long")).as("__ma"),
+        sum((col("__e.__r") === "b").cast("long")).as("__mb"))
+    val pe = margins.agg(sum(col("__ma") * col("__mb")).as("__chance"))
+    tot.crossJoin(broadcast(pe))
+      .select(col("n").cast("long").as("n"),
+        col("n_agree").cast("long").as("n_agree"),
+        (col("n_agree").cast("double") / col("n").cast("double")).as("po"),
+        (col("__chance").cast("double")
+          / (col("n") * col("n")).cast("double")).as("pe"),
+        ((col("n") * col("n_agree") - col("__chance")).cast("double")
+          / (col("n") * col("n") - col("__chance")).cast("double"))
+          .as("kappa"))
+  }
+
   /** Winsorization: clip a value column to its per-group [lo, hi]
     * percentile band — the robust-stats tail treatment (Tukey's trimming
     * cousin) a feature pipeline applies before z-scoring so one whale

@@ -444,6 +444,29 @@ private[graft] object QAggWindow {
           Seq("c_nationkey", "c_mktsegment"), k = 10)
         .orderBy("c_nationkey", "c_mktsegment")),
 
+    "l_diversity" -> ((s, dir) =>
+      // k-anonymity's sensitive-value gap: (nation, segment) groups whose
+      // customers share < 3 distinct account-balance signs/buckets still
+      // disclose the sensitive attribute however large the group is
+      Stats.lDiversityAudit(
+          t(s, dir, "customer").withColumn("__sens",
+            when(col("c_acctbal") < 0, "neg")
+              .when(col("c_acctbal") < 5000, "mid").otherwise("high")),
+          Seq("c_nationkey", "c_mktsegment"), "__sens", l = 3)
+        .orderBy("c_nationkey", "c_mktsegment")),
+
+    "cohens_kappa" -> ((s, dir) => {
+      // inter-rater agreement between two deterministic quality raters
+      // (char-length buckets vs whitespace-token buckets) over documents
+      // — exact-integer kappa, one final divide
+      val toks = size(split(trim(col("text")), "\\s+"))
+      Stats.cohensKappa(t(s, dir, "documents"),
+        when(col("n_chars") < 200, "low")
+          .when(col("n_chars") < 600, "mid").otherwise("high"),
+        when(toks < 40, "low")
+          .when(toks < 120, "mid").otherwise("high"))
+    }),
+
     "rfm_segments" -> ((s, dir) =>
       // direct-marketing RFM scoring: per-customer aggregates, quartile
       // fences broadcast, 1-3 scores by comparison — two aggregates and
@@ -1081,6 +1104,44 @@ private[graft] object QAggWindow {
       """SELECT c_nationkey, c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_rows,
            COUNT(*) < 10 AS at_risk
          FROM customer GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "l_diversity" ->
+      """WITH s AS (
+           SELECT c_nationkey, c_mktsegment,
+             CASE WHEN c_acctbal < 0 THEN 'neg'
+                  WHEN c_acctbal < 5000 THEN 'mid' ELSE 'high' END AS sens
+           FROM customer)
+         SELECT c_nationkey, c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT sens) AS BIGINT) AS n_sensitive_distinct,
+           COUNT(DISTINCT sens) < 3 AS at_risk
+         FROM s GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // exact-integer kappa: (N·agree − Σ margA·margB) / (N² − Σ margA·margB)
+    "cohens_kappa" ->
+      """WITH r AS (
+           SELECT
+             CASE WHEN n_chars < 200 THEN 'low'
+                  WHEN n_chars < 600 THEN 'mid' ELSE 'high' END AS a,
+             CASE WHEN len(string_split_regex(trim(text), '\s+')) < 40 THEN 'low'
+                  WHEN len(string_split_regex(trim(text), '\s+')) < 120 THEN 'mid'
+                  ELSE 'high' END AS b
+           FROM documents),
+         tot AS (
+           SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN a = b THEN 1 ELSE 0 END) AS BIGINT) AS n_agree
+           FROM r),
+         ma AS (SELECT a AS lab, CAST(COUNT(*) AS BIGINT) AS ca FROM r GROUP BY 1),
+         mb AS (SELECT b AS lab, CAST(COUNT(*) AS BIGINT) AS cb FROM r GROUP BY 1),
+         ch AS (
+           SELECT CAST(SUM(ma.ca * mb.cb) AS BIGINT) AS chance
+           FROM ma JOIN mb USING (lab))
+         SELECT n, n_agree,
+           CAST(n_agree AS DOUBLE) / CAST(n AS DOUBLE) AS po,
+           CAST(chance AS DOUBLE) / CAST(n * n AS DOUBLE) AS pe,
+           CAST(n * n_agree - chance AS DOUBLE)
+             / CAST(n * n - chance AS DOUBLE) AS kappa
+         FROM tot, ch""",
 
     "rfm_segments" ->
       """WITH per AS (

@@ -448,6 +448,12 @@ private[graft] object QTextCuration {
           shingleN = 3)
         .orderBy("lang_a", "lang_b")),
 
+    "sentence_stats" -> ((s, dir) =>
+      // Gopher-rule sentence signals (mean words/sentence, fragment
+      // count) — pure in-row HOF folds, no explode, one codegen'd scan
+      LlmOps.sentenceStats(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
+
     "cross_lang_overlap_sampled" -> ((s, dir) =>
       // the 100×-growth-capped variant: deterministic 1/4 hash-domain
       // sample of the fingerprint universe, filtered MAP-SIDE before the
@@ -1633,6 +1639,31 @@ private[graft] object QTextCuration {
          FROM sh2 JOIN pl ca ON sh2.lang_a = ca.lang
                   JOIN pl cb ON sh2.lang_b = cb.lang
          ORDER BY lang_a, lang_b""",
+
+    // sentence splits on [.!?]+ runs of the lowercased text, word counts
+    // per non-empty trimmed run, list folds mirror the Spark HOFs
+    "sentence_stats" ->
+      """WITH s AS (
+           SELECT doc_id,
+             list_filter(list_transform(
+               string_split_regex(lower(trim(COALESCE(text, ''))), '[.!?]+'),
+               x -> trim(x)), x -> x <> '') AS sents
+           FROM documents),
+         w AS (
+           SELECT doc_id, sents,
+             list_transform(sents,
+               x -> len(regexp_extract_all(x, '\S+'))) AS wc
+           FROM s)
+         SELECT doc_id,
+           CAST(len(sents) AS BIGINT) AS n_sentences,
+           CAST(COALESCE(list_sum(wc), 0) AS BIGINT) AS n_words,
+           CAST(COALESCE(list_max(wc), 0) AS BIGINT) AS max_sentence_words,
+           CAST(COALESCE(len(list_filter(wc, x -> x < 3)), 0) AS BIGINT)
+             AS n_fragments,
+           CASE WHEN len(sents) > 0
+             THEN CAST(COALESCE(list_sum(wc), 0) AS DOUBLE)
+               / CAST(len(sents) AS DOUBLE) END AS mean_sentence_words
+         FROM w ORDER BY doc_id""",
 
     // the exact twin filtered to the h % 4 = 0 fingerprint domain sample;
     // estimates scale by 4, jaccard is scale-free

@@ -132,6 +132,62 @@ class Round9OpsSpec extends SparkTestBase {
     assert(half.getLong(1) <= 7L) // kept edges are a subset
   }
 
+  // ---- lDiversityAudit -------------------------------------------------
+
+  test("lDiversityAudit: group size does not save a sensitive-homogeneous group") {
+    val rows = Seq(
+      // group (1, A): 4 rows but only ONE sensitive value → at risk
+      (1, "A", "x"), (1, "A", "x"), (1, "A", "x"), (1, "A", "x"),
+      // group (2, B): 2 rows, 2 distinct values → safe at l=2
+      (2, "B", "x"), (2, "B", "y"))
+      .toDF("q1", "q2", "sens")
+    val out = graft.ops.Stats.lDiversityAudit(rows, Seq("q1", "q2"), "sens", l = 2)
+      .orderBy("q1").as[(Int, String, Long, Long, Boolean)].collect().toSeq
+    assert(out == Seq((1, "A", 4L, 1L, true), (2, "B", 2L, 2L, false)))
+  }
+
+  // ---- cohensKappa -----------------------------------------------------
+
+  test("cohensKappa: perfect agreement 1.0; chance-level ~0; known fixture exact") {
+    val perfect = Seq(("a", "a"), ("b", "b"), ("a", "a")).toDF("ra", "rb")
+    val k1 = graft.ops.Stats.cohensKappa(perfect, col("ra"), col("rb"))
+      .collect().head
+    assert(k1.getDouble(4) == 1.0)
+    // 2×2 worked example: N=100, agree=80, margins A: 60/40, B: 50/50
+    // → pe = (60·50 + 40·50)/10000 = 0.5, kappa = (0.8 − 0.5)/0.5 = 0.6
+    val fixture = (Seq.fill(45)(("yes", "yes")) ++ Seq.fill(15)(("yes", "no"))
+      ++ Seq.fill(25)(("no", "no")) ++ Seq.fill(5)(("no", "yes"))
+      ++ Seq.fill(10)(("no", "no"))).toDF("ra", "rb")
+    val k2 = graft.ops.Stats.cohensKappa(fixture, col("ra"), col("rb"))
+      .collect().head
+    assert(k2.getLong(0) == 100L && k2.getLong(1) == 80L)
+    // margins: A yes=60 no=40; B yes=50 no=50 → chance=5000
+    // kappa = (100·80 − 5000)/(10000 − 5000) = 3000/5000 = 0.6
+    assert(k2.getDouble(4) == 0.6, k2.toString)
+  }
+
+  // ---- sentenceStats ---------------------------------------------------
+
+  test("sentenceStats: in-row sentence splits, fragment count, honest empty doc") {
+    val docs = Seq(
+      (1L, "This is fine. Short one! And a third sentence here?"),
+      (2L, "No terminator at all just words"),
+      (3L, ""),
+      (4L, "Ok.")).toDF("doc_id", "text")
+    val out = graft.ops.LlmOps.sentenceStats(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    // doc 1: sentences of 3, 2, 5 words (one fragment: "short one")
+    assert(out(0).getLong(1) == 3L && out(0).getLong(2) == 10L)
+    assert(out(0).getLong(3) == 5L && out(0).getLong(4) == 1L)
+    assert(math.abs(out(0).getDouble(5) - 10.0 / 3.0) < 1e-12)
+    // doc 2: the whole text is one unterminated sentence
+    assert(out(1).getLong(1) == 1L && out(1).getLong(2) == 6L)
+    // doc 3: zero sentences, null mean
+    assert(out(2).getLong(1) == 0L && out(2).isNullAt(5))
+    // doc 4: single one-word fragment
+    assert(out(3).getLong(1) == 1L && out(3).getLong(4) == 1L)
+  }
+
   // ---- kCorePeel: undirected normal form (ADVICE r8 item 4) -----------
 
   test("kCorePeel: both orientations and self-loops don't inflate degree") {
