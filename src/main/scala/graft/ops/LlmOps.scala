@@ -2255,6 +2255,50 @@ object LlmOps {
           .as("jaccard"))
   }
 
+  /** LSH recall estimate against the measured pair population: for every
+    * exact-verified pair above `floorThreshold` (the [[jaccardPairs]]
+    * PPJoin output — ground truth, not a model), the probability the
+    * production (bands × rowsPerBand) MinHash banding would surface it is
+    * the textbook S-curve p(j) = 1 − (1 − j^r)^b (Leskovec-Rajaraman-
+    * Ullman, MMDS §3.4). Rolled up per jaccard decile this answers the
+    * dedup-config question the threshold sweep can't: "of the pairs at
+    * similarity X, what fraction will the banded pipeline even SEE?".
+    *
+    * Determinism discipline: j is the exact int/int divide; j^r and
+    * (1−j^r)^b expand to REPEATED MULTIPLICATION (integer exponents,
+    * no libm pow), so every capture probability is one fixed IEEE
+    * expression an external SQL twin replays exactly; the per-decile
+    * expected-caught sum folds over a sorted collect (pair-output-sized
+    * buckets — bounded by the verified-pair population, not the corpus),
+    * pinning association order.
+    */
+  def lshRecallEstimate(df: DataFrame, idCol: String, textCol: String,
+                        blockCol: String, shingleN: Int,
+                        floorThreshold: Double, bands: Int,
+                        rowsPerBand: Int): DataFrame = {
+    require(bands > 0 && rowsPerBand > 0)
+    val pairs = jaccardPairs(df, idCol, textCol, blockCol, shingleN,
+      floorThreshold)
+    def ipow(c: Column, n: Int): Column =
+      (1 until n).foldLeft(c)((acc, _) => acc * c)
+    val capture = lit(1.0) - ipow(lit(1.0) - ipow(col("jaccard"), rowsPerBand), bands)
+    val bucketed = pairs
+      .select(col("jaccard"), capture.as("__p"),
+        least(floor(col("jaccard") * 10), lit(9L)).cast("long").as("__bk"))
+    bucketed
+      .groupBy(col("__bk"))
+      .agg(count(lit(1)).cast("long").as("n_pairs"),
+        min(col("__p")).as("min_capture"),
+        max(col("__p")).as("max_capture"),
+        aggregate(sort_array(collect_list(col("__p"))), lit(0.0),
+          (acc, x) => acc + x).as("expected_caught"))
+      .select((col("__bk").cast("double") / 10.0).as("bucket_lo"),
+        col("n_pairs"), col("min_capture"), col("max_capture"),
+        col("expected_caught"),
+        (col("expected_caught") / col("n_pairs").cast("double"))
+          .as("est_recall"))
+  }
+
   /** RAKE-style keyword scoring (Rose et al., "Automatic Keyword
     * Extraction from Individual Documents", 2010) at corpus scale:
     * candidate phrases are the maximal stopword-free token runs, and each

@@ -78,6 +78,15 @@ private[graft] object QDedup {
         .orderBy("threshold")
     }),
 
+    "lsh_recall_estimate" -> ((s, dir) =>
+      // dedup-config recall audit: per jaccard decile of the EXACT
+      // verified pairs, the S-curve probability the production 4×4
+      // banding surfaces them — repeated-multiplication powers, no libm
+      LlmOps.lshRecallEstimate(t(s, dir, "documents"), "doc_id", "text",
+          blockCol = "lang", shingleN = 3, floorThreshold = 0.5,
+          bands = 4, rowsPerBand = 4)
+        .orderBy("bucket_lo")),
+
     "near_dup_degree" -> ((s, dir) => {
       // dedup-ops hub detector: partner-count histogram over the
       // production banded pairs — a fat tail means boilerplate flooding
@@ -369,6 +378,39 @@ private[graft] object QDedup {
              THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_pairs
          FROM th LEFT JOIN jac ON true
          GROUP BY 1 ORDER BY threshold""",
+
+    // the exact-pair population bucketed by decile; S-curve powers as
+    // repeated multiplication, decile sums as sorted list_reduce folds
+    "lsh_recall_estimate" ->
+      """WITH d AS (
+           SELECT doc_id, lang,
+             list_distinct(list_transform(
+               range(1, greatest(len(string_split_regex(lower(trim(text)), '\s+')) - 3, 0) + 2),
+               i -> array_to_string(list_slice(string_split_regex(lower(trim(text)), '\s+'), i, i + 2), ' '))) AS sh
+           FROM documents),
+         jac AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+               / len(list_distinct(list_concat(a.sh, b.sh))) AS j
+           FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id
+           WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+               / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5),
+         p AS (
+           SELECT j,
+             1.0 - (1.0 - j*j*j*j) * (1.0 - j*j*j*j)
+                 * (1.0 - j*j*j*j) * (1.0 - j*j*j*j) AS cap,
+             CAST(least(floor(j * 10), 9) AS BIGINT) AS bk
+           FROM jac),
+         g AS (
+           SELECT bk, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             MIN(cap) AS min_capture, MAX(cap) AS max_capture,
+             list_reduce(list_sort(list(cap)), (a, b) -> a + b)
+               AS expected_caught
+           FROM p GROUP BY 1)
+         SELECT CAST(bk AS DOUBLE) / 10.0 AS bucket_lo, n_pairs,
+           min_capture, max_capture, expected_caught,
+           expected_caught / CAST(n_pairs AS DOUBLE) AS est_recall
+         FROM g ORDER BY bucket_lo""",
 
     // the dedup_near pipeline + a count-of-counts degree census
     "near_dup_degree" ->

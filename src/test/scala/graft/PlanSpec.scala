@@ -630,4 +630,36 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("Expand"), s"survivorship must not Expand:\n$p")
     assert(p.contains("WindowGroupLimit") || p.contains("Window"), p)
   }
+
+  // ---- round-9 shapes --------------------------------------------------
+
+  test("sentence_stats: in-row HOF folds — no explode, no hash shuffle") {
+    val p = planOf("sentence_stats")
+    assert(!p.contains("Generate"), s"sentence stats must not explode:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"per-doc folds must not shuffle (the output sort is the only exchange):\n$p")
+  }
+
+  test("bm25_topk: no corpus-wide postings aggregate before the query-term prune") {
+    // the round-9 rebuild: the semi join against the broadcast query
+    // terms must sit UNDER the first (doc, term) hash aggregate, so the
+    // only aggregated relation is query-term-hits-sized
+    val p = planOf("bm25_topk")
+    val semiIdx = p.indexOf("BroadcastHashJoin")
+    assert(semiIdx >= 0, p)
+    assert(p.contains("LeftSemi"), s"query-term prune should be a semi join:\n$p")
+  }
+
+  test("cohens_kappa / l_diversity: aggregate pipelines, broadcast combine") {
+    val pk = planOf("cohens_kappa")
+    assert(pk.contains("HashAggregate") || pk.contains("SortAggregate"), pk)
+    assert(!pk.contains("CartesianProduct"),
+      s"one-row combines must broadcast, never cartesian:\n$pk")
+    val pl = planOf("l_diversity")
+    assert(pl.contains("HashAggregate") || pl.contains("SortAggregate"), pl)
+    assert(!pl.contains("Exchange rangepartitioning") ||
+      pl.indexOf("Exchange rangepartitioning") < pl.lastIndexOf("Aggregate"),
+      s"the only range exchange is the output sort:\n$pl")
+  }
+
 }

@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-9 batch 2: the LSH recall-estimate audit. */
+class Round9bOpsSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  test("lshRecallEstimate: near-identical pairs ~1.0 capture, near-floor pairs lower") {
+    // two near-identical docs (jaccard ≈ 0.9+) and two ~0.55-similar docs
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val mid = ((1 to 24).map(i => s"tok$i") ++ (1 to 16).map(i => s"alt$i")).mkString(" ")
+    val docs = Seq(
+      (1L, base, "en"), (2L, base + " extra", "en"),
+      (3L, mid, "en"))
+      .toDF("doc_id", "text", "lang")
+    val out = graft.ops.LlmOps.lshRecallEstimate(docs, "doc_id", "text",
+        "lang", shingleN = 3, floorThreshold = 0.5, bands = 4, rowsPerBand = 4)
+      .orderBy("bucket_lo").collect()
+    assert(out.nonEmpty)
+    // every est_recall is a probability and matches its bucket's fold
+    out.foreach { r =>
+      val (n, est, sum) = (r.getLong(1), r.getDouble(5), r.getDouble(4))
+      assert(est >= 0.0 && est <= 1.0, r.toString)
+      assert(math.abs(est * n - sum) < 1e-9)
+    }
+    // the top bucket (near-identical pair) is essentially always caught
+    val top = out.last
+    assert(top.getDouble(3) > 0.99, s"high-jaccard capture should be ~1: $top")
+    // and capture is monotone in the bucket floor (S-curve property)
+    val caps = out.map(_.getDouble(2)).toSeq
+    assert(caps == caps.sorted, s"min_capture must rise with the bucket: $caps")
+  }
+
+  test("lshRecallEstimate: S-curve value is the exact repeated-multiplication form") {
+    // one pair with a hand-computable jaccard: 10 shared trigrams of 14
+    // total... simpler: verify numerically against the op's own jaccard
+    val docs = Seq(
+      (1L, "a b c d e f g h i j k l", "en"),
+      (2L, "a b c d e f g h i j k z", "en")).toDF("doc_id", "text", "lang")
+    val pair = graft.ops.LlmOps.jaccardPairs(docs, "doc_id", "text", "lang",
+      shingleN = 3, threshold = 0.5).collect().head
+    val j = pair.getDouble(2)
+    val jr = j * j * j * j
+    val q = 1.0 - jr
+    val expected = 1.0 - q * q * q * q
+    val out = graft.ops.LlmOps.lshRecallEstimate(docs, "doc_id", "text",
+        "lang", shingleN = 3, floorThreshold = 0.5, bands = 4, rowsPerBand = 4)
+      .collect().head
+    assert(out.getDouble(2) == expected && out.getDouble(3) == expected,
+      s"capture must be bit-exact: got ${out.getDouble(2)}, want $expected")
+  }
+}
