@@ -2255,6 +2255,56 @@ object LlmOps {
           .as("jaccard"))
   }
 
+  /** Rule-based code-vs-prose detector — the curation gate that routes
+    * source code out of a prose mixture (and vice versa) before
+    * tokenizer/mixture planning, in the spirit of the hand-rule filters
+    * the public curation stacks document (symbol density, identifier
+    * shapes, indentation), with zero model state. Everything is a
+    * codegen'd string expression on the RAW text (code casing matters, so
+    * no normText):
+    *  - `sym_ratio` — share of chars in the code-symbol class
+    *    `;{}()[]=<>` (counted via one regexp_replace length diff);
+    *  - `ident_share` — share of whitespace tokens shaped like
+    *    snake_case or camelCase identifiers;
+    *  - `indent_share` — share of lines starting with 2+ spaces or tab;
+    *  - `is_code` — fixed-threshold OR of the three (the thresholds are
+    *    part of the operator contract and the oracle twin).
+    * Ratios are single int/int divides; empty docs report zeros.
+    */
+  def codeDetect(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val text = coalesce(col(textCol), lit(""))
+    val nChars = length(text)
+    val nSym = nChars - length(regexp_replace(text, "[;{}()\\[\\]=<>]", ""))
+    val toks = filter(split(text, "\\s+"), t => t =!= "")
+    val nToks = size(toks)
+    val nIdent = size(filter(toks, t =>
+      t.rlike("^[a-z]+(_[a-z0-9]+)+$") || t.rlike("^[a-z]+[A-Z][A-Za-z0-9]*$")))
+    val lines = filter(split(text, "\n"), l => l =!= "")
+    val nLines = size(lines)
+    val nIndent = size(filter(lines, l => l.rlike("^(  |\t)")))
+    df.select(col(idCol),
+        nChars.cast("long").as("n_chars"),
+        nSym.cast("long").as("n_sym"),
+        nToks.cast("long").as("n_tokens"),
+        nIdent.cast("long").as("n_ident_tokens"),
+        nLines.cast("long").as("n_lines"),
+        nIndent.cast("long").as("n_indented_lines"))
+      .select(col(idCol), col("n_chars"), col("n_sym"), col("n_tokens"),
+        col("n_ident_tokens"), col("n_lines"), col("n_indented_lines"),
+        when(col("n_chars") > 0,
+          col("n_sym").cast("double") / col("n_chars").cast("double"))
+          .otherwise(lit(0.0)).as("sym_ratio"),
+        when(col("n_tokens") > 0,
+          col("n_ident_tokens").cast("double") / col("n_tokens").cast("double"))
+          .otherwise(lit(0.0)).as("ident_share"),
+        when(col("n_lines") > 0,
+          col("n_indented_lines").cast("double") / col("n_lines").cast("double"))
+          .otherwise(lit(0.0)).as("indent_share"))
+      .withColumn("is_code",
+        col("sym_ratio") >= 0.03 || col("ident_share") >= 0.15
+          || col("indent_share") >= 0.3)
+  }
+
   /** LSH recall estimate against the measured pair population: for every
     * exact-verified pair above `floorThreshold` (the [[jaccardPairs]]
     * PPJoin output — ground truth, not a model), the probability the

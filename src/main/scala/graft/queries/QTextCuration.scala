@@ -448,6 +448,12 @@ private[graft] object QTextCuration {
           shingleN = 3)
         .orderBy("lang_a", "lang_b")),
 
+    "code_detect" -> ((s, dir) =>
+      // code-vs-prose routing gate: symbol density + identifier shapes +
+      // indentation, raw-text codegen'd string ops, fixed thresholds
+      LlmOps.codeDetect(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
+
     "sentence_stats" -> ((s, dir) =>
       // Gopher-rule sentence signals (mean words/sentence, fragment
       // count) — pure in-row HOF folds, no explode, one codegen'd scan
@@ -1639,6 +1645,50 @@ private[graft] object QTextCuration {
          FROM sh2 JOIN pl ca ON sh2.lang_a = ca.lang
                   JOIN pl cb ON sh2.lang_b = cb.lang
          ORDER BY lang_a, lang_b""",
+
+    // raw-text symbol/identifier/indent counts; ratios one divide each,
+    // is_code the fixed-threshold OR
+    "code_detect" ->
+      """WITH b AS (
+           SELECT doc_id, COALESCE(text, '') AS t FROM documents),
+         m AS (
+           SELECT doc_id,
+             CAST(length(t) AS BIGINT) AS n_chars,
+             CAST(length(t) - length(regexp_replace(t, '[;{}()\[\]=<>]', '', 'g'))
+               AS BIGINT) AS n_sym,
+             CAST(len(list_filter(string_split_regex(t, '\s+'), x -> x <> ''))
+               AS BIGINT) AS n_tokens,
+             CAST(len(list_filter(string_split_regex(t, '\s+'),
+               x -> regexp_matches(x, '^[a-z]+(_[a-z0-9]+)+$')
+                 OR regexp_matches(x, '^[a-z]+[A-Z][A-Za-z0-9]*$')))
+               AS BIGINT) AS n_ident_tokens,
+             CAST(len(list_filter(string_split(t, chr(10)), x -> x <> ''))
+               AS BIGINT) AS n_lines,
+             CAST(len(list_filter(string_split(t, chr(10)),
+               x -> x <> '' AND regexp_matches(x, '^(  |\t)')))
+               AS BIGINT) AS n_indented_lines
+           FROM b)
+         SELECT doc_id, n_chars, n_sym, n_tokens, n_ident_tokens, n_lines,
+           n_indented_lines,
+           CASE WHEN n_chars > 0
+             THEN CAST(n_sym AS DOUBLE) / CAST(n_chars AS DOUBLE)
+             ELSE 0.0 END AS sym_ratio,
+           CASE WHEN n_tokens > 0
+             THEN CAST(n_ident_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+             ELSE 0.0 END AS ident_share,
+           CASE WHEN n_lines > 0
+             THEN CAST(n_indented_lines AS DOUBLE) / CAST(n_lines AS DOUBLE)
+             ELSE 0.0 END AS indent_share,
+           (CASE WHEN n_chars > 0
+              THEN CAST(n_sym AS DOUBLE) / CAST(n_chars AS DOUBLE)
+              ELSE 0.0 END) >= 0.03
+           OR (CASE WHEN n_tokens > 0
+              THEN CAST(n_ident_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+              ELSE 0.0 END) >= 0.15
+           OR (CASE WHEN n_lines > 0
+              THEN CAST(n_indented_lines AS DOUBLE) / CAST(n_lines AS DOUBLE)
+              ELSE 0.0 END) >= 0.3 AS is_code
+         FROM m ORDER BY doc_id""",
 
     // sentence splits on [.!?]+ runs of the lowercased text, word counts
     // per non-empty trimmed run, list folds mirror the Spark HOFs

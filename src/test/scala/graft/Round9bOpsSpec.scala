@@ -33,6 +33,24 @@ class Round9bOpsSpec extends SparkTestBase {
     assert(caps == caps.sorted, s"min_capture must rise with the bucket: $caps")
   }
 
+  test("codeDetect: code-shaped text trips the gate, prose does not") {
+    val code =
+      "page_token = None\n  item_count = item_count + 1\n  return item_count\n"
+    val prose = "The quiet afternoon settled over the valley as the " +
+      "travellers made their way down toward the river crossing."
+    val docs = Seq((1L, code), (2L, prose), (3L, "")).toDF("doc_id", "text")
+    val out = graft.ops.LlmOps.codeDetect(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(out(0).getBoolean(10), s"code doc must flag: ${out(0)}")
+    assert(!out(1).getBoolean(10), s"prose doc must not flag: ${out(1)}")
+    // snake_case identifiers counted (page_token + item_count ×3)
+    assert(out(0).getLong(4) == 4L, s"snake idents: ${out(0)}")
+    // indented body lines counted against non-empty lines
+    assert(out(0).getLong(5) == 3L && out(0).getLong(6) == 2L)
+    // empty doc: all zeros, not code
+    assert(out(2).getLong(1) == 0L && !out(2).getBoolean(10))
+  }
+
   test("lshRecallEstimate: S-curve value is the exact repeated-multiplication form") {
     // one pair with a hand-computable jaccard: 10 shared trigrams of 14
     // total... simpler: verify numerically against the op's own jaccard
