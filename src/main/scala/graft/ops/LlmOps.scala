@@ -2191,8 +2191,18 @@ object LlmOps {
     * exact integers to one final division.
     */
   def crossLangOverlap(df: DataFrame, langCol: String, textCol: String,
-                       shingleN: Int = 3): DataFrame =
-    crossLangOverlapImpl(df, langCol, textCol, shingleN, 1, 1)
+                       shingleN: Int = 3): DataFrame = {
+    // The exact matrix consumes fingerprints only through DISTINCTNESS
+    // (per-lang counts, cross-lang equality) — hash VALUES never surface,
+    // so the native FNV `hashed_shingles` pass (one tight Java loop, no
+    // per-shingle string rows, no md5) is substitutable for the md5-48
+    // family: round-9 measured it at ~1/3 the scan cost at 10×. The
+    // SAMPLED variant below cannot make this swap — there the hash value
+    // IS the sampling key and must stay engine-portable md5-48.
+    val hashed = df.select(col(langCol).as("__lang"),
+      explode(shingleHashesBest(df, col(textCol), shingleN)).as("__h"))
+    crossLangFromHashed(hashed)
+  }
 
   /** Hash-domain-sampled [[crossLangOverlap]] (Gibbons, "Distinct
     * Sampling", VLDB'01): keep a fingerprint iff `h mod den < num`. The
@@ -2211,7 +2221,12 @@ object LlmOps {
                               shingleN: Int = 3, num: Int = 1,
                               den: Int = 8): DataFrame = {
     require(num > 0 && den >= num, s"crossLangOverlapSampled: bad rate $num/$den")
-    val s = crossLangOverlapImpl(df, langCol, textCol, shingleN, num, den)
+    val hashed = df.select(col(langCol).as("__lang"),
+        explode(shingles(col(textCol), shingleN)).as("__sh"))
+      .select(col("__lang"), md5Hash48(col("__sh"), 1).as("__h"))
+    val filtered = if (num >= den) hashed
+      else hashed.filter(pmod(col("__h"), lit(den)) < num)
+    val s = crossLangFromHashed(filtered)
     val scale = den.toDouble / num.toDouble
     s.select(col("lang_a"), col("lang_b"),
       col("n_shared").as("n_shared_sampled"),
@@ -2220,19 +2235,13 @@ object LlmOps {
       col("jaccard").as("jaccard_est"))
   }
 
-  private def crossLangOverlapImpl(df: DataFrame, langCol: String,
-                                   textCol: String, shingleN: Int,
-                                   num: Int, den: Int): DataFrame = {
+  private def crossLangFromHashed(hashed: DataFrame): DataFrame = {
     // ONE corpus-scale shuffle: group by fingerprint collecting the set
     // of languages it appears in — collect_set partials merge map-side
     // and the buffer is bounded by |languages|, so the hot path never
     // self-joins the fingerprint relation. Everything downstream operates
     // on the per-fingerprint language sets (≤ |langs| elements each).
-    val hashed = df.select(col(langCol).as("__lang"),
-        explode(shingles(col(textCol), shingleN)).as("__sh"))
-      .select(col("__lang"), md5Hash48(col("__sh"), 1).as("__h"))
-    val byFp = (if (num >= den) hashed
-                else hashed.filter(pmod(col("__h"), lit(den)) < num))
+    val byFp = hashed
       .groupBy(col("__h"))
       .agg(sort_array(collect_set(col("__lang"))).as("__ls"))
       .localCheckpoint(eager = true)
