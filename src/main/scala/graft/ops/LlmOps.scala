@@ -1465,12 +1465,14 @@ object LlmOps {
     // Persisted: the distinct (source, shingle) table feeds the size
     // aggregation AND both sides of the intersection join — same caching
     // contract as nearDupPairs (callers clearCache() when done). The
-    // per-doc distinct hash set comes from the native one-pass
-    // minhash_plan expression (identical md5-48 values, one MessageDigest
-    // pass per doc instead of the HOF composition's many).
+    // overlap matrix consumes shingle hashes only through DISTINCTNESS
+    // (counts + equality; values never surface), so the per-doc set comes
+    // from the native FNV `hashed_shingles` loop — no md5, no per-shingle
+    // strings — the same substitution that took crossLangOverlap from
+    // 36 s to 2.5 s at 10× (round 9).
     val pairs = df
       .select(col(groupCol).as("__g"),
-        explode(minhashPlanBest(df, col(textCol), shingleN, 1).getField("sh")).as("__sh"))
+        explode(shingleHashesBest(df, col(textCol), shingleN)).as("__sh"))
       .distinct()
       .persist()
     val sizes = pairs.groupBy("__g").agg(count(lit(1)).as("__n"))
