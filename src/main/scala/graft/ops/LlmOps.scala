@@ -984,6 +984,47 @@ object LlmOps {
       .select(col(idCol),
         size(array_distinct(col("__mins"))).cast("long").as("n_fingerprints"))
 
+  /** Provenance / quoted-span lookup over winnowing fingerprints: which
+    * corpus documents contain (parts of) each query snippet — the
+    * contamination-PROVENANCE question ("the eval answer leaked; from
+    * which training docs?") that bloom-membership checks can't answer
+    * because they return a bit, not the source. Both sides fingerprint
+    * with the SAME (shingleN, w) winnowing ([[winnowFingerprints]];
+    * Schleimer et al., SIGMOD'03), whose guarantee carries over: any
+    * shared token run of length ≥ w + shingleN − 1 shares at least one
+    * fingerprint, so a quoted span of that length cannot evade the
+    * lookup. The query side is workload-sized and BROADCASTS onto the
+    * doc-fingerprint postings — the corpus shuffles nothing; coverage is
+    * matched/|query fps|, one divide.
+    */
+  def provenanceLookup(docs: DataFrame, idCol: String, textCol: String,
+                       queries: DataFrame, queryIdCol: String,
+                       snippetCol: String, shingleN: Int, w: Int): DataFrame = {
+    def fps(df: DataFrame, c: Column): Column = {
+      val seq = shingleSeqBest(df, c, shingleN)
+      array_distinct(transform(
+        sequence(lit(0), greatest(size(seq) - w, lit(0))),
+        i => array_min(slice(seq, i + 1, lit(w)))))
+    }
+    val docPost = docs
+      .select(col(idCol), explode(fps(docs, col(textCol))).as("__fp"))
+      .filter(col("__fp").isNotNull)
+    val qPost = queries
+      .select(col(queryIdCol).as("query_id"),
+        explode(fps(queries, col(snippetCol))).as("__fp"))
+      .filter(col("__fp").isNotNull)
+    val qSizes = qPost.groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_query_fps"))
+    docPost.join(broadcast(qPost), Seq("__fp"))
+      .groupBy(col("query_id"), col(idCol))
+      .agg(count(lit(1)).cast("long").as("n_matched"))
+      .join(broadcast(qSizes), Seq("query_id"))
+      .select(col("query_id"), col(idCol),
+        col("n_matched"), col("n_query_fps").cast("long").as("n_query_fps"),
+        (col("n_matched").cast("double") / col("n_query_fps").cast("double"))
+          .as("coverage"))
+  }
+
   /** Within-document repetition: 1 - distinct/total over the n-gram shingle
     * STREAM (duplicates kept) — the standard "repetition ratio" quality
     * signal for LLM training data (boilerplate, keyword stuffing, decoding

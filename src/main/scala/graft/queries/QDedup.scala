@@ -143,6 +143,19 @@ private[graft] object QDedup {
           shingleN = 3, w = 4)
         .orderBy("doc_id")),
 
+    "provenance_lookup" -> ((s, dir) => {
+      // contamination provenance: deterministic query snippets (a mid
+      // substring of every 100th doc) → which corpus docs share winnowed
+      // spans with them; query side broadcasts, corpus never shuffles
+      val docs = t(s, dir, "documents")
+      val snippets = docs.filter(col("doc_id") % 100 === 7)
+        .select(col("doc_id").as("query_id"),
+          substring(col("text"), 40, 240).as("snippet"))
+      LlmOps.provenanceLookup(docs, "doc_id", "text",
+          snippets, "query_id", "snippet", shingleN = 3, w = 4)
+        .orderBy("query_id", "doc_id")
+    }),
+
     "dedup_clusters" -> ((s, dir) => {
       // pairs → transitive closure → one survivor per duplicate cluster:
       // the drop-list step a dedup pipeline actually ships.
@@ -605,6 +618,46 @@ private[graft] object QDedup {
            FROM s)
          SELECT doc_id, CAST(len(list_distinct(mins)) AS BIGINT) AS n_fingerprints
          FROM m ORDER BY doc_id""",
+
+    // both sides winnowed with the same (3, 4); equality join on the
+    // md5-48 fingerprints, coverage one divide
+    "provenance_lookup" ->
+      """WITH fp AS (
+           SELECT doc_id, list_distinct(list_transform(
+             range(1, greatest(len(sh) - 4, 0) + 2),
+             i -> list_min(list_slice(sh, i, i + 3)))) AS fps
+           FROM (
+             SELECT doc_id, list_transform(
+               range(1, greatest(len(toks) - 3, 0) + 2),
+               i -> ('0x' || substr(md5(array_to_string(list_slice(toks, i, i + 2), ' ')), 1, 12))::BIGINT) AS sh
+             FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+                   FROM documents))),
+         qfp AS (
+           SELECT query_id, list_distinct(list_transform(
+             range(1, greatest(len(sh) - 4, 0) + 2),
+             i -> list_min(list_slice(sh, i, i + 3)))) AS fps
+           FROM (
+             SELECT query_id, list_transform(
+               range(1, greatest(len(toks) - 3, 0) + 2),
+               i -> ('0x' || substr(md5(array_to_string(list_slice(toks, i, i + 2), ' ')), 1, 12))::BIGINT) AS sh
+             FROM (SELECT doc_id AS query_id,
+                     string_split_regex(lower(trim(substr(text, 40, 240))), '\s+') AS toks
+                   FROM documents WHERE doc_id % 100 = 7))),
+         dp AS (SELECT doc_id, unnest(fps) AS fp FROM fp),
+         qp AS (SELECT query_id, unnest(fps) AS fp FROM qfp),
+         dpn AS (SELECT doc_id, fp FROM dp WHERE fp IS NOT NULL),
+         qpn AS (SELECT query_id, fp FROM qp WHERE fp IS NOT NULL),
+         qs AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_query_fps
+                FROM qpn GROUP BY 1),
+         m AS (
+           SELECT qpn.query_id, dpn.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_matched
+           FROM dpn JOIN qpn USING (fp) GROUP BY 1, 2)
+         SELECT m.query_id, m.doc_id, m.n_matched, qs.n_query_fps,
+           CAST(m.n_matched AS DOUBLE) / CAST(qs.n_query_fps AS DOUBLE)
+             AS coverage
+         FROM m JOIN qs USING (query_id)
+         ORDER BY query_id, doc_id""",
 
     "dedup_clusters" ->
       """WITH RECURSIVE d AS (

@@ -51,6 +51,25 @@ class Round9bOpsSpec extends SparkTestBase {
     assert(out(2).getLong(1) == 0L && !out(2).getBoolean(10))
   }
 
+  test("provenanceLookup: a quoted span finds every host doc; strangers stay out") {
+    val span = "the five boxing wizards jump quickly over the lazy dog tonight"
+    val docs = Seq(
+      (1L, s"intro words before $span and some trailing content here"),
+      (2L, s"completely different framing yet quoting $span in the middle of it"),
+      (3L, "unrelated maritime law commentary with nothing shared at all in here"))
+      .toDF("doc_id", "text")
+    val queries = Seq((100L, span)).toDF("query_id", "snippet")
+    val out = graft.ops.LlmOps.provenanceLookup(docs, "doc_id", "text",
+        queries, "query_id", "snippet", shingleN = 3, w = 4)
+      .orderBy("doc_id").collect()
+    // winnowing guarantee: an 11-token shared run (≥ w + n − 1 = 6) must
+    // surface BOTH hosts; the stranger shares no fingerprint
+    assert(out.map(_.getLong(1)).toSeq == Seq(1L, 2L), out.mkString(","))
+    out.foreach { r =>
+      assert(r.getLong(2) >= 1L && r.getDouble(4) > 0.0, r.toString)
+    }
+  }
+
   test("lshRecallEstimate: S-curve value is the exact repeated-multiplication form") {
     // one pair with a hand-computable jaccard: 10 shared trigrams of 14
     // total... simpler: verify numerically against the op's own jaccard
