@@ -1616,6 +1616,56 @@ object LlmOps {
         coalesce(col("longest_dup_run"), lit(0L)).as("longest_dup_run"))
   }
 
+  /** Substring-level dedup EXECUTION (Lee et al., "Deduplicating Training
+    * Data Makes Language Models Better", ACL'22 — the ExactSubstr rewrite
+    * [[dupSpanStats]] only measures): every positional n-gram shingle
+    * occurring ≥ 2 times corpus-wide is owned by its minimum doc id; all
+    * OTHER docs drop the tokens its occurrences cover, and each doc's
+    * text is rebuilt from the surviving tokens. Deterministic ownership
+    * (min id), deterministic rebuild (original token order), exact
+    * integer counts.
+    *
+    * Scale shape: one positional-shingle explode (|corpus tokens| rows of
+    * (id, pos, 8-byte hash)), one (hash)-grain ownership aggregate, the
+    * covered-position explode is bounded by n·|duplicated occurrences|,
+    * and the per-doc covered-set state is bounded by the doc's own token
+    * count — the same order as holding the doc's text. The rebuild is an
+    * in-row indexed filter; text itself never shuffles.
+    *
+    * Tokens come from the normText split (rebuilt text is lowercased,
+    * single-spaced — the canonical form the dedup family already keys
+    * on); empty split artifacts are excluded from counts and output on
+    * both engines identically.
+    */
+  def dedupSpansApply(docs: DataFrame, idCol: String, textCol: String,
+                      shingleN: Int = 3): DataFrame = {
+    val sh = docs.select(col(idCol),
+      posexplode(shingleSeqBest(docs, col(textCol), shingleN))
+        .as(Seq("__pos", "__h")))
+    val own = sh.groupBy(col("__h"))
+      .agg(min(col(idCol)).as("__owner"), count(lit(1)).as("__cnt"))
+    val cov = sh.join(own, Seq("__h"))
+      .filter(col("__cnt") >= 2 && col(idCol) =!= col("__owner"))
+      .select(col(idCol),
+        explode(sequence(col("__pos"), col("__pos") + lit(shingleN - 1)))
+          .as("__p"))
+      .distinct()
+    val covSets = cov.groupBy(col(idCol))
+      .agg(collect_set(col("__p")).as("__cov"))
+    val kept = filter(
+      transform(col("__toks"), (t, i) =>
+        when(t =!= "" && !array_contains(col("__cov"), i), t)),
+      x => x.isNotNull)
+    docs.select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .join(covSets, Seq(idCol), "left")
+      .withColumn("__cov", coalesce(col("__cov"), array().cast("array<int>")))
+      .select(col(idCol),
+        concat_ws(" ", kept).as("clean_text"),
+        size(filter(col("__toks"), t => t =!= "")).cast("long").as("n_tokens"),
+        size(kept).cast("long").as("n_kept"))
+      .withColumn("n_removed", (col("n_tokens") - col("n_kept")).cast("long"))
+  }
+
   /** Curation-funnel audit: per-group survivor counts through the standard
     * quality-filter cascade (length floor → within-doc repetition ceiling →
     * alphabetic-ratio floor), each stage cumulative on the previous. This

@@ -225,6 +225,14 @@ private[graft] object QDedup {
       LlmOps.ngramDupRate(t(s, dir, "documents"), "doc_id", "text", shingleN = 3)
         .orderBy("doc_id")),
 
+    "dedup_spans_apply" -> ((s, dir) =>
+      // the ExactSubstr REWRITE: min-id ownership per duplicated
+      // positional 3-gram, non-owners drop the covered tokens, text
+      // rebuilt in-row — corpus text never shuffles
+      LlmOps.dedupSpansApply(t(s, dir, "documents"), "doc_id", "text",
+          shingleN = 3)
+        .orderBy("doc_id")),
+
     "dup_span_stats" -> ((s, dir) =>
       // positional complement of ngram_dup_rate: per-doc count of
       // corpus-duplicated n-gram OCCURRENCES and the longest consecutive
@@ -947,6 +955,52 @@ private[graft] object QDedup {
            CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
            CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS dup_rate
          FROM d GROUP BY doc_id ORDER BY doc_id""",
+
+    // ownership + coverage + indexed rebuild, all replayed over the same
+    // 0-based positional shingles as dup_span_stats
+    "dedup_spans_apply" ->
+      """WITH t AS (
+           SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+           FROM documents),
+         s AS (
+           SELECT doc_id, list_transform(
+             range(1, greatest(len(toks) - 3, 0) + 2),
+             i -> ('0x' || substr(md5(array_to_string(list_slice(toks, i, i + 2), ' ')), 1, 12))::BIGINT) AS sh
+           FROM t),
+         e AS (
+           SELECT doc_id, unnest(range(len(sh))) AS pos, unnest(sh) AS h
+           FROM s),
+         own AS (
+           SELECT h, MIN(doc_id) AS owner, COUNT(*) AS cnt FROM e GROUP BY 1),
+         cov AS (
+           SELECT DISTINCT e.doc_id, e.pos + r.j AS p
+           FROM e JOIN own USING (h), range(0, 3) r(j)
+           WHERE own.cnt >= 2 AND e.doc_id <> own.owner),
+         tok0 AS (
+           SELECT doc_id, unnest(range(len(toks))) AS idx, unnest(toks) AS tok
+           FROM t),
+         tok AS (
+           SELECT doc_id, CAST(idx AS BIGINT) AS idx, tok
+           FROM tok0 WHERE tok <> ''),
+         kept AS (
+           SELECT tok.doc_id, idx, tok FROM tok
+           LEFT JOIN cov ON tok.doc_id = cov.doc_id AND tok.idx = cov.p
+           WHERE cov.p IS NULL),
+         agg AS (
+           SELECT doc_id,
+             array_to_string(list(tok ORDER BY idx), ' ') AS clean_text,
+             CAST(COUNT(*) AS BIGINT) AS n_kept
+           FROM kept GROUP BY 1),
+         ntok AS (
+           SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens
+           FROM tok GROUP BY 1)
+         SELECT t.doc_id,
+           COALESCE(agg.clean_text, '') AS clean_text,
+           COALESCE(ntok.n_tokens, 0) AS n_tokens,
+           COALESCE(agg.n_kept, 0) AS n_kept,
+           COALESCE(ntok.n_tokens, 0) - COALESCE(agg.n_kept, 0) AS n_removed
+         FROM t LEFT JOIN agg USING (doc_id) LEFT JOIN ntok USING (doc_id)
+         ORDER BY t.doc_id""",
 
     "dup_span_stats" ->
       """WITH t AS (

@@ -51,6 +51,29 @@ class Round9bOpsSpec extends SparkTestBase {
     assert(out(2).getLong(1) == 0L && !out(2).getBoolean(10))
   }
 
+  test("dedupSpansApply: non-owners lose the duplicated span, owner keeps it") {
+    val span = "alpha beta gamma delta epsilon"
+    val docs = Seq(
+      (1L, s"unique lead-in $span unique tail one"),  // owner (min id)
+      (2L, s"other opening here $span closing words two"),
+      (3L, "completely novel text with no shared spans at all"))
+      .toDF("doc_id", "text")
+    val out = graft.ops.LlmOps.dedupSpansApply(docs, "doc_id", "text", shingleN = 3)
+      .orderBy("doc_id").collect()
+    // owner keeps everything
+    assert(out(0).getString(1) == s"unique lead-in $span unique tail one")
+    assert(out(0).getLong(4) == 0L)
+    // doc 2: the 5 span tokens are covered by duplicated 3-grams and drop
+    assert(out(1).getString(1) == "other opening here closing words two",
+      out(1).getString(1))
+    assert(out(1).getLong(4) == 5L)
+    // untouched doc passes through verbatim (lowercased canonical form)
+    assert(out(2).getString(1) == "completely novel text with no shared spans at all")
+    assert(out(2).getLong(4) == 0L)
+    // counts are consistent
+    out.foreach(r => assert(r.getLong(2) == r.getLong(3) + r.getLong(4)))
+  }
+
   test("provenanceLookup: a quoted span finds every host doc; strangers stay out") {
     val span = "the five boxing wizards jump quickly over the lazy dog tonight"
     val docs = Seq(
