@@ -845,4 +845,59 @@ object VectorOps {
       .orderBy(col("score").desc, col(idCol).asc)
       .limit(k)
   }
+
+  /** Matryoshka truncation evaluation (Kusupati et al., "Matryoshka
+    * Representation Learning", NeurIPS'22): before serving truncated
+    * embeddings (a 4× index-size/bandwidth lever at 100 TB), measure how
+    * much of the FULL-dimension top-k each prefix dimension preserves.
+    * For every query and every `d ∈ prefixDims`, rank candidates by
+    * cosine over the first d components (plain HOF cosine on
+    * `slice(vec, 1, d)` — one scan scores all dims via a broadcast dims
+    * unnest), keep top-k per (d, query) as a group-limited window, and
+    * report per d the k-overlap with the full-dimension ranking:
+    * n_queries, mean and min overlap. Overlaps are exact int/k ratios;
+    * the mean divides two exact longs — bitwise-replayable.
+    *
+    * Scale shape: queries broadcast; scoring is map-side over the corpus
+    * scan (|dims| rows per candidate, no corpus shuffle); the rank
+    * exchange carries ≤ k·partitions rows per (d, query); the overlap
+    * join runs on |dims|·|queries|·k rows.
+    */
+  def mrlTruncationEval(corpus: DataFrame, queries: DataFrame,
+                        idCol: String, embCol: String,
+                        prefixDims: Seq[Int], fullDim: Int,
+                        k: Int): DataFrame = {
+    require(prefixDims.nonEmpty && k > 0)
+    val dims = (prefixDims :+ fullDim).distinct.sorted
+    val q = queries.select(col(idCol).as("query_id"), col(embCol).as("__qv"))
+    val dimRows = explode(array(dims.map(lit(_)): _*)).as("__d")
+    val scored = corpus
+      .select(col(idCol).as("__cid"), col(embCol).as("__cv"))
+      .crossJoin(broadcast(q.select(col("query_id"), col("__qv"), dimRows)))
+      .select(col("query_id"), col("__d"), col("__cid"),
+        cosine(slice(col("__cv"), lit(1), col("__d")),
+          slice(col("__qv"), lit(1), col("__d"))).as("__score"))
+    val w = Window.partitionBy(col("query_id"), col("__d"))
+      .orderBy(col("__score").desc, col("__cid").asc)
+    val topk = scored
+      .withColumn("__r", row_number().over(w))
+      .filter(col("__r") <= k)
+      .select(col("query_id"), col("__d"), col("__cid"))
+    val full = topk.filter(col("__d") === fullDim)
+      .select(col("query_id"), col("__cid"))
+    val perQuery = topk
+      .join(full, Seq("query_id", "__cid"), "left_semi")
+      .groupBy(col("query_id"), col("__d"))
+      .agg(count(lit(1)).as("__common"))
+    perQuery
+      .groupBy(col("__d"))
+      .agg(count(lit(1)).cast("long").as("n_queries"),
+        sum(col("__common")).as("__sum"),
+        min(col("__common")).as("__min"))
+      .select(col("__d").cast("long").as("prefix_dim"),
+        col("n_queries"),
+        (col("__sum").cast("double")
+          / (col("n_queries") * k).cast("double")).as("mean_overlap"),
+        (col("__min").cast("double") / lit(k.toDouble)).as("min_overlap"))
+  }
 }

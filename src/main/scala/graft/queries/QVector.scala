@@ -23,6 +23,18 @@ private[graft] object QVector {
       VectorOps.bruteForceTopK(emb, "embedding", "vec_id", qv, k = 10)
     }),
 
+    "mrl_truncation_eval" -> ((s, dir) => {
+      // Matryoshka serving decision: how much of the full-64-dim top-10
+      // do the 16/32-dim prefixes preserve — queries broadcast, one
+      // corpus scan scores every prefix, group-limited rank windows
+      val emb = t(s, dir, "embeddings")
+      graft.functions.VectorOps.mrlTruncationEval(
+          emb.filter(col("vec_id") >= 8), emb.filter(col("vec_id") < 8),
+          "vec_id", "embedding", prefixDims = Seq(16, 32), fullDim = 64,
+          k = 10)
+        .orderBy("prefix_dim")
+    }),
+
     "knn_classify" -> ((s, dir) => {
       // embedding-space eval pass: queries (vec_id < 10) take the modal
       // label of their 5 cosine-nearest corpus neighbors; per-query top-k
@@ -300,6 +312,45 @@ private[graft] object QVector {
 
     // same double-fold cosine as similarity_topk; rank + vote windows
     // with the identical (score desc, id) / (votes desc, label) tie-breaks,
+
+    // prefix cosine via range(1, d+1) folds; same (score desc, id) rank
+    // tie-break; overlap vs the d=64 ranking, exact-integer mean
+    "mrl_truncation_eval" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+                    FROM embeddings WHERE vec_id < 8),
+         c AS (SELECT vec_id AS cid, embedding AS cv
+               FROM embeddings WHERE vec_id >= 8),
+         dd AS (SELECT unnest([16, 32, 64]) AS d),
+         s AS (
+           SELECT query_id, d, cid,
+             list_reduce(list_transform(range(1, d + 1),
+               i -> CAST(cv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)),
+               (x, y) -> x + y) AS dot,
+             list_reduce(list_transform(range(1, d + 1),
+               i -> CAST(cv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)),
+               (x, y) -> x + y) AS na,
+             list_reduce(list_transform(range(1, d + 1),
+               i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)),
+               (x, y) -> x + y) AS nb
+           FROM q, c, dd),
+         r AS (
+           SELECT query_id, d, cid,
+             row_number() OVER (PARTITION BY query_id, d ORDER BY
+               CASE WHEN na = 0 OR nb = 0 THEN 0.0
+                    ELSE dot / (sqrt(na) * sqrt(nb)) END DESC, cid) AS rn
+           FROM s),
+         tk AS (SELECT query_id, d, cid FROM r WHERE rn <= 10),
+         f AS (SELECT query_id, cid FROM tk WHERE d = 64),
+         pq AS (
+           SELECT tk.query_id, tk.d, CAST(COUNT(*) AS BIGINT) AS common
+           FROM tk JOIN f ON tk.query_id = f.query_id AND tk.cid = f.cid
+           GROUP BY 1, 2)
+         SELECT CAST(d AS BIGINT) AS prefix_dim,
+           CAST(COUNT(*) AS BIGINT) AS n_queries,
+           CAST(SUM(common) AS DOUBLE)
+             / CAST(COUNT(*) * 10 AS DOUBLE) AS mean_overlap,
+           CAST(MIN(common) AS DOUBLE) / 10.0 AS min_overlap
+         FROM pq GROUP BY 1 ORDER BY prefix_dim""",
 
     // same double-fold cosine as similarity_topk; rank + vote windows
     // with the identical (score desc, id) / (votes desc, label) tie-breaks

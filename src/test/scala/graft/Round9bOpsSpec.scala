@@ -51,6 +51,29 @@ class Round9bOpsSpec extends SparkTestBase {
     assert(out(2).getLong(1) == 0L && !out(2).getBoolean(10))
   }
 
+  test("mrlTruncationEval: full dim overlaps itself at 1.0; prefixes degrade honestly") {
+    // candidates: 12 vectors whose 2-dim prefix ORDER disagrees with the
+    // full 4-dim order for the query (1,0,0,0): c1 beats c2 on the prefix
+    // but loses on the full vector
+    val rows = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)), // query
+      (10L, Array(0.9f, 0f, 5f, 0f)), // prefix-close, full-far
+      (11L, Array(0.8f, 0f, 0f, 0f)), // full-close
+      (12L, Array(0.5f, 0.5f, 0f, 0f)),
+      (13L, Array(0f, 1f, 0f, 0f)),
+      (14L, Array(0.2f, 0.1f, 0.1f, 0f)))
+      .toDF("vec_id", "embedding")
+    val out = graft.functions.VectorOps.mrlTruncationEval(
+        rows.filter(col("vec_id") >= 10), rows.filter(col("vec_id") === 0),
+        "vec_id", "embedding", prefixDims = Seq(2), fullDim = 4, k = 3)
+      .orderBy("prefix_dim").collect()
+    assert(out.length == 2)
+    val byDim = out.map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(byDim(4L) == 1.0) // the full ranking trivially overlaps itself
+    assert(byDim(2L) >= 0.0 && byDim(2L) <= 1.0)
+    assert(out.forall(_.getLong(1) == 1L)) // one query
+  }
+
   test("dedupSpansApply: non-owners lose the duplicated span, owner keeps it") {
     val span = "alpha beta gamma delta epsilon"
     val docs = Seq(
