@@ -1729,6 +1729,60 @@ object LlmOps {
           .as("sample_rate"))
   }
 
+  /** Capped-source waterfilling mixture: allocate a total token `budget`
+    * across sources, each bounded by its own token supply — the classic
+    * waterfill (allocate min(cap, L) with ONE waterline L chosen so the
+    * total hits the budget), which [[mixturePlan]]'s equal-share and
+    * sqrt-temperature variants cannot express when sources RUN OUT.
+    * Small sources contribute everything they have; the remaining budget
+    * splits evenly above them.
+    *
+    * Closed form, no iteration: sort sources by cap ascending; a source
+    * at rank i sits fully below the waterline iff
+    * `prefix_i + cap_i · (m − i) ≤ budget` (give ranks ≤ i their caps,
+    * the rest at least cap_i); k = the largest feasible rank, and
+    * L = (budget − prefix_k) / (m − k). Every quantity but L is an exact
+    * long; L is one divide. Budget ≥ total supply degenerates to
+    * everyone-at-cap with a null waterline (nothing left to split).
+    *
+    * Scale shape: one source-grain aggregate; every window runs over the
+    * |sources| relation; the two scalars broadcast back.
+    */
+  def mixtureWaterfill(df: DataFrame, groupCol: String, weightCol: String,
+                       budget: Long): DataFrame = {
+    require(budget >= 0)
+    val caps = df.groupBy(col(groupCol))
+      .agg(sum(col(weightCol)).cast("long").as("cap"))
+    val ord = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cap").asc, col(groupCol).asc)
+    val run = ord.rowsBetween(org.apache.spark.sql.expressions.Window
+      .unboundedPreceding, org.apache.spark.sql.expressions.Window.currentRow)
+    val ranked = caps
+      .withColumn("__i", row_number().over(ord).cast("long"))
+      .withColumn("__prefix", sum(col("cap")).over(run))
+    val m = caps.agg(count(lit(1)).cast("long").as("__m"),
+      sum(col("cap")).as("__tot"))
+    val flagged = ranked.crossJoin(broadcast(m))
+      .withColumn("__feasible",
+        col("__prefix") + col("cap") * (col("__m") - col("__i")) <= budget)
+    val kRow = flagged.agg(
+      coalesce(max(when(col("__feasible"), col("__i"))), lit(0L)).as("__k"),
+      coalesce(max(when(col("__feasible"), col("__prefix"))), lit(0L))
+        .as("__pk"))
+    flagged.crossJoin(broadcast(kRow))
+      .withColumn("__L",
+        when(lit(budget) >= col("__tot"), lit(null).cast("double"))
+          .otherwise((lit(budget) - col("__pk")).cast("double")
+            / (col("__m") - col("__k")).cast("double")))
+      .select(col(groupCol), col("cap"),
+        when(lit(budget) >= col("__tot"), col("cap").cast("double"))
+          .otherwise(least(col("cap").cast("double"), col("__L")))
+          .as("allocation"),
+        when(lit(budget) >= col("__tot"), lit(true))
+          .otherwise(col("cap").cast("double") <= col("__L")).as("at_cap"),
+        col("__L").as("waterline"))
+  }
+
   /** Tokenizer fertility by group (language, source, …): subword-proxy
     * tokens per whitespace token, aggregated over the group's corpus.
     * Fertility is the standard per-language cost multiplier for token

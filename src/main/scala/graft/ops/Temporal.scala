@@ -650,6 +650,45 @@ object Temporal {
       (sqrt(n * d("__sgg") - d("__sg") * d("__sg")) / n).as("sd_gap_s"))
   }
 
+  /** Bot/automation screen over event cadence: a key whose inter-arrival
+    * gaps are too REGULAR (coefficient of variation below `maxCv`, with
+    * at least `minGaps` gaps observed) is machine-shaped — humans are
+    * bursty, cron jobs are metronomes. The comparison avoids any square
+    * root: cv ≤ maxCv ⟺ n·Σg² − (Σg)² ≤ maxCv²·(Σg)², stated entirely
+    * in exact long arithmetic scaled by a rational maxCv (`maxCvNum /
+    * maxCvDen`), so the FLAG is integer-exact and engine-portable; the
+    * reported cv² is the one diagnostic divide. Same one-window-one-
+    * aggregate shape as [[interarrivalStats]]; keys with < 2 events never
+    * appear (no gap exists). A zero mean gap (all events same second) is
+    * maximal regularity: flagged, cv² null.
+    */
+  def botRegularity(df: DataFrame, keyCol: String, tsCol: String,
+                    tieCol: String, minGaps: Long, maxCvNum: Long,
+                    maxCvDen: Long): DataFrame = {
+    require(minGaps >= 1 && maxCvNum >= 0 && maxCvDen > 0)
+    val ord = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(tieCol))
+    val sec = Ts.epochSeconds(col(tsCol))
+    val gaps = df
+      .select(col(keyCol), (sec - lag(sec, 1).over(ord)).as("__g"))
+      .filter(col("__g").isNotNull)
+    val agg = gaps.groupBy(col(keyCol)).agg(
+      count(lit(1)).as("n_gaps"),
+      sum(col("__g")).as("__sg"),
+      sum(col("__g") * col("__g")).as("__sgg"))
+    agg.select(col(keyCol), col("n_gaps").cast("long").as("n_gaps"),
+        (col("__sg").cast("double") / col("n_gaps").cast("double"))
+          .as("mean_gap_s"),
+        when(col("__sg") === 0, lit(null).cast("double"))
+          .otherwise((col("n_gaps") * col("__sgg") - col("__sg") * col("__sg"))
+            .cast("double") / (col("__sg") * col("__sg")).cast("double"))
+          .as("cv2"),
+        (col("n_gaps") >= minGaps &&
+          (col("n_gaps") * col("__sgg") - col("__sg") * col("__sg"))
+            * maxCvDen * maxCvDen
+            <= col("__sg") * col("__sg") * maxCvNum * maxCvNum)
+          .as("is_regular"))
+  }
+
   /** Daily peak concurrency by interval stabbing: each key's presence is
     * a [ts, ts + holdSeconds) interval clipped to its start day; +1/−1
     * boundary events sort per day and a running sum's maximum is the

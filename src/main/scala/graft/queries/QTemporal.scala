@@ -438,6 +438,14 @@ private[graft] object QTemporal {
           "event_id")
         .orderBy("user_id")),
 
+    "bot_regularity" -> ((s, dir) =>
+      // automation screen: cadence too regular to be human — the cv
+      // comparison stays entirely in exact longs (no sqrt), flagged at
+      // cv <= 3/10 with at least 5 gaps
+      Temporal.botRegularity(t(s, dir, "events"), "user_id", "ts",
+          "event_id", minGaps = 5, maxCvNum = 3, maxCvDen = 10)
+        .orderBy("user_id")),
+
     "rolling_median_value" -> ((s, dir) =>
       // 7-row rolling exact median of value-cents per user: bounded
       // O(frame) window buffer, interpolation exact on integer doubles
@@ -1099,6 +1107,31 @@ private[graft] object QTemporal {
            SQRT(CAST(n_gaps AS DOUBLE) * CAST(sgg AS DOUBLE)
                 - CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE))
              / CAST(n_gaps AS DOUBLE) AS sd_gap_s
+         FROM a ORDER BY user_id""",
+
+    // same gap sums as interarrival_stats; the flag comparison is pure
+    // integer arithmetic (cv <= 3/10 cross-multiplied), cv2 one divide
+    "bot_regularity" ->
+      """WITH e AS (
+           SELECT user_id, event_id, ts,
+                  CAST(floor(epoch(ts)) AS BIGINT) AS secs
+           FROM events),
+         g AS (
+           SELECT user_id,
+             secs - lag(secs) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+           FROM e),
+         a AS (
+           SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+             CAST(SUM(gap) AS BIGINT) AS sg,
+             CAST(SUM(gap*gap) AS BIGINT) AS sgg
+           FROM g WHERE gap IS NOT NULL GROUP BY 1)
+         SELECT user_id, n_gaps,
+           CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE) AS mean_gap_s,
+           CASE WHEN sg = 0 THEN NULL
+             ELSE CAST(n_gaps * sgg - sg * sg AS DOUBLE)
+               / CAST(sg * sg AS DOUBLE) END AS cv2,
+           n_gaps >= 5 AND
+             (n_gaps * sgg - sg * sg) * 100 <= sg * sg * 9 AS is_regular
          FROM a ORDER BY user_id""",
 
     "rolling_median_value" ->

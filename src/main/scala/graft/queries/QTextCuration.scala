@@ -256,6 +256,17 @@ private[graft] object QTextCuration {
         .orderBy("doc_id")
     }),
 
+    "mixture_waterfill" -> ((s, dir) => {
+      // capped-source budget allocation: small sources contribute all
+      // they have, the rest splits evenly above them — closed-form
+      // waterline over the |sources| relation, exact longs to one divide
+      val docs = t(s, dir, "documents")
+      val withTokens = docs.select(col("source"),
+        regexp_count(col("text"), lit("\\S+")).cast("long").as("__n"))
+      LlmOps.mixtureWaterfill(withTokens, "source", "__n", budget = 20000L)
+        .orderBy("source")
+    }),
+
     "mixture_plan" -> ((s, dir) => {
       // training-mixture planning: per-source token shares + the
       // deterministic downsample-to-smallest rates that equalize sources
@@ -1074,6 +1085,45 @@ private[graft] object QTextCuration {
          WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT
                / 281474976710656.0 < rate
          ORDER BY doc_id""",
+
+    // closed-form waterline: rank by cap, feasibility by integer
+    // cross-multiply, L = (budget - prefix_k)/(m - k) the one divide
+    "mixture_waterfill" ->
+      """WITH t AS (
+           SELECT source,
+             CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n
+           FROM documents),
+         b AS (SELECT source, CAST(SUM(n) AS BIGINT) AS cap
+               FROM t GROUP BY source),
+         r AS (
+           SELECT source, cap,
+             CAST(row_number() OVER (ORDER BY cap, source) AS BIGINT) AS i,
+             CAST(SUM(cap) OVER (ORDER BY cap, source
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS prefix
+           FROM b),
+         g AS (SELECT CAST(COUNT(*) AS BIGINT) AS m,
+                 CAST(SUM(cap) AS BIGINT) AS tot FROM b),
+         f AS (
+           SELECT r.*, g.m, g.tot,
+             prefix + cap * (g.m - i) <= 20000 AS feasible
+           FROM r, g),
+         k AS (
+           SELECT COALESCE(MAX(CASE WHEN feasible THEN i END), 0) AS kk,
+             COALESCE(MAX(CASE WHEN feasible THEN prefix END), 0) AS pk
+           FROM f),
+         w AS (
+           SELECT f.*, k.kk, k.pk,
+             CASE WHEN 20000 >= f.tot THEN NULL
+               ELSE CAST(20000 - k.pk AS DOUBLE)
+                 / CAST(f.m - k.kk AS DOUBLE) END AS waterline
+           FROM f, k)
+         SELECT source, cap,
+           CASE WHEN 20000 >= tot THEN CAST(cap AS DOUBLE)
+             ELSE least(CAST(cap AS DOUBLE), waterline) END AS allocation,
+           CASE WHEN 20000 >= tot THEN TRUE
+             ELSE CAST(cap AS DOUBLE) <= waterline END AS at_cap,
+           waterline
+         FROM w ORDER BY source""",
 
     "mixture_plan" ->
       """WITH t AS (

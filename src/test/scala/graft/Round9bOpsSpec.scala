@@ -51,6 +51,58 @@ class Round9bOpsSpec extends SparkTestBase {
     assert(out(2).getLong(1) == 0L && !out(2).getBoolean(10))
   }
 
+  test("mixtureWaterfill: small sources drain, the rest split the waterline evenly") {
+    // caps 10, 20, 100, 100; budget 60 → k=2 (10+20+waterline·2 = 60 →
+    // L = 15? check: rank1 cap10: 10 + 10·3 = 40 ≤ 60 ✓; rank2 cap20:
+    // 30 + 20·2 = 70 > 60 ✗ → k=1, L = (60−10)/3 = 16.667
+    val rows = Seq(
+      ("a", 10L), ("b", 20L), ("c", 100L), ("d", 100L))
+      .flatMap { case (s, n) => Seq.fill(n.toInt)((s, 1L)) }
+      .toDF("source", "tok")
+    val out = graft.ops.LlmOps.mixtureWaterfill(rows, "source", "tok", budget = 60L)
+      .orderBy("source").collect()
+    val byS = out.map(r => r.getString(0) -> (r.getDouble(2), r.getBoolean(3))).toMap
+    val L = 50.0 / 3.0
+    assert(byS("a") == ((10.0, true)))
+    assert(math.abs(byS("b")._1 - L) < 1e-12 && !byS("b")._2)
+    assert(math.abs(byS("c")._1 - L) < 1e-12)
+    // allocations sum to the budget
+    assert(math.abs(out.map(_.getDouble(2)).sum - 60.0) < 1e-9)
+  }
+
+  test("mixtureWaterfill: budget above total supply → everyone at cap, null waterline") {
+    val rows = Seq(("a", 5L), ("b", 7L))
+      .flatMap { case (s, n) => Seq.fill(n.toInt)((s, 1L)) }
+      .toDF("source", "tok")
+    val out = graft.ops.LlmOps.mixtureWaterfill(rows, "source", "tok", budget = 100L)
+      .orderBy("source").collect()
+    assert(out.forall(_.getBoolean(3)))
+    assert(out.map(_.getDouble(2)).toSeq == Seq(5.0, 7.0))
+    assert(out.forall(_.isNullAt(4)))
+  }
+
+  test("botRegularity: a metronome flags, a bursty human does not") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = (
+      // bot: exactly hourly ×7 (6 gaps, cv 0)
+      (1 to 7).map(h => (1L, h.toLong, ts(f"2024-01-01 $h%02d:00:00"))) ++
+      // human: wildly varying gaps (60s, 2h, 10s, 1d, 3h, 40m)
+      Seq("2024-01-01 08:00:00", "2024-01-01 08:01:00", "2024-01-01 10:01:00",
+        "2024-01-01 10:01:10", "2024-01-02 10:01:10", "2024-01-02 13:01:10",
+        "2024-01-02 13:41:10").zipWithIndex.map { case (t, i) => (2L, 100L + i, ts(t)) } ++
+      // too few events to call (2 gaps < minGaps)
+      Seq((3L, 200L, ts("2024-01-01 00:00:00")), (3L, 201L, ts("2024-01-01 01:00:00")),
+        (3L, 202L, ts("2024-01-01 02:00:00"))))
+      .toDF("user_id", "event_id", "ts")
+    val out = graft.ops.Temporal.botRegularity(ev, "user_id", "ts", "event_id",
+        minGaps = 5, maxCvNum = 3, maxCvDen = 10)
+      .orderBy("user_id").collect()
+    assert(out.length == 3)
+    assert(out(0).getBoolean(4) && out(0).getDouble(3) == 0.0) // metronome
+    assert(!out(1).getBoolean(4), out(1).toString) // human
+    assert(!out(2).getBoolean(4)) // under minGaps, even though regular
+  }
+
   test("mrlTruncationEval: full dim overlaps itself at 1.0; prefixes degrade honestly") {
     // candidates: 12 vectors whose 2-dim prefix ORDER disagrees with the
     // full 4-dim order for the query (1,0,0,0): c1 beats c2 on the prefix
