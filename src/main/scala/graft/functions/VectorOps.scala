@@ -846,6 +846,52 @@ object VectorOps {
       .limit(k)
   }
 
+  /** Margin-based best-match mining (Artetxe & Schwenk, "Margin-based
+    * Parallel Corpus Mining with Multilingual Sentence Embeddings",
+    * ACL'19 — the forward ratio-margin variant): for each query vector,
+    * score every candidate by cosine, and normalize the best score by
+    * the mean of the query's top-k scores — raw cosine thresholds
+    * over-fire in dense neighborhoods (hubness), the margin asks "is the
+    * best match better than this query's GENERAL neighborhood?". The
+    * standard bitext/parallel-pair miner; also the alignment step for
+    * cross-modal (text ↔ image-embedding) pairing.
+    *
+    * Determinism: the top-k mean folds over the SORTED top-k scores
+    * (≤ k doubles per query, collected after a group-limited rank
+    * window), so the one division's operands are bitwise-pinned; best
+    * candidate ties break on id. Queries broadcast; scoring is map-side
+    * over the candidate scan; the rank exchange carries ≤ k·partitions
+    * rows per query.
+    */
+  def marginBestMatch(candidates: DataFrame, queries: DataFrame,
+                      idCol: String, embCol: String, k: Int): DataFrame = {
+    require(k >= 1)
+    val q = queries.select(col(idCol).as("query_id"), col(embCol).as("__qv"))
+    val scored = candidates
+      .select(col(idCol).as("__cid"), col(embCol).as("__cv"))
+      .crossJoin(broadcast(q))
+      .select(col("query_id"), col("__cid"),
+        cosine(col("__cv"), col("__qv")).as("__score"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("__score").desc, col("__cid").asc)
+    val topk = scored
+      .withColumn("__r", row_number().over(w))
+      .filter(col("__r") <= k)
+    topk.groupBy(col("query_id"))
+      .agg(
+        min(when(col("__r") === 1, col("__cid"))).as("best_id"),
+        min(when(col("__r") === 1, col("__score"))).as("best_score"),
+        count(lit(1)).as("__n"),
+        aggregate(sort_array(collect_list(col("__score"))), lit(0.0),
+          (acc, x) => acc + x).as("__sum"))
+      .select(col("query_id"), col("best_id"),
+        col("best_score"),
+        (col("__sum") / col("__n").cast("double")).as("topk_mean"),
+        when(col("__sum") === 0.0, lit(null).cast("double"))
+          .otherwise(col("best_score") * col("__n").cast("double")
+            / col("__sum")).as("margin_ratio"))
+  }
+
   /** Matryoshka truncation evaluation (Kusupati et al., "Matryoshka
     * Representation Learning", NeurIPS'22): before serving truncated
     * embeddings (a 4× index-size/bandwidth lever at 100 TB), measure how

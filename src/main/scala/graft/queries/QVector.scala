@@ -23,6 +23,24 @@ private[graft] object QVector {
       VectorOps.bruteForceTopK(emb, "embedding", "vec_id", qv, k = 10)
     }),
 
+    "bitext_mine" -> ((s, dir) => {
+      // parallel-pair mining: every 10th en doc's embedding vs all
+      // non-en docs, best match normalized by the query's top-4 mean
+      // (the hubness-correcting ratio margin) — queries broadcast,
+      // scoring map-side, rank exchange group-limited
+      val emb = t(s, dir, "embeddings")
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("lang"))
+      val joined = emb.join(docs, col("vec_id") === col("doc_id"))
+      val queries = joined
+        .filter(col("lang") === "en" && col("vec_id") % 10 === 0)
+        .select(col("vec_id"), col("embedding"))
+      val cands = joined.filter(col("lang") =!= "en")
+        .select(col("vec_id"), col("embedding"))
+      graft.functions.VectorOps.marginBestMatch(cands, queries,
+          "vec_id", "embedding", k = 4)
+        .orderBy("query_id")
+    }),
+
     "mrl_truncation_eval" -> ((s, dir) => {
       // Matryoshka serving decision: how much of the full-64-dim top-10
       // do the 16/32-dim prefixes preserve — queries broadcast, one
@@ -312,6 +330,52 @@ private[graft] object QVector {
 
     // same double-fold cosine as similarity_topk; rank + vote windows
     // with the identical (score desc, id) / (votes desc, label) tie-breaks,
+
+    // same double-fold cosine; rank window (score desc, cid); top-k mean
+    // folds over the sorted score list, ratio margin one divide
+    "bitext_mine" ->
+      """WITH l AS (
+           SELECT e.vec_id, e.embedding, d.lang
+           FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id),
+         q AS (SELECT vec_id AS query_id, embedding AS qv
+               FROM l WHERE lang = 'en' AND vec_id % 10 = 0),
+         c AS (SELECT vec_id AS cid, embedding AS cv
+               FROM l WHERE lang <> 'en'),
+         s AS (
+           SELECT query_id, cid,
+             list_reduce(list_transform(range(1, len(cv) + 1),
+               i -> CAST(cv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)),
+               (x, y) -> x + y) AS dot,
+             list_reduce(list_transform(range(1, len(cv) + 1),
+               i -> CAST(cv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)),
+               (x, y) -> x + y) AS na,
+             list_reduce(list_transform(range(1, len(qv) + 1),
+               i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)),
+               (x, y) -> x + y) AS nb
+           FROM q, c),
+         sc AS (
+           SELECT query_id, cid,
+             CASE WHEN na = 0 OR nb = 0 THEN 0.0
+                  ELSE dot / (sqrt(na) * sqrt(nb)) END AS score
+           FROM s),
+         r AS (
+           SELECT query_id, cid, score,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY score DESC, cid) AS rn
+           FROM sc),
+         tk AS (SELECT * FROM r WHERE rn <= 4),
+         a AS (
+           SELECT query_id,
+             MIN(CASE WHEN rn = 1 THEN cid END) AS best_id,
+             MIN(CASE WHEN rn = 1 THEN score END) AS best_score,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             list_reduce(list_sort(list(score)), (x, y) -> x + y) AS sm
+           FROM tk GROUP BY 1)
+         SELECT query_id, best_id, best_score,
+           sm / CAST(n AS DOUBLE) AS topk_mean,
+           CASE WHEN sm = 0 THEN NULL
+             ELSE best_score * CAST(n AS DOUBLE) / sm END AS margin_ratio
+         FROM a ORDER BY query_id""",
 
     // prefix cosine via range(1, d+1) folds; same (score desc, id) rank
     // tie-break; overlap vs the d=64 ranking, exact-integer mean

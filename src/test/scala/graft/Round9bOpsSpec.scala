@@ -51,6 +51,32 @@ class Round9bOpsSpec extends SparkTestBase {
     assert(out(2).getLong(1) == 0L && !out(2).getBoolean(10))
   }
 
+  test("marginBestMatch: hub-adjacent best match needs the margin to stand out") {
+    // query q: candidate 20 is the clear best; 21..23 are mediocre →
+    // margin_ratio well above 1. All-equal candidates → ratio exactly 1.
+    val vecs = Seq(
+      (1L, Array(1f, 0f, 0f)),    // query
+      (20L, Array(0.95f, 0.1f, 0f)),
+      (21L, Array(0.3f, 0.9f, 0f)),
+      (22L, Array(0.2f, 0.9f, 0.2f)),
+      (23L, Array(0f, 1f, 0f)))
+      .toDF("vec_id", "embedding")
+    val out = graft.functions.VectorOps.marginBestMatch(
+        vecs.filter(col("vec_id") >= 20), vecs.filter(col("vec_id") === 1),
+        "vec_id", "embedding", k = 4)
+      .collect().head
+    assert(out.getLong(1) == 20L)
+    assert(out.getDouble(4) > 1.0, out.toString)
+    // identical candidates: best == mean → ratio 1.0 bit-exact
+    val flat = Seq((30L, Array(1f, 1f, 0f)), (31L, Array(1f, 1f, 0f)),
+      (32L, Array(1f, 1f, 0f))).toDF("vec_id", "embedding")
+    val o2 = graft.functions.VectorOps.marginBestMatch(
+        flat, vecs.filter(col("vec_id") === 1),
+        "vec_id", "embedding", k = 3)
+      .collect().head
+    assert(o2.getDouble(4) == 1.0 && o2.getLong(1) == 30L)
+  }
+
   test("mixtureWaterfill: small sources drain, the rest split the waterline evenly") {
     // caps 10, 20, 100, 100; budget 60 → k=2 (10+20+waterline·2 = 60 →
     // L = 15? check: rank1 cap10: 10 + 10·3 = 40 ≤ 60 ✓; rank2 cap20:
