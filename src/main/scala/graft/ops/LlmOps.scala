@@ -2411,6 +2411,34 @@ object LlmOps {
           .as("jaccard"))
   }
 
+  /** Encoding-artifact screen: counts the three classic corruption
+    * signatures a crawl pipeline must catch before text enters training —
+    * mojibake marker sequences (UTF-8 bytes decoded as Latin-1: "Ã",
+    * "â€", "Â"), U+FFFD replacement characters (decoder gave up), and
+    * C0/C1 control characters (binary bleed; tab/newline/CR excluded) —
+    * plus a per-kchar artifact rate and a fixed-threshold `is_corrupt`
+    * flag. Pure `regexp_count` projections on the raw text (case and
+    * bytes matter — no normText), zero shuffle; the rate is one divide.
+    */
+  def encodingArtifacts(df: DataFrame, idCol: String,
+                        textCol: String): DataFrame = {
+    val text = coalesce(col(textCol), lit(""))
+    df.select(col(idCol),
+        length(text).cast("long").as("n_chars"),
+        regexp_count(text, lit("Ã|â€|Â")).cast("long").as("n_mojibake"),
+        regexp_count(text, lit("�")).cast("long").as("n_replacement"),
+        regexp_count(text, lit("[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]"))
+          .cast("long").as("n_control"))
+      .withColumn("artifact_rate",
+        when(col("n_chars") === 0, lit(0.0))
+          .otherwise((col("n_mojibake") + col("n_replacement")
+            + col("n_control")).cast("double") * 1000.0
+            / col("n_chars").cast("double")))
+      .withColumn("is_corrupt",
+        col("n_replacement") > 0
+          || (col("n_mojibake") + col("n_control")) * 200L > col("n_chars"))
+  }
+
   /** Rule-based code-vs-prose detector — the curation gate that routes
     * source code out of a prose mixture (and vice versa) before
     * tokenizer/mixture planning, in the spirit of the hand-rule filters

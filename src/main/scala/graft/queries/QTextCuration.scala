@@ -459,6 +459,12 @@ private[graft] object QTextCuration {
           shingleN = 3)
         .orderBy("lang_a", "lang_b")),
 
+    "encoding_artifacts" -> ((s, dir) =>
+      // crawl-hygiene screen: mojibake markers, U+FFFD, control bleed —
+      // pure regexp_count projections, zero shuffle
+      LlmOps.encodingArtifacts(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
+
     "code_detect" -> ((s, dir) =>
       // code-vs-prose routing gate: symbol density + identifier shapes +
       // indentation, raw-text codegen'd string ops, fixed thresholds
@@ -1695,6 +1701,27 @@ private[graft] object QTextCuration {
          FROM sh2 JOIN pl ca ON sh2.lang_a = ca.lang
                   JOIN pl cb ON sh2.lang_b = cb.lang
          ORDER BY lang_a, lang_b""",
+
+    // same marker regexes on the raw text; per-kchar rate one divide,
+    // corrupt flag integer cross-multiplied
+    "encoding_artifacts" ->
+      """WITH m AS (
+           SELECT doc_id,
+             CAST(length(COALESCE(text, '')) AS BIGINT) AS n_chars,
+             CAST(len(regexp_extract_all(COALESCE(text, ''),
+               'Ã|â€|Â')) AS BIGINT) AS n_mojibake,
+             CAST(len(regexp_extract_all(COALESCE(text, ''),
+               '�')) AS BIGINT) AS n_replacement,
+             CAST(len(regexp_extract_all(COALESCE(text, ''),
+               '[\x00-\x08\x0b\x0c\x0e-\x1f]')) AS BIGINT) AS n_control
+           FROM documents)
+         SELECT doc_id, n_chars, n_mojibake, n_replacement, n_control,
+           CASE WHEN n_chars = 0 THEN 0.0
+             ELSE CAST(n_mojibake + n_replacement + n_control AS DOUBLE)
+               * 1000.0 / CAST(n_chars AS DOUBLE) END AS artifact_rate,
+           n_replacement > 0
+             OR (n_mojibake + n_control) * 200 > n_chars AS is_corrupt
+         FROM m ORDER BY doc_id""",
 
     // raw-text symbol/identifier/indent counts; ratios one divide each,
     // is_code the fixed-threshold OR

@@ -51,6 +51,26 @@ class Round9bOpsSpec extends SparkTestBase {
     assert(out(2).getLong(1) == 0L && !out(2).getBoolean(10))
   }
 
+  test("encodingArtifacts: mojibake, U+FFFD and control bleed all flag") {
+    val docs = Seq(
+      (1L, "perfectly clean prose with no artifacts whatsoever in it"),
+      (2L, "cafÃ© dÃ©jÃ  vu mangled text"), // Ã© Ã© Ã  = latin-1 view of UTF-8
+      (3L, "decoder gave up here � and here �"),
+      (4L, "binary\u0001bleed\u0002with\u0003control\u0004chars\u0005x"),
+      (5L, "")).toDF("doc_id", "text")
+    val out = graft.ops.LlmOps.encodingArtifacts(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(out(0).getLong(2) == 0L && !out(0).getBoolean(6)) // clean
+    assert(out(1).getLong(2) == 3L, out(1).toString) // three Ã markers
+    assert(out(2).getLong(3) == 2L && out(2).getBoolean(6)) // FFFD ⇒ corrupt
+    assert(out(3).getLong(4) == 5L && out(3).getBoolean(6)) // 5 controls in 36 chars
+    assert(out(4).getLong(1) == 0L && out(4).getDouble(5) == 0.0) // empty
+    // tab/newline are NOT control bleed
+    val tabby = Seq((9L, "a\tb\nc\rd")).toDF("doc_id", "text")
+    assert(graft.ops.LlmOps.encodingArtifacts(tabby, "doc_id", "text")
+      .collect().head.getLong(4) == 0L)
+  }
+
   test("marginBestMatch: hub-adjacent best match needs the margin to stand out") {
     // query q: candidate 20 is the clear best; 21..23 are mediocre →
     // margin_ratio well above 1. All-equal candidates → ratio exactly 1.
