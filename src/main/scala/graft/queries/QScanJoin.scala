@@ -306,6 +306,23 @@ private[graft] object QScanJoin {
         ORDER BY l_returnflag, l_linestatus""")
     }),
 
+    "sql_surface_q2" -> ((s, dir) => {
+      // the NATIVE-expression SQL surface: graft's registered Catalyst
+      // functions composing in raw SQL text (hashed_shingles here) — a
+      // reference user can call the engine's extensions from plain SQL.
+      // The query consumes hashes only through DISTINCTNESS (counts), so
+      // the DuckDB twin replays it over string shingles exactly.
+      Tables.registerViews(s, dir)
+      s.sql("""
+        WITH s AS (
+          SELECT lang, explode(hashed_shingles(text, 3)) AS h
+          FROM documents)
+        SELECT lang,
+          CAST(COUNT(DISTINCT h) AS BIGINT) AS n_distinct_shingles,
+          CAST(COUNT(*) AS BIGINT) AS n_shingle_occurrences
+        FROM s GROUP BY lang ORDER BY lang""")
+    }),
+
     "contract_violations" -> ((s, dir) =>
       // post-load publish gate: the whole contract in ONE aggregate pass
       // — |rules| output rows, null predicate counts as violation
@@ -631,6 +648,22 @@ private[graft] object QScanJoin {
          WHERE l_shipdate < TIMESTAMP '2000-09-01 00:00:00'
          GROUP BY l_returnflag, l_linestatus
          ORDER BY l_returnflag, l_linestatus""",
+
+    // the native hashed_shingles consumed through distinctness only —
+    // DuckDB replays with the string shingle family (per-doc distinct,
+    // split-replicating tokenizer), counts agree collision-free
+    "sql_surface_q2" ->
+      """WITH d AS (
+           SELECT lang,
+             list_distinct(list_transform(
+               range(1, greatest(len(string_split_regex(lower(trim(text)), '\s+')) - 3, 0) + 2),
+               i -> array_to_string(list_slice(string_split_regex(lower(trim(text)), '\s+'), i, i + 2), ' '))) AS sh
+           FROM documents),
+         s AS (SELECT lang, unnest(sh) AS h FROM d)
+         SELECT lang,
+           CAST(COUNT(DISTINCT h) AS BIGINT) AS n_distinct_shingles,
+           CAST(COUNT(*) AS BIGINT) AS n_shingle_occurrences
+         FROM s GROUP BY lang ORDER BY lang""",
 
     "contract_violations" ->
       """WITH m AS (

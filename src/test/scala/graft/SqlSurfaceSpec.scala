@@ -57,6 +57,27 @@ class SqlSurfaceSpec extends SparkTestBase {
     assert(df == sql)
   }
 
+  test("native graft expressions compose in raw SQL text (sql_surface_q2)") {
+    Tables.registerViews(spark, "/root/testdata/sf0.001")
+    val out = SparkEntry.queries("sql_surface_q2")(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(out.nonEmpty)
+    // per-doc dedupe means distinct ≤ occurrences, both positive per lang
+    out.foreach { r =>
+      assert(r.getLong(1) > 0 && r.getLong(1) <= r.getLong(2), r.toString)
+    }
+    // and the SQL hashed_shingles agrees with the Column-API composition
+    import org.apache.spark.sql.functions._
+    val api = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("lang"),
+        explode(graft.ops.LlmOps.shingleHashesBest(
+          spark.read.parquet("/root/testdata/sf0.001/documents.parquet"),
+          col("text"), 3)).as("h"))
+      .groupBy("lang").agg(countDistinct(col("h")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    out.foreach(r => assert(api(r.getString(0)) == r.getLong(1), r.toString))
+  }
+
   test("registerViews exposes every harness table to spark.sql") {
     Tables.registerViews(spark, "/root/testdata/sf0.001")
     Tables.names.foreach { n =>
