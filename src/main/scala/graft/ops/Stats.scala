@@ -201,6 +201,51 @@ object Stats {
           .as("kappa"))
   }
 
+  /** Grid-interpolated quantile normalization: replace each value with
+    * the GLOBAL distribution's value at the row's within-group rank
+    * fraction — the cross-batch/cross-source distribution alignment
+    * (classic in bioinformatics array normalization; in data pipelines it
+    * puts per-source quality scores on one comparable scale before a
+    * global threshold is applied). p = (rank − 1)/(n − 1) within the
+    * group (endpoints hit the global extremes; singleton groups map to
+    * the median), looked up against a G-point exact-percentile grid of
+    * the global distribution with linear interpolation.
+    *
+    * The grid is the scale contract: G+1 exact `percentile` points from
+    * ONE global aggregate (broadcast back), so no global sort and no
+    * single-partition window exists at any scale — the r7 quantile_bins
+    * lesson; the per-group rank windows partition by the group key. All
+    * interpolation arithmetic is fixed double expressions an external
+    * SQL twin replays exactly.
+    */
+  def quantileNormalize(df: DataFrame, groupCol: String, idCol: String,
+                        valueCol: String, gridPoints: Int = 20): DataFrame = {
+    require(gridPoints >= 2)
+    val fracs = (0 to gridPoints).map(i => lit(i.toDouble / gridPoints))
+    val grid = df.agg(
+      percentile(col(valueCol), array(fracs: _*)).as("__grid"))
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col(valueCol).asc, col(idCol).asc)
+    val wn = Window.partitionBy(col(groupCol))
+    df.select(col(groupCol), col(idCol), col(valueCol))
+      .withColumn("__r", row_number().over(w).cast("long"))
+      .withColumn("__n", count(lit(1)).over(wn))
+      .crossJoin(broadcast(grid))
+      .withColumn("__p",
+        when(col("__n") === 1, lit(0.5))
+          .otherwise((col("__r") - 1).cast("double")
+            / (col("__n") - 1).cast("double")))
+      .withColumn("__gpos", col("__p") * gridPoints)
+      .withColumn("__lo", floor(col("__gpos")).cast("int"))
+      .withColumn("__hi", least(col("__lo") + 1, lit(gridPoints)))
+      .select(col(groupCol), col(idCol), col(valueCol),
+        (element_at(col("__grid"), col("__lo") + 1)
+          + (element_at(col("__grid"), col("__hi") + 1)
+            - element_at(col("__grid"), col("__lo") + 1))
+          * (col("__gpos") - col("__lo").cast("double")))
+          .as("normalized"))
+  }
+
   /** Winsorization: clip a value column to its per-group [lo, hi]
     * percentile band — the robust-stats tail treatment (Tukey's trimming
     * cousin) a feature pipeline applies before z-scoring so one whale

@@ -444,6 +444,14 @@ private[graft] object QAggWindow {
           Seq("c_nationkey", "c_mktsegment"), k = 10)
         .orderBy("c_nationkey", "c_mktsegment")),
 
+    "quantile_normalize" -> ((s, dir) =>
+      // per-source doc-length distributions aligned onto the global
+      // scale: 21-point exact-percentile grid from one aggregate,
+      // group-partitioned rank windows, linear interpolation
+      Stats.quantileNormalize(t(s, dir, "documents"), "source", "doc_id",
+          "n_chars", gridPoints = 20)
+        .orderBy("source", "doc_id")),
+
     "l_diversity" -> ((s, dir) =>
       // k-anonymity's sensitive-value gap: (nation, segment) groups whose
       // customers share < 3 distinct account-balance signs/buckets still
@@ -1104,6 +1112,38 @@ private[graft] object QAggWindow {
       """SELECT c_nationkey, c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_rows,
            COUNT(*) < 10 AS at_risk
          FROM customer GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // same 21-point quantile_cont grid, same (value, id) rank tie-break,
+    // identical interpolation arithmetic
+    "quantile_normalize" ->
+      """WITH t AS (
+           SELECT source, doc_id, CAST(n_chars AS BIGINT) AS n_chars
+           FROM documents),
+         g AS (
+           SELECT quantile_cont(n_chars, [0.0, 0.05, 0.1, 0.15, 0.2, 0.25,
+             0.3, 0.35, 0.4, 0.45, 0.5, 0.55, 0.6, 0.65, 0.7, 0.75, 0.8,
+             0.85, 0.9, 0.95, 1.0]) AS grid
+           FROM t),
+         r AS (
+           SELECT source, doc_id, n_chars,
+             CAST(row_number() OVER (PARTITION BY source
+               ORDER BY n_chars, doc_id) AS BIGINT) AS rn,
+             CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS n
+           FROM t),
+         x AS (
+           SELECT r.*, g.grid,
+             CASE WHEN n = 1 THEN 0.5
+               ELSE (rn - 1.0) / (n - 1.0) END AS p
+           FROM r, g),
+         y AS (
+           SELECT *, p * 20 AS gpos,
+             CAST(floor(p * 20) AS INT) AS lo,
+             least(CAST(floor(p * 20) AS INT) + 1, 20) AS hi
+           FROM x)
+         SELECT source, doc_id, n_chars,
+           grid[lo + 1] + (grid[hi + 1] - grid[lo + 1]) * (gpos - lo)
+             AS normalized
+         FROM y ORDER BY source, doc_id""",
 
     "l_diversity" ->
       """WITH s AS (

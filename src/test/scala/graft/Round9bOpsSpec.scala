@@ -51,6 +51,30 @@ class Round9bOpsSpec extends SparkTestBase {
     assert(out(2).getLong(1) == 0L && !out(2).getBoolean(10))
   }
 
+  test("quantileNormalize: group ranks map onto the global scale; extremes meet") {
+    // group A values 1..5, group B values 101..105: after normalization
+    // both groups span the SAME global range — rank 1 of each group maps
+    // to the global min, rank n to the global max
+    val rows = (Seq(1L, 2L, 3L, 4L, 5L).zipWithIndex.map { case (v, i) => ("A", i.toLong, v) }
+      ++ Seq(101L, 102L, 103L, 104L, 105L).zipWithIndex.map { case (v, i) => ("B", 10L + i, v) })
+      .toDF("grp", "id", "v")
+    val out = graft.ops.Stats.quantileNormalize(rows, "grp", "id", "v", gridPoints = 20)
+      .orderBy("grp", "id").collect()
+    val a = out.filter(_.getString(0) == "A").map(_.getDouble(3)).toSeq
+    val b = out.filter(_.getString(0) == "B").map(_.getDouble(3)).toSeq
+    assert(a == b, s"aligned distributions must coincide: $a vs $b")
+    assert(a.head == 1.0 && a.last == 105.0) // global extremes
+    assert(a == a.sorted) // monotone in rank
+    // singleton group lands on the global median
+    val one = (rows.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      :+ (("C", 99L, 50L)))
+      .toDF("grp", "id", "v")
+    val c = graft.ops.Stats.quantileNormalize(one, "grp", "id", "v", 20)
+      .filter(col("grp") === "C").collect().head.getDouble(3)
+    // global median of 1..5,101..105,50 (11 values) = 50
+    assert(c == 50.0, c.toString)
+  }
+
   test("encodingArtifacts: mojibake, U+FFFD and control bleed all flag") {
     val docs = Seq(
       (1L, "perfectly clean prose with no artifacts whatsoever in it"),
