@@ -24,15 +24,18 @@ private[graft] object QVector {
     }),
 
     "bitext_mine" -> ((s, dir) => {
-      // parallel-pair mining: every 10th en doc's embedding vs all
-      // non-en docs, best match normalized by the query's top-4 mean
-      // (the hubness-correcting ratio margin) — queries broadcast,
-      // scoring map-side, rank exchange group-limited
+      // parallel-pair mining: a BOUNDED query batch (every 10th en doc
+      // among ids < 500 — the workload a miner actually runs with, fixed
+      // as the corpus grows) vs all non-en docs, best match normalized
+      // by the query's top-4 mean (the hubness-correcting ratio margin)
+      // — queries broadcast, scoring map-side candidate-linear, rank
+      // exchange group-limited
       val emb = t(s, dir, "embeddings")
       val docs = t(s, dir, "documents").select(col("doc_id"), col("lang"))
       val joined = emb.join(docs, col("vec_id") === col("doc_id"))
       val queries = joined
-        .filter(col("lang") === "en" && col("vec_id") % 10 === 0)
+        .filter(col("lang") === "en" && col("vec_id") % 10 === 0
+          && col("vec_id") < 500)
         .select(col("vec_id"), col("embedding"))
       val cands = joined.filter(col("lang") =!= "en")
         .select(col("vec_id"), col("embedding"))
@@ -338,7 +341,8 @@ private[graft] object QVector {
            SELECT e.vec_id, e.embedding, d.lang
            FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id),
          q AS (SELECT vec_id AS query_id, embedding AS qv
-               FROM l WHERE lang = 'en' AND vec_id % 10 = 0),
+               FROM l WHERE lang = 'en' AND vec_id % 10 = 0
+                 AND vec_id < 500),
          c AS (SELECT vec_id AS cid, embedding AS cv
                FROM l WHERE lang <> 'en'),
          s AS (
