@@ -2368,9 +2368,12 @@ object LlmOps {
                               shingleN: Int = 3, num: Int = 1,
                               den: Int = 8): DataFrame = {
     require(num > 0 && den >= num, s"crossLangOverlapSampled: bad rate $num/$den")
+    // md5-48 MUST stay (the hash value is the portable sampling key), but
+    // it comes from the native minhash_plan pass — identical values, one
+    // tight Java loop per doc instead of string-row explode + md5 column
     val hashed = df.select(col(langCol).as("__lang"),
-        explode(shingles(col(textCol), shingleN)).as("__sh"))
-      .select(col("__lang"), md5Hash48(col("__sh"), 1).as("__h"))
+        explode(minhashPlanBest(df, col(textCol), shingleN, 1)
+          .getField("sh")).as("__h"))
     val filtered = if (num >= den) hashed
       else hashed.filter(pmod(col("__h"), lit(den)) < num)
     val s = crossLangFromHashed(filtered)
