@@ -650,7 +650,10 @@ object StreamingOps {
 
     override def handleInputRows(key: Long, rows: Iterator[TypedEvent],
         timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[TransitionPair] = {
-      val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.eventType))
+      // (ts, eventId) — the batch transitionMatrix's (ts, tieCol) order;
+      // a (ts, eventType) sort would flip same-second pairs vs batch
+      // (the LastTouchTracker lesson, ADVICE r8)
+      val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.eventId))
       var prev = if (last.exists()) last.get().lastType else null
       val out = scala.collection.mutable.ArrayBuffer.empty[TransitionPair]
       sorted.foreach { e =>

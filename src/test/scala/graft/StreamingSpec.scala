@@ -420,11 +420,15 @@ class StreamingSpec extends SparkTestBase {
   test("streaming transitions: pairs across batch boundaries match the batch lead window") {
     import StreamingOps.TypedEvent
     val events = Seq(
-      TypedEvent(1L, "A", ts("2024-01-01 10:00:00")),
-      TypedEvent(1L, "B", ts("2024-01-01 10:01:00")),
-      TypedEvent(1L, "A", ts("2024-01-01 10:02:00")),
-      TypedEvent(2L, "C", ts("2024-01-01 11:00:00")),
-      TypedEvent(2L, "A", ts("2024-01-01 11:01:00")))
+      TypedEvent(1L, "A", ts("2024-01-01 10:00:00"), 1L),
+      TypedEvent(1L, "B", ts("2024-01-01 10:01:00"), 2L),
+      TypedEvent(1L, "A", ts("2024-01-01 10:02:00"), 3L),
+      TypedEvent(2L, "C", ts("2024-01-01 11:00:00"), 4L),
+      TypedEvent(2L, "A", ts("2024-01-01 11:01:00"), 5L),
+      // same-second pair: eventId order says Z then A — a type-sorted
+      // stream would emit (A,Z), batch (with tieBreak=eventId) emits (Z,A)
+      TypedEvent(3L, "Z", ts("2024-01-01 12:00:00"), 6L),
+      TypedEvent(3L, "A", ts("2024-01-01 12:00:00"), 7L))
     val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
@@ -443,14 +447,14 @@ class StreamingSpec extends SparkTestBase {
         .groupBy("fromType", "toType").count()
         .as[(String, String, Long)].collect().toSet
       val batch = graft.ops.Temporal.transitionMatrix(
-          events.map(e => (e.userId, e.ts, e.eventType))
-            .toDF("user_id", "ts", "event_type")
-            .withColumn("event_id", lit(0L)),
+          events.map(e => (e.userId, e.ts, e.eventType, e.eventId))
+            .toDF("user_id", "ts", "event_type", "event_id"),
           "user_id", "ts", "event_id", "event_type")
         .select("from_type", "to_type", "n_transitions")
         .as[(String, String, Long)].collect().toSet
       assert(got == batch, s"stream $got != batch $batch")
-      assert(got == Set(("A", "B", 1L), ("B", "A", 1L), ("C", "A", 1L)))
+      assert(got == Set(("A", "B", 1L), ("B", "A", 1L), ("C", "A", 1L),
+        ("Z", "A", 1L)))
     } finally {
       q.stop()
       prevProvider match {
