@@ -650,6 +650,36 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("LeftSemi"), s"query-term prune should be a semi join:\n$p")
   }
 
+  test("quantile_normalize: grid broadcast; every window partitions by the group") {
+    val p = planOf("quantile_normalize")
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"),
+      s"the percentile grid must broadcast:\n$p")
+    // no single-partition window: every Window line must carry a
+    // partition spec (the r7 quantile_bins lesson)
+    val winLines = p.split("\n").filter(l =>
+      l.contains("windowspecdefinition") && !l.contains("WindowGroupLimit"))
+    assert(winLines.nonEmpty && winLines.forall(_.contains("source")),
+      s"all windows must partition by the group key:\n${winLines.mkString("\n")}")
+  }
+
+  test("bitext_mine / mrl_truncation_eval: queries broadcast, per-query top-k group-limits") {
+    for (q <- Seq("bitext_mine", "mrl_truncation_eval")) {
+      val p = planOf(q)
+      assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"),
+        s"$q: the query batch must broadcast:\n$p")
+      assert(p.contains("WindowGroupLimit"),
+        s"$q: rank<=k must group-limit before the rank exchange:\n$p")
+    }
+  }
+
+  test("provenance_lookup: the snippet side broadcasts onto the doc postings") {
+    val p = planOf("provenance_lookup")
+    assert(p.contains("BroadcastHashJoin"),
+      s"query fingerprints must broadcast-join the corpus postings:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the corpus postings must never sort-merge for a workload-sized probe:\n$p")
+  }
+
   test("cohens_kappa / l_diversity: aggregate pipelines, broadcast combine") {
     val pk = planOf("cohens_kappa")
     assert(pk.contains("HashAggregate") || pk.contains("SortAggregate"), pk)
