@@ -1962,6 +1962,36 @@ object LlmOps {
       .orderBy(col("cnt").desc, col("term"))
   }
 
+  /** Per-group [[heavyHitters]]: one Misra–Gries sketch PER GROUP KEY
+    * (language, source, day …) from a single aggregate — the
+    * "what dominates each slice" census, and the demonstration that the
+    * native TypedImperativeAggregate composes under groupBy exactly like
+    * a built-in (partials merge map-side per group; each group's buffer
+    * stays O(k)). Same contract emission as the global op: the exact
+    * heavy hitters (cnt·(k+1) > group total) each checked against the
+    * group's sketch via the two theorems — no-false-negative membership
+    * and the bounded under-count — so the output hashes deterministically
+    * even though raw sketch contents are merge-order-dependent.
+    */
+  def groupHeavyHitters(df: DataFrame, groupCol: String, textCol: String,
+                        k: Int = 32): DataFrame = {
+    val terms = df.select(col(groupCol).as("__g"),
+      explode(tokens(col(textCol))).as("term"))
+    val sketches = terms.groupBy(col("__g"))
+      .agg(expr(s"misra_gries(term, $k)").as("__sk"),
+        count(lit(1)).as("__n"))
+    terms.groupBy(col("__g"), col("term"))
+      .agg(count(lit(1)).as("cnt"))
+      .join(broadcast(sketches), Seq("__g"))
+      .filter(col("cnt") * (k + 1) > col("__n"))
+      .select(col("__g").as(groupCol), col("term"), col("cnt"),
+        try_element_at(col("__sk"), col("term")).isNotNull.as("in_sketch"),
+        (try_element_at(col("__sk"), col("term")) <= col("cnt") &&
+          (col("cnt") - try_element_at(col("__sk"), col("term"))) * (k + 1)
+            <= col("__n")).as("bound_ok"))
+      .orderBy(col(groupCol), col("cnt").desc, col("term"))
+  }
+
   /** Blocked fuzzy string matching (record linkage): pairs of DISTINCT
     * values whose edit distance is within `maxDist`, generated only
     * inside caller-chosen blocks — the "same entity, different spelling"

@@ -246,6 +246,12 @@ private[graft] object QTextCuration {
       // no-false-negative and bounded-under-count theorems
       LlmOps.heavyHitters(t(s, dir, "documents"), "text", k = 32)),
 
+    "group_heavy_hitters" -> ((s, dir) =>
+      // per-language frequent terms: one MG sketch per lang from a
+      // single aggregate, theorem-contract checks per group
+      LlmOps.groupHeavyHitters(t(s, dir, "documents"), "lang", "text",
+          k = 24)),
+
     "mixture_apply" -> ((s, dir) => {
       // the sampling step that EXECUTES mixture_plan: per-source rates
       // derived from the data in the same job, broadcast, then a pure
@@ -1072,6 +1078,20 @@ private[graft] object QTextCuration {
                 FROM toks GROUP BY term)
          SELECT term, cnt, true AS in_sketch, true AS bound_ok
          FROM ex, n WHERE cnt * 33 > n ORDER BY cnt DESC, term""",
+
+    // exact per-group heavy hitters; the two theorem booleans are the
+    // contract (literal true — the sketch must satisfy them)
+    "group_heavy_hitters" ->
+      """WITH toks AS (
+           SELECT lang, unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+           FROM documents),
+         n AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n
+               FROM toks GROUP BY lang),
+         ex AS (SELECT lang, term, CAST(COUNT(*) AS BIGINT) AS cnt
+                FROM toks GROUP BY lang, term)
+         SELECT ex.lang, term, cnt, true AS in_sketch, true AS bound_ok
+         FROM ex JOIN n USING (lang) WHERE cnt * 25 > n
+         ORDER BY lang, cnt DESC, term""",
 
     // replays mixturePlan's rate table then the hash-threshold keep rule;
     // DuckDB x/0 → NULL matches the zero-weight guard (rows drop),

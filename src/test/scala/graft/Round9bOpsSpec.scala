@@ -51,6 +51,25 @@ class Round9bOpsSpec extends SparkTestBase {
     assert(out(2).getLong(1) == 0L && !out(2).getBoolean(10))
   }
 
+  test("groupHeavyHitters: each group gets its own sketch and its own hitters") {
+    // "alpha" floods group A only; "beta" floods group B only — with a
+    // shared low-frequency tail that must not qualify in either
+    val docs = (
+      Seq.fill(30)(("A", "alpha alpha alpha common")) ++
+      Seq.fill(30)(("B", "beta beta beta common")) ++
+      Seq(("A", "rare1 rare2"), ("B", "rare3 rare4")))
+      .toDF("grp", "text")
+    val out = graft.ops.LlmOps.groupHeavyHitters(docs, "grp", "text", k = 3)
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getBoolean(3), r.getBoolean(4)))
+    val byGroup = out.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(byGroup("A").contains("alpha") && !byGroup("A").contains("beta"),
+      out.mkString(","))
+    assert(byGroup("B").contains("beta") && !byGroup("B").contains("alpha"))
+    // every emitted hitter satisfies both sketch theorems in ITS group
+    assert(out.forall(t => t._3 && t._4), out.mkString(","))
+  }
+
   test("quantileNormalize: group ranks map onto the global scale; extremes meet") {
     // group A values 1..5, group B values 101..105: after normalization
     // both groups span the SAME global range — rank 1 of each group maps
