@@ -164,6 +164,66 @@ object Stats {
       .withColumn("at_risk", col("n_sensitive_distinct") < l)
   }
 
+  /** t-closeness audit (Li, Li & Venkatasubramanian, ICDE'07) — the
+    * third rung of the privacy ladder after [[kAnonymityAudit]] and
+    * [[lDiversityAudit]]: a group can be large AND sensitive-diverse yet
+    * still disclosing if its sensitive DISTRIBUTION deviates from the
+    * table-wide one (all-low salaries in one zip code). For an ORDINAL
+    * sensitive attribute the prescribed distance is the Earth Mover's
+    * Distance, which collapses to mean absolute CDF difference:
+    * EMD = Σ_{i<m−1} |F_g(i) − F(i)| / (m − 1).
+    *
+    * Exact-integer discipline: each CDF difference is
+    * |cum_g(i)·N − cum(i)·n_g| (exact longs — no per-bucket division),
+    * summed and divided ONCE by n_g·N·(m−1). The group × bucket frame is
+    * densified by cross-joining the broadcast global bucket list, so
+    * missing buckets carry the previous cumulative correctly. All
+    * windows run over |groups|·m rows.
+    */
+  def tClosenessAudit(df: DataFrame, quasiCols: Seq[String],
+                      sensitiveCol: String, t: Double): DataFrame = {
+    require(quasiCols.nonEmpty && t > 0)
+    val qc = quasiCols.map(col)
+    val base = df.select((qc :+ col(sensitiveCol).as("__s")): _*)
+    val global = base.groupBy(col("__s")).agg(count(lit(1)).as("__gc"))
+    val globalCum = global
+      .withColumn("__gcum", sum(col("__gc")).over(
+        Window.orderBy(col("__s"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val totals = global.agg(sum(col("__gc")).as("__N"),
+      count(lit(1)).as("__m"))
+    val perGroup = base.groupBy((qc :+ col("__s")): _*)
+      .agg(count(lit(1)).as("__c"))
+    val groups = base.groupBy(qc: _*).agg(count(lit(1)).as("n_rows"))
+    // densify: every group × every global bucket, then cumulative
+    val dense = groups
+      .crossJoin(broadcast(globalCum.select(col("__s"), col("__gcum"))))
+      .join(perGroup, quasiCols :+ "__s", "left")
+      .withColumn("__c", coalesce(col("__c"), lit(0L)))
+      .withColumn("__cum", sum(col("__c")).over(
+        Window.partitionBy(qc: _*).orderBy(col("__s"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val sums = dense
+      .crossJoin(broadcast(totals))
+      .withColumn("__rank", row_number().over(
+        Window.partitionBy(qc: _*).orderBy(col("__s"))))
+      .filter(col("__rank") < col("__m")) // the last CDF point is always 0
+      .groupBy(qc: _*)
+      .agg(sum(abs(col("__cum") * col("__N") - col("__gcum") * col("n_rows")))
+        .as("__num"))
+    // left-join back so a single-bucket domain (m = 1, nothing below the
+    // last CDF point) stays total with EMD 0 instead of dropping groups
+    groups
+      .crossJoin(broadcast(totals))
+      .join(sums, quasiCols, "left")
+      .select((qc :+ col("n_rows") :+
+        when(col("__m") === 1 || col("__num").isNull, lit(0.0))
+          .otherwise(col("__num").cast("double")
+            / (col("n_rows") * col("__N") * (col("__m") - 1)).cast("double"))
+          .as("emd")): _*)
+      .withColumn("at_risk", col("emd") > t)
+  }
+
   /** Cohen's kappa (Cohen, Educ. Psychol. Meas. 1960) between two
     * categorical labelers over the same rows — the inter-annotator
     * agreement number every labeling/curation pipeline reports before

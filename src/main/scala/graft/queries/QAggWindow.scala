@@ -463,6 +463,19 @@ private[graft] object QAggWindow {
           Seq("c_nationkey", "c_mktsegment"), "__sens", l = 3)
         .orderBy("c_nationkey", "c_mktsegment")),
 
+    "t_closeness" -> ((s, dir) =>
+      // the privacy ladder's third rung: per-(nation, segment) ordinal
+      // EMD of the balance-bucket distribution vs the table-wide one —
+      // exact-integer CDF differences, ONE divide per group
+      Stats.tClosenessAudit(
+          t(s, dir, "customer").withColumn("__sens",
+            when(col("c_acctbal") < 0, 0)
+              .when(col("c_acctbal") < 2500, 1)
+              .when(col("c_acctbal") < 5000, 2)
+              .when(col("c_acctbal") < 7500, 3).otherwise(4)),
+          Seq("c_nationkey", "c_mktsegment"), "__sens", t = 0.15)
+        .orderBy("c_nationkey", "c_mktsegment")),
+
     "cohens_kappa" -> ((s, dir) => {
       // inter-rater agreement between two deterministic quality raters
       // (char-length buckets vs whitespace-token buckets) over documents
@@ -1156,6 +1169,58 @@ private[graft] object QAggWindow {
            CAST(COUNT(DISTINCT sens) AS BIGINT) AS n_sensitive_distinct,
            COUNT(DISTINCT sens) < 3 AS at_risk
          FROM s GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // densified group × bucket cumulative counts; EMD numerator in exact
+    // longs |cum_g·N − cum·n_g|, one divide per group
+    "t_closeness" ->
+      """WITH b AS (
+           SELECT c_nationkey, c_mktsegment,
+             CASE WHEN c_acctbal < 0 THEN 0
+                  WHEN c_acctbal < 2500 THEN 1
+                  WHEN c_acctbal < 5000 THEN 2
+                  WHEN c_acctbal < 7500 THEN 3 ELSE 4 END AS s
+           FROM customer),
+         gl AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS gc FROM b GROUP BY 1),
+         glc AS (
+           SELECT s, CAST(SUM(gc) OVER (ORDER BY s
+             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS gcum
+           FROM gl),
+         tot AS (SELECT CAST(SUM(gc) AS BIGINT) AS N,
+                   CAST(COUNT(*) AS BIGINT) AS m FROM gl),
+         grp AS (
+           SELECT c_nationkey, c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_rows
+           FROM b GROUP BY 1, 2),
+         pg AS (
+           SELECT c_nationkey, c_mktsegment, s, CAST(COUNT(*) AS BIGINT) AS c
+           FROM b GROUP BY 1, 2, 3),
+         dense AS (
+           SELECT grp.c_nationkey, grp.c_mktsegment, grp.n_rows,
+             glc.s, glc.gcum, COALESCE(pg.c, 0) AS c
+           FROM grp CROSS JOIN glc
+           LEFT JOIN pg ON pg.c_nationkey = grp.c_nationkey
+             AND pg.c_mktsegment = grp.c_mktsegment AND pg.s = glc.s),
+         cum AS (
+           SELECT *, CAST(SUM(c) OVER (PARTITION BY c_nationkey, c_mktsegment
+             ORDER BY s ROWS UNBOUNDED PRECEDING) AS BIGINT) AS gcum_g,
+             row_number() OVER (PARTITION BY c_nationkey, c_mktsegment
+               ORDER BY s) AS rk
+           FROM dense),
+         sums AS (
+           SELECT c_nationkey, c_mktsegment,
+             CAST(SUM(abs(gcum_g * tot.N - gcum * n_rows)) AS BIGINT) AS num
+           FROM cum, tot WHERE rk < tot.m GROUP BY 1, 2)
+         SELECT grp.c_nationkey, grp.c_mktsegment, grp.n_rows,
+           CASE WHEN tot.m = 1 OR sums.num IS NULL THEN 0.0
+             ELSE CAST(sums.num AS DOUBLE)
+               / CAST(grp.n_rows * tot.N * (tot.m - 1) AS DOUBLE) END AS emd,
+           (CASE WHEN tot.m = 1 OR sums.num IS NULL THEN 0.0
+             ELSE CAST(sums.num AS DOUBLE)
+               / CAST(grp.n_rows * tot.N * (tot.m - 1) AS DOUBLE) END) > 0.15
+             AS at_risk
+         FROM grp CROSS JOIN tot
+         LEFT JOIN sums ON sums.c_nationkey = grp.c_nationkey
+           AND sums.c_mktsegment = grp.c_mktsegment
+         ORDER BY grp.c_nationkey, grp.c_mktsegment""",
 
     // exact-integer kappa: (N·agree − Σ margA·margB) / (N² − Σ margA·margB)
     "cohens_kappa" ->

@@ -51,6 +51,23 @@ class Round9bOpsSpec extends SparkTestBase {
     assert(out(2).getLong(1) == 0L && !out(2).getBoolean(10))
   }
 
+  test("tClosenessAudit: a skewed group flags; a representative one does not") {
+    // symmetric skews + one globally-representative group: global is
+    // (15, 15) over buckets {0, 1} (F(0) = 0.5, m = 2, N = 30)
+    val rows = (Seq.fill(10)(("skew0", "x", 0)) ++ Seq.fill(10)(("skew1", "x", 1))
+      ++ (1 to 5).map(_ => ("mix", "x", 0)) ++ (1 to 5).map(_ => ("mix", "x", 1)))
+      .toDF("q1", "q2", "sens")
+    val out = graft.ops.Stats.tClosenessAudit(rows, Seq("q1", "q2"), "sens", t = 0.2)
+      .orderBy("q1").collect()
+    val byG = out.map(r => r.getString(0) -> (r.getDouble(3), r.getBoolean(4))).toMap
+    // mix matches the global CDF exactly: |5·30 − 15·10| = 0
+    assert(byG("mix")._1 == 0.0 && !byG("mix")._2)
+    // skew0 all-bucket-0: |10·30 − 15·10| / (10·30·1) = 0.5 — and the
+    // mirror-image skew1 (cum_g(0)=0) lands on the same distance
+    assert(byG("skew0")._1 == 0.5 && byG("skew0")._2, byG("skew0").toString)
+    assert(byG("skew1")._1 == 0.5 && byG("skew1")._2)
+  }
+
   test("groupHeavyHitters: each group gets its own sketch and its own hitters") {
     // "alpha" floods group A only; "beta" floods group B only — with a
     // shared low-frequency tail that must not qualify in either
