@@ -250,7 +250,7 @@ private[graft] object QTextCuration {
       // per-language frequent terms: one MG sketch per lang from a
       // single aggregate, theorem-contract checks per group
       LlmOps.groupHeavyHitters(t(s, dir, "documents"), "lang", "text",
-          k = 24)),
+          k = 64)),
 
     "mixture_apply" -> ((s, dir) => {
       // the sampling step that EXECUTES mixture_plan: per-source rates
@@ -1090,7 +1090,7 @@ private[graft] object QTextCuration {
          ex AS (SELECT lang, term, CAST(COUNT(*) AS BIGINT) AS cnt
                 FROM toks GROUP BY lang, term)
          SELECT ex.lang, term, cnt, true AS in_sketch, true AS bound_ok
-         FROM ex JOIN n USING (lang) WHERE cnt * 25 > n
+         FROM ex JOIN n USING (lang) WHERE cnt * 65 > n
          ORDER BY lang, cnt DESC, term""",
 
     // replays mixturePlan's rate table then the hash-threshold keep rule;
