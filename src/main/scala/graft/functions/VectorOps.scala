@@ -931,10 +931,15 @@ object VectorOps {
       .select(col("query_id"), col("__d"), col("__cid"))
     val full = topk.filter(col("__d") === fullDim)
       .select(col("query_id"), col("__cid"))
+    // Left-join a hit marker rather than left_semi: a semi join would DROP
+    // (query, dim) groups with zero overlap with the full-dim top-k, biasing
+    // mean/min upward — min_overlap could never report 0, the exact worst
+    // case this eval exists to surface. Every (query, dim) group in `topk`
+    // (k rows each) survives here with __common = 0 when nothing overlaps.
     val perQuery = topk
-      .join(full, Seq("query_id", "__cid"), "left_semi")
+      .join(full.withColumn("__hit", lit(1L)), Seq("query_id", "__cid"), "left")
       .groupBy(col("query_id"), col("__d"))
-      .agg(count(lit(1)).as("__common"))
+      .agg(sum(coalesce(col("__hit"), lit(0L))).as("__common"))
     perQuery
       .groupBy(col("__d"))
       .agg(count(lit(1)).cast("long").as("n_queries"),

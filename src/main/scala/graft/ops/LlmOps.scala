@@ -2444,21 +2444,43 @@ object LlmOps {
           .as("jaccard"))
   }
 
+  /** Characters a mojibake LEAD ("Ã"/"Â" — UTF-8 lead bytes 0xC3/0xC2
+    * read back through Latin-1 or cp1252) is actually followed by in
+    * double-decoded text: the continuation-byte images. Bytes 0xA0–0xBF
+    * map identically in Latin-1 and cp1252 (U+00A0–U+00BF); bytes
+    * 0x80–0x9F map to cp1252's punctuation block (€‚ƒ„… quotes, dashes,
+    * ™œžŸ …). Matching the bare lead character instead would flag
+    * legitimate Portuguese text ("SÃO", "NÃO") as corrupt.
+    */
+  val mojibakeContinuations: String =
+    (' ' to '¿').mkString +
+      "€‚ƒ„…†‡ˆ‰Š‹ŒŽ" +
+      "‘’“”•–—˜™š›œžŸ"
+
+  /** Marker regex shared by [[encodingArtifacts]] and its SQL twin: a
+    * lead char is mojibake only when a plausible continuation follows
+    * ("â€" is two continuation images already — a strong marker alone).
+    * Enumerated literal class, no metacharacters — portable between Java
+    * regex and RE2. */
+  val mojibakePattern: String =
+    s"Ã[$mojibakeContinuations]|â€|Â[$mojibakeContinuations]"
+
   /** Encoding-artifact screen: counts the three classic corruption
     * signatures a crawl pipeline must catch before text enters training —
-    * mojibake marker sequences (UTF-8 bytes decoded as Latin-1: "Ã",
-    * "â€", "Â"), U+FFFD replacement characters (decoder gave up), and
-    * C0/C1 control characters (binary bleed; tab/newline/CR excluded) —
-    * plus a per-kchar artifact rate and a fixed-threshold `is_corrupt`
-    * flag. Pure `regexp_count` projections on the raw text (case and
-    * bytes matter — no normText), zero shuffle; the rate is one divide.
+    * mojibake marker sequences (UTF-8 bytes decoded as Latin-1/cp1252:
+    * "Ã"/"Â" + continuation image, "â€"), U+FFFD replacement characters
+    * (decoder gave up), and C0 control characters (binary bleed;
+    * tab/newline/CR excluded) — plus a per-kchar artifact rate and a
+    * fixed-threshold `is_corrupt` flag. Pure `regexp_count` projections
+    * on the raw text (case and bytes matter — no normText), zero shuffle;
+    * the rate is one divide.
     */
   def encodingArtifacts(df: DataFrame, idCol: String,
                         textCol: String): DataFrame = {
     val text = coalesce(col(textCol), lit(""))
     df.select(col(idCol),
         length(text).cast("long").as("n_chars"),
-        regexp_count(text, lit("Ã|â€|Â")).cast("long").as("n_mojibake"),
+        regexp_count(text, lit(mojibakePattern)).cast("long").as("n_mojibake"),
         regexp_count(text, lit("�")).cast("long").as("n_replacement"),
         regexp_count(text, lit("[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]"))
           .cast("long").as("n_control"))

@@ -195,10 +195,20 @@ object Stats {
     val perGroup = base.groupBy((qc :+ col("__s")): _*)
       .agg(count(lit(1)).as("__c"))
     val groups = base.groupBy(qc: _*).agg(count(lit(1)).as("n_rows"))
-    // densify: every group × every global bucket, then cumulative
+    // densify: every group × every global bucket, then cumulative.
+    // Joins on the quasi/sensitive keys are NULL-SAFE (<=>): groupBy keeps
+    // the null-keyed group, so a plain equi-join would give it __c = 0
+    // everywhere and a final emd = 0.0 / at_risk = false — a privacy audit
+    // silently passing the one group it never measured.
+    val pgR = perGroup.select(
+      (quasiCols.map(c => col(c).as(s"__r_$c")) :+
+        col("__s").as("__rs") :+ col("__c")): _*)
+    val denseCond = (quasiCols.map(c => col(c) <=> col(s"__r_$c")) :+
+      (col("__s") <=> col("__rs"))).reduce(_ && _)
     val dense = groups
       .crossJoin(broadcast(globalCum.select(col("__s"), col("__gcum"))))
-      .join(perGroup, quasiCols :+ "__s", "left")
+      .join(pgR, denseCond, "left")
+      .drop((quasiCols.map(c => s"__r_$c") :+ "__rs"): _*)
       .withColumn("__c", coalesce(col("__c"), lit(0L)))
       .withColumn("__cum", sum(col("__c")).over(
         Window.partitionBy(qc: _*).orderBy(col("__s"))
@@ -213,9 +223,13 @@ object Stats {
         .as("__num"))
     // left-join back so a single-bucket domain (m = 1, nothing below the
     // last CDF point) stays total with EMD 0 instead of dropping groups
+    val sumsR = sums.select(
+      (quasiCols.map(c => col(c).as(s"__r_$c")) :+ col("__num")): _*)
+    val sumsCond = quasiCols.map(c => col(c) <=> col(s"__r_$c")).reduce(_ && _)
     groups
       .crossJoin(broadcast(totals))
-      .join(sums, quasiCols, "left")
+      .join(sumsR, sumsCond, "left")
+      .drop(quasiCols.map(c => s"__r_$c"): _*)
       .select((qc :+ col("n_rows") :+
         when(col("__m") === 1 || col("__num").isNull, lit(0.0))
           .otherwise(col("__num").cast("double")

@@ -84,7 +84,13 @@ object GraftMain {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .getOrCreate()
-    try sys.exit(runCli(spark, cli))
-    finally spark.stop()
+    // Not try/finally around sys.exit: System.exit never returns (it halts
+    // the JVM while shutdown hooks run), so a finally there is dead code
+    // and stop() would silently rely on Spark's own shutdown hook. Stop
+    // first, then exit; a runCli throw still reaches the finally.
+    val code =
+      try runCli(spark, cli)
+      finally spark.stop()
+    sys.exit(code)
   }
 }

@@ -1197,8 +1197,9 @@ private[graft] object QAggWindow {
            SELECT grp.c_nationkey, grp.c_mktsegment, grp.n_rows,
              glc.s, glc.gcum, COALESCE(pg.c, 0) AS c
            FROM grp CROSS JOIN glc
-           LEFT JOIN pg ON pg.c_nationkey = grp.c_nationkey
-             AND pg.c_mktsegment = grp.c_mktsegment AND pg.s = glc.s),
+           LEFT JOIN pg ON pg.c_nationkey IS NOT DISTINCT FROM grp.c_nationkey
+             AND pg.c_mktsegment IS NOT DISTINCT FROM grp.c_mktsegment
+             AND pg.s IS NOT DISTINCT FROM glc.s),
          cum AS (
            SELECT *, CAST(SUM(c) OVER (PARTITION BY c_nationkey, c_mktsegment
              ORDER BY s ROWS UNBOUNDED PRECEDING) AS BIGINT) AS gcum_g,
@@ -1218,8 +1219,9 @@ private[graft] object QAggWindow {
                / CAST(grp.n_rows * tot.N * (tot.m - 1) AS DOUBLE) END) > 0.15
              AS at_risk
          FROM grp CROSS JOIN tot
-         LEFT JOIN sums ON sums.c_nationkey = grp.c_nationkey
-           AND sums.c_mktsegment = grp.c_mktsegment
+         LEFT JOIN sums
+           ON sums.c_nationkey IS NOT DISTINCT FROM grp.c_nationkey
+           AND sums.c_mktsegment IS NOT DISTINCT FROM grp.c_mktsegment
          ORDER BY grp.c_nationkey, grp.c_mktsegment""",
 
     // exact-integer kappa: (N·agree − Σ margA·margB) / (N² − Σ margA·margB)

@@ -1722,14 +1722,15 @@ private[graft] object QTextCuration {
                   JOIN pl cb ON sh2.lang_b = cb.lang
          ORDER BY lang_a, lang_b""",
 
-    // same marker regexes on the raw text; per-kchar rate one divide,
-    // corrupt flag integer cross-multiplied
+    // same marker regexes on the raw text (the lead+continuation mojibake
+    // class interpolated from the op's shared constant); per-kchar rate
+    // one divide, corrupt flag integer cross-multiplied
     "encoding_artifacts" ->
-      """WITH m AS (
+      raw"""WITH m AS (
            SELECT doc_id,
              CAST(length(COALESCE(text, '')) AS BIGINT) AS n_chars,
              CAST(len(regexp_extract_all(COALESCE(text, ''),
-               'Ã|â€|Â')) AS BIGINT) AS n_mojibake,
+               '${graft.ops.LlmOps.mojibakePattern}')) AS BIGINT) AS n_mojibake,
              CAST(len(regexp_extract_all(COALESCE(text, ''),
                '�')) AS BIGINT) AS n_replacement,
              CAST(len(regexp_extract_all(COALESCE(text, ''),

@@ -410,8 +410,11 @@ private[graft] object QVector {
          tk AS (SELECT query_id, d, cid FROM r WHERE rn <= 10),
          f AS (SELECT query_id, cid FROM tk WHERE d = 64),
          pq AS (
-           SELECT tk.query_id, tk.d, CAST(COUNT(*) AS BIGINT) AS common
-           FROM tk JOIN f ON tk.query_id = f.query_id AND tk.cid = f.cid
+           SELECT tk.query_id, tk.d,
+             CAST(SUM(CASE WHEN f.cid IS NOT NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS common
+           FROM tk LEFT JOIN f
+             ON tk.query_id = f.query_id AND tk.cid = f.cid
            GROUP BY 1, 2)
          SELECT CAST(d AS BIGINT) AS prefix_dim,
            CAST(COUNT(*) AS BIGINT) AS n_queries,

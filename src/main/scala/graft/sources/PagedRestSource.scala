@@ -53,10 +53,14 @@ object PagedRestSource {
 
   /** Day-windowed variant (options `from`/`to` present): each row carries
     * the ISO day its page was requested for — the column date predicates
-    * push down onto. */
+    * push down onto — plus `ts`, the record-level ISO-8601 timestamp
+    * extracted from the payload's `tsField` JSON field (null when absent).
+    * `ts` predicates push down INEXACTLY: they narrow the fetch window to
+    * the enclosing days but stay residual for Spark to re-evaluate. */
   val daySchema: StructType = StructType(Seq(
     StructField("page", IntegerType, nullable = false),
     StructField("day", StringType, nullable = false),
+    StructField("ts", StringType, nullable = true),
     StructField("record", StringType, nullable = false)))
 }
 
@@ -79,13 +83,15 @@ class PagedRestTableProvider extends TableProvider {
       properties.get("entity"),
       Option(properties.get("key")),
       Option(properties.get("maxPagesPerBatch")).map(_.toInt).getOrElse(Int.MaxValue),
-      window)
+      window,
+      Option(properties.get("tsField")).getOrElse("ts"))
   }
 }
 
 private[sources] class PagedRestTable(clientName: String, entity: String,
                                       key: Option[String], maxPagesPerBatch: Int,
-                                      window: Option[(String, String)] = None)
+                                      window: Option[(String, String)] = None,
+                                      tsField: String = "ts")
     extends Table with SupportsRead {
   override def name(): String = s"paged_rest($entity)"
   override def schema(): StructType =
@@ -95,7 +101,8 @@ private[sources] class PagedRestTable(clientName: String, entity: String,
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     window match {
-      case Some((f, t)) => new DayRangedRestScanBuilder(clientName, entity, key, f, t)
+      case Some((f, t)) =>
+        new DayRangedRestScanBuilder(clientName, entity, key, f, t, tsField)
       case None => new PagedRestScanBuilder(clientName, entity, key, maxPagesPerBatch)
     }
 }
@@ -113,12 +120,18 @@ private[sources] class PagedRestTable(clientName: String, entity: String,
   * Accepted day filters are consumed EXACTLY (per-day fetch makes them
   * precise), so they are reported in `pushedFilters` and removed from the
   * residual Spark re-evaluates; every other predicate stays residual.
-  * Limit pushdown composes: the day-by-day page walk stops as soon as the
-  * pushed limit is covered.
+  * Guards: a `day` literal that does not parse as an ISO date is left as a
+  * residual filter instead of failing query planning. Record-timestamp
+  * (`ts`) predicates push down INEXACTLY — an ISO-8601 prefix narrows the
+  * window to the enclosing days (the reference's `from`/`to` params at
+  * record-ts grain), but the filter itself stays residual because the
+  * per-day fetch is coarser than a timestamp. Limit pushdown composes: the
+  * day-by-day page walk stops as soon as the pushed limit is covered.
   */
 private[sources] class DayRangedRestScanBuilder(clientName: String, entity: String,
                                                 key: Option[String],
-                                                from0: String, to0: String)
+                                                from0: String, to0: String,
+                                                tsField: String = "ts")
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownLimit {
   import org.apache.spark.sql.sources._
 
@@ -131,25 +144,55 @@ private[sources] class DayRangedRestScanBuilder(clientName: String, entity: Stri
 
   private def maxDay(a: String, b: String) = if (a >= b) a else b
   private def minDay(a: String, b: String) = if (a <= b) a else b
-  private def plusDays(d: String, n: Int): String =
-    java.time.LocalDate.parse(d).plusDays(n.toLong).toString
+  private def parseDay(v: String): Option[java.time.LocalDate] =
+    try Some(java.time.LocalDate.parse(v)) catch {
+      case _: java.time.format.DateTimeParseException => None
+    }
+  /** Enclosing ISO day of an ISO-8601 timestamp literal (date prefix),
+    * None when the literal is not ISO-shaped. */
+  private def tsDay(v: String): Option[String] =
+    if (v.length >= 10) parseDay(v.substring(0, 10)).map(_.toString) else None
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    // Exactly-consumable day predicates: only those whose literal parses
+    // as an ISO date (a malformed literal must stay residual, not throw
+    // DateTimeParseException at planning time and not mis-narrow the
+    // window via raw string comparison).
     val (ours, residual) = filters.partition {
-      case EqualTo("day", _: String) => true
-      case GreaterThanOrEqual("day", _: String) => true
-      case GreaterThan("day", _: String) => true
-      case LessThanOrEqual("day", _: String) => true
-      case LessThan("day", _: String) => true
+      case EqualTo("day", v: String) => parseDay(v).isDefined
+      case GreaterThanOrEqual("day", v: String) => parseDay(v).isDefined
+      case GreaterThan("day", v: String) => parseDay(v).isDefined
+      case LessThanOrEqual("day", v: String) => parseDay(v).isDefined
+      case LessThan("day", v: String) => parseDay(v).isDefined
       case _ => false
     }
     ours.foreach {
       case EqualTo(_, v: String) =>
         from = maxDay(from, v); to = minDay(to, v)
       case GreaterThanOrEqual(_, v: String) => from = maxDay(from, v)
-      case GreaterThan(_, v: String) => from = maxDay(from, plusDays(v, 1))
+      case GreaterThan(_, v: String) =>
+        from = maxDay(from, parseDay(v).get.plusDays(1L).toString)
       case LessThanOrEqual(_, v: String) => to = minDay(to, v)
-      case LessThan(_, v: String) => to = minDay(to, plusDays(v, -1))
+      case LessThan(_, v: String) =>
+        to = minDay(to, parseDay(v).get.plusDays(-1L).toString)
+      case _ => ()
+    }
+    // Record-ts predicates narrow the fetch window to the enclosing days
+    // but are NOT accepted — Spark re-evaluates them on the ts column.
+    // ts > v and ts >= v both admit records later the same day; ts < v and
+    // ts <= v both admit records earlier the same day — so every bound
+    // keeps the literal's own day.
+    residual.foreach {
+      case EqualTo("ts", v: String) =>
+        tsDay(v).foreach { d => from = maxDay(from, d); to = minDay(to, d) }
+      case GreaterThanOrEqual("ts", v: String) =>
+        tsDay(v).foreach(d => from = maxDay(from, d))
+      case GreaterThan("ts", v: String) =>
+        tsDay(v).foreach(d => from = maxDay(from, d))
+      case LessThanOrEqual("ts", v: String) =>
+        tsDay(v).foreach(d => to = minDay(to, d))
+      case LessThan("ts", v: String) =>
+        tsDay(v).foreach(d => to = minDay(to, d))
       case _ => ()
     }
     accepted = ours
@@ -185,7 +228,8 @@ private[sources] class DayRangedRestScanBuilder(clientName: String, entity: Stri
               def fetchPage(e: String, k: Option[String], t: Option[String]): PagedApi.ApiPage =
                 client.fetchDayPage(e, k, day.toString, t)
             }, entity, key, token)
-          parts += PagedRestDayPartition(pageNo, day.toString, page.records.toArray)
+          parts += PagedRestDayPartition(pageNo, day.toString, page.records.toArray,
+            tsField)
           fetched += page.records.size
           token = page.nextToken
           pageNo += 1
@@ -324,18 +368,28 @@ private[sources] case class PagedRestPartition(pageNo: Int, records: Array[Strin
     extends InputPartition
 
 private[sources] case class PagedRestDayPartition(pageNo: Int, day: String,
-                                                  records: Array[String])
+                                                  records: Array[String],
+                                                  tsField: String = "ts")
     extends InputPartition
 
 private[sources] class PagedRestDayReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[PagedRestDayPartition]
     new PartitionReader[InternalRow] {
+      // Cheap executor-side surface of the record timestamp so ts
+      // predicates have a typed column to land on; full typed projection
+      // stays downstream from_json where Catalyst prunes it.
+      private val tsPat = java.util.regex.Pattern.compile(
+        "\"" + java.util.regex.Pattern.quote(p.tsField) + "\"\\s*:\\s*\"([^\"]*)\"")
       private var i = -1
       override def next(): Boolean = { i += 1; i < p.records.length }
-      override def get(): InternalRow =
-        InternalRow(p.pageNo, UTF8String.fromString(p.day),
-          UTF8String.fromString(p.records(i)))
+      override def get(): InternalRow = {
+        val rec = p.records(i)
+        val m = tsPat.matcher(rec)
+        val ts = if (m.find()) UTF8String.fromString(m.group(1)) else null
+        InternalRow(p.pageNo, UTF8String.fromString(p.day), ts,
+          UTF8String.fromString(rec))
+      }
       override def close(): Unit = ()
     }
   }

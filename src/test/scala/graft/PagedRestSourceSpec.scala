@@ -121,7 +121,7 @@ class PagedRestSourceSpec extends SparkTestBase {
     val client = new graft.sources.PagedApi.DayFixtureClient(dayFixtures)
     PagedRestSource.register("d1", client)
     val df = readMeetings("d1")
-    assert(df.columns.toSeq == Seq("page", "day", "record"))
+    assert(df.columns.toSeq == Seq("page", "day", "ts", "record"))
     assert(df.count() == 6)
     assert(df.select("day").distinct().count() == 3)
   }
@@ -130,7 +130,7 @@ class PagedRestSourceSpec extends SparkTestBase {
     val client = new graft.sources.PagedApi.DayFixtureClient(dayFixtures)
     PagedRestSource.register("d2", client)
     val got = readMeetings("d2").filter($"day" === "2024-01-02").collect()
-    assert(got.map(_.getString(2)).toSeq == Seq("""{"id":"m4"}"""))
+    assert(got.map(_.getString(3)).toSeq == Seq("""{"id":"m4"}"""))
     // the server saw requests for ONE day only — 1 page, not 4
     assert(client.daysFetched.size() == 1, s"fetched ${client.daysFetched}")
     assert(client.fetchCount.get() <= 2, s"fetched ${client.fetchCount.get()} pages")
@@ -154,6 +154,56 @@ class PagedRestSourceSpec extends SparkTestBase {
     assert(readMeetings("d4")
       .filter($"day" > "2024-01-03" && $"day" === "2024-01-01").count() == 0)
     assert(client.fetchCount.get() == 0, s"fetched ${client.fetchCount.get()}")
+  }
+
+  test("malformed day literal stays residual instead of failing planning") {
+    val client = new graft.sources.PagedApi.DayFixtureClient(dayFixtures)
+    PagedRestSource.register("d6", client)
+    // '2024-1-2' is not ISO — must not throw DateTimeParseException at
+    // plan time and must not narrow the window via raw string compare;
+    // Spark re-evaluates it as a residual (string) filter → 0 rows match
+    // the ISO-formatted day column, but every day is still fetched.
+    assert(readMeetings("d6").filter($"day" > "2024-1-2").count() == 0)
+    assert(client.daysFetched.size() == 3, s"${client.daysFetched}")
+  }
+
+  // record-ts fixtures: each record carries an ISO-8601 ts inside the day
+  private val tsFixtures = Map(
+    ("meetings", Option.empty[String], "2024-01-01") -> Seq(
+      ApiPage(Seq("""{"id":"m1","ts":"2024-01-01T09:00:00"}""",
+        """{"id":"m2","ts":"2024-01-01T17:30:00"}"""), None)),
+    ("meetings", Option.empty[String], "2024-01-02") -> Seq(
+      ApiPage(Seq("""{"id":"m4","ts":"2024-01-02T08:15:00"}"""), None)),
+    ("meetings", Option.empty[String], "2024-01-03") -> Seq(
+      ApiPage(Seq("""{"id":"m5","ts":"2024-01-03T12:00:00"}""",
+        """{"id":"m6"}"""), None)))
+
+  test("ts BETWEEN narrows the fetch window to the enclosing days") {
+    val client = new graft.sources.PagedApi.DayFixtureClient(tsFixtures)
+    PagedRestSource.register("d7", client)
+    val got = readMeetings("d7")
+      .filter($"ts" >= "2024-01-02T00:00:00" && $"ts" <= "2024-01-02T23:59:59")
+      .collect()
+    assert(got.map(_.getString(3)).toSeq ==
+      Seq("""{"id":"m4","ts":"2024-01-02T08:15:00"}"""))
+    // the server saw ONE day's chain, not three — the reference's
+    // from/to params at record-ts grain
+    assert(client.daysFetched.size() == 1, s"fetched ${client.daysFetched}")
+  }
+
+  test("ts filter stays residual: same-day records outside the bound drop") {
+    val client = new graft.sources.PagedApi.DayFixtureClient(tsFixtures)
+    PagedRestSource.register("d8", client)
+    // window narrows to day 1 only, but the 09:00 record must still be
+    // filtered OUT by the residual ts predicate Spark re-evaluates
+    val got = readMeetings("d8").filter($"ts" > "2024-01-01T12:00:00"
+      && $"ts" < "2024-01-02T00:00:00")
+    assert(got.select("ts").as[String].collect().toSeq ==
+      Seq("2024-01-01T17:30:00"))
+    assert(!client.daysFetched.contains("2024-01-03"), s"${client.daysFetched}")
+    // a record with no ts field yields null ts (never matches a ts bound)
+    val all = readMeetings("d8").where($"day" === "2024-01-03")
+    assert(all.filter($"ts".isNull).count() == 1)
   }
 
   test("a non-day-ranged client under a day window fails loudly") {

@@ -68,6 +68,49 @@ class Round9bOpsSpec extends SparkTestBase {
     assert(byG("skew1")._1 == 0.5 && byG("skew1")._2)
   }
 
+  test("tClosenessAudit: a NULL-keyed quasi group gets a real EMD, not 0") {
+    // a null quasi value survives groupBy but a plain equi-join never
+    // matches it — the audit would silently pass the one group it never
+    // measured. The null group here is maximally skewed (all bucket 0 vs
+    // a half/half global) and MUST flag via the null-safe joins.
+    val rows = ((1 to 10).map(_ => (Option.empty[String], "x", 0))
+      ++ (1 to 5).map(_ => (Option("named"), "x", 0))
+      ++ (1 to 5).map(_ => (Option("named"), "x", 1)))
+      .toDF("q1", "q2", "sens")
+    val out = graft.ops.Stats.tClosenessAudit(rows, Seq("q1", "q2"), "sens", t = 0.2)
+      .collect().map(r => Option(r.getString(0)) ->
+        (r.getLong(2), r.getDouble(3), r.getBoolean(4))).toMap
+    // global: (15, 5) over {0, 1}, F(0) = 15/20. Null group all-bucket-0:
+    // |10·20 − 15·10| / (10·20·1) = 50/200 = 0.25 > t
+    assert(out(None)._1 == 10L, out.toString)
+    assert(out(None)._2 == 0.25 && out(None)._3, out(None).toString)
+    // the named half/half group: |10·20 − 15·10| / (10·20·1) = 0.25 too —
+    // sanity that named groups still measure identically
+    assert(out(Some("named"))._2 == 0.25 && out(Some("named"))._3)
+  }
+
+  test("mrlTruncationEval: zero-overlap prefixes report 0, not a dropped row") {
+    // 1 query, 4 candidates built so the 1-dim prefix ranking INVERTS the
+    // full 2-dim ranking's top-1: with k = 1 the prefix overlap must be
+    // an explicit 0 row (the semi-join shape dropped the group entirely,
+    // reporting nothing — min_overlap could never surface the worst case)
+    val q = Seq((100L, Array(0.1f, 1.0f))).toDF("id", "v")
+    val c = Seq(
+      (1L, Array(1.0f, 0.0f)),  // wins dim-1 prefix (x largest)
+      (2L, Array(0.0f, 1.0f)),  // wins full 2-dim cosine vs query
+      (3L, Array(0.5f, 0.1f)),
+      (4L, Array(0.2f, 0.2f))).toDF("id", "v")
+    val out = graft.functions.VectorOps.mrlTruncationEval(c, q, "id", "v",
+        prefixDims = Seq(1), fullDim = 2, k = 1)
+      .orderBy("prefix_dim").collect()
+    assert(out.length == 2, out.mkString(","))
+    val d1 = out.find(_.getLong(0) == 1L).get
+    assert(d1.getLong(1) == 1L, d1.toString)           // the query row SURVIVES
+    assert(d1.getDouble(2) == 0.0 && d1.getDouble(3) == 0.0, d1.toString)
+    val dFull = out.find(_.getLong(0) == 2L).get
+    assert(dFull.getDouble(2) == 1.0 && dFull.getDouble(3) == 1.0)
+  }
+
   test("groupHeavyHitters: each group gets its own sketch and its own hitters") {
     // "alpha" floods group A only; "beta" floods group B only — with a
     // shared low-frequency tail that must not qualify in either
@@ -129,6 +172,12 @@ class Round9bOpsSpec extends SparkTestBase {
     val tabby = Seq((9L, "a\tb\nc\rd")).toDF("doc_id", "text")
     assert(graft.ops.LlmOps.encodingArtifacts(tabby, "doc_id", "text")
       .collect().head.getLong(4) == 0L)
+    // legitimate Portuguese caps: bare 'Ã'/'Â' followed by ASCII is NOT
+    // mojibake — the lead must precede a continuation image
+    val pt = Seq((10L, "SÃO PAULO NÃO ÂNGULO")).toDF("doc_id", "text")
+    val row = graft.ops.LlmOps.encodingArtifacts(pt, "doc_id", "text")
+      .collect().head
+    assert(row.getLong(2) == 0L && !row.getBoolean(6), row.toString)
   }
 
   test("marginBestMatch: hub-adjacent best match needs the margin to stand out") {
