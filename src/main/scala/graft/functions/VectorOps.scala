@@ -872,6 +872,14 @@ object VectorOps {
       .crossJoin(broadcast(q))
       .select(col("query_id"), col("__cid"),
         cosine(col("__cv"), col("__qv")).as("__score"))
+    marginRollup(scored, k)
+  }
+
+  /** Shared margin rollup over a scored (query_id, __cid, __score)
+    * relation: group-limited top-k, sorted-fold top-k mean, ratio margin
+    * — the [[marginBestMatch]] tail, reused by the ANN variant so both
+    * paths are bit-identical past candidate generation. */
+  private def marginRollup(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("__score").desc, col("__cid").asc)
     val topk = scored
@@ -890,6 +898,40 @@ object VectorOps {
         when(col("__sum") === 0.0, lit(null).cast("double"))
           .otherwise(col("best_score") * col("__n").cast("double")
             / col("__sum")).as("margin_ratio"))
+  }
+
+  /** IVF-cell-join bitext mining — [[marginBestMatch]] with an UNBOUNDED
+    * query batch. The broadcast brute shape caps |Q| by contract (its
+    * work is O(|Q|·|C|)); here nothing broadcasts but the centroid table:
+    * candidates carry their quantizer cell (per-row projection), each
+    * query keeps its nProbe nearest cells (WindowGroupLimit over the tiny
+    * centroid table), both sides meet on a cell-id equi-join, and the
+    * margin rollup is byte-identical to the brute twin's. Work drops to
+    * ≈ |Q|·|C|·nProbe/nCells; with FAISS-style nCells ≈ √|C| sizing the
+    * per-pair cost falls as the corpus grows. Recall < 1 by probe design
+    * — the declared-query oracle is an agreement contract vs the brute
+    * twin (the [[hardNegativesAnn]] pattern).
+    */
+  def marginBestMatchAnn(candidates: DataFrame, queries: DataFrame,
+                         idCol: String, embCol: String, k: Int,
+                         nCells: Int, nProbe: Int, seed: Long = 42L,
+                         sampleCap: Int = 4096): DataFrame = {
+    require(k >= 1 && nCells >= 1 && nProbe >= 1)
+    val spark = candidates.sparkSession
+    val (assigned, centroids) = ivfIndex(candidates, embCol, nCells, seed, sampleCap)
+    val q = queries.select(col(idCol).as("query_id"), col(embCol).as("__qv"))
+    val byCent = Window.partitionBy(col("query_id"))
+      .orderBy(col("__cs").desc, col("__cell").asc)
+    val probes = q.crossJoin(broadcast(centroids))
+      .select(col("query_id"), col("__qv"), col("__cell"),
+        cosineBest(spark, col("__centroid"), col("__qv")).as("__cs"))
+      .withColumn("__pr", row_number().over(byCent))
+      .filter(col("__pr") <= nProbe)
+      .select(col("query_id"), col("__qv"), col("__cell"))
+    val scored = assigned.join(probes, Seq("__cell"))
+      .select(col("query_id"), col(idCol).as("__cid"),
+        cosineBest(spark, col(embCol), col("__qv")).as("__score"))
+    marginRollup(scored, k)
   }
 
   /** Matryoshka truncation evaluation (Kusupati et al., "Matryoshka
@@ -923,6 +965,16 @@ object VectorOps {
       .select(col("query_id"), col("__d"), col("__cid"),
         cosine(slice(col("__cv"), lit(1), col("__d")),
           slice(col("__qv"), lit(1), col("__d"))).as("__score"))
+    mrlOverlapRollup(scored, fullDim, k)
+  }
+
+  /** Shared MRL overlap rollup over a scored (query_id, __d, __cid,
+    * __score) relation: per-(query, dim) top-k, overlap with the
+    * full-dim top-k, per-dim mean/min — the [[mrlTruncationEval]] tail,
+    * reused by the IVF variant so both paths score identically past
+    * candidate generation. */
+  private def mrlOverlapRollup(scored: DataFrame, fullDim: Int,
+                               k: Int): DataFrame = {
     val w = Window.partitionBy(col("query_id"), col("__d"))
       .orderBy(col("__score").desc, col("__cid").asc)
     val topk = scored
@@ -950,5 +1002,48 @@ object VectorOps {
         (col("__sum").cast("double")
           / (col("n_queries") * k).cast("double")).as("mean_overlap"),
         (col("__min").cast("double") / lit(k.toDouble)).as("min_overlap"))
+  }
+
+  /** IVF-prefiltered Matryoshka eval — [[mrlTruncationEval]] with an
+    * UNBOUNDED query batch. The brute twin's honest cost is
+    * |Q|·|C|·|dims| (corpus-linear only while the query batch is fixed);
+    * here each query scores only its nProbe nearest IVF cells of the
+    * corpus (cell equi-join, nothing broadcast but the centroid table),
+    * so the scored relation shrinks to ≈ nProbe/nCells of the brute one
+    * and per-pair cost falls with FAISS-style nCells ≈ √|C| sizing. The
+    * overlap eval runs WITHIN the retrieved pool (the full-dim ranking is
+    * also pool-restricted — the self-consistent serving question: "of
+    * what full-dim retrieval would return, how much does the prefix
+    * keep?"). Recall vs the brute twin < 1 by probe design — the
+    * declared-query oracle is an agreement contract on the per-dim
+    * overlap numbers.
+    */
+  def mrlTruncationEvalIvf(corpus: DataFrame, queries: DataFrame,
+                           idCol: String, embCol: String,
+                           prefixDims: Seq[Int], fullDim: Int, k: Int,
+                           nCells: Int, nProbe: Int, seed: Long = 42L,
+                           sampleCap: Int = 4096): DataFrame = {
+    require(prefixDims.nonEmpty && k > 0 && nCells >= 1 && nProbe >= 1)
+    val spark = corpus.sparkSession
+    val dims = (prefixDims :+ fullDim).distinct.sorted
+    val (assigned, centroids) = ivfIndex(corpus, embCol, nCells, seed, sampleCap)
+    val q = queries.select(col(idCol).as("query_id"), col(embCol).as("__qv"))
+    val byCent = Window.partitionBy(col("query_id"))
+      .orderBy(col("__cs").desc, col("__cell").asc)
+    val probes = q.crossJoin(broadcast(centroids))
+      .select(col("query_id"), col("__qv"), col("__cell"),
+        cosineBest(spark, col("__centroid"), col("__qv")).as("__cs"))
+      .withColumn("__pr", row_number().over(byCent))
+      .filter(col("__pr") <= nProbe)
+      .select(col("query_id"), col("__qv"), col("__cell"))
+    val dimRows = explode(array(dims.map(lit(_)): _*)).as("__d")
+    val scored = assigned.join(probes, Seq("__cell"))
+      .select(col("query_id"), col(idCol).as("__cid"), col(embCol).as("__cv"),
+        col("__qv"))
+      .select(col("query_id"), col("__cid"), col("__cv"), col("__qv"), dimRows)
+      .select(col("query_id"), col("__d"), col("__cid"),
+        cosineBest(spark, slice(col("__cv"), lit(1), col("__d")),
+          slice(col("__qv"), lit(1), col("__d"))).as("__score"))
+    mrlOverlapRollup(scored, fullDim, k)
   }
 }

@@ -63,9 +63,17 @@ private[graft] object QDedup {
     "dedup_threshold_sweep" -> ((s, dir) => {
       // dedup-config tuning curve: surviving pair count at each candidate
       // threshold, ALL from the one t=0.5 exact-verify pass — conditional
-      // sums, no re-run per threshold
-      val pairs = LlmOps.jaccardPairs(t(s, dir, "documents"), "doc_id",
-        "text", blockCol = "lang", shingleN = 3, threshold = 0.5)
+      // sums, no re-run per threshold. The pair universe is a
+      // deterministic 1-in-m hash sample whose rate GROWS with the corpus
+      // (m = ceil(n/2500), min 2 — the near_dup_eval treatment, VERDICT
+      // r9 item 5, made size-capped): verified-pair output is quadratic
+      // in duplicate density BY DESIGN, so the tuning estimate runs on a
+      // ~bounded universe and carries its rate for auditability.
+      val docs = t(s, dir, "documents")
+      val m = math.max(2L, math.ceil(docs.count() / 2500.0).toLong)
+      val pairs = LlmOps.jaccardPairs(
+        Relational.hashSample(docs, "doc_id", m = m.toInt),
+        "doc_id", "text", blockCol = "lang", shingleN = 3, threshold = 0.5)
       val ths = Seq(0.5, 0.6, 0.7, 0.8, 0.9)
       val aggs = ths.map(th =>
         sum((col("jaccard") >= th).cast("long")).as(s"__n${(th * 10).toInt}"))
@@ -74,18 +82,28 @@ private[graft] object QDedup {
           struct(lit(th).as("threshold"),
             col(s"__n${(th * 10).toInt}").as("np"))): _*)).as("__r"))
         .select(col("__r.threshold").as("threshold"),
-          coalesce(col("__r.np"), lit(0L)).cast("long").as("n_pairs"))
+          coalesce(col("__r.np"), lit(0L)).cast("long").as("n_pairs"),
+          lit(m).as("sample_m"))
         .orderBy("threshold")
     }),
 
-    "lsh_recall_estimate" -> ((s, dir) =>
+    "lsh_recall_estimate" -> ((s, dir) => {
       // dedup-config recall audit: per jaccard decile of the EXACT
       // verified pairs, the S-curve probability the production 4×4
-      // banding surfaces them — repeated-multiplication powers, no libm
-      LlmOps.lshRecallEstimate(t(s, dir, "documents"), "doc_id", "text",
-          blockCol = "lang", shingleN = 3, floorThreshold = 0.5,
-          bands = 4, rowsPerBand = 4)
-        .orderBy("bucket_lo")),
+      // banding surfaces them — repeated-multiplication powers, no libm.
+      // Same size-capped 1-in-m hash-sampled pair universe as
+      // dedup_threshold_sweep (the S-curve is a per-pair property, so a
+      // deterministic sample estimates each decile unbiasedly); sample_m
+      // makes the estimate auditable.
+      val docs = t(s, dir, "documents")
+      val m = math.max(2L, math.ceil(docs.count() / 2500.0).toLong)
+      LlmOps.lshRecallEstimate(
+          Relational.hashSample(docs, "doc_id", m = m.toInt),
+          "doc_id", "text", blockCol = "lang", shingleN = 3,
+          floorThreshold = 0.5, bands = 4, rowsPerBand = 4)
+        .withColumn("sample_m", lit(m))
+        .orderBy("bucket_lo")
+    }),
 
     "near_dup_degree" -> ((s, dir) => {
       // dedup-ops hub detector: partner-count histogram over the
@@ -378,14 +396,22 @@ private[graft] object QDedup {
          WHERE jaccard >= 0.7
          ORDER BY id_a, id_b""",
 
-    // the PPJoin exact-jaccard pass + per-threshold conditional counts
+    // the PPJoin exact-jaccard pass + per-threshold conditional counts,
+    // over the same size-capped 1-in-m doc_id hash sample the op declares
     "dedup_threshold_sweep" ->
-      """WITH d AS (
+      """WITH mm AS (
+           SELECT GREATEST(2, CAST(ceil(COUNT(*) / 2500.0) AS BIGINT)) AS m
+           FROM documents),
+         docs2 AS (
+           SELECT * FROM documents
+           WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT
+             % (SELECT m FROM mm) = 0),
+         d AS (
            SELECT doc_id, lang,
              list_distinct(list_transform(
                range(1, greatest(len(string_split_regex(lower(trim(text)), '\s+')) - 3, 0) + 2),
                i -> array_to_string(list_slice(string_split_regex(lower(trim(text)), '\s+'), i, i + 2), ' '))) AS sh
-           FROM documents),
+           FROM docs2),
          jac AS (
            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
              CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
@@ -396,19 +422,28 @@ private[graft] object QDedup {
          th AS (SELECT unnest([0.5, 0.6, 0.7, 0.8, 0.9]) AS threshold)
          SELECT th.threshold,
            CAST(COALESCE(SUM(CASE WHEN jac.jaccard >= th.threshold
-             THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_pairs
+             THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_pairs,
+           (SELECT m FROM mm) AS sample_m
          FROM th LEFT JOIN jac ON true
          GROUP BY 1 ORDER BY threshold""",
 
     // the exact-pair population bucketed by decile; S-curve powers as
-    // repeated multiplication, decile sums as sorted list_reduce folds
+    // repeated multiplication, decile sums as sorted list_reduce folds;
+    // same size-capped 1-in-m doc_id hash-sampled universe as the op
     "lsh_recall_estimate" ->
-      """WITH d AS (
+      """WITH mm AS (
+           SELECT GREATEST(2, CAST(ceil(COUNT(*) / 2500.0) AS BIGINT)) AS m
+           FROM documents),
+         docs2 AS (
+           SELECT * FROM documents
+           WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT
+             % (SELECT m FROM mm) = 0),
+         d AS (
            SELECT doc_id, lang,
              list_distinct(list_transform(
                range(1, greatest(len(string_split_regex(lower(trim(text)), '\s+')) - 3, 0) + 2),
                i -> array_to_string(list_slice(string_split_regex(lower(trim(text)), '\s+'), i, i + 2), ' '))) AS sh
-           FROM documents),
+           FROM docs2),
          jac AS (
            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
              CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
@@ -430,7 +465,8 @@ private[graft] object QDedup {
            FROM p GROUP BY 1)
          SELECT CAST(bk AS DOUBLE) / 10.0 AS bucket_lo, n_pairs,
            min_capture, max_capture, expected_caught,
-           expected_caught / CAST(n_pairs AS DOUBLE) AS est_recall
+           expected_caught / CAST(n_pairs AS DOUBLE) AS est_recall,
+           (SELECT m FROM mm) AS sample_m
          FROM g ORDER BY bucket_lo""",
 
     // the dedup_near pipeline + a count-of-counts degree census

@@ -598,6 +598,31 @@ object StreamingOps {
       .select(col("term"), col("est"), col("__n").as("n_total"))
   }
 
+  /** Per-group streaming heavy hitters — [[heavyHittersStream]] under a
+    * groupBy, the live face of the batch
+    * [[graft.ops.LlmOps.groupHeavyHitters]] (per-language trending-terms
+    * feed): ONE Misra–Gries sketch per group key as an unbounded
+    * streaming aggregation in complete mode, O(k) state PER GROUP
+    * regardless of stream length or vocabulary (the native
+    * TypedImperativeAggregate merges partials map-side exactly as in
+    * batch). Same one-sided MG guarantees per group: every emitted
+    * (group, term) clears its OWN group's n/(k+1) threshold and est never
+    * exceeds the true in-group count — no false alarms; borderline
+    * hitters may lag until more mass arrives.
+    */
+  def groupHeavyHittersStream(docs: DataFrame, groupCol: String,
+                              textCol: String, k: Int = 32): DataFrame = {
+    val sk = docs
+      .select(col(groupCol).as("__g"),
+        explode(graft.ops.LlmOps.tokens(col(textCol))).as("term"))
+      .groupBy(col("__g"))
+      .agg(expr(s"misra_gries(term, $k)").as("__sk"), count(lit(1)).as("__n"))
+    sk.select(col("__g"), col("__n"), explode(col("__sk")).as(Seq("term", "est")))
+      .filter(col("est") * (k + 1) > col("__n"))
+      .select(col("__g").as(groupCol), col("term"), col("est"),
+        col("__n").as("n_group"))
+  }
+
   /** Wire [[BandOwnerTracker]] over a streaming (id, text) DataFrame: the
     * MinHash signature and LSH banding are STATELESS projections (the same
     * portable md5-48 family as the batch ops), so the only keyed state in

@@ -61,4 +61,46 @@ class JdbcSpec extends SparkTestBase {
       .as[String].head()
     assert(max == "2023-08-03")
   }
+
+  test("dialect surface: quoting and DDL types resolve per URL (postgres/mssql/derby)") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("note", StringType),
+      StructField("ok", BooleanType),
+      StructField("ts", TimestampType)))
+    val pg = "jdbc:postgresql://host/db"
+    val ms = "jdbc:sqlserver://host;databaseName=db"
+    val derby = "jdbc:derby:memory:dialects"
+    // postgres: TEXT strings, BOOLEAN stays boolean, "..." quoting
+    assert(Jdbc.quoteIdent(pg, "run_date") == "\"run_date\"")
+    assert(Jdbc.ddlType(pg, StringType) == "TEXT")
+    assert(Jdbc.ddlType(pg, ByteType).toUpperCase.contains("SMALLINT")) // no TINYINT
+    // mssql: NVARCHAR(MAX) strings, BIT booleans, DATETIME timestamps
+    assert(Jdbc.ddlType(ms, StringType).toUpperCase.startsWith("NVARCHAR"))
+    assert(Jdbc.ddlType(ms, BooleanType).toUpperCase == "BIT")
+    assert(Jdbc.ddlType(ms, TimestampType).toUpperCase.startsWith("DATETIME"))
+    // generic (derby/sqlite): common fallback types, "..." quoting
+    assert(Jdbc.quoteIdent(derby, "run_date") == "\"run_date\"")
+    assert(Jdbc.ddlType(derby, LongType).toUpperCase.contains("BIGINT"))
+    // the exact CREATE TABLE column text per dialect — the SQL-text path
+    // the writer emits, exercised with no live connection
+    val pgCols = Jdbc.createColumnsSql(pg, schema)
+    assert(pgCols.contains("\"id\"") && pgCols.contains("NOT NULL"), pgCols)
+    assert(pgCols.contains("TEXT"), pgCols)
+    val msCols = Jdbc.createColumnsSql(ms, schema)
+    assert(msCols.toUpperCase.contains("NVARCHAR") &&
+      msCols.toUpperCase.contains("BIT"), msCols)
+    // and Derby accepts its own generated DDL end-to-end (live check)
+    val stmtUrl = "jdbc:derby:memory:dialectddl;create=true"
+    val conn = java.sql.DriverManager.getConnection(stmtUrl)
+    try {
+      conn.createStatement().execute(
+        s"CREATE TABLE ddl_probe (${Jdbc.createColumnsSql(stmtUrl, schema)})")
+      val rs = conn.getMetaData.getColumns(null, null, "DDL_PROBE", null)
+      val cols = Iterator.continually(rs).takeWhile(_.next())
+        .map(_.getString("COLUMN_NAME")).toList
+      assert(cols.map(_.toLowerCase).toSet == Set("id", "note", "ok", "ts"))
+    } finally conn.close()
+  }
 }

@@ -101,8 +101,15 @@ class ScaleDiagnosticsSpec extends SparkTestBase {
       case _: ObjectHashAggregateExec => true
       case _: SortAggregateExec => true
     }.isDefined
+    // round-9 additions (VERDICT r9 item 3): the ops whose Window.orderBy
+    // sites were assumed — not asserted — to sit above aggregate-bounded
+    // relations (grid/marginal/|groups|-row frames), plus the round-10
+    // ANN contract queries (partitioned windows only — asserted so a
+    // refactor cannot silently introduce a global window)
     for (q <- Seq("key_skew_stats", "salt_plan", "join_explosion",
-        "diversity_profile", "novelty_curve")) {
+        "diversity_profile", "novelty_curve",
+        "quantile_normalize", "cohens_kappa", "mixture_waterfill",
+        "t_closeness", "bitext_mine_ann", "mrl_truncation_eval_ivf")) {
       val bad = executed(q).collect {
         case w: WindowExec if w.partitionSpec.isEmpty &&
             !w.children.forall(hasAggregateBelow) => w

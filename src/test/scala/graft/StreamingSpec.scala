@@ -554,6 +554,42 @@ class StreamingSpec extends SparkTestBase {
     assert(got2.map(_._1).toSet.intersect(Set("flink", "joins")).nonEmpty)
   }
 
+  test("streaming per-group heavy hitters: each group gets its own sketch and thresholds") {
+    val input = MemoryStream[(String, String)]
+    // group A flooded by 'alpha', group B by 'beta', shared singleton tail;
+    // group sizes differ so the n/(k+1) thresholds are PER GROUP
+    input.addData(
+      (Seq.fill(30)(("A", "alpha term")) ++ (1 to 20).map(i => ("A", s"ua$i")) ++
+        Seq.fill(10)(("B", "beta word")) ++ (1 to 5).map(i => ("B", s"ub$i"))): _*)
+    val hh = StreamingOps.groupHeavyHittersStream(
+      input.toDF().toDF("grp", "text"), "grp", "text", k = 4)
+    runToCompletion(hh, "stream_ghh", "complete")
+    val got = spark.table("stream_ghh").as[(String, String, Long, Long)].collect()
+    // exact in-group truth from the batch side of the same data
+    val truth = Map(("A", "alpha") -> 30L, ("A", "term") -> 30L,
+      ("B", "beta") -> 10L, ("B", "word") -> 10L)
+    val nA = 80L // 30*2 + 20 tokens
+    val nB = 25L // 10*2 + 5 tokens
+    got.foreach { case (g, term, est, n) =>
+      assert(n == (if (g == "A") nA else nB), s"group total: $g $n")
+      val exact = truth.getOrElse((g, term), 1L)
+      // one-sided MG per group: emitted => TRUE in-group heavy hitter
+      assert(exact * (4 + 1) > n, s"false alarm: $g/$term")
+      assert(est <= exact, s"over-count: $g/$term est=$est exact=$exact")
+    }
+    assert(got.filter(_._1 == "A").map(_._2).toSet == Set("alpha", "term"))
+    assert(got.filter(_._1 == "B").map(_._2).toSet == Set("beta", "word"))
+    // cross-group isolation: A's flood never surfaces in B
+    assert(!got.exists(r => r._1 == "B" && r._2 == "alpha"))
+    // a second micro-batch floods B only; A's hitters are unchanged
+    input.addData(Seq.fill(40)(("B", "gamma gamma")): _*)
+    runToCompletion(hh, "stream_ghh2", "complete")
+    val got2 = spark.table("stream_ghh2").as[(String, String, Long, Long)].collect()
+    assert(got2.filter(_._1 == "A").map(_._2).toSet == Set("alpha", "term"))
+    assert(got2.filter(_._1 == "B").map(_._2).contains("gamma"))
+    assert(got2.filter(_._1 == "B").forall(_._4 == nB + 80L))
+  }
+
   test("streaming rolling median: frames across batch boundaries match batch") {
     import StreamingOps.ValuedEvent
     val events = Seq(

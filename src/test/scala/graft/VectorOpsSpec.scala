@@ -240,6 +240,52 @@ class VectorOpsSpec extends SparkTestBase {
     }
   }
 
+  test("marginBestMatchAnn: full probe == brute margins; partial probe stays honest") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val cands = emb.filter($"vec_id" >= 16)
+    val queries = emb.filter($"vec_id" < 16)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "best_id", "best_score", "topk_mean")
+        .as[(Long, Long, Double, Double)].collect().toSet
+    val brute = rows(VectorOps.marginBestMatch(cands, queries,
+      "vec_id", "embedding", k = 4))
+    // probing every cell makes the cell join exhaustive: EXACT parity
+    // including the sorted-fold topk_mean doubles — proves the shared
+    // rollup + native scoring reproduce the brute path bit for bit,
+    // isolating approximation purely in the probe count
+    val full = rows(VectorOps.marginBestMatchAnn(cands, queries,
+      "vec_id", "embedding", k = 4, nCells = 4, nProbe = 4))
+    assert(full == brute)
+    // partial probe: one row per query, best_id is a genuine candidate
+    val candIds = cands.select("vec_id").as[Long].collect().toSet
+    val part = VectorOps.marginBestMatchAnn(cands, queries,
+      "vec_id", "embedding", k = 4, nCells = 4, nProbe = 2)
+      .select("query_id", "best_id").as[(Long, Long)].collect()
+    assert(part.map(_._1).distinct.length == part.length)
+    assert(part.forall(r => candIds.contains(r._2)))
+  }
+
+  test("mrlTruncationEvalIvf: full probe == brute eval; partial pool self-consistent") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val corpus = emb.filter($"vec_id" >= 16)
+    val queries = emb.filter($"vec_id" < 16)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Double, Double)].collect().toSet
+    val brute = rows(VectorOps.mrlTruncationEval(corpus, queries,
+      "vec_id", "embedding", Seq(16, 32), 64, k = 5))
+    val full = rows(VectorOps.mrlTruncationEvalIvf(corpus, queries,
+      "vec_id", "embedding", Seq(16, 32), 64, k = 5, nCells = 4, nProbe = 4))
+    assert(full == brute)
+    // partial probe: every query keeps a row per dim, and the full-dim
+    // pool ranking self-overlaps at exactly 1.0
+    val part = VectorOps.mrlTruncationEvalIvf(corpus, queries,
+      "vec_id", "embedding", Seq(16, 32), 64, k = 5, nCells = 4, nProbe = 2)
+      .as[(Long, Long, Double, Double)].collect()
+    assert(part.length == 3 && part.forall(_._2 == 16L))
+    val d64 = part.find(_._1 == 64L).get
+    assert(d64._3 == 1.0 && d64._4 == 1.0)
+  }
+
   test("knnClassifyAnn: full probe == brute classification; votes and tie-breaks intact") {
     val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val corpus = emb.filter($"vec_id" >= 16)
