@@ -1219,6 +1219,98 @@ object LlmOps {
       (length(t) < minChars).as("is_short"))
   }
 
+  /** Gopher quality-rule battery (Rae et al., "Scaling Language Models:
+    * Methods, Analysis & Insights from Training Gopher", 2021, Appendix
+    * A1.1) — the canonical pre-training document filter the public
+    * curation stacks reimplement: word-count window, mean word length
+    * window, symbol-to-word ratio ('#'/ellipsis), bullet- and
+    * ellipsis-line fractions, alphabetic-word fraction, required-stopword
+    * presence, and the repetition ladder's line-level rung
+    * (duplicate-line fraction). Every metric is an in-row HOF fold over
+    * the split word/line arrays — zero shuffle, one codegen'd pass at any
+    * corpus size; ratios are single int/int divides (null when the
+    * denominator is 0) so an external SQL twin replays the hash exactly.
+    * `keep` is the conjunction with Gopher's published thresholds.
+    */
+  def gopherRules(df: DataFrame, idCol: String, textCol: String,
+                  minWords: Int = 50, maxWords: Int = 100000): DataFrame = {
+    val t = coalesce(col(textCol), lit(""))
+    val words = filter(split(t, "\\s+"), w => w =!= "")
+    val lines = filter(transform(split(t, "\n"), l => trim(l)), l => l =!= "")
+    // Gopher's 8 required stopwords: a doc with < 2 distinct hits is
+    // likely not running prose
+    val stops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    val stopHits = stops.map(sw =>
+      when(lower(t).rlike("\\b" + sw + "\\b"), lit(1L)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    val m = df.select(col(idCol),
+      size(words).cast("long").as("n_words"),
+      aggregate(transform(words, w => length(w).cast("long")),
+        lit(0L), (a, x) => a + x).as("__wchars"),
+      regexp_count(t, lit("#|\\.\\.\\.|…")).cast("long").as("__nsym"),
+      size(filter(lines, l => l.rlike("^[-*•]"))).cast("long").as("__nbullet"),
+      size(filter(lines, l => l.rlike("(\\.\\.\\.|…)$"))).cast("long").as("__nellip"),
+      size(filter(words, w => w.rlike("[A-Za-z]"))).cast("long").as("__nalpha"),
+      stopHits.as("n_stop_hits"),
+      size(lines).cast("long").as("__nlines"),
+      size(array_distinct(lines)).cast("long").as("__ndlines"))
+    def frac(num: Column, den: Column): Column =
+      when(den === 0, lit(null).cast("double"))
+        .otherwise(num.cast("double") / den.cast("double"))
+    m.select(col(idCol), col("n_words"),
+        frac(col("__wchars"), col("n_words")).as("mean_word_len"),
+        frac(col("__nsym"), col("n_words")).as("symbol_word_ratio"),
+        frac(col("__nbullet"), col("__nlines")).as("bullet_line_frac"),
+        frac(col("__nellip"), col("__nlines")).as("ellipsis_line_frac"),
+        frac(col("__nalpha"), col("n_words")).as("alpha_word_frac"),
+        col("n_stop_hits"),
+        frac(col("__nlines") - col("__ndlines"), col("__nlines"))
+          .as("dup_line_frac"))
+      .withColumn("keep",
+        col("n_words") >= minWords && col("n_words") <= maxWords &&
+          col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0 &&
+          col("symbol_word_ratio") <= 0.1 &&
+          coalesce(col("bullet_line_frac") <= 0.9, lit(true)) &&
+          coalesce(col("ellipsis_line_frac") <= 0.3, lit(true)) &&
+          col("alpha_word_frac") >= 0.8 &&
+          col("n_stop_hits") >= 2 &&
+          coalesce(col("dup_line_frac") <= 0.3, lit(true)))
+      .withColumn("keep", coalesce(col("keep"), lit(false)))
+  }
+
+  /** C4 document/line filter census (Raffel et al., "Exploring the Limits
+    * of Transfer Learning with a Unified Text-to-Text Transformer", JMLR
+    * 2020, §2.2): per document, how many lines survive the
+    * terminal-punctuation rule, the sentence-count floor, and the
+    * lorem-ipsum / curly-brace / "javascript"-line page flags. Same
+    * in-row zero-shuffle discipline as [[gopherRules]]; `keep` is C4's
+    * page-level verdict (≥ 3 sentences, no lorem ipsum, no brace), with
+    * line-level drops reported as counts for the rewrite step.
+    */
+  def c4Rules(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = coalesce(col(textCol), lit(""))
+    val lines = filter(transform(split(t, "\n"), l => trim(l)), l => l =!= "")
+    val sents = filter(transform(split(lower(t), "[.!?]+"), s => trim(s)),
+      s => s =!= "")
+    val m = df.select(col(idCol),
+      size(lines).cast("long").as("n_lines"),
+      size(filter(lines, l => l.rlike("[.!?\"']$"))).cast("long")
+        .as("n_terminal_lines"),
+      size(filter(lines, l => lower(l).rlike("\\bjavascript\\b")))
+        .cast("long").as("n_js_lines"),
+      size(sents).cast("long").as("n_sentences"),
+      lower(t).contains("lorem ipsum").as("has_lorem"),
+      t.contains("{").as("has_brace"))
+    m.select(col(idCol), col("n_lines"), col("n_terminal_lines"),
+        when(col("n_lines") === 0, lit(null).cast("double"))
+          .otherwise(col("n_terminal_lines").cast("double")
+            / col("n_lines").cast("double")).as("kept_line_frac"),
+        col("n_js_lines"), col("n_sentences"), col("has_lorem"),
+        col("has_brace"),
+        (col("n_sentences") >= 3 && !col("has_lorem") && !col("has_brace"))
+          .as("keep"))
+  }
+
   /** Stopword-profile language ID: count hits against tiny per-language
     * stopword lists, argmax with a fixed precedence (en > es > fr) on ties.
     * An n-gram-free heuristic that stays pure-regexp (codegen'd, no UDF).

@@ -326,4 +326,37 @@ object Multimodal {
     */
   def filterByMeta(df: DataFrame, format: String, minWidth: Int): DataFrame =
     df.filter(col("meta.format") === format && col("meta.width") >= minWidth)
+
+  /** Byte-level near-duplicate detection over an opaque binary media
+    * column — the format-agnostic dedup pass a multimodal corpus runs
+    * BEFORE any decode (re-uploaded/renamed copies and trivially
+    * re-muxed files share most payload bytes; decoding 100 TB of media
+    * to find them is the expensive way around). Each blob becomes a
+    * stream of overlapping `gramBytes`-byte grams (hex-encoded,
+    * byte-stride windows — a pure in-row projection), and the grams feed
+    * the EXACT simhash + pigeonhole banding machinery text dedup uses
+    * ([[LlmOps.simhashPairs]]): same portable md5-48 family, same
+    * capped-bucket candidate join, same popcount verify — so the DuckDB
+    * twin replays pairs and hamming distances digit-for-digit.
+    *
+    * Scale shape: the blob never shuffles — only the 48-bit sketch and
+    * band values leave the scan; candidate generation is bounded by
+    * `maxBucketSize` exactly as in the text path.
+    */
+  def mediaNearDup(df: DataFrame, idCol: String, binCol: String,
+                   gramBytes: Int = 4, bits: Int = 48, bands: Int = 4,
+                   maxHamming: Int = 3,
+                   maxBucketSize: Int = 1 << 20): DataFrame = {
+    require(gramBytes >= 1, "gramBytes must be positive")
+    val g = gramBytes * 2
+    val hx = lower(hex(col(binCol)))
+    val nGrams = (floor((length(hx) - lit(g)) / 2) + 1).cast("int")
+    val gramText = when(nGrams <= 0, lit(""))
+      .otherwise(array_join(
+        transform(sequence(lit(1), nGrams),
+          i => hx.substr((i - 1) * 2 + 1, lit(g))), " "))
+    val grams = df.select(col(idCol), gramText.as("__grams"))
+    LlmOps.simhashPairs(grams, idCol, "__grams", bits, bands,
+      maxHamming, maxBucketSize)
+  }
 }

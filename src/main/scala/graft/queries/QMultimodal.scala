@@ -91,6 +91,21 @@ private[graft] object QMultimodal {
         .select(col("media_id"), col("fmt"), col("timescale"), col("duration_ms"))
         .orderBy("media_id")),
 
+    "media_near_dup" -> ((s, dir) => {
+      // byte-level payload dedup BEFORE any decode: synthesize payloads
+      // (PNG signature + the doc's first 64 utf-8 text bytes) so
+      // duplicate/near-duplicate TEXTS become duplicate PAYLOADS, then
+      // the format-agnostic byte-gram simhash pass — blob never
+      // shuffles, only sketches and band values leave the scan
+      val docs = t(s, dir, "documents")
+      val payload = unhex(concat(lit("89504E470D0A1A0A"),
+        hex(encode(substring(coalesce(col("text"), lit("")), 1, 64), "UTF-8"))))
+      graft.ops.Multimodal.mediaNearDup(
+          docs.select(col("doc_id").as("media_id"), payload.as("content")),
+          "media_id", "content", gramBytes = 4, maxBucketSize = 100)
+        .orderBy("id_a", "id_b")
+    }),
+
     "image_meta_filter" -> ((s, dir) => {
       // metadata-only filter over the decoded headers: filterByMeta never
       // touches the blob again — the 100 TB shape where pruning happens on
@@ -134,6 +149,55 @@ private[graft] object QMultimodal {
                ORDER BY tf.tf DESC, tf.token) AS rn
            FROM tf JOIN gdf USING (token))
          WHERE rn <= 3 ORDER BY grp, rank""",
+
+    // payload hex rebuilt value-level, overlapping 4-byte grams at byte
+    // stride, then the simhash_pairs replay (same md5-48 family, 12-bit
+    // bands, capped buckets, popcount verify)
+    "media_near_dup" ->
+      """WITH p AS (
+           SELECT doc_id AS media_id,
+             lower('89504E470D0A1A0A'
+               || hex(encode(substr(COALESCE(text, ''), 1, 64)))) AS hx
+           FROM documents),
+         g AS (
+           SELECT media_id,
+             CASE WHEN CAST(floor((length(hx) - 8) / 2) AS INT) + 1 <= 0
+               THEN ''
+               ELSE array_to_string(list_transform(
+                 range(1, CAST(floor((length(hx) - 8) / 2) AS INT) + 2),
+                 i -> substr(hx, (i - 1) * 2 + 1, 8)), ' ') END AS gramtext
+           FROM p),
+         tok AS (
+           SELECT media_id,
+             unnest(string_split_regex(lower(trim(gramtext)), '\s+')) AS t
+           FROM g),
+         h AS (
+           SELECT media_id, ('0x' || substr(md5(t), 1, 12))::BIGINT AS h
+           FROM tok),
+         bits AS (
+           SELECT media_id, r.b,
+             SUM(CASE WHEN ((h >> r.b) & 1) = 1 THEN 1 ELSE -1 END) AS v
+           FROM h CROSS JOIN range(0, 48) r(b)
+           GROUP BY media_id, r.b),
+         sk AS (
+           SELECT media_id,
+             CAST(SUM(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END)
+               AS BIGINT) AS s
+           FROM bits GROUP BY media_id),
+         banded AS (
+           SELECT media_id, s, r.b AS band, (s >> (r.b * 12)) & 4095 AS bv
+           FROM sk CROSS JOIN range(0, 4) r(b)),
+         ok AS (
+           SELECT band, bv FROM banded GROUP BY band, bv
+           HAVING COUNT(*) BETWEEN 2 AND 100),
+         capped AS (SELECT banded.* FROM banded JOIN ok USING (band, bv)),
+         cand AS (
+           SELECT DISTINCT a.media_id AS id_a, c.media_id AS id_b,
+             CAST(bit_count(xor(a.s, c.s)) AS BIGINT) AS hamming
+           FROM capped a JOIN capped c
+             ON a.band = c.band AND a.bv = c.bv AND a.media_id < c.media_id)
+         SELECT id_a, id_b, hamming FROM cand
+         WHERE hamming <= 3 ORDER BY id_a, id_b""",
 
     "multimodal_features" ->
       """WITH f AS (

@@ -491,6 +491,18 @@ private[graft] object QTextCuration {
           shingleN = 3, num = 1, den = 4)
         .orderBy("lang_a", "lang_b")),
 
+    "gopher_rules" -> ((s, dir) =>
+      // the canonical Gopher A1.1 pre-training filter battery — word/line
+      // HOF folds in one codegen'd scan, per-rule metrics + keep verdict
+      LlmOps.gopherRules(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    "c4_rules" -> ((s, dir) =>
+      // C4 §2.2 page/line census: terminal-punctuation line survival,
+      // sentence floor, lorem/brace/javascript flags — in-row, no shuffle
+      LlmOps.c4Rules(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
+
   )
 
   val oracle: Map[String, String] = Map(
@@ -1790,6 +1802,99 @@ private[graft] object QTextCuration {
 
     // sentence splits on [.!?]+ runs of the lowercased text, word counts
     // per non-empty trimmed run, list folds mirror the Spark HOFs
+    // word/line list folds mirroring the Spark HOFs; every ratio a single
+    // int/int divide (NULL on 0 denominator), keep the threshold CASE
+    "gopher_rules" ->
+      """WITH b AS (SELECT doc_id, COALESCE(text, '') AS t FROM documents),
+         m AS (
+           SELECT doc_id, t,
+             list_filter(string_split_regex(t, '\s+'), x -> x <> '') AS w,
+             list_filter(list_transform(string_split(t, chr(10)),
+               x -> trim(x)), x -> x <> '') AS l
+           FROM b),
+         c AS (
+           SELECT doc_id,
+             CAST(len(w) AS BIGINT) AS n_words,
+             CAST(COALESCE(list_sum(list_transform(w, x -> len(x))), 0)
+               AS BIGINT) AS wchars,
+             CAST(len(regexp_extract_all(t, '#|\.\.\.|…')) AS BIGINT) AS nsym,
+             CAST(len(list_filter(l, x -> regexp_matches(x, '^[-*•]')))
+               AS BIGINT) AS nbullet,
+             CAST(len(list_filter(l, x -> regexp_matches(x, '(\.\.\.|…)$')))
+               AS BIGINT) AS nellip,
+             CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))
+               AS BIGINT) AS nalpha,
+             CAST((CASE WHEN regexp_matches(lower(t), '\bthe\b') THEN 1 ELSE 0 END)
+               + (CASE WHEN regexp_matches(lower(t), '\bbe\b') THEN 1 ELSE 0 END)
+               + (CASE WHEN regexp_matches(lower(t), '\bto\b') THEN 1 ELSE 0 END)
+               + (CASE WHEN regexp_matches(lower(t), '\bof\b') THEN 1 ELSE 0 END)
+               + (CASE WHEN regexp_matches(lower(t), '\band\b') THEN 1 ELSE 0 END)
+               + (CASE WHEN regexp_matches(lower(t), '\bthat\b') THEN 1 ELSE 0 END)
+               + (CASE WHEN regexp_matches(lower(t), '\bhave\b') THEN 1 ELSE 0 END)
+               + (CASE WHEN regexp_matches(lower(t), '\bwith\b') THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_stop_hits,
+             CAST(len(l) AS BIGINT) AS nlines,
+             CAST(len(list_distinct(l)) AS BIGINT) AS ndlines
+           FROM m),
+         r AS (
+           SELECT doc_id, n_words,
+             CASE WHEN n_words = 0 THEN NULL
+               ELSE CAST(wchars AS DOUBLE) / n_words END AS mean_word_len,
+             CASE WHEN n_words = 0 THEN NULL
+               ELSE CAST(nsym AS DOUBLE) / n_words END AS symbol_word_ratio,
+             CASE WHEN nlines = 0 THEN NULL
+               ELSE CAST(nbullet AS DOUBLE) / nlines END AS bullet_line_frac,
+             CASE WHEN nlines = 0 THEN NULL
+               ELSE CAST(nellip AS DOUBLE) / nlines END AS ellipsis_line_frac,
+             CASE WHEN n_words = 0 THEN NULL
+               ELSE CAST(nalpha AS DOUBLE) / n_words END AS alpha_word_frac,
+             n_stop_hits,
+             CASE WHEN nlines = 0 THEN NULL
+               ELSE CAST(nlines - ndlines AS DOUBLE) / nlines END AS dup_line_frac
+           FROM c)
+         SELECT r.*,
+           CASE WHEN n_words >= 50 AND n_words <= 100000
+             AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+             AND symbol_word_ratio <= 0.1
+             AND COALESCE(bullet_line_frac <= 0.9, TRUE)
+             AND COALESCE(ellipsis_line_frac <= 0.3, TRUE)
+             AND alpha_word_frac >= 0.8
+             AND n_stop_hits >= 2
+             AND COALESCE(dup_line_frac <= 0.3, TRUE)
+           THEN TRUE ELSE FALSE END AS keep
+         FROM r ORDER BY doc_id""",
+
+    // line survival under the terminal-punctuation rule + page flags
+    "c4_rules" ->
+      """WITH b AS (SELECT doc_id, COALESCE(text, '') AS t FROM documents),
+         m AS (
+           SELECT doc_id, t,
+             list_filter(list_transform(string_split(t, chr(10)),
+               x -> trim(x)), x -> x <> '') AS l,
+             list_filter(list_transform(
+               string_split_regex(lower(t), '[.!?]+'), x -> trim(x)),
+               x -> x <> '') AS sents
+           FROM b),
+         c AS (
+           SELECT doc_id,
+             CAST(len(l) AS BIGINT) AS n_lines,
+             CAST(len(list_filter(l, x -> regexp_matches(x, '[.!?"'']$')))
+               AS BIGINT) AS n_terminal_lines,
+             CAST(len(list_filter(l,
+               x -> regexp_matches(lower(x), '\bjavascript\b')))
+               AS BIGINT) AS n_js_lines,
+             CAST(len(sents) AS BIGINT) AS n_sentences,
+             contains(lower(t), 'lorem ipsum') AS has_lorem,
+             contains(t, '{') AS has_brace
+           FROM m)
+         SELECT doc_id, n_lines, n_terminal_lines,
+           CASE WHEN n_lines = 0 THEN NULL
+             ELSE CAST(n_terminal_lines AS DOUBLE) / n_lines END
+             AS kept_line_frac,
+           n_js_lines, n_sentences, has_lorem, has_brace,
+           (n_sentences >= 3 AND NOT has_lorem AND NOT has_brace) AS keep
+         FROM c ORDER BY doc_id""",
+
     "sentence_stats" ->
       """WITH s AS (
            SELECT doc_id,

@@ -1076,4 +1076,59 @@ class LlmOpsSpec extends SparkTestBase {
     assert(LlmOps.pmiPairs(corpus.limit(1), "doc_id", "text").count() == 0)
     spark.catalog.clearCache()
   }
+
+  test("gopherRules: each rule flags its designed offender; clean prose keeps") {
+    val prose = ("the quick brown fox jumps over the lazy dog and " +
+      "that sentence should have enough normal words to be kept with " +
+      "plain running text continuing on toward the fifty word floor " +
+      "which we reach by adding a few more ordinary english words here " +
+      "of course the metrics stay comfortably inside every bound").trim
+    val docs = Seq(
+      (1L, prose),                                      // keeps
+      (2L, "too short to pass the word floor"),         // word-count floor
+      (3L, ("xx ".repeat(60)).trim),                    // mean word len < 3, no stopwords
+      (4L, (1 to 60).map(i => s"- bullet $i of the list to have and that with be").mkString("\n")), // bullets > 0.9
+      (5L, ("same line of the and that have with text\n".repeat(40)
+        + (1 to 20).map(i => s"unique line $i").mkString("\n"))),  // dup lines > 0.3
+      (6L, "")).toDF("doc_id", "text")
+    val out = LlmOps.gopherRules(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(out(0).getAs[Boolean]("keep"), out(0).toString)
+    assert(!out(1).getAs[Boolean]("keep") && out(1).getLong(1) < 50)
+    assert(!out(2).getAs[Boolean]("keep"), out(2).toString)
+    assert(out(2).getAs[Double]("mean_word_len") == 2.0)
+    assert(out(2).getAs[Long]("n_stop_hits") == 0L)
+    assert(!out(3).getAs[Boolean]("keep"), out(3).toString)
+    assert(out(3).getAs[Double]("bullet_line_frac") == 1.0)
+    assert(!out(4).getAs[Boolean]("keep"), out(4).toString)
+    assert(out(4).getAs[Double]("dup_line_frac") > 0.3)
+    // empty doc: all-null ratios, keep = false (not a crash, not null)
+    assert(out(5).getLong(1) == 0L && !out(5).getAs[Boolean]("keep"))
+    assert(out(5).isNullAt(out(5).fieldIndex("mean_word_len")))
+  }
+
+  test("c4Rules: terminal-punct line census, sentence floor, page flags") {
+    val docs = Seq(
+      (1L, "First sentence is fine.\nSecond one also ends well!\nDoes it work?\n"),
+      (2L, "header without punctuation\nAnother good line.\nmenu item"),
+      (3L, "Only two sentences here. Second one."),
+      (4L, "Fine text. With sentences. Three of them. But lorem ipsum appears."),
+      (5L, "Code page { with brace. Sentence two. Sentence three."),
+      (6L, "Enable javascript to view this page.\nReal sentence one. Two! Three?")
+    ).toDF("doc_id", "text")
+    val out = LlmOps.c4Rules(docs, "doc_id", "text").orderBy("doc_id").collect()
+    // doc 1: all 3 lines terminal, 3 sentences -> keep
+    assert(out(0).getLong(1) == 3L && out(0).getLong(2) == 3L)
+    assert(out(0).getAs[Boolean]("keep"), out(0).toString)
+    // doc 2: 1 of 3 lines terminal
+    assert(out(1).getLong(2) == 1L && out(1).getAs[Double]("kept_line_frac") == 1.0 / 3.0)
+    // doc 3: only 2 sentences -> dropped
+    assert(out(2).getLong(5) == 2L && !out(2).getAs[Boolean]("keep"))
+    // doc 4: lorem ipsum page flag
+    assert(out(3).getAs[Boolean]("has_lorem") && !out(3).getAs[Boolean]("keep"))
+    // doc 5: brace page flag
+    assert(out(4).getAs[Boolean]("has_brace") && !out(4).getAs[Boolean]("keep"))
+    // doc 6: javascript LINE counted but the page itself survives
+    assert(out(5).getLong(4) == 1L && out(5).getAs[Boolean]("keep"))
+  }
 }

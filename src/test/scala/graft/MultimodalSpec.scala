@@ -158,4 +158,27 @@ class MultimodalSpec extends SparkTestBase {
       .select("vec_id").as[Long].collect().toSeq
     assert(topk.toSet == Set(1L, 2L)) // identical content ranks together
   }
+
+  test("mediaNearDup: identical payloads pair at hamming 0, one-byte edits stay near, strangers drop") {
+    val base = Array.tabulate(256)(i => (i % 251).toByte)
+    val oneByteOff = base.clone(); oneByteOff(100) = (oneByteOff(100) + 1).toByte
+    val stranger = Array.tabulate(256)(i => ((i * 37 + 11) % 256).toByte)
+    val blobs = Seq(
+      (1L, base), (2L, base.clone()),      // exact copies
+      (3L, oneByteOff),                    // near-dup (few grams differ)
+      (4L, stranger),                      // unrelated bytes
+      (5L, Array[Byte](1, 2))              // shorter than one gram: no tokens
+    ).toDF("media_id", "content")
+    val pairs = Multimodal.mediaNearDup(blobs, "media_id", "content",
+      maxBucketSize = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byPair = pairs.map(p => (p._1, p._2) -> p._3).toMap
+    assert(byPair.get((1L, 2L)).contains(0L), pairs.mkString(","))
+    // a single flipped byte perturbs <= gramBytes*2-1 of ~250 grams:
+    // sketch moves a little, stays within the hamming<=3 verify
+    assert(byPair.contains((1L, 3L)) && byPair((1L, 3L)) > 0L, pairs.mkString(","))
+    // unrelated payloads never pair; the sub-gram blob pairs with nothing
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L), pairs.mkString(","))
+    assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L), pairs.mkString(","))
+  }
 }
