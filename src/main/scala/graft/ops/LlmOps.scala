@@ -3030,4 +3030,56 @@ object LlmOps {
       .withColumn("keep_rate",
         col("n_kept").cast("double") / col("n_docs").cast("double"))
   }
+
+  /** Data selection via hashed n-gram target affinity (the
+    * integer-exact core of Xie et al., "Data Selection for Language
+    * Models via Importance Resampling", NeurIPS'23 — DSIR): score every
+    * SOURCE doc by how much its n-gram mass looks like a TARGET corpus
+    * (the high-quality domain you want more of) relative to the source
+    * itself. Features are hashed n-grams in a fixed `buckets`-slot
+    * domain (DSIR's own trick — the feature space is bounded no matter
+    * the vocabulary); each doc's affinity is
+    * Σ_g t[b(g)] / Σ_g s[b(g)] over its gram STREAM (duplicates kept),
+    * with t/s the target/source bucket counts. Exact longs until the ONE
+    * divide — an external SQL twin replays the score digit-for-digit,
+    * where DSIR's log-likelihood-ratio form would diverge bitwise.
+    * Selection downstream is the [[qualityResample]] hash-thinning
+    * pattern with affinity as the score.
+    *
+    * Scale shape: the only driver-side state is the two `buckets`-slot
+    * count tables (bounded aggregates, the centroid-grid precedent),
+    * shipped back as literals; scoring is then a pure IN-ROW fold over
+    * each doc's gram stream — the 100 TB source corpus is scanned twice
+    * (once to census, once to score) and never shuffles at all.
+    */
+  def dsirAffinity(source: DataFrame, target: DataFrame, idCol: String,
+                   textCol: String, shingleN: Int = 2,
+                   buckets: Int = 8192): DataFrame = {
+    require(shingleN >= 1 && buckets > 0)
+    def bucketSeq(df: DataFrame): Column =
+      transform(shingleSeqBest(df, col(textCol), shingleN),
+        h => pmod(h, lit(buckets.toLong)))
+    def census(df: DataFrame): IndexedSeq[Long] = {
+      val arr = Array.fill(buckets)(0L)
+      df.select(explode(bucketSeq(df)).as("__b"))
+        .groupBy(col("__b")).agg(count(lit(1)).as("__c"))
+        .collect()
+        .foreach(r => arr(r.getLong(0).toInt) = r.getLong(1))
+      arr.toIndexedSeq
+    }
+    val tLit = typedlit(census(target))
+    val sLit = typedlit(census(source))
+    val bs = bucketSeq(source)
+    source.select(col(idCol), bs.as("__bs"))
+      .select(col(idCol),
+        size(col("__bs")).cast("long").as("n_grams"),
+        aggregate(col("__bs"), lit(0L),
+          (a, b) => a + element_at(tLit, (b + 1).cast("int"))).as("affinity_num"),
+        aggregate(col("__bs"), lit(0L),
+          (a, b) => a + element_at(sLit, (b + 1).cast("int"))).as("affinity_den"))
+      .withColumn("affinity",
+        when(col("affinity_den") === 0, lit(null).cast("double"))
+          .otherwise(col("affinity_num").cast("double")
+            / col("affinity_den").cast("double")))
+  }
 }

@@ -497,6 +497,16 @@ private[graft] object QTextCuration {
       LlmOps.gopherRules(t(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")),
 
+    "dsir_affinity" -> ((s, dir) => {
+      // DSIR data selection: score every doc's bigram mass against the
+      // src0 target domain — two bounded bucket censuses collected, then
+      // a pure in-row fold per doc (the corpus never shuffles)
+      val docs = t(s, dir, "documents")
+      LlmOps.dsirAffinity(docs, docs.filter(col("source") === "src0"),
+          "doc_id", "text", shingleN = 2, buckets = 8192)
+        .orderBy("doc_id")
+    }),
+
     "c4_rules" -> ((s, dir) =>
       // C4 §2.2 page/line census: terminal-punctuation line survival,
       // sentence floor, lorem/brace/javascript flags — in-row, no shuffle
@@ -1802,6 +1812,40 @@ private[graft] object QTextCuration {
 
     // sentence splits on [.!?]+ runs of the lowercased text, word counts
     // per non-empty trimmed run, list folds mirror the Spark HOFs
+    // bigram stream (duplicates kept) hashed into the 8192-bucket domain,
+    // target/source censuses as group-bys, per-doc sums exact longs,
+    // ONE divide
+    "dsir_affinity" ->
+      """WITH t0 AS (
+           SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+           FROM documents),
+         sh AS (
+           SELECT doc_id, list_transform(
+             range(1, greatest(len(toks) - 2, 0) + 2),
+             i -> ('0x' || substr(md5(array_to_string(
+               list_slice(toks, i, i + 1), ' ')), 1, 12))::BIGINT % 8192) AS bs
+           FROM t0),
+         u AS (SELECT doc_id, unnest(bs) AS b FROM sh),
+         tc AS (
+           SELECT b, CAST(COUNT(*) AS BIGINT) AS c
+           FROM u JOIN documents d USING (doc_id)
+           WHERE d.source = 'src0' GROUP BY 1),
+         sc AS (
+           SELECT b, CAST(COUNT(*) AS BIGINT) AS c
+           FROM u GROUP BY 1),
+         scored AS (
+           SELECT u.doc_id,
+             CAST(SUM(COALESCE(tc.c, 0)) AS BIGINT) AS affinity_num,
+             CAST(SUM(COALESCE(sc.c, 0)) AS BIGINT) AS affinity_den
+           FROM u LEFT JOIN tc ON u.b = tc.b LEFT JOIN sc ON u.b = sc.b
+           GROUP BY 1)
+         SELECT scored.doc_id, CAST(len(sh.bs) AS BIGINT) AS n_grams,
+           affinity_num, affinity_den,
+           CASE WHEN affinity_den = 0 THEN NULL
+             ELSE CAST(affinity_num AS DOUBLE) / affinity_den END AS affinity
+         FROM scored JOIN sh ON scored.doc_id = sh.doc_id
+         ORDER BY scored.doc_id""",
+
     // word/line list folds mirroring the Spark HOFs; every ratio a single
     // int/int divide (NULL on 0 denominator), keep the threshold CASE
     "gopher_rules" ->

@@ -1077,6 +1077,29 @@ class LlmOpsSpec extends SparkTestBase {
     spark.catalog.clearCache()
   }
 
+  test("dsirAffinity: target-domain docs outscore off-domain; exact integer masses") {
+    // target domain talks about cooking; source corpus mixes cooking and
+    // legal text. A cooking doc's bigrams hit the target census heavily.
+    val source = Seq(
+      (1L, "stir the sauce then season the sauce with fresh herbs"),
+      (2L, "the party of the first part hereby waives all claims"),
+      (3L, "season the sauce and stir gently")).toDF("doc_id", "text")
+    val target = Seq(
+      (10L, "stir the sauce season the sauce"),
+      (11L, "fresh herbs in the sauce")).toDF("doc_id", "text")
+    val out = LlmOps.dsirAffinity(source, target, "doc_id", "text",
+        shingleN = 2, buckets = 1024)
+      .orderBy("doc_id").collect()
+    val aff = out.map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    // cooking docs align with the target, the legal doc mostly misses
+    assert(aff(1L) > aff(2L) && aff(3L) > aff(2L), aff.toString)
+    // n_grams = word count - 1 for multi-word docs (bigram stream)
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 9L), (2L, 9L), (3L, 5L)))
+    // the denominator counts the doc's own grams at least once each
+    assert(out.forall(r => r.getLong(3) >= r.getLong(1)), out.mkString(","))
+  }
+
   test("gopherRules: each rule flags its designed offender; clean prose keeps") {
     val prose = ("the quick brown fox jumps over the lazy dog and " +
       "that sentence should have enough normal words to be kept with " +
