@@ -16,6 +16,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // optimizer rule: implied-length prune ahead of levenshtein filters
     // (see graft.plans.LevenshteinLengthPrune — result-preserving)
     ext.injectOptimizerRule(_ => graft.plans.LevenshteinLengthPrune)
+    // physical strategy: the native as-of merge join
+    // (graft.plans.AsOfJoinNativeExec — see graft.ops.AsOfJoin.asOfNative)
+    ext.injectPlannerStrategy(_ => new graft.plans.AsOfJoinStrategy)
     ext.injectFunction((
       new FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, null, "cosine_sim",

@@ -102,6 +102,33 @@ object AsOfJoin {
         when(col("__asof").isNotNull && withinTol, col("__asof")).as(asOfCol))
   }
 
+  /** Backward as-of join on the NATIVE physical operator
+    * ([[graft.plans.AsOfJoinNativeExec]] — LogicalPlan + Strategy +
+    * SparkPlan, the (c) tier of the custom-operator preference order):
+    * same semantics as [[asOf]] (inclusive, per-key, null keys/ts never
+    * match) but executed as a two-cursor per-partition merge instead of
+    * the union+window composition — each side shuffles once on its own
+    * key and sorts independently; no unioned super-relation, O(1) merge
+    * state. Output is left columns ++ right columns (right nullable), so
+    * callers rename right-side collisions first. Requires
+    * `spark.sql.extensions=graft.GraftExtensions` (the strategy); without
+    * it the plan cannot be scheduled.
+    */
+  def asOfNative(left: DataFrame, right: DataFrame,
+                 leftKey: String, rightKey: String,
+                 leftTs: String, rightTs: String): DataFrame = {
+    def attr(df: DataFrame, name: String) =
+      df.queryExecution.analyzed.output.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(
+          s"asOfNative: column $name not found in ${df.columns.mkString(", ")}"))
+    val lPlan = left.queryExecution.analyzed
+    val rPlan = right.queryExecution.analyzed
+    org.apache.spark.sql.GraftSqlShim.ofRows(left.sparkSession,
+      graft.plans.AsOfJoinPlan(lPlan, rPlan,
+        attr(left, leftKey), attr(right, rightKey),
+        attr(left, leftTs), attr(right, rightTs)))
+  }
+
   /** Banded range join WITHOUT an equi key: pairs (a, b) whose timestamps
     * differ by less than `bandSeconds`. A raw inequality theta-join has no
     * hashable key — Spark would nested-loop it. Bucketing by

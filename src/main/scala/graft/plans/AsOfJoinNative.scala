@@ -1,0 +1,159 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, GenericInternalRow, JoinedRow, RowOrdering, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.catalyst.util.TypeUtils
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+
+/** Native backward as-of join — the (c) tier of the engine's
+  * custom-operator preference order (SURVEY.md §7.4): a whole-operator
+  * LogicalPlan + SparkStrategy + SparkPlan, registered through
+  * `SparkSessionExtensions.injectPlannerStrategy` (graft.GraftExtensions).
+  *
+  * Semantics (same contract as the composed [[graft.ops.AsOfJoin.asOf]],
+  * asserted by the parity spec): for every left row, the right row of the
+  * SAME key with the greatest `rightTs <= leftTs` (inclusive), null-padded
+  * when none exists; null keys and null timestamps never match. Output is
+  * `left.output ++ right.output` with the right side forced nullable.
+  *
+  * Why a physical operator at all, when the union+window composition is
+  * already one shuffle: the composition materializes BOTH sides into one
+  * sorted window relation — every left row carries null right-payload
+  * columns through the sort, and every right row flows through the window
+  * frame and is then discarded by the side filter. The merge exec shuffles
+  * each side once on its own key, sorts each side independently
+  * (`requiredChildOrdering` — Spark plants the sorts), and then streams a
+  * two-cursor per-partition merge holding O(1) state: no unioned
+  * super-relation, no window frame, no post-filter. Same exchange count,
+  * strictly less data through the sorts, and the right side's payload
+  * never widens the left rows until the final joined output.
+  *
+  * Determinism at ties: the right child's required ordering appends every
+  * remaining orderable right column after (key, ts), so "the last row at
+  * the winning ts" is a total order, not sort-stability luck — the same
+  * discipline as the composed op's payload-hash tiebreak.
+  */
+case class AsOfJoinPlan(left: LogicalPlan, right: LogicalPlan,
+                        leftKey: Attribute, rightKey: Attribute,
+                        leftTs: Attribute, rightTs: Attribute)
+    extends BinaryNode {
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinPlan =
+    copy(left = newLeft, right = newRight)
+}
+
+class AsOfJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case p: AsOfJoinPlan =>
+      AsOfJoinNativeExec(p.leftKey, p.rightKey, p.leftTs, p.rightTs,
+        planLater(p.left), planLater(p.right)) :: Nil
+    case _ => Nil
+  }
+}
+
+case class AsOfJoinNativeExec(leftKey: Attribute, rightKey: Attribute,
+                              leftTs: Attribute, rightTs: Attribute,
+                              left: SparkPlan, right: SparkPlan)
+    extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  // both sides cluster on their key; EnsureRequirements co-partitions the
+  // two ClusteredDistribution children (the standard shuffled-join shape)
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(Seq(leftKey)) ::
+      ClusteredDistribution(Seq(rightKey)) :: Nil
+
+  // (key, ts) merge order; the right side totalizes ties over its
+  // remaining orderable columns so the winner at equal ts is deterministic
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTs, Ascending)),
+    Seq(SortOrder(rightKey, Ascending), SortOrder(rightTs, Ascending)) ++
+      right.output
+        .filterNot(a => a.semanticEquals(rightKey) || a.semanticEquals(rightTs))
+        .filter(a => RowOrdering.isOrderable(a.dataType))
+        .map(SortOrder(_, Ascending)))
+
+  // left rows pass through in place: the left child's partitioning and
+  // ordering survive (what lets a downstream per-key op skip its shuffle)
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] = requiredChildOrdering.head
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val lKeyIdx = left.output.indexWhere(_.semanticEquals(leftKey))
+    val lTsIdx = left.output.indexWhere(_.semanticEquals(leftTs))
+    val rKeyIdx = right.output.indexWhere(_.semanticEquals(rightKey))
+    val rTsIdx = right.output.indexWhere(_.semanticEquals(rightTs))
+    require(lKeyIdx >= 0 && lTsIdx >= 0 && rKeyIdx >= 0 && rTsIdx >= 0,
+      "as-of join keys must be direct child output attributes")
+    val keyType = leftKey.dataType
+    val tsType = leftTs.dataType
+    val nRight = right.output.size
+
+    val outAttrs = output
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val keyOrd = TypeUtils.getInterpretedOrdering(keyType)
+      val tsOrd = TypeUtils.getInterpretedOrdering(tsType)
+      val nullRight = new GenericInternalRow(nRight)
+      val joined = new JoinedRow
+      // downstream operators (shuffles, collect) require UnsafeRow
+      val resultProj = UnsafeProjection.create(outAttrs, outAttrs)
+
+      new Iterator[InternalRow] {
+        // the right cursor row and the current candidate are COPIES —
+        // Spark's sorters reuse row objects across next() calls
+        private var rNext: InternalRow = advanceRight()
+        private var cand: InternalRow = null
+
+        private def advanceRight(): InternalRow = {
+          while (rIter.hasNext) {
+            val r = rIter.next()
+            // null key or null ts can never match any left row: skip at
+            // the cursor so candidate logic only ever sees usable rows
+            if (!r.isNullAt(rKeyIdx) && !r.isNullAt(rTsIdx)) return r.copy()
+          }
+          null
+        }
+
+        override def hasNext: Boolean = lIter.hasNext
+
+        override def next(): InternalRow = {
+          val l = lIter.next()
+          if (l.isNullAt(lKeyIdx) || l.isNullAt(lTsIdx)) {
+            resultProj(joined(l, nullRight))
+          } else {
+            val lk = l.get(lKeyIdx, keyType)
+            val lts = l.get(lTsIdx, tsType)
+            // a candidate from a previous key group is stale
+            if (cand != null && keyOrd.compare(cand.get(rKeyIdx, keyType), lk) != 0)
+              cand = null
+            var advancing = true
+            while (advancing && rNext != null) {
+              val kc = keyOrd.compare(rNext.get(rKeyIdx, keyType), lk)
+              if (kc < 0) {
+                rNext = advanceRight() // earlier key group: consumed, no candidate
+              } else if (kc == 0 &&
+                  tsOrd.compare(rNext.get(rTsIdx, tsType), lts) <= 0) {
+                cand = rNext // at-or-before: the latest such row wins
+                rNext = advanceRight()
+              } else {
+                advancing = false // future key or future ts: stop, keep cursor
+              }
+            }
+            resultProj(if (cand != null) joined(l, cand) else joined(l, nullRight))
+          }
+        }
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinNativeExec =
+    copy(left = newLeft, right = newRight)
+}

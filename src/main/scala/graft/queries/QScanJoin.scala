@@ -202,6 +202,26 @@ private[graft] object QScanJoin {
         .orderBy("event_id")
     }),
 
+    "asof_native_last_purchase" -> ((s, dir) => {
+      // the SAME semantics as asof_last_purchase, executed by the native
+      // physical operator (AsOfJoinNativeExec — LogicalPlan + Strategy +
+      // SparkPlan via injectPlannerStrategy): per-side key shuffles,
+      // per-side sorts, O(1)-state streaming merge; parity with the
+      // composed op is spec-asserted, and this query pins it to the
+      // DuckDB ASOF JOIN oracle at every SF
+      val ev = t(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_event_id"),
+          col("user_id").as("p_user_id"), col("ts").as("p_ts"))
+      graft.ops.AsOfJoin.asOfNative(clicks, purchases,
+          "user_id", "p_user_id", "ts", "p_ts")
+        .select(col("event_id"), col("user_id"),
+          date_format(col("p_ts"), "yyyy-MM-dd HH:mm:ss").as("last_purchase_ts"))
+        .orderBy("event_id")
+    }),
+
     "asof_next_purchase" -> ((s, dir) => {
       // forward as-of with a horizon: for each click, the FIRST purchase by
       // the same user at-or-after it within 2 days (attribution window) —
@@ -565,6 +585,16 @@ private[graft] object QScanJoin {
          ORDER BY id_a, id_b""",
 
     "asof_last_purchase" ->
+      """WITH c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+            p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')
+         SELECT c.event_id, c.user_id,
+            strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS last_purchase_ts
+         FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts
+         ORDER BY c.event_id""",
+
+    // identical to the asof_last_purchase twin: the native exec must land
+    // on the same rows DuckDB's ASOF LEFT JOIN produces
+    "asof_native_last_purchase" ->
       """WITH c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
             p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')
          SELECT c.event_id, c.user_id,

@@ -1,0 +1,103 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.AsOfJoin
+
+/** The native as-of physical operator (AsOfJoinPlan → AsOfJoinStrategy →
+  * AsOfJoinNativeExec): semantics parity with the composed union+window
+  * [[AsOfJoin.asOf]], plus plan-shape assertions (the exec is really
+  * planned, both sides exchange on their key, sorts are planted by
+  * requiredChildOrdering).
+  */
+class AsOfNativeSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private def leftDf = Seq(
+    (1L, 10L, ts("2024-01-01 10:00:00")),  // match: trade at 09:59
+    (2L, 10L, ts("2024-01-01 09:00:00")),  // no match: before all trades
+    (3L, 20L, ts("2024-01-01 12:00:00")),  // tie: trade AT 12:00 matches (inclusive)
+    (4L, 30L, ts("2024-01-01 12:00:00")),  // key with no right rows at all
+    (5L, 10L, ts("2024-01-01 11:00:00"))   // match: latest of two earlier trades
+  ).toDF("id", "key", "t")
+
+  private def rightDf = Seq(
+    (100L, 10L, ts("2024-01-01 09:59:00"), 5.0),
+    (101L, 10L, ts("2024-01-01 10:30:00"), 6.0),
+    (102L, 20L, ts("2024-01-01 12:00:00"), 7.0),
+    (103L, 20L, ts("2024-01-01 13:00:00"), 8.0)
+  ).toDF("rid", "rkey", "rt", "px")
+
+  test("native as-of matches the composed op row for row (incl. ties and misses)") {
+    val native = AsOfJoin.asOfNative(leftDf, rightDf, "key", "rkey", "t", "rt")
+      .select($"id", $"rid", $"px")
+      .as[(Long, Option[Long], Option[Double])].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    val composed = AsOfJoin.asOf(leftDf, rightDf, "key", "rkey", "t", "rt")
+      .select($"id", $"asof.rid", $"asof.px")
+      .as[(Long, Option[Long], Option[Double])].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(native == composed, s"native=$native composed=$composed")
+    // and the values are the ones the semantics dictate
+    assert(native(1L) == (Some(100L), Some(5.0)))
+    assert(native(2L) == (None, None))
+    assert(native(3L) == (Some(102L), Some(7.0))) // inclusive tie
+    assert(native(4L) == (None, None))
+    assert(native(5L) == (Some(101L), Some(6.0))) // latest of the two
+  }
+
+  test("null keys and null timestamps never match; empty right null-pads") {
+    val l = Seq((1L, Option(10L), Option(ts("2024-01-01 10:00:00"))),
+      (2L, Option.empty[Long], Option(ts("2024-01-01 10:00:00"))),
+      (3L, Option(10L), Option.empty[Timestamp]))
+      .toDF("id", "key", "t")
+    val r = Seq((100L, Option(10L), Option(ts("2024-01-01 09:00:00"))),
+      (101L, Option.empty[Long], Option(ts("2024-01-01 09:00:00"))),
+      (102L, Option(10L), Option.empty[Timestamp]))
+      .toDF("rid", "rkey", "rt")
+    val got = AsOfJoin.asOfNative(l, r, "key", "rkey", "t", "rt")
+      .select($"id", $"rid").as[(Long, Option[Long])].collect().toMap
+    assert(got == Map(1L -> Some(100L), 2L -> None, 3L -> None), got.toString)
+    // empty right side: every left row survives, null-padded
+    val empty = r.filter(lit(false))
+    val padded = AsOfJoin.asOfNative(l, empty, "key", "rkey", "t", "rt")
+      .select($"id", $"rid").as[(Long, Option[Long])].collect().toMap
+    assert(padded == Map(1L -> None, 2L -> None, 3L -> None))
+  }
+
+  test("the physical plan is the native exec with per-side exchanges and sorts") {
+    val df = AsOfJoin.asOfNative(leftDf, rightDf, "key", "rkey", "t", "rt")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoinNative"), plan)
+    assert("hashpartitioning\\(key".r.findFirstIn(plan).isDefined, plan)
+    assert("hashpartitioning\\(rkey".r.findFirstIn(plan).isDefined, plan)
+    // requiredChildOrdering planted sorts on (key, ts) per side
+    assert("Sort \\[key".r.findFirstIn(plan).isDefined, plan)
+    assert("Sort \\[rkey".r.findFirstIn(plan).isDefined, plan)
+  }
+
+  test("parity on real data: events clicks x purchases at sf0.001") {
+    val ev = Tables.load(spark, "/root/testdata/sf0.001", "events")
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"event_id", $"user_id", $"ts")
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"event_id".as("p_event_id"), $"user_id".as("p_user_id"),
+        $"ts".as("p_ts"))
+    val native = AsOfJoin.asOfNative(clicks, purchases,
+        "user_id", "p_user_id", "ts", "p_ts")
+      .select($"event_id", $"p_ts")
+      .as[(Long, Option[Timestamp])].collect().toMap
+    val composed = AsOfJoin.asOf(clicks,
+        purchases.toDF("event_id", "user_id", "ts"),
+        "user_id", "user_id", "ts", "ts")
+      .select($"event_id", $"asof.ts")
+      .as[(Long, Option[Timestamp])].collect().toMap
+    assert(native.size == composed.size)
+    assert(native == composed)
+  }
+}
