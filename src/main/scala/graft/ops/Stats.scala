@@ -857,4 +857,85 @@ object Stats {
             / (col("__n") - 1).cast("double"))
           .otherwise(lit(null).cast("double")).as("loo_mean"))
   }
+
+  /** Two-sample Kolmogorov–Smirnov drift statistic over an integer-valued
+    * column: D = max_v |F_A(v) − F_B(v)| with A the rows satisfying
+    * `groupACond` and B the rest — the continuous-distribution complement
+    * of the categorical `dist_drift` (total variation). Exact-integer
+    * discipline: per distinct value the CDF gap is |cumA·n_B − cumB·n_A|
+    * (exact longs, no per-value division), the max is taken over those,
+    * and ONE divide by n_A·n_B produces D. `drift_flag` applies the
+    * large-sample α=0.05 rejection bound 1.358·√((n_A+n_B)/(n_A·n_B))
+    * (√ is IEEE-correctly-rounded, replayable — the cosine-oracle
+    * precedent; no log anywhere).
+    *
+    * Scale shape: one hash-aggregate to the per-distinct-value count
+    * relation, then an unpartitioned cumulative window OVER THAT
+    * AGGREGATE (bounded by |distinct values| — the t_closeness/global-grid
+    * discipline; quantize the column first if it is truly continuous).
+    */
+  def ksTest(df: DataFrame, groupACond: Column, valueCol: String): DataFrame = {
+    val base = df.filter(col(valueCol).isNotNull)
+      .select(col(valueCol).as("__v"),
+        groupACond.cast("int").cast("long").as("__a"))
+    val counts = base.groupBy(col("__v"))
+      .agg(sum(col("__a")).as("__ca"),
+        sum(lit(1L) - col("__a")).as("__cb"))
+    val w = Window.orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = base.agg(sum(col("__a")).as("n_a"),
+      sum(lit(1L) - col("__a")).as("n_b"))
+    counts
+      .withColumn("__cuma", sum(col("__ca")).over(w))
+      .withColumn("__cumb", sum(col("__cb")).over(w))
+      .crossJoin(broadcast(tot))
+      .groupBy(col("n_a"), col("n_b"))
+      .agg(max(abs(col("__cuma") * col("n_b") - col("__cumb") * col("n_a")))
+        .as("d_num"))
+      .select(col("n_a"), col("n_b"), col("d_num").cast("long").as("d_num"),
+        (col("d_num").cast("double")
+          / (col("n_a") * col("n_b")).cast("double")).as("d"))
+      .withColumn("drift_flag",
+        col("d") > lit(1.358) * sqrt((col("n_a") + col("n_b")).cast("double")
+          / (col("n_a") * col("n_b")).cast("double")))
+  }
+
+  /** Mann–Whitney U (Wilcoxon rank-sum) over an integer-valued column —
+    * the nonparametric location-shift test a pipeline runs when two
+    * sources' quality scores can't be assumed normal. Average ranks for
+    * ties are kept EXACT by doubling: rank2(v) = 2·(# pooled values < v)
+    * + ties(v) + 1, so R_A·2 and U_A·2 are exact longs; the only doubles
+    * are U itself (one halving) and the AUC effect size
+    * U_A/(n_A·n_B) — the probability a random A value exceeds a random B
+    * value (ties counted half), the quantity an A/B quality comparison
+    * actually reports. Same aggregate-then-bounded-window shape as
+    * [[ksTest]].
+    */
+  def mannWhitneyU(df: DataFrame, groupACond: Column,
+                   valueCol: String): DataFrame = {
+    val base = df.filter(col(valueCol).isNotNull)
+      .select(col(valueCol).as("__v"),
+        groupACond.cast("int").cast("long").as("__a"))
+    val counts = base.groupBy(col("__v"))
+      .agg(sum(col("__a")).as("__ca"),
+        sum(lit(1L) - col("__a")).as("__cb"))
+      .withColumn("__ct", col("__ca") + col("__cb"))
+    val w = Window.orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = base.agg(sum(col("__a")).as("n_a"),
+      sum(lit(1L) - col("__a")).as("n_b"))
+    counts
+      .withColumn("__before", sum(col("__ct")).over(w) - col("__ct"))
+      .withColumn("__rank2", lit(2L) * col("__before") + col("__ct") + 1L)
+      .crossJoin(broadcast(tot))
+      .groupBy(col("n_a"), col("n_b"))
+      .agg(sum(col("__ca") * col("__rank2")).as("__r2a"))
+      .select(col("n_a"), col("n_b"),
+        (col("__r2a") - col("n_a") * (col("n_a") + 1)).cast("long").as("u2_a"))
+      .withColumn("u_a", col("u2_a").cast("double") / 2.0)
+      .withColumn("u_b",
+        (lit(2L) * col("n_a") * col("n_b") - col("u2_a")).cast("double") / 2.0)
+      .withColumn("auc", col("u2_a").cast("double")
+        / (lit(2L) * col("n_a") * col("n_b")).cast("double"))
+  }
 }

@@ -476,6 +476,19 @@ private[graft] object QAggWindow {
           Seq("c_nationkey", "c_mktsegment"), "__sens", t = 0.15)
         .orderBy("c_nationkey", "c_mktsegment")),
 
+    "ks_drift" -> ((s, dir) =>
+      // continuous-distribution drift: KS statistic between en and
+      // non-en doc-length distributions — exact-long CDF gaps over the
+      // distinct-value aggregate, one divide, sqrt-bounded flag
+      graft.ops.Stats.ksTest(t(s, dir, "documents"),
+        col("lang") === "en", "n_chars")),
+
+    "mann_whitney" -> ((s, dir) =>
+      // nonparametric location shift: does src0 produce longer docs than
+      // the rest — doubled average ranks keep ties exact; AUC effect size
+      graft.ops.Stats.mannWhitneyU(t(s, dir, "documents"),
+        col("source") === "src0", "n_chars")),
+
     "cohens_kappa" -> ((s, dir) => {
       // inter-rater agreement between two deterministic quality raters
       // (char-length buckets vs whitespace-token buckets) over documents
@@ -1223,6 +1236,61 @@ private[graft] object QAggWindow {
            ON sums.c_nationkey IS NOT DISTINCT FROM grp.c_nationkey
            AND sums.c_mktsegment IS NOT DISTINCT FROM grp.c_mktsegment
          ORDER BY grp.c_nationkey, grp.c_mktsegment""",
+
+    // exact-long CDF gaps |cumA·nB − cumB·nA| over distinct values, max,
+    // one divide; the flag's sqrt is IEEE-correctly-rounded on both sides
+    "ks_drift" ->
+      """WITH b AS (
+           SELECT n_chars AS v, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS a
+           FROM documents WHERE n_chars IS NOT NULL),
+         c AS (SELECT v, CAST(SUM(a) AS BIGINT) AS ca,
+                 CAST(SUM(1 - a) AS BIGINT) AS cb FROM b GROUP BY 1),
+         t AS (SELECT CAST(SUM(a) AS BIGINT) AS n_a,
+                 CAST(SUM(1 - a) AS BIGINT) AS n_b FROM b),
+         cum AS (
+           SELECT v,
+             CAST(SUM(ca) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+               AS BIGINT) AS cuma,
+             CAST(SUM(cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+               AS BIGINT) AS cumb
+           FROM c),
+         m AS (
+           SELECT t.n_a, t.n_b,
+             CAST(MAX(abs(cuma * t.n_b - cumb * t.n_a)) AS BIGINT) AS d_num
+           FROM cum, t GROUP BY 1, 2)
+         SELECT n_a, n_b, d_num,
+           CAST(d_num AS DOUBLE) / CAST(n_a * n_b AS DOUBLE) AS d,
+           (CAST(d_num AS DOUBLE) / CAST(n_a * n_b AS DOUBLE)) >
+             1.358 * sqrt(CAST(n_a + n_b AS DOUBLE)
+               / CAST(n_a * n_b AS DOUBLE)) AS drift_flag
+         FROM m""",
+
+    // doubled average ranks: rank2 = 2*before + ties + 1; U doubled stays
+    // an exact long, halved once; AUC one divide
+    "mann_whitney" ->
+      """WITH b AS (
+           SELECT n_chars AS v,
+             CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS a
+           FROM documents WHERE n_chars IS NOT NULL),
+         c AS (SELECT v, CAST(SUM(a) AS BIGINT) AS ca,
+                 CAST(SUM(1 - a) AS BIGINT) AS cb FROM b GROUP BY 1),
+         t AS (SELECT CAST(SUM(a) AS BIGINT) AS n_a,
+                 CAST(SUM(1 - a) AS BIGINT) AS n_b FROM b),
+         r AS (
+           SELECT v, ca, ca + cb AS ct,
+             CAST(SUM(ca + cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+               AS BIGINT) - (ca + cb) AS bef
+           FROM c),
+         s AS (SELECT CAST(SUM(ca * (2 * bef + ct + 1)) AS BIGINT) AS r2a
+               FROM r)
+         SELECT t.n_a, t.n_b,
+           CAST(s.r2a - t.n_a * (t.n_a + 1) AS BIGINT) AS u2_a,
+           CAST(s.r2a - t.n_a * (t.n_a + 1) AS DOUBLE) / 2.0 AS u_a,
+           CAST(2 * t.n_a * t.n_b - (s.r2a - t.n_a * (t.n_a + 1)) AS DOUBLE)
+             / 2.0 AS u_b,
+           CAST(s.r2a - t.n_a * (t.n_a + 1) AS DOUBLE)
+             / CAST(2 * t.n_a * t.n_b AS DOUBLE) AS auc
+         FROM t, s""",
 
     // exact-integer kappa: (N·agree − Σ margA·margB) / (N² − Σ margA·margB)
     "cohens_kappa" ->

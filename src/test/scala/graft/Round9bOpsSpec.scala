@@ -111,6 +111,37 @@ class Round9bOpsSpec extends SparkTestBase {
     assert(dFull.getDouble(2) == 1.0 && dFull.getDouble(3) == 1.0)
   }
 
+  test("ksTest: hand-computed D on interleaved samples; identical samples give 0") {
+    val rows = Seq((1L, true), (3L, true), (2L, false), (4L, false))
+      .toDF("v", "isA")
+    val out = graft.ops.Stats.ksTest(rows, col("isA"), "v").collect().head
+    // A={1,3}, B={2,4}: max |cumA·nB − cumB·nA| = 2 at v=1 and v=3 → D=0.5
+    assert(out.getLong(0) == 2L && out.getLong(1) == 2L)
+    assert(out.getLong(2) == 2L && out.getDouble(3) == 0.5, out.toString)
+    assert(!out.getBoolean(4)) // tiny samples never clear the 1.358 bound
+    // identical distributions: D = 0 exactly
+    val same = Seq((1L, true), (2L, true), (1L, false), (2L, false))
+      .toDF("v", "isA")
+    val o2 = graft.ops.Stats.ksTest(same, col("isA"), "v").collect().head
+    assert(o2.getLong(2) == 0L && o2.getDouble(3) == 0.0)
+  }
+
+  test("mannWhitneyU: doubled ranks make tied averages exact") {
+    // A={1,3}, B={2,4}: U_A = 1 (one winning pair), AUC = 0.25
+    val rows = Seq((1L, true), (3L, true), (2L, false), (4L, false))
+      .toDF("v", "isA")
+    val out = graft.ops.Stats.mannWhitneyU(rows, col("isA"), "v").collect().head
+    assert(out.getLong(2) == 2L, out.toString)     // u2_a
+    assert(out.getDouble(3) == 1.0 && out.getDouble(4) == 3.0) // u_a, u_b
+    assert(out.getDouble(5) == 0.25)               // auc
+    // ties: A={1,2}, B={2,3} → the 2-2 tie counts half: U_A = 0.5
+    val tied = Seq((1L, true), (2L, true), (2L, false), (3L, false))
+      .toDF("v", "isA")
+    val o2 = graft.ops.Stats.mannWhitneyU(tied, col("isA"), "v").collect().head
+    assert(o2.getLong(2) == 1L && o2.getDouble(3) == 0.5, o2.toString)
+    assert(o2.getDouble(5) == 0.125)
+  }
+
   test("groupHeavyHitters: each group gets its own sketch and its own hitters") {
     // "alpha" floods group A only; "beta" floods group B only — with a
     // shared low-frequency tail that must not qualify in either

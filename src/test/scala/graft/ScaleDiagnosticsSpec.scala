@@ -109,7 +109,8 @@ class ScaleDiagnosticsSpec extends SparkTestBase {
     for (q <- Seq("key_skew_stats", "salt_plan", "join_explosion",
         "diversity_profile", "novelty_curve",
         "quantile_normalize", "cohens_kappa", "mixture_waterfill",
-        "t_closeness", "bitext_mine_ann", "mrl_truncation_eval_ivf")) {
+        "t_closeness", "bitext_mine_ann", "mrl_truncation_eval_ivf",
+        "ks_drift", "mann_whitney")) {
       val bad = executed(q).collect {
         case w: WindowExec if w.partitionSpec.isEmpty &&
             !w.children.forall(hasAggregateBelow) => w
