@@ -938,4 +938,82 @@ object Stats {
       .withColumn("auc", col("u2_a").cast("double")
         / (lit(2L) * col("n_a") * col("n_b")).cast("double"))
   }
+
+  /** 1-D Wasserstein (earth-mover) distance between two samples of an
+    * integer-valued column — the drift MAGNITUDE where [[ksTest]] gives
+    * the worst single gap: W₁ = Σ_consecutive |F_A − F_B|·Δv. Exact-long
+    * numerator Σ |cumA·n_B − cumB·n_A|·(v_next − v), ONE divide by
+    * n_A·n_B. Same aggregate-then-bounded-window shape as [[ksTest]].
+    */
+  def wasserstein1d(df: DataFrame, groupACond: Column,
+                    valueCol: String): DataFrame = {
+    val base = df.filter(col(valueCol).isNotNull)
+      .select(col(valueCol).as("__v"),
+        groupACond.cast("int").cast("long").as("__a"))
+    val counts = base.groupBy(col("__v"))
+      .agg(sum(col("__a")).as("__ca"),
+        sum(lit(1L) - col("__a")).as("__cb"))
+    val w = Window.orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wl = Window.orderBy(col("__v"))
+    val tot = base.agg(sum(col("__a")).as("n_a"),
+      sum(lit(1L) - col("__a")).as("n_b"))
+    counts
+      .withColumn("__cuma", sum(col("__ca")).over(w))
+      .withColumn("__cumb", sum(col("__cb")).over(w))
+      .withColumn("__next", lead(col("__v"), 1).over(wl))
+      .crossJoin(broadcast(tot))
+      .groupBy(col("n_a"), col("n_b"))
+      .agg(sum(when(col("__next").isNotNull,
+        abs(col("__cuma") * col("n_b") - col("__cumb") * col("n_a"))
+          * (col("__next") - col("__v"))).otherwise(lit(0L))).as("w1_num"))
+      .select(col("n_a"), col("n_b"), col("w1_num").cast("long").as("w1_num"),
+        (col("w1_num").cast("double")
+          / (col("n_a") * col("n_b")).cast("double")).as("w1"))
+  }
+
+  /** Cramér's V — chance-corrected association strength between two
+    * categorical columns (the symmetric complement of [[cohensKappa]],
+    * which assumes the SAME label space; V compares arbitrary ones).
+    * χ² = Σ_cells (o·N − r·c)²/(N·r·c) with the margins r, c and grand
+    * total N; V = √(χ²/(N·(min(k_A,k_B) − 1))), null for a 1×k table.
+    * Per-cell terms are fixed double expressions over exact counts and
+    * the χ² total folds over the SORTED term list (the engine's
+    * order-pinning discipline for double sums); √ is IEEE-exact both
+    * sides. Cells/margins are |A|·|B|-bounded aggregate relations; the
+    * joins broadcast.
+    */
+  def cramersV(df: DataFrame, labelA: Column, labelB: Column): DataFrame = {
+    val base = df.select(labelA.as("__a"), labelB.as("__b"))
+    val observed = base.groupBy(col("__a"), col("__b"))
+      .agg(count(lit(1)).as("__oc"))
+    val ra = base.groupBy(col("__a")).agg(count(lit(1)).as("__ra"))
+    val cb = base.groupBy(col("__b")).agg(count(lit(1)).as("__cb"))
+    val tot = base.agg(count(lit(1)).as("n"),
+      countDistinct(col("__a")).as("k_a"),
+      countDistinct(col("__b")).as("k_b"))
+    // densify: χ² sums over EVERY margin-pair cell — an all-zero cell
+    // still contributes (o·N − r·c)²/(N·r·c); iterating only observed
+    // cells under-counts (perfect association would score √½, not 1)
+    val cells = ra.crossJoin(broadcast(cb))
+      .join(observed, Seq("__a", "__b"), "left")
+      .withColumn("__o", coalesce(col("__oc"), lit(0L)))
+    val term = (col("__o").cast("double") * col("n").cast("double")
+      - col("__ra").cast("double") * col("__cb").cast("double"))
+    cells
+      .crossJoin(broadcast(tot))
+      .select(col("n"), col("k_a"), col("k_b"),
+        (term * term / (col("n").cast("double") * col("__ra").cast("double")
+          * col("__cb").cast("double"))).as("__t"))
+      .groupBy(col("n"), col("k_a"), col("k_b"))
+      .agg(aggregate(sort_array(collect_list(col("__t"))), lit(0.0),
+        (acc, x) => acc + x).as("chi2"))
+      .select(col("n").cast("long").as("n"),
+        col("k_a").cast("long").as("k_a"), col("k_b").cast("long").as("k_b"),
+        col("chi2"),
+        when(least(col("k_a"), col("k_b")) <= 1, lit(null).cast("double"))
+          .otherwise(sqrt(col("chi2") / (col("n")
+            * (least(col("k_a"), col("k_b")) - 1)).cast("double")))
+          .as("cramers_v"))
+  }
 }

@@ -489,6 +489,19 @@ private[graft] object QAggWindow {
       graft.ops.Stats.mannWhitneyU(t(s, dir, "documents"),
         col("source") === "src0", "n_chars")),
 
+    "wasserstein_drift" -> ((s, dir) =>
+      // drift MAGNITUDE next to ks_drift's worst gap: exact-long
+      // Σ |cumA·nB − cumB·nA|·Δv, one divide
+      graft.ops.Stats.wasserstein1d(t(s, dir, "documents"),
+        col("lang") === "en", "n_chars")),
+
+    "cramers_v" -> ((s, dir) =>
+      // are language and source associated? chance-corrected χ²-based
+      // strength over the |langs|×|sources| cell aggregate; sorted-fold
+      // χ² total, IEEE sqrt
+      graft.ops.Stats.cramersV(t(s, dir, "documents"),
+        col("lang"), col("source"))),
+
     "cohens_kappa" -> ((s, dir) => {
       // inter-rater agreement between two deterministic quality raters
       // (char-length buckets vs whitespace-token buckets) over documents
@@ -1291,6 +1304,68 @@ private[graft] object QAggWindow {
            CAST(s.r2a - t.n_a * (t.n_a + 1) AS DOUBLE)
              / CAST(2 * t.n_a * t.n_b AS DOUBLE) AS auc
          FROM t, s""",
+
+    // exact-long Σ |cumA·nB − cumB·nA|·Δv over consecutive distinct
+    // values, one divide
+    "wasserstein_drift" ->
+      """WITH b AS (
+           SELECT n_chars AS v, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS a
+           FROM documents WHERE n_chars IS NOT NULL),
+         c AS (SELECT v, CAST(SUM(a) AS BIGINT) AS ca,
+                 CAST(SUM(1 - a) AS BIGINT) AS cb FROM b GROUP BY 1),
+         t AS (SELECT CAST(SUM(a) AS BIGINT) AS n_a,
+                 CAST(SUM(1 - a) AS BIGINT) AS n_b FROM b),
+         cum AS (
+           SELECT v,
+             CAST(SUM(ca) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+               AS BIGINT) AS cuma,
+             CAST(SUM(cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+               AS BIGINT) AS cumb,
+             lead(v) OVER (ORDER BY v) AS nxt
+           FROM c),
+         m AS (
+           SELECT t.n_a, t.n_b,
+             CAST(SUM(CASE WHEN nxt IS NOT NULL
+               THEN abs(cuma * t.n_b - cumb * t.n_a) * (nxt - v)
+               ELSE 0 END) AS BIGINT) AS w1_num
+           FROM cum, t GROUP BY 1, 2)
+         SELECT n_a, n_b, w1_num,
+           CAST(w1_num AS DOUBLE) / CAST(n_a * n_b AS DOUBLE) AS w1
+         FROM m""",
+
+    // per-cell χ² terms as fixed double expressions over exact counts,
+    // sorted-fold total, IEEE sqrt; NULL V for a degenerate 1×k table
+    "cramers_v" ->
+      """WITH b AS (SELECT lang AS a, source AS s2 FROM documents),
+         obs AS (SELECT a, s2, CAST(COUNT(*) AS BIGINT) AS oc
+                 FROM b GROUP BY 1, 2),
+         ra AS (SELECT a, CAST(COUNT(*) AS BIGINT) AS ra FROM b GROUP BY 1),
+         cb AS (SELECT s2, CAST(COUNT(*) AS BIGINT) AS cb FROM b GROUP BY 1),
+         t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(COUNT(DISTINCT a) AS BIGINT) AS k_a,
+                 CAST(COUNT(DISTINCT s2) AS BIGINT) AS k_b FROM b),
+         cells AS (
+           SELECT ra.a, cb.s2, ra.ra, cb.cb, COALESCE(obs.oc, 0) AS o
+           FROM ra CROSS JOIN cb
+           LEFT JOIN obs ON obs.a = ra.a AND obs.s2 = cb.s2),
+         terms AS (
+           SELECT t.n, t.k_a, t.k_b,
+             (CAST(o AS DOUBLE) * CAST(t.n AS DOUBLE)
+               - CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE))
+             * (CAST(o AS DOUBLE) * CAST(t.n AS DOUBLE)
+               - CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE))
+             / (CAST(t.n AS DOUBLE) * CAST(ra AS DOUBLE)
+               * CAST(cb AS DOUBLE)) AS tm
+           FROM cells, t),
+         g AS (
+           SELECT n, k_a, k_b,
+             list_reduce(list_sort(list(tm)), (x, y) -> x + y) AS chi2
+           FROM terms GROUP BY 1, 2, 3)
+         SELECT n, k_a, k_b, chi2,
+           CASE WHEN least(k_a, k_b) <= 1 THEN NULL
+             ELSE sqrt(chi2 / CAST(n * (least(k_a, k_b) - 1) AS DOUBLE)) END
+             AS cramers_v
+         FROM g""",
 
     // exact-integer kappa: (N·agree − Σ margA·margB) / (N² − Σ margA·margB)
     "cohens_kappa" ->

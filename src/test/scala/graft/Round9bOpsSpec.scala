@@ -142,6 +142,36 @@ class Round9bOpsSpec extends SparkTestBase {
     assert(o2.getDouble(5) == 0.125)
   }
 
+  test("wasserstein1d: hand-computed W1; shift by a constant gives the constant") {
+    // A={1,3}, B={2,4}: |F gaps|·Δv: v1→2·1, v2→0·1, v3→2·1 → num 4, W1=1
+    val rows = Seq((1L, true), (3L, true), (2L, false), (4L, false))
+      .toDF("v", "isA")
+    val out = graft.ops.Stats.wasserstein1d(rows, col("isA"), "v").collect().head
+    assert(out.getLong(2) == 4L && out.getDouble(3) == 1.0, out.toString)
+    // B = A + 10 exactly: W1 = 10 (mass moves 10 units)
+    val shift = Seq((1L, true), (2L, true), (11L, false), (12L, false))
+      .toDF("v", "isA")
+    val o2 = graft.ops.Stats.wasserstein1d(shift, col("isA"), "v").collect().head
+    assert(o2.getDouble(3) == 10.0, o2.toString)
+  }
+
+  test("cramersV: perfect association gives 1, independence gives 0") {
+    // perfectly associated 2x2: a determines b
+    val perfect = (Seq.fill(10)(("x", "p")) ++ Seq.fill(10)(("y", "q")))
+      .toDF("a", "b")
+    val p = graft.ops.Stats.cramersV(perfect, col("a"), col("b")).collect().head
+    assert(p.getDouble(4) == 1.0, p.toString)
+    // independent 2x2 with equal masses: chi2 = 0
+    val indep = (Seq.fill(5)(("x", "p")) ++ Seq.fill(5)(("x", "q"))
+      ++ Seq.fill(5)(("y", "p")) ++ Seq.fill(5)(("y", "q"))).toDF("a", "b")
+    val i = graft.ops.Stats.cramersV(indep, col("a"), col("b")).collect().head
+    assert(i.getDouble(3) == 0.0 && i.getDouble(4) == 0.0, i.toString)
+    // degenerate 1xk: V undefined -> null, not a crash
+    val degen = Seq(("x", "p"), ("x", "q")).toDF("a", "b")
+    val d = graft.ops.Stats.cramersV(degen, col("a"), col("b")).collect().head
+    assert(d.isNullAt(4), d.toString)
+  }
+
   test("groupHeavyHitters: each group gets its own sketch and its own hitters") {
     // "alpha" floods group A only; "beta" floods group B only — with a
     // shared low-frequency tail that must not qualify in either
