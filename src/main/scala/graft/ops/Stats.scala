@@ -1016,4 +1016,131 @@ object Stats {
             * (least(col("k_a"), col("k_b")) - 1)).cast("double")))
           .as("cramers_v"))
   }
+
+  /** Spearman rank correlation with exact tie handling — the monotone-
+    * association complement of [[corrPearson]] (which measures LINEAR
+    * association and is distorted by heavy tails). Ranks use DOUBLED
+    * average ranks so ties stay exact longs (the [[mannWhitneyU]]
+    * device): the tied block for value v with `cum` rows ≤ v and `c`
+    * rows = v gets doubled rank 2·cum − c + 1 — an integer even when
+    * the average rank is x.5. ρ is then Pearson over the doubled ranks
+    * (the constant factor 2 cancels): five exact DECIMAL(38,0) sums
+    * (rank products reach 4n³ — past 2^63 already at n ≈ 1.3M), cast
+    * to double ONCE, combined in a fixed expression the oracle twin
+    * mirrors token-for-token.
+    *
+    * Scale shape: two distinct-value aggregates (map-side combined) +
+    * bounded cumulative windows OVER those aggregates (the audited
+    * aggregate-then-window shape), two keyed joins planting the ranks
+    * back on the rows (AQE broadcasts the rank tables when the value
+    * domains are small), one final 6-number aggregate.
+    */
+  def spearmanRho(df: DataFrame, x: Column, y: Column): DataFrame = {
+    val base = df.filter(x.isNotNull && y.isNotNull)
+      .select(x.as("__x"), y.as("__y"))
+    def doubledRanks(c: String, out: String) = {
+      val cnt = base.groupBy(col(c)).agg(count(lit(1)).as("__c"))
+      val w = Window.orderBy(col(c))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      cnt.withColumn("__cum", sum(col("__c")).over(w))
+        .select(col(c),
+          (lit(2L) * col("__cum") - col("__c") + lit(1L)).as(out))
+    }
+    val dec = DecimalType(38, 0)
+    val ranked = base
+      .join(doubledRanks("__x", "__rx"), Seq("__x"))
+      .join(doubledRanks("__y", "__ry"), Seq("__y"))
+    val agg = ranked.agg(
+      count(lit(1)).as("n"),
+      sum(col("__rx").cast(dec)).as("__sx"),
+      sum(col("__ry").cast(dec)).as("__sy"),
+      sum((col("__rx") * col("__rx")).cast(dec)).as("__sxx"),
+      sum((col("__ry") * col("__ry")).cast(dec)).as("__syy"),
+      sum((col("__rx") * col("__ry")).cast(dec)).as("__sxy"))
+    def d(c: String) = col(c).cast("double")
+    val n = d("n")
+    val varX = n * d("__sxx") - d("__sx") * d("__sx")
+    val varY = n * d("__syy") - d("__sy") * d("__sy")
+    agg.select(col("n").cast("long").as("n"),
+      ((n * d("__sxy") - d("__sx") * d("__sy"))
+        / nullif(sqrt(varX * varY), lit(0.0))).as("rho"))
+  }
+
+  /** Theil–Sen slope over an ALREADY-AGGREGATED (x, y) series — the
+    * robust twin of [[olsTrend]]: the median of all pairwise slopes
+    * (yⱼ−yᵢ)/(xⱼ−xᵢ), i < j, immune to ~29% outlier contamination
+    * where one wild day drags OLS arbitrarily (Sen JASA'68). The
+    * caller aggregates first (daily counts → ≤ a few hundred rows), so
+    * the pairwise self-join and the unpartitioned rank window both sit
+    * above bounded aggregate relations — the audited shape; this is
+    * NOT for raw-row inputs. Each slope is ONE IEEE divide of two
+    * exact longs; the median picks the middle slope(s) by
+    * (slope, xᵢ, xⱼ) rank — an even pair count averages two doubles
+    * (commutative, engine-portable).
+    */
+  def theilSenSlope(series: DataFrame, x: Column, y: Column): DataFrame = {
+    val pts = series.select(x.cast("long").as("__x"), y.cast("long").as("__y"))
+    val a = pts.select(col("__x").as("__x1"), col("__y").as("__y1"))
+    val b = pts.select(col("__x").as("__x2"), col("__y").as("__y2"))
+    val pairs = a.join(b, col("__x1") < col("__x2"))
+      .select(col("__x1"), col("__x2"),
+        ((col("__y2") - col("__y1")).cast("double")
+          / (col("__x2") - col("__x1")).cast("double")).as("__s"))
+    val w = Window.orderBy(col("__s"), col("__x1"), col("__x2"))
+    val ranked = pairs
+      .withColumn("__i", row_number().over(w))
+      .crossJoin(broadcast(pairs.agg(count(lit(1)).as("__m"))))
+    ranked
+      .filter(col("__i") * 2 === col("__m") || col("__i") * 2 === col("__m") + 1
+        || col("__i") * 2 === col("__m") + 2)
+      .agg(max(col("__m")).as("n_pairs"),
+        avg(when(col("__m") % 2 === 1,
+            when(col("__i") * 2 === col("__m") + 1, col("__s")))
+          .otherwise(when(
+            col("__i") * 2 === col("__m") || col("__i") * 2 === col("__m") + 2,
+            col("__s")))).as("slope"))
+      .select(col("n_pairs").cast("long").as("n_pairs"), col("slope"))
+  }
+
+  /** Difference-in-differences readout — the quasi-experimental effect
+    * estimate when treatment rolls out at a point in time: DiD =
+    * (post_T − pre_T) − (post_C − pre_C) of the four cell means, which
+    * cancels both the group's standing offset and the secular time
+    * trend. Treatment arm is the [[abTestStats]] md5-48 unit hash (so
+    * the oracle replays it digit for digit); the pre/post boundary is
+    * the integer MIDPOINT day (min+max)/2 from a 1-row broadcast
+    * aggregate — self-contained at any SF. Cell sums are exact longs
+    * (caller pre-scales to cents); the 4-row cell relation pivots via
+    * conditional aggregation; every mean is one IEEE divide.
+    */
+  def diffInDiff(df: DataFrame, unitCol: String, dayCol: Column,
+                 xCents: Column): DataFrame = {
+    val arm = pmod(LlmOps.md5Hash48(col(unitCol).cast("string"), 1), lit(2L))
+    val base = df.select(arm.as("__t"), dayCol.cast("long").as("__d"),
+      xCents.as("__x"))
+    val bound = base.agg(
+      ((min(col("__d")) + max(col("__d"))) / lit(2L)).cast("long").as("__mid"))
+    val cells = base.crossJoin(broadcast(bound))
+      .withColumn("__p", (col("__d") >= col("__mid")).cast("long"))
+      .groupBy(col("__t"), col("__p"))
+      .agg(count(lit(1)).as("__n"), sum(col("__x")).as("__s"))
+    def cell(t: Int, p: Int, c: String) =
+      max(when(col("__t") === t && col("__p") === p, col(c)))
+    val wide = cells.agg(
+      cell(1, 0, "__n").as("n_pre_t"), cell(1, 1, "__n").as("n_post_t"),
+      cell(0, 0, "__n").as("n_pre_c"), cell(0, 1, "__n").as("n_post_c"),
+      cell(1, 0, "__s").as("__s_pre_t"), cell(1, 1, "__s").as("__s_post_t"),
+      cell(0, 0, "__s").as("__s_pre_c"), cell(0, 1, "__s").as("__s_post_c"))
+    def mean(s: String, n: String) =
+      col(s).cast("double") / col(n).cast("double")
+    wide.select(
+      col("n_pre_t"), col("n_post_t"), col("n_pre_c"), col("n_post_c"),
+      mean("__s_pre_t", "n_pre_t").as("mean_pre_t"),
+      mean("__s_post_t", "n_post_t").as("mean_post_t"),
+      mean("__s_pre_c", "n_pre_c").as("mean_pre_c"),
+      mean("__s_post_c", "n_post_c").as("mean_post_c"),
+      ((mean("__s_post_t", "n_post_t") - mean("__s_pre_t", "n_pre_t"))
+        - (mean("__s_post_c", "n_post_c") - mean("__s_pre_c", "n_pre_c")))
+        .as("did"))
+  }
 }

@@ -502,6 +502,34 @@ private[graft] object QAggWindow {
       graft.ops.Stats.cramersV(t(s, dir, "documents"),
         col("lang"), col("source"))),
 
+    "spearman_corr" -> ((s, dir) =>
+      // monotone association between document size and token count —
+      // tie-exact doubled average ranks (the mann_whitney device),
+      // Pearson over the ranks in DECIMAL(38,0) exact sums
+      graft.ops.Stats.spearmanRho(t(s, dir, "documents"),
+        col("n_chars"),
+        size(split(lower(trim(col("text"))), "\\s+")).cast("long"))),
+
+    "theil_sen_trend" -> ((s, dir) =>
+      // robust daily-volume trend: median of pairwise slopes over the
+      // daily count aggregate — outlier days can't drag it the way one
+      // wild day drags ols_trend; pairwise join + rank window both sit
+      // above the bounded daily aggregate
+      graft.ops.Stats.theilSenSlope(
+        t(s, dir, "events")
+          .groupBy(datediff(to_date(col("ts")),
+            lit("1970-01-01").cast("date")).cast("long").as("__d"))
+          .agg(count(lit(1)).as("__cnt")),
+        col("__d"), col("__cnt"))),
+
+    "did_estimate" -> ((s, dir) =>
+      // quasi-experimental rollout readout: DiD of value-cents means
+      // over md5-arm × midpoint-day-period cells — cancels arm offset
+      // and secular trend; exact cell sums, means as one divide each
+      graft.ops.Stats.diffInDiff(t(s, dir, "events"), "user_id",
+        datediff(to_date(col("ts")), lit("1970-01-01").cast("date")),
+        floor(col("value") * 100).cast("long"))),
+
     "cohens_kappa" -> ((s, dir) => {
       // inter-rater agreement between two deterministic quality raters
       // (char-length buckets vs whitespace-token buckets) over documents
@@ -1366,6 +1394,104 @@ private[graft] object QAggWindow {
              ELSE sqrt(chi2 / CAST(n * (least(k_a, k_b) - 1) AS DOUBLE)) END
              AS cramers_v
          FROM g""",
+
+    // doubled average ranks (2·cum − c + 1 per tied block), Pearson over
+    // ranks with HUGEINT-exact sums, one fixed double formula
+    "spearman_corr" ->
+      """WITH b AS (
+           SELECT n_chars AS x,
+             CAST(len(string_split_regex(lower(trim(text)), '\s+'))
+               AS BIGINT) AS y
+           FROM documents WHERE n_chars IS NOT NULL AND text IS NOT NULL),
+         cx AS (SELECT x, CAST(COUNT(*) AS BIGINT) AS c FROM b GROUP BY 1),
+         rx AS (SELECT x,
+             2 * CAST(SUM(c) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING)
+               AS BIGINT) - c + 1 AS rx
+           FROM cx),
+         cy AS (SELECT y, CAST(COUNT(*) AS BIGINT) AS c FROM b GROUP BY 1),
+         ry AS (SELECT y,
+             2 * CAST(SUM(c) OVER (ORDER BY y ROWS UNBOUNDED PRECEDING)
+               AS BIGINT) - c + 1 AS ry
+           FROM cy),
+         r AS (
+           SELECT rx.rx, ry.ry FROM b
+           JOIN rx ON b.x = rx.x JOIN ry ON b.y = ry.y),
+         s AS (
+           SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST(rx AS HUGEINT)) AS sx, SUM(CAST(ry AS HUGEINT)) AS sy,
+             SUM(CAST(rx AS HUGEINT) * rx) AS sxx,
+             SUM(CAST(ry AS HUGEINT) * ry) AS syy,
+             SUM(CAST(rx AS HUGEINT) * ry) AS sxy
+           FROM r)
+         SELECT n,
+           (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+           / nullif(sqrt(
+               (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+               * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                  - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 0.0) AS rho
+         FROM s""",
+
+    // median pairwise slope over the bounded daily aggregate; slopes are
+    // one IEEE divide each, middle pick by (slope, x1, x2) rank
+    "theil_sen_trend" ->
+      """WITH d AS (
+           SELECT CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+               AS BIGINT) AS x,
+             CAST(COUNT(*) AS BIGINT) AS y
+           FROM events GROUP BY 1),
+         p AS (
+           SELECT a.x AS x1, b.x AS x2,
+             CAST(b.y - a.y AS DOUBLE) / CAST(b.x - a.x AS DOUBLE) AS s
+           FROM d a JOIN d b ON a.x < b.x),
+         r AS (
+           SELECT s, row_number() OVER (ORDER BY s, x1, x2) AS i,
+             CAST(COUNT(*) OVER () AS BIGINT) AS m
+           FROM p)
+         SELECT CAST(MAX(m) AS BIGINT) AS n_pairs,
+           AVG(CASE WHEN m % 2 = 1 THEN CASE WHEN i * 2 = m + 1 THEN s END
+                ELSE CASE WHEN i * 2 = m OR i * 2 = m + 2 THEN s END
+               END) AS slope
+         FROM r WHERE i * 2 = m OR i * 2 = m + 1 OR i * 2 = m + 2""",
+
+    // md5-arm × midpoint-period cell means; DiD cancels arm offset and
+    // secular trend; exact cent sums, one divide per mean
+    "did_estimate" ->
+      """WITH b AS (
+           SELECT CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+               1, 12))::BIGINT % 2 = 1 THEN 1 ELSE 0 END AS t,
+             CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+               AS BIGINT) AS d,
+             CAST(FLOOR(value * 100) AS BIGINT) AS x
+           FROM events),
+         bound AS (
+           SELECT CAST((MIN(d) + MAX(d)) // 2 AS BIGINT) AS mid FROM b),
+         cells AS (
+           SELECT t, CASE WHEN d >= mid THEN 1 ELSE 0 END AS p,
+             CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS s
+           FROM b, bound GROUP BY 1, 2),
+         wide AS (
+           SELECT
+             MAX(CASE WHEN t = 1 AND p = 0 THEN n END) AS n_pre_t,
+             MAX(CASE WHEN t = 1 AND p = 1 THEN n END) AS n_post_t,
+             MAX(CASE WHEN t = 0 AND p = 0 THEN n END) AS n_pre_c,
+             MAX(CASE WHEN t = 0 AND p = 1 THEN n END) AS n_post_c,
+             MAX(CASE WHEN t = 1 AND p = 0 THEN s END) AS s_pre_t,
+             MAX(CASE WHEN t = 1 AND p = 1 THEN s END) AS s_post_t,
+             MAX(CASE WHEN t = 0 AND p = 0 THEN s END) AS s_pre_c,
+             MAX(CASE WHEN t = 0 AND p = 1 THEN s END) AS s_post_c
+           FROM cells)
+         SELECT n_pre_t, n_post_t, n_pre_c, n_post_c,
+           CAST(s_pre_t AS DOUBLE) / CAST(n_pre_t AS DOUBLE) AS mean_pre_t,
+           CAST(s_post_t AS DOUBLE) / CAST(n_post_t AS DOUBLE) AS mean_post_t,
+           CAST(s_pre_c AS DOUBLE) / CAST(n_pre_c AS DOUBLE) AS mean_pre_c,
+           CAST(s_post_c AS DOUBLE) / CAST(n_post_c AS DOUBLE) AS mean_post_c,
+           (CAST(s_post_t AS DOUBLE) / CAST(n_post_t AS DOUBLE)
+              - CAST(s_pre_t AS DOUBLE) / CAST(n_pre_t AS DOUBLE))
+           - (CAST(s_post_c AS DOUBLE) / CAST(n_post_c AS DOUBLE)
+              - CAST(s_pre_c AS DOUBLE) / CAST(n_pre_c AS DOUBLE)) AS did
+         FROM wide""",
 
     // exact-integer kappa: (N·agree − Σ margA·margB) / (N² − Σ margA·margB)
     "cohens_kappa" ->

@@ -110,7 +110,8 @@ class ScaleDiagnosticsSpec extends SparkTestBase {
         "diversity_profile", "novelty_curve",
         "quantile_normalize", "cohens_kappa", "mixture_waterfill",
         "t_closeness", "bitext_mine_ann", "mrl_truncation_eval_ivf",
-        "ks_drift", "mann_whitney", "wasserstein_drift")) {
+        "ks_drift", "mann_whitney", "wasserstein_drift",
+        "spearman_corr", "theil_sen_trend")) {
       val bad = executed(q).collect {
         case w: WindowExec if w.partitionSpec.isEmpty &&
             !w.children.forall(hasAggregateBelow) => w
