@@ -1046,4 +1046,92 @@ object VectorOps {
           slice(col("__qv"), lit(1), col("__d"))).as("__score"))
     mrlOverlapRollup(scored, fullDim, k)
   }
+
+  /** Reciprocal-rank fusion (Cormack & Clarke SIGIR'09) of two ranked
+    * retrieval lists — the standard hybrid-search merge (lexical + vector)
+    * that needs NO score calibration because it consumes only ranks:
+    * rrf = Σ_lists 1/(rrfK + rank), missing-from-a-list contributes 0.
+    * Both inputs are (query_id, doc_id, rank) relations, already
+    * group-limited top-k's, so the full-outer fuse join and the per-query
+    * rank window touch ≤ 2k rows per query — nothing here scales with the
+    * corpus. Each term is one IEEE divide of exact ints; the two-term sum
+    * is a fixed expression the oracle twin mirrors.
+    */
+  def rrfFuse(listA: DataFrame, listB: DataFrame,
+              rrfK: Int = 60, kOut: Int = 10): DataFrame = {
+    val a = listA.select(col("query_id"), col("doc_id"),
+      col("rank").cast("long").as("rank_a"))
+    val b = listB.select(col("query_id"), col("doc_id"),
+      col("rank").cast("long").as("rank_b"))
+    val fused = a.join(b, Seq("query_id", "doc_id"), "full_outer")
+      .select(col("query_id"), col("doc_id"), col("rank_a"), col("rank_b"),
+        (coalesce(lit(1.0) / (lit(rrfK) + col("rank_a")).cast("double"), lit(0.0))
+          + coalesce(lit(1.0) / (lit(rrfK) + col("rank_b")).cast("double"),
+            lit(0.0))).as("rrf"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf").desc, col("doc_id").asc)
+    fused.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= kOut)
+  }
+
+  /** Johnson–Lindenstrauss sign projection of an embedding column into k
+    * dimensions — the cheap distance-preserving reduction (Achlioptas
+    * JCSS'03: ±1 entries suffice) a 100 TB pipeline applies before
+    * banding/bucketing when 64 float dims are still too wide. Exact
+    * integers end to end: components quantize to milli-units
+    * (floor(v·1000) — float→double exact, floor IEEE-portable), the sign
+    * matrix derives from the portable md5-48 family (sign(j,i) = parity
+    * of md5("jl_j_i")), and each output dim is an in-row fold — ZERO
+    * shuffle until the caller aggregates. The d·k sign matrix is driver-
+    * built from the same hash an external engine replays in SQL.
+    */
+  def jlProject(emb: DataFrame, idCol: String, embCol: String,
+                k: Int, dim: Int): DataFrame = {
+    val signs: Seq[Long] = Seq.tabulate(k * dim) { idx =>
+      val (j, i) = (idx / dim, idx % dim)
+      if (md5Long48(s"jl_${j}_$i") % 2 == 1) 1L else -1L
+    }
+    val signsCol = typedLit(signs)
+    val quant = transform(col(embCol),
+      v => floor(v.cast("double") * lit(1000.0)).cast("long"))
+    emb.select(col(idCol), quant.as("__q"))
+      .select(col(idCol),
+        transform(sequence(lit(0), lit(k - 1)), j =>
+          aggregate(sequence(lit(0), lit(dim - 1)), lit(0L), (acc, i) =>
+            acc + element_at(col("__q"), (i + 1).cast("int"))
+              * element_at(signsCol, (j * dim + i + 1).cast("int"))))
+          .as("proj"))
+  }
+
+  /** Exact Gram matrix of the quantized embedding corpus — the Σ qqᵀ
+    * second-moment structure PCA / whitening / decorrelation starts from,
+    * as a d(d+1)/2-row upper-triangle relation. Embeddings quantize to
+    * exact milli-unit longs; each row emits its triangle products in-row
+    * and ONE hash-aggregate (map-side combined — the shuffle carries at
+    * most d(d+1)/2 rows per partition) sums them. A 1-in-m md5 hash
+    * sample caps the work at scale, with `sample_m` in the output so the
+    * estimate is auditable (the capped-universe discipline); at the
+    * tested SFs the products stay far inside LONG (q ≤ ~10³,
+    * Σ < 10⁶·|docs|) — at 100 TB swap the sum dtype for DECIMAL(38,0),
+    * same plan.
+    */
+  def embeddingGram(emb: DataFrame, idCol: String, embCol: String,
+                    dim: Int, sampleM: Int): DataFrame = {
+    val sampled = emb.filter(
+      pmod(graft.ops.LlmOps.md5Hash48(col(idCol).cast("string"), 1),
+        lit(sampleM.toLong)) === 0)
+    val quant = transform(col(embCol),
+      v => floor(v.cast("double") * lit(1000.0)).cast("long"))
+    val pairs = flatten(transform(sequence(lit(0), lit(dim - 1)), i =>
+      transform(sequence(i, lit(dim - 1)), j =>
+        struct(i.cast("long").as("i"), j.cast("long").as("j"),
+          (element_at(col("__q"), (i + 1).cast("int"))
+            * element_at(col("__q"), (j + 1).cast("int"))).as("p")))))
+    sampled.select(quant.as("__q"))
+      .select(explode(pairs).as("__pp"))
+      .groupBy(col("__pp.i").as("i"), col("__pp.j").as("j"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__pp.p")).as("gram"))
+      .select(col("i"), col("j"), col("n_docs"), col("gram"),
+        lit(sampleM.toLong).as("sample_m"))
+  }
 }

@@ -78,6 +78,71 @@ private[graft] object QVector {
           (col("__same") * 10 >= col("n_audit") * 6).as("agree_ok"))
     }),
 
+    "rrf_fuse" -> ((s, dir) => {
+      // hybrid retrieval: reciprocal-rank fusion of a lexical ranking
+      // (distinct-token overlap with the query doc's first-32 terms) and
+      // a vector ranking (cosine vs the query doc's embedding) — the
+      // calibration-free merge, consuming only ranks. Query batch fixed
+      // (docs 0/10/20 — the bitext_mine bounded-batch contract); both
+      // rankings are group-limited top-20s, fusion touches <= 40 rows
+      // per query.
+      val docs = t(s, dir, "documents")
+      val emb = t(s, dir, "embeddings")
+      val qIds = Seq(0L, 10L, 20L)
+      val toks = docs.select(col("doc_id"),
+          explode(array_distinct(LlmOps.tokens(col("text")))).as("tok"))
+        .filter(col("tok") =!= "")
+      val wq = Window.partitionBy(col("doc_id")).orderBy(col("tok"))
+      val qTerms = toks.filter(col("doc_id").isin(qIds: _*))
+        .withColumn("__r", row_number().over(wq))
+        .filter(col("__r") <= 32)
+        .select(col("doc_id").as("query_id"), col("tok"))
+      val wl = Window.partitionBy(col("query_id"))
+        .orderBy(col("__ov").desc, col("doc_id").asc)
+      val lex = toks.join(broadcast(qTerms), Seq("tok"))
+        .filter(col("doc_id") =!= col("query_id"))
+        .groupBy(col("query_id"), col("doc_id"))
+        .agg(count(lit(1)).as("__ov"))
+        .withColumn("rank", row_number().over(wl))
+        .filter(col("rank") <= 20)
+        .select(col("query_id"), col("doc_id"), col("rank"))
+      val qe = emb.filter(col("vec_id").isin(qIds: _*))
+        .select(col("vec_id").as("query_id"), col("embedding").as("__qv"))
+      val wv = Window.partitionBy(col("query_id"))
+        .orderBy(col("__score").desc, col("doc_id").asc)
+      val vec = emb.crossJoin(broadcast(qe))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("doc_id"),
+          VectorOps.cosine(col("embedding"), col("__qv")).as("__score"))
+        .withColumn("rank", row_number().over(wv))
+        .filter(col("rank") <= 20)
+        .select(col("query_id"), col("doc_id"), col("rank"))
+      VectorOps.rrfFuse(lex, vec, rrfK = 60, kOut = 10)
+        .orderBy("query_id", "rank")
+    }),
+
+    "jl_project" -> ((s, dir) => {
+      // Johnson-Lindenstrauss +/-1 sign projection 64 -> 16 dims over
+      // milli-unit quantized embeddings — exact ints, in-row folds, zero
+      // shuffle until the per-dim rollup; signs derive from the portable
+      // md5-48 family so the oracle rebuilds the same matrix in SQL
+      val proj = VectorOps.jlProject(t(s, dir, "embeddings"),
+        "vec_id", "embedding", k = 16, dim = 64)
+      proj.select(posexplode(col("proj")).as(Seq("j", "v")))
+        .groupBy(col("j").cast("long").as("j"))
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("sum_v"),
+          min(col("v")).as("min_v"), max(col("v")).as("max_v"))
+        .orderBy("j")
+    }),
+
+    "embedding_gram" -> ((s, dir) =>
+      // exact quantized second-moment structure (PCA/whitening prep):
+      // upper-triangle sum q_i*q_j over a 1-in-2 md5 doc sample, one
+      // map-side-combined aggregate of d(d+1)/2 cells
+      VectorOps.embeddingGram(t(s, dir, "embeddings"),
+          "vec_id", "embedding", dim = 64, sampleM = 2)
+        .orderBy("i", "j")),
+
     "mrl_truncation_eval" -> ((s, dir) => {
       // Matryoshka serving decision: how much of the full-64-dim top-10
       // do the 16/32-dim prefixes preserve — queries broadcast, one
@@ -406,6 +471,107 @@ private[graft] object QVector {
 
     // same double-fold cosine as similarity_topk; rank + vote windows
     // with the identical (score desc, id) / (votes desc, label) tie-breaks,
+
+    // both rankings replayed: token-overlap lexical (ov desc, doc_id) and
+    // double-fold cosine vector (score desc, doc_id); RRF is two IEEE
+    // divides + one add, full-outer fuse, per-query rank limit
+    "rrf_fuse" ->
+      """WITH toks AS (
+           SELECT doc_id, tok FROM (
+             SELECT doc_id,
+               unnest(list_distinct(string_split_regex(lower(trim(text)),
+                 '\s+'))) AS tok
+             FROM documents) WHERE tok <> ''),
+         qt AS (
+           SELECT query_id, tok FROM (
+             SELECT doc_id AS query_id, tok,
+               row_number() OVER (PARTITION BY doc_id ORDER BY tok) AS r
+             FROM toks WHERE doc_id IN (0, 10, 20)) WHERE r <= 32),
+         lexov AS (
+           SELECT qt.query_id, toks.doc_id, CAST(COUNT(*) AS BIGINT) AS ov
+           FROM toks JOIN qt ON toks.tok = qt.tok
+             AND toks.doc_id <> qt.query_id
+           GROUP BY 1, 2),
+         lex AS (
+           SELECT query_id, doc_id,
+             CAST(row_number() OVER (PARTITION BY query_id
+               ORDER BY ov DESC, doc_id) AS BIGINT) AS rank_a
+           FROM lexov
+           QUALIFY rank_a <= 20),
+         qe AS (SELECT vec_id AS query_id, embedding AS qv
+                FROM embeddings WHERE vec_id IN (0, 10, 20)),
+         sc AS (
+           SELECT qe.query_id, e.vec_id AS doc_id,
+             list_reduce(list_transform(range(1, len(e.embedding) + 1),
+               i -> CAST(e.embedding[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)),
+               (x, y) -> x + y) AS dot,
+             list_reduce(list_transform(range(1, len(e.embedding) + 1),
+               i -> CAST(e.embedding[i] AS DOUBLE)
+                 * CAST(e.embedding[i] AS DOUBLE)), (x, y) -> x + y) AS na,
+             list_reduce(list_transform(range(1, len(qv) + 1),
+               i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)),
+               (x, y) -> x + y) AS nb
+           FROM embeddings e, qe WHERE e.vec_id <> qe.query_id),
+         vec AS (
+           SELECT query_id, doc_id,
+             CAST(row_number() OVER (PARTITION BY query_id ORDER BY
+               CASE WHEN na = 0 OR nb = 0 THEN 0.0
+                    ELSE dot / (sqrt(na) * sqrt(nb)) END DESC, doc_id)
+               AS BIGINT) AS rank_b
+           FROM sc
+           QUALIFY rank_b <= 20),
+         f AS (
+           SELECT COALESCE(lex.query_id, vec.query_id) AS query_id,
+             COALESCE(lex.doc_id, vec.doc_id) AS doc_id,
+             lex.rank_a, vec.rank_b,
+             COALESCE(1.0 / (60 + lex.rank_a), 0.0)
+               + COALESCE(1.0 / (60 + vec.rank_b), 0.0) AS rrf
+           FROM lex FULL JOIN vec
+             ON lex.query_id = vec.query_id AND lex.doc_id = vec.doc_id)
+         SELECT query_id, doc_id, rank_a, rank_b, rrf,
+           CAST(row_number() OVER (PARTITION BY query_id
+             ORDER BY rrf DESC, doc_id) AS BIGINT) AS rank
+         FROM f QUALIFY rank <= 10 ORDER BY query_id, rank""",
+
+    // same md5-48 sign matrix rebuilt in SQL; milli-unit quantization,
+    // exact integer sums per (vec, j), per-dim rollup
+    "jl_project" ->
+      """WITH s AS (
+           SELECT j.j, i.i,
+             CASE WHEN ('0x' || substr(md5('jl_' || CAST(j.j AS VARCHAR)
+                 || '_' || CAST(i.i AS VARCHAR)), 1, 12))::BIGINT % 2 = 1
+               THEN 1 ELSE -1 END AS sg
+           FROM generate_series(0, 15) j(j), generate_series(0, 63) i(i)),
+         q AS (
+           SELECT vec_id, i.i,
+             CAST(FLOOR(CAST(embedding[i.i + 1] AS DOUBLE) * 1000.0)
+               AS BIGINT) AS qv
+           FROM embeddings, generate_series(0, 63) i(i)),
+         p AS (
+           SELECT q.vec_id, s.j, CAST(SUM(q.qv * s.sg) AS BIGINT) AS v
+           FROM q JOIN s ON q.i = s.i GROUP BY 1, 2)
+         SELECT j AS j, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(v) AS BIGINT) AS sum_v,
+           MIN(v) AS min_v, MAX(v) AS max_v
+         FROM p GROUP BY 1 ORDER BY 1""",
+
+    // 1-in-2 md5 doc sample, milli-unit quantization, upper-triangle
+    // exact product sums over the 64x64 grid
+    "embedding_gram" ->
+      """WITH s AS (
+           SELECT embedding FROM embeddings
+           WHERE ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 12))::BIGINT
+             % 2 = 0),
+         q AS (
+           SELECT list_transform(embedding,
+             v -> CAST(FLOOR(CAST(v AS DOUBLE) * 1000.0) AS BIGINT)) AS qv
+           FROM s)
+         SELECT i.i AS i, j.j AS j, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(qv[i.i + 1] * qv[j.j + 1]) AS BIGINT) AS gram,
+           CAST(2 AS BIGINT) AS sample_m
+         FROM q, generate_series(0, 63) i(i), generate_series(0, 63) j(j)
+         WHERE i.i <= j.j
+         GROUP BY 1, 2 ORDER BY 1, 2""",
 
     // same double-fold cosine; rank window (score desc, cid); top-k mean
     // folds over the sorted score list, ratio margin one divide
