@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{BoundedCollectList, CosineSimilarity, HashedShingles, MinHashShingles, MisraGries, NearestCell, NfcNormalize, ShingleSeq, SimHash48}
+import graft.functions.{BoundedCollectList, CosineSimilarity, HashedShingles, JlSignProject, MinHashShingles, MisraGries, NearestCell, NfcNormalize, ShingleSeq, SimHash48}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * Catalyst expressions so they resolve by name in SQL and
@@ -59,6 +59,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[NfcNormalize].getName, null, "nfc_normalize",
         "nfc_normalize(text) - Unicode NFC canonicalization (TR-15), upstream of hash-keyed dedup", ""),
       (children: Seq[Expression]) => NfcNormalize(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("jl_sign_project"),
+      new ExpressionInfo(classOf[JlSignProject].getName, null, "jl_sign_project",
+        "jl_sign_project(vec, k, dim) - JL ±1 sign projection to k exact milli-unit long dims (md5-parity sign matrix)", ""),
+      (children: Seq[Expression]) => JlSignProject(children.head, children(1), children(2))))
     ext.injectFunction((
       new FunctionIdentifier("nearest_cell"),
       new ExpressionInfo(classOf[NearestCell].getName, null, "nearest_cell",

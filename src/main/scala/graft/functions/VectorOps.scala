@@ -1084,23 +1084,35 @@ object VectorOps {
     * of md5("jl_j_i")), and each output dim is an in-row fold — ZERO
     * shuffle until the caller aggregates. The d·k sign matrix is driver-
     * built from the same hash an external engine replays in SQL.
+    *
+    * Runs on the native [[graft.functions.JlSignProject]] expression when
+    * the session registered it (two tight primitive loops inside
+    * whole-stage codegen, the sign matrix one reference object) — the
+    * interpreted nested-HOF fold cost ~7 ms/row, and even a flat unrolled
+    * ±element_at chain bloated the task binary to ~2.7 MiB of expression
+    * tree. Fallback (extension-less sessions) keeps the flat chain.
     */
   def jlProject(emb: DataFrame, idCol: String, embCol: String,
                 k: Int, dim: Int): DataFrame = {
-    val signs: Seq[Long] = Seq.tabulate(k * dim) { idx =>
-      val (j, i) = (idx / dim, idx % dim)
-      if (md5Long48(s"jl_${j}_$i") % 2 == 1) 1L else -1L
+    if (emb.sparkSession.catalog.functionExists("jl_sign_project"))
+      emb.select(col(idCol),
+        call_function("jl_sign_project", col(embCol), lit(k), lit(dim)).as("proj"))
+    else {
+      val signs: IndexedSeq[Long] = IndexedSeq.tabulate(k * dim) { idx =>
+        val (j, i) = (idx / dim, idx % dim)
+        if (md5Long48(s"jl_${j}_$i") % 2 == 1) 1L else -1L
+      }
+      val quant = transform(col(embCol),
+        v => floor(v.cast("double") * lit(1000.0)).cast("long"))
+      val dimCols: Seq[Column] = (0 until k).map { j =>
+        (0 until dim).map { i =>
+          val term = element_at(col("__q"), i + 1)
+          if (signs(j * dim + i) == 1L) term else -term
+        }.reduce(_ + _)
+      }
+      emb.select(col(idCol), quant.as("__q"))
+        .select(col(idCol), array(dimCols: _*).as("proj"))
     }
-    val signsCol = typedLit(signs)
-    val quant = transform(col(embCol),
-      v => floor(v.cast("double") * lit(1000.0)).cast("long"))
-    emb.select(col(idCol), quant.as("__q"))
-      .select(col(idCol),
-        transform(sequence(lit(0), lit(k - 1)), j =>
-          aggregate(sequence(lit(0), lit(dim - 1)), lit(0L), (acc, i) =>
-            acc + element_at(col("__q"), (i + 1).cast("int"))
-              * element_at(signsCol, (j * dim + i + 1).cast("int"))))
-          .as("proj"))
   }
 
   /** Exact Gram matrix of the quantized embedding corpus — the Σ qqᵀ

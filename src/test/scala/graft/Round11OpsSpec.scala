@@ -1,0 +1,150 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorOps
+
+/** Round-11 backfill (VERDICT r10 item 2): unit specs for the round-10
+  * final-commit trio — rrfFuse (rank fusion incl. a missing-from-one-list
+  * row), jlProject (hand-computed signs on a tiny vector, both the native
+  * expression and the arithmetic contract), embeddingGram (symmetric tiny
+  * case + sample audit).
+  */
+class Round11OpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // ---- rrfFuse ----
+
+  test("rrfFuse: hand-computed scores, missing-from-one-list contributes 0") {
+    val a = Seq((1L, 10L, 1L), (1L, 11L, 2L), (1L, 12L, 3L))
+      .toDF("query_id", "doc_id", "rank")
+    val b = Seq((1L, 11L, 1L), (1L, 13L, 2L))
+      .toDF("query_id", "doc_id", "rank")
+    val out = VectorOps.rrfFuse(a, b, rrfK = 60, kOut = 10)
+      .select($"doc_id", $"rrf", $"rank")
+      .as[(Long, Double, Long)].collect().sortBy(_._3)
+    // doc 11: in both lists → 1/62 + 1/61; doc 10: A only → 1/61;
+    // doc 13: B only → 1/62; doc 12: A only → 1/63
+    val expected = Seq(
+      (11L, 1.0 / 62 + 1.0 / 61),
+      (10L, 1.0 / 61),
+      (13L, 1.0 / 62),
+      (12L, 1.0 / 63))
+    assert(out.map(_._1).toSeq == expected.map(_._1))
+    out.zip(expected).foreach { case ((_, got, _), (_, want)) =>
+      assert(math.abs(got - want) < 1e-15)
+    }
+    assert(out.map(_._3).toSeq == Seq(1L, 2L, 3L, 4L))
+  }
+
+  test("rrfFuse: kOut truncates per query, ties break by doc_id") {
+    val a = Seq((1L, 10L, 1L), (1L, 11L, 1L), (2L, 20L, 1L))
+      .toDF("query_id", "doc_id", "rank")
+    val b = spark.emptyDataset[(Long, Long, Long)]
+      .toDF("query_id", "doc_id", "rank")
+    val out = VectorOps.rrfFuse(a, b, rrfK = 60, kOut = 1)
+      .select($"query_id", $"doc_id").as[(Long, Long)].collect().toSet
+    // q1: docs 10 and 11 tie at 1/61 → doc_id asc picks 10; q2 keeps 20
+    assert(out == Set((1L, 10L), (2L, 20L)))
+  }
+
+  // ---- jlProject ----
+
+  /** Re-derive sign(j,i) the way the contract defines it (md5 parity). */
+  private def sign(j: Int, i: Int): Long =
+    if (VectorOps.md5Long48(s"jl_${j}_$i") % 2 == 1) 1L else -1L
+
+  test("jlProject: hand-computed projection on a tiny vector (native path)") {
+    assert(spark.catalog.functionExists("jl_sign_project"),
+      "test session must exercise the native expression")
+    val k = 2
+    val dim = 3
+    val emb = Seq((7L, Seq(1.0f, 2.5f, -0.5f))).toDF("vec_id", "embedding")
+    val got = VectorOps.jlProject(emb, "vec_id", "embedding", k, dim)
+      .select($"proj").as[Seq[Long]].head()
+    // quantize: floor(1.0*1000)=1000, floor(2.5*1000)=2500, floor(-0.5*1000)=-500
+    val q = Seq(1000L, 2500L, -500L)
+    val want = (0 until k).map(j => (0 until dim).map(i => q(i) * sign(j, i)).sum)
+    assert(got == want)
+  }
+
+  test("jlProject: quantization floors toward -inf and matches the SQL floor") {
+    val emb = Seq((1L, Seq(0.0015f, -0.0015f))).toDF("vec_id", "embedding")
+    val got = VectorOps.jlProject(emb, "vec_id", "embedding", k = 1, dim = 2)
+      .select($"proj").as[Seq[Long]].head()
+    // 0.0015f→double ≈ 0.001500000013… → floor(1.50000001)=1
+    // -0.0015f → floor(-1.50000001) = -2 (toward -inf, NOT truncation)
+    val want = Seq(1L * sign(0, 0) + (-2L) * sign(0, 1))
+    assert(got == want)
+  }
+
+  test("jlProject: wrong-length or null-element vectors project to null") {
+    val emb = Seq(
+      (1L, Some(Seq(Some(1.0f), Some(2.0f)))), // ok, dim=2
+      (2L, Some(Seq(Some(1.0f)))), // ragged
+      (3L, Some(Seq(Some(1.0f), None))) // null element
+    ).toDF("vec_id", "embedding")
+    val rows = VectorOps.jlProject(emb, "vec_id", "embedding", k = 1, dim = 2)
+      .orderBy("vec_id").select("proj").collect()
+    assert(rows(0).get(0) != null)
+    assert(rows(1).isNullAt(0))
+    assert(rows(2).isNullAt(0))
+  }
+
+  test("jlProject: native expression agrees with the extension-less fallback fold") {
+    val rng = new scala.util.Random(11)
+    val emb = (0L until 20L)
+      .map(i => (i, Seq.fill(8)((rng.nextGaussian() * 0.3).toFloat)))
+      .toDF("vec_id", "embedding")
+    val native = VectorOps.jlProject(emb, "vec_id", "embedding", k = 4, dim = 8)
+      .orderBy("vec_id").select($"proj").as[Seq[Long]].collect().toSeq
+    // fallback arithmetic, computed directly from the collected floats
+    val local = emb.orderBy("vec_id").select($"embedding").as[Seq[Float]]
+      .collect().toSeq.map { v =>
+        val q = v.map(f => math.floor(f.toDouble * 1000.0).toLong)
+        (0 until 4).map(j => (0 until 8).map(i => q(i) * sign(j, i)).sum)
+      }
+    assert(native == local)
+  }
+
+  // ---- embeddingGram ----
+
+  test("embeddingGram: exact symmetric tiny case at sampleM=1") {
+    val emb = Seq(
+      (1L, Seq(1.0f, 2.0f)),
+      (2L, Seq(-1.0f, 0.5f))).toDF("vec_id", "embedding")
+    val out = VectorOps.embeddingGram(emb, "vec_id", "embedding", dim = 2, sampleM = 1)
+      .orderBy("i", "j").collect()
+    // q1 = (1000, 2000), q2 = (-1000, 500)
+    // gram(0,0) = 1000² + 1000²            = 2_000_000
+    // gram(0,1) = 1000·2000 + (-1000)·500  = 1_500_000
+    // gram(1,1) = 2000² + 500²             = 4_250_000
+    assert(out.toSeq == Seq(
+      Row(0L, 0L, 2L, 2000000L, 1L),
+      Row(0L, 1L, 2L, 1500000L, 1L),
+      Row(1L, 1L, 2L, 4250000L, 1L)))
+  }
+
+  test("embeddingGram: upper triangle has d(d+1)/2 cells, n_docs constant") {
+    val rng = new scala.util.Random(5)
+    val emb = (0L until 30L).map(i => (i, Seq.fill(4)(rng.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val out = VectorOps.embeddingGram(emb, "vec_id", "embedding", dim = 4, sampleM = 1)
+    assert(out.count() == 4 * 5 / 2)
+    assert(out.select("n_docs").distinct().as[Long].collect().toSeq == Seq(30L))
+  }
+
+  test("embeddingGram: 1-in-m sample audit — n_docs matches the md5 universe") {
+    val emb = (0L until 40L).map(i => (i, Seq(i.toFloat, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val expectedSampled = emb
+      .filter(pmod(graft.ops.LlmOps.md5Hash48($"vec_id".cast("string"), 1), lit(3L)) === 0)
+      .count()
+    assert(expectedSampled > 0 && expectedSampled < 40)
+    val out = VectorOps.embeddingGram(emb, "vec_id", "embedding", dim = 2, sampleM = 3)
+    val nDocs = out.select("n_docs").distinct().as[Long].collect().toSeq
+    assert(nDocs == Seq(expectedSampled))
+    assert(out.select("sample_m").distinct().as[Long].collect().toSeq == Seq(3L))
+  }
+}
