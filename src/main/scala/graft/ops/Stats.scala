@@ -877,7 +877,10 @@ object Stats {
   def ksTest(df: DataFrame, groupACond: Column, valueCol: String): DataFrame = {
     val base = df.filter(col(valueCol).isNotNull)
       .select(col(valueCol).as("__v"),
-        groupACond.cast("int").cast("long").as("__a"))
+        // null condition → group B, matching the oracle twin's
+        // CASE WHEN cond THEN 1 ELSE 0 END (ADVICE r10: without the
+        // coalesce, null-condition rows silently vanish from BOTH groups)
+        coalesce(groupACond, lit(false)).cast("int").cast("long").as("__a"))
     val counts = base.groupBy(col("__v"))
       .agg(sum(col("__a")).as("__ca"),
         sum(lit(1L) - col("__a")).as("__cb"))
@@ -915,7 +918,10 @@ object Stats {
                    valueCol: String): DataFrame = {
     val base = df.filter(col(valueCol).isNotNull)
       .select(col(valueCol).as("__v"),
-        groupACond.cast("int").cast("long").as("__a"))
+        // null condition → group B, matching the oracle twin's
+        // CASE WHEN cond THEN 1 ELSE 0 END (ADVICE r10: without the
+        // coalesce, null-condition rows silently vanish from BOTH groups)
+        coalesce(groupACond, lit(false)).cast("int").cast("long").as("__a"))
     val counts = base.groupBy(col("__v"))
       .agg(sum(col("__a")).as("__ca"),
         sum(lit(1L) - col("__a")).as("__cb"))
@@ -949,7 +955,10 @@ object Stats {
                     valueCol: String): DataFrame = {
     val base = df.filter(col(valueCol).isNotNull)
       .select(col(valueCol).as("__v"),
-        groupACond.cast("int").cast("long").as("__a"))
+        // null condition → group B, matching the oracle twin's
+        // CASE WHEN cond THEN 1 ELSE 0 END (ADVICE r10: without the
+        // coalesce, null-condition rows silently vanish from BOTH groups)
+        coalesce(groupACond, lit(false)).cast("int").cast("long").as("__a"))
     val counts = base.groupBy(col("__v"))
       .agg(sum(col("__a")).as("__ca"),
         sum(lit(1L) - col("__a")).as("__cb"))

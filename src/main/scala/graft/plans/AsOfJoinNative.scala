@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, GenericInternalRow, JoinedRow, RowOrdering, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BindReferences, CreateStruct, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection, XxHash64}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.catalyst.util.TypeUtils
@@ -31,10 +31,15 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
   * strictly less data through the sorts, and the right side's payload
   * never widens the left rows until the final joined output.
   *
-  * Determinism at ties: the right child's required ordering appends every
-  * remaining orderable right column after (key, ts), so "the last row at
-  * the winning ts" is a total order, not sort-stability luck — the same
-  * discipline as the composed op's payload-hash tiebreak.
+  * Determinism at ties: among right rows at the winning (key, ts), the
+  * merge keeps the row with the GREATEST xxhash64 of its full payload —
+  * the SAME winner the composed op's `xxhash64(__r)` window tiebreak
+  * picks (its frame carries the last row in hash-ascending order), so
+  * the two operators agree row-for-row even on duplicate-(key, ts)
+  * fixtures with distinct payloads (asserted by the tie parity spec).
+  * The tiebreak is value-computed, not sort-planted, so non-orderable
+  * payload columns (MapType) are handled and the required ordering is
+  * just (key, ts) on both sides.
   */
 case class AsOfJoinPlan(left: LogicalPlan, right: LogicalPlan,
                         leftKey: Attribute, rightKey: Attribute,
@@ -70,15 +75,13 @@ case class AsOfJoinNativeExec(leftKey: Attribute, rightKey: Attribute,
     ClusteredDistribution(Seq(leftKey)) ::
       ClusteredDistribution(Seq(rightKey)) :: Nil
 
-  // (key, ts) merge order; the right side totalizes ties over its
-  // remaining orderable columns so the winner at equal ts is deterministic
+  // (key, ts) merge order on both sides — ties at equal ts are resolved
+  // by the value-computed payload-hash tiebreak in the merge, not by
+  // planting more sort columns (which couldn't totalize non-orderable
+  // payload types anyway)
   override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
     Seq(SortOrder(leftKey, Ascending), SortOrder(leftTs, Ascending)),
-    Seq(SortOrder(rightKey, Ascending), SortOrder(rightTs, Ascending)) ++
-      right.output
-        .filterNot(a => a.semanticEquals(rightKey) || a.semanticEquals(rightTs))
-        .filter(a => RowOrdering.isOrderable(a.dataType))
-        .map(SortOrder(_, Ascending)))
+    Seq(SortOrder(rightKey, Ascending), SortOrder(rightTs, Ascending)))
 
   // left rows pass through in place: the left child's partitioning and
   // ordering survive (what lets a downstream per-key op skip its shuffle)
@@ -97,6 +100,11 @@ case class AsOfJoinNativeExec(leftKey: Attribute, rightKey: Attribute,
     val nRight = right.output.size
 
     val outAttrs = output
+    // xxhash64 of the full right payload struct — bitwise the same value
+    // the composed op's xxhash64(__r) tiebreak hashes (struct hashing is
+    // field-recursive and name-blind), bound once on the driver
+    val tieHashExpr = BindReferences.bindReference(
+      XxHash64(Seq(CreateStruct(right.output)), 42L), right.output)
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val keyOrd = TypeUtils.getInterpretedOrdering(keyType)
       val tsOrd = TypeUtils.getInterpretedOrdering(tsType)
@@ -140,7 +148,15 @@ case class AsOfJoinNativeExec(leftKey: Attribute, rightKey: Attribute,
                 rNext = advanceRight() // earlier key group: consumed, no candidate
               } else if (kc == 0 &&
                   tsOrd.compare(rNext.get(rTsIdx, tsType), lts) <= 0) {
-                cand = rNext // at-or-before: the latest such row wins
+                // at-or-before: a strictly later ts always wins; at EQUAL
+                // ts the greater payload hash wins (parity with the
+                // composed op's hash-ascending window tiebreak)
+                if (cand == null ||
+                    tsOrd.compare(rNext.get(rTsIdx, tsType),
+                      cand.get(rTsIdx, tsType)) != 0 ||
+                    tieHashExpr.eval(rNext).asInstanceOf[Long] >
+                      tieHashExpr.eval(cand).asInstanceOf[Long])
+                  cand = rNext
                 rNext = advanceRight()
               } else {
                 advancing = false // future key or future ts: stop, keep cursor

@@ -69,10 +69,18 @@ private[graft] object QDedup {
       // r9 item 5, made size-capped): verified-pair output is quadratic
       // in duplicate density BY DESIGN, so the tuning estimate runs on a
       // ~bounded universe and carries its rate for auditability.
+      // m derives INSIDE the plan (1-row count aggregate, broadcast to
+      // both the sample filter and the sample_m output — the oracle's
+      // `mm` CTE, VERDICT r10 item 4): one invocation is one job chain,
+      // no plan-build-time docs.count() pre-job.
       val docs = t(s, dir, "documents")
-      val m = math.max(2L, math.ceil(docs.count() / 2500.0).toLong)
-      val pairs = LlmOps.jaccardPairs(
-        Relational.hashSample(docs, "doc_id", m = m.toInt),
+      val mm = docs.agg(greatest(lit(2L),
+        ceil(count(lit(1)).cast("double") / 2500.0).cast("long")).as("__m"))
+      val sampled = docs.crossJoin(broadcast(mm))
+        .filter(pmod(LlmOps.md5Hash48(col("doc_id").cast("string"), 1),
+          col("__m")) === 0)
+        .drop("__m")
+      val pairs = LlmOps.jaccardPairs(sampled,
         "doc_id", "text", blockCol = "lang", shingleN = 3, threshold = 0.5)
       val ths = Seq(0.5, 0.6, 0.7, 0.8, 0.9)
       val aggs = ths.map(th =>
@@ -81,9 +89,10 @@ private[graft] object QDedup {
       one.select(explode(array(ths.map(th =>
           struct(lit(th).as("threshold"),
             col(s"__n${(th * 10).toInt}").as("np"))): _*)).as("__r"))
+        .crossJoin(broadcast(mm))
         .select(col("__r.threshold").as("threshold"),
           coalesce(col("__r.np"), lit(0L)).cast("long").as("n_pairs"),
-          lit(m).as("sample_m"))
+          col("__m").as("sample_m"))
         .orderBy("threshold")
     }),
 
@@ -94,14 +103,20 @@ private[graft] object QDedup {
       // Same size-capped 1-in-m hash-sampled pair universe as
       // dedup_threshold_sweep (the S-curve is a per-pair property, so a
       // deterministic sample estimates each decile unbiasedly); sample_m
-      // makes the estimate auditable.
+      // makes the estimate auditable. m derives in-plan (broadcast 1-row
+      // count — no plan-build-time pre-job, VERDICT r10 item 4).
       val docs = t(s, dir, "documents")
-      val m = math.max(2L, math.ceil(docs.count() / 2500.0).toLong)
-      LlmOps.lshRecallEstimate(
-          Relational.hashSample(docs, "doc_id", m = m.toInt),
+      val mm = docs.agg(greatest(lit(2L),
+        ceil(count(lit(1)).cast("double") / 2500.0).cast("long")).as("__m"))
+      val sampled = docs.crossJoin(broadcast(mm))
+        .filter(pmod(LlmOps.md5Hash48(col("doc_id").cast("string"), 1),
+          col("__m")) === 0)
+        .drop("__m")
+      LlmOps.lshRecallEstimate(sampled,
           "doc_id", "text", blockCol = "lang", shingleN = 3,
           floorThreshold = 0.5, bands = 4, rowsPerBand = 4)
-        .withColumn("sample_m", lit(m))
+        .crossJoin(broadcast(mm))
+        .withColumnRenamed("__m", "sample_m")
         .orderBy("bucket_lo")
     }),
 

@@ -63,12 +63,15 @@ private[graft] object QVector {
       val nCells = math.max(4, math.ceil(math.sqrt(cands.count().toDouble)).toInt)
       val nProbe = math.max(2, math.ceil(nCells * 0.4).toInt)
       // persisted: the |Q|-row rollup feeds both the audit join and the
-      // batch count — without it the whole cell-join DAG runs twice
+      // batch count — without it the whole cell-join DAG runs twice. The
+      // result is ONE row, so it is materialized here and the cache
+      // released immediately (ADVICE r10: a leaked persist accumulates
+      // executor memory across a full bench/verify run over many SFs).
       val ann = VectorOps.marginBestMatchAnn(cands, queries, "vec_id",
         "embedding", k = 4, nCells = nCells, nProbe = nProbe).persist()
       val audit = queries.filter(col("vec_id") % 10 === 0 && col("vec_id") < 500)
       val brute = VectorOps.marginBestMatch(cands, audit, "vec_id", "embedding", k = 4)
-      ann.select(col("query_id"), col("best_id").as("__ba"))
+      val out = ann.select(col("query_id"), col("best_id").as("__ba"))
         .join(brute.select(col("query_id"), col("best_id").as("__bb")),
           Seq("query_id"))
         .agg(count(lit(1)).as("n_audit"),
@@ -76,6 +79,9 @@ private[graft] object QVector {
         .crossJoin(ann.agg(count(lit(1)).as("n_queries")))
         .select(col("n_queries"), col("n_audit"),
           (col("__same") * 10 >= col("n_audit") * 6).as("agree_ok"))
+      val rows = out.collect()
+      ann.unpersist()
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
     }),
 
     "rrf_fuse" -> ((s, dir) => {

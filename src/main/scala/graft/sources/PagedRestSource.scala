@@ -84,14 +84,16 @@ class PagedRestTableProvider extends TableProvider {
       Option(properties.get("key")),
       Option(properties.get("maxPagesPerBatch")).map(_.toInt).getOrElse(Int.MaxValue),
       window,
-      Option(properties.get("tsField")).getOrElse("ts"))
+      Option(properties.get("tsField")).getOrElse("ts"),
+      Option(properties.get("tsNarrowing")).forall(_.toBoolean))
   }
 }
 
 private[sources] class PagedRestTable(clientName: String, entity: String,
                                       key: Option[String], maxPagesPerBatch: Int,
                                       window: Option[(String, String)] = None,
-                                      tsField: String = "ts")
+                                      tsField: String = "ts",
+                                      tsNarrowing: Boolean = true)
     extends Table with SupportsRead {
   override def name(): String = s"paged_rest($entity)"
   override def schema(): StructType =
@@ -102,7 +104,8 @@ private[sources] class PagedRestTable(clientName: String, entity: String,
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     window match {
       case Some((f, t)) =>
-        new DayRangedRestScanBuilder(clientName, entity, key, f, t, tsField)
+        new DayRangedRestScanBuilder(clientName, entity, key, f, t, tsField,
+          tsNarrowing)
       case None => new PagedRestScanBuilder(clientName, entity, key, maxPagesPerBatch)
     }
 }
@@ -127,11 +130,23 @@ private[sources] class PagedRestTable(clientName: String, entity: String,
   * record-ts grain), but the filter itself stays residual because the
   * per-day fetch is coarser than a timestamp. Limit pushdown composes: the
   * day-by-day page walk stops as soon as the pushed limit is covered.
+  *
+  * DAY-ALIGNMENT CONTRACT for ts-window narrowing (ADVICE r10): the
+  * `tsField` option (default `ts`) MUST name the timestamp the SERVER
+  * partitions its per-day pages by — i.e. a record fetched under day D
+  * must satisfy `date(tsField) == D`. That holds for the reference API
+  * (pages are keyed by the record's own `ts`). If a deployment points
+  * `tsField` at a timestamp the server does NOT page by (e.g.
+  * `tsField=updated_at` while pages key on `created_at`), ts-predicate
+  * narrowing could silently prune records living under a neighboring
+  * fetch day — configure `tsNarrowing=false` in that case, which keeps
+  * ts predicates fully residual and the window at `[from, to]`.
   */
 private[sources] class DayRangedRestScanBuilder(clientName: String, entity: String,
                                                 key: Option[String],
                                                 from0: String, to0: String,
-                                                tsField: String = "ts")
+                                                tsField: String = "ts",
+                                                tsNarrowing: Boolean = true)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownLimit {
   import org.apache.spark.sql.sources._
 
@@ -182,7 +197,7 @@ private[sources] class DayRangedRestScanBuilder(clientName: String, entity: Stri
     // ts > v and ts >= v both admit records later the same day; ts < v and
     // ts <= v both admit records earlier the same day — so every bound
     // keeps the literal's own day.
-    residual.foreach {
+    if (tsNarrowing) residual.foreach {
       case EqualTo("ts", v: String) =>
         tsDay(v).foreach { d => from = maxDay(from, d); to = minDay(to, d) }
       case GreaterThanOrEqual("ts", v: String) =>

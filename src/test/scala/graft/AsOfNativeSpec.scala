@@ -100,4 +100,53 @@ class AsOfNativeSpec extends SparkTestBase {
     assert(native.size == composed.size)
     assert(native == composed)
   }
+
+  test("multi-row payload tie at equal (key, ts): native winner == composed winner") {
+    // ADVICE r10: two DISTINCT right payloads at the same (key, ts) — the
+    // winner must be the composed op's xxhash64-payload pick, not
+    // sort-stability or remaining-column-order luck
+    val l = Seq((1L, 10L, ts("2024-01-01 12:00:00"))).toDF("id", "key", "t")
+    val rRows = Seq(
+      (200L, 10L, ts("2024-01-01 11:00:00"), "a"),
+      (201L, 10L, ts("2024-01-01 11:00:00"), "b"),
+      (202L, 10L, ts("2024-01-01 11:00:00"), "c"))
+    for (perm <- Seq(rRows, rRows.reverse, Seq(rRows(1), rRows(2), rRows(0)))) {
+      val r = perm.toDF("rid", "rkey", "rt", "payload")
+      val native = AsOfJoin.asOfNative(l, r, "key", "rkey", "t", "rt")
+        .select($"rid", $"payload").as[(Long, String)].head()
+      val composed = AsOfJoin.asOf(l, r, "key", "rkey", "t", "rt")
+        .select($"asof.rid", $"asof.payload").as[(Long, String)].head()
+      assert(native == composed,
+        s"input order $perm: native=$native composed=$composed")
+    }
+  }
+
+  test("tie at the winning ts does not shadow a later at-or-before row") {
+    // rows at 11:00 tie, but 11:30 is still <= left ts and must win
+    val l = Seq((1L, 10L, ts("2024-01-01 12:00:00"))).toDF("id", "key", "t")
+    val r = Seq(
+      (200L, 10L, ts("2024-01-01 11:00:00"), "a"),
+      (201L, 10L, ts("2024-01-01 11:00:00"), "b"),
+      (202L, 10L, ts("2024-01-01 11:30:00"), "late"))
+      .toDF("rid", "rkey", "rt", "payload")
+    val native = AsOfJoin.asOfNative(l, r, "key", "rkey", "t", "rt")
+      .select($"rid").as[Long].head()
+    assert(native == 202L)
+  }
+
+  test("map-typed right payload: native exec runs and ties deterministically") {
+    // the composed op cannot take this input at all (xxhash64 rejects
+    // MapType at analysis); the native tiebreak hashes the map value, so
+    // the winner is a function of the data, not of partition/sort luck
+    val l = Seq((1L, 10L, ts("2024-01-01 12:00:00"))).toDF("id", "key", "t")
+    val rRows = Seq(
+      (200L, 10L, ts("2024-01-01 11:00:00"), Map("k" -> 1)),
+      (201L, 10L, ts("2024-01-01 11:00:00"), Map("k" -> 2)))
+    val winners = Seq(rRows, rRows.reverse).map { perm =>
+      val r = perm.toDF("rid", "rkey", "rt", "m")
+      AsOfJoin.asOfNative(l, r, "key", "rkey", "t", "rt")
+        .select($"rid").as[Long].head()
+    }
+    assert(winners.distinct.size == 1, s"winner depends on input order: $winners")
+  }
 }

@@ -206,6 +206,23 @@ class PagedRestSourceSpec extends SparkTestBase {
     assert(all.filter($"ts".isNull).count() == 1)
   }
 
+  test("tsNarrowing=false: ts predicates stay fully residual, window unchanged") {
+    // the day-alignment escape hatch (ADVICE r10): when the server does
+    // NOT page by tsField, ts bounds must not prune fetch days
+    val client = new graft.sources.PagedApi.DayFixtureClient(tsFixtures)
+    PagedRestSource.register("d9", client)
+    val got = spark.read.format("graft.sources.PagedRestTableProvider")
+      .option("client", "d9").option("entity", "meetings")
+      .option("from", "2024-01-01").option("to", "2024-01-03")
+      .option("tsNarrowing", "false").load()
+      .filter($"ts" >= "2024-01-02T00:00:00" && $"ts" <= "2024-01-02T23:59:59")
+      .collect()
+    assert(got.map(_.getString(3)).toSeq ==
+      Seq("""{"id":"m4","ts":"2024-01-02T08:15:00"}"""))
+    // all three days fetched — the residual filter did the selection
+    assert(client.daysFetched.size() == 3, s"fetched ${client.daysFetched}")
+  }
+
   test("a non-day-ranged client under a day window fails loudly") {
     PagedRestSource.register("d5", new FixtureClient(fixtures))
     val e = intercept[Exception] {

@@ -108,6 +108,24 @@ class Round11OpsSpec extends SparkTestBase {
     assert(native == local)
   }
 
+  // ---- stats ladder null-condition contract (ADVICE r10) ----
+
+  test("ksTest/mannWhitneyU/wasserstein1d: null group condition lands in group B") {
+    // a null-valued `lang` must count toward B (the SQL twin's CASE WHEN
+    // ... THEN 1 ELSE 0 END), not vanish from both groups
+    val rows = Seq(
+      (Some("en"), 1L), (Some("en"), 3L),
+      (Some("fr"), 2L), (None, 4L), (None, 6L))
+      .toDF("lang", "v")
+    val cond = col("lang") === "en"
+    val ks = graft.ops.Stats.ksTest(rows, cond, "v").collect().head
+    assert(ks.getAs[Long]("n_a") == 2L && ks.getAs[Long]("n_b") == 3L)
+    val mw = graft.ops.Stats.mannWhitneyU(rows, cond, "v").collect().head
+    assert(mw.getAs[Long]("n_a") == 2L && mw.getAs[Long]("n_b") == 3L)
+    val ws = graft.ops.Stats.wasserstein1d(rows, cond, "v").collect().head
+    assert(ws.getAs[Long]("n_a") == 2L && ws.getAs[Long]("n_b") == 3L)
+  }
+
   // ---- embeddingGram ----
 
   test("embeddingGram: exact symmetric tiny case at sampleM=1") {
