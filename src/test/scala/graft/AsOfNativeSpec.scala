@@ -134,6 +134,43 @@ class AsOfNativeSpec extends SparkTestBase {
     assert(native == 202L)
   }
 
+  test("asOfAuto routes by right payload width and keeps one output contract") {
+    val narrow = rightDf // rid + px payload = 16 default-size bytes < 48
+    val wideCols = (0 until 6).map(i => (col("rid") * (i + 1)).as(s"pay_$i"))
+    val wide = rightDf.select(col("rid") +: col("rkey") +: col("rt") +:
+      col("px") +: wideCols: _*) // 16 + 48 bytes >= 48
+
+    def execName(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.executedPlan.toString
+
+    val narrowAuto = AsOfJoin.asOfAuto(leftDf, narrow, "key", "rkey", "t", "rt")
+    assert(!execName(narrowAuto).contains("AsOfJoinNative"),
+      "narrow right payload must route to the composed op")
+    val wideAuto = AsOfJoin.asOfAuto(leftDf, wide, "key", "rkey", "t", "rt")
+    assert(execName(wideAuto).contains("AsOfJoinNative"),
+      "wide right payload must route to the native exec")
+
+    // same flattened output columns and the same rows on both routes
+    assert(narrowAuto.columns.toSeq ==
+      leftDf.columns.toSeq ++ narrow.columns.toSeq)
+    assert(wideAuto.columns.toSeq == leftDf.columns.toSeq ++ wide.columns.toSeq)
+    val viaComposed = narrowAuto.select($"id", $"rid", $"px")
+      .as[(Long, Option[Long], Option[Double])].collect().toSet
+    val viaNative = AsOfJoin.asOfNative(leftDf, narrow, "key", "rkey", "t", "rt")
+      .select($"id", $"rid", $"px")
+      .as[(Long, Option[Long], Option[Double])].collect().toSet
+    assert(viaComposed == viaNative)
+  }
+
+  test("asOfAuto routes map-typed payloads native regardless of width") {
+    val l = Seq((1L, 10L, ts("2024-01-01 12:00:00"))).toDF("id", "key", "t")
+    val r = Seq((200L, 10L, ts("2024-01-01 11:00:00"), Map("k" -> 1)))
+      .toDF("rid", "rkey", "rt", "m")
+    val auto = AsOfJoin.asOfAuto(l, r, "key", "rkey", "t", "rt")
+    assert(auto.queryExecution.executedPlan.toString.contains("AsOfJoinNative"))
+    assert(auto.select($"rid").as[Option[Long]].head().contains(200L))
+  }
+
   test("map-typed right payload: native exec runs and ties deterministically") {
     // the composed op cannot take this input at all (xxhash64 rejects
     // MapType at analysis); the native tiebreak hashes the map value, so

@@ -106,12 +106,17 @@ class ScaleDiagnosticsSpec extends SparkTestBase {
     // relations (grid/marginal/|groups|-row frames), plus the round-10
     // ANN contract queries (partitioned windows only — asserted so a
     // refactor cannot silently introduce a global window)
+    // + the round-10 tail (VERDICT r10 item 6): cramers_v's densified
+    // grid, did_estimate, and the final-commit trio — with these the
+    // audit enumerates every window site on the declared slate
     for (q <- Seq("key_skew_stats", "salt_plan", "join_explosion",
         "diversity_profile", "novelty_curve",
         "quantile_normalize", "cohens_kappa", "mixture_waterfill",
         "t_closeness", "bitext_mine_ann", "mrl_truncation_eval_ivf",
         "ks_drift", "mann_whitney", "wasserstein_drift",
-        "spearman_corr", "theil_sen_trend")) {
+        "spearman_corr", "theil_sen_trend",
+        "cramers_v", "did_estimate", "rrf_fuse", "jl_project",
+        "embedding_gram")) {
       val bad = executed(q).collect {
         case w: WindowExec if w.partitionSpec.isEmpty &&
             !w.children.forall(hasAggregateBelow) => w
