@@ -70,6 +70,92 @@ object StreamingOps {
         coalesce(col("p_ref"), lit(0.0)).as("p_ref"))
   }
 
+  case class DriftObs(windowStartMs: Long, windowEndMs: Long, v: Long,
+                      ts: java.sql.Timestamp)
+  case class DriftState(counts: Map[Long, Long])
+  case class WindowDrift(window_start: java.sql.Timestamp, n_a: Long, n_b: Long,
+                         d_num: Long, d: Double, drift_flag: Boolean,
+                         w1_num: Long, w1: Double)
+
+  /** Streaming two-sample drift against a STATIC reference distribution —
+    * the live face of the batch [[graft.ops.Stats.ksTest]] +
+    * [[graft.ops.Stats.wasserstein1d]] ladder (VERDICT r10 item 7, the
+    * `driftAgainstReference` precedent lifted from categorical
+    * total-variation inputs to the continuous CDF statistics): per
+    * tumbling event-time window, D = max_v |F_win − F_ref| and
+    * W₁ = Σ |F gaps|·Δv, with the SAME exact-integer discipline as batch
+    * (per-value gap |cumA·n_B − cumB·n_A| in longs, ONE divide by
+    * n_A·n_B, the 1.358·√((n_A+n_B)/(n_A·n_B)) α=0.05 flag).
+    *
+    * Shape: one `flatMapGroupsWithState` keyed by window start. State per
+    * open window is the value→count map — bounded by the value grid, the
+    * batch ops' own contract (quantize upstream if truly continuous); the
+    * reference histogram is a driver-side map (same grid bound) closed
+    * over by the function, the streaming analog of a broadcast static
+    * side. A window emits ONCE, when the event-time timeout fires (the
+    * watermark passed its end): drift verdicts are final, never revised —
+    * append mode, no partial emissions to de-duplicate downstream.
+    */
+  def ksDriftStream(df: DataFrame, tsCol: String, valueCol: String,
+                    width: String, delay: String,
+                    refCounts: Map[Long, Long]): Dataset[WindowDrift] = {
+    require(refCounts.nonEmpty, "ksDriftStream: empty reference distribution")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val nB = refCounts.values.sum
+    val obs = df.withWatermark(tsCol, delay)
+      .select(window(col(tsCol), width).as("__w"),
+        col(valueCol).cast("long").as("v"), col(tsCol))
+      .filter(col("v").isNotNull)
+      // the raw watermarked ts column rides along: extracting/casting the
+      // window struct drops the event-time tag, and EventTimeTimeout
+      // requires a tagged column in the grouped input
+      .select((col("__w.start").cast("long") * 1000L).as("windowStartMs"),
+        (col("__w.end").cast("long") * 1000L).as("windowEndMs"), col("v"),
+        col(tsCol).as("ts"))
+      .as[DriftObs]
+    obs.groupByKey(_.windowStartMs)
+      .flatMapGroupsWithState[DriftState, WindowDrift](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (windowStartMs: Long, rows: Iterator[DriftObs], state: GroupState[DriftState]) =>
+          if (state.hasTimedOut) {
+            val a = state.get.counts
+            state.remove()
+            val nA = a.values.sum
+            // merged distinct-value grid, exact cumulative gaps, one divide
+            val grid = (a.keySet ++ refCounts.keySet).toArray.sorted
+            var cumA = 0L; var cumB = 0L
+            var dNum = 0L; var w1Num = 0L
+            var i = 0
+            while (i < grid.length) {
+              val v = grid(i)
+              cumA += a.getOrElse(v, 0L)
+              cumB += refCounts.getOrElse(v, 0L)
+              val gap = math.abs(cumA * nB - cumB * nA)
+              if (gap > dNum) dNum = gap
+              if (i < grid.length - 1) w1Num += gap * (grid(i + 1) - v)
+              i += 1
+            }
+            val denom = (nA * nB).toDouble
+            val d = dNum.toDouble / denom
+            val flag = d > 1.358 * math.sqrt((nA + nB).toDouble / denom)
+            Iterator.single(WindowDrift(new java.sql.Timestamp(windowStartMs),
+              nA, nB, dNum, d, flag, w1Num, w1Num.toDouble / denom))
+          } else {
+            var counts = state.getOption.map(_.counts).getOrElse(Map.empty[Long, Long])
+            var endMs = 0L
+            rows.foreach { r =>
+              counts = counts.updated(r.v, counts.getOrElse(r.v, 0L) + 1L)
+              endMs = math.max(endMs, r.windowEndMs)
+            }
+            state.update(DriftState(counts))
+            // emit when the watermark passes the window end
+            state.setTimeoutTimestamp(endMs)
+            Iterator.empty
+          }
+      }
+  }
+
   /** Gap sessionization with `session_window` — the engine's streaming
     * sessionizer. State per (key, open session), closed by the watermark.
     * Batch Temporal.sessionize is the oracle-checkable equivalent.

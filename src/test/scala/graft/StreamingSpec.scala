@@ -101,6 +101,44 @@ class StreamingSpec extends SparkTestBase {
     assert(got == Map((1L, 2L) -> 1, (1L, 1L) -> 1, (2L, 1L) -> 1))
   }
 
+  test("streaming KS/W1 drift against a static reference matches the batch ladder") {
+    // window [10:00,11:00) sample A = {1,1,2,5}; reference B = {1:2, 3:1, 5:1}
+    val winValues = Seq(1L, 1L, 2L, 5L)
+    val refCounts = Map(1L -> 2L, 3L -> 1L, 5L -> 1L)
+    val input = MemoryStream[(Timestamp, Long)]
+    val stream = StreamingOps.ksDriftStream(
+      input.toDF().toDF("ts", "v"), "ts", "v", "1 hour", "1 hour", refCounts)
+    val q = stream.writeStream
+      .format("memory").queryName("drift").outputMode("append").start()
+    try {
+      input.addData(winValues.zipWithIndex.map { case (v, i) =>
+        (ts(f"2024-01-01 10:${i * 5}%02d:00"), v)
+      }: _*)
+      q.processAllAvailable()
+      // advance the watermark past 11:00 + 1h so the window's timeout fires
+      input.addData((ts("2024-01-01 13:30:00"), 9L))
+      q.processAllAvailable()
+      q.processAllAvailable()
+      val got = spark.table("drift")
+        .as[StreamingOps.WindowDrift].collect().toSeq
+      assert(got.map(_.window_start.toString) == Seq("2024-01-01 10:00:00.0"))
+      val g = got.head
+
+      // batch twin: A rows under cond, reference expanded under !cond
+      val batchDf = (winValues.map(v => (v, true)) ++
+        refCounts.toSeq.flatMap { case (v, n) => Seq.fill(n.toInt)((v, false)) })
+        .toDF("v", "isA")
+      val ks = graft.ops.Stats.ksTest(batchDf, $"isA", "v").collect().head
+      assert(g.n_a == ks.getAs[Long]("n_a") && g.n_b == ks.getAs[Long]("n_b"))
+      assert(g.d_num == ks.getAs[Long]("d_num"))
+      assert(g.d == ks.getAs[Double]("d"))
+      assert(g.drift_flag == ks.getAs[Boolean]("drift_flag"))
+      val w1 = graft.ops.Stats.wasserstein1d(batchDf, $"isA", "v").collect().head
+      assert(g.w1_num == w1.getAs[Long]("w1_num"))
+      assert(g.w1 == w1.getAs[Double]("w1"))
+    } finally q.stop()
+  }
+
   test("transformWithState watermark tracker emits only advancing watermarks") {
     // transformWithState needs multi-column-family state → RocksDB provider
     val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
