@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{BoundedCollectList, CosineSimilarity, HashedShingles, JlSignProject, MinHashShingles, MisraGries, NearestCell, NfcNormalize, ShingleSeq, SimHash48}
+import graft.functions.{BoundedCollectList, CosineSimilarity, GramMatrixAgg, HashedShingles, JlSignProject, MinHashShingles, MisraGries, NearestCell, NfcNormalize, ShingleSeq, SimHash48}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * Catalyst expressions so they resolve by name in SQL and
@@ -59,6 +59,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[NfcNormalize].getName, null, "nfc_normalize",
         "nfc_normalize(text) - Unicode NFC canonicalization (TR-15), upstream of hash-keyed dedup", ""),
       (children: Seq[Expression]) => NfcNormalize(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("gram_matrix"),
+      new ExpressionInfo(classOf[GramMatrixAgg].getName, null, "gram_matrix",
+        "gram_matrix(vec, dim) - exact quantized upper-triangle second moments as one buffer-per-partition aggregate", ""),
+      (children: Seq[Expression]) => GramMatrixAgg(children.head, children(1))))
     ext.injectFunction((
       new FunctionIdentifier("jl_sign_project"),
       new ExpressionInfo(classOf[JlSignProject].getName, null, "jl_sign_project",

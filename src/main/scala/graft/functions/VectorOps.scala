@@ -1132,18 +1132,33 @@ object VectorOps {
     val sampled = emb.filter(
       pmod(graft.ops.LlmOps.md5Hash48(col(idCol).cast("string"), 1),
         lit(sampleM.toLong)) === 0)
-    val quant = transform(col(embCol),
-      v => floor(v.cast("double") * lit(1000.0)).cast("long"))
-    val pairs = flatten(transform(sequence(lit(0), lit(dim - 1)), i =>
-      transform(sequence(i, lit(dim - 1)), j =>
-        struct(i.cast("long").as("i"), j.cast("long").as("j"),
-          (element_at(col("__q"), (i + 1).cast("int"))
-            * element_at(col("__q"), (j + 1).cast("int"))).as("p")))))
-    sampled.select(quant.as("__q"))
-      .select(explode(pairs).as("__pp"))
-      .groupBy(col("__pp.i").as("i"), col("__pp.j").as("j"))
-      .agg(count(lit(1)).as("n_docs"), sum(col("__pp.p")).as("gram"))
-      .select(col("i"), col("j"), col("n_docs"), col("gram"),
-        lit(sampleM.toLong).as("sample_m"))
+    if (emb.sparkSession.catalog.functionExists("gram_matrix")) {
+      // native [[graft.functions.GramMatrixAgg]]: the aggregation buffer
+      // IS the triangle — no d(d+1)/2-per-row explode, the shuffle
+      // carries one ~16 KB buffer per partition (measured ~8× at the 10×
+      // probe). Output rows identical to the relational fallback.
+      sampled
+        .agg(call_function("gram_matrix", col(embCol), lit(dim)).as("__g"))
+        .select(col("__g.n").as("n_docs"), explode(col("__g.cells")).as("__c"))
+        .select(col("__c.i").as("i"), col("__c.j").as("j"), col("n_docs"),
+          col("__c.gram").as("gram"), lit(sampleM.toLong).as("sample_m"))
+        // empty-sample parity with the relational GROUP BY (zero rows,
+        // not a zero-filled triangle)
+        .filter(col("n_docs") > 0)
+    } else {
+      val quant = transform(col(embCol),
+        v => floor(v.cast("double") * lit(1000.0)).cast("long"))
+      val pairs = flatten(transform(sequence(lit(0), lit(dim - 1)), i =>
+        transform(sequence(i, lit(dim - 1)), j =>
+          struct(i.cast("long").as("i"), j.cast("long").as("j"),
+            (element_at(col("__q"), (i + 1).cast("int"))
+              * element_at(col("__q"), (j + 1).cast("int"))).as("p")))))
+      sampled.select(quant.as("__q"))
+        .select(explode(pairs).as("__pp"))
+        .groupBy(col("__pp.i").as("i"), col("__pp.j").as("j"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("__pp.p")).as("gram"))
+        .select(col("i"), col("j"), col("n_docs"), col("gram"),
+          lit(sampleM.toLong).as("sample_m"))
+    }
   }
 }

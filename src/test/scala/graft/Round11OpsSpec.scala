@@ -153,6 +153,26 @@ class Round11OpsSpec extends SparkTestBase {
     assert(out.select("n_docs").distinct().as[Long].collect().toSeq == Seq(30L))
   }
 
+  test("embeddingGram: malformed vectors contribute neither cells nor count") {
+    val emb = Seq(
+      (1L, Some(Seq(Option(1.0f), Option(2.0f)))), // well-formed
+      (2L, Some(Seq(Option(1.0f)))), // ragged
+      (3L, Some(Seq(Option(1.0f), Option.empty[Float]))), // null element
+      (4L, Option.empty[Seq[Option[Float]]]) // null vector
+    ).toDF("vec_id", "embedding")
+    val out = VectorOps.embeddingGram(emb, "vec_id", "embedding", dim = 2, sampleM = 1)
+      .orderBy("i", "j").collect()
+    assert(out.toSeq == Seq(
+      Row(0L, 0L, 1L, 1000000L, 1L),
+      Row(0L, 1L, 1L, 2000000L, 1L),
+      Row(1L, 1L, 1L, 4000000L, 1L)))
+  }
+
+  test("embeddingGram: empty sample yields zero rows, not a zero triangle") {
+    val emb = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
+    assert(VectorOps.embeddingGram(emb, "vec_id", "embedding", 2, 1).count() == 0)
+  }
+
   test("embeddingGram: 1-in-m sample audit — n_docs matches the md5 universe") {
     val emb = (0L until 40L).map(i => (i, Seq(i.toFloat, 1.0f)))
       .toDF("vec_id", "embedding")
