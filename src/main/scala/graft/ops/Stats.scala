@@ -1152,4 +1152,112 @@ object Stats {
         - (mean("__s_post_c", "n_post_c") - mean("__s_pre_c", "n_pre_c")))
         .as("did"))
   }
+
+  /** Reliability diagram of a [0, 1000]-permille classifier score against
+    * a boolean label (Guo et al. ICML'17's calibration readout, the
+    * quality-classifier pre-flight a curation pipeline runs before
+    * trusting a score as a sampling weight): per equal-width confidence
+    * bucket, count, exact score sum, positive count — then mean
+    * confidence and accuracy as ONE divide each and the |acc − conf| gap
+    * (the per-bucket ECE term; the weighted sum is one projection
+    * downstream of this bounded relation). Null scores or labels drop;
+    * scores clamp into [0, 1000].
+    *
+    * Scale shape: one map-side-combined hash aggregate to an nBuckets-row
+    * relation; nothing else.
+    */
+  def calibrationCurve(df: DataFrame, scorePermille: Column, label: Column,
+                       nBuckets: Int = 10): DataFrame = {
+    // filter BEFORE clamping: greatest/least skip nulls in Spark, so a
+    // null score would silently clamp to bucket 0 instead of dropping
+    val base = df
+      .select(scorePermille.cast("long").as("__s0"),
+        label.cast("boolean").as("__y"))
+      .filter(col("__s0").isNotNull && col("__y").isNotNull)
+      .select(least(greatest(col("__s0"), lit(0L)), lit(1000L)).as("__s"),
+        col("__y"))
+    base
+      .groupBy(least(floor(col("__s") * nBuckets / 1000L), lit(nBuckets - 1L))
+        .cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("__s")).cast("long").as("sum_score"),
+        sum(col("__y").cast("long")).cast("long").as("n_pos"))
+      .select(col("bucket"), col("n"), col("sum_score"), col("n_pos"),
+        (col("sum_score").cast("double")
+          / (col("n") * 1000L).cast("double")).as("conf"),
+        (col("n_pos").cast("double") / col("n").cast("double")).as("acc"))
+      .withColumn("gap", abs(col("acc") - col("conf")))
+  }
+
+  /** Split-conformal threshold + empirical coverage (Vovk et al.; the
+    * Angelopoulos–Bates tutorial's split recipe): the calibration half
+    * (md5-even ids — deterministic, rerun-stable) contributes per-group
+    * nonconformity scores whose ⌈(n+1)(1−α)⌉-th smallest value is the
+    * group's threshold; the held-out half then reports the share of
+    * scores ≤ threshold — the finite-sample ≥ 1−α coverage guarantee a
+    * selective-prediction gate is deployed on. k is computed in EXACT
+    * integer arithmetic (⌈(n+1)(1000−α‰)/1000⌉ via (x+999)/1000); the
+    * order statistic is a per-group rank window (partitioned — scales by
+    * group) with a score-then-id total order; coverage is one divide.
+    * When k exceeds n_cal (tiny groups) the threshold is null and the
+    * group trivially covers everything — both engines agree on that
+    * convention.
+    */
+  def conformalThreshold(df: DataFrame, idCol: String, groupCol: String,
+                         scorePermille: Column,
+                         alphaPermille: Int = 100): DataFrame = {
+    val base = df.select(col(idCol).as("__id"), col(groupCol).as("__g"),
+        scorePermille.cast("long").as("__s"))
+      .filter(col("__s").isNotNull && col("__g").isNotNull)
+      .withColumn("__cal",
+        pmod(LlmOps.md5Hash48(col("__id").cast("string"), 1), lit(2L)) === 0L)
+    val calN = base.filter(col("__cal"))
+      .groupBy(col("__g")).agg(count(lit(1)).as("n_cal"))
+      .withColumn("k", // ⌈(n+1)(1000−α)/1000⌉; floor-of-double is exact here
+        floor(((col("n_cal") + 1L) * (1000L - alphaPermille) + 999L) / 1000L)
+          .cast("long"))
+    val w = Window.partitionBy(col("__g"))
+      .orderBy(col("__s").asc, col("__id").asc)
+    val thr = base.filter(col("__cal"))
+      .withColumn("__rk", row_number().over(w).cast("long"))
+      .join(calN, Seq("__g"))
+      .filter(col("__rk") === least(col("k"), col("n_cal")))
+      .select(col("__g"), col("n_cal"), col("k"),
+        when(col("k") <= col("n_cal"), col("__s")).as("threshold"))
+    base.filter(!col("__cal"))
+      .join(thr, Seq("__g"), "inner")
+      .groupBy(col("__g").as(groupCol), col("n_cal"), col("k"),
+        col("threshold"))
+      .agg(count(lit(1)).as("n_test"),
+        sum((col("threshold").isNull || col("__s") <= col("threshold"))
+          .cast("long")).cast("long").as("n_covered"))
+      .withColumn("coverage",
+        col("n_covered").cast("double") / col("n_test").cast("double"))
+  }
+
+  /** Leave-one-source-out mean impact — the ablation-free data-valuation
+    * readout (the Shapley-lite a mixture planner consults before cutting
+    * a source): for each source, the global mean of an exact-integer
+    * metric vs the mean WITHOUT that source, impact = Δ. Both means are
+    * one divide over exact long sums ((S−s_g)/(N−n_g) vs S/N) — no
+    * retraining, no second scan: one per-group aggregate plus a broadcast
+    * 1-row total. A source that IS the whole corpus reports a null
+    * without-mean (division by zero guarded to null both engines).
+    */
+  def looSourceImpact(df: DataFrame, groupCol: String,
+                      valueCol: Column): DataFrame = {
+    val base = df.select(col(groupCol).as("__g"), valueCol.cast("long").as("__v"))
+      .filter(col("__v").isNotNull && col("__g").isNotNull)
+    val tot = base.agg(count(lit(1)).as("__tn"), sum(col("__v")).as("__ts"))
+    base.groupBy(col("__g").as(groupCol))
+      .agg(count(lit(1)).as("n"), sum(col("__v")).cast("long").as("sum_v"))
+      .crossJoin(broadcast(tot))
+      .select(col(groupCol), col("n"), col("sum_v"),
+        (col("__ts").cast("double") / col("__tn").cast("double"))
+          .as("mean_global"),
+        when(col("__tn") > col("n"),
+          (col("__ts") - col("sum_v")).cast("double")
+            / (col("__tn") - col("n")).cast("double")).as("mean_without"))
+      .withColumn("impact", col("mean_without") - col("mean_global"))
+  }
 }

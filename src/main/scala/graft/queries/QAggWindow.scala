@@ -530,6 +530,42 @@ private[graft] object QAggWindow {
         datediff(to_date(col("ts")), lit("1970-01-01").cast("date")),
         floor(col("value") * 100).cast("long"))),
 
+    "calibration_curve" -> ((s, dir) => {
+      // reliability diagram of a cheap length-prior "classifier" (word
+      // count → permille confidence) against a prose label (≥ 2 distinct
+      // Gopher stopword hits): per-decile n / exact score sum / positives,
+      // conf + acc as one divide each, the |acc−conf| ECE term — the
+      // quality-scorer pre-flight before trusting a score as a sampling
+      // weight; one map-side-combined aggregate to 10 rows
+      val txt = coalesce(col("text"), lit(""))
+      val words = filter(split(txt, "\\s+"), w => w =!= "")
+      val score = least(size(words).cast("long") * 10L, lit(1000L))
+      val stops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+      val hits = stops.map(sw =>
+        when(lower(txt).rlike("\\b" + sw + "\\b"), lit(1L)).otherwise(lit(0L)))
+        .reduce(_ + _)
+      Stats.calibrationCurve(
+          t(s, dir, "documents").select(score.as("__sc"), (hits >= 2).as("__y")),
+          col("__sc"), col("__y"), nBuckets = 10)
+        .orderBy("bucket")
+    }),
+
+    "conformal_threshold" -> ((s, dir) =>
+      // split-conformal gate per language: md5-even docs calibrate the
+      // ⌈(n+1)(1−α)⌉-th smallest capped-length nonconformity score, the
+      // held-out half reports empirical coverage (≥ 0.9 guarantee at
+      // α=0.1) — exact-integer k, per-group rank window, one divide
+      Stats.conformalThreshold(t(s, dir, "documents"), "doc_id", "lang",
+          least(col("n_chars"), lit(1000L)), alphaPermille = 100)
+        .orderBy("lang")),
+
+    "loo_source_impact" -> ((s, dir) =>
+      // ablation-free data valuation: each source's leave-one-out shift
+      // of the global mean doc length — (S−s_g)/(N−n_g) vs S/N over
+      // exact long sums, one per-group aggregate + broadcast totals
+      Stats.looSourceImpact(t(s, dir, "documents"), "source", col("n_chars"))
+        .orderBy("source")),
+
     "cohens_kappa" -> ((s, dir) => {
       // inter-rater agreement between two deterministic quality raters
       // (char-length buckets vs whitespace-token buckets) over documents
@@ -1492,6 +1528,87 @@ private[graft] object QAggWindow {
            - (CAST(s_post_c AS DOUBLE) / CAST(n_post_c AS DOUBLE)
               - CAST(s_pre_c AS DOUBLE) / CAST(n_pre_c AS DOUBLE)) AS did
          FROM wide""",
+
+    // decile reliability curve: exact permille-score sums + positive
+    // counts per bucket, conf/acc as one divide each, |acc−conf| gap
+    "calibration_curve" ->
+      """WITH b AS (SELECT COALESCE(text, '') AS t FROM documents),
+         m AS (
+           SELECT
+             least(CAST(len(list_filter(string_split_regex(t, '\s+'),
+               x -> x <> '')) AS BIGINT) * 10, 1000) AS s,
+             ((CASE WHEN regexp_matches(lower(t), '\bthe\b') THEN 1 ELSE 0 END)
+               + (CASE WHEN regexp_matches(lower(t), '\bbe\b') THEN 1 ELSE 0 END)
+               + (CASE WHEN regexp_matches(lower(t), '\bto\b') THEN 1 ELSE 0 END)
+               + (CASE WHEN regexp_matches(lower(t), '\bof\b') THEN 1 ELSE 0 END)
+               + (CASE WHEN regexp_matches(lower(t), '\band\b') THEN 1 ELSE 0 END)
+               + (CASE WHEN regexp_matches(lower(t), '\bthat\b') THEN 1 ELSE 0 END)
+               + (CASE WHEN regexp_matches(lower(t), '\bhave\b') THEN 1 ELSE 0 END)
+               + (CASE WHEN regexp_matches(lower(t), '\bwith\b') THEN 1 ELSE 0 END))
+               >= 2 AS y
+           FROM b),
+         g AS (
+           SELECT least(CAST(floor(s * 10 / 1000) AS BIGINT), 9) AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(s) AS BIGINT) AS sum_score,
+             CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS n_pos
+           FROM m GROUP BY 1)
+         SELECT bucket, n, sum_score, n_pos,
+           CAST(sum_score AS DOUBLE) / CAST(n * 1000 AS DOUBLE) AS conf,
+           CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE) AS acc,
+           abs(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE)
+             - CAST(sum_score AS DOUBLE) / CAST(n * 1000 AS DOUBLE)) AS gap
+         FROM g ORDER BY bucket""",
+
+    // split-conformal per language: md5-even calibration half, exact
+    // ⌈(n+1)(1−α)⌉ order statistic, held-out coverage as one divide
+    "conformal_threshold" ->
+      """WITH b AS (
+           SELECT doc_id, lang, least(n_chars, 1000) AS s,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT
+               % 2 = 0 AS cal
+           FROM documents WHERE lang IS NOT NULL AND n_chars IS NOT NULL),
+         cn AS (
+           SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_cal,
+             CAST(((COUNT(*) + 1) * 900 + 999) // 1000 AS BIGINT) AS k
+           FROM b WHERE cal GROUP BY 1),
+         rk AS (
+           SELECT lang, s,
+             row_number() OVER (PARTITION BY lang ORDER BY s, doc_id) AS rk
+           FROM b WHERE cal),
+         thr AS (
+           SELECT rk.lang, n_cal, k,
+             CASE WHEN k <= n_cal THEN s END AS threshold
+           FROM rk JOIN cn USING (lang) WHERE rk.rk = least(k, n_cal)),
+         tst AS (
+           SELECT b.lang, n_cal, k, threshold,
+             CAST(COUNT(*) AS BIGINT) AS n_test,
+             CAST(SUM(CASE WHEN threshold IS NULL OR s <= threshold
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_covered
+           FROM b JOIN thr ON b.lang = thr.lang WHERE NOT cal
+           GROUP BY 1, 2, 3, 4)
+         SELECT lang, n_cal, k, threshold, n_test, n_covered,
+           CAST(n_covered AS DOUBLE) / CAST(n_test AS DOUBLE) AS coverage
+         FROM tst ORDER BY lang""",
+
+    // leave-one-source-out mean shift over exact long sums; the
+    // whole-corpus source reports null without-mean in both engines
+    "loo_source_impact" ->
+      """WITH b AS (
+           SELECT source AS g, n_chars AS v FROM documents
+           WHERE source IS NOT NULL AND n_chars IS NOT NULL),
+         t AS (SELECT CAST(COUNT(*) AS BIGINT) AS tn,
+           CAST(SUM(v) AS BIGINT) AS ts FROM b),
+         g AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(v) AS BIGINT) AS sum_v FROM b GROUP BY 1)
+         SELECT g.g AS source, n, sum_v,
+           CAST(ts AS DOUBLE) / CAST(tn AS DOUBLE) AS mean_global,
+           CASE WHEN tn > n THEN CAST(ts - sum_v AS DOUBLE)
+             / CAST(tn - n AS DOUBLE) END AS mean_without,
+           CASE WHEN tn > n THEN CAST(ts - sum_v AS DOUBLE)
+             / CAST(tn - n AS DOUBLE) END
+             - CAST(ts AS DOUBLE) / CAST(tn AS DOUBLE) AS impact
+         FROM g CROSS JOIN t ORDER BY source""",
 
     // exact-integer kappa: (N·agree − Σ margA·margB) / (N² − Σ margA·margB)
     "cohens_kappa" ->

@@ -126,6 +126,72 @@ class Round11OpsSpec extends SparkTestBase {
     assert(ws.getAs[Long]("n_a") == 2L && ws.getAs[Long]("n_b") == 3L)
   }
 
+  // ---- eval & data-valuation ladder ----
+
+  test("calibrationCurve: hand-computed buckets, clamping, null drop") {
+    val rows = Seq(
+      (Some(100L), Some(true)), (Some(150L), Some(false)), // bucket 1
+      (Some(250L), Some(false)), // bucket 2
+      (Some(950L), Some(true)), (Some(1200L), Some(true)), // bucket 9 (clamped)
+      (Some(-5L), Some(false)), // clamps to 0 → bucket 0
+      (Some(500L), None), (None, Some(true)) // dropped
+    ).toDF("s", "y")
+    val out = graft.ops.Stats.calibrationCurve(rows, $"s", $"y", 10)
+      .orderBy("bucket").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq ==
+      Seq((0L, 1L, 0L, 0L), (1L, 2L, 250L, 1L), (2L, 1L, 250L, 0L),
+        (9L, 2L, 1950L, 2L)))
+    val b1 = out(1)
+    assert(b1.getAs[Double]("conf") == 0.125 && b1.getAs[Double]("acc") == 0.5)
+    assert(b1.getAs[Double]("gap") == 0.375)
+    val b9 = out(3)
+    assert(b9.getAs[Double]("conf") == 0.975 && b9.getAs[Double]("acc") == 1.0)
+  }
+
+  test("conformalThreshold: order statistic, coverage, and the tiny-group null") {
+    val ids = (1L to 40L).toSeq
+    val df = ids.map(i => (i, "g", i * 10L)).toDF("id", "grp", "s")
+    // re-derive the op's own md5-even calibration split
+    val calIds = df.filter(
+      pmod(graft.ops.LlmOps.md5Hash48($"id".cast("string"), 1), lit(2L)) === 0)
+      .select($"id").as[Long].collect().toSet
+    val calScores = ids.filter(calIds).map(_ * 10L).sorted
+    val nCal = calScores.size
+    val k = ((nCal + 1) * 900 + 999) / 1000
+    assert(k <= nCal, "fixture must exercise the in-range branch")
+    val expThr = calScores(k - 1)
+    val testScores = ids.filterNot(calIds).map(_ * 10L)
+    val expCov = testScores.count(_ <= expThr).toDouble / testScores.size
+    val out = graft.ops.Stats.conformalThreshold(df, "id", "grp", $"s", 100)
+      .collect().head
+    assert(out.getAs[Long]("n_cal") == nCal && out.getAs[Long]("k") == k)
+    assert(out.getAs[Long]("threshold") == expThr)
+    assert(out.getAs[Double]("coverage") == expCov)
+
+    // a group whose calibration half is too small for k: null threshold,
+    // trivial full coverage
+    val calId = ids.find(calIds).get
+    val testId = ids.find(i => !calIds(i)).get
+    val tiny = Seq((calId, "t", 10L), (testId, "t", 99999L)).toDF("id", "grp", "s")
+    val tOut = graft.ops.Stats.conformalThreshold(tiny, "id", "grp", $"s", 100)
+      .collect().head
+    assert(tOut.isNullAt(tOut.fieldIndex("threshold")))
+    assert(tOut.getAs[Double]("coverage") == 1.0)
+  }
+
+  test("looSourceImpact: hand-computed leave-one-out shifts; single-source null") {
+    val df = Seq(("a", 10L), ("a", 20L), ("b", 30L)).toDF("src", "v")
+    val out = graft.ops.Stats.looSourceImpact(df, "src", $"v")
+      .orderBy("src").collect()
+    val a = out(0); val b = out(1)
+    assert(a.getAs[Double]("mean_global") == 20.0)
+    assert(a.getAs[Double]("mean_without") == 30.0 && a.getAs[Double]("impact") == 10.0)
+    assert(b.getAs[Double]("mean_without") == 15.0 && b.getAs[Double]("impact") == -5.0)
+    val solo = graft.ops.Stats.looSourceImpact(
+      Seq(("only", 5L)).toDF("src", "v"), "src", $"v").collect().head
+    assert(solo.isNullAt(solo.fieldIndex("mean_without")))
+  }
+
   // ---- embeddingGram ----
 
   test("embeddingGram: exact symmetric tiny case at sampleM=1") {
