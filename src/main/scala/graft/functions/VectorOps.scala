@@ -1161,4 +1161,42 @@ object VectorOps {
           lit(sampleM.toLong).as("sample_m"))
     }
   }
+
+  /** Per-group embedding-centroid drift against the corpus centroid —
+    * the representation-space face of the distribution-drift ladder
+    * (is source X embedding-distributionally different from the corpus
+    * it feeds?). Embeddings quantize to exact milli-unit longs; per
+    * (group, dim) SUM vectors stand in for centroids (cosine is
+    * scale-invariant, so no division ever happens) and cos(s⃗, g⃗) =
+    * dot/(√na·√nb) is computed from three EXACT long accumulators with
+    * one IEEE-portable formula at the end — the cosine-oracle precedent.
+    *
+    * Scale shape: posexplode to (group, dim) partial sums — map-side
+    * combined, d·|groups| result rows; the global vector is a second
+    * d-row aggregate OVER that relation (no second scan) broadcast into
+    * the per-group product fold. Long bounds: per-dim sums ≤ n·10³ and
+    * dot terms ≤ n²·10⁶ — swap DECIMAL(38,0) past ~10⁹ docs, same plan.
+    */
+  def centroidShift(emb: DataFrame, groupCol: String,
+                    embCol: String): DataFrame = {
+    val quant = transform(col(embCol),
+      v => floor(v.cast("double") * lit(1000.0)).cast("long"))
+    val dims = emb
+      .filter(col(groupCol).isNotNull && col(embCol).isNotNull)
+      .select(col(groupCol).as("__g"), posexplode(quant).as(Seq("__d", "__q")))
+      .groupBy(col("__g"), col("__d"))
+      .agg(sum(col("__q")).as("__s"), count(lit(1)).as("__n"))
+    val global = dims.groupBy(col("__d"))
+      .agg(sum(col("__s")).as("__gs"))
+    dims.join(broadcast(global), Seq("__d"))
+      .groupBy(col("__g").as(groupCol))
+      .agg((max(col("__n"))).cast("long").as("n_docs"),
+        sum(col("__s") * col("__gs")).cast("long").as("dot"),
+        sum(col("__s") * col("__s")).cast("long").as("na"),
+        sum(col("__gs") * col("__gs")).cast("long").as("nb"))
+      .withColumn("cos_to_global",
+        when(col("na") === 0L || col("nb") === 0L, lit(0.0))
+          .otherwise(col("dot").cast("double")
+            / (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double")))))
+  }
 }

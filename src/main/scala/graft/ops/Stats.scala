@@ -1244,6 +1244,29 @@ object Stats {
     * 1-row total. A source that IS the whole corpus reports a null
     * without-mean (division by zero guarded to null both engines).
     */
+  /** Herfindahl–Hirschman concentration of a corpus over a grouping
+    * column — the mixture-risk number next to [[looSourceImpact]]'s
+    * per-source deltas: HHI = Σ (n_g/N)² = Σn_g²/N² (ONE divide over
+    * exact long sums) and the effective number of sources 1/HHI = N²/Σn_g²
+    * (one more). A pipeline whose effective source count collapses toward
+    * 1 is single-source-dominated however many nominal sources it lists.
+    * One per-group count aggregate, one 1-row rollup — nothing scales
+    * past |groups|. Σn_g² bounds: n_g ≤ N ≤ ~3·10⁹ before Σn_g² can
+    * brush LONG; swap DECIMAL(38,0) past that, same plan.
+    */
+  def concentrationIndex(df: DataFrame, groupCol: String): DataFrame = {
+    val groups = df.filter(col(groupCol).isNotNull)
+      .groupBy(col(groupCol)).agg(count(lit(1)).as("__n"))
+    groups.agg(sum(col("__n")).cast("long").as("n_total"),
+        count(lit(1)).cast("long").as("k_groups"),
+        sum(col("__n") * col("__n")).cast("long").as("sum_sq"))
+      .select(col("n_total"), col("k_groups"), col("sum_sq"),
+        (col("sum_sq").cast("double")
+          / (col("n_total") * col("n_total")).cast("double")).as("hhi"),
+        ((col("n_total") * col("n_total")).cast("double")
+          / col("sum_sq").cast("double")).as("effective_groups"))
+  }
+
   def looSourceImpact(df: DataFrame, groupCol: String,
                       valueCol: Column): DataFrame = {
     val base = df.select(col(groupCol).as("__g"), valueCol.cast("long").as("__v"))

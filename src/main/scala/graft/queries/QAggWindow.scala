@@ -559,6 +559,23 @@ private[graft] object QAggWindow {
           least(col("n_chars"), lit(1000L)), alphaPermille = 100)
         .orderBy("lang")),
 
+    "centroid_shift_by_source" -> ((s, dir) =>
+      // representation-space drift: per-source quantized embedding SUM
+      // vector vs the corpus sum vector, cosine from three exact long
+      // accumulators (scale-invariance means no division until the one
+      // IEEE cos formula); d·|sources| intermediate rows
+      graft.functions.VectorOps.centroidShift(
+          t(s, dir, "embeddings")
+            .join(t(s, dir, "documents").select(col("doc_id"), col("source")),
+              col("vec_id") === col("doc_id")),
+          "source", "embedding")
+        .orderBy("source")),
+
+    "source_concentration" -> ((s, dir) =>
+      // mixture risk in one row: HHI of source shares + effective number
+      // of sources (1/HHI) over exact long sums, one divide each
+      Stats.concentrationIndex(t(s, dir, "documents"), "source")),
+
     "loo_source_impact" -> ((s, dir) =>
       // ablation-free data valuation: each source's leave-one-out shift
       // of the global mean doc length — (S−s_g)/(N−n_g) vs S/N over
@@ -1590,6 +1607,48 @@ private[graft] object QAggWindow {
          SELECT lang, n_cal, k, threshold, n_test, n_covered,
            CAST(n_covered AS DOUBLE) / CAST(n_test AS DOUBLE) AS coverage
          FROM tst ORDER BY lang""",
+
+    // per-(source, dim) exact milli-unit sums; cosine to the global sum
+    // vector from three exact accumulators, one IEEE formula at the end
+    "centroid_shift_by_source" ->
+      """WITH j AS (
+           SELECT d.source AS g, e.embedding AS emb
+           FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+           WHERE d.source IS NOT NULL AND e.embedding IS NOT NULL),
+         q AS (
+           SELECT g, u.d - 1 AS d,
+             CAST(floor(CAST(emb[u.d] AS DOUBLE) * 1000) AS BIGINT) AS qv
+           FROM j, unnest(range(1, len(emb) + 1)) u(d)),
+         dims AS (
+           SELECT g, d, CAST(SUM(qv) AS BIGINT) AS s,
+             CAST(COUNT(*) AS BIGINT) AS n
+           FROM q GROUP BY 1, 2),
+         gtot AS (SELECT d, CAST(SUM(s) AS BIGINT) AS gs FROM dims GROUP BY 1),
+         acc AS (
+           SELECT g, MAX(n) AS n_docs,
+             CAST(SUM(s * gs) AS BIGINT) AS dot,
+             CAST(SUM(s * s) AS BIGINT) AS na,
+             CAST(SUM(gs * gs) AS BIGINT) AS nb
+           FROM dims JOIN gtot USING (d) GROUP BY 1)
+         SELECT g AS source, n_docs, dot, na, nb,
+           CASE WHEN na = 0 OR nb = 0 THEN 0.0
+             ELSE CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE))
+               * sqrt(CAST(nb AS DOUBLE))) END AS cos_to_global
+         FROM acc ORDER BY source""",
+
+    // HHI + effective source count over exact long sums
+    "source_concentration" ->
+      """WITH g AS (
+           SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM documents
+           WHERE source IS NOT NULL GROUP BY 1)
+         SELECT CAST(SUM(n) AS BIGINT) AS n_total,
+           CAST(COUNT(*) AS BIGINT) AS k_groups,
+           CAST(SUM(n * n) AS BIGINT) AS sum_sq,
+           CAST(SUM(n * n) AS DOUBLE)
+             / CAST(SUM(n) * SUM(n) AS DOUBLE) AS hhi,
+           CAST(SUM(n) * SUM(n) AS DOUBLE)
+             / CAST(SUM(n * n) AS DOUBLE) AS effective_groups
+         FROM g""",
 
     // leave-one-source-out mean shift over exact long sums; the
     // whole-corpus source reports null without-mean in both engines

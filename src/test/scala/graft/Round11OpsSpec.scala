@@ -192,6 +192,36 @@ class Round11OpsSpec extends SparkTestBase {
     assert(solo.isNullAt(solo.fieldIndex("mean_without")))
   }
 
+  test("centroidShift: aligned group → cos 1, orthogonal group pulls the corpus") {
+    val emb = Seq(
+      ("a", Seq(1.0f, 0.0f)), ("a", Seq(2.0f, 0.0f)), // a-sum = (3000, 0)
+      ("b", Seq(0.0f, 1.0f))) // b-sum = (0, 1000); global = (3000, 1000)
+      .toDF("src", "embedding")
+    val out = VectorOps.centroidShift(emb, "src", "embedding")
+      .orderBy("src").collect()
+    val a = out(0); val b = out(1)
+    assert(a.getAs[Long]("n_docs") == 2L && b.getAs[Long]("n_docs") == 1L)
+    // cos(a, g) = 3000·3000 / (3000 · sqrt(3000²+1000²))
+    val expA = 9000000.0 / (3000.0 * math.sqrt(10000000.0))
+    assert(a.getAs[Double]("cos_to_global") == expA)
+    val expB = 1000000.0 / (1000.0 * math.sqrt(10000000.0))
+    assert(b.getAs[Double]("cos_to_global") == expB)
+    assert(expA > expB) // the dominant group sits closer to the corpus
+  }
+
+  test("concentrationIndex: hand-computed HHI and effective group count") {
+    val df = Seq("a", "a", "a", "b").map(Tuple1(_)).toDF("src")
+    val out = graft.ops.Stats.concentrationIndex(df, "src").collect().head
+    assert(out.getAs[Long]("n_total") == 4L && out.getAs[Long]("k_groups") == 2L)
+    assert(out.getAs[Long]("sum_sq") == 10L) // 9 + 1
+    assert(out.getAs[Double]("hhi") == 10.0 / 16.0)
+    assert(out.getAs[Double]("effective_groups") == 16.0 / 10.0)
+    // uniform split → effective == nominal
+    val even = Seq("a", "a", "b", "b").map(Tuple1(_)).toDF("src")
+    val e = graft.ops.Stats.concentrationIndex(even, "src").collect().head
+    assert(e.getAs[Double]("effective_groups") == 2.0)
+  }
+
   // ---- embeddingGram ----
 
   test("embeddingGram: exact symmetric tiny case at sampleM=1") {
