@@ -1244,6 +1244,81 @@ object Stats {
     * 1-row total. A source that IS the whole corpus reports a null
     * without-mean (division by zero guarded to null both engines).
     */
+  /** Fleiss' κ — chance-corrected agreement among m ≥ 2 raters per item
+    * (Fleiss 1971), the m-rater generalization of [[cohensKappa]] a
+    * labeling pipeline needs once more than two annotators (or heuristic
+    * raters) vote per document. Exact-integer core: per item
+    * Σ_c n_ic² − m = 2·(# agreeing rater pairs) — computed IN-ROW as a
+    * pairwise-equality fold over the m rater columns (no per-item
+    * category pivot); category margins T_c come from one
+    * explode-aggregate bounded by |categories|. κ is then ONE divide of
+    * two exact longs via the common-denominator form
+    * κ = (S1·(Nm)² − S2·Nm(m−1)) / (Nm(m−1)·((Nm)² − S2)),
+    * with S1 = Σ_i 2·pairAgree_i and S2 = Σ_c T_c². P̄ and P̄e are
+    * reported as fixed double formulas over the same longs. Long bounds:
+    * S1·(Nm)² ≤ 2·C(m,2)·N·(Nm)² — fine to ~10⁷ items at m=3; swap
+    * DECIMAL(38,0) past that, same plan.
+    */
+  def fleissKappa(df: DataFrame, raters: Seq[Column]): DataFrame = {
+    require(raters.size >= 2, "fleissKappa needs >= 2 raters")
+    val m = raters.size
+    val base = df.select(raters.zipWithIndex.map {
+      case (r, i) => r.cast("string").as(s"__r$i")
+    }: _*)
+    val pairAgree = (for {
+      i <- 0 until m; j <- (i + 1) until m
+    } yield (col(s"__r$i") === col(s"__r$j")).cast("long")).reduce(_ + _)
+    val tot = base.agg(count(lit(1)).as("n_items"),
+      (sum(pairAgree) * 2L).as("__s1"))
+    val margins = base
+      .select(explode(array((0 until m).map(i => col(s"__r$i")): _*)).as("__c"))
+      .groupBy(col("__c")).agg(count(lit(1)).as("__t"))
+    val s2 = margins.agg(sum(col("__t") * col("__t")).as("__s2"))
+    tot.crossJoin(broadcast(s2))
+      .select(col("n_items").cast("long").as("n_items"),
+        lit(m.toLong).as("m_raters"),
+        col("__s1").cast("long").as("s1"), col("__s2").cast("long").as("s2"),
+        (col("__s1").cast("double")
+          / (col("n_items") * m * (m - 1)).cast("double")).as("p_bar"),
+        (col("__s2").cast("double")
+          / (col("n_items") * m * col("n_items") * m).cast("double"))
+          .as("p_e"))
+      .withColumn("kappa",
+        (col("s1") * (col("n_items") * m) * (col("n_items") * m)
+          - col("s2") * (col("n_items") * m * (m - 1))).cast("double")
+          / ((col("n_items") * m * (m - 1))
+            * ((col("n_items") * m) * (col("n_items") * m) - col("s2")))
+            .cast("double"))
+  }
+
+  /** Minimal detectable effect for a two-arm A/B at the standard
+    * α=0.05 / 80%-power point (z_{α/2}+z_β = 1.96+0.8416 = 2.8016,
+    * driver constants — no libm): MDE = 2.8016·√(2σ̂²/n_arm) with σ̂²
+    * the unbiased variance of the exact-integer metric,
+    * (N·Σx² − (Σx)²)/(N(N−1)) over exact long sums, and n_arm = N/2 —
+    * the pre-flight that says what lift this corpus could even resolve
+    * BEFORE anyone runs the experiment. One 1-row moment aggregate;
+    * relative MDE (share of the mean) rides along. Long bound: Σx² at
+    * cents scale brushes LONG near ~10⁹ rows — DECIMAL(38,0) past that.
+    */
+  def mdeEstimate(df: DataFrame, valueCol: Column): DataFrame = {
+    val base = df.select(valueCol.cast("long").as("__x"))
+      .filter(col("__x").isNotNull)
+    base.agg(count(lit(1)).as("n"), sum(col("__x")).as("__s"),
+        sum(col("__x") * col("__x")).as("__ss"))
+      .filter(col("n") > 1L)
+      .select(col("n").cast("long").as("n"),
+        col("__s").cast("long").as("sum_x"),
+        col("__ss").cast("long").as("sum_xx"),
+        ((col("n") * col("__ss") - col("__s") * col("__s")).cast("double")
+          / (col("n") * (col("n") - 1L)).cast("double")).as("variance"))
+      .withColumn("mean_x", col("sum_x").cast("double") / col("n").cast("double"))
+      .withColumn("mde_abs",
+        lit(2.8016) * sqrt(lit(2.0) * col("variance")
+          / (col("n").cast("double") / 2.0)))
+      .withColumn("mde_rel", col("mde_abs") / col("mean_x"))
+  }
+
   /** Herfindahl–Hirschman concentration of a corpus over a grouping
     * column — the mixture-risk number next to [[looSourceImpact]]'s
     * per-source deltas: HHI = Σ (n_g/N)² = Σn_g²/N² (ONE divide over

@@ -559,6 +559,28 @@ private[graft] object QAggWindow {
           least(col("n_chars"), lit(1000L)), alphaPermille = 100)
         .orderBy("lang")),
 
+    "fleiss_kappa" -> ((s, dir) => {
+      // three-rater agreement (char-length, token-count, line-count
+      // quality raters) — in-row pairwise-equality fold, |cats|-bounded
+      // margin aggregate, κ as one divide of exact longs
+      val toks = size(split(trim(col("text")), "\\s+"))
+      val lines = size(split(col("text"), "\n"))
+      Stats.fleissKappa(t(s, dir, "documents"), Seq(
+        when(col("n_chars") < 200, "low")
+          .when(col("n_chars") < 600, "mid").otherwise("high"),
+        when(toks < 40, "low")
+          .when(toks < 120, "mid").otherwise("high"),
+        when(lines < 3, "low")
+          .when(lines < 8, "mid").otherwise("high")))
+    }),
+
+    "mde_estimate" -> ((s, dir) =>
+      // A/B pre-flight: the smallest lift this event stream could
+      // resolve at alpha=.05 / 80% power — unbiased cents variance from
+      // one exact moment aggregate, MDE = 2.8016*sqrt(2*var/(n/2))
+      Stats.mdeEstimate(t(s, dir, "events"),
+        floor(col("value") * 100).cast("long"))),
+
     "centroid_shift_by_source" -> ((s, dir) =>
       // representation-space drift: per-source quantized embedding SUM
       // vector vs the corpus sum vector, cosine from three exact long
@@ -1607,6 +1629,62 @@ private[graft] object QAggWindow {
          SELECT lang, n_cal, k, threshold, n_test, n_covered,
            CAST(n_covered AS DOUBLE) / CAST(n_test AS DOUBLE) AS coverage
          FROM tst ORDER BY lang""",
+
+    // in-row pairwise agreement fold + |cats|-bounded margins; κ as one
+    // divide via the common-denominator integer form
+    "fleiss_kappa" ->
+      """WITH r AS (
+           SELECT
+             CASE WHEN n_chars < 200 THEN 'low'
+               WHEN n_chars < 600 THEN 'mid' ELSE 'high' END AS r0,
+             CASE WHEN len(string_split_regex(trim(text), '\s+')) < 40 THEN 'low'
+               WHEN len(string_split_regex(trim(text), '\s+')) < 120 THEN 'mid'
+               ELSE 'high' END AS r1,
+             CASE WHEN len(string_split(text, chr(10))) < 3 THEN 'low'
+               WHEN len(string_split(text, chr(10))) < 8 THEN 'mid'
+               ELSE 'high' END AS r2
+           FROM documents),
+         tot AS (
+           SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
+             CAST(SUM((CASE WHEN r0 = r1 THEN 1 ELSE 0 END)
+               + (CASE WHEN r0 = r2 THEN 1 ELSE 0 END)
+               + (CASE WHEN r1 = r2 THEN 1 ELSE 0 END)) * 2 AS BIGINT) AS s1
+           FROM r),
+         mg AS (
+           SELECT c, CAST(COUNT(*) AS BIGINT) AS t FROM (
+             SELECT r0 AS c FROM r UNION ALL SELECT r1 FROM r
+             UNION ALL SELECT r2 FROM r) GROUP BY 1),
+         s2t AS (SELECT CAST(SUM(t * t) AS BIGINT) AS s2 FROM mg)
+         SELECT n_items, CAST(3 AS BIGINT) AS m_raters, s1, s2,
+           CAST(s1 AS DOUBLE) / CAST(n_items * 3 * 2 AS DOUBLE) AS p_bar,
+           CAST(s2 AS DOUBLE) / CAST(n_items * 3 * n_items * 3 AS DOUBLE) AS p_e,
+           CAST(s1 * (n_items * 3) * (n_items * 3)
+               - s2 * (n_items * 3 * 2) AS DOUBLE)
+             / CAST((n_items * 3 * 2)
+               * ((n_items * 3) * (n_items * 3) - s2) AS DOUBLE) AS kappa
+         FROM tot CROSS JOIN s2t""",
+
+    // one exact moment aggregate; MDE at the fixed 2.8016 z-sum point
+    "mde_estimate" ->
+      """WITH b AS (
+           SELECT CAST(FLOOR(value * 100) AS BIGINT) AS x FROM events
+           WHERE value IS NOT NULL),
+         m AS (
+           SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sum_x,
+             CAST(SUM(x * x) AS BIGINT) AS sum_xx
+           FROM b)
+         SELECT n, sum_x, sum_xx,
+           CAST(n * sum_xx - sum_x * sum_x AS DOUBLE)
+             / CAST(n * (n - 1) AS DOUBLE) AS variance,
+           CAST(sum_x AS DOUBLE) / CAST(n AS DOUBLE) AS mean_x,
+           2.8016 * sqrt(2.0 * (CAST(n * sum_xx - sum_x * sum_x AS DOUBLE)
+             / CAST(n * (n - 1) AS DOUBLE)) / (CAST(n AS DOUBLE) / 2.0))
+             AS mde_abs,
+           (2.8016 * sqrt(2.0 * (CAST(n * sum_xx - sum_x * sum_x AS DOUBLE)
+             / CAST(n * (n - 1) AS DOUBLE)) / (CAST(n AS DOUBLE) / 2.0)))
+             / (CAST(sum_x AS DOUBLE) / CAST(n AS DOUBLE)) AS mde_rel
+         FROM m WHERE n > 1""",
 
     // per-(source, dim) exact milli-unit sums; cosine to the global sum
     // vector from three exact accumulators, one IEEE formula at the end

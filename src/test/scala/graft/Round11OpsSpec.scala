@@ -192,6 +192,49 @@ class Round11OpsSpec extends SparkTestBase {
     assert(solo.isNullAt(solo.fieldIndex("mean_without")))
   }
 
+  test("fleissKappa: hand-computed on the Fleiss-style fixture; perfect agreement → 1") {
+    // 4 items × 3 raters: item1 unanimous 'x'; item2 two 'x' one 'y';
+    // item3 unanimous 'y'; item4 three-way split
+    val df = Seq(
+      ("x", "x", "x"), ("x", "x", "y"), ("y", "y", "y"), ("x", "y", "z"))
+      .toDF("r0", "r1", "r2")
+    val out = graft.ops.Stats.fleissKappa(df, Seq($"r0", $"r1", $"r2"))
+      .collect().head
+    // pairAgree: 3 + 1 + 3 + 0 = 7 → S1 = 14; margins x=6, y=5, z=1 →
+    // S2 = 36+25+1 = 62; N·m = 12
+    assert(out.getAs[Long]("n_items") == 4L && out.getAs[Long]("m_raters") == 3L)
+    assert(out.getAs[Long]("s1") == 14L && out.getAs[Long]("s2") == 62L)
+    assert(out.getAs[Double]("p_bar") == 14.0 / 24.0)
+    assert(out.getAs[Double]("p_e") == 62.0 / 144.0)
+    val expKappa = (14.0 * 144 - 62.0 * 24) / (24.0 * (144 - 62))
+    assert(out.getAs[Double]("kappa") == expKappa)
+
+    val perfect = Seq(("a", "a", "a"), ("b", "b", "b")).toDF("r0", "r1", "r2")
+    val p = graft.ops.Stats.fleissKappa(perfect, Seq($"r0", $"r1", $"r2"))
+      .collect().head
+    assert(p.getAs[Double]("kappa") == 1.0)
+  }
+
+  test("mdeEstimate: hand-computed variance and MDE; shrinks with sqrt(n)") {
+    val df = Seq(10L, 20L, 30L, 40L).toDF("x")
+    val out = graft.ops.Stats.mdeEstimate(df, $"x").collect().head
+    // n=4, S=100, SS=3000 → var = (4·3000 − 10000)/12 = 500/3
+    assert(out.getAs[Long]("n") == 4L)
+    val v = (4.0 * 3000 - 100.0 * 100) / (4.0 * 3)
+    assert(out.getAs[Double]("variance") == v)
+    val mde = 2.8016 * math.sqrt(2.0 * v / 2.0)
+    assert(out.getAs[Double]("mde_abs") == mde)
+    assert(out.getAs[Double]("mde_rel") == mde / 25.0)
+    // 4x the data at the same variance → half the MDE
+    val big = (df.collect().map(_.getLong(0)) ++ Array(10L, 20L, 30L, 40L)
+      ++ Array(10L, 20L, 30L, 40L) ++ Array(10L, 20L, 30L, 40L))
+      .toSeq.toDF("x")
+    val b = graft.ops.Stats.mdeEstimate(big, $"x").collect().head
+    assert(b.getAs[Double]("mde_abs") < mde * 0.55)
+    // a single row yields no estimate at all
+    assert(graft.ops.Stats.mdeEstimate(Seq(7L).toDF("x"), $"x").count() == 0)
+  }
+
   test("centroidShift: aligned group → cos 1, orthogonal group pulls the corpus") {
     val emb = Seq(
       ("a", Seq(1.0f, 0.0f)), ("a", Seq(2.0f, 0.0f)), // a-sum = (3000, 0)
