@@ -3082,4 +3082,36 @@ object LlmOps {
           .otherwise(col("affinity_num").cast("double")
             / col("affinity_den").cast("double")))
   }
+
+  /** In-batch negative contamination audit for contrastive training: if
+    * documents are sharded into training batches by a deterministic id
+    * hash, how many production near-dup pairs land in the SAME batch —
+    * where they would be served to InfoNCE-style losses as "negatives"
+    * while being semantic duplicates (the false-negative poison the
+    * batching scheme is supposed to dilute). Reports exact pair counts,
+    * the observed same-batch rate (one divide) and the 1/B rate random
+    * sharding would give — observed ≈ expected certifies the hash shard
+    * is dup-agnostic; observed ≫ expected means batches correlate with
+    * duplication (e.g. id-adjacent crawls) and the sharding key must
+    * change. Rides the production [[nearDupPairs]] banding end-to-end —
+    * the only addition is an in-row batch hash per pair side and one
+    * 1-row rollup.
+    */
+  def inBatchNegativeCollisions(df: DataFrame, idCol: String, textCol: String,
+                                nBatches: Int,
+                                maxBucketSize: Int = 1 << 20): DataFrame = {
+    require(nBatches >= 2, "need >= 2 batches")
+    val pairs = nearDupPairs(df, idCol, textCol, maxBucketSize = maxBucketSize)
+    def batch(c: Column) =
+      pmod(md5Hash48(c.cast("string"), 1), lit(nBatches.toLong))
+    pairs
+      .agg(count(lit(1)).cast("long").as("n_pairs"),
+        coalesce(sum((batch(col("id_a")) === batch(col("id_b"))).cast("long")),
+          lit(0L)).cast("long").as("n_same_batch"))
+      .select(lit(nBatches.toLong).as("n_batches"), col("n_pairs"),
+        col("n_same_batch"),
+        when(col("n_pairs") > 0L, col("n_same_batch").cast("double")
+          / col("n_pairs").cast("double")).as("observed_rate"),
+        (lit(1.0) / nBatches).as("expected_rate"))
+  }
 }

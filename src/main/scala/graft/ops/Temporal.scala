@@ -622,6 +622,40 @@ object Temporal {
         / nullif(sqrt(varX * varY), lit(0.0))).as("acf"))
   }
 
+  /** MASE against the seasonal-naive forecast (Hyndman & Koehler 2006 —
+    * the scale-free forecast-error metric): MAE of the lag-`season`
+    * calendar forecast over MAE of the lag-1 naive, both as exact long
+    * absolute-difference sums over the bounded daily-count series, one
+    * divide each and one ratio. MASE < 1 ⇒ the weekly shape genuinely
+    * predicts tomorrow better than "same as yesterday" — the
+    * forecastability pre-flight next to [[acfDailyCounts]]'s periodicity
+    * probe. Calendar joins (d−1, d−season), NOT row offsets, so gap days
+    * pair nothing instead of silently pairing across holes. Degenerate
+    * flat series (naive MAE = 0) reports null.
+    */
+  def maseSeasonalNaive(df: DataFrame, tsCol: String,
+                        season: Int = 7): DataFrame = {
+    val daily = df
+      .groupBy(datediff(to_date(col(tsCol)), lit("1970-01-01").cast("date"))
+        .cast("long").as("__d"))
+      .agg(count(lit(1)).as("__c"))
+    def lagJoinAgg(k: Int, np: String, sa: String) = daily
+      .join(daily.select(col("__d").as("__d2"), col("__c").as("__p")),
+        col("__d") === col("__d2") + k)
+      .agg(count(lit(1)).cast("long").as(np),
+        sum(abs(col("__c") - col("__p"))).cast("long").as(sa))
+    lagJoinAgg(1, "n_naive", "sae_naive")
+      .crossJoin(broadcast(lagJoinAgg(season, "n_seasonal", "sae_seasonal")))
+      .select(col("n_naive"), col("sae_naive"),
+        col("n_seasonal"), col("sae_seasonal"),
+        (col("sae_naive").cast("double") / col("n_naive").cast("double"))
+          .as("mae_naive"),
+        (col("sae_seasonal").cast("double") / col("n_seasonal").cast("double"))
+          .as("mae_seasonal"))
+      .withColumn("mase", when(col("sae_naive") > 0L,
+        col("mae_seasonal") / col("mae_naive")))
+  }
+
   /** Per-key inter-arrival statistics — the event-cadence profile
     * (mean/max gap, burstiness) that feeds staleness alerting and bot
     * detection. Gaps are exact LONG second differences from one lag

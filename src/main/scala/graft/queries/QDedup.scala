@@ -120,6 +120,13 @@ private[graft] object QDedup {
         .orderBy("bucket_lo")
     }),
 
+    "inbatch_negative_collisions" -> ((s, dir) =>
+      // contrastive-training shard audit: how many production near-dup
+      // pairs land in the SAME md5-sharded training batch (false
+      // negatives for InfoNCE) vs the 1/B rate random sharding implies
+      LlmOps.inBatchNegativeCollisions(t(s, dir, "documents"), "doc_id",
+        "text", nBatches = 16, maxBucketSize = 10000)),
+
     "near_dup_degree" -> ((s, dir) => {
       // dedup-ops hub detector: partner-count histogram over the
       // production banded pairs — a fat tail means boilerplate flooding
@@ -483,6 +490,59 @@ private[graft] object QDedup {
            expected_caught / CAST(n_pairs AS DOUBLE) AS est_recall,
            (SELECT m FROM mm) AS sample_m
          FROM g ORDER BY bucket_lo""",
+
+    // the dedup_near pipeline + an md5-shard collision rollup
+    "inbatch_negative_collisions" ->
+      """WITH d AS (
+           SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(string_split_regex(lower(trim(text)), '\s+')) - 3, 0) + 2),
+               i -> array_to_string(list_slice(string_split_regex(lower(trim(text)), '\s+'), i, i + 2), ' '))) AS sh
+           FROM documents),
+         hp AS (
+           SELECT doc_id,
+             list_transform(sh, s -> ('0x' || substr(md5(s), 1, 12))::BIGINT) AS h1s,
+             list_transform(sh, s -> ('0x' || substr(md5(s), 13, 12))::BIGINT) AS h2s
+           FROM d WHERE len(sh) > 0),
+         sg AS (
+           SELECT doc_id,
+             list_distinct(h1s) AS shset,
+             list_transform(range(0, 16), j ->
+               list_min(list_transform(range(1, len(h1s) + 1), x -> h1s[x] + j * h2s[x]))) AS sig
+           FROM hp),
+         bands AS (
+           SELECT doc_id, t.b AS band,
+             md5(array_to_string(list_slice(sig, t.b * 4 + 1, t.b * 4 + 4), ',')) AS bh
+           FROM sg, range(0, 4) t(b)),
+         ok AS (
+           SELECT band, bh FROM bands GROUP BY band, bh
+           HAVING COUNT(*) BETWEEN 2 AND 10000),
+         cap AS (SELECT bands.* FROM bands JOIN ok USING (band, bh)),
+         cand AS (
+           SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+           FROM cap a JOIN cap c
+             ON a.band = c.band AND a.bh = c.bh AND a.doc_id < c.doc_id),
+         jac AS (
+           SELECT id_a, id_b,
+             CAST(len(list_intersect(x.shset, y.shset)) AS DOUBLE)
+               / len(list_distinct(list_concat(x.shset, y.shset))) AS jaccard
+           FROM cand
+           JOIN sg x ON cand.id_a = x.doc_id
+           JOIN sg y ON cand.id_b = y.doc_id),
+         pairs AS (SELECT id_a, id_b FROM jac WHERE jaccard >= 0.7)
+         SELECT CAST(16 AS BIGINT) AS n_batches,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(COALESCE(SUM(CASE WHEN
+               ('0x' || substr(md5(CAST(id_a AS VARCHAR)), 1, 12))::BIGINT % 16
+               = ('0x' || substr(md5(CAST(id_b AS VARCHAR)), 1, 12))::BIGINT % 16
+             THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_same_batch,
+           CASE WHEN COUNT(*) > 0 THEN
+             CAST(COALESCE(SUM(CASE WHEN
+               ('0x' || substr(md5(CAST(id_a AS VARCHAR)), 1, 12))::BIGINT % 16
+               = ('0x' || substr(md5(CAST(id_b AS VARCHAR)), 1, 12))::BIGINT % 16
+             THEN 1 ELSE 0 END), 0) AS DOUBLE) / COUNT(*) END AS observed_rate,
+           1.0 / 16 AS expected_rate
+         FROM pairs""",
 
     // the dedup_near pipeline + a count-of-counts degree census
     "near_dup_degree" ->

@@ -431,6 +431,12 @@ private[graft] object QTemporal {
       Temporal.acfDailyCounts(t(s, dir, "events"), "ts", maxLag = 7)
         .orderBy("lag_k")),
 
+    "mase_seasonal_naive" -> ((s, dir) =>
+      // forecastability readout next to acf_daily: MASE of the weekly
+      // seasonal-naive vs the lag-1 naive over the bounded daily series
+      // — exact |Δ| sums, calendar joins (gap days pair nothing)
+      Temporal.maseSeasonalNaive(t(s, dir, "events"), "ts", season = 7)),
+
     "interarrival_stats" -> ((s, dir) =>
       // per-user cadence profile: exact integer gaps from one lag pass,
       // mean/max/population-sd from exact sums
@@ -1062,6 +1068,31 @@ private[graft] object QTemporal {
            (CAST(n_events AS DOUBLE) / CAST(n_days AS DOUBLE))
              / (CAST(te AS DOUBLE) / CAST(td AS DOUBLE)) AS seasonality
          FROM byd, tot ORDER BY dow""",
+
+    // exact |Δ| sums over the daily series; calendar lag joins; MASE as
+    // one ratio of the two MAEs, null on a flat (naive MAE = 0) series
+    "mase_seasonal_naive" ->
+      """WITH daily AS (
+           SELECT CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS d,
+                  CAST(COUNT(*) AS BIGINT) AS c
+           FROM events GROUP BY 1),
+         n1 AS (
+           SELECT CAST(COUNT(*) AS BIGINT) AS n_naive,
+             CAST(SUM(abs(a.c - b.c)) AS BIGINT) AS sae_naive
+           FROM daily a JOIN daily b ON a.d = b.d + 1),
+         n7 AS (
+           SELECT CAST(COUNT(*) AS BIGINT) AS n_seasonal,
+             CAST(SUM(abs(a.c - b.c)) AS BIGINT) AS sae_seasonal
+           FROM daily a JOIN daily b ON a.d = b.d + 7)
+         SELECT n_naive, sae_naive, n_seasonal, sae_seasonal,
+           CAST(sae_naive AS DOUBLE) / CAST(n_naive AS DOUBLE) AS mae_naive,
+           CAST(sae_seasonal AS DOUBLE) / CAST(n_seasonal AS DOUBLE)
+             AS mae_seasonal,
+           CASE WHEN sae_naive > 0 THEN
+             (CAST(sae_seasonal AS DOUBLE) / CAST(n_seasonal AS DOUBLE))
+               / (CAST(sae_naive AS DOUBLE) / CAST(n_naive AS DOUBLE)) END
+             AS mase
+         FROM n1 CROSS JOIN n7""",
 
     "acf_daily" ->
       """WITH daily AS (

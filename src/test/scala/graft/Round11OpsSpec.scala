@@ -235,6 +235,68 @@ class Round11OpsSpec extends SparkTestBase {
     assert(graft.ops.Stats.mdeEstimate(Seq(7L).toDF("x"), $"x").count() == 0)
   }
 
+  test("maseSeasonalNaive: hand-computed on a weekly-periodic series with one gap") {
+    import java.sql.Timestamp
+    // 15 days of a period-7 series (counts 1..7 repeating) with day 9
+    // absent: seasonal naive is perfect (MASE 0), lag-1 pairs skip the gap
+    def day(d: Int) = Timestamp.valueOf(f"2024-01-${d + 1}%02d 12:00:00")
+    val rows = (0 until 15).filter(_ != 9).flatMap { d =>
+      Seq.fill(d % 7 + 1)(Tuple1(day(d)))
+    }
+    val out = graft.ops.Temporal.maseSeasonalNaive(
+      rows.toDF("ts"), "ts", season = 7).collect().head
+    // lag-1 calendar pairs: days 1..8 with prev, 11..14 with prev → 12
+    assert(out.getAs[Long]("n_naive") == 12L)
+    // |Δ1| = 1 within a period, 6 at each 7→1 reset (days 7 and 14)
+    assert(out.getAs[Long]("sae_naive") == 10L * 1 + 2L * 6)
+    // seasonal pairs: days 7..14 minus absent 9 and pair-with-absent 16?? →
+    // days 7,8,10,11,12,13,14 = 7 pairs, all exact repeats
+    assert(out.getAs[Long]("n_seasonal") == 7L)
+    assert(out.getAs[Long]("sae_seasonal") == 0L)
+    assert(out.getAs[Double]("mase") == 0.0)
+  }
+
+  test("maseSeasonalNaive: flat series reports null MASE") {
+    import java.sql.Timestamp
+    val rows = (0 until 10).map(d =>
+      Tuple1(Timestamp.valueOf(f"2024-01-${d + 1}%02d 12:00:00")))
+    val out = graft.ops.Temporal.maseSeasonalNaive(
+      rows.toDF("ts"), "ts", season = 7).collect().head
+    assert(out.getAs[Long]("sae_naive") == 0L)
+    assert(out.isNullAt(out.fieldIndex("mase")))
+  }
+
+  test("inBatchNegativeCollisions: exact counts on a known dup corpus") {
+    val dup = "the quick brown fox jumps over the lazy dog again and again ok"
+    val docs = Seq(
+      (1L, dup), (2L, dup), (3L, dup),
+      (4L, "completely different words entirely unrelated text goes here now"))
+      .toDF("doc_id", "text")
+    val out = graft.ops.LlmOps.inBatchNegativeCollisions(
+      docs, "doc_id", "text", nBatches = 4).collect().head
+    assert(out.getAs[Long]("n_pairs") == 3L) // (1,2), (1,3), (2,3)
+    // expected batches from the op's own hash — recompute and compare
+    val batches = docs.select($"doc_id",
+      pmod(graft.ops.LlmOps.md5Hash48($"doc_id".cast("string"), 1), lit(4L))
+        .as("b")).as[(Long, Long)].collect().toMap
+    val same = Seq((1L, 2L), (1L, 3L), (2L, 3L))
+      .count { case (a, b) => batches(a) == batches(b) }
+    assert(out.getAs[Long]("n_same_batch") == same.toLong)
+    assert(out.getAs[Double]("expected_rate") == 0.25)
+  }
+
+  test("inBatchNegativeCollisions: zero pairs → zero counts, null rate") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "one two three four five six seven eight nine ten eleven"))
+      .toDF("doc_id", "text")
+    val out = graft.ops.LlmOps.inBatchNegativeCollisions(
+      docs, "doc_id", "text", nBatches = 4).collect().head
+    assert(out.getAs[Long]("n_pairs") == 0L)
+    assert(out.getAs[Long]("n_same_batch") == 0L)
+    assert(out.isNullAt(out.fieldIndex("observed_rate")))
+  }
+
   test("centroidShift: aligned group → cos 1, orthogonal group pulls the corpus") {
     val emb = Seq(
       ("a", Seq(1.0f, 0.0f)), ("a", Seq(2.0f, 0.0f)), // a-sum = (3000, 0)
