@@ -1342,6 +1342,144 @@ object Stats {
           / col("sum_sq").cast("double")).as("effective_groups"))
   }
 
+  /** Exact two-sided permutation test for a difference in group means —
+    * the assumption-free companion of [[mannWhitneyU]] / [[mdeEstimate]]
+    * (Fisher 1935): under H₀ the group labels are exchangeable, so the
+    * null distribution of |mean_A − mean_B| is generated by re-labelling.
+    * The `nPerms` re-labellings are md5-48 coin flips keyed on
+    * (unit id, perm index) — fully deterministic, and a SQL oracle
+    * replays every flip digit for digit. All statistics stay EXACT:
+    * |mean_A − mean_B| = |s_A·n_B − s_B·n_A| / (n_A·n_B), so the
+    * "perm ≥ observed" comparison cross-multiplies the two exact integer
+    * rationals in DECIMAL(38,0) — no float ever enters the decision; the
+    * reported `abs_mean_diff` / `p_value` are single final IEEE divides.
+    * p uses the add-one convention (1+extreme)/(1+valid) (the observed
+    * labelling is itself one draw, and p is never exactly 0); degenerate
+    * permutations that flip every unit to one side are excluded from
+    * both counts.
+    *
+    * Scale shape: one pass for the observed cells, then ONE explode of
+    * `nPerms` indices per row with map-side combine — the shuffle
+    * carries ≤ nPerms rows per partition and the final relation is
+    * nPerms rows. At 100 TB run it on a capped md5 doc sample (the
+    * dedup_threshold_sweep discipline) — the explode is nPerms× CPU on
+    * whatever universe it is given.
+    */
+  def permutationTest(df: DataFrame, groupACond: Column, valueCol: Column,
+                      idCol: Column, nPerms: Int = 200): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val base = df
+      .select(coalesce(groupACond, lit(false)).cast("long").as("__a"),
+        valueCol.cast("long").as("__v"), idCol.cast("string").as("__id"))
+      .filter(col("__v").isNotNull)
+    val obs = base.agg(
+      sum(col("__a")).as("__na"),
+      sum(col("__a") * col("__v")).as("__sa"),
+      sum(lit(1L) - col("__a")).as("__nb"),
+      sum((lit(1L) - col("__a")) * col("__v")).as("__sb"))
+      .select(col("__na"), col("__nb"),
+        abs(col("__sa") * col("__nb") - col("__sb") * col("__na")).as("__numo"),
+        (col("__na") * col("__nb")).as("__deno"))
+    val perms = base
+      .select(col("__id"), col("__v"),
+        explode(sequence(lit(0), lit(nPerms - 1))).as("__p"))
+      .withColumn("__pa", pmod(LlmOps.md5Hash48(
+        concat(col("__id"), lit("_"), col("__p").cast("string")), 1), lit(2L)))
+      .groupBy(col("__p"))
+      .agg(sum(col("__pa")).as("__pna"),
+        sum(col("__pa") * col("__v")).as("__psa"),
+        sum(lit(1L) - col("__pa")).as("__pnb"),
+        sum((lit(1L) - col("__pa")) * col("__v")).as("__psb"))
+    perms.crossJoin(broadcast(obs))
+      .filter(col("__pna") > 0 && col("__pnb") > 0)
+      .agg(max(col("__na")).as("__ona"), max(col("__nb")).as("__onb"),
+        max(col("__numo")).as("__onum"), max(col("__deno")).as("__oden"),
+        count(lit(1)).as("__nvalid"),
+        sum((abs(col("__psa") * col("__pnb") - col("__psb") * col("__pna"))
+            .cast(dec) * col("__deno").cast(dec)
+          >= col("__numo").cast(dec)
+            * (col("__pna") * col("__pnb")).cast(dec)).cast("long"))
+          .as("__nextreme"))
+      .select((col("__ona") + col("__onb")).cast("long").as("n"),
+        col("__ona").cast("long").as("n_a"),
+        col("__onb").cast("long").as("n_b"),
+        (col("__onum").cast("double")
+          / nullif(col("__oden").cast("double"), lit(0.0)))
+          .as("abs_mean_diff"),
+        col("__nvalid").cast("long").as("n_perms"),
+        ((lit(1L) + col("__nextreme")).cast("double")
+          / (lit(1L) + col("__nvalid")).cast("double")).as("p_value"))
+  }
+
+  /** McNemar's test on paired binary verdicts — THE significance test for
+    * "do these two filters/classifiers disagree beyond noise on the same
+    * corpus?" (McNemar 1947). Only the discordant cells carry signal:
+    * b = kept-by-A-only, c = kept-by-B-only, χ² = (b−c)²/(b+c) (1 df),
+    * plus the Edwards continuity-corrected (|b−c|−1)²/(b+c). Null
+    * verdicts coalesce to false (a row a battery cannot keep is a drop —
+    * the [[permutationTest]] convention). One agg to a single row; the
+    * contingency cells are exact longs and each statistic is one final
+    * IEEE divide, NULL when b+c = 0 (identical verdict vectors).
+    */
+  def mcnemarTest(df: DataFrame, keepA: Column, keepB: Column): DataFrame = {
+    val a = coalesce(keepA, lit(false))
+    val b = coalesce(keepB, lit(false))
+    df.agg(count(lit(1)).cast("long").as("n"),
+        sum((a && b).cast("long")).cast("long").as("n_both"),
+        sum((!a && !b).cast("long")).cast("long").as("n_neither"),
+        sum((a && !b).cast("long")).cast("long").as("n_a_only"),
+        sum((!a && b).cast("long")).cast("long").as("n_b_only"))
+      .withColumn("__d", col("n_a_only") - col("n_b_only"))
+      .withColumn("__t", col("n_a_only") + col("n_b_only"))
+      .select(col("n"), col("n_both"), col("n_neither"),
+        col("n_a_only"), col("n_b_only"),
+        ((col("__d") * col("__d")).cast("double")
+          / nullif(col("__t").cast("double"), lit(0.0))).as("chi2"),
+        ((greatest(abs(col("__d")) - 1L, lit(0L))
+          * greatest(abs(col("__d")) - 1L, lit(0L))).cast("double")
+          / nullif(col("__t").cast("double"), lit(0.0))).as("chi2_cc"))
+  }
+
+  /** Kendall τ-b over an ALREADY-AGGREGATED (x, y) series — the
+    * tie-corrected rank-concordance companion of [[spearmanRho]] /
+    * [[theilSenSlope]] (Kendall 1938): τ-b = (C−D)/√((n₀−n₁)(n₀−n₂))
+    * with n₁/n₂ the x-tied / y-tied pair counts. The caller aggregates
+    * first (daily counts → ≤ a few hundred rows), so the pairwise
+    * self-join and the row_number window both sit above a bounded
+    * aggregate relation — the audited shape; NOT for raw-row inputs.
+    * Pair enumeration uses a row_number over (x, y): ranks among
+    * duplicate (x, y) rows are assignment-arbitrary but every pair
+    * statistic is invariant under permuting identical rows, so the
+    * output is deterministic. All counts exact longs; τ-b is one final
+    * sqrt-divide (IEEE sqrt is correctly rounded — engine-portable).
+    */
+  def kendallTau(series: DataFrame, x: Column, y: Column): DataFrame = {
+    val pts = series.select(x.cast("long").as("__x"), y.cast("long").as("__y"))
+      .filter(col("__x").isNotNull && col("__y").isNotNull)
+      .withColumn("__i", row_number().over(Window.orderBy(col("__x"), col("__y"))))
+    val l = pts.select(col("__i").as("__i1"), col("__x").as("__x1"),
+      col("__y").as("__y1"))
+    val r = pts.select(col("__i").as("__i2"), col("__x").as("__x2"),
+      col("__y").as("__y2"))
+    l.join(r, col("__i1") < col("__i2"))
+      .agg(count(lit(1)).as("__n0"),
+        sum(((col("__x1") < col("__x2") && col("__y1") < col("__y2"))
+          || (col("__x1") > col("__x2") && col("__y1") > col("__y2")))
+          .cast("long")).as("__nc"),
+        sum(((col("__x1") < col("__x2") && col("__y1") > col("__y2"))
+          || (col("__x1") > col("__x2") && col("__y1") < col("__y2")))
+          .cast("long")).as("__nd"),
+        sum((col("__x1") === col("__x2")).cast("long")).as("__tx"),
+        sum((col("__y1") === col("__y2")).cast("long")).as("__ty"))
+      .select(col("__n0").cast("long").as("n_pairs"),
+        col("__nc").cast("long").as("n_concordant"),
+        col("__nd").cast("long").as("n_discordant"),
+        ((col("__nc") - col("__nd")).cast("double")
+          / nullif(sqrt((col("__n0") - col("__tx")).cast("double")
+            * (col("__n0") - col("__ty")).cast("double")), lit(0.0)))
+          .as("tau_b"))
+  }
+
   def looSourceImpact(df: DataFrame, groupCol: String,
                       valueCol: Column): DataFrame = {
     val base = df.select(col(groupCol).as("__g"), valueCol.cast("long").as("__v"))

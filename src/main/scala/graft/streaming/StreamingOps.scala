@@ -156,6 +156,58 @@ object StreamingOps {
       }
   }
 
+  /** Live reliability diagram — the streaming face of
+    * [[graft.ops.Stats.calibrationCurve]]: per confidence decile,
+    * running n / exact score sum / positive count as ONE unbounded
+    * streaming aggregation in complete mode (nBuckets rows of state,
+    * total — the heavyHittersStream discipline), with conf/acc/gap as
+    * stateless projections over the aggregate. A drifting gap row is the
+    * live signal the production quality scorer has decalibrated since
+    * the batch curve was drawn. Null scores/labels drop; scores clamp
+    * into [0, 1000] AFTER the null filter (greatest/least skip nulls —
+    * the batch op's own contract).
+    */
+  def calibrationCurveStream(df: DataFrame, scoreCol: String,
+                             labelCol: String, nBuckets: Int = 10): DataFrame = {
+    val base = df
+      .select(col(scoreCol).cast("long").as("__s0"),
+        col(labelCol).cast("boolean").as("__y"))
+      .filter(col("__s0").isNotNull && col("__y").isNotNull)
+      .select(least(greatest(col("__s0"), lit(0L)), lit(1000L)).as("__s"),
+        col("__y"))
+    base
+      .groupBy(least(floor(col("__s") * nBuckets / 1000L), lit(nBuckets - 1L))
+        .cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("__s")).cast("long").as("sum_score"),
+        sum(col("__y").cast("long")).cast("long").as("n_pos"))
+      .select(col("bucket"), col("n"), col("sum_score"), col("n_pos"),
+        (col("sum_score").cast("double")
+          / (col("n") * 1000L).cast("double")).as("conf"),
+        (col("n_pos").cast("double") / col("n").cast("double")).as("acc"))
+      .withColumn("gap", abs(col("acc") - col("conf")))
+  }
+
+  /** Live split-conformal gate — the serving face of
+    * [[graft.ops.Stats.conformalThreshold]]: the batch-fitted per-group
+    * thresholds are a STATIC relation (broadcast, re-resolved per
+    * micro-batch, so a nightly refit just works), and each streaming
+    * (group, score) row emits append-mode with its `covered` verdict —
+    * `score ≤ threshold` keeps the ≥ 1−α guarantee the calibration run
+    * established; a group with a null threshold (k exceeded its
+    * calibration count) or absent from the fit passes everything
+    * (fail-open, matching the batch op's tiny-group convention). Fully
+    * stateless — windowed coverage-rate monitoring composes downstream
+    * via `tumblingCounts` on the emitted verdict column.
+    */
+  def conformalGateStream(df: DataFrame, groupCol: String, scoreCol: String,
+                          thresholds: DataFrame, thrGroupCol: String,
+                          thrCol: String): DataFrame =
+    df.join(broadcast(thresholds.select(col(thrGroupCol).as(groupCol),
+        col(thrCol).as("threshold"))), Seq(groupCol), "left")
+      .withColumn("covered",
+        col("threshold").isNull || col(scoreCol) <= col("threshold"))
+
   /** Gap sessionization with `session_window` — the engine's streaming
     * sessionizer. State per (key, open session), closed by the watermark.
     * Batch Temporal.sessionize is the oracle-checkable equivalent.

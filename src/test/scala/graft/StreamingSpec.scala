@@ -101,6 +101,50 @@ class StreamingSpec extends SparkTestBase {
     assert(got == Map((1L, 2L) -> 1, (1L, 1L) -> 1, (2L, 1L) -> 1))
   }
 
+  test("streaming calibration curve matches the batch op across micro-batches") {
+    val rows1 = Seq((100L, true), (150L, false), (950L, true))
+    val rows2 = Seq((250L, false), (1200L, true), (-5L, false))
+    val input = MemoryStream[(Long, Boolean)]
+    val stream = StreamingOps.calibrationCurveStream(
+      input.toDF().toDF("s", "y"), "s", "y", 10)
+    val q = stream.writeStream
+      .format("memory").queryName("calib").outputMode("complete").start()
+    try {
+      input.addData(rows1: _*)
+      q.processAllAvailable()
+      input.addData(rows2: _*)
+      q.processAllAvailable()
+      val got = spark.table("calib").orderBy("bucket").collect()
+      val batch = graft.ops.Stats.calibrationCurve(
+        (rows1 ++ rows2).toDF("s", "y"), $"s", $"y", 10)
+        .orderBy("bucket").collect()
+      assert(got.toSeq == batch.toSeq)
+    } finally q.stop()
+  }
+
+  test("streaming conformal gate applies static thresholds; unknown group fails open") {
+    val thr = Seq(("en", Some(500L)), ("fr", Some(300L)), ("de", Option.empty[Long]))
+      .toDF("lang", "thr")
+    val input = MemoryStream[(String, Long)]
+    val stream = StreamingOps.conformalGateStream(
+      input.toDF().toDF("lang", "score"), "lang", "score", thr, "lang", "thr")
+    val q = stream.writeStream
+      .format("memory").queryName("gate").outputMode("append").start()
+    try {
+      input.addData(("en", 400L), ("en", 600L), ("fr", 300L),
+        ("de", 99999L), ("xx", 99999L))
+      q.processAllAvailable()
+      val got = spark.table("gate")
+        .select($"lang", $"score", $"covered")
+        .as[(String, Long, Boolean)].collect().toSet
+      assert(got == Set(
+        ("en", 400L, true), ("en", 600L, false), // ≤ threshold is inclusive
+        ("fr", 300L, true),
+        ("de", 99999L, true), // null threshold: fail-open
+        ("xx", 99999L, true))) // unfitted group: fail-open
+    } finally q.stop()
+  }
+
   test("streaming KS/W1 drift against a static reference matches the batch ladder") {
     // window [10:00,11:00) sample A = {1,1,2,5}; reference B = {1:2, 3:1, 5:1}
     val winValues = Seq(1L, 1L, 2L, 5L)
