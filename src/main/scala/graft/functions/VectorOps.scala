@@ -3,6 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Vector math over `array<float>` embedding columns (SURVEY.md §2.12 L3).
   *
@@ -1160,6 +1161,56 @@ object VectorOps {
         .select(col("i"), col("j"), col("n_docs"), col("gram"),
           lit(sampleM.toLong).as("sample_m"))
     }
+  }
+
+  /** Intrinsic-dimension and anisotropy readout of the embedding space —
+    * the two numbers that say whether a d-dim embedding column actually
+    * USES d dimensions. Effective rank is the participation ratio
+    * PR = tr(G)² / tr(G²) of the second-moment matrix G = Σ qqᵀ
+    * (Gao et al. 2017's neural-dimensionality measure): d for isotropic
+    * spread, →1 when one direction dominates. Anisotropy is
+    * ‖Σq‖² / (n·Σ‖q‖²) — the mean-vector concentration Ethayarajh
+    * (EMNLP'19) showed plagues contextual embeddings: →1 when all
+    * vectors share a direction, →1/n when balanced. Both derive from
+    * [[embeddingGram]]'s exact milli-unit triangle (tr(G²) = Σ G_ii² +
+    * 2·Σ_{i<j} G_ij², accumulated in DECIMAL(38,0)) plus one d-row
+    * per-dim sum aggregate on the SAME md5 doc sample; each output is a
+    * single final IEEE divide of exact sums — no eigendecomposition
+    * anywhere, so a SQL oracle replays it exactly.
+    *
+    * Scale shape: the gram aggregate's shuffle carries one ~16 KB buffer
+    * per partition (native path) and the sum-vector aggregate d rows per
+    * partition; both collapse to 1-row relations joined by crossJoin of
+    * broadcast singletons. The 1-in-m sample caps work at scale with
+    * `sample_m` auditable in the output.
+    */
+  def effectiveRank(emb: DataFrame, idCol: String, embCol: String,
+                    dim: Int, sampleM: Int): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val g = embeddingGram(emb, idCol, embCol, dim, sampleM)
+    val traces = g.agg(
+      max(col("n_docs")).cast("long").as("n_docs"),
+      sum(when(col("i") === col("j"), col("gram"))).cast("long").as("trace"),
+      sum(col("gram").cast(dec) * col("gram").cast(dec)
+        * when(col("i") === col("j"), lit(1L)).otherwise(lit(2L)).cast(dec))
+        .cast(dec).as("__frob2"))
+    val sampled = emb.filter(
+      pmod(graft.ops.LlmOps.md5Hash48(col(idCol).cast("string"), 1),
+        lit(sampleM.toLong)) === 0)
+    val quant = transform(col(embCol),
+      v => floor(v.cast("double") * lit(1000.0)).cast("long"))
+    val ssq = sampled.select(posexplode(quant).as(Seq("__d", "__q")))
+      .groupBy(col("__d")).agg(sum(col("__q")).as("__s"))
+      .agg(sum(col("__s").cast(dec) * col("__s").cast(dec)).cast(dec)
+        .as("__ssq"))
+    traces.crossJoin(broadcast(ssq))
+      .select(col("n_docs"), lit(sampleM.toLong).as("sample_m"), col("trace"),
+        (col("trace").cast("double") * col("trace").cast("double")
+          / nullif(col("__frob2").cast("double"), lit(0.0)))
+          .as("effective_rank"),
+        (col("__ssq").cast("double")
+          / nullif(col("n_docs").cast("double") * col("trace").cast("double"),
+            lit(0.0))).as("anisotropy"))
   }
 
   /** Per-group embedding-centroid drift against the corpus centroid —

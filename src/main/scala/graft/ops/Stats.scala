@@ -1347,8 +1347,8 @@ object Stats {
     * (Fisher 1935): under H₀ the group labels are exchangeable, so the
     * null distribution of |mean_A − mean_B| is generated by re-labelling.
     * The `nPerms` re-labellings are md5-48 coin flips keyed on
-    * (unit id, perm index) — fully deterministic, and a SQL oracle
-    * replays every flip digit for digit. All statistics stay EXACT:
+    * (unit id, digest chunk), 48 coins per chunk — fully deterministic,
+    * and a SQL oracle replays every flip digit for digit. All statistics stay EXACT:
     * |mean_A − mean_B| = |s_A·n_B − s_B·n_A| / (n_A·n_B), so the
     * "perm ≥ observed" comparison cross-multiplies the two exact integer
     * rationals in DECIMAL(38,0) — no float ever enters the decision; the
@@ -1380,11 +1380,34 @@ object Stats {
       .select(col("__na"), col("__nb"),
         abs(col("__sa") * col("__nb") - col("__sb") * col("__na")).as("__numo"),
         (col("__na") * col("__nb")).as("__deno"))
+    // One md5-48 chunk yields 48 independent coins, so a row hashes
+    // ⌈nPerms/48⌉ times — NOT nPerms times (the naive per-perm md5 was
+    // hash-bound: 8.6 s at the 10× probe). Coin p = bit (p mod 48) of
+    // 48-bit chunk ⌊p/48⌋. The bit extraction is floor(chunk / 2^s) % 2
+    // in DOUBLE arithmetic — exact, because a power-of-two divide only
+    // shifts the exponent (the 48-bit mantissa fits double's 53), and it
+    // stays inside whole-stage codegen where `a DIV b` on longs would
+    // promote to 10M interpreted Decimal divisions (measured 4× slower).
+    // The oracle replays the same chunks with BIGINT `//` and `<<`.
+    // CollapseProject would inline a pre-computed digest column straight
+    // into the post-Generate projection — 5 md5 per EXPLODED row (measured
+    // 40 s at 10×). A generator's argument, by contrast, always evaluates
+    // below Generate, so the digest array IS the first generator
+    // (posexplode), and a second explode over the 48 bit positions fans
+    // out coins with pure codegen'd arithmetic.
+    val nChunks = (nPerms + 47) / 48
+    val digests = array((0 until nChunks).map(c =>
+      LlmOps.md5Hash48(concat(col("__id"), lit("_" + c)), 1)): _*)
+    val powers = typedlit((0 until 48).map(i => (1L << i).toDouble))
     val perms = base
-      .select(col("__id"), col("__v"),
-        explode(sequence(lit(0), lit(nPerms - 1))).as("__p"))
-      .withColumn("__pa", pmod(LlmOps.md5Hash48(
-        concat(col("__id"), lit("_"), col("__p").cast("string")), 1), lit(2L)))
+      .select(col("__v"), posexplode(digests).as(Seq("__c", "__hc")))
+      .select(col("__v"), col("__c"), col("__hc"),
+        explode(sequence(lit(0), lit(47))).as("__s"))
+      .withColumn("__p", (col("__c") * 48 + col("__s")).cast("long"))
+      .filter(col("__p") < nPerms)
+      .withColumn("__pw", element_at(powers, col("__s") + 1))
+      .withColumn("__pa",
+        floor(col("__hc").cast("double") / col("__pw")).cast("long") % 2)
       .groupBy(col("__p"))
       .agg(sum(col("__pa")).as("__pna"),
         sum(col("__pa") * col("__v")).as("__psa"),
@@ -1478,6 +1501,157 @@ object Stats {
           / nullif(sqrt((col("__n0") - col("__tx")).cast("double")
             * (col("__n0") - col("__ty")).cast("double")), lit(0.0)))
           .as("tau_b"))
+  }
+
+  /** Exact ROC curve over an integer score — the threshold-by-threshold
+    * face of the scalar AUC [[mannWhitneyU]] already reports (and the
+    * discrimination complement of [[calibrationCurve]]'s calibration
+    * readout): for every distinct score s, predicting positive on
+    * score ≥ s gives TP/FP counts from two DESCENDING cumulative sums,
+    * so TPR/FPR/precision are exact-integer ratios with one final
+    * divide each. The curve a quality-scorer review actually reads
+    * before a keep-threshold is chosen: "at this cut, what fraction of
+    * prose survives and what fraction of junk sneaks through".
+    *
+    * Scale shape: one map-side-combined aggregate to the distinct-score
+    * relation (caller bounds the domain — permille scores → ≤ 1001
+    * rows), a cumulative window OVER that aggregate (the audited
+    * aggregate-then-window shape), one broadcast of the 1-row totals.
+    */
+  def rocCurve(df: DataFrame, scoreCol: Column, labelCol: Column): DataFrame = {
+    val base = df.select(scoreCol.cast("long").as("__s"),
+        coalesce(labelCol, lit(false)).cast("long").as("__y"))
+      .filter(col("__s").isNotNull)
+    val counts = base.groupBy(col("__s"))
+      .agg(sum(col("__y")).as("__cp"),
+        sum(lit(1L) - col("__y")).as("__cn"))
+    val w = Window.orderBy(col("__s").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = base.agg(sum(col("__y")).as("n_pos"),
+      sum(lit(1L) - col("__y")).as("n_neg"))
+    counts
+      .withColumn("__tp", sum(col("__cp")).over(w))
+      .withColumn("__fp", sum(col("__cn")).over(w))
+      .crossJoin(broadcast(tot))
+      .select(col("__s").as("threshold"),
+        col("__tp").cast("long").as("tp"), col("__fp").cast("long").as("fp"),
+        col("n_pos").cast("long").as("n_pos"),
+        col("n_neg").cast("long").as("n_neg"),
+        (col("__tp").cast("double")
+          / nullif(col("n_pos").cast("double"), lit(0.0))).as("tpr"),
+        (col("__fp").cast("double")
+          / nullif(col("n_neg").cast("double"), lit(0.0))).as("fpr"),
+        (col("__tp").cast("double")
+          / nullif((col("__tp") + col("__fp")).cast("double"), lit(0.0)))
+          .as("precision"))
+  }
+
+  /** Wald–Wolfowitz runs test over an ALREADY-AGGREGATED ordered series
+    * — "is this daily metric a random scatter around its median, or
+    * does it clump?" (Wald & Wolfowitz 1940). The series dichotomizes
+    * at its LOWER MEDIAN (the ⌈n/2⌉-th smallest, an actual value —
+    * no midpoint averaging, so the cut is exact and engine-portable);
+    * ties AT the median drop, per the classical treatment. A run ends
+    * where lag(sign) differs, so R = 1 + Σ sign-changes via one lag
+    * window in time order. Under H₀, E[R] = 1 + 2n₁n₂/n and
+    * Var[R] = 2n₁n₂(2n₁n₂−n)/(n²(n−1)) — exact integer rationals; the
+    * z-score is the single final divide-by-sqrt. Too much clumping
+    * (trend, regime) → z ≪ 0; over-alternation (negative
+    * autocorrelation) → z ≫ 0.
+    *
+    * Scale shape: the caller aggregates first (daily rollup → bounded
+    * rows), so the median rank window and the lag window both sit
+    * above a bounded aggregate relation — the audited shape; NOT for
+    * raw-row inputs.
+    */
+  def runsTest(series: DataFrame, orderCol: Column,
+               valueCol: Column): DataFrame = {
+    val pts = series.select(orderCol.as("__t"), valueCol.cast("long").as("__v"))
+      .filter(col("__v").isNotNull)
+    val tot = pts.agg(count(lit(1)).as("__nn"))
+    val med = pts
+      .withColumn("__r", row_number().over(Window.orderBy(col("__v"), col("__t"))))
+      .crossJoin(broadcast(tot))
+      .filter(col("__r") === floor((col("__nn") + 1L).cast("double") / 2.0)
+        .cast("long"))
+      .select(col("__v").as("__med"))
+    val signed = pts.crossJoin(broadcast(med))
+      .filter(col("__v") =!= col("__med"))
+      .select(col("__t"), (col("__v") > col("__med")).cast("long").as("__sign"))
+    val wt = Window.orderBy(col("__t"))
+    signed
+      .withColumn("__chg",
+        (lag(col("__sign"), 1).over(wt).isNotNull
+          && lag(col("__sign"), 1).over(wt) =!= col("__sign")).cast("long"))
+      .agg(coalesce(sum(col("__sign")), lit(0L)).as("__n1"),
+        coalesce(sum(lit(1L) - col("__sign")), lit(0L)).as("__n2"),
+        // an all-tied series drops every row: runs = 0, not null+1
+        coalesce(sum(col("__chg")) + 1L, lit(0L)).as("__runs"))
+      .withColumn("__m", col("__n1") + col("__n2"))
+      .withColumn("__p", lit(2L) * col("__n1") * col("__n2"))
+      .withColumn("__er", lit(1.0)
+        + col("__p").cast("double") / nullif(col("__m").cast("double"), lit(0.0)))
+      .withColumn("__vr",
+        when(col("__m") > 1L && col("__p") > 0L,
+          (col("__p") * (col("__p") - col("__m"))).cast("double")
+            / (col("__m") * col("__m") * (col("__m") - 1L)).cast("double")))
+      .select(col("__n1").cast("long").as("n_above"),
+        col("__n2").cast("long").as("n_below"),
+        col("__runs").cast("long").as("runs"),
+        col("__er").as("expected_runs"),
+        ((col("__runs").cast("double") - col("__er"))
+          / nullif(sqrt(col("__vr")), lit(0.0))).as("z"))
+  }
+
+  /** Durbin–Watson statistic over an ALREADY-AGGREGATED (x, y) series —
+    * "are the residuals of the [[olsTrend]] fit serially correlated?"
+    * (Durbin & Watson 1950), the lag-1 autocorrelation gate a forecast
+    * pipeline checks before trusting OLS standard errors. DW =
+    * Σ(e_t−e_{t−1})² / Σe_t² ≈ 2(1−ρ̂₁): ≈2 independent, →0 positive
+    * autocorrelation (trend left in the residuals), →4 alternation.
+    * Exactness device: the residual e_i scales to the INTEGER
+    * ẽ_i = n·D·y_i − D·S_y + N·S_x − n·N·x_i (D = n·S_xx − S_x² the OLS
+    * denominator, N = n·S_xy − S_x·S_y the numerator), since e_i =
+    * ẽ_i/(n·D) and the common factor cancels in the DW ratio. ẽ_i is
+    * exact DECIMAL(38,0) (≈1e20 at the daily scale — far inside 38
+    * digits), cast to double ONCE per point; both double sums fold over
+    * SORTED term lists (the [[cramersV]] order-pinning discipline), and
+    * the oracle twin replays the identical HUGEINT→DOUBLE rounding.
+    *
+    * Scale shape: one 5-number exact aggregate broadcast back over the
+    * bounded series, one lag window above the bounded aggregate, one
+    * final 1-row fold.
+    */
+  def durbinWatson(series: DataFrame, x: Column, y: Column): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val pts = series.select(x.cast("long").as("__x"), y.cast("long").as("__y"))
+      .filter(col("__x").isNotNull && col("__y").isNotNull)
+    val agg = pts.agg(count(lit(1)).as("__n"),
+      sum(col("__x")).as("__sx"), sum(col("__y")).as("__sy"),
+      sum((col("__x") * col("__x")).cast(dec)).as("__sxx"),
+      sum((col("__x") * col("__y")).cast(dec)).as("__sxy"))
+    val resid = pts.crossJoin(broadcast(agg))
+      .withColumn("__dd", (col("__n").cast(dec) * col("__sxx")
+        - col("__sx").cast(dec) * col("__sx").cast(dec)).cast(dec))
+      .withColumn("__nn", (col("__n").cast(dec) * col("__sxy")
+        - col("__sx").cast(dec) * col("__sy").cast(dec)).cast(dec))
+      .withColumn("__e", (col("__n").cast(dec) * col("__dd") * col("__y").cast(dec)
+        - col("__dd") * col("__sy").cast(dec)
+        + col("__nn") * col("__sx").cast(dec)
+        - col("__n").cast(dec) * col("__nn") * col("__x").cast(dec))
+        .cast(dec).cast("double"))
+    val wt = Window.orderBy(col("__x"))
+    resid
+      .withColumn("__de", col("__e") - lag(col("__e"), 1).over(wt))
+      .agg(count(lit(1)).as("__cnt"),
+        aggregate(sort_array(collect_list(col("__e") * col("__e"))), lit(0.0),
+          (acc, t) => acc + t).as("__sse"),
+        aggregate(sort_array(collect_list(col("__de") * col("__de"))), lit(0.0),
+          (acc, t) => acc + t).as("__ssd"))
+      .select(col("__cnt").cast("long").as("n"),
+        (col("__ssd") / nullif(col("__sse"), lit(0.0))).as("dw"),
+        (lit(1.0) - (col("__ssd") / nullif(col("__sse"), lit(0.0))) / 2.0)
+          .as("rho1_approx"))
   }
 
   def looSourceImpact(df: DataFrame, groupCol: String,

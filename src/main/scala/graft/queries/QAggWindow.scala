@@ -530,6 +530,66 @@ private[graft] object QAggWindow {
         datediff(to_date(col("ts")), lit("1970-01-01").cast("date")),
         floor(col("value") * 100).cast("long"))),
 
+    "permutation_test" -> ((s, dir) =>
+      // assumption-free two-sided test: are en docs a different length
+      // than the rest? 200 md5-deterministic re-labellings, exact
+      // cross-multiplied rational comparison, add-one p-value
+      graft.ops.Stats.permutationTest(t(s, dir, "documents"),
+        col("lang") === "en", col("n_chars"), col("doc_id"), nPerms = 200)),
+
+    "kendall_tau_daily" -> ((s, dir) =>
+      // tie-corrected rank concordance between daily order volume and
+      // daily revenue cents — pairwise census over the bounded daily
+      // aggregate (the theil_sen shape), exact C/D/tie counts, one
+      // final sqrt-divide for tau-b
+      graft.ops.Stats.kendallTau(
+        t(s, dir, "orders")
+          .groupBy(to_date(col("o_orderdate")).as("__day"))
+          .agg(count(lit(1)).as("__n"),
+            sum(floor(col("o_totalprice") * 100).cast("long")).as("__cents")),
+        col("__n"), col("__cents"))),
+
+    "roc_curve" -> ((s, dir) => {
+      // discrimination face of calibration_curve's SAME classifier
+      // (word-count permille score vs the ≥2-stopword prose label):
+      // per-threshold TP/FP from two descending cumulative sums over
+      // the ≤101-value score domain, TPR/FPR/precision one divide each
+      val txt = coalesce(col("text"), lit(""))
+      val words = filter(split(txt, "\\s+"), w => w =!= "")
+      val score = least(size(words).cast("long") * 10L, lit(1000L))
+      val stops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+      val hits = stops.map(sw =>
+        when(lower(txt).rlike("\\b" + sw + "\\b"), lit(1L)).otherwise(lit(0L)))
+        .reduce(_ + _)
+      Stats.rocCurve(
+          t(s, dir, "documents").select(score.as("__sc"), (hits >= 2).as("__y")),
+          col("__sc"), col("__y"))
+        .orderBy("threshold")
+    }),
+
+    "runs_test_daily" -> ((s, dir) =>
+      // is daily revenue a random scatter around its median, or does it
+      // clump into regimes? lower-median dichotomization, lag-window
+      // run count over the bounded daily aggregate, exact-rational
+      // E[R]/Var[R], one final sqrt-divide
+      graft.ops.Stats.runsTest(
+        t(s, dir, "orders")
+          .groupBy(to_date(col("o_orderdate")).as("__day"))
+          .agg(sum(floor(col("o_totalprice") * 100).cast("long")).as("__cents")),
+        col("__day"), col("__cents"))),
+
+    "durbin_watson_daily" -> ((s, dir) =>
+      // lag-1 serial correlation left in the OLS residuals of daily
+      // order volume over time — the trust-the-trend gate after
+      // ols_trend; integer-scaled residuals (factor cancels in the DW
+      // ratio), order-pinned double folds
+      graft.ops.Stats.durbinWatson(
+        t(s, dir, "orders")
+          .groupBy(to_date(col("o_orderdate")).as("__day"))
+          .agg(count(lit(1)).as("__n")),
+        datediff(col("__day"), lit("1970-01-01").cast("date")),
+        col("__n"))),
+
     "calibration_curve" -> ((s, dir) => {
       // reliability diagram of a cheap length-prior "classifier" (word
       // count → permille confidence) against a prose label (≥ 2 distinct
@@ -1570,6 +1630,193 @@ private[graft] object QAggWindow {
 
     // decile reliability curve: exact permille-score sums + positive
     // counts per bucket, conf/acc as one divide each, |acc−conf| gap
+    // md5 coin flips replayed digit for digit; the >= decision
+    // cross-multiplies exact integer rationals in HUGEINT; add-one p
+    "permutation_test" ->
+      """WITH b AS (
+           SELECT CAST(doc_id AS VARCHAR) AS id,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS a,
+             CAST(n_chars AS BIGINT) AS v
+           FROM documents WHERE n_chars IS NOT NULL),
+         o AS (
+           SELECT CAST(SUM(a) AS BIGINT) AS na,
+             CAST(SUM(a * v) AS BIGINT) AS sa,
+             CAST(SUM(1 - a) AS BIGINT) AS nb,
+             CAST(SUM((1 - a) * v) AS BIGINT) AS sb
+           FROM b),
+         oo AS (
+           SELECT na, nb, ABS(sa * nb - sb * na) AS numo, na * nb AS deno
+           FROM o),
+         pr AS (
+           SELECT p.p, v,
+             ((('0x' || substr(md5(id || '_' || CAST(p.p // 48 AS VARCHAR)),
+                 1, 12))::BIGINT
+               // (1::BIGINT << CAST(p.p % 48 AS INTEGER))) % 2) AS pa
+           FROM b, generate_series(0, 199) p(p)),
+         pg AS (
+           SELECT p, CAST(SUM(pa) AS BIGINT) AS pna,
+             CAST(SUM(pa * v) AS BIGINT) AS psa,
+             CAST(SUM(1 - pa) AS BIGINT) AS pnb,
+             CAST(SUM((1 - pa) * v) AS BIGINT) AS psb
+           FROM pr GROUP BY 1),
+         c AS (
+           SELECT CAST(COUNT(*) AS BIGINT) AS nvalid,
+             CAST(SUM(CASE WHEN
+                 CAST(ABS(psa * pnb - psb * pna) AS HUGEINT) * deno
+                   >= CAST(numo AS HUGEINT) * (pna * pnb)
+               THEN 1 ELSE 0 END) AS BIGINT) AS nextreme
+           FROM pg, oo WHERE pna > 0 AND pnb > 0)
+         SELECT CAST(na + nb AS BIGINT) AS n, na AS n_a, nb AS n_b,
+           CAST(numo AS DOUBLE) / NULLIF(CAST(deno AS DOUBLE), 0)
+             AS abs_mean_diff,
+           nvalid AS n_perms,
+           CAST(1 + nextreme AS DOUBLE) / CAST(1 + nvalid AS DOUBLE)
+             AS p_value
+         FROM c, oo""",
+
+    // row_number over (x,y) — rank ties are assignment-arbitrary but
+    // every pair statistic is invariant under permuting identical rows
+    "kendall_tau_daily" ->
+      """WITH d AS (
+           SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS x,
+             CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS y
+           FROM orders GROUP BY 1),
+         r AS (SELECT x, y, row_number() OVER (ORDER BY x, y) AS i FROM d),
+         p AS (
+           SELECT a.x AS x1, a.y AS y1, b.x AS x2, b.y AS y2
+           FROM r a JOIN r b ON a.i < b.i),
+         c AS (
+           SELECT CAST(COUNT(*) AS BIGINT) AS n0,
+             CAST(SUM(CASE WHEN (x1 < x2 AND y1 < y2)
+                 OR (x1 > x2 AND y1 > y2) THEN 1 ELSE 0 END) AS BIGINT) AS nc,
+             CAST(SUM(CASE WHEN (x1 < x2 AND y1 > y2)
+                 OR (x1 > x2 AND y1 < y2) THEN 1 ELSE 0 END) AS BIGINT) AS nd,
+             CAST(SUM(CASE WHEN x1 = x2 THEN 1 ELSE 0 END) AS BIGINT) AS tx,
+             CAST(SUM(CASE WHEN y1 = y2 THEN 1 ELSE 0 END) AS BIGINT) AS ty
+           FROM p)
+         SELECT n0 AS n_pairs, nc AS n_concordant, nd AS n_discordant,
+           CAST(nc - nd AS DOUBLE)
+             / NULLIF(sqrt(CAST(n0 - tx AS DOUBLE)
+               * CAST(n0 - ty AS DOUBLE)), 0) AS tau_b
+         FROM c""",
+
+    // same classifier SQL as calibration_curve; descending cumulative
+    // TP/FP per distinct score, each rate one divide
+    "roc_curve" ->
+      """WITH b AS (SELECT COALESCE(text, '') AS t FROM documents),
+         m AS (
+           SELECT
+             least(CAST(len(list_filter(string_split_regex(t, '\s+'),
+               x -> x <> '')) AS BIGINT) * 10, 1000) AS s,
+             CASE WHEN
+               ((CASE WHEN regexp_matches(lower(t), '\bthe\b') THEN 1 ELSE 0 END)
+               + (CASE WHEN regexp_matches(lower(t), '\bbe\b') THEN 1 ELSE 0 END)
+               + (CASE WHEN regexp_matches(lower(t), '\bto\b') THEN 1 ELSE 0 END)
+               + (CASE WHEN regexp_matches(lower(t), '\bof\b') THEN 1 ELSE 0 END)
+               + (CASE WHEN regexp_matches(lower(t), '\band\b') THEN 1 ELSE 0 END)
+               + (CASE WHEN regexp_matches(lower(t), '\bthat\b') THEN 1 ELSE 0 END)
+               + (CASE WHEN regexp_matches(lower(t), '\bhave\b') THEN 1 ELSE 0 END)
+               + (CASE WHEN regexp_matches(lower(t), '\bwith\b') THEN 1 ELSE 0 END))
+               >= 2 THEN 1 ELSE 0 END AS y
+           FROM b),
+         g AS (
+           SELECT s, CAST(SUM(y) AS BIGINT) AS cp,
+             CAST(SUM(1 - y) AS BIGINT) AS cn
+           FROM m GROUP BY 1),
+         c AS (
+           SELECT s,
+             CAST(SUM(cp) OVER (ORDER BY s DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS tp,
+             CAST(SUM(cn) OVER (ORDER BY s DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS fp
+           FROM g),
+         tot AS (SELECT CAST(SUM(y) AS BIGINT) AS n_pos,
+             CAST(SUM(1 - y) AS BIGINT) AS n_neg FROM m)
+         SELECT s AS threshold, tp, fp, n_pos, n_neg,
+           CAST(tp AS DOUBLE) / NULLIF(CAST(n_pos AS DOUBLE), 0) AS tpr,
+           CAST(fp AS DOUBLE) / NULLIF(CAST(n_neg AS DOUBLE), 0) AS fpr,
+           CAST(tp AS DOUBLE) / NULLIF(CAST(tp + fp AS DOUBLE), 0)
+             AS precision
+         FROM c, tot ORDER BY threshold""",
+
+    // lower median via row_number = (n+1)//2; ties at the median drop;
+    // runs = 1 + lag-window sign changes; E/Var exact rationals
+    "runs_test_daily" ->
+      """WITH d AS (
+           SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS v
+           FROM orders GROUP BY 1),
+         tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM d),
+         r AS (SELECT v, row_number() OVER (ORDER BY v, day) AS rk FROM d),
+         med AS (SELECT v AS med FROM r, tot WHERE rk = (nn + 1) // 2),
+         s AS (
+           SELECT day, CASE WHEN v > med THEN 1 ELSE 0 END AS sg
+           FROM d, med WHERE v <> med),
+         c AS (SELECT sg, lag(sg) OVER (ORDER BY day) AS pr FROM s),
+         a AS (
+           SELECT CAST(COALESCE(SUM(sg), 0) AS BIGINT) AS n1,
+             CAST(COALESCE(SUM(1 - sg), 0) AS BIGINT) AS n2,
+             CAST(COALESCE(
+               SUM(CASE WHEN pr IS NOT NULL AND pr <> sg THEN 1 ELSE 0 END)
+               + 1, 0) AS BIGINT) AS runs
+           FROM c)
+         SELECT n1 AS n_above, n2 AS n_below, runs,
+           1.0 + CAST(2 * n1 * n2 AS DOUBLE)
+             / NULLIF(CAST(n1 + n2 AS DOUBLE), 0) AS expected_runs,
+           (CAST(runs AS DOUBLE)
+             - (1.0 + CAST(2 * n1 * n2 AS DOUBLE)
+               / NULLIF(CAST(n1 + n2 AS DOUBLE), 0)))
+             / NULLIF(sqrt(CASE WHEN n1 + n2 > 1 AND 2 * n1 * n2 > 0 THEN
+                 CAST(2 * n1 * n2 * (2 * n1 * n2 - (n1 + n2)) AS DOUBLE)
+                   / CAST((n1 + n2) * (n1 + n2) * (n1 + n2 - 1) AS DOUBLE)
+               END), 0) AS z
+         FROM a""",
+
+    // integer-scaled residuals e~ = nDy - DSy + NSx - nNx (common factor
+    // nD cancels in the ratio) in pure BIGINT — ~2e17 at oracle scales,
+    // 30x inside int64, and int64->DOUBLE is correctly rounded in BOTH
+    // engines where a signed HUGEINT->DOUBLE may double-round; the Spark
+    // side holds the same integers in DECIMAL(38,0). Order-pinned list
+    // folds for both sums of squares.
+    "durbin_watson_daily" ->
+      """WITH d AS (
+           SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS y
+           FROM orders GROUP BY 1),
+         p AS (
+           SELECT CAST(date_diff('day', DATE '1970-01-01', day) AS BIGINT)
+               AS x, y
+           FROM d),
+         a AS (
+           SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(x * y) AS BIGINT) AS sxy
+           FROM p),
+         e AS (
+           SELECT x, CAST(
+               n * (n * sxx - sx * sx) * y
+                 - (n * sxx - sx * sx) * sy
+                 + (n * sxy - sx * sy) * sx
+                 - n * (n * sxy - sx * sy) * x
+             AS DOUBLE) AS e
+           FROM p, a),
+         l AS (SELECT e, e - lag(e) OVER (ORDER BY x) AS de FROM e),
+         f AS (
+           SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             list_reduce(list_sort(list(e * e)), (u, v) -> u + v) AS sse,
+             list_reduce(list_sort(list(de * de) FILTER (WHERE de IS NOT NULL)),
+               (u, v) -> u + v) AS ssd
+           FROM l)
+         SELECT n, ssd / NULLIF(sse, 0) AS dw,
+           1.0 - (ssd / NULLIF(sse, 0)) / 2.0 AS rho1_approx
+         FROM f""",
+
     "calibration_curve" ->
       """WITH b AS (SELECT COALESCE(text, '') AS t FROM documents),
          m AS (

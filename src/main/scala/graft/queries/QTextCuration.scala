@@ -513,9 +513,23 @@ private[graft] object QTextCuration {
       LlmOps.c4Rules(t(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")),
 
+    "mcnemar_filters" -> ((s, dir) => {
+      // do Gopher and C4 disagree beyond noise on the same corpus? paired
+      // keep verdicts joined on doc_id (both batteries are in-row scans;
+      // the join shuffles only (id, bool)), McNemar χ² over the
+      // discordant cells + the continuity-corrected variant
+      val docs = t(s, dir, "documents")
+      val g = LlmOps.gopherRules(docs, "doc_id", "text")
+        .select(col("doc_id"), col("keep").as("__ka"))
+      val c = LlmOps.c4Rules(docs, "doc_id", "text")
+        .select(col("doc_id"), col("keep").as("__kb"))
+      graft.ops.Stats.mcnemarTest(g.join(c, Seq("doc_id")),
+        col("__ka"), col("__kb"))
+    }),
+
   )
 
-  val oracle: Map[String, String] = Map(
+  private val oracleBase: Map[String, String] = Map(
 
     "text_stats" ->
       """SELECT doc_id,
@@ -1992,4 +2006,34 @@ private[graft] object QTextCuration {
          ORDER BY lang_a, lang_b""",
 
   )
+
+  /** McNemar pairing of the two canonical filter batteries — the oracle
+    * composes the gopher_rules and c4_rules twins VERBATIM as subqueries
+    * (DuckDB allows WITH inside a derived table), so the paired verdicts
+    * are by construction the same verdicts the per-battery oracles check.
+    */
+  val oracle: Map[String, String] = oracleBase + ("mcnemar_filters" ->
+    s"""WITH ga AS (SELECT doc_id, keep FROM (${oracleBase("gopher_rules")})),
+         ca AS (SELECT doc_id, keep FROM (${oracleBase("c4_rules")})),
+         j AS (
+           SELECT COALESCE(ga.keep, FALSE) AS ka, COALESCE(ca.keep, FALSE) AS kb
+           FROM ga JOIN ca USING (doc_id)),
+         c AS (
+           SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN ka AND kb THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_both,
+             CAST(SUM(CASE WHEN NOT ka AND NOT kb THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_neither,
+             CAST(SUM(CASE WHEN ka AND NOT kb THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_a_only,
+             CAST(SUM(CASE WHEN NOT ka AND kb THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_b_only
+           FROM j)
+         SELECT n, n_both, n_neither, n_a_only, n_b_only,
+           CAST((n_a_only - n_b_only) * (n_a_only - n_b_only) AS DOUBLE)
+             / NULLIF(CAST(n_a_only + n_b_only AS DOUBLE), 0) AS chi2,
+           CAST(greatest(ABS(n_a_only - n_b_only) - 1, 0)
+               * greatest(ABS(n_a_only - n_b_only) - 1, 0) AS DOUBLE)
+             / NULLIF(CAST(n_a_only + n_b_only AS DOUBLE), 0) AS chi2_cc
+         FROM c""")
 }

@@ -149,6 +149,14 @@ private[graft] object QVector {
           "vec_id", "embedding", dim = 64, sampleM = 2)
         .orderBy("i", "j")),
 
+    "embedding_effective_rank" -> ((s, dir) =>
+      // does the 64-dim space actually use 64 dims? participation ratio
+      // tr(G)²/tr(G²) from the exact gram triangle + mean-vector
+      // anisotropy ‖Σq‖²/(n·Σ‖q‖²), same 1-in-2 md5 sample, two 1-row
+      // aggregates, one IEEE divide each
+      VectorOps.effectiveRank(t(s, dir, "embeddings"),
+        "vec_id", "embedding", dim = 64, sampleM = 2)),
+
     "mrl_truncation_eval" -> ((s, dir) => {
       // Matryoshka serving decision: how much of the full-64-dim top-10
       // do the 16/32-dim prefixes preserve — queries broadcast, one
@@ -578,6 +586,42 @@ private[graft] object QVector {
          FROM q, generate_series(0, 63) i(i), generate_series(0, 63) j(j)
          WHERE i.i <= j.j
          GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // tr(G²) in HUGEINT over the same triangle; the sum vector on the
+    // same 1-in-2 sample; both ratios one final double divide
+    "embedding_effective_rank" ->
+      """WITH s AS (
+           SELECT embedding FROM embeddings
+           WHERE ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 12))::BIGINT
+             % 2 = 0),
+         q AS (
+           SELECT list_transform(embedding,
+             v -> CAST(FLOOR(CAST(v AS DOUBLE) * 1000.0) AS BIGINT)) AS qv
+           FROM s),
+         g AS (
+           SELECT i.i AS i, j.j AS j, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(qv[i.i + 1] * qv[j.j + 1]) AS BIGINT) AS gram
+           FROM q, generate_series(0, 63) i(i), generate_series(0, 63) j(j)
+           WHERE i.i <= j.j
+           GROUP BY 1, 2),
+         t AS (
+           SELECT CAST(MAX(n_docs) AS BIGINT) AS n_docs,
+             CAST(SUM(CASE WHEN i = j THEN gram END) AS BIGINT) AS trace,
+             SUM(CAST(gram AS HUGEINT) * gram
+               * (CASE WHEN i = j THEN 1 ELSE 2 END)) AS frob2
+           FROM g),
+         sv AS (
+           SELECT d.d AS d, CAST(SUM(qv[d.d + 1]) AS BIGINT) AS sd
+           FROM q, generate_series(0, 63) d(d)
+           GROUP BY 1),
+         ss AS (SELECT SUM(CAST(sd AS HUGEINT) * sd) AS ssq FROM sv)
+         SELECT n_docs, CAST(2 AS BIGINT) AS sample_m, trace,
+           CAST(trace AS DOUBLE) * CAST(trace AS DOUBLE)
+             / NULLIF(CAST(frob2 AS DOUBLE), 0) AS effective_rank,
+           CAST(ssq AS DOUBLE)
+             / NULLIF(CAST(n_docs AS DOUBLE) * CAST(trace AS DOUBLE), 0)
+             AS anisotropy
+         FROM t, ss""",
 
     // same double-fold cosine; rank window (score desc, cid); top-k mean
     // folds over the sorted score list, ratio margin one divide

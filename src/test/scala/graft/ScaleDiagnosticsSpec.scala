@@ -116,7 +116,15 @@ class ScaleDiagnosticsSpec extends SparkTestBase {
         "ks_drift", "mann_whitney", "wasserstein_drift",
         "spearman_corr", "theil_sen_trend",
         "cramers_v", "did_estimate", "rrf_fuse", "jl_project",
-        "embedding_gram")) {
+        "embedding_gram",
+        // round-11 second wave: kendall_tau_daily's pair-rank window sits
+        // above the bounded daily aggregate; the other three are
+        // window-free but enumerated so the audit stays exhaustive
+        "kendall_tau_daily", "permutation_test", "mcnemar_filters",
+        "embedding_effective_rank",
+        // third wave: roc_curve's cumulative window sits above the
+        // ≤101-row score aggregate; runs/DW windows above daily rollups
+        "roc_curve", "runs_test_daily", "durbin_watson_daily")) {
       val bad = executed(q).collect {
         case w: WindowExec if w.partitionSpec.isEmpty &&
             !w.children.forall(hasAggregateBelow) => w
