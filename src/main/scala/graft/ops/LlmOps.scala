@@ -3114,4 +3114,49 @@ object LlmOps {
           / col("n_pairs").cast("double")).as("observed_rate"),
         (lit(1.0) / nBatches).as("expected_rate"))
   }
+
+  /** Vocabulary-growth (Heaps'-law) curve over ingestion order — the
+    * "is new data still teaching the tokenizer new words?" readout
+    * (Heaps 1978; Herdan 1960): docs bucket by ⌊id/bucketSize⌋, each
+    * token type attributes to the bucket of its FIRST occurrence
+    * (min doc id — bucketing is monotone in id, so min-id and min-bucket
+    * agree), and the curve is cumulative types vs cumulative tokens with
+    * the running type–token ratio as the single final divide. A corpus
+    * whose cum_types flattens while cum_tokens grows is re-crawling
+    * itself — the cheap pre-dedup saturation signal.
+    *
+    * Exactness: the bucket is (id − id mod b)/b — an exact long multiple
+    * divided by b, so the IEEE quotient IS the integer both engines
+    * agree on. All counts are longs; ttr is one divide.
+    *
+    * Scale shape: one token explode with map-side combine into the
+    * (token → min id) aggregate — the corpus's only shuffle, keyed by
+    * token exactly like a vocab build; the cumulative window sits over
+    * the bounded bucket aggregate (caller sizes bucketSize so bucket
+    * count stays bounded at the target corpus).
+    */
+  def vocabGrowth(df: DataFrame, idCol: Column, textCol: Column,
+                  bucketSize: Long): DataFrame = {
+    require(bucketSize > 0)
+    def bucketOf(c: Column): Column =
+      ((c - pmod(c, lit(bucketSize))) / lit(bucketSize.toDouble)).cast("long")
+    val toks = df.select(idCol.cast("long").as("__id"),
+        explode(tokens(textCol)).as("__tok"))
+      .filter(col("__tok") =!= "" && col("__id").isNotNull)
+    val perBucket = toks.groupBy(bucketOf(col("__id")).as("bucket"))
+      .agg(count(lit(1)).as("n_tokens"))
+    val newTypes = toks.groupBy(col("__tok"))
+      .agg(min(col("__id")).as("__first"))
+      .groupBy(bucketOf(col("__first")).as("bucket"))
+      .agg(count(lit(1)).as("n_new_types"))
+    val w = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perBucket.join(newTypes, Seq("bucket"), "left")
+      .select(col("bucket"), col("n_tokens"),
+        coalesce(col("n_new_types"), lit(0L)).as("n_new_types"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w).cast("long"))
+      .withColumn("cum_types", sum(col("n_new_types")).over(w).cast("long"))
+      .withColumn("ttr", col("cum_types").cast("double")
+        / nullif(col("cum_tokens").cast("double"), lit(0.0)))
+  }
 }

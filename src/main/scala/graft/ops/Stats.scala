@@ -1434,6 +1434,129 @@ object Stats {
           / (lit(1L) + col("__nvalid")).cast("double")).as("p_value"))
   }
 
+  /** Poisson-bootstrap confidence interval for a mean (Chamandy et al.,
+    * "Estimating Uncertainty for Massive Data Streams", Google TR 2012;
+    * Efron 1979 for the bootstrap itself): instead of resampling n rows
+    * with replacement (a global shuffle per replicate), each row enters
+    * replicate b with an independent Poisson(1) weight — a single
+    * streaming pass computes ALL replicates. Weights are md5-deterministic:
+    * one 48-bit digest chunk yields SIX 8-bit uniforms (the
+    * [[permutationTest]] digest-chunk discipline, 8 bits per coin instead
+    * of 1), and the Poisson(1) inverse CDF is applied at 1/256
+    * granularity through FIXED integer thresholds 94/188/235/251/255 —
+    * ⌊256·P(X≤k)⌋ for k=0..4, weights capped at 5 — so a SQL oracle
+    * replays every weight digit for digit (no engine ever calls exp()).
+    * Replicate means are one exact-integer divide each; the interval is
+    * the 2.5%/97.5% ORDER STATISTICS of the B replicate means
+    * (rank-picked, not interpolated — portable), ties broken by
+    * replicate index.
+    *
+    * Scale shape: rows never shuffle by replicate-count multiplicity —
+    * the explode fans out ⌈B/6⌉ digest chunks per row and the per-
+    * replicate partial sums map-side combine down to B rows; the order-
+    * statistic window sits over that bounded B-row aggregate (audited
+    * shape). At 100 TB the cost is B extra long-sums per row batch, not
+    * B passes.
+    */
+  def bootstrapCiMean(df: DataFrame, valueCol: Column, idCol: Column,
+                      nBoot: Int = 192): DataFrame = {
+    require(nBoot >= 40, "bootstrapCiMean: need enough replicates to rank 2.5%")
+    val base = df.select(idCol.cast("string").as("__id"),
+        valueCol.cast("long").as("__v"))
+      .filter(col("__v").isNotNull && col("__id").isNotNull)
+    val obs = base.agg(count(lit(1)).as("__on"), sum(col("__v")).as("__os"))
+    val nChunks = (nBoot + 5) / 6
+    val digests = array((0 until nChunks).map(c =>
+      LlmOps.md5Hash48(concat(col("__id"), lit("_bs" + c)), 1)): _*)
+    // 2^(8s) for s=0..5 as exact doubles: the power-of-two divide only
+    // shifts the exponent, so the byte extraction stays codegen'd and
+    // exact (the permutationTest bit-extraction device, widened to bytes)
+    val powers = typedlit((0 until 6).map(s => (1L << (8 * s)).toDouble))
+    val w8 = col("__u8")
+    val reps = base
+      .select(col("__v"), posexplode(digests).as(Seq("__c", "__hc")))
+      .select(col("__v"), col("__c"), col("__hc"),
+        explode(sequence(lit(0), lit(5))).as("__s"))
+      .withColumn("__b", (col("__c") * 6 + col("__s")).cast("long"))
+      .filter(col("__b") < nBoot)
+      .withColumn("__u8",
+        floor(col("__hc").cast("double") / element_at(powers, col("__s") + 1))
+          .cast("long") % 256)
+      .withColumn("__w",
+        when(w8 < 94, 0L).when(w8 < 188, 1L).when(w8 < 235, 2L)
+          .when(w8 < 251, 3L).when(w8 < 255, 4L).otherwise(5L))
+      .groupBy(col("__b"))
+      .agg(sum(col("__w")).as("__nb"), sum(col("__w") * col("__v")).as("__sb"))
+      .filter(col("__nb") > 0)
+      .select(col("__b"),
+        (col("__sb").cast("double") / col("__nb").cast("double")).as("__mb"))
+    val ranked = reps
+      .withColumn("__rn", row_number().over(Window.orderBy(col("__mb"), col("__b"))))
+      .withColumn("__bv", count(lit(1)).over(Window.partitionBy()))
+    ranked
+      .agg(max(col("__bv")).cast("long").as("__nbv"),
+        min(when(col("__rn") === greatest(lit(1L),
+          floor(col("__bv") * lit(25.0) / lit(1000.0)).cast("long")),
+          col("__mb"))).as("__lo"),
+        min(when(col("__rn") === ceil(col("__bv") * lit(975.0) / lit(1000.0))
+          .cast("long"), col("__mb"))).as("__hi"))
+      .crossJoin(broadcast(obs))
+      .select(col("__on").cast("long").as("n"),
+        (col("__os").cast("double") / nullif(col("__on").cast("double"),
+          lit(0.0))).as("mean"),
+        col("__nbv").as("n_boot"),
+        col("__lo").as("ci_lo"), col("__hi").as("ci_hi"))
+  }
+
+  /** Squared Hellinger distance between the hashed-unigram distributions
+    * of two sub-corpora — the bounded-support distribution distance the
+    * no-libm contract allows (Shannon/KL need ln(); Hellinger's
+    * per-term √(p·q) is a CORRECTLY-ROUNDED IEEE primitive both engines
+    * share). Tokens hash into a fixed slot universe (the
+    * [[graft.ops.LlmOps.dsirAffinity]] census device, kept fully
+    * distributed here — no driver collect): BC = Σ√(c_Ai·c_Bi)/√(N_A·N_B)
+    * over slots BOTH sides populate (empty-side slots contribute exactly
+    * zero, so the join is INNER and ≤`buckets` rows), H² = 1 − BC,
+    * H = √max(0, H²). The Σ folds over a SORTED term list (the cramersV
+    * order-pinning discipline) and each c_A·c_B product is formed in
+    * exact longs cast to double once — the oracle twin replays the fold
+    * token for token.
+    *
+    * Scale shape: two token-explode scans with map-side combine down to
+    * ≤buckets rows each, one bounded inner join, a 1-row fold; the raw
+    * corpus never shuffles anything wider than (slot, count).
+    */
+  def tokenHellinger(df: DataFrame, textCol: Column, condA: Column,
+                     condB: Column, buckets: Int = 8192): DataFrame = {
+    require(buckets > 0)
+    def census(cond: Column, cName: String, nName: String) = {
+      val side = df.filter(coalesce(cond, lit(false)))
+        .select(explode(LlmOps.tokens(textCol)).as("__tok"))
+        .filter(col("__tok") =!= "")
+        .select(pmod(LlmOps.md5Hash48(col("__tok"), 1),
+          lit(buckets.toLong)).as("__slot"))
+        .groupBy(col("__slot")).agg(count(lit(1)).as(cName))
+      side.withColumn(nName, sum(col(cName)).over(Window.partitionBy()))
+    }
+    val a = census(condA, "__ca", "__na")
+    val b = census(condB, "__cb", "__nb")
+    a.join(b, Seq("__slot"))
+      .agg(max(col("__na")).cast("long").as("n_a"),
+        max(col("__nb")).cast("long").as("n_b"),
+        count(lit(1)).cast("long").as("slots_shared"),
+        aggregate(sort_array(collect_list(
+            sqrt(col("__ca").cast("double") * col("__cb").cast("double")))),
+          lit(0.0), (acc, t) => acc + t).as("__bcnum"))
+      .select(col("n_a"), col("n_b"), col("slots_shared"),
+        (col("__bcnum") / nullif(sqrt(col("n_a").cast("double")
+          * col("n_b").cast("double")), lit(0.0))).as("bc"),
+        (lit(1.0) - col("__bcnum") / nullif(sqrt(col("n_a").cast("double")
+          * col("n_b").cast("double")), lit(0.0))).as("hellinger_sq"),
+        sqrt(greatest(lit(0.0), lit(1.0) - col("__bcnum")
+          / nullif(sqrt(col("n_a").cast("double")
+            * col("n_b").cast("double")), lit(0.0)))).as("hellinger"))
+  }
+
   /** McNemar's test on paired binary verdicts — THE significance test for
     * "do these two filters/classifiers disagree beyond noise on the same
     * corpus?" (McNemar 1947). Only the discordant cells carry signal:

@@ -429,6 +429,66 @@ object Temporal {
           .as("max_abs_cusum"))
   }
 
+  /** Page–Hinkley changepoint statistic over an ALREADY-AGGREGATED
+    * ordered series (Page 1954, the sequential form; Hinkley 1971) — the
+    * online-monitoring complement of [[cusumChangepoint]]: where CUSUM
+    * asks "where did the level most likely shift?", Page–Hinkley asks
+    * "did the post-calibration segment drift from the calibration mean,
+    * and by how much at the worst point?". The series splits at its
+    * midpoint: the first ⌊n/2⌋ points calibrate μ̂ = S_ref/n_ref, the
+    * rest are the test segment. INTEGER-exact throughout (the cusum
+    * n-scaling device): deviations d_t = v_t·n_ref − S_ref, cumulative
+    * m̃_t = Σd, PH↑_t = m̃_t − min_{s≤t} m̃_s (upward drift) and
+    * PH↓_t = max_{s≤t} m̃_s − m̃_t (downward), each reported at its argmax
+    * with ties to the earliest point and ONE final divide by n_ref.
+    *
+    * Scale shape: the caller aggregates first (daily rollup → bounded
+    * rows); the rank, cumulative, and argmax windows all sit over that
+    * bounded aggregate (the audited shape).
+    */
+  def pageHinkley(series: DataFrame, orderCol: Column,
+                  valueCol: Column): DataFrame = {
+    val pts = series.select(orderCol.as("__t"), valueCol.cast("long").as("__v"))
+      .filter(col("__v").isNotNull && col("__t").isNotNull)
+    val ranked = pts.withColumn("__rn",
+      row_number().over(Window.orderBy(col("__t"))))
+    val calib = ranked
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy()))
+      .withColumn("__nref", floor(col("__n").cast("double") / 2.0).cast("long"))
+      .filter(col("__rn") <= col("__nref"))
+      .groupBy(col("__nref"))
+      .agg(sum(col("__v")).as("__sref"))
+    val wRun = Window.orderBy(col("__rn"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val scored = ranked.crossJoin(broadcast(calib))
+      .filter(col("__rn") > col("__nref"))
+      .withColumn("__m",
+        sum(col("__v") * col("__nref") - col("__sref")).over(wRun))
+      .withColumn("__phu", col("__m") - min(col("__m")).over(wRun))
+      .withColumn("__phd", max(col("__m")).over(wRun) - col("__m"))
+    val rnU = row_number().over(Window.orderBy(col("__phu").desc, col("__t").asc))
+    val rnD = row_number().over(Window.orderBy(col("__phd").desc, col("__t").asc))
+    scored
+      .withColumn("__ru", rnU).withColumn("__rd", rnD)
+      .agg(max(col("__nref")).cast("long").as("n_calib"),
+        count(lit(1)).cast("long").as("n_test"),
+        (max(col("__sref")).cast("double")
+          / nullif(max(col("__nref")).cast("double"), lit(0.0))).as("ref_mean"),
+        min(when(col("__ru") === 1, col("__phu"))).cast("long")
+          .as("ph_up_scaled"),
+        min(when(col("__ru") === 1, col("__t").cast("string"))).as("ph_up_at"),
+        min(when(col("__rd") === 1, col("__phd"))).cast("long")
+          .as("ph_down_scaled"),
+        min(when(col("__rd") === 1, col("__t").cast("string"))).as("ph_down_at"))
+      .select(col("n_calib"), col("n_test"), col("ref_mean"),
+        (col("ph_up_scaled").cast("double")
+          / nullif(col("n_calib").cast("double"), lit(0.0))).as("ph_up"),
+        col("ph_up_at"),
+        (col("ph_down_scaled").cast("double")
+          / nullif(col("n_calib").cast("double"), lit(0.0))).as("ph_down"),
+        col("ph_down_at"))
+  }
+
   /** Deterministic exponentially-weighted moving average per key, α as an
     * EXACT-BINARY rational (default 1/8): fold acc·(1−α) + v·α over the
     * (ts, tie)-ordered observation sequence. Floating-point EWMA is

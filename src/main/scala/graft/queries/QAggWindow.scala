@@ -590,6 +590,24 @@ private[graft] object QAggWindow {
         datediff(col("__day"), lit("1970-01-01").cast("date")),
         col("__n"))),
 
+    "bootstrap_ci_mean" -> ((s, dir) =>
+      // how certain is the corpus's mean doc length? 192 Poisson-bootstrap
+      // replicates from md5 byte-uniforms (6 per digest chunk), fixed
+      // 1/256-granularity inverse-CDF thresholds, 2.5%/97.5% order stats
+      graft.ops.Stats.bootstrapCiMean(t(s, dir, "documents"),
+        col("n_chars"), col("doc_id"), nBoot = 192)),
+
+    "page_hinkley_daily" -> ((s, dir) =>
+      // did daily revenue drift from its first-half calibration mean, and
+      // by how much at the worst point? integer-scaled PH up/down stats
+      // with argmax days, one divide each at the end
+      graft.ops.Temporal.pageHinkley(
+        t(s, dir, "orders")
+          .groupBy(date_format(to_date(col("o_orderdate")), "yyyy-MM-dd")
+            .as("__day"))
+          .agg(sum(floor(col("o_totalprice") * 100).cast("long")).as("__cents")),
+        col("__day"), col("__cents"))),
+
     "calibration_curve" -> ((s, dir) => {
       // reliability diagram of a cheap length-prior "classifier" (word
       // count → permille confidence) against a prose label (≥ 2 distinct
@@ -1630,6 +1648,84 @@ private[graft] object QAggWindow {
 
     // decile reliability curve: exact permille-score sums + positive
     // counts per bucket, conf/acc as one divide each, |acc−conf| gap
+    // Poisson-bootstrap weights replayed byte for byte: 6 8-bit uniforms
+    // per md5-48 chunk, fixed 1/256-granularity inverse-CDF thresholds,
+    // 2.5%/97.5% order statistics of the replicate means
+    "bootstrap_ci_mean" ->
+      """WITH b AS (
+           SELECT CAST(doc_id AS VARCHAR) AS id, CAST(n_chars AS BIGINT) AS v
+           FROM documents WHERE n_chars IS NOT NULL AND doc_id IS NOT NULL),
+         o AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(v) AS BIGINT) AS s FROM b),
+         pr AS (
+           SELECT c.c * 6 + s.s AS rep, v,
+             ((('0x' || substr(md5(id || '_bs' || CAST(c.c AS VARCHAR)),
+                 1, 12))::BIGINT
+               // (1::BIGINT << CAST(8 * s.s AS INTEGER))) % 256) AS u
+           FROM b, generate_series(0, 31) c(c), generate_series(0, 5) s(s)
+           WHERE c.c * 6 + s.s < 192),
+         w AS (
+           SELECT rep, v,
+             CASE WHEN u < 94 THEN 0 WHEN u < 188 THEN 1 WHEN u < 235 THEN 2
+                  WHEN u < 251 THEN 3 WHEN u < 255 THEN 4 ELSE 5 END AS w
+           FROM pr),
+         g AS (
+           SELECT rep, CAST(SUM(w) AS BIGINT) AS nb,
+             CAST(SUM(w * v) AS BIGINT) AS sb
+           FROM w GROUP BY 1 HAVING SUM(w) > 0),
+         m AS (SELECT rep, CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE) AS mb
+               FROM g),
+         r AS (SELECT mb, ROW_NUMBER() OVER (ORDER BY mb, rep) AS rn,
+                 COUNT(*) OVER () AS bv FROM m)
+         SELECT o.n,
+           CAST(o.s AS DOUBLE) / NULLIF(CAST(o.n AS DOUBLE), 0) AS mean,
+           CAST(MAX(bv) AS BIGINT) AS n_boot,
+           MIN(CASE WHEN rn = GREATEST(1,
+               CAST(FLOOR(bv * 25.0 / 1000.0) AS BIGINT)) THEN mb END) AS ci_lo,
+           MIN(CASE WHEN rn = CAST(CEIL(bv * 975.0 / 1000.0) AS BIGINT)
+               THEN mb END) AS ci_hi
+         FROM r, o GROUP BY o.n, o.s""",
+
+    // integer-scaled PH: dev = cents*nref - sref, cumulative m, running
+    // min/max gaps, argmax with ties to the earliest day, one divide
+    "page_hinkley_daily" ->
+      """WITH d AS (
+           SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS day,
+             CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+           FROM orders GROUP BY 1),
+         r AS (SELECT day, cents, ROW_NUMBER() OVER (ORDER BY day) AS rn,
+                 COUNT(*) OVER () AS n FROM d),
+         c AS (
+           SELECT CAST(FLOOR(CAST(MAX(n) AS DOUBLE) / 2.0) AS BIGINT) AS nref,
+             CAST(SUM(CASE WHEN rn <= FLOOR(CAST(n AS DOUBLE) / 2.0)
+               THEN cents END) AS BIGINT) AS sref
+           FROM r),
+         s AS (
+           SELECT day, rn,
+             CAST(SUM(cents * nref - sref) OVER (ORDER BY rn) AS BIGINT) AS m
+           FROM r, c WHERE rn > nref),
+         p AS (
+           SELECT day, m,
+             CAST(m - MIN(m) OVER (ORDER BY rn) AS BIGINT) AS phu,
+             CAST(MAX(m) OVER (ORDER BY rn) - m AS BIGINT) AS phd
+           FROM s),
+         q AS (
+           SELECT day, phu, phd,
+             ROW_NUMBER() OVER (ORDER BY phu DESC, day ASC) AS ru,
+             ROW_NUMBER() OVER (ORDER BY phd DESC, day ASC) AS rd
+           FROM p)
+         SELECT c.nref AS n_calib, CAST(COUNT(*) AS BIGINT) AS n_test,
+           CAST(c.sref AS DOUBLE) / NULLIF(CAST(c.nref AS DOUBLE), 0)
+             AS ref_mean,
+           CAST(MIN(CASE WHEN ru = 1 THEN phu END) AS DOUBLE)
+             / NULLIF(CAST(c.nref AS DOUBLE), 0) AS ph_up,
+           MIN(CASE WHEN ru = 1 THEN day END) AS ph_up_at,
+           CAST(MIN(CASE WHEN rd = 1 THEN phd END) AS DOUBLE)
+             / NULLIF(CAST(c.nref AS DOUBLE), 0) AS ph_down,
+           MIN(CASE WHEN rd = 1 THEN day END) AS ph_down_at
+         FROM q, c GROUP BY c.nref, c.sref""",
+
     // md5 coin flips replayed digit for digit; the >= decision
     // cross-multiplies exact integer rationals in HUGEINT; add-one p
     "permutation_test" ->

@@ -513,6 +513,21 @@ private[graft] object QTextCuration {
       LlmOps.c4Rules(t(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")),
 
+    "token_hellinger_langs" -> ((s, dir) =>
+      // how far apart are the en and de token distributions? Hellinger
+      // over an 8192-slot hashed vocab — the no-libm distribution
+      // distance (per-term sqrt is correctly-rounded IEEE, sorted fold)
+      graft.ops.Stats.tokenHellinger(t(s, dir, "documents"), col("text"),
+        col("lang") === "en", col("lang") === "de", buckets = 8192)),
+
+    "vocab_growth" -> ((s, dir) =>
+      // Heaps'-law curve: is new data still adding new token types, or
+      // is the crawl re-reading itself? cumulative types vs tokens per
+      // 50-doc ingestion bucket, running type-token ratio
+      LlmOps.vocabGrowth(t(s, dir, "documents"), col("doc_id"), col("text"),
+          bucketSize = 50L)
+        .orderBy("bucket")),
+
     "mcnemar_filters" -> ((s, dir) => {
       // do Gopher and C4 disagree beyond noise on the same corpus? paired
       // keep verdicts joined on doc_id (both batteries are in-row scans;
@@ -2004,6 +2019,73 @@ private[graft] object QTextCuration {
          FROM sh2 JOIN pl ca ON sh2.lang_a = ca.lang
                   JOIN pl cb ON sh2.lang_b = cb.lang
          ORDER BY lang_a, lang_b""",
+
+    // Hellinger over the 8192-slot hashed vocab: per-shared-slot
+    // sqrt(ca*cb) summed in sorted order, one divide by sqrt(na*nb)
+    "token_hellinger_langs" ->
+      """WITH ta AS (
+           SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+           FROM documents WHERE COALESCE(lang = 'en', FALSE)),
+         sa AS (
+           SELECT ('0x' || substr(md5(tok), 1, 12))::BIGINT % 8192 AS slot,
+             CAST(COUNT(*) AS BIGINT) AS ca
+           FROM ta WHERE tok <> '' GROUP BY 1),
+         tb AS (
+           SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+           FROM documents WHERE COALESCE(lang = 'de', FALSE)),
+         sb AS (
+           SELECT ('0x' || substr(md5(tok), 1, 12))::BIGINT % 8192 AS slot,
+             CAST(COUNT(*) AS BIGINT) AS cb
+           FROM tb WHERE tok <> '' GROUP BY 1),
+         na AS (SELECT CAST(SUM(ca) AS BIGINT) AS n_a FROM sa),
+         nb AS (SELECT CAST(SUM(cb) AS BIGINT) AS n_b FROM sb),
+         j AS (
+           SELECT sqrt(CAST(ca AS DOUBLE) * CAST(cb AS DOUBLE)) AS term
+           FROM sa JOIN sb USING (slot)),
+         f AS (
+           SELECT CAST(COUNT(*) AS BIGINT) AS slots_shared,
+             COALESCE(list_reduce(list_sort(list(term)), (x, y) -> x + y),
+               0.0) AS bcnum
+           FROM j)
+         SELECT n_a, n_b, slots_shared,
+           bcnum / NULLIF(sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)), 0)
+             AS bc,
+           1.0 - bcnum
+             / NULLIF(sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)), 0)
+             AS hellinger_sq,
+           sqrt(GREATEST(0.0, 1.0 - bcnum
+             / NULLIF(sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)), 0)))
+             AS hellinger
+         FROM f, na, nb""",
+
+    // Heaps'-law growth: types attribute to the bucket of their first
+    // occurrence (min doc id; bucketing is monotone in id)
+    "vocab_growth" ->
+      """WITH toks AS (
+           SELECT doc_id,
+             unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+           FROM documents WHERE doc_id IS NOT NULL),
+         tk AS (
+           SELECT CAST(doc_id // 50 AS BIGINT) AS bucket, doc_id, tok
+           FROM toks WHERE tok <> ''),
+         pb AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_tokens
+                FROM tk GROUP BY 1),
+         fs AS (SELECT tok, MIN(doc_id) AS fid FROM tk GROUP BY 1),
+         nt AS (SELECT CAST(fid // 50 AS BIGINT) AS bucket,
+                  CAST(COUNT(*) AS BIGINT) AS n_new_types
+                FROM fs GROUP BY 1),
+         j AS (
+           SELECT pb.bucket, n_tokens,
+             CAST(COALESCE(n_new_types, 0) AS BIGINT) AS n_new_types
+           FROM pb LEFT JOIN nt ON pb.bucket = nt.bucket)
+         SELECT bucket, n_tokens, n_new_types,
+           CAST(SUM(n_tokens) OVER (ORDER BY bucket) AS BIGINT) AS cum_tokens,
+           CAST(SUM(n_new_types) OVER (ORDER BY bucket) AS BIGINT)
+             AS cum_types,
+           CAST(SUM(n_new_types) OVER (ORDER BY bucket) AS DOUBLE)
+             / NULLIF(CAST(SUM(n_tokens) OVER (ORDER BY bucket) AS DOUBLE), 0)
+             AS ttr
+         FROM j ORDER BY bucket""",
 
   )
 

@@ -156,6 +156,59 @@ object StreamingOps {
       }
   }
 
+  case class PhObs(k: String, v: Long, tsMs: Long)
+  case class PhState(nTest: Long, m: Long, minM: Long, maxM: Long)
+  case class PhUpdate(key: String, n_test: Long, ph_up: Double,
+                      ph_down: Double, alarm_up: Boolean, alarm_down: Boolean)
+
+  /** Streaming Page–Hinkley drift monitor per key — the live face of the
+    * batch [[graft.ops.Temporal.pageHinkley]]: against a FIXED reference
+    * mean μ = refSum/refCount (the batch op's calibration segment, or
+    * any offline-estimated baseline), each group folds the integer-scaled
+    * deviations d = v·refCount − refSum into cumulative m̃, tracks
+    * running min/max, and emits the current PH↑ = (m̃ − min m̃)/refCount
+    * and PH↓ = (max m̃ − m̃)/refCount after every batch (update-style:
+    * the monitor's current reading, unlike [[ksDriftStream]]'s one-shot
+    * final verdicts). Alarms fire when a statistic crosses `lambda`.
+    *
+    * Determinism contract: Page–Hinkley is a sequential fold, so rows
+    * sort by (event time, value) WITHIN each batch; across batches the
+    * fold is arrival order — the batch op stays the audited exact form,
+    * this is its monitoring companion (the ewmaPerKey ordering stance).
+    * State per key is four longs — O(1), unbounded stream safe.
+    */
+  def pageHinkleyStream(df: DataFrame, keyCol: String, tsCol: String,
+                        valueCol: String, refSum: Long, refCount: Long,
+                        lambda: Double): Dataset[PhUpdate] = {
+    require(refCount > 0, "pageHinkleyStream: empty reference segment")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val obs = df
+      .select(col(keyCol).cast("string").as("k"),
+        col(valueCol).cast("long").as("v"),
+        (col(tsCol).cast("long") * 1000L).as("tsMs"))
+      .filter(col("k").isNotNull && col("v").isNotNull)
+      .as[PhObs]
+    obs.groupByKey(_.k)
+      .flatMapGroupsWithState[PhState, PhUpdate](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (key: String, rows: Iterator[PhObs], state: GroupState[PhState]) =>
+          val st0 = state.getOption.getOrElse(PhState(0L, 0L, 0L, 0L))
+          var n = st0.nTest; var m = st0.m
+          var minM = st0.minM; var maxM = st0.maxM
+          rows.toArray.sortBy(r => (r.tsMs, r.v)).foreach { r =>
+            m += r.v * refCount - refSum
+            n += 1
+            if (m < minM) minM = m
+            if (m > maxM) maxM = m
+          }
+          state.update(PhState(n, m, minM, maxM))
+          val up = (m - minM).toDouble / refCount.toDouble
+          val down = (maxM - m).toDouble / refCount.toDouble
+          Iterator.single(PhUpdate(key, n, up, down, up > lambda, down > lambda))
+      }
+  }
+
   /** Live reliability diagram — the streaming face of
     * [[graft.ops.Stats.calibrationCurve]]: per confidence decile,
     * running n / exact score sum / positive count as ONE unbounded

@@ -124,7 +124,13 @@ class ScaleDiagnosticsSpec extends SparkTestBase {
         "embedding_effective_rank",
         // third wave: roc_curve's cumulative window sits above the
         // ≤101-row score aggregate; runs/DW windows above daily rollups
-        "roc_curve", "runs_test_daily", "durbin_watson_daily")) {
+        "roc_curve", "runs_test_daily", "durbin_watson_daily",
+        // fourth wave: bootstrap's order-stat window above the ≤192-row
+        // replicate aggregate; PH's cumulative windows above the daily
+        // rollup; hellinger's census totals above ≤8192-slot aggregates;
+        // vocab_growth's cumulative window above the bucket aggregate
+        "bootstrap_ci_mean", "page_hinkley_daily", "token_hellinger_langs",
+        "vocab_growth")) {
       val bad = executed(q).collect {
         case w: WindowExec if w.partitionSpec.isEmpty &&
             !w.children.forall(hasAggregateBelow) => w
