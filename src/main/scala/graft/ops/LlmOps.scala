@@ -1311,6 +1311,51 @@ object LlmOps {
           .as("keep"))
   }
 
+  /** FineWeb quality battery (Penedo et al., "The FineWeb Datasets:
+    * Decanting the Web for the Finest Text Data at Scale", NeurIPS 2024
+    * D&B, §3.6) — the three heuristics FineWeb adds ON TOP of
+    * Gopher/C4: a document drops when (a) the fraction of lines ending
+    * in terminal punctuation is ≤ 0.12 (boilerplate/navigation pages),
+    * (b) the fraction of characters sitting in duplicated lines is
+    * ≥ 0.10 (template chrome repeated down the page), or (c) the
+    * fraction of lines shorter than 30 characters is ≥ 0.67 (menus and
+    * link farms). Same in-row zero-shuffle discipline as [[gopherRules]]
+    * /[[c4Rules]]: per-line metrics are higher-order-function folds over
+    * the trimmed nonempty line array (the duplicated-character census
+    * folds over array_distinct with an inner occurrence count — O(L²)
+    * in the doc's own line count, never a shuffle), each ratio is
+    * exact-count / exact-count with one divide, and `keep` coalesces
+    * null ratios (zero-line docs) to a drop.
+    */
+  def finewebRules(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = coalesce(col(textCol), lit(""))
+    val lines = filter(transform(split(t, "\n"), l => trim(l)), l => l =!= "")
+    val m = df.select(col(idCol),
+      size(lines).cast("long").as("n_lines"),
+      size(filter(lines, l => l.rlike("[.!?\"']$"))).cast("long")
+        .as("n_punct_lines"),
+      size(filter(lines, l => length(l) < 30)).cast("long")
+        .as("n_short_lines"),
+      aggregate(lines, lit(0L), (a, l) => a + length(l).cast("long"))
+        .as("line_chars"),
+      aggregate(array_distinct(lines), lit(0L), (a, ld) =>
+        a + when(size(filter(lines, l => l === ld)) >= 2,
+            size(filter(lines, l => l === ld)).cast("long")
+              * length(ld).cast("long"))
+          .otherwise(lit(0L))).as("dup_line_chars"))
+    def frac(num: Column, den: Column): Column =
+      when(den === 0, lit(null).cast("double"))
+        .otherwise(num.cast("double") / den.cast("double"))
+    m.select(col(idCol), col("n_lines"), col("n_punct_lines"),
+        col("n_short_lines"), col("line_chars"), col("dup_line_chars"),
+        frac(col("n_punct_lines"), col("n_lines")).as("punct_line_frac"),
+        frac(col("n_short_lines"), col("n_lines")).as("short_line_frac"),
+        frac(col("dup_line_chars"), col("line_chars")).as("dup_char_frac"))
+      .withColumn("keep", coalesce(
+        col("punct_line_frac") > 0.12 && col("short_line_frac") < 0.67 &&
+          col("dup_char_frac") < 0.1, lit(false)))
+  }
+
   /** Stopword-profile language ID: count hits against tiny per-language
     * stopword lists, argmax with a fixed precedence (en > es > fr) on ties.
     * An n-gram-free heuristic that stays pure-regexp (codegen'd, no UDF).

@@ -1586,6 +1586,136 @@ object Stats {
           / nullif(col("__t").cast("double"), lit(0.0))).as("chi2_cc"))
   }
 
+  /** Cochran's Q test over k ≥ 2 paired binary verdicts — the k-filter
+    * generalization of [[mcnemarTest]] (Cochran, Biometrika 1950): "do
+    * these k filter batteries agree on keep rates beyond noise on the
+    * same corpus?". With column totals G_j (keeps per battery), row
+    * totals L_i (batteries keeping doc i), and T = ΣL, the identity
+    * Q = (k−1)·(k·ΣG_j² − T²) / (k·T − ΣL_i²) makes the statistic a
+    * ratio of EXACT LONGS with one final divide (the textbook form's
+    * Σ(G_j − T/k)² clears the fraction by k). Q ~ χ²(k−1) under H₀.
+    * Null verdicts coalesce to false (the [[mcnemarTest]] convention);
+    * Q is NULL when every doc is kept by all or none (denominator 0).
+    *
+    * Scale shape: one map-side-combined aggregate (k+3 long sums) to a
+    * single row — nothing else.
+    */
+  def cochranQ(df: DataFrame, verdicts: Seq[(String, Column)]): DataFrame = {
+    val k = verdicts.length
+    require(k >= 2, "cochranQ: need at least two verdict columns")
+    val vs = verdicts.map { case (n, c) => (n, coalesce(c, lit(false)).cast("long")) }
+    val lRow = vs.map(_._2).reduce(_ + _)
+    val aggs =
+      vs.map { case (n, c) => sum(c).cast("long").as(s"keeps_$n") } ++ Seq(
+        sum(lRow).cast("long").as("__t"),
+        sum(lRow * lRow).cast("long").as("__l2"))
+    val gSq = vs.map { case (n, _) =>
+      col(s"keeps_$n") * col(s"keeps_$n") }.reduce(_ + _)
+    df.agg(count(lit(1)).cast("long").as("n"), aggs: _*)
+      .withColumn("__num", lit(k - 1L) * (lit(k.toLong) * gSq
+        - col("__t") * col("__t")))
+      .withColumn("__den", lit(k.toLong) * col("__t") - col("__l2"))
+      .select((col("n") +: vs.map { case (n, _) => col(s"keeps_$n") }) ++ Seq(
+        lit(k.toLong).as("k"),
+        lit(k - 1L).as("deg_f"),
+        (col("__num").cast("double")
+          / nullif(col("__den").cast("double"), lit(0.0))).as("q")): _*)
+  }
+
+  /** One-pass per-group permutation drift scan with Benjamini–Hochberg
+    * FDR control — "which sub-corpora (languages, sources) have a mean
+    * metric genuinely different from the rest, correcting for testing
+    * all of them?" ([[permutationTest]] lifted over a bounded group
+    * column; Benjamini & Hochberg, JRSS-B 1995 for the multiplicity
+    * gate). The md5 coin relabellings are label-agnostic, so ONE set of
+    * per-permutation sums serves EVERY group's test: the perm×group
+    * comparison is a bounded cross join (nPerms × |groups| rows), each
+    * decision the exact cross-multiplied DECIMAL(38,0) rational of
+    * [[permutationTest]]. BH then sorts the add-one p-values ascending
+    * (integer surrogate: n_extreme, tie → group name) and rejects
+    * groups ranked ≤ the largest i with p_(i) ≤ i·α/m — the p ≤ iα/m
+    * inequality cross-multiplies to (1+ne_i)·m·1000 ≤ i·αpermille·(1+P),
+    * again pure integers.
+    *
+    * Scale shape: the corpus is scanned twice (observed per-group sums;
+    * digest-chunk coin explode → per-perm sums), both map-side
+    * combined; everything after is perm×group bounded relations and
+    * windows OVER them (audited shape).
+    */
+  def permutationScanByGroup(df: DataFrame, groupCol: Column, valueCol: Column,
+                             idCol: Column, nPerms: Int = 192,
+                             alphaPermille: Int = 50): DataFrame = {
+    require(nPerms > 0 && alphaPermille > 0)
+    val dec = DecimalType(38, 0)
+    val base = df.select(groupCol.cast("string").as("__g"),
+        valueCol.cast("long").as("__v"), idCol.cast("string").as("__id"))
+      .filter(col("__v").isNotNull && col("__g").isNotNull
+        && col("__id").isNotNull)
+    val tot = base.agg(count(lit(1)).as("__n"), sum(col("__v")).as("__s"))
+    val obs = base.groupBy(col("__g"))
+      .agg(count(lit(1)).as("__na"), sum(col("__v")).as("__sa"))
+      .crossJoin(broadcast(tot))
+      .select(col("__g"), col("__na"), col("__sa"),
+        (col("__n") - col("__na")).as("__nb"),
+        (col("__s") - col("__sa")).as("__sb"))
+      .select(col("__g"), col("__na"), col("__nb"),
+        abs(col("__sa") * col("__nb") - col("__sb") * col("__na")).as("__numo"),
+        (col("__na") * col("__nb")).as("__deno"))
+    // label-agnostic coin sums: one md5-48 chunk = 48 coins (the
+    // permutationTest generator-input device, verbatim)
+    val nChunks = (nPerms + 47) / 48
+    val digests = array((0 until nChunks).map(c =>
+      LlmOps.md5Hash48(concat(col("__id"), lit("_" + c)), 1)): _*)
+    val powers = typedlit((0 until 48).map(i => (1L << i).toDouble))
+    val perms = base
+      .select(col("__v"), posexplode(digests).as(Seq("__c", "__hc")))
+      .select(col("__v"), col("__c"), col("__hc"),
+        explode(sequence(lit(0), lit(47))).as("__s2"))
+      .withColumn("__p", (col("__c") * 48 + col("__s2")).cast("long"))
+      .filter(col("__p") < nPerms)
+      .withColumn("__pw", element_at(powers, col("__s2") + 1))
+      .withColumn("__pa",
+        floor(col("__hc").cast("double") / col("__pw")).cast("long") % 2)
+      .groupBy(col("__p"))
+      .agg(sum(col("__pa")).as("__pna"),
+        sum(col("__pa") * col("__v")).as("__psa"),
+        sum(lit(1L) - col("__pa")).as("__pnb"),
+        sum((lit(1L) - col("__pa")) * col("__v")).as("__psb"))
+      .filter(col("__pna") > 0 && col("__pnb") > 0)
+    val decided = perms.crossJoin(obs)
+      .groupBy(col("__g"), col("__na"), col("__nb"),
+        col("__numo"), col("__deno"))
+      .agg(count(lit(1)).as("__nvalid"),
+        sum((abs(col("__psa") * col("__pnb") - col("__psb") * col("__pna"))
+            .cast(dec) * col("__deno").cast(dec)
+          >= col("__numo").cast(dec)
+            * (col("__pna") * col("__pnb")).cast(dec)).cast("long"))
+          .as("__nextreme"))
+    val m = count(lit(1)).over(Window.partitionBy())
+    val ranked = decided
+      .withColumn("__rank", row_number().over(
+        Window.orderBy(col("__nextreme").asc, col("__g").asc)))
+      .withColumn("__m", m)
+      // p_(i) ≤ i·α/m cross-multiplied: (1+ne)·m·1000 ≤ i·αpm·(1+P)
+      .withColumn("__pass",
+        (lit(1L) + col("__nextreme")) * col("__m") * 1000L
+          <= col("__rank").cast("long") * lit(alphaPermille.toLong)
+            * (lit(1L) + col("__nvalid")))
+      .withColumn("__maxpass",
+        max(when(col("__pass"), col("__rank"))).over(Window.partitionBy()))
+    ranked.select(col("__g").as("group_key"),
+        col("__na").cast("long").as("n_a"),
+        (col("__numo").cast("double")
+          / nullif(col("__deno").cast("double"), lit(0.0)))
+          .as("abs_mean_diff"),
+        col("__nvalid").cast("long").as("n_perms"),
+        ((lit(1L) + col("__nextreme")).cast("double")
+          / (lit(1L) + col("__nvalid")).cast("double")).as("p_value"),
+        col("__rank").cast("long").as("bh_rank"),
+        coalesce(col("__rank") <= col("__maxpass"), lit(false))
+          .as("bh_reject"))
+  }
+
   /** Kendall τ-b over an ALREADY-AGGREGATED (x, y) series — the
     * tie-corrected rank-concordance companion of [[spearmanRho]] /
     * [[theilSenSlope]] (Kendall 1938): τ-b = (C−D)/√((n₀−n₁)(n₀−n₂))

@@ -590,6 +590,16 @@ private[graft] object QAggWindow {
         datediff(col("__day"), lit("1970-01-01").cast("date")),
         col("__n"))),
 
+    "fdr_bh_lang_drift" -> ((s, dir) =>
+      // which languages have a mean doc length genuinely different from
+      // the rest, FDR-corrected for testing all of them? one label-
+      // agnostic permutation pass serves every language; BH at α=0.05
+      // decided in pure integers
+      graft.ops.Stats.permutationScanByGroup(t(s, dir, "documents"),
+          col("lang"), col("n_chars"), col("doc_id"),
+          nPerms = 192, alphaPermille = 50)
+        .orderBy("group_key")),
+
     "bootstrap_ci_mean" -> ((s, dir) =>
       // how certain is the corpus's mean doc length? 192 Poisson-bootstrap
       // replicates from md5 byte-uniforms (6 per digest chunk), fixed
@@ -1648,6 +1658,64 @@ private[graft] object QAggWindow {
 
     // decile reliability curve: exact permille-score sums + positive
     // counts per bucket, conf/acc as one divide each, |acc−conf| gap
+    // one coin pass serves every language's test; BH cross-multiplies
+    // p ≤ i·α/m to (1+ne)·m·1000 ≤ i·50·(1+P) — pure integers
+    "fdr_bh_lang_drift" ->
+      """WITH b AS (
+           SELECT CAST(doc_id AS VARCHAR) AS id, lang AS g,
+             CAST(n_chars AS BIGINT) AS v
+           FROM documents
+           WHERE n_chars IS NOT NULL AND lang IS NOT NULL
+             AND doc_id IS NOT NULL),
+         tt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                  CAST(SUM(v) AS BIGINT) AS s FROM b),
+         o AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS na,
+                 CAST(SUM(v) AS BIGINT) AS sa FROM b GROUP BY 1),
+         oo AS (
+           SELECT g, na, (n - na) AS nb,
+             ABS(sa * (n - na) - (s - sa) * na) AS numo,
+             na * (n - na) AS deno
+           FROM o, tt),
+         pr AS (
+           SELECT p.p, v,
+             ((('0x' || substr(md5(id || '_' || CAST(p.p // 48 AS VARCHAR)),
+                 1, 12))::BIGINT
+               // (1::BIGINT << CAST(p.p % 48 AS INTEGER))) % 2) AS pa
+           FROM b, generate_series(0, 191) p(p)),
+         pg AS (
+           SELECT p, CAST(SUM(pa) AS BIGINT) AS pna,
+             CAST(SUM(pa * v) AS BIGINT) AS psa,
+             CAST(SUM(1 - pa) AS BIGINT) AS pnb,
+             CAST(SUM((1 - pa) * v) AS BIGINT) AS psb
+           FROM pr GROUP BY 1
+           HAVING SUM(pa) > 0 AND SUM(1 - pa) > 0),
+         d AS (
+           SELECT g, na, nb, numo, deno, CAST(COUNT(*) AS BIGINT) AS nvalid,
+             CAST(SUM(CASE WHEN
+                 CAST(ABS(psa * pnb - psb * pna) AS HUGEINT) * deno
+                   >= CAST(numo AS HUGEINT) * (pna * pnb)
+               THEN 1 ELSE 0 END) AS BIGINT) AS nextreme
+           FROM pg, oo GROUP BY 1, 2, 3, 4, 5),
+         r AS (
+           SELECT *, ROW_NUMBER() OVER (ORDER BY nextreme ASC, g ASC) AS rnk,
+             COUNT(*) OVER () AS m
+           FROM d),
+         r2 AS (
+           SELECT *,
+             ((1 + nextreme) * m * 1000 <= rnk * 50 * (1 + nvalid)) AS pass
+           FROM r),
+         r3 AS (SELECT *, MAX(CASE WHEN pass THEN rnk END) OVER () AS maxpass
+                FROM r2)
+         SELECT g AS group_key, na AS n_a,
+           CAST(numo AS DOUBLE) / NULLIF(CAST(deno AS DOUBLE), 0)
+             AS abs_mean_diff,
+           nvalid AS n_perms,
+           CAST(1 + nextreme AS DOUBLE) / CAST(1 + nvalid AS DOUBLE)
+             AS p_value,
+           CAST(rnk AS BIGINT) AS bh_rank,
+           COALESCE(rnk <= maxpass, FALSE) AS bh_reject
+         FROM r3 ORDER BY group_key""",
+
     // Poisson-bootstrap weights replayed byte for byte: 6 8-bit uniforms
     // per md5-48 chunk, fixed 1/256-granularity inverse-CDF thresholds,
     // 2.5%/97.5% order statistics of the replicate means

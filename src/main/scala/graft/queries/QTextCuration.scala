@@ -528,6 +528,30 @@ private[graft] object QTextCuration {
           bucketSize = 50L)
         .orderBy("bucket")),
 
+    "fineweb_rules" -> ((s, dir) =>
+      // FineWeb's three post-Gopher heuristics (Penedo 2024 §3.6):
+      // punctuation-terminated line share, duplicated-line character
+      // share, short-line share — in-row HOF folds, zero shuffle
+      LlmOps.finewebRules(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    "cochran_q_filters" -> ((s, dir) => {
+      // do Gopher, C4, and FineWeb agree on keep rates beyond noise?
+      // Cochran's Q over the three paired verdicts — the k-battery
+      // McNemar; the join shuffles only (id, bool, bool, bool)
+      val docs = t(s, dir, "documents")
+      val g = LlmOps.gopherRules(docs, "doc_id", "text")
+        .select(col("doc_id"), col("keep").as("__kg"))
+      val c = LlmOps.c4Rules(docs, "doc_id", "text")
+        .select(col("doc_id"), col("keep").as("__kc"))
+      val f = LlmOps.finewebRules(docs, "doc_id", "text")
+        .select(col("doc_id"), col("keep").as("__kf"))
+      graft.ops.Stats.cochranQ(
+        g.join(c, Seq("doc_id")).join(f, Seq("doc_id")),
+        Seq("gopher" -> col("__kg"), "c4" -> col("__kc"),
+          "fineweb" -> col("__kf")))
+    }),
+
     "mcnemar_filters" -> ((s, dir) => {
       // do Gopher and C4 disagree beyond noise on the same corpus? paired
       // keep verdicts joined on doc_id (both batteries are in-row scans;
@@ -2087,6 +2111,55 @@ private[graft] object QTextCuration {
              AS ttr
          FROM j ORDER BY bucket""",
 
+    // FineWeb's three heuristics: per-line census via unnest (the
+    // duplicated-character cell counts ALL occurrences of repeated lines)
+    "fineweb_rules" ->
+      """WITH b AS (SELECT doc_id, COALESCE(text, '') AS t FROM documents),
+         m AS (
+           SELECT doc_id,
+             list_filter(list_transform(string_split(t, chr(10)),
+               x -> trim(x)), x -> x <> '') AS l
+           FROM b),
+         ln AS (SELECT doc_id, unnest(l) AS line FROM m),
+         lc AS (
+           SELECT doc_id, CAST(SUM(length(line)) AS BIGINT) AS line_chars
+           FROM ln GROUP BY 1),
+         dg AS (SELECT doc_id, line, COUNT(*) AS cnt FROM ln GROUP BY 1, 2),
+         dl AS (
+           SELECT doc_id,
+             CAST(SUM(CASE WHEN cnt >= 2 THEN cnt * length(line)
+               ELSE 0 END) AS BIGINT) AS dup_line_chars
+           FROM dg GROUP BY 1),
+         c AS (
+           SELECT m.doc_id,
+             CAST(len(l) AS BIGINT) AS n_lines,
+             CAST(len(list_filter(l, x -> regexp_matches(x, '[.!?"'']$')))
+               AS BIGINT) AS n_punct_lines,
+             CAST(len(list_filter(l, x -> length(x) < 30)) AS BIGINT)
+               AS n_short_lines,
+             CAST(COALESCE(lc.line_chars, 0) AS BIGINT) AS line_chars,
+             CAST(COALESCE(dl.dup_line_chars, 0) AS BIGINT) AS dup_line_chars
+           FROM m LEFT JOIN lc ON m.doc_id = lc.doc_id
+             LEFT JOIN dl ON m.doc_id = dl.doc_id),
+         f AS (
+           SELECT doc_id, n_lines, n_punct_lines, n_short_lines, line_chars,
+             dup_line_chars,
+             CASE WHEN n_lines = 0 THEN NULL
+               ELSE CAST(n_punct_lines AS DOUBLE) / n_lines END
+               AS punct_line_frac,
+             CASE WHEN n_lines = 0 THEN NULL
+               ELSE CAST(n_short_lines AS DOUBLE) / n_lines END
+               AS short_line_frac,
+             CASE WHEN line_chars = 0 THEN NULL
+               ELSE CAST(dup_line_chars AS DOUBLE) / line_chars END
+               AS dup_char_frac
+           FROM c)
+         SELECT doc_id, n_lines, n_punct_lines, n_short_lines, line_chars,
+           dup_line_chars, punct_line_frac, short_line_frac, dup_char_frac,
+           COALESCE(punct_line_frac > 0.12 AND short_line_frac < 0.67
+             AND dup_char_frac < 0.1, FALSE) AS keep
+         FROM f ORDER BY doc_id""",
+
   )
 
   /** McNemar pairing of the two canonical filter batteries — the oracle
@@ -2094,7 +2167,7 @@ private[graft] object QTextCuration {
     * (DuckDB allows WITH inside a derived table), so the paired verdicts
     * are by construction the same verdicts the per-battery oracles check.
     */
-  val oracle: Map[String, String] = oracleBase + ("mcnemar_filters" ->
+  val oracle: Map[String, String] = oracleBase ++ Map("mcnemar_filters" ->
     s"""WITH ga AS (SELECT doc_id, keep FROM (${oracleBase("gopher_rules")})),
          ca AS (SELECT doc_id, keep FROM (${oracleBase("c4_rules")})),
          j AS (
@@ -2117,5 +2190,32 @@ private[graft] object QTextCuration {
            CAST(greatest(ABS(n_a_only - n_b_only) - 1, 0)
                * greatest(ABS(n_a_only - n_b_only) - 1, 0) AS DOUBLE)
              / NULLIF(CAST(n_a_only + n_b_only AS DOUBLE), 0) AS chi2_cc
+         FROM c""",
+
+  // Cochran's Q over the THREE battery twins composed VERBATIM (the
+  // mcnemar_filters discipline): the paired verdicts are by construction
+  // the same verdicts the per-battery oracles check.
+  "cochran_q_filters" ->
+    s"""WITH ga AS (SELECT doc_id, keep FROM (${oracleBase("gopher_rules")})),
+         ca AS (SELECT doc_id, keep FROM (${oracleBase("c4_rules")})),
+         fa AS (SELECT doc_id, keep FROM (${oracleBase("fineweb_rules")})),
+         j AS (
+           SELECT COALESCE(ga.keep, FALSE)::INT AS kg,
+             COALESCE(ca.keep, FALSE)::INT AS kc,
+             COALESCE(fa.keep, FALSE)::INT AS kf
+           FROM ga JOIN ca USING (doc_id) JOIN fa USING (doc_id)),
+         c AS (
+           SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(kg) AS BIGINT) AS keeps_gopher,
+             CAST(SUM(kc) AS BIGINT) AS keeps_c4,
+             CAST(SUM(kf) AS BIGINT) AS keeps_fineweb,
+             CAST(SUM(kg + kc + kf) AS BIGINT) AS t,
+             CAST(SUM((kg + kc + kf) * (kg + kc + kf)) AS BIGINT) AS l2
+           FROM j)
+         SELECT n, keeps_gopher, keeps_c4, keeps_fineweb,
+           CAST(3 AS BIGINT) AS k, CAST(2 AS BIGINT) AS deg_f,
+           CAST(2 * (3 * (keeps_gopher * keeps_gopher + keeps_c4 * keeps_c4
+               + keeps_fineweb * keeps_fineweb) - t * t) AS DOUBLE)
+             / NULLIF(CAST(3 * t - l2 AS DOUBLE), 0) AS q
          FROM c""")
 }

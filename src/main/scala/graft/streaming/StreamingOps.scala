@@ -156,6 +156,59 @@ object StreamingOps {
       }
   }
 
+  case class VnObs(k: String, slot: Int)
+  case class VnState(bits: Array[Long], nTokens: Long, nSlots: Long)
+  case class VnUpdate(key: String, tokens_batch: Long, new_slots_batch: Long,
+                      n_tokens: Long, slots_seen: Long, saturation: Double)
+
+  /** Streaming vocabulary-novelty monitor per key — the live face of the
+    * batch [[graft.ops.LlmOps.vocabGrowth]] (Heaps'-law) curve: tokens
+    * hash into a FIXED slot universe (the tokenHellinger census device)
+    * and per-key state is one `buckets`-bit bitmap + two longs — O(1),
+    * unbounded-stream safe where a true distinct-token set would grow
+    * without bound. Each batch emits the key's current reading: tokens
+    * and first-ever slots this batch, running totals, and saturation
+    * (slots seen / universe) — a crawl feed whose new_slots_batch falls
+    * to ~0 while tokens_batch stays high is re-reading itself, the
+    * cheapest live pre-dedup signal there is. Deterministic regardless
+    * of arrival order: the bitmap is a set union and both batch counts
+    * are order-free.
+    */
+  def vocabNoveltyStream(df: DataFrame, keyCol: String, textCol: String,
+                         buckets: Int = 8192): Dataset[VnUpdate] = {
+    require(buckets > 0 && buckets % 64 == 0,
+      "vocabNoveltyStream: buckets must be a positive multiple of 64")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val obs = df
+      .select(col(keyCol).cast("string").as("k"),
+        explode(graft.ops.LlmOps.tokens(col(textCol))).as("__tok"))
+      .filter(col("k").isNotNull && col("__tok") =!= "")
+      .select(col("k"),
+        pmod(graft.ops.LlmOps.md5Hash48(col("__tok"), 1),
+          lit(buckets.toLong)).cast("int").as("slot"))
+      .as[VnObs]
+    obs.groupByKey(_.k)
+      .flatMapGroupsWithState[VnState, VnUpdate](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (key: String, rows: Iterator[VnObs], state: GroupState[VnState]) =>
+          val st = state.getOption
+            .getOrElse(VnState(new Array[Long](buckets / 64), 0L, 0L))
+          val bits = st.bits.clone()
+          var batchTokens = 0L; var batchNew = 0L
+          rows.foreach { r =>
+            batchTokens += 1
+            val word = r.slot >>> 6; val mask = 1L << (r.slot & 63)
+            if ((bits(word) & mask) == 0L) { bits(word) |= mask; batchNew += 1 }
+          }
+          val nTokens = st.nTokens + batchTokens
+          val nSlots = st.nSlots + batchNew
+          state.update(VnState(bits, nTokens, nSlots))
+          Iterator.single(VnUpdate(key, batchTokens, batchNew, nTokens,
+            nSlots, nSlots.toDouble / buckets.toDouble))
+      }
+  }
+
   case class PhObs(k: String, v: Long, tsMs: Long)
   case class PhState(nTest: Long, m: Long, minM: Long, maxM: Long)
   case class PhUpdate(key: String, n_test: Long, ph_up: Double,

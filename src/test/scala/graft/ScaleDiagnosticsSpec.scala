@@ -130,7 +130,10 @@ class ScaleDiagnosticsSpec extends SparkTestBase {
         // rollup; hellinger's census totals above ≤8192-slot aggregates;
         // vocab_growth's cumulative window above the bucket aggregate
         "bootstrap_ci_mean", "page_hinkley_daily", "token_hellinger_langs",
-        "vocab_growth")) {
+        "vocab_growth",
+        // fifth wave: the BH rank/max windows sit above the bounded
+        // perm×group aggregate; the batteries and Q are window-free
+        "fdr_bh_lang_drift", "fineweb_rules", "cochran_q_filters")) {
       val bad = executed(q).collect {
         case w: WindowExec if w.partitionSpec.isEmpty &&
             !w.children.forall(hasAggregateBelow) => w
