@@ -1213,6 +1213,69 @@ object VectorOps {
             lit(0.0))).as("anisotropy"))
   }
 
+  /** Hubness audit of the embedding space (Radovanović et al., JMLR
+    * 2010): in high dimensions a few points become "hubs" that appear in
+    * a disproportionate share of OTHER points' k-NN lists while many
+    * points appear in none — silently biasing every kNN-based dedup,
+    * retrieval-eval, and hard-negative op this library runs. Over a
+    * (caller-sampled, bounded) point set: each point's k cosine-nearest
+    * others, then the k-occurrence count N_k per point (zero-filled via
+    * a left join back to the universe), summarized by max, hub count
+    * (N_k ≥ 2k), anti-hub count (N_k = 0), and the DISTRIBUTION SKEW —
+    * the paper's hubness signal — from exact integer moment sums
+    * S1/S2/S3 with the fixed expression g₁ = [(n²S3 − 3nS1S2 + 2S1³)/n³]
+    * / m2·√m2 where m2 = (nS2 − S1²)/n² (sqrt and divides only, both
+    * engines bitwise — no pow()).
+    *
+    * Scale shape: the audit runs on a deterministic 1-in-m sample
+    * (caller applies the standard md5 cap, keeping the all-pairs score
+    * bounded); per-query top-k plans as WindowGroupLimit, occurrence
+    * counting is one map-side-combined aggregate, moments a 1-row fold.
+    */
+  def hubnessAudit(points: DataFrame, idCol: String, embCol: String,
+                   k: Int = 5): DataFrame = {
+    val spark = points.sparkSession
+    val dec = DecimalType(38, 0)
+    val ids = points.select(col(idCol).as("__pid"))
+    val q = points.select(col(idCol).as("__qid"), col(embCol).as("__qv"))
+    val byScore = Window.partitionBy(col("__qid"))
+      .orderBy(col("__score").desc, col("__nid").asc)
+    val occ = points.crossJoin(broadcast(q))
+      .filter(col(idCol) =!= col("__qid"))
+      .select(col("__qid"), col(idCol).as("__nid"),
+        cosineBest(spark, col(embCol), col("__qv")).as("__score"))
+      .withColumn("__rn", row_number().over(byScore))
+      .filter(col("__rn") <= k)
+      .groupBy(col("__nid")).agg(count(lit(1)).as("__occ"))
+    val nk = ids.join(occ, ids("__pid") === occ("__nid"), "left")
+      .select(coalesce(col("__occ"), lit(0L)).as("__o"))
+    nk.agg(count(lit(1)).as("__n"),
+        max(col("__o")).as("max_nk"),
+        sum((col("__o") >= 2L * k).cast("long")).as("n_hubs"),
+        sum((col("__o") === 0L).cast("long")).as("n_antihubs"),
+        sum(col("__o").cast(dec)).as("__s1"),
+        sum((col("__o") * col("__o")).cast(dec)).as("__s2"),
+        sum((col("__o") * col("__o") * col("__o")).cast(dec)).as("__s3"))
+      .withColumn("__m2",
+        (col("__n").cast(dec) * col("__s2") - col("__s1") * col("__s1"))
+          .cast(dec).cast("double")
+          / (col("__n") * col("__n")).cast("double"))
+      .withColumn("__m3",
+        (col("__n").cast(dec) * col("__n").cast(dec) * col("__s3")
+          - lit(3L).cast(dec) * col("__n").cast(dec) * col("__s1") * col("__s2")
+          + lit(2L).cast(dec) * col("__s1") * col("__s1") * col("__s1"))
+          .cast(dec).cast("double")
+          / (col("__n").cast("double") * col("__n").cast("double")
+            * col("__n").cast("double")))
+      .select(col("__n").cast("long").as("n"),
+        lit(k.toLong).as("k"),
+        col("max_nk").cast("long").as("max_nk"),
+        col("n_hubs").cast("long").as("n_hubs"),
+        col("n_antihubs").cast("long").as("n_antihubs"),
+        (col("__m3") / nullif(col("__m2") * sqrt(col("__m2")), lit(0.0)))
+          .as("skewness"))
+  }
+
   /** Per-group embedding-centroid drift against the corpus centroid —
     * the representation-space face of the distribution-drift ladder
     * (is source X embedding-distributionally different from the corpus

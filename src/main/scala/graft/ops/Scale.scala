@@ -302,4 +302,58 @@ object Scale {
       .select(col("bin"), col("n_files"), col("total_size"),
         col("first_key"), col("last_key"), col("has_oversized"))
   }
+
+  /** Empirical false-positive audit of a Bloom filter design (Bloom,
+    * CACM 1970) BEFORE committing it to a 100 TB join pre-filter: build
+    * the m-bit/k-hash filter over the member keys, probe it with keys
+    * KNOWN to be non-members (the caller supplies them — typically an
+    * anti-join), and report the OBSERVED false-positive rate plus bit
+    * saturation. The textbook fpp formula needs exp/pow (libm — not
+    * oracle-portable); the measured rate needs neither and is the number
+    * that actually matters for the join it gates. Hashes are k DISJOINT
+    * 10-hex-char (40-bit) chunks of ONE md5 per key (the shinglePairs
+    * one-digest discipline), so a SQL oracle replays every bit.
+    *
+    * Scale shape: the filter materializes as a ≤m-row distinct-bit
+    * relation (never a driver bitmap); probes explode to k rows each,
+    * join that bounded relation, and reduce to per-key match counts —
+    * the probe side is typically a sampled or anti-joined subset, the
+    * member side scans once with map-side combine.
+    */
+  def bloomFppAudit(members: DataFrame, keyCol: Column, probes: DataFrame,
+                    probeKeyCol: Column, mBits: Int = 4096,
+                    kHash: Int = 3): DataFrame = {
+    require(mBits > 0 && kHash >= 1 && kHash <= 3,
+      "bloomFppAudit: 1-3 hashes cut from one md5")
+    def positions(c: Column): Column = array((0 until kHash).map(j =>
+      pmod(conv(substring(md5(c.cast("string")), 1 + 10 * j, 10), 16, 10)
+        .cast("long"), lit(mBits.toLong))): _*)
+    val mem = members.select(keyCol.cast("string").as("__k"))
+      .filter(col("__k").isNotNull).distinct()
+    val bits = mem.select(explode(positions(col("__k"))).as("__bit")).distinct()
+    val nMem = mem.agg(count(lit(1)).as("n_members"))
+    val nBits = bits.agg(count(lit(1)).as("n_bits_set"))
+    val probed = probes
+      .select(probeKeyCol.cast("string").as("__p"))
+      .filter(col("__p").isNotNull).distinct()
+      .select(col("__p"), array_distinct(positions(col("__p"))).as("__ps"))
+      .select(col("__p"), size(col("__ps")).as("__np"),
+        explode(col("__ps")).as("__bit"))
+      .join(bits.withColumn("__hit", lit(1L)), Seq("__bit"), "left")
+      .groupBy(col("__p"), col("__np"))
+      .agg(sum(coalesce(col("__hit"), lit(0L))).as("__nhit"))
+      .agg(count(lit(1)).as("n_probes"),
+        sum((col("__nhit") === col("__np")).cast("long")).as("n_false_pos"))
+    probed.crossJoin(broadcast(nMem)).crossJoin(broadcast(nBits))
+      .select(col("n_members").cast("long").as("n_members"),
+        col("n_bits_set").cast("long").as("n_bits_set"),
+        lit(mBits.toLong).as("m_bits"), lit(kHash.toLong).as("k_hash"),
+        col("n_probes").cast("long").as("n_probes"),
+        coalesce(col("n_false_pos"), lit(0L)).cast("long").as("n_false_pos"),
+        (coalesce(col("n_false_pos"), lit(0L)).cast("double")
+          / nullif(col("n_probes").cast("double"), lit(0.0)))
+          .as("observed_fpp"),
+        (col("n_bits_set").cast("double") / lit(mBits.toDouble))
+          .as("saturation"))
+  }
 }

@@ -1622,6 +1622,55 @@ object Stats {
           / nullif(col("__den").cast("double"), lit(0.0))).as("q")): _*)
   }
 
+  /** Neyman-optimal stratified sampling plan (Neyman, JRSS 1934): given
+    * a stratum column and a target metric, allocate a fixed eval/probe
+    * budget n_h ∝ N_h·S_h — big AND internally-variable strata get more
+    * samples, uniform strata fewer, minimizing the variance of the
+    * corpus-mean estimate at fixed cost. THE design query before an
+    * expensive human-eval or LLM-judge pass over a 100 TB corpus:
+    * proportional allocation oversamples huge-but-homogeneous sources.
+    * Per-stratum variance uses the exact DECIMAL(38,0) identity
+    * (N·Σx² − (Σx)²)/(N(N−1)); S_h is its single sqrt; the allocation
+    * denominator Σ N_h·S_h folds over a SORTED weight list (the cramersV
+    * order-pinning discipline) so both engines agree bitwise. Singleton
+    * strata (no variance estimate) get weight 0 and a NULL sd.
+    *
+    * Scale shape: one map-side-combined aggregate to |strata| rows; the
+    * fold and share windows sit over that bounded aggregate relation.
+    */
+  def neymanAllocation(df: DataFrame, stratumCol: Column, valueCol: Column,
+                       budget: Long): DataFrame = {
+    require(budget > 0)
+    val dec = DecimalType(38, 0)
+    val per = df.select(stratumCol.cast("string").as("stratum"),
+        valueCol.cast("long").as("__v"))
+      .filter(col("__v").isNotNull && col("stratum").isNotNull)
+      .groupBy(col("stratum"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("__v").cast(dec)).as("__s1"),
+        sum((col("__v") * col("__v")).cast(dec)).as("__s2"))
+      .withColumn("sd",
+        when(col("n_rows") >= 2, sqrt(
+          (col("n_rows").cast(dec) * col("__s2")
+            - col("__s1") * col("__s1")).cast(dec).cast("double")
+            / (col("n_rows") * (col("n_rows") - 1L)).cast("double"))))
+      .withColumn("__w",
+        coalesce(col("n_rows").cast("double") * col("sd"), lit(0.0)))
+    val wAll = Window.partitionBy()
+    per
+      .withColumn("__wsum", aggregate(
+        sort_array(collect_list(col("__w")).over(wAll)), lit(0.0),
+        (acc, t) => acc + t))
+      .withColumn("__ntot", sum(col("n_rows")).over(wAll))
+      .select(col("stratum"), col("n_rows").cast("long").as("n_rows"),
+        col("sd"),
+        (col("__w") / nullif(col("__wsum"), lit(0.0))).as("alloc_share"),
+        floor(lit(budget.toDouble) * col("__w")
+          / nullif(col("__wsum"), lit(0.0))).cast("long").as("n_alloc"),
+        floor(lit(budget.toDouble) * col("n_rows").cast("double")
+          / col("__ntot").cast("double")).cast("long").as("n_prop"))
+  }
+
   /** One-pass per-group permutation drift scan with Benjamini–Hochberg
     * FDR control — "which sub-corpora (languages, sources) have a mean
     * metric genuinely different from the rest, correcting for testing

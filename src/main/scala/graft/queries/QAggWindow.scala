@@ -590,6 +590,14 @@ private[graft] object QAggWindow {
         datediff(col("__day"), lit("1970-01-01").cast("date")),
         col("__n"))),
 
+    "neyman_allocation" -> ((s, dir) =>
+      // how should a 1000-doc eval budget spread across sources? Neyman
+      // n_h ∝ N_h·S_h beats proportional when sources differ in internal
+      // variance; exact decimal variance, sorted-fold denominator
+      graft.ops.Stats.neymanAllocation(t(s, dir, "documents"),
+          col("source"), col("n_chars"), budget = 1000L)
+        .orderBy("stratum")),
+
     "fdr_bh_lang_drift" -> ((s, dir) =>
       // which languages have a mean doc length genuinely different from
       // the rest, FDR-corrected for testing all of them? one label-
@@ -1658,6 +1666,36 @@ private[graft] object QAggWindow {
 
     // decile reliability curve: exact permille-score sums + positive
     // counts per bucket, conf/acc as one divide each, |acc−conf| gap
+    // exact HUGEINT variance identity, one sqrt per stratum, sorted-fold
+    // allocation denominator; floor shares of the 1000 budget
+    "neyman_allocation" ->
+      """WITH per AS (
+           SELECT source AS stratum, CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(CAST(n_chars AS BIGINT)) AS HUGEINT) AS s1,
+             CAST(SUM(CAST(n_chars AS BIGINT) * CAST(n_chars AS BIGINT))
+               AS HUGEINT) AS s2
+           FROM documents
+           WHERE n_chars IS NOT NULL AND source IS NOT NULL
+           GROUP BY 1),
+         sdd AS (
+           SELECT stratum, n_rows,
+             CASE WHEN n_rows >= 2 THEN sqrt(
+               CAST(n_rows * s2 - s1 * s1 AS DOUBLE)
+                 / CAST(n_rows * (n_rows - 1) AS DOUBLE)) END AS sd
+           FROM per),
+         w AS (SELECT *, COALESCE(CAST(n_rows AS DOUBLE) * sd, 0.0) AS wgt
+               FROM sdd),
+         t AS (
+           SELECT list_reduce(list_sort(list(wgt)), (x, y) -> x + y) AS wsum,
+             CAST(SUM(n_rows) AS BIGINT) AS ntot
+           FROM w)
+         SELECT stratum, n_rows, sd,
+           wgt / NULLIF(wsum, 0) AS alloc_share,
+           CAST(FLOOR(1000.0 * wgt / NULLIF(wsum, 0)) AS BIGINT) AS n_alloc,
+           CAST(FLOOR(1000.0 * n_rows / CAST(ntot AS DOUBLE)) AS BIGINT)
+             AS n_prop
+         FROM w, t ORDER BY stratum""",
+
     // one coin pass serves every language's test; BH cross-multiplies
     // p ≤ i·α/m to (1+ne)·m·1000 ≤ i·50·(1+P) — pure integers
     "fdr_bh_lang_drift" ->

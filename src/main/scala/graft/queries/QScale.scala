@@ -27,6 +27,18 @@ private[graft] object QScale {
       // salt factors — the broadcastable input to a selective salted join
       Scale.saltPlan(t(s, dir, "events"), "user_id", targetRows = 64L)),
 
+    "bloom_fpp_audit" -> ((s, dir) =>
+      // would a 4096-bit/3-hash bloom pre-filter on o_custkey actually
+      // hold its false-positive rate? build over ordering customers,
+      // probe with the true non-members (anti-join), report observed
+      // fpp + bit saturation — no libm formula, just measurement
+      Scale.bloomFppAudit(
+        t(s, dir, "orders"), col("o_custkey"),
+        t(s, dir, "customer").join(
+          t(s, dir, "orders").select(col("o_custkey").as("c_custkey")),
+          Seq("c_custkey"), "left_anti"),
+        col("c_custkey"), mBits = 4096, kHash = 3)),
+
     "join_explosion" -> ((s, dir) =>
       // worst 15 keys of the lineitem self-join by exact output
       // cardinality: per-key counts join (never raw rows), global top-k
@@ -87,6 +99,45 @@ private[graft] object QScale {
   )
 
   val oracle: Map[String, String] = Map(
+
+    // 3 disjoint 10-hex-char md5 chunks per key; filter = distinct-bit
+    // relation; FP = probe whose distinct positions all hit
+    "bloom_fpp_audit" ->
+      """WITH mem AS (
+           SELECT DISTINCT CAST(o_custkey AS VARCHAR) AS k FROM orders
+           WHERE o_custkey IS NOT NULL),
+         bits AS (
+           SELECT DISTINCT ('0x' || substr(md5(k), 1 + 10 * j.j, 10))::BIGINT
+             % 4096 AS bit
+           FROM mem, generate_series(0, 2) j(j)),
+         pk AS (
+           SELECT DISTINCT CAST(c_custkey AS VARCHAR) AS p FROM customer
+           WHERE c_custkey IS NOT NULL
+             AND c_custkey NOT IN (SELECT o_custkey FROM orders
+                                   WHERE o_custkey IS NOT NULL)),
+         pp AS (
+           SELECT p, list_distinct(list_transform([0, 1, 2],
+             j -> ('0x' || substr(md5(p), 1 + 10 * j, 10))::BIGINT % 4096))
+             AS ps
+           FROM pk),
+         pe AS (SELECT p, len(ps) AS np, unnest(ps) AS bit FROM pp),
+         pj AS (
+           SELECT p, np, CAST(SUM(CASE WHEN bits.bit IS NOT NULL THEN 1
+             ELSE 0 END) AS BIGINT) AS nhit
+           FROM pe LEFT JOIN bits ON pe.bit = bits.bit GROUP BY 1, 2),
+         f AS (
+           SELECT CAST(COUNT(*) AS BIGINT) AS n_probes,
+             CAST(COALESCE(SUM(CASE WHEN nhit = np THEN 1 ELSE 0 END), 0)
+               AS BIGINT) AS n_false_pos
+           FROM pj),
+         nm AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_members FROM mem),
+         nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_bits_set FROM bits)
+         SELECT n_members, n_bits_set, CAST(4096 AS BIGINT) AS m_bits,
+           CAST(3 AS BIGINT) AS k_hash, n_probes, n_false_pos,
+           CAST(n_false_pos AS DOUBLE) / NULLIF(CAST(n_probes AS DOUBLE), 0)
+             AS observed_fpp,
+           CAST(n_bits_set AS DOUBLE) / 4096.0 AS saturation
+         FROM f, nm, nb""",
 
     "key_skew_stats" ->
       """WITH c AS (

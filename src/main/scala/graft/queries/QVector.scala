@@ -157,6 +157,22 @@ private[graft] object QVector {
       VectorOps.effectiveRank(t(s, dir, "embeddings"),
         "vec_id", "embedding", dim = 64, sampleM = 2)),
 
+    "hubness_audit" -> ((s, dir) => {
+      // do a few points dominate everyone's k-NN lists? N_k occurrence
+      // skew (Radovanović JMLR'10) over a size-capped 1-in-m md5 sample;
+      // per-query top-5 plans as WindowGroupLimit, moments exact
+      val emb = t(s, dir, "embeddings")
+      val mm = emb.agg(greatest(lit(1L),
+        ceil(count(lit(1)).cast("double") / 500.0).cast("long")).as("__m"))
+      val sampled = emb.crossJoin(broadcast(mm))
+        .filter(pmod(LlmOps.md5Hash48(col("vec_id").cast("string"), 1),
+          col("__m")) === 0)
+        .select(col("vec_id"), col("embedding"))
+      VectorOps.hubnessAudit(sampled, "vec_id", "embedding", k = 5)
+        .crossJoin(broadcast(mm))
+        .withColumnRenamed("__m", "sample_m")
+    }),
+
     "mrl_truncation_eval" -> ((s, dir) => {
       // Matryoshka serving decision: how much of the full-64-dim top-10
       // do the 16/32-dim prefixes preserve — queries broadcast, one
@@ -589,6 +605,67 @@ private[graft] object QVector {
 
     // tr(G²) in HUGEINT over the same triangle; the sum vector on the
     // same 1-in-2 sample; both ratios one final double divide
+    // same double-fold cosine as knn_classify; occurrence counts zero-
+    // filled by the left join; skewness from exact HUGEINT moment sums
+    // with the fixed m3 / (m2·√m2) expression — sqrt and divides only
+    "hubness_audit" ->
+      """WITH mm AS (
+           SELECT GREATEST(1, CAST(CEIL(CAST(COUNT(*) AS DOUBLE) / 500.0)
+             AS BIGINT)) AS m
+           FROM embeddings),
+         p AS (
+           SELECT vec_id, embedding FROM embeddings, mm
+           WHERE ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 12))::BIGINT
+             % m = 0),
+         s AS (
+           SELECT q.vec_id AS qid, c.vec_id AS nid,
+             list_reduce(list_transform(range(1, len(c.embedding)+1),
+               i -> CAST(c.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE)),
+               (x, y) -> x + y) AS dot,
+             list_reduce(list_transform(range(1, len(c.embedding)+1),
+               i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)),
+               (x, y) -> x + y) AS na,
+             list_reduce(list_transform(range(1, len(q.embedding)+1),
+               i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE)),
+               (x, y) -> x + y) AS nb
+           FROM p c, p q WHERE c.vec_id <> q.vec_id),
+         sc AS (
+           SELECT qid, nid,
+             CASE WHEN na = 0 OR nb = 0 THEN 0.0
+                  ELSE dot / (sqrt(na) * sqrt(nb)) END AS score
+           FROM s),
+         r AS (
+           SELECT qid, nid, row_number() OVER (PARTITION BY qid
+             ORDER BY score DESC, nid) AS rn
+           FROM sc),
+         occ AS (SELECT nid, CAST(COUNT(*) AS BIGINT) AS occ
+                 FROM r WHERE rn <= 5 GROUP BY 1),
+         nk AS (SELECT COALESCE(occ.occ, 0) AS o
+                FROM p LEFT JOIN occ ON p.vec_id = occ.nid),
+         a AS (
+           SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(MAX(o) AS BIGINT)
+               AS max_nk,
+             CAST(SUM(CASE WHEN o >= 10 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_hubs,
+             CAST(SUM(CASE WHEN o = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_antihubs,
+             CAST(SUM(o) AS HUGEINT) AS s1,
+             CAST(SUM(o * o) AS HUGEINT) AS s2,
+             CAST(SUM(o * o * o) AS HUGEINT) AS s3
+           FROM nk),
+         b AS (
+           SELECT *,
+             CAST(n * s2 - s1 * s1 AS DOUBLE)
+               / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS m2,
+             CAST(n * n * s3 - 3 * n * s1 * s2 + 2 * s1 * s1 * s1 AS DOUBLE)
+               / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
+               AS m3
+           FROM a)
+         SELECT n, CAST(5 AS BIGINT) AS k, max_nk, n_hubs, n_antihubs,
+           m3 / NULLIF(m2 * sqrt(m2), 0) AS skewness,
+           (SELECT m FROM mm) AS sample_m
+         FROM b""",
+
     "embedding_effective_rank" ->
       """WITH s AS (
            SELECT embedding FROM embeddings

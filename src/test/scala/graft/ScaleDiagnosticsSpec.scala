@@ -133,7 +133,11 @@ class ScaleDiagnosticsSpec extends SparkTestBase {
         "vocab_growth",
         // fifth wave: the BH rank/max windows sit above the bounded
         // perm×group aggregate; the batteries and Q are window-free
-        "fdr_bh_lang_drift", "fineweb_rules", "cochran_q_filters")) {
+        "fdr_bh_lang_drift", "fineweb_rules", "cochran_q_filters",
+        // sixth wave: neyman's fold/share windows sit above the |strata|
+        // aggregate; hubness top-k windows are query-partitioned and its
+        // moment fold is a 1-row agg; bloom is window-free
+        "neyman_allocation", "hubness_audit", "bloom_fpp_audit")) {
       val bad = executed(q).collect {
         case w: WindowExec if w.partitionSpec.isEmpty &&
             !w.children.forall(hasAggregateBelow) => w
