@@ -1075,6 +1075,62 @@ object VectorOps {
       .filter(col("rank") <= kOut)
   }
 
+  /** Rank-biased overlap between two per-query rankings (Webber, Moffat
+    * & Zobel, TOIS 2010) — the top-weighted similarity of the lexical
+    * and vector rankings [[rrfFuse]] merges: RBO@k = (1−p)·Σ_{d≤k}
+    * p^{d−1}·|A_{1..d} ∩ B_{1..d}|/d, the indefinite-ranking measure
+    * that (unlike Kendall) tolerates non-conjoint lists and weights
+    * agreement at the top. A fused system whose inputs score RBO ≈ 1
+    * gains nothing from fusion; RBO ≈ 0 inputs are complementary — the
+    * decide-before-you-fuse diagnostic. Each p^{d−1} is a REPEATED-
+    * MULTIPLICATION fold (the lshRecallEstimate no-pow() discipline),
+    * the overlap counts are exact ints from max(rank_a, rank_b) ≤ d,
+    * per-depth terms sum by sorted fold — every float op is one the
+    * oracle twin replays bitwise.
+    *
+    * Scale shape: inputs are already group-limited top-k lists (≤ k
+    * rows per query per side); the depth expansion is ≤ k² bounded rows
+    * per query and everything windows/aggregates over those bounded
+    * relations.
+    */
+  def rboRankings(listA: DataFrame, listB: DataFrame, k: Int = 20,
+                  pTenths: Int = 9): DataFrame = {
+    require(k >= 1 && pTenths >= 1 && pTenths <= 9)
+    val p = pTenths.toDouble / 10.0
+    val a = listA.select(col("query_id"), col("doc_id"),
+      col("rank").cast("long").as("__ra"))
+    val b = listB.select(col("query_id"), col("doc_id"),
+      col("rank").cast("long").as("__rb"))
+    val both = a.join(b, Seq("query_id", "doc_id"))
+      .select(col("query_id"), greatest(col("__ra"), col("__rb")).as("__m"))
+      .filter(col("__m") <= k)
+    val depths = both
+      .select(col("query_id"), col("__m"),
+        explode(sequence(lit(1L), lit(k.toLong))).as("__d"))
+      .filter(col("__m") <= col("__d"))
+      .groupBy(col("query_id"), col("__d"))
+      .agg(count(lit(1)).as("__ov"))
+      // p^(d−1) by repeated multiplication — identical fold both engines
+      // (d = 1 guarded: sequence(1, 0) is DESCENDING in Spark, not empty)
+      .withColumn("__w", when(col("__d") === 1L, lit(1.0))
+        .otherwise(aggregate(sequence(lit(1L), col("__d") - 1L),
+          lit(1.0), (acc, _) => acc * p)))
+    val perQuery = depths
+      .groupBy(col("query_id"))
+      .agg(max(col("__ov")).cast("long").as("__oak"),
+        aggregate(sort_array(collect_list(
+            col("__w") * col("__ov").cast("double") / col("__d").cast("double"))),
+          lit(0.0), (acc, t) => acc + t).as("__s"))
+    // zero-overlap queries still report: RBO 0 is the "fusion helps most
+    // here" signal, not an absent row
+    val universe = a.select(col("query_id"))
+      .union(b.select(col("query_id"))).distinct()
+    universe.join(perQuery, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("__oak"), lit(0L)).as("overlap_at_k"),
+        coalesce(lit(1.0 - p) * col("__s"), lit(0.0)).as("rbo"))
+  }
+
   /** Johnson–Lindenstrauss sign projection of an embedding column into k
     * dimensions — the cheap distance-preserving reduction (Achlioptas
     * JCSS'03: ±1 entries suffice) a 100 TB pipeline applies before

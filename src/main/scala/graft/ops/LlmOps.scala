@@ -1356,6 +1356,38 @@ object LlmOps {
           col("dup_char_frac") < 0.1, lit(false)))
   }
 
+  /** Flesch–Kincaid readability (Kincaid et al. 1975; Flesch 1948) — the
+    * classic difficulty prior a curriculum/data-mixing pass sorts on:
+    * FK grade = 0.39·(W/S) + 11.8·(Syl/W) − 15.59 and reading ease
+    * = 206.835 − 1.015·(W/S) − 84.6·(Syl/W). Both formulas are pure
+    * rational arithmetic over three exact counts — one of the few
+    * canonical text scores that needs NO libm, so a SQL oracle replays
+    * it bitwise. Syllables use the standard vowel-group heuristic
+    * max(1, #[aeiouy]+ runs) per word; sentences split on [.!?]+ (the
+    * [[c4Rules]] convention); words are whitespace tokens. All three
+    * censuses are in-row HOF folds — zero shuffle.
+    */
+  def readabilityFk(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = coalesce(col(textCol), lit(""))
+    val words = filter(split(lower(trim(t)), "\\s+"), w => w =!= "")
+    val sents = filter(transform(split(lower(t), "[.!?]+"), s => trim(s)),
+      s => s =!= "")
+    val m = df.select(col(idCol),
+      size(words).cast("long").as("n_words"),
+      size(sents).cast("long").as("n_sentences"),
+      aggregate(words, lit(0L), (a, w) =>
+        a + greatest(lit(1L), regexp_count(w, lit("[aeiouy]+")).cast("long")))
+        .as("n_syllables"))
+    val wps = m("n_words").cast("double")./(
+      nullif(m("n_sentences").cast("double"), lit(0.0)))
+    val spw = m("n_syllables").cast("double")./(
+      nullif(m("n_words").cast("double"), lit(0.0)))
+    m.select(col(idCol), col("n_words"), col("n_sentences"),
+      col("n_syllables"),
+      (lit(0.39) * wps + lit(11.8) * spw - lit(15.59)).as("fk_grade"),
+      (lit(206.835) - lit(1.015) * wps - lit(84.6) * spw).as("flesch_ease"))
+  }
+
   /** Stopword-profile language ID: count hits against tiny per-language
     * stopword lists, argmax with a fixed precedence (en > es > fr) on ties.
     * An n-gram-free heuristic that stays pure-regexp (codegen'd, no UDF).

@@ -528,6 +528,13 @@ private[graft] object QTextCuration {
           bucketSize = 50L)
         .orderBy("bucket")),
 
+    "readability_fk" -> ((s, dir) =>
+      // curriculum/difficulty prior: Flesch-Kincaid grade + reading ease
+      // from three exact in-row censuses (words, sentences, vowel-group
+      // syllables) — the rare canonical text score needing zero libm
+      LlmOps.readabilityFk(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
+
     "fineweb_rules" -> ((s, dir) =>
       // FineWeb's three post-Gopher heuristics (Penedo 2024 §3.6):
       // punctuation-terminated line share, duplicated-line character
@@ -2110,6 +2117,40 @@ private[graft] object QTextCuration {
              / NULLIF(CAST(SUM(n_tokens) OVER (ORDER BY bucket) AS DOUBLE), 0)
              AS ttr
          FROM j ORDER BY bucket""",
+
+    // FK grade / reading ease: exact counts, fixed rational expressions;
+    // syllables = max(1, vowel-group runs) per word
+    "readability_fk" ->
+      """WITH b AS (SELECT doc_id, COALESCE(text, '') AS t FROM documents),
+         m AS (
+           SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(t)), '\s+'),
+               x -> x <> '') AS w,
+             list_filter(list_transform(
+               string_split_regex(lower(t), '[.!?]+'), x -> trim(x)),
+               x -> x <> '') AS sents
+           FROM b),
+         c AS (
+           SELECT doc_id,
+             CAST(len(w) AS BIGINT) AS n_words,
+             CAST(len(sents) AS BIGINT) AS n_sentences,
+             CAST(CASE WHEN len(w) = 0 THEN 0
+               ELSE list_reduce(list_transform(w,
+                 x -> GREATEST(1, len(regexp_extract_all(x, '[aeiouy]+')))),
+                 (u, v) -> u + v) END AS BIGINT) AS n_syllables
+           FROM m)
+         SELECT doc_id, n_words, n_sentences, n_syllables,
+           0.39 * (CAST(n_words AS DOUBLE)
+               / NULLIF(CAST(n_sentences AS DOUBLE), 0))
+             + 11.8 * (CAST(n_syllables AS DOUBLE)
+               / NULLIF(CAST(n_words AS DOUBLE), 0))
+             - 15.59 AS fk_grade,
+           206.835
+             - 1.015 * (CAST(n_words AS DOUBLE)
+               / NULLIF(CAST(n_sentences AS DOUBLE), 0))
+             - 84.6 * (CAST(n_syllables AS DOUBLE)
+               / NULLIF(CAST(n_words AS DOUBLE), 0)) AS flesch_ease
+         FROM c ORDER BY doc_id""",
 
     // FineWeb's three heuristics: per-line census via unnest (the
     // duplicated-character cell counts ALL occurrences of repeated lines)

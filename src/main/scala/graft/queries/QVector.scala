@@ -15,6 +15,49 @@ import graft.QShared._
   * [[SparkEntry]] keeps the driver contract identical. */
 private[graft] object QVector {
 
+  /** The fixed-batch lexical and vector top-20 rankings shared by
+    * `rrf_fuse` (which merges them) and `rbo_rankings` (which measures
+    * their agreement): lexical = distinct-token overlap with the query
+    * doc's first-32 terms; vector = cosine vs the query doc's embedding.
+    * Query batch fixed at docs 0/10/20 (the bitext_mine bounded-batch
+    * contract); both rankings plan as group-limited top-k windows.
+    */
+  private def retrievalRankings(s: SparkSession,
+                                dir: String): (DataFrame, DataFrame) = {
+    val docs = t(s, dir, "documents")
+    val emb = t(s, dir, "embeddings")
+    val qIds = Seq(0L, 10L, 20L)
+    val toks = docs.select(col("doc_id"),
+        explode(array_distinct(LlmOps.tokens(col("text")))).as("tok"))
+      .filter(col("tok") =!= "")
+    val wq = Window.partitionBy(col("doc_id")).orderBy(col("tok"))
+    val qTerms = toks.filter(col("doc_id").isin(qIds: _*))
+      .withColumn("__r", row_number().over(wq))
+      .filter(col("__r") <= 32)
+      .select(col("doc_id").as("query_id"), col("tok"))
+    val wl = Window.partitionBy(col("query_id"))
+      .orderBy(col("__ov").desc, col("doc_id").asc)
+    val lex = toks.join(broadcast(qTerms), Seq("tok"))
+      .filter(col("doc_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(count(lit(1)).as("__ov"))
+      .withColumn("rank", row_number().over(wl))
+      .filter(col("rank") <= 20)
+      .select(col("query_id"), col("doc_id"), col("rank"))
+    val qe = emb.filter(col("vec_id").isin(qIds: _*))
+      .select(col("vec_id").as("query_id"), col("embedding").as("__qv"))
+    val wv = Window.partitionBy(col("query_id"))
+      .orderBy(col("__score").desc, col("doc_id").asc)
+    val vec = emb.crossJoin(broadcast(qe))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("doc_id"),
+        VectorOps.cosine(col("embedding"), col("__qv")).as("__score"))
+      .withColumn("rank", row_number().over(wv))
+      .filter(col("rank") <= 20)
+      .select(col("query_id"), col("doc_id"), col("rank"))
+    (lex, vec)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     "similarity_topk" -> ((s, dir) => {
@@ -92,39 +135,20 @@ private[graft] object QVector {
       // (docs 0/10/20 — the bitext_mine bounded-batch contract); both
       // rankings are group-limited top-20s, fusion touches <= 40 rows
       // per query.
-      val docs = t(s, dir, "documents")
-      val emb = t(s, dir, "embeddings")
-      val qIds = Seq(0L, 10L, 20L)
-      val toks = docs.select(col("doc_id"),
-          explode(array_distinct(LlmOps.tokens(col("text")))).as("tok"))
-        .filter(col("tok") =!= "")
-      val wq = Window.partitionBy(col("doc_id")).orderBy(col("tok"))
-      val qTerms = toks.filter(col("doc_id").isin(qIds: _*))
-        .withColumn("__r", row_number().over(wq))
-        .filter(col("__r") <= 32)
-        .select(col("doc_id").as("query_id"), col("tok"))
-      val wl = Window.partitionBy(col("query_id"))
-        .orderBy(col("__ov").desc, col("doc_id").asc)
-      val lex = toks.join(broadcast(qTerms), Seq("tok"))
-        .filter(col("doc_id") =!= col("query_id"))
-        .groupBy(col("query_id"), col("doc_id"))
-        .agg(count(lit(1)).as("__ov"))
-        .withColumn("rank", row_number().over(wl))
-        .filter(col("rank") <= 20)
-        .select(col("query_id"), col("doc_id"), col("rank"))
-      val qe = emb.filter(col("vec_id").isin(qIds: _*))
-        .select(col("vec_id").as("query_id"), col("embedding").as("__qv"))
-      val wv = Window.partitionBy(col("query_id"))
-        .orderBy(col("__score").desc, col("doc_id").asc)
-      val vec = emb.crossJoin(broadcast(qe))
-        .filter(col("vec_id") =!= col("query_id"))
-        .select(col("query_id"), col("vec_id").as("doc_id"),
-          VectorOps.cosine(col("embedding"), col("__qv")).as("__score"))
-        .withColumn("rank", row_number().over(wv))
-        .filter(col("rank") <= 20)
-        .select(col("query_id"), col("doc_id"), col("rank"))
+      val (lex, vec) = retrievalRankings(s, dir)
       VectorOps.rrfFuse(lex, vec, rrfK = 60, kOut = 10)
         .orderBy("query_id", "rank")
+    }),
+
+    "rbo_rankings" -> ((s, dir) => {
+      // should we even fuse? rank-biased overlap (p=0.9, top-weighted)
+      // between the SAME two rankings rrf_fuse merges — RBO ≈ 1 means
+      // the vector index adds nothing over lexical; ≈ 0 means the
+      // systems are complementary. All arithmetic oracle-portable:
+      // repeated-multiplication p-powers, exact overlap counts
+      val (lex, vec) = retrievalRankings(s, dir)
+      VectorOps.rboRankings(lex, vec, k = 20, pTenths = 9)
+        .orderBy("query_id")
     }),
 
     "jl_project" -> ((s, dir) => {
@@ -562,6 +586,83 @@ private[graft] object QVector {
            CAST(row_number() OVER (PARTITION BY query_id
              ORDER BY rrf DESC, doc_id) AS BIGINT) AS rank
          FROM f QUALIFY rank <= 10 ORDER BY query_id, rank""",
+
+    // same ranking CTEs as rrf_fuse; p-powers by repeated multiplication
+    // (no pow()), per-depth terms summed by sorted fold
+    "rbo_rankings" ->
+      """WITH toks AS (
+           SELECT doc_id, tok FROM (
+             SELECT doc_id,
+               unnest(list_distinct(string_split_regex(lower(trim(text)),
+                 '\s+'))) AS tok
+             FROM documents) WHERE tok <> ''),
+         qt AS (
+           SELECT query_id, tok FROM (
+             SELECT doc_id AS query_id, tok,
+               row_number() OVER (PARTITION BY doc_id ORDER BY tok) AS r
+             FROM toks WHERE doc_id IN (0, 10, 20)) WHERE r <= 32),
+         lexov AS (
+           SELECT qt.query_id, toks.doc_id, CAST(COUNT(*) AS BIGINT) AS ov
+           FROM toks JOIN qt ON toks.tok = qt.tok
+             AND toks.doc_id <> qt.query_id
+           GROUP BY 1, 2),
+         lex AS (
+           SELECT query_id, doc_id,
+             CAST(row_number() OVER (PARTITION BY query_id
+               ORDER BY ov DESC, doc_id) AS BIGINT) AS rank_a
+           FROM lexov
+           QUALIFY rank_a <= 20),
+         qe AS (SELECT vec_id AS query_id, embedding AS qv
+                FROM embeddings WHERE vec_id IN (0, 10, 20)),
+         sc AS (
+           SELECT qe.query_id, e.vec_id AS doc_id,
+             list_reduce(list_transform(range(1, len(e.embedding) + 1),
+               i -> CAST(e.embedding[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)),
+               (x, y) -> x + y) AS dot,
+             list_reduce(list_transform(range(1, len(e.embedding) + 1),
+               i -> CAST(e.embedding[i] AS DOUBLE)
+                 * CAST(e.embedding[i] AS DOUBLE)), (x, y) -> x + y) AS na,
+             list_reduce(list_transform(range(1, len(qv) + 1),
+               i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)),
+               (x, y) -> x + y) AS nb
+           FROM embeddings e, qe WHERE e.vec_id <> qe.query_id),
+         vec AS (
+           SELECT query_id, doc_id,
+             CAST(row_number() OVER (PARTITION BY query_id ORDER BY
+               CASE WHEN na = 0 OR nb = 0 THEN 0.0
+                    ELSE dot / (sqrt(na) * sqrt(nb)) END DESC, doc_id)
+               AS BIGINT) AS rank_b
+           FROM sc
+           QUALIFY rank_b <= 20),
+         shared AS (
+           SELECT lex.query_id, GREATEST(rank_a, rank_b) AS m
+           FROM lex JOIN vec ON lex.query_id = vec.query_id
+             AND lex.doc_id = vec.doc_id
+           WHERE GREATEST(rank_a, rank_b) <= 20),
+         dep AS (
+           SELECT query_id, d.d, CAST(COUNT(*) AS BIGINT) AS ov
+           FROM shared, generate_series(1, 20) d(d)
+           WHERE m <= d.d GROUP BY 1, 2),
+         wdep AS (
+           SELECT query_id, d, ov,
+             CASE WHEN d = 1 THEN CAST(1.0 AS DOUBLE)
+               ELSE list_reduce(list_transform(range(1, CAST(d AS INT)),
+                 x -> CAST(0.9 AS DOUBLE)), (u, v) -> u * v) END AS w
+           FROM dep),
+         pq AS (
+           SELECT query_id, CAST(MAX(ov) AS BIGINT) AS oak,
+             (CAST(1.0 AS DOUBLE) - CAST(0.9 AS DOUBLE))
+               * list_reduce(list_sort(list(w * ov / d)),
+                 (u, v) -> u + v) AS s
+           FROM wdep GROUP BY 1),
+         uni AS (
+           SELECT DISTINCT query_id FROM (
+             SELECT query_id FROM lex UNION ALL SELECT query_id FROM vec))
+         SELECT uni.query_id,
+           CAST(COALESCE(oak, 0) AS BIGINT) AS overlap_at_k,
+           COALESCE(s, CAST(0.0 AS DOUBLE)) AS rbo
+         FROM uni LEFT JOIN pq ON uni.query_id = pq.query_id
+         ORDER BY 1""",
 
     // same md5-48 sign matrix rebuilt in SQL; milli-unit quantization,
     // exact integer sums per (vec, j), per-dim rollup

@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorOps
+import graft.ops.LlmOps
+
+/** Round-11 seventh wave: Flesch–Kincaid readability and rank-biased
+  * overlap — hand-computed fixtures.
+  */
+class Round11RankSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // ---- readabilityFk ----
+
+  test("readabilityFk: hand-counted words/sentences/syllables and both scores") {
+    // 7 words, 2 sentences, 7 monosyllables → W/S=3.5, Syl/W=1
+    val df = Seq((1L, "The cat sat. The dog ran fast.")).toDF("doc_id", "text")
+    val r = LlmOps.readabilityFk(df, "doc_id", "text").collect()(0)
+    assert(r.getAs[Long]("n_words") == 7L)
+    assert(r.getAs[Long]("n_sentences") == 2L)
+    assert(r.getAs[Long]("n_syllables") == 7L)
+    assert(math.abs(r.getAs[Double]("fk_grade")
+      - (0.39 * 3.5 + 11.8 * 1.0 - 15.59)) < 1e-12)
+    assert(math.abs(r.getAs[Double]("flesch_ease")
+      - (206.835 - 1.015 * 3.5 - 84.6 * 1.0)) < 1e-12)
+  }
+
+  test("readabilityFk: vowel-group syllables; empty text → null scores") {
+    // beautiful = eau|i|u (3), extraordinary = e|ao|i|a|y (5)
+    val df = Seq((1L, "beautiful extraordinary."), (2L, ""))
+      .toDF("doc_id", "text")
+    val rows = LlmOps.readabilityFk(df, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(rows(0).getAs[Long]("n_syllables") == 8L)
+    assert(rows(0).getAs[Long]("n_words") == 2L)
+    assert(rows(0).getAs[Long]("n_sentences") == 1L)
+    assert(rows(1).getAs[Long]("n_words") == 0L)
+    assert(rows(1).isNullAt(rows(1).fieldIndex("fk_grade")))
+  }
+
+  // ---- rboRankings ----
+
+  private def ranking(rows: Seq[(Long, Long, Long)]) =
+    rows.toDF("query_id", "doc_id", "rank")
+
+  test("rboRankings: identical lists score (1-p)·Σ p^(d-1)") {
+    val a = ranking(Seq((1L, 7L, 1L), (1L, 8L, 2L), (1L, 9L, 3L)))
+    val r = VectorOps.rboRankings(a, a, k = 3, pTenths = 9).collect()(0)
+    assert(r.getAs[Long]("overlap_at_k") == 3L)
+    val expect = (1.0 - 0.9) * (1.0 + 0.9 + 0.81)
+    assert(math.abs(r.getAs[Double]("rbo") - expect) < 1e-12)
+  }
+
+  test("rboRankings: swapped pair agrees only from depth 2; disjoint scores 0") {
+    val a = ranking(Seq((1L, 7L, 1L), (1L, 8L, 2L)))
+    val b = ranking(Seq((1L, 8L, 1L), (1L, 7L, 2L)))
+    val r = VectorOps.rboRankings(a, b, k = 2, pTenths = 9).collect()(0)
+    assert(r.getAs[Long]("overlap_at_k") == 2L)
+    // d=1: 0 overlap; d=2: both docs (m=2) → 0.1 · (0.9·2/2) = 0.09
+    assert(math.abs(r.getAs[Double]("rbo") - 0.09) < 1e-12)
+    // zero-overlap queries still emit a row — RBO 0, not absence
+    val c = ranking(Seq((1L, 5L, 1L)))
+    val z = VectorOps.rboRankings(a, c, k = 2).collect()(0)
+    assert(z.getAs[Long]("overlap_at_k") == 0L && z.getAs[Double]("rbo") == 0.0)
+  }
+}

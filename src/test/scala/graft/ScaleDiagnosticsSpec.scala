@@ -137,7 +137,10 @@ class ScaleDiagnosticsSpec extends SparkTestBase {
         // sixth wave: neyman's fold/share windows sit above the |strata|
         // aggregate; hubness top-k windows are query-partitioned and its
         // moment fold is a 1-row agg; bloom is window-free
-        "neyman_allocation", "hubness_audit", "bloom_fpp_audit")) {
+        "neyman_allocation", "hubness_audit", "bloom_fpp_audit",
+        // seventh wave: rbo's windows are the query-partitioned ranking
+        // limits; readability is window-free in-row folds
+        "rbo_rankings", "readability_fk")) {
       val bad = executed(q).collect {
         case w: WindowExec if w.partitionSpec.isEmpty &&
             !w.children.forall(hasAggregateBelow) => w
