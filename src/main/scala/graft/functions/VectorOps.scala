@@ -1219,6 +1219,55 @@ object VectorOps {
     }
   }
 
+  /** Maximum Mean Discrepancy between two embedding sub-corpora under the
+    * QUADRATIC kernel k(x,y) = (x·y)² (Gretton et al., JMLR 2012 for MMD;
+    * the polynomial-kernel choice keeps it libm-free): because
+    * E[(a·a')²] = ‖(1/n)Σaaᵀ‖²_F, the witness collapses to
+    * MMD² = ‖M_A − M_B‖²_F over the two MEAN GRAM MATRICES — so the whole
+    * two-sample test is two [[embeddingGram]] aggregates and a bounded
+    * d(d+1)/2-cell join, never a pairwise pass. The representation-space
+    * answer to "did source B's embedding DISTRIBUTION drift from A's"
+    * that centroid comparison misses (it sees second moments, not just
+    * means). Exact arithmetic: per cell (g_A·n_B − g_B·n_A)² in
+    * DECIMAL(38,0) with off-diagonal cells doubled, ONE final divide by
+    * (n_A·n_B)² and the 1000⁴ milli-quantization factor.
+    *
+    * Scale shape: two gram aggregates (the native buffer-per-partition
+    * path when registered), one ≤d(d+1)/2-row full-outer join, a 1-row
+    * fold; the corpora never pairwise-join.
+    */
+  def mmdEmbeddingDrift(emb: DataFrame, idCol: String, embCol: String,
+                        condA: Column, condB: Column, dim: Int,
+                        sampleM: Int): DataFrame = {
+    val dec = DecimalType(38, 0)
+    def side(cond: Column, n: String, g: String) =
+      embeddingGram(emb.filter(coalesce(cond, lit(false))), idCol, embCol,
+          dim, sampleM)
+        .select(col("i"), col("j"), col("n_docs").as(n), col("gram").as(g))
+    val ga = side(condA, "__na", "__ga")
+    val gb = side(condB, "__nb", "__gb")
+    val na = ga.agg(max(col("__na")).as("__na"))
+    val nb = gb.agg(max(col("__nb")).as("__nb"))
+    ga.drop("__na").join(gb.drop("__nb"), Seq("i", "j"), "full_outer")
+      .crossJoin(broadcast(na)).crossJoin(broadcast(nb))
+      .select(col("__na"), col("__nb"),
+        (when(col("i") === col("j"), lit(1L)).otherwise(lit(2L)).cast(dec)
+          * (coalesce(col("__ga"), lit(0L)).cast(dec) * col("__nb").cast(dec)
+            - coalesce(col("__gb"), lit(0L)).cast(dec) * col("__na").cast(dec))
+          * (coalesce(col("__ga"), lit(0L)).cast(dec) * col("__nb").cast(dec)
+            - coalesce(col("__gb"), lit(0L)).cast(dec) * col("__na").cast(dec)))
+          .cast(dec).as("__t"))
+      .groupBy(col("__na"), col("__nb"))
+      .agg(sum(col("__t")).cast(dec).as("__s"))
+      .select(col("__na").cast("long").as("n_a"),
+        col("__nb").cast("long").as("n_b"),
+        lit(sampleM.toLong).as("sample_m"),
+        (col("__s").cast("double")
+          / nullif((col("__na") * col("__nb")).cast("double")
+            * (col("__na") * col("__nb")).cast("double"), lit(0.0))
+          / lit(1.0e12)).as("mmd2"))
+  }
+
   /** Intrinsic-dimension and anisotropy readout of the embedding space —
     * the two numbers that say whether a d-dim embedding column actually
     * USES d dimensions. Effective rank is the participation ratio

@@ -1622,6 +1622,53 @@ object Stats {
           / nullif(col("__den").cast("double"), lit(0.0))).as("q")): _*)
   }
 
+  /** Simpson's-paradox screen (Simpson, JRSS-B 1951): does the SIGN of
+    * the (x, y) association flip between the pooled corpus and any
+    * stratum? The classic aggregation trap — a metric that trends up
+    * overall can trend down inside every source once a confounder
+    * stratifies it, and any per-corpus dashboard built on pooled
+    * correlations silently lies. Association sign is the sign of the
+    * covariance numerator n·Σxy − Σx·Σy — an EXACT DECIMAL(38,0)
+    * integer, so the flip verdict needs no division at all; the
+    * magnitude reports as one final divide by n² for readability.
+    * Output: one row per stratum with its sign, the pooled sign, and
+    * the flip flag (sign opposition in the strict sense — one positive,
+    * one negative).
+    *
+    * Scale shape: one map-side-combined aggregate per stratum plus a
+    * broadcast 1-row pooled aggregate — nothing else.
+    */
+  def simpsonCheck(df: DataFrame, stratumCol: Column, x: Column,
+                   y: Column): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val base = df.select(stratumCol.cast("string").as("stratum"),
+        x.cast("long").as("__x"), y.cast("long").as("__y"))
+      .filter(col("__x").isNotNull && col("__y").isNotNull
+        && col("stratum").isNotNull)
+    def covNum(g: org.apache.spark.sql.RelationalGroupedDataset) = g
+      .agg(count(lit(1)).as("__n"),
+        sum(col("__x").cast(dec)).as("__sx"),
+        sum(col("__y").cast(dec)).as("__sy"),
+        sum((col("__x") * col("__y")).cast(dec)).as("__sxy"))
+      .select(col("*"), (col("__n").cast(dec) * col("__sxy")
+        - col("__sx") * col("__sy")).cast(dec).as("__cn"))
+    val pooled = covNum(base.groupBy())
+      .select(col("__cn").as("__pcn"), col("__n").as("__pn"))
+    covNum(base.groupBy(col("stratum")))
+      .crossJoin(broadcast(pooled))
+      .select(col("stratum"), col("__n").cast("long").as("n_rows"),
+        signum(col("__cn").cast("double")).cast("long").as("stratum_sign"),
+        signum(col("__pcn").cast("double")).cast("long").as("pooled_sign"),
+        (col("__cn").cast("double")
+          / nullif((col("__n") * col("__n")).cast("double"), lit(0.0)))
+          .as("stratum_cov"),
+        (col("__pcn").cast("double")
+          / nullif((col("__pn") * col("__pn")).cast("double"), lit(0.0)))
+          .as("pooled_cov"),
+        (signum(col("__cn").cast("double"))
+          * signum(col("__pcn").cast("double")) < 0).as("sign_flip"))
+  }
+
   /** Neyman-optimal stratified sampling plan (Neyman, JRSS 1934): given
     * a stratum column and a target metric, allocate a fixed eval/probe
     * budget n_h ∝ N_h·S_h — big AND internally-variable strata get more

@@ -590,6 +590,17 @@ private[graft] object QAggWindow {
         datediff(col("__day"), lit("1970-01-01").cast("date")),
         col("__n"))),
 
+    "simpson_check" -> ((s, dir) =>
+      // does the day→revenue trend flip sign inside any order-priority
+      // stratum vs the pooled corpus? exact integer covariance
+      // numerators — the sign verdict never divides
+      graft.ops.Stats.simpsonCheck(t(s, dir, "orders"),
+          col("o_orderpriority"),
+          datediff(to_date(col("o_orderdate")),
+            lit("1970-01-01").cast("date")),
+          floor(col("o_totalprice") * 100).cast("long"))
+        .orderBy("stratum")),
+
     "neyman_allocation" -> ((s, dir) =>
       // how should a 1000-doc eval budget spread across sources? Neyman
       // n_h ∝ N_h·S_h beats proportional when sources differ in internal
@@ -1666,6 +1677,37 @@ private[graft] object QAggWindow {
 
     // decile reliability curve: exact permille-score sums + positive
     // counts per bucket, conf/acc as one divide each, |acc−conf| gap
+    // covariance-numerator signs in HUGEINT — the flip verdict never
+    // divides; magnitudes one divide by n² for readability
+    "simpson_check" ->
+      """WITH b AS (
+           SELECT o_orderpriority AS stratum,
+             CAST(datediff('day', DATE '1970-01-01',
+               CAST(o_orderdate AS DATE)) AS BIGINT) AS x,
+             CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS y
+           FROM orders WHERE o_orderpriority IS NOT NULL),
+         per AS (
+           SELECT stratum, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS HUGEINT) AS sx, CAST(SUM(y) AS HUGEINT) AS sy,
+             CAST(SUM(x * y) AS HUGEINT) AS sxy
+           FROM b GROUP BY 1),
+         pc AS (
+           SELECT CAST(COUNT(*) AS BIGINT) AS pn,
+             CAST(COUNT(*) AS HUGEINT) * CAST(SUM(x * y) AS HUGEINT)
+               - CAST(SUM(x) AS HUGEINT) * CAST(SUM(y) AS HUGEINT) AS pcn
+           FROM b)
+         SELECT stratum, n AS n_rows,
+           CAST(sign(CAST(n * sxy - sx * sy AS DOUBLE)) AS BIGINT)
+             AS stratum_sign,
+           CAST(sign(CAST(pcn AS DOUBLE)) AS BIGINT) AS pooled_sign,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+             / NULLIF(CAST(n * n AS DOUBLE), 0) AS stratum_cov,
+           CAST(pcn AS DOUBLE) / NULLIF(CAST(pn * pn AS DOUBLE), 0)
+             AS pooled_cov,
+           (sign(CAST(n * sxy - sx * sy AS DOUBLE))
+             * sign(CAST(pcn AS DOUBLE)) < 0) AS sign_flip
+         FROM per, pc ORDER BY stratum""",
+
     // exact HUGEINT variance identity, one sqrt per stratum, sorted-fold
     // allocation denominator; floor shares of the 1000 budget
     "neyman_allocation" ->

@@ -173,6 +173,15 @@ private[graft] object QVector {
           "vec_id", "embedding", dim = 64, sampleM = 2)
         .orderBy("i", "j")),
 
+    "mmd_embedding_drift" -> ((s, dir) =>
+      // did label-0's embedding DISTRIBUTION drift from label-1's?
+      // quadratic-kernel MMD² = ‖M_A − M_B‖²_F over the two mean gram
+      // matrices — two gram aggregates + a d(d+1)/2-cell join, never a
+      // pairwise pass; exact decimal cells, one divide
+      VectorOps.mmdEmbeddingDrift(t(s, dir, "embeddings"),
+        "vec_id", "embedding", col("label") === 0, col("label") === 1,
+        dim = 64, sampleM = 1)),
+
     "embedding_effective_rank" -> ((s, dir) =>
       // does the 64-dim space actually use 64 dims? participation ratio
       // tr(G)²/tr(G²) from the exact gram triangle + mean-vector
@@ -663,6 +672,49 @@ private[graft] object QVector {
            COALESCE(s, CAST(0.0 AS DOUBLE)) AS rbo
          FROM uni LEFT JOIN pq ON uni.query_id = pq.query_id
          ORDER BY 1""",
+
+    // two gram triangles in HUGEINT, full-join on (i,j), per-cell
+    // (gA·nB − gB·nA)² with off-diagonals doubled, one final divide
+    "mmd_embedding_drift" ->
+      """WITH qa AS (
+           SELECT list_transform(embedding,
+             v -> CAST(FLOOR(CAST(v AS DOUBLE) * 1000.0) AS BIGINT)) AS qv
+           FROM embeddings WHERE COALESCE(label = 0, FALSE)
+             AND ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 12))::BIGINT
+               % 1 = 0),
+         qb AS (
+           SELECT list_transform(embedding,
+             v -> CAST(FLOOR(CAST(v AS DOUBLE) * 1000.0) AS BIGINT)) AS qv
+           FROM embeddings WHERE COALESCE(label = 1, FALSE)
+             AND ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 12))::BIGINT
+               % 1 = 0),
+         ga AS (
+           SELECT i.i AS i, j.j AS j, CAST(COUNT(*) AS BIGINT) AS nn,
+             CAST(SUM(qv[i.i + 1] * qv[j.j + 1]) AS HUGEINT) AS g
+           FROM qa, generate_series(0, 63) i(i), generate_series(0, 63) j(j)
+           WHERE i.i <= j.j GROUP BY 1, 2),
+         gb AS (
+           SELECT i.i AS i, j.j AS j, CAST(COUNT(*) AS BIGINT) AS nn,
+             CAST(SUM(qv[i.i + 1] * qv[j.j + 1]) AS HUGEINT) AS g
+           FROM qb, generate_series(0, 63) i(i), generate_series(0, 63) j(j)
+           WHERE i.i <= j.j GROUP BY 1, 2),
+         na AS (SELECT CAST(MAX(nn) AS BIGINT) AS na FROM ga),
+         nb AS (SELECT CAST(MAX(nn) AS BIGINT) AS nb FROM gb),
+         cells AS (
+           SELECT COALESCE(ga.i, gb.i) AS i, COALESCE(ga.j, gb.j) AS j,
+             COALESCE(ga.g, 0) AS gva, COALESCE(gb.g, 0) AS gvb
+           FROM ga FULL JOIN gb ON ga.i = gb.i AND ga.j = gb.j),
+         s AS (
+           SELECT CAST(SUM(CAST(CASE WHEN i = j THEN 1 ELSE 2 END AS HUGEINT)
+             * (gva * nb.nb - gvb * na.na) * (gva * nb.nb - gvb * na.na))
+             AS HUGEINT) AS t
+           FROM cells, na, nb)
+         SELECT na.na AS n_a, nb.nb AS n_b, CAST(1 AS BIGINT) AS sample_m,
+           CAST(t AS DOUBLE)
+             / NULLIF(CAST(na.na * nb.nb AS DOUBLE)
+               * CAST(na.na * nb.nb AS DOUBLE), 0)
+             / 1000000000000.0 AS mmd2
+         FROM s, na, nb""",
 
     // same md5-48 sign matrix rebuilt in SQL; milli-unit quantization,
     // exact integer sums per (vec, j), per-dim rollup

@@ -3,10 +3,11 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorOps
-import graft.ops.LlmOps
+import graft.ops.{LlmOps, Stats}
 
-/** Round-11 seventh wave: Flesch–Kincaid readability and rank-biased
-  * overlap — hand-computed fixtures.
+/** Round-11 seventh/eighth waves: Flesch–Kincaid readability, rank-biased
+  * overlap, quadratic-kernel MMD drift, and the Simpson's-paradox screen
+  * — hand-computed fixtures.
   */
 class Round11RankSpec extends SparkTestBase {
   import spark.implicits._
@@ -63,5 +64,54 @@ class Round11RankSpec extends SparkTestBase {
     val c = ranking(Seq((1L, 5L, 1L)))
     val z = VectorOps.rboRankings(a, c, k = 2).collect()(0)
     assert(z.getAs[Long]("overlap_at_k") == 0L && z.getAs[Double]("rbo") == 0.0)
+  }
+
+  // ---- mmdEmbeddingDrift ----
+
+  test("mmdEmbeddingDrift: identical sub-corpora → exactly 0") {
+    val df = Seq((1L, Seq(0.5f, 0.5f), 0), (2L, Seq(0.5f, 0.5f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val r = VectorOps.mmdEmbeddingDrift(df, "vec_id", "embedding",
+      $"label" === 0, $"label" === 1, dim = 2, sampleM = 1).collect()(0)
+    assert(r.getAs[Long]("n_a") == 1L && r.getAs[Long]("n_b") == 1L)
+    assert(r.getAs[Double]("mmd2") == 0.0)
+  }
+
+  test("mmdEmbeddingDrift: orthogonal singletons → ‖diff‖²_F = 2") {
+    // M_A = [[1,0],[0,0]], M_B = [[0,0],[0,1]] → Frobenius² = 2
+    val df = Seq((1L, Seq(1f, 0f), 0), (2L, Seq(0f, 1f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val r = VectorOps.mmdEmbeddingDrift(df, "vec_id", "embedding",
+      $"label" === 0, $"label" === 1, dim = 2, sampleM = 1).collect()(0)
+    assert(math.abs(r.getAs[Double]("mmd2") - 2.0) < 1e-12)
+  }
+
+  // ---- simpsonCheck ----
+
+  test("simpsonCheck: within-stratum trend flips against the pooled trend") {
+    // both strata trend DOWN internally; pooling them trends UP
+    val df = Seq(("s1", 0L, 10L), ("s1", 1L, 9L),
+      ("s2", 10L, 20L), ("s2", 11L, 19L)).toDF("g", "x", "y")
+    val rows = Stats.simpsonCheck(df, $"g", $"x", $"y")
+      .orderBy("stratum").collect()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("stratum_sign") == -1L)
+      assert(r.getAs[Long]("pooled_sign") == 1L)
+      assert(r.getAs[Boolean]("sign_flip"))
+    }
+    // pooled covariance numerator = 4·418 − 22·58 = 396 → 396/16
+    assert(math.abs(rows(0).getAs[Double]("pooled_cov") - 396.0 / 16.0) < 1e-12)
+  }
+
+  test("simpsonCheck: aligned trends do not flip; zero covariance is no flip") {
+    val aligned = Seq(("s1", 0L, 0L), ("s1", 1L, 1L),
+      ("s2", 2L, 2L), ("s2", 3L, 3L)).toDF("g", "x", "y")
+    Stats.simpsonCheck(aligned, $"g", $"x", $"y").collect().foreach { r =>
+      assert(!r.getAs[Boolean]("sign_flip"))
+      assert(r.getAs[Long]("stratum_sign") == 1L)
+    }
+    val flat = Seq(("s1", 0L, 5L), ("s1", 1L, 5L)).toDF("g", "x", "y")
+    val fr = Stats.simpsonCheck(flat, $"g", $"x", $"y").collect()(0)
+    assert(fr.getAs[Long]("stratum_sign") == 0L && !fr.getAs[Boolean]("sign_flip"))
   }
 }

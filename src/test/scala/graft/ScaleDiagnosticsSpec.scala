@@ -140,7 +140,9 @@ class ScaleDiagnosticsSpec extends SparkTestBase {
         "neyman_allocation", "hubness_audit", "bloom_fpp_audit",
         // seventh wave: rbo's windows are the query-partitioned ranking
         // limits; readability is window-free in-row folds
-        "rbo_rankings", "readability_fk")) {
+        "rbo_rankings", "readability_fk",
+        // eighth wave: both are pure aggregate joins — window-free
+        "mmd_embedding_drift", "simpson_check")) {
       val bad = executed(q).collect {
         case w: WindowExec if w.partitionSpec.isEmpty &&
             !w.children.forall(hasAggregateBelow) => w
