@@ -1622,6 +1622,52 @@ object Stats {
           / nullif(col("__den").cast("double"), lit(0.0))).as("q")): _*)
   }
 
+  /** One-way ANOVA over an ALREADY-AGGREGATED series (Fisher 1925):
+    * partition the variance of a bounded metric relation by a bounded
+    * group column — the canonical "does the group explain the metric"
+    * decomposition, reported as η² = SSB/SST (effect size) and the
+    * F statistic (SSB/(k−1))/(SSW/(n−k)). Arithmetic discipline: the
+    * group and total sums are EXACT decimals; the only rationals with
+    * group-specific denominators (G_g²/n_g) fold over a SORTED term
+    * list (the cramersV order-pinning device), and every remaining op
+    * is a fixed divide/subtract chain the oracle twin mirrors
+    * token-for-token.
+    *
+    * Scale shape: the caller aggregates first (e.g. daily rollup), so
+    * both aggregates and the fold run over bounded relations.
+    */
+  def anovaOneWay(series: DataFrame, groupCol: Column,
+                  valueCol: Column): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val base = series.select(groupCol.cast("string").as("__g"),
+        valueCol.cast("long").as("__v"))
+      .filter(col("__v").isNotNull && col("__g").isNotNull)
+    val tot = base.agg(count(lit(1)).as("__n"),
+      sum(col("__v").cast(dec)).as("__t"),
+      sum((col("__v") * col("__v")).cast(dec)).as("__sq"))
+    val perG = base.groupBy(col("__g"))
+      .agg(count(lit(1)).as("__ng"), sum(col("__v").cast(dec)).as("__gg"))
+      .select((col("__gg") * col("__gg")).cast(dec).cast("double")
+        ./(col("__ng").cast("double")).as("__term"))
+      .agg(count(lit(1)).as("__k"),
+        aggregate(sort_array(collect_list(col("__term"))), lit(0.0),
+          (acc, t) => acc + t).as("__sb"))
+    perG.crossJoin(broadcast(tot))
+      .withColumn("__cf", (col("__t") * col("__t")).cast(dec).cast("double")
+        ./(col("__n").cast("double")))
+      .withColumn("__ssb", col("__sb") - col("__cf"))
+      .withColumn("__sst", col("__sq").cast("double") - col("__cf"))
+      .withColumn("__ssw", col("__sst") - col("__ssb"))
+      .select(col("__n").cast("long").as("n"),
+        col("__k").cast("long").as("k_groups"),
+        (col("__ssb") / nullif(col("__sst"), lit(0.0))).as("eta_sq"),
+        // F = (SSB/(k−1))/(SSW/(n−k)) cross-multiplied so the k=1 and
+        // SSW=0 degeneracies both land on one NULL-guarded denominator
+        ((col("__ssb") * (col("__n") - col("__k")).cast("double"))
+          / nullif(col("__ssw") * (col("__k") - 1L).cast("double"),
+            lit(0.0))).as("f_stat"))
+  }
+
   /** Simpson's-paradox screen (Simpson, JRSS-B 1951): does the SIGN of
     * the (x, y) association flip between the pooled corpus and any
     * stratum? The classic aggregation trap — a metric that trends up

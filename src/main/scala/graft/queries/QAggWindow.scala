@@ -590,6 +590,18 @@ private[graft] object QAggWindow {
         datediff(col("__day"), lit("1970-01-01").cast("date")),
         col("__n"))),
 
+    "dow_anova" -> ((s, dir) =>
+      // how much of daily order-volume variance does day-of-week explain?
+      // one-way ANOVA (η² + F) over the bounded daily aggregate — the
+      // significance face of dow_seasonality's descriptive per-dow index
+      graft.ops.Stats.anovaOneWay(
+        t(s, dir, "orders")
+          .groupBy(to_date(col("o_orderdate")).as("__day"))
+          .agg(count(lit(1)).as("__n"))
+          .select(dayofweek(col("__day")).cast("long").as("__dow"),
+            col("__n")),
+        col("__dow"), col("__n"))),
+
     "simpson_check" -> ((s, dir) =>
       // does the day→revenue trend flip sign inside any order-priority
       // stratum vs the pooled corpus? exact integer covariance
@@ -1677,6 +1689,39 @@ private[graft] object QAggWindow {
 
     // decile reliability curve: exact permille-score sums + positive
     // counts per bucket, conf/acc as one divide each, |acc−conf| gap
+    // G²/n_g terms summed by sorted fold; exact decimal totals; fixed
+    // subtract/divide chain for η² and the cross-multiplied F
+    "dow_anova" ->
+      """WITH d AS (
+           SELECT CAST(dayofweek(CAST(o_orderdate AS DATE)) AS BIGINT) AS g,
+             CAST(COUNT(*) AS BIGINT) AS v
+           FROM orders GROUP BY CAST(o_orderdate AS DATE)),
+         tot AS (
+           SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(v) AS HUGEINT) AS t,
+             CAST(SUM(v * v) AS HUGEINT) AS sq
+           FROM d),
+         pg AS (
+           SELECT CAST(SUM(v) AS HUGEINT) AS gg, CAST(COUNT(*) AS BIGINT)
+             AS ng
+           FROM d GROUP BY g),
+         sb AS (
+           SELECT CAST(COUNT(*) AS BIGINT) AS k,
+             list_reduce(list_sort(list(CAST(gg * gg AS DOUBLE)
+               / CAST(ng AS DOUBLE))), (x, y) -> x + y) AS sbv
+           FROM pg),
+         f AS (
+           SELECT n, k, sbv,
+             CAST(t * t AS DOUBLE) / CAST(n AS DOUBLE) AS cf,
+             CAST(sq AS DOUBLE) AS sqd
+           FROM sb, tot)
+         SELECT n, k AS k_groups,
+           (sbv - cf) / NULLIF(sqd - cf, 0) AS eta_sq,
+           ((sbv - cf) * CAST(n - k AS DOUBLE))
+             / NULLIF(((sqd - cf) - (sbv - cf)) * CAST(k - 1 AS DOUBLE), 0)
+             AS f_stat
+         FROM f""",
+
     // covariance-numerator signs in HUGEINT — the flip verdict never
     // divides; magnitudes one divide by n² for readability
     "simpson_check" ->

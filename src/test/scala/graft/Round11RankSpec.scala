@@ -114,4 +114,25 @@ class Round11RankSpec extends SparkTestBase {
     val fr = Stats.simpsonCheck(flat, $"g", $"x", $"y").collect()(0)
     assert(fr.getAs[Long]("stratum_sign") == 0L && !fr.getAs[Boolean]("sign_flip"))
   }
+
+  // ---- anovaOneWay ----
+
+  test("anovaOneWay: groups explain everything → η²=1, F degenerates NULL") {
+    val df = Seq(("a", 1L), ("a", 1L), ("b", 3L), ("b", 3L)).toDF("g", "v")
+    val r = Stats.anovaOneWay(df, $"g", $"v").collect()(0)
+    assert(r.getAs[Long]("n") == 4L && r.getAs[Long]("k_groups") == 2L)
+    assert(r.getAs[Double]("eta_sq") == 1.0)
+    assert(r.isNullAt(r.fieldIndex("f_stat"))) // SSW = 0
+  }
+
+  test("anovaOneWay: identical groups explain nothing; single group → NULL F") {
+    val df = Seq(("a", 1L), ("a", 3L), ("b", 1L), ("b", 3L)).toDF("g", "v")
+    val r = Stats.anovaOneWay(df, $"g", $"v").collect()(0)
+    assert(r.getAs[Double]("eta_sq") == 0.0)
+    assert(r.getAs[Double]("f_stat") == 0.0)
+    val one = Seq(("a", 1L), ("a", 2L)).toDF("g", "v")
+    val r1 = Stats.anovaOneWay(one, $"g", $"v").collect()(0)
+    assert(r1.getAs[Long]("k_groups") == 1L)
+    assert(r1.isNullAt(r1.fieldIndex("f_stat"))) // k−1 = 0
+  }
 }

@@ -142,7 +142,9 @@ class ScaleDiagnosticsSpec extends SparkTestBase {
         // limits; readability is window-free in-row folds
         "rbo_rankings", "readability_fk",
         // eighth wave: both are pure aggregate joins — window-free
-        "mmd_embedding_drift", "simpson_check")) {
+        "mmd_embedding_drift", "simpson_check",
+        // ninth: ANOVA is aggregate-only (sorted fold, no windows)
+        "dow_anova")) {
       val bad = executed(q).collect {
         case w: WindowExec if w.partitionSpec.isEmpty &&
             !w.children.forall(hasAggregateBelow) => w
