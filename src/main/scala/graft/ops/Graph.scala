@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Distributed connected components — the step that turns near-duplicate
   * PAIRS into duplicate CLUSTERS (pick one survivor per component, drop
@@ -548,5 +549,91 @@ object Graph {
       .groupBy(col("v"))
       .agg(count(lit(1)).cast("long").as("degree"))
       .select(col("v").as("node"), col("degree"))
+  }
+
+  /** Degree assortativity of an undirected graph (Newman, PRL 2002) —
+    * do hubs attach to hubs (r > 0, social-network shape) or to leaves
+    * (r < 0, hub-and-spoke/core-periphery)? The single number that says
+    * which skew-mitigation a graph pipeline needs: disassortative
+    * graphs concentrate wedge work at hubs (salt/orient), assortative
+    * ones concentrate it in dense cores (sample). Computed as the exact
+    * Pearson correlation of endpoint degrees over the SYMMETRIZED edge
+    * list — each edge contributes (d_u, d_v) and (d_v, d_u), making the
+    * two marginals identical, so r = (nΣxy − (Σx)²)/(nΣx² − (Σx)²)
+    * with every sum an exact DECIMAL(38,0) and ONE final divide.
+    *
+    * Scale shape: one degree aggregate, two node-keyed joins planting
+    * degrees on edges (AQE broadcasts the degree table when small), one
+    * 4-number aggregate. Nothing quadratic anywhere.
+    */
+  def degreeAssortativity(edges: DataFrame, srcCol: String,
+                          dstCol: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val e = edges.select(col(srcCol).as("__a"), col(dstCol).as("__b"))
+    val deg = e.select(col("__a").as("__v"))
+      .union(e.select(col("__b").as("__v")))
+      .groupBy(col("__v")).agg(count(lit(1)).as("__d"))
+    val pairs = e
+      .join(deg.select(col("__v").as("__a"), col("__d").as("__da")), Seq("__a"))
+      .join(deg.select(col("__v").as("__b"), col("__d").as("__db")), Seq("__b"))
+      .select(col("__da"), col("__db"))
+    val sym = pairs.select(col("__da").as("__x"), col("__db").as("__y"))
+      .union(pairs.select(col("__db").as("__x"), col("__da").as("__y")))
+    sym.agg(count(lit(1)).as("__n"),
+        sum(col("__x").cast(dec)).as("__sx"),
+        sum((col("__x") * col("__y")).cast(dec)).as("__sxy"),
+        sum((col("__x") * col("__x")).cast(dec)).as("__sxx"))
+      .select((col("__n") / 2).cast("long").as("n_edges"),
+        ((col("__n").cast(dec) * col("__sxy") - col("__sx") * col("__sx"))
+          .cast(dec).cast("double")
+          / nullif((col("__n").cast(dec) * col("__sxx")
+            - col("__sx") * col("__sx")).cast(dec).cast("double"),
+            lit(0.0))).as("assortativity"))
+  }
+
+  /** Modularity of a GIVEN partition (Newman & Girvan, PRE 2004): how
+    * much more intra-community edge mass does the labeling capture than
+    * a degree-preserving random graph would — Q = Σ_c [m_c/m −
+    * (d_c/2m)²], the number that says whether a blocking/sharding key
+    * actually respects the graph's community structure before a
+    * partition-by-community plan is trusted. Exact form: per community
+    * the term 4·m·m_c − d_c² is an exact DECIMAL(38,0); Q is their sum
+    * with ONE final divide by 4m². Communities whose nodes never enter
+    * the edge set contribute nothing (and are not counted).
+    *
+    * Scale shape: two node-keyed joins planting community labels on
+    * edges, one aggregate per community, a 1-row fold.
+    */
+  def modularity(edges: DataFrame, srcCol: String, dstCol: String,
+                 communities: DataFrame, nodeCol: String,
+                 commCol: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val e = edges.select(col(srcCol).as("__a"), col(dstCol).as("__b"))
+    val com = communities.select(col(nodeCol).as("__v"),
+      col(commCol).cast("string").as("__c"))
+    val m = e.agg(count(lit(1)).as("__m"))
+    val ec = e
+      .join(com.select(col("__v").as("__a"), col("__c").as("__ca")), Seq("__a"))
+      .join(com.select(col("__v").as("__b"), col("__c").as("__cb")), Seq("__b"))
+    val mc = ec.filter(col("__ca") === col("__cb"))
+      .groupBy(col("__ca").as("__cc")).agg(count(lit(1)).as("__mc"))
+    val deg = e.select(col("__a").as("__v"))
+      .union(e.select(col("__b").as("__v")))
+      .groupBy(col("__v")).agg(count(lit(1)).as("__d"))
+    val dcs = deg.join(com, Seq("__v"))
+      .groupBy(col("__c")).agg(sum(col("__d")).as("__dc"))
+    dcs.join(mc, dcs("__c") === mc("__cc"), "left")
+      .crossJoin(broadcast(m))
+      .select((lit(4L).cast(dec) * col("__m").cast(dec)
+        * coalesce(col("__mc"), lit(0L)).cast(dec)
+        - col("__dc").cast(dec) * col("__dc").cast(dec)).cast(dec).as("__t"))
+      .crossJoin(broadcast(m))
+      .groupBy(col("__m"))
+      .agg(count(lit(1)).as("__k"), sum(col("__t")).cast(dec).as("__num"))
+      .select(col("__m").cast("long").as("n_edges"),
+        col("__k").cast("long").as("n_communities"),
+        (col("__num").cast("double")
+          / nullif(lit(4.0) * col("__m").cast("double")
+            * col("__m").cast("double"), lit(0.0))).as("modularity"))
   }
 }

@@ -497,6 +497,35 @@ private[graft] object QVector {
       graft.ops.Graph.triangleStats(edges, "a", "b")
     }),
 
+    "assortativity_suppliers" -> ((s, dir) => {
+      // do hub suppliers co-fulfill with other hubs, or with leaves?
+      // Newman's r over the same >=4-shared-orders graph — the number
+      // that picks the skew mitigation (salt hubs vs sample cores)
+      val edges = t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(sort_array(collect_set(col("l_suppkey"))).as("sks"))
+        .select(explode(graft.ops.Assoc.pairStructs(col("sks"))).as("__p"))
+        .groupBy(col("__p.a").as("a"), col("__p.b").as("b"))
+        .agg(count(lit(1)).as("n_co"))
+        .filter(col("n_co") >= 4)
+      graft.ops.Graph.degreeAssortativity(edges, "a", "b")
+    }),
+
+    "modularity_nations" -> ((s, dir) => {
+      // does nationality explain the co-fulfillment graph's structure?
+      // Newman-Girvan Q of the supplier->nation partition — the check
+      // before trusting nation as a graph-sharding key
+      val edges = t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(sort_array(collect_set(col("l_suppkey"))).as("sks"))
+        .select(explode(graft.ops.Assoc.pairStructs(col("sks"))).as("__p"))
+        .groupBy(col("__p.a").as("a"), col("__p.b").as("b"))
+        .agg(count(lit(1)).as("n_co"))
+        .filter(col("n_co") >= 4)
+      graft.ops.Graph.modularity(edges, "a", "b",
+        t(s, dir, "supplier"), "s_suppkey", "s_nationkey")
+    }),
+
     "triangle_suppliers_sampled" -> ((s, dir) => {
       // DOULION p=1/2 edge-sampled census on the same co-fulfillment
       // graph: the wedge join (the super-linear stage) runs on half the
@@ -1431,6 +1460,70 @@ private[graft] object QVector {
            6.0 * CAST(n_triangles AS DOUBLE)
              / NULLIF(CAST(p2x2 AS DOUBLE), 0.0) AS transitivity
          FROM ds, tri""",
+
+    // symmetrized endpoint-degree pairs; Pearson with equal marginals,
+    // exact HUGEINT sums, one divide
+    "assortativity_suppliers" ->
+      """WITH pres AS (
+           SELECT DISTINCT l_orderkey AS o, l_suppkey AS sk FROM lineitem),
+         e AS (
+           SELECT l.sk AS a, r.sk AS b
+           FROM pres l JOIN pres r ON l.o = r.o AND l.sk < r.sk
+           GROUP BY 1, 2 HAVING COUNT(*) >= 4),
+         deg AS (
+           SELECT v, CAST(COUNT(*) AS BIGINT) AS d
+           FROM (SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e)
+           GROUP BY 1),
+         pairs AS (
+           SELECT da.d AS x, db.d AS y
+           FROM e JOIN deg da ON e.a = da.v JOIN deg db ON e.b = db.v),
+         sym AS (SELECT x, y FROM pairs UNION ALL SELECT y, x FROM pairs),
+         s AS (
+           SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS HUGEINT) AS sx,
+             CAST(SUM(x * y) AS HUGEINT) AS sxy,
+             CAST(SUM(x * x) AS HUGEINT) AS sxx
+           FROM sym)
+         SELECT CAST(n / 2 AS BIGINT) AS n_edges,
+           CAST(n * sxy - sx * sx AS DOUBLE)
+             / NULLIF(CAST(n * sxx - sx * sx AS DOUBLE), 0) AS assortativity
+         FROM s""",
+
+    // per-nation 4*m*m_c - d_c^2 in HUGEINT; Q = sum / 4m^2, one divide
+    "modularity_nations" ->
+      """WITH pres AS (
+           SELECT DISTINCT l_orderkey AS o, l_suppkey AS sk FROM lineitem),
+         e AS (
+           SELECT l.sk AS a, r.sk AS b
+           FROM pres l JOIN pres r ON l.o = r.o AND l.sk < r.sk
+           GROUP BY 1, 2 HAVING COUNT(*) >= 4),
+         com AS (SELECT s_suppkey AS v, CAST(s_nationkey AS VARCHAR) AS c
+                 FROM supplier),
+         m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM e),
+         mc AS (
+           SELECT ca.c AS cc, CAST(COUNT(*) AS BIGINT) AS mc
+           FROM e JOIN com ca ON e.a = ca.v JOIN com cb ON e.b = cb.v
+           WHERE ca.c = cb.c GROUP BY 1),
+         deg AS (
+           SELECT v, CAST(COUNT(*) AS BIGINT) AS d
+           FROM (SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e)
+           GROUP BY 1),
+         dcs AS (
+           SELECT com.c, CAST(SUM(deg.d) AS BIGINT) AS dc
+           FROM deg JOIN com ON deg.v = com.v GROUP BY 1),
+         terms AS (
+           SELECT CAST(4 AS HUGEINT) * m.m * COALESCE(mc.mc, 0)
+             - CAST(dcs.dc AS HUGEINT) * dcs.dc AS t
+           FROM dcs LEFT JOIN mc ON dcs.c = mc.cc, m),
+         q AS (
+           SELECT CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(SUM(t) AS HUGEINT) AS num
+           FROM terms)
+         SELECT m.m AS n_edges, k AS n_communities,
+           CAST(num AS DOUBLE)
+             / NULLIF(4.0 * CAST(m.m AS DOUBLE) * CAST(m.m AS DOUBLE), 0)
+             AS modularity
+         FROM q, m""",
 
     // the exact census replayed on the md5-48 half-edge sample; the
     // estimate scales by (1/p)^3 = 8

@@ -144,7 +144,9 @@ class ScaleDiagnosticsSpec extends SparkTestBase {
         // eighth wave: both are pure aggregate joins — window-free
         "mmd_embedding_drift", "simpson_check",
         // ninth: ANOVA is aggregate-only (sorted fold, no windows)
-        "dow_anova")) {
+        "dow_anova",
+        // tenth: both graph metrics are degree-join + 1-row aggregates
+        "assortativity_suppliers", "modularity_nations")) {
       val bad = executed(q).collect {
         case w: WindowExec if w.partitionSpec.isEmpty &&
             !w.children.forall(hasAggregateBelow) => w
