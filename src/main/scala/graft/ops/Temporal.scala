@@ -429,6 +429,39 @@ object Temporal {
           .as("max_abs_cusum"))
   }
 
+  /** Burstiness screen — the index of dispersion (Fano factor) of each
+    * key's ACTIVE-day event counts: var/mean = 1 for a Poisson arrival
+    * process, ≫ 1 for bursty keys (scrapers, batch importers, incident
+    * storms — the traffic a crawl-rate limiter and a dedup-cost model
+    * both need to know about). The complement of [[botRegularity]]:
+    * that flags cadence TOO regular (cv → 0), this flags counts TOO
+    * clumped. Exact arithmetic: Fano = (n·Σc² − (Σc)²)/((n−1)·Σc) —
+    * integer numerator and denominator, ONE divide. Keys are ranked by
+    * dispersion with id tie-break; top-k plans as
+    * TakeOrderedAndProject.
+    *
+    * Scale shape: one (key, day) aggregate, one per-key aggregate, a
+    * bounded top-k — raw rows shuffle once on their natural key.
+    */
+  def burstiness(df: DataFrame, keyCol: String, tsCol: String,
+                 minDays: Int = 5, topK: Int = 20): DataFrame = {
+    val daily = df.groupBy(col(keyCol), to_date(col(tsCol)).as("__day"))
+      .agg(count(lit(1)).as("__c"))
+    daily.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("__c")).as("n_events"),
+        sum(col("__c") * col("__c")).as("__c2"))
+      .filter(col("n_days") >= minDays)
+      .select(col(keyCol), col("n_days").cast("long").as("n_days"),
+        col("n_events").cast("long").as("n_events"),
+        ((col("n_days") * col("__c2") - col("n_events") * col("n_events"))
+          .cast("double")
+          / nullif(((col("n_days") - 1L) * col("n_events")).cast("double"),
+            lit(0.0))).as("fano"))
+      .orderBy(col("fano").desc, col(keyCol).asc)
+      .limit(topK)
+  }
+
   /** Page–Hinkley changepoint statistic over an ALREADY-AGGREGATED
     * ordered series (Page 1954, the sequential form; Hinkley 1971) — the
     * online-monitoring complement of [[cusumChangepoint]]: where CUSUM

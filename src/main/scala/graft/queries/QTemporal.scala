@@ -452,6 +452,13 @@ private[graft] object QTemporal {
           "event_id", minGaps = 5, maxCvNum = 3, maxCvDen = 10)
         .orderBy("user_id")),
 
+    "burstiness_users" -> ((s, dir) =>
+      // the bursty complement of bot_regularity: top-20 users by the
+      // Fano factor of their active-day counts — Poisson = 1, scrapers
+      // and batch importers ≫ 1; exact integer numerator/denominator
+      Temporal.burstiness(t(s, dir, "events"), "user_id", "ts",
+        minDays = 5, topK = 20)),
+
     "rolling_median_value" -> ((s, dir) =>
       // 7-row rolling exact median of value-cents per user: bounded
       // O(frame) window buffer, interpolation exact on integer doubles
@@ -1142,6 +1149,24 @@ private[graft] object QTemporal {
 
     // same gap sums as interarrival_stats; the flag comparison is pure
     // integer arithmetic (cv <= 3/10 cross-multiplied), cv2 one divide
+    // per-user active-day counts; Fano = (n·Σc² − (Σc)²)/((n−1)·Σc),
+    // one divide; top-20 by dispersion with user tie-break
+    "burstiness_users" ->
+      """WITH d AS (
+           SELECT user_id, CAST(ts AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS c
+           FROM events GROUP BY 1, 2),
+         p AS (
+           SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_days,
+             CAST(SUM(c) AS BIGINT) AS n_events,
+             CAST(SUM(c * c) AS BIGINT) AS c2
+           FROM d GROUP BY 1)
+         SELECT user_id, n_days, n_events,
+           CAST(n_days * c2 - n_events * n_events AS DOUBLE)
+             / NULLIF(CAST((n_days - 1) * n_events AS DOUBLE), 0) AS fano
+         FROM p WHERE n_days >= 5
+         ORDER BY fano DESC, user_id LIMIT 20""",
+
     "bot_regularity" ->
       """WITH e AS (
            SELECT user_id, event_id, ts,

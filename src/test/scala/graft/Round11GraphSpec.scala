@@ -1,9 +1,9 @@
 package graft
 
-import graft.ops.Graph
+import graft.ops.{Graph, Temporal}
 
-/** Round-11 tenth wave: degree assortativity and partition modularity —
-  * hand-computed graph fixtures.
+/** Round-11 tenth wave: degree assortativity, partition modularity, and
+  * the burstiness (Fano) screen — hand-computed fixtures.
   */
 class Round11GraphSpec extends SparkTestBase {
   import spark.implicits._
@@ -39,5 +39,24 @@ class Round11GraphSpec extends SparkTestBase {
     val com = Seq((0L, "x"), (1L, "x"), (2L, "x")).toDF("v", "c")
     val r = Graph.modularity(edges, "a", "b", com, "v", "c").collect()(0)
     assert(r.getAs[Double]("modularity") == 0.0)
+  }
+
+  test("burstiness: constant days score Fano ≤ 1, a spike day dominates") {
+    import java.sql.Timestamp
+    def t(day: Int, i: Int) =
+      Timestamp.valueOf(f"2024-01-$day%02d 0$i:00:00")
+    // steady: 1 event/day × 5 days → counts [1,1,1,1,1] → Fano 0
+    // bursty: [1,1,1,1,6] → n=5, Σc=10, Σc²=40 → (200−100)/(4·10)=2.5
+    val rows =
+      (1 to 5).map(d => (1L, t(d, 1))) ++
+      ((1 to 4).map(d => (2L, t(d, 1))) ++ (1 to 6).map(i => (2L, t(5, i))))
+    val df = rows.toDF("user_id", "ts")
+    val out = Temporal.burstiness(df, "user_id", "ts", minDays = 5, topK = 10)
+      .collect()
+    assert(out.map(_.getAs[Long]("user_id")).toSeq == Seq(2L, 1L)) // bursty first
+    assert(math.abs(out(0).getAs[Double]("fano") - 2.5) < 1e-15)
+    assert(out(1).getAs[Double]("fano") == 0.0)
+    // a 4-day user misses the minDays floor
+    assert(out.length == 2)
   }
 }

@@ -145,8 +145,10 @@ class ScaleDiagnosticsSpec extends SparkTestBase {
         "mmd_embedding_drift", "simpson_check",
         // ninth: ANOVA is aggregate-only (sorted fold, no windows)
         "dow_anova",
-        // tenth: both graph metrics are degree-join + 1-row aggregates
-        "assortativity_suppliers", "modularity_nations")) {
+        // tenth: both graph metrics are degree-join + 1-row aggregates;
+        // burstiness is aggregate-then-TakeOrderedAndProject
+        "assortativity_suppliers", "modularity_nations",
+        "burstiness_users")) {
       val bad = executed(q).collect {
         case w: WindowExec if w.partitionSpec.isEmpty &&
             !w.children.forall(hasAggregateBelow) => w
