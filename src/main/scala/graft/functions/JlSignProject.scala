@@ -44,7 +44,19 @@ case class JlSignProject(first: Expression, second: Expression, third: Expressio
     else if (!second.foldable || !third.foldable)
       TypeCheckResult.TypeCheckFailure(
         s"$prettyName requires foldable k and dim (they size the driver-built sign matrix)")
-    else TypeCheckResult.TypeCheckSuccess
+    else {
+      // Validate the literal VALUES, not just foldability: a null k/dim
+      // would unbox to 0 and a negative one would blow up the matrix
+      // allocation at execution — fail analysis instead.
+      val kv = second.eval()
+      val dv = third.eval()
+      if (kv == null || dv == null)
+        TypeCheckResult.TypeCheckFailure(s"$prettyName k and dim must not be null")
+      else if (kv.asInstanceOf[Int] < 1 || dv.asInstanceOf[Int] < 1)
+        TypeCheckResult.TypeCheckFailure(
+          s"$prettyName k and dim must be >= 1, got (k=$kv, dim=$dv)")
+      else TypeCheckResult.TypeCheckSuccess
+    }
   }
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)

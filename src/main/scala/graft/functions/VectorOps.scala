@@ -1407,12 +1407,17 @@ object VectorOps {
       .agg(sum(col("__q")).as("__s"), count(lit(1)).as("__n"))
     val global = dims.groupBy(col("__d"))
       .agg(sum(col("__s")).as("__gs"))
+    // ‖g⃗‖² ONCE over the full dims relation (broadcast 1-row), not per
+    // group — a per-group Σgs² would silently cover only the dims that
+    // group's rows populate if embedding lengths were ever ragged
+    val gnorm = global.agg(
+      sum(col("__gs") * col("__gs")).cast("long").as("nb"))
     dims.join(broadcast(global), Seq("__d"))
       .groupBy(col("__g").as(groupCol))
       .agg((max(col("__n"))).cast("long").as("n_docs"),
         sum(col("__s") * col("__gs")).cast("long").as("dot"),
-        sum(col("__s") * col("__s")).cast("long").as("na"),
-        sum(col("__gs") * col("__gs")).cast("long").as("nb"))
+        sum(col("__s") * col("__s")).cast("long").as("na"))
+      .crossJoin(broadcast(gnorm))
       .withColumn("cos_to_global",
         when(col("na") === 0L || col("nb") === 0L, lit(0.0))
           .otherwise(col("dot").cast("double")

@@ -1235,15 +1235,6 @@ object Stats {
         col("n_covered").cast("double") / col("n_test").cast("double"))
   }
 
-  /** Leave-one-source-out mean impact — the ablation-free data-valuation
-    * readout (the Shapley-lite a mixture planner consults before cutting
-    * a source): for each source, the global mean of an exact-integer
-    * metric vs the mean WITHOUT that source, impact = Δ. Both means are
-    * one divide over exact long sums ((S−s_g)/(N−n_g) vs S/N) — no
-    * retraining, no second scan: one per-group aggregate plus a broadcast
-    * 1-row total. A source that IS the whole corpus reports a null
-    * without-mean (division by zero guarded to null both engines).
-    */
   /** Fleiss' κ — chance-corrected agreement among m ≥ 2 raters per item
     * (Fleiss 1971), the m-rater generalization of [[cohensKappa]] a
     * labeling pipeline needs once more than two annotators (or heuristic
@@ -1255,9 +1246,11 @@ object Stats {
     * two exact longs via the common-denominator form
     * κ = (S1·(Nm)² − S2·Nm(m−1)) / (Nm(m−1)·((Nm)² − S2)),
     * with S1 = Σ_i 2·pairAgree_i and S2 = Σ_c T_c². P̄ and P̄e are
-    * reported as fixed double formulas over the same longs. Long bounds:
-    * S1·(Nm)² ≤ 2·C(m,2)·N·(Nm)² — fine to ~10⁷ items at m=3; swap
-    * DECIMAL(38,0) past that, same plan.
+    * reported as fixed double formulas over the same longs. The
+    * cross-multiplied κ terms grow as N³ (S1·(Nm)² ≈ 54·N³ at m=3,
+    * past Long at ~5·10⁵ items), so they are computed in
+    * DECIMAL(38,0) — exact to ~10¹² items — and each side cast to
+    * double only for the final divide (oracle mirrors via HUGEINT).
     */
   def fleissKappa(df: DataFrame, raters: Seq[Column]): DataFrame = {
     require(raters.size >= 2, "fleissKappa needs >= 2 raters")
@@ -1283,12 +1276,14 @@ object Stats {
         (col("__s2").cast("double")
           / (col("n_items") * m * col("n_items") * m).cast("double"))
           .as("p_e"))
-      .withColumn("kappa",
-        (col("s1") * (col("n_items") * m) * (col("n_items") * m)
-          - col("s2") * (col("n_items") * m * (m - 1))).cast("double")
-          / ((col("n_items") * m * (m - 1))
-            * ((col("n_items") * m) * (col("n_items") * m) - col("s2")))
-            .cast("double"))
+      .withColumn("kappa", {
+        val dec = "decimal(38,0)"
+        val nm = (col("n_items") * m).cast(dec)
+        ((col("s1").cast(dec) * nm * nm
+          - col("s2").cast(dec) * nm * lit(m - 1)).cast("double")
+          / ((nm * lit(m - 1))
+            * (nm * nm - col("s2").cast(dec))).cast("double"))
+      })
   }
 
   /** Minimal detectable effect for a two-arm A/B at the standard
@@ -1371,7 +1366,10 @@ object Stats {
     val base = df
       .select(coalesce(groupACond, lit(false)).cast("long").as("__a"),
         valueCol.cast("long").as("__v"), idCol.cast("string").as("__id"))
-      .filter(col("__v").isNotNull)
+      // null ids would join the observed sums but drop out of every
+      // permutation (their md5 digests are null) — exclude them from
+      // BOTH so the null distribution covers the observed universe
+      .filter(col("__v").isNotNull && col("__id").isNotNull)
     val obs = base.agg(
       sum(col("__a")).as("__na"),
       sum(col("__a") * col("__v")).as("__sa"),
@@ -2049,6 +2047,15 @@ object Stats {
           .as("rho1_approx"))
   }
 
+  /** Leave-one-source-out mean impact — the ablation-free data-valuation
+    * readout (the Shapley-lite a mixture planner consults before cutting
+    * a source): for each source, the global mean of an exact-integer
+    * metric vs the mean WITHOUT that source, impact = Δ. Both means are
+    * one divide over exact long sums ((S−s_g)/(N−n_g) vs S/N) — no
+    * retraining, no second scan: one per-group aggregate plus a broadcast
+    * 1-row total. A source that IS the whole corpus reports a null
+    * without-mean (division by zero guarded to null both engines).
+    */
   def looSourceImpact(df: DataFrame, groupCol: String,
                       valueCol: Column): DataFrame = {
     val base = df.select(col(groupCol).as("__g"), valueCol.cast("long").as("__v"))

@@ -1926,7 +1926,7 @@ private[graft] object QAggWindow {
            SELECT CAST(doc_id AS VARCHAR) AS id,
              CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS a,
              CAST(n_chars AS BIGINT) AS v
-           FROM documents WHERE n_chars IS NOT NULL),
+           FROM documents WHERE n_chars IS NOT NULL AND doc_id IS NOT NULL),
          o AS (
            SELECT CAST(SUM(a) AS BIGINT) AS na,
              CAST(SUM(a * v) AS BIGINT) AS sa,
@@ -2167,7 +2167,8 @@ private[graft] object QAggWindow {
          FROM tst ORDER BY lang""",
 
     // in-row pairwise agreement fold + |cats|-bounded margins; κ as one
-    // divide via the common-denominator integer form
+    // divide via the common-denominator integer form (HUGEINT terms —
+    // they grow as N³, mirroring the Spark side's DECIMAL(38,0))
     "fleiss_kappa" ->
       """WITH r AS (
            SELECT
@@ -2194,10 +2195,11 @@ private[graft] object QAggWindow {
          SELECT n_items, CAST(3 AS BIGINT) AS m_raters, s1, s2,
            CAST(s1 AS DOUBLE) / CAST(n_items * 3 * 2 AS DOUBLE) AS p_bar,
            CAST(s2 AS DOUBLE) / CAST(n_items * 3 * n_items * 3 AS DOUBLE) AS p_e,
-           CAST(s1 * (n_items * 3) * (n_items * 3)
-               - s2 * (n_items * 3 * 2) AS DOUBLE)
-             / CAST((n_items * 3 * 2)
-               * ((n_items * 3) * (n_items * 3) - s2) AS DOUBLE) AS kappa
+           CAST(CAST(s1 AS HUGEINT) * (n_items * 3) * (n_items * 3)
+               - CAST(s2 AS HUGEINT) * (n_items * 3 * 2) AS DOUBLE)
+             / CAST(CAST(n_items * 3 * 2 AS HUGEINT)
+               * (CAST(n_items * 3 AS HUGEINT) * (n_items * 3) - s2)
+               AS DOUBLE) AS kappa
          FROM tot CROSS JOIN s2t""",
 
     // one exact moment aggregate; MDE at the fixed 2.8016 z-sum point
@@ -2238,12 +2240,13 @@ private[graft] object QAggWindow {
              CAST(COUNT(*) AS BIGINT) AS n
            FROM q GROUP BY 1, 2),
          gtot AS (SELECT d, CAST(SUM(s) AS BIGINT) AS gs FROM dims GROUP BY 1),
+         gnorm AS (SELECT CAST(SUM(gs * gs) AS BIGINT) AS nb FROM gtot),
          acc AS (
            SELECT g, MAX(n) AS n_docs,
              CAST(SUM(s * gs) AS BIGINT) AS dot,
              CAST(SUM(s * s) AS BIGINT) AS na,
-             CAST(SUM(gs * gs) AS BIGINT) AS nb
-           FROM dims JOIN gtot USING (d) GROUP BY 1)
+             MAX(nb) AS nb
+           FROM dims JOIN gtot USING (d) CROSS JOIN gnorm GROUP BY 1)
          SELECT g AS source, n_docs, dot, na, nb,
            CASE WHEN na = 0 OR nb = 0 THEN 0.0
              ELSE CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE))
