@@ -57,13 +57,26 @@ object AsOfProbe {
         .select(col("event_id"), col("user_id"), col("ts"), col("asof.*")))
       def nativeRun() = checksum(AsOfJoin.asOfNative(clicks, purchases,
         "user_id", "p_user_id", "ts", "p_ts"))
+      // PRUNED consumer (r12): selects only (event_id, p_event_id) — the
+      // AsOfJoinPruning rule drops the wide payload from the native
+      // path's scans/exchanges/sorts; the composed op cannot prune (its
+      // tie hash consumes the full payload struct)
+      def composedPruned() = checksum(AsOfJoin.asOf(clicks, purchases,
+        "user_id", "p_user_id", "ts", "p_ts")
+        .select(col("event_id"), col("asof.p_event_id")))
+      def nativePruned() = checksum(AsOfJoin.asOfNative(clicks, purchases,
+        "user_id", "p_user_id", "ts", "p_ts")
+        .select(col("event_id"), col("p_event_id")))
 
       val ct = (1 to 3).map(_ => time(composedRun()))
       val nt = (1 to 3).map(_ => time(nativeRun()))
-      val routed =
-        if (payloadWidth >= 48) "native" else "composed"
+      val cpt = (1 to 3).map(_ => time(composedPruned()))
+      val npt = (1 to 3).map(_ => time(nativePruned()))
+      val routed = "native" // r12 default: wideRightBytes = 0
       println(f"[asof_probe] dir=$dir extraCols=$w payloadBytes=$payloadWidth " +
         f"composed=${ct(1)}%.2f/${ct(2)}%.2f s native=${nt(1)}%.2f/${nt(2)}%.2f s " +
+        f"composedPruned=${cpt(1)}%.2f/${cpt(2)}%.2f s " +
+        f"nativePruned=${npt(1)}%.2f/${npt(2)}%.2f s " +
         s"asOfAuto(default)->$routed")
     }
     spark.stop()

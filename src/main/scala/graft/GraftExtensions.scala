@@ -19,6 +19,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // physical strategy: the native as-of merge join
     // (graft.plans.AsOfJoinNativeExec — see graft.ops.AsOfJoin.asOfNative)
     ext.injectPlannerStrategy(_ => new graft.plans.AsOfJoinStrategy)
+    // optimizer rule: column pruning through AsOfJoinPlan (Catalyst's
+    // ColumnPruning only understands built-in nodes)
+    ext.injectOptimizerRule(_ => graft.plans.AsOfJoinPruning)
     ext.injectFunction((
       new FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, null, "cosine_sim",

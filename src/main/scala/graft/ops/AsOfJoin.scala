@@ -129,35 +129,34 @@ object AsOfJoin {
         attr(left, leftTs), attr(right, rightTs)))
   }
 
-  /** Width-routed backward as-of join (VERDICT r10 item 5: make the
-    * (c)-tier native exec earn its keep): picks [[asOfNative]] when the
-    * right PAYLOAD is wide, the composed [[asOf]] otherwise — flattened
-    * to the native output shape (left columns ++ right columns, right
-    * nullable) so callers see one contract.
+  /** Routed backward as-of join: picks [[asOfNative]] whenever the
+    * session registered the planner strategy, the composed [[asOf]]
+    * otherwise — flattened to the native output shape (left columns ++
+    * right columns, right nullable) so callers see one contract.
     *
-    * Why width is the routing stat: the composed op unions both sides
-    * into one sorted window relation, so every row — including every
-    * LEFT row — carries the full right-payload struct through the sort
-    * and the window frame. Its cost grows with right WIDTH × (|L|+|R|),
-    * while the native merge sorts each side at its own width and never
-    * widens a left row until output. Narrow rights (the common
-    * key+ts+few-columns case) favor the composed op's single exchange
-    * pipeline; wide rights favor the merge. The decision uses the
-    * schema's default-size estimate of the payload columns (a plan-time
-    * constant — the `hardNegativesAuto` broadcast-threshold precedent,
-    * but on width rather than total bytes; measured crossover on the
-    * AsOfProbe fixture is well under the default).
+    * Routing history: r10 measured the composed op ahead on narrow right
+    * payloads (the union+window pipeline amortized its single exchange
+    * better than the merge's two), so this router width-gated at 48
+    * default-size bytes. r12 made [[graft.plans.AsOfJoinPruning]] give
+    * the native plan real column pruning and re-measured (AsOfProbe,
+    * two sweeps × 3 runs, sf0.1): the crossover INVERTED — native wins
+    * at every probed width now (16 B payload: 0.37–0.43 s vs 0.59–0.76 s
+    * composed; 40 B: 0.21 s vs 0.28 s; 392 B: 0.31 s vs 0.44 s), and the
+    * pruned-consumer case widens the gap further (0.17–0.29 s native vs
+    * 0.27–0.43 s composed — the composed op's tie hash consumes the full
+    * payload struct, so Catalyst can never prune it). Default is
+    * therefore native; `wideRightBytes` remains as an explicit escape
+    * (payload width strictly below it routes composed) for callers who
+    * re-measure differently on their data.
     *
-    * A right payload containing a non-orderable column (MapType) also
-    * routes native regardless of width — the composed op's xxhash64
-    * tiebreak rejects maps at analysis, the native exec's value-computed
-    * tiebreak handles them. Falls back to composed when the session did
-    * not register the planner strategy (no `graft.GraftExtensions`).
+    * A right payload containing a non-orderable column (MapType) always
+    * routes native — the composed op's xxhash64 tiebreak rejects maps at
+    * analysis, the native exec's value-computed tiebreak handles them.
     */
   def asOfAuto(left: DataFrame, right: DataFrame,
                leftKey: String, rightKey: String,
                leftTs: String, rightTs: String,
-               wideRightBytes: Int = 48): DataFrame = {
+               wideRightBytes: Int = 0): DataFrame = {
     val payload = right.schema.fields
       .filterNot(f => f.name == rightKey || f.name == rightTs)
     val payloadWidth = payload.map(_.dataType.defaultSize).sum

@@ -134,30 +134,30 @@ class AsOfNativeSpec extends SparkTestBase {
     assert(native == 202L)
   }
 
-  test("asOfAuto routes by right payload width and keeps one output contract") {
-    val narrow = rightDf // rid + px payload = 16 default-size bytes < 48
-    val wideCols = (0 until 6).map(i => (col("rid") * (i + 1)).as(s"pay_$i"))
-    val wide = rightDf.select(col("rid") +: col("rkey") +: col("rt") +:
-      col("px") +: wideCols: _*) // 16 + 48 bytes >= 48
+  test("asOfAuto defaults native (r12 inverted crossover), escape hatch routes composed") {
+    val narrow = rightDf // rid + px payload = 16 default-size bytes
 
     def execName(df: org.apache.spark.sql.DataFrame): String =
       df.queryExecution.executedPlan.toString
 
-    val narrowAuto = AsOfJoin.asOfAuto(leftDf, narrow, "key", "rkey", "t", "rt")
-    assert(!execName(narrowAuto).contains("AsOfJoinNative"),
-      "narrow right payload must route to the composed op")
-    val wideAuto = AsOfJoin.asOfAuto(leftDf, wide, "key", "rkey", "t", "rt")
-    assert(execName(wideAuto).contains("AsOfJoinNative"),
-      "wide right payload must route to the native exec")
+    // r12 default: native at ANY width (AsOfProbe re-measure after the
+    // pruning rule landed — native won every probed width)
+    val auto = AsOfJoin.asOfAuto(leftDf, narrow, "key", "rkey", "t", "rt")
+    assert(execName(auto).contains("AsOfJoinNative"),
+      "default must route to the native exec")
+    // explicit wideRightBytes still routes narrow payloads composed
+    val composedAuto = AsOfJoin.asOfAuto(leftDf, narrow,
+      "key", "rkey", "t", "rt", wideRightBytes = 1000)
+    assert(!execName(composedAuto).contains("AsOfJoinNative"),
+      "payload below an explicit threshold must route to the composed op")
 
     // same flattened output columns and the same rows on both routes
-    assert(narrowAuto.columns.toSeq ==
+    assert(auto.columns.toSeq == leftDf.columns.toSeq ++ narrow.columns.toSeq)
+    assert(composedAuto.columns.toSeq ==
       leftDf.columns.toSeq ++ narrow.columns.toSeq)
-    assert(wideAuto.columns.toSeq == leftDf.columns.toSeq ++ wide.columns.toSeq)
-    val viaComposed = narrowAuto.select($"id", $"rid", $"px")
+    val viaComposed = composedAuto.select($"id", $"rid", $"px")
       .as[(Long, Option[Long], Option[Double])].collect().toSet
-    val viaNative = AsOfJoin.asOfNative(leftDf, narrow, "key", "rkey", "t", "rt")
-      .select($"id", $"rid", $"px")
+    val viaNative = auto.select($"id", $"rid", $"px")
       .as[(Long, Option[Long], Option[Double])].collect().toSet
     assert(viaComposed == viaNative)
   }
@@ -169,6 +169,61 @@ class AsOfNativeSpec extends SparkTestBase {
     val auto = AsOfJoin.asOfAuto(l, r, "key", "rkey", "t", "rt")
     assert(auto.queryExecution.executedPlan.toString.contains("AsOfJoinNative"))
     assert(auto.select($"rid").as[Option[Long]].head().contains(200L))
+  }
+
+  test("column pruning reaches the scans below the native exec (r12)") {
+    // write both sides as parquet so ReadSchema is observable, join with
+    // a WIDE right payload, then select 2 columns — AsOfJoinPruning must
+    // push the subset into both scans
+    val dir = java.nio.file.Files.createTempDirectory("asof_prune").toString
+    leftDf.withColumn("l_extra1", $"id" * 2).withColumn("l_extra2", $"id" * 3)
+      .write.mode("overwrite").parquet(s"$dir/l")
+    rightDf.withColumn("r_extra1", $"rid" * 2).withColumn("r_extra2", $"rid" * 3)
+      .withColumn("r_extra3", $"rid" * 5)
+      .write.mode("overwrite").parquet(s"$dir/r")
+    val l = spark.read.parquet(s"$dir/l")
+    val r = spark.read.parquet(s"$dir/r")
+    val pruned = AsOfJoin.asOfNative(l, r, "key", "rkey", "t", "rt")
+      .select($"id", $"px")
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoinNative"), plan)
+    // right scan must read only {rkey, rt, px} — not rid/r_extra*
+    val reads = "ReadSchema: [^\\n]*".r.findAllIn(plan).toList
+    assert(reads.exists(s => s.contains("px") && !s.contains("r_extra1")
+      && !s.contains("rid")), s"right scan not pruned:\n$plan")
+    // left scan must read only {id, key, t} — not l_extra*
+    assert(reads.exists(s => s.contains("id") && !s.contains("l_extra1")),
+      s"left scan not pruned:\n$plan")
+    // and the pruned plan returns the same subset as the full-width one
+    val full = AsOfJoin.asOfNative(l, r, "key", "rkey", "t", "rt")
+      .collect().map(x => (x.getAs[Long]("id"), x.getAs[Any]("px"))).toSet
+    val sub = pruned.collect()
+      .map(x => (x.getAs[Long]("id"), x.getAs[Any]("px"))).toSet
+    assert(sub == full)
+  }
+
+  test("pruned tie winner is deterministic across input order (r12)") {
+    // at equal (key, ts) the exec hashes the payload AS PRUNED — the
+    // visible subset must not depend on partition/sort/input-order luck
+    val l = Seq((1L, 10L, ts("2024-01-01 12:00:00"))).toDF("id", "key", "t")
+    val rRows = Seq(
+      (200L, 10L, ts("2024-01-01 11:00:00"), "a"),
+      (201L, 10L, ts("2024-01-01 11:00:00"), "b"),
+      (202L, 10L, ts("2024-01-01 11:00:00"), "c"))
+    val winners = Seq(rRows, rRows.reverse,
+      Seq(rRows(1), rRows(2), rRows(0))).map { perm =>
+      val r = perm.toDF("rid", "rkey", "rt", "payload")
+      AsOfJoin.asOfNative(l, r, "key", "rkey", "t", "rt")
+        .select($"payload").as[String].head() // prunes rid out
+    }
+    assert(winners.distinct.size == 1, s"winner depends on input order: $winners")
+  }
+
+  test("no pruning when every column is consumed (rule is a no-op)") {
+    val df = AsOfJoin.asOfNative(leftDf, rightDf, "key", "rkey", "t", "rt")
+    val optimized = df.queryExecution.optimizedPlan.toString
+    // full-width consumer: the join's children stay unprojected
+    assert(!optimized.contains("Project"), optimized)
   }
 
   test("map-typed right payload: native exec runs and ties deterministically") {
