@@ -6,7 +6,10 @@ import org.apache.spark.sql.SparkSession
   * or a per-SQL-execution profile — composite queries like the curation
   * pipeline fire many executions: persists, localCheckpoints, convergence
   * aggregates, the final count; `profile` attributes wall time to each).
-  * Usage: runMain graft.BenchOne <queryName> [sfDir] [explain] [profile]
+  * A comma-separated name list times the queries SEQUENTIALLY in one
+  * session per run — the harness for shared in-slate artifacts
+  * (Graph.coFulfillmentEdges), where the question is the combined cost.
+  * Usage: runMain graft.BenchOne <queryName[,name2,...]> [sfDir] [explain] [profile]
   */
 object BenchOne {
   def main(args: Array[String]): Unit = {
@@ -23,7 +26,7 @@ object BenchOne {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val fn = SparkEntry.queries(name)
+    val fn = SparkEntry.queries(name.split(',').head)
     if (doExplain) fn(spark, sfDir).explain("formatted")
     if (doProfile) {
       // Warm once so the profile measures steady-state, then record every
@@ -72,12 +75,20 @@ object BenchOne {
     // three timed runs: first includes planning+codegen, later runs are
     // warm. Cache is cleared between runs (Bench does the same after every
     // query), so a persist() inside the query is re-materialized each run —
-    // the warm number reflects what the slate actually pays.
+    // the warm number reflects what the slate actually pays. A name LIST
+    // runs each query in sequence inside the run (clearCache between
+    // queries, like the slate) and reports the combined wall too.
+    val names = name.split(',').toSeq
     for (i <- 1 to 3) {
       val t0 = System.nanoTime()
-      val n = fn(spark, sfDir).count()
-      println(f"[bench_one] $name run$i: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
-      spark.catalog.clearCache()
+      names.foreach { n =>
+        val q0 = System.nanoTime()
+        val rows = SparkEntry.queries(n)(spark, sfDir).count()
+        println(f"[bench_one] $n run$i: ${(System.nanoTime() - q0) / 1e9}%.2f s ($rows rows)")
+        spark.catalog.clearCache()
+      }
+      if (names.size > 1)
+        println(f"[bench_one] combined(${names.size} queries) run$i: ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
     spark.stop()
   }

@@ -480,66 +480,42 @@ private[graft] object QVector {
         .orderBy("qid", "rank")
     }),
 
-    "triangle_suppliers" -> ((s, dir) => {
+    // The four queries below share ONE materialized co-fulfillment edge
+    // census per slate run (Graph.coFulfillmentEdges, r12 — the census
+    // was paid 10.9–12.6 s per consumer at 10× when built inline).
+
+    "triangle_suppliers" -> ((s, dir) =>
       // supplier co-fulfillment graph (≥4 shared orders): exact triangle
       // census via degree-ordered orientation — wedge work is bounded by
       // out-degree², not hub degree²
-      // one shuffle to per-order supplier sets (collect_set dedupes and
-      // merges map-side; set size is bounded by the order's line count),
-      // then in-row pair expansion — no presence self-join
-      val edges = t(s, dir, "lineitem")
-        .groupBy(col("l_orderkey"))
-        .agg(sort_array(collect_set(col("l_suppkey"))).as("sks"))
-        .select(explode(graft.ops.Assoc.pairStructs(col("sks"))).as("__p"))
-        .groupBy(col("__p.a").as("a"), col("__p.b").as("b"))
-        .agg(count(lit(1)).as("n_co"))
-        .filter(col("n_co") >= 4)
-      graft.ops.Graph.triangleStats(edges, "a", "b")
-    }),
+      graft.ops.Graph.triangleStats(
+        graft.ops.Graph.coFulfillmentEdges(t(s, dir, "lineitem"), dir),
+        "a", "b")),
 
-    "assortativity_suppliers" -> ((s, dir) => {
+    "assortativity_suppliers" -> ((s, dir) =>
       // do hub suppliers co-fulfill with other hubs, or with leaves?
       // Newman's r over the same >=4-shared-orders graph — the number
       // that picks the skew mitigation (salt hubs vs sample cores)
-      val edges = t(s, dir, "lineitem")
-        .groupBy(col("l_orderkey"))
-        .agg(sort_array(collect_set(col("l_suppkey"))).as("sks"))
-        .select(explode(graft.ops.Assoc.pairStructs(col("sks"))).as("__p"))
-        .groupBy(col("__p.a").as("a"), col("__p.b").as("b"))
-        .agg(count(lit(1)).as("n_co"))
-        .filter(col("n_co") >= 4)
-      graft.ops.Graph.degreeAssortativity(edges, "a", "b")
-    }),
+      graft.ops.Graph.degreeAssortativity(
+        graft.ops.Graph.coFulfillmentEdges(t(s, dir, "lineitem"), dir),
+        "a", "b")),
 
-    "modularity_nations" -> ((s, dir) => {
+    "modularity_nations" -> ((s, dir) =>
       // does nationality explain the co-fulfillment graph's structure?
       // Newman-Girvan Q of the supplier->nation partition — the check
       // before trusting nation as a graph-sharding key
-      val edges = t(s, dir, "lineitem")
-        .groupBy(col("l_orderkey"))
-        .agg(sort_array(collect_set(col("l_suppkey"))).as("sks"))
-        .select(explode(graft.ops.Assoc.pairStructs(col("sks"))).as("__p"))
-        .groupBy(col("__p.a").as("a"), col("__p.b").as("b"))
-        .agg(count(lit(1)).as("n_co"))
-        .filter(col("n_co") >= 4)
-      graft.ops.Graph.modularity(edges, "a", "b",
-        t(s, dir, "supplier"), "s_suppkey", "s_nationkey")
-    }),
+      graft.ops.Graph.modularity(
+        graft.ops.Graph.coFulfillmentEdges(t(s, dir, "lineitem"), dir),
+        "a", "b", t(s, dir, "supplier"), "s_suppkey", "s_nationkey")),
 
-    "triangle_suppliers_sampled" -> ((s, dir) => {
+    "triangle_suppliers_sampled" -> ((s, dir) =>
       // DOULION p=1/2 edge-sampled census on the same co-fulfillment
       // graph: the wedge join (the super-linear stage) runs on half the
       // edges; n_triangles_est scales by 2³ — the deterministic
       // md5-48 edge sample an external twin replays exactly
-      val edges = t(s, dir, "lineitem")
-        .groupBy(col("l_orderkey"))
-        .agg(sort_array(collect_set(col("l_suppkey"))).as("sks"))
-        .select(explode(graft.ops.Assoc.pairStructs(col("sks"))).as("__p"))
-        .groupBy(col("__p.a").as("a"), col("__p.b").as("b"))
-        .agg(count(lit(1)).as("n_co"))
-        .filter(col("n_co") >= 4)
-      graft.ops.Graph.triangleStatsSampled(edges, "a", "b", num = 1, den = 2)
-    }),
+      graft.ops.Graph.triangleStatsSampled(
+        graft.ops.Graph.coFulfillmentEdges(t(s, dir, "lineitem"), dir),
+        "a", "b", num = 1, den = 2)),
 
   )
 
