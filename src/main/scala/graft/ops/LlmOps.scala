@@ -496,8 +496,21 @@ object LlmOps {
     // collisions, while postings/verification payloads shrink ~8x and all
     // compares become integer ops. The numeric sort is the global prefix
     // order.
-    val sets = df.select(col(blockCol).as("__blk"), col(idCol),
-        array_sort(shingleHashesBest(df, col(textCol), shingleN)).as("__sh"))
+    jaccardPairsFromSets(
+      df.select(col(blockCol).as("__blk"), col(idCol),
+        array_sort(shingleHashesBest(df, col(textCol), shingleN)).as("__sh")),
+      idCol, threshold)
+  }
+
+  /** The [[jaccardPairs]] PPJoin verify pass over PRECOMPUTED shingle
+    * sets — input is (`__blk`, id, `__sh` SORTED array<long>). This is the
+    * entry the shared dedup-eval store ([[DedupEvalStore]]) feeds, so one
+    * exact-verify pass serves every eval query in a slate run;
+    * [[jaccardPairs]] derives the sets from text and delegates here.
+    */
+  def jaccardPairsFromSets(setsIn: DataFrame, idCol: String,
+                           threshold: Double): DataFrame = {
+    val sets = setsIn
       .withColumn("__sz", size(col("__sh")))
       .filter(col("__sz") > 0)
       .persist()
@@ -2096,6 +2109,37 @@ object LlmOps {
           .otherwise(col("n_hit").cast("double") / col("n_truth")).as("recall"))
   }
 
+  /** [[nearDupEval]] from the shared [[DedupEvalStore]] artifact: truth is
+    * the store's exact-verified pair relation filtered at `threshold`
+    * (lossless — the store verifies at a floor ≤ threshold over the SAME
+    * md5-48 shingle sets the grid join intersected, so the filtered subset
+    * is bit-identical to the in-op truth), candidates are the production
+    * banded path over the store's signatures. The O(block²) ground-truth
+    * pass is paid once per slate run instead of per eval query.
+    */
+  def nearDupEvalFromStore(sigs: DataFrame, verifiedPairs: DataFrame,
+                           idCol: String, threshold: Double, bands: Int,
+                           rowsPerBand: Int, maxBucketSize: Int): DataFrame = {
+    val sets = sigs.select(col("blk").as("__blk"), col(idCol),
+      col("sh").as("__sh"), col("sig").as("__sig"))
+    val truth = verifiedPairs.filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b")
+    val blkOf = sets.select(col(idCol), col("__blk"))
+    val candB = lshCandidatePairs(sets, idCol, bands, rowsPerBand, maxBucketSize)
+      .join(blkOf.select(col(idCol).as("id_a"), col("__blk").as("__ba")), "id_a")
+      .join(blkOf.select(col(idCol).as("id_b"), col("__blk").as("__bb")), "id_b")
+      .filter(col("__ba") === col("__bb"))
+      .select("id_a", "id_b")
+    val nT = truth.agg(count(lit(1)).as("n_truth"))
+    val nC = candB.agg(count(lit(1)).as("n_candidates"))
+    val nH = truth.join(candB, Seq("id_a", "id_b"))
+      .agg(count(lit(1)).as("n_hit"))
+    nT.crossJoin(nC).crossJoin(nH)
+      .select(col("n_truth"), col("n_candidates"), col("n_hit"),
+        when(col("n_truth") === 0, lit(null).cast("double"))
+          .otherwise(col("n_hit").cast("double") / col("n_truth")).as("recall"))
+  }
+
   /** Corpus heavy hitters via the native k-counter Misra–Gries aggregate,
     * emitted as a CONTRACT: the deterministic output rows are the EXACT
     * heavy hitters (true count > N/(k+1), computed alongside), and each
@@ -2733,10 +2777,18 @@ object LlmOps {
   def lshRecallEstimate(df: DataFrame, idCol: String, textCol: String,
                         blockCol: String, shingleN: Int,
                         floorThreshold: Double, bands: Int,
-                        rowsPerBand: Int): DataFrame = {
+                        rowsPerBand: Int): DataFrame =
+    lshRecallFromPairs(
+      jaccardPairs(df, idCol, textCol, blockCol, shingleN, floorThreshold),
+      bands, rowsPerBand)
+
+  /** [[lshRecallEstimate]]'s S-curve rollup over an ALREADY-VERIFIED pair
+    * relation (id_a, id_b, jaccard) — the entry the shared
+    * [[DedupEvalStore]] artifact feeds.
+    */
+  def lshRecallFromPairs(pairs: DataFrame, bands: Int,
+                         rowsPerBand: Int): DataFrame = {
     require(bands > 0 && rowsPerBand > 0)
-    val pairs = jaccardPairs(df, idCol, textCol, blockCol, shingleN,
-      floorThreshold)
     def ipow(c: Column, n: Int): Column =
       (1 until n).foldLeft(c)((acc, _) => acc * c)
     val capture = lit(1.0) - ipow(lit(1.0) - ipow(col("jaccard"), rowsPerBand), bands)
