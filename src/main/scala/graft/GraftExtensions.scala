@@ -22,6 +22,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // optimizer rule: column pruning through AsOfJoinPlan (Catalyst's
     // ColumnPruning only understands built-in nodes)
     ext.injectOptimizerRule(_ => graft.plans.AsOfJoinPruning)
+    // SQL-text surface for the native as-of: asof_native(...) table
+    // function + the analyzer rule that binds its column names once the
+    // relations resolve (graft.plans.AsOfJoinSql)
+    ext.injectResolutionRule(_ => new graft.plans.ResolveAsOfJoin)
+    ext.injectTableFunction((
+      new FunctionIdentifier("asof_native"),
+      new ExpressionInfo(classOf[graft.plans.UnresolvedAsOfJoin].getName,
+        null, "asof_native",
+        "asof_native(left_table, right_table, left_key, right_key, left_ts, right_ts) - backward as-of join on the native merge exec; right columns null-padded when no at-or-before row exists", ""),
+      (children: Seq[Expression]) => graft.plans.UnresolvedAsOfJoin.fromArgs(children)))
     ext.injectFunction((
       new FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, null, "cosine_sim",

@@ -1,0 +1,71 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression, Literal}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.StringType
+import org.apache.spark.unsafe.types.UTF8String
+
+/** SQL-text surface for the native as-of join (VERDICT r11 item 6): a
+  * table-valued function
+  * `asof_native('left_table', 'right_table', 'lkey', 'rkey', 'lts', 'rts')`
+  * registered through `SparkSessionExtensions.injectTableFunction`, so a
+  * reference user can issue the whole-operator custom plan from raw SQL —
+  * the (c)-tier analog of what `hashed_shingles`/`gram_matrix` already
+  * prove for scalar/aggregate natives.
+  *
+  * Resolution is two-phase, the standard Catalyst shape for TVFs that
+  * reference relations by name: the function builder (which only sees
+  * literal arguments) plants [[UnresolvedAsOfJoin]] holding
+  * `UnresolvedRelation` children plus the four column NAMES; the injected
+  * analyzer rule [[ResolveAsOfJoin]] waits until the analyzer has resolved
+  * both children, binds the names to attributes with the session resolver
+  * (so case sensitivity follows `spark.sql.caseSensitive`), and rewrites
+  * to the planner-visible [[AsOfJoinPlan]] — from there the strategy,
+  * pruning rule and exec are exactly the DataFrame path's.
+  */
+case class UnresolvedAsOfJoin(left: LogicalPlan, right: LogicalPlan,
+                              leftKey: String, rightKey: String,
+                              leftTs: String, rightTs: String)
+    extends BinaryNode {
+  override lazy val resolved: Boolean = false
+  override def output: Seq[Attribute] = Nil
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): UnresolvedAsOfJoin =
+    copy(left = newLeft, right = newRight)
+}
+
+object UnresolvedAsOfJoin {
+  /** The injectTableFunction builder: six foldable string arguments. */
+  def fromArgs(exprs: Seq[Expression]): LogicalPlan = {
+    def str(e: Expression, what: String): String = e match {
+      case Literal(s: UTF8String, StringType) => s.toString
+      case other => throw new IllegalArgumentException(
+        s"asof_native: $what must be a string literal, got $other")
+    }
+    require(exprs.length == 6,
+      "asof_native(left_table, right_table, left_key, right_key, left_ts, right_ts) takes 6 arguments")
+    UnresolvedAsOfJoin(
+      UnresolvedRelation(str(exprs.head, "left_table").split('.').toSeq),
+      UnresolvedRelation(str(exprs(1), "right_table").split('.').toSeq),
+      str(exprs(2), "left_key"), str(exprs(3), "right_key"),
+      str(exprs(4), "left_ts"), str(exprs(5), "right_ts"))
+  }
+}
+
+class ResolveAsOfJoin extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.resolveOperatorsUp {
+      case u @ UnresolvedAsOfJoin(l, r, lk, rk, lts, rts)
+          if l.resolved && r.resolved =>
+        def attr(p: LogicalPlan, n: String, side: String): Attribute =
+          p.output.find(a => conf.resolver(a.name, n)).getOrElse(
+            throw new IllegalArgumentException(
+              s"asof_native: column $n not found on the $side side " +
+                s"(${p.output.map(_.name).mkString(", ")})"))
+        AsOfJoinPlan(l, r,
+          attr(l, lk, "left"), attr(r, rk, "right"),
+          attr(l, lts, "left"), attr(r, rts, "right"))
+    }
+}

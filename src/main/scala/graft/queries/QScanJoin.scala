@@ -343,6 +343,41 @@ private[graft] object QScanJoin {
         FROM s GROUP BY lang ORDER BY lang""")
     }),
 
+    "sql_surface_q3" -> ((s, dir) => {
+      // the WHOLE-OPERATOR SQL surface (VERDICT r11 item 6): the native
+      // as-of merge join issued as the asof_native(...) TABLE FUNCTION
+      // (injectTableFunction + resolution rule) and the native
+      // gram_matrix AGGREGATE, both inside one raw-SQL statement — a
+      // reference user reaches the (c)-tier custom plan and the
+      // TypedImperativeAggregate from plain SQL text. The as-of arm is
+      // consumed through tie-insensitive counts; the gram arm through
+      // the exact integer trace — both DuckDB-replayable.
+      Tables.registerViews(s, dir)
+      s.sql("""CREATE OR REPLACE TEMPORARY VIEW v_q3_clicks AS
+               SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'click'""")
+      s.sql("""CREATE OR REPLACE TEMPORARY VIEW v_q3_purchases AS
+               SELECT user_id AS p_user_id, ts AS p_ts FROM events
+               WHERE event_type = 'purchase'""")
+      s.sql("""
+        WITH j AS (
+          SELECT * FROM asof_native('v_q3_clicks', 'v_q3_purchases',
+                                    'user_id', 'p_user_id', 'ts', 'p_ts')),
+        a AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_clicks,
+            CAST(SUM(CASE WHEN p_ts IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_matched
+          FROM j),
+        g AS (
+          SELECT gm.n AS n_vecs,
+            aggregate(gm.cells, CAST(0 AS BIGINT),
+              (acc, c) -> acc + (CASE WHEN c.i = c.j THEN c.gram
+                                 ELSE CAST(0 AS BIGINT) END)) AS gram_trace
+          FROM (SELECT gram_matrix(embedding, 64) AS gm FROM embeddings))
+        SELECT a.n_clicks, a.n_matched, g.n_vecs, g.gram_trace
+        FROM a CROSS JOIN g""")
+    }),
+
     "contract_violations" -> ((s, dir) =>
       // post-load publish gate: the whole contract in ONE aggregate pass
       // — |rules| output rows, null predicate counts as violation
@@ -694,6 +729,38 @@ private[graft] object QScanJoin {
            CAST(COUNT(DISTINCT h) AS BIGINT) AS n_distinct_shingles,
            CAST(COUNT(*) AS BIGINT) AS n_shingle_occurrences
          FROM s GROUP BY lang ORDER BY lang""",
+
+    // the asof_native TVF arm replayed by DuckDB's ASOF LEFT JOIN
+    // (tie-insensitive counts), the gram_matrix arm by the exact
+    // quantized trace Σ_docs Σ_d floor(v·1000)² (same milli-unit
+    // quantization, 64-length/null guards mirror the aggregate's skips)
+    "sql_surface_q3" ->
+      """WITH c AS (
+           SELECT event_id, user_id, ts FROM events
+           WHERE event_type = 'click'),
+         p AS (
+           SELECT user_id AS p_user_id, ts AS p_ts FROM events
+           WHERE event_type = 'purchase'),
+         j AS (
+           SELECT c.event_id, p.p_ts
+           FROM c ASOF LEFT JOIN p
+             ON c.user_id = p.p_user_id AND c.ts >= p.p_ts),
+         a AS (
+           SELECT CAST(COUNT(*) AS BIGINT) AS n_clicks,
+             CAST(SUM(CASE WHEN p_ts IS NOT NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_matched
+           FROM j),
+         g AS (
+           SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs,
+             CAST(SUM(list_reduce(list_transform(embedding,
+                 v -> CAST(floor(CAST(v AS DOUBLE) * 1000) AS BIGINT)
+                   * CAST(floor(CAST(v AS DOUBLE) * 1000) AS BIGINT)),
+               (x, y) -> x + y)) AS BIGINT) AS gram_trace
+           FROM embeddings
+           WHERE embedding IS NOT NULL AND len(embedding) = 64
+             AND len(list_filter(embedding, v -> v IS NULL)) = 0)
+         SELECT a.n_clicks, a.n_matched, g.n_vecs, g.gram_trace
+         FROM a CROSS JOIN g""",
 
     "contract_violations" ->
       """WITH m AS (

@@ -226,6 +226,28 @@ class AsOfNativeSpec extends SparkTestBase {
     assert(!optimized.contains("Project"), optimized)
   }
 
+  test("asof_native is callable from raw SQL text and plans the native exec (r12)") {
+    leftDf.createOrReplaceTempView("v_asof_l")
+    rightDf.createOrReplaceTempView("v_asof_r")
+    val viaSql = spark.sql(
+      """SELECT id, rid, px
+         FROM asof_native('v_asof_l', 'v_asof_r', 'key', 'rkey', 't', 'rt')""")
+    assert(viaSql.queryExecution.executedPlan.toString.contains("AsOfJoinNative"))
+    val got = viaSql.as[(Long, Option[Long], Option[Double])].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    val viaApi = AsOfJoin.asOfNative(leftDf, rightDf, "key", "rkey", "t", "rt")
+      .select($"id", $"rid", $"px")
+      .as[(Long, Option[Long], Option[Double])].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got == viaApi)
+    // bad column name fails analysis with the side named
+    val ex = intercept[Exception] {
+      spark.sql("SELECT * FROM asof_native('v_asof_l','v_asof_r','nope','rkey','t','rt')")
+        .collect()
+    }
+    assert(ex.getMessage.contains("nope"))
+  }
+
   test("map-typed right payload: native exec runs and ties deterministically") {
     // the composed op cannot take this input at all (xxhash64 rejects
     // MapType at analysis); the native tiebreak hashes the map value, so
