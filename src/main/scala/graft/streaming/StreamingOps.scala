@@ -294,6 +294,75 @@ object StreamingOps {
       .withColumn("gap", abs(col("acc") - col("conf")))
   }
 
+  case class RocObs(k: Int, s: Long, y: Boolean)
+  case class RocState(pos: Map[Long, Long], neg: Map[Long, Long])
+  case class RocPoint(threshold: Long, tp: Long, fp: Long,
+                      n_pos: Long, n_neg: Long, tpr: Option[Double],
+                      fpr: Option[Double], precision: Option[Double])
+
+  /** Live ROC curve of the production classifier — the streaming face of
+    * [[graft.ops.Stats.rocCurve]] (VERDICT r11 item 7: the monitoring
+    * story is "did last night's threshold choice still discriminate
+    * TODAY"). State is the per-score (positive, negative) histogram over
+    * permille-clamped scores — ≤ 1001 entries, the
+    * [[calibrationCurveStream]] clamp discipline giving the same bound
+    * the batch op gets from its caller's contract — held by ONE
+    * `flatMapGroupsWithState` group; each update emits the FULL
+    * cumulative curve (threshold-descending tp/fp sweeps computed
+    * in-state, exactly the batch op's two running sums), so the latest
+    * emission per threshold IS the stream-to-date ROC. Batch parity is
+    * spec-asserted against [[graft.ops.Stats.rocCurve]] on the clamped
+    * prefix.
+    *
+    * Single-group state is deliberate: the curve is a global statistic,
+    * the state is ~16 KB, and the heavy work (scoring) happened
+    * upstream — the same trade [[vocabNoveltyStream]] makes per key.
+    * Null scores drop; null labels coalesce to false (the batch
+    * contract).
+    */
+  def rocCurveStream(df: DataFrame, scoreCol: String,
+                     labelCol: String): Dataset[RocPoint] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val obs = df
+      .select(col(scoreCol).cast("long").as("__s0"),
+        coalesce(col(labelCol).cast("boolean"), lit(false)).as("y"))
+      .filter(col("__s0").isNotNull)
+      .select(lit(0).as("k"),
+        least(greatest(col("__s0"), lit(0L)), lit(1000L)).as("s"), col("y"))
+      .as[RocObs]
+    obs.groupByKey(_.k)
+      .flatMapGroupsWithState[RocState, RocPoint](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (_: Int, rows: Iterator[RocObs], state: GroupState[RocState]) =>
+          val st0 = state.getOption.getOrElse(
+            RocState(Map.empty[Long, Long], Map.empty[Long, Long]))
+          var pos = st0.pos
+          var neg = st0.neg
+          rows.foreach { r =>
+            if (r.y) pos = pos.updated(r.s, pos.getOrElse(r.s, 0L) + 1L)
+            else neg = neg.updated(r.s, neg.getOrElse(r.s, 0L) + 1L)
+          }
+          state.update(RocState(pos, neg))
+          val nPos = pos.values.sum
+          val nNeg = neg.values.sum
+          val scores = (pos.keySet ++ neg.keySet).toArray.sorted(
+            Ordering[Long].reverse)
+          var tp = 0L
+          var fp = 0L
+          // materialized (≤ 1001 rows): the cumulative sweep must not
+          // interleave with downstream lazy consumption
+          scores.toSeq.map { s =>
+            tp += pos.getOrElse(s, 0L)
+            fp += neg.getOrElse(s, 0L)
+            RocPoint(s, tp, fp, nPos, nNeg,
+              if (nPos == 0L) None else Some(tp.toDouble / nPos),
+              if (nNeg == 0L) None else Some(fp.toDouble / nNeg),
+              if (tp + fp == 0L) None else Some(tp.toDouble / (tp + fp)))
+          }.iterator
+      }
+  }
+
   /** Live split-conformal gate — the serving face of
     * [[graft.ops.Stats.conformalThreshold]]: the batch-fitted per-group
     * thresholds are a STATIC relation (broadcast, re-resolved per

@@ -122,6 +122,52 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming ROC curve: latest emission matches the batch rocCurve (r12)") {
+    // two micro-batches; scores clamp to [0,1000] like the stream face,
+    // and the LAST emission per threshold must equal Stats.rocCurve over
+    // the full clamped prefix. Includes a null label (coalesces false)
+    // and an out-of-range score (clamps to 1000).
+    val rows1 = Seq((900L, Some(true)), (700L, Some(false)), (900L, Some(true)))
+    val rows2 = Seq((400L, Option.empty[Boolean]), (1200L, Some(true)),
+      (700L, Some(true)))
+    val input = MemoryStream[(Long, Option[Boolean])]
+    val stream = StreamingOps.rocCurveStream(
+      input.toDF().toDF("s", "y"), "s", "y")
+    val q = stream.toDF().writeStream
+      .format("memory").queryName("roc").outputMode("update").start()
+    try {
+      input.addData(rows1: _*)
+      q.processAllAvailable()
+      input.addData(rows2: _*)
+      q.processAllAvailable()
+      // update mode appends each emission: the stream-to-date curve is
+      // the LAST emission per threshold (n monotonically grows, so the
+      // max (tp+fp) row per threshold is the latest)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("threshold")
+        .orderBy(col("tp").desc, col("fp").desc)
+      val got = spark.table("roc")
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).drop("__rn")
+        .orderBy(col("threshold").desc)
+        .collect().map(r => (r.getAs[Long]("threshold"), r.getAs[Long]("tp"),
+          r.getAs[Long]("fp"), r.getAs[Long]("n_pos"), r.getAs[Long]("n_neg"),
+          r.getAs[Double]("tpr"), r.getAs[Double]("fpr"),
+          r.getAs[Double]("precision"))).toSeq
+      val clamped = (rows1 ++ rows2)
+        .map { case (s, y) => (math.min(math.max(s, 0L), 1000L), y) }
+        .toDF("s", "y")
+      val batch = graft.ops.Stats.rocCurve(clamped, $"s", $"y")
+        .orderBy(col("threshold").desc)
+        .collect().map(r => (r.getAs[Long]("threshold"), r.getAs[Long]("tp"),
+          r.getAs[Long]("fp"), r.getAs[Long]("n_pos"), r.getAs[Long]("n_neg"),
+          r.getAs[Double]("tpr"), r.getAs[Double]("fpr"),
+          r.getAs[Double]("precision"))).toSeq
+      assert(got == batch, s"stream=$got batch=$batch")
+      assert(got.nonEmpty && got.head._1 == 1000L) // 1200 clamped to 1000
+    } finally q.stop()
+  }
+
   test("streaming conformal gate applies static thresholds; unknown group fails open") {
     val thr = Seq(("en", Some(500L)), ("fr", Some(300L)), ("de", Option.empty[Long]))
       .toDF("lang", "thr")
