@@ -79,7 +79,10 @@ object BenchOne {
     // runs each query in sequence inside the run (clearCache between
     // queries, like the slate) and reports the combined wall too.
     val names = name.split(',').toSeq
-    for (i <- 1 to 3) {
+    // SPARK_GRAFT_BENCH_RUNS: run count (default 3) — the 100× probes
+    // run 2 to fit a wall-clock budget (run1 cold, run2 warm)
+    val nRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    for (i <- 1 to nRuns) {
       val t0 = System.nanoTime()
       names.foreach { n =>
         val q0 = System.nanoTime()

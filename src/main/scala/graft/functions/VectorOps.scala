@@ -794,6 +794,27 @@ object VectorOps {
       .filter(col("rank") <= topK)
   }
 
+  /** FAISS-style probe width with a PER-QUERY SCAN BUDGET (r12, the 100×
+    * probe finding): the unbounded-batch IVF paths used
+    * nProbe = 0.4·nCells — a fixed FRACTION of the corpus per query, so
+    * total work grew as 0.04·|C|² (measured 23× wall for 10× data at the
+    * 100× probe). Capping the expected vectors scanned per query at
+    * `budget` (nProbe·|C|/nCells ≤ budget) turns the tail into
+    * O(|Q|·budget) — linear — while the 0.4 fraction still applies
+    * wherever it scans LESS than the budget: at the oracled SFs
+    * (sf0.001/0.01/0.1 scan ≤ ~1.9k vectors/query) the cap never binds,
+    * so tested outputs and the audit-band contracts are unchanged.
+    * Real clustered embeddings want a fixed small nProbe; the synthetic
+    * uniform corpus needs the wide fraction for recall — the budget is
+    * the scale guard between those regimes.
+    */
+  def probeWidth(nCands: Long, nCells: Int, budget: Long = 4096L): Int = {
+    val frac = math.max(2, math.ceil(nCells * 0.4).toInt)
+    val cap = math.max(2,
+      math.floor(budget.toDouble * nCells / math.max(1L, nCands)).toInt)
+    math.min(frac, cap)
+  }
+
   /** IVF query: score the query against the centroids (tiny, collected),
     * pick the nProbe nearest cells, exact-cosine only within them.
     */

@@ -464,7 +464,10 @@ object LlmOps {
     val b = withSets.select(col(idCol).as("id_b"),
       col("__sh").as("__sh_b"), col("__sig").as("__sig_b"))
     candidates
-      .join(a, "id_a").join(b, "id_b")
+      // merge-hinted: a corpus-sized sets side must never broadcast (see
+      // jaccardPairsFromSets — AQE's compressed stats under-size verbatim
+      // duplicates)
+      .join(a.hint("merge"), "id_a").join(b.hint("merge"), "id_b")
       .select(col("id_a"), col("id_b"),
         jaccard(col("__sh_a"), col("__sh_b")).as("jaccard"),
         (size(filter(zip_with(col("__sig_a"), col("__sig_b"), (x, y) => x === y),
@@ -544,10 +547,17 @@ object LlmOps {
       .select(col("id_a"), col("__b.__ids").as("id_b"))
       .distinct()
 
+    // merge-hinted verify joins (r12, the 100× probe failure): the sets
+    // relation is corpus-sized BY DEFINITION, but verbatim-duplicate
+    // shingle arrays compress so well in shuffle that AQE's compressed
+    // stats can mis-route it to a broadcast — which collects the
+    // DESERIALIZED relation (~1.8 GB at the 100× probe) through the
+    // driver and dies on maxResultSize. A corpus-sized side must never
+    // broadcast; the hint pins the shuffled sort-merge plan.
     val sa = sets.select(col(idCol).as("id_a"), col("__sh").as("__sh_a"))
     val sb = sets.select(col(idCol).as("id_b"), col("__sh").as("__sh_b"))
     candidates
-      .join(sa, "id_a").join(sb, "id_b")
+      .join(sa.hint("merge"), "id_a").join(sb.hint("merge"), "id_b")
       .select(col("id_a"), col("id_b"), jaccard(col("__sh_a"), col("__sh_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
@@ -3057,7 +3067,9 @@ object LlmOps {
       col("__sz").as("__sz_a"))
     val sb = sets.select(col(idCol).as("id_b"), col("__sh").as("__sh_b"))
     candidates
-      .join(sa, "id_a").join(sb, "id_b")
+      // merge-hinted: corpus-sized sets must never broadcast (see
+      // jaccardPairsFromSets)
+      .join(sa.hint("merge"), "id_a").join(sb.hint("merge"), "id_b")
       .select(col("id_a"), col("id_b"),
         size(array_intersect(col("__sh_a"), col("__sh_b"))).cast("long")
           .as("n_common"),

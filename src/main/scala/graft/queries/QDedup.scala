@@ -227,19 +227,20 @@ private[graft] object QDedup {
     "near_dup_eval" -> ((s, dir) => {
       // banding-parameter calibration: recall of the production LSH
       // candidate path against exact same-block Jaccard ground truth.
-      // The eval universe is a deterministic 1-in-2 hash sample — ground
-      // truth is O(block²) BY DESIGN, so the op's own contract is to run
-      // it on a sample, and the declared query practices that (the
-      // sampled block² cost stays bounded as the corpus grows only if
-      // the sample is capped; 1-in-2 keeps sf0.01 truth pairs non-empty).
-      // r12: truth and candidates come from the shared DedupEvalStore
-      // (m=2) — at the benched SFs m=ceil(n/2500)=2, so all three eval
-      // queries hit ONE store; the 0.5-floor verified pairs filtered at
-      // 0.7 are bit-identical to the former in-op grid-join truth (same
-      // md5-48 sets, lossless threshold subset).
+      // The eval universe is the SIZE-CAPPED deterministic 1-in-m hash
+      // sample (m = max(2, ceil(n/2500)) — ground truth is O(block²) BY
+      // DESIGN, so the op's contract is to run it on a ~bounded sample;
+      // the fixed 1-in-2 rate the query used through r11 left the truth
+      // pair space growing quadratically with the corpus — the 100×
+      // probe's disk-filling failure, VERDICT r11 item 4). At every
+      // oracled SF m = 2, so tested values are unchanged. r12: truth and
+      // candidates come from the shared DedupEvalStore — all three eval
+      // queries hit ONE store at every SF; the 0.5-floor verified pairs
+      // filtered at 0.7 are bit-identical to the former in-op grid-join
+      // truth (same md5-48 sets, lossless threshold subset).
       val docs = t(s, dir, "documents")
       val st = graft.ops.DedupEvalStore.get(docs, "doc_id", "text", "lang",
-        dir, m = 2)
+        dir, graft.ops.DedupEvalStore.sampleM(docs, dir))
       LlmOps.nearDupEvalFromStore(
         graft.ops.DedupEvalStore.sigs(s, st),
         graft.ops.DedupEvalStore.pairs(s, st),
@@ -957,9 +958,13 @@ private[graft] object QDedup {
     // same shingle/signature/banding CTEs as dedup_near; truth = exact
     // same-lang Jaccard >= 0.7 on the identical md5-48 sets
     "near_dup_eval" ->
-      """WITH docs2 AS (
+      """WITH mm AS (
+           SELECT GREATEST(2, CAST(ceil(COUNT(*) / 2500.0) AS BIGINT)) AS m
+           FROM documents),
+         docs2 AS (
            SELECT * FROM documents
-           WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT % 2 = 0),
+           WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT
+             % (SELECT m FROM mm) = 0),
          d AS (
            SELECT doc_id, lang,
              list_distinct(list_transform(

@@ -103,8 +103,13 @@ private[graft] object QVector {
         .select(col("vec_id"), col("embedding"))
       val cands = joined.filter(col("lang") =!= "en")
         .select(col("vec_id"), col("embedding"))
-      val nCells = math.max(4, math.ceil(math.sqrt(cands.count().toDouble)).toInt)
-      val nProbe = math.max(2, math.ceil(nCells * 0.4).toInt)
+      val nCand = cands.count()
+      val nCells = math.max(4, math.ceil(math.sqrt(nCand.toDouble)).toInt)
+      // budget-capped probe width (r12): 0.4·nCells until a query would
+      // scan > 4096 vectors, then the cap binds — the unbounded batch
+      // stays corpus-linear instead of quadratic (cap never binds at the
+      // oracled SFs, so the contract band is untouched)
+      val nProbe = VectorOps.probeWidth(nCand, nCells)
       // persisted: the |Q|-row rollup feeds both the audit join and the
       // batch count — without it the whole cell-join DAG runs twice. The
       // result is ONE row, so it is materialized here and the cache
@@ -232,8 +237,13 @@ private[graft] object QVector {
       val emb = t(s, dir, "embeddings")
       val q = emb.filter(col("vec_id") % 10 === 0)
       val c = emb.filter(col("vec_id") % 10 =!= 0)
-      val nCells = math.max(4, math.ceil(math.sqrt(c.count().toDouble)).toInt)
-      val nProbe = math.max(2, math.ceil(nCells * 0.4).toInt)
+      val nCand = c.count()
+      val nCells = math.max(4, math.ceil(math.sqrt(nCand.toDouble)).toInt)
+      // budget-capped probe width (r12): the 0.4-fraction rule made each
+      // query scan 40% of the corpus — quadratic total work, 23× wall at
+      // the 100× probe; the 4096-vector budget keeps the tail linear and
+      // never binds at the oracled SFs
+      val nProbe = VectorOps.probeWidth(nCand, nCells)
       val ivf = VectorOps.mrlTruncationEvalIvf(c, q, "vec_id", "embedding",
         prefixDims = Seq(16, 32), fullDim = 64, k = 10,
         nCells = nCells, nProbe = nProbe)

@@ -91,6 +91,19 @@ class Round12DedupStoreSpec extends SparkTestBase {
       DedupEvalStore.sigs(spark, st1).count())
   }
 
+  test("probeWidth: 0.4 fraction until the per-query scan budget binds") {
+    import graft.functions.VectorOps.probeWidth
+    // sf0.01 regime: 450 candidates, 22 cells → frac 9, cap 200 → 9
+    assert(probeWidth(450L, 22) == 9)
+    // sf0.1 regime: 4500 candidates, 68 cells → frac 28, cap 61 → 28
+    assert(probeWidth(4500L, 68) == 28)
+    // 100× regime: 180k candidates, 425 cells → frac 170 would scan 40%
+    // of the corpus; the 4096-vector budget caps at ~9 cells
+    val capped = probeWidth(180000L, 425)
+    assert(capped < 170 && capped * (180000.0 / 425) <= 4096.0 + 425)
+    assert(probeWidth(1L, 4) >= 2) // floor
+  }
+
   test("hashSample(m=2) equals the store's m=2 universe predicate") {
     // near_dup_eval formerly sampled via Relational.hashSample; the store
     // must keep the SAME predicate so the declared universe is unchanged
