@@ -202,6 +202,34 @@ class AsOfNativeSpec extends SparkTestBase {
     assert(sub == full)
   }
 
+  test("pruning also reaches scans under Aggregate and Filter consumers (r12)") {
+    // Catalyst's generic ColumnPruning inserts a Project above a custom
+    // node for Aggregate/Filter consumers; AsOfJoinPruning must then
+    // push that subset into the join's children
+    val dir = java.nio.file.Files.createTempDirectory("asof_prune2").toString
+    leftDf.withColumn("l_extra", $"id" * 2).write.mode("overwrite").parquet(s"$dir/l")
+    rightDf.withColumn("r_extra", $"rid" * 2).write.mode("overwrite").parquet(s"$dir/r")
+    val l = spark.read.parquet(s"$dir/l")
+    val r = spark.read.parquet(s"$dir/r")
+    val agg = AsOfJoin.asOfNative(l, r, "key", "rkey", "t", "rt")
+      .groupBy($"key").agg(sum($"px").as("sum_px"))
+    val aggPlan = agg.queryExecution.executedPlan.toString
+    val aggReads = "ReadSchema: [^\\n]*".r.findAllIn(aggPlan).toList
+    assert(aggReads.exists(s => s.contains("px") && !s.contains("r_extra")),
+      s"right scan not pruned under Aggregate:\n$aggPlan")
+    assert(aggReads.exists(s => s.contains("key") && !s.contains("l_extra")),
+      s"left scan not pruned under Aggregate:\n$aggPlan")
+    agg.collect() // and it runs
+
+    val filt = AsOfJoin.asOfNative(l, r, "key", "rkey", "t", "rt")
+      .filter($"px" > 0.0).select($"id", $"px")
+    val filtReads = "ReadSchema: [^\\n]*".r
+      .findAllIn(filt.queryExecution.executedPlan.toString).toList
+    assert(filtReads.exists(s => s.contains("px") && !s.contains("r_extra")),
+      "right scan not pruned under Filter+Project")
+    filt.collect()
+  }
+
   test("pruned tie winner is deterministic across input order (r12)") {
     // at equal (key, ts) the exec hashes the payload AS PRUNED — the
     // visible subset must not depend on partition/sort/input-order luck
