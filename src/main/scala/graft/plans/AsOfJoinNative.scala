@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, AttributeSet, BindReferences, CreateStruct, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection, XxHash64}
-import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan, Project, Statistics}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.util.TypeUtils
@@ -48,6 +48,18 @@ case class AsOfJoinPlan(left: LogicalPlan, right: LogicalPlan,
     extends BinaryNode {
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
+
+  // Catalyst's size-only visitor estimates any unrecognized multi-child
+  // node as the PRODUCT of its children's sizes — a petabyte-scale
+  // figure that forbids every downstream broadcast of an as-of result
+  // at plan time (r12). The honest bound: one output row per LEFT row,
+  // each at most left-row + right-row wide, so sizeInBytes ≤ leftSize +
+  // rightSize·(|L|/|R|); without row counts the sum is the usable
+  // estimate (exact when |L| = |R|, conservative for selective lefts) —
+  // the same shape Spark assigns a left-outer join.
+  override def stats: Statistics = Statistics(
+    sizeInBytes = left.stats.sizeInBytes + right.stats.sizeInBytes)
+
   override protected def withNewChildrenInternal(
       newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinPlan =
     copy(left = newLeft, right = newRight)

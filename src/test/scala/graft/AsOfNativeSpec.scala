@@ -247,6 +247,28 @@ class AsOfNativeSpec extends SparkTestBase {
     assert(winners.distinct.size == 1, s"winner depends on input order: $winners")
   }
 
+  test("plan stats are the child-size sum, so a small as-of result auto-broadcasts (r12)") {
+    // ~50 KB per side: the default product estimate (~2.5 GB) would
+    // forbid a downstream auto-broadcast; the sum (~100 KB) allows it
+    val l = spark.range(2000L).select($"id", ($"id" % 50).as("key"),
+      ($"id" * 1000).cast("timestamp").as("t"))
+    val r = spark.range(2000L).select(($"id" % 50).as("rkey"),
+      ($"id" * 900).cast("timestamp").as("rt"), ($"id" * 2).as("px"))
+    val j = AsOfJoin.asOfNative(l, r, "key", "rkey", "t", "rt")
+    val jStats = j.queryExecution.optimizedPlan.stats.sizeInBytes
+    val lSize = l.queryExecution.optimizedPlan.stats.sizeInBytes
+    val rSize = r.queryExecution.optimizedPlan.stats.sizeInBytes
+    assert(jStats <= lSize + rSize,
+      s"as-of stats $jStats must be <= sum($lSize, $rSize), not a product")
+    // a downstream equi-join against a big side auto-broadcasts the
+    // as-of result at PLAN time (no hint, no AQE needed)
+    val big = spark.range(100000L).select($"id".as("id2"), ($"id" % 50).as("key"))
+    val downstream = big.join(j.select($"id", $"key", $"px"), Seq("key"))
+    assert(downstream.queryExecution.executedPlan.toString
+      .contains("BroadcastHashJoin"),
+      downstream.queryExecution.executedPlan.toString)
+  }
+
   test("no pruning when every column is consumed (rule is a no-op)") {
     val df = AsOfJoin.asOfNative(leftDf, rightDf, "key", "rkey", "t", "rt")
     val optimized = df.queryExecution.optimizedPlan.toString
