@@ -129,6 +129,37 @@ object AsOfJoin {
         attr(left, leftTs), attr(right, rightTs)))
   }
 
+  /** Forward as-of join on the NATIVE physical operator — the mirror of
+    * [[asOfNative]] (r12): for each left row, the EARLIEST right row of
+    * the same key with `rightTs >= leftTs` (inclusive), null-padded when
+    * none exists; null keys/ts never match. Executed by the same
+    * two-cursor merge with the direction flag flipped: both sides still
+    * sort ASCENDING (key, ts) and the cursor still moves strictly
+    * forward — per left row it skips rights below the left ts (below
+    * every FUTURE left ts too, so discarding is safe) and then consumes
+    * the equal-ts tie run keeping the greatest payload hash, the same
+    * winner the composed [[asOfForward]]'s hash-ascending desc-window
+    * frame carries (parity spec'd). O(1) merge state; the tolerance
+    * horizon of [[asOfForward]] is a POST-projection concern and stays
+    * with the composed op (it needs timestamp arithmetic the generic-
+    * orderable merge deliberately avoids). Output: left columns ++ right
+    * columns (right nullable). Shares [[graft.plans.AsOfJoinPruning]]
+    * and the additive stats with the backward plan.
+    */
+  def asOfForwardNative(left: DataFrame, right: DataFrame,
+                        leftKey: String, rightKey: String,
+                        leftTs: String, rightTs: String): DataFrame = {
+    def attr(df: DataFrame, name: String) =
+      df.queryExecution.analyzed.output.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(
+          s"asOfForwardNative: column $name not found in ${df.columns.mkString(", ")}"))
+    org.apache.spark.sql.GraftSqlShim.ofRows(left.sparkSession,
+      graft.plans.AsOfJoinPlan(
+        left.queryExecution.analyzed, right.queryExecution.analyzed,
+        attr(left, leftKey), attr(right, rightKey),
+        attr(left, leftTs), attr(right, rightTs), forward = true))
+  }
+
   /** Routed backward as-of join: picks [[asOfNative]] whenever the
     * session registered the planner strategy, the composed [[asOf]]
     * otherwise — flattened to the native output shape (left columns ++

@@ -44,7 +44,8 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
   */
 case class AsOfJoinPlan(left: LogicalPlan, right: LogicalPlan,
                         leftKey: Attribute, rightKey: Attribute,
-                        leftTs: Attribute, rightTs: Attribute)
+                        leftTs: Attribute, rightTs: Attribute,
+                        forward: Boolean = false)
     extends BinaryNode {
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -105,13 +106,14 @@ class AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case p: AsOfJoinPlan =>
       AsOfJoinNativeExec(p.leftKey, p.rightKey, p.leftTs, p.rightTs,
-        planLater(p.left), planLater(p.right)) :: Nil
+        p.forward, planLater(p.left), planLater(p.right)) :: Nil
     case _ => Nil
   }
 }
 
 case class AsOfJoinNativeExec(leftKey: Attribute, rightKey: Attribute,
                               leftTs: Attribute, rightTs: Attribute,
+                              forward: Boolean,
                               left: SparkPlan, right: SparkPlan)
     extends BinaryExecNode {
 
@@ -180,6 +182,76 @@ case class AsOfJoinNativeExec(leftKey: Attribute, rightKey: Attribute,
 
         override def hasNext: Boolean = lIter.hasNext
 
+        private def nextBackward(l: InternalRow, lk: Any, lts: Any): InternalRow = {
+          // a candidate from a previous key group is stale
+          if (cand != null && keyOrd.compare(cand.get(rKeyIdx, keyType), lk) != 0)
+            cand = null
+          var advancing = true
+          while (advancing && rNext != null) {
+            val kc = keyOrd.compare(rNext.get(rKeyIdx, keyType), lk)
+            if (kc < 0) {
+              rNext = advanceRight() // earlier key group: consumed, no candidate
+            } else if (kc == 0 &&
+                tsOrd.compare(rNext.get(rTsIdx, tsType), lts) <= 0) {
+              // at-or-before: a strictly later ts always wins; at EQUAL
+              // ts the greater payload hash wins (parity with the
+              // composed op's hash-ascending window tiebreak)
+              if (cand == null ||
+                  tsOrd.compare(rNext.get(rTsIdx, tsType),
+                    cand.get(rTsIdx, tsType)) != 0 ||
+                  tieHashExpr.eval(rNext).asInstanceOf[Long] >
+                    tieHashExpr.eval(cand).asInstanceOf[Long])
+                cand = rNext
+              rNext = advanceRight()
+            } else {
+              advancing = false // future key or future ts: stop, keep cursor
+            }
+          }
+          resultProj(if (cand != null) joined(l, cand) else joined(l, nullRight))
+        }
+
+        private def nextForward(l: InternalRow, lk: Any, lts: Any): InternalRow = {
+          // the held winner is stale when the key changed or the new left
+          // ts passed it; otherwise it is STILL the earliest at-or-after
+          // row (left ts only grows, and every right row before the
+          // winner was below the previous — hence also this — left ts)
+          if (cand != null &&
+              (keyOrd.compare(cand.get(rKeyIdx, keyType), lk) != 0 ||
+               tsOrd.compare(cand.get(rTsIdx, tsType), lts) < 0))
+            cand = null
+          if (cand == null) {
+            // advance to the first usable right row of this key at-or-
+            // after lts; rows passed here are below EVERY future left ts
+            var advancing = true
+            while (advancing && rNext != null) {
+              val kc = keyOrd.compare(rNext.get(rKeyIdx, keyType), lk)
+              if (kc < 0 || (kc == 0 &&
+                  tsOrd.compare(rNext.get(rTsIdx, tsType), lts) < 0))
+                rNext = advanceRight()
+              else advancing = false
+            }
+            if (rNext != null &&
+                keyOrd.compare(rNext.get(rKeyIdx, keyType), lk) == 0) {
+              // consume the whole equal-ts tie run, keeping the greatest
+              // payload hash (parity with the composed forward op's
+              // hash-ascending desc-window tiebreak); the losers can
+              // never win for any later left either — same run, same rule
+              cand = rNext
+              rNext = advanceRight()
+              while (rNext != null &&
+                  keyOrd.compare(rNext.get(rKeyIdx, keyType), lk) == 0 &&
+                  tsOrd.compare(rNext.get(rTsIdx, tsType),
+                    cand.get(rTsIdx, tsType)) == 0) {
+                if (tieHashExpr.eval(rNext).asInstanceOf[Long] >
+                    tieHashExpr.eval(cand).asInstanceOf[Long])
+                  cand = rNext
+                rNext = advanceRight()
+              }
+            }
+          }
+          resultProj(if (cand != null) joined(l, cand) else joined(l, nullRight))
+        }
+
         override def next(): InternalRow = {
           val l = lIter.next()
           if (l.isNullAt(lKeyIdx) || l.isNullAt(lTsIdx)) {
@@ -187,31 +259,7 @@ case class AsOfJoinNativeExec(leftKey: Attribute, rightKey: Attribute,
           } else {
             val lk = l.get(lKeyIdx, keyType)
             val lts = l.get(lTsIdx, tsType)
-            // a candidate from a previous key group is stale
-            if (cand != null && keyOrd.compare(cand.get(rKeyIdx, keyType), lk) != 0)
-              cand = null
-            var advancing = true
-            while (advancing && rNext != null) {
-              val kc = keyOrd.compare(rNext.get(rKeyIdx, keyType), lk)
-              if (kc < 0) {
-                rNext = advanceRight() // earlier key group: consumed, no candidate
-              } else if (kc == 0 &&
-                  tsOrd.compare(rNext.get(rTsIdx, tsType), lts) <= 0) {
-                // at-or-before: a strictly later ts always wins; at EQUAL
-                // ts the greater payload hash wins (parity with the
-                // composed op's hash-ascending window tiebreak)
-                if (cand == null ||
-                    tsOrd.compare(rNext.get(rTsIdx, tsType),
-                      cand.get(rTsIdx, tsType)) != 0 ||
-                    tieHashExpr.eval(rNext).asInstanceOf[Long] >
-                      tieHashExpr.eval(cand).asInstanceOf[Long])
-                  cand = rNext
-                rNext = advanceRight()
-              } else {
-                advancing = false // future key or future ts: stop, keep cursor
-              }
-            }
-            resultProj(if (cand != null) joined(l, cand) else joined(l, nullRight))
+            if (forward) nextForward(l, lk, lts) else nextBackward(l, lk, lts)
           }
         }
       }

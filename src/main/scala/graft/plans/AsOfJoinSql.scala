@@ -27,7 +27,8 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 case class UnresolvedAsOfJoin(left: LogicalPlan, right: LogicalPlan,
                               leftKey: String, rightKey: String,
-                              leftTs: String, rightTs: String)
+                              leftTs: String, rightTs: String,
+                              forward: Boolean = false)
     extends BinaryNode {
   override lazy val resolved: Boolean = false
   override def output: Seq[Attribute] = Nil
@@ -44,20 +45,26 @@ object UnresolvedAsOfJoin {
       case other => throw new IllegalArgumentException(
         s"asof_native: $what must be a string literal, got $other")
     }
-    require(exprs.length == 6,
-      "asof_native(left_table, right_table, left_key, right_key, left_ts, right_ts) takes 6 arguments")
+    require(exprs.length == 6 || exprs.length == 7,
+      "asof_native(left_table, right_table, left_key, right_key, left_ts, right_ts[, direction]) takes 6 or 7 arguments")
+    val forward = exprs.length == 7 && (str(exprs(6), "direction") match {
+      case "forward" => true
+      case "backward" => false
+      case other => throw new IllegalArgumentException(
+        s"asof_native: direction must be 'forward' or 'backward', got '$other'")
+    })
     UnresolvedAsOfJoin(
       UnresolvedRelation(str(exprs.head, "left_table").split('.').toSeq),
       UnresolvedRelation(str(exprs(1), "right_table").split('.').toSeq),
       str(exprs(2), "left_key"), str(exprs(3), "right_key"),
-      str(exprs(4), "left_ts"), str(exprs(5), "right_ts"))
+      str(exprs(4), "left_ts"), str(exprs(5), "right_ts"), forward)
   }
 }
 
 class ResolveAsOfJoin extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.resolveOperatorsUp {
-      case u @ UnresolvedAsOfJoin(l, r, lk, rk, lts, rts)
+      case u @ UnresolvedAsOfJoin(l, r, lk, rk, lts, rts, fwd)
           if l.resolved && r.resolved =>
         def attr(p: LogicalPlan, n: String, side: String): Attribute =
           p.output.find(a => conf.resolver(a.name, n)).getOrElse(
@@ -66,6 +73,6 @@ class ResolveAsOfJoin extends Rule[LogicalPlan] {
                 s"(${p.output.map(_.name).mkString(", ")})"))
         AsOfJoinPlan(l, r,
           attr(l, lk, "left"), attr(r, rk, "right"),
-          attr(l, lts, "left"), attr(r, rts, "right"))
+          attr(l, lts, "left"), attr(r, rts, "right"), fwd)
     }
 }

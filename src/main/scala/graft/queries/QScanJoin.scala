@@ -222,6 +222,26 @@ private[graft] object QScanJoin {
         .orderBy("event_id")
     }),
 
+    "asof_forward_native_next_purchase" -> ((s, dir) => {
+      // the FORWARD direction of the native merge exec (r12): for each
+      // click, the user's EARLIEST purchase at-or-after it, no horizon —
+      // same per-side exchanges/sorts, cursor direction flipped, equal-ts
+      // ties by the composed op's payload-hash rule (parity spec'd).
+      // Output carries only the matched ts, so the oracle's MIN subquery
+      // is tie-insensitive by construction.
+      val ev = t(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_event_id"),
+          col("user_id").as("p_user_id"), col("ts").as("p_ts"))
+      graft.ops.AsOfJoin.asOfForwardNative(clicks, purchases,
+          "user_id", "p_user_id", "ts", "p_ts")
+        .select(col("event_id"), col("user_id"),
+          date_format(col("p_ts"), "yyyy-MM-dd HH:mm:ss").as("next_purchase_ts"))
+        .orderBy("event_id")
+    }),
+
     "asof_next_purchase" -> ((s, dir) => {
       // forward as-of with a horizon: for each click, the FIRST purchase by
       // the same user at-or-after it within 2 days (attribution window) —
@@ -635,6 +655,17 @@ private[graft] object QScanJoin {
          SELECT c.event_id, c.user_id,
             strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS last_purchase_ts
          FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts
+         ORDER BY c.event_id""",
+
+    // forward native merge: earliest at-or-after purchase, no horizon —
+    // the MIN(ts >= click ts) subquery is tie-insensitive
+    "asof_forward_native_next_purchase" ->
+      """SELECT c.event_id, c.user_id,
+           strftime((SELECT min(p.ts) FROM events p
+                     WHERE p.event_type = 'purchase' AND p.user_id = c.user_id
+                       AND p.ts >= c.ts),
+                    '%Y-%m-%d %H:%M:%S') AS next_purchase_ts
+         FROM events c WHERE c.event_type = 'click'
          ORDER BY c.event_id""",
 
     "asof_next_purchase" ->

@@ -296,6 +296,82 @@ class AsOfNativeSpec extends SparkTestBase {
         .collect()
     }
     assert(ex.getMessage.contains("nope"))
+    // the 7th argument selects the direction (r12 forward merge)
+    val fwd = spark.sql(
+      """SELECT id, rid FROM asof_native('v_asof_l', 'v_asof_r',
+         'key', 'rkey', 't', 'rt', 'forward')""")
+      .as[(Long, Option[Long])].collect().toMap
+    val fwdApi = AsOfJoin.asOfForwardNative(leftDf, rightDf, "key", "rkey", "t", "rt")
+      .select($"id", $"rid").as[(Long, Option[Long])].collect().toMap
+    assert(fwd == fwdApi)
+    val badDir = intercept[Exception] {
+      spark.sql("SELECT * FROM asof_native('v_asof_l','v_asof_r','key','rkey','t','rt','sideways')")
+        .collect()
+    }
+    assert(badDir.getMessage.contains("sideways"))
+  }
+
+  test("forward native as-of matches the composed asOfForward row for row (r12)") {
+    // composed asOfForward needs a tolerance; a huge one disables the
+    // horizon so both compute the pure earliest-at-or-after semantics
+    val native = AsOfJoin.asOfForwardNative(leftDf, rightDf, "key", "rkey", "t", "rt")
+      .select($"id", $"rid", $"px")
+      .as[(Long, Option[Long], Option[Double])].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    val composed = AsOfJoin.asOfForward(leftDf, rightDf, "key", "rkey", "t", "rt",
+        toleranceSeconds = 10L * 365 * 24 * 3600)
+      .select($"id", $"asof.rid", $"asof.px")
+      .as[(Long, Option[Long], Option[Double])].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(native == composed, s"native=$native composed=$composed")
+    // semantics: earliest at-or-after, inclusive ties, null-pad misses
+    assert(native(1L) == (Some(101L), Some(6.0))) // 10:00 → 10:30
+    assert(native(2L) == (Some(100L), Some(5.0))) // 09:00 → 09:59
+    assert(native(3L) == (Some(102L), Some(7.0))) // tie AT 12:00 (inclusive)
+    assert(native(4L) == (None, None))            // key with no rights
+    assert(native(5L) == (None, None))            // 11:00 key 10: no purchase after...
+  }
+
+  test("forward native: equal-ts tie winner matches composed across input orders (r12)") {
+    val l = Seq((1L, 10L, ts("2024-01-01 10:00:00")),
+      (2L, 10L, ts("2024-01-01 11:30:00"))).toDF("id", "key", "t")
+    val rRows = Seq(
+      (200L, 10L, ts("2024-01-01 11:00:00"), "a"),
+      (201L, 10L, ts("2024-01-01 11:00:00"), "b"),
+      (202L, 10L, ts("2024-01-01 11:00:00"), "c"),
+      (203L, 10L, ts("2024-01-01 12:00:00"), "late"))
+    for (perm <- Seq(rRows, rRows.reverse, Seq(rRows(2), rRows(0), rRows(3), rRows(1)))) {
+      val r = perm.toDF("rid", "rkey", "rt", "payload")
+      val native = AsOfJoin.asOfForwardNative(l, r, "key", "rkey", "t", "rt")
+        .select($"id", $"rid", $"payload").as[(Long, Long, String)]
+        .collect().map(x => x._1 -> (x._2, x._3)).toMap
+      val composed = AsOfJoin.asOfForward(l, r, "key", "rkey", "t", "rt",
+          toleranceSeconds = 1000000L)
+        .select($"id", $"asof.rid", $"asof.payload").as[(Long, Long, String)]
+        .collect().map(x => x._1 -> (x._2, x._3)).toMap
+      assert(native == composed, s"order $perm: native=$native composed=$composed")
+      // left 2 (11:30) must skip the 11:00 tie group and take 12:00
+      assert(native.exists { case (id, (rid, _)) => id == 2L && rid == 203L })
+    }
+  }
+
+  test("forward native: nulls never match; cursor reuse across ascending lefts (r12)") {
+    val l = Seq(
+      (1L, Option(10L), Option(ts("2024-01-01 09:00:00"))),
+      (2L, Option(10L), Option(ts("2024-01-01 09:30:00"))), // same winner reused
+      (3L, Option.empty[Long], Option(ts("2024-01-01 09:00:00"))),
+      (4L, Option(10L), Option.empty[java.sql.Timestamp]),
+      (5L, Option(10L), Option(ts("2024-01-01 23:00:00")))) // past all rights
+      .toDF("id", "key", "t")
+    val r = Seq(
+      (100L, Option(10L), Option(ts("2024-01-01 10:00:00"))),
+      (101L, Option.empty[Long], Option(ts("2024-01-01 10:00:00"))),
+      (102L, Option(10L), Option.empty[java.sql.Timestamp]))
+      .toDF("rid", "rkey", "rt")
+    val got = AsOfJoin.asOfForwardNative(l, r, "key", "rkey", "t", "rt")
+      .select($"id", $"rid").as[(Long, Option[Long])].collect().toMap
+    assert(got == Map(1L -> Some(100L), 2L -> Some(100L), 3L -> None,
+      4L -> None, 5L -> None), got.toString)
   }
 
   test("map-typed right payload: native exec runs and ties deterministically") {
