@@ -104,7 +104,30 @@ private[graft] object QShared {
     * window count (greatest(nTokens-n,0)+1) and the distinct-hash set
     * size the MinHash plan already carries, so no second shingle pass.
     */
+  /** Shared per-slate-run survivor artifact (r12, the coFulfillmentEdges
+    * discipline): `curation_pipeline` and `export_manifest` both consume
+    * the survivor table, and each used to re-run the whole DAG (~3.3 s
+    * apiece at sf0.1). The store writes the consumed columns once per
+    * (session, dir) — the minhash struct is internal to the build — and
+    * every consumer reads the parquet table; values are identical to the
+    * inline derivation (same DAG, one run).
+    */
+  private val survivorStore = scala.collection.concurrent.TrieMap
+    .empty[(Int, String), (String, org.apache.spark.sql.types.StructType)]
   private[graft] def curationSurvivors(s: SparkSession, dir: String): DataFrame = {
+    val (path, schema) = survivorStore.getOrElseUpdate(
+      (System.identityHashCode(s), dir), {
+        val df = curationSurvivorsBuild(s, dir)
+          .select("doc_id", "lang", "n_chars")
+        val p = java.nio.file.Files
+          .createTempDirectory("graft_curation_survivors_").toString
+        df.write.mode("overwrite").parquet(p)
+        (p, df.schema)
+      })
+    s.read.schema(schema).parquet(path)
+  }
+
+  private def curationSurvivorsBuild(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
     val corpus = docs.filter(col("source") =!= "src0")
     val bench = docs.filter(col("source") === "src0")

@@ -48,6 +48,16 @@ class Round12SharedEdgeSpec extends SparkTestBase {
     assert(third.count() == 1L)
   }
 
+  test("curationSurvivors serves both consumers from one written artifact") {
+    val a = QShared.curationSurvivors(spark, "/root/testdata/sf0.001")
+    spark.catalog.clearCache()
+    val b = QShared.curationSurvivors(spark, "/root/testdata/sf0.001")
+    assert(a.inputFiles.nonEmpty && a.inputFiles.toSet == b.inputFiles.toSet,
+      "second consumer must read the same written survivor table")
+    assert(a.columns.toSeq == Seq("doc_id", "lang", "n_chars"))
+    assert(a.count() > 0)
+  }
+
   test("different storeKey or threshold gets its own artifact") {
     val a = Graph.coFulfillmentEdges(lineitem, "fixture_k1", 1)
     val b = Graph.coFulfillmentEdges(lineitem, "fixture_k1", 2)
