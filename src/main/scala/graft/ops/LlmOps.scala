@@ -3240,9 +3240,16 @@ object LlmOps {
     */
   def inBatchNegativeCollisions(df: DataFrame, idCol: String, textCol: String,
                                 nBatches: Int,
-                                maxBucketSize: Int = 1 << 20): DataFrame = {
+                                maxBucketSize: Int = 1 << 20): DataFrame =
+    inBatchNegativeCollisionsFromPairs(
+      nearDupPairs(df, idCol, textCol, maxBucketSize = maxBucketSize), nBatches)
+
+  /** [[inBatchNegativeCollisions]] over an ALREADY-DERIVED near-dup pair
+    * relation — the entry the shared production-pairs artifact feeds.
+    */
+  def inBatchNegativeCollisionsFromPairs(pairs: DataFrame,
+                                         nBatches: Int): DataFrame = {
     require(nBatches >= 2, "need >= 2 batches")
-    val pairs = nearDupPairs(df, idCol, textCol, maxBucketSize = maxBucketSize)
     def batch(c: Column) =
       pmod(md5Hash48(c.cast("string"), 1), lit(nBatches.toLong))
     pairs

@@ -15,6 +15,19 @@ import graft.QShared._
   * [[SparkEntry]] keeps the driver contract identical. */
 private[graft] object QDedup {
 
+  /** Shared per-slate-run production pair artifact (r12, the SlateStore
+    * discipline): the full-corpus banded MinHash-LSH pair relation at the
+    * production parameters is consumed by FIVE declared queries
+    * (dedup_near, near_dup_degree, dedup_clusters, dedup_quality_survivor,
+    * inbatch_negative_collisions) and was re-derived per query — the
+    * shingle/signature pass plus band join each time. Built once, read as
+    * a parquet table; values identical by construction (one derivation).
+    */
+  private def productionPairs(s: SparkSession, dir: String): DataFrame =
+    graft.ops.SlateStore.parquet(s, s"neardup_pairs|$dir")(
+      LlmOps.nearDupPairs(t(s, dir, "documents"), "doc_id", "text",
+        maxBucketSize = 10000))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---- §2.12 [north-star] LLM-data ops -------------------------------
@@ -56,9 +69,7 @@ private[graft] object QDedup {
 
     // ---- portable-hash-family ops (md5-derived, DuckDB replays exactly) --
     "dedup_near" -> ((s, dir) =>
-      LlmOps.nearDupPairs(t(s, dir, "documents"), "doc_id", "text",
-          maxBucketSize = 10000)
-        .orderBy("id_a", "id_b")),
+      productionPairs(s, dir).orderBy("id_a", "id_b")),
 
     // dedup_threshold_sweep / lsh_recall_estimate / near_dup_eval share
     // ONE persisted signature + exact-verify artifact per slate run
@@ -114,15 +125,14 @@ private[graft] object QDedup {
       // contrastive-training shard audit: how many production near-dup
       // pairs land in the SAME md5-sharded training batch (false
       // negatives for InfoNCE) vs the 1/B rate random sharding implies
-      LlmOps.inBatchNegativeCollisions(t(s, dir, "documents"), "doc_id",
-        "text", nBatches = 16, maxBucketSize = 10000)),
+      LlmOps.inBatchNegativeCollisionsFromPairs(productionPairs(s, dir),
+        nBatches = 16)),
 
     "near_dup_degree" -> ((s, dir) => {
       // dedup-ops hub detector: partner-count histogram over the
       // production banded pairs — a fat tail means boilerplate flooding
       // the buckets; count-of-counts keeps the output histogram-sized
-      val pairs = LlmOps.nearDupPairs(t(s, dir, "documents"), "doc_id",
-        "text", maxBucketSize = 10000)
+      val pairs = productionPairs(s, dir)
       pairs.select(col("id_a").as("doc")).union(pairs.select(col("id_b")))
         .groupBy(col("doc"))
         .agg(count(lit(1)).cast("long").as("__deg"))
@@ -190,8 +200,7 @@ private[graft] object QDedup {
       // pairs → transitive closure → one survivor per duplicate cluster:
       // the drop-list step a dedup pipeline actually ships.
       val docs = t(s, dir, "documents")
-      val pairs = LlmOps.nearDupPairs(docs, "doc_id", "text", maxBucketSize = 10000)
-      graft.ops.Graph.dedupClusters(docs, pairs, "doc_id")
+      graft.ops.Graph.dedupClusters(docs, productionPairs(s, dir), "doc_id")
         .orderBy("doc_id")
     }),
 
@@ -200,8 +209,8 @@ private[graft] object QDedup {
       // doc per cluster (tie: min id) — the keep-the-best-variant rule a
       // production curation run ships instead of keep-the-first
       val docs = t(s, dir, "documents")
-      val pairs = LlmOps.nearDupPairs(docs, "doc_id", "text", maxBucketSize = 10000)
-      graft.ops.Graph.dedupClustersBy(docs, pairs, "doc_id", "n_chars")
+      graft.ops.Graph.dedupClustersBy(docs, productionPairs(s, dir),
+          "doc_id", "n_chars")
         .orderBy("doc_id")
     }),
 
