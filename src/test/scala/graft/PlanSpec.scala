@@ -165,7 +165,15 @@ class PlanSpec extends SparkTestBase {
   }
 
   test("dedup_near: bounded-census candidate generation — one aggregation, no census join") {
-    val p = planOf("dedup_near")
+    // r12: the declared query reads the shared production-pairs store,
+    // so the shape audit targets the DERIVATION the store build runs
+    // (same op, same params) — and the declared read must be a plain
+    // pruned parquet scan, proving the per-consumer recompute is gone.
+    val docs = Tables.load(spark, sf, "documents")
+    val df = graft.ops.LlmOps.nearDupPairs(docs, "doc_id", "text",
+      maxBucketSize = 10000)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
     assert(p.contains("bounded_collect_list"),
       s"native saturating aggregate not engaged in candidate generation:\n$p")
     // the old shape's census join-back + banding self-join are gone: the
@@ -176,6 +184,10 @@ class PlanSpec extends SparkTestBase {
     val joins = "(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)".r
       .findAllIn(finalPlan).size
     assert(joins <= 2, s"expected only the 2 verify joins, found $joins:\n$finalPlan")
+
+    val declared = planOf("dedup_near")
+    assert(declared.contains("ReadSchema") && !declared.contains("Join"),
+      s"declared dedup_near should be a store scan + sort:\n$declared")
   }
 
   test("simhash_pairs: zipped bounded census — NO verify join at all") {
