@@ -26,9 +26,16 @@ object BenchOne {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val fn = SparkEntry.queries(name.split(',').head)
-    if (doExplain) fn(spark, sfDir).explain("formatted")
-    if (doProfile) {
+    val allNames = name.split(',').toSeq
+    // explain/profile cover EVERY name in a comma list (ADVICE r12: only
+    // the head was resolved, so `a,b explain` silently explained just `a`)
+    if (doExplain) allNames.foreach { n =>
+      if (allNames.size > 1) println(s"[bench_one] === explain: $n ===")
+      SparkEntry.queries(n)(spark, sfDir).explain("formatted")
+    }
+    allNames.filter(_ => doProfile).foreach { n =>
+      val fn = SparkEntry.queries(n)
+      if (allNames.size > 1) println(s"[bench_one] === profile: $n ===")
       // Warm once so the profile measures steady-state, then record every
       // SQL execution (id, duration, first line of its description).
       try { fn(spark, sfDir).count(); spark.catalog.clearCache() }
@@ -78,7 +85,7 @@ object BenchOne {
     // the warm number reflects what the slate actually pays. A name LIST
     // runs each query in sequence inside the run (clearCache between
     // queries, like the slate) and reports the combined wall too.
-    val names = name.split(',').toSeq
+    val names = allNames
     // SPARK_GRAFT_BENCH_RUNS: run count (default 3) — the 100× probes
     // run 2 to fit a wall-clock budget (run1 cold, run2 warm)
     val nRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt

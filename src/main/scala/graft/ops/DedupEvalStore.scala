@@ -2,11 +2,10 @@ package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.StructType
 
 /** Shared dedup-eval artifact (VERDICT r11 item 5): ONE signature pass +
   * ONE exact t=floor verify pass per (session, corpus, sample modulus),
-  * persisted as parquet tables and fed to every eval query in a slate run
+  * persisted as managed tables and fed to every eval query in a slate run
   * — `dedup_threshold_sweep` and `lsh_recall_estimate` (conditional sums /
   * S-curve rollups over the verified pairs) and `near_dup_eval` (truth =
   * pairs filtered at its threshold; candidates = the banded path over the
@@ -23,35 +22,28 @@ import org.apache.spark.sql.types.StructType
   *     same sets. One hash family end to end: every consumer's values are
   *     bit-identical to its former inline derivation.
   *
-  * Parquet round-trip (not persist/localCheckpoint) for the same reasons
-  * as [[Graph.coFulfillmentEdges]]: survives the slate runners'
-  * clearCache-between-queries, and consumers read ordinary
-  * statistics-bearing scans. Reads go through the captured write-time
-  * schema so an EMPTY pair relation (legitimate at fixture scale) reads
-  * back as zero rows instead of failing schema inference. At 100 TB this
-  * is the signature/verify TABLE a dedup-tuning suite materializes once
-  * per corpus snapshot (the [[LlmOps.fingerprintStore]] discipline); the
-  * build is attributed to the first consumer in a slate run.
+  * r13: both tables live in [[SlateStore]] (snapshot-committed,
+  * schema-captured reads — an EMPTY pair relation, legitimate at fixture
+  * scale, reads back as zero rows — session-scoped GC, optional
+  * cross-session reuse under `spark.graft.store.dir`). Keys embed every
+  * build parameter, so two sample moduli or two thresholds under one
+  * corpus key are distinct tables. The build is attributed to the first
+  * consumer in a slate run.
   */
 object DedupEvalStore {
 
-  final case class Store(sigsPath: String, sigsSchema: StructType,
-                         pairsPath: String, pairsSchema: StructType,
-                         m: Long)
-
-  private val mCache =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), Long]
-  private val stores =
-    scala.collection.concurrent.TrieMap.empty[(Int, String, Long), Store]
+  final case class Store(sigs: DataFrame, pairs: DataFrame, m: Long)
 
   /** The size-capped sample modulus m = max(2, ceil(n / perDocs)) — one
-    * count job per (session, storeKey), shared by every consumer (the
-    * in-plan broadcast-count derivation ran once PER QUERY; as part of
-    * the store build it runs once per slate run).
+    * count job per (session, storeKey, perDocs), shared by every consumer
+    * (the in-plan broadcast-count derivation ran once PER QUERY; as part
+    * of the store build it runs once per slate run). `perDocs` is part of
+    * the memo key (ADVICE r12: keyed by storeKey alone, a later call with
+    * a different rate silently got the stale modulus); `storeKey` must
+    * uniquely identify the docs relation.
     */
   def sampleM(docs: DataFrame, storeKey: String, perDocs: Double = 2500.0): Long =
-    mCache.getOrElseUpdate(
-      (System.identityHashCode(docs.sparkSession), storeKey),
+    SlateStore.scalar(docs.sparkSession, s"dedup_m|$storeKey|per=$perDocs")(
       math.max(2L, math.ceil(docs.count() / perDocs).toLong))
 
   /** Build (first caller) or fetch the store for the 1-in-m universe of
@@ -60,36 +52,32 @@ object DedupEvalStore {
     */
   def get(docs: DataFrame, idCol: String, textCol: String, blockCol: String,
           storeKey: String, m: Long, shingleN: Int = 3, numHashes: Int = 16,
-          floorThreshold: Double = 0.5): Store =
-    stores.getOrElseUpdate(
-      (System.identityHashCode(docs.sparkSession), storeKey, m), {
-        val sigsDf = docs
-          .filter(pmod(LlmOps.md5Hash48(col(idCol).cast("string"), 1),
-            lit(m)) === 0)
-          .select(col(blockCol).as("blk"), col(idCol),
-            LlmOps.minhashPlanBest(docs, col(textCol), shingleN, numHashes)
-              .as("__mh"))
-          .select(col("blk"), col(idCol),
-            col("__mh.sh").as("sh"), col("__mh.sig").as("sig"))
-          .filter(size(col("sh")) > 0)
-        val sigsPath = java.nio.file.Files
-          .createTempDirectory("graft_dedup_sigs_").toString
-        sigsDf.write.mode("overwrite").parquet(sigsPath)
-        val sigsBack = docs.sparkSession.read
-          .schema(sigsDf.schema).parquet(sigsPath)
-        val pairsDf = LlmOps.jaccardPairsFromSets(
-          sigsBack.select(col("blk").as("__blk"), col(idCol),
-            array_sort(col("sh")).as("__sh")),
-          idCol, floorThreshold)
-        val pairsPath = java.nio.file.Files
-          .createTempDirectory("graft_dedup_pairs_").toString
-        pairsDf.write.mode("overwrite").parquet(pairsPath)
-        Store(sigsPath, sigsDf.schema, pairsPath, pairsDf.schema, m)
-      })
+          floorThreshold: Double = 0.5): Store = {
+    val spark = docs.sparkSession
+    val paramKey = s"$storeKey|m=$m|n=$shingleN|h=$numHashes"
+    val sigsDf = SlateStore.parquet(spark, s"dedup_sigs|$paramKey") {
+      docs
+        .filter(pmod(LlmOps.md5Hash48(col(idCol).cast("string"), 1),
+          lit(m)) === 0)
+        .select(col(blockCol).as("blk"), col(idCol),
+          LlmOps.minhashPlanBest(docs, col(textCol), shingleN, numHashes)
+            .as("__mh"))
+        .select(col("blk"), col(idCol),
+          col("__mh.sh").as("sh"), col("__mh.sig").as("sig"))
+        .filter(size(col("sh")) > 0)
+    }
+    // sigsDf is already a committed-table scan when this build closure
+    // runs, so the pair build never nests a store build inside another.
+    val pairsDf = SlateStore.parquet(spark, s"dedup_pairs|$paramKey|t=$floorThreshold") {
+      LlmOps.jaccardPairsFromSets(
+        sigsDf.select(col("blk").as("__blk"), col(idCol),
+          array_sort(col("sh")).as("__sh")),
+        idCol, floorThreshold)
+    }
+    Store(sigsDf, pairsDf, m)
+  }
 
-  def sigs(spark: SparkSession, st: Store): DataFrame =
-    spark.read.schema(st.sigsSchema).parquet(st.sigsPath)
+  def sigs(spark: SparkSession, st: Store): DataFrame = st.sigs
 
-  def pairs(spark: SparkSession, st: Store): DataFrame =
-    spark.read.schema(st.pairsSchema).parquet(st.pairsPath)
+  def pairs(spark: SparkSession, st: Store): DataFrame = st.pairs
 }

@@ -50,28 +50,25 @@ object Graph {
     * materializes first (the [[graft.ops.LlmOps.fingerprintStore]]
     * discipline) — bounded, |supplier-pairs| rows, orders of magnitude
     * under lineitem. The build is attributed to the first consumer.
+    *
+    * r13: backed by [[SlateStore.parquet]] (the unified managed-table
+    * layer) — snapshot-committed, schema-captured reads (an EMPTY
+    * lineitem yields zero edges instead of failing schema inference),
+    * session-scoped GC, optional cross-session reuse under
+    * `spark.graft.store.dir`.
     */
-  private val coFulfillStore =
-    scala.collection.concurrent.TrieMap.empty[(Int, String, Int), String]
   def coFulfillmentEdges(lineitem: DataFrame, storeKey: String,
-                         minShared: Int = 4): DataFrame = {
-    val spark = lineitem.sparkSession
-    val path = coFulfillStore.getOrElseUpdate(
-      (System.identityHashCode(spark), storeKey, minShared), {
-        val p = java.nio.file.Files
-          .createTempDirectory("graft_cofulfill_").toString
-        lineitem
-          .groupBy(col("l_orderkey"))
-          .agg(sort_array(collect_set(col("l_suppkey"))).as("sks"))
-          .select(explode(Assoc.pairStructs(col("sks"))).as("__p"))
-          .groupBy(col("__p.a").as("a"), col("__p.b").as("b"))
-          .agg(count(lit(1)).as("n_co"))
-          .filter(col("n_co") >= minShared)
-          .write.mode("overwrite").parquet(p)
-        p
-      })
-    spark.read.parquet(path)
-  }
+                         minShared: Int = 4): DataFrame =
+    SlateStore.parquet(lineitem.sparkSession,
+      s"cofulfill|$storeKey|min=$minShared") {
+      lineitem
+        .groupBy(col("l_orderkey"))
+        .agg(sort_array(collect_set(col("l_suppkey"))).as("sks"))
+        .select(explode(Assoc.pairStructs(col("sks"))).as("__p"))
+        .groupBy(col("__p.a").as("a"), col("__p.b").as("b"))
+        .agg(count(lit(1)).as("n_co"))
+        .filter(col("n_co") >= minShared)
+    }
 
   /** Label every node of the undirected edge set with its component's
     * minimum node id. Returns (node, label); nodes absent from `edges`

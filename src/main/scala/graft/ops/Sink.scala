@@ -129,14 +129,24 @@ object Sink {
     * (possible only when >`retain` commits land inside that microsecond
     * window).
     */
-  def readSnapshot(spark: SparkSession, path: String): DataFrame = {
+  def readSnapshot(spark: SparkSession, path: String): DataFrame =
+    readSnapshot(spark, path, None)
+
+  /** Schema-forcing variant: `schema` (the captured write-time schema)
+    * makes an EMPTY snapshot read back as zero rows instead of failing
+    * parquet schema inference — the [[graft.ops.SlateStore]] totality
+    * contract.
+    */
+  def readSnapshot(spark: SparkSession, path: String,
+                   schema: Option[org.apache.spark.sql.types.StructType]): DataFrame = {
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     def attempt(retriesLeft: Int): DataFrame = {
       val v = currentVersion(fs, root).getOrElse(
         throw new java.io.FileNotFoundException(s"no committed snapshot at $path"))
       try {
-        val df = spark.read.parquet(new Path(root, v).toString)
+        val reader = schema.fold(spark.read)(spark.read.schema)
+        val df = reader.parquet(new Path(root, v).toString)
         df.schema // force resolution so a vanished dir surfaces here
         df
       } catch {

@@ -1,38 +1,199 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import java.nio.charset.StandardCharsets
+import java.util.concurrent.ConcurrentHashMap
 
-/** Write-once per-(session, key) parquet artifacts shared across a slate
-  * run — the generic face of the r12 shared-artifact discipline
-  * ([[Graph.coFulfillmentEdges]] / [[DedupEvalStore]] precedents): a
-  * relation several declared queries derive identically is built by the
-  * FIRST consumer, written as a parquet table, and read back by every
-  * consumer as an ordinary statistics-bearing scan.
+import org.apache.hadoop.fs.{CreateFlag, FileContext, Path}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerApplicationEnd}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.{DataType, StructType}
+
+/** The managed shared-artifact layer (VERDICT r12 item 1): relations that
+  * several declared queries derive identically are built ONCE per
+  * (session, key), committed as real tables through
+  * [[Sink.overwriteSnapshot]] (versioned dirs + atomic `_current` pointer
+  * + dual-gate retention), and read back by every consumer as an ordinary
+  * statistics-bearing parquet scan. This object unifies what rounds 11–12
+  * grew as four parallel temp-dir caches (the near-dup pair relation, the
+  * co-fulfillment edge census, the curation survivor table, the dedup
+  * eval signature/verify stores) behind one API.
   *
-  * Why parquet, not persist/localCheckpoint: the slate runners
-  * clearCache() after every query (a cached artifact would silently
-  * recompute per consumer), and a checkpointed RDD enters downstream
-  * plans as a stats-less LogicalRDD (measured 1.5–2× worse join planning
-  * at the 10× probe). The captured write-time schema makes an EMPTY
-  * artifact read back as zero rows instead of failing schema inference.
-  * At 100 TB these are the materialized intermediate TABLES a pipeline
-  * run publishes once per corpus snapshot; in-slate the temp write
-  * stands in for them. Build cost is attributed to the first consumer.
+  * Why parquet round-trips, not persist/localCheckpoint: the slate
+  * runners clearCache() after every query (a cached artifact would
+  * silently recompute per consumer), and a checkpointed RDD enters
+  * downstream plans as a stats-less LogicalRDD (measured 1.5–2× worse
+  * join planning at the 10× probe). Every read goes through the captured
+  * write-time schema, so an EMPTY artifact reads back as zero rows
+  * instead of failing parquet schema inference — the totality contract
+  * the r12 edge census broke by reading bare.
+  *
+  * Lifetimes:
+  *   - Default: tables live under one temp root per session, deleted (and
+  *     the cache entries evicted) when the application ends — nothing
+  *     outlives the JVM and long-lived JVMs don't accrete orphan dirs.
+  *   - `spark.graft.store.dir` set: tables live under that base dir and
+  *     SURVIVE the session. A later session (or JVM) finds the committed
+  *     snapshot plus its `_schema` sidecar and ATTACHES without running
+  *     the build — the materialized-once-per-corpus-snapshot semantics a
+  *     100 TB pipeline run wants. Rebuild = delete the table dir (or
+  *     change the key; keys should embed every build parameter).
+  *
+  * Concurrency (VERDICT r12 item 7): builds are serialized per
+  * (session, key) under a striped lock with double-checked lookup — two
+  * concurrent first-consumers get one build, one commit, no orphan dir.
+  * The locks are plain reentrant monitors, so a build that (against the
+  * grain) derives from another store key cannot self-deadlock unless the
+  * keys are mutually recursive.
+  *
+  * Sessions are keyed by `sessionUUID` — stable and never reused, unlike
+  * the identity hash the r12 stores used (ADVICE r12: identity hashes can
+  * be recycled after a session is GC'd, serving a dead session's
+  * artifact).
   */
 object SlateStore {
-  private val store = scala.collection.concurrent.TrieMap
-    .empty[(Int, String), (String, org.apache.spark.sql.types.StructType)]
 
+  private[graft] def sessionKey(spark: SparkSession): String = spark match {
+    case c: org.apache.spark.sql.classic.SparkSession =>
+      org.apache.spark.sql.GraftSqlShim.sessionUUID(c)
+    case other => "idhash-" + System.identityHashCode(other)
+  }
+
+  private val tables = new ConcurrentHashMap[(String, String), (String, StructType)]()
+  private val scalars = new ConcurrentHashMap[(String, String), Any]()
+  private val locks = new ConcurrentHashMap[(String, String), Object]()
+  private val tempRoots = new ConcurrentHashMap[String, String]()
+  private val cleanupHooked = ConcurrentHashMap.newKeySet[String]()
+
+  /** Build (first caller per session) or fetch the table for `key`.
+    * The key must embed every parameter the build depends on — it is the
+    * table's identity, in-session and (under a configured base dir)
+    * across sessions.
+    */
   def parquet(spark: SparkSession, key: String)
              (build: => DataFrame): DataFrame = {
-    val (path, schema) = store.getOrElseUpdate(
-      (System.identityHashCode(spark), key), {
-        val df = build
-        val p = java.nio.file.Files
-          .createTempDirectory("graft_store_").toString
-        df.write.mode("overwrite").parquet(p)
-        (p, df.schema)
+    val sk = sessionKey(spark)
+    val mapKey = (sk, key)
+    var entry = tables.get(mapKey)
+    if (entry == null) {
+      val lock = locks.computeIfAbsent(mapKey, _ => new Object)
+      lock.synchronized {
+        entry = tables.get(mapKey)
+        if (entry == null) {
+          entry = materialize(spark, sk, key, build)
+          tables.put(mapKey, entry)
+        }
+      }
+    }
+    Sink.readSnapshot(spark, entry._1, Some(entry._2))
+  }
+
+  /** Memoized driver-side scalar per (session, key) — the home for the
+    * one-count-job-per-slate-run discipline (sample moduli, ANN corpus
+    * sizes). Same keying rule as [[parquet]]: embed every input the
+    * computation depends on in the key (ADVICE r12: a cached modulus
+    * keyed only by corpus dir silently served a different sample rate).
+    */
+  def scalar[T](spark: SparkSession, key: String)(compute: => T): T = {
+    val mapKey = (sessionKey(spark), "scalar|" + key)
+    var v = scalars.get(mapKey)
+    if (v == null) {
+      val lock = locks.computeIfAbsent(mapKey, _ => new Object)
+      lock.synchronized {
+        v = scalars.get(mapKey)
+        if (v == null) { v = compute.asInstanceOf[Any]; scalars.put(mapKey, v) }
+      }
+    }
+    v.asInstanceOf[T]
+  }
+
+  private def materialize(spark: SparkSession, sk: String, key: String,
+                          build: => DataFrame): (String, StructType) = {
+    val (base, managed) = baseDir(spark, sk)
+    val dir = new Path(base, tableName(key)).toString
+    val attached = if (managed) attach(spark, dir) else None
+    attached.getOrElse {
+      val df = build
+      Sink.overwriteSnapshot(df, dir, retain = 1, minAgeMs = 0L)
+      writeSidecar(spark, new Path(dir, "_schema"), df.schema.json)
+      (dir, df.schema)
+    }
+  }
+
+  /** A committed snapshot + `_schema` sidecar under a configured base dir
+    * is a finished artifact from an earlier session: adopt it instead of
+    * rebuilding. (The sidecar is written after the pointer commit, so a
+    * pointer without a sidecar is a half-finished foreign write — rebuild,
+    * which recommits both.)
+    */
+  private def attach(spark: SparkSession, dir: String): Option[(String, StructType)] = {
+    val conf = spark.sessionState.newHadoopConf()
+    val schemaPath = new Path(dir, "_schema")
+    val fs = schemaPath.getFileSystem(conf)
+    if (!fs.exists(schemaPath) || !fs.exists(new Path(dir, "_current"))) None
+    else {
+      val in = fs.open(schemaPath)
+      val json = try {
+        val buf = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 4096, false)
+        new String(buf.toByteArray, StandardCharsets.UTF_8)
+      } finally in.close()
+      Some((dir, DataType.fromJson(json).asInstanceOf[StructType]))
+    }
+  }
+
+  private def writeSidecar(spark: SparkSession, p: Path, content: String): Unit = {
+    val fc = FileContext.getFileContext(p.toUri,
+      spark.sessionState.newHadoopConf())
+    val out = fc.create(p,
+      java.util.EnumSet.of(CreateFlag.CREATE, CreateFlag.OVERWRITE))
+    try out.write(content.getBytes(StandardCharsets.UTF_8)) finally out.close()
+  }
+
+  private def baseDir(spark: SparkSession, sk: String): (String, Boolean) =
+    spark.conf.getOption("spark.graft.store.dir") match {
+      case Some(d) if d.nonEmpty => (d, true)
+      case _ =>
+        val root = tempRoots.computeIfAbsent(sk, _ =>
+          java.nio.file.Files.createTempDirectory("graft_store_").toString)
+        registerCleanup(spark, sk)
+        (root, false)
+    }
+
+  /** Filesystem-safe, collision-free table name: a readable sanitized
+    * prefix plus an md5 tag of the raw key (two keys differing only in
+    * sanitized-away characters must not share a dir).
+    */
+  private[graft] def tableName(key: String): String = {
+    val safe = key.replaceAll("[^A-Za-z0-9._-]", "_").take(80)
+    val tag = java.security.MessageDigest.getInstance("MD5")
+      .digest(key.getBytes(StandardCharsets.UTF_8))
+      .take(6).map("%02x".format(_)).mkString
+    s"$safe-$tag"
+  }
+
+  /** Evict a session's entries and delete its temp root when the
+    * application ends — the disk-lifetime gap ADVICE r12 flagged (temp
+    * dirs were never GC'd and map entries never evicted).
+    */
+  private def registerCleanup(spark: SparkSession, sk: String): Unit =
+    if (cleanupHooked.add(sk)) {
+      spark.sparkContext.addSparkListener(new SparkListener {
+        override def onApplicationEnd(e: SparkListenerApplicationEnd): Unit =
+          cleanupSession(sk)
       })
-    spark.read.schema(schema).parquet(path)
+    }
+
+  private[graft] def cleanupSession(sk: String): Unit = {
+    tables.keySet.removeIf(_._1 == sk)
+    scalars.keySet.removeIf(_._1 == sk)
+    locks.keySet.removeIf(_._1 == sk)
+    cleanupHooked.remove(sk)
+    Option(tempRoots.remove(sk)).foreach { root =>
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete()
+      }
+      rm(new java.io.File(root))
+    }
   }
 }

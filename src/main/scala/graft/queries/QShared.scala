@@ -110,22 +110,12 @@ private[graft] object QShared {
     * apiece at sf0.1). The store writes the consumed columns once per
     * (session, dir) — the minhash struct is internal to the build — and
     * every consumer reads the parquet table; values are identical to the
-    * inline derivation (same DAG, one run).
+    * inline derivation (same DAG, one run). r13: served by
+    * [[graft.ops.SlateStore.parquet]], the unified managed-table layer.
     */
-  private val survivorStore = scala.collection.concurrent.TrieMap
-    .empty[(Int, String), (String, org.apache.spark.sql.types.StructType)]
-  private[graft] def curationSurvivors(s: SparkSession, dir: String): DataFrame = {
-    val (path, schema) = survivorStore.getOrElseUpdate(
-      (System.identityHashCode(s), dir), {
-        val df = curationSurvivorsBuild(s, dir)
-          .select("doc_id", "lang", "n_chars")
-        val p = java.nio.file.Files
-          .createTempDirectory("graft_curation_survivors_").toString
-        df.write.mode("overwrite").parquet(p)
-        (p, df.schema)
-      })
-    s.read.schema(schema).parquet(path)
-  }
+  private[graft] def curationSurvivors(s: SparkSession, dir: String): DataFrame =
+    graft.ops.SlateStore.parquet(s, s"curation_survivors|$dir")(
+      curationSurvivorsBuild(s, dir).select("doc_id", "lang", "n_chars"))
 
   private def curationSurvivorsBuild(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")

@@ -103,7 +103,12 @@ private[graft] object QVector {
         .select(col("vec_id"), col("embedding"))
       val cands = joined.filter(col("lang") =!= "en")
         .select(col("vec_id"), col("embedding"))
-      val nCand = cands.count()
+      // one sizing count job per (session, corpus dir) — the
+      // DedupEvalStore.sampleM discipline (VERDICT r12 item 3): repeat
+      // invocations in a slate/bench run reuse the memoized corpus size
+      // instead of re-running the count inside plan build
+      val nCand = graft.ops.SlateStore.scalar(s, s"ann_ncand_bitext|$dir")(
+        cands.count())
       val nCells = math.max(4, math.ceil(math.sqrt(nCand.toDouble)).toInt)
       // budget-capped probe width (r12): 0.4·nCells until a query would
       // scan > 4096 vectors, then the cap binds — the unbounded batch
@@ -237,7 +242,9 @@ private[graft] object QVector {
       val emb = t(s, dir, "embeddings")
       val q = emb.filter(col("vec_id") % 10 === 0)
       val c = emb.filter(col("vec_id") % 10 =!= 0)
-      val nCand = c.count()
+      // memoized per (session, corpus dir) — see ann_ncand_bitext above
+      val nCand = graft.ops.SlateStore.scalar(s, s"ann_ncand_mrl|$dir")(
+        c.count())
       val nCells = math.max(4, math.ceil(math.sqrt(nCand.toDouble)).toInt)
       // budget-capped probe width (r12): the 0.4-fraction rule made each
       // query scan 40% of the corpus — quadratic total work, 23× wall at

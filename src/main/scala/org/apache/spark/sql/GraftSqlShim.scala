@@ -11,4 +11,11 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 object GraftSqlShim {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** `SparkSession.sessionUUID` is `private[sql]` — the stable, never-
+    * reused session identity [[graft.ops.SlateStore]] keys its artifact
+    * cache on (an identity hash can be recycled after a session is GC'd).
+    */
+  def sessionUUID(spark: SparkSession): String =
+    spark.asInstanceOf[classic.SparkSession].sessionUUID
 }

@@ -82,11 +82,14 @@ class Round12DedupStoreSpec extends SparkTestBase {
     spark.catalog.clearCache()
     val st2 = DedupEvalStore.get(docs.filter(lit(false)), "doc_id", "text",
       "lang", "fixture_once", m = 1) // ignored: the store key wins
-    assert(st1.sigsPath == st2.sigsPath && st1.pairsPath == st2.pairsPath)
+    // same key → the cached table is served; an actual rebuild from the
+    // empty frame would have produced zero signatures
+    assert(DedupEvalStore.sigs(spark, st2).count() ==
+      DedupEvalStore.sigs(spark, st1).count())
+    assert(DedupEvalStore.sigs(spark, st1).count() > 0L)
     // a different m is a different universe → its own store
     val st3 = DedupEvalStore.get(docs, "doc_id", "text", "lang",
       "fixture_once", m = 2)
-    assert(st3.sigsPath != st1.sigsPath)
     assert(DedupEvalStore.sigs(spark, st3).count() <
       DedupEvalStore.sigs(spark, st1).count())
   }
