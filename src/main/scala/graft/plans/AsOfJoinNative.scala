@@ -53,13 +53,32 @@ case class AsOfJoinPlan(left: LogicalPlan, right: LogicalPlan,
   // Catalyst's size-only visitor estimates any unrecognized multi-child
   // node as the PRODUCT of its children's sizes — a petabyte-scale
   // figure that forbids every downstream broadcast of an as-of result
-  // at plan time (r12). The honest bound: one output row per LEFT row,
-  // each at most left-row + right-row wide, so sizeInBytes ≤ leftSize +
-  // rightSize·(|L|/|R|); without row counts the sum is the usable
-  // estimate (exact when |L| = |R|, conservative for selective lefts) —
-  // the same shape Spark assigns a left-outer join.
-  override def stats: Statistics = Statistics(
-    sizeInBytes = left.stats.sizeInBytes + right.stats.sizeInBytes)
+  // at plan time (r12). The honest model: EXACTLY one output row per
+  // LEFT row, each carrying one right payload (or nulls), so
+  // sizeInBytes = leftSize + |L|·rightRowWidth. The r12 shortcut
+  // `leftSize + rightSize` underestimates badly when the left is
+  // large/narrow and the right small/wide (|L| ≫ |R|): a downstream
+  // join would auto-broadcast a multi-GB as-of result and OOM the
+  // driver. |L| comes from the child's rowCount when the visitor
+  // propagates one, else leftSize over the schema's default row width;
+  // the right row width from rightSize/|R| when |R| is known, else the
+  // schema default — both sides of the estimate degrade gracefully to
+  // schema-derived widths under size-only stats.
+  override def stats: Statistics = {
+    val ls = left.stats
+    val rs = right.stats
+    val lRows: BigInt = ls.rowCount.filter(_ > 0).getOrElse {
+      val lWidth = BigInt(left.output.map(_.dataType.defaultSize).sum.max(1))
+      (ls.sizeInBytes / lWidth).max(1)
+    }
+    val rWidth: BigInt = rs.rowCount.filter(_ > 0) match {
+      case Some(rr) => (rs.sizeInBytes / rr).max(1)
+      case None => BigInt(right.output.map(_.dataType.defaultSize).sum.max(1))
+    }
+    Statistics(
+      sizeInBytes = (ls.sizeInBytes + lRows * rWidth).max(1),
+      rowCount = ls.rowCount)
+  }
 
   override protected def withNewChildrenInternal(
       newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinPlan =

@@ -247,9 +247,10 @@ class AsOfNativeSpec extends SparkTestBase {
     assert(winners.distinct.size == 1, s"winner depends on input order: $winners")
   }
 
-  test("plan stats are the child-size sum, so a small as-of result auto-broadcasts (r12)") {
-    // ~50 KB per side: the default product estimate (~2.5 GB) would
-    // forbid a downstream auto-broadcast; the sum (~100 KB) allows it
+  test("plan stats are row-scaled, so a small as-of result auto-broadcasts (r12/r14)") {
+    // ~50 KB per side of similar width: the default product estimate
+    // (~2.5 GB) would forbid a downstream auto-broadcast; the row-scaled
+    // estimate (leftSize + |L|·rightRowWidth ≈ the side sum here) allows it
     val l = spark.range(2000L).select($"id", ($"id" % 50).as("key"),
       ($"id" * 1000).cast("timestamp").as("t"))
     val r = spark.range(2000L).select(($"id" % 50).as("rkey"),
@@ -258,8 +259,8 @@ class AsOfNativeSpec extends SparkTestBase {
     val jStats = j.queryExecution.optimizedPlan.stats.sizeInBytes
     val lSize = l.queryExecution.optimizedPlan.stats.sizeInBytes
     val rSize = r.queryExecution.optimizedPlan.stats.sizeInBytes
-    assert(jStats <= lSize + rSize,
-      s"as-of stats $jStats must be <= sum($lSize, $rSize), not a product")
+    assert(jStats <= (lSize + rSize) * 2,
+      s"as-of stats $jStats must stay near sum($lSize, $rSize), not a product")
     // a downstream equi-join against a big side auto-broadcasts the
     // as-of result at PLAN time (no hint, no AQE needed)
     val big = spark.range(100000L).select($"id".as("id2"), ($"id" % 50).as("key"))
@@ -267,6 +268,35 @@ class AsOfNativeSpec extends SparkTestBase {
     assert(downstream.queryExecution.executedPlan.toString
       .contains("BroadcastHashJoin"),
       downstream.queryExecution.executedPlan.toString)
+  }
+
+  test("wide-right as-of does NOT plan-time broadcast downstream (r14 MEDIUM fix)") {
+    // left: many NARROW rows; right: few WIDE rows. True output is one
+    // row per LEFT row each carrying the wide right payload — the r12
+    // `leftSize + rightSize` estimate missed the |L|·rightWidth term and
+    // let a downstream join auto-broadcast a result ~20× the threshold.
+    val wideCols = (1 to 60).map(i => ($"id" * i).as(s"w$i"))
+    val l = spark.range(40000L).select(($"id" % 50).as("key"),
+      ($"id" * 1000).cast("timestamp").as("t"))
+    val rCols = ($"id" % 50).as("rkey") +:
+      ($"id" * 900).cast("timestamp").as("rt") +: wideCols
+    val r = spark.range(50L).select(rCols: _*)
+    val j = AsOfJoin.asOfNative(l, r, "key", "rkey", "t", "rt")
+    val jStats = j.queryExecution.optimizedPlan.stats.sizeInBytes
+    val lSize = l.queryExecution.optimizedPlan.stats.sizeInBytes
+    val rSize = r.queryExecution.optimizedPlan.stats.sizeInBytes
+    // the estimate must see the |L|·rightRowWidth blow-up, not the sum
+    assert(jStats > (lSize + rSize) * 4,
+      s"as-of stats $jStats must reflect |L|*rightWidth, got ~sum($lSize,$rSize)")
+    withSQLConf("spark.sql.autoBroadcastJoinThreshold" -> (2 * 1024 * 1024).toString) {
+      // both downstream sides exceed 2 MB under honest stats → no
+      // plan-time broadcast (the r12 estimate sat under the threshold
+      // and would have broadcast the multi-MB as-of result)
+      val big = spark.range(1000000L).select($"id".as("id2"), ($"id" % 50).as("key"))
+      val downstream = big.join(j, Seq("key"))
+      val planStr = downstream.queryExecution.executedPlan.toString
+      assert(!planStr.contains("BroadcastHashJoin"), planStr)
+    }
   }
 
   test("no pruning when every column is consumed (rule is a no-op)") {

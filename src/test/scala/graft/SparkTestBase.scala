@@ -31,4 +31,15 @@ abstract class SparkTestBase extends AnyFunSuite with BeforeAndAfterEach {
     spark.catalog.clearCache()
     super.afterEach()
   }
+
+  /** Run `body` with session confs set, restoring prior values after —
+    * the shared session means leaked confs would poison later suites. */
+  def withSQLConf[T](pairs: (String, String)*)(body: => T): T = {
+    val prior = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body finally prior.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }
