@@ -113,6 +113,17 @@ object AsOfJoin {
     * callers rename right-side collisions first. Requires
     * `spark.sql.extensions=graft.GraftExtensions` (the strategy); without
     * it the plan cannot be scheduled.
+    *
+    * Equal-(key, ts) tie contract: the winner is the right row with the
+    * greatest xxhash64 of its payload AS THE OPTIMIZED PLAN CARRIES IT —
+    * always deterministic (input/partition-order independent), and
+    * identical to [[asOf]]'s winner when every right column is consumed.
+    * When a consumer projects a SUBSET, [[graft.plans.AsOfJoinPruning]]
+    * narrows the scanned payload, so which indistinguishable tie row
+    * backs the visible columns may differ between projections; set
+    * `spark.graft.asof.invariantTies=true` to freeze the full-payload
+    * winner through pruning (costs full right scan width — see the rule
+    * scaladoc for the trade).
     */
   def asOfNative(left: DataFrame, right: DataFrame,
                  leftKey: String, rightKey: String,
@@ -122,11 +133,34 @@ object AsOfJoin {
         throw new IllegalArgumentException(
           s"asOfNative: column $name not found in ${df.columns.mkString(", ")}"))
     val lPlan = left.queryExecution.analyzed
-    val rPlan = right.queryExecution.analyzed
+    val (rPlan, tie) = tieHashedRight(right)
     org.apache.spark.sql.GraftSqlShim.ofRows(left.sparkSession,
       graft.plans.AsOfJoinPlan(lPlan, rPlan,
         attr(left, leftKey), attr(right, rightKey),
-        attr(left, leftTs), attr(right, rightTs)))
+        attr(left, leftTs), attr(right, rightTs), rightTieHash = tie))
+  }
+
+  /** Construction-time support for `spark.graft.asof.invariantTies`
+    * (see [[graft.plans.AsOfJoinPruning]]'s scaladoc for the contract
+    * and the scan-width trade): plants `__asof_tie` = xxhash64 of the
+    * full right payload struct — bitwise the unpruned exec's tiebreak —
+    * under the plan, so column pruning can narrow the payload without
+    * changing which tie row wins. Construction time because Spark's
+    * builtin ColumnPruning narrows custom nodes before injected
+    * optimizer rules run.
+    */
+  private def tieHashedRight(right: DataFrame)
+      : (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+         Option[org.apache.spark.sql.catalyst.expressions.Attribute]) = {
+    val invariant = right.sparkSession.conf
+      .get("spark.graft.asof.invariantTies", "false").toBoolean
+    if (!invariant) (right.queryExecution.analyzed, None)
+    else {
+      val tied = right.withColumn("__asof_tie",
+        xxhash64(struct(right.columns.map(col).toSeq: _*)))
+      val plan = tied.queryExecution.analyzed
+      (plan, plan.output.find(_.name == "__asof_tie"))
+    }
   }
 
   /** Forward as-of join on the NATIVE physical operator — the mirror of
@@ -153,11 +187,13 @@ object AsOfJoin {
       df.queryExecution.analyzed.output.find(_.name == name).getOrElse(
         throw new IllegalArgumentException(
           s"asOfForwardNative: column $name not found in ${df.columns.mkString(", ")}"))
+    val (rPlan, tie) = tieHashedRight(right)
     org.apache.spark.sql.GraftSqlShim.ofRows(left.sparkSession,
       graft.plans.AsOfJoinPlan(
-        left.queryExecution.analyzed, right.queryExecution.analyzed,
+        left.queryExecution.analyzed, rPlan,
         attr(left, leftKey), attr(right, rightKey),
-        attr(left, leftTs), attr(right, rightTs), forward = true))
+        attr(left, leftTs), attr(right, rightTs), forward = true,
+        rightTieHash = tie))
   }
 
   /** Routed backward as-of join: picks [[asOfNative]] whenever the

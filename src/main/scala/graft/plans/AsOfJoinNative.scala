@@ -45,10 +45,17 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 case class AsOfJoinPlan(left: LogicalPlan, right: LogicalPlan,
                         leftKey: Attribute, rightKey: Attribute,
                         leftTs: Attribute, rightTs: Attribute,
-                        forward: Boolean = false)
+                        forward: Boolean = false,
+                        rightTieHash: Option[Attribute] = None)
     extends BinaryNode {
+  /** Right payload columns visible to consumers — the pruning rule's
+    * injected tie-hash column (a function of the PRE-pruning payload,
+    * see [[AsOfJoinPruning]]) rides through the exec but never out. */
+  def rightPayload: Seq[Attribute] =
+    right.output.filterNot(a => rightTieHash.exists(_.semanticEquals(a)))
+
   override def output: Seq[Attribute] =
-    left.output ++ right.output.map(_.withNullability(true))
+    left.output ++ rightPayload.map(_.withNullability(true))
 
   // Catalyst's size-only visitor estimates any unrecognized multi-child
   // node as the PRODUCT of its children's sizes — a petabyte-scale
@@ -96,21 +103,46 @@ case class AsOfJoinPlan(left: LogicalPlan, right: LogicalPlan,
   * optimization batch (`injectOptimizerRule`), so it interleaves with
   * CollapseProject/ColumnPruning until stable.
   *
-  * Tie-rule interaction: the exec's equal-ts tiebreak hashes the right
-  * payload AS THE PLAN CARRIES IT, so after pruning the winner is the
-  * greatest hash of the KEPT columns. That stays fully deterministic —
-  * tie rows identical after pruning are output-indistinguishable, and
-  * rows that differ in a kept column hash apart — and a query keeping
-  * every right column (the parity specs, every declared slate query)
-  * still picks bitwise the composed op's winner. What pruning trades
-  * away is only WHICH indistinguishable-to-the-query tie row backs the
-  * visible subset, in exchange for never scanning the dropped columns.
+  * Tie-rule contract (r14, closes the r12 LOW finding): the exec's
+  * equal-ts tiebreak hashes the right payload AS THE PLAN CARRIES IT,
+  * so by DEFAULT the winner after pruning is the greatest xxhash64 of
+  * the KEPT columns — fully deterministic for a given projection
+  * (input/partition-order independent, asserted by spec), but WHICH
+  * indistinguishable-to-the-query tie row backs the visible subset may
+  * differ between projections: `asOfNative(...).select(a)` can surface
+  * a different tie row's `a` than the unpruned result. This is the
+  * documented trade for never scanning the dropped columns — any
+  * function of the full payload must READ the full payload, and at
+  * scale the pruned columnar scan is the first-order cost (the r12
+  * ReadSchema audit below).
+  *
+  * Consumers that need projection-INVARIANT ties opt in with
+  * `spark.graft.asof.invariantTies=true`, honored at CONSTRUCTION time
+  * (`AsOfJoin.asOfNative` / the `asof_native` TVF): a computed
+  * `__asof_tie` column — xxhash64 of the FULL payload struct, bitwise
+  * the value the unpruned exec computes — is planted under the plan
+  * and recorded as `rightTieHash`; the exec then breaks ties on that
+  * column alone, so any subset select returns the same rows as
+  * projecting the full result (asserted by the invariance spec).
+  * Construction time, not rule time, because Spark 4's builtin
+  * ColumnPruning narrows this node's children generically BEFORE any
+  * injected rule fires — by rule time the full payload is already off
+  * the plan. The node references the tie column, so every pruning pass
+  * keeps it; exchanges and sorts carry only kept-width + 8 bytes, the
+  * column never reaches the output, and the cost is the right SCAN
+  * reverting to full width (any function of the full payload must read
+  * the full payload).
+  *
+  * This rule itself remains as defense in depth for consumer shapes the
+  * builtin generic pruning might skip; on already-narrowed plans it is
+  * a fixed-point no-op.
   */
 object AsOfJoinPruning extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case p @ Project(projList, j: AsOfJoinPlan) =>
       val required = AttributeSet(projList.flatMap(_.references)) ++
-        AttributeSet(Seq(j.leftKey, j.rightKey, j.leftTs, j.rightTs))
+        AttributeSet(Seq(j.leftKey, j.rightKey, j.leftTs, j.rightTs)) ++
+        AttributeSet(j.rightTieHash.toSeq)
       val lKeep = j.left.output.filter(required.contains)
       val rKeep = j.right.output.filter(required.contains)
       if (lKeep.length < j.left.output.length ||
@@ -125,7 +157,7 @@ class AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case p: AsOfJoinPlan =>
       AsOfJoinNativeExec(p.leftKey, p.rightKey, p.leftTs, p.rightTs,
-        p.forward, planLater(p.left), planLater(p.right)) :: Nil
+        p.forward, p.rightTieHash, planLater(p.left), planLater(p.right)) :: Nil
     case _ => Nil
   }
 }
@@ -133,11 +165,14 @@ class AsOfJoinStrategy extends SparkStrategy {
 case class AsOfJoinNativeExec(leftKey: Attribute, rightKey: Attribute,
                               leftTs: Attribute, rightTs: Attribute,
                               forward: Boolean,
+                              rightTieHash: Option[Attribute],
                               left: SparkPlan, right: SparkPlan)
     extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
-    left.output ++ right.output.map(_.withNullability(true))
+    left.output ++ right.output
+      .filterNot(a => rightTieHash.exists(_.semanticEquals(a)))
+      .map(_.withNullability(true))
 
   // both sides cluster on their key; EnsureRequirements co-partitions the
   // two ClusteredDistribution children (the standard shuffled-join shape)
@@ -170,18 +205,34 @@ case class AsOfJoinNativeExec(leftKey: Attribute, rightKey: Attribute,
     val nRight = right.output.size
 
     val outAttrs = output
-    // xxhash64 of the full right payload struct — bitwise the same value
-    // the composed op's xxhash64(__r) tiebreak hashes (struct hashing is
-    // field-recursive and name-blind), bound once on the driver
-    val tieHashExpr = BindReferences.bindReference(
-      XxHash64(Seq(CreateStruct(right.output)), 42L), right.output)
+    // the joined row carries EVERY right child column (including a
+    // pruning-injected tie column); the result projection drops what
+    // `output` excludes. Right attrs MUST be re-marked nullable here:
+    // the projection binds null checks off these, and unmatched lefts
+    // join a null-padded right row
+    val joinedSchema = left.output ++ right.output.map(_.withNullability(true))
+    // tiebreak: the pruning-injected __asof_tie column (hash of the
+    // PRE-pruning payload, already codegen-computed in the child
+    // Project) when present; else xxhash64 of the right payload struct
+    // — bitwise the composed op's xxhash64(__r) window tiebreak (struct
+    // hashing is field-recursive and name-blind), bound on the driver
+    val tieIdx = rightTieHash.map(h =>
+      right.output.indexWhere(_.semanticEquals(h))).getOrElse(-1)
+    require(rightTieHash.isEmpty || tieIdx >= 0,
+      "as-of tie-hash column must be a direct right-child output attribute")
+    val tieHashExpr = if (tieIdx >= 0) null
+      else BindReferences.bindReference(
+        XxHash64(Seq(CreateStruct(right.output)), 42L), right.output)
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val keyOrd = TypeUtils.getInterpretedOrdering(keyType)
       val tsOrd = TypeUtils.getInterpretedOrdering(tsType)
       val nullRight = new GenericInternalRow(nRight)
       val joined = new JoinedRow
       // downstream operators (shuffles, collect) require UnsafeRow
-      val resultProj = UnsafeProjection.create(outAttrs, outAttrs)
+      val resultProj = UnsafeProjection.create(outAttrs, joinedSchema)
+      @inline def tieOf(r: InternalRow): Long =
+        if (tieIdx >= 0) r.getLong(tieIdx)
+        else tieHashExpr.eval(r).asInstanceOf[Long]
 
       new Iterator[InternalRow] {
         // the right cursor row and the current candidate are COPIES —
@@ -218,8 +269,7 @@ case class AsOfJoinNativeExec(leftKey: Attribute, rightKey: Attribute,
               if (cand == null ||
                   tsOrd.compare(rNext.get(rTsIdx, tsType),
                     cand.get(rTsIdx, tsType)) != 0 ||
-                  tieHashExpr.eval(rNext).asInstanceOf[Long] >
-                    tieHashExpr.eval(cand).asInstanceOf[Long])
+                  tieOf(rNext) > tieOf(cand))
                 cand = rNext
               rNext = advanceRight()
             } else {
@@ -261,8 +311,7 @@ case class AsOfJoinNativeExec(leftKey: Attribute, rightKey: Attribute,
                   keyOrd.compare(rNext.get(rKeyIdx, keyType), lk) == 0 &&
                   tsOrd.compare(rNext.get(rTsIdx, tsType),
                     cand.get(rTsIdx, tsType)) == 0) {
-                if (tieHashExpr.eval(rNext).asInstanceOf[Long] >
-                    tieHashExpr.eval(cand).asInstanceOf[Long])
+                if (tieOf(rNext) > tieOf(cand))
                   cand = rNext
                 rNext = advanceRight()
               }

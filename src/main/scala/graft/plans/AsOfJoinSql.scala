@@ -1,8 +1,8 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
-import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression, Literal}
-import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, CreateStruct, Expression, Literal, XxHash64}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.StringType
 import org.apache.spark.unsafe.types.UTF8String
@@ -71,8 +71,18 @@ class ResolveAsOfJoin extends Rule[LogicalPlan] {
             throw new IllegalArgumentException(
               s"asof_native: column $n not found on the $side side " +
                 s"(${p.output.map(_.name).mkString(", ")})"))
-        AsOfJoinPlan(l, r,
+        // same conf contract as AsOfJoin.asOfNative: plant the full-
+        // payload tie hash at resolution time (before any pruning can
+        // narrow the payload) when projection-invariant ties are asked
+        val (r2, tie) =
+          if (conf.getConfString("spark.graft.asof.invariantTies",
+              "false").toBoolean) {
+            val h = Alias(XxHash64(Seq(CreateStruct(r.output)), 42L),
+              "__asof_tie")()
+            (Project(r.output :+ h, r), Some(h.toAttribute))
+          } else (r, None)
+        AsOfJoinPlan(l, r2,
           attr(l, lk, "left"), attr(r, rk, "right"),
-          attr(l, lts, "left"), attr(r, rts, "right"), fwd)
+          attr(l, lts, "left"), attr(r, rts, "right"), fwd, tie)
     }
 }

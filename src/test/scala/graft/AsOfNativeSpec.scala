@@ -247,6 +247,46 @@ class AsOfNativeSpec extends SparkTestBase {
     assert(winners.distinct.size == 1, s"winner depends on input order: $winners")
   }
 
+  test("invariantTies=true: pruned subset select returns the unpruned winner (r14)") {
+    // three DISTINCT payloads tie at the winning (key, ts); the unpruned
+    // winner is the greatest full-payload hash. Under the conf, every
+    // subset projection must surface THAT row's values — and the plan
+    // must carry the injected __asof_tie column instead of re-hashing
+    // the narrowed payload.
+    val l = Seq((1L, 10L, ts("2024-01-01 12:00:00"))).toDF("id", "key", "t")
+    val r = Seq(
+      (200L, 10L, ts("2024-01-01 11:00:00"), "a", 1.0),
+      (201L, 10L, ts("2024-01-01 11:00:00"), "b", 2.0),
+      (202L, 10L, ts("2024-01-01 11:00:00"), "c", 3.0))
+      .toDF("rid", "rkey", "rt", "payload", "px")
+    val full = AsOfJoin.asOfNative(l, r, "key", "rkey", "t", "rt")
+      .select($"rid", $"payload", $"px").as[(Long, String, Double)].head()
+    withSQLConf("spark.graft.asof.invariantTies" -> "true") {
+      val j = AsOfJoin.asOfNative(l, r, "key", "rkey", "t", "rt")
+      val optimized = j.select($"rid").queryExecution.optimizedPlan.toString
+      assert(optimized.contains("__asof_tie"), optimized)
+      val viaRid = j.select($"rid").as[Long].head()
+      val viaPayload = j.select($"payload").as[String].head()
+      val viaPx = j.select($"px").as[Double].head()
+      assert((viaRid, viaPayload, viaPx) == full,
+        s"subset winners ($viaRid,$viaPayload,$viaPx) != unpruned $full")
+      // the SQL TVF honors the same conf at resolution time
+      l.createOrReplaceTempView("v_tie_l")
+      r.createOrReplaceTempView("v_tie_r")
+      val sqlPayload = spark.sql(
+        "SELECT payload FROM asof_native('v_tie_l','v_tie_r','key','rkey','t','rt')")
+      assert(sqlPayload.queryExecution.optimizedPlan.toString
+        .contains("__asof_tie"), sqlPayload.queryExecution.optimizedPlan.toString)
+      assert(sqlPayload.as[String].head() == full._2)
+    }
+    // default contract: deterministic per projection (the input-order
+    // spec above), but the winner is the greatest KEPT-columns hash —
+    // the scans stay pruned (ReadSchema audits elsewhere in this suite)
+    val defaultPlan = AsOfJoin.asOfNative(l, r, "key", "rkey", "t", "rt")
+      .select($"rid").queryExecution.optimizedPlan.toString
+    assert(!defaultPlan.contains("__asof_tie"), defaultPlan)
+  }
+
   test("plan stats are row-scaled, so a small as-of result auto-broadcasts (r12/r14)") {
     // ~50 KB per side of similar width: the default product estimate
     // (~2.5 GB) would forbid a downstream auto-broadcast; the row-scaled
