@@ -33,7 +33,7 @@ object BenchOne {
       if (allNames.size > 1) println(s"[bench_one] === explain: $n ===")
       SparkEntry.queries(n)(spark, sfDir).explain("formatted")
     }
-    allNames.filter(_ => doProfile).foreach { n =>
+    if (doProfile) allNames.foreach { n =>
       val fn = SparkEntry.queries(n)
       if (allNames.size > 1) println(s"[bench_one] === profile: $n ===")
       // Warm once so the profile measures steady-state, then record every

@@ -42,8 +42,10 @@ object DedupEvalStore {
     * a different rate silently got the stale modulus); `storeKey` must
     * uniquely identify the docs relation.
     */
-  def sampleM(docs: DataFrame, storeKey: String, perDocs: Double = 2500.0): Long =
-    SlateStore.scalar(docs.sparkSession, s"dedup_m|$storeKey|per=$perDocs")(
+  def sampleM(docs: DataFrame, storeKey: String, perDocs: Double = 2500.0,
+              contentTag: Option[String] = None): Long =
+    SlateStore.scalar(docs.sparkSession,
+      s"dedup_m|$storeKey|per=$perDocs${contentTag.fold("")("#" + _)}")(
       math.max(2L, math.ceil(docs.count() / perDocs).toLong))
 
   /** Build (first caller) or fetch the store for the 1-in-m universe of
@@ -52,10 +54,16 @@ object DedupEvalStore {
     */
   def get(docs: DataFrame, idCol: String, textCol: String, blockCol: String,
           storeKey: String, m: Long, shingleN: Int = 3, numHashes: Int = 16,
-          floorThreshold: Double = 0.5): Store = {
+          floorThreshold: Double = 0.5,
+          contentTag: Option[String] = None): Store = {
     val spark = docs.sparkSession
-    val paramKey = s"$storeKey|m=$m|n=$shingleN|h=$numHashes"
-    val sigsDf = SlateStore.parquet(spark, s"dedup_sigs|$paramKey") {
+    // every build-affecting parameter is in the key — INCLUDING the
+    // projected column names (ADVICE r13: two callers sharing a storeKey
+    // but projecting different columns must not share a table)
+    val paramKey = s"$storeKey|id=$idCol|txt=$textCol|blk=$blockCol" +
+      s"|m=$m|n=$shingleN|h=$numHashes"
+    val sigsDf = SlateStore.parquet(spark, s"dedup_sigs|$paramKey",
+        contentTag) {
       docs
         .filter(pmod(LlmOps.md5Hash48(col(idCol).cast("string"), 1),
           lit(m)) === 0)
@@ -68,7 +76,8 @@ object DedupEvalStore {
     }
     // sigsDf is already a committed-table scan when this build closure
     // runs, so the pair build never nests a store build inside another.
-    val pairsDf = SlateStore.parquet(spark, s"dedup_pairs|$paramKey|t=$floorThreshold") {
+    val pairsDf = SlateStore.parquet(spark,
+        s"dedup_pairs|$paramKey|t=$floorThreshold", contentTag) {
       LlmOps.jaccardPairsFromSets(
         sigsDf.select(col("blk").as("__blk"), col(idCol),
           array_sort(col("sh")).as("__sh")),

@@ -58,9 +58,10 @@ object Graph {
     * `spark.graft.store.dir`.
     */
   def coFulfillmentEdges(lineitem: DataFrame, storeKey: String,
-                         minShared: Int = 4): DataFrame =
+                         minShared: Int = 4,
+                         contentTag: Option[String] = None): DataFrame =
     SlateStore.parquet(lineitem.sparkSession,
-      s"cofulfill|$storeKey|min=$minShared") {
+      s"cofulfill|$storeKey|min=$minShared", contentTag) {
       lineitem
         .groupBy(col("l_orderkey"))
         .agg(sort_array(collect_set(col("l_suppkey"))).as("sks"))

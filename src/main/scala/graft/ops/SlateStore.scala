@@ -68,23 +68,55 @@ object SlateStore {
     * The key must embed every parameter the build depends on — it is the
     * table's identity, in-session and (under a configured base dir)
     * across sessions.
+    *
+    * `contentTag` (r14, VERDICT r13 item 4) ties the artifact to its
+    * INPUT's content version — pass [[corpusTag]] of the source path.
+    * The tag joins the in-session cache key (a corpus regenerated
+    * mid-session rebuilds instead of serving the stale table) and is
+    * committed as a `_tag` sidecar; a cross-session attach under
+    * `spark.graft.store.dir` verifies it and rebuilds on mismatch, so a
+    * regenerated corpus can never silently serve a previous corpus's
+    * artifact. Callers without a natural input path may pass None and
+    * keep the dir-keyed r13 behavior.
     */
-  def parquet(spark: SparkSession, key: String)
+  def parquet(spark: SparkSession, key: String,
+              contentTag: Option[String] = None)
              (build: => DataFrame): DataFrame = {
     val sk = sessionKey(spark)
-    val mapKey = (sk, key)
+    val mapKey = (sk, key + contentTag.fold("")("#" + _))
     var entry = tables.get(mapKey)
     if (entry == null) {
       val lock = locks.computeIfAbsent(mapKey, _ => new Object)
       lock.synchronized {
         entry = tables.get(mapKey)
         if (entry == null) {
-          entry = materialize(spark, sk, key, build)
+          entry = materialize(spark, sk, key, contentTag, build)
           tables.put(mapKey, entry)
         }
       }
     }
     Sink.readSnapshot(spark, entry._1, Some(entry._2))
+  }
+
+  /** Content fingerprint of an input path — file names, lengths, and
+    * modification times folded into one md5 tag (driver-side metadata
+    * listing only; no job). Changes whenever the input is regenerated,
+    * appended to, or compacted; feed it to [[parquet]]/[[scalar]] keys
+    * so managed artifacts invalidate with their inputs.
+    */
+  def corpusTag(spark: SparkSession, path: String): String = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def walk(st: org.apache.hadoop.fs.FileStatus): Unit =
+      if (st.isDirectory)
+        fs.listStatus(st.getPath).sortBy(_.getPath.getName).foreach(walk)
+      else md.update(
+        s"${st.getPath.getName}|${st.getLen}|${st.getModificationTime};"
+          .getBytes(StandardCharsets.UTF_8))
+    if (fs.exists(p)) walk(fs.getFileStatus(p))
+    else md.update("absent".getBytes(StandardCharsets.UTF_8))
+    md.digest().take(8).map("%02x".format(_)).mkString
   }
 
   /** Memoized driver-side scalar per (session, key) — the home for the
@@ -95,26 +127,44 @@ object SlateStore {
     */
   def scalar[T](spark: SparkSession, key: String)(compute: => T): T = {
     val mapKey = (sessionKey(spark), "scalar|" + key)
+    // values are stored in a Some holder so a compute that legitimately
+    // returns null memoizes like any other result (ADVICE r13: a bare
+    // null read as absent and re-ran per caller, against the
+    // once-per-(session, key) contract)
     var v = scalars.get(mapKey)
     if (v == null) {
       val lock = locks.computeIfAbsent(mapKey, _ => new Object)
       lock.synchronized {
         v = scalars.get(mapKey)
-        if (v == null) { v = compute.asInstanceOf[Any]; scalars.put(mapKey, v) }
+        if (v == null) { v = Some(compute); scalars.put(mapKey, v) }
       }
     }
-    v.asInstanceOf[T]
+    v.asInstanceOf[Some[T]].value
   }
 
   private def materialize(spark: SparkSession, sk: String, key: String,
+                          contentTag: Option[String],
                           build: => DataFrame): (String, StructType) = {
     val (base, managed) = baseDir(spark, sk)
     val dir = new Path(base, tableName(key)).toString
-    val attached = if (managed) attach(spark, dir) else None
+    val attached = if (managed) attach(spark, dir, contentTag) else None
     attached.getOrElse {
       val df = build
-      Sink.overwriteSnapshot(df, dir, retain = 1, minAgeMs = 0L)
+      // Managed dirs are shared: another JVM's running query may still
+      // hold file handles into a superseded version when this one
+      // recommits (rebuild over a stale tag, or a half-finished foreign
+      // write), so the time-floor retention gate must stay armed
+      // (ADVICE r13 MEDIUM) — Sink's 10-minute default unless tuned via
+      // spark.graft.store.minRetainAgeMs. The session-private temp root
+      // has no foreign readers; immediate GC is safe there.
+      val minAge =
+        if (managed)
+          spark.conf.getOption("spark.graft.store.minRetainAgeMs")
+            .map(_.toLong).getOrElse(600000L)
+        else 0L
+      Sink.overwriteSnapshot(df, dir, retain = 1, minAgeMs = minAge)
       writeSidecar(spark, new Path(dir, "_schema"), df.schema.json)
+      contentTag.foreach(t => writeSidecar(spark, new Path(dir, "_tag"), t))
       (dir, df.schema)
     }
   }
@@ -123,21 +173,33 @@ object SlateStore {
     * is a finished artifact from an earlier session: adopt it instead of
     * rebuilding. (The sidecar is written after the pointer commit, so a
     * pointer without a sidecar is a half-finished foreign write — rebuild,
-    * which recommits both.)
+    * which recommits both.) When the caller supplies a `contentTag`, the
+    * stored `_tag` sidecar must match it exactly — an artifact built from
+    * a since-regenerated corpus (stale or missing tag) is rebuilt, never
+    * silently served (VERDICT r13 item 4).
     */
-  private def attach(spark: SparkSession, dir: String): Option[(String, StructType)] = {
+  private def attach(spark: SparkSession, dir: String,
+                     contentTag: Option[String]): Option[(String, StructType)] = {
     val conf = spark.sessionState.newHadoopConf()
     val schemaPath = new Path(dir, "_schema")
     val fs = schemaPath.getFileSystem(conf)
-    if (!fs.exists(schemaPath) || !fs.exists(new Path(dir, "_current"))) None
-    else {
-      val in = fs.open(schemaPath)
-      val json = try {
+    def readSide(p: Path): String = {
+      val in = fs.open(p)
+      try {
         val buf = new java.io.ByteArrayOutputStream()
         org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 4096, false)
         new String(buf.toByteArray, StandardCharsets.UTF_8)
       } finally in.close()
-      Some((dir, DataType.fromJson(json).asInstanceOf[StructType]))
+    }
+    if (!fs.exists(schemaPath) || !fs.exists(new Path(dir, "_current"))) None
+    else {
+      val tagOk = contentTag.forall { want =>
+        val tagPath = new Path(dir, "_tag")
+        fs.exists(tagPath) && readSide(tagPath) == want
+      }
+      if (!tagOk) None
+      else Some((dir,
+        DataType.fromJson(readSide(schemaPath)).asInstanceOf[StructType]))
     }
   }
 
@@ -174,6 +236,15 @@ object SlateStore {
   /** Evict a session's entries and delete its temp root when the
     * application ends — the disk-lifetime gap ADVICE r12 flagged (temp
     * dirs were never GC'd and map entries never evicted).
+    *
+    * QUIESCENT-ONLY (ADVICE r13): this runs from `onApplicationEnd` (and
+    * tests), after the session can no longer issue queries. Invoking it
+    * concurrently with live `parquet()`/`scalar()` callers is unsafe by
+    * design — eviction races the double-checked lock (two builders could
+    * hold different monitors for one key) and a just-served table path
+    * points into the deleted temp root. Serializing every lookup against
+    * a shutdown that by contract has no concurrent callers is not worth
+    * a read-write lock on the hot path.
     */
   private def registerCleanup(spark: SparkSession, sk: String): Unit =
     if (cleanupHooked.add(sk)) {

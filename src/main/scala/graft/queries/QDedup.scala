@@ -24,9 +24,29 @@ private[graft] object QDedup {
     * a parquet table; values identical by construction (one derivation).
     */
   private def productionPairs(s: SparkSession, dir: String): DataFrame =
-    graft.ops.SlateStore.parquet(s, s"neardup_pairs|$dir")(
+    graft.ops.SlateStore.parquet(s, s"neardup_pairs|$dir", docsTag(s, dir))(
       LlmOps.nearDupPairs(t(s, dir, "documents"), "doc_id", "text",
         maxBucketSize = 10000))
+
+  /** Content tag of the corpus the shared artifacts derive from — under
+    * a managed `spark.graft.store.dir`, a regenerated corpus invalidates
+    * the stored tables instead of silently serving stale ones (VERDICT
+    * r13 item 4). Driver-side metadata listing, no job.
+    */
+  private def docsTag(s: SparkSession, dir: String): Option[String] =
+    Some(graft.ops.SlateStore.corpusTag(s, s"$dir/documents.parquet"))
+
+  /** The shared dedup-eval store for `dir`'s documents — one place so
+    * every consumer passes the same column set, sample rate, and corpus
+    * content tag.
+    */
+  private def evalStore(s: SparkSession, dir: String): graft.ops.DedupEvalStore.Store = {
+    val docs = t(s, dir, "documents")
+    val tag = docsTag(s, dir)
+    graft.ops.DedupEvalStore.get(docs, "doc_id", "text", "lang", dir,
+      graft.ops.DedupEvalStore.sampleM(docs, dir, contentTag = tag),
+      contentTag = tag)
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -88,9 +108,7 @@ private[graft] object QDedup {
       // output is quadratic in duplicate density BY DESIGN, so the
       // tuning estimate runs on a ~bounded universe and carries its rate
       // for auditability).
-      val docs = t(s, dir, "documents")
-      val st = graft.ops.DedupEvalStore.get(docs, "doc_id", "text", "lang",
-        dir, graft.ops.DedupEvalStore.sampleM(docs, dir))
+      val st = evalStore(s, dir)
       val pairs = graft.ops.DedupEvalStore.pairs(s, st)
       val ths = Seq(0.5, 0.6, 0.7, 0.8, 0.9)
       val aggs = ths.map(th =>
@@ -112,9 +130,7 @@ private[graft] object QDedup {
       // Same size-capped 1-in-m universe as dedup_threshold_sweep (the
       // S-curve is a per-pair property, so a deterministic sample
       // estimates each decile unbiasedly); sample_m audits the rate.
-      val docs = t(s, dir, "documents")
-      val st = graft.ops.DedupEvalStore.get(docs, "doc_id", "text", "lang",
-        dir, graft.ops.DedupEvalStore.sampleM(docs, dir))
+      val st = evalStore(s, dir)
       LlmOps.lshRecallFromPairs(graft.ops.DedupEvalStore.pairs(s, st),
           bands = 4, rowsPerBand = 4)
         .withColumn("sample_m", lit(st.m))
@@ -247,9 +263,7 @@ private[graft] object QDedup {
       // queries hit ONE store at every SF; the 0.5-floor verified pairs
       // filtered at 0.7 are bit-identical to the former in-op grid-join
       // truth (same md5-48 sets, lossless threshold subset).
-      val docs = t(s, dir, "documents")
-      val st = graft.ops.DedupEvalStore.get(docs, "doc_id", "text", "lang",
-        dir, graft.ops.DedupEvalStore.sampleM(docs, dir))
+      val st = evalStore(s, dir)
       LlmOps.nearDupEvalFromStore(
         graft.ops.DedupEvalStore.sigs(s, st),
         graft.ops.DedupEvalStore.pairs(s, st),

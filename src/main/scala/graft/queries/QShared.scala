@@ -114,7 +114,8 @@ private[graft] object QShared {
     * [[graft.ops.SlateStore.parquet]], the unified managed-table layer.
     */
   private[graft] def curationSurvivors(s: SparkSession, dir: String): DataFrame =
-    graft.ops.SlateStore.parquet(s, s"curation_survivors|$dir")(
+    graft.ops.SlateStore.parquet(s, s"curation_survivors|$dir",
+        Some(graft.ops.SlateStore.corpusTag(s, s"$dir/documents.parquet")))(
       curationSurvivorsBuild(s, dir).select("doc_id", "lang", "n_chars"))
 
   private def curationSurvivorsBuild(s: SparkSession, dir: String): DataFrame = {

@@ -15,6 +15,17 @@ import graft.QShared._
   * [[SparkEntry]] keeps the driver contract identical. */
 private[graft] object QVector {
 
+  /** Content tags for the inputs the shared artifacts and memoized
+    * sizing counts derive from (VERDICT r13 item 4): embedded in every
+    * store/scalar key so a regenerated corpus invalidates instead of
+    * silently serving the stale artifact or count. Driver-side metadata
+    * listing, no job.
+    */
+  private def lineitemTag(s: SparkSession, dir: String): Option[String] =
+    Some(graft.ops.SlateStore.corpusTag(s, s"$dir/lineitem.parquet"))
+  private def embTag(s: SparkSession, dir: String): String =
+    graft.ops.SlateStore.corpusTag(s, s"$dir/embeddings.parquet")
+
   /** The fixed-batch lexical and vector top-20 rankings shared by
     * `rrf_fuse` (which merges them) and `rbo_rankings` (which measures
     * their agreement): lexical = distinct-token overlap with the query
@@ -107,7 +118,8 @@ private[graft] object QVector {
       // DedupEvalStore.sampleM discipline (VERDICT r12 item 3): repeat
       // invocations in a slate/bench run reuse the memoized corpus size
       // instead of re-running the count inside plan build
-      val nCand = graft.ops.SlateStore.scalar(s, s"ann_ncand_bitext|$dir")(
+      val nCand = graft.ops.SlateStore.scalar(s,
+          s"ann_ncand_bitext|$dir#${embTag(s, dir)}")(
         cands.count())
       val nCells = math.max(4, math.ceil(math.sqrt(nCand.toDouble)).toInt)
       // budget-capped probe width (r12): 0.4·nCells until a query would
@@ -243,7 +255,8 @@ private[graft] object QVector {
       val q = emb.filter(col("vec_id") % 10 === 0)
       val c = emb.filter(col("vec_id") % 10 =!= 0)
       // memoized per (session, corpus dir) — see ann_ncand_bitext above
-      val nCand = graft.ops.SlateStore.scalar(s, s"ann_ncand_mrl|$dir")(
+      val nCand = graft.ops.SlateStore.scalar(s,
+          s"ann_ncand_mrl|$dir#${embTag(s, dir)}")(
         c.count())
       val nCells = math.max(4, math.ceil(math.sqrt(nCand.toDouble)).toInt)
       // budget-capped probe width (r12): the 0.4-fraction rule made each
@@ -506,7 +519,8 @@ private[graft] object QVector {
       // census via degree-ordered orientation — wedge work is bounded by
       // out-degree², not hub degree²
       graft.ops.Graph.triangleStats(
-        graft.ops.Graph.coFulfillmentEdges(t(s, dir, "lineitem"), dir),
+        graft.ops.Graph.coFulfillmentEdges(t(s, dir, "lineitem"), dir,
+          contentTag = lineitemTag(s, dir)),
         "a", "b")),
 
     "assortativity_suppliers" -> ((s, dir) =>
@@ -514,7 +528,8 @@ private[graft] object QVector {
       // Newman's r over the same >=4-shared-orders graph — the number
       // that picks the skew mitigation (salt hubs vs sample cores)
       graft.ops.Graph.degreeAssortativity(
-        graft.ops.Graph.coFulfillmentEdges(t(s, dir, "lineitem"), dir),
+        graft.ops.Graph.coFulfillmentEdges(t(s, dir, "lineitem"), dir,
+          contentTag = lineitemTag(s, dir)),
         "a", "b")),
 
     "modularity_nations" -> ((s, dir) =>
@@ -522,7 +537,8 @@ private[graft] object QVector {
       // Newman-Girvan Q of the supplier->nation partition — the check
       // before trusting nation as a graph-sharding key
       graft.ops.Graph.modularity(
-        graft.ops.Graph.coFulfillmentEdges(t(s, dir, "lineitem"), dir),
+        graft.ops.Graph.coFulfillmentEdges(t(s, dir, "lineitem"), dir,
+          contentTag = lineitemTag(s, dir)),
         "a", "b", t(s, dir, "supplier"), "s_suppkey", "s_nationkey")),
 
     "triangle_suppliers_sampled" -> ((s, dir) =>
@@ -531,7 +547,8 @@ private[graft] object QVector {
       // edges; n_triangles_est scales by 2³ — the deterministic
       // md5-48 edge sample an external twin replays exactly
       graft.ops.Graph.triangleStatsSampled(
-        graft.ops.Graph.coFulfillmentEdges(t(s, dir, "lineitem"), dir),
+        graft.ops.Graph.coFulfillmentEdges(t(s, dir, "lineitem"), dir,
+          contentTag = lineitemTag(s, dir)),
         "a", "b", num = 1, den = 2)),
 
   )
