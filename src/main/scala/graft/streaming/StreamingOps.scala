@@ -763,6 +763,77 @@ object StreamingOps {
         TimeMode.None(), OutputMode.Append())
   }
 
+  case class AsOfEnriched(userId: Long, eventId: Long, atMs: Long,
+                          matchedMs: Option[Long], lagSeconds: Long)
+
+  /** Streaming counterpart of the native backward as-of join
+    * ([[graft.ops.AsOfJoin.asOfNative]], VERDICT r12 item 6): rows of
+    * `rightKind` are the reference side; every OTHER row is a probe,
+    * enriched with the greatest same-key reference timestamp at-or-before
+    * its own (inclusive, exactly the batch operator's contract) and
+    * emitted exactly once. State is O(1) per key — the latest reference
+    * epoch-ms — the [[LastTouchTracker]] shape without the window gate.
+    *
+    * Ordering/watermark semantics (the `eventPathsStream` mid-state
+    * discipline): within a micro-batch rows sort by (ts, reference-first,
+    * eventId) — reference-first so an equal-timestamp reference is
+    * visible to its simultaneous probe, the inclusive bound — so ANY
+    * batch boundary placed into an in-order feed leaves results
+    * identical to the single-batch run (parity spec). The face assumes
+    * an in-order feed ACROSS batches, the same assumption every tracker
+    * in this file documents: a reference arriving after a later-ts probe
+    * was already emitted cannot revise that probe (append mode emits
+    * once; the monotonic state guard also ignores references older than
+    * the held one). Late data beyond that is the batch operator's job —
+    * `asOfNative` over the archived table backfills exactly these rows.
+    * `TimeMode.None`: state never expires (one long per key); compose
+    * with a TTL state variant where key cardinality is unbounded.
+    *
+    * The output carries the matched TIMESTAMP, not a reference row id,
+    * so equal-timestamp reference ties are output-indistinguishable —
+    * the stream face needs no analog of the batch payload-hash tie rule.
+    */
+  class AsOfEnrichTracker(rightKind: String)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, TypedEvent, AsOfEnriched] {
+    @transient private var latest: org.apache.spark.sql.streaming.ValueState[Long] = _
+
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+      latest = getHandle.getValueState[Long]("latestRefMs",
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: Long, rows: Iterator[TypedEvent],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[AsOfEnriched] = {
+      val sorted = rows.toSeq.sortBy(e =>
+        (e.ts.getTime, if (e.eventType == rightKind) 0 else 1, e.eventId))
+      val out = scala.collection.mutable.ArrayBuffer.empty[AsOfEnriched]
+      sorted.foreach { e =>
+        val ms = e.ts.getTime
+        if (e.eventType == rightKind) {
+          // monotonic: an out-of-order (older) reference never replaces
+          // a newer one already held
+          if (!latest.exists() || latest.get() <= ms) latest.update(ms)
+        } else {
+          val m = if (latest.exists()) Some(latest.get()) else None
+          out += AsOfEnriched(key, e.eventId, ms, m,
+            m.map(v => (ms - v) / 1000L).getOrElse(-1L))
+        }
+      }
+      out.iterator
+    }
+  }
+
+  /** Wire [[AsOfEnrichTracker]] over a [[TypedEvent]] stream. */
+  def asOfEnrichStream(ds: Dataset[TypedEvent], rightKind: String)(
+      implicit enc: org.apache.spark.sql.Encoder[AsOfEnriched]): Dataset[AsOfEnriched] = {
+    import org.apache.spark.sql.streaming.TimeMode
+    ds.groupByKey(_.userId)(org.apache.spark.sql.Encoders.scalaLong)
+      .transformWithState(new AsOfEnrichTracker(rightKind),
+        TimeMode.None(), OutputMode.Append())
+  }
+
   /** Streaming counterpart of [[graft.ops.Temporal.eventFunnel]]: per-key
     * conversion stages tracked as keyed state, a progress row emitted each
     * time a key advances. Stage i+1 counts only strictly after stage i's

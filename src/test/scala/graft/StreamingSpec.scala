@@ -845,6 +845,69 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("streaming as-of enrich matches the native batch as-of across batch splits") {
+    import StreamingOps.TypedEvent
+    // probes = clicks/views, references = purchases; includes a
+    // same-second (probe, reference) pair — the INCLUSIVE bound — a
+    // no-reference-yet probe, and a key with no references at all
+    val events = Seq(
+      TypedEvent(1L, "click", ts("2024-01-01 00:30:00"), 1L),   // before any ref → null
+      TypedEvent(1L, "purchase", ts("2024-01-01 01:00:00"), 2L),
+      TypedEvent(1L, "click", ts("2024-01-01 01:00:00"), 3L),   // same-second ref matches
+      TypedEvent(1L, "click", ts("2024-01-01 02:00:00"), 4L),   // → 01:00 ref
+      TypedEvent(1L, "purchase", ts("2024-01-01 03:00:00"), 5L),
+      TypedEvent(1L, "view", ts("2024-01-01 04:00:00"), 6L),    // → 03:00 ref (latest wins)
+      TypedEvent(2L, "click", ts("2024-01-01 05:00:00"), 7L))   // keyless of refs → null
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[TypedEvent]
+    val q = StreamingOps.asOfEnrichStream(input.toDS(), "purchase")
+      .writeStream.format("memory").queryName("asof_enrich_out")
+      .outputMode("append").start()
+    try {
+      // mid-state split: the boundary lands between a reference and the
+      // probes that depend on it — state must carry the reference across
+      input.addData(events.take(2): _*)
+      q.processAllAvailable()
+      input.addData(events.slice(2, 5): _*)
+      q.processAllAvailable()
+      input.addData(events.drop(5): _*)
+      q.processAllAvailable()
+      val got = spark.table("asof_enrich_out")
+        .as[StreamingOps.AsOfEnriched].collect()
+        .map(a => a.eventId -> ((a.matchedMs, a.lagSeconds))).toMap
+      // batch reference: the native as-of join on the same rows
+      val probes = events.filter(_.eventType != "purchase")
+        .toDF().select($"userId", $"eventId", $"ts")
+      val refs = events.filter(_.eventType == "purchase")
+        .toDF().select($"userId".as("r_userId"), $"ts".as("r_ts"))
+      val batch = graft.ops.AsOfJoin.asOfNative(probes, refs,
+          "userId", "r_userId", "ts", "r_ts")
+        .select($"eventId", $"r_ts").collect()
+        .map { r =>
+          val m = if (r.isNullAt(1)) None
+            else Some(r.getTimestamp(1).getTime)
+          r.getLong(0) -> ((m, -1L))
+        }.toMap
+      assert(got.keySet == batch.keySet, s"stream $got != batch keys $batch")
+      got.foreach { case (id, (m, lag)) =>
+        assert(m == batch(id)._1, s"event $id: stream matched $m != batch ${batch(id)._1}")
+        m.foreach(v => assert(lag == (events.find(_.eventId == id).get.ts.getTime - v) / 1000L))
+      }
+      // the inclusive same-second match and the pre-reference null, explicitly
+      assert(got(3L)._1.contains(ts("2024-01-01 01:00:00").getTime))
+      assert(got(1L)._1.isEmpty && got(1L)._2 == -1L)
+      assert(got(6L)._1.contains(ts("2024-01-01 03:00:00").getTime))
+    } finally {
+      q.stop()
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("streaming last-touch attribution matches batch across a batch split") {
     import StreamingOps.TypedEvent
     val events = Seq(
