@@ -3045,6 +3045,15 @@ object LlmOps {
     * exact-verify by hashed-set intersection. Hot postings are the
     * documented risk (the join_explosion diagnostic is the pre-flight
     * for exactly this); the block column bounds them.
+    *
+    * CONTRACT (same as [[jaccardPairs]]): exact-exhaustive-inside-blocks
+    * is for capped tuning universes. The verify join carries both
+    * documents' full shingle arrays at pair grain, so its shuffled bytes
+    * grow with pairs × document size — the r14 100× replica probe
+    * (~46 M candidate pairs of full-array rows) exhausted the heap in
+    * that join. The corpus-scale path is [[containmentSketch]], which
+    * estimates the same measure with nothing wider than 24 bytes in
+    * any shuffle.
     */
   def containmentPairs(df: DataFrame, idCol: String, textCol: String,
                        blockCol: String, shingleN: Int,
@@ -3076,6 +3085,102 @@ object LlmOps {
         (size(array_intersect(col("__sh_a"), col("__sh_b"))).cast("double")
           / col("__sz_a").cast("double")).as("containment"))
       .filter(col("containment") >= threshold)
+  }
+
+  /** Bottom-k (KMV) sketch estimate of Broder containment
+    * C(A→B) = |A∩B| / |A| — the CORPUS-SCALE path for the quote/excerpt
+    * detector. [[containmentPairs]] is honest-exact: its verify stage
+    * carries both documents' full sorted shingle-hash arrays through a
+    * pair-grain join, the right tool for a capped tuning universe but a
+    * shape whose shuffled bytes grow with (pairs × document size). Here
+    * nothing wider than 24 bytes ever shuffles: under a fixed hash
+    * order, a document's k smallest distinct shingle hashes are a
+    * uniform sample of its distinct-shingle set (bottom-k / KMV
+    * sketches — Bar-Yossef et al. RANDOM 2002, Beyer et al. SIGMOD
+    * 2007, Cohen & Kaplan JCSS 2007), so the fraction of A's bottom-k
+    * found anywhere in B estimates C(A→B) unbiasedly with ±O(1/√k)
+    * error, independent of document or corpus size.
+    *
+    * Scale shape: the probe side explodes ≤ `sketchK` rows per document
+    * (fixed), the posting side one row per distinct shingle — the same
+    * block-bounded inverted index the exact op builds, MINUS the prefix
+    * arithmetic and the array-carrying verify join. One join on
+    * (block, hash48) immediately collapsed by a map-side-combined
+    * (id_a, id_b) count; the estimate is one IEEE division of exact
+    * ints ≤ k. The md5-48 hash family makes the sketch PORTABLE: an
+    * ANSI-SQL oracle replays the same bottom-k selection and the same
+    * matches digit for digit, so estimates hash-compare bitwise — a
+    * sketch whose values are reproducible across engines is auditable
+    * at any scale.
+    *
+    * Estimator guarantees asserted by spec: est = 1.0 for a wholesale-
+    * contained document, 0 matches (no row) for block-disjoint docs,
+    * k_a = |shingles| when a document is smaller than the sketch.
+    */
+  def containmentSketch(df: DataFrame, idCol: String, textCol: String,
+                        blockCol: String, shingleN: Int,
+                        threshold: Double, sketchK: Int = 32): DataFrame = {
+    // distinct md5-48 shingle hashes per doc; distinct AGAIN after
+    // hashing so a (negligible, but engine-identical) 48-bit collision
+    // can't double-count a posting
+    // persist BELOW the size filter: a filter inside the cache-build plan
+    // gets pushed under the projection and re-evaluates the whole
+    // shingle+md5 pipeline per row (measured ~2× the build cost); above
+    // the cache it tests the stored column
+    val hs = df.select(col(blockCol).as("__blk"), col(idCol),
+        array_distinct(transform(shingles(col(textCol), shingleN),
+          s => md5Hash48(s, 1))).as("__hs"))
+      .persist()  // feeds probe + posting sides (nearDupPairs contract:
+                  // callers clearCache() when done)
+      .filter(size(col("__hs")) > 0)
+    val probe = hs.select(col("__blk"), col(idCol).as("id_a"),
+      least(size(col("__hs")), lit(sketchK)).cast("long").as("k_a"),
+      explode(slice(array_sort(col("__hs")), 1, sketchK)).as("__h"))
+    val post = hs.select(col("__blk"), col(idCol).as("id_b"),
+      explode(col("__hs")).as("__h"))
+    // per-doc sets are distinct, so each probe hash matches ≤ 1 posting
+    // row of any B: count == |bottomk(A) ∩ B| exactly.
+    // merge-hinted: the posting index is corpus-sized and must never
+    // broadcast (the jaccardPairsFromSets rule) — the plan-time size
+    // estimate under a cached relation reads the pre-explode parquet
+    // bytes and happily BuildRight-broadcasts the whole inverted index
+    // through the driver, single-threaded (measured: 10× warm went
+    // 150 s → SMJ fixes it; at 100× the build is a driver OOM risk)
+    probe.join(post.hint("merge"), Seq("__blk", "__h"))
+      .filter(col("id_a") =!= col("id_b"))
+      .groupBy(col("id_a"), col("id_b"), col("k_a"))
+      .agg(count(lit(1)).cast("long").as("n_match"))
+      .select(col("id_a"), col("id_b"), col("n_match"), col("k_a"),
+        (col("n_match").cast("double") / col("k_a").cast("double"))
+          .as("containment_est"))
+      .filter(col("containment_est") >= threshold)
+  }
+
+  /** Exact-duplicate equivalence-class representatives: one row per
+    * (block, md5 text fingerprint) — the smallest id in the class — with
+    * the class size as `n_copies`. This is the collapse step that makes
+    * pair-grain detectors affordable on duplicate-heavy corpora: any
+    * relation over verbatim-duplicate documents is CONSTANT on the
+    * equivalence classes, so compute it once per class and expand by
+    * multiplicity (pairs between classes a and b = n_copies(a) ×
+    * n_copies(b)). The r14 100× probe is the motivating measurement: a
+    * corpus of 100 verbatim copies per text forces any correct
+    * containment op — exact or sketch — through a replica-square match
+    * stream (the exact op OOM'd, the sketch flooded 64 GB of scratch),
+    * while the composition collapse → detect runs at distinct-text
+    * scale.
+    *
+    * One shuffle of the corpus on (block, fingerprint); both the min-id
+    * pick and the class count ride the same window, no join-back.
+    */
+  def exactRepresentatives(df: DataFrame, idCol: String, textCol: String,
+                           blockCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(blockCol), fingerprint(col(textCol)))
+    df.withColumn("__mn", min(col(idCol)).over(w))
+      .withColumn("n_copies", count(lit(1)).over(w).cast("long"))
+      .filter(col(idCol) === col("__mn"))
+      .drop("__mn")
   }
 
   /** One-row dataset card: the corpus-level summary a training-data

@@ -85,6 +85,39 @@ private[graft] object QDedup {
           "doc_id", "text", blockCol = "lang", shingleN = 3, threshold = 0.9)
         .orderBy("id_a", "id_b")),
 
+    "dedup_containment_sketch" -> ((s, dir) =>
+      // the corpus-scale containment path: bottom-k (KMV) sketch probe
+      // against the full posting index — no array payload ever shuffles,
+      // est = |bottomk(A) ∩ B| / k, portable md5-48 order so the oracle
+      // replays every sketch decision (see r14 100× probe: the exact
+      // op's verify join is the replica-square bound this path removes)
+      LlmOps.containmentSketch(t(s, dir, "documents"),
+          "doc_id", "text", blockCol = "lang", shingleN = 3,
+          threshold = 0.9, sketchK = 32)
+        .orderBy("id_a", "id_b")),
+
+    "dedup_containment_rep" -> ((s, dir) => {
+      // the production composition: collapse exact-duplicate classes
+      // FIRST (one window shuffle), run the containment sketch on the
+      // representatives, carry class multiplicities — pair expansion is
+      // copies_a × copies_b. On duplicate-heavy corpora this is the
+      // only shape that stays distinct-text-sized (r14 100× probe).
+      val docs = t(s, dir, "documents")
+      // persisted: feeds the sketch AND both multiplicity joins (the
+      // nearDupPairs contract — the slate clearCache()s after each query)
+      val reps = LlmOps.exactRepresentatives(docs, "doc_id", "text", "lang")
+        .persist()
+      LlmOps.containmentSketch(reps, "doc_id", "text", "lang",
+          shingleN = 3, threshold = 0.9, sketchK = 32)
+        .join(reps.select(col("doc_id").as("id_a"),
+          col("n_copies").as("copies_a")), "id_a")
+        .join(reps.select(col("doc_id").as("id_b"),
+          col("n_copies").as("copies_b")), "id_b")
+        .select(col("id_a"), col("id_b"), col("n_match"), col("k_a"),
+          col("containment_est"), col("copies_a"), col("copies_b"))
+        .orderBy("id_a", "id_b")
+    }),
+
     // ---- portable-hash-family ops (md5-derived, DuckDB replays exactly) --,
 
     // ---- portable-hash-family ops (md5-derived, DuckDB replays exactly) --
@@ -396,6 +429,70 @@ private[graft] object QDedup {
          WHERE len(a.sh) > 0 AND len(b.sh) > 0
            AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
              / len(a.sh) >= 0.9
+         ORDER BY id_a, id_b""",
+
+    "dedup_containment_sketch" ->
+      """WITH d AS (
+           SELECT doc_id, lang,
+             list_distinct(list_transform(
+               list_distinct(list_transform(
+                 range(1, greatest(len(string_split_regex(lower(trim(text)), '\s+')) - 3, 0) + 2),
+                 i -> array_to_string(list_slice(string_split_regex(lower(trim(text)), '\s+'), i, i + 2), ' '))),
+               s -> ('0x' || substr(md5(s), 1, 12))::BIGINT)) AS hs
+           FROM documents),
+         nz AS (SELECT * FROM d WHERE len(hs) > 0),
+         bk AS (
+           SELECT doc_id AS id_a, lang,
+             CAST(least(len(hs), 32) AS BIGINT) AS k_a,
+             unnest(list_slice(list_sort(hs), 1, 32)) AS h
+           FROM nz),
+         post AS (SELECT doc_id AS id_b, lang, unnest(hs) AS h FROM nz),
+         m AS (
+           SELECT id_a, id_b, k_a, COUNT(*) AS n_match
+           FROM bk JOIN post USING (lang, h)
+           WHERE id_a <> id_b
+           GROUP BY id_a, id_b, k_a)
+         SELECT id_a, id_b, n_match, k_a,
+           CAST(n_match AS DOUBLE) / k_a AS containment_est
+         FROM m
+         WHERE CAST(n_match AS DOUBLE) / k_a >= 0.9
+         ORDER BY id_a, id_b""",
+
+    "dedup_containment_rep" ->
+      """WITH r AS (
+           SELECT doc_id, text, lang, n_copies FROM (
+             SELECT doc_id, text, lang,
+               min(doc_id) OVER (PARTITION BY lang, md5(lower(trim(text)))) AS mn,
+               count(*) OVER (PARTITION BY lang, md5(lower(trim(text)))) AS n_copies
+             FROM documents)
+           WHERE doc_id = mn),
+         d AS (
+           SELECT doc_id, lang, n_copies,
+             list_distinct(list_transform(
+               list_distinct(list_transform(
+                 range(1, greatest(len(string_split_regex(lower(trim(text)), '\s+')) - 3, 0) + 2),
+                 i -> array_to_string(list_slice(string_split_regex(lower(trim(text)), '\s+'), i, i + 2), ' '))),
+               s -> ('0x' || substr(md5(s), 1, 12))::BIGINT)) AS hs
+           FROM r),
+         nz AS (SELECT * FROM d WHERE len(hs) > 0),
+         bk AS (
+           SELECT doc_id AS id_a, lang,
+             CAST(least(len(hs), 32) AS BIGINT) AS k_a,
+             unnest(list_slice(list_sort(hs), 1, 32)) AS h
+           FROM nz),
+         post AS (SELECT doc_id AS id_b, lang, unnest(hs) AS h FROM nz),
+         m AS (
+           SELECT id_a, id_b, k_a, COUNT(*) AS n_match
+           FROM bk JOIN post USING (lang, h)
+           WHERE id_a <> id_b
+           GROUP BY id_a, id_b, k_a)
+         SELECT m.id_a, m.id_b, m.n_match, m.k_a,
+           CAST(m.n_match AS DOUBLE) / m.k_a AS containment_est,
+           ca.n_copies AS copies_a, cb.n_copies AS copies_b
+         FROM m
+         JOIN nz ca ON m.id_a = ca.doc_id
+         JOIN nz cb ON m.id_b = cb.doc_id
+         WHERE CAST(m.n_match AS DOUBLE) / m.k_a >= 0.9
          ORDER BY id_a, id_b""",
 
     // ---- portable md5-48 hash family twins -----------------------------,
