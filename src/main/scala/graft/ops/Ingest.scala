@@ -51,6 +51,25 @@ object Ingest {
       .option("columnNameOfCorruptRecord", "_corrupt_record")
       .csv(path)
 
+  /** ORC export — the columnar interchange format for engines that don't
+    * speak parquet (Hive/Trino warehouses). Declared-schema discipline as
+    * everywhere: the files carry the DataFrame's exact schema, zstd
+    * compressed, and a read through [[readOrc]] restores it without
+    * inference. Like parquet, ORC scans take predicate pushdown and column
+    * pruning (OrcSpec audits `PushedFilters`), so an ORC-resident corpus
+    * keeps the same 100 TB scan posture as a parquet one.
+    */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").option("compression", "zstd").orc(path)
+
+  /** ORC read with declared schema — no footer-sampling inference job, and
+    * an empty export reads back as zero typed rows (the same totality
+    * contract as [[SlateStore]]'s `_schema` sidecar reads).
+    */
+  def readOrc(spark: org.apache.spark.sql.SparkSession, path: String,
+              schema: StructType): DataFrame =
+    spark.read.schema(schema).orc(path)
+
   /** Flatten selected fields out of a JSON string column with null defaults —
     * the reference's meeting-settings flatten (`.get(field)` → None,
     * /root/reference/main.py:324-334). `get_json_object` is null-safe by

@@ -211,6 +211,19 @@ object SlateStore {
     try out.write(content.getBytes(StandardCharsets.UTF_8)) finally out.close()
   }
 
+  /** The session's temp root (created on demand, deleted by the same
+    * application-end hook that GCs store tables) — for session-lifetime
+    * artifacts that are files but not snapshot tables, e.g. bucketed
+    * catalog-table data dirs and format-export staging.
+    */
+  private[graft] def sessionTempRoot(spark: SparkSession): String = {
+    val sk = sessionKey(spark)
+    val root = tempRoots.computeIfAbsent(sk, _ =>
+      java.nio.file.Files.createTempDirectory("graft_store_").toString)
+    registerCleanup(spark, sk)
+    root
+  }
+
   private def baseDir(spark: SparkSession, sk: String): (String, Boolean) =
     spark.conf.getOption("spark.graft.store.dir") match {
       case Some(d) if d.nonEmpty => (d, true)

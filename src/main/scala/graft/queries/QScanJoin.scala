@@ -166,6 +166,54 @@ private[graft] object QScanJoin {
         .orderBy("c_nationkey")
     }),
 
+    "bucketed_join_revenue" -> ((s, dir) => {
+      // the shuffle paid at WRITE time: orders and lineitem installed once
+      // per slate run as 16-bucket catalog tables on the join key, so the
+      // fact-fact join plans with NO exchange and NO sort on either side
+      // (BucketingSpec audits the plan; rows identical to the plain join,
+      // which IS the oracle). At 100 TB this is the difference between
+      // re-shuffling the fact table per query and never shuffling it again.
+      val tag = graft.ops.SlateStore.corpusTag(s, dir)
+      val ord = graft.ops.Bucketing.ensureBucketed(
+        s, s"orders|$dir#$tag", "o_orderkey", numBuckets = 16)(
+        t(s, dir, "orders").select("o_orderkey", "o_orderpriority"))
+      val li = graft.ops.Bucketing.ensureBucketed(
+        s, s"lineitem|$dir#$tag", "l_orderkey", numBuckets = 16)(
+        t(s, dir, "lineitem")
+          .select("l_orderkey", "l_extendedprice", "l_discount"))
+      s.table(ord).join(s.table(li), col("o_orderkey") === col("l_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+          Relational.decimalSumProduct(
+            col("l_extendedprice"), col("l_discount")).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("o_orderpriority")
+    }),
+
+    "orc_roundtrip_agg" -> ((s, dir) => {
+      // source-format coverage beyond parquet/JSON/CSV/JDBC: the corpus
+      // exported ONCE per slate run as zstd ORC, read back through the
+      // declared schema (no inference job), the filter pushed into the
+      // ORC scan (OrcSpec audits PushedFilters). The oracle computes the
+      // same aggregate from the parquet original — equality proves the
+      // round trip carried every row and type faithfully.
+      val src = t(s, dir, "lineitem")
+        .select("l_orderkey", "l_returnflag", "l_quantity", "l_extendedprice")
+      val schema = src.schema
+      val tag = graft.ops.SlateStore.corpusTag(s, dir)
+      val path = graft.ops.SlateStore.scalar(s, s"orc_export|$dir#$tag") {
+        val p = new java.io.File(
+          graft.ops.SlateStore.sessionTempRoot(s), s"orc_lineitem_$tag").toString
+        Ingest.writeOrc(src, p); p
+      }
+      Ingest.readOrc(s, path, schema)
+        .filter(col("l_quantity") >= 25)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_rows"),
+          Relational.decimalSum(col("l_extendedprice")).as("sum_price"))
+        .orderBy("l_returnflag")
+    }),
+
     // ---- §2.7 set ops beyond union, §2.4 grouping sets, §2.11 generator --
     "set_intersect" -> ((s, dir) => {
       val o = t(s, dir, "orders")
@@ -613,6 +661,20 @@ private[graft] object QScanJoin {
       """SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS cnt
          FROM events JOIN customer ON user_id = c_custkey
          GROUP BY c_nationkey ORDER BY c_nationkey""",
+
+    "orc_roundtrip_agg" ->
+      """SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_rows,
+            CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+         FROM lineitem WHERE l_quantity >= 25
+         GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "bucketed_join_revenue" ->
+      """SELECT o_orderpriority,
+            CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                     * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+            CAST(COUNT(*) AS BIGINT) AS n_items
+         FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
 
     // same transitive closure as dedup_clusters; survivor = argmax(n_chars)
     // per cluster, ties to the smaller id,

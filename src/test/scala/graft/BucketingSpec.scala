@@ -1,0 +1,79 @@
+package graft
+
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.sql.execution.SortExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+import org.apache.spark.sql.functions._
+
+import graft.ops.Bucketing
+
+/** Round-14: bucketed catalog tables — the write-time shuffle. The layout
+  * contract is physical: a join of two tables bucketed on the join key
+  * must plan with no exchange and no sort on either side.
+  */
+class BucketingSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private def left = (1L to 200L).map(k => (k, s"p${k % 5}"))
+    .toDF("o_orderkey", "o_orderpriority")
+  private def right = (1L to 600L).map(i => (i % 200 + 1, i.toDouble, 0.05))
+    .toDF("l_orderkey", "l_extendedprice", "l_discount")
+
+  test("co-located join of two bucketed tables plans with zero exchanges and zero sorts") {
+    val ord = Bucketing.ensureBucketed(spark, "spec_left", "o_orderkey", 8)(left)
+    val li = Bucketing.ensureBucketed(spark, "spec_right", "l_orderkey", 8)(right)
+    withSQLConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val joined = spark.table(ord)
+        .join(spark.table(li), col("o_orderkey") === col("l_orderkey"))
+      val plan = joined.queryExecution.sparkPlan
+      assert(plan.collect { case j: SortMergeJoinExec => j }.nonEmpty,
+        s"expected a sort-merge join:\n$plan")
+      val shuffles = plan.collect { case e: ShuffleExchangeExec => e }
+      assert(shuffles.isEmpty, s"bucketed join still shuffles:\n$plan")
+      // one file per bucket (the pre-write repartition) → the scan reports
+      // per-bucket sort order and the SMJ's sorts are elided too
+      val sorts = plan.collect { case s: SortExec => s }
+      assert(sorts.isEmpty, s"bucketed join still sorts:\n$plan")
+      // and the layout did not change the rows
+      assert(joined.count() == 600L)
+    }
+  }
+
+  test("ensureBucketed memoizes per (session, key): one build, stable name") {
+    val builds = new AtomicInteger(0)
+    def name = Bucketing.ensureBucketed(spark, "spec_memo", "o_orderkey", 4) {
+      builds.incrementAndGet(); left
+    }
+    val first = name
+    val second = name
+    assert(first == second)
+    assert(builds.get() == 1, "second call must attach, not rebuild")
+    assert(spark.table(first).count() == 200L)
+  }
+
+  test("keys differing only in sanitized characters get distinct tables") {
+    assert(Bucketing.tableIdent("a|b") != Bucketing.tableIdent("a/b"))
+    assert(Bucketing.tableIdent("a|b").matches("[a-z0-9_]+"))
+  }
+
+  test("bucketed_join_revenue matches the plain-join aggregate on sf0.001") {
+    val dir = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("bucketed_join_revenue")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+    val want = Tables.load(spark, dir, "orders")
+      .join(Tables.load(spark, dir, "lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(
+        graft.ops.Relational.decimalSumProduct(
+          col("l_extendedprice"), col("l_discount")).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("o_orderpriority")
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+    assert(got.nonEmpty)
+    assert(got.toSeq == want.toSeq)
+  }
+}
