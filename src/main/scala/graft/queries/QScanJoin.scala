@@ -190,6 +190,47 @@ private[graft] object QScanJoin {
         .orderBy("o_orderpriority")
     }),
 
+    "dpp_day_counts" -> ((s, dir) => {
+      // dynamic partition pruning — the RUNTIME half of partition pruning.
+      // The event log is laid out once per slate run as date-partitioned
+      // parquet (Sink.writeClustered, memoized + corpus-tagged); the
+      // "reprocess these days" dim (top-5 busiest days, broadcastable by
+      // construction) is only known at run time, so Catalyst injects a
+      // dynamicpruning subquery into the fact scan and 25 of 30 partition
+      // dirs are never opened (DppSpec audits the plan + files-read
+      // metric). At 100 TB this is the difference between scanning the
+      // whole log and scanning the flagged days.
+      val tag = graft.ops.SlateStore.corpusTag(s, dir)
+      val path = graft.ops.SlateStore.scalar(s, s"events_by_day|$dir#$tag") {
+        val p = new java.io.File(
+          graft.ops.SlateStore.sessionTempRoot(s), s"events_by_day_$tag").toString
+        graft.ops.Sink.writeClustered(
+          t(s, dir, "events")
+            .withColumn("event_date", to_date(col("ts").cast("timestamp"))),
+          p, Seq("event_date"), Seq("ts"))
+        p
+      }
+      val fact = s.read.parquet(path)
+      // the n > 0 guard is semantically a no-op (counts are >= 1) but it is
+      // load-bearing: Catalyst's PartitionPruning rule only plants a
+      // dynamicpruning subquery when the dim side carries a selective
+      // Filter, and an Aggregate+Limit alone doesn't qualify; n is not the
+      // join key, so the guard can't be constraint-propagated into a
+      // static fact-side filter (which would bypass the runtime path)
+      val dim = t(s, dir, "events")
+        .groupBy(to_date(col("ts").cast("timestamp")).as("day"))
+        .agg(count(lit(1)).as("n"))
+        .filter(col("n") > 0)
+        .orderBy(col("n").desc, col("day")).limit(5)
+        .select("day")
+      fact.join(dim, col("event_date") === col("day"))
+        .groupBy("event_date", "event_type")
+        .agg(count(lit(1)).as("cnt"))
+        .select(date_format(col("event_date"), "yyyy-MM-dd").as("day"),
+          col("event_type"), col("cnt"))
+        .orderBy("day", "event_type")
+    }),
+
     "orc_roundtrip_agg" -> ((s, dir) => {
       // source-format coverage beyond parquet/JSON/CSV/JDBC: the corpus
       // exported ONCE per slate run as zstd ORC, read back through the
@@ -661,6 +702,16 @@ private[graft] object QScanJoin {
       """SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS cnt
          FROM events JOIN customer ON user_id = c_custkey
          GROUP BY c_nationkey ORDER BY c_nationkey""",
+
+    "dpp_day_counts" ->
+      """WITH top5 AS (
+           SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n
+           FROM events GROUP BY 1
+           ORDER BY n DESC, day LIMIT 5)
+         SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day, event_type,
+            CAST(COUNT(*) AS BIGINT) AS cnt
+         FROM events JOIN top5 ON CAST(ts AS DATE) = top5.day
+         GROUP BY 1, 2 ORDER BY day, event_type""",
 
     "orc_roundtrip_agg" ->
       """SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_rows,
