@@ -46,7 +46,12 @@ object Bucketing {
                      numBuckets: Int)(build: => DataFrame): String =
     SlateStore.scalar(spark,
       s"bucketed|$key|col=$bucketCol|n=$numBuckets") {
-      val name = tableIdent(s"$key|$bucketCol|$numBuckets")
+      // the catalog (SharedState) is JVM-wide while the memo is
+      // session-scoped: the identifier must embed the session key, or two
+      // sessions sharing one JVM would race CREATE/Overwrite on one table
+      // name and a rebuild could yank files under the other's live scan
+      val name = tableIdent(
+        s"${SlateStore.sessionKey(spark)}|$key|$bucketCol|$numBuckets")
       val path = new java.io.File(
         SlateStore.sessionTempRoot(spark), name).toString
       build

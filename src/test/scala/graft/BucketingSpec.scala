@@ -59,6 +59,19 @@ class BucketingSpec extends SparkTestBase {
     assert(Bucketing.tableIdent("a|b").matches("[a-z0-9_]+"))
   }
 
+  test("two sessions sharing one JVM get distinct catalog tables for the same key") {
+    // the in-memory catalog lives in the JVM-wide SharedState: without a
+    // session-scoped identifier, session B's Overwrite would yank files
+    // under session A's live scan of the same logical table
+    val other = spark.newSession()
+    val a = Bucketing.ensureBucketed(spark, "spec_xsess", "o_orderkey", 4)(left)
+    val b = Bucketing.ensureBucketed(other, "spec_xsess", "o_orderkey", 4)(
+      left.limit(10))
+    assert(a != b, "session-colliding table identifier")
+    assert(spark.table(a).count() == 200L)
+    assert(other.table(b).count() == 10L)
+  }
+
   test("bucketed_join_revenue matches the plain-join aggregate on sf0.001") {
     val dir = "/root/testdata/sf0.001"
     val got = SparkEntry.queries("bucketed_join_revenue")(spark, dir)
