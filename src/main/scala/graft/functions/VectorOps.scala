@@ -239,9 +239,11 @@ object VectorOps {
   def hardNegativesAnn(corpus: DataFrame, queries: DataFrame, idCol: String,
                        embCol: String, labelCol: String, k: Int = 3,
                        nCells: Int = 8, nProbe: Int = 2, seed: Long = 42L,
-                       sampleCap: Int = 4096): DataFrame = {
+                       sampleCap: Int = 4096,
+                       prebuilt: Option[(DataFrame, DataFrame)] = None): DataFrame = {
     val spark = corpus.sparkSession
-    val (assigned, centroids) = ivfIndex(corpus, embCol, nCells, seed, sampleCap)
+    val (assigned, centroids) =
+      prebuilt.getOrElse(ivfIndex(corpus, embCol, nCells, seed, sampleCap))
     val q = queries.select(col(idCol).as("query_id"),
       col(labelCol).as("__qlab"), col(embCol).as("__qv"))
     val byCent = Window.partitionBy(col("query_id"))
@@ -278,9 +280,11 @@ object VectorOps {
   def knnClassifyAnn(corpus: DataFrame, queries: DataFrame, idCol: String,
                      embCol: String, labelCol: String, k: Int = 5,
                      nCells: Int = 8, nProbe: Int = 2, seed: Long = 42L,
-                     sampleCap: Int = 4096): DataFrame = {
+                     sampleCap: Int = 4096,
+                     prebuilt: Option[(DataFrame, DataFrame)] = None): DataFrame = {
     val spark = corpus.sparkSession
-    val (assigned, centroids) = ivfIndex(corpus, embCol, nCells, seed, sampleCap)
+    val (assigned, centroids) =
+      prebuilt.getOrElse(ivfIndex(corpus, embCol, nCells, seed, sampleCap))
     val q = queries.select(col(idCol).as("query_id"), col(embCol).as("__qv"))
     val byCent = Window.partitionBy(col("query_id"))
       .orderBy(col("__cs").desc, col("__cell").asc)
@@ -542,22 +546,79 @@ object VectorOps {
   def ivfIndex(embeddings: DataFrame, embCol: String,
                nCells: Int, seed: Long = 42L, sampleCap: Int = 4096,
                iters: Int = 10): (DataFrame, DataFrame) = {
+    val cents = ivfFit(embeddings, embCol, nCells, seed, sampleCap, iters)
+    val assigned = embeddings.withColumn("__cell",
+      nearestCell(embeddings.sparkSession, col(embCol).cast("array<double>"), cents))
+    (assigned, centroidTable(embeddings.sparkSession, cents))
+  }
+
+  /** The coarse-quantizer fit alone (extracted so [[ivfIndexStored]] can
+    * memoize it as a driver-side scalar): bounded deterministic sample →
+    * driver k-means++. One bottom-k job over the corpus, ≤ sampleCap
+    * vectors collected.
+    */
+  private def ivfFit(embeddings: DataFrame, embCol: String, nCells: Int,
+                     seed: Long, sampleCap: Int, iters: Int): Seq[Seq[Double]] = {
     val vecs = embeddings
       .filter(col(embCol).isNotNull) // a null embedding would NPE the fit
       .select(col(embCol).cast("array<double>").as("__v"))
     val subset = deterministicSample(vecs, "__v", sampleCap)
       .collect().map(_.getSeq[Double](0).toArray)
     require(subset.nonEmpty, "ivfIndex: empty embedding table")
-    val cents: Seq[Seq[Double]] =
-      kmeansPlusPlus(subset, math.min(nCells, subset.length), seed, iters)
-        .map(_.toIndexedSeq).toIndexedSeq
-    val assigned = embeddings.withColumn("__cell",
-      nearestCell(embeddings.sparkSession, col(embCol).cast("array<double>"), cents))
-    val spark = embeddings.sparkSession
+    kmeansPlusPlus(subset, math.min(nCells, subset.length), seed, iters)
+      .map(_.toIndexedSeq).toIndexedSeq
+  }
+
+  private def centroidTable(spark: org.apache.spark.sql.SparkSession,
+                            cents: Seq[Seq[Double]]): DataFrame = {
     import spark.implicits._
-    val centroids = cents.zipWithIndex
+    cents.zipWithIndex
       .map { case (c, i) => (i, c.map(_.toFloat)) }
       .toDF("__cell", "__centroid")
+  }
+
+  /** [[ivfIndex]] materialized ONCE per (corpus snapshot, index params)
+    * through the managed [[graft.ops.SlateStore]] — the build-the-index-
+    * once-serve-many-query-batches lifecycle every ANN system runs at
+    * scale (FAISS trains a quantizer and writes list files; this writes
+    * the postings as a `__cell`-PARTITIONED parquet table, so a bounded
+    * probe reads only the probed cell directories). Repeat calls in a
+    * session attach the committed table (no refit, no reassignment); under
+    * `spark.graft.store.dir` a later JVM attaches across sessions. The
+    * fit itself memoizes as a driver-side scalar, so the centroid and
+    * postings builds share one sample job.
+    *
+    * `storeKey` must embed the CORPUS DERIVATION (the SlateStore key
+    * contract): two callers passing different `embeddings` plans under one
+    * key would silently share the first build. `contentTag` ties the
+    * artifact to the input snapshot ([[graft.ops.SlateStore.corpusTag]]).
+    * Values are bit-identical to [[ivfIndex]]: same deterministic fit,
+    * same assignment expression, and float/int parquet round-trips are
+    * exact (asserted by IvfStoreSpec).
+    */
+  def ivfIndexStored(embeddings: DataFrame, embCol: String, nCells: Int,
+                     storeKey: String, contentTag: Option[String],
+                     seed: Long = 42L, sampleCap: Int = 4096,
+                     iters: Int = 10): (DataFrame, DataFrame) = {
+    val spark = embeddings.sparkSession
+    val paramKey = s"$storeKey|emb=$embCol|c=$nCells|s=$seed|cap=$sampleCap|it=$iters"
+    lazy val cents: Seq[Seq[Double]] = graft.ops.SlateStore.scalar(spark,
+      s"ivf_fit|$paramKey|t=${contentTag.getOrElse("-")}")(
+      ivfFit(embeddings, embCol, nCells, seed, sampleCap, iters))
+    val centroids = graft.ops.SlateStore.parquet(spark,
+      s"ivf_cents|$paramKey", contentTag)(centroidTable(spark, cents))
+    val assigned = graft.ops.SlateStore.parquet(spark,
+      s"ivf_postings|$paramKey", contentTag, partitionBy = Seq("__cell"))(
+      // the writeClustered discipline: co-locate each cell in ONE task
+      // before the partitioned write (else every task writes a file per
+      // cell it sees — a √|C|·tasks small-files explosion at scale), and
+      // pre-sort by the partition key so FileFormatWriter skips its own
+      // sort. This shuffle IS the index build's clustering pass — paid
+      // once per corpus snapshot, exactly like a FAISS list build.
+      embeddings.withColumn("__cell",
+          nearestCell(spark, col(embCol).cast("array<double>"), cents))
+        .repartition(col("__cell"))
+        .sortWithinPartitions(col("__cell")))
     (assigned, centroids)
   }
 
@@ -817,6 +878,14 @@ object VectorOps {
 
   /** IVF query: score the query against the centroids (tiny, collected),
     * pick the nProbe nearest cells, exact-cosine only within them.
+    *
+    * The probe list is COLLECTED (a bounded driver edge — ≤ nProbe ints
+    * by construction) and applied as a literal `isin` filter rather than
+    * joined, so over a [[ivfIndexStored]] cell-partitioned postings table
+    * the scan statically prunes to exactly the probed cell directories
+    * (IvfStoreSpec's numPartitions audit) — the disk behavior of a FAISS
+    * list probe. Over an inline [[ivfIndex]] projection the filter is a
+    * plain codegen predicate; rows and order are identical either way.
     */
   def ivfTopK(assigned: DataFrame, centroids: DataFrame, embCol: String, idCol: String,
               queryVec: DataFrame, k: Int, nProbe: Int): DataFrame = {
@@ -827,8 +896,9 @@ object VectorOps {
       .orderBy(col("__cs").desc, col("__cell").asc)
       .limit(nProbe)
       .select("__cell")
+      .collect().map(_.getInt(0)).toSeq.sorted
     assigned
-      .join(broadcast(probeCells), "__cell")
+      .filter(col("__cell").isin(probeCells: _*))
       .crossJoin(broadcast(queryVec))
       .select(col(idCol), cosineBest(spark, col(embCol), col("__qv")).as("score"))
       .orderBy(col("score").desc, col(idCol).asc)
@@ -937,10 +1007,12 @@ object VectorOps {
   def marginBestMatchAnn(candidates: DataFrame, queries: DataFrame,
                          idCol: String, embCol: String, k: Int,
                          nCells: Int, nProbe: Int, seed: Long = 42L,
-                         sampleCap: Int = 4096): DataFrame = {
+                         sampleCap: Int = 4096,
+                         prebuilt: Option[(DataFrame, DataFrame)] = None): DataFrame = {
     require(k >= 1 && nCells >= 1 && nProbe >= 1)
     val spark = candidates.sparkSession
-    val (assigned, centroids) = ivfIndex(candidates, embCol, nCells, seed, sampleCap)
+    val (assigned, centroids) =
+      prebuilt.getOrElse(ivfIndex(candidates, embCol, nCells, seed, sampleCap))
     val q = queries.select(col(idCol).as("query_id"), col(embCol).as("__qv"))
     val byCent = Window.partitionBy(col("query_id"))
       .orderBy(col("__cs").desc, col("__cell").asc)
@@ -1044,11 +1116,13 @@ object VectorOps {
                            idCol: String, embCol: String,
                            prefixDims: Seq[Int], fullDim: Int, k: Int,
                            nCells: Int, nProbe: Int, seed: Long = 42L,
-                           sampleCap: Int = 4096): DataFrame = {
+                           sampleCap: Int = 4096,
+                           prebuilt: Option[(DataFrame, DataFrame)] = None): DataFrame = {
     require(prefixDims.nonEmpty && k > 0 && nCells >= 1 && nProbe >= 1)
     val spark = corpus.sparkSession
     val dims = (prefixDims :+ fullDim).distinct.sorted
-    val (assigned, centroids) = ivfIndex(corpus, embCol, nCells, seed, sampleCap)
+    val (assigned, centroids) =
+      prebuilt.getOrElse(ivfIndex(corpus, embCol, nCells, seed, sampleCap))
     val q = queries.select(col(idCol).as("query_id"), col(embCol).as("__qv"))
     val byCent = Window.partitionBy(col("query_id"))
       .orderBy(col("__cs").desc, col("__cell").asc)

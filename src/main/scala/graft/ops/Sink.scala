@@ -55,13 +55,20 @@ object Sink {
     * complete snapshot, and the next successful commit GCs the orphans.
     */
   def overwriteSnapshot(df: DataFrame, path: String, retain: Int = 1,
-                        minAgeMs: Long = 600000L): Unit = {
+                        minAgeMs: Long = 600000L,
+                        partitionColumns: Seq[String] = Nil): Unit = {
     val conf = df.sparkSession.sessionState.newHadoopConf()
     val root = new Path(path)
     val fs = root.getFileSystem(conf)
     val version = "v-" + java.util.UUID.randomUUID().toString.replace("-", "")
     val previous = if (fs.exists(root)) currentVersion(fs, root) else None
-    df.write.mode("error").parquet(new Path(root, version).toString)
+    // partitionColumns lay the snapshot out as partition directories
+    // (dir-pruned reads for consumers that filter on them — the IVF cell
+    // postings layout); the pointer-commit protocol is unchanged
+    val writer =
+      if (partitionColumns.isEmpty) df.write
+      else df.write.partitionBy(partitionColumns: _*)
+    writer.mode("error").parquet(new Path(root, version).toString)
 
     // Pointer staged through FileContext (raw fs — no checksum shadow
     // files), then swapped in with a genuinely atomic replace. CAREFUL:

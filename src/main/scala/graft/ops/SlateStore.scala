@@ -80,7 +80,8 @@ object SlateStore {
     * keep the dir-keyed r13 behavior.
     */
   def parquet(spark: SparkSession, key: String,
-              contentTag: Option[String] = None)
+              contentTag: Option[String] = None,
+              partitionBy: Seq[String] = Nil)
              (build: => DataFrame): DataFrame = {
     val sk = sessionKey(spark)
     val mapKey = (sk, key + contentTag.fold("")("#" + _))
@@ -90,7 +91,7 @@ object SlateStore {
       lock.synchronized {
         entry = tables.get(mapKey)
         if (entry == null) {
-          entry = materialize(spark, sk, key, contentTag, build)
+          entry = materialize(spark, sk, key, contentTag, partitionBy, build)
           tables.put(mapKey, entry)
         }
       }
@@ -144,6 +145,7 @@ object SlateStore {
 
   private def materialize(spark: SparkSession, sk: String, key: String,
                           contentTag: Option[String],
+                          partitionBy: Seq[String],
                           build: => DataFrame): (String, StructType) = {
     val (base, managed) = baseDir(spark, sk)
     val dir = new Path(base, tableName(key)).toString
@@ -162,7 +164,8 @@ object SlateStore {
           spark.conf.getOption("spark.graft.store.minRetainAgeMs")
             .map(_.toLong).getOrElse(600000L)
         else 0L
-      Sink.overwriteSnapshot(df, dir, retain = 1, minAgeMs = minAge)
+      Sink.overwriteSnapshot(df, dir, retain = 1, minAgeMs = minAge,
+        partitionColumns = partitionBy)
       writeSidecar(spark, new Path(dir, "_schema"), df.schema.json)
       contentTag.foreach(t => writeSidecar(spark, new Path(dir, "_tag"), t))
       (dir, df.schema)

@@ -25,6 +25,11 @@ private[graft] object QVector {
     Some(graft.ops.SlateStore.corpusTag(s, s"$dir/lineitem.parquet"))
   private def embTag(s: SparkSession, dir: String): String =
     graft.ops.SlateStore.corpusTag(s, s"$dir/embeddings.parquet")
+  /** Tag for stored artifacts derived from embeddings JOINED to documents
+    * (the bitext candidate set): either input regenerating invalidates. */
+  private def embDocsTag(s: SparkSession, dir: String): String =
+    embTag(s, dir) + "+" +
+      graft.ops.SlateStore.corpusTag(s, s"$dir/documents.parquet")
 
   /** The fixed-batch lexical and vector top-20 rankings shared by
     * `rrf_fuse` (which merges them) and `rbo_rankings` (which measures
@@ -127,13 +132,21 @@ private[graft] object QVector {
       // stays corpus-linear instead of quadratic (cap never binds at the
       // oracled SFs, so the contract band is untouched)
       val nProbe = VectorOps.probeWidth(nCand, nCells)
+      // the IVF index (fit + cell postings) is a stored artifact: built
+      // once per (corpus snapshot, params) and attached by every repeat
+      // invocation in a slate/bench run — at scale this is the
+      // build-the-index-once lifecycle, not a per-query refit (r14)
+      val idx = VectorOps.ivfIndexStored(cands, "embedding", nCells,
+        storeKey = s"ivf|bitext_cands|$dir",
+        contentTag = Some(embDocsTag(s, dir)))
       // persisted: the |Q|-row rollup feeds both the audit join and the
       // batch count — without it the whole cell-join DAG runs twice. The
       // result is ONE row, so it is materialized here and the cache
       // released immediately (ADVICE r10: a leaked persist accumulates
       // executor memory across a full bench/verify run over many SFs).
       val ann = VectorOps.marginBestMatchAnn(cands, queries, "vec_id",
-        "embedding", k = 4, nCells = nCells, nProbe = nProbe).persist()
+        "embedding", k = 4, nCells = nCells, nProbe = nProbe,
+        prebuilt = Some(idx)).persist()
       val audit = queries.filter(col("vec_id") % 10 === 0 && col("vec_id") < 500)
       val brute = VectorOps.marginBestMatch(cands, audit, "vec_id", "embedding", k = 4)
       val out = ann.select(col("query_id"), col("best_id").as("__ba"))
@@ -264,15 +277,19 @@ private[graft] object QVector {
       // the 100× probe; the 4096-vector budget keeps the tail linear and
       // never binds at the oracled SFs
       val nProbe = VectorOps.probeWidth(nCand, nCells)
+      // ONE stored index serves both the eval batch and the audit batch
+      // (pre-r14 each call refit and re-assigned the identical index)
+      val idx = VectorOps.ivfIndexStored(c, "embedding", nCells,
+        storeKey = s"ivf|mrl_cands|$dir", contentTag = Some(embTag(s, dir)))
       val ivf = VectorOps.mrlTruncationEvalIvf(c, q, "vec_id", "embedding",
         prefixDims = Seq(16, 32), fullDim = 64, k = 10,
-        nCells = nCells, nProbe = nProbe)
+        nCells = nCells, nProbe = nProbe, prebuilt = Some(idx))
       val auditQ = q.filter(col("vec_id") < 200)
       val bruteAudit = VectorOps.mrlTruncationEval(c, auditQ, "vec_id",
         "embedding", prefixDims = Seq(16, 32), fullDim = 64, k = 10)
       val ivfAudit = VectorOps.mrlTruncationEvalIvf(c, auditQ, "vec_id",
         "embedding", prefixDims = Seq(16, 32), fullDim = 64, k = 10,
-        nCells = nCells, nProbe = nProbe)
+        nCells = nCells, nProbe = nProbe, prebuilt = Some(idx))
       val band = bruteAudit.select(col("prefix_dim"), col("mean_overlap").as("__mb"))
         .join(ivfAudit.select(col("prefix_dim"), col("mean_overlap").as("__ma")),
           Seq("prefix_dim"))
@@ -319,8 +336,13 @@ private[graft] object QVector {
       val emb = t(s, dir, "embeddings")
       val corpus = emb.filter(col("vec_id") >= 32)
       val anchors = emb.filter(col("vec_id") < 32)
+      // same stored index as hard_negatives_ann (same corpus derivation,
+      // same params): two declared queries, ONE build per slate run
+      val idx = VectorOps.ivfIndexStored(corpus, "embedding", nCells = 8,
+        storeKey = s"ivf|anchors32_corpus|$dir", contentTag = Some(embTag(s, dir)))
       val ann = VectorOps.knnClassifyAnn(corpus, anchors, "vec_id",
-        "embedding", "label", k = 5, nCells = 8, nProbe = 6)
+        "embedding", "label", k = 5, nCells = 8, nProbe = 6,
+        prebuilt = Some(idx))
       val brute = VectorOps.knnClassify(corpus, anchors, "vec_id",
         "embedding", "label", k = 5)
       val agree = ann.select(col("query_id"), col("pred_label").as("__pa"))
@@ -344,8 +366,12 @@ private[graft] object QVector {
       val emb = t(s, dir, "embeddings")
       val corpus = emb.filter(col("vec_id") >= 32)
       val anchors = emb.filter(col("vec_id") < 32)
+      // attaches the index knn_classify_ann committed (or builds it first)
+      val idx = VectorOps.ivfIndexStored(corpus, "embedding", nCells = 8,
+        storeKey = s"ivf|anchors32_corpus|$dir", contentTag = Some(embTag(s, dir)))
       val ann = VectorOps.hardNegativesAnn(corpus, anchors, "vec_id",
-        "embedding", "label", k = 10, nCells = 8, nProbe = 4)
+        "embedding", "label", k = 10, nCells = 8, nProbe = 4,
+        prebuilt = Some(idx))
       val brute = VectorOps.hardNegatives(corpus, anchors, "vec_id",
         "embedding", "label", k = 10)
       val hits = ann.select("query_id", "neg_id")
@@ -373,7 +399,12 @@ private[graft] object QVector {
       // clustered embeddings concentrate at much smaller nProbe/nCells.)
       val emb = t(s, dir, "embeddings")
       val qv = emb.filter(col("vec_id") === 0).select(col("embedding").as("__qv"))
-      val (assigned, cents) = VectorOps.ivfIndex(emb, "embedding", nCells = 8)
+      // stored cell-partitioned index: the probe reads 4 of 8 cell
+      // directories (IvfStoreSpec's pruning audit), and repeat
+      // invocations attach instead of refitting
+      val (assigned, cents) = VectorOps.ivfIndexStored(emb, "embedding",
+        nCells = 8, storeKey = s"ivf|emb_full|$dir",
+        contentTag = Some(embTag(s, dir)))
       val ivf = VectorOps.ivfTopK(assigned, cents, "embedding", "vec_id", qv, k = 10, nProbe = 4)
       val brute = VectorOps.bruteForceTopK(emb, "embedding", "vec_id", qv, k = 10)
       ivf.select("vec_id").intersect(brute.select("vec_id"))

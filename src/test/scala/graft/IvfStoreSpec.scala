@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorOps
+
+/** Round-14: the stored IVF index — build the coarse quantizer + cell
+  * postings ONCE per (corpus snapshot, index params) through the managed
+  * [[graft.ops.SlateStore]], instead of refitting and re-assigning inside
+  * every ANN query invocation. The postings table is written PARTITIONED
+  * BY `__cell`, so a bounded-probe query reads only the probed cell
+  * directories — the disk layout of a FAISS IVF list, expressed as
+  * ordinary partitioned parquet.
+  */
+class IvfStoreSpec extends SparkTestBase {
+
+  private val dir = "/root/testdata/sf0.001"
+  private def emb = Tables.load(spark, dir, "embeddings")
+
+  test("stored index is value-identical to the inline build") {
+    val (a1, c1) = VectorOps.ivfIndex(emb, "embedding", nCells = 8)
+    val (a2, c2) = VectorOps.ivfIndexStored(emb, "embedding", nCells = 8,
+      storeKey = s"spec_parity|$dir", contentTag = None)
+    val inline = a1.select(col("vec_id"), col("__cell")).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    val stored = a2.select(col("vec_id"), col("__cell")).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(stored == inline)
+    val ci = c1.collect().map(r => (r.getInt(0), r.getSeq[Float](1))).toMap
+    val cs = c2.collect().map(r => (r.getInt(0), r.getSeq[Float](1))).toMap
+    assert(cs == ci)
+    // the stored embedding vectors survive the parquet round-trip bitwise
+    val vi = a1.select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1))).toMap
+    val vs = a2.select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1))).toMap
+    assert(vs == vi)
+  }
+
+  test("second call attaches the committed table — a parquet scan, not a rebuilt projection") {
+    val key = s"spec_attach|$dir"
+    def loc(d: org.apache.spark.sql.DataFrame): Seq[String] =
+      d.queryExecution.executedPlan
+        .collect { case s: FileSourceScanExec => s.metadata("Location") }
+    val (first, _) = VectorOps.ivfIndexStored(emb, "embedding", nCells = 8,
+      storeKey = key, contentTag = None)
+    val (again, _) = VectorOps.ivfIndexStored(emb, "embedding", nCells = 8,
+      storeKey = key, contentTag = None)
+    val l1 = loc(first)
+    val l2 = loc(again)
+    assert(l1.nonEmpty && l1.forall(_.contains("ivf_postings")),
+      s"expected a store-table scan:\n${first.queryExecution.executedPlan}")
+    assert(l2 == l1, "second call must serve the SAME committed version")
+  }
+
+  test("ivfTopK over the stored index matches the inline index and reads only the probed cells") {
+    val (ai, ci) = VectorOps.ivfIndex(emb, "embedding", nCells = 8)
+    val (as, cs) = VectorOps.ivfIndexStored(emb, "embedding", nCells = 8,
+      storeKey = s"spec_topk|$dir", contentTag = None)
+    val qv = emb.filter(col("vec_id") === 0).select(col("embedding").as("__qv"))
+    def rows(r: org.apache.spark.sql.DataFrame) =
+      r.collect().map(x => (x.getLong(0), x.getDouble(1))).toSeq
+    val inline = VectorOps.ivfTopK(ai, ci, "embedding", "vec_id", qv, k = 5, nProbe = 2)
+    val stored = VectorOps.ivfTopK(as, cs, "embedding", "vec_id", qv, k = 5, nProbe = 2)
+    assert(rows(stored) == rows(inline))
+    // partition pruning: of the 8 cell directories on disk, the scan
+    // opened exactly the 2 probed ones (static pruning off the bounded
+    // collected probe list — no DPP machinery needed). AQE off so the
+    // executed plan's scan nodes are walkable (the DppSpec pattern).
+    withSQLConf("spark.sql.adaptive.enabled" -> "false") {
+      val audited = VectorOps.ivfTopK(as, cs, "embedding", "vec_id", qv, k = 5, nProbe = 2)
+      audited.collect()
+      val scan = audited.queryExecution.executedPlan
+        .collect { case s: FileSourceScanExec => s }
+        .filter(_.metadata("Location").contains("ivf_postings"))
+      assert(scan.nonEmpty, s"no postings scan:\n${audited.queryExecution.executedPlan}")
+      val partsRead = scan.head.metrics.get("numPartitions").map(_.value)
+      assert(partsRead.contains(2L),
+        s"expected 2 cell partitions read, got $partsRead")
+    }
+  }
+
+  test("empty corpus still fails fast with the ivfIndex contract error") {
+    val e = intercept[IllegalArgumentException] {
+      VectorOps.ivfIndexStored(emb.filter(lit(false)), "embedding", nCells = 4,
+        storeKey = s"spec_empty|$dir", contentTag = None)
+    }
+    assert(e.getMessage.contains("empty embedding table"))
+  }
+}
