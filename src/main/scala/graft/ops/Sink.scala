@@ -108,15 +108,10 @@ object Sink {
     // (or, for orphans of crashed writers, created) less than minAgeMs ago
     // — a concurrent reader's scan may still hold file handles into it.
     val now = System.currentTimeMillis()
-    def supersededAt(s: org.apache.hadoop.fs.FileStatus): Long = {
-      val marker = new Path(root, s"_superseded-${s.getPath.getName}")
-      if (fs.exists(marker)) fs.getFileStatus(marker).getModificationTime
-      else s.getModificationTime
-    }
     val stale = fs.listStatus(root)
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("v-"))
       .filterNot(_.getPath.getName == version)
-      .map(s => (s, supersededAt(s)))
+      .map(s => (s, supersededAt(fs, root, s)))
       .sortBy(-_._2)
       .drop(retain)
       .filter { case (_, at) => now - at >= minAgeMs }
@@ -162,6 +157,62 @@ object Sink {
       }
     }
     attempt(3)
+  }
+
+  /** On-disk version history of an [[overwriteSnapshot]] table, newest
+    * first: the live version (the `_current` pointer), then each retained
+    * superseded version ordered by its supersession instant (the
+    * `_superseded-*` marker mtime — the same clock the retention GC
+    * reads). Orphan dirs from crashed writers appear among the superseded
+    * by creation time: harmless — unreachable snapshots the next commit
+    * GCs. Driver-side metadata listing only; no job.
+    */
+  def listVersions(spark: SparkSession, path: String): Seq[String] = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(root)) Nil
+    else {
+      val live = currentVersion(fs, root)
+      val others = fs.listStatus(root)
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("v-"))
+        .filterNot(s => live.contains(s.getPath.getName))
+        .map(s => (s.getPath.getName, supersededAt(fs, root, s)))
+        .sortBy(-_._2)
+        .map(_._1)
+      live.toSeq ++ others
+    }
+  }
+
+  /** Time-travel read: the table as of `stepsBack` commits ago (0 = the
+    * live snapshot, same table [[readSnapshot]] serves). Publish with
+    * `retain >= stepsBack` — and a `minAgeMs` floor above reader latency
+    * where foreign readers exist — or the version is already GC'd, which
+    * surfaces as FileNotFoundException, never a partial read. This is the
+    * rollback/audit read a versioned sink owes its operators: yesterday's
+    * corpus is one argument away while the pointer still serves today's.
+    * A pinned version dir is immutable, so the returned frame is stable
+    * for the reader's lifetime (subject to the retention gates).
+    */
+  def readSnapshotAt(spark: SparkSession, path: String, stepsBack: Int,
+                     schema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {
+    require(stepsBack >= 0, s"stepsBack must be >= 0, got $stepsBack")
+    val versions = listVersions(spark, path)
+    if (versions.size <= stepsBack)
+      throw new java.io.FileNotFoundException(
+        s"no snapshot $stepsBack commits back at $path " +
+          s"(${versions.size} version(s) on disk — raise `retain`)")
+    val reader = schema.fold(spark.read)(spark.read.schema)
+    reader.parquet(new Path(new Path(path), versions(stepsBack)).toString)
+  }
+
+  /** The instant `s` stopped being the live version (marker mtime), or its
+    * creation time for orphans that never were. Shared by the retention GC
+    * and [[listVersions]] so both order history identically. */
+  private def supersededAt(fs: FileSystem, root: Path,
+                           s: org.apache.hadoop.fs.FileStatus): Long = {
+    val marker = new Path(root, s"_superseded-${s.getPath.getName}")
+    if (fs.exists(marker)) fs.getFileStatus(marker).getModificationTime
+    else s.getModificationTime
   }
 
   private def currentVersion(fs: FileSystem, root: Path): Option[String] = {

@@ -231,6 +231,40 @@ private[graft] object QScanJoin {
         .orderBy("day", "event_type")
     }),
 
+    "snapshot_rollback_diff" -> ((s, dir) => {
+      // versioned-sink TIME TRAVEL: the orders table is published twice
+      // per slate run (commit 1 = the pre-1995 backfill, commit 2 = the
+      // full corpus; retain=2 keeps the superseded version), then the
+      // LIVE read and the 1-commit-back read (Sink.readSnapshotAt) diff
+      // per status — the rollback/audit query a versioned corpus sink
+      // owes its operators: "what did this publish change" answered from
+      // immutable pinned version dirs, no second copy of the corpus kept
+      // anywhere. Publishes run once per (session, corpus snapshot) via
+      // the scalar memo; minAgeMs=0 is safe in the session-private temp
+      // root (no foreign readers — the SlateStore rule).
+      val orders = t(s, dir, "orders")
+      val tag = graft.ops.SlateStore.corpusTag(s, s"$dir/orders.parquet")
+      val path = graft.ops.SlateStore.scalar(s, s"tt_orders|$dir#$tag") {
+        val p = new java.io.File(
+          graft.ops.SlateStore.sessionTempRoot(s), s"tt_orders_$tag").toString
+        graft.ops.Sink.overwriteSnapshot(
+          orders.filter(col("o_orderdate") <
+            lit("1995-01-01 00:00:00").cast("timestamp")),
+          p, retain = 2, minAgeMs = 0L)
+        graft.ops.Sink.overwriteSnapshot(orders, p, retain = 2, minAgeMs = 0L)
+        p
+      }
+      val live = graft.ops.Sink.readSnapshotAt(s, path, 0)
+        .groupBy("o_orderstatus").agg(count(lit(1)).as("n_live"))
+      val prev = graft.ops.Sink.readSnapshotAt(s, path, 1)
+        .groupBy("o_orderstatus").agg(count(lit(1)).as("__np"))
+      live.join(prev, Seq("o_orderstatus"), "left")
+        .select(col("o_orderstatus"), col("n_live"),
+          coalesce(col("__np"), lit(0L)).as("n_prev"),
+          (col("n_live") - coalesce(col("__np"), lit(0L))).as("n_added"))
+        .orderBy("o_orderstatus")
+    }),
+
     "orc_roundtrip_agg" -> ((s, dir) => {
       // source-format coverage beyond parquet/JSON/CSV/JDBC: the corpus
       // exported ONCE per slate run as zstd ORC, read back through the
@@ -712,6 +746,23 @@ private[graft] object QScanJoin {
             CAST(COUNT(*) AS BIGINT) AS cnt
          FROM events JOIN top5 ON CAST(ts AS DATE) = top5.day
          GROUP BY 1, 2 ORDER BY day, event_type""",
+
+    // live = the full orders table, prev = the pre-1995 backfill commit:
+    // the oracle recomputes both states from the parquet original, so
+    // equality proves the pinned version dirs carried exactly those rows
+    "snapshot_rollback_diff" ->
+      """WITH live AS (
+           SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_live
+           FROM orders GROUP BY 1),
+         prev AS (
+           SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_prev
+           FROM orders WHERE o_orderdate < TIMESTAMP '1995-01-01 00:00:00'
+           GROUP BY 1)
+         SELECT live.o_orderstatus, n_live,
+            COALESCE(n_prev, 0) AS n_prev,
+            n_live - COALESCE(n_prev, 0) AS n_added
+         FROM live LEFT JOIN prev USING (o_orderstatus)
+         ORDER BY o_orderstatus""",
 
     "orc_roundtrip_agg" ->
       """SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_rows,

@@ -90,6 +90,55 @@ class SinkSpec extends SparkTestBase {
     assert(Sink.readSnapshot(spark, out).as[Int].collect().toSet == Set(6))
   }
 
+  test("time travel: listVersions order, readSnapshotAt parity, retention interplay") {
+    val out = Files.createTempDirectory("tt").toString + "/t"
+    Sink.overwriteSnapshot(Seq(1, 2).toDF("v"), out, retain = 2, minAgeMs = 0L)
+    Thread.sleep(15) // supersession markers order by mtime (ms resolution)
+    Sink.overwriteSnapshot(Seq(3).toDF("v"), out, retain = 2, minAgeMs = 0L)
+    Thread.sleep(15)
+    Sink.overwriteSnapshot(Seq(4, 5, 6).toDF("v"), out, retain = 2, minAgeMs = 0L)
+    assert(Sink.listVersions(spark, out).size == 3)
+    assert(Sink.readSnapshotAt(spark, out, 0).as[Int].collect().toSet == Set(4, 5, 6))
+    assert(Sink.readSnapshotAt(spark, out, 1).as[Int].collect().toSet == Set(3))
+    assert(Sink.readSnapshotAt(spark, out, 2).as[Int].collect().toSet == Set(1, 2))
+    // 0 back IS the live table readSnapshot serves
+    assert(Sink.readSnapshot(spark, out).as[Int].collect().toSet ==
+      Sink.readSnapshotAt(spark, out, 0).as[Int].collect().toSet)
+    // beyond history: a clear miss, never a partial read
+    intercept[java.io.FileNotFoundException] {
+      Sink.readSnapshotAt(spark, out, 3)
+    }
+    // a retain=1 commit GCs the oldest; one step back still serves
+    Thread.sleep(15)
+    Sink.overwriteSnapshot(Seq(7).toDF("v"), out, retain = 1, minAgeMs = 0L)
+    assert(Sink.listVersions(spark, out).size == 2)
+    assert(Sink.readSnapshotAt(spark, out, 1).as[Int].collect().toSet == Set(4, 5, 6))
+    intercept[java.io.FileNotFoundException] {
+      Sink.readSnapshotAt(spark, out, 2)
+    }
+  }
+
+  test("snapshot_rollback_diff matches the direct two-state computation and is invocation-stable") {
+    val dir = "/root/testdata/sf0.001"
+    def run() = SparkEntry.queries("snapshot_rollback_diff")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val got = run()
+    val orders = Tables.load(spark, dir, "orders")
+    val cutoff = lit("1995-01-01 00:00:00").cast("timestamp")
+    val live = orders.groupBy("o_orderstatus").agg(count(lit(1)).as("n_live"))
+    val prev = orders.filter(col("o_orderdate") < cutoff)
+      .groupBy("o_orderstatus").agg(count(lit(1)).as("n_prev"))
+    val want = live.join(prev, Seq("o_orderstatus"), "left")
+      .select(col("o_orderstatus"), col("n_live"),
+        coalesce(col("n_prev"), lit(0L)).as("n_prev"),
+        (col("n_live") - coalesce(col("n_prev"), lit(0L))).as("n_added"))
+      .orderBy("o_orderstatus")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got.nonEmpty && got == want)
+    // the scalar memo serves the SAME published table on repeat invocation
+    assert(run() == got)
+  }
+
   test("overwriteSnapshot: a concurrent reader never observes a missing or partial table") {
     // the exact drop-then-load window the reference exposes
     // (/root/reference/main.py:44-46): readers hammer the table while the
