@@ -81,6 +81,34 @@ class IvfStoreSpec extends SparkTestBase {
     }
   }
 
+  test("managed base dir: a second session attaches the cell-partitioned index without refitting") {
+    val base = java.nio.file.Files.createTempDirectory("ivf_store_base_").toString
+    spark.conf.set("spark.graft.store.dir", base)
+    try {
+      val key = s"spec_xsession|$dir"
+      val (a1, c1) = VectorOps.ivfIndexStored(emb, "embedding", nCells = 8,
+        storeKey = key, contentTag = None)
+      val want = a1.select(col("vec_id"), col("__cell")).collect()
+        .map(r => (r.getLong(0), r.getInt(1))).toSet
+      val wantCents = c1.collect().map(r => (r.getInt(0), r.getSeq[Float](1))).toMap
+      // new session = fresh sessionUUID, nothing cached. The corpus frame
+      // passed here is POISONED (empty): if the attach failed and the
+      // build ran, the fit would abort on "empty embedding table" — so a
+      // full-valued result proves the committed partitioned table (and
+      // its _schema sidecar, partition column included) was adopted
+      val s2 = spark.newSession()
+      s2.conf.set("spark.graft.store.dir", base)
+      val (a2, c2) = VectorOps.ivfIndexStored(
+        Tables.load(s2, dir, "embeddings").filter(lit(false)),
+        "embedding", nCells = 8, storeKey = key, contentTag = None)
+      val got = a2.select(col("vec_id"), col("__cell")).collect()
+        .map(r => (r.getLong(0), r.getInt(1))).toSet
+      assert(got == want)
+      assert(c2.collect().map(r => (r.getInt(0), r.getSeq[Float](1))).toMap
+        == wantCents)
+    } finally spark.conf.unset("spark.graft.store.dir")
+  }
+
   test("empty corpus still fails fast with the ivfIndex contract error") {
     val e = intercept[IllegalArgumentException] {
       VectorOps.ivfIndexStored(emb.filter(lit(false)), "embedding", nCells = 4,
