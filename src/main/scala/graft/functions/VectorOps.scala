@@ -768,8 +768,32 @@ object VectorOps {
     df.select(col(idCol).as("__id"), q.as("__q"))
   }
 
+  /** The trained PQ codebook alone — the expensive artifact (a seed
+    * collect plus `iters` full-corpus Lloyd jobs). Callers sharing one
+    * corpus and parameter set should train ONCE (e.g. memoized via
+    * `SlateStore.scalar`, keyed on the corpus tag + every parameter) and
+    * pass the result to [[pqCodes]]/[[pqSearch]] through `codebook` —
+    * pre-r14 the `pq_codes` and `pq_search` queries each re-ran the
+    * identical training per invocation. Values are deterministic
+    * (lowest-id seeds, integer-exact updates), so sharing is invisible
+    * to every oracle.
+    */
+  def pqCodebook(df: DataFrame, idCol: String, vecCol: String,
+                 m: Int, k: Int, iters: Int,
+                 scale: Int = 1024): Array[Array[Array[Long]]] = {
+    require(m > 0 && k > 0 && iters >= 0,
+      s"pqCodebook: bad params m=$m k=$k iters=$iters")
+    val qdf = quantized(df, idCol, vecCol, scale).persist()
+    try {
+      val dim = qdf.select(size(col("__q"))).head().getInt(0)
+      require(dim % m == 0, s"pqCodebook: dim $dim not divisible by m=$m")
+      pqTrain(qdf, m, k, iters, dim / m)
+    } finally qdf.unpersist()
+  }
+
   def pqCodes(df: DataFrame, idCol: String, vecCol: String,
-              m: Int, k: Int, iters: Int, scale: Int = 1024): DataFrame = {
+              m: Int, k: Int, iters: Int, scale: Int = 1024,
+              codebook: Option[Array[Array[Array[Long]]]] = None): DataFrame = {
     require(m > 0 && k > 0 && iters >= 0, s"pqCodes: bad params m=$m k=$k iters=$iters")
     val spark = df.sparkSession
     val qdf = quantized(df, idCol, vecCol, scale).persist()
@@ -777,7 +801,7 @@ object VectorOps {
     require(dim % m == 0, s"pqCodes: dim $dim not divisible by m=$m")
     val sub = dim / m
     def sliceS(s: Int) = slice(col("__q"), s * sub + 1, sub)
-    val cents = pqTrain(qdf, m, k, iters, sub)
+    val cents = codebook.getOrElse(pqTrain(qdf, m, k, iters, sub))
     val codeCols = (0 until m).map { s =>
       nearestCellLong(spark, sliceS(s),
         cents(s).map(_.toIndexedSeq).toIndexedSeq).cast("long").as(s"code_$s")
@@ -813,14 +837,15 @@ object VectorOps {
   def pqSearch(corpus: DataFrame, idCol: String, vecCol: String,
                queries: DataFrame, qIdCol: String, qVecCol: String,
                m: Int, k: Int, iters: Int, topK: Int,
-               scale: Int = 1024): DataFrame = {
+               scale: Int = 1024,
+               codebook: Option[Array[Array[Array[Long]]]] = None): DataFrame = {
     val spark = corpus.sparkSession
     val qdf = quantized(corpus, idCol, vecCol, scale).persist()
     val dim = qdf.select(size(col("__q"))).head().getInt(0)
     require(dim % m == 0, s"pqSearch: dim $dim not divisible by m=$m")
     val sub = dim / m
     def sliceS(s: Int) = slice(col("__q"), s * sub + 1, sub)
-    val cents = pqTrain(qdf, m, k, iters, sub)
+    val cents = codebook.getOrElse(pqTrain(qdf, m, k, iters, sub))
     // corpus → melted (id, s, code) rows: m longs per doc
     val codeStructs = array((0 until m).map { s =>
       struct(lit(s).as("s"),

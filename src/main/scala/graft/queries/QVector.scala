@@ -25,6 +25,16 @@ private[graft] object QVector {
     Some(graft.ops.SlateStore.corpusTag(s, s"$dir/lineitem.parquet"))
   private def embTag(s: SparkSession, dir: String): String =
     graft.ops.SlateStore.corpusTag(s, s"$dir/embeddings.parquet")
+  /** One PQ codebook training per (session, corpus snapshot) — shared by
+    * `pq_codes` and `pq_search`, which pre-r14 each re-ran the identical
+    * seed collect + Lloyd round. Deterministic, so invisible to both
+    * oracles. */
+  private def pqBook(s: SparkSession, dir: String): Array[Array[Array[Long]]] =
+    graft.ops.SlateStore.scalar(s,
+      s"pq_codebook|$dir|m=4|k=4|it=1|sc=1024#${embTag(s, dir)}")(
+      VectorOps.pqCodebook(t(s, dir, "embeddings"), "vec_id", "embedding",
+        m = 4, k = 4, iters = 1))
+
   /** Tag for stored artifacts derived from embeddings JOINED to documents
     * (the bitext candidate set): either input regenerating invalidates. */
   private def embDocsTag(s: SparkSession, dir: String): String =
@@ -524,9 +534,12 @@ private[graft] object QVector {
       // product quantization (Jégou TPAMI'11): 4 subspaces × 16 dims,
       // k=4 integer-exact centroids each, 1 Lloyd round — codebooks are
       // driver-resident literals, assignment pure map-side; the oracle
-      // unrolls the round digit-for-digit like kmeans_assign
+      // unrolls the round digit-for-digit like kmeans_assign. The
+      // training (seed collect + per-round corpus jobs) is shared with
+      // pq_search via the scalar memo — one codebook per slate run
       VectorOps.pqCodes(t(s, dir, "embeddings"), "vec_id", "embedding",
-          m = 4, k = 4, iters = 1)
+          m = 4, k = 4, iters = 1,
+          codebook = Some(pqBook(s, dir)))
         .orderBy("vec_id")),
 
     "pq_search" -> ((s, dir) => {
@@ -537,7 +550,8 @@ private[graft] object QVector {
       VectorOps.pqSearch(emb, "vec_id", "embedding",
           emb.filter(col("vec_id") < 3)
             .select(col("vec_id").as("qid"), col("embedding")),
-          "qid", "embedding", m = 4, k = 4, iters = 1, topK = 5)
+          "qid", "embedding", m = 4, k = 4, iters = 1, topK = 5,
+          codebook = Some(pqBook(s, dir)))
         .orderBy("qid", "rank")
     }),
 

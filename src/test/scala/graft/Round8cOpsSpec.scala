@@ -153,6 +153,31 @@ class Round8cOpsSpec extends SparkTestBase {
       (4L, 1L, 1L, 4L)))
   }
 
+  test("pqCodes/pqSearch: a shared pre-trained codebook is value-identical to inline training") {
+    val vs = Seq(
+      (1L, Array(0f, 0f, 10f, 10f)),
+      (2L, Array(8f, 8f, 0f, 0f)),
+      (3L, Array(1f, 1f, 9f, 9f)),
+      (4L, Array(7f, 7f, 1f, 1f)))
+      .toDF("id", "v")
+    val book = VectorOps.pqCodebook(vs, "id", "v", m = 2, k = 2, iters = 1,
+      scale = 1)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("id").collect().map(_.toSeq).toSeq
+    assert(rows(VectorOps.pqCodes(vs, "id", "v", m = 2, k = 2, iters = 1,
+        scale = 1, codebook = Some(book))) ==
+      rows(VectorOps.pqCodes(vs, "id", "v", m = 2, k = 2, iters = 1,
+        scale = 1)))
+    val q = vs.filter($"id" === 1L).select($"id".as("qid"), $"v")
+    def srows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("qid", "rank").collect().map(_.toSeq).toSeq
+    assert(srows(VectorOps.pqSearch(vs, "id", "v", q, "qid", "v",
+        m = 2, k = 2, iters = 1, topK = 3, scale = 1,
+        codebook = Some(book))) ==
+      srows(VectorOps.pqSearch(vs, "id", "v", q, "qid", "v",
+        m = 2, k = 2, iters = 1, topK = 3, scale = 1)))
+  }
+
   test("pqSearch: self-query ranks the query's own vector first") {
     // distinct well-separated corpus vectors: ADC distance of a vector to
     // itself equals its quantization error, strictly below other docs'
