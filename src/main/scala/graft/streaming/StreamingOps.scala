@@ -70,6 +70,79 @@ object StreamingOps {
         coalesce(col("p_ref"), lit(0.0)).as("p_ref"))
   }
 
+  /** Stream-static ANN enrich — the SERVING face of the stored IVF index
+    * ([[graft.functions.VectorOps.ivfIndexStored]]): each arriving query
+    * vector is tagged with its top-`k` cosine neighbors from the STATIC
+    * corpus postings. The index is built once per corpus snapshot by the
+    * batch pipeline; the stream pays only probed-cell candidate work —
+    * the standard online-serving split (a prebuilt index serves queries;
+    * nothing refits on the hot path).
+    *
+    * Plan shape per micro-batch:
+    *  1. each query row scores the centroid LITERAL (collected here at
+    *     plan build from the tiny centroid table — nCells·dim floats,
+    *     the driver-side bound every batch IVF op already carries) and
+    *     keeps its nProbe nearest cells: a stateless per-row expression,
+    *     ties at equal score to the smaller cell id (the batch ivfTopK
+    *     probe order);
+    *  2. stream-static equi-join on the cell id against the postings
+    *     table — Spark re-plans the static side each micro-batch, so a
+    *     recommitted index snapshot is picked up at the next batch;
+    *  3. exact cosine on the candidates, then per-query top-k as a
+    *     watermarked windowed aggregate: sort the collected
+    *     (score, −id) structs, slice `k` — candidate fan-in per query
+    *     is bounded by nProbe·cell size (the probe budget), so the
+    *     aggregate state is bounded by construction; ties score-desc
+    *     then id-asc, the batch ivfTopK contract (parity spec).
+    *
+    * Append mode emits a query's neighbors once, when the watermark
+    * passes its window — final, never revised.
+    */
+  def annEnrichStream(queries: DataFrame, qIdCol: String, qVecCol: String,
+                      tsCol: String, width: String, delay: String,
+                      assigned: DataFrame, centroids: DataFrame,
+                      idCol: String, embCol: String,
+                      k: Int, nProbe: Int): DataFrame = {
+    import graft.functions.VectorOps.cosineBest
+    val spark = assigned.sparkSession
+    val cents: Seq[Seq[Float]] = centroids.orderBy("__cell").collect()
+      .map(_.getSeq[Float](1).toIndexedSeq).toIndexedSeq
+    require(cents.nonEmpty, "annEnrichStream: empty centroid table")
+    require(k >= 1 && nProbe >= 1, s"annEnrichStream: bad k=$k nProbe=$nProbe")
+    val cLit = typedlit(cents)
+    val nCells = cents.size
+    // nProbe nearest cells per row: descending (score, −cell) sort =
+    // score desc, cell asc at ties — the batch probe order
+    val cellScores = transform(sequence(lit(0), lit(nCells - 1)), j =>
+      struct(
+        cosineBest(spark, element_at(cLit, j + 1), col(qVecCol)).as("s"),
+        (-j).as("negc")))
+    val probes = slice(reverse(array_sort(cellScores)), 1,
+      math.min(nProbe, nCells))
+    val q = queries
+      .withWatermark(tsCol, delay)
+      .select(col(tsCol), col(qIdCol).as("__qid"), col(qVecCol).as("__qv"),
+        explode(probes).as("__p"))
+      .select(col(tsCol), col("__qid"), col("__qv"),
+        (-col("__p.negc")).cast("int").as("__cell"))
+    val cand = q.join(
+        assigned.select(col("__cell"), col(idCol).as("__nid"),
+          col(embCol).as("__nv")),
+        Seq("__cell"))
+      .select(col(tsCol), col("__qid"), col("__nid"),
+        cosineBest(spark, col("__nv"), col("__qv")).as("__score"))
+    cand
+      .groupBy(window(col(tsCol), width), col("__qid"))
+      .agg(slice(reverse(array_sort(collect_list(
+          struct(col("__score").as("s"), (-col("__nid")).as("negid"))))),
+        1, k).as("__top"))
+      .select(col("window"), col("__qid"), posexplode(col("__top")))
+      .select(col("window"), col("__qid").as(qIdCol),
+        (col("pos") + 1).cast("long").as("rank"),
+        (-col("col.negid")).as(idCol),
+        col("col.s").as("score"))
+  }
+
   case class DriftObs(windowStartMs: Long, windowEndMs: Long, v: Long,
                       ts: java.sql.Timestamp)
   case class DriftState(counts: Map[Long, Long])

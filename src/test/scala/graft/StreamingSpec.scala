@@ -962,4 +962,38 @@ class StreamingSpec extends SparkTestBase {
       }
     }
   }
+
+  test("annEnrichStream: stream-static top-k matches batch ivfTopK on the stored index") {
+    import graft.functions.VectorOps
+    val dir = "/root/testdata/sf0.001"
+    val emb = Tables.load(spark, dir, "embeddings")
+    val (assigned, cents) = VectorOps.ivfIndexStored(emb, "embedding",
+      nCells = 8, storeKey = s"stream_ann|$dir", contentTag = None)
+    val qvecs = emb.filter($"vec_id" < 4)
+      .select($"vec_id", $"embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    // two micro-batch chunks, different event-time windows
+    val input = MemoryStream[(Timestamp, Long, Seq[Float])]
+    input.addData(qvecs.take(2).map { case (id, v) =>
+      (ts("2024-01-01 01:00:00"), id, v) }.toIndexedSeq: _*)
+    input.addData(qvecs.drop(2).map { case (id, v) =>
+      (ts("2024-01-01 02:30:00"), id, v) }.toIndexedSeq: _*)
+    val stream = StreamingOps.annEnrichStream(
+      input.toDF().toDF("ts", "qid", "qv"), "qid", "qv", "ts",
+      width = "1 hour", delay = "1 hour",
+      assigned, cents, "vec_id", "embedding", k = 5, nProbe = 4)
+    runToCompletion(stream.select($"qid", $"rank", $"vec_id", $"score"),
+      "ann_enrich", "complete")
+    val got = spark.table("ann_enrich").as[(Long, Long, Long, Double)]
+      .collect().groupBy(_._1)
+      .map { case (q, rs) => q -> rs.sortBy(_._2).map(t => (t._3, t._4)).toSeq }
+    val want = qvecs.map { case (id, v) =>
+      val qv = Seq(v).toDF("__qv")
+      id -> VectorOps.ivfTopK(assigned, cents, "embedding", "vec_id", qv,
+          k = 5, nProbe = 4)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    }.toMap
+    assert(got.keySet == want.keySet)
+    assert(got == want, "per-query neighbor lists must be bit-identical to batch")
+  }
 }
