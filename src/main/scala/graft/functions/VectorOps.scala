@@ -461,7 +461,7 @@ object VectorOps {
     * decoded once per task), HOF composition otherwise. Both use
     * first-occurrence argmin on ties.
     */
-  private def nearestCell(spark: org.apache.spark.sql.SparkSession,
+  private[graft] def nearestCell(spark: org.apache.spark.sql.SparkSession,
                           v: Column, cents: Seq[Seq[Double]]): Column = {
     val c = typedlit(cents)
     if (spark.catalog.functionExists("nearest_cell")) call_function("nearest_cell", v, c)
@@ -557,7 +557,7 @@ object VectorOps {
     * driver k-means++. One bottom-k job over the corpus, ≤ sampleCap
     * vectors collected.
     */
-  private def ivfFit(embeddings: DataFrame, embCol: String, nCells: Int,
+  private[graft] def ivfFit(embeddings: DataFrame, embCol: String, nCells: Int,
                      seed: Long, sampleCap: Int, iters: Int): Seq[Seq[Double]] = {
     val vecs = embeddings
       .filter(col(embCol).isNotNull) // a null embedding would NPE the fit
@@ -619,6 +619,83 @@ object VectorOps {
           nearestCell(spark, col(embCol).cast("array<double>"), cents))
         .repartition(col("__cell"))
         .sortWithinPartitions(col("__cell")))
+    (assigned, centroids)
+  }
+
+  /** Incrementally-maintained stored IVF index — the corpus-moves-on
+    * lifecycle ([[ivfIndexStored]] covers the static one): an appended or
+    * partially-rewritten corpus gets its new postings by assigning ONLY
+    * the changed rows against the FROZEN original quantizer (FAISS
+    * `add()` semantics — an appended index never refits, at the
+    * documented cost of centroid drift if the data distribution moves;
+    * re-index deliberately when it does). Three managed artifacts:
+    *
+    *  - `ivf_quantizer`: the fitted DOUBLE centroids, committed once and
+    *    CARRIED FORWARD verbatim across corpus generations
+    *    ([[graft.ops.SlateStore.parquetEvolving]] hands the builder the
+    *    previous table) — so incremental assignment is bit-identical to
+    *    what a full re-assignment under the same quantizer would produce
+    *    (asserted by spec);
+    *  - `ivf_cents`: the float centroid table consumers score against,
+    *    derived from the quantizer (same carry-forward);
+    *  - `ivf_postings_inc`: cell-partitioned postings, evolved per
+    *    corpus generation as KEEP ∪ FRESH — previous postings semi-joined
+    *    against current ids (drops deletions), new ids anti-joined and
+    *    assigned (covers appends and replacements). Both sides are
+    *    id-hash joins; nothing re-scores the unchanged corpus. At 100 TB
+    *    a daily append touches the delta, not the index.
+    *
+    * `idCol` must be a stable unique row identity (the incremental
+    * contract — the same one the exact-dedup fingerprint stores carry).
+    * Returns (postings, float centroid table), same shapes as
+    * [[ivfIndexStored]].
+    */
+  def ivfIndexEvolving(embeddings: DataFrame, idCol: String, embCol: String,
+                       nCells: Int, storeKey: String,
+                       contentTag: Option[String],
+                       seed: Long = 42L, sampleCap: Int = 4096,
+                       iters: Int = 10): (DataFrame, DataFrame) = {
+    val spark = embeddings.sparkSession
+    val paramKey =
+      s"$storeKey|id=$idCol|emb=$embCol|c=$nCells|s=$seed|cap=$sampleCap|it=$iters"
+    val quantizer = graft.ops.SlateStore.parquetEvolving(spark,
+      s"ivf_quantizer|$paramKey", contentTag) {
+      case Some(prev) => prev // frozen: never refit on evolution
+      case None =>
+        val cents = ivfFit(embeddings, embCol, nCells, seed, sampleCap, iters)
+        import spark.implicits._
+        cents.zipWithIndex.map { case (c, i) => (i, c) }
+          .toDF("__cell", "__centroid")
+    }
+    // bounded driver edge: nCells rows — the same budget every batch IVF
+    // op already spends to ship centroids as a literal
+    val cents: Seq[Seq[Double]] = quantizer.orderBy("__cell").collect()
+      .map(_.getSeq[Double](1).toIndexedSeq).toIndexedSeq
+    val centroids = graft.ops.SlateStore.parquetEvolving(spark,
+      s"ivf_cents_inc|$paramKey", contentTag) {
+      case Some(prev) => prev
+      case None => centroidTable(spark, cents)
+    }
+    val assigned = graft.ops.SlateStore.parquetEvolving(spark,
+      s"ivf_postings_inc|$paramKey", contentTag,
+      partitionBy = Seq("__cell")) { prev =>
+      val fresh = prev match {
+        case None => embeddings
+        case Some(old) =>
+          embeddings.join(old.select(col(idCol)), Seq(idCol), "left_anti")
+      }
+      val freshAssigned = fresh.withColumn("__cell",
+        nearestCell(spark, col(embCol).cast("array<double>"), cents))
+      val next = prev match {
+        case None => freshAssigned
+        case Some(old) =>
+          // keep = survivors of the current corpus (deletions drop);
+          // unchanged rows never re-score
+          old.join(embeddings.select(col(idCol)), Seq(idCol), "left_semi")
+            .unionByName(freshAssigned.select(old.columns.map(col): _*))
+      }
+      next.repartition(col("__cell")).sortWithinPartitions(col("__cell"))
+    }
     (assigned, centroids)
   }
 

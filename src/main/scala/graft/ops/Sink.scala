@@ -54,9 +54,13 @@ object Sink {
     * `v-*` dir and a stale tmp pointer; `_current` still names the old
     * complete snapshot, and the next successful commit GCs the orphans.
     */
+  /** Returns the committed version's directory name (`v-...`) so a caller
+    * that must keep serving EXACTLY this snapshot (e.g. SlateStore's
+    * in-session cache, which outlives later recommits of the same table)
+    * can pin it instead of following the advancing pointer. */
   def overwriteSnapshot(df: DataFrame, path: String, retain: Int = 1,
                         minAgeMs: Long = 600000L,
-                        partitionColumns: Seq[String] = Nil): Unit = {
+                        partitionColumns: Seq[String] = Nil): String = {
     val conf = df.sparkSession.sessionState.newHadoopConf()
     val root = new Path(path)
     val fs = root.getFileSystem(conf)
@@ -123,6 +127,7 @@ object Sink {
     fs.listStatus(root)
       .filter(s => s.isFile && s.getPath.getName.startsWith("_current.tmp-"))
       .foreach(s => fs.delete(s.getPath, false))
+    version
   }
 
   /** Resolve a [[overwriteSnapshot]] table to its live version. One
@@ -215,7 +220,7 @@ object Sink {
     else s.getModificationTime
   }
 
-  private def currentVersion(fs: FileSystem, root: Path): Option[String] = {
+  private[ops] def currentVersion(fs: FileSystem, root: Path): Option[String] = {
     val ptr = new Path(root, "_current")
     if (!fs.exists(ptr)) None
     else {

@@ -96,7 +96,7 @@ object SlateStore {
         }
       }
     }
-    Sink.readSnapshot(spark, entry._1, Some(entry._2))
+    spark.read.schema(entry._2).parquet(entry._1)
   }
 
   /** Content fingerprint of an input path — file names, lengths, and
@@ -143,15 +143,66 @@ object SlateStore {
     v.asInstanceOf[Some[T]].value
   }
 
+  /** [[parquet]] with EVOLUTION: when the table's key already has a
+    * committed snapshot whose content tag is STALE (the input moved on),
+    * `buildFrom` receives that previous artifact and may derive the new
+    * one incrementally instead of from scratch — the managed-store face
+    * of incremental view maintenance. `buildFrom(None)` is the cold
+    * build. Same-tag snapshots attach as usual (buildFrom never runs);
+    * the commit is the ordinary versioned pointer swap, so the previous
+    * artifact stays readable mid-derivation (the new version is written
+    * BEFORE the pointer moves) and remains one [[Sink.readSnapshotAt]]
+    * step back afterwards. Works in both lifetimes: a mid-session input
+    * regeneration evolves under the temp root, and under
+    * `spark.graft.store.dir` a LATER SESSION evolves yesterday's
+    * committed artifact instead of rebuilding the world.
+    */
+  def parquetEvolving(spark: SparkSession, key: String,
+                      contentTag: Option[String] = None,
+                      partitionBy: Seq[String] = Nil)
+                     (buildFrom: Option[DataFrame] => DataFrame): DataFrame = {
+    val sk = sessionKey(spark)
+    val mapKey = (sk, key + contentTag.fold("")("#" + _))
+    var entry = tables.get(mapKey)
+    if (entry == null) {
+      val lock = locks.computeIfAbsent(mapKey, _ => new Object)
+      lock.synchronized {
+        entry = tables.get(mapKey)
+        if (entry == null) {
+          entry = materializeFrom(spark, sk, key, contentTag, partitionBy,
+            buildFrom)
+          tables.put(mapKey, entry)
+        }
+      }
+    }
+    spark.read.schema(entry._2).parquet(entry._1)
+  }
+
   private def materialize(spark: SparkSession, sk: String, key: String,
                           contentTag: Option[String],
                           partitionBy: Seq[String],
-                          build: => DataFrame): (String, StructType) = {
+                          build: => DataFrame): (String, StructType) =
+    materializeFrom(spark, sk, key, contentTag, partitionBy, _ => build)
+
+  private def materializeFrom(spark: SparkSession, sk: String, key: String,
+                              contentTag: Option[String],
+                              partitionBy: Seq[String],
+                              buildFrom: Option[DataFrame] => DataFrame)
+      : (String, StructType) = {
     val (base, managed) = baseDir(spark, sk)
     val dir = new Path(base, tableName(key)).toString
     val attached = if (managed) attach(spark, dir, contentTag) else None
     attached.getOrElse {
-      val df = build
+      // a committed snapshot under this key with a STALE tag is the
+      // previous artifact generation: offer it to the builder (read
+      // against the pinned pre-commit version, so the derivation and the
+      // write never race). attach() with tag=None accepts any committed
+      // snapshot; plain parquet() callers never see it (their builder
+      // ignores the argument).
+      val previous = attach(spark, dir, None).map { case (vp, sch) =>
+        spark.read.schema(sch).parquet(vp)
+      }
+      val df = buildFrom(previous)
       // Managed dirs are shared: another JVM's running query may still
       // hold file handles into a superseded version when this one
       // recommits (rebuild over a stale tag, or a half-finished foreign
@@ -164,11 +215,20 @@ object SlateStore {
           spark.conf.getOption("spark.graft.store.minRetainAgeMs")
             .map(_.toLong).getOrElse(600000L)
         else 0L
-      Sink.overwriteSnapshot(df, dir, retain = 1, minAgeMs = minAge,
-        partitionColumns = partitionBy)
+      val version = Sink.overwriteSnapshot(df, dir, retain = 1,
+        minAgeMs = minAge, partitionColumns = partitionBy)
       writeSidecar(spark, new Path(dir, "_schema"), df.schema.json)
       contentTag.foreach(t => writeSidecar(spark, new Path(dir, "_tag"), t))
-      (dir, df.schema)
+      // the cache entry PINS the committed version, not the table dir:
+      // a later generation ([[parquetEvolving]]) recommits the dir and
+      // advances the pointer, and a cached older-generation reader must
+      // keep serving ITS content — pointer-following here would silently
+      // swap the data under a (key, tag) that identifies the OLD input.
+      // A pinned version can still be GC'd by >retain later generations
+      // (then the read fails fast rather than serving wrong rows); a
+      // session that alternates more than one generation back should
+      // raise the table's retention.
+      (new Path(dir, version).toString, df.schema)
     }
   }
 
@@ -201,8 +261,9 @@ object SlateStore {
         fs.exists(tagPath) && readSide(tagPath) == want
       }
       if (!tagOk) None
-      else Some((dir,
-        DataType.fromJson(readSide(schemaPath)).asInstanceOf[StructType]))
+      else Sink.currentVersion(fs, new Path(dir)).map(v =>
+        (new Path(dir, v).toString,
+          DataType.fromJson(readSide(schemaPath)).asInstanceOf[StructType]))
     }
   }
 

@@ -109,6 +109,65 @@ class IvfStoreSpec extends SparkTestBase {
     } finally spark.conf.unset("spark.graft.store.dir")
   }
 
+  test("parquetEvolving: stale tag hands the previous artifact to the builder; prior generation stays one step back") {
+    import spark.implicits._
+    val key = s"spec_evolve_store|$dir"
+    var prevSeen = List.empty[Boolean]
+    val g1 = graft.ops.SlateStore.parquetEvolving(spark, key, Some("t1")) { prev =>
+      prevSeen :+= prev.isDefined; Seq(1, 2).toDF("v")
+    }
+    assert(g1.as[Int].collect().toSet == Set(1, 2) && prevSeen == List(false))
+    // same tag, same session: served from the cache — builder never runs
+    graft.ops.SlateStore.parquetEvolving(spark, key, Some("t1")) { prev =>
+      prevSeen :+= prev.isDefined; Seq(9).toDF("v")
+    }
+    assert(prevSeen == List(false))
+    // input moved on (new tag): the builder receives generation 1 and
+    // derives generation 2 incrementally
+    val g2 = graft.ops.SlateStore.parquetEvolving(spark, key, Some("t2")) { prev =>
+      prevSeen :+= prev.isDefined
+      prev.get.union(Seq(3).toDF("v"))
+    }
+    assert(g2.as[Int].collect().toSet == Set(1, 2, 3))
+    assert(prevSeen == List(false, true))
+    // the versioned sink underneath keeps generation 1 one time-travel
+    // step back — evolution composes with readSnapshotAt
+    val tableDir = new java.io.File(
+      graft.ops.SlateStore.sessionTempRoot(spark),
+      graft.ops.SlateStore.tableName(key)).toString
+    assert(graft.ops.Sink.readSnapshotAt(spark, tableDir, 1)
+      .as[Int].collect().toSet == Set(1, 2))
+  }
+
+  test("evolving IVF index: delta-only assignment under the frozen quantizer; deletions drop") {
+    import graft.functions.VectorOps
+    val key = s"spec_evolve_ivf|$dir"
+    val g1 = emb.filter(col("vec_id") % 10 =!= 0)
+    val g2 = emb.filter(col("vec_id") =!= 10L) // re-adds %10 rows, deletes 10
+    val (a1, c1) = VectorOps.ivfIndexEvolving(g1, "vec_id", "embedding",
+      nCells = 8, storeKey = key, contentTag = Some("gen1"))
+    assert(a1.count() == g1.count())
+    val cents1 = c1.collect().map(r => (r.getInt(0), r.getSeq[Float](1))).toMap
+    val (a2, c2) = VectorOps.ivfIndexEvolving(g2, "vec_id", "embedding",
+      nCells = 8, storeKey = key, contentTag = Some("gen2"))
+    // the quantizer is FROZEN across generations
+    assert(c2.collect().map(r => (r.getInt(0), r.getSeq[Float](1))).toMap
+      == cents1)
+    // deletion dropped, appends present, nothing duplicated
+    val got = a2.select(col("vec_id"), col("__cell")).collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+    assert(got.length == g2.count())
+    assert(!got.exists(_._1 == 10L))
+    // exactness: evolved postings == a FULL assignment of generation 2
+    // under generation 1's quantizer (same deterministic fit)
+    val fit = VectorOps.ivfFit(g1, "embedding", 8, 42L, 4096, 10)
+    val want = g2.withColumn("__cell",
+        VectorOps.nearestCell(spark, col("embedding").cast("array<double>"), fit))
+      .select(col("vec_id"), col("__cell")).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(got.toSet == want)
+  }
+
   test("empty corpus still fails fast with the ivfIndex contract error") {
     val e = intercept[IllegalArgumentException] {
       VectorOps.ivfIndexStored(emb.filter(lit(false)), "embedding", nCells = 4,
