@@ -139,6 +139,34 @@ class IvfStoreSpec extends SparkTestBase {
       .as[Int].collect().toSet == Set(1, 2))
   }
 
+  test("parquetEvolving: a LATER SESSION evolves the committed artifact instead of rebuilding") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("evolve_base_").toString
+    val key = s"spec_evolve_xsession|$dir"
+    spark.conf.set("spark.graft.store.dir", base)
+    try {
+      graft.ops.SlateStore.parquetEvolving(spark, key, Some("t1"))(_ =>
+        Seq(1, 2).toDF("v"))
+      val s2 = spark.newSession()
+      s2.conf.set("spark.graft.store.dir", base)
+      // fresh sessionUUID: nothing cached — the previous generation must
+      // arrive from the COMMITTED cross-session snapshot
+      var sawPrev = false
+      val g2 = graft.ops.SlateStore.parquetEvolving(s2, key, Some("t2")) { prev =>
+        sawPrev = prev.isDefined
+        prev.get.union(Seq(3).toDF("v"))
+      }
+      assert(sawPrev, "second session must receive the committed generation 1")
+      assert(g2.as[Int].collect().toSet == Set(1, 2, 3))
+      // and a third session with the NEW tag attaches without building
+      val s3 = spark.newSession()
+      s3.conf.set("spark.graft.store.dir", base)
+      val g3 = graft.ops.SlateStore.parquetEvolving(s3, key, Some("t2"))(_ =>
+        sys.error("same-tag attach must not build"))
+      assert(g3.as[Int].collect().toSet == Set(1, 2, 3))
+    } finally spark.conf.unset("spark.graft.store.dir")
+  }
+
   test("evolving IVF index: delta-only assignment under the frozen quantizer; deletions drop") {
     import graft.functions.VectorOps
     val key = s"spec_evolve_ivf|$dir"
