@@ -625,10 +625,12 @@ object VectorOps {
   /** Incrementally-maintained stored IVF index — the corpus-moves-on
     * lifecycle ([[ivfIndexStored]] covers the static one): an appended or
     * partially-rewritten corpus gets its new postings by assigning ONLY
-    * the changed rows against the FROZEN original quantizer (FAISS
-    * `add()` semantics — an appended index never refits, at the
-    * documented cost of centroid drift if the data distribution moves;
-    * re-index deliberately when it does). Three managed artifacts:
+    * the changed rows — new ids AND stable-id rows whose vector was
+    * rewritten (change detection compares (id, embedding), not id alone)
+    * — against the FROZEN original quantizer (FAISS `add()` semantics —
+    * an appended index never refits, at the documented cost of centroid
+    * drift if the data distribution moves; re-index deliberately when it
+    * does). Three managed artifacts:
     *
     *  - `ivf_quantizer`: the fitted DOUBLE centroids, committed once and
     *    CARRIED FORWARD verbatim across corpus generations
@@ -668,8 +670,10 @@ object VectorOps {
           .toDF("__cell", "__centroid")
     }
     // bounded driver edge: nCells rows — the same budget every batch IVF
-    // op already spends to ship centroids as a literal
-    val cents: Seq[Seq[Double]] = quantizer.orderBy("__cell").collect()
+    // op already spends to ship centroids as a literal. Lazy: on the
+    // attach path (same tag, repeat invocation) no consumer forces it,
+    // so no collect job runs — the ivfIndexStored lazy-fit discipline
+    lazy val cents: Seq[Seq[Double]] = quantizer.orderBy("__cell").collect()
       .map(_.getSeq[Double](1).toIndexedSeq).toIndexedSeq
     val centroids = graft.ops.SlateStore.parquetEvolving(spark,
       s"ivf_cents_inc|$paramKey", contentTag) {
@@ -679,19 +683,28 @@ object VectorOps {
     val assigned = graft.ops.SlateStore.parquetEvolving(spark,
       s"ivf_postings_inc|$paramKey", contentTag,
       partitionBy = Seq("__cell")) { prev =>
+      // change detection is (id, embedding): a row whose vector was
+      // REWRITTEN under a stable id is fresh (re-scored), not kept — an
+      // id-only anti-join would silently serve the old posting for it.
+      // Array equality is exact (float columns round-trip parquet
+      // bitwise), and the compare join moves (id, vector) pairs once.
+      val idAndVec = Seq(idCol, embCol)
       val fresh = prev match {
         case None => embeddings
         case Some(old) =>
-          embeddings.join(old.select(col(idCol)), Seq(idCol), "left_anti")
+          embeddings.join(old.select(idAndVec.map(col): _*),
+            idAndVec, "left_anti")
       }
       val freshAssigned = fresh.withColumn("__cell",
         nearestCell(spark, col(embCol).cast("array<double>"), cents))
       val next = prev match {
         case None => freshAssigned
         case Some(old) =>
-          // keep = survivors of the current corpus (deletions drop);
-          // unchanged rows never re-score
-          old.join(embeddings.select(col(idCol)), Seq(idCol), "left_semi")
+          // keep = postings whose (id, vector) survives in the current
+          // corpus (deletions AND in-place rewrites drop); unchanged
+          // rows never re-score
+          old.join(embeddings.select(idAndVec.map(col): _*),
+              idAndVec, "left_semi")
             .unionByName(freshAssigned.select(old.columns.map(col): _*))
       }
       next.repartition(col("__cell")).sortWithinPartitions(col("__cell"))

@@ -164,13 +164,16 @@ object Sink {
     attempt(3)
   }
 
-  /** On-disk version history of an [[overwriteSnapshot]] table, newest
+  /** COMMITTED version history of an [[overwriteSnapshot]] table, newest
     * first: the live version (the `_current` pointer), then each retained
     * superseded version ordered by its supersession instant (the
     * `_superseded-*` marker mtime — the same clock the retention GC
-    * reads). Orphan dirs from crashed writers appear among the superseded
-    * by creation time: harmless — unreachable snapshots the next commit
-    * GCs. Driver-side metadata listing only; no job.
+    * reads). Only versions that ever COMMITTED are listed: a `v-*` dir
+    * with neither the pointer nor a supersession marker is an in-flight
+    * or crashed writer's dir (the marker is written exactly when a
+    * successful commit displaces a version), and including it would
+    * hand [[readSnapshotAt]] a partial or empty snapshot AND shift every
+    * real version one slot down. Driver-side metadata listing only.
     */
   def listVersions(spark: SparkSession, path: String): Seq[String] = {
     val root = new Path(path)
@@ -181,6 +184,8 @@ object Sink {
       val others = fs.listStatus(root)
         .filter(s => s.isDirectory && s.getPath.getName.startsWith("v-"))
         .filterNot(s => live.contains(s.getPath.getName))
+        .filter(s => fs.exists(
+          new Path(root, s"_superseded-${s.getPath.getName}")))
         .map(s => (s.getPath.getName, supersededAt(fs, root, s)))
         .sortBy(-_._2)
         .map(_._1)

@@ -199,10 +199,21 @@ object SlateStore {
       // write never race). attach() with tag=None accepts any committed
       // snapshot; plain parquet() callers never see it (their builder
       // ignores the argument).
-      val previous = attach(spark, dir, None).map { case (vp, sch) =>
+      val previousEntry = attach(spark, dir, None)
+      val previous = previousEntry.map { case (vp, sch) =>
         spark.read.schema(sch).parquet(vp)
       }
       val df = buildFrom(previous)
+      // carry-forward without churn: a builder that hands the previous
+      // frame back UNCHANGED (reference-identical — the frozen-quantizer
+      // pattern) keeps the committed version and only refreshes the tag
+      // sidecar; recommitting identical bytes per generation would both
+      // waste a table write and age older pinned readers toward GC.
+      val carriedForward = previous.exists(_ eq df)
+      if (carriedForward) {
+        contentTag.foreach(t => writeSidecar(spark, new Path(dir, "_tag"), t))
+        previousEntry.get
+      } else {
       // Managed dirs are shared: another JVM's running query may still
       // hold file handles into a superseded version when this one
       // recommits (rebuild over a stale tag, or a half-finished foreign
@@ -229,6 +240,7 @@ object SlateStore {
       // session that alternates more than one generation back should
       // raise the table's retention.
       (new Path(dir, version).toString, df.schema)
+      }
     }
   }
 

@@ -86,8 +86,14 @@ object StreamingOps {
     *     ties at equal score to the smaller cell id (the batch ivfTopK
     *     probe order);
     *  2. stream-static equi-join on the cell id against the postings
-    *     table — Spark re-plans the static side each micro-batch, so a
-    *     recommitted index snapshot is picked up at the next batch;
+    *     table. The static side is PINNED for the stream's lifetime: a
+    *     parquet frame's file listing is fixed at DataFrame creation
+    *     (and an ivfIndexStored frame additionally pins one committed
+    *     version) — adopting a recommitted index snapshot means
+    *     RESTARTING the stream over the new frame, and the index
+    *     table's retention (`retain`/`minAgeMs`) must outlive the
+    *     longest-running stream or its micro-batches fail fast on the
+    *     GC'd version;
     *  3. exact cosine on the candidates, then per-query top-k as a
     *     watermarked windowed aggregate: sort the collected
     *     (score, −id) structs, slice `k` — candidate fan-in per query

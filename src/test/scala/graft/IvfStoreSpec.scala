@@ -137,6 +137,16 @@ class IvfStoreSpec extends SparkTestBase {
       graft.ops.SlateStore.tableName(key)).toString
     assert(graft.ops.Sink.readSnapshotAt(spark, tableDir, 1)
       .as[Int].collect().toSet == Set(1, 2))
+    // carry-forward: a builder returning the previous frame UNCHANGED
+    // refreshes only the tag — no new version is committed (review fix:
+    // identical-bytes recommits churned retention per generation)
+    val before = graft.ops.Sink.listVersions(spark, tableDir)
+    val g3 = graft.ops.SlateStore.parquetEvolving(spark, key, Some("t3")) {
+      prev => prevSeen :+= prev.isDefined; prev.get
+    }
+    assert(g3.as[Int].collect().toSet == Set(1, 2, 3))
+    assert(graft.ops.Sink.listVersions(spark, tableDir) == before,
+      "carry-forward must not commit a new version")
   }
 
   test("parquetEvolving: a LATER SESSION evolves the committed artifact instead of rebuilding") {
@@ -167,11 +177,17 @@ class IvfStoreSpec extends SparkTestBase {
     } finally spark.conf.unset("spark.graft.store.dir")
   }
 
-  test("evolving IVF index: delta-only assignment under the frozen quantizer; deletions drop") {
+  test("evolving IVF index: delta-only assignment under the frozen quantizer; deletions drop; in-place rewrites re-score") {
     import graft.functions.VectorOps
     val key = s"spec_evolve_ivf|$dir"
     val g1 = emb.filter(col("vec_id") % 10 =!= 0)
-    val g2 = emb.filter(col("vec_id") =!= 10L) // re-adds %10 rows, deletes 10
+    // gen2: re-adds the %10 rows, deletes id 10, and REWRITES id 1's
+    // vector in place (reversed) — the stable-id mutation an id-only
+    // anti-join would silently keep stale (review fix)
+    val g2 = emb.filter(col("vec_id") =!= 10L)
+      .withColumn("embedding",
+        when(col("vec_id") === 1L, reverse(col("embedding")))
+          .otherwise(col("embedding")))
     val (a1, c1) = VectorOps.ivfIndexEvolving(g1, "vec_id", "embedding",
       nCells = 8, storeKey = key, contentTag = Some("gen1"))
     assert(a1.count() == g1.count())
@@ -181,11 +197,13 @@ class IvfStoreSpec extends SparkTestBase {
     // the quantizer is FROZEN across generations
     assert(c2.collect().map(r => (r.getInt(0), r.getSeq[Float](1))).toMap
       == cents1)
-    // deletion dropped, appends present, nothing duplicated
+    // deletion dropped, appends present, nothing duplicated; the
+    // rewritten row carries exactly ONE posting (the new vector's)
     val got = a2.select(col("vec_id"), col("__cell")).collect()
       .map(r => (r.getLong(0), r.getInt(1)))
     assert(got.length == g2.count())
     assert(!got.exists(_._1 == 10L))
+    assert(got.count(_._1 == 1L) == 1)
     // exactness: evolved postings == a FULL assignment of generation 2
     // under generation 1's quantizer (same deterministic fit)
     val fit = VectorOps.ivfFit(g1, "embedding", 8, 42L, 4096, 10)

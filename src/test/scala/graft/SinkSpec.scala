@@ -118,6 +118,21 @@ class SinkSpec extends SparkTestBase {
     }
   }
 
+  test("time travel: an in-flight or crashed writer's dir never occupies a history slot") {
+    val out = Files.createTempDirectory("tt_orphan").toString + "/t"
+    Sink.overwriteSnapshot(Seq(1).toDF("v"), out, retain = 2, minAgeMs = 0L)
+    Thread.sleep(15)
+    Sink.overwriteSnapshot(Seq(2).toDF("v"), out, retain = 2, minAgeMs = 0L)
+    // an uncommitted v-* dir (no pointer, no supersession marker) is an
+    // in-flight or crashed writer — listing it would serve a partial
+    // snapshot as "one back" and shift the real history down a slot
+    val orphan = new java.io.File(out, "v-orphan-inflight")
+    assert(orphan.mkdirs())
+    val vs = Sink.listVersions(spark, out)
+    assert(vs.size == 2 && !vs.contains("v-orphan-inflight"), vs.toString)
+    assert(Sink.readSnapshotAt(spark, out, 1).as[Int].collect().toSet == Set(1))
+  }
+
   test("snapshot_rollback_diff matches the direct two-state computation and is invocation-stable") {
     val dir = "/root/testdata/sf0.001"
     def run() = SparkEntry.queries("snapshot_rollback_diff")(spark, dir)
