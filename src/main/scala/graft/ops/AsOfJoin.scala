@@ -156,10 +156,20 @@ object AsOfJoin {
       .get("spark.graft.asof.invariantTies", "false").toBoolean
     if (!invariant) (right.queryExecution.analyzed, None)
     else {
-      val tied = right.withColumn("__asof_tie",
-        xxhash64(struct(right.columns.map(col).toSeq: _*)))
-      val plan = tied.queryExecution.analyzed
-      (plan, plan.output.find(_.name == "__asof_tie"))
+      // built from the analyzed plan's OUTPUT ATTRIBUTES, not col(name)
+      // strings — a payload column named "price.usd" would otherwise be
+      // re-parsed as a nested-field path (r14 review fix); MapType
+      // payloads fail fast with the documented message
+      val base = right.queryExecution.analyzed
+      graft.plans.AsOfJoinPlan.requireHashableTiePayload(base.output)
+      val h = org.apache.spark.sql.catalyst.expressions.Alias(
+        org.apache.spark.sql.catalyst.expressions.XxHash64(
+          Seq(org.apache.spark.sql.catalyst.expressions.CreateStruct(
+            base.output)), 42L),
+        "__asof_tie")()
+      val plan = org.apache.spark.sql.catalyst.plans.logical.Project(
+        base.output :+ h, base)
+      (plan, Some(h.toAttribute))
     }
   }
 

@@ -69,6 +69,12 @@ object Bucketing {
   /** Catalog-safe identifier: lowercase alnum/underscore, md5-tagged so
     * keys differing only in sanitized characters get distinct tables.
     */
+  /** Collision-safe CATALOG identifier — deliberately parallel to (not
+    * shared with) [[SlateStore.tableName]]: catalog table names need the
+    * narrower lowercase/underscore class, where the store's DIR names
+    * allow dots and dashes. A change to either scheme's tag width or
+    * sanitization must be weighed against the other (r14 review note).
+    */
   private[graft] def tableIdent(key: String): String = {
     val safe = key.toLowerCase.replaceAll("[^a-z0-9_]", "_").take(64)
     val tag = java.security.MessageDigest.getInstance("MD5")

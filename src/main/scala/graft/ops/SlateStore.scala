@@ -109,12 +109,20 @@ object SlateStore {
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     val md = java.security.MessageDigest.getInstance("MD5")
+    val rootUri = fs.makeQualified(p).toUri.getPath
     def walk(st: org.apache.hadoop.fs.FileStatus): Unit =
       if (st.isDirectory)
         fs.listStatus(st.getPath).sortBy(_.getPath.getName).foreach(walk)
-      else md.update(
-        s"${st.getPath.getName}|${st.getLen}|${st.getModificationTime};"
+      else {
+        // the FULL path relative to the root, not the basename: moving a
+        // part file between Hive partition dirs (a backfill relabel)
+        // preserves name/length/mtime but changes query results — a
+        // basename-only digest served the stale artifact (r14 review fix)
+        val rel = fs.makeQualified(st.getPath).toUri.getPath
+          .stripPrefix(rootUri)
+        md.update(s"$rel|${st.getLen}|${st.getModificationTime};"
           .getBytes(StandardCharsets.UTF_8))
+      }
     if (fs.exists(p)) walk(fs.getFileStatus(p))
     else md.update("absent".getBytes(StandardCharsets.UTF_8))
     md.digest().take(8).map("%02x".format(_)).mkString

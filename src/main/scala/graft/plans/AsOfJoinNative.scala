@@ -92,6 +92,31 @@ case class AsOfJoinPlan(left: LogicalPlan, right: LogicalPlan,
     copy(left = newLeft, right = newRight)
 }
 
+object AsOfJoinPlan {
+  /** `spark.graft.asof.invariantTies` plants an ANALYZED xxhash64 over
+    * the full payload struct; Spark's analysis rejects hash expressions
+    * over MapType (HASH_MAP_TYPE), while the DEFAULT exec's unanalyzed
+    * tiebreak evaluates maps fine — so the opt-in fails fast with an
+    * actionable message instead of a generic AnalysisException
+    * mid-plan (r14 review fix). */
+  private[graft] def requireHashableTiePayload(
+      output: Seq[Attribute]): Unit = {
+    import org.apache.spark.sql.types._
+    def hasMap(dt: DataType): Boolean = dt match {
+      case _: MapType => true
+      case s: StructType => s.fields.exists(f => hasMap(f.dataType))
+      case a: ArrayType => hasMap(a.elementType)
+      case _ => false
+    }
+    val bad = output.filter(a => hasMap(a.dataType))
+    require(bad.isEmpty,
+      "spark.graft.asof.invariantTies=true cannot hash MapType payload " +
+        s"column(s) ${bad.map(_.name).mkString(", ")} (Spark forbids hash " +
+        "expressions over maps); use the default pruned-tie contract or " +
+        "drop the map column from the right side")
+  }
+}
+
 /** Column pruning for [[AsOfJoinPlan]] (VERDICT r11 item 2). Catalyst's
   * `ColumnPruning` only understands built-in nodes, so without this rule a
   * consumer selecting 2 of 30 right-payload columns still paid full width

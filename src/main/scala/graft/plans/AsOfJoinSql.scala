@@ -77,6 +77,7 @@ class ResolveAsOfJoin extends Rule[LogicalPlan] {
         val (r2, tie) =
           if (conf.getConfString("spark.graft.asof.invariantTies",
               "false").toBoolean) {
+            AsOfJoinPlan.requireHashableTiePayload(r.output)
             val h = Alias(XxHash64(Seq(CreateStruct(r.output)), 42L),
               "__asof_tie")()
             (Project(r.output :+ h, r), Some(h.toAttribute))

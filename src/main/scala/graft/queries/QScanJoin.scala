@@ -173,7 +173,11 @@ private[graft] object QScanJoin {
       // (BucketingSpec audits the plan; rows identical to the plain join,
       // which IS the oracle). At 100 TB this is the difference between
       // re-shuffling the fact table per query and never shuffling it again.
-      val tag = graft.ops.SlateStore.corpusTag(s, dir)
+      // per-table tags (r14 review fix): a whole-dir tag walked all 10
+      // tables' metadata per invocation and re-bucketed BOTH facts when
+      // an unrelated table regenerated
+      val tag = graft.ops.SlateStore.corpusTag(s, s"$dir/orders.parquet") +
+        "+" + graft.ops.SlateStore.corpusTag(s, s"$dir/lineitem.parquet")
       val ord = graft.ops.Bucketing.ensureBucketed(
         s, s"orders|$dir#$tag", "o_orderkey", numBuckets = 16)(
         t(s, dir, "orders").select("o_orderkey", "o_orderpriority"))
@@ -200,7 +204,8 @@ private[graft] object QScanJoin {
       // dirs are never opened (DppSpec audits the plan + files-read
       // metric). At 100 TB this is the difference between scanning the
       // whole log and scanning the flagged days.
-      val tag = graft.ops.SlateStore.corpusTag(s, dir)
+      // events alone (r14 review fix: the whole-dir tag over-invalidated)
+      val tag = graft.ops.SlateStore.corpusTag(s, s"$dir/events.parquet")
       val path = graft.ops.SlateStore.scalar(s, s"events_by_day|$dir#$tag") {
         val p = new java.io.File(
           graft.ops.SlateStore.sessionTempRoot(s), s"events_by_day_$tag").toString
@@ -275,7 +280,8 @@ private[graft] object QScanJoin {
       val src = t(s, dir, "lineitem")
         .select("l_orderkey", "l_returnflag", "l_quantity", "l_extendedprice")
       val schema = src.schema
-      val tag = graft.ops.SlateStore.corpusTag(s, dir)
+      // lineitem alone (r14 review fix: the whole-dir tag over-invalidated)
+      val tag = graft.ops.SlateStore.corpusTag(s, s"$dir/lineitem.parquet")
       val path = graft.ops.SlateStore.scalar(s, s"orc_export|$dir#$tag") {
         val p = new java.io.File(
           graft.ops.SlateStore.sessionTempRoot(s), s"orc_lineitem_$tag").toString

@@ -856,15 +856,24 @@ object StreamingOps {
     * Ordering/watermark semantics (the `eventPathsStream` mid-state
     * discipline): within a micro-batch rows sort by (ts, reference-first,
     * eventId) — reference-first so an equal-timestamp reference is
-    * visible to its simultaneous probe, the inclusive bound — so ANY
-    * batch boundary placed into an in-order feed leaves results
-    * identical to the single-batch run (parity spec). The face assumes
-    * an in-order feed ACROSS batches, the same assumption every tracker
-    * in this file documents: a reference arriving after a later-ts probe
-    * was already emitted cannot revise that probe (append mode emits
-    * once; the monotonic state guard also ignores references older than
-    * the held one). Late data beyond that is the batch operator's job —
-    * `asOfNative` over the archived table backfills exactly these rows.
+    * visible to its simultaneous probe, the inclusive bound — so a batch
+    * boundary placed at a STRICT timestamp increase of an in-order feed
+    * leaves results identical to the single-batch run (parity spec).
+    * The one boundary that is NOT invariant (r14 review): an equal-
+    * timestamp probe/reference pair fed probe-first and SPLIT across
+    * batches — the probe is emitted (append mode, exactly once) before
+    * the reference is seen, where the single-batch sort would have
+    * matched it; keep simultaneous pairs in one batch, or accept the
+    * miss (spec pins both behaviors). Buffering probes at the batch's
+    * max timestamp would close it at the cost of unbounded per-key state
+    * and a never-flushed tail under TimeMode.None — the wrong trade for
+    * an O(1)-state face. The face otherwise assumes an in-order feed
+    * ACROSS batches, the same assumption every tracker in this file
+    * documents: a reference arriving after a later-ts probe was already
+    * emitted cannot revise that probe (the monotonic state guard also
+    * ignores references older than the held one). Late data beyond that
+    * is the batch operator's job — `asOfNative` over the archived table
+    * backfills exactly these rows.
     * `TimeMode.None`: state never expires (one long per key); compose
     * with a TTL state variant where key cardinality is unbounded.
     *

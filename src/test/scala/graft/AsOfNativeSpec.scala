@@ -287,6 +287,41 @@ class AsOfNativeSpec extends SparkTestBase {
     assert(!defaultPlan.contains("__asof_tie"), defaultPlan)
   }
 
+  test("invariantTies: MapType payload fails fast; dotted column names hash fine (r14 review)") {
+    import org.apache.spark.sql.functions.{col, map, lit}
+    val l = Seq((1L, 10L, ts("2024-01-01 12:00:00"))).toDF("id", "key", "t")
+    withSQLConf("spark.graft.asof.invariantTies" -> "true") {
+      // Spark forbids hash expressions over maps, so the planted
+      // full-payload hash cannot exist — the opt-in aborts with the
+      // documented message instead of a generic mid-plan AnalysisException
+      val rMap = Seq((200L, 10L, ts("2024-01-01 11:00:00")))
+        .toDF("rid", "rkey", "rt")
+        .withColumn("props", map(lit("k"), lit("v")))
+      val e = intercept[IllegalArgumentException] {
+        AsOfJoin.asOfNative(l, rMap, "key", "rkey", "t", "rt")
+      }
+      assert(e.getMessage.contains("MapType"), e.getMessage)
+      // a payload column whose NAME contains a dot must not be re-parsed
+      // as a nested-field path (the tie struct is built from the analyzed
+      // plan's output attributes, not col(name) strings)
+      val rDot = Seq(
+        (200L, 10L, ts("2024-01-01 11:00:00"), 1.5),
+        (201L, 10L, ts("2024-01-01 11:00:00"), 2.5))
+        .toDF("rid", "rkey", "rt", "price.usd")
+      val out = AsOfJoin.asOfNative(l, rDot, "key", "rkey", "t", "rt")
+        .select(col("`price.usd`")).as[Double].head()
+      assert(Set(1.5, 2.5).contains(out))
+    }
+    // MapType payloads remain fine under the DEFAULT pruned-tie contract
+    // (the unpruned exec's tiebreak is evaluated, not analyzed)
+    val rMap = Seq((200L, 10L, ts("2024-01-01 11:00:00")))
+      .toDF("rid", "rkey", "rt")
+      .withColumn("props", map(lit("k"), lit("v")))
+    val ok = AsOfJoin.asOfNative(l, rMap, "key", "rkey", "t", "rt")
+      .select($"rid").as[java.lang.Long].head()
+    assert(ok == 200L)
+  }
+
   test("plan stats are row-scaled, so a small as-of result auto-broadcasts (r12/r14)") {
     // ~50 KB per side of similar width: the default product estimate
     // (~2.5 GB) would forbid a downstream auto-broadcast; the row-scaled

@@ -963,6 +963,44 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("streaming as-of enrich: the equal-ts boundary contract (same batch matches, probe-first split misses)") {
+    import StreamingOps.TypedEvent
+    val pair = Seq(
+      TypedEvent(9L, "click", ts("2024-01-01 01:00:00"), 1L),    // probe FIRST in feed order
+      TypedEvent(9L, "purchase", ts("2024-01-01 01:00:00"), 2L)) // equal-ts reference
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    def run(name: String)(feed: org.apache.spark.sql.execution.streaming.runtime.MemoryStream[TypedEvent] => org.apache.spark.sql.streaming.StreamingQuery => Unit): Map[Long, Option[Long]] = {
+      val input = MemoryStream[TypedEvent]
+      val q = StreamingOps.asOfEnrichStream(input.toDS(), "purchase")
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try feed(input)(q) finally q.stop()
+      spark.table(name).as[StreamingOps.AsOfEnriched].collect()
+        .map(a => a.eventId -> a.matchedMs).toMap
+    }
+    // one batch: the in-batch (ts, reference-first) sort makes the
+    // simultaneous reference visible — the inclusive bound
+    val together = run("asof_eqts_one") { in => q =>
+      in.addData(pair: _*); q.processAllAvailable()
+    }
+    assert(together(1L).contains(ts("2024-01-01 01:00:00").getTime))
+    // probe-first SPLIT across batches: the probe was emitted before the
+    // reference existed — append mode never revises (the documented
+    // non-invariant boundary; asOfNative over the archive backfills it)
+    val split = run("asof_eqts_split") { in => q =>
+      in.addData(pair.head); q.processAllAvailable()
+      in.addData(pair.last); q.processAllAvailable()
+    }
+    assert(split(1L).isEmpty,
+      "probe-first equal-ts split must miss by the documented contract")
+    prevProvider match {
+      case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("annEnrichStream: stream-static top-k matches batch ivfTopK on the stored index") {
     import graft.functions.VectorOps
     val dir = "/root/testdata/sf0.001"
