@@ -159,17 +159,11 @@ object AsOfJoin {
       // built from the analyzed plan's OUTPUT ATTRIBUTES, not col(name)
       // strings — a payload column named "price.usd" would otherwise be
       // re-parsed as a nested-field path (r14 review fix); MapType
-      // payloads fail fast with the documented message
-      val base = right.queryExecution.analyzed
-      graft.plans.AsOfJoinPlan.requireHashableTiePayload(base.output)
-      val h = org.apache.spark.sql.catalyst.expressions.Alias(
-        org.apache.spark.sql.catalyst.expressions.XxHash64(
-          Seq(org.apache.spark.sql.catalyst.expressions.CreateStruct(
-            base.output)), 42L),
-        "__asof_tie")()
-      val plan = org.apache.spark.sql.catalyst.plans.logical.Project(
-        base.output :+ h, base)
-      (plan, Some(h.toAttribute))
+      // payloads fail fast with the documented message. ONE shared
+      // construction with the SQL TVF path, so the two can't drift.
+      val (plan, a) = graft.plans.AsOfJoinPlan.plantTieHash(
+        right.queryExecution.analyzed)
+      (plan, Some(a))
     }
   }
 

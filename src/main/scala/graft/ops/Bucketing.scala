@@ -66,9 +66,6 @@ object Bucketing {
       name
     }
 
-  /** Catalog-safe identifier: lowercase alnum/underscore, md5-tagged so
-    * keys differing only in sanitized characters get distinct tables.
-    */
   /** Collision-safe CATALOG identifier — deliberately parallel to (not
     * shared with) [[SlateStore.tableName]]: catalog table names need the
     * narrower lowercase/underscore class, where the store's DIR names

@@ -84,6 +84,19 @@ object Sink {
     val tmp = new Path(root, s"_current.tmp-$version")
     val dst = new Path(root, "_current")
     val fc = FileContext.getFileContext(root.toUri, conf)
+    // Stamp the supersession instant of the version this commit displaces
+    // BEFORE the pointer swap: a crash between swap and marker would
+    // leave a committed, hours-live version with neither pointer nor
+    // marker — invisible to the committed-only listVersions forever and
+    // GC'd as an orphan (review fix). The pre-swap marker's worst case is
+    // benign: a crash before the swap leaves the still-live version
+    // carrying a stale marker, which listVersions ignores (the live
+    // pointer wins) and the next successful commit overwrites.
+    previous.filterNot(_ == version).foreach { old =>
+      val m = fc.create(new Path(root, s"_superseded-$old"),
+        java.util.EnumSet.of(CreateFlag.CREATE, CreateFlag.OVERWRITE))
+      m.close()
+    }
     val out = fc.create(tmp,
       java.util.EnumSet.of(CreateFlag.CREATE, CreateFlag.OVERWRITE))
     try out.write(version.getBytes(StandardCharsets.UTF_8)) finally out.close()
@@ -97,27 +110,27 @@ object Sink {
       fc.rename(tmp, dst, Options.Rename.OVERWRITE)
     }
 
-    // Stamp the supersession instant of the version this commit displaced:
-    // an empty marker file whose mtime says "readers could have pinned this
-    // dir until now". Snapshot-dir mtime can't serve — it records creation,
-    // and a version that was live for hours would look instantly stale.
-    previous.filterNot(_ == version).foreach { old =>
-      val m = fc.create(new Path(root, s"_superseded-$old"),
-        java.util.EnumSet.of(CreateFlag.CREATE, CreateFlag.OVERWRITE))
-      m.close()
-    }
-
     // GC superseded snapshots beyond BOTH retention gates: keep the
     // `retain` most recently superseded, and never delete one superseded
     // (or, for orphans of crashed writers, created) less than minAgeMs ago
     // — a concurrent reader's scan may still hold file handles into it.
+    // `retain` counts COMMITTED superseded versions only (marker'd dirs —
+    // the set [[listVersions]] serves): a markerless in-flight/crashed
+    // dir must not consume a retain slot, else an orphan evicts the very
+    // version readSnapshotAt promises one step back (review fix). Orphans
+    // are reclaimed purely by the time floor, which equally shields an
+    // IN-FLIGHT writer's dir for minAgeMs.
     val now = System.currentTimeMillis()
-    val stale = fs.listStatus(root)
+    val nonLive = fs.listStatus(root)
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("v-"))
       .filterNot(_.getPath.getName == version)
-      .map(s => (s, supersededAt(fs, root, s)))
-      .sortBy(-_._2)
-      .drop(retain)
+    val (committed, orphans) = nonLive.partition(s =>
+      fs.exists(new Path(root, s"_superseded-${s.getPath.getName}")))
+    val stale = (committed
+        .map(s => (s, supersededAt(fs, root, s)))
+        .sortBy(-_._2)
+        .drop(retain) ++
+      orphans.map(s => (s, supersededAt(fs, root, s))))
       .filter { case (_, at) => now - at >= minAgeMs }
     stale.foreach { case (s, _) =>
       fs.delete(s.getPath, true)

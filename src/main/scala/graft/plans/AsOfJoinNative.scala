@@ -115,6 +115,19 @@ object AsOfJoinPlan {
         "expressions over maps); use the default pruned-tie contract or " +
         "drop the map column from the right side")
   }
+
+  /** Plant the full-payload tie hash under `right` — ONE construction
+    * shared by the DataFrame path (AsOfJoin.tieHashedRight) and the SQL
+    * TVF path (ResolveAsOfJoin), so the seed / column name / struct
+    * shape can never drift apart and break cross-path tie-winner parity
+    * (r14 review fix). Fails fast on MapType payloads. */
+  private[graft] def plantTieHash(right: LogicalPlan)
+      : (LogicalPlan, Attribute) = {
+    requireHashableTiePayload(right.output)
+    val h = org.apache.spark.sql.catalyst.expressions.Alias(
+      XxHash64(Seq(CreateStruct(right.output)), 42L), "__asof_tie")()
+    (Project(right.output :+ h, right), h.toAttribute)
+  }
 }
 
 /** Column pruning for [[AsOfJoinPlan]] (VERDICT r11 item 2). Catalyst's

@@ -77,10 +77,8 @@ class ResolveAsOfJoin extends Rule[LogicalPlan] {
         val (r2, tie) =
           if (conf.getConfString("spark.graft.asof.invariantTies",
               "false").toBoolean) {
-            AsOfJoinPlan.requireHashableTiePayload(r.output)
-            val h = Alias(XxHash64(Seq(CreateStruct(r.output)), 42L),
-              "__asof_tie")()
-            (Project(r.output :+ h, r), Some(h.toAttribute))
+            val (p, a) = AsOfJoinPlan.plantTieHash(r)
+            (p, Some(a))
           } else (r, None)
         AsOfJoinPlan(l, r2,
           attr(l, lk, "left"), attr(r, rk, "right"),

@@ -173,16 +173,17 @@ private[graft] object QScanJoin {
       // (BucketingSpec audits the plan; rows identical to the plain join,
       // which IS the oracle). At 100 TB this is the difference between
       // re-shuffling the fact table per query and never shuffling it again.
-      // per-table tags (r14 review fix): a whole-dir tag walked all 10
-      // tables' metadata per invocation and re-bucketed BOTH facts when
-      // an unrelated table regenerated
-      val tag = graft.ops.SlateStore.corpusTag(s, s"$dir/orders.parquet") +
-        "+" + graft.ops.SlateStore.corpusTag(s, s"$dir/lineitem.parquet")
+      // ONE tag per table, each keying only ITS bucketed layout (r14
+      // review fixes: a whole-dir tag walked all 10 tables' metadata per
+      // invocation, and a concatenated two-table tag still re-bucketed
+      // the untouched fact when the other regenerated)
+      val ordTag = graft.ops.SlateStore.corpusTag(s, s"$dir/orders.parquet")
+      val liTag = graft.ops.SlateStore.corpusTag(s, s"$dir/lineitem.parquet")
       val ord = graft.ops.Bucketing.ensureBucketed(
-        s, s"orders|$dir#$tag", "o_orderkey", numBuckets = 16)(
+        s, s"orders|$dir#$ordTag", "o_orderkey", numBuckets = 16)(
         t(s, dir, "orders").select("o_orderkey", "o_orderpriority"))
       val li = graft.ops.Bucketing.ensureBucketed(
-        s, s"lineitem|$dir#$tag", "l_orderkey", numBuckets = 16)(
+        s, s"lineitem|$dir#$liTag", "l_orderkey", numBuckets = 16)(
         t(s, dir, "lineitem")
           .select("l_orderkey", "l_extendedprice", "l_discount"))
       s.table(ord).join(s.table(li), col("o_orderkey") === col("l_orderkey"))

@@ -131,6 +131,15 @@ class SinkSpec extends SparkTestBase {
     val vs = Sink.listVersions(spark, out)
     assert(vs.size == 2 && !vs.contains("v-orphan-inflight"), vs.toString)
     assert(Sink.readSnapshotAt(spark, out, 1).as[Int].collect().toSet == Set(1))
+    // nor does it consume a retention slot: the next retain=1 commit must
+    // keep the genuinely committed previous version (and reclaim the
+    // orphan via the time floor), not evict the version readSnapshotAt
+    // promises one step back (review fix)
+    Thread.sleep(15)
+    Sink.overwriteSnapshot(Seq(3).toDF("v"), out, retain = 1, minAgeMs = 0L)
+    assert(Sink.readSnapshotAt(spark, out, 1).as[Int].collect().toSet == Set(2))
+    assert(!new java.io.File(out, "v-orphan-inflight").exists(),
+      "minAgeMs-expired orphan should be reclaimed")
   }
 
   test("snapshot_rollback_diff matches the direct two-state computation and is invocation-stable") {

@@ -980,22 +980,23 @@ class StreamingSpec extends SparkTestBase {
       spark.table(name).as[StreamingOps.AsOfEnriched].collect()
         .map(a => a.eventId -> a.matchedMs).toMap
     }
-    // one batch: the in-batch (ts, reference-first) sort makes the
-    // simultaneous reference visible — the inclusive bound
-    val together = run("asof_eqts_one") { in => q =>
-      in.addData(pair: _*); q.processAllAvailable()
-    }
-    assert(together(1L).contains(ts("2024-01-01 01:00:00").getTime))
-    // probe-first SPLIT across batches: the probe was emitted before the
-    // reference existed — append mode never revises (the documented
-    // non-invariant boundary; asOfNative over the archive backfills it)
-    val split = run("asof_eqts_split") { in => q =>
-      in.addData(pair.head); q.processAllAvailable()
-      in.addData(pair.last); q.processAllAvailable()
-    }
-    assert(split(1L).isEmpty,
-      "probe-first equal-ts split must miss by the documented contract")
-    prevProvider match {
+    try {
+      // one batch: the in-batch (ts, reference-first) sort makes the
+      // simultaneous reference visible — the inclusive bound
+      val together = run("asof_eqts_one") { in => q =>
+        in.addData(pair: _*); q.processAllAvailable()
+      }
+      assert(together(1L).contains(ts("2024-01-01 01:00:00").getTime))
+      // probe-first SPLIT across batches: the probe was emitted before the
+      // reference existed — append mode never revises (the documented
+      // non-invariant boundary; asOfNative over the archive backfills it)
+      val split = run("asof_eqts_split") { in => q =>
+        in.addData(pair.head); q.processAllAvailable()
+        in.addData(pair.last); q.processAllAvailable()
+      }
+      assert(split(1L).isEmpty,
+        "probe-first equal-ts split must miss by the documented contract")
+    } finally prevProvider match {
       case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
       case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
     }
