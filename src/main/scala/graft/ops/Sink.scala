@@ -57,10 +57,20 @@ object Sink {
   /** Returns the committed version's directory name (`v-...`) so a caller
     * that must keep serving EXACTLY this snapshot (e.g. SlateStore's
     * in-session cache, which outlives later recommits of the same table)
-    * can pin it instead of following the advancing pointer. */
+    * can pin it instead of following the advancing pointer.
+    *
+    * `sidecars` (name → content, names must be `_`-prefixed so parquet
+    * file listing ignores them) are written INSIDE the version dir before
+    * the pointer swap: metadata and data then form one atomic unit — a
+    * reader that resolved a version reads THAT version's sidecars, immune
+    * to a foreign recommit landing between the two reads (ADVICE r14:
+    * root-level sidecars let an attach pair the new data with the old tag
+    * check).
+    */
   def overwriteSnapshot(df: DataFrame, path: String, retain: Int = 1,
                         minAgeMs: Long = 600000L,
-                        partitionColumns: Seq[String] = Nil): String = {
+                        partitionColumns: Seq[String] = Nil,
+                        sidecars: Map[String, String] = Map.empty): String = {
     val conf = df.sparkSession.sessionState.newHadoopConf()
     val root = new Path(path)
     val fs = root.getFileSystem(conf)
@@ -73,6 +83,10 @@ object Sink {
       if (partitionColumns.isEmpty) df.write
       else df.write.partitionBy(partitionColumns: _*)
     writer.mode("error").parquet(new Path(root, version).toString)
+    sidecars.foreach { case (name, content) =>
+      require(name.startsWith("_"), s"sidecar name must be _-prefixed: $name")
+      atomicWrite(conf, new Path(new Path(root, version), name), content)
+    }
 
     // Pointer staged through FileContext (raw fs — no checksum shadow
     // files), then swapped in with a genuinely atomic replace. CAREFUL:
@@ -81,34 +95,25 @@ object Sink {
     // default local implementation is delete-then-rename, which re-opens
     // the very missing-table window this sink exists to close — so local
     // paths take POSIX rename(2) via NIO instead.
-    val tmp = new Path(root, s"_current.tmp-$version")
-    val dst = new Path(root, "_current")
-    val fc = FileContext.getFileContext(root.toUri, conf)
-    // Stamp the supersession instant of the version this commit displaces
-    // BEFORE the pointer swap: a crash between swap and marker would
-    // leave a committed, hours-live version with neither pointer nor
-    // marker — invisible to the committed-only listVersions forever and
-    // GC'd as an orphan (review fix). The pre-swap marker's worst case is
-    // benign: a crash before the swap leaves the still-live version
-    // carrying a stale marker, which listVersions ignores (the live
-    // pointer wins) and the next successful commit overwrites.
+    // Stamp the supersession of the version this commit displaces BEFORE
+    // the pointer swap: a crash between swap and marker would leave a
+    // committed, hours-live version with neither pointer nor marker —
+    // invisible to the committed-only listVersions forever and GC'd as an
+    // orphan (review fix). The pre-swap marker's worst case is benign: a
+    // crash before the swap leaves the still-live version carrying a
+    // stale marker, which listVersions ignores (the live pointer wins)
+    // and the next successful commit overwrites. The marker CONTENT is a
+    // monotonic sequence number (1 + the max across existing markers):
+    // two commits landing inside the filesystem's timestamp granularity
+    // would tie on mtime and could misorder history — seq is the primary
+    // history order, mtime only breaks ties among legacy (empty) markers
+    // (ADVICE r14 medium).
     previous.filterNot(_ == version).foreach { old =>
-      val m = fc.create(new Path(root, s"_superseded-$old"),
-        java.util.EnumSet.of(CreateFlag.CREATE, CreateFlag.OVERWRITE))
-      m.close()
+      val next = 1L + markerStatuses(fs, root)
+        .map(m => markerSeq(fs, m.getPath)).foldLeft(-1L)(math.max)
+      atomicWrite(conf, new Path(root, s"_superseded-$old"), next.toString)
     }
-    val out = fc.create(tmp,
-      java.util.EnumSet.of(CreateFlag.CREATE, CreateFlag.OVERWRITE))
-    try out.write(version.getBytes(StandardCharsets.UTF_8)) finally out.close()
-    if (fs.getScheme == "file") {
-      java.nio.file.Files.move(
-        java.nio.file.Paths.get(fs.makeQualified(tmp).toUri.getPath),
-        java.nio.file.Paths.get(fs.makeQualified(dst).toUri.getPath),
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    } else {
-      fc.rename(tmp, dst, Options.Rename.OVERWRITE)
-    }
+    atomicWrite(conf, new Path(root, "_current"), version)
 
     // GC superseded snapshots beyond BOTH retention gates: keep the
     // `retain` most recently superseded, and never delete one superseded
@@ -127,20 +132,54 @@ object Sink {
     val (committed, orphans) = nonLive.partition(s =>
       fs.exists(new Path(root, s"_superseded-${s.getPath.getName}")))
     val stale = (committed
-        .map(s => (s, supersededAt(fs, root, s)))
-        .sortBy(-_._2)
+        .map(s => (s, supersededKey(fs, root, s)))
+        .sortBy { case (_, (seq, mt)) => (-seq, -mt) }
         .drop(retain) ++
-      orphans.map(s => (s, supersededAt(fs, root, s))))
-      .filter { case (_, at) => now - at >= minAgeMs }
+      orphans.map(s => (s, supersededKey(fs, root, s))))
+      .filter { case (_, (_, at)) => now - at >= minAgeMs }
     stale.foreach { case (s, _) =>
       fs.delete(s.getPath, true)
       fs.delete(new Path(root, s"_superseded-${s.getPath.getName}"), false)
     }
-    // stale tmp pointers from crashed writers
+    // stale tmp files (pointer/marker stages) from crashed writers
     fs.listStatus(root)
-      .filter(s => s.isFile && s.getPath.getName.startsWith("_current.tmp-"))
+      .filter(s => s.isFile && s.getPath.getName.contains(".tmp-"))
       .foreach(s => fs.delete(s.getPath, false))
     version
+  }
+
+  /** Atomically publish small metadata `content` at `dst`: stage a tmp
+    * sibling through FileContext (raw fs — no checksum shadow files), then
+    * swap it in with a genuinely atomic replace. A reader concurrent with
+    * the swap sees either the previous complete content or the new one —
+    * never a truncated file (ADVICE r14: CREATE+OVERWRITE truncates in
+    * place, so a mid-write reader of `_schema` crashed out of attach).
+    * CAREFUL: FileContext.rename(OVERWRITE) is only atomic where the
+    * AbstractFileSystem implements it natively (HDFS does); Hadoop's
+    * default local implementation is delete-then-rename, which re-opens
+    * the very torn-read window this helper exists to close — so local
+    * paths take POSIX rename(2) via NIO instead. The tmp name keeps the
+    * destination's leading underscore, so a parquet FileIndex listing the
+    * directory mid-commit ignores it.
+    */
+  private[ops] def atomicWrite(conf: org.apache.hadoop.conf.Configuration,
+                               dst: Path, content: String): Unit = {
+    val fs = dst.getFileSystem(conf)
+    val fc = FileContext.getFileContext(dst.toUri, conf)
+    val tmp = new Path(dst.getParent, dst.getName + ".tmp-" +
+      java.util.UUID.randomUUID().toString.replace("-", ""))
+    val out = fc.create(tmp,
+      java.util.EnumSet.of(CreateFlag.CREATE, CreateFlag.OVERWRITE))
+    try out.write(content.getBytes(StandardCharsets.UTF_8)) finally out.close()
+    if (fs.getScheme == "file") {
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(fs.makeQualified(tmp).toUri.getPath),
+        java.nio.file.Paths.get(fs.makeQualified(dst).toUri.getPath),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    } else {
+      fc.rename(tmp, dst, Options.Rename.OVERWRITE)
+    }
   }
 
   /** Resolve a [[overwriteSnapshot]] table to its live version. One
@@ -179,9 +218,10 @@ object Sink {
 
   /** COMMITTED version history of an [[overwriteSnapshot]] table, newest
     * first: the live version (the `_current` pointer), then each retained
-    * superseded version ordered by its supersession instant (the
-    * `_superseded-*` marker mtime — the same clock the retention GC
-    * reads). Only versions that ever COMMITTED are listed: a `v-*` dir
+    * superseded version ordered by its supersession order (the
+    * `_superseded-*` marker's commit sequence number, mtime for legacy
+    * markers — the same key the retention GC sorts by). Only versions
+    * that ever COMMITTED are listed: a `v-*` dir
     * with neither the pointer nor a supersession marker is an in-flight
     * or crashed writer's dir (the marker is written exactly when a
     * successful commit displaces a version), and including it would
@@ -199,8 +239,8 @@ object Sink {
         .filterNot(s => live.contains(s.getPath.getName))
         .filter(s => fs.exists(
           new Path(root, s"_superseded-${s.getPath.getName}")))
-        .map(s => (s.getPath.getName, supersededAt(fs, root, s)))
-        .sortBy(-_._2)
+        .map(s => (s.getPath.getName, supersededKey(fs, root, s)))
+        .sortBy { case (_, (seq, mt)) => (-seq, -mt) }
         .map(_._1)
       live.toSeq ++ others
     }
@@ -228,14 +268,40 @@ object Sink {
     reader.parquet(new Path(new Path(path), versions(stepsBack)).toString)
   }
 
-  /** The instant `s` stopped being the live version (marker mtime), or its
-    * creation time for orphans that never were. Shared by the retention GC
+  /** History-order key for a non-live version: (marker sequence number,
+    * marker mtime). The sequence — written into the marker at commit time
+    * — is the primary order: monotonic per table, immune to filesystem
+    * timestamp granularity (two same-millisecond commits tie on mtime but
+    * never on seq). Legacy empty markers parse to -1 and order by mtime
+    * among themselves, correctly below every seq-stamped marker (they
+    * predate the first stamped commit). Orphans (no marker) key on the
+    * dir's own mtime — only their TIME component is ever used (the GC
+    * grace floor); they never enter history. Shared by the retention GC
     * and [[listVersions]] so both order history identically. */
-  private def supersededAt(fs: FileSystem, root: Path,
-                           s: org.apache.hadoop.fs.FileStatus): Long = {
+  private def supersededKey(fs: FileSystem, root: Path,
+                            s: org.apache.hadoop.fs.FileStatus): (Long, Long) = {
     val marker = new Path(root, s"_superseded-${s.getPath.getName}")
-    if (fs.exists(marker)) fs.getFileStatus(marker).getModificationTime
-    else s.getModificationTime
+    if (fs.exists(marker))
+      (markerSeq(fs, marker), fs.getFileStatus(marker).getModificationTime)
+    else (-1L, s.getModificationTime)
+  }
+
+  private def markerStatuses(fs: FileSystem, root: Path) =
+    fs.listStatus(root).filter(s => s.isFile &&
+      s.getPath.getName.startsWith("_superseded-") &&
+      !s.getPath.getName.contains(".tmp-"))
+
+  /** The monotonic commit sequence stored in a supersession marker, or -1
+    * for legacy (empty / unparseable) markers. */
+  private def markerSeq(fs: FileSystem, marker: Path): Long = {
+    val in = fs.open(marker)
+    val text =
+      try {
+        val buf = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 4096, false)
+        new String(buf.toByteArray, StandardCharsets.UTF_8).trim
+      } finally in.close()
+    try text.toLong catch { case _: NumberFormatException => -1L }
   }
 
   private[ops] def currentVersion(fs: FileSystem, root: Path): Option[String] = {

@@ -92,10 +92,10 @@ class SinkSpec extends SparkTestBase {
 
   test("time travel: listVersions order, readSnapshotAt parity, retention interplay") {
     val out = Files.createTempDirectory("tt").toString + "/t"
+    // no inter-commit sleeps: history order is the marker SEQUENCE, not
+    // mtime, so back-to-back same-millisecond commits order correctly
     Sink.overwriteSnapshot(Seq(1, 2).toDF("v"), out, retain = 2, minAgeMs = 0L)
-    Thread.sleep(15) // supersession markers order by mtime (ms resolution)
     Sink.overwriteSnapshot(Seq(3).toDF("v"), out, retain = 2, minAgeMs = 0L)
-    Thread.sleep(15)
     Sink.overwriteSnapshot(Seq(4, 5, 6).toDF("v"), out, retain = 2, minAgeMs = 0L)
     assert(Sink.listVersions(spark, out).size == 3)
     assert(Sink.readSnapshotAt(spark, out, 0).as[Int].collect().toSet == Set(4, 5, 6))
@@ -109,7 +109,6 @@ class SinkSpec extends SparkTestBase {
       Sink.readSnapshotAt(spark, out, 3)
     }
     // a retain=1 commit GCs the oldest; one step back still serves
-    Thread.sleep(15)
     Sink.overwriteSnapshot(Seq(7).toDF("v"), out, retain = 1, minAgeMs = 0L)
     assert(Sink.listVersions(spark, out).size == 2)
     assert(Sink.readSnapshotAt(spark, out, 1).as[Int].collect().toSet == Set(4, 5, 6))
@@ -121,7 +120,6 @@ class SinkSpec extends SparkTestBase {
   test("time travel: an in-flight or crashed writer's dir never occupies a history slot") {
     val out = Files.createTempDirectory("tt_orphan").toString + "/t"
     Sink.overwriteSnapshot(Seq(1).toDF("v"), out, retain = 2, minAgeMs = 0L)
-    Thread.sleep(15)
     Sink.overwriteSnapshot(Seq(2).toDF("v"), out, retain = 2, minAgeMs = 0L)
     // an uncommitted v-* dir (no pointer, no supersession marker) is an
     // in-flight or crashed writer — listing it would serve a partial
@@ -135,11 +133,44 @@ class SinkSpec extends SparkTestBase {
     // keep the genuinely committed previous version (and reclaim the
     // orphan via the time floor), not evict the version readSnapshotAt
     // promises one step back (review fix)
-    Thread.sleep(15)
     Sink.overwriteSnapshot(Seq(3).toDF("v"), out, retain = 1, minAgeMs = 0L)
     assert(Sink.readSnapshotAt(spark, out, 1).as[Int].collect().toSet == Set(2))
     assert(!new java.io.File(out, "v-orphan-inflight").exists(),
       "minAgeMs-expired orphan should be reclaimed")
+  }
+
+  test("history order survives tied marker mtimes (commit sequence, not the clock)") {
+    // ADVICE r14 (medium): two commits inside the filesystem's timestamp
+    // granularity tie on marker mtime; ordering by mtime alone could then
+    // serve the WRONG generation from readSnapshotAt and evict the newer
+    // superseded version. Force the worst case — every marker stamped the
+    // SAME mtime — and require the seq-stamped order to hold regardless.
+    val out = Files.createTempDirectory("ttseq").toString + "/t"
+    (1 to 4).foreach(i =>
+      Sink.overwriteSnapshot(Seq.fill(i)(i).toDF("v"), out, retain = 3, minAgeMs = 0L))
+    val markers = new java.io.File(out).listFiles()
+      .filter(_.getName.startsWith("_superseded-"))
+    assert(markers.length == 3)
+    val tied = System.currentTimeMillis() - 60000
+    markers.foreach(m => assert(m.setLastModified(tied)))
+    assert(Sink.listVersions(spark, out).size == 4)
+    (0 to 3).foreach { back =>
+      val want = 4 - back
+      assert(Sink.readSnapshotAt(spark, out, back).count() == want,
+        s"$back back must serve the generation with $want rows")
+    }
+    // retention under tied mtimes: the next retain=1 commit must keep the
+    // newest superseded version (seq order), not an mtime-arbitrary one
+    Sink.overwriteSnapshot(Seq.fill(5)(5).toDF("v"), out, retain = 1, minAgeMs = 0L)
+    assert(Sink.readSnapshotAt(spark, out, 1).count() == 4)
+    // legacy empty markers (pre-seq format) still order below stamped
+    // ones and the table stays readable
+    Files.write(new java.io.File(out, "_superseded-v-legacy").toPath,
+      Array.emptyByteArray)
+    assert(new java.io.File(out, "v-legacy").mkdirs())
+    val vs = Sink.listVersions(spark, out)
+    assert(vs.last == "v-legacy", vs.toString)
+    assert(Sink.readSnapshotAt(spark, out, 0).count() == 5)
   }
 
   test("snapshot_rollback_diff matches the direct two-state computation and is invocation-stable") {
