@@ -3,7 +3,7 @@ package graft.ops
 import java.nio.charset.StandardCharsets
 import java.util.concurrent.ConcurrentHashMap
 
-import org.apache.hadoop.fs.{CreateFlag, FileContext, Path}
+import org.apache.hadoop.fs.Path
 import org.apache.spark.scheduler.{SparkListener, SparkListenerApplicationEnd}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.types.{DataType, StructType}
@@ -219,7 +219,14 @@ object SlateStore {
       // waste a table write and age older pinned readers toward GC.
       val carriedForward = previous.exists(_ eq df)
       if (carriedForward) {
-        contentTag.foreach(t => writeSidecar(spark, new Path(dir, "_tag"), t))
+        // refresh the tag INSIDE the still-live version dir (atomic
+        // replace — a concurrent foreign attach sees the old complete tag
+        // or the new one, never a truncation): the one mutation a
+        // committed version dir ever takes, and it only widens the set of
+        // inputs the unchanged artifact is valid for
+        contentTag.foreach(t => Sink.atomicWrite(
+          spark.sessionState.newHadoopConf(),
+          new Path(previousEntry.get._1, "_tag"), t))
         previousEntry.get
       } else {
       // Managed dirs are shared: another JVM's running query may still
@@ -234,66 +241,88 @@ object SlateStore {
           spark.conf.getOption("spark.graft.store.minRetainAgeMs")
             .map(_.toLong).getOrElse(600000L)
         else 0L
-      val version = Sink.overwriteSnapshot(df, dir, retain = 1,
-        minAgeMs = minAge, partitionColumns = partitionBy)
-      writeSidecar(spark, new Path(dir, "_schema"), df.schema.json)
-      contentTag.foreach(t => writeSidecar(spark, new Path(dir, "_tag"), t))
+      // retention follows the number of generations this session still
+      // PINS for the key (the other content tags of the same table):
+      // cache entries pin committed versions, so a fixed retain=1 let a
+      // third regeneration GC the oldest pinned generation out from under
+      // a consumer still holding its DataFrame (ADVICE r14 — evolution
+      // makes multi-generation sessions the expected case, not the edge).
+      // Floor 2 keeps a superseded generation even on a first recommit —
+      // the readSnapshotAt(1) step the evolution contract documents.
+      // Over-retention is safe: GC merely waits for later commits.
+      import scala.jdk.CollectionConverters._
+      val pinnedGens = tables.keySet.asScala.count { case (s, k) =>
+        s == sk && (k == key || k.startsWith(key + "#")) }
+      // sidecars ride INSIDE the version dir (one atomic unit with the
+      // data — ADVICE r14) and land before the pointer swap, so a pointer
+      // always names a version whose schema/tag are already complete
+      val version = Sink.overwriteSnapshot(df, dir,
+        retain = math.max(2, pinnedGens),
+        minAgeMs = minAge, partitionColumns = partitionBy,
+        sidecars = Map("_schema" -> df.schema.json) ++
+          contentTag.map("_tag" -> _))
       // the cache entry PINS the committed version, not the table dir:
       // a later generation ([[parquetEvolving]]) recommits the dir and
       // advances the pointer, and a cached older-generation reader must
       // keep serving ITS content — pointer-following here would silently
       // swap the data under a (key, tag) that identifies the OLD input.
-      // A pinned version can still be GC'd by >retain later generations
-      // (then the read fails fast rather than serving wrong rows); a
-      // session that alternates more than one generation back should
-      // raise the table's retention.
+      // With retention derived from the live pinned-generation count, a
+      // pinned version outlives every later commit made while its cache
+      // entry exists; only a FOREIGN JVM's commits (which cannot see this
+      // session's pins) can still GC it, and then the read fails fast
+      // rather than serving wrong rows.
       (new Path(dir, version).toString, df.schema)
       }
     }
   }
 
-  /** A committed snapshot + `_schema` sidecar under a configured base dir
-    * is a finished artifact from an earlier session: adopt it instead of
-    * rebuilding. (The sidecar is written after the pointer commit, so a
-    * pointer without a sidecar is a half-finished foreign write — rebuild,
-    * which recommits both.) When the caller supplies a `contentTag`, the
-    * stored `_tag` sidecar must match it exactly — an artifact built from
-    * a since-regenerated corpus (stale or missing tag) is rebuilt, never
-    * silently served (VERDICT r13 item 4).
+  /** A committed snapshot with its in-version `_schema` sidecar under a
+    * configured base dir is a finished artifact from an earlier session:
+    * adopt it instead of rebuilding. The pointer is resolved FIRST and
+    * the sidecars read from the resolved version dir, so tag, schema, and
+    * data come from one immutable unit — a foreign recommit landing
+    * mid-attach can no longer pair the new version's data with the old
+    * tag check (ADVICE r14; root-level sidecars remain readable for
+    * tables committed by earlier rounds). Any read or parse failure —
+    * a vanished version, a half-finished foreign write — degrades to a
+    * rebuild, never a query failure out of attach.
     */
   private def attach(spark: SparkSession, dir: String,
-                     contentTag: Option[String]): Option[(String, StructType)] = {
-    val conf = spark.sessionState.newHadoopConf()
-    val schemaPath = new Path(dir, "_schema")
-    val fs = schemaPath.getFileSystem(conf)
-    def readSide(p: Path): String = {
-      val in = fs.open(p)
-      try {
-        val buf = new java.io.ByteArrayOutputStream()
-        org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 4096, false)
-        new String(buf.toByteArray, StandardCharsets.UTF_8)
-      } finally in.close()
-    }
-    if (!fs.exists(schemaPath) || !fs.exists(new Path(dir, "_current"))) None
-    else {
-      val tagOk = contentTag.forall { want =>
-        val tagPath = new Path(dir, "_tag")
-        fs.exists(tagPath) && readSide(tagPath) == want
+                     contentTag: Option[String]): Option[(String, StructType)] =
+    try {
+      val conf = spark.sessionState.newHadoopConf()
+      val root = new Path(dir)
+      val fs = root.getFileSystem(conf)
+      def readSide(p: Path): String = {
+        val in = fs.open(p)
+        try {
+          val buf = new java.io.ByteArrayOutputStream()
+          org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 4096, false)
+          new String(buf.toByteArray, StandardCharsets.UTF_8)
+        } finally in.close()
       }
-      if (!tagOk) None
-      else Sink.currentVersion(fs, new Path(dir)).map(v =>
-        (new Path(dir, v).toString,
-          DataType.fromJson(readSide(schemaPath)).asInstanceOf[StructType]))
+      if (!fs.exists(new Path(root, "_current"))) None
+      else Sink.currentVersion(fs, root).flatMap { v =>
+        val vdir = new Path(root, v)
+        def side(name: String): Option[String] = {
+          val inVersion = new Path(vdir, name)
+          val legacy = new Path(root, name)
+          if (fs.exists(inVersion)) Some(readSide(inVersion))
+          else if (fs.exists(legacy)) Some(readSide(legacy))
+          else None
+        }
+        val tagOk = contentTag.forall(want => side("_tag").contains(want))
+        if (!tagOk) None
+        else side("_schema").map(json => (vdir.toString,
+          DataType.fromJson(json).asInstanceOf[StructType]))
+      }
+    } catch {
+      // a torn sidecar or a version GC'd between pointer resolution and
+      // the sidecar read is a half-finished or racing foreign write:
+      // rebuilding recommits a complete artifact (ADVICE r14 — attach
+      // previously crashed the query on a truncated _schema)
+      case scala.util.control.NonFatal(_) => None
     }
-  }
-
-  private def writeSidecar(spark: SparkSession, p: Path, content: String): Unit = {
-    val fc = FileContext.getFileContext(p.toUri,
-      spark.sessionState.newHadoopConf())
-    val out = fc.create(p,
-      java.util.EnumSet.of(CreateFlag.CREATE, CreateFlag.OVERWRITE))
-    try out.write(content.getBytes(StandardCharsets.UTF_8)) finally out.close()
-  }
 
   /** The session's temp root (created on demand, deleted by the same
     * application-end hook that GCs store tables) — for session-lifetime
