@@ -95,11 +95,12 @@ object StreamingOps {
     *     longest-running stream or its micro-batches fail fast on the
     *     GC'd version;
     *  3. exact cosine on the candidates, then per-query top-k as a
-    *     watermarked windowed aggregate: sort the collected
-    *     (score, −id) structs, slice `k` — candidate fan-in per query
+    *     watermarked windowed aggregate: comparator-sort the collected
+    *     (score, id) structs, slice `k` — candidate fan-in per query
     *     is bounded by nProbe·cell size (the probe budget), so the
     *     aggregate state is bounded by construction; ties score-desc
-    *     then id-asc, the batch ivfTopK contract (parity spec).
+    *     then id-asc for ANY orderable id type, the batch ivfTopK
+    *     contract (parity spec).
     *
     * Append mode emits a query's neighbors once, when the watermark
     * passes its window — final, never revised.
@@ -117,20 +118,30 @@ object StreamingOps {
     require(k >= 1 && nProbe >= 1, s"annEnrichStream: bad k=$k nProbe=$nProbe")
     val cLit = typedlit(cents)
     val nCells = cents.size
-    // nProbe nearest cells per row: descending (score, −cell) sort =
-    // score desc, cell asc at ties — the batch probe order
+    // score-desc, id-asc comparator for (s, id) structs: ties break on
+    // the RAW id with an inverted comparison instead of arithmetic
+    // negation, so idCol may be any orderable type (a negated id was an
+    // analysis error for string ids and overflowed at Long.MinValue —
+    // ADVICE r14) — the batch ivfTopK contract for any id the batch side
+    // accepts
+    def bestFirst(l: Column, r: Column): Column =
+      when(l("s") > r("s"), -1).when(l("s") < r("s"), 1)
+        .when(l("id") < r("id"), -1).when(l("id") > r("id"), 1)
+        .otherwise(0)
+    // nProbe nearest cells per row: score desc, cell asc at ties — the
+    // batch probe order
     val cellScores = transform(sequence(lit(0), lit(nCells - 1)), j =>
       struct(
         cosineBest(spark, element_at(cLit, j + 1), col(qVecCol)).as("s"),
-        (-j).as("negc")))
-    val probes = slice(reverse(array_sort(cellScores)), 1,
+        j.as("id")))
+    val probes = slice(array_sort(cellScores, bestFirst), 1,
       math.min(nProbe, nCells))
     val q = queries
       .withWatermark(tsCol, delay)
       .select(col(tsCol), col(qIdCol).as("__qid"), col(qVecCol).as("__qv"),
         explode(probes).as("__p"))
       .select(col(tsCol), col("__qid"), col("__qv"),
-        (-col("__p.negc")).cast("int").as("__cell"))
+        col("__p.id").cast("int").as("__cell"))
     val cand = q.join(
         assigned.select(col("__cell"), col(idCol).as("__nid"),
           col(embCol).as("__nv")),
@@ -139,13 +150,13 @@ object StreamingOps {
         cosineBest(spark, col("__nv"), col("__qv")).as("__score"))
     cand
       .groupBy(window(col(tsCol), width), col("__qid"))
-      .agg(slice(reverse(array_sort(collect_list(
-          struct(col("__score").as("s"), (-col("__nid")).as("negid"))))),
+      .agg(slice(array_sort(collect_list(
+          struct(col("__score").as("s"), col("__nid").as("id"))), bestFirst),
         1, k).as("__top"))
       .select(col("window"), col("__qid"), posexplode(col("__top")))
       .select(col("window"), col("__qid").as(qIdCol),
         (col("pos") + 1).cast("long").as("rank"),
-        (-col("col.negid")).as(idCol),
+        col("col.id").as(idCol),
         col("col.s").as("score"))
   }
 

@@ -1035,4 +1035,29 @@ class StreamingSpec extends SparkTestBase {
     assert(got.keySet == want.keySet)
     assert(got == want, "per-query neighbor lists must be bit-identical to batch")
   }
+
+  test("annEnrichStream: string neighbor ids work and score ties break id-ascending (ADVICE r14)") {
+    // the r14 tie-break negated the id arithmetically, an analysis error
+    // for any non-numeric id type; the comparator sort must order ties by
+    // the RAW id ascending for any orderable type
+    val centroids = Seq((0, Seq(1.0f, 0.0f))).toDF("__cell", "__centroid")
+    val assigned = Seq(
+      ("b", Seq(1.0f, 0.0f), 0),
+      ("c", Seq(1.0f, 0.0f), 0),
+      ("a", Seq(1.0f, 0.0f), 0), // all score 1.0 — pure tie
+      ("z", Seq(0.0f, 1.0f), 0)) // orthogonal: always last
+      .toDF("doc_id", "embedding", "__cell")
+    val input = MemoryStream[(Timestamp, Long, Seq[Float])]
+    input.addData((ts("2024-01-01 01:00:00"), 1L, Seq(1.0f, 0.0f)))
+    val stream = StreamingOps.annEnrichStream(
+      input.toDF().toDF("ts", "qid", "qv"), "qid", "qv", "ts",
+      width = "1 hour", delay = "1 hour",
+      assigned, centroids, "doc_id", "embedding", k = 3, nProbe = 1)
+    runToCompletion(stream.select($"rank", $"doc_id", $"score"),
+      "ann_enrich_str", "complete")
+    val got = spark.table("ann_enrich_str").as[(Long, String, Double)]
+      .collect().sortBy(_._1).map(_._2).toSeq
+    assert(got == Seq("a", "b", "c"),
+      s"ties must order by the raw string id ascending, got $got")
+  }
 }
