@@ -1,15 +1,17 @@
 package graft
 
 // Dev tool: cost of evolving the stored IVF index vs rebuilding it when
-// the corpus moves on (round 14). Per SF dir: generation 1 = 99% of the
-// embeddings (cold full build: fit + full assignment + clustered write),
-// generation 2 = the full corpus (evolve: NO refit, delta-only scoring,
-// keep∪fresh recommit) vs a from-scratch rebuild of the same generation
-// under a fresh key. The delta between "evolve" and "rebuild" is the
-// fit + full-corpus re-scoring a naive nightly pipeline pays; the floor
-// under both is the postings write (single-snapshot contract — the
-// honest bound REGRESSIONS documents). Args: SF dirs (default sf0.1;
-// pass /tmp/sfx10_all and /tmp/sfx100 for the growth rows).
+// the corpus moves on (round 14; round 15 adds the segment-append
+// layout). Per SF dir: generation 1 = 99% of the embeddings (cold full
+// build: fit + full assignment + clustered write), generation 2 = the
+// full corpus — a PURE APPEND, so the evolve path now commits only a
+// delta-sized segment (NO refit, delta-only scoring, delta-only WRITE)
+// vs a from-scratch rebuild of the same generation under a fresh key.
+// Reported: wall times AND bytes written by the evolve commit vs the
+// total postings size — the write-cost-proportional-to-delta claim,
+// measured (VERDICT r14 item 1; the r14 layout rewrote the whole
+// postings table per generation). Args: SF dirs (default sf0.1; pass
+// /tmp/sfx10_all and /tmp/sfx100 for the growth rows).
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
@@ -51,10 +53,29 @@ object EvolveProbe {
           storeKey = s"$key|fresh", contentTag = Some("gen2"))._1.count()
       }
       require(n2 == n && n3 == n, s"row drift: corpus=$n evolved=$n2 rebuilt=$n3")
+      // write-cost audit: the evolve commit's segment vs the whole table
+      val tableDir = new java.io.File(
+        graft.ops.SlateStore.sessionTempRoot(spark)).listFiles()
+        .filter(_.getName.startsWith("ivf_postings_inc"))
+        .filter(d => {
+          val segs = new java.io.File(d, "segs")
+          segs.exists() && segs.listFiles().count(
+            _.getName.startsWith("__seg=")) == 2
+        }).maxBy(_.lastModified())
+      def du(f: java.io.File): Long =
+        if (f.isFile) f.length()
+        else Option(f.listFiles()).map(_.map(du).sum).getOrElse(0L)
+      val segs = new java.io.File(tableDir, "segs").listFiles()
+        .filter(_.getName.startsWith("__seg="))
+      val deltaBytes = du(segs.maxBy(_.lastModified())) // the append's segment
+      val totalBytes = segs.map(du).sum
       println(f"[evolve_probe] $dir rows=$n nCells=$nCells " +
         f"gen1_full_build=$tBuild%.2fs evolve_to_gen2=$tEvolve%.2fs " +
         f"gen2_fresh_rebuild=$tRebuild%.2fs " +
-        f"saved=${(tRebuild - tEvolve) / tRebuild * 100}%.0f%%")
+        f"saved=${(tRebuild - tEvolve) / tRebuild * 100}%.0f%% " +
+        f"append_wrote=${deltaBytes}B of ${totalBytes}B total " +
+        f"(${deltaBytes.toDouble / totalBytes * 100}%.1f%% — " +
+        "write cost follows the delta, not the corpus)")
     }
     spark.stop()
   }

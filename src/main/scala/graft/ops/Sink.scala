@@ -83,31 +83,186 @@ object Sink {
       if (partitionColumns.isEmpty) df.write
       else df.write.partitionBy(partitionColumns: _*)
     writer.mode("error").parquet(new Path(root, version).toString)
+    writeVersionSidecars(conf, root, version, sidecars)
+    commitPointer(conf, fs, root, version, previous, retain, minAgeMs)
+    version
+  }
+
+  /** [[overwriteSnapshot]]'s segmented twin: the table's data lives in
+    * immutable SEGMENT directories under `path/segs/__seg=<id>/`, and a
+    * committed version is a tiny `_manifest` file (one segment id per
+    * line) inside its `v-*` dir — the Iceberg/Delta metadata-plus-
+    * data-files shape on the same pointer-commit protocol. A rewrite
+    * commits ONE fresh segment carrying the whole table; an append
+    * ([[appendSegment]]) commits a DELTA-sized segment plus a manifest
+    * that re-lists the previous generation's segments, so the write cost
+    * of an append is proportional to the delta, not the corpus — the
+    * bound a daily-append 100 TB index lives or dies by. Readers resolve
+    * the manifest and scan the listed segments as one partitioned
+    * relation (`__seg` is a discovered partition level under
+    * `basePath=segs/`), so partition pruning on `partitionColumns` (the
+    * IVF probe path) works across segments exactly as on a single dir.
+    *
+    * Retention: version GC is unchanged (manifests are versions); a
+    * segment is reclaimed when NO retained version's manifest references
+    * it AND it is older than `minAgeMs` — the same dual gate, which also
+    * shields an in-flight writer's just-written segment. Time travel
+    * ([[readSnapshotAt]]) serves any retained manifest's exact segment
+    * set; segments are immutable, so a pinned generation is stable.
+    */
+  def overwriteSegmented(df: DataFrame, path: String, retain: Int = 1,
+                         minAgeMs: Long = 600000L,
+                         partitionColumns: Seq[String] = Nil,
+                         sidecars: Map[String, String] = Map.empty): String =
+    commitSegments(df, path, retain, minAgeMs, partitionColumns, sidecars,
+      carryPrevious = false)
+
+  /** Append `delta` to a segmented table as one new segment: every row of
+    * the live generation survives (the caller's contract — removals or
+    * rewrites need [[overwriteSegmented]]), the new manifest lists the
+    * previous segments plus the delta's. Fails fast on a table whose live
+    * version is a plain data snapshot (commit it through
+    * [[overwriteSegmented]] once to migrate).
+    */
+  def appendSegment(delta: DataFrame, path: String, retain: Int = 1,
+                    minAgeMs: Long = 600000L,
+                    partitionColumns: Seq[String] = Nil,
+                    sidecars: Map[String, String] = Map.empty): String =
+    commitSegments(delta, path, retain, minAgeMs, partitionColumns, sidecars,
+      carryPrevious = true)
+
+  private def commitSegments(df: DataFrame, path: String, retain: Int,
+                             minAgeMs: Long, partitionColumns: Seq[String],
+                             sidecars: Map[String, String],
+                             carryPrevious: Boolean): String = {
+    val conf = df.sparkSession.sessionState.newHadoopConf()
+    val root = new Path(path)
+    val fs = root.getFileSystem(conf)
+    val previous = if (fs.exists(root)) currentVersion(fs, root) else None
+    val carried =
+      if (!carryPrevious) Nil
+      else {
+        val prev = previous.getOrElse(throw new IllegalStateException(
+          s"appendSegment: no committed version to append to at $path"))
+        val m = manifestSegments(fs, new Path(root, prev)).getOrElse(
+          throw new IllegalStateException(
+            s"appendSegment: live version $prev at $path is a plain data " +
+              "snapshot, not a segmented one — migrate via overwriteSegmented"))
+        m
+      }
+    // the segment id gets a non-numeric prefix so partition-value type
+    // inference can never read an (all-digit) id as a number
+    val seg = "s" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val segDir = new Path(new Path(root, SegsDir), s"__seg=$seg")
+    val writer =
+      if (partitionColumns.isEmpty) df.write
+      else df.write.partitionBy(partitionColumns: _*)
+    writer.mode("error").parquet(segDir.toString)
+    val version = "v-" + java.util.UUID.randomUUID().toString.replace("-", "")
+    // the manifest is written inside the not-yet-published version dir —
+    // no reader can observe a partial manifest version
+    fs.mkdirs(new Path(root, version))
+    atomicWrite(conf, new Path(new Path(root, version), ManifestFile),
+      (carried :+ seg).mkString("\n"))
+    writeVersionSidecars(conf, root, version, sidecars)
+    commitPointer(conf, fs, root, version, previous, retain, minAgeMs)
+    version
+  }
+
+  private val SegsDir = "segs"
+  private val ManifestFile = "_manifest"
+
+  /** The segment ids a manifest version lists, or None for a plain data
+    * version (no `_manifest`). */
+  private def manifestSegments(fs: FileSystem, versionDir: Path): Option[Seq[String]] = {
+    val mf = new Path(versionDir, ManifestFile)
+    if (!fs.exists(mf)) None
+    else {
+      val in = fs.open(mf)
+      try {
+        val buf = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 4096, false)
+        Some(new String(buf.toByteArray, StandardCharsets.UTF_8)
+          .split("\n").map(_.trim).filter(_.nonEmpty).toSeq)
+      } finally in.close()
+    }
+  }
+
+  /** How to scan a committed version's DATA: `(paths, basePath)`. A plain
+    * version scans its own dir (no basePath); a manifest version scans
+    * its listed segment dirs with `basePath = <table>/segs` so `__seg`
+    * (and any partition columns below it) resolve as partition levels.
+    * Callers reading with a forced schema should re-select the schema's
+    * fields to drop the synthetic `__seg` column.
+    */
+  private[ops] def versionDataPaths(fs: FileSystem, root: Path,
+                                    version: String): (Seq[String], Option[String]) = {
+    val vdir = new Path(root, version)
+    manifestSegments(fs, vdir) match {
+      case None => (Seq(vdir.toString), None)
+      case Some(segs) =>
+        val base = new Path(root, SegsDir)
+        (segs.map(s => new Path(base, s"__seg=$s").toString),
+          Some(base.toString))
+    }
+  }
+
+  /** Open a committed version's data as a DataFrame (manifest-aware). */
+  private[ops] def readVersion(spark: SparkSession, root: Path, version: String,
+                               schema: Option[org.apache.spark.sql.types.StructType]): DataFrame = {
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val (paths, basePath) = versionDataPaths(fs, root, version)
+    readPaths(spark, paths, basePath, schema)
+  }
+
+  private[ops] def readPaths(spark: SparkSession, paths: Seq[String],
+                             basePath: Option[String],
+                             schema: Option[org.apache.spark.sql.types.StructType]): DataFrame = {
+    val reader0 = schema.fold(spark.read)(spark.read.schema)
+    val reader = basePath.fold(reader0)(bp => reader0.option("basePath", bp))
+    val df = reader.parquet(paths: _*)
+    (schema, basePath) match {
+      // drop the synthetic __seg partition column and restore the stored
+      // column order (partition discovery appends partition columns)
+      case (Some(s), Some(_)) => df.select(s.fieldNames.map(col): _*)
+      case (None, Some(_)) => df.drop("__seg")
+      case _ => df
+    }
+  }
+
+  private def writeVersionSidecars(conf: org.apache.hadoop.conf.Configuration,
+                                   root: Path, version: String,
+                                   sidecars: Map[String, String]): Unit =
     sidecars.foreach { case (name, content) =>
       require(name.startsWith("_"), s"sidecar name must be _-prefixed: $name")
       atomicWrite(conf, new Path(new Path(root, version), name), content)
     }
 
-    // Pointer staged through FileContext (raw fs — no checksum shadow
-    // files), then swapped in with a genuinely atomic replace. CAREFUL:
-    // FileContext.rename(OVERWRITE) is only atomic where the
-    // AbstractFileSystem implements it natively (HDFS does); Hadoop's
-    // default local implementation is delete-then-rename, which re-opens
-    // the very missing-table window this sink exists to close — so local
-    // paths take POSIX rename(2) via NIO instead.
-    // Stamp the supersession of the version this commit displaces BEFORE
-    // the pointer swap: a crash between swap and marker would leave a
-    // committed, hours-live version with neither pointer nor marker —
-    // invisible to the committed-only listVersions forever and GC'd as an
-    // orphan (review fix). The pre-swap marker's worst case is benign: a
-    // crash before the swap leaves the still-live version carrying a
-    // stale marker, which listVersions ignores (the live pointer wins)
-    // and the next successful commit overwrites. The marker CONTENT is a
-    // monotonic sequence number (1 + the max across existing markers):
-    // two commits landing inside the filesystem's timestamp granularity
-    // would tie on mtime and could misorder history — seq is the primary
-    // history order, mtime only breaks ties among legacy (empty) markers
-    // (ADVICE r14 medium).
+  /** The shared commit tail: supersession marker (pre-swap, monotonic
+    * seq), atomic pointer swap, then the dual-gate GC over versions,
+    * unreferenced segments, and crashed writers' tmp files.
+    *
+    * Pointer staged through FileContext (raw fs — no checksum shadow
+    * files), then swapped in with a genuinely atomic replace (POSIX
+    * rename(2) locally — see [[atomicWrite]]).
+    * The supersession marker of the displaced version lands BEFORE the
+    * pointer swap: a crash between swap and marker would leave a
+    * committed, hours-live version with neither pointer nor marker —
+    * invisible to the committed-only listVersions forever and GC'd as an
+    * orphan (review fix). The pre-swap marker's worst case is benign: a
+    * crash before the swap leaves the still-live version carrying a
+    * stale marker, which listVersions ignores (the live pointer wins)
+    * and the next successful commit overwrites. The marker CONTENT is a
+    * monotonic sequence number (1 + the max across existing markers):
+    * two commits landing inside the filesystem's timestamp granularity
+    * would tie on mtime and could misorder history — seq is the primary
+    * history order, mtime only breaks ties among legacy (empty) markers
+    * (ADVICE r14 medium).
+    */
+  private def commitPointer(conf: org.apache.hadoop.conf.Configuration,
+                            fs: FileSystem, root: Path, version: String,
+                            previous: Option[String], retain: Int,
+                            minAgeMs: Long): Unit = {
     previous.filterNot(_ == version).foreach { old =>
       val next = 1L + markerStatuses(fs, root)
         .map(m => markerSeq(fs, m.getPath)).foldLeft(-1L)(math.max)
@@ -141,11 +296,27 @@ object Sink {
       fs.delete(s.getPath, true)
       fs.delete(new Path(root, s"_superseded-${s.getPath.getName}"), false)
     }
+    // segment GC: a segment referenced by NO version dir still on disk
+    // (live, retained, or an in-flight/crashed writer's — an orphan
+    // manifest protects its segments until the orphan itself ages out)
+    // is unreachable by any reader resolving any manifest; reclaim it
+    // once past the same time floor that shields in-flight writes
+    val segsRoot = new Path(root, SegsDir)
+    if (fs.exists(segsRoot)) {
+      val referenced = fs.listStatus(root)
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("v-"))
+        .flatMap(s => manifestSegments(fs, s.getPath).getOrElse(Nil))
+        .toSet
+      fs.listStatus(segsRoot)
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("__seg="))
+        .filterNot(s => referenced(s.getPath.getName.stripPrefix("__seg=")))
+        .filter(s => now - s.getModificationTime >= minAgeMs)
+        .foreach(s => fs.delete(s.getPath, true))
+    }
     // stale tmp files (pointer/marker stages) from crashed writers
     fs.listStatus(root)
       .filter(s => s.isFile && s.getPath.getName.contains(".tmp-"))
       .foreach(s => fs.delete(s.getPath, false))
-    version
   }
 
   /** Atomically publish small metadata `content` at `dst`: stage a tmp
@@ -204,8 +375,7 @@ object Sink {
       val v = currentVersion(fs, root).getOrElse(
         throw new java.io.FileNotFoundException(s"no committed snapshot at $path"))
       try {
-        val reader = schema.fold(spark.read)(spark.read.schema)
-        val df = reader.parquet(new Path(root, v).toString)
+        val df = readVersion(spark, root, v, schema)
         df.schema // force resolution so a vanished dir surfaces here
         df
       } catch {
@@ -264,8 +434,7 @@ object Sink {
       throw new java.io.FileNotFoundException(
         s"no snapshot $stepsBack commits back at $path " +
           s"(${versions.size} version(s) on disk — raise `retain`)")
-    val reader = schema.fold(spark.read)(spark.read.schema)
-    reader.parquet(new Path(new Path(path), versions(stepsBack)).toString)
+    readVersion(spark, new Path(path), versions(stepsBack), schema)
   }
 
   /** History-order key for a non-live version: (marker sequence number,

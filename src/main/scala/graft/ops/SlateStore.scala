@@ -58,11 +58,40 @@ object SlateStore {
     case other => "idhash-" + System.identityHashCode(other)
   }
 
-  private val tables = new ConcurrentHashMap[(String, String), (String, StructType)]()
+  /** A session-cache entry: the PINNED committed version (its dir, the
+    * exact data paths that version scans — the version dir itself, or a
+    * manifest's segment dirs plus their basePath — and the stored
+    * schema). Pinning paths at commit/attach time keeps a cached
+    * generation's content stable across later recommits of the table. */
+  private[graft] case class Pinned(versionDir: String, paths: Seq[String],
+                                   basePath: Option[String],
+                                   schema: StructType)
+
+  /** The builder's verdict for one [[parquetEvolvingSegmented]]
+    * generation. */
+  sealed trait Evolved
+  object Evolved {
+    /** Every row of the previous generation survives; `delta` is
+      * committed as ONE new segment — write cost proportional to the
+      * delta, not the corpus. */
+    final case class Append(delta: DataFrame) extends Evolved
+    /** Rows were removed or rewritten (or this is the cold build):
+      * recommit the full artifact as a fresh single segment — the
+      * compaction move that also bounds manifest growth. */
+    final case class Rewrite(df: DataFrame) extends Evolved
+    /** The artifact is unchanged under the new input tag: refresh the
+      * tag sidecar only, commit nothing. */
+    case object CarryForward extends Evolved
+  }
+
+  private val tables = new ConcurrentHashMap[(String, String), Pinned]()
   private val scalars = new ConcurrentHashMap[(String, String), Any]()
   private val locks = new ConcurrentHashMap[(String, String), Object]()
   private val tempRoots = new ConcurrentHashMap[String, String]()
   private val cleanupHooked = ConcurrentHashMap.newKeySet[String]()
+
+  private def readPinned(spark: SparkSession, e: Pinned): DataFrame =
+    Sink.readPaths(spark, e.paths, e.basePath, Some(e.schema))
 
   /** Build (first caller per session) or fetch the table for `key`.
     * The key must embed every parameter the build depends on — it is the
@@ -96,7 +125,7 @@ object SlateStore {
         }
       }
     }
-    spark.read.schema(entry._2).parquet(entry._1)
+    readPinned(spark, entry)
   }
 
   /** Content fingerprint of an input path — file names, lengths, and
@@ -168,7 +197,33 @@ object SlateStore {
   def parquetEvolving(spark: SparkSession, key: String,
                       contentTag: Option[String] = None,
                       partitionBy: Seq[String] = Nil)
-                     (buildFrom: Option[DataFrame] => DataFrame): DataFrame = {
+                     (buildFrom: Option[DataFrame] => DataFrame): DataFrame =
+    parquetEvolvingSegmented(spark, key, contentTag, partitionBy) { prev =>
+      val df = buildFrom(prev)
+      // reference-identical return = the carry-forward signal this API
+      // has always honored (the frozen-quantizer pattern)
+      if (prev.exists(_ eq df)) Evolved.CarryForward else Evolved.Rewrite(df)
+    }
+
+  /** [[parquetEvolving]] with DELTA-PROPORTIONAL commits (VERDICT r14
+    * item 1): the builder states HOW the artifact evolved —
+    * [[Evolved.Append]] when every previous row survives (committed as
+    * one new segment: the write touches the delta, never the corpus),
+    * [[Evolved.Rewrite]] when rows were removed or rewritten (a fresh
+    * single-segment generation — also the compaction move), or
+    * [[Evolved.CarryForward]] when nothing changed but the input tag.
+    * Storage is [[Sink.overwriteSegmented]]'s manifest-plus-segments
+    * layout, so time travel, retention GC, and the pinned-version cache
+    * behave exactly as for rewritten tables; an append's new manifest
+    * re-lists the previous segments, and readers scan the manifest's
+    * segment set as one partition-pruned relation. A table committed by
+    * the pre-segment layout (a plain data version) migrates on its first
+    * Append via one full rewrite.
+    */
+  def parquetEvolvingSegmented(spark: SparkSession, key: String,
+                               contentTag: Option[String] = None,
+                               partitionBy: Seq[String] = Nil)
+                              (evolve: Option[DataFrame] => Evolved): DataFrame = {
     val sk = sessionKey(spark)
     val mapKey = (sk, key + contentTag.fold("")("#" + _))
     var entry = tables.get(mapKey)
@@ -177,26 +232,27 @@ object SlateStore {
       lock.synchronized {
         entry = tables.get(mapKey)
         if (entry == null) {
-          entry = materializeFrom(spark, sk, key, contentTag, partitionBy,
-            buildFrom)
+          entry = materializeEvolved(spark, sk, key, contentTag, partitionBy,
+            evolve)
           tables.put(mapKey, entry)
         }
       }
     }
-    spark.read.schema(entry._2).parquet(entry._1)
+    readPinned(spark, entry)
   }
 
   private def materialize(spark: SparkSession, sk: String, key: String,
                           contentTag: Option[String],
                           partitionBy: Seq[String],
-                          build: => DataFrame): (String, StructType) =
-    materializeFrom(spark, sk, key, contentTag, partitionBy, _ => build)
+                          build: => DataFrame): Pinned =
+    materializeEvolved(spark, sk, key, contentTag, partitionBy,
+      _ => Evolved.Rewrite(build), segmented = false)
 
-  private def materializeFrom(spark: SparkSession, sk: String, key: String,
-                              contentTag: Option[String],
-                              partitionBy: Seq[String],
-                              buildFrom: Option[DataFrame] => DataFrame)
-      : (String, StructType) = {
+  private def materializeEvolved(spark: SparkSession, sk: String, key: String,
+                                 contentTag: Option[String],
+                                 partitionBy: Seq[String],
+                                 evolve: Option[DataFrame] => Evolved,
+                                 segmented: Boolean = true): Pinned = {
     val (base, managed) = baseDir(spark, sk)
     val dir = new Path(base, tableName(key)).toString
     val attached = if (managed) attach(spark, dir, contentTag) else None
@@ -208,27 +264,7 @@ object SlateStore {
       // snapshot; plain parquet() callers never see it (their builder
       // ignores the argument).
       val previousEntry = attach(spark, dir, None)
-      val previous = previousEntry.map { case (vp, sch) =>
-        spark.read.schema(sch).parquet(vp)
-      }
-      val df = buildFrom(previous)
-      // carry-forward without churn: a builder that hands the previous
-      // frame back UNCHANGED (reference-identical — the frozen-quantizer
-      // pattern) keeps the committed version and only refreshes the tag
-      // sidecar; recommitting identical bytes per generation would both
-      // waste a table write and age older pinned readers toward GC.
-      val carriedForward = previous.exists(_ eq df)
-      if (carriedForward) {
-        // refresh the tag INSIDE the still-live version dir (atomic
-        // replace — a concurrent foreign attach sees the old complete tag
-        // or the new one, never a truncation): the one mutation a
-        // committed version dir ever takes, and it only widens the set of
-        // inputs the unchanged artifact is valid for
-        contentTag.foreach(t => Sink.atomicWrite(
-          spark.sessionState.newHadoopConf(),
-          new Path(previousEntry.get._1, "_tag"), t))
-        previousEntry.get
-      } else {
+      val previous = previousEntry.map(readPinned(spark, _))
       // Managed dirs are shared: another JVM's running query may still
       // hold file handles into a superseded version when this one
       // recommits (rebuild over a stale tag, or a half-finished foreign
@@ -253,27 +289,85 @@ object SlateStore {
       import scala.jdk.CollectionConverters._
       val pinnedGens = tables.keySet.asScala.count { case (s, k) =>
         s == sk && (k == key || k.startsWith(key + "#")) }
+      val retain = math.max(2, pinnedGens)
       // sidecars ride INSIDE the version dir (one atomic unit with the
       // data — ADVICE r14) and land before the pointer swap, so a pointer
-      // always names a version whose schema/tag are already complete
-      val version = Sink.overwriteSnapshot(df, dir,
-        retain = math.max(2, pinnedGens),
-        minAgeMs = minAge, partitionColumns = partitionBy,
-        sidecars = Map("_schema" -> df.schema.json) ++
-          contentTag.map("_tag" -> _))
-      // the cache entry PINS the committed version, not the table dir:
-      // a later generation ([[parquetEvolving]]) recommits the dir and
+      // always names a version whose schema/tag are already complete.
+      // The cache entry PINS the committed version's exact data paths,
+      // not the table dir: a later generation recommits the dir and
       // advances the pointer, and a cached older-generation reader must
-      // keep serving ITS content — pointer-following here would silently
-      // swap the data under a (key, tag) that identifies the OLD input.
-      // With retention derived from the live pinned-generation count, a
-      // pinned version outlives every later commit made while its cache
-      // entry exists; only a FOREIGN JVM's commits (which cannot see this
-      // session's pins) can still GC it, and then the read fails fast
-      // rather than serving wrong rows.
-      (new Path(dir, version).toString, df.schema)
+      // keep serving ITS content. With retention derived from the live
+      // pinned-generation count, a pinned version outlives every later
+      // commit made while its cache entry exists; only a FOREIGN JVM's
+      // commits (which cannot see this session's pins) can still GC it,
+      // and then the read fails fast rather than serving wrong rows.
+      def sidecarsFor(schema: StructType) =
+        Map("_schema" -> schema.json) ++ contentTag.map("_tag" -> _)
+      evolve(previous) match {
+        case Evolved.CarryForward =>
+          // a builder may only carry forward an EXISTING generation; the
+          // tag refresh is an atomic replace inside the still-live
+          // version dir — the one mutation a committed version ever
+          // takes, and it only widens the set of inputs the unchanged
+          // artifact is valid for
+          val prev = previousEntry.getOrElse(throw new IllegalStateException(
+            s"SlateStore: CarryForward with no committed generation for $key"))
+          contentTag.foreach(t => Sink.atomicWrite(
+            spark.sessionState.newHadoopConf(),
+            new Path(prev.versionDir, "_tag"), t))
+          prev
+        case Evolved.Rewrite(df) =>
+          val version =
+            if (segmented)
+              Sink.overwriteSegmented(df, dir, retain, minAge, partitionBy,
+                sidecarsFor(df.schema))
+            else
+              Sink.overwriteSnapshot(df, dir, retain, minAge, partitionBy,
+                sidecarsFor(df.schema))
+          pinnedOf(spark, dir, version, df.schema)
+        case Evolved.Append(delta) => previousEntry match {
+          case Some(prev) if prev.basePath.isDefined =>
+            val version = Sink.appendSegment(alignTo(prev.schema, delta),
+              dir, retain, minAge, partitionBy, sidecarsFor(prev.schema))
+            pinnedOf(spark, dir, version, prev.schema)
+          case Some(prev) =>
+            // a pre-segment (plain data version) table: migrate with one
+            // full rewrite — the only corpus-sized write this layout ever
+            // pays again
+            val full = readPinned(spark, prev)
+              .unionByName(alignTo(prev.schema, delta))
+            val version = Sink.overwriteSegmented(full, dir, retain, minAge,
+              partitionBy, sidecarsFor(prev.schema))
+            pinnedOf(spark, dir, version, prev.schema)
+          case None =>
+            // an append with nothing to append to IS the whole content
+            val version = Sink.overwriteSegmented(delta, dir, retain, minAge,
+              partitionBy, sidecarsFor(delta.schema))
+            pinnedOf(spark, dir, version, delta.schema)
+        }
       }
     }
+  }
+
+  /** Reorder `delta` to the stored column order and require type-level
+    * schema agreement — an appended segment must read back under the
+    * table's forced schema. */
+  private def alignTo(schema: StructType, delta: DataFrame): DataFrame = {
+    val aligned = delta.select(schema.fieldNames.map(
+      org.apache.spark.sql.functions.col): _*)
+    val got = aligned.schema.map(f => (f.name, f.dataType))
+    val want = schema.map(f => (f.name, f.dataType))
+    require(got == want,
+      s"SlateStore append: delta schema $got must match the table's $want")
+    aligned
+  }
+
+  private def pinnedOf(spark: SparkSession, dir: String, version: String,
+                       schema: StructType): Pinned = {
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val (paths, basePath) = Sink.versionDataPaths(fs, root, version)
+    Pinned(new Path(dir, version).toString, paths, basePath, schema)
   }
 
   /** A committed snapshot with its in-version `_schema` sidecar under a
@@ -288,7 +382,7 @@ object SlateStore {
     * rebuild, never a query failure out of attach.
     */
   private def attach(spark: SparkSession, dir: String,
-                     contentTag: Option[String]): Option[(String, StructType)] =
+                     contentTag: Option[String]): Option[Pinned] =
     try {
       val conf = spark.sessionState.newHadoopConf()
       val root = new Path(dir)
@@ -313,8 +407,11 @@ object SlateStore {
         }
         val tagOk = contentTag.forall(want => side("_tag").contains(want))
         if (!tagOk) None
-        else side("_schema").map(json => (vdir.toString,
-          DataType.fromJson(json).asInstanceOf[StructType]))
+        else side("_schema").map { json =>
+          val schema = DataType.fromJson(json).asInstanceOf[StructType]
+          val (paths, basePath) = Sink.versionDataPaths(fs, root, v)
+          Pinned(vdir.toString, paths, basePath, schema)
+        }
       }
     } catch {
       // a torn sidecar or a version GC'd between pointer resolution and
