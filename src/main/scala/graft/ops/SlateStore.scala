@@ -257,6 +257,28 @@ object SlateStore {
     val dir = new Path(base, tableName(key)).toString
     val attached = if (managed) attach(spark, dir, contentTag) else None
     attached.getOrElse {
+      if (!managed)
+        buildAndCommit(spark, sk, key, dir, contentTag, partitionBy, evolve,
+          segmented, managed)
+      else
+        // managed dirs are shared across JVMs: serialize foreign builders
+        // under the table's lease so two sessions racing a first build do
+        // the work once (VERDICT r14 item 3) — the waiter re-attaches
+        // inside the lease, because the holder it waited for may have
+        // committed exactly this artifact
+        withBuildLease(spark, dir) {
+          attach(spark, dir, contentTag).getOrElse(
+            buildAndCommit(spark, sk, key, dir, contentTag, partitionBy,
+              evolve, segmented, managed))
+        }
+    }
+  }
+
+  private def buildAndCommit(spark: SparkSession, sk: String, key: String,
+                             dir: String, contentTag: Option[String],
+                             partitionBy: Seq[String],
+                             evolve: Option[DataFrame] => Evolved,
+                             segmented: Boolean, managed: Boolean): Pinned = {
       // a committed snapshot under this key with a STALE tag is the
       // previous artifact generation: offer it to the builder (read
       // against the pinned pre-commit version, so the derivation and the
@@ -346,8 +368,83 @@ object SlateStore {
             pinnedOf(spark, dir, version, delta.schema)
         }
       }
-    }
   }
+
+  /** Serialize FOREIGN builders of one managed table under an atomic
+    * lease file (VERDICT r14 item 3) — the `_current`-pointer discipline
+    * applied to build coordination. The in-process striped locks already
+    * serialize same-session builders; two JVMs (or two sessions in one
+    * JVM) racing a first build under a shared `spark.graft.store.dir`
+    * both built before this. Protocol: `_lease` is claimed with an
+    * atomic create-if-absent (O_EXCL locally, `create(overwrite=false)`
+    * on HDFS) and deleted after the commit; a waiter polls
+    * (`spark.graft.store.leasePollMs`, default 250) until the lease is
+    * released or goes STALE — older than
+    * `spark.graft.store.leaseTimeoutMs` (default 10 min; set it above
+    * the worst-case build) — in which case it deletes the crashed
+    * holder's lease and claims it (racing takeovers are safe: delete is
+    * idempotent and create-if-absent elects one winner). Callers
+    * re-attach after acquiring, so a waiter whose artifact the previous
+    * holder just committed adopts it instead of rebuilding. The lease is
+    * NOT reentrant — a builder deriving its own key would wait on
+    * itself (the same self-recursion the striped locks already forbid).
+    */
+  private def withBuildLease[T](spark: SparkSession, dir: String)(body: => T): T = {
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new Path(dir)
+    val fs = root.getFileSystem(conf)
+    val lease = new Path(root, "_lease")
+    val timeoutMs = spark.conf.getOption("spark.graft.store.leaseTimeoutMs")
+      .map(_.toLong).getOrElse(600000L)
+    val pollMs = spark.conf.getOption("spark.graft.store.leasePollMs")
+      .map(_.toLong).getOrElse(250L)
+    fs.mkdirs(root)
+    // bound the total wait: one full stale-holder window plus our own
+    // claim — a deadline beats waiting forever on a wedged foreign build
+    val deadline = System.currentTimeMillis() + 2 * timeoutMs
+    while (System.currentTimeMillis() <= deadline) {
+      if (tryAcquireLease(fs, lease))
+        try return body
+        finally fs.delete(lease, false)
+      val held =
+        try Some(fs.getFileStatus(lease))
+        catch { case _: java.io.FileNotFoundException => None }
+      held match {
+        case Some(s) if System.currentTimeMillis() - s.getModificationTime
+            > timeoutMs =>
+          fs.delete(lease, false) // stale takeover; racers no-op
+        case Some(_) => Thread.sleep(pollMs)
+        case None => // released between attempts: retry immediately
+      }
+    }
+    throw new IllegalStateException(
+      s"SlateStore: build lease $lease not acquired within ${2 * timeoutMs} ms" +
+        " — a foreign build is wedged or leaseTimeoutMs is below the real" +
+        " build time")
+  }
+
+  private def tryAcquireLease(fs: org.apache.hadoop.fs.FileSystem,
+                              lease: Path): Boolean =
+    try {
+      val stamp = s"${System.currentTimeMillis()}"
+        .getBytes(StandardCharsets.UTF_8)
+      if (fs.getScheme == "file") {
+        // NIO CREATE_NEW = O_EXCL — atomic where Hadoop's local
+        // create(overwrite=false) is check-then-create
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(fs.makeQualified(lease).toUri.getPath),
+          stamp, java.nio.file.StandardOpenOption.CREATE_NEW,
+          java.nio.file.StandardOpenOption.WRITE)
+      } else {
+        val out = fs.create(lease, false)
+        try out.write(stamp) finally out.close()
+      }
+      true
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException => false
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+      case _: java.io.IOException => false // HDFS wraps exists-failures
+    }
 
   /** Reorder `delta` to the stored column order and require type-level
     * schema agreement — an appended segment must read back under the

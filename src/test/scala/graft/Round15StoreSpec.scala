@@ -81,6 +81,99 @@ class Round15StoreSpec extends SparkTestBase {
     } finally spark.conf.unset("spark.graft.store.dir")
   }
 
+  test("build lease: a session blocked by a foreign builder adopts its commit instead of rebuilding (VERDICT r14 item 3)") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("r15_lease_").toString
+    val key = freshKey("lease")
+    val tableDir = new java.io.File(base, SlateStore.tableName(key))
+    spark.conf.set("spark.graft.store.dir", base)
+    try {
+      // simulate a foreign JVM mid-build: its lease is already on disk;
+      // 600 ms later it commits the artifact (schema+tag sidecars, the
+      // real commit shape) and releases
+      assert(tableDir.mkdirs())
+      val lease = new java.io.File(tableDir, "_lease")
+      java.nio.file.Files.write(lease.toPath,
+        System.currentTimeMillis().toString.getBytes)
+      val foreign = new Thread(() => {
+        Thread.sleep(600)
+        val df = Seq(41L).toDF("v")
+        graft.ops.Sink.overwriteSnapshot(df, tableDir.toString,
+          minAgeMs = 0L, sidecars = Map(
+            "_schema" -> df.schema.json, "_tag" -> "t1"))
+        lease.delete()
+      })
+      foreign.start()
+      val builds = new AtomicInteger(0)
+      val got = SlateStore.parquet(spark, key, Some("t1")) {
+        builds.incrementAndGet(); Seq(-1L).toDF("v")
+      }
+      foreign.join(10000)
+      assert(got.as[Long].collect().toSeq == Seq(41L),
+        "the waiter must adopt the foreign commit")
+      assert(builds.get() == 0, "the waiter must not duplicate the build")
+      assert(!lease.exists())
+    } finally spark.conf.unset("spark.graft.store.dir")
+  }
+
+  test("build lease: a crashed holder's stale lease is taken over; our own build releases it") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("r15_stale_").toString
+    val key = freshKey("stale")
+    val tableDir = new java.io.File(base, SlateStore.tableName(key))
+    spark.conf.set("spark.graft.store.dir", base)
+    try {
+      assert(tableDir.mkdirs())
+      val lease = new java.io.File(tableDir, "_lease")
+      java.nio.file.Files.write(lease.toPath, "0".getBytes)
+      assert(lease.setLastModified(System.currentTimeMillis() - 20 * 60 * 1000))
+      val builds = new AtomicInteger(0)
+      val got = SlateStore.parquet(spark, key, Some("t1")) {
+        builds.incrementAndGet(); Seq(7L).toDF("v")
+      }
+      assert(got.as[Long].collect().toSeq == Seq(7L))
+      assert(builds.get() == 1, "a stale lease must be taken over, not waited on")
+      assert(!lease.exists(), "our own build must release the lease")
+    } finally spark.conf.unset("spark.graft.store.dir")
+  }
+
+  test("build lease: a wedged foreign build fails the waiter at the deadline, not forever") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("r15_wedge_").toString
+    val key = freshKey("wedge")
+    val tableDir = new java.io.File(base, SlateStore.tableName(key))
+    spark.conf.set("spark.graft.store.dir", base)
+    spark.conf.set("spark.graft.store.leaseTimeoutMs", "400")
+    spark.conf.set("spark.graft.store.leasePollMs", "50")
+    try {
+      assert(tableDir.mkdirs())
+      val lease = new java.io.File(tableDir, "_lease")
+      // a holder that never commits and keeps its lease FRESH (wedged,
+      // not crashed): the waiter must give up at the deadline
+      @volatile var stop = false
+      val refresher = new Thread(() => {
+        while (!stop) {
+          lease.setLastModified(System.currentTimeMillis())
+          if (!lease.exists())
+            java.nio.file.Files.write(lease.toPath, "x".getBytes)
+          Thread.sleep(50)
+        }
+      })
+      java.nio.file.Files.write(lease.toPath, "x".getBytes)
+      refresher.start()
+      try {
+        val e = intercept[IllegalStateException] {
+          SlateStore.parquet(spark, key, Some("t1"))(Seq(1L).toDF("v"))
+        }
+        assert(e.getMessage.contains("lease"))
+      } finally { stop = true; refresher.join(5000) }
+    } finally {
+      spark.conf.unset("spark.graft.store.dir")
+      spark.conf.unset("spark.graft.store.leaseTimeoutMs")
+      spark.conf.unset("spark.graft.store.leasePollMs")
+    }
+  }
+
   test("retention follows pinned generations: a thrice-evolved input keeps every cached generation readable (ADVICE r14)") {
     import spark.implicits._
     // temp-root lifetime (minAgeMs=0): with the old fixed retain=1 the
