@@ -195,6 +195,34 @@ private[graft] object QScanJoin {
         .orderBy("o_orderpriority")
     }),
 
+    "sql_bucketed_join_revenue" -> ((s, dir) => {
+      // the SQL-surface face of the r14 bucketed layout (VERDICT r14
+      // item 7): the SAME 16-bucket catalog tables bucketed_join_revenue
+      // installs, entered through RAW SQL TEXT over their catalog names —
+      // proving the zero-exchange/zero-sort co-located plan survives
+      // SQL-text entry, not just the DataFrame API (BucketingSpec audits
+      // the plan; the oracle is the plain join, shared with the
+      // DataFrame face). One store memo per table per slate run — this
+      // query and bucketed_join_revenue share the installed layout.
+      val ordTag = graft.ops.SlateStore.corpusTag(s, s"$dir/orders.parquet")
+      val liTag = graft.ops.SlateStore.corpusTag(s, s"$dir/lineitem.parquet")
+      val ord = graft.ops.Bucketing.ensureBucketed(
+        s, s"orders|$dir#$ordTag", "o_orderkey", numBuckets = 16)(
+        t(s, dir, "orders").select("o_orderkey", "o_orderpriority"))
+      val li = graft.ops.Bucketing.ensureBucketed(
+        s, s"lineitem|$dir#$liTag", "l_orderkey", numBuckets = 16)(
+        t(s, dir, "lineitem")
+          .select("l_orderkey", "l_extendedprice", "l_discount"))
+      s.sql(
+        s"""SELECT o_orderpriority,
+              CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                       * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+                AS revenue,
+              CAST(COUNT(*) AS BIGINT) AS n_items
+            FROM $ord JOIN $li ON o_orderkey = l_orderkey
+            GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+    }),
+
     "dpp_day_counts" -> ((s, dir) => {
       // dynamic partition pruning — the RUNTIME half of partition pruning.
       // The event log is laid out once per slate run as date-partitioned
@@ -778,6 +806,16 @@ private[graft] object QScanJoin {
          GROUP BY l_returnflag ORDER BY l_returnflag""",
 
     "bucketed_join_revenue" ->
+      """SELECT o_orderpriority,
+            CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                     * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+            CAST(COUNT(*) AS BIGINT) AS n_items
+         FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
+    // the SQL-text face reads the same bucketed layout; the oracle is the
+    // identical plain join — layout must never change results
+    "sql_bucketed_join_revenue" ->
       """SELECT o_orderpriority,
             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
                      * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,

@@ -42,6 +42,51 @@ class BucketingSpec extends SparkTestBase {
     }
   }
 
+  test("raw SQL text over the bucketed catalog names keeps the zero-exchange zero-sort plan (round 15)") {
+    // the sql_bucketed_join_revenue face: a reference user typing SQL —
+    // not the DataFrame API — must still land on the co-located plan
+    val ord = Bucketing.ensureBucketed(spark, "spec_sql_left", "o_orderkey", 8)(left)
+    val li = Bucketing.ensureBucketed(spark, "spec_sql_right", "l_orderkey", 8)(right)
+    withSQLConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val q = spark.sql(
+        s"""SELECT o_orderpriority,
+              CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                       * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+                AS revenue,
+              CAST(COUNT(*) AS BIGINT) AS n_items
+            FROM $ord JOIN $li ON o_orderkey = l_orderkey
+            GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+      val plan = q.queryExecution.sparkPlan
+      val joinShuffles = plan.collect { case e: ShuffleExchangeExec => e }
+        .filterNot(_.outputPartitioning.numPartitions == 1) // final ORDER BY
+      // the aggregation rides the bucket partitioning too (group key =
+      // join key's table side): the ONLY exchanges allowed are the
+      // order-by range exchange and the groupBy hash exchange, never a
+      // join-side repartition of a fact table
+      assert(plan.collect { case j: SortMergeJoinExec => j }.nonEmpty,
+        s"expected a sort-merge join:\n$plan")
+      val sorts = plan.collect { case s: SortExec => s }
+      // join-key sorts are elided (per-bucket sort order); the order-by
+      // sort on o_orderpriority is the query's own
+      assert(!sorts.exists(_.sortOrder.exists(_.child.toString.contains("orderkey"))),
+        s"bucketed SQL join still sorts on the join key:\n$plan")
+      assert(!joinShuffles.exists(_.outputPartitioning.toString.contains("orderkey")),
+        s"bucketed SQL join still exchanges on the join key:\n$plan")
+      // and SQL-text entry did not change the rows vs the DataFrame face
+      val df = spark.table(ord)
+        .join(spark.table(li), col("o_orderkey") === col("l_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(graft.ops.Relational.decimalSumProduct(
+            col("l_extendedprice"), col("l_discount")).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("o_orderpriority")
+        .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSeq
+      val sql = q.collect()
+        .map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSeq
+      assert(sql == df)
+    }
+  }
+
   test("ensureBucketed memoizes per (session, key): one build, stable name") {
     val builds = new AtomicInteger(0)
     def name = Bucketing.ensureBucketed(spark, "spec_memo", "o_orderkey", 4) {
