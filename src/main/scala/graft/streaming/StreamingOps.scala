@@ -93,7 +93,21 @@ object StreamingOps {
     *     RESTARTING the stream over the new frame, and the index
     *     table's retention (`retain`/`minAgeMs`) must outlive the
     *     longest-running stream or its micro-batches fail fast on the
-    *     GC'd version;
+    *     GC'd version. Restart IS the adoption contract for a parquet
+    *     static side (rolling mid-stream adoption would let two
+    *     micro-batches of one logical stream answer from different
+    *     corpus snapshots — a consistency break, not a feature); the
+    *     spec'd RECIPE (VERDICT r14 item 6, IndexAdoptionSpec): record
+    *     the pinned version at stream start
+    *     ([[graft.ops.Sink.listVersions]] head), poll
+    *     [[newerIndexVersion]] between micro-batches or on a timer,
+    *     and on detection drain (`processAllAvailable`/graceful stop),
+    *     `stop()`, rebuild the static frame via
+    *     [[graft.ops.Sink.readSnapshot]] (pins the NEW version), and
+    *     restart the query from its checkpoint — emitted results are
+    *     append-mode-final either side of the restart, and the source
+    *     resumes from the checkpointed offsets, so adoption loses no
+    *     input and revises no output;
     *  3. exact cosine on the candidates, then per-query top-k as a
     *     watermarked windowed aggregate: comparator-sort the collected
     *     (score, id) structs, slice `k` — candidate fan-in per query
@@ -159,6 +173,19 @@ object StreamingOps {
         col("col.id").as(idCol),
         col("col.s").as("score"))
   }
+
+  /** The detection half of the [[annEnrichStream]] restart recipe: the
+    * live committed version of a versioned index table, when it differs
+    * from the version the running stream pinned at start. Driver-side
+    * metadata listing only — cheap enough for a per-micro-batch or
+    * timer poll. Returns None while the pin is still live (no restart
+    * due).
+    */
+  def newerIndexVersion(spark: org.apache.spark.sql.SparkSession,
+                        indexTablePath: String,
+                        pinnedVersion: String): Option[String] =
+    graft.ops.Sink.listVersions(spark, indexTablePath)
+      .headOption.filter(_ != pinnedVersion)
 
   case class DriftObs(windowStartMs: Long, windowEndMs: Long, v: Long,
                       ts: java.sql.Timestamp)
