@@ -1,7 +1,10 @@
 #!/usr/bin/env python3
 """Density-preserving 10x replication of the sf0.1 tables the round-8d
-scale probes touch (orders, lineitem, embeddings — documents and events
-have their own tools, reused here into the same output dir).
+scale probes touch (orders, lineitem, part, embeddings — documents and
+events have their own tools, reused here into the same output dir;
+part added in round 15: the basket_brand_pairs 100x probe joins
+lineitem's offset l_partkey against it, so the dim must replicate with
+the same offsets — brands unchanged, each replica joins its own copy).
 
 Replication discipline (same as make_docs_x10/make_events_x10): replica k
 offsets every key column by k * (max+1), so the result is 10 DISJOINT
@@ -54,13 +57,21 @@ con.execute(f"""
 """)
 con.execute(f"""
   COPY (
+    SELECT p_partkey + k.k * {p_off} AS p_partkey,
+           p.* EXCLUDE (p_partkey)
+    FROM '{src}/part.parquet' p
+    CROSS JOIN (SELECT unnest(range(10)) AS k) k
+  ) TO '{out}/part.parquet' (FORMAT PARQUET)
+""")
+con.execute(f"""
+  COPY (
     SELECT vec_id + k.k * {v_off} AS vec_id,
            e.* EXCLUDE (vec_id)
     FROM '{src}/embeddings.parquet' e
     CROSS JOIN (SELECT unnest(range(10)) AS k) k
   ) TO '{out}/embeddings.parquet' (FORMAT PARQUET)
 """)
-for t in ("orders", "lineitem", "embeddings"):
+for t in ("orders", "lineitem", "part", "embeddings"):
     n = con.sql(f"SELECT count(*) FROM '{out}/{t}.parquet'").fetchone()[0]
     print(f"wrote {out}/{t}.parquet rows={n}")
 
