@@ -325,7 +325,27 @@ object SlateStore {
       // and then the read fails fast rather than serving wrong rows.
       def sidecarsFor(schema: StructType) =
         Map("_schema" -> schema.json) ++ contentTag.map("_tag" -> _)
-      evolve(previous) match {
+      // Append-only histories must not grow unboundedly: every segment
+      // adds a scan path (plan size, file-listing cost, small files), so
+      // once the live manifest reaches `spark.graft.store.maxSegments`
+      // (default 32) an Append is promoted to a full Rewrite — the
+      // periodic compaction every add-file table format schedules
+      // (Iceberg rewrite_data_files / Delta OPTIMIZE), here folded into
+      // the commit that crossed the threshold. Amortized write cost
+      // stays delta-proportional: N-1 appends pay the delta, the Nth
+      // pays the corpus once.
+      val maxSegments = spark.conf
+        .getOption("spark.graft.store.maxSegments").map(_.toInt).getOrElse(32)
+      val compacted = evolve(previous) match {
+        case Evolved.Append(delta)
+            if previousEntry.exists(p =>
+              p.basePath.isDefined && p.paths.size >= maxSegments) =>
+          val prev = previousEntry.get
+          Evolved.Rewrite(readPinned(spark, prev)
+            .unionByName(alignTo(prev.schema, delta)))
+        case other => other
+      }
+      compacted match {
         case Evolved.CarryForward =>
           // a builder may only carry forward an EXISTING generation; the
           // tag refresh is an atomic replace inside the still-live

@@ -133,6 +133,37 @@ class Round15SegmentSpec extends SparkTestBase {
     assert(gen("t4")(_ => sys.error("cached")).as[Long].collect().toSet == Set(9L))
   }
 
+  test("store: appends auto-compact at the segment cap (spark.graft.store.maxSegments)") {
+    // unbounded append histories mean unbounded scan paths: once the
+    // live manifest reaches the cap, the next Append is promoted to a
+    // full single-segment Rewrite — Iceberg's periodic
+    // rewrite_data_files, folded into the commit that crossed the line
+    val key = s"r15_compact_${java.util.UUID.randomUUID().toString.take(8)}"
+    withSQLConf("spark.graft.store.maxSegments" -> "2") {
+      def gen(tag: String, ev: Evolved) =
+        SlateStore.parquetEvolvingSegmented(spark, key, Some(tag))(_ => ev)
+      import spark.implicits._
+      gen("t1", Evolved.Rewrite(Seq(1L).toDF("v")))
+      gen("t2", Evolved.Append(Seq(2L).toDF("v")))
+      val tableDir = new java.io.File(
+        SlateStore.sessionTempRoot(spark), SlateStore.tableName(key)).toString
+      def liveManifestSegs: Int = {
+        val live = Sink.listVersions(spark, tableDir).head
+        new String(java.nio.file.Files.readAllBytes(
+          new java.io.File(new java.io.File(tableDir, live), "_manifest").toPath))
+          .split("\n").count(_.trim.nonEmpty)
+      }
+      assert(liveManifestSegs == 2, "two appends under the cap stay segments")
+      val g3 = gen("t3", Evolved.Append(Seq(3L).toDF("v")))
+      assert(g3.as[Long].collect().toSet == Set(1L, 2L, 3L))
+      assert(liveManifestSegs == 1,
+        "the cap-crossing append must compact to one fresh segment")
+      // the pre-compaction generation stays one time-travel step back
+      assert(Sink.readSnapshotAt(spark, tableDir, 1)
+        .as[Long].collect().toSet == Set(1L, 2L))
+    }
+  }
+
   test("store: a second session appends onto the committed artifact; a legacy plain table migrates via one rewrite") {
     val base = Files.createTempDirectory("r15_seg_base_").toString
     val key = s"r15_xseg_${java.util.UUID.randomUUID().toString.take(8)}"
