@@ -53,15 +53,17 @@ object EvolveProbe {
           storeKey = s"$key|fresh", contentTag = Some("gen2"))._1.count()
       }
       require(n2 == n && n3 == n, s"row drift: corpus=$n evolved=$n2 rebuilt=$n3")
-      // write-cost audit: the evolve commit's segment vs the whole table
+      // write-cost audit: the evolve commit's segment vs the whole table.
+      // The evolved table is identified by this invocation's run salt in
+      // its store key (the fresh-rebuild table carries "fresh" too) —
+      // never by a segment-count heuristic, which breaks the moment a
+      // maxSegments setting promotes the append to a compaction rewrite
       val tableDir = new java.io.File(
         graft.ops.SlateStore.sessionTempRoot(spark)).listFiles()
         .filter(_.getName.startsWith("ivf_postings_inc"))
-        .filter(d => {
-          val segs = new java.io.File(d, "segs")
-          segs.exists() && segs.listFiles().count(
-            _.getName.startsWith("__seg=")) == 2
-        }).maxBy(_.lastModified())
+        .filter(_.getName.contains(run.toString))
+        .filterNot(_.getName.contains("fresh"))
+        .ensuring(_.length == 1, "exactly one evolved postings table").head
       def du(f: java.io.File): Long =
         if (f.isFile) f.length()
         else Option(f.listFiles()).map(_.map(du).sum).getOrElse(0L)

@@ -123,6 +123,17 @@ object Sink {
     * previous segments plus the delta's. Fails fast on a table whose live
     * version is a plain data snapshot (commit it through
     * [[overwriteSegmented]] once to migrate).
+    *
+    * SINGLE-WRITER contract: an append derives its manifest from the
+    * live version, so two uncoordinated appenders would each publish a
+    * manifest missing the other's segment — for a rewrite last-writer-
+    * wins is benign, for an append it is silent data loss. The commit
+    * re-checks the pointer immediately before the swap and throws
+    * `ConcurrentModificationException` if it moved (the staged segment
+    * and manifest are cleaned up; retry re-derives from the new live
+    * manifest); the remaining marker-to-swap window is why writers must
+    * still be serialized — [[SlateStore]]'s per-table build lease
+    * provides that for managed tables.
     */
   def appendSegment(delta: DataFrame, path: String, retain: Int = 1,
                     minAgeMs: Long = 600000L,
@@ -165,6 +176,18 @@ object Sink {
     atomicWrite(conf, new Path(new Path(root, version), ManifestFile),
       (carried :+ seg).mkString("\n"))
     writeVersionSidecars(conf, root, version, sidecars)
+    // append CAS: the manifest re-lists `previous`'s segments, so a
+    // pointer that moved since invalidates it — fail (and clean the
+    // staged files) instead of silently dropping the other commit's
+    // delta from the live table (review fix)
+    if (carryPrevious && currentVersion(fs, root) != previous) {
+      fs.delete(new Path(root, version), true)
+      fs.delete(segDir, true)
+      throw new java.util.ConcurrentModificationException(
+        s"appendSegment: a concurrent commit advanced $path past " +
+          s"${previous.getOrElse("<none>")} while this append staged — " +
+          "serialize appenders (SlateStore's build lease) and retry")
+    }
     commitPointer(conf, fs, root, version, previous, retain, minAgeMs)
     version
   }
@@ -172,20 +195,25 @@ object Sink {
   private val SegsDir = "segs"
   private val ManifestFile = "_manifest"
 
+  /** Read a small metadata file (pointer, marker, manifest, sidecar)
+    * fully into a string — the one shared reader for every control file
+    * this layer writes. */
+  private[ops] def readSmallText(fs: FileSystem, p: Path): String = {
+    val in = fs.open(p)
+    try {
+      val buf = new java.io.ByteArrayOutputStream()
+      org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 4096, false)
+      new String(buf.toByteArray, StandardCharsets.UTF_8)
+    } finally in.close()
+  }
+
   /** The segment ids a manifest version lists, or None for a plain data
     * version (no `_manifest`). */
   private def manifestSegments(fs: FileSystem, versionDir: Path): Option[Seq[String]] = {
     val mf = new Path(versionDir, ManifestFile)
     if (!fs.exists(mf)) None
-    else {
-      val in = fs.open(mf)
-      try {
-        val buf = new java.io.ByteArrayOutputStream()
-        org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 4096, false)
-        Some(new String(buf.toByteArray, StandardCharsets.UTF_8)
-          .split("\n").map(_.trim).filter(_.nonEmpty).toSeq)
-      } finally in.close()
-    }
+    else Some(readSmallText(fs, mf)
+      .split("\n").map(_.trim).filter(_.nonEmpty).toSeq)
   }
 
   /** How to scan a committed version's DATA: `(paths, basePath)`. A plain
@@ -313,9 +341,15 @@ object Sink {
         .filter(s => now - s.getModificationTime >= minAgeMs)
         .foreach(s => fs.delete(s.getPath, true))
     }
-    // stale tmp files (pointer/marker stages) from crashed writers
+    // stale tmp files (pointer/marker/lease stages) from crashed
+    // writers — age-gated by the same floor that shields in-flight
+    // version dirs (review fix: an unconditional sweep could delete a
+    // CONCURRENT writer's just-staged marker tmp mid-commit; with
+    // minAgeMs = 0 the caller has declared the dir free of concurrent
+    // writers, the same contract the orphan-dir GC already rides)
     fs.listStatus(root)
       .filter(s => s.isFile && s.getPath.getName.contains(".tmp-"))
+      .filter(s => now - s.getModificationTime >= minAgeMs)
       .foreach(s => fs.delete(s.getPath, false))
   }
 
@@ -463,27 +497,14 @@ object Sink {
   /** The monotonic commit sequence stored in a supersession marker, or -1
     * for legacy (empty / unparseable) markers. */
   private def markerSeq(fs: FileSystem, marker: Path): Long = {
-    val in = fs.open(marker)
-    val text =
-      try {
-        val buf = new java.io.ByteArrayOutputStream()
-        org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 4096, false)
-        new String(buf.toByteArray, StandardCharsets.UTF_8).trim
-      } finally in.close()
+    val text = readSmallText(fs, marker).trim
     try text.toLong catch { case _: NumberFormatException => -1L }
   }
 
   private[ops] def currentVersion(fs: FileSystem, root: Path): Option[String] = {
     val ptr = new Path(root, "_current")
     if (!fs.exists(ptr)) None
-    else {
-      val in = fs.open(ptr)
-      try {
-        val buf = new java.io.ByteArrayOutputStream()
-        org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 4096, false)
-        Some(new String(buf.toByteArray, StandardCharsets.UTF_8).trim)
-      } finally in.close()
-    }
+    else Some(readSmallText(fs, ptr).trim)
   }
 
   /** Partitioned, clustered write: one shuffle to co-locate partition

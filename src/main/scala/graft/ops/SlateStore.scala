@@ -3,7 +3,7 @@ package graft.ops
 import java.nio.charset.StandardCharsets
 import java.util.concurrent.ConcurrentHashMap
 
-import org.apache.hadoop.fs.Path
+import org.apache.hadoop.fs.{FileContext, Path}
 import org.apache.spark.scheduler.{SparkListener, SparkListenerApplicationEnd}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.types.{DataType, StructType}
@@ -397,23 +397,30 @@ object SlateStore {
     * JVM) racing a first build under a shared `spark.graft.store.dir`
     * both built before this. Protocol: `_lease` is claimed with an
     * atomic create-if-absent (O_EXCL locally, `create(overwrite=false)`
-    * on HDFS) and deleted after the commit; a waiter polls
-    * (`spark.graft.store.leasePollMs`, default 250) until the lease is
-    * released or goes STALE — older than
-    * `spark.graft.store.leaseTimeoutMs` (default 10 min; set it above
-    * the worst-case build) — in which case it deletes the crashed
-    * holder's lease and claims it (racing takeovers are safe: delete is
-    * idempotent and create-if-absent elects one winner). Callers
-    * re-attach after acquiring, so a waiter whose artifact the previous
-    * holder just committed adopts it instead of rebuilding. The lease is
-    * NOT reentrant — a builder deriving its own key would wait on
-    * itself (the same self-recursion the striped locks already forbid).
+    * on HDFS) carrying the claimant's OWNER TOKEN, and released after
+    * the commit; a waiter polls (`spark.graft.store.leasePollMs`,
+    * default 250) until the lease is released or goes STALE — older
+    * than `spark.graft.store.leaseTimeoutMs` (default 10 min; set it
+    * above the worst-case build). Ownership makes takeover and release
+    * safe against the delayed-delete race (review fix: an unconditional
+    * delete let a slow waiter remove a SUCCESSOR's fresh lease, electing
+    * two builders): a stale lease is reaped by atomically RENAMING it to
+    * a reaper-unique name — rename succeeds for exactly one reaper, the
+    * losers' renames fail on the vanished source — and release first
+    * verifies the lease still carries our token (a holder whose build
+    * outran the timeout must not delete its successor's claim), then
+    * reaps it through the same rename gate. Callers re-attach after
+    * acquiring, so a waiter whose artifact the previous holder just
+    * committed adopts it instead of rebuilding. The lease is NOT
+    * reentrant — a builder deriving its own key would wait on itself
+    * (the same self-recursion the striped locks already forbid).
     */
   private def withBuildLease[T](spark: SparkSession, dir: String)(body: => T): T = {
     val conf = spark.sessionState.newHadoopConf()
     val root = new Path(dir)
     val fs = root.getFileSystem(conf)
     val lease = new Path(root, "_lease")
+    val token = java.util.UUID.randomUUID().toString.replace("-", "")
     val timeoutMs = spark.conf.getOption("spark.graft.store.leaseTimeoutMs")
       .map(_.toLong).getOrElse(600000L)
     val pollMs = spark.conf.getOption("spark.graft.store.leasePollMs")
@@ -423,16 +430,17 @@ object SlateStore {
     // claim — a deadline beats waiting forever on a wedged foreign build
     val deadline = System.currentTimeMillis() + 2 * timeoutMs
     while (System.currentTimeMillis() <= deadline) {
-      if (tryAcquireLease(fs, lease))
+      if (tryAcquireLease(fs, lease, token))
         try return body
-        finally fs.delete(lease, false)
+        finally releaseLease(fs, conf, root, lease, token)
       val held =
         try Some(fs.getFileStatus(lease))
         catch { case _: java.io.FileNotFoundException => None }
       held match {
         case Some(s) if System.currentTimeMillis() - s.getModificationTime
             > timeoutMs =>
-          fs.delete(lease, false) // stale takeover; racers no-op
+          // one reaper wins the rename; the losers touch nothing
+          reapLease(fs, conf, root, lease, token, timeoutMs)
         case Some(_) => Thread.sleep(pollMs)
         case None => // released between attempts: retry immediately
       }
@@ -444,10 +452,9 @@ object SlateStore {
   }
 
   private def tryAcquireLease(fs: org.apache.hadoop.fs.FileSystem,
-                              lease: Path): Boolean =
+                              lease: Path, token: String): Boolean =
     try {
-      val stamp = s"${System.currentTimeMillis()}"
-        .getBytes(StandardCharsets.UTF_8)
+      val stamp = token.getBytes(StandardCharsets.UTF_8)
       if (fs.getScheme == "file") {
         // NIO CREATE_NEW = O_EXCL — atomic where Hadoop's local
         // create(overwrite=false) is check-then-create
@@ -465,6 +472,74 @@ object SlateStore {
       case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
       case _: java.io.IOException => false // HDFS wraps exists-failures
     }
+
+  /** Remove the lease ONLY if it is (or was, at the verify read) the
+    * expected claim: verify the owner token, then pull the file out of
+    * play with an atomic no-overwrite rename to a caller-unique name —
+    * exactly one of N racing removers wins the rename; the losers' fail
+    * on the vanished source and touch nothing. The reaped copy is named
+    * `_lease.tmp-*` so commitPointer's (age-gated) tmp reaper clears a
+    * crash between rename and delete. */
+  private def removeLeaseIfOwnedBy(fs: org.apache.hadoop.fs.FileSystem,
+                                   conf: org.apache.hadoop.conf.Configuration,
+                                   root: Path, lease: Path,
+                                   owner: String, caller: String): Unit = {
+    val ownedBy =
+      try Some(Sink.readSmallText(fs, lease).trim)
+      catch { case _: java.io.IOException => None }
+    if (ownedBy.contains(owner)) {
+      val reaped = new Path(root, s"_lease.tmp-$caller")
+      try {
+        if (fs.getScheme == "file")
+          java.nio.file.Files.move(
+            java.nio.file.Paths.get(fs.makeQualified(lease).toUri.getPath),
+            java.nio.file.Paths.get(fs.makeQualified(reaped).toUri.getPath))
+        else {
+          val fc = FileContext.getFileContext(root.toUri, conf)
+          fc.rename(lease, reaped) // no OVERWRITE: fails if reaped exists
+        }
+        fs.delete(reaped, false)
+      } catch {
+        case _: java.io.IOException => // another remover won the rename
+        case _: java.nio.file.NoSuchFileException =>
+        case _: java.nio.file.FileAlreadyExistsException =>
+      }
+    }
+  }
+
+  private def releaseLease(fs: org.apache.hadoop.fs.FileSystem,
+                           conf: org.apache.hadoop.conf.Configuration,
+                           root: Path, lease: Path, token: String): Unit =
+    // only our own claim: a build that outran leaseTimeoutMs may have
+    // been reaped and succeeded by a new holder — leave theirs alone
+    removeLeaseIfOwnedBy(fs, conf, root, lease, owner = token, caller = token)
+
+  /** Take over a crashed holder's lease: re-verify staleness against the
+    * CURRENT occupant (it may have been reaped and re-claimed since the
+    * caller's check — a fresh successor must never be reaped), then
+    * remove exactly that verified claim through the ownership gate.
+    * Residual window: a full reap-then-reclaim cycle landing between the
+    * verify read and the rename could still remove a fresh claim; the
+    * consequence is one duplicated build, never corruption (commits
+    * remain snapshot-atomic either way). */
+  private def reapLease(fs: org.apache.hadoop.fs.FileSystem,
+                        conf: org.apache.hadoop.conf.Configuration,
+                        root: Path, lease: Path, token: String,
+                        timeoutMs: Long): Unit = {
+    val current =
+      try Some(fs.getFileStatus(lease))
+      catch { case _: java.io.FileNotFoundException => None }
+    current.foreach { s =>
+      if (System.currentTimeMillis() - s.getModificationTime > timeoutMs) {
+        val occupant =
+          try Some(Sink.readSmallText(fs, lease).trim)
+          catch { case _: java.io.IOException => None }
+        occupant.foreach(o =>
+          removeLeaseIfOwnedBy(fs, conf, root, lease, owner = o,
+            caller = token))
+      }
+    }
+  }
 
   /** Reorder `delta` to the stored column order and require type-level
     * schema agreement — an appended segment must read back under the

@@ -15,6 +15,25 @@ import graft.QShared._
   * [[SparkEntry]] keeps the driver contract identical. */
 private[graft] object QScanJoin {
 
+  /** The 16-bucket fact tables both bucketed-join faces scan: installed
+    * once per slate run (SlateStore memo, per-table corpus tags), shared
+    * by name — one helper so the DataFrame and SQL-text faces can never
+    * drift onto different layouts. Returns (orders, lineitem) catalog
+    * names. */
+  private def bucketedFactTables(s: org.apache.spark.sql.SparkSession,
+                                 dir: String): (String, String) = {
+    val ordTag = graft.ops.SlateStore.corpusTag(s, s"$dir/orders.parquet")
+    val liTag = graft.ops.SlateStore.corpusTag(s, s"$dir/lineitem.parquet")
+    val ord = graft.ops.Bucketing.ensureBucketed(
+      s, s"orders|$dir#$ordTag", "o_orderkey", numBuckets = 16)(
+      t(s, dir, "orders").select("o_orderkey", "o_orderpriority"))
+    val li = graft.ops.Bucketing.ensureBucketed(
+      s, s"lineitem|$dir#$liTag", "l_orderkey", numBuckets = 16)(
+      t(s, dir, "lineitem")
+        .select("l_orderkey", "l_extendedprice", "l_discount"))
+    (ord, li)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---- §2.1/§2.2 scans, projections, filters -------------------------
@@ -177,15 +196,7 @@ private[graft] object QScanJoin {
       // review fixes: a whole-dir tag walked all 10 tables' metadata per
       // invocation, and a concatenated two-table tag still re-bucketed
       // the untouched fact when the other regenerated)
-      val ordTag = graft.ops.SlateStore.corpusTag(s, s"$dir/orders.parquet")
-      val liTag = graft.ops.SlateStore.corpusTag(s, s"$dir/lineitem.parquet")
-      val ord = graft.ops.Bucketing.ensureBucketed(
-        s, s"orders|$dir#$ordTag", "o_orderkey", numBuckets = 16)(
-        t(s, dir, "orders").select("o_orderkey", "o_orderpriority"))
-      val li = graft.ops.Bucketing.ensureBucketed(
-        s, s"lineitem|$dir#$liTag", "l_orderkey", numBuckets = 16)(
-        t(s, dir, "lineitem")
-          .select("l_orderkey", "l_extendedprice", "l_discount"))
+      val (ord, li) = bucketedFactTables(s, dir)
       s.table(ord).join(s.table(li), col("o_orderkey") === col("l_orderkey"))
         .groupBy("o_orderpriority")
         .agg(
@@ -204,15 +215,7 @@ private[graft] object QScanJoin {
       // the plan; the oracle is the plain join, shared with the
       // DataFrame face). One store memo per table per slate run — this
       // query and bucketed_join_revenue share the installed layout.
-      val ordTag = graft.ops.SlateStore.corpusTag(s, s"$dir/orders.parquet")
-      val liTag = graft.ops.SlateStore.corpusTag(s, s"$dir/lineitem.parquet")
-      val ord = graft.ops.Bucketing.ensureBucketed(
-        s, s"orders|$dir#$ordTag", "o_orderkey", numBuckets = 16)(
-        t(s, dir, "orders").select("o_orderkey", "o_orderpriority"))
-      val li = graft.ops.Bucketing.ensureBucketed(
-        s, s"lineitem|$dir#$liTag", "l_orderkey", numBuckets = 16)(
-        t(s, dir, "lineitem")
-          .select("l_orderkey", "l_extendedprice", "l_discount"))
+      val (ord, li) = bucketedFactTables(s, dir)
       s.sql(
         s"""SELECT o_orderpriority,
               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))

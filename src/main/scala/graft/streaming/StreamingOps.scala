@@ -104,10 +104,12 @@ object StreamingOps {
     *     and on detection drain (`processAllAvailable`/graceful stop),
     *     `stop()`, rebuild the static frame via
     *     [[graft.ops.Sink.readSnapshot]] (pins the NEW version), and
-    *     restart the query from its checkpoint — emitted results are
-    *     append-mode-final either side of the restart, and the source
-    *     resumes from the checkpointed offsets, so adoption loses no
-    *     input and revises no output;
+    *     restart the query — emitted results are append-mode-final
+    *     either side of the restart (spec'd, including a live query
+    *     still serving its pin on a post-recommit micro-batch), and
+    *     with a durable source + checkpointLocation the restart resumes
+    *     from the checkpointed offsets, so adoption loses no input and
+    *     revises no output;
     *  3. exact cosine on the candidates, then per-query top-k as a
     *     watermarked windowed aggregate: comparator-sort the collected
     *     (score, id) structs, slice `k` — candidate fan-in per query

@@ -15,8 +15,12 @@ import graft.streaming.StreamingOps
   * creation, and rolling mid-stream adoption would let two micro-batches
   * of one logical stream answer from different corpus snapshots — so
   * adoption = detect (listVersions vs the recorded pin), drain, stop,
-  * re-pin (readSnapshot), restart. This spec executes the recipe
-  * end-to-end against a recommitted index table.
+  * re-pin (readSnapshot), restart. This spec executes the recipe against
+  * a RUNNING stream: the index recommits mid-stream, detection fires,
+  * the live query keeps serving its pin (the consistency claim, asserted
+  * non-vacuously on a post-recommit micro-batch), and the restarted
+  * query serves the adopted snapshot while pre-restart emissions stay
+  * final.
   */
 class IndexAdoptionSpec extends SparkTestBase {
 
@@ -25,44 +29,57 @@ class IndexAdoptionSpec extends SparkTestBase {
 
   private def ts(s: String) = Timestamp.valueOf(s)
 
-  test("restart recipe: detect the recommitted index, drain, re-pin, serve the new snapshot; old emissions stay final") {
+  test("restart recipe: detect the recommit on a live stream, keep serving the pin, re-pin on restart; old emissions stay final") {
     val table = java.nio.file.Files.createTempDirectory("adopt").toString + "/index"
     val centroids = Seq((0, Seq(1.0f, 0.0f))).toDF("__cell", "__centroid")
     def indexOf(doc: String) =
       Seq((doc, Seq(1.0f, 0.0f), 0)).toDF("doc_id", "embedding", "__cell")
 
-    // generation 1 committed and pinned by the serving stream
+    // generation 1 committed and pinned by the serving stream. retain=2:
+    // the in-flight stream must be able to read its pinned version
+    // through the handover — the retention contract the annEnrichStream
+    // scaladoc requires
     Sink.overwriteSnapshot(indexOf("gen1-doc"), table, retain = 2, minAgeMs = 0L)
     val pin1 = Sink.listVersions(spark, table).head
     val assigned1 = Sink.readSnapshot(spark, table)
 
     val input1 = MemoryStream[(Timestamp, Long, Seq[Float])]
-    input1.addData((ts("2024-01-01 01:00:00"), 1L, Seq(1.0f, 0.0f)))
     val q1 = StreamingOps.annEnrichStream(
         input1.toDF().toDF("ts", "qid", "qv"), "qid", "qv", "ts",
         width = "1 hour", delay = "1 hour",
         assigned1, centroids, "doc_id", "embedding", k = 1, nProbe = 1)
       .select($"qid", $"doc_id")
       .writeStream.format("memory").queryName("adopt_g1")
-      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
-    q1.awaitTermination(60000)
-    assert(spark.table("adopt_g1").as[(Long, String)].collect().toSet ==
-      Set((1L, "gen1-doc")))
+      .outputMode("complete").start()
+    try {
+      input1.addData((ts("2024-01-01 01:00:00"), 1L, Seq(1.0f, 0.0f)))
+      q1.processAllAvailable()
+      assert(spark.table("adopt_g1").as[(Long, String)].collect().toSet ==
+        Set((1L, "gen1-doc")))
 
-    // no recommit yet: the poll finds nothing to adopt
-    assert(StreamingOps.newerIndexVersion(spark, table, pin1).isEmpty)
+      // no recommit yet: the poll finds nothing to adopt
+      assert(StreamingOps.newerIndexVersion(spark, table, pin1).isEmpty)
 
-    // the corpus moves on: generation 2 commits while the pin still
-    // serves — detection fires
-    Sink.overwriteSnapshot(indexOf("gen2-doc"), table, retain = 2, minAgeMs = 0L)
-    val adopted = StreamingOps.newerIndexVersion(spark, table, pin1)
-    assert(adopted.isDefined && adopted.get != pin1)
+      // the corpus moves on WHILE the stream runs: generation 2 commits
+      Sink.overwriteSnapshot(indexOf("gen2-doc"), table, retain = 2, minAgeMs = 0L)
+      val adopted = StreamingOps.newerIndexVersion(spark, table, pin1)
+      assert(adopted.isDefined && adopted.get != pin1,
+        "detection must fire once the live version moves past the pin")
 
-    // the recipe: the gen-1 query already drained (AvailableNow) and
-    // stopped; re-pin the static side and restart the serving query.
-    // retain=2 means the in-flight gen-1 stream could still have read
-    // its pinned version to the end — the retention contract the
-    // annEnrichStream scaladoc requires
+      // the RUNNING query's next micro-batch still answers from the PIN —
+      // one logical stream never mixes corpus snapshots (and the retained
+      // gen-1 version dir keeps the pinned listing readable)
+      input1.addData((ts("2024-01-01 01:30:00"), 3L, Seq(1.0f, 0.0f)))
+      q1.processAllAvailable()
+      assert(spark.table("adopt_g1").as[(Long, String)].collect().toSet ==
+        Set((1L, "gen1-doc"), (3L, "gen1-doc")),
+        "a live stream must keep serving its pinned snapshot after a recommit")
+
+      // the recipe's handover: drain (processAllAvailable above), stop
+      q1.stop()
+    } finally if (q1.isActive) q1.stop()
+
+    // re-pin the static side and restart the serving query
     val assigned2 = Sink.readSnapshot(spark, table)
     val input2 = MemoryStream[(Timestamp, Long, Seq[Float])]
     input2.addData((ts("2024-01-01 01:00:00"), 2L, Seq(1.0f, 0.0f)))
@@ -79,7 +96,7 @@ class IndexAdoptionSpec extends SparkTestBase {
       "the restarted stream must serve the adopted snapshot")
     // pre-restart emissions are final — never revised by adoption
     assert(spark.table("adopt_g1").as[(Long, String)].collect().toSet ==
-      Set((1L, "gen1-doc")))
+      Set((1L, "gen1-doc"), (3L, "gen1-doc")))
     // and the new pin is now current: no further restart due
     val pin2 = Sink.listVersions(spark, table).head
     assert(StreamingOps.newerIndexVersion(spark, table, pin2).isEmpty)
