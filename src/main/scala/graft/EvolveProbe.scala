@@ -54,16 +54,16 @@ object EvolveProbe {
       }
       require(n2 == n && n3 == n, s"row drift: corpus=$n evolved=$n2 rebuilt=$n3")
       // write-cost audit: the evolve commit's segment vs the whole table.
-      // The evolved table is identified by this invocation's run salt in
-      // its store key (the fresh-rebuild table carries "fresh" too) —
-      // never by a segment-count heuristic, which breaks the moment a
-      // maxSegments setting promotes the append to a compaction rewrite
+      // The evolved table is located by its EXACT store key (the same
+      // builder ivfIndexEvolving uses — review fix: a name-fragment
+      // search silently depended on the salt surviving the table-name
+      // prefix truncation, and a segment-count heuristic broke the
+      // moment compaction promoted the append)
       val tableDir = new java.io.File(
-        graft.ops.SlateStore.sessionTempRoot(spark)).listFiles()
-        .filter(_.getName.startsWith("ivf_postings_inc"))
-        .filter(_.getName.contains(run.toString))
-        .filterNot(_.getName.contains("fresh"))
-        .ensuring(_.length == 1, "exactly one evolved postings table").head
+        graft.ops.SlateStore.sessionTempRoot(spark),
+        graft.ops.SlateStore.tableName(
+          VectorOps.ivfEvolvingPostingsKey(key, "vec_id", "embedding", nCells)))
+        .ensuring(_.isDirectory, "evolved postings table dir")
       def du(f: java.io.File): Long =
         if (f.isFile) f.length()
         else Option(f.listFiles()).map(_.map(du).sum).getOrElse(0L)

@@ -657,6 +657,17 @@ object VectorOps {
     * Returns (postings, float centroid table), same shapes as
     * [[ivfIndexStored]].
     */
+  /** The store key of [[ivfIndexEvolving]]'s postings table — shared
+    * with dev tooling (EvolveProbe locates the committed table by this
+    * exact key instead of guessing by name fragments, review fix). */
+  private[graft] def ivfEvolvingPostingsKey(storeKey: String, idCol: String,
+                                            embCol: String, nCells: Int,
+                                            seed: Long = 42L,
+                                            sampleCap: Int = 4096,
+                                            iters: Int = 10): String =
+    "ivf_postings_inc|" +
+      s"$storeKey|id=$idCol|emb=$embCol|c=$nCells|s=$seed|cap=$sampleCap|it=$iters"
+
   def ivfIndexEvolving(embeddings: DataFrame, idCol: String, embCol: String,
                        nCells: Int, storeKey: String,
                        contentTag: Option[String],
@@ -686,8 +697,14 @@ object VectorOps {
       case None => centroidTable(spark, cents)
     }
     import graft.ops.SlateStore.Evolved
+    // unpersisted AFTER the store call returns: the commit (which reads
+    // the persisted anti-join) has executed by then, and holding the
+    // blocks for the rest of the session wasted memory on every shape —
+    // corpus-scale on a rewrite-heavy evolution (review fix)
+    var pinnedFresh: Option[DataFrame] = None
     val assigned = graft.ops.SlateStore.parquetEvolvingSegmented(spark,
-      s"ivf_postings_inc|$paramKey", contentTag,
+      ivfEvolvingPostingsKey(storeKey, idCol, embCol, nCells, seed,
+        sampleCap, iters), contentTag,
       partitionBy = Seq("__cell")) { prev =>
       // change detection is (id, embedding): a row whose vector was
       // REWRITTEN under a stable id is fresh (re-scored), not kept — an
@@ -711,6 +728,7 @@ object VectorOps {
           val fresh = embeddings.join(old.select(idAndVec.map(col): _*),
               idAndVec, "left_anti")
             .persist()
+          pinnedFresh = Some(fresh)
           // the evolution SHAPE decides the commit cost (VERDICT r14
           // item 1): a pure append — no previous (id, vector) vanished —
           // commits ONLY the freshly-assigned delta as a new segment, so
@@ -738,6 +756,7 @@ object VectorOps {
           }
       }
     }
+    pinnedFresh.foreach(_.unpersist(false))
     (assigned, centroids)
   }
 

@@ -278,7 +278,8 @@ object SlateStore {
                              dir: String, contentTag: Option[String],
                              partitionBy: Seq[String],
                              evolve: Option[DataFrame] => Evolved,
-                             segmented: Boolean, managed: Boolean): Pinned = {
+                             segmented: Boolean, managed: Boolean,
+                             retriesLeft: Int = 1): Pinned = {
       // a committed snapshot under this key with a STALE tag is the
       // previous artifact generation: offer it to the builder (read
       // against the pinned pre-commit version, so the derivation and the
@@ -341,8 +342,14 @@ object SlateStore {
             if previousEntry.exists(p =>
               p.basePath.isDefined && p.paths.size >= maxSegments) =>
           val prev = previousEntry.get
-          Evolved.Rewrite(readPinned(spark, prev)
-            .unionByName(alignTo(prev.schema, delta)))
+          // re-cluster on the partition columns: without it each scan
+          // task writes one file per partition value it happens to read,
+          // so the "compacted" segment would CARRY the accumulated
+          // small files instead of consolidating them (review fix) —
+          // consolidating the file listing is half of why compaction
+          // exists
+          Evolved.Rewrite(clusterBy(partitionBy, readPinned(spark, prev)
+            .unionByName(alignTo(prev.schema, delta))))
         case other => other
       }
       compacted match {
@@ -369,15 +376,28 @@ object SlateStore {
           pinnedOf(spark, dir, version, df.schema)
         case Evolved.Append(delta) => previousEntry match {
           case Some(prev) if prev.basePath.isDefined =>
-            val version = Sink.appendSegment(alignTo(prev.schema, delta),
-              dir, retain, minAge, partitionBy, sidecarsFor(prev.schema))
+            val version =
+              try Sink.appendSegment(alignTo(prev.schema, delta),
+                dir, retain, minAge, partitionBy, sidecarsFor(prev.schema))
+              catch {
+                // the lease's residual double-election window (see
+                // reapLease) can surface here as the append CAS firing;
+                // one retry re-derives from the NEW live manifest —
+                // evolve() is a pure function of the previous
+                // generation, so re-running it is safe
+                case _: java.util.ConcurrentModificationException
+                    if retriesLeft > 0 =>
+                  return buildAndCommit(spark, sk, key, dir, contentTag,
+                    partitionBy, evolve, segmented, managed,
+                    retriesLeft - 1)
+              }
             pinnedOf(spark, dir, version, prev.schema)
           case Some(prev) =>
             // a pre-segment (plain data version) table: migrate with one
             // full rewrite — the only corpus-sized write this layout ever
-            // pays again
-            val full = readPinned(spark, prev)
-              .unionByName(alignTo(prev.schema, delta))
+            // pays again; clustered like any compaction
+            val full = clusterBy(partitionBy, readPinned(spark, prev)
+              .unionByName(alignTo(prev.schema, delta)))
             val version = Sink.overwriteSegmented(full, dir, retain, minAge,
               partitionBy, sidecarsFor(prev.schema))
             pinnedOf(spark, dir, version, prev.schema)
@@ -500,9 +520,11 @@ object SlateStore {
         }
         fs.delete(reaped, false)
       } catch {
-        case _: java.io.IOException => // another remover won the rename
-        case _: java.nio.file.NoSuchFileException =>
+        // NoSuchFile/FileAlreadyExists are IOException subclasses — they
+        // must match first or they are dead cases (review fix)
+        case _: java.nio.file.NoSuchFileException => // lost the rename race
         case _: java.nio.file.FileAlreadyExistsException =>
+        case _: java.io.IOException => // rename/delete raced or failed soft
       }
     }
   }
@@ -520,8 +542,10 @@ object SlateStore {
     * remove exactly that verified claim through the ownership gate.
     * Residual window: a full reap-then-reclaim cycle landing between the
     * verify read and the rename could still remove a fresh claim; the
-    * consequence is one duplicated build, never corruption (commits
-    * remain snapshot-atomic either way). */
+    * consequence is one duplicated build — never corruption (commits
+    * remain snapshot-atomic), and a doubly-elected APPEND pair is caught
+    * by the commit CAS, whose ConcurrentModificationException the store
+    * retries once against the new live manifest. */
   private def reapLease(fs: org.apache.hadoop.fs.FileSystem,
                         conf: org.apache.hadoop.conf.Configuration,
                         root: Path, lease: Path, token: String,
@@ -540,6 +564,16 @@ object SlateStore {
       }
     }
   }
+
+  /** Co-locate each partition value in one task before a partitioned
+    * write (one file per value per task otherwise — the writeClustered
+    * discipline); identity for unpartitioned tables. */
+  private def clusterBy(partitionBy: Seq[String], df: DataFrame): DataFrame =
+    if (partitionBy.isEmpty) df
+    else {
+      val cols = partitionBy.map(org.apache.spark.sql.functions.col)
+      df.repartition(cols: _*).sortWithinPartitions(cols: _*)
+    }
 
   /** Reorder `delta` to the stored column order and require type-level
     * schema agreement — an appended segment must read back under the
