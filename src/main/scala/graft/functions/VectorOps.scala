@@ -657,25 +657,39 @@ object VectorOps {
     * Returns (postings, float centroid table), same shapes as
     * [[ivfIndexStored]].
     */
+  private[graft] val IvfDefaultSeed = 42L
+  private[graft] val IvfDefaultSampleCap = 4096
+  private[graft] val IvfDefaultIters = 10
+
+  /** ONE param-key template for the evolving-index artifacts — the key
+    * format and the defaults live here and nowhere else (review fix:
+    * the probe's exact-key lookup silently depended on two
+    * independently-declared default lists staying identical). */
+  private def ivfEvolvingParamKey(storeKey: String, idCol: String,
+                                  embCol: String, nCells: Int, seed: Long,
+                                  sampleCap: Int, iters: Int): String =
+    s"$storeKey|id=$idCol|emb=$embCol|c=$nCells|s=$seed|cap=$sampleCap|it=$iters"
+
   /** The store key of [[ivfIndexEvolving]]'s postings table — shared
     * with dev tooling (EvolveProbe locates the committed table by this
     * exact key instead of guessing by name fragments, review fix). */
   private[graft] def ivfEvolvingPostingsKey(storeKey: String, idCol: String,
                                             embCol: String, nCells: Int,
-                                            seed: Long = 42L,
-                                            sampleCap: Int = 4096,
-                                            iters: Int = 10): String =
-    "ivf_postings_inc|" +
-      s"$storeKey|id=$idCol|emb=$embCol|c=$nCells|s=$seed|cap=$sampleCap|it=$iters"
+                                            seed: Long = IvfDefaultSeed,
+                                            sampleCap: Int = IvfDefaultSampleCap,
+                                            iters: Int = IvfDefaultIters): String =
+    "ivf_postings_inc|" + ivfEvolvingParamKey(storeKey, idCol, embCol,
+      nCells, seed, sampleCap, iters)
 
   def ivfIndexEvolving(embeddings: DataFrame, idCol: String, embCol: String,
                        nCells: Int, storeKey: String,
                        contentTag: Option[String],
-                       seed: Long = 42L, sampleCap: Int = 4096,
-                       iters: Int = 10): (DataFrame, DataFrame) = {
+                       seed: Long = IvfDefaultSeed,
+                       sampleCap: Int = IvfDefaultSampleCap,
+                       iters: Int = IvfDefaultIters): (DataFrame, DataFrame) = {
     val spark = embeddings.sparkSession
-    val paramKey =
-      s"$storeKey|id=$idCol|emb=$embCol|c=$nCells|s=$seed|cap=$sampleCap|it=$iters"
+    val paramKey = ivfEvolvingParamKey(storeKey, idCol, embCol, nCells,
+      seed, sampleCap, iters)
     val quantizer = graft.ops.SlateStore.parquetEvolving(spark,
       s"ivf_quantizer|$paramKey", contentTag) {
       case Some(prev) => prev // frozen: never refit on evolution
@@ -700,11 +714,20 @@ object VectorOps {
     // unpersisted AFTER the store call returns: the commit (which reads
     // the persisted anti-join) has executed by then, and holding the
     // blocks for the rest of the session wasted memory on every shape —
-    // corpus-scale on a rewrite-heavy evolution (review fix)
+    // corpus-scale on a rewrite-heavy evolution (review fix). The pin
+    // releases any PREVIOUS claim before overwriting (the store may
+    // re-invoke the closure on a concurrent-commit retry) and the
+    // finally releases on every exit path.
     var pinnedFresh: Option[DataFrame] = None
-    val assigned = graft.ops.SlateStore.parquetEvolvingSegmented(spark,
-      ivfEvolvingPostingsKey(storeKey, idCol, embCol, nCells, seed,
-        sampleCap, iters), contentTag,
+    def pinFresh(df: DataFrame): DataFrame = {
+      pinnedFresh.foreach(_.unpersist(false))
+      pinnedFresh = Some(df.persist())
+      pinnedFresh.get
+    }
+    def evolvingKey = ivfEvolvingPostingsKey(storeKey, idCol, embCol,
+      nCells, seed, sampleCap, iters)
+    val assigned = try graft.ops.SlateStore.parquetEvolvingSegmented(spark,
+      evolvingKey, contentTag,
       partitionBy = Seq("__cell")) { prev =>
       // change detection is (id, embedding): a row whose vector was
       // REWRITTEN under a stable id is fresh (re-scored), not kept — an
@@ -712,12 +735,14 @@ object VectorOps {
       // Array equality is exact (float columns round-trip parquet
       // bitwise), and the compare join moves (id, vector) pairs once.
       val idAndVec = Seq(idCol, embCol)
-      def cluster(df: DataFrame) =
-        df.repartition(col("__cell")).sortWithinPartitions(col("__cell"))
+      // no local clustering: the store clusters every segmented
+      // partitioned write itself (one shuffle, applied exactly once —
+      // a builder-side repartition would be re-shuffled on a
+      // compaction-promoted append)
       def assign(df: DataFrame) = df.withColumn("__cell",
         nearestCell(spark, col(embCol).cast("array<double>"), cents))
       prev match {
-        case None => Evolved.Rewrite(cluster(assign(embeddings)))
+        case None => Evolved.Rewrite(assign(embeddings))
         case Some(old) =>
           // persisted so the change-detection anti-join executes ONCE —
           // the shape-probe count below and the commit's write both read
@@ -725,10 +750,9 @@ object VectorOps {
           // twice per evolution). Same contract as nearDupPairs: slate
           // callers clearCache() between queries; the delta is
           // delta-sized on the append path this feature optimizes.
-          val fresh = embeddings.join(old.select(idAndVec.map(col): _*),
-              idAndVec, "left_anti")
-            .persist()
-          pinnedFresh = Some(fresh)
+          val fresh = pinFresh(
+            embeddings.join(old.select(idAndVec.map(col): _*),
+              idAndVec, "left_anti"))
           // the evolution SHAPE decides the commit cost (VERDICT r14
           // item 1): a pure append — no previous (id, vector) vanished —
           // commits ONLY the freshly-assigned delta as a new segment, so
@@ -746,17 +770,16 @@ object VectorOps {
           if (removed > 0) {
             val keep = old.join(embeddings.select(idAndVec.map(col): _*),
               idAndVec, "left_semi")
-            Evolved.Rewrite(cluster(
-              keep.unionByName(assign(fresh).select(old.columns.map(col): _*))))
+            Evolved.Rewrite(
+              keep.unionByName(assign(fresh).select(old.columns.map(col): _*)))
           } else if (nFresh == 0L) {
             Evolved.CarryForward
           } else {
-            Evolved.Append(cluster(
-              assign(fresh).select(old.columns.map(col): _*)))
+            Evolved.Append(
+              assign(fresh).select(old.columns.map(col): _*))
           }
       }
-    }
-    pinnedFresh.foreach(_.unpersist(false))
+    } finally pinnedFresh.foreach(_.unpersist(false))
     (assigned, centroids)
   }
 

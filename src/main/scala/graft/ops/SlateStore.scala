@@ -218,7 +218,16 @@ object SlateStore {
     * re-lists the previous segments, and readers scan the manifest's
     * segment set as one partition-pruned relation. A table committed by
     * the pre-segment layout (a plain data version) migrates on its first
-    * Append via one full rewrite.
+    * Append via one full rewrite. Partitioned segment writes are
+    * clustered by the store itself — builders should NOT pre-repartition.
+    *
+    * CONTRACT: an [[Evolved.Append]] delta MUST be DERIVED from the
+    * `prev` frame the closure receives (anti-join the input against it,
+    * the ivfIndexEvolving shape) — the closure can be re-invoked against
+    * a NEWER generation after a concurrent-commit retry, and a
+    * prev-independent delta would then be appended twice (silent
+    * duplication, the mirror image of the lost-append race the commit
+    * CAS exists to stop).
     */
   def parquetEvolvingSegmented(spark: SparkSession, key: String,
                                contentTag: Option[String] = None,
@@ -342,14 +351,8 @@ object SlateStore {
             if previousEntry.exists(p =>
               p.basePath.isDefined && p.paths.size >= maxSegments) =>
           val prev = previousEntry.get
-          // re-cluster on the partition columns: without it each scan
-          // task writes one file per partition value it happens to read,
-          // so the "compacted" segment would CARRY the accumulated
-          // small files instead of consolidating them (review fix) —
-          // consolidating the file listing is half of why compaction
-          // exists
-          Evolved.Rewrite(clusterBy(partitionBy, readPinned(spark, prev)
-            .unionByName(alignTo(prev.schema, delta))))
+          Evolved.Rewrite(readPinned(spark, prev)
+            .unionByName(alignTo(prev.schema, delta)))
         case other => other
       }
       compacted match {
@@ -366,10 +369,17 @@ object SlateStore {
             new Path(prev.versionDir, "_tag"), t))
           prev
         case Evolved.Rewrite(df) =>
+          // segmented partitioned writes are CLUSTERED by the store, once,
+          // here (review fix: per-site clustering left a generic caller's
+          // append writing one file per partition value per task — the
+          // small-files defect — and double-shuffled a builder-clustered
+          // delta on compaction promotion). Plain parquet() rewrites keep
+          // owning their layout: their builders predate this path and
+          // hand-cluster deliberately.
           val version =
             if (segmented)
-              Sink.overwriteSegmented(df, dir, retain, minAge, partitionBy,
-                sidecarsFor(df.schema))
+              Sink.overwriteSegmented(clusterBy(partitionBy, df), dir,
+                retain, minAge, partitionBy, sidecarsFor(df.schema))
             else
               Sink.overwriteSnapshot(df, dir, retain, minAge, partitionBy,
                 sidecarsFor(df.schema))
@@ -377,7 +387,8 @@ object SlateStore {
         case Evolved.Append(delta) => previousEntry match {
           case Some(prev) if prev.basePath.isDefined =>
             val version =
-              try Sink.appendSegment(alignTo(prev.schema, delta),
+              try Sink.appendSegment(
+                clusterBy(partitionBy, alignTo(prev.schema, delta)),
                 dir, retain, minAge, partitionBy, sidecarsFor(prev.schema))
               catch {
                 // the lease's residual double-election window (see
@@ -395,7 +406,7 @@ object SlateStore {
           case Some(prev) =>
             // a pre-segment (plain data version) table: migrate with one
             // full rewrite — the only corpus-sized write this layout ever
-            // pays again; clustered like any compaction
+            // pays again; clustered like any segmented write
             val full = clusterBy(partitionBy, readPinned(spark, prev)
               .unionByName(alignTo(prev.schema, delta)))
             val version = Sink.overwriteSegmented(full, dir, retain, minAge,
@@ -403,7 +414,8 @@ object SlateStore {
             pinnedOf(spark, dir, version, prev.schema)
           case None =>
             // an append with nothing to append to IS the whole content
-            val version = Sink.overwriteSegmented(delta, dir, retain, minAge,
+            val version = Sink.overwriteSegmented(
+              clusterBy(partitionBy, delta), dir, retain, minAge,
               partitionBy, sidecarsFor(delta.schema))
             pinnedOf(spark, dir, version, delta.schema)
         }
