@@ -32,7 +32,12 @@ con = duckdb.connect()
 
 o_off = con.sql(f"SELECT max(o_orderkey)+1 FROM '{src}/orders.parquet'").fetchone()[0]
 c_off = con.sql(f"SELECT max(o_custkey)+1 FROM '{src}/orders.parquet'").fetchone()[0]
-p_off = con.sql(f"SELECT max(l_partkey)+1 FROM '{src}/lineitem.parquet'").fetchone()[0]
+# the part dim's offset must clear BOTH key domains: a part row whose key
+# exceeds the highest referenced l_partkey would otherwise collide across
+# replicas (duplicate p_partkey -> silent join fan-out in the probes)
+p_off = con.sql(f"""SELECT greatest(
+    (SELECT max(l_partkey) FROM '{src}/lineitem.parquet'),
+    (SELECT max(p_partkey) FROM '{src}/part.parquet')) + 1""").fetchone()[0]
 s_off = con.sql(f"SELECT max(l_suppkey)+1 FROM '{src}/lineitem.parquet'").fetchone()[0]
 v_off = con.sql(f"SELECT max(vec_id)+1 FROM '{src}/embeddings.parquet'").fetchone()[0]
 
