@@ -138,10 +138,18 @@ object StreamingOps {
     // the RAW id with an inverted comparison instead of arithmetic
     // negation, so idCol may be any orderable type (a negated id was an
     // analysis error for string ids and overflowed at Long.MinValue —
-    // ADVICE r14) — the batch ivfTopK contract for any id the batch side
-    // accepts
+    // ADVICE r14). NULLS ORDER LAST on both fields explicitly: a null
+    // score (cosineBest over a null embedding) made every score branch
+    // evaluate null→false and fall through to the id, which is
+    // intransitive against scored elements and leaves array_sort
+    // undefined (ADVICE r15) — the explicit isNull branches restore a
+    // total order for any input the batch side accepts
     def bestFirst(l: Column, r: Column): Column =
-      when(l("s") > r("s"), -1).when(l("s") < r("s"), 1)
+      when(l("s").isNull && r("s").isNotNull, 1)
+        .when(l("s").isNotNull && r("s").isNull, -1)
+        .when(l("s") > r("s"), -1).when(l("s") < r("s"), 1)
+        .when(l("id").isNull && r("id").isNotNull, 1)
+        .when(l("id").isNotNull && r("id").isNull, -1)
         .when(l("id") < r("id"), -1).when(l("id") > r("id"), 1)
         .otherwise(0)
     // nProbe nearest cells per row: score desc, cell asc at ties — the
