@@ -80,8 +80,13 @@ private[graft] object QDedup {
     "dedup_containment" -> ((s, dir) =>
       // Broder-1997 containment (|A∩B|/|A|): the quote/excerpt detector
       // Jaccard structurally misses — prefix filter on the contained
-      // side only, full inverted index on the container side
-      LlmOps.containmentPairs(t(s, dir, "documents"),
+      // side only, full inverted index on the container side. Routed
+      // through the STATS ROUTER (ADVICE r15): under the exactMaxBytes
+      // bound this runs containmentPairs verbatim (the oracle replays it
+      // exactly at verify scale); past it — corpus growth, a replica
+      // probe — the query degrades to the dedup-first sketch composition
+      // instead of a contract exception
+      LlmOps.containmentAuto(t(s, dir, "documents"),
           "doc_id", "text", blockCol = "lang", shingleN = 3, threshold = 0.9)
         .orderBy("id_a", "id_b")),
 
@@ -413,7 +418,11 @@ private[graft] object QDedup {
              / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
          ORDER BY id_a, id_b""",
 
-    // asymmetric twin: intersections over |A| only, both directions kept
+    // asymmetric twin: intersections over |A| only, both directions kept.
+    // The query routes through containmentAuto, whose under-bound branch
+    // IS the exact op projected to (id_a, id_b, containment) — verify
+    // scale sits far under the bound, so the oracle replays the exact
+    // values (n_common is an exact-op internal the router doesn't emit)
     "dedup_containment" ->
       """WITH d AS (
            SELECT doc_id, lang,
@@ -422,7 +431,6 @@ private[graft] object QDedup {
                i -> array_to_string(list_slice(string_split_regex(lower(trim(text)), '\s+'), i, i + 2), ' '))) AS sh
            FROM documents)
          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS n_common,
            CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
              / len(a.sh) AS containment
          FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id <> b.doc_id
