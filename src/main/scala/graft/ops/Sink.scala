@@ -90,32 +90,43 @@ object Sink {
 
   /** [[overwriteSnapshot]]'s segmented twin: the table's data lives in
     * immutable SEGMENT directories under `path/segs/__seg=<id>/`, and a
-    * committed version is a tiny `_manifest` file (one segment id per
-    * line) inside its `v-*` dir — the Iceberg/Delta metadata-plus-
+    * committed version is a tiny `_manifest` file (one entry per line)
+    * inside its `v-*` dir — the Iceberg/Delta metadata-plus-
     * data-files shape on the same pointer-commit protocol. A rewrite
     * commits ONE fresh segment carrying the whole table; an append
     * ([[appendSegment]]) commits a DELTA-sized segment plus a manifest
-    * that re-lists the previous generation's segments, so the write cost
+    * that re-lists the previous generation's entries, so the write cost
     * of an append is proportional to the delta, not the corpus — the
-    * bound a daily-append 100 TB index lives or dies by. Readers resolve
-    * the manifest and scan the listed segments as one partitioned
-    * relation (`__seg` is a discovered partition level under
-    * `basePath=segs/`), so partition pruning on `partitionColumns` (the
-    * IVF probe path) works across segments exactly as on a single dir.
+    * bound a daily-append 100 TB index lives or dies by; a patch
+    * ([[patchSegmented]]) removes rows by committing a key-only DELETE
+    * SEGMENT readers subtract at scan time (merge-on-read), so row-level
+    * deletes are delta-proportional too. Readers resolve the manifest
+    * and scan the listed data segments as one partitioned relation
+    * (`__seg` is a discovered partition level under `basePath=segs/`),
+    * so partition pruning on `partitionColumns` (the IVF probe path)
+    * works across segments exactly as on a single dir.
+    *
+    * `statsCols` (round 16): record per-segment min/max bounds of the
+    * named columns into the manifest entry (Iceberg-style data-skipping
+    * metadata) — one tiny agg job over the just-written segment per
+    * commit. [[readSnapshotPruned]] uses them to skip whole segments
+    * whose bounds exclude a range predicate, before any file listing.
     *
     * Retention: version GC is unchanged (manifests are versions); a
-    * segment is reclaimed when NO retained version's manifest references
-    * it AND it is older than `minAgeMs` — the same dual gate, which also
-    * shields an in-flight writer's just-written segment. Time travel
-    * ([[readSnapshotAt]]) serves any retained manifest's exact segment
-    * set; segments are immutable, so a pinned generation is stable.
+    * segment — data or delete — is reclaimed when NO retained version's
+    * manifest references it AND it is older than `minAgeMs` — the same
+    * dual gate, which also shields an in-flight writer's just-written
+    * segment. Time travel ([[readSnapshotAt]]) serves any retained
+    * manifest's exact entry sequence; segments are immutable, so a
+    * pinned generation is stable.
     */
   def overwriteSegmented(df: DataFrame, path: String, retain: Int = 1,
                          minAgeMs: Long = 600000L,
                          partitionColumns: Seq[String] = Nil,
-                         sidecars: Map[String, String] = Map.empty): String =
-    commitSegments(df, path, retain, minAgeMs, partitionColumns, sidecars,
-      carryPrevious = false)
+                         sidecars: Map[String, String] = Map.empty,
+                         statsCols: Seq[String] = Nil): String =
+    commitSegments(path, retain, minAgeMs, partitionColumns, sidecars,
+      carryPrevious = false, data = Some(df), deleteKeys = None, statsCols)
 
   /** Append `delta` to a segmented table as one new segment: every row of
     * the live generation survives (the caller's contract — removals or
@@ -124,76 +135,345 @@ object Sink {
     * version is a plain data snapshot (commit it through
     * [[overwriteSegmented]] once to migrate).
     *
-    * SINGLE-WRITER contract: an append derives its manifest from the
-    * live version, so two uncoordinated appenders would each publish a
-    * manifest missing the other's segment — for a rewrite last-writer-
-    * wins is benign, for an append it is silent data loss. The commit
-    * re-checks the pointer immediately before the swap and throws
-    * `ConcurrentModificationException` if it moved (the staged segment
-    * and manifest are cleaned up; retry re-derives from the new live
-    * manifest); the remaining marker-to-swap window is why writers must
-    * still be serialized — [[SlateStore]]'s per-table build lease
-    * provides that for managed tables.
+    * CONCURRENCY: an append derives its manifest from the live version,
+    * so two uncoordinated appenders would each publish a manifest
+    * missing the other's segment — for a rewrite last-writer-wins is
+    * benign, for an append it is silent data loss. The commit therefore
+    * verifies the pointer and swaps it inside a table-level COMMIT LOCK
+    * (round 16; the r15 bare check-then-swap still lost the race) and
+    * throws `ConcurrentModificationException` when the pointer moved
+    * (the staged segment and manifest are cleaned up) — the caller
+    * re-derives its delta from the NEW live version and retries, which
+    * is why no delta is ever lost under any interleaving (hammer spec).
+    * [[SlateStore]]'s per-table build lease still serializes managed
+    * builders — that is a cost optimization (one build instead of N),
+    * not a correctness requirement anymore.
     */
   def appendSegment(delta: DataFrame, path: String, retain: Int = 1,
                     minAgeMs: Long = 600000L,
                     partitionColumns: Seq[String] = Nil,
-                    sidecars: Map[String, String] = Map.empty): String =
-    commitSegments(delta, path, retain, minAgeMs, partitionColumns, sidecars,
-      carryPrevious = true)
+                    sidecars: Map[String, String] = Map.empty,
+                    statsCols: Seq[String] = Nil): String =
+    commitSegments(path, retain, minAgeMs, partitionColumns, sidecars,
+      carryPrevious = true, data = Some(delta), deleteKeys = None, statsCols)
 
-  private def commitSegments(df: DataFrame, path: String, retain: Int,
+  /** Row-level DELETE (optionally fused with an append) at delta cost —
+    * the Iceberg-v2 merge-on-read shape (equality delete files): the
+    * commit writes `deleteKeys` (a key-columns-only frame; every column
+    * must exist on the table) as ONE key-sized delete segment plus, when
+    * `delta` is given, one data segment, and a manifest re-listing the
+    * previous generation's entries followed by [delete, data]. Readers
+    * subtract a delete segment from the data segments listed BEFORE it
+    * (anti-join on the key columns at scan time) — sequence semantics,
+    * so a key re-inserted by a LATER data segment survives, which is
+    * exactly what a rewritten-row commit needs: delete the stale key,
+    * append the fresh row, one version. Write cost is |keys| + |delta|,
+    * never the corpus — the bound that makes a 0.1% deletion from a
+    * 100 TB table affordable. The read-side anti-join debt is bounded by
+    * the same segment cap that bounds manifest growth: compaction
+    * (a [[overwriteSegmented]] rewrite, or the SlateStore maxSegments
+    * promotion) folds deletes into a fresh single segment.
+    *
+    * Same SINGLE-WRITER contract and commit CAS as [[appendSegment]]:
+    * the manifest derives from the live version, so a pointer that moved
+    * mid-stage throws `ConcurrentModificationException` after cleaning
+    * the staged segments.
+    */
+  def patchSegmented(path: String, deleteKeys: Option[DataFrame],
+                     delta: Option[DataFrame], retain: Int = 1,
+                     minAgeMs: Long = 600000L,
+                     partitionColumns: Seq[String] = Nil,
+                     sidecars: Map[String, String] = Map.empty,
+                     statsCols: Seq[String] = Nil): String =
+    commitSegments(path, retain, minAgeMs, partitionColumns, sidecars,
+      carryPrevious = true, data = delta, deleteKeys = deleteKeys, statsCols)
+
+  private def commitSegments(path: String, retain: Int,
                              minAgeMs: Long, partitionColumns: Seq[String],
                              sidecars: Map[String, String],
-                             carryPrevious: Boolean): String = {
-    val conf = df.sparkSession.sessionState.newHadoopConf()
+                             carryPrevious: Boolean,
+                             data: Option[DataFrame],
+                             deleteKeys: Option[DataFrame],
+                             statsCols: Seq[String]): String = {
+    val spark = data.orElse(deleteKeys).getOrElse(throw new IllegalArgumentException(
+      "commitSegments: a commit needs a data frame, delete keys, or both"))
+      .sparkSession
+    val conf = spark.sessionState.newHadoopConf()
     val root = new Path(path)
     val fs = root.getFileSystem(conf)
     val previous = if (fs.exists(root)) currentVersion(fs, root) else None
-    val carried =
+    val carried: Seq[ManifestEntry] =
       if (!carryPrevious) Nil
       else {
         val prev = previous.getOrElse(throw new IllegalStateException(
           s"appendSegment: no committed version to append to at $path"))
-        val m = manifestSegments(fs, new Path(root, prev)).getOrElse(
+        val entriesOpt =
+          try manifestEntries(fs, new Path(root, prev))
+          catch {
+            // the manifest vanished mid-read: a concurrent commit
+            // superseded and GC'd the resolved version — retryable
+            case _: java.io.FileNotFoundException =>
+              throw new java.util.ConcurrentModificationException(
+                s"appendSegment: live version $prev at $path was " +
+                  "superseded and reclaimed while this commit derived " +
+                  "its manifest — retry against the new live version")
+          }
+        entriesOpt.getOrElse {
+          // distinguish the two no-manifest cases: a version dir still on
+          // disk is genuinely the pre-segment layout (a caller error); a
+          // VANISHED dir means a concurrent commit superseded and GC'd
+          // the version we resolved — retryable, exactly like the CAS
+          // (the hammer's retain=0/minAge=0 schedule hits this window)
+          if (!fs.exists(new Path(root, prev)))
+            throw new java.util.ConcurrentModificationException(
+              s"appendSegment: live version $prev at $path was superseded " +
+                "and reclaimed while this commit derived its manifest — " +
+                "retry against the new live version")
           throw new IllegalStateException(
             s"appendSegment: live version $prev at $path is a plain data " +
-              "snapshot, not a segmented one — migrate via overwriteSegmented"))
-        m
+              "snapshot, not a segmented one — migrate via overwriteSegmented")
+        }
       }
     // the segment id gets a non-numeric prefix so partition-value type
     // inference can never read an (all-digit) id as a number
-    val seg = "s" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val segDir = new Path(new Path(root, SegsDir), s"__seg=$seg")
-    val writer =
-      if (partitionColumns.isEmpty) df.write
-      else df.write.partitionBy(partitionColumns: _*)
-    writer.mode("error").parquet(segDir.toString)
+    val staged = scala.collection.mutable.ArrayBuffer.empty[Path]
+    def writeSeg(df: DataFrame, partCols: Seq[String]): String = {
+      val seg = "s" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val segDir = new Path(new Path(root, SegsDir), s"__seg=$seg")
+      val writer =
+        if (partCols.isEmpty) df.write
+        else df.write.partitionBy(partCols: _*)
+      writer.mode("error").parquet(segDir.toString)
+      staged += segDir
+      seg
+    }
+    // the delete segment lands BEFORE the data segment in the manifest:
+    // a patch that rewrites rows (delete stale key + append fresh row)
+    // must let the fresh row survive its own delete
+    val deleteEntry = deleteKeys.map { k =>
+      require(k.columns.nonEmpty, "patchSegmented: delete keys need columns")
+      DeleteSeg(writeSeg(k, Nil), k.columns.toSeq)
+    }
+    val dataEntry = data.map { df =>
+      val id = writeSeg(df, partitionColumns)
+      DataSeg(id,
+        segmentStats(spark, new Path(new Path(root, SegsDir), s"__seg=$id"),
+          statsCols))
+    }
     val version = "v-" + java.util.UUID.randomUUID().toString.replace("-", "")
     // the manifest is written inside the not-yet-published version dir —
     // no reader can observe a partial manifest version
     fs.mkdirs(new Path(root, version))
     atomicWrite(conf, new Path(new Path(root, version), ManifestFile),
-      (carried :+ seg).mkString("\n"))
+      (carried ++ deleteEntry ++ dataEntry).map(renderEntry).mkString("\n"))
     writeVersionSidecars(conf, root, version, sidecars)
-    // append CAS: the manifest re-lists `previous`'s segments, so a
-    // pointer that moved since invalidates it — fail (and clean the
-    // staged files) instead of silently dropping the other commit's
-    // delta from the live table (review fix)
-    if (carryPrevious && currentVersion(fs, root) != previous) {
-      fs.delete(new Path(root, version), true)
-      fs.delete(segDir, true)
-      throw new java.util.ConcurrentModificationException(
-        s"appendSegment: a concurrent commit advanced $path past " +
-          s"${previous.getOrElse("<none>")} while this append staged — " +
-          "serialize appenders (SlateStore's build lease) and retry")
+    // commit CRITICAL SECTION (round 16 — the r15 bare check-then-swap
+    // let two appends both pass the check and the later pointer swap
+    // silently drop the earlier delta): the CAS verify and the pointer
+    // swap run under a table-level commit lock, so a pointer that moved
+    // since this commit derived its manifest ALWAYS surfaces as
+    // ConcurrentModificationException (staged files cleaned; the caller
+    // re-derives from the new live version and retries) and never as a
+    // lost delta. The lock is held for metadata ops only — milliseconds,
+    // independent of data size.
+    withCommitLock(fs, conf, root) {
+      val prevNow = currentVersion(fs, root)
+      if (carryPrevious && prevNow != previous) {
+        fs.delete(new Path(root, version), true)
+        staged.foreach(fs.delete(_, true))
+        throw new java.util.ConcurrentModificationException(
+          s"appendSegment: a concurrent commit advanced $path past " +
+            s"${previous.getOrElse("<none>")} while this append staged — " +
+            "re-derive from the new live version and retry")
+      }
+      // overwrites re-resolve the displaced version inside the lock, so
+      // the supersession marker lands on the TRUE predecessor even when
+      // the pointer advanced since entry (last-writer-wins on content,
+      // but history stays complete)
+      commitPointer(conf, fs, root, version, prevNow, retain, minAgeMs)
     }
-    commitPointer(conf, fs, root, version, previous, retain, minAgeMs)
     version
+  }
+
+  /** Serialize segmented-table commits' check-and-swap: an atomic
+    * create-if-absent `_commitlock` held for the (milliseconds-long)
+    * metadata tail only. A crashed committer's lock goes stale after
+    * [[CommitLockStaleMs]] and is reaped through a rename gate (exactly
+    * one reaper wins; the reaped copy's `.tmp-` name is cleared by the
+    * commit tail's age-gated tmp sweep). Residual window: a reaped-and-
+    * stolen lock could re-admit two committers — the same bounded
+    * residual the build lease documents, here requiring a committer to
+    * stall 60 s INSIDE a metadata-only section first.
+    */
+  private val CommitLockStaleMs = 60000L
+  private def withCommitLock[T](fs: FileSystem,
+                                conf: org.apache.hadoop.conf.Configuration,
+                                root: Path)(body: => T): T = {
+    val lock = new Path(root, "_commitlock")
+    val token = java.util.UUID.randomUUID().toString.replace("-", "")
+    var acquired = false
+    while (!acquired) {
+      acquired =
+        try {
+          if (fs.getScheme == "file")
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(fs.makeQualified(lock).toUri.getPath),
+              token.getBytes(StandardCharsets.UTF_8),
+              java.nio.file.StandardOpenOption.CREATE_NEW,
+              java.nio.file.StandardOpenOption.WRITE)
+          else {
+            val out = fs.create(lock, false)
+            try out.write(token.getBytes(StandardCharsets.UTF_8))
+            finally out.close()
+          }
+          true
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException => false
+          case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+          case e: java.io.IOException =>
+            if (try fs.exists(lock)
+                catch { case _: java.io.IOException => false }) false
+            else throw e
+        }
+      if (!acquired) {
+        val held =
+          try Some(fs.getFileStatus(lock))
+          catch { case _: java.io.FileNotFoundException => None }
+        held match {
+          case Some(s) if System.currentTimeMillis() - s.getModificationTime
+              > CommitLockStaleMs =>
+            // one reaper wins the rename, losers fail on the vanished src
+            val reaped = new Path(root, s"_commitlock.tmp-$token")
+            try {
+              if (fs.getScheme == "file")
+                java.nio.file.Files.move(
+                  java.nio.file.Paths.get(fs.makeQualified(lock).toUri.getPath),
+                  java.nio.file.Paths.get(fs.makeQualified(reaped).toUri.getPath))
+              else FileContext.getFileContext(root.toUri, conf)
+                .rename(lock, reaped)
+              fs.delete(reaped, false)
+            } catch { case _: java.io.IOException => }
+          case Some(_) => Thread.sleep(2)
+          case None => // released between attempts: retry immediately
+        }
+      }
+    }
+    try body finally {
+      try {
+        // release only OUR claim: a stale-reaped-and-reclaimed lock
+        // belongs to a successor
+        val owned =
+          try readSmallText(fs, lock).trim == token
+          catch { case _: java.io.IOException => false }
+        if (owned) fs.delete(lock, false)
+      } catch { case _: java.io.IOException => }
+    }
   }
 
   private val SegsDir = "segs"
   private val ManifestFile = "_manifest"
+
+  /** One committed manifest line. Grammar (tab-separated; round 16):
+    * {{{
+    *   <segId>                      data segment (legacy + statless)
+    *   <segId>\t<stats>             data segment with min/max bounds
+    *   D\t<segId>\t<col1,col2,...>  equality-delete segment on those keys
+    * }}}
+    * `stats` is `encName=tag:encMin:encMax` pairs joined by `,` with
+    * URL-encoded names/values (the encoder never emits `, = :` or tabs,
+    * so the grammar can't be injected by data); tag `n` compares
+    * numerically, `s` lexically.
+    */
+  private[ops] sealed trait ManifestEntry { def id: String }
+  private[ops] final case class DataSeg(id: String,
+                                        stats: Option[String]) extends ManifestEntry
+  private[ops] final case class DeleteSeg(id: String,
+                                          keyCols: Seq[String]) extends ManifestEntry
+
+  private def enc(s: String): String = java.net.URLEncoder.encode(s, "UTF-8")
+  private def dec(s: String): String = java.net.URLDecoder.decode(s, "UTF-8")
+
+  private def renderEntry(e: ManifestEntry): String = e match {
+    case DataSeg(id, None) => id
+    case DataSeg(id, Some(stats)) => s"$id\t$stats"
+    case DeleteSeg(id, cols) => s"D\t$id\t${cols.map(enc).mkString(",")}"
+  }
+
+  private def parseEntry(line: String): ManifestEntry = line.split('\t') match {
+    case Array("D", id, cols) => DeleteSeg(id, cols.split(',').map(dec).toSeq)
+    case Array(id) => DataSeg(id, None)
+    case Array(id, stats) => DataSeg(id, Some(stats))
+    case other => throw new IllegalStateException(
+      s"unparseable manifest line: ${other.mkString("\\t")}")
+  }
+
+  /** Min/max bounds of `statsCols` over a just-written segment, rendered
+    * into the manifest grammar — read back from the segment's own files
+    * (never the builder's plan, which may be expensive to re-run): one
+    * driver-collected agg row. Unsupported or all-null columns are
+    * simply omitted (pruning then keeps the segment — conservative).
+    * Timestamps render fixed-width UTC (`yyyy-MM-dd HH:mm:ss.SSSSSS`) and
+    * compare lexically; [[readSnapshotPruned]] callers must pass bounds
+    * in the same form.
+    */
+  private def segmentStats(spark: SparkSession, segDir: Path,
+                           statsCols: Seq[String]): Option[String] = {
+    if (statsCols.isEmpty) return None
+    try {
+      val df = spark.read.parquet(segDir.toString)
+      val present = statsCols.filter(df.columns.contains)
+      if (present.isEmpty) return None
+      import org.apache.spark.sql.functions.{count, lit, max, min}
+      val row = df.agg(
+        min(col(present.head)),
+        (Seq(max(col(present.head))) ++
+          present.tail.flatMap(c => Seq(min(col(c)), max(col(c)))) :+
+          count(lit(1))): _*).head()
+      // a zero-row segment (an empty delta committed as a generation)
+      // satisfies NO predicate: mark it so every pruned read skips it —
+      // otherwise it is a statless scan path forever
+      if (row.getLong(2 * present.size) == 0L) return Some(EmptySegStats)
+      val tsFmt = java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS")
+      def render(v: Any): Option[(String, String)] = v match {
+        case null => None
+        case t: java.sql.Timestamp => Some(("s",
+          t.toInstant.atZone(java.time.ZoneOffset.UTC).toLocalDateTime
+            .format(tsFmt)))
+        case d: java.sql.Date => Some(("s", d.toString))
+        case n: java.lang.Number => Some(("n", n.toString))
+        case s: String => Some(("s", s))
+        case b: java.lang.Boolean => Some(("s", b.toString))
+        case _ => None
+      }
+      val pairs = present.zipWithIndex.flatMap { case (c, i) =>
+        for {
+          (tagMin, mn) <- render(row.get(2 * i))
+          (_, mx) <- render(row.get(2 * i + 1))
+        } yield s"${enc(c)}=$tagMin:${enc(mn)}:${enc(mx)}"
+      }
+      if (pairs.isEmpty) None else Some(pairs.mkString(","))
+    } catch {
+      // an empty segment with no readable footers, or any stats failure:
+      // commit without bounds — pruning degrades to scanning, never to
+      // wrong skips
+      case scala.util.control.NonFatal(_) => None
+    }
+  }
+
+  /** Stats marker for a committed zero-row segment — prunable under any
+    * predicate (no `=` so it can never parse as a column bound). */
+  private[ops] val EmptySegStats = "~empty"
+
+  /** The (tag, min, max) bound a data entry's stats record for `colName`,
+    * if present. */
+  private[ops] def statsBound(stats: String,
+                              colName: String): Option[(String, String, String)] =
+    stats.split(',').iterator.map(_.split('=')).collectFirst {
+      case Array(n, v) if dec(n) == colName =>
+        val Array(tag, mn, mx) = v.split(':')
+        (tag, dec(mn), dec(mx))
+    }
 
   /** Read a small metadata file (pointer, marker, manifest, sidecar)
     * fully into a string — the one shared reader for every control file
@@ -207,40 +487,93 @@ object Sink {
     } finally in.close()
   }
 
-  /** The segment ids a manifest version lists, or None for a plain data
-    * version (no `_manifest`). */
-  private def manifestSegments(fs: FileSystem, versionDir: Path): Option[Seq[String]] = {
+  /** The entries a manifest version lists, in commit order, or None for
+    * a plain data version (no `_manifest`). */
+  private[ops] def manifestEntries(fs: FileSystem,
+                                   versionDir: Path): Option[Seq[ManifestEntry]] = {
     val mf = new Path(versionDir, ManifestFile)
     if (!fs.exists(mf)) None
     else Some(readSmallText(fs, mf)
-      .split("\n").map(_.trim).filter(_.nonEmpty).toSeq)
+      .split("\n").map(_.trim).filter(_.nonEmpty).map(parseEntry).toSeq)
   }
 
-  /** How to scan a committed version's DATA: `(paths, basePath)`. A plain
-    * version scans its own dir (no basePath); a manifest version scans
-    * its listed segment dirs with `basePath = <table>/segs` so `__seg`
-    * (and any partition columns below it) resolve as partition levels.
-    * Callers reading with a forced schema should re-select the schema's
-    * fields to drop the synthetic `__seg` column.
+  /** How to scan a committed version: an ordered sequence of scan steps.
+    * A [[DataStep]] unions segment dirs (scanned with `basePath =
+    * <table>/segs` so `__seg` and any partition columns below it resolve
+    * as partition levels — callers reading with a forced schema re-select
+    * the schema's fields to drop the synthetic `__seg`); a [[DeleteStep]]
+    * anti-joins its key segments against everything accumulated so far —
+    * the Iceberg v2 sequence rule (a delete applies only to data
+    * committed before it). Consecutive compatible entries coalesce, so a
+    * delete-free manifest stays ONE multi-path file scan.
     */
-  private[ops] def versionDataPaths(fs: FileSystem, root: Path,
-                                    version: String): (Seq[String], Option[String]) = {
-    val vdir = new Path(root, version)
-    manifestSegments(fs, vdir) match {
-      case None => (Seq(vdir.toString), None)
-      case Some(segs) =>
-        val base = new Path(root, SegsDir)
-        (segs.map(s => new Path(base, s"__seg=$s").toString),
-          Some(base.toString))
-    }
+  private[ops] sealed trait ScanStep
+  private[ops] final case class DataStep(paths: Seq[String]) extends ScanStep
+  private[ops] final case class DeleteStep(paths: Seq[String],
+                                           keyCols: Seq[String]) extends ScanStep
+  private[ops] final case class VersionScan(steps: Seq[ScanStep],
+                                            basePath: Option[String]) {
+    /** Total segments (data + delete) — the SlateStore compaction
+      * trigger counts read-side debt, and every entry is debt. */
+    def segmentCount: Int = steps.map {
+      case DataStep(p) => p.size
+      case DeleteStep(p, _) => p.size
+    }.sum
   }
 
-  /** Open a committed version's data as a DataFrame (manifest-aware). */
+  private[ops] def scanOf(root: Path, version: String,
+                          entries: Option[Seq[ManifestEntry]]): VersionScan =
+    entries match {
+      case None =>
+        VersionScan(Seq(DataStep(Seq(new Path(root, version).toString))), None)
+      case Some(es) =>
+        val base = new Path(root, SegsDir)
+        def segPath(id: String) = new Path(base, s"__seg=$id").toString
+        val steps = es.foldLeft(Vector.empty[ScanStep]) { (acc, e) =>
+          (acc.lastOption, e) match {
+            case (Some(DataStep(ps)), DataSeg(id, _)) =>
+              acc.init :+ DataStep(ps :+ segPath(id))
+            case (Some(DeleteStep(ps, cols)), DeleteSeg(id, kc)) if cols == kc =>
+              acc.init :+ DeleteStep(ps :+ segPath(id), cols)
+            case (_, DataSeg(id, _)) => acc :+ DataStep(Seq(segPath(id)))
+            case (_, DeleteSeg(id, kc)) => acc :+ DeleteStep(Seq(segPath(id)), kc)
+          }
+        }
+        VersionScan(steps, Some(base.toString))
+    }
+
+  private[ops] def versionScan(fs: FileSystem, root: Path,
+                               version: String): VersionScan =
+    scanOf(root, version, manifestEntries(fs, new Path(root, version)))
+
+  /** Materialize a [[VersionScan]] as a DataFrame: union the data steps,
+    * anti-join each delete step against what precedes it. Delete
+    * segments are key-only and commit-sized (a 0.1% deletion's keys),
+    * so AQE's broadcast planning keeps the anti-joins off the shuffle
+    * path in the common case; the segment cap bounds how many can stack
+    * before compaction folds them in.
+    */
+  private[ops] def readScan(spark: SparkSession, scan: VersionScan,
+                            schema: Option[org.apache.spark.sql.types.StructType]): DataFrame =
+    scan.steps.foldLeft(Option.empty[DataFrame]) {
+      case (acc, DataStep(paths)) =>
+        val df = readPaths(spark, paths, scan.basePath, schema)
+        Some(acc.fold(df)(_.unionByName(df)))
+      case (acc, DeleteStep(paths, cols)) =>
+        // read WITHOUT basePath: a delete segment is a flat key file dir,
+        // and scanning it standalone keeps its (partition-free) layout
+        // from conflicting with the data segments' partitioned one
+        val keys = spark.read.parquet(paths: _*).select(cols.map(col): _*)
+        acc.map(_.join(keys, cols, "left_anti"))
+    }.getOrElse(throw new IllegalStateException(
+      "readScan: a committed version lists no data segments"))
+
+  /** Open a committed version's content as a DataFrame (manifest-aware:
+    * unions data segments, subtracts delete segments). */
   private[ops] def readVersion(spark: SparkSession, root: Path, version: String,
                                schema: Option[org.apache.spark.sql.types.StructType]): DataFrame = {
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
-    val (paths, basePath) = versionDataPaths(fs, root, version)
-    readPaths(spark, paths, basePath, schema)
+    readScan(spark, versionScan(fs, root, version), schema)
   }
 
   private[ops] def readPaths(spark: SparkSession, paths: Seq[String],
@@ -333,7 +666,7 @@ object Sink {
     if (fs.exists(segsRoot)) {
       val referenced = fs.listStatus(root)
         .filter(s => s.isDirectory && s.getPath.getName.startsWith("v-"))
-        .flatMap(s => manifestSegments(fs, s.getPath).getOrElse(Nil))
+        .flatMap(s => manifestEntries(fs, s.getPath).getOrElse(Nil).map(_.id))
         .toSet
       fs.listStatus(segsRoot)
         .filter(s => s.isDirectory && s.getPath.getName.startsWith("__seg="))
@@ -418,6 +751,54 @@ object Sink {
       }
     }
     attempt(3)
+  }
+
+  /** Range-pruned read of the LIVE snapshot: skip every data segment
+    * whose manifest min/max bounds for `statsCol` (recorded at commit
+    * time via `statsCols`) exclude `[lo, hi]` — Iceberg-style data
+    * skipping a level ABOVE parquet row-group pruning: excluded segments
+    * are never listed, never opened, never planned. Pass `null` for an
+    * unbounded side. Pruning is conservative: segments without bounds
+    * for the column are kept, delete segments always apply, and the
+    * result is a SUPERSET of the predicate's rows restricted to
+    * possibly-overlapping segments — the caller still applies the exact
+    * `.filter`, which then also drives ordinary row-group pruning inside
+    * the surviving segments. Bounds compare numerically for numeric
+    * columns and lexically for string/date/timestamp renderings (see
+    * [[overwriteSegmented]]'s statsCols doc for the timestamp form).
+    */
+  def readSnapshotPruned(spark: SparkSession, path: String, statsCol: String,
+                         lo: Any, hi: Any,
+                         schema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val v = currentVersion(fs, root).getOrElse(
+      throw new java.io.FileNotFoundException(s"no committed snapshot at $path"))
+    def excludes(tag: String, mn: String, mx: String): Boolean = tag match {
+      case "n" =>
+        (lo != null && BigDecimal(mx) < BigDecimal(lo.toString)) ||
+          (hi != null && BigDecimal(mn) > BigDecimal(hi.toString))
+      case _ =>
+        (lo != null && mx < lo.toString) || (hi != null && mn > hi.toString)
+    }
+    manifestEntries(fs, new Path(root, v)) match {
+      case None => readVersion(spark, root, v, schema) // plain: no bounds
+      case Some(es) =>
+        val kept = es.filter {
+          case DataSeg(_, Some(EmptySegStats)) => false // zero rows: skip
+          case DataSeg(_, Some(stats)) =>
+            statsBound(stats, statsCol)
+              .forall { case (tag, mn, mx) => !excludes(tag, mn, mx) }
+          case _ => true // statless data and delete entries always stay
+        }
+        if (!kept.exists(_.isInstanceOf[DataSeg]))
+          // every data segment excluded: an empty frame under the
+          // version's own schema (metadata-only — filter(false) prunes
+          // the scan at planning)
+          readVersion(spark, root, v, schema)
+            .filter(org.apache.spark.sql.functions.lit(false))
+        else readScan(spark, scanOf(root, v, Some(kept)), schema)
+    }
   }
 
   /** COMMITTED version history of an [[overwriteSnapshot]] table, newest

@@ -59,13 +59,16 @@ object SlateStore {
   }
 
   /** A session-cache entry: the PINNED committed version (its dir, the
-    * exact data paths that version scans — the version dir itself, or a
-    * manifest's segment dirs plus their basePath — and the stored
-    * schema). Pinning paths at commit/attach time keeps a cached
-    * generation's content stable across later recommits of the table. */
-  private[graft] case class Pinned(versionDir: String, paths: Seq[String],
-                                   basePath: Option[String],
-                                   schema: StructType)
+    * exact scan that version resolves to — the version dir itself, or a
+    * manifest's data-segment dirs interleaved with delete-segment
+    * anti-joins — and the stored schema). Pinning the scan at
+    * commit/attach time keeps a cached generation's content stable
+    * across later recommits of the table. */
+  private[graft] case class Pinned(versionDir: String, scan: Sink.VersionScan,
+                                   schema: StructType) {
+    /** Segmented-layout tables (the only ones Append/Patch may extend). */
+    def segmented: Boolean = scan.basePath.isDefined
+  }
 
   /** The builder's verdict for one [[parquetEvolvingSegmented]]
     * generation. */
@@ -75,9 +78,24 @@ object SlateStore {
       * committed as ONE new segment — write cost proportional to the
       * delta, not the corpus. */
     final case class Append(delta: DataFrame) extends Evolved
-    /** Rows were removed or rewritten (or this is the cold build):
-      * recommit the full artifact as a fresh single segment — the
-      * compaction move that also bounds manifest growth. */
+    /** Rows keyed by `deleteKeys` (columns must be a typed subset of the
+      * table schema) are REMOVED via a merge-on-read delete segment, and
+      * `delta` (when given) is appended after the delete — so a
+      * rewritten row (same key, fresh payload) commits as delete + append
+      * in one version and the fresh row survives. Write cost is
+      * |keys| + |delta|, never the corpus (VERDICT r15 item 1: Rewrite
+      * paid a full-table write for a 0.1% deletion); readers anti-join
+      * delete segments transparently, and the maxSegments compaction
+      * folds them into a fresh single segment. Same derived-from-`prev`
+      * contract as Append: the closure can re-run after a concurrent-
+      * commit retry, so keys and delta must derive from the `prev` the
+      * closure received. */
+    final case class Patch(deleteKeys: DataFrame,
+                           delta: Option[DataFrame] = None) extends Evolved
+    /** Rows were removed or rewritten wholesale (or this is the cold
+      * build): recommit the full artifact as a fresh single segment —
+      * the compaction move that also bounds manifest growth. Prefer
+      * [[Patch]] when the removal is delta-sized. */
     final case class Rewrite(df: DataFrame) extends Evolved
     /** The artifact is unchanged under the new input tag: refresh the
       * tag sidecar only, commit nothing. */
@@ -91,7 +109,7 @@ object SlateStore {
   private val cleanupHooked = ConcurrentHashMap.newKeySet[String]()
 
   private def readPinned(spark: SparkSession, e: Pinned): DataFrame =
-    Sink.readPaths(spark, e.paths, e.basePath, Some(e.schema))
+    Sink.readScan(spark, e.scan, Some(e.schema))
 
   /** Build (first caller per session) or fetch the table for `key`.
     * The key must embed every parameter the build depends on — it is the
@@ -231,7 +249,8 @@ object SlateStore {
     */
   def parquetEvolvingSegmented(spark: SparkSession, key: String,
                                contentTag: Option[String] = None,
-                               partitionBy: Seq[String] = Nil)
+                               partitionBy: Seq[String] = Nil,
+                               statsBy: Seq[String] = Nil)
                               (evolve: Option[DataFrame] => Evolved): DataFrame = {
     val sk = sessionKey(spark)
     val mapKey = (sk, key + contentTag.fold("")("#" + _))
@@ -242,7 +261,7 @@ object SlateStore {
         entry = tables.get(mapKey)
         if (entry == null) {
           entry = materializeEvolved(spark, sk, key, contentTag, partitionBy,
-            evolve)
+            statsBy, evolve)
           tables.put(mapKey, entry)
         }
       }
@@ -254,12 +273,13 @@ object SlateStore {
                           contentTag: Option[String],
                           partitionBy: Seq[String],
                           build: => DataFrame): Pinned =
-    materializeEvolved(spark, sk, key, contentTag, partitionBy,
+    materializeEvolved(spark, sk, key, contentTag, partitionBy, Nil,
       _ => Evolved.Rewrite(build), segmented = false)
 
   private def materializeEvolved(spark: SparkSession, sk: String, key: String,
                                  contentTag: Option[String],
                                  partitionBy: Seq[String],
+                                 statsBy: Seq[String],
                                  evolve: Option[DataFrame] => Evolved,
                                  segmented: Boolean = true): Pinned = {
     val (base, managed) = baseDir(spark, sk)
@@ -267,8 +287,8 @@ object SlateStore {
     val attached = if (managed) attach(spark, dir, contentTag) else None
     attached.getOrElse {
       if (!managed)
-        buildAndCommit(spark, sk, key, dir, contentTag, partitionBy, evolve,
-          segmented, managed)
+        buildAndCommit(spark, sk, key, dir, contentTag, partitionBy, statsBy,
+          evolve, segmented, managed)
       else
         // managed dirs are shared across JVMs: serialize foreign builders
         // under the table's lease so two sessions racing a first build do
@@ -278,7 +298,7 @@ object SlateStore {
         withBuildLease(spark, dir) {
           attach(spark, dir, contentTag).getOrElse(
             buildAndCommit(spark, sk, key, dir, contentTag, partitionBy,
-              evolve, segmented, managed))
+              statsBy, evolve, segmented, managed))
         }
     }
   }
@@ -286,6 +306,7 @@ object SlateStore {
   private def buildAndCommit(spark: SparkSession, sk: String, key: String,
                              dir: String, contentTag: Option[String],
                              partitionBy: Seq[String],
+                             statsBy: Seq[String],
                              evolve: Option[DataFrame] => Evolved,
                              segmented: Boolean, managed: Boolean,
                              retriesLeft: Int = 1): Pinned = {
@@ -346,13 +367,23 @@ object SlateStore {
       // pays the corpus once.
       val maxSegments = spark.conf
         .getOption("spark.graft.store.maxSegments").map(_.toInt).getOrElse(32)
+      val atCap = previousEntry.exists(p =>
+        p.segmented && p.scan.segmentCount >= maxSegments)
       val compacted = evolve(previous) match {
-        case Evolved.Append(delta)
-            if previousEntry.exists(p =>
-              p.basePath.isDefined && p.paths.size >= maxSegments) =>
+        case Evolved.Append(delta) if atCap =>
           val prev = previousEntry.get
           Evolved.Rewrite(readPinned(spark, prev)
             .unionByName(alignTo(prev.schema, delta)))
+        case Evolved.Patch(keys, delta) if atCap =>
+          // the cap-crossing patch compacts too: readPinned already
+          // applies every prior delete segment, so folding = apply this
+          // patch's keys and delta to the resolved content and recommit
+          // one fresh segment
+          val prev = previousEntry.get
+          val base = readPinned(spark, prev).join(
+            alignKeys(prev.schema, keys), keys.columns.toSeq, "left_anti")
+          Evolved.Rewrite(
+            delta.fold(base)(d => base.unionByName(alignTo(prev.schema, d))))
         case other => other
       }
       compacted match {
@@ -379,17 +410,18 @@ object SlateStore {
           val version =
             if (segmented)
               Sink.overwriteSegmented(clusterBy(partitionBy, df), dir,
-                retain, minAge, partitionBy, sidecarsFor(df.schema))
+                retain, minAge, partitionBy, sidecarsFor(df.schema), statsBy)
             else
               Sink.overwriteSnapshot(df, dir, retain, minAge, partitionBy,
                 sidecarsFor(df.schema))
           pinnedOf(spark, dir, version, df.schema)
         case Evolved.Append(delta) => previousEntry match {
-          case Some(prev) if prev.basePath.isDefined =>
+          case Some(prev) if prev.segmented =>
             val version =
               try Sink.appendSegment(
                 clusterBy(partitionBy, alignTo(prev.schema, delta)),
-                dir, retain, minAge, partitionBy, sidecarsFor(prev.schema))
+                dir, retain, minAge, partitionBy, sidecarsFor(prev.schema),
+                statsBy)
               catch {
                 // the lease's residual double-election window (see
                 // reapLease) can surface here as the append CAS firing;
@@ -399,7 +431,7 @@ object SlateStore {
                 case _: java.util.ConcurrentModificationException
                     if retriesLeft > 0 =>
                   return buildAndCommit(spark, sk, key, dir, contentTag,
-                    partitionBy, evolve, segmented, managed,
+                    partitionBy, statsBy, evolve, segmented, managed,
                     retriesLeft - 1)
               }
             pinnedOf(spark, dir, version, prev.schema)
@@ -410,14 +442,46 @@ object SlateStore {
             val full = clusterBy(partitionBy, readPinned(spark, prev)
               .unionByName(alignTo(prev.schema, delta)))
             val version = Sink.overwriteSegmented(full, dir, retain, minAge,
-              partitionBy, sidecarsFor(prev.schema))
+              partitionBy, sidecarsFor(prev.schema), statsBy)
             pinnedOf(spark, dir, version, prev.schema)
           case None =>
             // an append with nothing to append to IS the whole content
             val version = Sink.overwriteSegmented(
               clusterBy(partitionBy, delta), dir, retain, minAge,
-              partitionBy, sidecarsFor(delta.schema))
+              partitionBy, sidecarsFor(delta.schema), statsBy)
             pinnedOf(spark, dir, version, delta.schema)
+        }
+        case Evolved.Patch(keys, delta) => previousEntry match {
+          case Some(prev) if prev.segmented =>
+            val version =
+              try Sink.patchSegmented(dir,
+                Some(alignKeys(prev.schema, keys)),
+                delta.map(d => clusterBy(partitionBy, alignTo(prev.schema, d))),
+                retain, minAge, partitionBy, sidecarsFor(prev.schema), statsBy)
+              catch {
+                // same residual double-election window as Append: retry
+                // once against the new live manifest (evolve re-derives
+                // keys and delta from the generation it is handed)
+                case _: java.util.ConcurrentModificationException
+                    if retriesLeft > 0 =>
+                  return buildAndCommit(spark, sk, key, dir, contentTag,
+                    partitionBy, statsBy, evolve, segmented, managed,
+                    retriesLeft - 1)
+              }
+            pinnedOf(spark, dir, version, prev.schema)
+          case Some(prev) =>
+            // legacy plain layout: migrate with one full rewrite, the
+            // patch applied to the resolved content
+            val base = readPinned(spark, prev).join(
+              alignKeys(prev.schema, keys), keys.columns.toSeq, "left_anti")
+            val full = clusterBy(partitionBy,
+              delta.fold(base)(d => base.unionByName(alignTo(prev.schema, d))))
+            val version = Sink.overwriteSegmented(full, dir, retain, minAge,
+              partitionBy, sidecarsFor(prev.schema), statsBy)
+            pinnedOf(spark, dir, version, prev.schema)
+          case None => throw new IllegalStateException(
+            s"SlateStore: Patch with no committed generation for $key — " +
+              "cold builds must Rewrite (there is nothing to delete from)")
         }
       }
   }
@@ -600,12 +664,26 @@ object SlateStore {
     aligned
   }
 
+  /** Validate a [[Evolved.Patch]]'s delete-key frame: every key column
+    * must exist on the table with the identical type (the read-side
+    * anti-join equates them). Subsets are the point — deleting by id
+    * must not require carrying the payload. */
+  private def alignKeys(schema: StructType, keys: DataFrame): DataFrame = {
+    val want = schema.fields.map(f => f.name -> f.dataType).toMap
+    keys.schema.fields.foreach { f =>
+      require(want.get(f.name).contains(f.dataType),
+        s"SlateStore patch: delete-key column ${f.name}: ${f.dataType} is " +
+          s"not a column of the table schema ${schema.simpleString}")
+    }
+    keys
+  }
+
   private def pinnedOf(spark: SparkSession, dir: String, version: String,
                        schema: StructType): Pinned = {
     val root = new Path(dir)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
-    val (paths, basePath) = Sink.versionDataPaths(fs, root, version)
-    Pinned(new Path(dir, version).toString, paths, basePath, schema)
+    Pinned(new Path(dir, version).toString,
+      Sink.versionScan(fs, root, version), schema)
   }
 
   /** A committed snapshot with its in-version `_schema` sidecar under a
@@ -647,8 +725,7 @@ object SlateStore {
         if (!tagOk) None
         else side("_schema").map { json =>
           val schema = DataType.fromJson(json).asInstanceOf[StructType]
-          val (paths, basePath) = Sink.versionDataPaths(fs, root, v)
-          Pinned(vdir.toString, paths, basePath, schema)
+          Pinned(vdir.toString, Sink.versionScan(fs, root, v), schema)
         }
       }
     } catch {

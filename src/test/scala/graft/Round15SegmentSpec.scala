@@ -246,7 +246,7 @@ class Round15SegmentSpec extends SparkTestBase {
     }
   }
 
-  test("evolving IVF: a removal generation recommits compacted postings (one fresh segment)") {
+  test("evolving IVF: a removal generation commits a key-sized delete segment (merge-on-read), never a corpus rewrite") {
     import graft.functions.VectorOps
     val dir = "/root/testdata/sf0.001"
     val emb = Tables.load(spark, dir, "embeddings")
@@ -254,7 +254,7 @@ class Round15SegmentSpec extends SparkTestBase {
     val key = s"spec_seg_ivf_rm|$dir|$salt"
     VectorOps.ivfIndexEvolving(emb.filter($"vec_id" % 10 =!= 0), "vec_id",
       "embedding", nCells = 8, storeKey = key, contentTag = Some("gen1"))
-    // append a generation first so there is history to compact
+    // append a generation first so there is real history under the delete
     VectorOps.ivfIndexEvolving(emb, "vec_id", "embedding",
       nCells = 8, storeKey = key, contentTag = Some("gen2"))
     val (a3, _) = VectorOps.ivfIndexEvolving(emb.filter($"vec_id" =!= 10L),
@@ -266,12 +266,27 @@ class Round15SegmentSpec extends SparkTestBase {
       .listFiles().filter(_.getName.startsWith("ivf_postings_inc"))
       .filter(_.getName.contains(salt))
       .ensuring(_.length == 1, "exactly one postings table for this key").head
-    // the removal rewrite's live manifest lists exactly ONE segment
+    // the removal generation's live manifest CARRIES the data history and
+    // adds one delete entry — write cost is the key, not the corpus
+    // (VERDICT r15 item 1; the r15 shape recommitted keep∪fresh here)
     val live = Sink.listVersions(spark, tableRoot.toString).head
     val manifest = new java.io.File(new java.io.File(tableRoot, live), "_manifest")
     assert(manifest.exists())
-    val listed = new String(java.nio.file.Files.readAllBytes(manifest.toPath))
-      .split("\n").count(_.trim.nonEmpty)
-    assert(listed == 1, s"a removal generation must compact, manifest lists $listed")
+    val lines = new String(java.nio.file.Files.readAllBytes(manifest.toPath))
+      .split("\n").map(_.trim).filter(_.nonEmpty)
+    val deletes = lines.filter(_.startsWith("D\t"))
+    assert(deletes.length == 1,
+      s"a removal generation must commit one delete entry, manifest: ${lines.toSeq}")
+    assert(lines.length == 3,
+      s"gen1 + gen2 data segments must be carried, manifest: ${lines.toSeq}")
+    // the delete segment holds exactly the removed key — nothing
+    // corpus-sized was written
+    val delSeg = deletes.head.split('\t')(1)
+    val delDf = spark.read.parquet(
+      new java.io.File(new java.io.File(tableRoot, "segs"), s"__seg=$delSeg").toString)
+    assert(delDf.columns.toSeq == Seq("vec_id"))
+    assert(delDf.as[Long].collect().toSeq == Seq(10L))
+    // time travel still serves the pre-delete generation intact
+    assert(Sink.readSnapshotAt(spark, tableRoot.toString, 1).count() == emb.count())
   }
 }
