@@ -32,6 +32,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         null, "asof_native",
         "asof_native(left_table, right_table, left_key, right_key, left_ts, right_ts) - backward as-of join on the native merge exec; right columns null-padded when no at-or-before row exists", ""),
       (children: Seq[Expression]) => graft.plans.UnresolvedAsOfJoin.fromArgs(children)))
+    // SQL-text time travel over the engine's versioned tables:
+    // snapshot_at('<path>', n) — see graft.plans.SnapshotAtSql
+    ext.injectTableFunction((
+      new FunctionIdentifier("snapshot_at"),
+      new ExpressionInfo(graft.plans.SnapshotAtSql.getClass.getName,
+        null, "snapshot_at",
+        "snapshot_at(table_path, steps_back) - time-travel read of a versioned graft table: the committed snapshot steps_back commits before the live one (0 = live)", ""),
+      (children: Seq[Expression]) => graft.plans.SnapshotAtSql.fromArgs(children)))
     ext.injectFunction((
       new FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, null, "cosine_sim",

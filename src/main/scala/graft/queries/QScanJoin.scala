@@ -302,6 +302,70 @@ private[graft] object QScanJoin {
         .orderBy("o_orderstatus")
     }),
 
+    "sql_snapshot_at_diff" -> ((s, dir) => {
+      // the SQL-TEXT face of time travel (VERDICT r15 item 4): the same
+      // two-commit versioned table as snapshot_rollback_diff — SAME
+      // scalar memo key, so the slate publishes it once and the two
+      // faces can never read different version pairs — diffed purely in
+      // raw SQL through the snapshot_at(path, n) table function the
+      // extension injects (the asof_native TVF recipe applied to the
+      // store). VERSION AS OF semantics with zero DataFrame code.
+      val orders = t(s, dir, "orders")
+      val tag = graft.ops.SlateStore.corpusTag(s, s"$dir/orders.parquet")
+      val path = graft.ops.SlateStore.scalar(s, s"tt_orders|$dir#$tag") {
+        val p = new java.io.File(
+          graft.ops.SlateStore.sessionTempRoot(s), s"tt_orders_$tag").toString
+        graft.ops.Sink.overwriteSnapshot(
+          orders.filter(col("o_orderdate") <
+            lit("1995-01-01 00:00:00").cast("timestamp")),
+          p, retain = 2, minAgeMs = 0L)
+        graft.ops.Sink.overwriteSnapshot(orders, p, retain = 2, minAgeMs = 0L)
+        p
+      }
+      s.sql(
+        s"""SELECT o_orderstatus, n_live,
+           |       coalesce(n_prev, CAST(0 AS BIGINT)) AS n_prev,
+           |       n_live - coalesce(n_prev, CAST(0 AS BIGINT)) AS n_added
+           |FROM (SELECT o_orderstatus, count(*) AS n_live
+           |      FROM snapshot_at('$path', 0) GROUP BY o_orderstatus) live
+           |LEFT JOIN (SELECT o_orderstatus, count(*) AS n_prev
+           |           FROM snapshot_at('$path', 1) GROUP BY o_orderstatus) prev
+           |USING (o_orderstatus)
+           |ORDER BY o_orderstatus""".stripMargin)
+    }),
+
+    "segment_pruned_scan" -> ((s, dir) => {
+      // manifest-level DATA SKIPPING (VERDICT r15 item 3): orders
+      // committed as three year-range segments with per-segment min/max
+      // bounds on o_year (statsCols), then a two-year window read
+      // through Sink.readSnapshotPruned — the manifest bounds exclude
+      // the other segments BEFORE any file listing (Round16StoreSpec
+      // audits that the scan lists exactly the overlapping segment's
+      // files), the residual filter drives row-group pruning inside the
+      // survivor. The oracle recomputes the window from the raw corpus,
+      // so pruning can never drop a row without failing the compare.
+      val base = t(s, dir, "orders")
+        .withColumn("o_year", year(col("o_orderdate")).cast("long"))
+      val tag = graft.ops.SlateStore.corpusTag(s, s"$dir/orders.parquet")
+      val path = graft.ops.SlateStore.scalar(s, s"seg_orders|$dir#$tag") {
+        val p = new java.io.File(
+          graft.ops.SlateStore.sessionTempRoot(s), s"seg_orders_$tag").toString
+        graft.ops.Sink.overwriteSegmented(base.filter(col("o_year") <= 1996),
+          p, retain = 1, minAgeMs = 600000L, statsCols = Seq("o_year"))
+        graft.ops.Sink.appendSegment(base.filter(col("o_year").between(1997, 1998)),
+          p, retain = 1, minAgeMs = 600000L, statsCols = Seq("o_year"))
+        graft.ops.Sink.appendSegment(base.filter(col("o_year") >= 1999),
+          p, retain = 1, minAgeMs = 600000L, statsCols = Seq("o_year"))
+        p
+      }
+      graft.ops.Sink.readSnapshotPruned(s, path, "o_year", 1997L, 1998L)
+        .filter(col("o_year").between(1997, 1998))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"),
+          Relational.decimalSum(col("o_totalprice")).as("sum_price"))
+        .orderBy("o_orderstatus")
+    }),
+
     "orc_roundtrip_agg" -> ((s, dir) => {
       // source-format coverage beyond parquet/JSON/CSV/JDBC: the corpus
       // exported ONCE per slate run as zstd ORC, read back through the
@@ -801,6 +865,32 @@ private[graft] object QScanJoin {
             n_live - COALESCE(n_prev, 0) AS n_added
          FROM live LEFT JOIN prev USING (o_orderstatus)
          ORDER BY o_orderstatus""",
+
+    // the SQL-text face reads the same two committed versions through the
+    // snapshot_at TVF; the oracle recomputes both states from the parquet
+    // original — equality proves time travel is exact from raw SQL too
+    "sql_snapshot_at_diff" ->
+      """WITH live AS (
+           SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_live
+           FROM orders GROUP BY 1),
+         prev AS (
+           SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_prev
+           FROM orders WHERE o_orderdate < TIMESTAMP '1995-01-01 00:00:00'
+           GROUP BY 1)
+         SELECT live.o_orderstatus, n_live,
+            COALESCE(n_prev, 0) AS n_prev,
+            n_live - COALESCE(n_prev, 0) AS n_added
+         FROM live LEFT JOIN prev USING (o_orderstatus)
+         ORDER BY o_orderstatus""",
+
+    // the pruned segmented read must equal the raw-corpus window: manifest
+    // bounds may only SKIP non-overlapping segments, never drop rows
+    "segment_pruned_scan" ->
+      """SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_orders,
+            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+         FROM orders
+         WHERE year(o_orderdate) BETWEEN 1997 AND 1998
+         GROUP BY o_orderstatus ORDER BY o_orderstatus""",
 
     "orc_roundtrip_agg" ->
       """SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_rows,
