@@ -441,6 +441,11 @@ object Sink {
           t.toInstant.atZone(java.time.ZoneOffset.UTC).toLocalDateTime
             .format(tsFmt)))
         case d: java.sql.Date => Some(("s", d.toString))
+        // a non-finite float bound (NaN sorts greatest in Spark's max)
+        // is not orderable against a predicate — omit the column rather
+        // than poison every later pruned read with an unparseable bound
+        case n: java.lang.Double if !java.lang.Double.isFinite(n) => None
+        case n: java.lang.Float if !java.lang.Float.isFinite(n) => None
         case n: java.lang.Number => Some(("n", n.toString))
         case s: String => Some(("s", s))
         case b: java.lang.Boolean => Some(("s", b.toString))
@@ -466,14 +471,21 @@ object Sink {
   private[ops] val EmptySegStats = "~empty"
 
   /** The (tag, min, max) bound a data entry's stats record for `colName`,
-    * if present. */
+    * if present. Split limits are -1 throughout: Java's default split
+    * drops trailing empty fields, so an empty-string bound (`col=s::`)
+    * would destructure to one field and crash the read path. */
   private[ops] def statsBound(stats: String,
                               colName: String): Option[(String, String, String)] =
-    stats.split(',').iterator.map(_.split('=')).collectFirst {
-      case Array(n, v) if dec(n) == colName =>
-        val Array(tag, mn, mx) = v.split(':')
-        (tag, dec(mn), dec(mx))
-    }
+    stats.split(',').iterator.flatMap { pair =>
+      pair.split("=", -1) match {
+        case Array(n, v) if dec(n) == colName =>
+          v.split(":", -1) match {
+            case Array(tag, mn, mx) => Some((tag, dec(mn), dec(mx)))
+            case _ => None // malformed bound: treated as absent (kept)
+          }
+        case _ => None
+      }
+    }.nextOption()
 
   /** Read a small metadata file (pointer, marker, manifest, sidecar)
     * fully into a string — the one shared reader for every control file
@@ -776,8 +788,12 @@ object Sink {
       throw new java.io.FileNotFoundException(s"no committed snapshot at $path"))
     def excludes(tag: String, mn: String, mx: String): Boolean = tag match {
       case "n" =>
-        (lo != null && BigDecimal(mx) < BigDecimal(lo.toString)) ||
+        // an unparseable numeric bound (legacy data, or a caller-passed
+        // non-numeric predicate value) keeps the segment — pruning may
+        // only ever skip on a PROVEN exclusion
+        try (lo != null && BigDecimal(mx) < BigDecimal(lo.toString)) ||
           (hi != null && BigDecimal(mn) > BigDecimal(hi.toString))
+        catch { case _: NumberFormatException => false }
       case _ =>
         (lo != null && mx < lo.toString) || (hi != null && mn > hi.toString)
     }
