@@ -252,6 +252,28 @@ object Sink {
     // must let the fresh row survive its own delete
     val deleteEntry = deleteKeys.map { k =>
       require(k.columns.nonEmpty, "patchSegmented: delete keys need columns")
+      // validate the keys against the table's stored schema (one footer
+      // read of a carried data segment) BEFORE committing: a mistyped
+      // key column would otherwise publish a manifest whose read-side
+      // anti-join fails on every readSnapshot until a full rewrite —
+      // the commit is the last point where this is a caller error
+      // rather than a bricked table
+      carried.collectFirst { case DataSeg(id, _) => id }.foreach { id =>
+        val stored =
+          try Some(spark.read.parquet(
+            new Path(new Path(root, SegsDir), s"__seg=$id").toString).schema)
+          catch { case scala.util.control.NonFatal(_) => None } // empty seg
+        stored.foreach { schema =>
+          val want = schema.fields.map(f => f.name -> f.dataType).toMap
+          k.schema.fields.foreach { f =>
+            require(want.get(f.name).contains(f.dataType),
+              s"patchSegmented: delete-key column ${f.name}: ${f.dataType} " +
+                s"is not a column of the stored table schema " +
+                s"${schema.simpleString} — committing it would brick every " +
+                "read of this table")
+          }
+        }
+      }
       DeleteSeg(writeSeg(k, Nil), k.columns.toSeq)
     }
     val dataEntry = data.map { df =>

@@ -345,6 +345,43 @@ class Round16StoreSpec extends SparkTestBase {
     assert(rows.toSeq == want.toSeq)
   }
 
+  test("sink: a patch with a non-column delete key fails at COMMIT, not at every later read") {
+    val out = Files.createTempDirectory("segbadkey").toString + "/t"
+    Sink.overwriteSegmented(Seq((1L, "a")).toDF("id", "g"), out,
+      retain = 1, minAgeMs = 0L)
+    val e = intercept[IllegalArgumentException] {
+      Sink.patchSegmented(out, Some(Seq(1L).toDF("idd")), None,
+        retain = 1, minAgeMs = 0L)
+    }
+    assert(e.getMessage.contains("not a column of the stored table schema"))
+    // same for a type mismatch; and the table stays fully readable
+    intercept[IllegalArgumentException] {
+      Sink.patchSegmented(out, Some(Seq("1").toDF("id")), None,
+        retain = 1, minAgeMs = 0L)
+    }
+    assert(Sink.readSnapshot(spark, out).count() == 1)
+  }
+
+  test("sink: non-finite and empty-string bounds never poison the pruned-read path") {
+    // NaN sorts greatest through Spark's max(): the bound is omitted
+    // (segment kept conservatively) instead of committing an
+    // unparseable 'NaN' that would throw out of every later pruned read
+    val out = Files.createTempDirectory("segnan").toString + "/t"
+    Sink.overwriteSegmented(Seq((1L, 1.0), (2L, Double.NaN)).toDF("id", "x"),
+      out, retain = 1, minAgeMs = 0L, statsCols = Seq("x"))
+    assert(!manifestLines(out).head.contains("x="),
+      s"a NaN bound must be omitted: ${manifestLines(out)}")
+    assert(Sink.readSnapshotPruned(spark, out, "x", 5.0, 9.0).count() == 2)
+    // an all-empty string column renders 'col=s::' — the -1 split limit
+    // keeps the destructure total (Java split drops trailing empties)
+    val out2 = Files.createTempDirectory("segempty").toString + "/t"
+    Sink.overwriteSegmented(Seq((1L, "")).toDF("id", "s"), out2,
+      retain = 1, minAgeMs = 0L, statsCols = Seq("s"))
+    assert(Sink.readSnapshotPruned(spark, out2, "s", "a", "b").count() == 0,
+      "the empty-string bound proves exclusion for [a,b]")
+    assert(Sink.readSnapshotPruned(spark, out2, "s", "", "b").count() == 1)
+  }
+
   test("store: statsBy threads bounds through evolution and they survive compaction") {
     val key = s"r16_stats_${java.util.UUID.randomUUID().toString.take(8)}"
     def gen(tag: String)(ev: Evolved) =
