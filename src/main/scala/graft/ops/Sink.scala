@@ -311,21 +311,108 @@ object Sink {
       // overwrites re-resolve the displaced version inside the lock, so
       // the supersession marker lands on the TRUE predecessor even when
       // the pointer advanced since entry (last-writer-wins on content,
-      // but history stays complete)
-      commitPointer(conf, fs, root, version, prevNow, retain, minAgeMs)
+      // but history stays complete). ONLY the marker + swap run under
+      // the lock — the GC sweep below can be data-proportional (it
+      // recursively deletes superseded corpus-sized dirs), and a hold
+      // time past the stale-reap threshold would let waiters reap a
+      // live holder, re-opening the lost-delta window the lock closes
+      swapPointer(conf, fs, root, version, prevNow)
     }
+    // retention GC outside the lock: advisory work — a failure (e.g. a
+    // racing commit's sweep deleting a marker between list and read)
+    // must not fail a commit whose pointer already published, and
+    // anything left behind is reclaimed by the next commit's sweep
+    try gcAfterCommit(fs, root, version, retain, minAgeMs)
+    catch { case scala.util.control.NonFatal(_) => }
     version
+  }
+
+  /** The token-lock-file primitive both coordination layers share (the
+    * SlateStore build lease and the commit lock below): an atomic
+    * create-if-absent claim carrying the claimant's owner token, and a
+    * rename-gated token-verified removal — exactly one of N racing
+    * removers wins the rename, the losers fail on the vanished source
+    * and touch nothing. Policy (polling, staleness windows, heartbeats,
+    * deadlines) stays per call site; only the mechanism lives here, so
+    * a fix to the claim or reap protocol cannot silently miss one of
+    * its two users (review finding: the two inlined copies had already
+    * diverged within one round).
+    */
+  private[ops] object TokenFile {
+    /** Claim `lock` with `token`. True = claimed; false = already held.
+      * A creation failure with NO lock on disk is a real IO fault and
+      * rethrows — mapping it to 'held' makes a permissions error poll
+      * until a deadline and then lie about the cause. */
+    def tryClaim(fs: FileSystem, lock: Path, token: String): Boolean =
+      try {
+        val stamp = token.getBytes(StandardCharsets.UTF_8)
+        if (fs.getScheme == "file")
+          // NIO CREATE_NEW = O_EXCL — atomic where Hadoop's local
+          // create(overwrite=false) is check-then-create
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(fs.makeQualified(lock).toUri.getPath),
+            stamp, java.nio.file.StandardOpenOption.CREATE_NEW,
+            java.nio.file.StandardOpenOption.WRITE)
+        else {
+          val out = fs.create(lock, false)
+          try out.write(stamp) finally out.close()
+        }
+        true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+        case e: java.io.IOException =>
+          // HDFS wraps exists-collisions in plain IOException — but so
+          // do real faults; a lock on disk is contention, anything else
+          // surfaces
+          val contended =
+            try fs.exists(lock)
+            catch { case _: java.io.IOException => false }
+          if (contended) false else throw e
+      }
+
+    /** Remove `lock` ONLY if it is (or was, at the verify read) owned by
+      * `owner`: verify the token, pull the file out of play with an
+      * atomic no-overwrite rename to a `caller`-unique name, then delete
+      * the reaped copy (its `.tmp-` name is cleared by the commit tail's
+      * age-gated sweep if the delete is lost to a crash). */
+    def removeIfOwnedBy(fs: FileSystem,
+                        conf: org.apache.hadoop.conf.Configuration,
+                        root: Path, lock: Path,
+                        owner: String, caller: String): Unit = {
+      val ownedBy =
+        try Some(readSmallText(fs, lock).trim)
+        catch { case _: java.io.IOException => None }
+      if (ownedBy.contains(owner)) {
+        val reaped = new Path(root, s"${lock.getName}.tmp-$caller")
+        try {
+          if (fs.getScheme == "file")
+            java.nio.file.Files.move(
+              java.nio.file.Paths.get(fs.makeQualified(lock).toUri.getPath),
+              java.nio.file.Paths.get(fs.makeQualified(reaped).toUri.getPath))
+          else
+            FileContext.getFileContext(root.toUri, conf)
+              .rename(lock, reaped) // no OVERWRITE: fails if reaped exists
+          fs.delete(reaped, false)
+        } catch {
+          // NoSuchFile/FileAlreadyExists are IOException subclasses —
+          // they must match first or they are dead cases
+          case _: java.nio.file.NoSuchFileException => // lost the race
+          case _: java.nio.file.FileAlreadyExistsException =>
+          case _: java.io.IOException => // rename/delete raced or failed soft
+        }
+      }
+    }
   }
 
   /** Serialize segmented-table commits' check-and-swap: an atomic
     * create-if-absent `_commitlock` held for the (milliseconds-long)
-    * metadata tail only. A crashed committer's lock goes stale after
-    * [[CommitLockStaleMs]] and is reaped through a rename gate (exactly
-    * one reaper wins; the reaped copy's `.tmp-` name is cleared by the
-    * commit tail's age-gated tmp sweep). Residual window: a reaped-and-
-    * stolen lock could re-admit two committers — the same bounded
-    * residual the build lease documents, here requiring a committer to
-    * stall 60 s INSIDE a metadata-only section first.
+    * metadata swap only — the GC sweep runs after release. A crashed
+    * committer's lock goes stale after [[CommitLockStaleMs]] and is
+    * reaped through the [[TokenFile]] rename gate. Residual window: a
+    * reaped-and-stolen lock could re-admit two committers — the same
+    * bounded residual the build lease documents, here requiring a
+    * committer to stall 60 s INSIDE a metadata-only section first.
     */
   private val CommitLockStaleMs = 60000L
   private def withCommitLock[T](fs: FileSystem,
@@ -335,28 +422,7 @@ object Sink {
     val token = java.util.UUID.randomUUID().toString.replace("-", "")
     var acquired = false
     while (!acquired) {
-      acquired =
-        try {
-          if (fs.getScheme == "file")
-            java.nio.file.Files.write(
-              java.nio.file.Paths.get(fs.makeQualified(lock).toUri.getPath),
-              token.getBytes(StandardCharsets.UTF_8),
-              java.nio.file.StandardOpenOption.CREATE_NEW,
-              java.nio.file.StandardOpenOption.WRITE)
-          else {
-            val out = fs.create(lock, false)
-            try out.write(token.getBytes(StandardCharsets.UTF_8))
-            finally out.close()
-          }
-          true
-        } catch {
-          case _: java.nio.file.FileAlreadyExistsException => false
-          case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
-          case e: java.io.IOException =>
-            if (try fs.exists(lock)
-                catch { case _: java.io.IOException => false }) false
-            else throw e
-        }
+      acquired = TokenFile.tryClaim(fs, lock, token)
       if (!acquired) {
         val held =
           try Some(fs.getFileStatus(lock))
@@ -364,32 +430,20 @@ object Sink {
         held match {
           case Some(s) if System.currentTimeMillis() - s.getModificationTime
               > CommitLockStaleMs =>
-            // one reaper wins the rename, losers fail on the vanished src
-            val reaped = new Path(root, s"_commitlock.tmp-$token")
-            try {
-              if (fs.getScheme == "file")
-                java.nio.file.Files.move(
-                  java.nio.file.Paths.get(fs.makeQualified(lock).toUri.getPath),
-                  java.nio.file.Paths.get(fs.makeQualified(reaped).toUri.getPath))
-              else FileContext.getFileContext(root.toUri, conf)
-                .rename(lock, reaped)
-              fs.delete(reaped, false)
-            } catch { case _: java.io.IOException => }
+            val occupant =
+              try Some(readSmallText(fs, lock).trim)
+              catch { case _: java.io.IOException => None }
+            occupant.foreach(o =>
+              TokenFile.removeIfOwnedBy(fs, conf, root, lock, owner = o,
+                caller = token))
           case Some(_) => Thread.sleep(2)
           case None => // released between attempts: retry immediately
         }
       }
     }
-    try body finally {
-      try {
-        // release only OUR claim: a stale-reaped-and-reclaimed lock
-        // belongs to a successor
-        val owned =
-          try readSmallText(fs, lock).trim == token
-          catch { case _: java.io.IOException => false }
-        if (owned) fs.delete(lock, false)
-      } catch { case _: java.io.IOException => }
-    }
+    try body
+    finally TokenFile.removeIfOwnedBy(fs, conf, root, lock, owner = token,
+      caller = token)
   }
 
   private val SegsDir = "segs"
@@ -658,13 +712,28 @@ object Sink {
                             fs: FileSystem, root: Path, version: String,
                             previous: Option[String], retain: Int,
                             minAgeMs: Long): Unit = {
+    swapPointer(conf, fs, root, version, previous)
+    gcAfterCommit(fs, root, version, retain, minAgeMs)
+  }
+
+  /** The metadata head of a commit: supersession marker, then the atomic
+    * pointer swap — milliseconds, never data-proportional (segmented
+    * commits hold the commit lock across exactly this). */
+  private def swapPointer(conf: org.apache.hadoop.conf.Configuration,
+                          fs: FileSystem, root: Path, version: String,
+                          previous: Option[String]): Unit = {
     previous.filterNot(_ == version).foreach { old =>
       val next = 1L + markerStatuses(fs, root)
         .map(m => markerSeq(fs, m.getPath)).foldLeft(-1L)(math.max)
       atomicWrite(conf, new Path(root, s"_superseded-$old"), next.toString)
     }
     atomicWrite(conf, new Path(root, "_current"), version)
+  }
 
+  /** The advisory tail of a commit: the dual-gate retention sweep over
+    * versions, unreferenced segments, and crashed writers' tmp files. */
+  private def gcAfterCommit(fs: FileSystem, root: Path, version: String,
+                            retain: Int, minAgeMs: Long): Unit = {
     // GC superseded snapshots beyond BOTH retention gates: keep the
     // `retain` most recently superseded, and never delete one superseded
     // (or, for orphans of crashed writers, created) less than minAgeMs ago

@@ -3,7 +3,7 @@ package graft.ops
 import java.nio.charset.StandardCharsets
 import java.util.concurrent.ConcurrentHashMap
 
-import org.apache.hadoop.fs.{FileContext, Path}
+import org.apache.hadoop.fs.Path
 import org.apache.spark.scheduler.{SparkListener, SparkListenerApplicationEnd}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.types.{DataType, StructType}
@@ -621,78 +621,22 @@ object SlateStore {
       }
     }, periodMs, periodMs, java.util.concurrent.TimeUnit.MILLISECONDS)
 
+  /** The claim/remove mechanics are [[Sink.TokenFile]] — the one
+    * token-lock protocol the commit lock shares (review finding: the
+    * two inlined copies diverged within a round). Contention semantics
+    * (a lease on disk = wait; a create fault with nothing on disk =
+    * rethrow, counted by the caller — ADVICE r15) live in tryClaim. */
   private def tryAcquireLease(fs: org.apache.hadoop.fs.FileSystem,
                               lease: Path, token: String): Boolean =
-    try {
-      val stamp = token.getBytes(StandardCharsets.UTF_8)
-      if (fs.getScheme == "file") {
-        // NIO CREATE_NEW = O_EXCL — atomic where Hadoop's local
-        // create(overwrite=false) is check-then-create
-        java.nio.file.Files.write(
-          java.nio.file.Paths.get(fs.makeQualified(lease).toUri.getPath),
-          stamp, java.nio.file.StandardOpenOption.CREATE_NEW,
-          java.nio.file.StandardOpenOption.WRITE)
-      } else {
-        val out = fs.create(lease, false)
-        try out.write(stamp) finally out.close()
-      }
-      true
-    } catch {
-      case _: java.nio.file.FileAlreadyExistsException => false
-      case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
-      case e: java.io.IOException =>
-        // HDFS wraps exists-collisions in plain IOException — but so do
-        // real faults (permissions, bad path). Disambiguate: a lease on
-        // disk is contention (wait), anything else is a genuine IO error
-        // the caller counts and surfaces (ADVICE r15)
-        val contended =
-          try fs.exists(lease)
-          catch { case _: java.io.IOException => false }
-        if (contended) false else throw e
-    }
-
-  /** Remove the lease ONLY if it is (or was, at the verify read) the
-    * expected claim: verify the owner token, then pull the file out of
-    * play with an atomic no-overwrite rename to a caller-unique name —
-    * exactly one of N racing removers wins the rename; the losers' fail
-    * on the vanished source and touch nothing. The reaped copy is named
-    * `_lease.tmp-*` so commitPointer's (age-gated) tmp reaper clears a
-    * crash between rename and delete. */
-  private def removeLeaseIfOwnedBy(fs: org.apache.hadoop.fs.FileSystem,
-                                   conf: org.apache.hadoop.conf.Configuration,
-                                   root: Path, lease: Path,
-                                   owner: String, caller: String): Unit = {
-    val ownedBy =
-      try Some(Sink.readSmallText(fs, lease).trim)
-      catch { case _: java.io.IOException => None }
-    if (ownedBy.contains(owner)) {
-      val reaped = new Path(root, s"_lease.tmp-$caller")
-      try {
-        if (fs.getScheme == "file")
-          java.nio.file.Files.move(
-            java.nio.file.Paths.get(fs.makeQualified(lease).toUri.getPath),
-            java.nio.file.Paths.get(fs.makeQualified(reaped).toUri.getPath))
-        else {
-          val fc = FileContext.getFileContext(root.toUri, conf)
-          fc.rename(lease, reaped) // no OVERWRITE: fails if reaped exists
-        }
-        fs.delete(reaped, false)
-      } catch {
-        // NoSuchFile/FileAlreadyExists are IOException subclasses — they
-        // must match first or they are dead cases (review fix)
-        case _: java.nio.file.NoSuchFileException => // lost the rename race
-        case _: java.nio.file.FileAlreadyExistsException =>
-        case _: java.io.IOException => // rename/delete raced or failed soft
-      }
-    }
-  }
+    Sink.TokenFile.tryClaim(fs, lease, token)
 
   private def releaseLease(fs: org.apache.hadoop.fs.FileSystem,
                            conf: org.apache.hadoop.conf.Configuration,
                            root: Path, lease: Path, token: String): Unit =
     // only our own claim: a build that outran leaseTimeoutMs may have
     // been reaped and succeeded by a new holder — leave theirs alone
-    removeLeaseIfOwnedBy(fs, conf, root, lease, owner = token, caller = token)
+    Sink.TokenFile.removeIfOwnedBy(fs, conf, root, lease, owner = token,
+      caller = token)
 
   /** Take over a crashed holder's lease: re-verify staleness against the
     * CURRENT occupant (it may have been reaped and re-claimed since the
@@ -717,7 +661,7 @@ object SlateStore {
           try Some(Sink.readSmallText(fs, lease).trim)
           catch { case _: java.io.IOException => None }
         occupant.foreach(o =>
-          removeLeaseIfOwnedBy(fs, conf, root, lease, owner = o,
+          Sink.TokenFile.removeIfOwnedBy(fs, conf, root, lease, owner = o,
             caller = token))
       }
     }
