@@ -34,6 +34,30 @@ private[graft] object QScanJoin {
     (ord, li)
   }
 
+  /** The two-commit versioned orders table BOTH time-travel faces read
+    * (commit 1 = the pre-1995 backfill, commit 2 = the full corpus,
+    * retain=2): published once per (session, corpus snapshot) via the
+    * scalar memo, shared by path — one builder so the DataFrame face
+    * (`snapshot_rollback_diff`) and the SQL-text face
+    * (`sql_snapshot_at_diff`) can never read version pairs built by
+    * different code (the bucketedFactTables discipline). minAgeMs=0 is
+    * safe in the session-private temp root (no foreign readers). */
+  private def timeTravelOrders(s: org.apache.spark.sql.SparkSession,
+                               dir: String): String = {
+    val orders = t(s, dir, "orders")
+    val tag = graft.ops.SlateStore.corpusTag(s, s"$dir/orders.parquet")
+    graft.ops.SlateStore.scalar(s, s"tt_orders|$dir#$tag") {
+      val p = new java.io.File(
+        graft.ops.SlateStore.sessionTempRoot(s), s"tt_orders_$tag").toString
+      graft.ops.Sink.overwriteSnapshot(
+        orders.filter(col("o_orderdate") <
+          lit("1995-01-01 00:00:00").cast("timestamp")),
+        p, retain = 2, minAgeMs = 0L)
+      graft.ops.Sink.overwriteSnapshot(orders, p, retain = 2, minAgeMs = 0L)
+      p
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---- §2.1/§2.2 scans, projections, filters -------------------------
@@ -276,21 +300,8 @@ private[graft] object QScanJoin {
       // per status — the rollback/audit query a versioned corpus sink
       // owes its operators: "what did this publish change" answered from
       // immutable pinned version dirs, no second copy of the corpus kept
-      // anywhere. Publishes run once per (session, corpus snapshot) via
-      // the scalar memo; minAgeMs=0 is safe in the session-private temp
-      // root (no foreign readers — the SlateStore rule).
-      val orders = t(s, dir, "orders")
-      val tag = graft.ops.SlateStore.corpusTag(s, s"$dir/orders.parquet")
-      val path = graft.ops.SlateStore.scalar(s, s"tt_orders|$dir#$tag") {
-        val p = new java.io.File(
-          graft.ops.SlateStore.sessionTempRoot(s), s"tt_orders_$tag").toString
-        graft.ops.Sink.overwriteSnapshot(
-          orders.filter(col("o_orderdate") <
-            lit("1995-01-01 00:00:00").cast("timestamp")),
-          p, retain = 2, minAgeMs = 0L)
-        graft.ops.Sink.overwriteSnapshot(orders, p, retain = 2, minAgeMs = 0L)
-        p
-      }
+      // anywhere. Published via the shared timeTravelOrders builder.
+      val path = timeTravelOrders(s, dir)
       val live = graft.ops.Sink.readSnapshotAt(s, path, 0)
         .groupBy("o_orderstatus").agg(count(lit(1)).as("n_live"))
       val prev = graft.ops.Sink.readSnapshotAt(s, path, 1)
@@ -304,24 +315,14 @@ private[graft] object QScanJoin {
 
     "sql_snapshot_at_diff" -> ((s, dir) => {
       // the SQL-TEXT face of time travel (VERDICT r15 item 4): the same
-      // two-commit versioned table as snapshot_rollback_diff — SAME
-      // scalar memo key, so the slate publishes it once and the two
-      // faces can never read different version pairs — diffed purely in
-      // raw SQL through the snapshot_at(path, n) table function the
-      // extension injects (the asof_native TVF recipe applied to the
-      // store). VERSION AS OF semantics with zero DataFrame code.
-      val orders = t(s, dir, "orders")
-      val tag = graft.ops.SlateStore.corpusTag(s, s"$dir/orders.parquet")
-      val path = graft.ops.SlateStore.scalar(s, s"tt_orders|$dir#$tag") {
-        val p = new java.io.File(
-          graft.ops.SlateStore.sessionTempRoot(s), s"tt_orders_$tag").toString
-        graft.ops.Sink.overwriteSnapshot(
-          orders.filter(col("o_orderdate") <
-            lit("1995-01-01 00:00:00").cast("timestamp")),
-          p, retain = 2, minAgeMs = 0L)
-        graft.ops.Sink.overwriteSnapshot(orders, p, retain = 2, minAgeMs = 0L)
-        p
-      }
+      // two-commit versioned table as snapshot_rollback_diff — ONE
+      // shared builder (timeTravelOrders), so the slate publishes it
+      // once and the two faces can never read version pairs built by
+      // different code — diffed purely in raw SQL through the
+      // snapshot_at(path, n) table function the extension injects (the
+      // asof_native TVF recipe applied to the store). VERSION AS OF
+      // semantics with zero DataFrame code.
+      val path = timeTravelOrders(s, dir)
       s.sql(
         s"""SELECT o_orderstatus, n_live,
            |       coalesce(n_prev, CAST(0 AS BIGINT)) AS n_prev,
