@@ -760,9 +760,11 @@ object VectorOps {
           // item 1): a pure append — no previous (id, vector) vanished —
           // commits ONLY the freshly-assigned delta as a new segment, so
           // a daily append writes the delta, not the index. Removals or
-          // in-place rewrites fall back to a full keep∪fresh rewrite
-          // (which doubles as compaction of the segment history). The
-          // shape probe costs no SECOND anti-join: the current corpus is
+          // in-place rewrites commit a key-sized delete segment plus the
+          // fresh rows (merge-on-read Patch below — r16; compaction of
+          // the delete debt rides the store's maxSegments promotion).
+          // The shape probe itself costs no SECOND anti-join: the
+          // REMOVAL COUNT is arithmetic — the current corpus is
           // the disjoint union keep ⊎ fresh, so removed = |prev| +
           // |fresh| − |cur| — two column-pruned counting scans plus the
           // one (persisted) anti-join pass change detection already owes
