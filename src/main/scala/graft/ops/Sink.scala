@@ -371,6 +371,34 @@ object Sink {
           if (contended) false else throw e
       }
 
+    /** Take over a crashed holder's lock: RE-VERIFY staleness against
+      * the CURRENT occupant (it may have been reaped and re-claimed
+      * since the caller's check — a fresh successor must never be
+      * reaped; skipping this re-stat let a slow waiter read the
+      * successor's token and remove its live claim, review finding),
+      * then remove exactly that verified claim through the ownership
+      * gate. Residual window: a full reap-then-reclaim cycle landing
+      * between the verify read and the rename could still remove a
+      * fresh claim; the consequence is bounded by the caller's own
+      * safety net (the commit CAS / the build-commit idempotence). */
+    def reapIfStale(fs: FileSystem,
+                    conf: org.apache.hadoop.conf.Configuration,
+                    root: Path, lock: Path, staleMs: Long,
+                    caller: String): Unit = {
+      val current =
+        try Some(fs.getFileStatus(lock))
+        catch { case _: java.io.FileNotFoundException => None }
+      current.foreach { s =>
+        if (System.currentTimeMillis() - s.getModificationTime > staleMs) {
+          val occupant =
+            try Some(readSmallText(fs, lock).trim)
+            catch { case _: java.io.IOException => None }
+          occupant.foreach(o =>
+            removeIfOwnedBy(fs, conf, root, lock, owner = o, caller = caller))
+        }
+      }
+    }
+
     /** Remove `lock` ONLY if it is (or was, at the verify read) owned by
       * `owner`: verify the token, pull the file out of play with an
       * atomic no-overwrite rename to a `caller`-unique name, then delete
@@ -430,13 +458,17 @@ object Sink {
         held match {
           case Some(s) if System.currentTimeMillis() - s.getModificationTime
               > CommitLockStaleMs =>
-            val occupant =
-              try Some(readSmallText(fs, lock).trim)
-              catch { case _: java.io.IOException => None }
-            occupant.foreach(o =>
-              TokenFile.removeIfOwnedBy(fs, conf, root, lock, owner = o,
-                caller = token))
-          case Some(_) => Thread.sleep(2)
+            // reapIfStale RE-VERIFIES staleness against the current
+            // occupant: acting on this (possibly pre-reap) stat alone
+            // would let a slow waiter remove a fresh successor's live
+            // lock and re-admit two committers (review finding)
+            TokenFile.reapIfStale(fs, conf, root, lock, CommitLockStaleMs,
+              caller = token)
+          // a held lock means a committer is inside a metadata-only
+          // section (milliseconds): 20 ms keeps claim latency low
+          // without the ~500 ops/s create+stat storm a 2 ms spin put on
+          // the namenode/object store (review finding)
+          case Some(_) => Thread.sleep(20)
           case None => // released between attempts: retry immediately
         }
       }

@@ -651,21 +651,9 @@ object SlateStore {
   private def reapLease(fs: org.apache.hadoop.fs.FileSystem,
                         conf: org.apache.hadoop.conf.Configuration,
                         root: Path, lease: Path, token: String,
-                        timeoutMs: Long): Unit = {
-    val current =
-      try Some(fs.getFileStatus(lease))
-      catch { case _: java.io.FileNotFoundException => None }
-    current.foreach { s =>
-      if (System.currentTimeMillis() - s.getModificationTime > timeoutMs) {
-        val occupant =
-          try Some(Sink.readSmallText(fs, lease).trim)
-          catch { case _: java.io.IOException => None }
-        occupant.foreach(o =>
-          Sink.TokenFile.removeIfOwnedBy(fs, conf, root, lease, owner = o,
-            caller = token))
-      }
-    }
-  }
+                        timeoutMs: Long): Unit =
+    Sink.TokenFile.reapIfStale(fs, conf, root, lease, timeoutMs,
+      caller = token)
 
   /** Co-locate each partition value in one task before a partitioned
     * write (one file per value per task otherwise — the writeClustered
