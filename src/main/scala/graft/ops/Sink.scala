@@ -682,9 +682,16 @@ object Sink {
       case (acc, DeleteStep(paths, cols)) =>
         // read WITHOUT basePath: a delete segment is a flat key file dir,
         // and scanning it standalone keeps its (partition-free) layout
-        // from conflicting with the data segments' partitioned one
-        val keys = spark.read.parquet(paths: _*).select(cols.map(col): _*)
-        acc.map(_.join(keys, cols, "left_anti"))
+        // from conflicting with the data segments' partitioned one.
+        // NULL-SAFE equality (<=>): Iceberg equality deletes match null
+        // keys, and a null-unsafe anti-join would make a null-keyed
+        // delete a silent no-op — no error at commit or read, the row
+        // just never dies (review finding). EqualNullSafe is still an
+        // equi-join key for the planner.
+        val keys = spark.read.parquet(paths: _*)
+          .select(cols.map(c => col(c).as(s"__dk_$c")): _*)
+        val cond = cols.map(c => col(c) <=> col(s"__dk_$c")).reduce(_ and _)
+        acc.map(_.join(keys, cond, "left_anti"))
     }.getOrElse(throw new IllegalStateException(
       "readScan: a committed version lists no data segments"))
 

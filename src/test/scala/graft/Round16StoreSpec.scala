@@ -68,6 +68,18 @@ class Round16StoreSpec extends SparkTestBase {
     assert(delRows == Seq(Set(2L), Set(2L, 3L)))
   }
 
+  test("sink: delete keys match null-keyed rows (null-safe equality, the Iceberg contract)") {
+    val out = Files.createTempDirectory("segdelnull").toString + "/t"
+    Sink.overwriteSegmented(
+      Seq((Option(1L), "a"), (Option.empty[Long], "b")).toDF("id", "g"),
+      out, retain = 1, minAgeMs = 0L)
+    Sink.patchSegmented(out, Some(Seq(Option.empty[Long]).toDF("id")), None,
+      retain = 1, minAgeMs = 0L)
+    // a null-unsafe anti-join would leave the null row alive forever
+    assert(Sink.readSnapshot(spark, out).as[(Option[Long], String)]
+      .collect().toSet == Set((Option(1L), "a")))
+  }
+
   test("sink: delete segments are GC-protected while referenced and reclaimed after a rewrite") {
     val out = Files.createTempDirectory("segdelgc").toString + "/t"
     Sink.overwriteSegmented(Seq(1, 2).toDF("v"), out, retain = 0, minAgeMs = 0L)
