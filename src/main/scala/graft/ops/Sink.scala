@@ -914,8 +914,15 @@ object Sink {
                          schema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
-    val v = currentVersion(fs, root).getOrElse(
-      throw new java.io.FileNotFoundException(s"no committed snapshot at $path"))
+    // string bounds compare in UTF-8 BYTE order — the ordering Spark's
+    // min/max computed them under. Java String '<' is UTF-16 code-unit
+    // order, which disagrees above the BMP (a supplementary character's
+    // surrogate pair sorts below ￿) and could prune a segment that
+    // contains matching rows (review finding)
+    def u8lt(a: String, b: String): Boolean =
+      java.util.Arrays.compareUnsigned(
+        a.getBytes(StandardCharsets.UTF_8),
+        b.getBytes(StandardCharsets.UTF_8)) < 0
     def excludes(tag: String, mn: String, mx: String): Boolean = tag match {
       case "n" =>
         // an unparseable numeric bound (legacy data, or a caller-passed
@@ -925,26 +932,49 @@ object Sink {
           (hi != null && BigDecimal(mn) > BigDecimal(hi.toString))
         catch { case _: NumberFormatException => false }
       case _ =>
-        (lo != null && mx < lo.toString) || (hi != null && mn > hi.toString)
+        (lo != null && u8lt(mx, lo.toString)) ||
+          (hi != null && u8lt(hi.toString, mn))
     }
-    manifestEntries(fs, new Path(root, v)) match {
-      case None => readVersion(spark, root, v, schema) // plain: no bounds
-      case Some(es) =>
-        val kept = es.filter {
-          case DataSeg(_, Some(EmptySegStats)) => false // zero rows: skip
-          case DataSeg(_, Some(stats)) =>
-            statsBound(stats, statsCol)
-              .forall { case (tag, mn, mx) => !excludes(tag, mn, mx) }
-          case _ => true // statless data and delete entries always stay
-        }
-        if (!kept.exists(_.isInstanceOf[DataSeg]))
-          // every data segment excluded: an empty frame under the
-          // version's own schema (metadata-only — filter(false) prunes
-          // the scan at planning)
-          readVersion(spark, root, v, schema)
-            .filter(org.apache.spark.sql.functions.lit(false))
-        else readScan(spark, scanOf(root, v, Some(kept)), schema)
+    def prunedRead(v: String): DataFrame =
+      manifestEntries(fs, new Path(root, v)) match {
+        case None => readVersion(spark, root, v, schema) // plain: no bounds
+        case Some(es) =>
+          val kept = es.filter {
+            case DataSeg(_, Some(EmptySegStats)) => false // zero rows: skip
+            case DataSeg(_, Some(stats)) =>
+              statsBound(stats, statsCol)
+                .forall { case (tag, mn, mx) => !excludes(tag, mn, mx) }
+            case _ => true // statless data and delete entries always stay
+          }
+          if (!kept.exists(_.isInstanceOf[DataSeg]))
+            // every data segment excluded: an empty frame under the
+            // version's own schema (metadata-only — filter(false) prunes
+            // the scan at planning)
+            readVersion(spark, root, v, schema)
+              .filter(org.apache.spark.sql.functions.lit(false))
+          else readScan(spark, scanOf(root, v, Some(kept)), schema)
+      }
+    // the same bounded re-resolve as readSnapshot: a concurrent
+    // recommit + GC can reclaim the resolved version between pointer
+    // resolution and the manifest/plan reads (review finding — the
+    // pruned path surfaced the race as a raw exception)
+    def attempt(retriesLeft: Int): DataFrame = {
+      val v = currentVersion(fs, root).getOrElse(
+        throw new java.io.FileNotFoundException(
+          s"no committed snapshot at $path"))
+      def vanished = !fs.exists(new Path(root, v))
+      try {
+        val df = prunedRead(v)
+        df.schema // force resolution so a vanished dir surfaces here
+        df
+      } catch {
+        case _: org.apache.spark.sql.AnalysisException
+            if retriesLeft > 0 && vanished => attempt(retriesLeft - 1)
+        case _: java.io.FileNotFoundException
+            if retriesLeft > 0 && vanished => attempt(retriesLeft - 1)
+      }
     }
+    attempt(3)
   }
 
   /** COMMITTED version history of an [[overwriteSnapshot]] table, newest
