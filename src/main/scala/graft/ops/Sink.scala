@@ -266,7 +266,16 @@ object Sink {
         stored.foreach { schema =>
           val want = schema.fields.map(f => f.name -> f.dataType).toMap
           k.schema.fields.foreach { f =>
-            require(want.get(f.name).contains(f.dataType),
+            // partition columns read back through DIRECTORY-VALUE type
+            // inference (a string column with digit values infers int),
+            // so their types can't be checked against this footer read —
+            // name presence only; data columns check exactly (review
+            // finding: a valid delete on a string partition column was
+            // spuriously rejected)
+            val ok =
+              if (partitionColumns.contains(f.name)) want.contains(f.name)
+              else want.get(f.name).contains(f.dataType)
+            require(ok,
               s"patchSegmented: delete-key column ${f.name}: ${f.dataType} " +
                 s"is not a column of the stored table schema " +
                 s"${schema.simpleString} — committing it would brick every " +
