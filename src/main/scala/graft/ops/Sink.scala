@@ -307,25 +307,27 @@ object Sink {
     // re-derives from the new live version and retries) and never as a
     // lost delta. The lock is held for metadata ops only — milliseconds,
     // independent of data size.
-    withCommitLock(fs, conf, root) {
+    try withCommitLock(fs, conf, root) {
       val prevNow = currentVersion(fs, root)
-      if (carryPrevious && prevNow != previous) {
-        fs.delete(new Path(root, version), true)
-        staged.foreach(fs.delete(_, true))
+      if (carryPrevious && prevNow != previous)
         throw new java.util.ConcurrentModificationException(
           s"appendSegment: a concurrent commit advanced $path past " +
             s"${previous.getOrElse("<none>")} while this append staged — " +
             "re-derive from the new live version and retry")
-      }
       // overwrites re-resolve the displaced version inside the lock, so
       // the supersession marker lands on the TRUE predecessor even when
       // the pointer advanced since entry (last-writer-wins on content,
       // but history stays complete). ONLY the marker + swap run under
-      // the lock — the GC sweep below can be data-proportional (it
-      // recursively deletes superseded corpus-sized dirs), and a hold
-      // time past the stale-reap threshold would let waiters reap a
+      // the lock — the GC sweep below AND the CAS loser's staged-file
+      // cleanup (both data-proportional deletes) run after release: a
+      // hold past the stale-reap threshold would let waiters reap a
       // live holder, re-opening the lost-delta window the lock closes
       swapPointer(conf, fs, root, version, prevNow)
+    } catch {
+      case e: java.util.ConcurrentModificationException =>
+        fs.delete(new Path(root, version), true)
+        staged.foreach(fs.delete(_, true))
+        throw e
     }
     // retention GC outside the lock: advisory work — a failure (e.g. a
     // racing commit's sweep deleting a marker between list and read)
