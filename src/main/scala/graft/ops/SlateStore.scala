@@ -589,37 +589,53 @@ object SlateStore {
         " spark.graft.store.leaseWaitMs")
   }
 
-  /** One shared daemon timer serves every holder's heartbeat — beats are
-    * a stat + a set-mtime. */
-  private lazy val heartbeatExec: java.util.concurrent.ScheduledExecutorService =
+  /** One shared daemon timer TICKS every holder's heartbeat; the beat's
+    * filesystem I/O (a token read + a set-mtime) runs on a cached pool,
+    * one in-flight beat per lease — a beat blocked on one hung mount
+    * must not starve every other holder's refresh past its staleness
+    * timeout (review finding: a shared single thread doing blocking I/O
+    * re-created the wrongful-reap the heartbeat exists to prevent). */
+  private lazy val heartbeatTicker: java.util.concurrent.ScheduledExecutorService =
     java.util.concurrent.Executors.newSingleThreadScheduledExecutor(r => {
-      val t = new Thread(r, "graft-lease-heartbeat")
+      val t = new Thread(r, "graft-lease-heartbeat-ticker")
+      t.setDaemon(true)
+      t
+    })
+  private lazy val heartbeatIo: java.util.concurrent.ExecutorService =
+    java.util.concurrent.Executors.newCachedThreadPool(r => {
+      val t = new Thread(r, "graft-lease-heartbeat-io")
       t.setDaemon(true)
       t
     })
 
   private def startHeartbeat(fs: org.apache.hadoop.fs.FileSystem, lease: Path,
                              token: String,
-                             periodMs: Long): java.util.concurrent.ScheduledFuture[_] =
-    heartbeatExec.scheduleAtFixedRate(() => {
-      try {
-        // refresh only OUR claim: if a reaper (wrongly) took the lease
-        // and a successor re-claimed it, faking the successor's
-        // liveness from here would wedge its waiters
-        if (Sink.readSmallText(fs, lease).trim == token) {
-          val now = System.currentTimeMillis()
-          if (fs.getScheme == "file")
-            java.nio.file.Files.setLastModifiedTime(
-              java.nio.file.Paths.get(fs.makeQualified(lease).toUri.getPath),
-              java.nio.file.attribute.FileTime.fromMillis(now))
-          else fs.setTimes(lease, now, -1)
-        }
-      } catch {
-        // a torn read or transient IO failure: skip this beat, the next
-        // one retries — one missed beat is 1/4 of the staleness window
-        case scala.util.control.NonFatal(_) =>
-      }
+                             periodMs: Long): java.util.concurrent.ScheduledFuture[_] = {
+    val inFlight = new java.util.concurrent.atomic.AtomicBoolean(false)
+    heartbeatTicker.scheduleAtFixedRate(() => {
+      // skip the tick if the previous beat is still blocked on IO — a
+      // hung filesystem must not pile up threads either
+      if (inFlight.compareAndSet(false, true)) heartbeatIo.execute(() => {
+        try {
+          // refresh only OUR claim: if a reaper (wrongly) took the lease
+          // and a successor re-claimed it, faking the successor's
+          // liveness from here would wedge its waiters
+          if (Sink.readSmallText(fs, lease).trim == token) {
+            val now = System.currentTimeMillis()
+            if (fs.getScheme == "file")
+              java.nio.file.Files.setLastModifiedTime(
+                java.nio.file.Paths.get(fs.makeQualified(lease).toUri.getPath),
+                java.nio.file.attribute.FileTime.fromMillis(now))
+            else fs.setTimes(lease, now, -1)
+          }
+        } catch {
+          // a torn read or transient IO failure: skip this beat, the next
+          // one retries — one missed beat is 1/4 of the staleness window
+          case scala.util.control.NonFatal(_) =>
+        } finally inFlight.set(false)
+      })
     }, periodMs, periodMs, java.util.concurrent.TimeUnit.MILLISECONDS)
+  }
 
   /** The claim/remove mechanics are [[Sink.TokenFile]] — the one
     * token-lock protocol the commit lock shares (review finding: the
