@@ -294,7 +294,7 @@ class Round16StoreSpec extends SparkTestBase {
 
   test("sink: stats-free segments are kept conservatively; delete segments still apply on a pruned read") {
     val out = Files.createTempDirectory("segstatsmix").toString + "/t"
-    Sink.overwriteSegmented(Seq((1L, 10L)).toDF("id", "d"), out,
+    Sink.overwriteSegmented(Seq((1L, 10L), (9L, 15L)).toDF("id", "d"), out,
       retain = 1, minAgeMs = 0L, statsCols = Seq("d"))
     // statless append (no statsCols): must always be scanned
     Sink.appendSegment(Seq((2L, 99L)).toDF("id", "d"), out,
@@ -302,9 +302,18 @@ class Round16StoreSpec extends SparkTestBase {
     // delete id=1 AFTER its segment; the pruned read must still apply it
     Sink.patchSegmented(out, Some(Seq(1L).toDF("id")), None,
       retain = 1, minAgeMs = 0L)
-    val pruned = Sink.readSnapshotPruned(spark, out, "d", 0L, 50L)
-    assert(pruned.as[(Long, Long)].collect().toSet == Set((2L, 99L)),
-      "the statless segment stays, the bounded one is pruned, the delete applies")
+    // window overlapping the bounded segment: its surviving row stays
+    // (delete applied), the statless segment rides along
+    val overlap = Sink.readSnapshotPruned(spark, out, "d", 0L, 50L)
+    assert(overlap.as[(Long, Long)].collect().toSet ==
+      Set((9L, 15L), (2L, 99L)))
+    // window excluding the bounded segment's [10,15]: ONLY the statless
+    // segment may answer — if bound-pruning broke, (9,15) would leak in
+    // (the earlier shape of this test could not tell pruning from the
+    // delete, review finding)
+    val excl = Sink.readSnapshotPruned(spark, out, "d", 90L, 100L)
+    assert(excl.as[(Long, Long)].collect().toSet == Set((2L, 99L)),
+      "the bounded segment must be pruned, the statless one kept")
   }
 
   // ------------------------------------------------ snapshot_at SQL TVF
