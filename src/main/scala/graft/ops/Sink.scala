@@ -693,18 +693,28 @@ object Sink {
       case (acc, DeleteStep(paths, cols)) =>
         // read WITHOUT basePath: a delete segment is a flat key file dir,
         // and scanning it standalone keeps its (partition-free) layout
-        // from conflicting with the data segments' partitioned one.
-        // NULL-SAFE equality (<=>): Iceberg equality deletes match null
-        // keys, and a null-unsafe anti-join would make a null-keyed
-        // delete a silent no-op — no error at commit or read, the row
-        // just never dies (review finding). EqualNullSafe is still an
-        // equi-join key for the planner.
-        val keys = spark.read.parquet(paths: _*)
-          .select(cols.map(c => col(c).as(s"__dk_$c")): _*)
-        val cond = cols.map(c => col(c) <=> col(s"__dk_$c")).reduce(_ and _)
-        acc.map(_.join(keys, cond, "left_anti"))
+        // from conflicting with the data segments' partitioned one
+        val keys = spark.read.parquet(paths: _*).select(cols.map(col): _*)
+        acc.map(antiJoinKeys(_, keys))
     }.getOrElse(throw new IllegalStateException(
       "readScan: a committed version lists no data segments"))
+
+  /** THE delete-application join, shared by the read path and every
+    * compaction/migration fold (SlateStore) so delete semantics cannot
+    * depend on which code path applies them (review finding: the at-cap
+    * compaction used a null-unsafe join while the read path matched
+    * nulls). NULL-SAFE equality (<=>): Iceberg equality deletes — the
+    * model here — match null keys, and a null-unsafe anti-join would
+    * make a null-keyed delete a silent no-op (no error at commit or
+    * read, the row just never dies). EqualNullSafe is still an
+    * equi-join key for the planner, so the join plans hash-side like
+    * any other. */
+  private[graft] def antiJoinKeys(df: DataFrame, keys: DataFrame): DataFrame = {
+    val cols = keys.columns.toSeq
+    val keyed = keys.select(cols.map(c => col(c).as(s"__dk_$c")): _*)
+    val cond = cols.map(c => col(c) <=> col(s"__dk_$c")).reduce(_ and _)
+    df.join(keyed, cond, "left_anti")
+  }
 
   /** Open a committed version's content as a DataFrame (manifest-aware:
     * unions data segments, subtracts delete segments). */

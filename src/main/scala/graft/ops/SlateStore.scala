@@ -378,10 +378,12 @@ object SlateStore {
           // the cap-crossing patch compacts too: readPinned already
           // applies every prior delete segment, so folding = apply this
           // patch's keys and delta to the resolved content and recommit
-          // one fresh segment
+          // one fresh segment. Sink.antiJoinKeys = the read path's
+          // null-safe join, so compacted content can never differ from
+          // what merge-on-read would have served (review finding)
           val prev = previousEntry.get
-          val base = readPinned(spark, prev).join(
-            alignKeys(prev.schema, keys), keys.columns.toSeq, "left_anti")
+          val base = Sink.antiJoinKeys(readPinned(spark, prev),
+            alignKeys(prev.schema, keys))
           Evolved.Rewrite(
             delta.fold(base)(d => base.unionByName(alignTo(prev.schema, d))))
         case other => other
@@ -471,9 +473,10 @@ object SlateStore {
             pinnedOf(spark, dir, version, prev.schema)
           case Some(prev) =>
             // legacy plain layout: migrate with one full rewrite, the
-            // patch applied to the resolved content
-            val base = readPinned(spark, prev).join(
-              alignKeys(prev.schema, keys), keys.columns.toSeq, "left_anti")
+            // patch applied to the resolved content (same null-safe join
+            // as the read path)
+            val base = Sink.antiJoinKeys(readPinned(spark, prev),
+              alignKeys(prev.schema, keys))
             val full = clusterBy(partitionBy,
               delta.fold(base)(d => base.unionByName(alignTo(prev.schema, d))))
             val version = Sink.overwriteSegmented(full, dir, retain, minAge,
