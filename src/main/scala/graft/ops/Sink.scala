@@ -904,13 +904,19 @@ object Sink {
     def attempt(retriesLeft: Int): DataFrame = {
       val v = currentVersion(fs, root).getOrElse(
         throw new java.io.FileNotFoundException(s"no committed snapshot at $path"))
+      def vanished = !fs.exists(new Path(root, v))
       try {
         val df = readVersion(spark, root, v, schema)
         df.schema // force resolution so a vanished dir surfaces here
         df
       } catch {
-        case e: org.apache.spark.sql.AnalysisException if retriesLeft > 0 &&
-            !fs.exists(new Path(root, v)) => attempt(retriesLeft - 1)
+        case _: org.apache.spark.sql.AnalysisException
+            if retriesLeft > 0 && vanished => attempt(retriesLeft - 1)
+        // manifestEntries can pass fs.exists and then lose the open to
+        // the same recommit+GC window — equally retryable (the pruned
+        // twin and the commit CAS both classify it so)
+        case _: java.io.FileNotFoundException
+            if retriesLeft > 0 && vanished => attempt(retriesLeft - 1)
       }
     }
     attempt(3)
