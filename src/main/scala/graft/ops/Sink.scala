@@ -974,11 +974,20 @@ object Sink {
             case _ => true // statless data and delete entries always stay
           }
           if (!kept.exists(_.isInstanceOf[DataSeg]))
-            // every data segment excluded: an empty frame under the
-            // version's own schema (metadata-only — filter(false) prunes
-            // the scan at planning)
-            readVersion(spark, root, v, schema)
-              .filter(org.apache.spark.sql.functions.lit(false))
+            // every data segment excluded — the BEST case for pruning
+            // must not pay the worst-case metadata cost: an empty frame
+            // is derived from ONE data segment's scan (filter(false)
+            // prunes execution; listing one segment beats listing the
+            // full version, which a readVersion here would have done —
+            // review finding), never the whole manifest
+            es.collectFirst { case d: DataSeg => d } match {
+              case Some(d) =>
+                readScan(spark, scanOf(root, v, Some(Seq(d))), schema)
+                  .filter(org.apache.spark.sql.functions.lit(false))
+              case None => // a manifest with no data segments at all
+                readVersion(spark, root, v, schema)
+                  .filter(org.apache.spark.sql.functions.lit(false))
+            }
           else readScan(spark, scanOf(root, v, Some(kept)), schema)
       }
     // the same bounded re-resolve as readSnapshot: a concurrent
