@@ -37,18 +37,19 @@ object EvolveProbe {
     else Option(f.listFiles()).map(_.map(du).sum).getOrElse(0L)
 
   /** Segment ids the live version's manifest lists, in commit order —
-    * delete entries (`D\t<id>\t<cols>`) and data entries (`<id>[\t<stats>]`)
-    * alike. */
+    * delete and data entries alike, parsed by the ONE grammar owner
+    * (Sink.manifestEntries): a private re-parse here would silently
+    * misattribute bytes the next time the grammar grows a field
+    * (review finding). */
   private def liveEntryIds(spark: SparkSession, tableDir: java.io.File): Seq[String] = {
     val live = graft.ops.Sink.listVersions(spark, tableDir.toString)
       .headOption.getOrElse(sys.error(s"no committed version at $tableDir"))
-    val mf = new java.io.File(new java.io.File(tableDir, live), "_manifest")
-    new String(java.nio.file.Files.readAllBytes(mf.toPath))
-      .split("\n").map(_.trim).filter(_.nonEmpty).toSeq
-      .map { line =>
-        val f = line.split('\t')
-        if (f.headOption.contains("D")) f(1) else f(0)
-      }
+    val root = new org.apache.hadoop.fs.Path(tableDir.toString)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    graft.ops.Sink.manifestEntries(fs,
+        new org.apache.hadoop.fs.Path(root, live))
+      .getOrElse(sys.error(s"live version $live at $tableDir is not segmented"))
+      .map(_.id)
   }
 
   private def segBytes(tableDir: java.io.File, ids: Seq[String]): Long =
@@ -89,9 +90,12 @@ object EvolveProbe {
       val totalBytes = segBytes(tableDir, idsGen2)
       val (n3, tRebuild) = time(evolveTo(emb, "gen2", s"$key|fresh"))
       require(n2 == n && n3 == n, s"row drift: corpus=$n evolved=$n2 rebuilt=$n3")
-      // gen3: a ~1% pure deletion — merge-on-read commits only the keys
+      // gen3: a ~1% pure deletion — merge-on-read commits only the keys.
+      // The expected count is taken OUTSIDE the timed section, once (a
+      // post-require g3.count() re-scanned the corpus on a timing tool)
+      val nG3 = g3.count()
       val (nDel, tDelete) = time(evolveTo(g3, "gen3"))
-      require(nDel == g3.count(), s"delete drift: want=${g3.count()} got=$nDel")
+      require(nDel == nG3, s"delete drift: want=$nG3 got=$nDel")
       val idsGen3 = liveEntryIds(spark, tableDir)
       val deleteBytes = segBytes(tableDir, idsGen3.diff(idsGen2))
       println(f"[evolve_probe] $dir rows=$n nCells=$nCells " +

@@ -503,10 +503,10 @@ object Sink {
     * so the grammar can't be injected by data); tag `n` compares
     * numerically, `s` lexically.
     */
-  private[ops] sealed trait ManifestEntry { def id: String }
-  private[ops] final case class DataSeg(id: String,
+  private[graft] sealed trait ManifestEntry { def id: String }
+  private[graft] final case class DataSeg(id: String,
                                         stats: Option[String]) extends ManifestEntry
-  private[ops] final case class DeleteSeg(id: String,
+  private[graft] final case class DeleteSeg(id: String,
                                           keyCols: Seq[String]) extends ManifestEntry
 
   private def enc(s: String): String = java.net.URLEncoder.encode(s, "UTF-8")
@@ -620,7 +620,7 @@ object Sink {
 
   /** The entries a manifest version lists, in commit order, or None for
     * a plain data version (no `_manifest`). */
-  private[ops] def manifestEntries(fs: FileSystem,
+  private[graft] def manifestEntries(fs: FileSystem,
                                    versionDir: Path): Option[Seq[ManifestEntry]] = {
     val mf = new Path(versionDir, ManifestFile)
     if (!fs.exists(mf)) None
