@@ -13,7 +13,7 @@ package graft
 // (a) lists every file of every segment and (b) lists 1/|years| of
 // them. Args: SF dirs (default sf0.1; pass /tmp/sfx10_all and
 // /tmp/sfx100 for the growth rows).
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions._
 
 object PruneProbe {
@@ -77,7 +77,102 @@ object PruneProbe {
         f"wall full/pruned per round: $fmt s " +
         "(skipping happens BEFORE listing — at 100 TB the file-listing " +
         "ratio IS the win)")
+
+      // ---- section 2: the Z-ORDERED layout (VERDICT r15 item 3's probe
+      // ask). Segments = z-buckets over (o_custkey, o_orderkey): z-order's
+      // bounded-rectangle property makes BOTH dims' per-segment min/max
+      // tight, so a range predicate on EITHER raw dimension skips most
+      // segments — the scan-level payoff zorder_layout's clustering
+      // promises. prefixBits=2 → 16 buckets; a quarter-domain predicate
+      // on either dim overlaps 4 of 16 rectangles (25% listed).
+      zorderSection(spark, dir, base.drop("o_year"))
+
+      // ---- section 3: merge-on-read READ-SIDE DEBT. Ten successive
+      // key-ranged delete patches stack ten anti-joins on the year table;
+      // a compaction rewrite folds them. Measured: the same aggregate
+      // over the clean, debt-carrying, and compacted states.
+      deleteDebtSection(spark, path, probe)
     }
     spark.stop()
+  }
+
+  private def zorderSection(spark: SparkSession, dir: String,
+                            orders: org.apache.spark.sql.DataFrame): Unit = {
+    import graft.ops.Relational.zorderValue
+    val (aCol, bCol) = ("o_custkey", "o_orderkey")
+    val dimBits = 8
+    val prefixBits = 2
+    val scale = 1 << dimBits
+    val mm = orders.agg(
+      min(col(aCol)).cast("long"), max(col(aCol)).cast("long"),
+      min(col(bCol)).cast("long"), max(col(bCol)).cast("long")).head()
+    val (aMin, aMax, bMin, bMax) =
+      (mm.getLong(0), mm.getLong(1), mm.getLong(2), mm.getLong(3))
+    def quant(c: Column, lo: Long, hi: Long): Column =
+      floor((c.cast("long") - lit(lo)).cast("double") * scale /
+        lit((hi - lo + 1).toDouble)).cast("long")
+    val bucketed = orders.withColumn("__zb",
+      shiftright(zorderValue(quant(col(aCol), aMin, aMax),
+        quant(col(bCol), bMin, bMax), dimBits), 2 * (dimBits - prefixBits)))
+    val zPath = new java.io.File(
+      graft.ops.SlateStore.sessionTempRoot(spark),
+      s"prune_probe_z_${System.nanoTime()}").toString
+    val buckets = bucketed.select("__zb").distinct()
+      .collect().map(_.getLong(0)).sorted
+    graft.ops.Sink.overwriteSegmented(
+      bucketed.filter(col("__zb") === buckets.head).drop("__zb"),
+      zPath, retain = 1, minAgeMs = 600000L, statsCols = Seq(aCol, bCol))
+    buckets.tail.foreach { zb =>
+      graft.ops.Sink.appendSegment(
+        bucketed.filter(col("__zb") === zb).drop("__zb"),
+        zPath, retain = 1, minAgeMs = 600000L, statsCols = Seq(aCol, bCol))
+    }
+    val total = graft.ops.Sink.readSnapshot(spark, zPath).inputFiles.length
+    // quarter-domain range predicates on EACH raw dimension
+    val aHi = aMin + (aMax - aMin) / 4
+    val bHi = bMin + (bMax - bMin) / 4
+    val aListed = graft.ops.Sink.readSnapshotPruned(spark, zPath, aCol,
+      aMin, aHi).inputFiles.length
+    val bListed = graft.ops.Sink.readSnapshotPruned(spark, zPath, bCol,
+      bMin, bHi).inputFiles.length
+    println(f"[prune_probe_z] $dir z-buckets=${buckets.length} " +
+      f"files total=$total quarter-range on $aCol lists $aListed " +
+      f"(${aListed.toDouble / total * 100}%.0f%%), on $bCol lists $bListed " +
+      f"(${bListed.toDouble / total * 100}%.0f%%) — per-segment bounds " +
+      "make the z-order clustering actionable on EITHER dimension at the " +
+      "manifest level")
+  }
+
+  private def deleteDebtSection(spark: SparkSession, path: String,
+                                probe: Long): Unit = {
+    def agg(df: org.apache.spark.sql.DataFrame): Long =
+      df.filter(col("o_year") === probe).count()
+    def timed3(f: => org.apache.spark.sql.DataFrame): String =
+      (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        agg(f)
+        f"${(System.nanoTime() - t0) / 1e9}%.2f"
+      }.mkString("/")
+    val clean = timed3(graft.ops.Sink.readSnapshot(spark, path))
+    // ten successive key-ranged delete patches (each ~0.1% of rows)
+    val keys = graft.ops.Sink.readSnapshot(spark, path)
+      .select("o_orderkey").orderBy("o_orderkey").limit(10000)
+      .collect().map(_.getLong(0))
+    val slice = math.max(1, keys.length / 10)
+    import spark.implicits._
+    (0 until 10).foreach { i =>
+      val ks = keys.slice(i * slice, (i + 1) * slice).toSeq.toDF("o_orderkey")
+      graft.ops.Sink.patchSegmented(path, Some(ks), None,
+        retain = 1, minAgeMs = 600000L)
+    }
+    val withDebt = timed3(graft.ops.Sink.readSnapshot(spark, path))
+    // compaction: rewrite the resolved content as one fresh segment
+    val resolved = graft.ops.Sink.readSnapshot(spark, path)
+    graft.ops.Sink.overwriteSegmented(resolved, path,
+      retain = 1, minAgeMs = 600000L, statsCols = Seq("o_year"))
+    val compacted = timed3(graft.ops.Sink.readSnapshot(spark, path))
+    println(s"[prune_probe_debt] $path read wall x3 — clean: $clean s, " +
+      s"+10 delete segments: $withDebt s, after compaction: $compacted s " +
+      "(anti-join debt is real but bounded: maxSegments folds it back)")
   }
 }
