@@ -973,21 +973,40 @@ object Sink {
                 .forall { case (tag, mn, mx) => !excludes(tag, mn, mx) }
             case _ => true // statless data and delete entries always stay
           }
-          if (!kept.exists(_.isInstanceOf[DataSeg]))
+          if (!kept.exists(_.isInstanceOf[DataSeg])) {
             // every data segment excluded — the BEST case for pruning
             // must not pay the worst-case metadata cost: an empty frame
             // is derived from ONE data segment's scan (filter(false)
             // prunes execution; listing one segment beats listing the
-            // full version, which a readVersion here would have done —
-            // review finding), never the whole manifest
-            es.collectFirst { case d: DataSeg => d } match {
+            // full version). Anchor preference: a marked-empty segment
+            // (guaranteed one tiny file), else the LAST data segment —
+            // in the overwrite-then-append history the last is the most
+            // recent delta, not the bulk segment the first would be
+            // (review finding: anchoring on the first re-listed ~the
+            // whole table)
+            val anchor = es.collectFirst {
+              case d @ DataSeg(_, Some(EmptySegStats)) => d
+            }.orElse(es.reverseIterator.collectFirst { case d: DataSeg => d })
+            anchor match {
               case Some(d) =>
                 readScan(spark, scanOf(root, v, Some(Seq(d))), schema)
                   .filter(org.apache.spark.sql.functions.lit(false))
-              case None => // a manifest with no data segments at all
-                readVersion(spark, root, v, schema)
-                  .filter(org.apache.spark.sql.functions.lit(false))
+              case None =>
+                // a manifest with no data segments at all (no in-repo
+                // writer produces one): serve the empty frame under the
+                // forced schema, or fail with the real reason — the old
+                // readVersion fallback only ever threw readScan's
+                // misleading no-data error (review finding)
+                schema match {
+                  case Some(sc) => spark.createDataFrame(
+                    spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sc)
+                  case None => throw new IllegalStateException(
+                    s"readSnapshotPruned: version $v at $path lists no " +
+                      "data segments and no schema was forced — nothing " +
+                      "to derive an empty frame from")
+                }
             }
+          }
           else readScan(spark, scanOf(root, v, Some(kept)), schema)
       }
     // the same bounded re-resolve as readSnapshot: a concurrent
