@@ -13,7 +13,7 @@ package graft
 // (a) lists every file of every segment and (b) lists 1/|years| of
 // them. Args: SF dirs (default sf0.1; pass /tmp/sfx10_all and
 // /tmp/sfx100 for the growth rows).
-import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 object PruneProbe {
@@ -98,22 +98,23 @@ object PruneProbe {
 
   private def zorderSection(spark: SparkSession, dir: String,
                             orders: org.apache.spark.sql.DataFrame): Unit = {
-    import graft.ops.Relational.zorderValue
+    import graft.ops.Relational.{zorderBucket, zorderQuantize}
     val (aCol, bCol) = ("o_custkey", "o_orderkey")
     val dimBits = 8
     val prefixBits = 2
-    val scale = 1 << dimBits
     val mm = orders.agg(
       min(col(aCol)).cast("long"), max(col(aCol)).cast("long"),
       min(col(bCol)).cast("long"), max(col(bCol)).cast("long")).head()
     val (aMin, aMax, bMin, bMax) =
       (mm.getLong(0), mm.getLong(1), mm.getLong(2), mm.getLong(3))
-    def quant(c: Column, lo: Long, hi: Long): Column =
-      floor((c.cast("long") - lit(lo)).cast("double") * scale /
-        lit((hi - lo + 1).toDouble)).cast("long")
+    // the SAME quantizer + bucket expressions zorderLayout groups by —
+    // a private re-implementation here would silently measure a
+    // different bucketing than the layout op this probe validates
     val bucketed = orders.withColumn("__zb",
-      shiftright(zorderValue(quant(col(aCol), aMin, aMax),
-        quant(col(bCol), bMin, bMax), dimBits), 2 * (dimBits - prefixBits)))
+      zorderBucket(
+        zorderQuantize(col(aCol), lit(aMin), lit(aMax), dimBits),
+        zorderQuantize(col(bCol), lit(bMin), lit(bMax), dimBits),
+        dimBits, prefixBits))
     val zPath = new java.io.File(
       graft.ops.SlateStore.sessionTempRoot(spark),
       s"prune_probe_z_${System.nanoTime()}").toString

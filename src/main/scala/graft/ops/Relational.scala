@@ -323,6 +323,23 @@ object Relational {
         .bitwiseOR(shiftleft(shiftright(b.cast("long"), i).bitwiseAND(lit(1L)), 2 * i + 1))
     }
 
+  /** The [[zorderLayout]] quantizer as a shared expression: value →
+    * dimBits-bit cell index over [lo, hi]. The exact arithmetic shape
+    * (long subtraction, double multiply THEN divide, floor) is the
+    * oracle-replayed contract — probes and the layout op must share it
+    * or they silently measure different bucketings (review finding). */
+  private[graft] def zorderQuantize(c: Column, lo: Column, hi: Column,
+                                    dimBits: Int): Column =
+    floor((c.cast("long") - lo).cast("double") * (1 << dimBits) /
+      (hi - lo + lit(1L)).cast("double")).cast("long")
+
+  /** The z-BUCKET id of two quantized cell indexes: the top `prefixBits`
+    * interleaved bits of each dimension — [[zorderLayout]]'s grouping
+    * key, shared with the scan probes. */
+  private[graft] def zorderBucket(aq: Column, bq: Column, dimBits: Int,
+                                  prefixBits: Int): Column =
+    shiftright(zorderValue(aq, bq, dimBits), 2 * (dimBits - prefixBits))
+
   /** One-pass column profiler (the Deequ/describe data-quality pass a
     * pipeline runs before trusting a new drop): per column — row count,
     * null count, exact distinct count, min/max rendered to strings on the
@@ -429,19 +446,15 @@ object Relational {
   def zorderLayout(df: DataFrame, aCol: String, bCol: String,
                    dimBits: Int = 8, prefixBits: Int = 3): DataFrame = {
     require(dimBits > 0 && dimBits <= 16 && prefixBits > 0 && prefixBits <= dimBits)
-    val scale = 1 << dimBits
     val mm = df.agg(
       min(col(aCol)).cast("long").as("__amin"), max(col(aCol)).cast("long").as("__amax"),
       min(col(bCol)).cast("long").as("__bmin"), max(col(bCol)).cast("long").as("__bmax"))
     val q = df.crossJoin(broadcast(mm))
       .select(
-        floor((col(aCol).cast("long") - col("__amin")).cast("double") * scale /
-          (col("__amax") - col("__amin") + 1).cast("double")).cast("long").as("__aq"),
-        floor((col(bCol).cast("long") - col("__bmin")).cast("double") * scale /
-          (col("__bmax") - col("__bmin") + 1).cast("double")).cast("long").as("__bq"))
+        zorderQuantize(col(aCol), col("__amin"), col("__amax"), dimBits).as("__aq"),
+        zorderQuantize(col(bCol), col("__bmin"), col("__bmax"), dimBits).as("__bq"))
     q.select(col("__aq"), col("__bq"),
-        shiftright(zorderValue(col("__aq"), col("__bq"), dimBits),
-          2 * (dimBits - prefixBits)).as("zbucket"))
+        zorderBucket(col("__aq"), col("__bq"), dimBits, prefixBits).as("zbucket"))
       .groupBy("zbucket")
       .agg(count(lit(1)).as("n_rows"),
         min(col("__aq")).as("aq_min"), max(col("__aq")).as("aq_max"),
