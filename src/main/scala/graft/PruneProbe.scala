@@ -63,10 +63,16 @@ object PruneProbe {
         probe, probe)
       val filesFull = full.inputFiles.length
       val filesPruned = pruned.inputFiles.length
-      val rounds = (1 to 3).map { _ =>
-        val (a, tFull) = time(agg(graft.ops.Sink.readSnapshot(spark, path)))
-        val (b, tPruned) = time(agg(graft.ops.Sink.readSnapshotPruned(
+      // order ALTERNATES per round: running pruned always second let it
+      // ride the full scan's just-warmed page cache and inflated the
+      // cold-round ratio (review finding)
+      val rounds = (0 until 3).map { i =>
+        def full() = time(agg(graft.ops.Sink.readSnapshot(spark, path)))
+        def pruned() = time(agg(graft.ops.Sink.readSnapshotPruned(
           spark, path, "o_year", probe, probe)))
+        val ((a, tFull), (b, tPruned)) =
+          if (i % 2 == 0) { val p = pruned(); val f = full(); (f, p) }
+          else { val f = full(); val p = pruned(); (f, p) }
         require(a == b, s"pruned read changed the answer: $a vs $b")
         (tFull, tPruned)
       }
@@ -167,13 +173,28 @@ object PruneProbe {
         retain = 1, minAgeMs = 600000L)
     }
     val withDebt = timed3(graft.ops.Sink.readSnapshot(spark, path))
-    // compaction: rewrite the resolved content as one fresh segment
+    // compaction REBUILDS THE SAME per-year layout (one segment per
+    // year) so the compacted reading isolates the delete-debt removal —
+    // a single-segment rewrite would also collapse 7 data segments into
+    // 1 and overstate what folding the deletes recovers (review finding)
     val resolved = graft.ops.Sink.readSnapshot(spark, path)
-    graft.ops.Sink.overwriteSegmented(resolved, path,
-      retain = 1, minAgeMs = 600000L, statsCols = Seq("o_year"))
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    try {
+      val years = resolved.select("o_year").distinct()
+        .collect().map(_.getLong(0)).sorted
+      graft.ops.Sink.overwriteSegmented(
+        resolved.filter(col("o_year") === years.head), path,
+        retain = 1, minAgeMs = 600000L, statsCols = Seq("o_year"))
+      years.tail.foreach { y =>
+        graft.ops.Sink.appendSegment(
+          resolved.filter(col("o_year") === y), path,
+          retain = 1, minAgeMs = 600000L, statsCols = Seq("o_year"))
+      }
+    } finally resolved.unpersist()
     val compacted = timed3(graft.ops.Sink.readSnapshot(spark, path))
     println(s"[prune_probe_debt] $path read wall x3 — clean: $clean s, " +
-      s"+10 delete segments: $withDebt s, after compaction: $compacted s " +
+      s"+10 delete segments: $withDebt s, compacted back to the same " +
+      s"per-year layout: $compacted s " +
       "(anti-join debt is real but bounded: maxSegments folds it back)")
   }
 }
