@@ -264,6 +264,62 @@ class Round16StoreSpec extends SparkTestBase {
       s"no append may be lost across sessions, got $got")
   }
 
+  test("sink: mixed patch/append hammer — deletes and appends interleave without losing either") {
+    val out = Files.createTempDirectory("segmixhammer").toString + "/t"
+    // seed rows 100..109 will be deleted concurrently with fresh appends
+    Sink.overwriteSegmented((100L until 110L).toDF("id"), out,
+      retain = 64, minAgeMs = 600000L)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    def retrying(op: => Unit): Unit = {
+      var done = false
+      while (!done) {
+        try { op; done = true }
+        catch {
+          case _: java.util.ConcurrentModificationException => Thread.sleep(5)
+        }
+      }
+    }
+    val appenders = (0 until 3).map { t =>
+      Future((0 until 4).foreach { i =>
+        retrying(Sink.appendSegment(Seq((t * 4 + i).toLong).toDF("id"), out,
+          retain = 64, minAgeMs = 600000L))
+      })
+    }
+    val deleters = (0 until 2).map { t =>
+      Future((0 until 5).foreach { i =>
+        retrying(Sink.patchSegmented(out,
+          Some(Seq((100 + t * 5 + i).toLong).toDF("id")), None,
+          retain = 64, minAgeMs = 600000L))
+      })
+    }
+    (appenders ++ deleters).foreach(Await.result(_, 120.seconds))
+    // every append survived, every seeded delete landed — regardless of
+    // schedule (the delete keys never collide with the appended ids, so
+    // the expected final state is deterministic)
+    assert(Sink.readSnapshot(spark, out).as[Long].collect().toSet ==
+      (0L until 12L).toSet)
+  }
+
+  test("plan: a commit-sized delete segment anti-joins as a BROADCAST join (never a corpus shuffle)") {
+    val out = Files.createTempDirectory("segdelplan").toString + "/t"
+    Sink.overwriteSegmented((0L until 1000L).toDF("id"), out,
+      retain = 1, minAgeMs = 0L)
+    Sink.patchSegmented(out, Some(Seq(7L, 8L).toDF("id")), None,
+      retain = 1, minAgeMs = 0L)
+    withSQLConf("spark.sql.adaptive.enabled" -> "false") {
+      val df = Sink.readSnapshot(spark, out)
+      assert(df.count() == 998L)
+      val bcAnti = df.queryExecution.executedPlan.collect {
+        case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+            if j.joinType == org.apache.spark.sql.catalyst.plans.LeftAnti => j
+      }
+      assert(bcAnti.nonEmpty,
+        s"the key-sized delete side must broadcast:\n${df.queryExecution.executedPlan}")
+    }
+  }
+
   // -------------------------------------------------- per-segment stats
 
   test("sink: manifest min/max bounds skip whole segments on a range read (VERDICT r15 item 3)") {
