@@ -459,6 +459,33 @@ class Round16StoreSpec extends SparkTestBase {
     assert(Sink.readSnapshotPruned(spark, out2, "s", "", "b").count() == 1)
   }
 
+  test("store: statsBy composes with partitionBy — bounds on a data column beside partition dirs") {
+    val key = s"r16_statspart_${java.util.UUID.randomUUID().toString.take(8)}"
+    def gen(tag: String)(ev: Evolved) =
+      SlateStore.parquetEvolvingSegmented(spark, key, Some(tag),
+        partitionBy = Seq("cell"), statsBy = Seq("d"))(_ => ev)
+    gen("t1")(Evolved.Rewrite(Seq((1L, 0, 10L), (2L, 1, 19L)).toDF("id", "cell", "d")))
+    gen("t2")(Evolved.Append(Seq((3L, 0, 90L), (4L, 1, 99L)).toDF("id", "cell", "d")))
+    val tableDir = new java.io.File(
+      SlateStore.sessionTempRoot(spark), SlateStore.tableName(key)).toString
+    assert(manifestLines(tableDir).forall(_.contains("d=n:")),
+      s"bounds must record beside partition dirs: ${manifestLines(tableDir)}")
+    // segment skipping AND partition pruning coexist: the [80,100] window
+    // lists only the second segment's files, and a cell filter on the
+    // pruned read still answers correctly
+    val pruned = Sink.readSnapshotPruned(spark, tableDir, "d", 80L, 100L)
+    val segs = pruned.inputFiles
+      .flatMap(_.split('/').find(_.startsWith("__seg="))).distinct
+    assert(segs.length == 1, s"one segment overlaps [80,100]: ${segs.toSeq}")
+    assert(pruned.filter($"cell" === 0).select("id").as[Long]
+      .collect().toSeq == Seq(3L))
+    // schema-less reads surface discovered partition columns appended
+    // (the forced-schema store path re-selects stored order); the
+    // synthetic __seg level must never leak either way
+    assert(pruned.columns.toSet == Set("id", "cell", "d"),
+      s"no __seg leak: ${pruned.columns.toSeq}")
+  }
+
   test("store: statsBy threads bounds through evolution and they survive compaction") {
     val key = s"r16_stats_${java.util.UUID.randomUUID().toString.take(8)}"
     def gen(tag: String)(ev: Evolved) =
