@@ -23,6 +23,20 @@ object PruneProbe {
     (a, (System.nanoTime() - t0) / 1e9)
   }
 
+  /** The one segmented-publish shape every section uses: one data
+    * segment per distinct `groupCol` value (overwrite the first group,
+    * append each remaining one), bounds recorded on `statsCols`. */
+  private def publishSegmentedBy(df: org.apache.spark.sql.DataFrame,
+                                 groupCol: String, groups: Seq[Long],
+                                 path: String, statsCols: Seq[String]): Unit = {
+    graft.ops.Sink.overwriteSegmented(df.filter(col(groupCol) === groups.head),
+      path, retain = 1, minAgeMs = 600000L, statsCols = statsCols)
+    groups.tail.foreach { g =>
+      graft.ops.Sink.appendSegment(df.filter(col(groupCol) === g),
+        path, retain = 1, minAgeMs = 600000L, statsCols = statsCols)
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val dirs = if (args.nonEmpty) args.toSeq else Seq("/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
@@ -42,12 +56,7 @@ object PruneProbe {
         graft.ops.SlateStore.sessionTempRoot(spark),
         s"prune_probe_${System.nanoTime()}").toString
       // one data segment per year, bounds recorded per segment
-      graft.ops.Sink.overwriteSegmented(base.filter(col("o_year") === y0),
-        path, retain = 1, minAgeMs = 600000L, statsCols = Seq("o_year"))
-      ((y0 + 1) to y1).foreach { y =>
-        graft.ops.Sink.appendSegment(base.filter(col("o_year") === y),
-          path, retain = 1, minAgeMs = 600000L, statsCols = Seq("o_year"))
-      }
+      publishSegmentedBy(base, "o_year", (y0 to y1), path, Seq("o_year"))
       val probe = (y0 + y1) / 2 // a mid-range year every SF has
       def agg(df: org.apache.spark.sql.DataFrame): (Long, java.math.BigDecimal) = {
         // decimal sum: exact and order-independent, so the equality
@@ -63,20 +72,25 @@ object PruneProbe {
         probe, probe)
       val filesFull = full.inputFiles.length
       val filesPruned = pruned.inputFiles.length
-      // order ALTERNATES per round: running pruned always second let it
-      // ride the full scan's just-warmed page cache and inflated the
-      // cold-round ratio (review finding)
+      // order ALTERNATES per round and is LABELED in the output — with a
+      // single cold round no ordering is unbiased, so round 1 runs
+      // PRUNED first: the pruned side takes the cold-cache hit and the
+      // full side rides the partially-warmed cache, biasing the reported
+      // ratio AGAINST the pruning win (conservative; review findings x2:
+      // pruned-always-second inflated it, and unlabeled alternation hid
+      // which side round 1 favored)
       val rounds = (0 until 3).map { i =>
         def full() = time(agg(graft.ops.Sink.readSnapshot(spark, path)))
         def pruned() = time(agg(graft.ops.Sink.readSnapshotPruned(
           spark, path, "o_year", probe, probe)))
+        val prunedFirst = i % 2 == 0
         val ((a, tFull), (b, tPruned)) =
-          if (i % 2 == 0) { val p = pruned(); val f = full(); (f, p) }
+          if (prunedFirst) { val p = pruned(); val f = full(); (f, p) }
           else { val f = full(); val p = pruned(); (f, p) }
         require(a == b, s"pruned read changed the answer: $a vs $b")
-        (tFull, tPruned)
+        (tFull, tPruned, if (prunedFirst) "p-first" else "f-first")
       }
-      val fmt = rounds.map { case (f, p) => f"$f%.2f/$p%.2f" }.mkString(" ")
+      val fmt = rounds.map { case (f, p, o) => f"$f%.2f/$p%.2f($o)" }.mkString(" ")
       println(f"[prune_probe] $dir rows=$n years=$y0..$y1 probe=$probe " +
         f"files_listed full=$filesFull pruned=$filesPruned " +
         f"(${filesPruned.toDouble / filesFull * 100}%.0f%%) " +
@@ -126,14 +140,10 @@ object PruneProbe {
       s"prune_probe_z_${System.nanoTime()}").toString
     val buckets = bucketed.select("__zb").distinct()
       .collect().map(_.getLong(0)).sorted
-    graft.ops.Sink.overwriteSegmented(
-      bucketed.filter(col("__zb") === buckets.head).drop("__zb"),
-      zPath, retain = 1, minAgeMs = 600000L, statsCols = Seq(aCol, bCol))
-    buckets.tail.foreach { zb =>
-      graft.ops.Sink.appendSegment(
-        bucketed.filter(col("__zb") === zb).drop("__zb"),
-        zPath, retain = 1, minAgeMs = 600000L, statsCols = Seq(aCol, bCol))
-    }
+    // __zb rides into the segments (harmless payload) so the shared
+    // publish helper can group on it
+    publishSegmentedBy(bucketed, "__zb", buckets.toSeq, zPath,
+      Seq(aCol, bCol))
     val total = graft.ops.Sink.readSnapshot(spark, zPath).inputFiles.length
     // quarter-domain range predicates on EACH raw dimension
     val aHi = aMin + (aMax - aMin) / 4
@@ -176,21 +186,17 @@ object PruneProbe {
     // compaction REBUILDS THE SAME per-year layout (one segment per
     // year) so the compacted reading isolates the delete-debt removal —
     // a single-segment rewrite would also collapse 7 data segments into
-    // 1 and overstate what folding the deletes recovers (review finding)
-    val resolved = graft.ops.Sink.readSnapshot(spark, path)
-      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
-    try {
-      val years = resolved.select("o_year").distinct()
-        .collect().map(_.getLong(0)).sorted
-      graft.ops.Sink.overwriteSegmented(
-        resolved.filter(col("o_year") === years.head), path,
-        retain = 1, minAgeMs = 600000L, statsCols = Seq("o_year"))
-      years.tail.foreach { y =>
-        graft.ops.Sink.appendSegment(
-          resolved.filter(col("o_year") === y), path,
-          retain = 1, minAgeMs = 600000L, statsCols = Seq("o_year"))
-      }
-    } finally resolved.unpersist()
+    // 1 and overstate what folding the deletes recovers (review finding).
+    // The resolved content is MATERIALIZED to a scratch parquet before
+    // the source table is overwritten: a lazily-cached self-read would
+    // depend on cache-block residency once GC reclaims the source
+    // segments mid-rebuild (review finding)
+    val scratch = path + "_rebuild_src"
+    graft.ops.Sink.readSnapshot(spark, path).write.parquet(scratch)
+    val resolved = spark.read.parquet(scratch)
+    val years = resolved.select("o_year").distinct()
+      .collect().map(_.getLong(0)).sorted
+    publishSegmentedBy(resolved, "o_year", years.toSeq, path, Seq("o_year"))
     val compacted = timed3(graft.ops.Sink.readSnapshot(spark, path))
     println(s"[prune_probe_debt] $path read wall x3 — clean: $clean s, " +
       s"+10 delete segments: $withDebt s, compacted back to the same " +
