@@ -295,11 +295,12 @@ class Round16StoreSpec extends SparkTestBase {
       })
     }
     (appenders ++ deleters).foreach(Await.result(_, 120.seconds))
-    // every append survived, every seeded delete landed — regardless of
-    // schedule (the delete keys never collide with the appended ids, so
-    // the expected final state is deterministic)
-    assert(Sink.readSnapshot(spark, out).as[Long].collect().toSet ==
-      (0L until 12L).toSet)
+    // every append survived EXACTLY ONCE and every seeded delete landed
+    // — regardless of schedule (disjoint key spaces make the final state
+    // deterministic; the Seq compare would catch a retry-duplicated
+    // delta that a Set compare silently absorbed, review finding)
+    assert(Sink.readSnapshot(spark, out).as[Long].collect().sorted.toSeq ==
+      (0L until 12L).toSeq)
   }
 
   test("plan: a commit-sized delete segment anti-joins as a BROADCAST join (never a corpus shuffle)") {
