@@ -283,7 +283,14 @@ object Sink {
           }
         }
       }
-      DeleteSeg(writeSeg(k, Nil), k.columns.toSeq)
+      val id = writeSeg(k, Nil)
+      // KEY BOUNDS on the delete entry (round 17): min/max per key
+      // column over the (key-sized) segment, omitting any column with
+      // null keys — readScan uses them to drop anti-joins that
+      // provably cannot match any preceding data segment
+      DeleteSeg(id, k.columns.toSeq,
+        segmentStats(spark, new Path(new Path(root, SegsDir), s"__seg=$id"),
+          k.columns.toSeq, omitColsWithNulls = true))
     }
     val dataEntry = data.map { df =>
       val id = writeSeg(df, partitionColumns)
@@ -492,11 +499,17 @@ object Sink {
   private val SegsDir = "segs"
   private val ManifestFile = "_manifest"
 
-  /** One committed manifest line. Grammar (tab-separated; round 16):
+  /** One committed manifest line. Grammar (tab-separated; rounds 16–17):
     * {{{
-    *   <segId>                      data segment (legacy + statless)
-    *   <segId>\t<stats>             data segment with min/max bounds
-    *   D\t<segId>\t<col1,col2,...>  equality-delete segment on those keys
+    *   <segId>                          data segment (legacy + statless)
+    *   <segId>\t<stats>                 data segment with min/max bounds
+    *   D\t<segId>\t<col1,col2,...>      equality-delete segment on those keys
+    *   D\t<segId>\t<cols>\t<stats>      … with min/max KEY bounds (round 17:
+    *                                    lets readScan skip anti-joins that
+    *                                    provably cannot match — only columns
+    *                                    with ZERO null keys carry bounds,
+    *                                    since a null key matches null rows
+    *                                    no range can describe)
     * }}}
     * `stats` is `encName=tag:encMin:encMax` pairs joined by `,` with
     * URL-encoded names/values (the encoder never emits `, = :` or tabs,
@@ -507,7 +520,8 @@ object Sink {
   private[graft] final case class DataSeg(id: String,
                                         stats: Option[String]) extends ManifestEntry
   private[graft] final case class DeleteSeg(id: String,
-                                          keyCols: Seq[String]) extends ManifestEntry
+                                          keyCols: Seq[String],
+                                          stats: Option[String] = None) extends ManifestEntry
 
   private def enc(s: String): String = java.net.URLEncoder.encode(s, "UTF-8")
   private def dec(s: String): String = java.net.URLDecoder.decode(s, "UTF-8")
@@ -515,11 +529,15 @@ object Sink {
   private def renderEntry(e: ManifestEntry): String = e match {
     case DataSeg(id, None) => id
     case DataSeg(id, Some(stats)) => s"$id\t$stats"
-    case DeleteSeg(id, cols) => s"D\t$id\t${cols.map(enc).mkString(",")}"
+    case DeleteSeg(id, cols, None) => s"D\t$id\t${cols.map(enc).mkString(",")}"
+    case DeleteSeg(id, cols, Some(stats)) =>
+      s"D\t$id\t${cols.map(enc).mkString(",")}\t$stats"
   }
 
   private def parseEntry(line: String): ManifestEntry = line.split('\t') match {
     case Array("D", id, cols) => DeleteSeg(id, cols.split(',').map(dec).toSeq)
+    case Array("D", id, cols, stats) =>
+      DeleteSeg(id, cols.split(',').map(dec).toSeq, Some(stats))
     case Array(id) => DataSeg(id, None)
     case Array(id, stats) => DataSeg(id, Some(stats))
     case other => throw new IllegalStateException(
@@ -536,22 +554,25 @@ object Sink {
     * in the same form.
     */
   private def segmentStats(spark: SparkSession, segDir: Path,
-                           statsCols: Seq[String]): Option[String] = {
+                           statsCols: Seq[String],
+                           omitColsWithNulls: Boolean = false): Option[String] = {
     if (statsCols.isEmpty) return None
     try {
       val df = spark.read.parquet(segDir.toString)
       val present = statsCols.filter(df.columns.contains)
       if (present.isEmpty) return None
       import org.apache.spark.sql.functions.{count, lit, max, min}
-      val row = df.agg(
-        min(col(present.head)),
-        (Seq(max(col(present.head))) ++
-          present.tail.flatMap(c => Seq(min(col(c)), max(col(c)))) :+
-          count(lit(1))): _*).head()
+      // per column: min, max, non-null count (the last drives
+      // omitColsWithNulls — delete-key bounds must not describe a range
+      // a null key escapes); total count last
+      val aggs = present.flatMap(c =>
+        Seq(min(col(c)), max(col(c)), count(col(c)))) :+ count(lit(1))
+      val row = df.agg(aggs.head, aggs.tail: _*).head()
+      val total = row.getLong(3 * present.size)
       // a zero-row segment (an empty delta committed as a generation)
       // satisfies NO predicate: mark it so every pruned read skips it —
       // otherwise it is a statless scan path forever
-      if (row.getLong(2 * present.size) == 0L) return Some(EmptySegStats)
+      if (total == 0L) return Some(EmptySegStats)
       val tsFmt = java.time.format.DateTimeFormatter
         .ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS")
       def render(v: Any): Option[(String, String)] = v match {
@@ -571,9 +592,10 @@ object Sink {
         case _ => None
       }
       val pairs = present.zipWithIndex.flatMap { case (c, i) =>
-        for {
-          (tagMin, mn) <- render(row.get(2 * i))
-          (_, mx) <- render(row.get(2 * i + 1))
+        if (omitColsWithNulls && row.getLong(3 * i + 2) < total) None
+        else for {
+          (tagMin, mn) <- render(row.get(3 * i))
+          (_, mx) <- render(row.get(3 * i + 1))
         } yield s"${enc(c)}=$tagMin:${enc(mn)}:${enc(mx)}"
       }
       if (pairs.isEmpty) None else Some(pairs.mkString(","))
@@ -639,16 +661,22 @@ object Sink {
     * delete-free manifest stays ONE multi-path file scan.
     */
   private[ops] sealed trait ScanStep
-  private[ops] final case class DataStep(paths: Seq[String]) extends ScanStep
+  /** `stats` is per-path manifest bounds, aligned with `paths` — threaded
+    * into the read so [[SegmentPruning]] can skip segments against the
+    * query's own filters (data steps) and so provably-non-matching
+    * delete anti-joins can be dropped (both step kinds, round 17). */
+  private[ops] final case class DataStep(paths: Seq[String],
+                                         stats: Seq[Option[String]]) extends ScanStep
   private[ops] final case class DeleteStep(paths: Seq[String],
-                                           keyCols: Seq[String]) extends ScanStep
+                                           keyCols: Seq[String],
+                                           stats: Seq[Option[String]]) extends ScanStep
   private[ops] final case class VersionScan(steps: Seq[ScanStep],
                                             basePath: Option[String]) {
     /** Total segments (data + delete) — the SlateStore compaction
       * trigger counts read-side debt, and every entry is debt. */
     def segmentCount: Int = steps.map {
-      case DataStep(p) => p.size
-      case DeleteStep(p, _) => p.size
+      case DataStep(p, _) => p.size
+      case DeleteStep(p, _, _) => p.size
     }.sum
   }
 
@@ -656,18 +684,20 @@ object Sink {
                           entries: Option[Seq[ManifestEntry]]): VersionScan =
     entries match {
       case None =>
-        VersionScan(Seq(DataStep(Seq(new Path(root, version).toString))), None)
+        VersionScan(
+          Seq(DataStep(Seq(new Path(root, version).toString), Seq(None))), None)
       case Some(es) =>
         val base = new Path(root, SegsDir)
         def segPath(id: String) = new Path(base, s"__seg=$id").toString
         val steps = es.foldLeft(Vector.empty[ScanStep]) { (acc, e) =>
           (acc.lastOption, e) match {
-            case (Some(DataStep(ps)), DataSeg(id, _)) =>
-              acc.init :+ DataStep(ps :+ segPath(id))
-            case (Some(DeleteStep(ps, cols)), DeleteSeg(id, kc)) if cols == kc =>
-              acc.init :+ DeleteStep(ps :+ segPath(id), cols)
-            case (_, DataSeg(id, _)) => acc :+ DataStep(Seq(segPath(id)))
-            case (_, DeleteSeg(id, kc)) => acc :+ DeleteStep(Seq(segPath(id)), kc)
+            case (Some(DataStep(ps, st)), DataSeg(id, s)) =>
+              acc.init :+ DataStep(ps :+ segPath(id), st :+ s)
+            case (Some(DeleteStep(ps, cols, st)), DeleteSeg(id, kc, s)) if cols == kc =>
+              acc.init :+ DeleteStep(ps :+ segPath(id), cols, st :+ s)
+            case (_, DataSeg(id, s)) => acc :+ DataStep(Seq(segPath(id)), Seq(s))
+            case (_, DeleteSeg(id, kc, s)) =>
+              acc :+ DeleteStep(Seq(segPath(id)), kc, Seq(s))
           }
         }
         VersionScan(steps, Some(base.toString))
@@ -685,19 +715,78 @@ object Sink {
     * before compaction folds them in.
     */
   private[ops] def readScan(spark: SparkSession, scan: VersionScan,
-                            schema: Option[org.apache.spark.sql.types.StructType]): DataFrame =
+                            schema: Option[org.apache.spark.sql.types.StructType]): DataFrame = {
+    // data-segment bounds seen so far, for the delete-skip proof below
+    var dataStats = Vector.empty[Option[String]]
     scan.steps.foldLeft(Option.empty[DataFrame]) {
-      case (acc, DataStep(paths)) =>
-        val df = readPaths(spark, paths, scan.basePath, schema)
+      case (acc, DataStep(paths, stats)) =>
+        dataStats ++= stats
+        val df = readPaths(spark, paths, scan.basePath, schema, stats)
         Some(acc.fold(df)(_.unionByName(df)))
-      case (acc, DeleteStep(paths, cols)) =>
-        // read WITHOUT basePath: a delete segment is a flat key file dir,
-        // and scanning it standalone keeps its (partition-free) layout
-        // from conflicting with the data segments' partitioned one
-        val keys = spark.read.parquet(paths: _*).select(cols.map(col): _*)
-        acc.map(antiJoinKeys(_, keys))
+      case (acc, DeleteStep(paths, cols, stats)) =>
+        // a delete segment whose KEY bounds are disjoint from every
+        // preceding data segment's bounds on some key column provably
+        // matches nothing — drop its anti-join from the plan entirely
+        // (round 17; bounds are only recorded for null-free key columns,
+        // so the range proof cannot miss a null-keyed match)
+        val live = paths.zip(stats).collect {
+          case (p, st) if !deleteProvablyNoMatch(st, cols, dataStats) => p
+        }
+        if (live.isEmpty) acc
+        else {
+          // read WITHOUT basePath: a delete segment is a flat key file
+          // dir, and scanning it standalone keeps its (partition-free)
+          // layout from conflicting with the data segments' partitioned
+          // one
+          val keys = spark.read.parquet(live: _*).select(cols.map(col): _*)
+          acc.map(antiJoinKeys(_, keys))
+        }
     }.getOrElse(throw new IllegalStateException(
       "readScan: a committed version lists no data segments"))
+  }
+
+  /** True when the delete segment with `stats` key bounds provably
+    * matches NO row of any preceding data segment: some key column's
+    * delete range is disjoint from EVERY preceding data segment's range
+    * for that column (all of them must carry bounds — one statless data
+    * segment voids the proof for that column). Sound because delete-key
+    * bounds are recorded only for columns with zero null keys
+    * ([[segmentStats]] `omitColsWithNulls`), data bounds ignoring THEIR
+    * nulls is fine (a null data value never equals a non-null key under
+    * `<=>` either), and an [[EmptySegStats]] delete has no keys at all.
+    */
+  private[ops] def deleteProvablyNoMatch(stats: Option[String],
+                                         keyCols: Seq[String],
+                                         dataStats: Seq[Option[String]]): Boolean =
+    stats match {
+      case Some(EmptySegStats) => true // zero keys — the delete is a no-op
+      case Some(st) => dataStats.nonEmpty && keyCols.exists { c =>
+        statsBound(st, c).exists { case (dTag, dMn, dMx) =>
+          dataStats.forall {
+            case Some(EmptySegStats) => true // zero-row data segment
+            case Some(ds) => statsBound(ds, c).exists { case (tag, mn, mx) =>
+              tag == dTag && rangesDisjoint(tag, mn, mx, dMn, dMx) }
+            case None => false
+          }
+        }
+      }
+      case None => false
+    }
+
+  /** [aMin, aMax] ∩ [bMin, bMax] = ∅ under the tag's ordering; any
+    * unparseable numeric bound is inconclusive (NOT disjoint). */
+  private def rangesDisjoint(tag: String, aMin: String, aMax: String,
+                             bMin: String, bMax: String): Boolean = tag match {
+    case "n" =>
+      try BigDecimal(aMax) < BigDecimal(bMin) || BigDecimal(bMax) < BigDecimal(aMin)
+      catch { case _: NumberFormatException => false }
+    case _ =>
+      def u8lt(a: String, b: String): Boolean =
+        java.util.Arrays.compareUnsigned(
+          a.getBytes(StandardCharsets.UTF_8),
+          b.getBytes(StandardCharsets.UTF_8)) < 0
+      u8lt(aMax, bMin) || u8lt(bMax, aMin)
+  }
 
   /** THE delete-application join, shared by the read path and every
     * compaction/migration fold (SlateStore) so delete semantics cannot
@@ -726,17 +815,27 @@ object Sink {
 
   private[ops] def readPaths(spark: SparkSession, paths: Seq[String],
                              basePath: Option[String],
-                             schema: Option[org.apache.spark.sql.types.StructType]): DataFrame = {
+                             schema: Option[org.apache.spark.sql.types.StructType],
+                             segStats: Seq[Option[String]] = Nil): DataFrame = {
     val reader0 = schema.fold(spark.read)(spark.read.schema)
     val reader = basePath.fold(reader0)(bp => reader0.option("basePath", bp))
     val df = reader.parquet(paths: _*)
-    (schema, basePath) match {
+    val shaped = (schema, basePath) match {
       // drop the synthetic __seg partition column and restore the stored
       // column order (partition discovery appends partition columns)
       case (Some(s), Some(_)) => df.select(s.fieldNames.map(col): _*)
       case (None, Some(_)) => df.drop("__seg")
       case _ => df
     }
+    // plan-derived segment skipping (round 17): committed bounds become
+    // a file-listing filter evaluated against the query's own pushed
+    // predicates — automatic for every entry point, identity when no
+    // segment carries stats
+    val statsBySeg = paths.zip(segStats).collect {
+      case (p, Some(st)) => p.substring(p.lastIndexOf("__seg=") + "__seg=".length) -> st
+    }.toMap
+    if (statsBySeg.isEmpty) shaped
+    else SegmentPruning.install(shaped, statsBySeg)
   }
 
   private def writeVersionSidecars(conf: org.apache.hadoop.conf.Configuration,

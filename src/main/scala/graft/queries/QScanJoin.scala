@@ -58,6 +58,27 @@ private[graft] object QScanJoin {
     }
   }
 
+  /** The three-segment (year-ranged, stats-bearing) orders table the
+    * plan-derived-pruning face reads — published once per (session,
+    * corpus snapshot); Round17StoreSpec audits the same layout. */
+  private def segmentedOrders(s: org.apache.spark.sql.SparkSession,
+                              dir: String): String = {
+    val base = t(s, dir, "orders")
+      .withColumn("o_year", year(col("o_orderdate")).cast("long"))
+    val tag = graft.ops.SlateStore.corpusTag(s, s"$dir/orders.parquet")
+    graft.ops.SlateStore.scalar(s, s"seg_orders|$dir#$tag") {
+      val p = new java.io.File(
+        graft.ops.SlateStore.sessionTempRoot(s), s"seg_orders_$tag").toString
+      graft.ops.Sink.overwriteSegmented(base.filter(col("o_year") <= 1996),
+        p, retain = 1, minAgeMs = 600000L, statsCols = Seq("o_year"))
+      graft.ops.Sink.appendSegment(base.filter(col("o_year").between(1997, 1998)),
+        p, retain = 1, minAgeMs = 600000L, statsCols = Seq("o_year"))
+      graft.ops.Sink.appendSegment(base.filter(col("o_year") >= 1999),
+        p, retain = 1, minAgeMs = 600000L, statsCols = Seq("o_year"))
+      p
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---- §2.1/§2.2 scans, projections, filters -------------------------
@@ -336,30 +357,20 @@ private[graft] object QScanJoin {
     }),
 
     "segment_pruned_scan" -> ((s, dir) => {
-      // manifest-level DATA SKIPPING (VERDICT r15 item 3): orders
-      // committed as three year-range segments with per-segment min/max
-      // bounds on o_year (statsCols), then a two-year window read
-      // through Sink.readSnapshotPruned — the manifest bounds exclude
-      // the other segments BEFORE any file listing (Round16StoreSpec
-      // audits that the scan lists exactly the overlapping segment's
-      // files), the residual filter drives row-group pruning inside the
-      // survivor. The oracle recomputes the window from the raw corpus,
-      // so pruning can never drop a row without failing the compare.
-      val base = t(s, dir, "orders")
-        .withColumn("o_year", year(col("o_orderdate")).cast("long"))
-      val tag = graft.ops.SlateStore.corpusTag(s, s"$dir/orders.parquet")
-      val path = graft.ops.SlateStore.scalar(s, s"seg_orders|$dir#$tag") {
-        val p = new java.io.File(
-          graft.ops.SlateStore.sessionTempRoot(s), s"seg_orders_$tag").toString
-        graft.ops.Sink.overwriteSegmented(base.filter(col("o_year") <= 1996),
-          p, retain = 1, minAgeMs = 600000L, statsCols = Seq("o_year"))
-        graft.ops.Sink.appendSegment(base.filter(col("o_year").between(1997, 1998)),
-          p, retain = 1, minAgeMs = 600000L, statsCols = Seq("o_year"))
-        graft.ops.Sink.appendSegment(base.filter(col("o_year") >= 1999),
-          p, retain = 1, minAgeMs = 600000L, statsCols = Seq("o_year"))
-        p
-      }
-      graft.ops.Sink.readSnapshotPruned(s, path, "o_year", 1997L, 1998L)
+      // PLAN-DERIVED manifest data skipping (VERDICT r16 item 1; the
+      // r16 incarnation hand-passed bounds to readSnapshotPruned):
+      // orders committed as three year-range segments with per-segment
+      // min/max bounds on o_year (statsCols), read back through the
+      // ORDINARY readSnapshot + a plain `.filter` — the filter's own
+      // pushed predicates are evaluated against the manifest bounds at
+      // file-listing time (SegmentPruning), so the non-overlapping
+      // segments' files are never opened or planned (Round17StoreSpec
+      // audits the scan's numFiles == the overlapping segment's alone,
+      // and the same through the snapshot_at SQL TVF). The oracle
+      // recomputes the window from the raw corpus, so skipping can
+      // never drop a row without failing the compare.
+      val path = segmentedOrders(s, dir)
+      graft.ops.Sink.readSnapshot(s, path)
         .filter(col("o_year").between(1997, 1998))
         .groupBy("o_orderstatus")
         .agg(count(lit(1)).as("n_orders"),

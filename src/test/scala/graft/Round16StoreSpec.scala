@@ -409,11 +409,34 @@ class Round16StoreSpec extends SparkTestBase {
 
     val pruned = SparkEntry.queries("segment_pruned_scan")(spark, dir)
     val rows = pruned.collect()
-    // pruning must list ONLY the overlapping segment's files
-    val segsScanned = pruned.inputFiles
-      .flatMap(_.split('/').find(_.startsWith("__seg="))).distinct
-    assert(segsScanned.length == 1,
-      s"the [1997,1998] window overlaps one segment, scanned: ${segsScanned.toSeq}")
+    // r17: pruning is PLAN-DERIVED (the query is a plain filter; the
+    // manifest bounds apply at file-listing time), so the audit moved
+    // from inputFiles (the full listing) to the files the PHYSICAL scan
+    // planned — exactly the overlapping middle segment's (plan walk
+    // needs AQE off; metrics populate after executing the same frame)
+    withSQLConf("spark.sql.adaptive.enabled" -> "false") {
+      val p2 = SparkEntry.queries("segment_pruned_scan")(spark, dir)
+      p2.collect()
+      val planned = p2.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.metrics("numFiles").value
+      }.sum
+      val all = p2.inputFiles
+      val tableRoot = {
+        val p = all.head.stripPrefix("file:")
+        p.substring(0, p.indexOf("/segs/"))
+      }
+      val midSeg = { // manifest order = build order: <=1996, 1997-98, >=1999
+        val live = Sink.listVersions(spark, tableRoot).head
+        new String(java.nio.file.Files.readAllBytes(new java.io.File(
+          new java.io.File(tableRoot, live), "_manifest").toPath))
+          .split("\n")(1).split('\t')(0)
+      }
+      val midFiles = all.count(_.contains(s"__seg=$midSeg/"))
+      assert(planned == midFiles && planned < all.length,
+        s"the [1997,1998] window overlaps one segment: planned $planned " +
+          s"of ${all.length} listed (middle segment holds $midFiles)")
+    }
     val want = Tables.load(spark, dir, "orders")
       .filter(year($"o_orderdate").between(1997, 1998))
       .groupBy("o_orderstatus")

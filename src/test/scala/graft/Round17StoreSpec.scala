@@ -1,0 +1,198 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Sink, SlateStore}
+import graft.ops.SlateStore.Evolved
+
+/** Round-17 store layer (VERDICT r16 items 1–3, 5–6 + ADVICE r16):
+  * plan-derived segment pruning (manifest data skipping from the query's
+  * own filters, all entry points including the snapshot_at SQL TVF),
+  * delete-key bounds on delete segments (provably-non-matching
+  * anti-joins dropped from the plan), minor compaction at the segment
+  * cap (tail fold, bulk segments untouched), the manifest-derived
+  * changefeed with its replay contract, `_schema`-sidecar delete-key
+  * validation, the post-commit cap accounting, NonFatal staging cleanup,
+  * and the configurable commit-lock staleness.
+  */
+class Round17StoreSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def segDirs(table: String): Array[java.io.File] = {
+    val segs = new java.io.File(table, "segs")
+    if (!segs.exists()) Array.empty
+    else Option(segs.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.startsWith("__seg="))
+  }
+
+  private def manifestLines(table: String): Seq[String] = {
+    val live = Sink.listVersions(spark, table).head
+    new String(java.nio.file.Files.readAllBytes(
+      new java.io.File(new java.io.File(table, live), "_manifest").toPath))
+      .split("\n").map(_.trim).filter(_.nonEmpty).toSeq
+  }
+
+  private def parquetFiles(dir: java.io.File): Int =
+    Option(dir.listFiles()).getOrElse(Array.empty)
+      .map(f => if (f.isDirectory) parquetFiles(f)
+        else if (f.getName.endsWith(".parquet")) 1 else 0).sum
+
+  /** Files the physical scan actually planned — the number plan-derived
+    * pruning shrinks. Metrics populate only after executing THE SAME
+    * DataFrame, and the plan walk needs AQE off (AdaptiveSparkPlanExec
+    * is a collect leaf), so callers run inside withSQLConf. */
+  private def scannedFiles(df: DataFrame): Long = {
+    df.collect()
+    df.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.metrics("numFiles").value
+    }.sum
+  }
+
+  private def noAqe[T](body: => T): T =
+    withSQLConf("spark.sql.adaptive.enabled" -> "false")(body)
+
+  /** The three-segment year table most pruning checks read: ids carry
+    * the year in the thousands digit so content checks are exact. */
+  private def yearTable(): String = {
+    val out = Files.createTempDirectory("prune17").toString + "/t"
+    def rows(y: Int) = (1 to 20).map(i => (y * 1000L + i, y.toLong, s"g${i % 3}"))
+    Sink.overwriteSegmented(rows(1).toDF("id", "yr", "g"),
+      out, retain = 1, minAgeMs = 600000L, statsCols = Seq("id", "yr", "g"))
+    Sink.appendSegment(rows(2).toDF("id", "yr", "g"),
+      out, retain = 1, minAgeMs = 600000L, statsCols = Seq("id", "yr", "g"))
+    Sink.appendSegment(rows(3).toDF("id", "yr", "g"),
+      out, retain = 1, minAgeMs = 600000L, statsCols = Seq("id", "yr", "g"))
+    out
+  }
+
+  // ------------------------------------------- plan-derived segment pruning
+
+  test("pruning: a plain readSnapshot().filter() scans only the segments whose bounds overlap — no hand-passed bounds") {
+    val out = yearTable()
+    noAqe {
+      val perSeg = segDirs(out).map(parquetFiles).sum / 3
+      val all = scannedFiles(Sink.readSnapshot(spark, out))
+      assert(all == segDirs(out).map(parquetFiles).sum, "unfiltered scan lists everything")
+      // equality on the stats column → 1 of 3 segments
+      val eq = Sink.readSnapshot(spark, out).filter(col("yr") === 2L)
+      assert(scannedFiles(eq) == perSeg, "yr = 2 must plan exactly one segment's files")
+      assert(eq.select("id").as[Long].collect().sorted.toSeq ==
+        (1 to 20).map(2000L + _))
+      // range across two segments → 2 of 3
+      val rng = Sink.readSnapshot(spark, out).filter(col("yr") >= 2L)
+      assert(scannedFiles(rng) == 2 * perSeg)
+      // range on the SECOND stats column (multi-column bounds)
+      val onId = Sink.readSnapshot(spark, out)
+        .filter(col("id").between(3001L, 3005L))
+      assert(scannedFiles(onId) == perSeg)
+      assert(onId.count() == 5)
+      // IN-list
+      val inl = Sink.readSnapshot(spark, out).filter(col("yr").isin(1L))
+      assert(scannedFiles(inl) == perSeg)
+      // conjunction where each conjunct excludes a different segment
+      val conj = Sink.readSnapshot(spark, out)
+        .filter(col("yr") >= 2L && col("id") <= 2020L)
+      assert(scannedFiles(conj) == perSeg)
+      assert(conj.count() == 20)
+    }
+  }
+
+  test("pruning: conservative keeps — no-stats columns, disjunctions that span, and non-literal shapes never skip wrongly") {
+    val out = Files.createTempDirectory("prune17c").toString + "/t"
+    // stats recorded on yr only — g carries none
+    Sink.overwriteSegmented(Seq((1L, 1L, "a")).toDF("id", "yr", "g"),
+      out, retain = 1, minAgeMs = 600000L, statsCols = Seq("yr"))
+    Sink.appendSegment(Seq((2L, 2L, "b")).toDF("id", "yr", "g"),
+      out, retain = 1, minAgeMs = 600000L, statsCols = Seq("yr"))
+    noAqe {
+      val total = segDirs(out).map(parquetFiles).sum
+      // filter on a column without bounds: nothing skipped
+      assert(scannedFiles(Sink.readSnapshot(spark, out)
+        .filter(col("g") === "b")) == total)
+      // OR spanning both segments: nothing skipped, result exact
+      val both = Sink.readSnapshot(spark, out)
+        .filter(col("yr") === 1L || col("yr") === 2L)
+      assert(scannedFiles(both) == total)
+      assert(both.count() == 2)
+      // OR where BOTH branches exclude a segment: that segment skipped
+      val none = Sink.readSnapshot(spark, out)
+        .filter(col("yr") === 5L || col("yr") === 6L)
+      assert(scannedFiles(none) == 0L)
+      assert(none.count() == 0)
+    }
+  }
+
+  test("pruning: the snapshot_at SQL TVF and time travel prune from raw SQL predicates") {
+    val out = yearTable()
+    // a fourth commit so steps_back=1 serves the three-segment state
+    Sink.appendSegment(Seq((9001L, 9L, "gx")).toDF("id", "yr", "g"),
+      out, retain = 2, minAgeMs = 600000L, statsCols = Seq("id", "yr", "g"))
+    noAqe {
+      // expected = the surviving segment's own file count (segments are
+      // not uniform — the fourth holds one row)
+      def filesOfEntry(i: Int): Int = {
+        val id = manifestLines(out)(i).split('\t')(0).stripPrefix("D\t")
+        parquetFiles(new java.io.File(new java.io.File(out, "segs"), s"__seg=$id"))
+      }
+      val viaSql = spark.sql(
+        s"SELECT id FROM snapshot_at('$out', 0) WHERE yr = 3")
+      assert(scannedFiles(viaSql) == filesOfEntry(2),
+        "the TVF expansion must carry the pruning file index")
+      assert(viaSql.as[Long].collect().sorted.toSeq == (1 to 20).map(3000L + _))
+      // readSnapshotAt (the DataFrame face of the same entry point)
+      val back = Sink.readSnapshotAt(spark, out, 1).filter(col("yr") === 1L)
+      assert(scannedFiles(back) == filesOfEntry(0))
+      assert(back.count() == 20)
+    }
+  }
+
+  test("pruning: delete segments still apply inside a pruned read") {
+    val out = yearTable()
+    Sink.patchSegmented(out, Some(Seq(2003L, 2004L).toDF("id")), None,
+      retain = 1, minAgeMs = 600000L)
+    noAqe {
+      val got = Sink.readSnapshot(spark, out).filter(col("yr") === 2L)
+        .select("id").as[Long].collect().sorted.toSeq
+      assert(got == (1 to 20).map(2000L + _).filterNot(Set(2003L, 2004L)))
+    }
+  }
+
+  // ----------------------------------------------------- delete-key bounds
+
+  test("delete bounds: a provably-non-matching delete adds ZERO anti-joins to the plan; overlapping and null-keyed deletes keep theirs") {
+    val out = yearTable()
+    def antiJoins(df: DataFrame): Int =
+      df.queryExecution.optimizedPlan.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join
+            if j.joinType == org.apache.spark.sql.catalyst.plans.LeftAnti => j
+      }.size
+    // keys 9001-9005 are outside every data segment's id bounds
+    Sink.patchSegmented(out, Some((9001L to 9005L).toDF("id")), None,
+      retain = 1, minAgeMs = 600000L)
+    assert(antiJoins(Sink.readSnapshot(spark, out)) == 0,
+      "disjoint key bounds must drop the anti-join entirely")
+    assert(Sink.readSnapshot(spark, out).count() == 60)
+    // an overlapping delete keeps its join and removes the row
+    Sink.patchSegmented(out, Some(Seq(1001L).toDF("id")), None,
+      retain = 1, minAgeMs = 600000L)
+    assert(antiJoins(Sink.readSnapshot(spark, out)) == 1)
+    assert(Sink.readSnapshot(spark, out).count() == 59)
+    // a null-keyed delete records no bounds for the column (a null key
+    // matches null rows no range describes) — join stays, content right
+    val out2 = Files.createTempDirectory("delnull17").toString + "/t"
+    Sink.overwriteSegmented(
+      Seq((Option(1L), "a"), (Option.empty[Long], "b")).toDF("id", "g"),
+      out2, retain = 1, minAgeMs = 600000L, statsCols = Seq("id"))
+    Sink.patchSegmented(out2,
+      Some(Seq(Option.empty[Long], Option(7L)).toDF("id")), None,
+      retain = 1, minAgeMs = 600000L)
+    assert(antiJoins(Sink.readSnapshot(spark, out2)) == 1,
+      "a delete with null keys must never be range-skipped")
+    assert(Sink.readSnapshot(spark, out2).as[(Option[Long], String)]
+      .collect().toSet == Set((Option(1L), "a")))
+  }
+}
