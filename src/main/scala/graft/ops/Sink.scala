@@ -144,7 +144,13 @@ object Sink {
     * throws `ConcurrentModificationException` when the pointer moved
     * (the staged segment and manifest are cleaned up) — the caller
     * re-derives its delta from the NEW live version and retries, which
-    * is why no delta is ever lost under any interleaving (hammer spec).
+    * is why no delta is ever lost under any interleaving the hammer
+    * spec can schedule. Residual (ADVICE r16, narrowed round 17): a
+    * committer stalled past the lock-staleness threshold INSIDE the
+    * critical section is re-verified immediately before the swap and
+    * fails as a clean ConcurrentModificationException; only a reap
+    * landing in the microseconds between that re-read and the rename
+    * could still race two swaps.
     * [[SlateStore]]'s per-table build lease still serializes managed
     * builders — that is a cost optimization (one build instead of N),
     * not a correctness requirement anymore.
@@ -234,106 +240,78 @@ object Sink {
               "snapshot, not a segmented one — migrate via overwriteSegmented")
         }
       }
-    // the segment id gets a non-numeric prefix so partition-value type
-    // inference can never read an (all-digit) id as a number
     val staged = scala.collection.mutable.ArrayBuffer.empty[Path]
-    def writeSeg(df: DataFrame, partCols: Seq[String]): String = {
-      val seg = "s" + java.util.UUID.randomUUID().toString.replace("-", "")
-      val segDir = new Path(new Path(root, SegsDir), s"__seg=$seg")
-      val writer =
-        if (partCols.isEmpty) df.write
-        else df.write.partitionBy(partCols: _*)
-      writer.mode("error").parquet(segDir.toString)
-      staged += segDir
-      seg
-    }
-    // the delete segment lands BEFORE the data segment in the manifest:
-    // a patch that rewrites rows (delete stale key + append fresh row)
-    // must let the fresh row survive its own delete
-    val deleteEntry = deleteKeys.map { k =>
-      require(k.columns.nonEmpty, "patchSegmented: delete keys need columns")
-      // validate the keys against the table's stored schema (one footer
-      // read of a carried data segment) BEFORE committing: a mistyped
-      // key column would otherwise publish a manifest whose read-side
-      // anti-join fails on every readSnapshot until a full rewrite —
-      // the commit is the last point where this is a caller error
-      // rather than a bricked table
-      carried.collectFirst { case DataSeg(id, _) => id }.foreach { id =>
-        val stored =
-          try Some(spark.read.parquet(
-            new Path(new Path(root, SegsDir), s"__seg=$id").toString).schema)
-          catch { case scala.util.control.NonFatal(_) => None } // empty seg
-        stored.foreach { schema =>
-          val want = schema.fields.map(f => f.name -> f.dataType).toMap
-          k.schema.fields.foreach { f =>
-            // partition columns read back through DIRECTORY-VALUE type
-            // inference (a string column with digit values infers int),
-            // so their types can't be checked against this footer read —
-            // name presence only; data columns check exactly (review
-            // finding: a valid delete on a string partition column was
-            // spuriously rejected)
-            val ok =
-              if (partitionColumns.contains(f.name)) want.contains(f.name)
-              else want.get(f.name).contains(f.dataType)
-            require(ok,
-              s"patchSegmented: delete-key column ${f.name}: ${f.dataType} " +
-                s"is not a column of the stored table schema " +
-                s"${schema.simpleString} — committing it would brick every " +
-                "read of this table")
-          }
-        }
-      }
-      val id = writeSeg(k, Nil)
-      // KEY BOUNDS on the delete entry (round 17): min/max per key
-      // column over the (key-sized) segment, omitting any column with
-      // null keys — readScan uses them to drop anti-joins that
-      // provably cannot match any preceding data segment
-      DeleteSeg(id, k.columns.toSeq,
-        segmentStats(spark, new Path(new Path(root, SegsDir), s"__seg=$id"),
-          k.columns.toSeq, omitColsWithNulls = true))
-    }
-    val dataEntry = data.map { df =>
-      val id = writeSeg(df, partitionColumns)
-      DataSeg(id,
-        segmentStats(spark, new Path(new Path(root, SegsDir), s"__seg=$id"),
-          statsCols))
-    }
+    def writeSeg(df: DataFrame, partCols: Seq[String]): String =
+      stageSegment(df, root, partCols, staged)
     val version = "v-" + java.util.UUID.randomUUID().toString.replace("-", "")
-    // the manifest is written inside the not-yet-published version dir —
-    // no reader can observe a partial manifest version
-    fs.mkdirs(new Path(root, version))
-    atomicWrite(conf, new Path(new Path(root, version), ManifestFile),
-      (carried ++ deleteEntry ++ dataEntry).map(renderEntry).mkString("\n"))
-    writeVersionSidecars(conf, root, version, sidecars)
-    // commit CRITICAL SECTION (round 16 — the r15 bare check-then-swap
-    // let two appends both pass the check and the later pointer swap
-    // silently drop the earlier delta): the CAS verify and the pointer
-    // swap run under a table-level commit lock, so a pointer that moved
-    // since this commit derived its manifest ALWAYS surfaces as
-    // ConcurrentModificationException (staged files cleaned; the caller
-    // re-derives from the new live version and retries) and never as a
-    // lost delta. The lock is held for metadata ops only — milliseconds,
-    // independent of data size.
-    try withCommitLock(fs, conf, root) {
-      val prevNow = currentVersion(fs, root)
-      if (carryPrevious && prevNow != previous)
-        throw new java.util.ConcurrentModificationException(
-          s"appendSegment: a concurrent commit advanced $path past " +
-            s"${previous.getOrElse("<none>")} while this append staged — " +
-            "re-derive from the new live version and retry")
-      // overwrites re-resolve the displaced version inside the lock, so
-      // the supersession marker lands on the TRUE predecessor even when
-      // the pointer advanced since entry (last-writer-wins on content,
-      // but history stays complete). ONLY the marker + swap run under
-      // the lock — the GC sweep below AND the CAS loser's staged-file
-      // cleanup (both data-proportional deletes) run after release: a
-      // hold past the stale-reap threshold would let waiters reap a
-      // live holder, re-opening the lost-delta window the lock closes
-      swapPointer(conf, fs, root, version, prevNow)
+    // ADVICE r16: EVERY failure from first staged byte to pointer swap —
+    // not just the commit CAS — must reclaim the staged segments and the
+    // unpublished version dir, or a sidecar IO fault / swap error leaks
+    // corpus-sized garbage that a never-again-committed table never GCs.
+    // The cleanup itself is best-effort (the commit tail's age-gated
+    // sweep is the backstop); the ORIGINAL failure always rethrows.
+    try {
+      // the delete segment lands BEFORE the data segment in the manifest:
+      // a patch that rewrites rows (delete stale key + append fresh row)
+      // must let the fresh row survive its own delete
+      val deleteEntry = deleteKeys.map { k =>
+        require(k.columns.nonEmpty, "patchSegmented: delete keys need columns")
+        validateDeleteKeys(spark, fs, root, previous, carried,
+          partitionColumns, k)
+        val id = writeSeg(k, Nil)
+        // KEY BOUNDS on the delete entry (round 17): min/max per key
+        // column over the (key-sized) segment, omitting any column with
+        // null keys — readScan uses them to drop anti-joins that
+        // provably cannot match any preceding data segment
+        DeleteSeg(id, k.columns.toSeq,
+          segmentStats(spark, new Path(new Path(root, SegsDir), s"__seg=$id"),
+            k.columns.toSeq, omitColsWithNulls = true))
+      }
+      val dataEntry = data.map { df =>
+        val id = writeSeg(df, partitionColumns)
+        DataSeg(id,
+          segmentStats(spark, new Path(new Path(root, SegsDir), s"__seg=$id"),
+            statsCols))
+      }
+      // the manifest is written inside the not-yet-published version dir —
+      // no reader can observe a partial manifest version
+      fs.mkdirs(new Path(root, version))
+      atomicWrite(conf, new Path(new Path(root, version), ManifestFile),
+        (carried ++ deleteEntry ++ dataEntry).map(renderEntry).mkString("\n"))
+      writeVersionSidecars(conf, root, version, sidecars)
+      // commit CRITICAL SECTION (round 16 — the r15 bare check-then-swap
+      // let two appends both pass the check and the later pointer swap
+      // silently drop the earlier delta): the CAS verify and the pointer
+      // swap run under a table-level commit lock, so a pointer that moved
+      // since this commit derived its manifest ALWAYS surfaces as
+      // ConcurrentModificationException (staged files cleaned; the caller
+      // re-derives from the new live version and retries) and never as a
+      // lost delta. The lock is held for metadata ops only — milliseconds,
+      // independent of data size.
+      withCommitLock(fs, conf, root, commitLockStaleMs(spark)) { assertStillHeld =>
+        val prevNow = currentVersion(fs, root)
+        if (carryPrevious && prevNow != previous)
+          throw new java.util.ConcurrentModificationException(
+            s"appendSegment: a concurrent commit advanced $path past " +
+              s"${previous.getOrElse("<none>")} while this append staged — " +
+              "re-derive from the new live version and retry")
+        // overwrites re-resolve the displaced version inside the lock, so
+        // the supersession marker lands on the TRUE predecessor even when
+        // the pointer advanced since entry (last-writer-wins on content,
+        // but history stays complete). ONLY the marker + swap run under
+        // the lock — the GC sweep below AND the CAS loser's staged-file
+        // cleanup (both data-proportional deletes) run after release: a
+        // hold past the stale-reap threshold would let waiters reap a
+        // live holder, re-opening the lost-delta window the lock closes
+        assertStillHeld()
+        swapPointer(conf, fs, root, version, prevNow)
+      }
     } catch {
-      case e: java.util.ConcurrentModificationException =>
-        fs.delete(new Path(root, version), true)
-        staged.foreach(fs.delete(_, true))
+      case e if scala.util.control.NonFatal(e) =>
+        try {
+          fs.delete(new Path(root, version), true)
+          staged.foreach(fs.delete(_, true))
+        } catch { case e2 if scala.util.control.NonFatal(e2) => }
         throw e
     }
     // retention GC outside the lock: advisory work — a failure (e.g. a
@@ -343,6 +321,89 @@ object Sink {
     try gcAfterCommit(fs, root, version, retain, minAgeMs)
     catch { case scala.util.control.NonFatal(_) => }
     version
+  }
+
+  /** Write one immutable segment dir and record it for failure cleanup.
+    * The segment id gets a non-numeric prefix so partition-value type
+    * inference can never read an (all-digit) id as a number. */
+  private def stageSegment(df: DataFrame, root: Path, partCols: Seq[String],
+                           staged: scala.collection.mutable.ArrayBuffer[Path]): String = {
+    val seg = "s" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val segDir = new Path(new Path(root, SegsDir), s"__seg=$seg")
+    val writer =
+      if (partCols.isEmpty) df.write
+      else df.write.partitionBy(partCols: _*)
+    writer.mode("error").parquet(segDir.toString)
+    staged += segDir
+    seg
+  }
+
+  /** Pre-commit validation of a patch's delete-key frame against the
+    * table's stored schema — the commit is the last point where a
+    * mistyped key column is a caller error rather than a bricked table
+    * (every readSnapshot after a bad commit fails in the anti-join until
+    * a full rewrite). Primary source (round 17, VERDICT r16 item 3 +
+    * ADVICE r16): the live version's `_schema` SIDECAR — one small read,
+    * total on empty-first-segment tables, and carrying the TRUE types of
+    * partition columns (a parquet footer read types those by
+    * directory-value inference, so `"0012"`-style string partition keys
+    * inferred int and could not be checked). Fallback for tables
+    * committed without the sidecar: the first carried data segment's
+    * footer, with the historical name-presence-only rule for partition
+    * columns.
+    */
+  private def validateDeleteKeys(spark: SparkSession, fs: FileSystem,
+                                 root: Path, previous: Option[String],
+                                 carried: Seq[ManifestEntry],
+                                 partitionColumns: Seq[String],
+                                 k: DataFrame): Unit = {
+    val sidecar: Option[org.apache.spark.sql.types.StructType] =
+      previous.flatMap { prev =>
+        val p = new Path(new Path(root, prev), "_schema")
+        try {
+          if (!fs.exists(p)) None
+          else Some(org.apache.spark.sql.types.DataType
+            .fromJson(readSmallText(fs, p))
+            .asInstanceOf[org.apache.spark.sql.types.StructType])
+        } catch { case scala.util.control.NonFatal(_) => None } // torn/alien
+      }
+    sidecar match {
+      case Some(schema) =>
+        val want = schema.fields.map(f => f.name -> f.dataType).toMap
+        k.schema.fields.foreach { f =>
+          require(want.get(f.name).contains(f.dataType),
+            s"patchSegmented: delete-key column ${f.name}: ${f.dataType} " +
+              s"is not a column of the stored table schema " +
+              s"${schema.simpleString} — committing it would brick every " +
+              "read of this table")
+        }
+      case None =>
+        carried.collectFirst { case DataSeg(id, _) => id }.foreach { id =>
+          val stored =
+            try Some(spark.read.parquet(
+              new Path(new Path(root, SegsDir), s"__seg=$id").toString).schema)
+            catch { case scala.util.control.NonFatal(_) => None } // empty seg
+          stored.foreach { schema =>
+            val want = schema.fields.map(f => f.name -> f.dataType).toMap
+            k.schema.fields.foreach { f =>
+              // partition columns read back through DIRECTORY-VALUE type
+              // inference (a string column with digit values infers int),
+              // so their types can't be checked against this footer read —
+              // name presence only; data columns check exactly (review
+              // finding: a valid delete on a string partition column was
+              // spuriously rejected)
+              val ok =
+                if (partitionColumns.contains(f.name)) want.contains(f.name)
+                else want.get(f.name).contains(f.dataType)
+              require(ok,
+                s"patchSegmented: delete-key column ${f.name}: ${f.dataType} " +
+                  s"is not a column of the stored table schema " +
+                  s"${schema.simpleString} — committing it would brick every " +
+                  "read of this table")
+            }
+          }
+        }
+    }
   }
 
   /** The token-lock-file primitive both coordination layers share (the
@@ -454,16 +515,30 @@ object Sink {
   /** Serialize segmented-table commits' check-and-swap: an atomic
     * create-if-absent `_commitlock` held for the (milliseconds-long)
     * metadata swap only — the GC sweep runs after release. A crashed
-    * committer's lock goes stale after [[CommitLockStaleMs]] and is
-    * reaped through the [[TokenFile]] rename gate. Residual window: a
-    * reaped-and-stolen lock could re-admit two committers — the same
-    * bounded residual the build lease documents, here requiring a
-    * committer to stall 60 s INSIDE a metadata-only section first.
+    * committer's lock goes stale after [[commitLockStaleMs]] (default
+    * 60 s; ADVICE r16 asked for it to be tunable —
+    * `spark.graft.store.commitLockStaleMs`, sized to worst-case
+    * driver-pause latency) and is reaped through the [[TokenFile]]
+    * rename gate.
+    *
+    * The body receives `assertStillHeld`, to be called immediately
+    * before the pointer swap (ADVICE r16): a committer stalled past the
+    * staleness threshold INSIDE the critical section (GC/NFS pause) can
+    * be reaped and a successor admitted — without the re-verify, both
+    * then pass the CAS and the later swap silently drops the earlier
+    * delta. The re-read downgrades that residual to a CLEAN FAILED
+    * COMMIT (ConcurrentModificationException → staged cleanup → the
+    * caller re-derives and retries). Remaining window: a reap landing
+    * between the re-read and the rename — now requiring the stall to
+    * hit the microseconds between two adjacent metadata ops rather than
+    * anywhere in the section.
     */
-  private val CommitLockStaleMs = 60000L
+  private def commitLockStaleMs(spark: SparkSession): Long =
+    spark.conf.getOption("spark.graft.store.commitLockStaleMs")
+      .map(_.toLong).getOrElse(60000L)
   private def withCommitLock[T](fs: FileSystem,
                                 conf: org.apache.hadoop.conf.Configuration,
-                                root: Path)(body: => T): T = {
+                                root: Path, staleMs: Long)(body: (() => Unit) => T): T = {
     val lock = new Path(root, "_commitlock")
     val token = java.util.UUID.randomUUID().toString.replace("-", "")
     var acquired = false
@@ -475,12 +550,12 @@ object Sink {
           catch { case _: java.io.FileNotFoundException => None }
         held match {
           case Some(s) if System.currentTimeMillis() - s.getModificationTime
-              > CommitLockStaleMs =>
+              > staleMs =>
             // reapIfStale RE-VERIFIES staleness against the current
             // occupant: acting on this (possibly pre-reap) stat alone
             // would let a slow waiter remove a fresh successor's live
             // lock and re-admit two committers (review finding)
-            TokenFile.reapIfStale(fs, conf, root, lock, CommitLockStaleMs,
+            TokenFile.reapIfStale(fs, conf, root, lock, staleMs,
               caller = token)
           // a held lock means a committer is inside a metadata-only
           // section (milliseconds): 20 ms keeps claim latency low
@@ -491,7 +566,17 @@ object Sink {
         }
       }
     }
-    try body
+    val assertStillHeld: () => Unit = () => {
+      val owner =
+        try Some(readSmallText(fs, lock).trim)
+        catch { case _: java.io.IOException => None }
+      if (!owner.contains(token))
+        throw new java.util.ConcurrentModificationException(
+          s"commit lock at $root was reaped out from under this committer " +
+            s"(stalled past ${staleMs} ms inside the critical section) — " +
+            "the staged commit is abandoned; re-derive and retry")
+    }
+    try body(assertStillHeld)
     finally TokenFile.removeIfOwnedBy(fs, conf, root, lock, owner = token,
       caller = token)
   }

@@ -195,4 +195,71 @@ class Round17StoreSpec extends SparkTestBase {
     assert(Sink.readSnapshot(spark, out2).as[(Option[Long], String)]
       .collect().toSet == Set((Option(1L), "a")))
   }
+
+  // ------------------------------------- validation, cleanup, lock details
+
+  test("sink: the _schema sidecar validates delete-key types — partition columns included (the footer path could not)") {
+    val out = Files.createTempDirectory("schval17").toString + "/t"
+    val df = Seq((1L, "0012", "x"), (2L, "0034", "y")).toDF("id", "part", "v")
+    Sink.overwriteSegmented(df, out, retain = 1, minAgeMs = 600000L,
+      partitionColumns = Seq("part"),
+      sidecars = Map("_schema" -> df.schema.json))
+    // an int-typed key for the STRING partition column: directory-value
+    // inference would have typed it int and passed the old footer check —
+    // the sidecar rejects it at commit time
+    val e = intercept[IllegalArgumentException] {
+      Sink.patchSegmented(out, Some(Seq(12).toDF("part")), None,
+        retain = 1, minAgeMs = 600000L, partitionColumns = Seq("part"))
+    }
+    assert(e.getMessage.contains("part"))
+    // the correctly-typed key commits and deletes through the partition
+    // column
+    Sink.patchSegmented(out, Some(Seq("0012").toDF("part")), None,
+      retain = 1, minAgeMs = 600000L, partitionColumns = Seq("part"))
+    assert(Sink.readSnapshot(spark, out).select("id").as[Long]
+      .collect().toSeq == Seq(2L))
+  }
+
+  test("sink: ANY staging failure cleans the staged segments and version dir — not just the commit CAS (ADVICE r16)") {
+    val out = Files.createTempDirectory("cleanup17").toString + "/t"
+    Sink.overwriteSegmented(Seq((1L, "a")).toDF("id", "g"),
+      out, retain = 1, minAgeMs = 0L)
+    val segsBefore = segDirs(out).map(_.getName).toSet
+    val versionsBefore = new java.io.File(out).listFiles()
+      .map(_.getName).filter(_.startsWith("v-")).toSet
+    // fault injection: an invalid sidecar name fails AFTER the delete and
+    // data segments staged and the manifest wrote
+    intercept[IllegalArgumentException] {
+      Sink.patchSegmented(out, Some(Seq(1L).toDF("id")),
+        Some(Seq((2L, "b")).toDF("id", "g")), retain = 1, minAgeMs = 0L,
+        sidecars = Map("not-underscored" -> "x"))
+    }
+    assert(segDirs(out).map(_.getName).toSet == segsBefore,
+      "staged segments must be reclaimed on a non-CAS failure")
+    assert(new java.io.File(out).listFiles()
+      .map(_.getName).filter(_.startsWith("v-")).toSet == versionsBefore,
+      "the unpublished version dir must be reclaimed")
+    assert(Sink.readSnapshot(spark, out).as[(Long, String)]
+      .collect().toSet == Set((1L, "a")))
+  }
+
+  test("sink: commit-lock staleness is configurable — a fresh foreign lock is reaped at the tuned threshold") {
+    val out = Files.createTempDirectory("lockconf17").toString + "/t"
+    Sink.overwriteSegmented(Seq((1L, "a")).toDF("id", "g"),
+      out, retain = 1, minAgeMs = 0L)
+    // a foreign claimant that will never release (fresh mtime — the
+    // default 60 s staleness would block this test for a minute)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(out, "_commitlock"),
+      "alien".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    withSQLConf("spark.graft.store.commitLockStaleMs" -> "200") {
+      val t0 = System.nanoTime()
+      Sink.appendSegment(Seq((2L, "b")).toDF("id", "g"),
+        out, retain = 1, minAgeMs = 0L)
+      val sec = (System.nanoTime() - t0) / 1e9
+      assert(sec < 30.0, s"reap at 200ms staleness took ${sec}s")
+    }
+    assert(Sink.readSnapshot(spark, out).count() == 2)
+    assert(!new java.io.File(out, "_commitlock").exists())
+  }
 }
