@@ -112,8 +112,68 @@ object PruneProbe {
       // a compaction rewrite folds them. Measured: the same aggregate
       // over the clean, debt-carrying, and compacted states.
       deleteDebtSection(spark, path, probe)
+
+      // ---- section 4 (round 17): MINOR COMPACTION at the cap. A bulk
+      // segment plus a tail of small appends and delete patches; the
+      // fold writes only the tail's bytes (vs the r16 full rewrite that
+      // paid the corpus) while the read debt returns to the clean mark.
+      minorCompactSection(spark, dir, base)
     }
     spark.stop()
+  }
+
+  private def minorCompactSection(spark: SparkSession, dir: String,
+                                  base: org.apache.spark.sql.DataFrame): Unit = {
+    def du(f: java.io.File): Long =
+      if (f.isFile) f.length()
+      else Option(f.listFiles()).map(_.map(du).sum).getOrElse(0L)
+    val path = new java.io.File(
+      graft.ops.SlateStore.sessionTempRoot(spark),
+      s"prune_probe_minor_${System.nanoTime()}").toString
+    graft.ops.Sink.overwriteSegmented(base, path, retain = 1,
+      minAgeMs = 600000L, statsCols = Seq("o_year"))
+    val keys = base.select("o_orderkey").orderBy("o_orderkey").limit(8000)
+      .collect().map(_.getLong(0))
+    import spark.implicits._
+    // eight ~0.05% appends (fresh keys) and two small delete patches —
+    // the tail an evolving store accretes between compactions
+    (0 until 8).foreach { i =>
+      graft.ops.Sink.appendSegment(
+        base.filter(col("o_orderkey") % 1999 === i).limit(2000),
+        path, retain = 1, minAgeMs = 600000L, statsCols = Seq("o_year"))
+    }
+    (0 until 2).foreach { i =>
+      val ks = keys.slice(i * 1000, (i + 1) * 1000).toSeq.toDF("o_orderkey")
+      graft.ops.Sink.patchSegmented(path, Some(ks), None,
+        retain = 1, minAgeMs = 600000L)
+    }
+    val tableBytes = du(new java.io.File(path, "segs"))
+    def readWall(): Double = {
+      val t0 = System.nanoTime()
+      graft.ops.Sink.readSnapshot(spark, path).count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val debtWall = (1 to 3).map(_ => readWall()).min
+    val segsBefore = new java.io.File(path, "segs").listFiles().map(_.getName).toSet
+    val entriesBefore = graft.ops.Sink.listVersions(spark, path).head
+    val bulkId = new String(java.nio.file.Files.readAllBytes(
+        new java.io.File(new java.io.File(path, entriesBefore), "_manifest").toPath))
+      .split("\n").head.split('\t')(0)
+    val bulkBytes = du(new java.io.File(new java.io.File(path, "segs"),
+      s"__seg=$bulkId"))
+    val (_, foldWall) = time(graft.ops.Sink.minorCompact(spark, path,
+      budgetBytes = tableBytes / 2, retain = 1, minAgeMs = 600000L,
+      statsCols = Seq("o_year")).get)
+    val segsAfter = new java.io.File(path, "segs").listFiles().map(_.getName).toSet
+    val written = (segsAfter -- segsBefore).toSeq
+      .map(n => du(new java.io.File(new java.io.File(path, "segs"), n))).sum
+    val cleanWall = (1 to 3).map(_ => readWall()).min
+    println(f"[prune_probe_minor] $dir table=${tableBytes / 1024}%d KiB " +
+      f"(bulk seg ~${bulkBytes / 1024}%d KiB) fold wrote ${written / 1024}%d KiB " +
+      f"(${written.toDouble / tableBytes * 100}%.1f%% of table) in $foldWall%.2f s; " +
+      f"read wall min-of-3: with 10-entry tail $debtWall%.2f s -> " +
+      f"after fold $cleanWall%.2f s " +
+      s"(pre-fold version $entriesBefore retained for time travel)")
   }
 
   private def zorderSection(spark: SparkSession, dir: String,

@@ -196,6 +196,125 @@ class Round17StoreSpec extends SparkTestBase {
       .collect().toSet == Set((Option(1L), "a")))
   }
 
+  // ------------------------------------------------------- minor compaction
+
+  test("sink: minorCompact folds the tail under budget — bulk segment untouched, deletes combined, content and history intact") {
+    val out = Files.createTempDirectory("minor17").toString + "/t"
+    Sink.overwriteSegmented((1L to 1000L).map(i => (i, s"v$i")).toDF("id", "v"),
+      out, retain = 3, minAgeMs = 0L, statsCols = Seq("id"))
+    val bulkId = manifestLines(out).head.split('\t')(0)
+    Sink.appendSegment((2001L to 2010L).map(i => (i, s"v$i")).toDF("id", "v"),
+      out, retain = 3, minAgeMs = 0L, statsCols = Seq("id"))
+    Sink.patchSegmented(out, Some(Seq(5L).toDF("id")), None,
+      retain = 3, minAgeMs = 0L)
+    Sink.patchSegmented(out, Some(Seq(2005L).toDF("id")), None,
+      retain = 3, minAgeMs = 0L)
+    val before = Sink.readSnapshot(spark, out).as[(Long, String)].collect().toSet
+    assert(manifestLines(out).size == 4)
+    // budget below the bulk segment's bytes but above the tail's
+    val bulkBytes = {
+      def du(f: java.io.File): Long =
+        if (f.isFile) f.length()
+        else Option(f.listFiles()).map(_.map(du).sum).getOrElse(0L)
+      du(new java.io.File(new java.io.File(out, "segs"), s"__seg=$bulkId"))
+    }
+    val v = Sink.minorCompact(spark, out, budgetBytes = bulkBytes - 1,
+      retain = 3, minAgeMs = 0L, statsCols = Seq("id"))
+    assert(v.isDefined, "a 3-entry tail under budget must fold")
+    val after = manifestLines(out)
+    assert(after.size == 3, s"manifest after fold: $after")
+    assert(after.head.split('\t')(0) == bulkId,
+      "the over-budget bulk segment must survive the fold untouched")
+    assert(after.count(_.startsWith("D\t")) == 1,
+      "the two tail deletes must combine into one delete segment")
+    // combined delete carries exactly the union of keys
+    val dSeg = after.find(_.startsWith("D\t")).get.split('\t')(1)
+    assert(spark.read.parquet(new java.io.File(
+        new java.io.File(out, "segs"), s"__seg=$dSeg").toString)
+      .as[Long].collect().toSet == Set(5L, 2005L))
+    // content is IDENTICAL, the folded data segment carries bounds, and
+    // the displaced (pre-fold) version still time-travels
+    assert(Sink.readSnapshot(spark, out).as[(Long, String)].collect().toSet == before)
+    assert(!after.last.startsWith("D\t") && after.last.contains("\t"),
+      s"folded segment must carry recomputed stats: ${after.last}")
+    assert(Sink.readSnapshotAt(spark, out, 1).as[(Long, String)]
+      .collect().toSet == before)
+  }
+
+  test("store: crossing maxSegments now MINOR-compacts (tail fold) instead of rewriting the corpus — and the cap holds post-commit") {
+    val storeDir = Files.createTempDirectory("minorstore17").toString
+    withSQLConf(
+      "spark.graft.store.dir" -> storeDir,
+      "spark.graft.store.maxSegments" -> "4",
+      "spark.graft.store.minRetainAgeMs" -> "0") {
+      val key = s"minor17_${System.nanoTime()}"
+      def commit(tag: String)(ev: Option[DataFrame] => Evolved): DataFrame =
+        SlateStore.parquetEvolvingSegmented(spark, key, Some(tag),
+          statsBy = Seq("id"))(ev)
+      commit("g1")(_ => Evolved.Rewrite(
+        (1L to 500L).map(i => (i, "base")).toDF("id", "src")))
+      commit("g2")(p => Evolved.Append(
+        Seq((1001L, "d1")).toDF("id", "src").exceptAll(p.get.limit(0))))
+      commit("g3")(p => Evolved.Append(
+        Seq((1002L, "d2")).toDF("id", "src").exceptAll(p.get.limit(0))))
+      commit("g4")(p => Evolved.Append(
+        Seq((1003L, "d3")).toDF("id", "src").exceptAll(p.get.limit(0))))
+      val table = new java.io.File(storeDir).listFiles()
+        .find(_.getName.startsWith("minor17_")).get.toString
+      assert(manifestLines(table).size == 4)
+      val bulkId = manifestLines(table).head.split('\t')(0)
+      val bulkBytes = {
+        def du(f: java.io.File): Long =
+          if (f.isFile) f.length()
+          else Option(f.listFiles()).map(_.map(du).sum).getOrElse(0L)
+        du(new java.io.File(new java.io.File(table, "segs"), s"__seg=$bulkId"))
+      }
+      withSQLConf(
+        "spark.graft.store.minorCompactMaxBytes" -> (bulkBytes - 1).toString) {
+        val got = commit("g5")(p => Evolved.Append(
+          Seq((1004L, "d4")).toDF("id", "src").exceptAll(p.get.limit(0))))
+        val lines = manifestLines(table)
+        assert(lines.size <= 4, s"cap must hold post-commit: $lines")
+        assert(lines.head.split('\t')(0) == bulkId,
+          "minor compaction must leave the bulk segment alone — the r16 " +
+            s"behavior rewrote the corpus: $lines")
+        assert(got.as[(Long, String)].collect().toSet ==
+          ((1L to 500L).map((_, "base")) ++
+            (1L to 4L).map(i => (1000L + i, s"d$i"))).toSet)
+      }
+    }
+  }
+
+  test("store: cap accounting is post-commit — a two-entry Patch can no longer overshoot maxSegments by one") {
+    val storeDir = Files.createTempDirectory("cap17").toString
+    withSQLConf(
+      "spark.graft.store.dir" -> storeDir,
+      "spark.graft.store.maxSegments" -> "3",
+      "spark.graft.store.minRetainAgeMs" -> "0") {
+      val key = s"cap17_${System.nanoTime()}"
+      def commit(tag: String)(ev: Option[DataFrame] => Evolved): DataFrame =
+        SlateStore.parquetEvolvingSegmented(spark, key, Some(tag))(ev)
+      commit("g1")(_ => Evolved.Rewrite(
+        (1L to 50L).map(i => (i, "base")).toDF("id", "src")))
+      // 1 + 2 = 3 <= 3: commits as delete + data, no promotion
+      commit("g2")(p => Evolved.Patch(
+        p.get.filter(col("id") === 7L).select("id"),
+        Some(Seq((1001L, "d")).toDF("id", "src").exceptAll(p.get.limit(0)))))
+      val table = new java.io.File(storeDir).listFiles()
+        .find(_.getName.startsWith("cap17_")).get.toString
+      assert(manifestLines(table).size == 3)
+      // 3 + 2 > 3: the r16 check (pre-commit >= cap) would have published
+      // FOUR entries; post-commit accounting folds first
+      val got = commit("g3")(p => Evolved.Patch(
+        p.get.filter(col("id") === 8L).select("id"),
+        Some(Seq((1002L, "e")).toDF("id", "src").exceptAll(p.get.limit(0)))))
+      assert(manifestLines(table).size <= 3,
+        s"cap overshoot: ${manifestLines(table)}")
+      assert(got.filter(col("id").isin(7L, 8L)).count() == 0)
+      assert(got.count() == 50L)
+    }
+  }
+
   // ------------------------------------- validation, cleanup, lock details
 
   test("sink: the _schema sidecar validates delete-key types — partition columns included (the footer path could not)") {
