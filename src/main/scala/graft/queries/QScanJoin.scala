@@ -79,6 +79,32 @@ private[graft] object QScanJoin {
     }
   }
 
+  /** The three-commit segmented orders table the changefeed face reads
+    * (commit 1 = the ≤1998 backfill, commit 2 = the 1999 append,
+    * commit 3 = a patch deleting the 1995 keys and appending ≥2000) —
+    * published once per (session, corpus snapshot), retain=2 so both
+    * replayed base versions stay on disk. minAgeMs=0 is safe in the
+    * session-private temp root (no foreign readers). */
+  private def changefeedOrders(s: org.apache.spark.sql.SparkSession,
+                               dir: String): String = {
+    val orders = t(s, dir, "orders")
+    val tag = graft.ops.SlateStore.corpusTag(s, s"$dir/orders.parquet")
+    graft.ops.SlateStore.scalar(s, s"cf_orders|$dir#$tag") {
+      val p = new java.io.File(
+        graft.ops.SlateStore.sessionTempRoot(s), s"cf_orders_$tag").toString
+      val yr = year(col("o_orderdate"))
+      graft.ops.Sink.overwriteSegmented(orders.filter(yr <= 1998),
+        p, retain = 2, minAgeMs = 0L)
+      graft.ops.Sink.appendSegment(orders.filter(yr === 1999),
+        p, retain = 2, minAgeMs = 0L)
+      graft.ops.Sink.patchSegmented(p,
+        deleteKeys = Some(orders.filter(yr === 1995).select("o_orderkey")),
+        delta = Some(orders.filter(yr >= 2000)),
+        retain = 2, minAgeMs = 0L)
+      p
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---- §2.1/§2.2 scans, projections, filters -------------------------
@@ -376,6 +402,24 @@ private[graft] object QScanJoin {
         .agg(count(lit(1)).as("n_orders"),
           Relational.decimalSum(col("o_totalprice")).as("sum_price"))
         .orderBy("o_orderstatus")
+    }),
+
+    "changefeed_replay" -> ((s, dir) => {
+      // CHANGEFEED read (round 17, VERDICT r16 item 3 — the Delta CDF
+      // shape): a three-commit segmented table (backfill ≤1998, append
+      // 1999, patch = delete the 1995 keys + append ≥2000), then
+      // Sink.readChangesSince(2) replays the last two commits from the
+      // MANIFESTS — per-version inserted rows and deleted keys at
+      // delta-sized read cost, no snapshot diffing. The aggregate pins
+      // both change kinds (row counts and key checksums per type); the
+      // oracle recomputes the same sets from the raw corpus, so the
+      // feed can neither miss nor invent a change without failing.
+      val path = changefeedOrders(s, dir)
+      graft.ops.Sink.readChangesSince(s, path, 2)
+        .groupBy(col("_change_type").as("change_type"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("o_orderkey")).as("key_sum"))
+        .orderBy("change_type")
     }),
 
     "orc_roundtrip_agg" -> ((s, dir) => {
@@ -894,6 +938,21 @@ private[graft] object QScanJoin {
             n_live - COALESCE(n_prev, 0) AS n_added
          FROM live LEFT JOIN prev USING (o_orderstatus)
          ORDER BY o_orderstatus""",
+
+    // the changefeed's last-two-commit replay must carry exactly the rows
+    // those commits appended (years >= 1999) and the keys they deleted
+    // (the 1995 orderkeys) — recomputed here from the raw corpus, so the
+    // manifest-derived feed can neither miss nor invent a change
+    "changefeed_replay" ->
+      """SELECT * FROM (
+           SELECT 'delete' AS change_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
+                  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+           FROM orders WHERE year(o_orderdate) = 1995
+           UNION ALL
+           SELECT 'insert' AS change_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
+                  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+           FROM orders WHERE year(o_orderdate) >= 1999)
+         ORDER BY change_type""",
 
     // the pruned segmented read must equal the raw-corpus window: manifest
     // bounds may only SKIP non-overlapping segments, never drop rows

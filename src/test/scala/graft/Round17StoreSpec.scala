@@ -315,6 +315,68 @@ class Round17StoreSpec extends SparkTestBase {
     }
   }
 
+  // ------------------------------------------------------------- changefeed
+
+  test("sink: readChangesSince replays append/patch commits from the manifests, and replay reproduces the live snapshot") {
+    val out = Files.createTempDirectory("cdf17").toString + "/t"
+    Sink.overwriteSegmented((1L to 6L).map(i => (i, s"g$i")).toDF("id", "g"),
+      out, retain = 3, minAgeMs = 0L)
+    Sink.appendSegment(Seq((7L, "g7"), (8L, "g8")).toDF("id", "g"),
+      out, retain = 3, minAgeMs = 0L)
+    Sink.patchSegmented(out, Some(Seq(2L).toDF("id")),
+      Some(Seq((9L, "g9")).toDF("id", "g")), retain = 3, minAgeMs = 0L)
+    val feed = Sink.readChangesSince(spark, out, 2)
+      .select("id", "g", "_change_type", "_commit_step")
+      .as[(Long, Option[String], String, Int)].collect().toSet
+    assert(feed == Set(
+      (7L, Some("g7"), "insert", 1), (8L, Some("g8"), "insert", 1),
+      (2L, None, "delete", 2), (9L, Some("g9"), "insert", 2)))
+    // REPLAY CONTRACT: base(2 back) + per-step deletes-then-inserts = live
+    var state = Sink.readSnapshotAt(spark, out, 2)
+    val cdf = Sink.readChangesSince(spark, out, 2)
+    (1 to 2).foreach { step =>
+      val inStep = cdf.filter(col("_commit_step") === step)
+      state = Sink.antiJoinKeys(state,
+        inStep.filter(col("_change_type") === "delete").select("id"))
+        .unionByName(inStep.filter(col("_change_type") === "insert")
+          .select("id", "g"))
+    }
+    assert(state.as[(Long, String)].collect().toSet ==
+      Sink.readSnapshot(spark, out).as[(Long, String)].collect().toSet)
+    // an incremental consumer's derived aggregate: base count + inserts
+    // − deletes == live count (the snapshot-diff-free maintenance shape)
+    val byType = cdf.groupBy("_change_type").count()
+      .as[(String, Long)].collect().toMap
+    assert(Sink.readSnapshotAt(spark, out, 2).count() +
+      byType.getOrElse("insert", 0L) - byType.getOrElse("delete", 0L) ==
+      Sink.readSnapshot(spark, out).count())
+  }
+
+  test("sink: changefeed falls back to a row diff across a rewrite; a content-preserving compaction contributes zero changes") {
+    val out = Files.createTempDirectory("cdf17r").toString + "/t"
+    Sink.overwriteSegmented(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "g"),
+      out, retain = 3, minAgeMs = 0L)
+    Sink.overwriteSegmented(Seq((2L, "b"), (3L, "c"), (4L, "d")).toDF("id", "g"),
+      out, retain = 3, minAgeMs = 0L)
+    val feed = Sink.readChangesSince(spark, out, 1)
+      .select("id", "g", "_change_type").as[(Long, String, String)]
+      .collect().toSet
+    assert(feed == Set((4L, "d", "insert"), (1L, "a", "delete")))
+    // append + minor compact: the fold changes layout, not content — the
+    // fallback diff across it must be empty
+    val out2 = Files.createTempDirectory("cdf17c").toString + "/t"
+    Sink.overwriteSegmented((1L to 100L).map(i => (i, s"g$i")).toDF("id", "g"),
+      out2, retain = 3, minAgeMs = 0L)
+    Sink.appendSegment(Seq((201L, "x")).toDF("id", "g"),
+      out2, retain = 3, minAgeMs = 0L)
+    Sink.appendSegment(Seq((202L, "y")).toDF("id", "g"),
+      out2, retain = 3, minAgeMs = 0L)
+    assert(Sink.minorCompact(spark, out2, budgetBytes = Long.MaxValue / 2,
+      retain = 3, minAgeMs = 0L).isDefined)
+    assert(Sink.readChangesSince(spark, out2, 1).count() == 0L,
+      "compaction changed no content — the changefeed must agree")
+  }
+
   // ------------------------------------- validation, cleanup, lock details
 
   test("sink: the _schema sidecar validates delete-key types — partition columns included (the footer path could not)") {
