@@ -108,10 +108,42 @@ object Bench {
     // item 6). Every run therefore also writes the FULL per-query map —
     // wall sec + listener ms for all queries — next to the round
     // artifacts, committed with the round close.
+    //
+    // MARK GUARD (VERDICT r16 item 4 — three rounds of loaded driver
+    // runs clobbered the committed quiet-box mark): BENCH_DETAIL.json is
+    // the STANDING MARK and is only replaced by a run whose machine-load
+    // indicator (warm_slate_sec) is within 10% of the mark's — i.e. an
+    // equal-or-quieter box. A loaded run lands in
+    // BENCH_DETAIL_loaded.json instead, so it stays inspectable without
+    // destroying the comparison base. SPARK_GRAFT_BENCH_PROMOTE=1
+    // forces promotion (re-recording the mark after slate growth).
+    val detailTarget = {
+      def markWarm: Option[Double] =
+        try {
+          val txt = java.nio.file.Files.readString(
+            java.nio.file.Paths.get("BENCH_DETAIL.json"))
+          val m = java.util.regex.Pattern
+            .compile("\"warm_slate_sec\":([0-9.Ee+-]+)").matcher(txt)
+          if (m.find()) Some(m.group(1).toDouble) else None
+        } catch { case _: Throwable => None }
+      val force = sys.env.get("SPARK_GRAFT_BENCH_PROMOTE").contains("1")
+      markWarm match {
+        // a run with NO warm-up indicator (warmSlateSec = -1: sf0.001
+        // missing) cannot prove it ran on an equal-or-quieter box — it
+        // must not clobber the mark either
+        case Some(mark) if !force &&
+            (warmSlateSec < 0 || warmSlateSec > mark * 1.10) =>
+          System.err.println(f"[bench] loaded box (warm $warmSlateSec%.1f s " +
+            f"vs mark $mark%.1f s): writing BENCH_DETAIL_loaded.json, " +
+            "standing mark preserved (SPARK_GRAFT_BENCH_PROMOTE=1 overrides)")
+          "BENCH_DETAIL_loaded.json"
+        case _ => "BENCH_DETAIL.json"
+      }
+    }
     try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("BENCH_DETAIL.json"), detail + "\n")
+      java.nio.file.Paths.get(detailTarget), detail + "\n")
     catch { case e: Throwable =>
-      System.err.println(s"[bench] WARN could not write BENCH_DETAIL.json: $e")
+      System.err.println(s"[bench] WARN could not write $detailTarget: $e")
     }
     // …then the machine-read line LAST. The harness keeps only the final
     // ~2000 chars of output and parses a JSON line out of that window, so
