@@ -93,10 +93,17 @@ private[graft] object SegmentPruning {
       case (null, _) => None // null comparand proves nothing — keep
       case (v: Number, ByteType | ShortType | IntegerType | LongType) =>
         Some(scala.util.Left(BigDecimal(v.longValue())))
+      // floats/doubles go through toString — the SAME rendering the
+      // stats writer used — never a float→double widening: BigDecimal of
+      // 0.1f's double value is 0.100000001490…, strictly above the
+      // stats string "0.1", and `a >= 0.1f` would then wrongly skip a
+      // segment whose max is exactly 0.1f (review finding). Shortest-
+      // repr toString is order-preserving, so same-typed comparisons
+      // stay exact.
       case (v: java.lang.Float, FloatType) if java.lang.Float.isFinite(v) =>
-        Some(scala.util.Left(BigDecimal(v.toDouble)))
+        Some(scala.util.Left(BigDecimal(v.toString)))
       case (v: java.lang.Double, DoubleType) if java.lang.Double.isFinite(v) =>
-        Some(scala.util.Left(BigDecimal(v)))
+        Some(scala.util.Left(BigDecimal(v.toString)))
       case (v: org.apache.spark.sql.types.Decimal, _: DecimalType) =>
         Some(scala.util.Left(v.toBigDecimal))
       case (v: org.apache.spark.unsafe.types.UTF8String, StringType) =>

@@ -126,6 +126,27 @@ class Round17StoreSpec extends SparkTestBase {
     }
   }
 
+  test("pruning: float bounds compare in the stats' own rendering — >= max-exactly keeps, strictly-above prunes") {
+    val out = Files.createTempDirectory("prune17f").toString + "/t"
+    Sink.overwriteSegmented(Seq((1L, 0.05f), (2L, 0.1f)).toDF("id", "x"),
+      out, retain = 1, minAgeMs = 600000L, statsCols = Seq("x"))
+    Sink.appendSegment(Seq((3L, 5.0f)).toDF("id", "x"),
+      out, retain = 1, minAgeMs = 600000L, statsCols = Seq("x"))
+    noAqe {
+      val total = segDirs(out).map(parquetFiles).sum
+      // a float→double widening of the comparand (0.1f → 0.100000001…)
+      // would read the first segment's max "0.1" as strictly below the
+      // predicate and wrongly skip the x == 0.1f row
+      val ge = Sink.readSnapshot(spark, out).filter(col("x") >= 0.1f)
+      assert(scannedFiles(ge) == total,
+        "max == comparand must keep the segment")
+      assert(ge.select("id").as[Long].collect().toSet == Set(2L, 3L))
+      // strictly above every bound still prunes everything
+      assert(scannedFiles(Sink.readSnapshot(spark, out)
+        .filter(col("x") > 5.0f)) == 0L)
+    }
+  }
+
   test("pruning: the snapshot_at SQL TVF and time travel prune from raw SQL predicates") {
     val out = yearTable()
     // a fourth commit so steps_back=1 serves the three-segment state
