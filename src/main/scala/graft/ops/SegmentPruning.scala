@@ -210,16 +210,22 @@ private[graft] final class SegmentPruningFileIndex(
                          dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
     val listed = inner.listFiles(partitionFilters, dataFilters)
     if (dataFilters.isEmpty) listed
-    else listed
-      .map { dir =>
-        val kept = dir.files.filter { f =>
-          SegmentPruning.segIdOf(f.getPath)
-            .flatMap(statsBySeg.get)
-            .forall(st => SegmentPruning.mayMatch(st, dataFilters))
+    else {
+      // decide once per SEGMENT, not per file — a 100 TB segment holds
+      // thousands of files and the bounds evaluation parses the stats
+      // string; the listing loop itself must stay O(files)
+      val decided = scala.collection.mutable.HashMap.empty[String, Boolean]
+      def keepSeg(seg: String): Boolean = decided.getOrElseUpdate(seg,
+        statsBySeg.get(seg)
+          .forall(st => SegmentPruning.mayMatch(st, dataFilters)))
+      listed
+        .map { dir =>
+          val kept = dir.files.filter(f =>
+            SegmentPruning.segIdOf(f.getPath).forall(keepSeg))
+          if (kept.length == dir.files.length) dir else dir.copy(files = kept)
         }
-        if (kept.length == dir.files.length) dir else dir.copy(files = kept)
-      }
-      .filter(_.files.nonEmpty)
+        .filter(_.files.nonEmpty)
+    }
   }
 
   override def inputFiles: Array[String] = inner.inputFiles
