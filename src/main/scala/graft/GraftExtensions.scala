@@ -40,6 +40,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         null, "snapshot_at",
         "snapshot_at(table_path, steps_back) - time-travel read of a versioned graft table: the committed snapshot steps_back commits before the live one (0 = live)", ""),
       (children: Seq[Expression]) => graft.plans.SnapshotAtSql.fromArgs(children)))
+    // SQL-text changefeed over the same versioned tables:
+    // changes_since('<path>', n) — see graft.plans.ChangesSinceSql
+    ext.injectTableFunction((
+      new FunctionIdentifier("changes_since"),
+      new ExpressionInfo(graft.plans.ChangesSinceSql.getClass.getName,
+        null, "changes_since",
+        "changes_since(table_path, steps_back) - changefeed of a versioned graft table: rows added/removed by the last steps_back commits, tagged _change_type and _commit_step", ""),
+      (children: Seq[Expression]) => graft.plans.ChangesSinceSql.fromArgs(children)))
     ext.injectFunction((
       new FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, null, "cosine_sim",

@@ -398,6 +398,26 @@ class Round17StoreSpec extends SparkTestBase {
       "compaction changed no content — the changefeed must agree")
   }
 
+  test("sql: changes_since(path, n) serves the changefeed from raw SQL; beyond-history fails fast") {
+    val out = Files.createTempDirectory("cdfsql17").toString + "/t"
+    Sink.overwriteSegmented((1L to 5L).map(i => (i, s"g$i")).toDF("id", "g"),
+      out, retain = 3, minAgeMs = 0L)
+    Sink.appendSegment(Seq((6L, "g6")).toDF("id", "g"),
+      out, retain = 3, minAgeMs = 0L)
+    Sink.patchSegmented(out, Some(Seq(2L).toDF("id")), None,
+      retain = 3, minAgeMs = 0L)
+    val got = spark.sql(
+      s"""SELECT _change_type, _commit_step, count(*) AS n
+         |FROM changes_since('$out', 2)
+         |GROUP BY 1, 2 ORDER BY _commit_step, _change_type""".stripMargin)
+      .as[(String, Int, Long)].collect().toSeq
+    assert(got == Seq(("insert", 1, 1L), ("delete", 2, 1L)))
+    val e = intercept[java.io.FileNotFoundException] {
+      spark.sql(s"SELECT * FROM changes_since('$out', 9)").collect()
+    }
+    assert(e.getMessage.contains("commits back"))
+  }
+
   // ------------------------------------- validation, cleanup, lock details
 
   test("sink: the _schema sidecar validates delete-key types — partition columns included (the footer path could not)") {
