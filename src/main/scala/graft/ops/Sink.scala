@@ -1437,7 +1437,20 @@ object Sink {
         s"no snapshot $stepsBack commits back at $path " +
           s"(${versions.size} version(s) on disk — raise `retain`)")
     import org.apache.spark.sql.functions.lit
-    val tableSchema = schema.getOrElse(
+    // the stored write-time schema (the `_schema` sidecar) beats a
+    // schema-inferred read: partition-column VALUES re-parse under their
+    // true types (a "0012"-style string partition key would infer int
+    // and re-render as "12" in the feed — review finding); inference is
+    // the fallback for tables committed without the sidecar
+    def sidecarSchema(v: String): Option[org.apache.spark.sql.types.StructType] =
+      try {
+        val p = new Path(new Path(root, v), "_schema")
+        if (!fs.exists(p)) None
+        else Some(org.apache.spark.sql.types.DataType
+          .fromJson(readSmallText(fs, p))
+          .asInstanceOf[org.apache.spark.sql.types.StructType])
+      } catch { case scala.util.control.NonFatal(_) => None }
+    val tableSchema = schema.orElse(sidecarSchema(versions.head)).getOrElse(
       readVersion(spark, root, versions.head, None).schema)
     // every emitted frame aligns to the table schema (delete keys carry
     // only their key columns — the rest become typed nulls), so the
@@ -1461,7 +1474,8 @@ object Sink {
           // delta-sized, no diff job
           n.drop(o.size).map {
             case d: DataSeg =>
-              align(readScan(spark, scanOf(root, newer, Some(Seq(d))), None))
+              align(readScan(spark, scanOf(root, newer, Some(Seq(d))),
+                Some(tableSchema)))
                 .withColumn("_change_type", lit("insert"))
             case DeleteSeg(id, cols, _) =>
               align(spark.read.parquet(
@@ -1470,8 +1484,8 @@ object Sink {
                 .withColumn("_change_type", lit("delete"))
           }
         case _ =>
-          val newDf = align(readVersion(spark, root, newer, None))
-          val oldDf = align(readVersion(spark, root, older, None))
+          val newDf = align(readVersion(spark, root, newer, Some(tableSchema)))
+          val oldDf = align(readVersion(spark, root, older, Some(tableSchema)))
           Seq(
             newDf.exceptAll(oldDf).withColumn("_change_type", lit("insert")),
             oldDf.exceptAll(newDf).withColumn("_change_type", lit("delete")))

@@ -418,6 +418,23 @@ class Round17StoreSpec extends SparkTestBase {
     assert(e.getMessage.contains("commits back"))
   }
 
+  test("changefeed: partition-column values ride the _schema sidecar — '0012' stays a string in the feed") {
+    val out = Files.createTempDirectory("cdfpart17").toString + "/t"
+    val df = Seq((1L, "0012"), (2L, "0034")).toDF("id", "part")
+    val side = Map("_schema" -> df.schema.json)
+    Sink.overwriteSegmented(df, out, retain = 3, minAgeMs = 0L,
+      partitionColumns = Seq("part"), sidecars = side)
+    Sink.appendSegment(Seq((3L, "0056")).toDF("id", "part"), out,
+      retain = 3, minAgeMs = 0L, partitionColumns = Seq("part"),
+      sidecars = side)
+    // without the sidecar-forced schema the partition VALUE re-parses by
+    // directory inference (int) and re-renders as "56"
+    val feed = Sink.readChangesSince(spark, out, 1)
+      .select("id", "part", "_change_type")
+      .as[(Long, String, String)].collect().toSet
+    assert(feed == Set((3L, "0056", "insert")))
+  }
+
   // ------------------------------------- validation, cleanup, lock details
 
   test("sink: the _schema sidecar validates delete-key types — partition columns included (the footer path could not)") {
