@@ -398,6 +398,64 @@ class Round17StoreSpec extends SparkTestBase {
       "compaction changed no content — the changefeed must agree")
   }
 
+  test("sink: minorCompact racing concurrent appends loses nothing — the fold wins cleanly or fails as a retryable CME") {
+    val out = Files.createTempDirectory("minorrace17").toString + "/t"
+    Sink.overwriteSegmented(Seq(-1L).toDF("id"), out, retain = 64,
+      minAgeMs = 600000L)
+    (0 until 6).foreach(i =>
+      Sink.appendSegment(Seq(i.toLong).toDF("id"), out, retain = 64,
+        minAgeMs = 600000L))
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val appenders = (0 until 3).map { t =>
+      Future {
+        (0 until 3).foreach { i =>
+          val id = (100 + t * 3 + i).toLong
+          var done = false
+          while (!done) {
+            try {
+              Sink.appendSegment(Seq(id).toDF("id"), out, retain = 64,
+                minAgeMs = 600000L)
+              done = true
+            } catch {
+              case _: java.util.ConcurrentModificationException =>
+                Thread.sleep(5)
+            }
+          }
+        }
+      }
+    }
+    val folder = Future {
+      (0 until 3).foreach { _ =>
+        // a fold losing the pointer race is EXPECTED under contention —
+        // the contract is it either commits an equivalent layout or
+        // changes nothing; it must never surface a commit that drops a
+        // concurrent append
+        try Sink.minorCompact(spark, out, budgetBytes = Long.MaxValue / 2,
+          retain = 64, minAgeMs = 600000L)
+        catch { case _: java.util.ConcurrentModificationException => }
+        Thread.sleep(10)
+      }
+    }
+    (appenders :+ folder).foreach(Await.result(_, 120.seconds))
+    val want = (0 until 6).map(_.toLong).toSet ++
+      (100 until 109).map(_.toLong) + -1L
+    assert(Sink.readSnapshot(spark, out).as[Long].collect().toSet == want,
+      "every delta must survive a fold racing the appenders")
+    // a quiet final fold still works and preserves content (two more
+    // appends guarantee a >= 3-entry manifest whatever the race left)
+    Sink.appendSegment(Seq(200L).toDF("id"), out, retain = 64,
+      minAgeMs = 600000L)
+    Sink.appendSegment(Seq(201L).toDF("id"), out, retain = 64,
+      minAgeMs = 600000L)
+    assert(Sink.minorCompact(spark, out, budgetBytes = Long.MaxValue / 2,
+      retain = 64, minAgeMs = 600000L).isDefined)
+    assert(manifestLines(out).size == 1)
+    assert(Sink.readSnapshot(spark, out).as[Long].collect().toSet ==
+      (want + 200L + 201L))
+  }
+
   test("sql: changes_since(path, n) serves the changefeed from raw SQL; beyond-history fails fast") {
     val out = Files.createTempDirectory("cdfsql17").toString + "/t"
     Sink.overwriteSegmented((1L to 5L).map(i => (i, s"g$i")).toDF("id", "g"),
@@ -416,6 +474,35 @@ class Round17StoreSpec extends SparkTestBase {
       spark.sql(s"SELECT * FROM changes_since('$out', 9)").collect()
     }
     assert(e.getMessage.contains("commits back"))
+  }
+
+  test("changefeed: per-group aggregates maintained from the feed equal full recompute (IVM without replaying rows)") {
+    val out = Files.createTempDirectory("cdfivm17").toString + "/t"
+    def rows(ids: Range, g: String) = ids.map(i => (i.toLong, g))
+    Sink.overwriteSegmented((rows(1 to 40, "a") ++ rows(41 to 60, "b"))
+      .toDF("id", "g"), out, retain = 3, minAgeMs = 0L)
+    Sink.appendSegment(rows(61 to 70, "b").toDF("id", "g"),
+      out, retain = 3, minAgeMs = 0L)
+    // FULL-ROW delete keys (id, g): the feed's delete rows then carry
+    // the group column, so a consumer can maintain per-group aggregates
+    // without joining back to the corpus
+    Sink.patchSegmented(out,
+      Some(rows(1 to 5, "a").toDF("id", "g")),
+      Some(rows(71 to 73, "b").toDF("id", "g")), retain = 3, minAgeMs = 0L)
+    val base = Sink.readSnapshotAt(spark, out, 2)
+      .groupBy("g").agg(count(lit(1)).as("n0"))
+    val delta = Sink.readChangesSince(spark, out, 2)
+      .groupBy("g").agg(sum(when(col("_change_type") === "insert", 1L)
+        .otherwise(-1L)).as("dn"))
+    val derived = base.join(delta, Seq("g"), "full")
+      .select(col("g"),
+        (coalesce(col("n0"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n"))
+      .filter(col("n") > 0)
+      .as[(String, Long)].collect().toMap
+    val live = Sink.readSnapshot(spark, out).groupBy("g").count()
+      .as[(String, Long)].collect().toMap
+    assert(derived == live, s"derived $derived vs live $live")
+    assert(live == Map("a" -> 35L, "b" -> 33L))
   }
 
   test("changefeed: partition-column values ride the _schema sidecar — '0012' stays a string in the feed") {
