@@ -118,24 +118,39 @@ object Bench {
     // destroying the comparison base. SPARK_GRAFT_BENCH_PROMOTE=1
     // forces promotion (re-recording the mark after slate growth).
     val detailTarget = {
-      def markWarm: Option[Double] =
+      def markNumbers: Option[(Double, Double)] =
         try {
           val txt = java.nio.file.Files.readString(
             java.nio.file.Paths.get("BENCH_DETAIL.json"))
-          val m = java.util.regex.Pattern
+          val w = java.util.regex.Pattern
             .compile("\"warm_slate_sec\":([0-9.Ee+-]+)").matcher(txt)
-          if (m.find()) Some(m.group(1).toDouble) else None
+          val q = java.util.regex.Pattern
+            .compile("\"queries\":\\{([^}]*)\\}").matcher(txt)
+          if (!w.find() || !q.find()) None
+          else {
+            val v = java.util.regex.Pattern
+              .compile(":([0-9.Ee+-]+)").matcher(q.group(1))
+            var markTotal = 0.0
+            while (v.find()) markTotal += v.group(1).toDouble
+            Some((w.group(1).toDouble, markTotal))
+          }
         } catch { case _: Throwable => None }
       val force = sys.env.get("SPARK_GRAFT_BENCH_PROMOTE").contains("1")
-      markWarm match {
-        // a run with NO warm-up indicator (warmSlateSec = -1: sf0.001
-        // missing) cannot prove it ran on an equal-or-quieter box — it
-        // must not clobber the mark either
-        case Some(mark) if !force &&
-            (warmSlateSec < 0 || warmSlateSec > mark * 1.10) =>
-          System.err.println(f"[bench] loaded box (warm $warmSlateSec%.1f s " +
-            f"vs mark $mark%.1f s): writing BENCH_DETAIL_loaded.json, " +
-            "standing mark preserved (SPARK_GRAFT_BENCH_PROMOTE=1 overrides)")
+      markNumbers match {
+        // the mark is BEST-ON-A-COMPARABLE-BOX: auto-promotion needs a
+        // provably equal-or-quieter box (warm within 10%; a run with NO
+        // warm indicator cannot prove its load) AND an equal-or-better
+        // total — a quiet run that is slower is a potential code
+        // regression and must stay visible against the old base, not
+        // become the new one. Slate growth or deliberate re-records go
+        // through SPARK_GRAFT_BENCH_PROMOTE=1.
+        case Some((markWarm, markTotal)) if !force &&
+            (warmSlateSec < 0 || warmSlateSec > markWarm * 1.10 ||
+              total > markTotal * 1.02) =>
+          System.err.println(f"[bench] not promoting (warm $warmSlateSec%.1f " +
+            f"vs mark $markWarm%.1f s, total $total%.1f vs mark " +
+            f"$markTotal%.1f s): writing BENCH_DETAIL_loaded.json, standing " +
+            "mark preserved (SPARK_GRAFT_BENCH_PROMOTE=1 overrides)")
           "BENCH_DETAIL_loaded.json"
         case _ => "BENCH_DETAIL.json"
       }
