@@ -147,6 +147,45 @@ class Round17StoreSpec extends SparkTestBase {
     }
   }
 
+  test("pruning: timestamp, date, and string bounds prune under their own renderings") {
+    val out = Files.createTempDirectory("prune17t").toString + "/t"
+    def seg(year: Int, tag: String) =
+      (1 to 10).map(i => (year * 100L + i,
+        java.sql.Timestamp.valueOf(f"$year-03-0${i % 9 + 1} 10:2$i%01d:00"),
+        java.sql.Date.valueOf(f"$year-06-1${i % 9}"), s"$tag$i"))
+        .toDF("id", "ts", "d", "name")
+    Sink.overwriteSegmented(seg(1995, "a"), out, retain = 1,
+      minAgeMs = 600000L, statsCols = Seq("ts", "d", "name"))
+    Sink.appendSegment(seg(1997, "m"), out, retain = 1,
+      minAgeMs = 600000L, statsCols = Seq("ts", "d", "name"))
+    Sink.appendSegment(seg(1999, "z"), out, retain = 1,
+      minAgeMs = 600000L, statsCols = Seq("ts", "d", "name"))
+    noAqe {
+      val total = segDirs(out).map(parquetFiles).sum
+      val perSeg = total / 3
+      // timestamp range: the literal renders through the same fixed-width
+      // UTC form the stats writer used
+      val ts = Sink.readSnapshot(spark, out)
+        .filter(col("ts") >= lit("1997-01-01 00:00:00").cast("timestamp") &&
+          col("ts") < lit("1998-01-01 00:00:00").cast("timestamp"))
+      assert(scannedFiles(ts) == perSeg, "one ts-year overlaps")
+      assert(ts.count() == 10)
+      // date equality-range
+      val dt = Sink.readSnapshot(spark, out)
+        .filter(col("d") >= lit("1999-01-01").cast("date"))
+      assert(scannedFiles(dt) == perSeg)
+      assert(dt.count() == 10)
+      // string range in UTF-8 byte order ("m..." segment alone)
+      val nm = Sink.readSnapshot(spark, out)
+        .filter(col("name") >= "m" && col("name") < "n")
+      assert(scannedFiles(nm) == perSeg)
+      assert(nm.count() == 10)
+      // a timestamp below every bound prunes everything
+      assert(scannedFiles(Sink.readSnapshot(spark, out)
+        .filter(col("ts") < lit("1990-01-01 00:00:00").cast("timestamp"))) == 0L)
+    }
+  }
+
   test("pruning: the snapshot_at SQL TVF and time travel prune from raw SQL predicates") {
     val out = yearTable()
     // a fourth commit so steps_back=1 serves the three-segment state
