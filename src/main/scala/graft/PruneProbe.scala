@@ -91,12 +91,38 @@ object PruneProbe {
         (tFull, tPruned, if (prunedFirst) "p-first" else "f-first")
       }
       val fmt = rounds.map { case (f, p, o) => f"$f%.2f/$p%.2f($o)" }.mkString(" ")
+      // since round 17 the "full" path is NOT a full scan: the plain
+      // readSnapshot().filter() evaluates the manifest bounds against
+      // its own pushed predicate at file-listing time (SegmentPruning),
+      // so both walls above converge and the remaining difference is
+      // the LISTING. Measure the plan-derived skip directly: the files
+      // the physical scan planned (AQE off so the plan walk sees the
+      // scan node; metrics populate after executing the same frame)
+      val planned = {
+        val prior = spark.conf.get("spark.sql.adaptive.enabled")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        try {
+          // collect() THE SAME frame (a .count() builds a NEW query
+          // execution and the walked plan's metrics stay 0); the 1-col
+          // projection keeps the driver payload small
+          val df = graft.ops.Sink.readSnapshot(spark, path)
+            .filter(col("o_year") === probe).select("o_orderkey")
+          df.collect()
+          df.queryExecution.executedPlan.collect {
+            case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+              f.metrics("numFiles").value
+          }.sum
+        } finally spark.conf.set("spark.sql.adaptive.enabled", prior)
+      }
       println(f"[prune_probe] $dir rows=$n years=$y0..$y1 probe=$probe " +
         f"files_listed full=$filesFull pruned=$filesPruned " +
         f"(${filesPruned.toDouble / filesFull * 100}%.0f%%) " +
+        f"files_PLANNED by plain readSnapshot().filter = $planned " +
+        "(plan-derived skip == the explicit-bounds path) " +
         f"wall full/pruned per round: $fmt s " +
-        "(skipping happens BEFORE listing — at 100 TB the file-listing " +
-        "ratio IS the win)")
+        "(readSnapshotPruned still skips BEFORE listing — at 100 TB the " +
+        "file-listing ratio IS its win; the plan-derived path pays the " +
+        "listing but scans the same single segment)")
 
       // ---- section 2: the Z-ORDERED layout (VERDICT r15 item 3's probe
       // ask). Segments = z-buckets over (o_custkey, o_orderkey): z-order's
