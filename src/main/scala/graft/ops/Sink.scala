@@ -1437,24 +1437,49 @@ object Sink {
         s"no snapshot $stepsBack commits back at $path " +
           s"(${versions.size} version(s) on disk — raise `retain`)")
     import org.apache.spark.sql.functions.lit
-    // the stored write-time schema (the `_schema` sidecar) beats a
-    // schema-inferred read: partition-column VALUES re-parse under their
-    // true types (a "0012"-style string partition key would infer int
-    // and re-render as "12" in the feed — review finding); inference is
-    // the fallback for tables committed without the sidecar
-    def sidecarSchema(v: String): Option[org.apache.spark.sql.types.StructType] =
-      try {
-        val p = new Path(new Path(root, v), "_schema")
-        if (!fs.exists(p)) None
-        else Some(org.apache.spark.sql.types.DataType
-          .fromJson(readSmallText(fs, p))
-          .asInstanceOf[org.apache.spark.sql.types.StructType])
-      } catch { case scala.util.control.NonFatal(_) => None }
-    val tableSchema = schema.orElse(sidecarSchema(versions.head)).getOrElse(
-      readVersion(spark, root, versions.head, None).schema)
-    // every emitted frame aligns to the table schema (delete keys carry
-    // only their key columns — the rest become typed nulls), so the
-    // union is well-formed and a consumer sees one stable shape
+    val tableSchema = schema.orElse(storedSchemaOf(spark, root, versions.head))
+      .getOrElse(readVersion(spark, root, versions.head, None).schema)
+    val perStep = (stepsBack - 1 to 0 by -1).flatMap { i =>
+      val step = stepsBack - i
+      changesForPair(spark, root, older = Some(versions(i + 1)),
+        newer = versions(i), tableSchema)
+        .map(_.withColumn("_commit_step", lit(step)))
+    }
+    perStep.reduce(_ unionByName _)
+  }
+
+  /** The stored write-time schema of a committed version (its `_schema`
+    * sidecar), if present and readable. Beats a schema-inferred read for
+    * changefeed purposes: partition-column VALUES re-parse under their
+    * true types (a "0012"-style string partition key would infer int
+    * and re-render as "12" in the feed — review finding). */
+  private[graft] def storedSchemaOf(spark: SparkSession, root: Path,
+                                    version: String): Option[org.apache.spark.sql.types.StructType] =
+    try {
+      val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+      val p = new Path(new Path(root, version), "_schema")
+      if (!fs.exists(p)) None
+      else Some(org.apache.spark.sql.types.DataType
+        .fromJson(readSmallText(fs, p))
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** One commit's change frames, untagged (callers add their own step /
+    * commit-number column): `older → newer` as insert/delete frames
+    * aligned to `tableSchema` (delete keys carry only their key columns,
+    * the rest typed nulls). `older = None` is the BOOTSTRAP shape — the
+    * whole of `newer` as inserts (a changefeed consumer starting from
+    * 'earliest', before any retained predecessor). Append/patch commits
+    * read delta-sized from the manifest suffix; other boundaries fall
+    * back to an exact row-level diff.
+    */
+  private[graft] def changesForPair(spark: SparkSession, root: Path,
+                                    older: Option[String], newer: String,
+                                    tableSchema: org.apache.spark.sql.types.StructType): Seq[DataFrame] = {
+    import org.apache.spark.sql.functions.lit
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    // every emitted frame aligns to the table schema, so the union is
+    // well-formed and a consumer sees one stable shape
     def align(df: DataFrame): DataFrame = {
       val have = df.columns.toSet
       df.select(tableSchema.fields.toSeq.map { f =>
@@ -1462,37 +1487,63 @@ object Sink {
         else lit(null).cast(f.dataType).as(f.name)
       }: _*)
     }
-    val perStep = (stepsBack - 1 to 0 by -1).flatMap { i =>
-      val newer = versions(i)
-      val older = versions(i + 1)
-      val step = stepsBack - i
-      val eN = manifestEntries(fs, new Path(root, newer))
-      val eO = manifestEntries(fs, new Path(root, older))
-      val changes: Seq[DataFrame] = (eO, eN) match {
-        case (Some(o), Some(n)) if n.size > o.size && n.take(o.size) == o =>
-          // append/patch commit: the manifest suffix IS the change set —
-          // delta-sized, no diff job
-          n.drop(o.size).map {
-            case d: DataSeg =>
-              align(readScan(spark, scanOf(root, newer, Some(Seq(d))),
-                Some(tableSchema)))
-                .withColumn("_change_type", lit("insert"))
-            case DeleteSeg(id, cols, _) =>
-              align(spark.read.parquet(
-                  new Path(new Path(root, SegsDir), s"__seg=$id").toString)
-                .select(cols.map(col): _*))
-                .withColumn("_change_type", lit("delete"))
-          }
-        case _ =>
-          val newDf = align(readVersion(spark, root, newer, Some(tableSchema)))
-          val oldDf = align(readVersion(spark, root, older, Some(tableSchema)))
-          Seq(
-            newDf.exceptAll(oldDf).withColumn("_change_type", lit("insert")),
-            oldDf.exceptAll(newDf).withColumn("_change_type", lit("delete")))
-      }
-      changes.map(_.withColumn("_commit_step", lit(step)))
+    older match {
+      case None =>
+        Seq(align(readVersion(spark, root, newer, Some(tableSchema)))
+          .withColumn("_change_type", lit("insert")))
+      case Some(old) =>
+        val eN = manifestEntries(fs, new Path(root, newer))
+        val eO = manifestEntries(fs, new Path(root, old))
+        (eO, eN) match {
+          case (Some(o), Some(n)) if n.size > o.size && n.take(o.size) == o =>
+            // append/patch commit: the manifest suffix IS the change set —
+            // delta-sized, no diff job
+            n.drop(o.size).map {
+              case d: DataSeg =>
+                align(readScan(spark, scanOf(root, newer, Some(Seq(d))),
+                  Some(tableSchema)))
+                  .withColumn("_change_type", lit("insert"))
+              case DeleteSeg(id, cols, _) =>
+                align(spark.read.parquet(
+                    new Path(new Path(root, SegsDir), s"__seg=$id").toString)
+                  .select(cols.map(col): _*))
+                  .withColumn("_change_type", lit("delete"))
+            }
+          case _ =>
+            val newDf = align(readVersion(spark, root, newer, Some(tableSchema)))
+            val oldDf = align(readVersion(spark, root, old, Some(tableSchema)))
+            Seq(
+              newDf.exceptAll(oldDf).withColumn("_change_type", lit("insert")),
+              oldDf.exceptAll(newDf).withColumn("_change_type", lit("delete")))
+        }
     }
-    perStep.reduce(_ unionByName _)
+  }
+
+  /** COMMIT NUMBERS of the retained versions, oldest first: the i-th
+    * commit of a table's history is number i (0-based), derived from the
+    * supersession markers' monotonic sequence (a displaced version's
+    * marker seq IS its commit number; the live version is max + 1).
+    * Stable across restarts and GC — numbers never shift as old versions
+    * age out, which is what lets a STREAMING changefeed checkpoint them
+    * as offsets. Legacy (seq-less) markers are excluded: their order is
+    * mtime-granularity ambiguous, and a streaming consumer must never
+    * see a renumbering. Driver-side metadata listing only.
+    */
+  private[graft] def commitNumbers(spark: SparkSession,
+                                   path: String): Seq[(Long, String)] = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(root)) return Nil
+    val live = currentVersion(fs, root).getOrElse(return Nil)
+    val marked = markerStatuses(fs, root)
+      .map(m => (markerSeq(fs, m.getPath),
+        m.getPath.getName.stripPrefix("_superseded-")))
+      .filter { case (seq, v) => seq >= 0 && v != live &&
+        fs.exists(new Path(root, v)) }
+      .sortBy(_._1)
+    val liveNo = 1L + markerStatuses(fs, root)
+      .map(m => markerSeq(fs, m.getPath)).foldLeft(-1L)(math.max)
+    (marked.toSeq :+ (liveNo, live)).toSeq
   }
 
   /** History-order key for a non-live version: (marker sequence number,
