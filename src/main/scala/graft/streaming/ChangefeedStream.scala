@@ -23,7 +23,7 @@ import graft.ops.Sink
   *
   * {{{
   *   spark.readStream
-  *     .format("graft.streaming.ChangefeedSourceProvider")
+  *     .format("graft-changefeed")   // registered via META-INF/services
   *     .option("path", tableDir)
   *     .option("fromCommit", "earliest")   // | "latest" (default) | "<n>"
   *     .load()

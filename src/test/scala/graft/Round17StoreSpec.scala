@@ -576,7 +576,7 @@ class Round17StoreSpec extends SparkTestBase {
       got.iterator().asScala.toSet
     }
     def startQ() = spark.readStream
-      .format(classOf[graft.streaming.ChangefeedSourceProvider].getName)
+      .format("graft-changefeed") // the registered short name
       .option("path", out).option("fromCommit", "earliest").load()
       .writeStream.option("checkpointLocation", ckpt)
       .foreachBatch { (b: DataFrame, _: Long) =>
