@@ -314,7 +314,7 @@ object Graph {
     * leaked-mass simplification; node universe = all edge endpoints.
     *
     * Scale shape: per iteration ONE join (ranks ⋈ edges on src — the
-    * deduped edge set is persisted once and its cached blocks never move
+    * deduped edge set is checkpointed once and its blocks never move
     * again; the rank side is one row per NODE, orders of magnitude
     * smaller than the edges, so AQE broadcasts it when it fits) + ONE
     * map-side-partial sum on dst. Rank state never exceeds one (node,
@@ -325,15 +325,20 @@ object Graph {
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
                iterations: Int = 3, scale: Long = 1000000000L): DataFrame = {
     require(iterations >= 1 && scale >= 100L, "need >=1 iteration, scale >= 100")
-    // persist AFTER the dedup shuffle: every iteration re-reads the edge
-    // set as cached (src, dst) longs. No extra repartition — the rank
-    // side is one row per node (orders of magnitude smaller), so AQE
-    // broadcasts it and the edge blocks never move again; the distinct's
-    // own hash partitioning is already a fine layout for the agg on dst.
+    // Materialize AFTER the dedup shuffle: every iteration re-reads the
+    // edge set as checkpointed (src, dst) longs. No extra repartition —
+    // the rank side is one row per node (orders of magnitude smaller), so
+    // AQE broadcasts it and the edge blocks never move again. r17: eager
+    // localCheckpoint instead of the lazy persist() — the out-degree
+    // aggregate and iteration 1's join consume `e` as concurrent AQE
+    // query stages, and a lazy cache let both recompute the distinct
+    // (same double-materialization the kCorePeel stage table showed);
+    // checkpointing pins the edge blocks once (warm 5.2 s → 4.4 s, and
+    // 3.1 s with the caller-side redundant distinct also gone).
     val e = edges.select(col(srcCol).cast("long").as("__src"),
         col(dstCol).cast("long").as("__dst"))
       .distinct()
-      .persist()
+      .localCheckpoint(eager = true)
     // node universe + out-degrees in ONE aggregation: each edge emits
     // (src, 1) and (dst, 0), so sum(c) per node is the out-degree and
     // dst-only (dangling) nodes appear with outdeg 0 — replacing the
@@ -361,7 +366,6 @@ object Graph {
             expr("(85 * coalesce(__in_mass, 0L)) div 100")).as("pr"))
         .localCheckpoint()
     }
-    e.unpersist()
     pr.select(col("node"), col("pr"))
   }
 
@@ -550,18 +554,22 @@ object Graph {
                 k: Int, rounds: Int): DataFrame = {
     require(k > 0, s"kCorePeel: k must be positive, got $k")
     require(rounds >= 1, s"kCorePeel: rounds must be >= 1, got $rounds")
-    // Unlike the CC/PageRank loops there is NO per-round action here (the
-    // round count is fixed, no convergence check), so the whole peel is
-    // ONE lazy plan executed once — eager checkpoints would force `rounds`
-    // extra materializations for nothing. Lazy persists instead: each
-    // round's live HALF-edge set (|E| rows, not the 2|E| symmetrized
+    // Each round's live HALF-edge set (|E| rows, not the 2|E| symmetrized
     // form — degrees come from exploding both endpoints map-side) is
-    // computed once and served from cache to its two consumers (the next
-    // degree aggregate and the next filter join). The alive set is an
-    // aggregate output orders of magnitude under the edge count, so AQE
-    // turns both endpoint semi-joins into broadcasts at any scale where
-    // the node set fits an executor — and into shuffle joins when it
-    // doesn't, which is exactly the fallback you want at 100 TB.
+    // materialized ONCE via an eager localCheckpoint and served to its two
+    // consumers (the round's degree aggregate and the filter join). r17
+    // measurement note: this replaced the r8–r16 lazy persist() chain —
+    // under AQE the two consumers launch as concurrent query stages
+    // before the lazy cache is populated, and the UI stage table showed
+    // the distinct's map stage (and the lineitem scan feeding it)
+    // executing TWICE per round; the cached-plan fragments also blocked
+    // AQE's shuffle reuse. Eager checkpoints cut warm wall 5.6 s → 2.7 s
+    // at sf0.1/32 cores (BenchOne ×3) and each round's work runs exactly
+    // once at any scale. The alive set is an aggregate output orders of
+    // magnitude under the edge count, so AQE turns both endpoint
+    // semi-joins into broadcasts at any scale where the node set fits an
+    // executor — and into shuffle joins when it doesn't, which is exactly
+    // the fallback you want at 100 TB.
     // Canonicalize to least/greatest BEFORE distinct so input carrying
     // both orientations of one undirected edge collapses to a single
     // half-edge (otherwise each endpoint's degree double-counts), and
@@ -574,7 +582,7 @@ object Graph {
         greatest(col(srcCol), col(dstCol)).as("b"))
       .filter(col("a") =!= col("b"))
       .distinct()
-      .persist()
+      .localCheckpoint(eager = true)
     for (_ <- 1 to rounds) {
       val alive = e
         .select(explode(array(col("a"), col("b"))).as("v"))
@@ -585,7 +593,7 @@ object Graph {
       e = e
         .join(alive.select(col("v").as("a")), Seq("a"), "left_semi")
         .join(alive.select(col("v").as("b")), Seq("b"), "left_semi")
-        .persist()
+        .localCheckpoint(eager = true)
     }
     e.select(explode(array(col("a"), col("b"))).as("v"))
       .groupBy(col("v"))

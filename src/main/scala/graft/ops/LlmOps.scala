@@ -1023,18 +1023,28 @@ object LlmOps {
   def provenanceLookup(docs: DataFrame, idCol: String, textCol: String,
                        queries: DataFrame, queryIdCol: String,
                        snippetCol: String, shingleN: Int, w: Int): DataFrame = {
-    def fps(df: DataFrame, c: Column): Column = {
-      val seq = shingleSeqBest(df, c, shingleN)
+    // The shingle SEQUENCE is materialized as its own projection before
+    // the sliding-window minima reference it (the winnowCounts staging
+    // discipline). r17: the seq expression was inlined straight into the
+    // window transform, where it is referenced once per window position —
+    // CollapseProject cannot hoist an expensive expression used w+ times,
+    // so each doc re-ran shingle_seq per window (docPost alone measured
+    // 4.2 s vs 0.3 s staged at sf0.1/32 cores — the whole gap between
+    // provenance_lookup and its neighbors). Values unchanged: same seq,
+    // same minima, same distinct.
+    def winnowed(c: Column): Column =
       array_distinct(transform(
-        sequence(lit(0), greatest(size(seq) - w, lit(0))),
-        i => array_min(slice(seq, i + 1, lit(w)))))
-    }
+        sequence(lit(0), greatest(size(c) - w, lit(0))),
+        i => array_min(slice(c, i + 1, lit(w)))))
     val docPost = docs
-      .select(col(idCol), explode(fps(docs, col(textCol))).as("__fp"))
+      .select(col(idCol),
+        shingleSeqBest(docs, col(textCol), shingleN).as("__seq"))
+      .select(col(idCol), explode(winnowed(col("__seq"))).as("__fp"))
       .filter(col("__fp").isNotNull)
     val qPost = queries
       .select(col(queryIdCol).as("query_id"),
-        explode(fps(queries, col(snippetCol))).as("__fp"))
+        shingleSeqBest(queries, col(snippetCol), shingleN).as("__seq"))
+      .select(col("query_id"), explode(winnowed(col("__seq"))).as("__fp"))
       .filter(col("__fp").isNotNull)
     val qSizes = qPost.groupBy(col("query_id"))
       .agg(count(lit(1)).as("n_query_fps"))
@@ -3140,16 +3150,21 @@ object LlmOps {
   def containmentSketch(df: DataFrame, idCol: String, textCol: String,
                         blockCol: String, shingleN: Int,
                         threshold: Double, sketchK: Int = 32): DataFrame = {
-    // distinct md5-48 shingle hashes per doc; distinct AGAIN after
-    // hashing so a (negligible, but engine-identical) 48-bit collision
-    // can't double-count a posting
+    // distinct md5-48 shingle hashes per doc — the `sh` field of the
+    // native minhash_plan expression (one tight MessageDigest pass per
+    // row; bitwise the same values as the r16 HOF composition
+    // array_distinct(transform(shingles, md5Hash48(_, 1))), asserted by
+    // MinhashPlanSpec). r17: the HOF chain was this op's dominant cost —
+    // the projection alone measured 3.6 s vs 0.19 s native at sf0.1/32
+    // cores (19×), visible as the whole gap between dedup_containment_
+    // sketch and the cheap queries. k=1 keeps the signature fold trivial.
     // persist BELOW the size filter: a filter inside the cache-build plan
     // gets pushed under the projection and re-evaluates the whole
     // shingle+md5 pipeline per row (measured ~2× the build cost); above
     // the cache it tests the stored column
     val hs = df.select(col(blockCol).as("__blk"), col(idCol),
-        array_distinct(transform(shingles(col(textCol), shingleN),
-          s => md5Hash48(s, 1))).as("__hs"))
+        minhashPlanBest(df, col(textCol), shingleN, 1)
+          .getField("sh").as("__hs"))
       .persist()  // feeds probe + posting sides (nearDupPairs contract:
                   // callers clearCache() when done)
       .filter(size(col("__hs")) > 0)

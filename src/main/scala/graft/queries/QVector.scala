@@ -466,12 +466,15 @@ private[graft] object QVector {
       // node importance over the customer↔supplier trade graph (distinct
       // edges from orders⋈lineitem, suppliers offset into their own id
       // space, symmetrized so no dangling mass): 3 integer-exact PageRank
-      // rounds, top-20 hubs via TakeOrderedAndProject
+      // rounds, top-20 hubs via TakeOrderedAndProject. No distinct here:
+      // pageRank dedups (src, dst) internally, so a caller-side distinct
+      // was a second full shuffle of the edge multiset for identical
+      // results (r17; guide §2.4 — warm 5.2 s → 3.1 s with the op's
+      // checkpoint fix)
       val trade = t(s, dir, "orders")
         .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
         .select(col("o_custkey").as("src"),
           (col("l_suppkey") + lit(1000000L)).as("dst"))
-        .distinct()
       val edges = trade.union(
         trade.select(col("dst").as("src"), col("src").as("dst")))
       graft.ops.Graph.pageRank(edges, "src", "dst", iterations = 3)
@@ -502,11 +505,13 @@ private[graft] object QVector {
       // blast-radius probe: from nation-5 customers, how much of the
       // trade graph is reachable in 1/2/3 hops — frontier joins + anti
       // joins, fixed waves, (hop, count) output
+      // no caller-side distinct: kHopReachability dedups the edge set
+      // internally — the pre-pass distinct was a redundant full shuffle
+      // for identical results (r17; guide §2.4)
       val trade = t(s, dir, "orders")
         .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
         .select(col("o_custkey").as("src"),
           (col("l_suppkey") + lit(1000000L)).as("dst"))
-        .distinct()
       val seeds = t(s, dir, "customer")
         .filter(col("c_nationkey") === 5)
         .select(col("c_custkey"))
@@ -521,11 +526,13 @@ private[graft] object QVector {
       // space): 3 fixed peeling rounds at k=25 — each round one
       // map-side-combined degree aggregate + two endpoint semi-joins,
       // the edge set only shrinks
+      // no caller-side distinct: kCorePeel canonicalizes to least/greatest
+      // half-edges and distincts those — the pre-canon distinct was a
+      // redundant full shuffle for identical results (r17; guide §2.4)
       val e = t(s, dir, "orders")
         .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
         .select(col("o_custkey").as("src"),
           (col("l_partkey") + lit(1000000L)).as("dst"))
-        .distinct()
       graft.ops.Graph.kCorePeel(e, "src", "dst", k = 25, rounds = 3)
         .orderBy("node")
     }),
