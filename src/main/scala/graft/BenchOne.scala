@@ -18,13 +18,22 @@ object BenchOne {
     val doExplain = args.contains("explain")
     val doProfile = args.contains("profile")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    // SPARK_GRAFT_EVENTLOG=<dir>: write the Spark event log for offline
+    // stage/SQL-metric attribution (the r17 optimization loop's profiler
+    // when the interactive console can't host a code path). Off for the
+    // driver's bench; purely observational.
+    val eventLogDir = sys.env.get("SPARK_GRAFT_EVENTLOG")
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    eventLogDir.foreach { d =>
+      builder.config("spark.eventLog.enabled", "true")
+        .config("spark.eventLog.dir", d)
+    }
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val allNames = name.split(',').toSeq
     // explain/profile cover EVERY name in a comma list (ADVICE r12: only

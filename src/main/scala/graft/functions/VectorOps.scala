@@ -1270,7 +1270,19 @@ object VectorOps {
     * reused by the IVF variant so both paths score identically past
     * candidate generation. */
   private def mrlOverlapRollup(scored: DataFrame, fullDim: Int,
-                               k: Int): DataFrame = {
+                               k: Int): DataFrame =
+    mrlOverlapFromPerQuery(mrlOverlapPerQuery(scored, fullDim, k), k)
+
+  /** Per-(query, dim) overlap counts of a scored MRL relation — the
+    * intermediate both rollup grains aggregate from. Exposed (r17) so a
+    * caller evaluating an UNBOUNDED batch plus a fixed audit SUB-batch
+    * can score once and aggregate twice: per-query results are
+    * independent (per-query probe window, per-query pool, per-query
+    * top-k), so restricting this relation to the audit ids and
+    * re-aggregating is bitwise the per-sub-batch eval — re-scoring the
+    * audit batch through the cell join was pure duplicate work. */
+  private[graft] def mrlOverlapPerQuery(scored: DataFrame, fullDim: Int,
+                                        k: Int): DataFrame = {
     val w = Window.partitionBy(col("query_id"), col("__d"))
       .orderBy(col("__score").desc, col("__cid").asc)
     val topk = scored
@@ -1284,10 +1296,15 @@ object VectorOps {
     // mean/min upward — min_overlap could never report 0, the exact worst
     // case this eval exists to surface. Every (query, dim) group in `topk`
     // (k rows each) survives here with __common = 0 when nothing overlaps.
-    val perQuery = topk
+    topk
       .join(full.withColumn("__hit", lit(1L)), Seq("query_id", "__cid"), "left")
       .groupBy(col("query_id"), col("__d"))
       .agg(sum(coalesce(col("__hit"), lit(0L))).as("__common"))
+  }
+
+  /** Per-dim (n_queries, mean, min) rollup of [[mrlOverlapPerQuery]]. */
+  private[graft] def mrlOverlapFromPerQuery(perQuery: DataFrame,
+                                            k: Int): DataFrame = {
     perQuery
       .groupBy(col("__d"))
       .agg(count(lit(1)).cast("long").as("n_queries"),
@@ -1319,7 +1336,29 @@ object VectorOps {
                            prefixDims: Seq[Int], fullDim: Int, k: Int,
                            nCells: Int, nProbe: Int, seed: Long = 42L,
                            sampleCap: Int = 4096,
-                           prebuilt: Option[(DataFrame, DataFrame)] = None): DataFrame = {
+                           prebuilt: Option[(DataFrame, DataFrame)] = None): DataFrame =
+    mrlOverlapFromPerQuery(
+      mrlTruncationEvalIvfPerQuery(corpus, queries, idCol, embCol,
+        prefixDims, fullDim, k, nCells, nProbe, seed, sampleCap, prebuilt),
+      k)
+
+  /** [[mrlTruncationEvalIvf]] stopped at the per-(query, dim) overlap
+    * grain (r17). Per-query results are independent — each query keeps
+    * its own probe list, pool and top-k — so a caller that needs BOTH
+    * the full-batch per-dim rollup and the same rollup over a fixed
+    * audit sub-batch can materialize this tiny relation once (|Q|·|dims|
+    * rows) and aggregate it twice via [[mrlOverlapFromPerQuery]]:
+    * filtering to the audit ids and re-aggregating is bitwise identical
+    * to re-running the eval on the audit batch (exact-int sums over the
+    * same per-query counts, one final divide), minus a full second pass
+    * through the cell join and rank window.
+    */
+  def mrlTruncationEvalIvfPerQuery(corpus: DataFrame, queries: DataFrame,
+                                   idCol: String, embCol: String,
+                                   prefixDims: Seq[Int], fullDim: Int, k: Int,
+                                   nCells: Int, nProbe: Int, seed: Long = 42L,
+                                   sampleCap: Int = 4096,
+                                   prebuilt: Option[(DataFrame, DataFrame)] = None): DataFrame = {
     require(prefixDims.nonEmpty && k > 0 && nCells >= 1 && nProbe >= 1)
     val spark = corpus.sparkSession
     val dims = (prefixDims :+ fullDim).distinct.sorted
@@ -1342,7 +1381,7 @@ object VectorOps {
       .select(col("query_id"), col("__d"), col("__cid"),
         cosineBest(spark, slice(col("__cv"), lit(1), col("__d")),
           slice(col("__qv"), lit(1), col("__d"))).as("__score"))
-    mrlOverlapRollup(scored, fullDim, k)
+    mrlOverlapPerQuery(scored, fullDim, k)
   }
 
   /** Reciprocal-rank fusion (Cormack & Clarke SIGIR'09) of two ranked

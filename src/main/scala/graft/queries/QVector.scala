@@ -291,15 +291,24 @@ private[graft] object QVector {
       // (pre-r14 each call refit and re-assigned the identical index)
       val idx = VectorOps.ivfIndexStored(c, "embedding", nCells,
         storeKey = s"ivf|mrl_cands|$dir", contentTag = Some(embTag(s, dir)))
-      val ivf = VectorOps.mrlTruncationEvalIvf(c, q, "vec_id", "embedding",
-        prefixDims = Seq(16, 32), fullDim = 64, k = 10,
+      // ONE IVF scoring pass serves both grains (r17): per-query overlap
+      // counts are independent across queries, so the audit sub-batch's
+      // rollup is the SAME tiny relation filtered to the audit ids —
+      // bitwise what a second mrlTruncationEvalIvf(auditQ) run returned
+      // (same exact-int sums, same one divide), minus re-running the
+      // cell join + rank window over the retrieved pool. The |Q|·|dims|
+      // per-query relation is checkpointed so the two rollups don't
+      // re-derive the scoring DAG.
+      val perQ = VectorOps.mrlTruncationEvalIvfPerQuery(c, q, "vec_id",
+        "embedding", prefixDims = Seq(16, 32), fullDim = 64, k = 10,
         nCells = nCells, nProbe = nProbe, prebuilt = Some(idx))
+        .localCheckpoint(eager = true)
+      val ivf = VectorOps.mrlOverlapFromPerQuery(perQ, k = 10)
       val auditQ = q.filter(col("vec_id") < 200)
       val bruteAudit = VectorOps.mrlTruncationEval(c, auditQ, "vec_id",
         "embedding", prefixDims = Seq(16, 32), fullDim = 64, k = 10)
-      val ivfAudit = VectorOps.mrlTruncationEvalIvf(c, auditQ, "vec_id",
-        "embedding", prefixDims = Seq(16, 32), fullDim = 64, k = 10,
-        nCells = nCells, nProbe = nProbe, prebuilt = Some(idx))
+      val ivfAudit = VectorOps.mrlOverlapFromPerQuery(
+        perQ.filter(col("query_id") < 200), k = 10)
       val band = bruteAudit.select(col("prefix_dim"), col("mean_overlap").as("__mb"))
         .join(ivfAudit.select(col("prefix_dim"), col("mean_overlap").as("__ma")),
           Seq("prefix_dim"))
