@@ -52,6 +52,23 @@ object VectorOps {
     if (spark.catalog.functionExists("cosine_sim")) call_function("cosine_sim", a, b)
     else cosine(a, b)
 
+  /** Every prefix-truncated cosine of (a, b) at the given cut dims as one
+    * array<double>, via the native one-fold [[CosinePrefixes]] when
+    * GraftExtensions is installed, else the per-dim slice+cosine
+    * composition. Both produce bitwise-identical doubles (same
+    * left-to-right fold, same widening); the fallback wraps each slice
+    * cosine in the same "null row survives as a null element" contract
+    * (slice of a null array is null, and cosine of null is null — an
+    * array literal of per-dim cosines keeps all C elements either way).
+    */
+  def cosinePrefixesBest(spark: org.apache.spark.sql.SparkSession,
+                         a: Column, b: Column, dims: Seq[Int]): Column =
+    if (spark.catalog.functionExists("cosine_prefixes"))
+      call_function("cosine_prefixes", a, b, array(dims.map(lit(_)): _*))
+    else
+      array(dims.map(d =>
+        cosine(slice(a, lit(1), lit(d)), slice(b, lit(1), lit(d)))): _*)
+
   /** Int8 scalar quantization calibration + encode check — the compression
     * step a 100 TB embedding store applies before indexing (4x smaller
     * than float32, dot products on bytes). Returns one row per dimension:
@@ -1252,15 +1269,24 @@ object VectorOps {
                         prefixDims: Seq[Int], fullDim: Int,
                         k: Int): DataFrame = {
     require(prefixDims.nonEmpty && k > 0)
+    val spark = corpus.sparkSession
     val dims = (prefixDims :+ fullDim).distinct.sorted
     val q = queries.select(col(idCol).as("query_id"), col(embCol).as("__qv"))
-    val dimRows = explode(array(dims.map(lit(_)): _*)).as("__d")
+    // ONE fold per (candidate, query) pair scores every prefix dim (r17):
+    // the per-dim explode used to triple the pair relation BEFORE scoring,
+    // slicing both 64-float arrays per dim and re-folding the shared
+    // prefix; cosinePrefixesBest emits all cut cosines from one pass and
+    // only the C-double score array is exploded. posexplode's ordinal maps
+    // back to the dim value through the same sorted literal array.
+    val dimLit = array(dims.map(lit(_)): _*)
     val scored = corpus
       .select(col(idCol).as("__cid"), col(embCol).as("__cv"))
-      .crossJoin(broadcast(q.select(col("query_id"), col("__qv"), dimRows)))
-      .select(col("query_id"), col("__d"), col("__cid"),
-        cosine(slice(col("__cv"), lit(1), col("__d")),
-          slice(col("__qv"), lit(1), col("__d"))).as("__score"))
+      .crossJoin(broadcast(q))
+      .select(col("query_id"), col("__cid"),
+        posexplode(cosinePrefixesBest(spark, col("__cv"), col("__qv"), dims))
+          .as(Seq("__p", "__score")))
+      .select(col("query_id"), element_at(dimLit, col("__p") + 1).as("__d"),
+        col("__cid"), col("__score"))
     mrlOverlapRollup(scored, fullDim, k)
   }
 
@@ -1373,14 +1399,16 @@ object VectorOps {
       .withColumn("__pr", row_number().over(byCent))
       .filter(col("__pr") <= nProbe)
       .select(col("query_id"), col("__qv"), col("__cell"))
-    val dimRows = explode(array(dims.map(lit(_)): _*)).as("__d")
+    // one fold per retrieved (candidate, query) pair scores every prefix
+    // dim — see mrlTruncationEval (r17); the pool relation is no longer
+    // tripled before scoring and both heavy arrays are read exactly once
+    val dimLit = array(dims.map(lit(_)): _*)
     val scored = assigned.join(probes, Seq("__cell"))
-      .select(col("query_id"), col(idCol).as("__cid"), col(embCol).as("__cv"),
-        col("__qv"))
-      .select(col("query_id"), col("__cid"), col("__cv"), col("__qv"), dimRows)
-      .select(col("query_id"), col("__d"), col("__cid"),
-        cosineBest(spark, slice(col("__cv"), lit(1), col("__d")),
-          slice(col("__qv"), lit(1), col("__d"))).as("__score"))
+      .select(col("query_id"), col(idCol).as("__cid"),
+        posexplode(cosinePrefixesBest(spark, col(embCol), col("__qv"), dims))
+          .as(Seq("__p", "__score")))
+      .select(col("query_id"), element_at(dimLit, col("__p") + 1).as("__d"),
+        col("__cid"), col("__score"))
     mrlOverlapPerQuery(scored, fullDim, k)
   }
 
