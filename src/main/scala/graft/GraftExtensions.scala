@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{BoundedCollectList, CosinePrefixes, CosineSimilarity, GramMatrixAgg, HashedShingles, JlSignProject, MinHashShingles, MisraGries, NearestCell, NfcNormalize, ShingleSeq, SimHash48}
+import graft.functions.{BoundedCollectList, CosinePrefixes, CosineSimilarity, GramMatrixAgg, HashedShingles, JlSignProject, MinHashShingles, MisraGries, NearestCell, NfcNormalize, OrderedPairs, ShingleSeq, SimHash48}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * Catalyst expressions so they resolve by name in SQL and
@@ -58,6 +58,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[CosinePrefixes].getName, null, "cosine_prefixes",
         "cosine_prefixes(a, b, dims) - cosines of every prefix-truncated pair (slice(a,1,d), slice(b,1,d)) in one fold; null inputs yield null elements, not a null array", ""),
       (children: Seq[Expression]) => CosinePrefixes(children.head, children(1), children(2))))
+    ext.injectFunction((
+      new FunctionIdentifier("ordered_pairs"),
+      new ExpressionInfo(classOf[OrderedPairs].getName, null, "ordered_pairs",
+        "ordered_pairs(arr) - all struct<a,b> pairs with a < b by value, in the nested-HOF emission order; null-sided pairs dropped", ""),
+      (children: Seq[Expression]) => OrderedPairs(children.head)))
     ext.injectFunction((
       new FunctionIdentifier("hashed_shingles"),
       new ExpressionInfo(classOf[HashedShingles].getName, null, "hashed_shingles",

@@ -440,7 +440,7 @@ object VectorOps {
     // (callers clearCache() when done).
     val withB = df.select(col(idCol), col(embCol),
       lshBucket(col(embCol), planes).as("cluster"))
-      .persist()
+      .localCheckpoint(true)
     val dropped = embeddingNearDupPairs(withB, idCol, embCol, "cluster", threshold)
       .select(col("id_b").as(idCol)).distinct()
       .withColumn("__drop", lit(true))
@@ -1182,7 +1182,8 @@ object VectorOps {
       .select(col(idCol).as("__cid"), col(embCol).as("__cv"))
       .crossJoin(broadcast(q))
       .select(col("query_id"), col("__cid"),
-        cosine(col("__cv"), col("__qv")).as("__score"))
+        cosineBest(candidates.sparkSession,
+          col("__cv"), col("__qv")).as("__score"))
     marginRollup(scored, k)
   }
 

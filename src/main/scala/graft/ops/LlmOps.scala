@@ -326,9 +326,11 @@ object LlmOps {
     * Jaccard verification. Returns (id_a, id_b, jaccard) with id_a < id_b,
     * jaccard >= threshold.
     *
-    * Caching note: the signature table is persist()ed (it feeds three plan
-    * branches); callers running many corpora in one session should
-    * `spark.catalog.clearCache()` after materializing results.
+    * Caching note: the signature table is eagerly localCheckpoint()ed —
+    * it feeds three plan branches whose query stages launch CONCURRENTLY,
+    * so a lazy persist re-ran the signature pass once per branch before
+    * the cache populated (r17). Checkpoint blocks are released by the
+    * context cleaner when the plan is dropped.
     *
     * Scale shape: the candidate join shuffles only (band, band_hash, id,
     * shingles-of-candidates); non-candidate docs never meet. Skewed buckets
@@ -349,9 +351,10 @@ object LlmOps {
     require(numHashes % bands == 0,
       s"bands ($bands) must divide numHashes ($numHashes): trailing signature components would be silently ignored")
     val rowsPerBand = numHashes / bands
-    // Persisted: this table feeds the banding scan AND both sides of the
-    // verification join — without it the shingle+signature computation (the
-    // most expensive projection in the pipeline) runs three times. At
+    // Checkpointed downstream (nearDupPairsFromSets): this table feeds the
+    // banding scan AND both sides of the verification join — without the
+    // eager materialization the shingle+signature computation (the most
+    // expensive projection in the pipeline) runs three times. At
     // cluster scale this materialization is the "signature store" stage of
     // a standard MinHash dedup pipeline. The repartition spreads the
     // CPU-heavy hashing across all cores even when the source is a handful
@@ -373,7 +376,7 @@ object LlmOps {
                            threshold: Double, maxBucketSize: Int): DataFrame = {
     val withSets = sets
       .filter(size(col("__sh")) > 0)
-      .persist()
+      .localCheckpoint(true)
 
     val candidates = lshCandidatePairs(withSets, idCol, bands, rowsPerBand, maxBucketSize)
 
@@ -457,7 +460,7 @@ object LlmOps {
       .select(col(idCol), minhashPlanBest(df, col(textCol), shingleN, numHashes).as("__mh"))
       .select(col(idCol), col("__mh.sh").as("__sh"), col("__mh.sig").as("__sig"))
       .filter(size(col("__sh")) > 0)
-      .persist()
+      .localCheckpoint(true)
     val candidates = lshCandidatePairs(withSets, idCol, bands, rowsPerBand, maxBucketSize)
     val a = withSets.select(col(idCol).as("id_a"),
       col("__sh").as("__sh_a"), col("__sig").as("__sig_a"))
@@ -516,7 +519,7 @@ object LlmOps {
     val sets = setsIn
       .withColumn("__sz", size(col("__sh")))
       .filter(col("__sz") > 0)
-      .persist()
+      .localCheckpoint(true)
 
     val prefLen = (col("__sz") - ceil(col("__sz") * lit(threshold)) + 1).cast("int")
     val prefixes = sets.select(col("__blk"), col(idCol), col("__sz"),
@@ -739,13 +742,14 @@ object LlmOps {
                     depth: Int = 4, width: Int = 64,
                     topK: Int = 20): DataFrame = {
     require(depth >= 1 && width > 0)
-    // Persisted: the token-hash stream feeds the grid AND the exact
-    // top-k truth. Same caching contract as nearDupPairs.
+    // Eager checkpoint: the token-hash stream feeds the grid AND the
+    // exact top-k truth, whose stages launch concurrently (r17 — a lazy
+    // persist hashed the stream once per consumer).
     val toks = df
       .select(explode(tokens(col(textCol))).as("__t"))
       .filter(col("__t") =!= "")
       .select(md5Hash48(col("__t"), 1).as("__h"))
-      .persist()
+      .localCheckpoint(true)
     def positions(h: Column): Column =
       transform(sequence(lit(0), lit(depth - 1)),
         j => pmod((j * 2 + lit(3)) * h + j, lit(width.toLong)))
@@ -775,13 +779,13 @@ object LlmOps {
     */
   def vocabCoverage(df: DataFrame, idCol: String, textCol: String,
                     topK: Int): DataFrame = {
-    // Persisted: the token stream feeds vocabulary construction AND the
-    // per-doc coverage count. Same caching contract as nearDupPairs.
+    // Eager checkpoint: the token stream feeds vocabulary construction
+    // AND the per-doc coverage count concurrently (r17).
     val toks = df
       .select(col(idCol), explode(tokens(col(textCol))).as("__t"))
       .filter(col("__t") =!= "")
       .select(col(idCol), md5Hash48(col("__t"), 1).as("__h"))
-      .persist()
+      .localCheckpoint(true)
     // deterministic top-k: frequency desc, hash asc tiebreak
     val vocab = toks.groupBy("__h").agg(count(lit(1)).as("__c"))
       .orderBy(col("__c").desc, col("__h").asc)
@@ -919,10 +923,16 @@ object LlmOps {
     */
   def pmiPairs(docs: DataFrame, idCol: String, textCol: String,
                minDf: Int = 3, perDocCap: Int = 32, k: Int = 20): DataFrame = {
+    // eager localCheckpoint, not lazy persist (r17, guide §2.4/§5): the
+    // presence table has THREE consumers (df, N, the pair stage) whose
+    // broadcast sides launch as concurrent query stages — under a lazy
+    // persist each re-ran the full tokenize+explode scan before the cache
+    // populated (the kCorePeel finding; observed 4-5 identical scans per
+    // run). The eager checkpoint tokenizes the corpus exactly once.
     val dt = docs
       .select(col(idCol), explode(array_distinct(tokens(col(textCol)))).as("term"))
       .filter(col("term") =!= "")
-      .persist()
+      .localCheckpoint(true)
     val df = dt.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val vocab = df.filter(col("df") >= minDf)
     val nDocs = dt.select(col(idCol)).distinct()
@@ -933,10 +943,7 @@ object LlmOps {
       .agg(slice(sort_array(collect_list(col("term"))), 1, perDocCap).as("__ts"))
       .filter(size(col("__ts")) >= 2)
     val pairCounts = arrs
-      .select(explode(flatten(transform(col("__ts"), a =>
-        filter(
-          transform(col("__ts"), b => struct(a.as("a"), b.as("b"))),
-          p => p.getField("a") < p.getField("b"))))).as("__p"))
+      .select(explode(orderedPairsBest(docs, col("__ts"))).as("__p"))
       .groupBy(col("__p.a").as("term_a"), col("__p.b").as("term_b"))
       .agg(count(lit(1)).as("n_pair"))
     pairCounts
@@ -976,6 +983,22 @@ object LlmOps {
     if (df.sparkSession.catalog.functionExists("shingle_seq"))
       call_function("shingle_seq", c, lit(n))
     else shingleHashSeq(tokens(c), n)
+
+  /** All value-ordered pairs of an array as `array<struct<a, b>>` — the
+    * native one-pass [[graft.functions.OrderedPairs]] when GraftExtensions
+    * is installed, the nested-HOF composition otherwise. Both emit the
+    * SAME pair multiset in the SAME order (the expression replicates the
+    * HOF's position-order emission, null-pair drops, and null-array
+    * propagation — asserted by OrderedPairsSpec), so plans may switch
+    * freely without affecting results.
+    */
+  def orderedPairsBest(df: DataFrame, arr: Column): Column =
+    if (df.sparkSession.catalog.functionExists("ordered_pairs"))
+      call_function("ordered_pairs", arr)
+    else
+      flatten(transform(arr, a =>
+        filter(transform(arr, b => struct(a.as("a"), b.as("b"))),
+          p => p.getField("a") < p.getField("b"))))
 
   /** Winnowing fingerprints (MOSS-style): the minimum shingle hash in each
     * sliding window of `w` consecutive shingles, deduplicated. Guarantees
@@ -1136,10 +1159,10 @@ object LlmOps {
     */
   def contaminationFromSets(sets: DataFrame, idCol: String,
                             benchSet: DataFrame): DataFrame = {
-    // Persisted: the per-doc shingle sets feed BOTH the hit count and the
-    // final ratio join — without it the shingle projection (the dominant
-    // cost) runs twice. Same caching contract as nearDupPairs.
-    val docSets = sets.persist()
+    // Eager checkpoint: the per-doc shingle sets feed BOTH the hit count
+    // and the final ratio join concurrently — under a lazy persist the
+    // shingle projection (the dominant cost) ran twice (r17).
+    val docSets = sets.localCheckpoint(true)
     val hits = docSets
       .select(col(idCol), explode(col("__sh")).as("__s"))
       .join(benchSet, col("__s") === col("__bsh"), "left_semi")
@@ -1202,7 +1225,7 @@ object LlmOps {
       .select(col(idCol),
         explode(minhashPlanBest(docs, col(textCol), shingleN, 1)
           .getField("sh")).as("__h1"))
-      .persist()
+      .localCheckpoint(true)
     val sizes = docSh.groupBy(idCol).agg(count(lit(1)).as("n_shingles"))
     val exact = docSh
       .join(benchSh, col("__h1") === col("__bh1"), "left_semi")
@@ -1640,15 +1663,16 @@ object LlmOps {
     * table — AQE broadcasts it when the vocabulary is small.
     */
   def lmScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    // Persisted: the exploded (doc, bigram) stream feeds the count table,
-    // the corpus total AND the scoring join — one hashing pass, not three.
-    // Same caching contract as nearDupPairs (callers clearCache() after).
+    // Eager checkpoint: the exploded (doc, bigram) stream feeds the count
+    // table, the corpus total AND the scoring join — one hashing pass, not
+    // three; their stages launch concurrently, which a lazy persist does
+    // not survive (r17).
     // Bigram hashes come from the native positional shingle_seq expression
     // (one MessageDigest pass per doc; HOF fallback with pre-materialized
     // tokens when the extension isn't loaded — identical values).
     val docBg = df
       .select(col(idCol), explode(shingleSeqBest(df, col(textCol), 2)).as("__bg"))
-      .persist()
+      .localCheckpoint(true)
     val counts = docBg.groupBy("__bg").agg(count(lit(1)).as("__c"))
     // total bigram instances == the stream's row count (cheaper than
     // re-summing the count table)
@@ -1713,11 +1737,15 @@ object LlmOps {
     // from the native FNV `hashed_shingles` loop — no md5, no per-shingle
     // strings — the same substitution that took crossLangOverlap from
     // 36 s to 2.5 s at 10× (round 9).
+    // eager localCheckpoint, not lazy persist (r17): sizes feeds BOTH
+    // crossJoin sides and inter is a third consumer — their broadcast
+    // builds launch concurrently and each re-ran the shingle+distinct
+    // subtree before a lazy cache populated
     val pairs = df
       .select(col(groupCol).as("__g"),
         explode(shingleHashesBest(df, col(textCol), shingleN)).as("__sh"))
       .distinct()
-      .persist()
+      .localCheckpoint(true)
     val sizes = pairs.groupBy("__g").agg(count(lit(1)).as("__n"))
     // Intersection counts WITHOUT a self-join: group each shingle's source
     // list (≤ |sources| elements), emit its ordered pairs in-array, then
@@ -1727,11 +1755,8 @@ object LlmOps {
     val inter = pairs
       .groupBy("__sh").agg(collect_set(col("__g")).as("__gs"))
       .filter(size(col("__gs")) >= 2)
-      .select(explode(flatten(transform(col("__gs"), a =>
-        filter(
-          transform(col("__gs"), b => struct(a.as("__g"), b.as("__g2"))),
-          p => p.getField("__g") < p.getField("__g2"))))).as("__p"))
-      .select(col("__p.__g").as("__g"), col("__p.__g2").as("__g2"))
+      .select(explode(orderedPairsBest(df, col("__gs"))).as("__p"))
+      .select(col("__p.a").as("__g"), col("__p.b").as("__g2"))
       .groupBy("__g", "__g2")
       .agg(count(lit(1)).as("n_inter"))
     val allPairs = sizes.select(col("__g").as("source_a"), col("__n").as("n_a"))
@@ -2083,7 +2108,7 @@ object LlmOps {
       .select(col("__blk"), col(idCol),
         col("__mh.sh").as("__sh"), col("__mh.sig").as("__sig"))
       .filter(size(col("__sh")) > 0)
-      .persist()
+      .localCheckpoint(true)
     // Block keys are LOW-cardinality (that's what makes them blocks), so
     // a join keyed on the block alone concentrates each block's O(block²)
     // intersection work in ONE task. The sub-bucket grid spreads it: the
@@ -3092,7 +3117,7 @@ object LlmOps {
         array_sort(shingleHashesBest(df, col(textCol), shingleN)).as("__sh"))
       .withColumn("__sz", size(col("__sh")))
       .filter(col("__sz") > 0)
-      .persist()
+      .localCheckpoint(true)
     val prefLen = (col("__sz") - ceil(col("__sz") * lit(threshold)) + 1).cast("int")
     val aPref = sets.select(col("__blk"), col(idCol).as("id_a"),
       explode(slice(col("__sh"), lit(1), prefLen)).as("__shingle"))
@@ -3165,7 +3190,7 @@ object LlmOps {
     val hs = df.select(col(blockCol).as("__blk"), col(idCol),
         minhashPlanBest(df, col(textCol), shingleN, 1)
           .getField("sh").as("__hs"))
-      .persist()  // feeds probe + posting sides (nearDupPairs contract:
+      .localCheckpoint(true)  // feeds probe + posting sides (nearDupPairs contract:
                   // callers clearCache() when done)
       .filter(size(col("__hs")) > 0)
     val probe = hs.select(col("__blk"), col(idCol).as("id_a"),

@@ -111,7 +111,7 @@ private[graft] object QDedup {
       // persisted: feeds the sketch AND both multiplicity joins (the
       // nearDupPairs contract — the slate clearCache()s after each query)
       val reps = LlmOps.exactRepresentatives(docs, "doc_id", "text", "lang")
-        .persist()
+        .localCheckpoint(true)
       LlmOps.containmentSketch(reps, "doc_id", "text", "lang",
           shingleN = 3, threshold = 0.9, sketchK = 32)
         .join(reps.select(col("doc_id").as("id_a"),

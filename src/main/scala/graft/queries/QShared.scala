@@ -129,7 +129,7 @@ private[graft] object QShared {
       .withColumn("__nsh", greatest(col("__ntok") - 3, lit(0)) + 1)
       .withColumn("__rep",
         lit(1.0) - size(col("__mh.sh")).cast("double") / col("__nsh").cast("double"))
-      .persist()
+      .localCheckpoint(true)
     val lowRep = prepared.filter(col("__rep") < 0.2)
     // Survivor persist carries only what downstream stages read (id,
     // output columns, the minhash struct) — the text and token counts
@@ -138,7 +138,7 @@ private[graft] object QShared {
     val afterExact = lowRep
       .join(LlmOps.dedupExactIds(lowRep, "doc_id", "text"), "doc_id")
       .select("doc_id", "lang", "n_chars", "__mh")
-      .persist()
+      .localCheckpoint(true)
     val pairs = LlmOps.nearDupPairsFromSets(
       afterExact.select(col("doc_id"),
         col("__mh.sh").as("__sh"), col("__mh.sig").as("__sig")),

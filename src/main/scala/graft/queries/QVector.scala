@@ -77,7 +77,7 @@ private[graft] object QVector {
     val vec = emb.crossJoin(broadcast(qe))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("doc_id"),
-        VectorOps.cosine(col("embedding"), col("__qv")).as("__score"))
+        VectorOps.cosineBest(s, col("embedding"), col("__qv")).as("__score"))
       .withColumn("rank", row_number().over(wv))
       .filter(col("rank") <= 20)
       .select(col("query_id"), col("doc_id"), col("rank"))
@@ -149,14 +149,16 @@ private[graft] object QVector {
       val idx = VectorOps.ivfIndexStored(cands, "embedding", nCells,
         storeKey = s"ivf|bitext_cands|$dir",
         contentTag = Some(embDocsTag(s, dir)))
-      // persisted: the |Q|-row rollup feeds both the audit join and the
-      // batch count — without it the whole cell-join DAG runs twice. The
-      // result is ONE row, so it is materialized here and the cache
-      // released immediately (ADVICE r10: a leaked persist accumulates
-      // executor memory across a full bench/verify run over many SFs).
+      // eager localCheckpoint (r17): the |Q|-row rollup feeds both the
+      // audit join and the batch count, whose subtrees launch as
+      // CONCURRENT query stages — under the previous lazy persist the
+      // whole cell-join DAG ran twice before the cache populated. The
+      // checkpoint materializes the |Q| rows exactly once; its blocks are
+      // |Q|-sized and released by the context cleaner when the plan is
+      // dropped.
       val ann = VectorOps.marginBestMatchAnn(cands, queries, "vec_id",
         "embedding", k = 4, nCells = nCells, nProbe = nProbe,
-        prebuilt = Some(idx)).persist()
+        prebuilt = Some(idx)).localCheckpoint(true)
       val audit = queries.filter(col("vec_id") % 10 === 0 && col("vec_id") < 500)
       val brute = VectorOps.marginBestMatch(cands, audit, "vec_id", "embedding", k = 4)
       val out = ann.select(col("query_id"), col("best_id").as("__ba"))
@@ -168,7 +170,6 @@ private[graft] object QVector {
         .select(col("n_queries"), col("n_audit"),
           (col("__same") * 10 >= col("n_audit") * 6).as("agree_ok"))
       val rows = out.collect()
-      ann.unpersist()
       s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
     }),
 
