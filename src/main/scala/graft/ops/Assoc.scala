@@ -34,6 +34,22 @@ object Assoc {
       transform(slice(arr, i + lit(2), size(arr)),
         y => struct(x.as("a"), y.as("b")))))
 
+  /** [[pairStructs]] through the native one-pass
+    * [[graft.functions.OrderedPairs]] when GraftExtensions is installed
+    * (r17) — the HOF shape above re-SLICES the array per position (O(n²)
+    * array copies) through two interpreted lambda layers. For the
+    * STRICTLY-ASCENDING arrays every caller feeds (sorted distinct
+    * items/supplier/language sets), position order i<j coincides with
+    * value order a<b, so `ordered_pairs` emits the identical struct
+    * array — same elements, same order (asserted by OrderedPairsSpec).
+    * Callers with possible duplicate values must use [[pairStructs]]:
+    * on ties the two forms differ.
+    */
+  def pairStructsBest(df: DataFrame, arr: Column): Column =
+    if (df.sparkSession.catalog.functionExists("ordered_pairs"))
+      call_function("ordered_pairs", arr)
+    else pairStructs(arr)
+
   /** Frequent item PAIRS with support / confidence / lift:
     *
     *   support(a,b) = c(a,b)/N          lift(a,b) = N·c(a,b)/(c(a)·c(b))
@@ -65,7 +81,7 @@ object Assoc {
       .select(explode(col("__items")).as("__i"))
       .groupBy(col("__i")).agg(count(lit(1)).as("__ci"))
     val pairs = kept
-      .select(explode(pairStructs(col("__items"))).as("__p"))
+      .select(explode(pairStructsBest(df, col("__items"))).as("__p"))
       .groupBy(col("__p.a").as("item_a"), col("__p.b").as("item_b"))
       .agg(count(lit(1)).as("n_pair"))
       .filter(col("n_pair") >= minPairCount)

@@ -2687,7 +2687,7 @@ object LlmOps {
       .groupBy(col("__lang")).agg(count(lit(1)).as("__c"))
     val shared = byFp
       .filter(size(col("__ls")) >= 2)
-      .select(explode(Assoc.pairStructs(col("__ls"))).as("__p"))
+      .select(explode(Assoc.pairStructsBest(byFp, col("__ls"))).as("__p"))
       .groupBy(col("__p.a").as("lang_a"), col("__p.b").as("lang_b"))
       .agg(count(lit(1)).as("n_shared"))
     shared

@@ -60,6 +60,21 @@ class OrderedPairsSpec extends SparkTestBase {
     assert(rows(1)._2.isEmpty && rows(1)._3.isEmpty)
   }
 
+  test("drop-in for Assoc.pairStructs on strictly-ascending arrays (exact order)") {
+    val rng = new scala.util.Random(7)
+    val df = (0 until 200)
+      .map(i => (i.toLong,
+        rng.shuffle((0 until 200).toList).take(rng.nextInt(30)).distinct.sorted
+          .map(_.toLong)))
+      .toDF("id", "ts")
+    val mismatches = df.select($"id",
+        graft.ops.Assoc.pairStructsBest(df, $"ts").as("one"),
+        graft.ops.Assoc.pairStructs($"ts").as("hof"))
+      .filter(not($"one" <=> $"hof"))
+      .count()
+    assert(mismatches == 0)
+  }
+
   test("works on non-string orderable elements (long), parity with HOF") {
     val df = Seq((1L, Seq(3L, 1L, 2L))).toDF("id", "ts")
     val (one, hof) = df.select(
