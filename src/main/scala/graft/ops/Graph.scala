@@ -282,18 +282,36 @@ object Graph {
     * survivor (minimum id) per cluster. Docs in no pair survive trivially.
     */
   def dedupClusters(docs: DataFrame, pairs: DataFrame, idCol: String,
-                    starContraction: Option[Boolean] = None): DataFrame = {
-    // Materialize the (tiny) pair set once: `sym` unions two projections of
-    // it and every closure round re-reads it — without this the whole
-    // MinHash pair pipeline upstream would be re-derived per branch.
+                    starContraction: Option[Boolean] = None): DataFrame =
+    dedupClustersFromLabels(docs, componentLabels(pairs, starContraction),
+      idCol)
+
+  /** The component LABEL table (node, label) of a near-dup pair set — the
+    * transitive-closure half of [[dedupClusters]]/[[dedupClustersBy]],
+    * exposed separately (r17) so several survivor-rule consumers in one
+    * run can share ONE closure (e.g. through a SlateStore table keyed on
+    * the same corpus tag as the pairs), instead of re-running the
+    * iterative components per consumer. Materializes the (tiny) pair set
+    * once: `sym` unions two projections of it and every closure round
+    * re-reads it — without this the whole MinHash pair pipeline upstream
+    * would be re-derived per branch.
+    */
+  def componentLabels(pairs: DataFrame,
+                      starContraction: Option[Boolean] = None): DataFrame = {
     val edges = pairs.select("id_a", "id_b").localCheckpoint()
+    closure(edges, starContraction)
+  }
+
+  /** [[dedupClusters]] over a PRECOMPUTED label table — same output by
+    * construction (the delegating overload above is the spec'd identity).
+    */
+  def dedupClustersFromLabels(docs: DataFrame, labels: DataFrame,
+                              idCol: String): DataFrame =
     docs.select(col(idCol))
-      .join(closure(edges, starContraction),
-        col(idCol) === col("node"), "left")
+      .join(labels, col(idCol) === col("node"), "left")
       .select(col(idCol),
         coalesce(col("label"), col(idCol)).as("cluster_id"))
       .withColumn("keep", col(idCol) === col("cluster_id"))
-  }
 
   /** Fixed-iteration PageRank in INTEGER arithmetic — node importance over
     * a directed edge set (here: the customer↔supplier interaction graph a
@@ -383,11 +401,15 @@ object Graph {
     */
   def dedupClustersBy(docs: DataFrame, pairs: DataFrame, idCol: String,
                       scoreCol: String,
-                      starContraction: Option[Boolean] = None): DataFrame = {
-    val edges = pairs.select("id_a", "id_b").localCheckpoint()
+                      starContraction: Option[Boolean] = None): DataFrame =
+    dedupClustersByFromLabels(docs,
+      componentLabels(pairs, starContraction), idCol, scoreCol)
+
+  /** [[dedupClustersBy]] over a PRECOMPUTED label table. */
+  def dedupClustersByFromLabels(docs: DataFrame, labels: DataFrame,
+                                idCol: String, scoreCol: String): DataFrame = {
     val labeled = docs.select(col(idCol), col(scoreCol))
-      .join(closure(edges, starContraction),
-        col(idCol) === col("node"), "left")
+      .join(labels, col(idCol) === col("node"), "left")
       .select(col(idCol), col(scoreCol),
         coalesce(col("label"), col(idCol)).as("cluster_id"))
     val w = org.apache.spark.sql.expressions.Window

@@ -28,6 +28,18 @@ private[graft] object QDedup {
       LlmOps.nearDupPairs(t(s, dir, "documents"), "doc_id", "text",
         maxBucketSize = 10000))
 
+  /** The component LABELS of [[productionPairs]] as a shared stored
+    * artifact (r17): `dedup_clusters` and `dedup_quality_survivor` differ
+    * only in the survivor rule, but each re-ran the iterative transitive
+    * closure over the same pair set — the expensive half. One store entry
+    * (exact long/long rows, keyed on the same corpus tag as the pairs)
+    * serves both; output is identical by the FromLabels delegation
+    * (GraphSpec's dedupClusters identity).
+    */
+  private def productionClusterLabels(s: SparkSession, dir: String): DataFrame =
+    graft.ops.SlateStore.parquet(s, s"neardup_labels|$dir", docsTag(s, dir))(
+      graft.ops.Graph.componentLabels(productionPairs(s, dir)))
+
   /** Content tag of the corpus the shared artifacts derive from — under
     * a managed `spark.graft.store.dir`, a regenerated corpus invalidates
     * the stored tables instead of silently serving stale ones (VERDICT
@@ -254,7 +266,8 @@ private[graft] object QDedup {
       // pairs → transitive closure → one survivor per duplicate cluster:
       // the drop-list step a dedup pipeline actually ships.
       val docs = t(s, dir, "documents")
-      graft.ops.Graph.dedupClusters(docs, productionPairs(s, dir), "doc_id")
+      graft.ops.Graph.dedupClustersFromLabels(docs,
+          productionClusterLabels(s, dir), "doc_id")
         .orderBy("doc_id")
     }),
 
@@ -263,8 +276,8 @@ private[graft] object QDedup {
       // doc per cluster (tie: min id) — the keep-the-best-variant rule a
       // production curation run ships instead of keep-the-first
       val docs = t(s, dir, "documents")
-      graft.ops.Graph.dedupClustersBy(docs, productionPairs(s, dir),
-          "doc_id", "n_chars")
+      graft.ops.Graph.dedupClustersByFromLabels(docs,
+          productionClusterLabels(s, dir), "doc_id", "n_chars")
         .orderBy("doc_id")
     }),
 

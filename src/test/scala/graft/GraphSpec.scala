@@ -37,6 +37,28 @@ class GraphSpec extends SparkTestBase {
     assert(out == Set((1L, 1L, true), (2L, 1L, false), (3L, 1L, false), (7L, 7L, true)))
   }
 
+  test("FromLabels variants over a stored-round-trip label table match the direct ops (r17)") {
+    // the slate shares ONE componentLabels store entry between
+    // dedup_clusters and dedup_quality_survivor; labels survive a parquet
+    // round trip exactly (long/long), so the split must be invisible
+    val docs = Seq((1L, 50L), (2L, 90L), (3L, 90L), (7L, 10L))
+      .toDF("doc_id", "n_chars")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val tmp = java.nio.file.Files.createTempDirectory("labels").toString
+    Graph.componentLabels(pairs).write.mode("overwrite").parquet(tmp)
+    val stored = spark.read.parquet(tmp)
+    val direct = Graph.dedupClusters(docs, pairs, "doc_id")
+      .as[(Long, Long, Boolean)].collect().toSet
+    val viaLabels = Graph.dedupClustersFromLabels(docs, stored, "doc_id")
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(direct == viaLabels)
+    val directBy = Graph.dedupClustersBy(docs, pairs, "doc_id", "n_chars")
+      .as[(Long, Long, Boolean)].collect().toSet
+    val viaLabelsBy = Graph.dedupClustersByFromLabels(docs, stored, "doc_id", "n_chars")
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(directBy == viaLabelsBy)
+  }
+
   test("dedupClustersBy: highest-score doc survives per cluster, ties to min id") {
     val docs = Seq((1L, 50L), (2L, 90L), (3L, 90L), (7L, 10L))
       .toDF("doc_id", "n_chars")
