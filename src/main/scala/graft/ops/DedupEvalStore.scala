@@ -67,6 +67,12 @@ object DedupEvalStore {
       docs
         .filter(pmod(LlmOps.md5Hash48(col(idCol).cast("string"), 1),
           lit(m)) === 0)
+        // spread the CPU-heavy shingle+signature pass across cores even
+        // when the source is a handful of parquet files (one file = one
+        // task otherwise) — the nearDupPairs discipline; only the SAMPLED
+        // docs shuffle, so the exchange stays 1/m of the corpus (r17)
+        .repartition(spark.sessionState.conf.numShufflePartitions,
+          col(idCol))
         .select(col(blockCol).as("blk"), col(idCol),
           LlmOps.minhashPlanBest(docs, col(textCol), shingleN, numHashes)
             .as("__mh"))

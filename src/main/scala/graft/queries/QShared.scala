@@ -122,7 +122,12 @@ private[graft] object QShared {
     val docs = t(s, dir, "documents")
     val corpus = docs.filter(col("source") =!= "src0")
     val bench = docs.filter(col("source") === "src0")
+    // repartition before the minhash projection (r17): the corpus is a
+    // handful of parquet files locally (one file = one task), so the
+    // CPU-heavy shingle+signature pass ran single-threaded — the same
+    // spread-the-hashing discipline nearDupPairs documents
     val prepared = corpus.filter(length(col("text")) >= 100)
+      .repartition(s.sessionState.conf.numShufflePartitions, col("doc_id"))
       .select(col("doc_id"), col("lang"), col("n_chars"), col("text"),
         size(LlmOps.tokens(col("text"))).as("__ntok"),
         LlmOps.minhashPlanBest(corpus, col("text"), 3, 16).as("__mh"))
