@@ -64,17 +64,17 @@ object Assoc {
   def basketPairs(df: DataFrame, basketCol: String, itemCol: String,
                   minPairCount: Long = 2L,
                   maxBasketSize: Int = 1000): DataFrame = {
-    val present = df.select(col(basketCol).as("__b"), col(itemCol).as("__i"))
-      .distinct()
-    val sized = present
-      .withColumn("__sz", count(lit(1))
-        .over(org.apache.spark.sql.expressions.Window.partitionBy(col("__b"))))
-      .filter(col("__sz") <= maxBasketSize)
-      .select(col("__b"), col("__i"))
-    // one array row per basket (input already partitioned by __b from the
-    // size window — no extra exchange); sorted so pairStructs canonicalizes
-    val kept = sized.groupBy(col("__b"))
-      .agg(sort_array(collect_list(col("__i"))).as("__items"))
+    // ONE shuffle to the basket grain (r18, guide §2.4): collect_set over
+    // the raw (basket, item) rows dedupes in-aggregation — exactly the
+    // DISTINCT presence model — so the separate distinct exchange and the
+    // basket-size window pass both collapse into this groupBy; the size
+    // cap filters the collected array (same survivors: __sz counted
+    // distinct presence rows per basket, which is the array's size).
+    // Sorted so pairStructs canonicalizes.
+    val kept = df.select(col(basketCol).as("__b"), col(itemCol).as("__i"))
+      .groupBy(col("__b"))
+      .agg(sort_array(collect_set(col("__i"))).as("__items"))
+      .filter(size(col("__items")) <= maxBasketSize)
       .localCheckpoint(eager = true)
     val nBaskets = kept.agg(count(lit(1)).as("__n"))
     val itemCounts = kept

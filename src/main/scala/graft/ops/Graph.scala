@@ -126,6 +126,8 @@ object Graph {
       val s = labelSum(next)
       converged = s.compareTo(prevSum) == 0
       prevSum = s
+      // round N−1's label blocks are dead once round N materializes (r18)
+      Ckpt.release(labels)
       labels = next
       iter += 1
     }
@@ -161,15 +163,30 @@ object Graph {
   def connectedComponentsAuto(edges: DataFrame, srcCol: String, dstCol: String,
                               maxIter: Int = 25,
                               starEdgeFactor: Double = 8.0): DataFrame = {
+    // ONE materialization + ONE stats job (r18, guide §1.2): the previous
+    // shape ran und.count() and then RE-DERIVED the whole distinct for the
+    // node count (two full passes over the pair set), and the chosen
+    // closure then re-derived its symmetric form from the RAW edges a
+    // third time. Checkpoint the canonical set once, read both counts
+    // from one exploded aggregate (count(*)/2 = |edges|, each edge emits
+    // both endpoints), and hand the closure the canonical set — identical
+    // components: sym(und) == sym(raw) for both closure modes.
     val und = edges.select(
         least(col(srcCol), col(dstCol)).as("__a"),
         greatest(col(srcCol), col(dstCol)).as("__b"))
       .distinct()
-    val nEdges = und.count()
-    val nNodes = und.select(col("__a").as("__n"))
-      .union(und.select(col("__b").as("__n"))).distinct().count()
-    connectedComponents(edges, srcCol, dstCol, maxIter,
+      .localCheckpoint(eager = true)
+    val st = und.select(explode(array(col("__a"), col("__b"))).as("__n"))
+      .agg(count(lit(1)).as("__c"), countDistinct(col("__n")).as("__d"))
+      .head()
+    val nEdges = st.getLong(0) / 2
+    val nNodes = st.getLong(1)
+    val out = connectedComponents(und, "__a", "__b", maxIter,
       starContraction = chooseStarContraction(nNodes, nEdges, starEdgeFactor))
+    // both closure modes return plans over their own eager checkpoints —
+    // the canonical edge set's blocks are dead now
+    Ckpt.release(und)
+    out
   }
 
   /** Mode routing for the dedup entry points: an explicit caller choice
@@ -258,7 +275,10 @@ object Graph {
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
-      e = smallStar(largeStar(e)).localCheckpoint()
+      val next = smallStar(largeStar(e)).localCheckpoint()
+      // round N−1's contracted edge blocks are dead once N materializes
+      Ckpt.release(e)
+      e = next
       val s = stats(e)
       converged = prev != null && s._1 == prev._1 &&
         ((s._2 == null && prev._2 == null) ||
@@ -299,7 +319,12 @@ object Graph {
   def componentLabels(pairs: DataFrame,
                       starContraction: Option[Boolean] = None): DataFrame = {
     val edges = pairs.select("id_a", "id_b").localCheckpoint()
-    closure(edges, starContraction)
+    val out = closure(edges, starContraction)
+    // every closure mode returns a plan over its own eager checkpoints
+    // (final labels, or allNodes ⋈ star fixed point) — the materialized
+    // pair set's blocks are dead now (r18, guide §5)
+    Ckpt.release(edges)
+    out
   }
 
   /** [[dedupClusters]] over a PRECOMPUTED label table — same output by
@@ -377,13 +402,19 @@ object Graph {
         .groupBy(col("__dst"))
         .agg(sum(col("__c")).as("__in_mass"))
         .select(col("__dst").as("node"), col("__in_mass"))
-      pr = pr.select(col("node"), col("outdeg"))
+      val next = pr.select(col("node"), col("outdeg"))
         .join(contrib, Seq("node"), "left")
         .select(col("node"), col("outdeg"),
           (lit(teleport) +
             expr("(85 * coalesce(__in_mass, 0L)) div 100")).as("pr"))
         .localCheckpoint()
+      // iteration N−1's rank blocks are dead once N is materialized (r18)
+      Ckpt.release(pr)
+      pr = next
     }
+    // the returned plan reads only the final rank checkpoint — the edge
+    // blocks are done too
+    Ckpt.release(e)
     pr.select(col("node"), col("pr"))
   }
 
@@ -525,23 +556,46 @@ object Graph {
                        seeds: DataFrame, seedCol: String,
                        hops: Int): DataFrame = {
     require(hops >= 1, s"kHopReachability: hops must be >= 1, got $hops")
+    // ONE distinct pass + map-side emission of both orientations (r18):
+    // the union-of-two-projections shape computed the distinct subtree
+    // TWICE (Catalyst does no cross-branch CSE under a union), and the
+    // per-hop lazy persist chain had the kCorePeel concurrent-query-stage
+    // double-materialization hazard (VERDICT r17 item 4) plus a plan tree
+    // that grew by the full frontier-join subtree per hop (133 KB of
+    // formatted plan at 3 hops). Eager per-hop checkpoints make each
+    // wave's work run exactly once; superseded blocks are released as
+    // soon as their successor materializes (guide §5).
     val undirected = edges
       .select(col(srcCol).as("a"), col(dstCol).as("b")).distinct()
     val sym = undirected
-      .union(undirected.select(col("b"), col("a")))
-      .persist()
+      .select(explode(array(
+        struct(col("a"), col("b")),
+        struct(col("b").as("a"), col("a").as("b")))).as("__e"))
+      .select(col("__e.a").as("a"), col("__e.b").as("b"))
+      .localCheckpoint(eager = true)
     var visited = seeds.select(col(seedCol).as("node")).distinct()
-      .withColumn("hop", lit(0L)).persist()
+      .withColumn("hop", lit(0L)).localCheckpoint(eager = true)
     var frontier = visited.select(col("node"))
+    var prevFrontier: DataFrame = null
     for (h <- 1 to hops) {
       val next = sym
         .join(frontier.withColumnRenamed("node", "a"), Seq("a"))
         .select(col("b").as("node")).distinct()
         .join(visited.select("node"), Seq("node"), "left_anti")
-        .persist()
-      visited = visited.union(next.withColumn("hop", lit(h.toLong))).persist()
+        .localCheckpoint(eager = true)
+      val grown = visited.union(next.withColumn("hop", lit(h.toLong)))
+        .localCheckpoint(eager = true)
+      // the old visited set is folded into `grown`; hop N−1's frontier
+      // served its join — both sets of blocks are dead now
+      Ckpt.release(visited)
+      if (prevFrontier != null) Ckpt.release(prevFrontier)
+      visited = grown
+      prevFrontier = next
       frontier = next
     }
+    // the report below reads only the final visited checkpoint
+    if (prevFrontier != null) Ckpt.release(prevFrontier)
+    Ckpt.release(sym)
     // left-join a 0..hops spine so an exhausted frontier reports 0, not
     // a missing row (a reachability report with silent holes misreads)
     val spine = edges.sparkSession.range(hops + 1)
@@ -612,10 +666,15 @@ object Graph {
         .agg(count(lit(1)).as("__d"))
         .filter(col("__d") >= k)
         .select(col("v"))
-      e = e
+      val next = e
         .join(alive.select(col("v").as("a")), Seq("a"), "left_semi")
         .join(alive.select(col("v").as("b")), Seq("b"), "left_semi")
         .localCheckpoint(eager = true)
+      // round N−1's blocks are dead the moment round N materializes —
+      // release them now instead of holding `rounds` live copies of the
+      // (largest) relation until the context cleaner runs (r18, guide §5)
+      Ckpt.release(e)
+      e = next
     }
     e.select(explode(array(col("a"), col("b"))).as("v"))
       .groupBy(col("v"))

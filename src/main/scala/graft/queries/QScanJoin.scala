@@ -709,19 +709,25 @@ private[graft] object QScanJoin {
       // correlated subqueries; top-20 blockers via TakeOrderedAndProject
       // collapse to the (order, supplier) grain FIRST: per-supplier max
       // shipdate per order — then every later step is a plain count, no
-      // countDistinct Expand anywhere and the raw lineitems shuffle once
+      // countDistinct Expand anywhere and the raw lineitems shuffle once.
+      // r18 (guide §2.4): the per-order max/nsupp/unique-at-max facts are
+      // all full-partition aggregates over the SAME key, so one Window
+      // pass over `os` replaces the aggregate + join-back + second
+      // aggregate + semi-join shape — which re-derived the (order,
+      // supplier) grain subtree twice (no cross-branch CSE) and paid two
+      // extra exchanges; identical survivors by construction
       val os = t(s, dir, "lineitem")
         .groupBy(col("l_orderkey"), col("l_suppkey"))
         .agg(max(col("l_shipdate")).as("__sship"))
-      val perOrder = os.groupBy(col("l_orderkey"))
-        .agg(max(col("__sship")).as("__maxship"),
-          count(lit(1)).as("__nsupp"))
-      val last = os.join(perOrder, Seq("l_orderkey"))
-        .filter(col("__sship") === col("__maxship") && col("__nsupp") >= 2)
-      val uniqueLast = last.groupBy(col("l_orderkey"))
-        .agg(count(lit(1)).as("__natmax"))
-        .filter(col("__natmax") === 1)
-      last.join(uniqueLast, Seq("l_orderkey"), "left_semi")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("l_orderkey"))
+      os.withColumn("__maxship", max(col("__sship")).over(w))
+        .withColumn("__nsupp", count(lit(1)).over(w))
+        .withColumn("__natmax",
+          sum(when(col("__sship") === col("__maxship"), 1L).otherwise(0L))
+            .over(w))
+        .filter(col("__sship") === col("__maxship") &&
+          col("__nsupp") >= 2 && col("__natmax") === 1)
         .groupBy(col("l_suppkey"))
         .agg(count(lit(1)).cast("long").as("n_blocked_orders"))
         .orderBy(col("n_blocked_orders").desc, col("l_suppkey").asc)

@@ -485,8 +485,16 @@ private[graft] object QVector {
         .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
         .select(col("o_custkey").as("src"),
           (col("l_suppkey") + lit(1000000L)).as("dst"))
-      val edges = trade.union(
-        trade.select(col("dst").as("src"), col("src").as("dst")))
+      // symmetrize map-side with ONE explode instead of a union of two
+      // projections of the join — Catalyst does no cross-branch CSE, so
+      // the union shape ran the orders⋈lineitem join TWICE before
+      // pageRank's internal distinct (r18, guide §2.4); same edge
+      // multiset, so the deduped edge set is identical
+      val edges = trade
+        .select(explode(array(
+          struct(col("src"), col("dst")),
+          struct(col("dst").as("src"), col("src").as("dst")))).as("__e"))
+        .select(col("__e.src").as("src"), col("__e.dst").as("dst"))
       graft.ops.Graph.pageRank(edges, "src", "dst", iterations = 3)
         .orderBy(col("pr").desc, col("node").asc)
         .limit(20)
